@@ -1,0 +1,19 @@
+"""Builtin directive implementations, grouped by family.
+
+Importing this package registers every system directive — the Python
+equivalent of the reference's classpath scan
+(``wrangler-core/.../registry/SystemDirectiveRegistry.java:51-66``).
+"""
+
+from wrangler_spark.directives import (  # noqa: F401
+    aggregates,
+    columns,
+    datetime_ops,
+    encoding,
+    lookups,
+    masks,
+    parsers,
+    rows,
+    transforms,
+    writers,
+)

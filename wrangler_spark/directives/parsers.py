@@ -1,0 +1,462 @@
+"""Parser directives: string/bytes column → typed columns or rows
+(SURVEY §2.1).
+
+Ragged-row resolution: the reference appends however many fields each row
+yields (``CsvParser.java:173-182``). A Spark plan needs one static schema,
+so parse directives do a bounded compile-time sample (≤100 rows, one tiny
+job) to fix output arity / JSON schema — the same answer the reference's
+interactive ``/schema`` endpoint computes from its workspace sample.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wrangler_spark.context import CompileContext
+from wrangler_spark.directive import Arg, Directive
+from wrangler_spark.errors import DirectiveApplyError
+from wrangler_spark.parser.tokens import TokenType
+from wrangler_spark.registry import directive, registry
+
+_SAMPLE_N = 100
+
+
+def _sample_values(df: DataFrame, col: str, n: int = _SAMPLE_N) -> list[str]:
+    rows = df.select(col).filter(F.col(col).isNotNull()).limit(n).collect()
+    return [r[0] for r in rows if r[0] is not None]
+
+
+# --- type inference for header detection (parity: dq/TypeInference.java) ---
+
+_INT_RE = re.compile(r"^[+-]?\d+$")
+_NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _is_stringy(v: str) -> bool:
+    s = v.strip()
+    if not s:
+        return False
+    if _INT_RE.match(s) or _NUM_RE.match(s):
+        return False
+    if s.lower() in ("true", "false"):
+        return False
+    return True
+
+
+@directive
+class ParseAsCsv(Directive):
+    """parse-as-csv :col 'delimiter' [header] — appends col_1..col_n (or
+    detected header names) (ref: parser/CsvParser.java:131-212).
+
+    Spark-first: the string column is parsed with native `from_csv`
+    (quote-aware, JVM-side); arity and header come from a compile-time
+    sample mirroring ``CsvParser.isHeader`` (all-string + unique,
+    ``CsvParser.java:184-203``)."""
+
+    name = "parse-as-csv"
+    usage = [
+        Arg("column", TokenType.COLUMN),
+        Arg("delimiter", TokenType.TEXT, optional=True, default=","),
+        Arg("header", TokenType.BOOL, optional=True, default=False),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        col = ctx.resolve(df, self.args["column"])
+        delim = self.args["delimiter"].encode().decode("unicode_escape")
+        has_header = bool(self.args["header"])
+
+        sample = _sample_values(df, col)
+        parsed = []
+        for line in sample:
+            try:
+                parsed.append(next(_csv.reader(io.StringIO(line), delimiter=delim)))
+            except Exception:
+                parsed.append([])
+        width = max((len(p) for p in parsed), default=1) or 1
+
+        headers: list[str] | None = None
+        header_line: str | None = None
+        if has_header and parsed:
+            first = parsed[0]
+            uniq = set(first)
+            if first and all(_is_stringy(v) for v in first) and len(uniq) == len(first):
+                headers = [re.sub(r"\s+", "_", v.strip()) for v in first]
+                header_line = sample[0]
+                width = max(width, len(headers))
+
+        names = headers if headers else [f"{col}_{i + 1}" for i in range(width)]
+        while len(names) < width:
+            names.append(f"{col}_{len(names) + 1}")
+
+        out = df
+        if header_line is not None:
+            out = out.filter(F.col(col).isNull() | (F.col(col) != F.lit(header_line)))
+        ddl = ", ".join(f"_f{i} STRING" for i in range(width))
+        parsed_col = F.from_csv(F.col(col), F.lit(ddl), {"sep": delim, "mode": "PERMISSIVE"})
+        out = out.withColumn("__csv", parsed_col)
+        for i, name in enumerate(names[:width]):
+            out = out.withColumn(name, F.col("__csv").getField(f"_f{i}"))
+        return out.drop("__csv")
+
+
+@directive
+class ParseAsJson(Directive):
+    """parse-as-json :col [depth] — flattens nested objects to `col_a_b`
+    up to depth; arrays kept as values (flatten explodes them); a top-level
+    JSON array becomes one row per element; source column removed
+    (ref: parser/JsParser.java:97-189).
+
+    Schema comes from a compile-time sample via spark.read.json, then the
+    whole parse is ONE native from_json + projections."""
+
+    name = "parse-as-json"
+    usage = [
+        Arg("column", TokenType.COLUMN),
+        Arg("depth", TokenType.NUMERIC, optional=True, default=2147483647),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        col = ctx.resolve(df, self.args["column"])
+        depth = int(self.args["depth"])
+        spark = df.sparkSession
+
+        sample = _sample_values(df, col)
+        if not sample:
+            raise DirectiveApplyError(f"no non-null sample values in '{col}' to infer JSON schema")
+        inferred = spark.read.json(spark.sparkContext.parallelize(sample, 1))
+        schema = inferred.schema
+        # spark.read.json flattens a top-level array into its elements, so
+        # detect array-ness from the raw text
+        top_level_array = all(s.lstrip().startswith("[") for s in sample if s.strip())
+
+        out = df
+        if top_level_array:
+            elem_schema = T.ArrayType(schema)
+            parsed = F.from_json(F.col(col), elem_schema)
+            out = out.withColumn("__json", F.explode_outer(parsed)).drop(col)
+            base = F.col("__json")
+        else:
+            parsed = F.from_json(F.col(col), schema)
+            out = out.withColumn("__json", parsed).drop(col)
+            base = F.col("__json")
+
+        cols: list[tuple[str, Column]] = []
+        _flatten_struct(base, schema, col, 1, depth, cols)
+        for name, expr in cols:
+            out = out.withColumn(name, expr)
+        return out.drop("__json")
+
+
+def _flatten_struct(base: Column, schema: T.StructType, prefix: str, depth: int, max_depth: int, out: list):
+    """Recursive object flatten (parity: JsParser.jsonFlatten,
+    JsParser.java:171-189): objects recurse with `prefix_key` names,
+    non-objects (incl. arrays) land as-is."""
+    for field in schema.fields:
+        child = base.getField(field.name)
+        cname = f"{prefix}_{field.name}"
+        if isinstance(field.dataType, T.StructType) and depth < max_depth:
+            _flatten_struct(child, field.dataType, cname, depth + 1, max_depth, out)
+        else:
+            out.append((cname, child))
+
+
+@directive
+class JsonPath(Directive):
+    """json-path :source :destination 'path' — JsonPath extraction
+    (ref: parser/JsPath.java:90). Native get_json_object covers the
+    dotted/bracket subset of Jayway paths."""
+
+    name = "json-path"
+    usage = [
+        Arg("source", TokenType.COLUMN),
+        Arg("destination", TokenType.COLUMN),
+        Arg("path", TokenType.TEXT),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        src = ctx.resolve(df, self.args["source"])
+        path = self.args["path"]
+        if not path.startswith("$"):
+            path = "$." + path
+        c = F.col(src)
+        dt = dict(df.dtypes)[src]
+        if dt != "string":
+            c = F.to_json(c)
+        return df.withColumn(self.args["destination"], F.get_json_object(c, path))
+
+
+@directive
+class ParseAsSimpleDate(Directive):
+    """parse-as-simple-date :col 'fmt' — SimpleDateFormat parse → UTC
+    timestamp (ref: parser/ParseSimpleDate.java:80; UTC at :56,70).
+    Java and Spark datetime patterns agree on the y/M/d/H/m/s/S subset."""
+
+    name = "parse-as-simple-date"
+    usage = [Arg("column", TokenType.COLUMN), Arg("format", TokenType.TEXT)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        col = ctx.resolve(df, self.args["column"])
+        return df.withColumn(col, F.to_timestamp(F.col(col), self.args["format"]))
+
+
+@directive
+class ParseTimestamp(Directive):
+    """parse-timestamp :col [unit] — epoch number/string → timestamp;
+    unit ms (default) | seconds | microseconds
+    (ref: parser/ParseTimestamp.java:86-160)."""
+
+    name = "parse-timestamp"
+    usage = [Arg("column", TokenType.COLUMN), Arg("unit", TokenType.TEXT, optional=True, default="milliseconds")]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        col = ctx.resolve(df, self.args["column"])
+        unit = str(self.args["unit"]).lower()
+        c = F.col(col).cast("long")
+        if unit in ("ms", "milliseconds"):
+            ts = F.timestamp_millis(c)
+        elif unit in ("s", "seconds"):
+            ts = F.timestamp_seconds(c)
+        elif unit in ("us", "micros", "microseconds"):
+            ts = F.timestamp_micros(c)
+        else:
+            raise DirectiveApplyError(f"unknown timestamp unit '{unit}'")
+        return df.withColumn(col, ts)
+
+
+@directive
+class ParseAsDatetime(Directive):
+    """parse-as-datetime :col 'fmt' — zone-less parse → timestamp_ntz
+    (ref: parser/ParseDateTime.java:77)."""
+
+    name = "parse-as-datetime"
+    usage = [Arg("column", TokenType.COLUMN), Arg("format", TokenType.TEXT)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        col = ctx.resolve(df, self.args["column"])
+        return df.withColumn(col, F.to_timestamp_ntz(F.col(col), F.lit(self.args["format"])))
+
+
+@directive
+class ParseAsDate(Directive):
+    """parse-as-date :col [timezone] — natural-language date parse
+    (ref: parser/ParseDate.java:91, natty). No JVM-native equivalent; we
+    cover the common machine formats natively and leave true NLP ('next
+    tuesday') null — documented divergence, reference itself flags this
+    directive as expensive."""
+
+    name = "parse-as-date"
+    usage = [Arg("column", TokenType.COLUMN), Arg("timezone", TokenType.TEXT, optional=True, default="UTC")]
+
+    _FORMATS = [
+        "yyyy-MM-dd'T'HH:mm:ss",
+        "yyyy-MM-dd HH:mm:ss",
+        "yyyy-MM-dd",
+        "MM/dd/yyyy HH:mm:ss",
+        "MM/dd/yyyy",
+        "dd/MM/yyyy",
+        "MMM d yyyy h:mma",
+        "MMM d yyyy",
+        "MMMM d, yyyy",
+        "dd MMM yyyy",
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        col = ctx.resolve(df, self.args["column"])
+        c = F.trim(F.col(col).cast("string"))
+        candidates = [F.try_to_timestamp(c, F.lit(fmt)) for fmt in self._FORMATS]
+        candidates.append(F.try_to_timestamp(c))
+        ts = F.coalesce(*candidates)
+        tz = self.args["timezone"]
+        if tz and tz != "UTC":
+            ts = F.to_utc_timestamp(ts, tz)
+        return df.withColumn(f"{col}_1", ts)
+
+
+@directive
+class ParseAsFixedLength(Directive):
+    """parse-as-fixed-length :col w1,w2,... [padding] — substring fields →
+    col_1..col_n (ref: parser/FixedLengthParser.java:93-151)."""
+
+    name = "parse-as-fixed-length"
+    usage = [
+        Arg("column", TokenType.COLUMN),
+        Arg("widths", TokenType.NUMERIC_LIST),
+        Arg("padding", TokenType.TEXT, optional=True),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        col = ctx.resolve(df, self.args["column"])
+        widths = [int(w) for w in self.args["widths"]]
+        pad = self.args.value("padding")
+        out = df
+        offset = 1
+        for i, w in enumerate(widths):
+            piece = F.substring(F.col(col), offset, w)
+            if pad:
+                piece = F.regexp_replace(piece, f"^[{re.escape(pad)}]+|[{re.escape(pad)}]+$", "")
+            out = out.withColumn(f"{col}_{i + 1}", piece)
+            offset += w
+        return out
+
+
+@directive
+class ParseAsLog(Directive):
+    """parse-as-log :col 'format' — Apache access-log parse
+    (ref: parser/ParseLog.java:83, nl.basjes httpdlog). 'common'/'combined'
+    (and the equivalent %-format strings) compile to ONE native
+    regexp_extract bundle; other formats raise."""
+
+    name = "parse-as-log"
+    usage = [Arg("column", TokenType.COLUMN), Arg("format", TokenType.TEXT)]
+
+    _LOG_RE = (
+        r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+)(?: (\S+))?" (\d{3}|-) (\d+|-)'
+    )
+    _COMBINED_EXTRA = r' "([^"]*)" "([^"]*)"'
+
+    _FIELDS = [
+        ("ip_connection_client_host", 1),
+        ("string_connection_client_user", 3),
+        ("time_stamp_request_receive_time", 4),
+        ("http_method_request_receive_method", 5),
+        ("http_uri_request_firstline_uri", 6),
+        ("http_protocol_request_firstline_protocol", 7),
+        ("string_request_status_last", 8),
+        ("bytes_response_body_bytes", 9),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        col = ctx.resolve(df, self.args["column"])
+        fmt = self.args["format"].strip().lower()
+        combined = fmt in ("combined",) or "referer" in fmt or "user-agent" in fmt.lower()
+        regex = self._LOG_RE + (self._COMBINED_EXTRA if combined else "")
+        c = F.col(col)
+        out = df
+        for name, group in self._FIELDS:
+            v = F.regexp_extract(c, regex, group)
+            v = F.when(v == "", None).otherwise(v)
+            if name.startswith("time_stamp"):
+                v = F.to_timestamp(v, "dd/MMM/yyyy:HH:mm:ss Z")
+            elif name.startswith("bytes_") or name.startswith("string_request_status"):
+                v = v.cast("long")
+            out = out.withColumn(name, v)
+        if combined:
+            out = out.withColumn("string_request_referer", F.regexp_extract(c, regex, 10))
+            out = out.withColumn("string_request_user-agent", F.regexp_extract(c, regex, 11))
+        return out
+
+
+@directive
+class ParseAsCurrency(Directive):
+    """parse-as-currency :source :destination [locale] — locale currency
+    string → double (ref: currency/ParseAsCurrency.java:92). en_US-style
+    fast path natively: strip symbol/grouping, parentheses = negative."""
+
+    name = "parse-as-currency"
+    usage = [
+        Arg("source", TokenType.COLUMN),
+        Arg("destination", TokenType.COLUMN),
+        Arg("locale", TokenType.TEXT, optional=True, default="en_US"),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        src = ctx.resolve(df, self.args["source"])
+        c = F.trim(F.col(src).cast("string"))
+        neg = c.rlike(r"^\(.*\)$")
+        cleaned = F.regexp_replace(c, r"[^0-9.\-]", "")
+        value = F.when(cleaned == "", None).otherwise(cleaned.cast("double"))
+        value = F.when(neg, -value).otherwise(value)
+        return df.withColumn(self.args["destination"], value)
+
+
+@directive
+class FormatAsCurrency(Directive):
+    """format-as-currency :source :destination [locale]
+    (ref: currency/FormatAsCurrency.java:88). en_US: $#,##0.00."""
+
+    name = "format-as-currency"
+    usage = [
+        Arg("source", TokenType.COLUMN),
+        Arg("destination", TokenType.COLUMN),
+        Arg("locale", TokenType.TEXT, optional=True, default="en_US"),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        src = ctx.resolve(df, self.args["source"])
+        v = F.col(src).cast("double")
+        formatted = F.concat(
+            F.when(v < 0, "-").otherwise(""), F.lit("$"), F.format_number(F.abs(v), 2)
+        )
+        return df.withColumn(self.args["destination"], F.when(v.isNotNull(), formatted))
+
+
+@directive
+class ParseXmlToJson(Directive):
+    """parse-xml-to-json :col [depth] — XML → JSON string columns
+    (ref: xml/XmlToJson.java:84). Stdlib xml.etree in an Arrow-batched
+    pandas UDF (no external XML lib in this container), then the JSON
+    flatten path is shared with parse-as-json."""
+
+    name = "parse-xml-to-json"
+    usage = [Arg("column", TokenType.COLUMN), Arg("depth", TokenType.NUMERIC, optional=True, default=2147483647)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        import json as _json
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def elem_to_obj(e):
+            children = list(e)
+            obj = {}
+            for k, v in e.attrib.items():
+                obj[k] = v
+            if not children:
+                text = (e.text or "").strip()
+                if not obj:
+                    return text
+                if text:
+                    obj["content"] = text
+                return obj
+            for ch in children:
+                val = elem_to_obj(ch)
+                if ch.tag in obj:
+                    prev = obj[ch.tag]
+                    if not isinstance(prev, list):
+                        obj[ch.tag] = [prev]
+                    obj[ch.tag].append(val)
+                else:
+                    obj[ch.tag] = val
+            return obj
+
+        @pandas_udf("string")
+        def xml2json(s: pd.Series) -> pd.Series:
+            def conv(v):
+                if v is None:
+                    return None
+                try:
+                    root = ET.fromstring(str(v))
+                    return _json.dumps({root.tag: elem_to_obj(root)})
+                except Exception:
+                    return None
+
+            return s.map(conv)
+
+        col = ctx.resolve(df, self.args["column"])
+        tmp = df.withColumn(col, xml2json(F.col(col).cast("string")))
+        parser = ParseAsJson.__new__(ParseAsJson)
+        from wrangler_spark.directive import Arguments
+
+        parser.args = Arguments({"column": col, "depth": self.args["depth"]})
+        parser.call = self.call
+        return parser.apply(ctx, tmp)
+
+
+registry.alias("parse-as-xml", "parse-xml-to-json")

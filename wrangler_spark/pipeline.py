@@ -1,0 +1,86 @@
+"""Recipe → compiled pipeline → DataFrame plan.
+
+The engine's spine. ``Pipeline.compile`` runs the front-end (parse +
+bind — parity with ``GrammarBasedParser.parse``,
+``wrangler-core/.../parser/GrammarBasedParser.java:74-128``) once on the
+driver; ``transform`` folds the bound directives over a DataFrame to build
+ONE lazy plan, which Catalyst then optimizes as a whole. The reference's
+row-at-a-time executor loop (``RecipePipelineExecutor.java:113-156``)
+has no equivalent here on purpose.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from wrangler_spark.context import CompileContext
+from wrangler_spark.directive import Directive, bind_arguments
+from wrangler_spark.errors import DirectiveApplyError, PipelineAbortError
+from wrangler_spark.parser.recipe_parser import parse_recipe
+from wrangler_spark.registry import Registry, load_builtins, registry as default_registry
+
+
+@dataclass
+class PipelineResult:
+    """Outcome of compiling a recipe against a DataFrame.
+
+    ``df`` — the clean output rows (lazy).
+    ``errors()`` — the error side-channel (lazy; parity with
+    ``RecipePipeline.errors()``).
+    ``check()`` — evaluate any ``fail`` directives (raises on match).
+    """
+
+    df: DataFrame
+    ctx: CompileContext
+
+    def errors(self) -> DataFrame:
+        e = self.ctx.errors_df()
+        if e is None:
+            spark = self.df.sparkSession
+            return spark.createDataFrame([], "record string, directive string, message string")
+        return e
+
+    def check(self) -> None:
+        for fc in self.ctx.fail_checks:
+            n = fc.df.filter(fc.condition).limit(1).count()
+            if n > 0:
+                raise PipelineAbortError(
+                    f"fail: condition matched at directive '{fc.directive}': {fc.message}"
+                )
+
+
+class Pipeline:
+    """A compiled recipe: an ordered list of bound directive objects."""
+
+    def __init__(self, directives: list[Directive], pragmas: dict[str, list[str]] | None = None):
+        self.directives = directives
+        self.pragmas = pragmas or {}
+
+    @classmethod
+    def compile(cls, recipe: str | list[str], registry: Registry | None = None) -> "Pipeline":
+        load_builtins()
+        reg = registry or default_registry
+        if isinstance(recipe, (list, tuple)):
+            recipe = "\n".join(recipe)
+        parsed = parse_recipe(recipe)
+        bound: list[Directive] = []
+        for call in parsed.calls:
+            dcls = reg.get(call.name)
+            args = bind_arguments(call.name, dcls.usage, call.args)
+            bound.append(dcls(args, call))
+        return cls(bound, parsed.pragmas)
+
+    def transform(self, df: DataFrame, ctx: CompileContext | None = None) -> PipelineResult:
+        ctx = ctx or CompileContext()
+        for d in self.directives:
+            try:
+                df = d.apply(ctx, df)
+            except DirectiveApplyError as e:
+                raise DirectiveApplyError(f"{d.name}: {e}") from e
+        return PipelineResult(df, ctx)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Convenience: clean output only."""
+        return self.transform(df).df
