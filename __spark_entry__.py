@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship cleansing recipe (the reference's published
+benchmark shape, wrangler-docs/performance.md:24-38) on sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for each query (same column names;
+omitted only for ops whose semantics aren't SQL-expressible, e.g.
+mask-shuffle's seeded java.util.Random walk).
 """
 
 from __future__ import annotations
@@ -12,27 +13,310 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wrangler_spark import Pipeline
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
+        # default; read nanos as long and convert to a micros timestamp
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer division — double division would round the microseconds
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _lineitem_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat_ws(",", *[F.col(c).cast("string") for c in li.columns]).alias("body")
+    )
+
+
+# The reference's benchmark recipe shape: parse-as-csv + drops + fills +
+# uppercase + mask-number + filter-row (performance.md:24-38), adapted to the
+# lineitem column set. mask patterns use only '#'/'x' so the oracle can
+# mirror them with substr arithmetic.
+_CLEANSE_RECIPE = """
+parse-as-csv :body ',' false
+drop :body
+set-headers :l_orderkey,:l_partkey,:l_suppkey,:l_linenumber,:l_quantity,:l_extendedprice,:l_discount,:l_tax,:l_returnflag,:l_linestatus,:l_shipdate
+set-type :l_suppkey long
+set-type :l_linenumber int
+set-type :l_quantity double
+set-type :l_extendedprice double
+set-type :l_discount double
+set-type :l_tax double
+fill-null-or-empty :l_returnflag 'U'
+fill-null-or-empty :l_linestatus 'U'
+uppercase :l_returnflag
+lowercase :l_linestatus
+mask-number :l_orderkey 'xx######'
+mask-number :l_partkey '##xxxx'
+filter-row exp:{ l_quantity > 45.0 } true
+set-column :revenue exp:{ l_extendedprice * (1.0 - l_discount) }
+"""
+
+_CLEANSE_ORACLE = """
+SELECT 'xx' || substr(CAST(l_orderkey AS VARCHAR), 3, 6) AS l_orderkey,
+       substr(CAST(l_partkey AS VARCHAR), 1, 2) || 'xxxx' AS l_partkey,
+       l_suppkey,
+       l_linenumber,
+       l_quantity,
+       l_extendedprice,
+       l_discount,
+       l_tax,
+       upper(l_returnflag) AS l_returnflag,
+       lower(l_linestatus) AS l_linestatus,
+       CAST(l_shipdate AS VARCHAR) AS l_shipdate,
+       l_extendedprice * (1.0 - l_discount) AS revenue
+FROM lineitem
+WHERE NOT (l_quantity > 45.0)
+"""
+
+
+def _q_cleanse(spark, sf_dir):
+    return Pipeline.compile(_CLEANSE_RECIPE).apply(_lineitem_body(spark, sf_dir))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q_cleanse(spark, "/root/testdata/sf0.001")
+
+
+def _recipe_q(table: str, recipe: str):
+    def fn(spark, sf_dir):
+        return Pipeline.compile(recipe).apply(_t(spark, sf_dir, table))
+
+    return fn
+
+
+def _q_table_lookup(spark, sf_dir):
+    from wrangler_spark.directives.lookups import register_lookup
+
+    register_lookup("nation_lk", _t(spark, sf_dir, "nation"))
+    recipe = "table-lookup :c_nationkey 'nation_lk'"
+    return Pipeline.compile(recipe).apply(_t(spark, sf_dir, "customer"))
+
+
+def _q_catalog_lookup(spark, sf_dir):
+    from wrangler_spark.directives.lookups import register_lookup
+
+    register_lookup(
+        "segments",
+        {"AUTOMOBILE": "auto", "BUILDING": "bldg", "FURNITURE": "furn", "MACHINERY": "mach", "HOUSEHOLD": "home"},
+    )
+    return Pipeline.compile("catalog-lookup segments :c_mktsegment").apply(_t(spark, sf_dir, "customer"))
+
+
+def _q_send_to_error(spark, sf_dir):
+    recipe = "send-to-error exp:{ c_acctbal < 0.0 } 'negative balance'"
+    return Pipeline.compile(recipe).apply(_t(spark, sf_dir, "customer"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cleanse_recipe": _q_cleanse,
+        "uppercase": _recipe_q("customer", "uppercase :c_name"),
+        "lowercase_trim": _recipe_q("customer", "lowercase :c_mktsegment\ntrim :c_name"),
+        "titlecase": _recipe_q("part", "titlecase :p_name"),
+        "merge_copy_swap": _recipe_q(
+            "customer", "merge :c_name :c_mktsegment :tag '|'\ncopy :c_custkey :ck2\nswap :c_name :c_mktsegment"
+        ),
+        "set_type": _recipe_q("orders", "set-type :o_orderkey string\nset-type :o_totalprice string"),
+        "filter_row_expr": _recipe_q(
+            "orders", "filter-row exp:{ o_totalprice < 150000.0 || o_orderstatus == 'F' } true"
+        ),
+        "filter_by_regex": _recipe_q("customer", "filter-by-regex if-matched :c_mktsegment 'BUI.*'"),
+        "filter_empty_or_null": _recipe_q("documents", "filter-empty-or-null :text"),
+        "quantize": _recipe_q(
+            "customer", "quantize :c_acctbal :bal_bucket -10000.0:0.0=NEG,0.001:5000.0=LOW,5000.001:100000.0=HIGH"
+        ),
+        "mask_number": _recipe_q("part", "mask-number :p_partkey '##xxx'"),
+        "cut_character": _recipe_q("part", "cut-character :p_type :p_type_cut '1-3,5'"),
+        "extract_regex_groups": _recipe_q("part", "extract-regex-groups :p_name '(\\w+) (\\w+)'"),
+        "find_and_replace": _recipe_q("customer", "find-and-replace :c_mktsegment 's/BUILDING/BLD/g'"),
+        "fill_null_or_empty": _recipe_q(
+            "events", "set-column :v2 exp:{ value > 500.0 ? null : value }\nfill-null-or-empty :v2 '0'\ndrop :ts"
+        ),
+        "split_email": _recipe_q(
+            "customer", "set-column :email exp:{ concat(c_name, '@example.com') }\nsplit-email :email"
+        ),
+        "split_url": _recipe_q(
+            "part",
+            "set-column :url exp:{ 'https://shop.example.com:8080/parts/' + p_partkey + '?size=' + p_size }\nsplit-url :url",
+        ),
+        "split_to_rows": _recipe_q("part", "split-to-rows :p_name ' '"),
+        "split_to_columns": _recipe_q("part", "split-to-columns :p_name ' '"),
+        "flatten": _recipe_q("part", "set-column :words exp:{ string:split(p_name, ' ') }\nflatten :words"),
+        "hash_sha256": _recipe_q("customer", "hash :c_name SHA-256"),
+        "encode_base64": _recipe_q("part", "encode base64 :p_name"),
+        "json_parse": _recipe_q("events", "parse-as-json :props 1\ndrop :ts"),
+        "json_path": _recipe_q("events", "json-path :props :k_val 'k'\ndrop :ts"),
+        "write_json_object": _recipe_q("customer", "write-as-json-object :j :c_custkey,:c_name"),
+        "parse_simple_date": _recipe_q(
+            "events",
+            "copy :ts :ds\nformat-date :ds 'yyyy-MM-dd HH:mm:ss'\nparse-as-simple-date :ds 'yyyy-MM-dd HH:mm:ss'\ndrop :ts",
+        ),
+        "parse_timestamp": _recipe_q(
+            "events", "set-column :ems exp:{ date:UNIXTIMESTAMP_MILLIS(ts) }\nparse-timestamp :ems 'ms'\ndrop :ts"
+        ),
+        "diff_date": _recipe_q(
+            "events",
+            "set-column :base exp:{ '2020-01-01 00:00:00' }\nparse-as-simple-date :base 'yyyy-MM-dd HH:mm:ss'\ndiff-date :ts :base :diff_ms\ndrop :base,:ts",
+        ),
+        "format_date": _recipe_q("orders", "copy :o_orderdate :om\nformat-date :om 'yyyy-MM'"),
+        "expression_el": _recipe_q(
+            "customer",
+            "set-column :bal2 exp:{ math:abs(c_acctbal) + (c_custkey % 7) }\n"
+            "set-column :seg3 exp:{ string:substring(c_mktsegment, 0, 3) }\n"
+            "set-column :is_big exp:{ c_acctbal > 5000.0 ? 'big' : 'small' }",
+        ),
+        "dq_checks": _recipe_q(
+            "customer",
+            "set-column :good_seg exp:{ dq:inrange(c_acctbal, 0.0, 10000.0) }\n"
+            "set-column :seglen exp:{ dq:strlen(c_mktsegment) }",
+        ),
+        "send_to_error": _q_send_to_error,
+        "table_lookup": _q_table_lookup,
+        "catalog_lookup": _q_catalog_lookup,
+        "mask_shuffle": _recipe_q("part", "mask-number :p_size 'x#'\nmask-shuffle :p_name"),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cleanse_recipe": _CLEANSE_ORACLE,
+        "uppercase": "SELECT c_custkey, upper(c_name) AS c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+        "lowercase_trim": "SELECT c_custkey, trim(c_name) AS c_name, c_nationkey, c_acctbal, lower(c_mktsegment) AS c_mktsegment FROM customer",
+        "titlecase": (
+            "SELECT p_partkey, array_to_string(list_transform(string_split(p_name, ' '), "
+            "x -> upper(substr(x,1,1)) || lower(substr(x,2))), ' ') AS p_name, "
+            "p_brand, p_type, p_size, p_retailprice FROM part"
+        ),
+        "merge_copy_swap": (
+            "SELECT c_custkey, c_mktsegment AS c_name, c_nationkey, c_acctbal, c_name AS c_mktsegment, "
+            "c_name || '|' || c_mktsegment AS tag, c_custkey AS ck2 FROM customer"
+        ),
+        "set_type": (
+            "SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_custkey, o_orderstatus, "
+            "CAST(o_totalprice AS VARCHAR) AS o_totalprice, o_orderdate, o_orderpriority FROM orders"
+        ),
+        "filter_row_expr": (
+            "SELECT * FROM orders WHERE NOT (o_totalprice < 150000.0 OR o_orderstatus = 'F')"
+        ),
+        "filter_by_regex": "SELECT * FROM customer WHERE NOT regexp_full_match(c_mktsegment, 'BUI.*')",
+        "filter_empty_or_null": "SELECT * FROM documents WHERE NOT (text IS NULL OR trim(text) = '')",
+        "quantize": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
+            "CASE WHEN c_acctbal BETWEEN -10000.0 AND 0.0 THEN 'NEG' "
+            "WHEN c_acctbal BETWEEN 0.001 AND 5000.0 THEN 'LOW' "
+            "WHEN c_acctbal BETWEEN 5000.001 AND 100000.0 THEN 'HIGH' END AS bal_bucket FROM customer"
+        ),
+        "mask_number": (
+            "SELECT substr(CAST(p_partkey AS VARCHAR), 1, 2) || 'xxx' AS p_partkey, "
+            "p_name, p_brand, p_type, p_size, p_retailprice FROM part"
+        ),
+        "cut_character": (
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "substr(p_type, 1, 3) || substr(p_type, 5, 1) AS p_type_cut FROM part"
+        ),
+        "extract_regex_groups": (
+            r"SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            r"CASE WHEN regexp_matches(p_name, '(\w+) (\w+)') THEN regexp_extract(p_name, '(\w+) (\w+)', 1) END AS p_name_1, "
+            r"CASE WHEN regexp_matches(p_name, '(\w+) (\w+)') THEN regexp_extract(p_name, '(\w+) (\w+)', 2) END AS p_name_2 "
+            r"FROM part"
+        ),
+        "find_and_replace": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, "
+            "regexp_replace(c_mktsegment, 'BUILDING', 'BLD', 'g') AS c_mktsegment FROM customer"
+        ),
+        "fill_null_or_empty": (
+            "SELECT event_id, user_id, event_type, value, props, "
+            "CASE WHEN value > 500.0 THEN 0.0 ELSE value END AS v2 FROM events"
+        ),
+        "split_email": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
+            "c_name || '@example.com' AS email, c_name AS email_account, 'example.com' AS email_domain FROM customer"
+        ),
+        "split_url": (
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "'https://shop.example.com:8080/parts/' || p_partkey || '?size=' || p_size AS url, "
+            "'https' AS url_protocol, 'shop.example.com:8080' AS url_authority, "
+            "'shop.example.com' AS url_host, 8080 AS url_port, "
+            "'/parts/' || p_partkey AS url_path, 'size=' || p_size AS url_query, "
+            "'/parts/' || p_partkey || '?size=' || p_size AS url_filename FROM part"
+        ),
+        "split_to_rows": (
+            "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS p_name, "
+            "p_brand, p_type, p_size, p_retailprice FROM part"
+        ),
+        "split_to_columns": (
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "string_split(p_name, ' ')[1] AS p_name_1, string_split(p_name, ' ')[2] AS p_name_2 FROM part"
+        ),
+        "flatten": (
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "unnest(string_split(p_name, ' ')) AS words FROM part"
+        ),
+        "hash_sha256": (
+            "SELECT c_custkey, sha256(c_name) AS c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
+        ),
+        "encode_base64": (
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "to_base64(encode(p_name)) AS p_name_encode_base64 FROM part"
+        ),
+        "json_parse": (
+            "SELECT event_id, user_id, event_type, value, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS props_k FROM events"
+        ),
+        "json_path": (
+            "SELECT event_id, user_id, event_type, value, props, "
+            "json_extract_string(props, '$.k') AS k_val FROM events"
+        ),
+        "write_json_object": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
+            "to_json(struct_pack(c_custkey := c_custkey, c_name := c_name)) AS j FROM customer"
+        ),
+        "parse_simple_date": (
+            "SELECT event_id, user_id, event_type, value, props, date_trunc('second', ts) AS ds FROM events"
+        ),
+        "parse_timestamp": (
+            "SELECT event_id, user_id, event_type, value, props, "
+            "make_timestamp(epoch_ms(ts) * 1000) AS ems FROM events"
+        ),
+        "diff_date": (
+            "SELECT event_id, user_id, event_type, value, props, "
+            "epoch_ms(ts) - epoch_ms(TIMESTAMP '2020-01-01 00:00:00') AS diff_ms FROM events"
+        ),
+        "format_date": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, "
+            "strftime(o_orderdate, '%Y-%m') AS om FROM orders"
+        ),
+        "expression_el": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
+            "abs(c_acctbal) + (c_custkey % 7) AS bal2, "
+            "substr(c_mktsegment, 1, 3) AS seg3, "
+            "CASE WHEN c_acctbal > 5000.0 THEN 'big' ELSE 'small' END AS is_big FROM customer"
+        ),
+        "dq_checks": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
+            "c_acctbal BETWEEN 0.0 AND 10000.0 AS good_seg, length(c_mktsegment) AS seglen FROM customer"
+        ),
+        "send_to_error": "SELECT * FROM customer WHERE NOT (c_acctbal < 0.0)",
+        "table_lookup": (
+            "SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment, "
+            "n.n_name AS c_nationkey_n_name, n.n_regionkey AS c_nationkey_n_regionkey "
+            "FROM customer c LEFT JOIN nation n ON CAST(c.c_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR)"
+        ),
+        "catalog_lookup": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
+            "CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'auto' WHEN 'BUILDING' THEN 'bldg' "
+            "WHEN 'FURNITURE' THEN 'furn' WHEN 'MACHINERY' THEN 'mach' WHEN 'HOUSEHOLD' THEN 'home' END "
+            "AS c_mktsegment_segments_description FROM customer"
+        ),
+        # mask_shuffle: no oracle — seeded java.util.Random walk is not SQL-expressible
+    }

@@ -1,0 +1,78 @@
+"""Benchmark: headline recipes at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "rows_per_sec": ...}
+
+The headline load is the reference's published 13-directive cleansing
+recipe shape (BASELINE.md: ~63K records/s single-core on 18-column CSV);
+`cleanse_recipe` here is the same shape over lineitem-as-CSV, plus the
+fully-UDF-free variants and representative operator families.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "cleanse_recipe",
+    "mask_shuffle",       # pandas-UDF path
+    "expression_el",
+    "split_to_rows",
+    "json_parse",
+    "table_lookup",
+    "parse_simple_date",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from wrangler_spark import get_spark
+
+    spark = get_spark("wrangler_spark_bench")
+    qs = entry_mod.queries()
+
+    # warm the JVM/session with a trivial action so q1 isn't charged for startup
+    spark.range(1).count()
+
+    per_query: dict[str, float] = {}
+    total_rows = 0
+    t_all = time.perf_counter()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        total_rows += n
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = 0.1
+    if "sf" in SF_DIR:
+        try:
+            sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+        except ValueError:
+            pass
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "rows_out_total": total_rows,
+                "rows_per_sec": round(total_rows / total) if total > 0 else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 from wrangler_spark.context import CompileContext
 from wrangler_spark.directive import Arg, Directive
@@ -19,12 +20,12 @@ from wrangler_spark.parser.tokens import TokenType
 from wrangler_spark.registry import directive
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def _b32_encode(s: pd.Series) -> pd.Series:
     return s.map(lambda v: None if v is None else base64.b32encode(str(v).encode()).decode())
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def _b32_decode(s: pd.Series) -> pd.Series:
     def dec(v):
         if v is None:

@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 from wrangler_spark.context import CompileContext
 from wrangler_spark.directive import Arg, Directive
@@ -119,7 +120,7 @@ def _mask_shuffle_value(s: str) -> str:
     return "".join(out)
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def _mask_shuffle_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda v: None if v is None else _mask_shuffle_value(str(v)))
 

@@ -412,6 +412,7 @@ class ParseXmlToJson(Directive):
 
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
 
         def elem_to_obj(e):
             children = list(e)
@@ -436,7 +437,7 @@ class ParseXmlToJson(Directive):
                     obj[ch.tag] = val
             return obj
 
-        @pandas_udf("string")
+        @pandas_udf(StringType())
         def xml2json(s: pd.Series) -> pd.Series:
             def conv(v):
                 if v is None:
