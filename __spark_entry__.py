@@ -117,8 +117,65 @@ def _q_send_to_error(spark, sf_dir):
     return Pipeline.compile(recipe).apply(_t(spark, sf_dir, "customer"))
 
 
+def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from wrangler_spark.datapipe import dedup, similarity, text
+
+    def docs(spark, sf_dir):
+        return _t(spark, sf_dir, "documents")
+
+    def embs(spark, sf_dir):
+        return _t(spark, sf_dir, "embeddings")
+
+    return {
+        "dedup_exact": lambda s, d: dedup.exact_dedup(docs(s, d), "doc_id", "text"),
+        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(docs(s, d), "doc_id", "text", 0.5),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(docs(s, d), "doc_id", "text", 5, 0.6),
+        "dedup_simhash": lambda s, d: dedup.simhash(docs(s, d), "doc_id", "text", 32),
+        "dedup_embedding": lambda s, d: dedup.embedding_dup_pairs(embs(s, d), "vec_id", "embedding", 0.0),
+        "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
+            embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), "vec_id", "embedding", 10
+        ),
+        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
+            embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5
+        ),
+        "text_langid": lambda s, d: Pipeline.compile("langid :text").apply(docs(s, d)),
+        "text_quality": lambda s, d: Pipeline.compile("quality-score :text").apply(docs(s, d)),
+        "text_token_count": lambda s, d: Pipeline.compile("token-count :text").apply(docs(s, d)),
+        "text_fingerprint": lambda s, d: Pipeline.compile("fingerprint :text").apply(docs(s, d)),
+        "multimodal_features": _q_multimodal,
+    }
+
+
+def _q_multimodal(spark, sf_dir):
+    from wrangler_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_binary(docs, "text")
+    feats = multimodal.extract_features(with_payload, "payload", "features")
+    return feats.select("doc_id", "features.n_bytes", "features.crc32", "features.sha1_prefix")
+
+
+def _datapipe_oracles() -> dict[str, str]:
+    from wrangler_spark.datapipe import oracles as o
+
+    return {
+        "dedup_exact": o.dedup_exact_sql(),
+        "dedup_minhash_lsh": o.minhash_lsh_sql(0.5),
+        "dedup_ngram_jaccard": o.ngram_jaccard_sql(5, 0.6),
+        "dedup_simhash": o.simhash_sql(32),
+        "dedup_embedding": o.embedding_pairs_sql(0.0),
+        "ann_cosine_topk": o.cosine_topk_sql(10, 5),
+        "text_langid": o.langid_sql(),
+        "text_quality": o.quality_sql(),
+        "text_token_count": o.token_count_sql(),
+        "text_fingerprint": o.fingerprint_sql(),
+        # ann_ivf_topk, multimodal_features: rows-only (driver's weaker check)
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        **_datapipe_queries(),
         "cleanse_recipe": _q_cleanse,
         "uppercase": _recipe_q("customer", "uppercase :c_name"),
         "lowercase_trim": _recipe_q("customer", "lowercase :c_mktsegment\ntrim :c_name"),
@@ -189,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        **_datapipe_oracles(),
         "cleanse_recipe": _CLEANSE_ORACLE,
         "uppercase": "SELECT c_custkey, upper(c_name) AS c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
         "lowercase_trim": "SELECT c_custkey, trim(c_name) AS c_name, c_nationkey, c_acctbal, lower(c_mktsegment) AS c_mktsegment FROM customer",

@@ -1,0 +1,199 @@
+"""DuckDB oracle SQL for the datapipe operators.
+
+Generated from the same constants as the Spark implementations
+(constants.py), so hashes, coefficients and hyperplanes are identical and
+results compare value-for-value. Shared base hash:
+Spark  conv(substring(md5(s),1,7),16,10)  ==  DuckDB ('0x'||substr(md5(s),1,7))::BIGINT.
+"""
+
+from __future__ import annotations
+
+from wrangler_spark.datapipe.constants import (
+    EN_STOPWORDS,
+    HYPERPLANES,
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+)
+from wrangler_spark.datapipe.text import TOKEN_RE
+
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_H = "('0x' || substr(md5({s}), 1, 7))::BIGINT"
+
+
+def dedup_exact_sql(table: str = "documents") -> str:
+    return (
+        f"SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM "
+        f"(SELECT doc_id, md5({_NORM}) AS k FROM {table}) GROUP BY k"
+    )
+
+
+def _shingles_cte(table: str = "documents") -> str:
+    return f"""
+norm AS (SELECT doc_id AS id, {_NORM} AS t FROM {table}),
+wrd AS (SELECT id, string_split(t, ' ') AS w FROM norm),
+sh AS (
+  SELECT id,
+    CASE WHEN len(w) >= 3
+      THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])
+      ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM wrd
+)"""
+
+
+def minhash_lsh_sql(threshold: float = 0.5, table: str = "documents") -> str:
+    h = _H.format(s="s")
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MINHASH_P})) AS mh{j}"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, shingles, {b} AS band, ".format(b=b)
+        + " || '-' || ".join(f"CAST(mh{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS))
+        + " AS key FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_shingles_cte(table)},
+hsh AS (SELECT id, shingles, list_transform(shingles, s -> {h}) AS h FROM sh),
+sig AS (SELECT id, shingles, {sig_exprs} FROM hsh),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.shingles AS sa, r.shingles AS sb
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.id < r.id
+)
+SELECT id_a, id_b,
+  round(len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(list_concat(sa, sb)))::DOUBLE, 6) AS jaccard
+FROM cand
+WHERE round(len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(list_concat(sa, sb)))::DOUBLE, 6) >= {threshold}
+"""
+
+
+def ngram_jaccard_sql(n: int = 5, threshold: float = 0.6, table: str = "documents") -> str:
+    return f"""
+WITH norm AS (SELECT doc_id AS id, {_NORM} AS t FROM {table}),
+gr AS (
+  SELECT id,
+    CASE WHEN len(t) >= {n}
+      THEN list_distinct([substr(t, i, {n}) FOR i IN range(1, len(t) - {n - 1} + 1)])
+      ELSE [t] END AS grams
+  FROM norm
+),
+base AS (SELECT id, grams, len(grams) AS ng FROM gr),
+inv AS (SELECT id, ng, unnest(grams) AS g FROM base),
+shared AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS shared, any_value(l.ng) AS na, any_value(r.ng) AS nb
+  FROM inv l JOIN inv r ON l.g = r.g AND l.id < r.id
+  GROUP BY l.id, r.id
+)
+SELECT id_a, id_b, round(shared::DOUBLE / (na + nb - shared)::DOUBLE, 6) AS jaccard
+FROM shared WHERE round(shared::DOUBLE / (na + nb - shared)::DOUBLE, 6) >= {threshold}
+"""
+
+
+def simhash_sql(bits: int = 32, table: str = "documents") -> str:
+    h = _H.format(s="s")
+    terms = []
+    for b in range(bits):
+        pw = 1 << b
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x // {pw}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {pw} ELSE 0 END"
+        )
+    total = " + ".join(terms)
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM {table}),
+wrd AS (SELECT doc_id, list_distinct(string_split(t, ' ')) AS w FROM norm),
+hsh AS (SELECT doc_id, list_transform(w, s -> {h}) AS h FROM wrd)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM hsh
+"""
+
+
+_DOT = "list_sum([{a}[i] * {b}[i] FOR i IN range(1, 65)])"
+
+
+def _cos(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = f"sqrt(list_sum([x * x FOR x IN {a}]))"
+    nb = f"sqrt(list_sum([x * x FOR x IN {b}]))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def embedding_pairs_sql(threshold: float = 0.9, table: str = "embeddings") -> str:
+    plane_sig_parts = []
+    for plane in HYPERPLANES:
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        dot = _DOT.format(a="v", b=lit)
+        plane_sig_parts.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    sig = " || ".join(plane_sig_parts)
+    cos = _cos("l.v", "r.v")
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM {table}
+),
+sigs AS (SELECT id, v, {sig} AS sig FROM base)
+SELECT l.id AS id_a, r.id AS id_b, round({cos}, 6) AS cosine
+FROM sigs l JOIN sigs r ON l.sig = r.sig AND l.id < r.id
+WHERE round({cos}, 6) >= {threshold}
+"""
+
+
+def cosine_topk_sql(k: int = 10, n_queries: int = 5, table: str = "embeddings") -> str:
+    cos = _cos("q.qv", "c.v")
+    return f"""
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM {table}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, c.vec_id, round({cos}, 6) AS cosine
+  FROM c CROSS JOIN q WHERE c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+_SW_LIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+_WORDS = f"string_split({_NORM}, ' ')"
+_SW_RATIO = (
+    f"round(len(list_filter({_WORDS}, w -> list_contains({_SW_LIST}, w)))::DOUBLE"
+    f" / greatest(len({_WORDS}), 1)::DOUBLE, 6)"
+)
+
+
+def langid_sql(table: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, text, lang, source, n_chars, "
+        f"CASE WHEN {_SW_RATIO} >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred FROM {table}"
+    )
+
+
+def quality_sql(table: str = "documents") -> str:
+    n_chars = "length(text)::DOUBLE"
+    n_words = f"len({_WORDS})::DOUBLE"
+    mean_wlen = f"round({n_chars} / greatest({n_words}, 1.0), 6)"
+    alpha = f"round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest({n_chars}, 1.0), 6)"
+    len_score = f"least({n_chars} / 500.0, 1.0)"
+    sw_score = f"least({_SW_RATIO} * 5.0, 1.0)"
+    wlen_score = f"CASE WHEN {mean_wlen} >= 3.0 AND {mean_wlen} <= 10.0 THEN 1.0 ELSE 0.5 END"
+    score = f"round(0.3 * {len_score} + 0.3 * {sw_score} + 0.2 * {alpha} + 0.2 * {wlen_score}, 6)"
+    return f"SELECT doc_id, text, lang, source, n_chars, {score} AS quality FROM {table}"
+
+
+def token_count_sql(table: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, text, lang, source, n_chars, "
+        f"len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens_ws, "
+        f"len(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT AS n_tokens FROM {table}"
+    )
+
+
+def fingerprint_sql(table: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, text, lang, source, n_chars, "
+        f"md5(array_to_string(list_sort(list_distinct({_WORDS})), ' ')) AS fingerprint FROM {table}"
+    )

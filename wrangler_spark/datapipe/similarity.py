@@ -1,0 +1,108 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Brute-force cosine top-k is the correctness baseline (broadcast the query
+set — the corpus side never shuffles). The IVF variant assigns corpus
+vectors to the nearest of C deterministic centroids and probes only the
+query's centroid bucket — at 100 TB this is the difference between a full
+scan per query and reading one bucket partition (write the corpus
+partitioned by centroid_id)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (broadcast the queries).
+    Returns (query_id, vec_id, cosine, rank); self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine). Centroids
+    are broadcast; assignment is a narrow map — no shuffle. Returns
+    (vec_id, centroid_id)."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("zv")
+    )
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "centroid_id", F.round(_cosine(F.col("cv"), F.col("zv")), 6).alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: centroids = the first n_centroids corpus vectors by id
+    (deterministic stand-in for k-means — swap in trained centroids in
+    production); probe only the query's bucket."""
+    centroids = corpus.orderBy(id_col).limit(n_centroids)
+    assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    corpus_b = corpus.join(assign, on=id_col)
+    q_assign = ivf_assign(queries, centroids, id_col, vec_col).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).join(q_assign, on="query_id")
+    c = corpus_b.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"), "centroid_id"
+    )
+    joined = c.join(F.broadcast(q), on="centroid_id").filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

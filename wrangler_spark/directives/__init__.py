@@ -8,6 +8,7 @@ equivalent of the reference's classpath scan
 from wrangler_spark.directives import (  # noqa: F401
     aggregates,
     columns,
+    datapipe_ops,
     datetime_ops,
     encoding,
     lookups,
