@@ -1,0 +1,100 @@
+"""Advanced directive tests — binary formats use the reference's own
+golden test resources (titanic.xlsx, cdap-log.avro) as INPUT DATA."""
+
+import pytest
+
+from wrangler_spark import Pipeline
+from wrangler_spark.directives.stemmer import porter_stem
+from wrangler_spark.errors import DirectiveApplyError
+
+XLSX = "/root/reference/wrangler-core/src/test/resources/titanic.xlsx"
+AVRO = "/root/reference/wrangler-core/src/test/resources/cdap-log.avro"
+
+
+def test_porter_stem_golden():
+    # canonical Porter examples from the published algorithm description
+    cases = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+        "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop", "falling": "fall",
+        "happy": "happi", "relational": "relat", "conditional": "condit",
+        "vietnamization": "vietnam", "predication": "predic",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+    }
+    for w, want in cases.items():
+        assert porter_stem(w) == want, f"{w}: got {porter_stem(w)}, want {want}"
+
+
+def test_stemming_directive(spark):
+    df = spark.createDataFrame([("running quickly to the stores",)], ["text"])
+    out = Pipeline.compile("stemming :text").apply(df).collect()[0]
+    assert out["text_porter"] == ["run", "quickli", "to", "the", "store"]
+
+
+@pytest.fixture(scope="module")
+def xlsx_df(spark):
+    payload = open(XLSX, "rb").read()
+    return spark.createDataFrame([(payload,)], "body binary")
+
+
+def test_parse_as_excel(xlsx_df):
+    out = Pipeline.compile("parse-as-excel :body '0' true").apply(xlsx_df)
+    rows = out.limit(3).collect()
+    assert "PassengerId" in out.columns and "Name" in out.columns
+    assert rows[0]["fwd"] == 0
+    assert rows[0]["PassengerId"] == "1"
+
+
+def test_parse_as_excel_letters(xlsx_df):
+    out = Pipeline.compile("parse-as-excel :body").apply(xlsx_df)
+    assert out.columns[:3] == ["fwd", "A", "B"]
+    assert out.count() == 892  # 891 data + header row
+
+
+def test_parse_as_avro_file(spark):
+    payload = open(AVRO, "rb").read()
+    df = spark.createDataFrame([(payload,)], "body binary")
+    out = Pipeline.compile("parse-as-avro-file :body").apply(df)
+    assert out.count() == 1689
+    assert {"timestamp", "level", "message"} <= set(out.columns)
+    assert dict(out.dtypes)["timestamp"] == "bigint"
+
+
+def test_parse_as_hl7(spark):
+    msg = "MSH|^~\\&|HIS|RIH|EKG|EKG|199904140038||ADT^A01|12345|P|2.2\rPID|0001|00009874|||Smith^John"
+    df = spark.createDataFrame([(msg,)], ["body"])
+    out = Pipeline.compile("parse-as-hl7 :body").apply(df).collect()[0]
+    import json
+
+    doc = json.loads(out["body_hl7"])
+    assert doc["PID"][0]["1"] == "0001"
+    assert doc["PID"][0]["5"] == ["Smith", "John"]
+    assert doc["MSH"][0]["8"] == ["ADT", "A01"]
+
+
+def test_validate_standard(spark):
+    from wrangler_spark.directives.advanced import register_standard
+
+    register_standard("person", {"type": "object", "required": ["name"], "properties": {"name": {"type": "string"}}})
+    df = spark.createDataFrame([('{"name": "a"}',), ('{"nope": 1}',), ("not json",)], ["doc"])
+    p = Pipeline.compile("validate-standard :doc person")
+    res = p.transform(df)
+    assert res.df.count() == 1
+    assert res.errors().count() == 2
+
+
+def test_data_model_map_column(spark):
+    df = spark.createDataFrame([("12",)], ["raw_age"])
+    out = Pipeline.compile("data-model-map-column :raw_age 'person_age' int").apply(df)
+    assert out.columns == ["person_age"]
+    assert out.collect()[0]["person_age"] == 12
+
+
+def test_avro_stub_raises(spark):
+    df = spark.createDataFrame([("x",)], ["body"])
+    with pytest.raises(DirectiveApplyError, match="schema-registry"):
+        Pipeline.compile("parse-as-avro :body someid").apply(df)

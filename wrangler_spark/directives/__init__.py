@@ -6,6 +6,7 @@ equivalent of the reference's classpath scan
 """
 
 from wrangler_spark.directives import (  # noqa: F401
+    advanced,
     aggregates,
     columns,
     datapipe_ops,

@@ -1,0 +1,396 @@
+"""Remaining reference-parity directives: binary formats (Excel, Avro),
+HL7, NLP stemming, HTTP enrichment, schema validation, data-model mapping.
+
+Format readers are pure-stdlib (wrangler_spark.formats) because this
+container ships no POI/avro/HAPI; directives that genuinely need an
+external runtime (schema-registry Avro, protobuf descriptors) raise a
+clear DirectiveApplyError instead of silently degrading.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType, StringType
+
+from wrangler_spark.context import CompileContext
+from wrangler_spark.directive import Arg, Directive
+from wrangler_spark.errors import DirectiveApplyError
+from wrangler_spark.parser.tokens import TokenType
+from wrangler_spark.registry import directive, registry
+
+
+@directive
+class Stemming(Directive):
+    """stemming :col — Porter-stem tokens of a string (or array) column;
+    adds col_porter with the stemmed token list
+    (ref: nlp/Stemming.java:75 + nlp/internal/PorterStemmer.java)."""
+
+    name = "stemming"
+    usage = [Arg("column", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.directives.stemmer import porter_stem
+
+        col = ctx.resolve(df, self.args["column"])
+
+        @pandas_udf(T.ArrayType(StringType()))
+        def stem_tokens(s: pd.Series) -> pd.Series:
+            def run(v):
+                if v is None:
+                    return None
+                toks = v if isinstance(v, (list, tuple)) else str(v).split()
+                return [porter_stem(t) for t in toks]
+
+            return s.map(run)
+
+        dt = dict(df.dtypes)[col]
+        src = F.col(col) if dt.startswith("array") else F.col(col).cast("string")
+        return df.withColumn(f"{col}_porter", stem_tokens(src))
+
+
+@directive
+class ParseAsExcel(Directive):
+    """parse-as-excel :col [sheet] [first-row-as-header] — one output row
+    per sheet row: fwd (row number) + cell columns (A,B,C... or header
+    names) (ref: parser/ParseExcel.java:100-260). Pure-stdlib XLSX reader;
+    output arity fixed from a compile-time sample payload."""
+
+    name = "parse-as-excel"
+    usage = [
+        Arg("column", TokenType.COLUMN),
+        Arg("sheet", TokenType.TEXT, optional=True, default="0"),
+        Arg("header", TokenType.BOOL, optional=True, default=False),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.formats.xlsx import read_sheet
+
+        col = ctx.resolve(df, self.args["column"])
+        sheet = self.args["sheet"]
+        header = bool(self.args["header"])
+
+        first = df.select(col).filter(F.col(col).isNotNull()).limit(1).collect()
+        if not first:
+            raise DirectiveApplyError(f"no non-null payload in '{col}' to size the Excel schema")
+        sample_rows = read_sheet(bytes(first[0][0]), sheet)
+        letters = sorted({k for r in sample_rows for k in r}, key=lambda s: (len(s), s))
+        if header and sample_rows:
+            names = [sample_rows[0].get(letter, letter) for letter in letters]
+        else:
+            names = letters
+
+        out_schema = T.StructType(
+            [T.StructField("fwd", T.LongType())]
+            + [T.StructField(n, StringType()) for n in names]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out: list[dict] = []
+                for payload in pdf[col]:
+                    if payload is None:
+                        continue
+                    rows = read_sheet(bytes(payload), sheet)
+                    start = 1 if header else 0
+                    for i, r in enumerate(rows[start:] if header else rows):
+                        rec = {"fwd": i}
+                        for letter, name in zip(letters, names):
+                            rec[name] = r.get(letter)
+                        out.append(rec)
+                yield pd.DataFrame(out, columns=["fwd", *names])
+
+        return df.select(col).mapInPandas(run, out_schema)
+
+
+_AVRO_SPARK_TYPES = {
+    "int": T.IntegerType(), "long": T.LongType(), "float": T.FloatType(),
+    "double": T.DoubleType(), "boolean": T.BooleanType(), "string": StringType(),
+    "bytes": T.BinaryType(), "null": StringType(),
+}
+
+
+def _avro_field_type(ft) -> T.DataType:
+    if isinstance(ft, list):  # union — use first non-null branch
+        branches = [b for b in ft if b != "null"]
+        return _avro_field_type(branches[0]) if branches else StringType()
+    if isinstance(ft, dict):
+        t = ft.get("type")
+        if t in ("record", "array", "map", "enum"):
+            return StringType()  # nested → JSON string (composes with parse-as-json)
+        return _avro_field_type(t)
+    return _AVRO_SPARK_TYPES.get(ft, StringType())
+
+
+@directive
+class ParseAsAvroFile(Directive):
+    """parse-as-avro-file :col — decode Avro object-container payloads;
+    one row per record, columns = top-level fields
+    (ref: parser/ParseAvroFile.java:79-151). Pure-stdlib OCF reader
+    (null/deflate codecs)."""
+
+    name = "parse-as-avro-file"
+    usage = [Arg("column", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.formats.avro_ocf import read_ocf
+
+        col = ctx.resolve(df, self.args["column"])
+        first = df.select(col).filter(F.col(col).isNotNull()).limit(1).collect()
+        if not first:
+            raise DirectiveApplyError(f"no non-null payload in '{col}' to read the Avro schema")
+        schema, _ = read_ocf(bytes(first[0][0]))
+        if schema.get("type") != "record":
+            raise DirectiveApplyError("parse-as-avro-file expects a record-typed OCF")
+        fields = [(f["name"], _avro_field_type(f["type"])) for f in schema["fields"]]
+        out_schema = T.StructType([T.StructField(n, t) for n, t in fields])
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for payload in pdf[col]:
+                    if payload is None:
+                        continue
+                    _, records = read_ocf(bytes(payload))
+                    for rec in records:
+                        row = {}
+                        for name, t in fields:
+                            v = rec.get(name)
+                            if isinstance(v, (dict, list)):
+                                v = json.dumps(v)
+                            row[name] = v
+                        out.append(row)
+                yield pd.DataFrame(out, columns=[n for n, _ in fields])
+
+        return df.select(col).mapInPandas(run, out_schema)
+
+
+@directive
+class ParseAsAvro(Directive):
+    """parse-as-avro :col schema-id type [version] — schema-registry-backed
+    decode (ref: parser/ParseAvro.java:110). Requires a registry client and
+    spark-avro runtime, neither present here — explicit error, not a
+    silent stub."""
+
+    name = "parse-as-avro"
+    usage = [
+        Arg("column", TokenType.COLUMN),
+        Arg("schema_id", TokenType.IDENTIFIER),
+        Arg("type", TokenType.IDENTIFIER, optional=True),
+        Arg("version", TokenType.NUMERIC, optional=True),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        raise DirectiveApplyError(
+            "parse-as-avro needs a schema-registry connection and the spark-avro "
+            "runtime (from_avro); neither is available in this environment — "
+            "use parse-as-avro-file for object-container payloads"
+        )
+
+
+@directive
+class ParseAsProtobuf(Directive):
+    """parse-as-protobuf :col schema-id message [version]
+    (ref: parser/ParseProtobuf.java:106). Needs protobuf descriptors +
+    spark-protobuf (from_protobuf), not shipped here."""
+
+    name = "parse-as-protobuf"
+    usage = [
+        Arg("column", TokenType.COLUMN),
+        Arg("schema_id", TokenType.IDENTIFIER),
+        Arg("message", TokenType.IDENTIFIER, optional=True),
+        Arg("version", TokenType.NUMERIC, optional=True),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        raise DirectiveApplyError(
+            "parse-as-protobuf needs a descriptor registry and the spark-protobuf "
+            "runtime (from_protobuf); neither is available in this environment"
+        )
+
+
+@directive
+class ParseAsHl7(Directive):
+    """parse-as-hl7 :col [depth] — HL7 v2 pipe-delimited parse; adds
+    col_hl7 as a JSON document {segment: [ {field#: value} ]} which
+    composes with parse-as-json / json-path
+    (ref: parser/HL7Parser.java:111 — HAPI-based; the wire format itself
+    is the public HL7 v2 encoding: segments CR, fields |, components ^)."""
+
+    name = "parse-as-hl7"
+    usage = [Arg("column", TokenType.COLUMN), Arg("depth", TokenType.NUMERIC, optional=True, default=2)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        col = ctx.resolve(df, self.args["column"])
+
+        @pandas_udf(StringType())
+        def hl7_to_json(s: pd.Series) -> pd.Series:
+            def parse(v):
+                if v is None:
+                    return None
+                segments: dict[str, list] = {}
+                for seg in str(v).replace("\n", "\r").split("\r"):
+                    seg = seg.strip()
+                    if not seg:
+                        continue
+                    fields = seg.split("|")
+                    name = fields[0]
+                    rec: dict[str, object] = {}
+                    for i, fv in enumerate(fields[1:], start=1):
+                        if fv == "":
+                            continue
+                        if "^" in fv:
+                            rec[str(i)] = fv.split("^")
+                        else:
+                            rec[str(i)] = fv
+                    segments.setdefault(name, []).append(rec)
+                return json.dumps(segments)
+
+            return s.map(parse)
+
+        return df.withColumn(f"{col}_hl7", hl7_to_json(F.col(col).cast("string")))
+
+
+@directive
+class InvokeHttp(Directive):
+    """invoke-http url :c1[,:c2...] [header=value;...] — POST the selected
+    columns as JSON per row; adds http_status (int) and http_response
+    (body string) (ref: external/InvokeHttp.java:126-198; the reference
+    merges the response map — here the JSON body lands in one column and
+    composes with parse-as-json, keeping the schema static)."""
+
+    name = "invoke-http"
+    usage = [
+        Arg("url", TokenType.TEXT),
+        Arg("columns", TokenType.COLUMN_LIST),
+        Arg("headers", TokenType.TEXT, optional=True),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        cols = ctx.resolve_all(df, self.args["columns"])
+        url = self.args["url"]
+        hdr_spec = self.args.value("headers") or ""
+        headers = {}
+        for item in hdr_spec.split(";"):
+            if "=" in item:
+                k, v = item.split("=", 1)
+                headers[k.strip()] = v.strip()
+
+        resp_schema = T.StructType(
+            [T.StructField("http_status", T.IntegerType()), T.StructField("http_response", StringType())]
+        )
+
+        @pandas_udf(resp_schema)
+        def call(payload: pd.Series) -> pd.DataFrame:
+            import requests
+
+            session = requests.Session()
+            statuses, bodies = [], []
+            for p in payload:
+                try:
+                    r = session.post(url, data=p, headers={"Content-Type": "application/json", **headers}, timeout=10)
+                    statuses.append(r.status_code)
+                    bodies.append(r.text)
+                except Exception as e:  # network errors land in the row, not the job
+                    statuses.append(-1)
+                    bodies.append(str(e))
+            return pd.DataFrame({"http_status": statuses, "http_response": bodies})
+
+        payload = F.to_json(F.struct(*[F.col(c) for c in cols]))
+        out = df.withColumn("__http", call(payload))
+        return (
+            out.withColumn("http_status", F.col("__http.http_status"))
+            .withColumn("http_response", F.col("__http.http_response"))
+            .drop("__http")
+        )
+
+
+@directive
+class DataModelMapColumn(Directive):
+    """data-model-map-column :column 'target-field' [type] — rename (and
+    optionally retype) a column to a glossary/data-model field
+    (ref: datamodel/DataModelMapColumn.java:152 — the reference resolves
+    the target from a data-model registry; here the target is given
+    directly)."""
+
+    name = "data-model-map-column"
+    usage = [
+        Arg("column", TokenType.COLUMN),
+        Arg("target", TokenType.TEXT),
+        Arg("type", TokenType.IDENTIFIER, optional=True),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        col = ctx.resolve(df, self.args["column"])
+        target = self.args["target"]
+        out = df.withColumnRenamed(col, target)
+        t = self.args.value("type")
+        if t:
+            from wrangler_spark.directives.columns import SetType
+
+            spark_t = SetType.TYPES.get(str(t).lower())
+            if spark_t is None:
+                raise DirectiveApplyError(f"unknown type '{t}'")
+            out = out.withColumn(target, F.col(target).try_cast(spark_t))
+        return out
+
+
+# JSON-schema registry for validate-standard (the reference bundles
+# HL7-FHIR-R4 schemas as resources; register any draft-7 schema here).
+_STANDARDS: dict[str, dict] = {}
+
+
+def register_standard(name: str, schema: dict) -> None:
+    _STANDARDS[name.lower()] = schema
+
+
+@directive
+class ValidateStandard(Directive):
+    """validate-standard :col <standard> — JSON-schema conformance; rows
+    failing validation go to the error channel
+    (ref: validation/ValidateStandard.java:166-209)."""
+
+    name = "validate-standard"
+    usage = [Arg("column", TokenType.COLUMN), Arg("standard", TokenType.IDENTIFIER)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        col = ctx.resolve(df, self.args["column"])
+        std = str(self.args["standard"]).lower()
+        schema = _STANDARDS.get(std)
+        if schema is None:
+            raise DirectiveApplyError(
+                f"standard '{std}' not registered; call register_standard(name, json_schema)"
+            )
+        schema_json = json.dumps(schema)
+
+        @pandas_udf(BooleanType())
+        def invalid(s: pd.Series) -> pd.Series:
+            import jsonschema
+
+            sch = json.loads(schema_json)
+            validator = jsonschema.Draft7Validator(sch)
+
+            def bad(v):
+                if v is None:
+                    return True
+                try:
+                    doc = json.loads(v) if isinstance(v, str) else v
+                    return not validator.is_valid(doc)
+                except Exception:
+                    return True
+
+            return s.map(bad)
+
+        return ctx.route_errors(
+            df, invalid(F.col(col)), self.name, f"failed {std} schema validation"
+        )
+
+
+registry.alias("indexsplit", "index-split")

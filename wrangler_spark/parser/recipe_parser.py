@@ -80,6 +80,18 @@ def _split_statements(text: str) -> list[tuple[str, int]]:
     return statements
 
 
+def split_statements(text: str) -> list[tuple[str, int]]:
+    """Public statement splitter (used by the V1-migration fallback)."""
+    return _split_statements(text)
+
+
+def parse_statement(stmt: str, line_no: int = 1) -> DirectiveCall:
+    tokens = tokenize_statement(stmt, line_no)
+    if not tokens or tokens[0].type is not TokenType.DIRECTIVE_NAME:
+        raise RecipeSyntaxError("statement must start with a directive name", line_no, stmt)
+    return DirectiveCall(tokens[0].value, tokens[1:], stmt, line_no)
+
+
 def parse_recipe(text: str) -> ParsedRecipe:
     calls: list[DirectiveCall] = []
     pragmas: dict[str, list[str]] = {}

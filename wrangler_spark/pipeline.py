@@ -59,21 +59,62 @@ class Pipeline:
         self.pragmas = pragmas or {}
 
     @classmethod
-    def compile(cls, recipe: str | list[str], registry: Registry | None = None) -> "Pipeline":
+    def compile(
+        cls,
+        recipe: str | list[str],
+        registry: Registry | None = None,
+        precondition: str | None = None,
+    ) -> "Pipeline":
+        """Parse + bind a recipe. V1 statements are auto-migrated to V2 on
+        bind failure (parity: the reference always runs MigrateToV2 first,
+        ``parser/MigrateToV2.java:68``). ``precondition`` is a JEXL filter
+        applied before the recipe (``wrangler-transform/.../Precondition.java``:
+        record is SKIPPED when the expression is true)."""
+        from wrangler_spark.errors import DirectiveParseError, RecipeSyntaxError
+        from wrangler_spark.parser.migrate import migrate_statement
+        from wrangler_spark.parser.recipe_parser import parse_statement, split_statements
+
         load_builtins()
         reg = registry or default_registry
         if isinstance(recipe, (list, tuple)):
             recipe = "\n".join(recipe)
-        parsed = parse_recipe(recipe)
+
         bound: list[Directive] = []
-        for call in parsed.calls:
-            dcls = reg.get(call.name)
-            args = bind_arguments(call.name, dcls.usage, call.args)
-            bound.append(dcls(args, call))
-        return cls(bound, parsed.pragmas)
+        pragmas: dict[str, list[str]] = {}
+        for stmt, line_no in split_statements(recipe):
+            if stmt.startswith("#pragma"):
+                parts = stmt[len("#pragma"):].strip().split(None, 1)
+                if parts:
+                    vals = [v.strip() for v in (parts[1].split(",") if len(parts) > 1 else [])]
+                    pragmas.setdefault(parts[0], []).extend(v for v in vals if v)
+                continue
+            if stmt.startswith("#"):
+                continue
+            try:
+                call = parse_statement(stmt, line_no)
+                dcls = reg.get(call.name)
+                args = bind_arguments(call.name, dcls.usage, call.args)
+                bound.append(dcls(args, call))
+            except (DirectiveParseError, RecipeSyntaxError):
+                migrated = migrate_statement(stmt)
+                if migrated is None:
+                    raise
+                mcall = parse_statement(migrated, line_no)
+                dcls = reg.get(mcall.name)
+                args = bind_arguments(mcall.name, dcls.usage, mcall.args)
+                bound.append(dcls(args, mcall))
+        p = cls(bound, pragmas)
+        p.precondition = precondition
+        return p
+
+    precondition: str | None = None
 
     def transform(self, df: DataFrame, ctx: CompileContext | None = None) -> PipelineResult:
         ctx = ctx or CompileContext()
+        if self.precondition:
+            from wrangler_spark.expression import compile_condition
+
+            df = df.filter(~compile_condition(self.precondition, df))
         for d in self.directives:
             try:
                 df = d.apply(ctx, df)
