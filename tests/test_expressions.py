@@ -1,0 +1,161 @@
+"""Expression-language golden tests, mirroring the reference's
+functions/*Test.java style: evaluate exp:{...} via set-column on a
+one-row frame and assert exact values."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from wrangler_spark import Pipeline
+from wrangler_spark.errors import ExpressionError
+
+
+@pytest.fixture(scope="module")
+def one(spark):
+    return spark.createDataFrame(
+        [("hello world", 7, -3.5, None, "2024-03-15 10:30:45")],
+        "s string, i int, d double, n string, ts_str string",
+    )
+
+
+def ev(one, expr):
+    out = Pipeline.compile(f"set-column :res exp:{{ {expr} }}").apply(one)
+    return out.collect()[0]["res"]
+
+
+# --- operators --------------------------------------------------------------
+
+def test_arithmetic(one):
+    assert ev(one, "1 + 2 * 3") == 7
+    assert ev(one, "(1 + 2) * 3") == 9
+    assert ev(one, "7 / 2") == 3            # int/int: Java integral division
+    assert ev(one, "7.0 / 2") == 3.5
+    assert ev(one, "i % 4") == 3
+    assert ev(one, "-d") == 3.5
+
+
+def test_string_concat_plus(one):
+    assert ev(one, "s + '!'") == "hello world!"
+    assert ev(one, "'n=' + i") == "n=7"
+
+
+def test_comparisons_and_logic(one):
+    assert ev(one, "i > 5 && d < 0") is True
+    assert ev(one, "i < 5 || d < 0") is True
+    assert ev(one, "!(i == 7)") is False
+    assert ev(one, "i >= 7 ? 'big' : 'small'") == "big"
+
+
+def test_match_operators(one):
+    assert ev(one, "s =~ 'hello.*'") is True
+    assert ev(one, "s =~ 'hello'") is False      # full-anchored like String.matches
+    assert ev(one, "s !~ 'xyz.*'") is True
+    assert ev(one, "s =^ 'hello'") is True
+    assert ev(one, "s =$ 'world'") is True
+
+
+def test_null_semantics(one):
+    assert ev(one, "n") is None
+    assert ev(one, "missing_column") is None     # EL null-fills unbound vars
+    assert ev(one, "IsNull(n)") is True
+    assert ev(one, "IsNotNull(s)") is True
+    assert ev(one, "NullToValue(n, 'x')") == "x"
+    assert ev(one, "NullToEmpty(n)") == ""
+    assert ev(one, "n ?: 'fallback'") == "fallback"
+
+
+# --- namespaces -------------------------------------------------------------
+
+def test_global_fns(one):
+    assert ev(one, "toDouble('3.25')") == 3.25
+    assert ev(one, "toInteger('42')") == 42
+    assert ev(one, "concat(s, '!')") == "hello world!"
+    assert ev(one, "concat('a', '-', 'b')") == "a-b"
+    assert ev(one, "coalesce(n, s)") == "hello world"
+    assert ev(one, "format('%03d', i)") == "007"
+    assert ev(one, "padAtStart('7', 3, '0')") == "007"
+    assert ev(one, "repeat('ab', 3)") == "ababab"
+    assert ev(one, "unquote('\"q\"')") == "q"
+
+
+def test_math_fns(one):
+    assert ev(one, "math:abs(d)") == 3.5
+    assert ev(one, "math:ceil(d)") == -3.0
+    assert ev(one, "math:floor(3.7)") == 3
+    assert ev(one, "math:pow(2.0, 10.0)") == 1024.0
+    assert ev(one, "math:max(i, 10)") == 10
+    assert ev(one, "math:sqrt(16.0)") == 4.0
+    assert ev(one, "math:round(3.5)") == 4
+
+
+def test_string_fns(one):
+    assert ev(one, "string:substring(s, 6)") == "world"
+    assert ev(one, "string:substring(s, 0, 5)") == "hello"
+    assert ev(one, "string:substring(s, -5)") == "world"       # commons negative index
+    assert ev(one, "string:upperCase(s)") == "HELLO WORLD"
+    assert ev(one, "string:capitalize(s)") == "Hello world"
+    assert ev(one, "string:reverse('abc')") == "cba"
+    assert ev(one, "string:isEmpty('')") is True
+    assert ev(one, "string:left(s, 5)") == "hello"
+    assert ev(one, "string:right(s, 5)") == "world"
+    assert ev(one, "string:contains(s, 'wor')") is True
+    assert ev(one, "string:indexOf(s, 'world')") == 6
+    assert ev(one, "string:replace(s, 'world', 'there')") == "hello there"
+    assert ev(one, "string:countMatches('abcabc', 'bc')") == 2
+    assert ev(one, "string:substringAfter(s, 'hello ')") == "world"
+    assert ev(one, "string:substringBefore(s, ' world')") == "hello"
+    assert ev(one, "string:swapCase('aBc')") == "AbC"
+    assert ev(one, "string:getLevenshteinDistance('kitten', 'sitting')") == 3
+
+
+def test_date_fns(one):
+    assert ev(one, "date:YEAR(toDate(ts_str))".replace("toDate(ts_str)", "datetime:GetDateTime(ts_str)")) == 2024
+    assert ev(one, "date:MONTH(datetime:GetDateTime(ts_str))") == 3
+    assert ev(one, "date:DAY_OF_WEEK(datetime:GetDateTime(ts_str))") == 6  # Friday
+    assert ev(one, "date:SECONDS_TO_MINUTES(3600)") == 60
+
+
+def test_dq_fns(one):
+    assert ev(one, "dq:isEmail('a@b.com')") is True
+    assert ev(one, "dq:isEmail('nope')") is False
+    assert ev(one, "dq:isIPv4('192.168.0.1')") is True
+    assert ev(one, "dq:isIPv4('999.1.1.1')") is False
+    assert ev(one, "dq:isUrl('https://x.org/a')") is True
+    assert ev(one, "dq:strlen(s)") == 11
+    assert ev(one, "dq:inrange(i, 0, 10)") is True
+    assert ev(one, "dq:isNumber('3.14')") is True
+    # Luhn: a valid Visa test number vs an invalid one
+    assert ev(one, "dq:isCreditCard('4111111111111111')") is True
+    assert ev(one, "dq:isCreditCard('4111111111111112')") is False
+    assert ev(one, "dq:isISBN10('0306406152')") is True
+    assert ev(one, "dq:isISBN13('9780306406157')") is True
+
+
+def test_json_and_logical(one):
+    assert ev(one, "json:select('{\"a\": {\"b\": 5}}', '$.a.b')") == "5"
+    assert ev(one, "json:ArrayLength('[1,2,3]')") == 3
+    assert ev(one, "json:IsObject('{\"x\":1}')") is True
+    assert ev(one, "logical:BitAnd(12, 10)") == 8
+    assert ev(one, "logical:BitOr(12, 10)") == 14
+    assert ev(one, "logical:BitXor(12, 10)") == 6
+    assert ev(one, "logical:Not(0)") == 1
+
+
+def test_number_fns(one):
+    assert ev(one, "number:AsDouble(i)") == 7.0
+    assert ev(one, "number:Mantissa(3.75)") == 0.75
+
+
+def test_unknown_function_raises(one):
+    with pytest.raises(ExpressionError, match="unknown EL function"):
+        ev(one, "string:noSuchFn(s)")
+    with pytest.raises(ExpressionError, match="unknown EL namespace"):
+        ev(one, "nope:fn(s)")
+
+
+def test_field_and_index_access(spark):
+    df = spark.createDataFrame(
+        [(("a", 5), [10, 20, 30])], "st struct<x: string, y: int>, arr array<int>"
+    )
+    p = Pipeline.compile("set-column :r1 exp:{ st.y + arr[1] }")
+    assert p.apply(df).collect()[0]["r1"] == 25

@@ -164,7 +164,7 @@ class _Parser:
             suffix = lit[-1] if lit[-1] in "lLdDfF" else ""
             if suffix:
                 lit = lit[:-1]
-            if "." in lit or "e" in lit or "E" in lit or suffix in "dDfF":
+            if "." in lit or "e" in lit or "E" in lit or (suffix and suffix in "dDfF"):
                 return ("num", float(lit))
             return ("num", int(lit))
         if t.kind == "str":
