@@ -1,0 +1,88 @@
+"""Structured Streaming: same compiled recipe over readStream, windowed
+aggregation, streaming dedup."""
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from wrangler_spark import Pipeline
+from wrangler_spark.streaming import run_to_memory, streaming_dedup, transform_stream, windowed_agg
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    df = spark.createDataFrame(
+        [(1, "alice,30"), (2, "bob,25"), (3, "carol,35"), (3, "carol,35")],
+        ["id", "body"],
+    )
+    df.write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_recipe_on_stream(spark, stream_dir):
+    static = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    p = Pipeline.compile(
+        "parse-as-csv :body ',' false\ndrop :body\nset-headers :rid,:name,:age\nset-type :age int\nuppercase :name"
+    )
+    result = transform_stream(p, stream, sample_df=static)
+    q = run_to_memory(result.df, "recipe_out")
+    rows = spark.sql("SELECT * FROM recipe_out ORDER BY rid, name").collect()
+    q.stop()
+    assert len(rows) == 4
+    assert rows[0]["name"] == "ALICE" and rows[0]["age"] == 30
+
+
+def test_recipe_on_stream_requires_sample(spark, stream_dir):
+    static = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    p = Pipeline.compile("parse-as-csv :body ',' false")
+    from wrangler_spark.errors import DirectiveApplyError
+
+    with pytest.raises(DirectiveApplyError, match="streaming"):
+        transform_stream(p, stream)
+
+
+def test_streaming_dedup(spark, stream_dir):
+    static = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    q = run_to_memory(streaming_dedup(stream, ["id", "body"]), "dedup_out")
+    n = spark.sql("SELECT count(*) c FROM dedup_out").collect()[0]["c"]
+    q.stop()
+    assert n == 3  # the duplicate (3, carol) row collapsed
+
+
+def test_windowed_agg(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ts_src"))
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "ts_s", "v"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    df.write.mode("overwrite").parquet(d)
+    static = spark.read.parquet(d)
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    agg = windowed_agg(
+        stream, "ts", "5 minutes",
+        {"n": F.count("*"), "total": F.sum("v")},
+        watermark="1 minute",
+    )
+    q = run_to_memory(agg, "win_out", output_mode="complete")
+    out = {r["window_start"].minute: (r["n"], r["total"]) for r in spark.sql("SELECT * FROM win_out").collect()}
+    q.stop()
+    assert out[0] == (5, 10.0)   # minutes 0-4
+    assert out[5] == (5, 35.0)   # minutes 5-9
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_error_channel_on_stream(spark, stream_dir):
+    static = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    p = Pipeline.compile("send-to-error exp:{ id > 2 } 'big id'")
+    result = transform_stream(p, stream, sample_df=static)
+    q1 = run_to_memory(result.df, "clean_out")
+    q1.stop()
+    assert spark.sql("SELECT count(*) c FROM clean_out").collect()[0]["c"] == 2

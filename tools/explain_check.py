@@ -1,0 +1,84 @@
+"""Plan-quality gate: assert the physical plans have the shape we want at
+scale — filters pushed to the parquet scan, lookups broadcast, no Python
+UDFs outside the explicitly-UDF directives, codegen spans present.
+
+Usage: PYTHONPATH=/root/repo python tools/explain_check.py
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def check(name: str, plan: str, must: list[str] = (), must_not: list[str] = ()) -> list[str]:
+    problems = []
+    for s in must:
+        if s.lower() not in plan.lower():
+            problems.append(f"{name}: expected {s!r} in plan")
+    for s in must_not:
+        if s.lower() in plan.lower():
+            problems.append(f"{name}: found forbidden {s!r} in plan")
+    return problems
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from wrangler_spark import Pipeline, get_spark
+
+    spark = get_spark("explain_check", cpus=8)
+    qs = e.queries()
+    problems: list[str] = []
+
+    # 1. filter-row compiles to a scan-pushed filter (predicate pushdown)
+    p = plan_of(qs["filter_row_expr"](spark, SF_DIR))
+    problems += check("filter_row_expr", p, must=["PushedFilters: [", "codegen id"], must_not=["BatchEvalPython", "ArrowEvalPython"])
+    if "PushedFilters: []" in p:
+        problems.append("filter_row_expr: PushedFilters is EMPTY — predicate not reaching the scan")
+
+    # 2. keep-only projection prunes the parquet read schema
+    pr = Pipeline.compile("keep :l_orderkey,:l_quantity").apply(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    )
+    p = plan_of(pr)
+    problems += check("column_pruning", p, must=["ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"])
+
+    # 3. table-lookup is a broadcast join (fact side must not shuffle)
+    p = plan_of(qs["table_lookup"](spark, SF_DIR))
+    problems += check("table_lookup", p, must=["BroadcastHashJoin"], must_not=["SortMergeJoin"])
+
+    # 4. ANN top-k broadcasts the query side
+    p = plan_of(qs["ann_cosine_topk"](spark, SF_DIR))
+    problems += check("ann_cosine_topk", p, must=["Broadcast"])
+
+    # 5. the cleanse recipe stays fully native (no Python in the hot path)
+    p = plan_of(qs["cleanse_recipe"](spark, SF_DIR))
+    problems += check("cleanse_recipe", p, must=["codegen id"], must_not=["BatchEvalPython", "ArrowEvalPython"])
+
+    # 6. every oracled single-table transform query is UDF-free
+    udf_expected = {"mask_shuffle", "multimodal_features"}
+    for name in ("uppercase", "expression_el", "dq_checks", "text_quality", "text_fingerprint", "dedup_simhash"):
+        p = plan_of(qs[name](spark, SF_DIR))
+        problems += check(name, p, must_not=["BatchEvalPython", "ArrowEvalPython"])
+
+    if problems:
+        print("PLAN PROBLEMS:")
+        for pr_ in problems:
+            print(" -", pr_)
+        return 1
+    print("all plan checks pass (pushdown, pruning, broadcast, codegen, no stray UDFs)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

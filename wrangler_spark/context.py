@@ -48,6 +48,23 @@ class CompileContext:
     fail_checks: list[FailCheck] = field(default_factory=list)
     variables: dict[str, Any] = field(default_factory=dict)
     observations: dict[str, Column] = field(default_factory=dict)
+    # static frame used for compile-time schema sampling when the input is a
+    # streaming DataFrame (parse-as-csv arity, parse-as-json schema, ...)
+    sample_df: Any = None
+
+    def sampling_frame(self, df):
+        """The frame parse directives may run their bounded compile-time
+        sample against — the input itself in batch, the registered static
+        sample in streaming (a stream can't be collected at compile time)."""
+        if getattr(df, "isStreaming", False):
+            if self.sample_df is None:
+                raise DirectiveApplyError(
+                    "this directive infers its output schema from a compile-time "
+                    "sample, which a streaming input cannot provide — pass "
+                    "sample_df= to wrangler_spark.streaming.transform_stream"
+                )
+            return self.sample_df
+        return df
 
     # --- column resolution ---------------------------------------------
 
@@ -89,7 +106,8 @@ class CompileContext:
         a JEXL condition evaluating to null is not `true`)."""
         cond = condition.isNotNull() & condition
         self.error_frames.append(ErrorFrame(directive, message, df.filter(cond)))
-        return df.filter(~F.coalesce(condition, F.lit(False)))
+        # pushdown-friendly null-safe negation (no coalesce)
+        return df.filter(condition.isNull() | ~condition)
 
     def copy_errors(self, df: DataFrame, condition: Column, directive: str, message: str) -> DataFrame:
         """send-to-error-and-continue: copy matching rows to the error

@@ -77,7 +77,7 @@ class ParseAsExcel(Directive):
         sheet = self.args["sheet"]
         header = bool(self.args["header"])
 
-        first = df.select(col).filter(F.col(col).isNotNull()).limit(1).collect()
+        first = ctx.sampling_frame(df).select(col).filter(F.col(col).isNotNull()).limit(1).collect()
         if not first:
             raise DirectiveApplyError(f"no non-null payload in '{col}' to size the Excel schema")
         sample_rows = read_sheet(bytes(first[0][0]), sheet)
@@ -143,7 +143,7 @@ class ParseAsAvroFile(Directive):
         from wrangler_spark.formats.avro_ocf import read_ocf
 
         col = ctx.resolve(df, self.args["column"])
-        first = df.select(col).filter(F.col(col).isNotNull()).limit(1).collect()
+        first = ctx.sampling_frame(df).select(col).filter(F.col(col).isNotNull()).limit(1).collect()
         if not first:
             raise DirectiveApplyError(f"no non-null payload in '{col}' to read the Avro schema")
         schema, _ = read_ocf(bytes(first[0][0]))

@@ -59,6 +59,7 @@ class IncrementVariable(Directive):
 
         var = self.args["variable"]
         cond = compile_condition(self.args["condition"], df)
+        cond = cond.isNotNull() & cond
         metric = F.sum(F.when(cond, F.lit(self.args["amount"])).otherwise(F.lit(0))).alias(var)
         ctx.observations[var] = metric
         return df.observe(f"wrangler_{var}", metric)

@@ -154,7 +154,7 @@ class SplitToColumns(Directive):
         col = ctx.resolve(df, self.args["column"])
         regex = self.args["regex"]
         parts = F.split(F.col(col), regex, -1)
-        n = _sample_max_parts(df, parts)
+        n = _sample_max_parts(ctx.sampling_frame(df), F.split(F.col(col), regex, -1))
         out = df.withColumn("__parts", parts)
         for i in range(n):
             out = out.withColumn(f"{col}_{i + 1}", F.get("__parts", i))

@@ -71,7 +71,7 @@ class ParseAsCsv(Directive):
         delim = self.args["delimiter"].encode().decode("unicode_escape")
         has_header = bool(self.args["header"])
 
-        sample = _sample_values(df, col)
+        sample = _sample_values(ctx.sampling_frame(df), col)
         parsed = []
         for line in sample:
             try:
@@ -126,7 +126,7 @@ class ParseAsJson(Directive):
         depth = int(self.args["depth"])
         spark = df.sparkSession
 
-        sample = _sample_values(df, col)
+        sample = _sample_values(ctx.sampling_frame(df), col)
         if not sample:
             raise DirectiveApplyError(f"no non-null sample values in '{col}' to infer JSON schema")
         inferred = spark.read.json(spark.sparkContext.parallelize(sample, 1))

@@ -34,8 +34,12 @@ class FilterRow(Directive):
         from wrangler_spark.expression import compile_condition
 
         cond = compile_condition(self.args["condition"], df)
-        remove = cond if self.args["type"] else ~cond
-        return df.filter(~remove)
+        # SQL three-valued semantics: a null condition drops the row in both
+        # directions. The reference would NPE on a null JEXL boolean
+        # (RecordConditionFilter unboxes getBoolean()), so no behavior is
+        # being silently changed — and plain NOT(cond) lets Catalyst push
+        # the conjuncts all the way into the parquet scan.
+        return df.filter(~cond if self.args["type"] else cond)
 
 
 registry.alias("filter-row-if-true", "filter-row")
@@ -144,7 +148,9 @@ class Fail(Directive):
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
         from wrangler_spark.expression import compile_condition
 
-        cond = compile_condition(self.args["condition"], df)
+        from wrangler_spark.expression.translator import cond_true as _ct
+
+        cond = _ct(compile_condition(self.args["condition"], df))
         msg = self.args.value("message") or self.args["condition"]
         ctx.fail_checks.append(FailCheck(self.name, msg, df, cond))
         return df

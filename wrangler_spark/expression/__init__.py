@@ -1,3 +1,8 @@
-from wrangler_spark.expression.translator import compile_expression, compile_condition
+from wrangler_spark.expression.translator import (
+    compile_condition,
+    compile_expression,
+    cond_not_true,
+    cond_true,
+)
 
-__all__ = ["compile_expression", "compile_condition"]
+__all__ = ["compile_expression", "compile_condition", "cond_true", "cond_not_true"]

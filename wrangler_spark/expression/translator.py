@@ -194,6 +194,18 @@ def compile_expression(text: str, df: DataFrame, variables: dict[str, TC] | None
 
 
 def compile_condition(text: str, df: DataFrame, variables: dict[str, TC] | None = None) -> Column:
-    """Compile a boolean condition; null results are treated as false
-    (JEXL getBoolean on null is not true)."""
-    return F.coalesce(compile_expression(text, df, variables).cast("boolean"), F.lit(False))
+    """Compile a boolean condition. Null handling is left to the caller via
+    cond_true/cond_not_true — wrapping in coalesce() here would block
+    parquet predicate pushdown for every compiled filter."""
+    return compile_expression(text, df, variables).cast("boolean")
+
+
+def cond_true(c: Column) -> Column:
+    """Null-safe 'is true' (JEXL: null is not true) in a pushdown-friendly
+    shape (no coalesce — Catalyst folds IsNotNull AND c into the scan)."""
+    return c.isNotNull() & c
+
+
+def cond_not_true(c: Column) -> Column:
+    """Null-safe negation: true when c is null or false."""
+    return c.isNull() | ~c

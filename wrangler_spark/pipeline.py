@@ -112,9 +112,9 @@ class Pipeline:
     def transform(self, df: DataFrame, ctx: CompileContext | None = None) -> PipelineResult:
         ctx = ctx or CompileContext()
         if self.precondition:
-            from wrangler_spark.expression import compile_condition
+            from wrangler_spark.expression import compile_condition, cond_not_true
 
-            df = df.filter(~compile_condition(self.precondition, df))
+            df = df.filter(cond_not_true(compile_condition(self.precondition, df)))
         for d in self.directives:
             try:
                 df = d.apply(ctx, df)

@@ -1,0 +1,123 @@
+"""Source/sink layer.
+
+The reference's connections (FILE, DATABASE, KAFKA, S3, GCS, ADLS,
+BIGQUERY, SPANNER — ``wrangler-proto/.../ConnectionType.java:31-39``) map
+onto Spark's own reader/writer framework; these helpers add the
+reference's conveniences (format sniffing like ``FileTypeDetector``,
+raw-line reading for parser recipes) on top of ``spark.read``.
+
+Cloud object stores (s3a://, gs://, abfss://) and JDBC/Kafka work through
+the same calls when the corresponding connector jars/credentials are on
+the cluster — path/URL is the only difference, so recipes are portable
+across stores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_EXT_FORMAT = {
+    ".csv": "csv", ".tsv": "csv", ".json": "json", ".jsonl": "json",
+    ".parquet": "parquet", ".avro": "avro", ".orc": "orc",
+    ".txt": "text", ".log": "text", ".gz": None,
+}
+
+
+def sniff_format(path: str) -> str:
+    """File-extension format detection (parity: service/FileTypeDetector)."""
+    base = path.rstrip("/")
+    if base.endswith(".gz"):
+        base = base[:-3]
+    ext = os.path.splitext(base)[1].lower()
+    fmt = _EXT_FORMAT.get(ext)
+    return fmt or "text"
+
+
+def read(spark: SparkSession, path: str, fmt: str | None = None, **options) -> DataFrame:
+    """Read any supported source; format sniffed from the extension when
+    not given. TSV gets its tab separator automatically."""
+    fmt = fmt or sniff_format(path)
+    reader = spark.read
+    if fmt == "csv":
+        opts = {"header": "true", "inferSchema": "true"}
+        if path.rstrip("/").endswith((".tsv", ".tsv.gz")):
+            opts["sep"] = "\t"
+        opts.update(options)
+        return reader.options(**opts).csv(path)
+    if fmt == "json":
+        return reader.options(**options).json(path)
+    if fmt == "parquet":
+        return reader.options(**options).parquet(path)
+    if fmt == "orc":
+        return reader.options(**options).orc(path)
+    if fmt == "text":
+        # one raw line per row named 'body' — the parser-recipe entry shape
+        return reader.options(**options).text(path).withColumnRenamed("value", "body")
+    return reader.format(fmt).options(**options).load(path)
+
+
+def read_raw_lines(spark: SparkSession, path: str, line_sep: str | None = None) -> DataFrame:
+    """Raw lines as a `body` string column — feed to parse-as-* directives."""
+    reader = spark.read
+    if line_sep:
+        reader = reader.option("lineSep", line_sep)
+    return reader.text(path).withColumnRenamed("value", "body")
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, partition_column: str | None = None,
+              num_partitions: int = 8, **options) -> DataFrame:
+    """JDBC source; pass partition_column for parallel reads (required for
+    any table that doesn't fit one executor)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column:
+        bounds = (
+            spark.read.format("jdbc").option("url", url)
+            .option("query", f"SELECT min({partition_column}) lo, max({partition_column}) hi FROM {table}")
+            .load().collect()[0]
+        )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(bounds["lo"]))
+            .option("upperBound", str(bounds["hi"]))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_kafka(spark: SparkSession, bootstrap: str, topic: str, streaming: bool = True, **options) -> DataFrame:
+    """Kafka source (requires the spark-sql-kafka connector on the cluster);
+    value decoded to a `body` string column for parser recipes."""
+    from pyspark.sql import functions as F
+
+    reader = (spark.readStream if streaming else spark.read).format("kafka")
+    reader = reader.option("kafka.bootstrap.servers", bootstrap).option("subscribe", topic)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    return df.withColumn("body", F.col("value").cast("string"))
+
+
+def write(df: DataFrame, path: str, fmt: str | None = None, mode: str = "error",
+          partition_by: list[str] | None = None, **options) -> None:
+    """Write to any supported sink. At scale prefer parquet + partitionBy
+    on the columns you filter by (partition pruning on read)."""
+    fmt = fmt or sniff_format(path)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
+    else:
+        writer.format(fmt).save(path)

@@ -1,0 +1,96 @@
+"""Structured Streaming support.
+
+The reference engine is record-at-a-time and stateless per record
+(SURVEY §2.12), so a compiled recipe applies to a streaming DataFrame
+unchanged — the same directive chain becomes `readStream → plan →
+writeStream`. The deltas handled here:
+
+- parse directives that sample at compile time get a static ``sample_df``
+  (a stream can't be collected) — same answer the reference's workspace
+  sample provides its service path;
+- ``fail`` checks and ``observe``-based transient variables are rejected
+  up front with clear errors where Structured Streaming can't express
+  them;
+- windowed aggregation + watermark helpers cover the streaming-native
+  surface (late data, sessionization, streaming dedup) the reference
+  lacks but a Spark user expects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wrangler_spark.context import CompileContext
+from wrangler_spark.errors import WranglerError
+from wrangler_spark.pipeline import Pipeline, PipelineResult
+
+
+def transform_stream(
+    pipeline: Pipeline,
+    stream_df: DataFrame,
+    sample_df: DataFrame | None = None,
+) -> PipelineResult:
+    """Apply a compiled recipe to a streaming DataFrame. ``sample_df`` is a
+    static frame with the same schema used for compile-time schema
+    sampling (CSV arity, JSON schema inference...)."""
+    if not stream_df.isStreaming:
+        raise WranglerError("transform_stream expects a streaming DataFrame")
+    ctx = CompileContext(environment="streaming", sample_df=sample_df)
+    result = pipeline.transform(stream_df, ctx)
+    if ctx.fail_checks:
+        raise WranglerError(
+            "the 'fail' directive requires a blocking count and cannot run on "
+            "a stream — use send-to-error to route bad rows instead"
+        )
+    return result
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str = "10 minutes") -> DataFrame:
+    return df.withWatermark(ts_col, delay)
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    aggs: dict[str, Column],
+    slide: str | None = None,
+    watermark: str | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling/sliding window aggregation with optional watermark — the
+    canonical late-data-tolerant streaming rollup."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    group_cols = [w] + [F.col(k) for k in (keys or [])]
+    out = df.groupBy(*group_cols).agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(k) for k in (keys or [])],
+        *[F.col(n) for n in aggs],
+    )
+
+
+def streaming_dedup(
+    df: DataFrame, keys: list[str], ts_col: str | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key streaming dedup; with a watermark the state
+    store stays bounded (keys older than the watermark are dropped)."""
+    if ts_col:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def run_to_memory(df: DataFrame, name: str, timeout: int = 60, output_mode: str | None = None):
+    """Test helper: drain all available input into an in-memory table.
+    Windowed aggregations need output_mode='complete' to see the still-open
+    last window (append mode only emits watermark-closed windows)."""
+    w = df.writeStream.format("memory").queryName(name).trigger(availableNow=True)
+    if output_mode:
+        w = w.outputMode(output_mode)
+    q = w.start()
+    q.awaitTermination(timeout)
+    return q
