@@ -241,6 +241,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_lookup": _q_table_lookup,
         "catalog_lookup": _q_catalog_lookup,
         "mask_shuffle": _recipe_q("part", "mask-number :p_size 'x#'\nmask-shuffle :p_name"),
+        "text_distance_lev": _recipe_q(
+            "customer", "text-distance levenshtein :c_name :c_mktsegment :dist"
+        ),
+        "text_metric_jaccard": _recipe_q(
+            "part", "text-metric jaccard :p_name :p_type :sim"
+        ),
+        "decode_base64": _recipe_q(
+            "part", "encode base64 :p_name\ndecode base64 :p_name_encode_base64"
+        ),
+        "hash_md5": _recipe_q("customer", "hash :c_name MD5"),
+        "write_as_csv": _recipe_q("region", "write-as-csv :csv_line"),
+        "write_as_json_map": _recipe_q("region", "write-as-json-map :j"),
+        "parse_as_currency": _recipe_q(
+            "part",
+            "set-column :cur exp:{ '$' + p_size + '.99' }\nparse-as-currency :cur :cur_val",
+        ),
+        "index_split": _recipe_q("part", "index-split :p_type 0 4 :p_type_head"),
+        "set_record_delim": _recipe_q("part", "set-record-delim :p_name ' '"),
+        "trim_family": _recipe_q(
+            "customer",
+            "set-column :padded exp:{ '  ' + c_mktsegment + '  ' }\n"
+            "copy :padded :l\nltrim :l\ncopy :padded :r\nrtrim :r\ncopy :padded :t\ntrim :t",
+        ),
+        "url_encode": _recipe_q("part", "copy :p_name :pn\nurl-encode :pn"),
+        "stemming": _recipe_q("documents", "stemming :text\ndrop :text"),
+        "generate_uuid": _recipe_q("region", "generate-uuid :uid"),
     }
 
 
@@ -376,5 +402,57 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 'FURNITURE' THEN 'furn' WHEN 'MACHINERY' THEN 'mach' WHEN 'HOUSEHOLD' THEN 'home' END "
             "AS c_mktsegment_segments_description FROM customer"
         ),
-        # mask_shuffle: no oracle — seeded java.util.Random walk is not SQL-expressible
+        "text_distance_lev": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
+            "CAST(levenshtein(c_name, c_mktsegment) AS REAL) AS dist FROM customer"
+        ),
+        "text_metric_jaccard": (
+            "WITH g AS (SELECT *, "
+            "  CASE WHEN length(lower(p_name)) >= 2 THEN list_distinct([substr(lower(p_name), i, 2) FOR i IN range(1, length(p_name))]) ELSE [lower(p_name)] END AS ga, "
+            "  CASE WHEN length(lower(p_type)) >= 2 THEN list_distinct([substr(lower(p_type), i, 2) FOR i IN range(1, length(p_type))]) ELSE [lower(p_type)] END AS gb "
+            "FROM part) "
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "CAST(CASE WHEN len(list_distinct(list_concat(ga, gb))) = 0 THEN 1.0 "
+            "ELSE len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(list_concat(ga, gb)))::DOUBLE END AS REAL) AS sim FROM g"
+        ),
+        "decode_base64": (
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "to_base64(encode(p_name)) AS p_name_encode_base64, "
+            "p_name AS p_name_encode_base64_decode_base64 FROM part"
+        ),
+        "hash_md5": (
+            "SELECT c_custkey, md5(c_name) AS c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
+        ),
+        "write_as_csv": (
+            "SELECT r_regionkey, r_name, r_regionkey || ',' || r_name AS csv_line FROM region"
+        ),
+        "write_as_json_map": (
+            "SELECT r_regionkey, r_name, "
+            "to_json(struct_pack(r_regionkey := r_regionkey, r_name := r_name)) AS j FROM region"
+        ),
+        "parse_as_currency": (
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "'$' || p_size || '.99' AS cur, p_size + 0.99 AS cur_val FROM part"
+        ),
+        "index_split": (
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "substr(p_type, 1, 4) AS p_type_head FROM part"
+        ),
+        "set_record_delim": (
+            "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS p_name, "
+            "p_brand, p_type, p_size, p_retailprice FROM part"
+        ),
+        "trim_family": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
+            "'  ' || c_mktsegment || '  ' AS padded, "
+            "ltrim('  ' || c_mktsegment || '  ') AS l, "
+            "rtrim('  ' || c_mktsegment || '  ') AS r, "
+            "trim('  ' || c_mktsegment || '  ') AS t FROM customer"
+        ),
+        "url_encode": (
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "replace(p_name, ' ', '+') AS pn FROM part"
+        ),
+        # mask_shuffle, stemming, generate_uuid, ann_ivf_topk,
+        # multimodal_features: rows-only (not SQL-expressible / nondeterministic)
     }

@@ -22,13 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 BENCH_QUERIES = [
-    "cleanse_recipe",
-    "mask_shuffle",       # pandas-UDF path
+    "cleanse_recipe",      # the reference's published benchmark shape
+    "mask_shuffle",        # pandas-UDF path
     "expression_el",
     "split_to_rows",
     "json_parse",
-    "table_lookup",
+    "table_lookup",        # broadcast join
     "parse_simple_date",
+    "dedup_exact",         # hash-aggregate shuffle
+    "dedup_minhash_lsh",   # signature + band join + verify
+    "text_quality",        # codegen-heavy text sweep
+    "ann_cosine_topk",     # broadcast NN + window top-k
 ]
 
 

@@ -1,0 +1,52 @@
+"""Interactive layer + user-defined directive (UDD) registration."""
+
+from pyspark.sql import functions as F
+
+from wrangler_spark import Pipeline, directive
+from wrangler_spark.directive import Arg, Directive
+from wrangler_spark.interactive import execute, schema
+from wrangler_spark.parser.tokens import TokenType
+
+
+def test_execute_roundtrip(spark):
+    df = spark.createDataFrame([("alice", "30"), ("bob", "x")], ["name", "age"])
+    resp = execute("uppercase :name\nset-type :age int", df, limit=10)
+    assert resp.headers == ["name", "age"]
+    assert resp.types["age"] == "int"
+    assert resp.values[0]["name"] in ("ALICE", "BOB")
+    assert resp.directives == ["uppercase", "set-type"]
+
+
+def test_execute_with_summary_and_errors(spark):
+    df = spark.createDataFrame([("a@b.com",), ("junk",)], ["email"])
+    resp = execute(
+        "send-to-error exp:{ !dq:isEmail(email) } 'bad'", df, with_summary=True
+    )
+    assert resp.error_count == 1
+    assert len(resp.values) == 1
+    assert 0 <= resp.summary["email"]["general.null"] <= 1
+
+
+def test_schema_endpoint(spark):
+    df = spark.createDataFrame([("1,2",)], ["body"])
+    s = schema("parse-as-csv :body ',' false\nset-type :body_1 long", df)
+    assert ("body_1", "bigint") in s
+
+
+def test_user_defined_directive(spark):
+    @directive
+    class Reverse(Directive):
+        """reverse-string :col — a user-defined directive (UDD parity:
+        the reference loads plugin directives via #pragma load-directives;
+        here any imported @directive registers)."""
+
+        name = "reverse-string"
+        usage = [Arg("column", TokenType.COLUMN)]
+
+        def apply(self, ctx, df):
+            col = ctx.resolve(df, self.args["column"])
+            return df.withColumn(col, F.reverse(F.col(col)))
+
+    df = spark.createDataFrame([("abc",)], ["s"])
+    out = Pipeline.compile("reverse-string :s").apply(df)
+    assert out.collect()[0]["s"] == "cba"

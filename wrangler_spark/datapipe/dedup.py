@@ -53,9 +53,13 @@ def _hash28(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
 
 
-def word_shingles(c: Column, k: int = SHINGLE_WORDS) -> Column:
-    """Distinct k-word shingles of a whitespace-tokenized text."""
-    words = F.split(normalize_text(c), " ")
+def shingles_of_words(words: Column, k: int = SHINGLE_WORDS) -> Column:
+    """Distinct k-word shingles of a tokenized (array<string>) column.
+    IMPORTANT: pass a *named column reference*, not an inline split(...)
+    expression — `words` appears k+1 times here and Spark does not
+    eliminate common subexpressions inside higher-order-function lambdas,
+    so an inline split+regex would be recomputed per shingle (measured
+    ~10× slowdown on the documents table)."""
     n = F.size(words)
     return F.when(
         n >= k,
@@ -66,6 +70,21 @@ def word_shingles(c: Column, k: int = SHINGLE_WORDS) -> Column:
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingles) — tokenization staged as its own projection so the
+    split runs once per row."""
+    staged = df.select(
+        F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), " ").alias("__w")
+    )
+    return staged.select("id", shingles_of_words(F.col("__w")).alias("shingles"))
+
+
+def word_shingles(c: Column, k: int = SHINGLE_WORDS) -> Column:
+    """Single-expression form (inline tokenization) — fine for small frames
+    and tests; prefer with_shingles() in pipelines (see shingles_of_words)."""
+    return shingles_of_words(F.split(normalize_text(c), " "), k)
 
 
 def minhash_signature(shingles: Column) -> list[Column]:
@@ -87,12 +106,30 @@ def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
-    exact Jaccard over shingle sets. Returns (id_a, id_b, jaccard)."""
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("shingles")
-    )
-    sig = base.select("id", "shingles", *minhash_signature(F.col("shingles")))
+    exact Jaccard over shingle sets. Returns (id_a, id_b, jaccard).
 
+    Scale shape: the shingle hashes are computed ONCE per doc (md5 is the
+    dominant cost — naively inlining it into all 32 signature mins
+    recomputes it 32×); the band self-join carries only (id, band, key) so
+    the shuffle payload is ~40 bytes/row, and shingle sets are re-fetched
+    for the (rare) candidates only. The banded frame is persisted because
+    a self-join evaluates its plan twice; at 100 TB persist/write the
+    signature table explicitly and reuse it across runs."""
+    # persisted: evaluated once, read three times (signature path + both
+    # sides of the candidate-verification join)
+    base = with_shingles(df, id_col, text_col).persist()
+    hashed = base.withColumn("h", F.transform(F.col("shingles"), _hash28)).select("id", "h")
+
+    def mh(a: int, b: int):
+        return lambda x: (a * x + b) % MINHASH_P
+
+    sig = hashed.select(
+        "id",
+        *[
+            F.array_min(F.transform(F.col("h"), mh(a, b))).alias(f"mh{j}")
+            for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ],
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -102,32 +139,32 @@ def minhash_lsh_pairs(
             for b in range(LSH_BANDS)
         ]
     )
-    bands = sig.select("id", "shingles", F.explode(band_structs).alias("bk")).select(
-        "id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    bands = (
+        sig.select("id", F.explode(band_structs).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .persist()
     )
 
-    left = bands.alias("l")
-    right = bands.alias("r")
     cand = (
-        left.join(
-            right,
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.shingles").alias("sa"),
-            F.col("r.shingles").alias("sb"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb")), "id_b")
     )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
     union = F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
     jac = F.round(inter / union, 6)
     return (
-        cand.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -138,7 +175,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Character n-gram Jaccard near-dups via an inverted-index equi-join:
     only pairs sharing at least one n-gram are ever scored."""
-    txt = normalize_text(F.col(text_col))
+    # stage the normalized text: it appears once per gram in the transform
+    # lambda and Spark won't CSE it there (see shingles_of_words)
+    staged = df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__t"))
+    txt = F.col("__t")
     ln = F.length(txt)
     grams = F.when(
         ln >= n,
@@ -146,7 +186,7 @@ def ngram_jaccard_pairs(
             F.transform(F.sequence(F.lit(1), ln - (n - 1)), lambda i: txt.substr(i, F.lit(n)))
         ),
     ).otherwise(F.array(txt))
-    base = df.select(F.col(id_col).alias("id"), grams.alias("grams"), F.size(grams).alias("ng"))
+    base = staged.select(F.col("id"), grams.alias("grams")).withColumn("ng", F.size("grams"))
     inv = base.select("id", "ng", F.explode("grams").alias("g"))
     l, r = inv.alias("l"), inv.alias("r")
     shared = (
@@ -169,8 +209,13 @@ def ngram_jaccard_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-document SimHash over word hashes (bits ≤ 32 so the bit test
     stays in exact integer range for both engines). Adds `simhash` long."""
-    words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-    hashes = F.transform(words, _hash28)
+    # stage tokenization + hashing: `hashes` feeds all `bits` aggregates,
+    # so inlining would recompute md5 per word x bits (no CSE in lambdas)
+    df = df.select(
+        F.col(id_col), F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")).alias("__w")
+    ).select(F.col(id_col), F.transform(F.col("__w"), _hash28).alias("__h"))
+    hashes = F.col("__h")
+
     def voter(pw: int):
         return lambda acc, h: acc + F.when(((h / pw).cast("long") % 2) == 1, 1).otherwise(-1)
 
