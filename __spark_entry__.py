@@ -267,7 +267,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_encode": _recipe_q("part", "copy :p_name :pn\nurl-encode :pn"),
         "stemming": _recipe_q("documents", "stemming :text\ndrop :text"),
         "generate_uuid": _recipe_q("region", "generate-uuid :uid"),
+        # --- Spark-native extensions (no reference equivalent, SURVEY §2.12)
+        "ext_groupby_agg": _recipe_q(
+            "lineitem",
+            "aggregate-by :l_returnflag,:l_linestatus prop:{"
+            "sum_qty='cast(sum(cast(l_quantity as decimal(20,2))) as double)', "
+            "sum_price='cast(sum(cast(l_extendedprice as decimal(20,2))) as double)', "
+            "n='count(*)'}",
+        ),
+        "ext_sort_limit": _recipe_q("orders", "sort-by :o_totalprice,:o_orderkey desc\nlimit-rows 50"),
+        "ext_distinct": _recipe_q("customer", "keep :c_mktsegment\ndistinct-rows"),
+        "ext_window_rank": _recipe_q(
+            "orders",
+            "window-rank :o_custkey :o_totalprice :rk true\nfilter-row exp:{ rk > 2 } true",
+        ),
+        "ext_join": _q_ext_join,
     }
+
+
+def _q_ext_join(spark, sf_dir):
+    from wrangler_spark.directives.lookups import register_lookup
+
+    register_lookup("customer_dim", _t(spark, sf_dir, "customer"))
+    return Pipeline.compile("join-with 'customer_dim' :o_custkey :c_custkey inner").apply(
+        _t(spark, sf_dir, "orders")
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -452,6 +476,24 @@ def oracle_sql() -> dict[str, str]:
         "url_encode": (
             "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
             "replace(p_name, ' ', '+') AS pn FROM part"
+        ),
+        "ext_groupby_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price, "
+            "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "ext_sort_limit": (
+            "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 50"
+        ),
+        "ext_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
+        "ext_window_rank": (
+            "SELECT * FROM (SELECT *, CAST(row_number() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS rk FROM orders) "
+            "WHERE NOT (rk > 2)"
+        ),
+        "ext_join": (
+            "SELECT o.*, c.* FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
         ),
         # mask_shuffle, stemming, generate_uuid, ann_ivf_topk,
         # multimodal_features: rows-only (not SQL-expressible / nondeterministic)

@@ -12,6 +12,7 @@ from wrangler_spark.directives import (  # noqa: F401
     datapipe_ops,
     datetime_ops,
     encoding,
+    extensions,
     lookups,
     masks,
     parsers,

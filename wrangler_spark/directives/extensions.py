@@ -1,0 +1,149 @@
+"""Spark-native extension directives — capabilities the reference engine
+simply lacks (SURVEY §2.12: no joins, group-by, sort, limit, distinct or
+window functions exist in it). Exposed as extensions, not reference
+parity; they make the recipe language a complete analytics surface.
+
+Scale notes: aggregate-by benefits from map-side partial aggregation
+automatically; join-with broadcasts when the right side is registered
+small (or relies on AQE otherwise); window-rank partitions by the given
+keys — skewed partitions are the user's signal to pre-salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wrangler_spark.context import CompileContext
+from wrangler_spark.directive import Arg, Directive
+from wrangler_spark.errors import DirectiveApplyError
+from wrangler_spark.parser.tokens import TokenType
+from wrangler_spark.registry import directive
+
+
+@directive
+class SortBy(Directive):
+    """sort-by :c1[,:c2...] [asc|desc] — global sort (extension)."""
+
+    name = "sort-by"
+    usage = [
+        Arg("columns", TokenType.COLUMN_LIST),
+        Arg("order", TokenType.IDENTIFIER, optional=True, default="asc"),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        cols = ctx.resolve_all(df, self.args["columns"])
+        desc = str(self.args["order"]).lower().startswith("desc")
+        return df.orderBy(*[F.col(c).desc() if desc else F.col(c).asc() for c in cols])
+
+
+@directive
+class LimitRows(Directive):
+    """limit-rows N — keep the first N rows (extension)."""
+
+    name = "limit-rows"
+    usage = [Arg("n", TokenType.NUMERIC)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        return df.limit(int(self.args["n"]))
+
+
+@directive
+class DistinctRows(Directive):
+    """distinct-rows [:c1,:c2...] — drop duplicate rows, optionally keyed
+    (extension; the scalable exact-dedup primitive)."""
+
+    name = "distinct-rows"
+    usage = [Arg("columns", TokenType.COLUMN_LIST, optional=True)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        cols = self.args.value("columns")
+        if cols:
+            return df.dropDuplicates(ctx.resolve_all(df, cols))
+        return df.distinct()
+
+
+@directive
+class AggregateBy(Directive):
+    """aggregate-by :k1[,:k2...] prop:{out='agg_sql', ...} — group-by with
+    named aggregate expressions (extension), e.g.
+    aggregate-by :flag prop:{n='count(*)', total='sum(price)'}."""
+
+    name = "aggregate-by"
+    usage = [Arg("keys", TokenType.COLUMN_LIST), Arg("aggs", TokenType.PROPERTIES)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        keys = ctx.resolve_all(df, self.args["keys"])
+        aggs = self.args["aggs"]
+        if not aggs:
+            raise DirectiveApplyError("aggregate-by needs at least one aggregate in prop:{}")
+        exprs = [F.expr(str(sql)).alias(name) for name, sql in aggs.items()]
+        return df.groupBy(*keys).agg(*exprs)
+
+
+@directive
+class JoinWith(Directive):
+    """join-with 'table' :left_key [right_key] [type] — join a registered
+    lookup table / catalog view (extension). The registered side is
+    broadcast — register only dimension-sized tables."""
+
+    name = "join-with"
+    usage = [
+        Arg("table", TokenType.TEXT),
+        Arg("left_key", TokenType.COLUMN),
+        Arg("right_key", TokenType.COLUMN, optional=True),
+        Arg("type", TokenType.IDENTIFIER, optional=True, default="left"),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.directives.lookups import _CATALOGS
+
+        tname = self.args["table"]
+        table = _CATALOGS.get(tname.lower())
+        if table is None:
+            try:
+                table = df.sparkSession.table(tname)
+            except Exception as e:
+                raise DirectiveApplyError(f"table '{tname}' not registered or in catalog: {e}")
+        lk = ctx.resolve(df, self.args["left_key"])
+        rk = self.args.value("right_key") or table.columns[0]
+        how = str(self.args["type"]).lower()
+        return df.join(F.broadcast(table), F.col(lk) == table[rk], how)
+
+
+@directive
+class WindowRank(Directive):
+    """window-rank :partition_col :order_col :dst [desc] — row_number within
+    partitions (extension)."""
+
+    name = "window-rank"
+    usage = [
+        Arg("partition", TokenType.COLUMN),
+        Arg("order", TokenType.COLUMN),
+        Arg("destination", TokenType.COLUMN),
+        Arg("desc", TokenType.BOOL, optional=True, default=False),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        p = ctx.resolve(df, self.args["partition"])
+        o = ctx.resolve(df, self.args["order"])
+        oc = F.col(o).desc() if self.args["desc"] else F.col(o).asc()
+        w = Window.partitionBy(p).orderBy(oc)
+        return df.withColumn(self.args["destination"], F.row_number().over(w))
+
+
+@directive
+class UnionWith(Directive):
+    """union-with 'table' — append the rows of a registered table with the
+    same schema (extension)."""
+
+    name = "union-with"
+    usage = [Arg("table", TokenType.TEXT)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.directives.lookups import _CATALOGS
+
+        table = _CATALOGS.get(self.args["table"].lower())
+        if table is None:
+            raise DirectiveApplyError(f"table '{self.args['table']}' not registered")
+        return df.unionByName(table, allowMissingColumns=True)
