@@ -159,3 +159,19 @@ def test_field_and_index_access(spark):
     )
     p = Pipeline.compile("set-column :r1 exp:{ st.y + arr[1] }")
     assert p.apply(df).collect()[0]["r1"] == 25
+
+
+def test_geo_in_fence(one):
+    fence = '{"type": "Polygon", "coordinates": [[[-122.5, 37.6], [-122.3, 37.6], [-122.3, 37.9], [-122.5, 37.9], [-122.5, 37.6]]]}'
+    fence_esc = fence.replace('"', '\\"')
+    # SF (37.77, -122.42) inside; NYC (40.71, -74.0) outside
+    assert ev(one, f'geo:inFence(37.77, -122.42, "{fence_esc}")') is True
+    assert ev(one, f'geo:inFence(40.71, -74.0, "{fence_esc}")') is False
+
+
+def test_escape_fns(one):
+    assert ev(one, "escape:escapeCsv('a,b')") == '"a,b"'
+    assert ev(one, "escape:escapeCsv('plain')") == "plain"
+    assert ev(one, "escape:unescapeCsv('\"a,b\"')") == "a,b"
+    assert ev(one, "escape:escapeHtml4('a < b & c')") == "a &lt; b &amp; c"
+    assert ev(one, "escape:escapeJson(s)") == "hello world"

@@ -156,8 +156,7 @@ class SplitToColumns(Directive):
         parts = F.split(F.col(col), regex, -1)
         n = _sample_max_parts(ctx.sampling_frame(df), F.split(F.col(col), regex, -1))
         out = df.withColumn("__parts", parts)
-        for i in range(n):
-            out = out.withColumn(f"{col}_{i + 1}", F.get("__parts", i))
+        out = out.withColumns({f"{col}_{i + 1}": F.get("__parts", i) for i in range(n)})
         return out.drop("__parts")
 
 

@@ -100,8 +100,8 @@ class ParseAsCsv(Directive):
         ddl = ", ".join(f"_f{i} STRING" for i in range(width))
         parsed_col = F.from_csv(F.col(col), F.lit(ddl), {"sep": delim, "mode": "PERMISSIVE"})
         out = out.withColumn("__csv", parsed_col)
-        for i, name in enumerate(names[:width]):
-            out = out.withColumn(name, F.col("__csv").getField(f"_f{i}"))
+        # one withColumns call: keeps the plan one projection deep
+        out = out.withColumns({name: F.col("__csv").getField(f"_f{i}") for i, name in enumerate(names[:width])})
         return out.drop("__csv")
 
 
@@ -148,8 +148,7 @@ class ParseAsJson(Directive):
 
         cols: list[tuple[str, Column]] = []
         _flatten_struct(base, schema, col, 1, depth, cols)
-        for name, expr in cols:
-            out = out.withColumn(name, expr)
+        out = out.withColumns(dict(cols))
         return out.drop("__json")
 
 
@@ -294,15 +293,15 @@ class ParseAsFixedLength(Directive):
         col = ctx.resolve(df, self.args["column"])
         widths = [int(w) for w in self.args["widths"]]
         pad = self.args.value("padding")
-        out = df
+        new_cols = {}
         offset = 1
         for i, w in enumerate(widths):
             piece = F.substring(F.col(col), offset, w)
             if pad:
                 piece = F.regexp_replace(piece, f"^[{re.escape(pad)}]+|[{re.escape(pad)}]+$", "")
-            out = out.withColumn(f"{col}_{i + 1}", piece)
+            new_cols[f"{col}_{i + 1}"] = piece
             offset += w
-        return out
+        return df.withColumns(new_cols)
 
 
 @directive
@@ -337,7 +336,7 @@ class ParseAsLog(Directive):
         combined = fmt in ("combined",) or "referer" in fmt or "user-agent" in fmt.lower()
         regex = self._LOG_RE + (self._COMBINED_EXTRA if combined else "")
         c = F.col(col)
-        out = df
+        new_cols = {}
         for name, group in self._FIELDS:
             v = F.regexp_extract(c, regex, group)
             v = F.when(v == "", None).otherwise(v)
@@ -345,11 +344,11 @@ class ParseAsLog(Directive):
                 v = F.to_timestamp(v, "dd/MMM/yyyy:HH:mm:ss Z")
             elif name.startswith("bytes_") or name.startswith("string_request_status"):
                 v = v.cast("long")
-            out = out.withColumn(name, v)
+            new_cols[name] = v
         if combined:
-            out = out.withColumn("string_request_referer", F.regexp_extract(c, regex, 10))
-            out = out.withColumn("string_request_user-agent", F.regexp_extract(c, regex, 11))
-        return out
+            new_cols["string_request_referer"] = F.regexp_extract(c, regex, 10)
+            new_cols["string_request_user-agent"] = F.regexp_extract(c, regex, 11)
+        return df.withColumns(new_cols)
 
 
 @directive

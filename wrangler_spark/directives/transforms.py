@@ -88,14 +88,13 @@ class ExtractRegexGroups(Directive):
         col = ctx.resolve(df, self.args["column"])
         regex = self.args["regex"]
         ngroups = re.compile(regex).groups
-        out = df
-        for i in range(1, ngroups + 1):
-            extracted = F.regexp_extract(F.col(col), regex, i)
-            # reference appends a group only when matched; fixed schema → null when absent
-            out = out.withColumn(
-                f"{col}_{i}", F.when(F.col(col).rlike(regex), extracted)
-            )
-        return out
+        # reference appends a group only when matched; fixed schema → null when absent
+        return df.withColumns(
+            {
+                f"{col}_{i}": F.when(F.col(col).rlike(regex), F.regexp_extract(F.col(col), regex, i))
+                for i in range(1, ngroups + 1)
+            }
+        )
 
 
 @directive
@@ -180,14 +179,16 @@ class SplitUrl(Directive):
         port = F.when(port_str != "", port_str.cast("int")).otherwise(F.lit(-1))
         authority = F.when(port_str != "", F.concat(host, F.lit(":"), port_str)).otherwise(host)
         filename = F.when(query.isNotNull(), F.concat(path, F.lit("?"), query)).otherwise(path)
-        return (
-            df.withColumn(f"{col}_protocol", proto)
-            .withColumn(f"{col}_authority", authority)
-            .withColumn(f"{col}_host", host)
-            .withColumn(f"{col}_port", port)
-            .withColumn(f"{col}_path", path)
-            .withColumn(f"{col}_query", query)
-            .withColumn(f"{col}_filename", filename)
+        return df.withColumns(
+            {
+                f"{col}_protocol": proto,
+                f"{col}_authority": authority,
+                f"{col}_host": host,
+                f"{col}_port": port,
+                f"{col}_path": path,
+                f"{col}_query": query,
+                f"{col}_filename": filename,
+            }
         )
 
 

@@ -417,8 +417,11 @@ def _build():
     _NAMESPACES["logical"] = _logical_fns()
     _NAMESPACES["bytes"] = _bytes_fns()
     from wrangler_spark.expression.datetime_fns import datetime_fns
+    from wrangler_spark.expression.geo_escape_fns import escape_fns, geo_fns
 
     _NAMESPACES["datetime"] = datetime_fns()
+    _NAMESPACES["geo"] = geo_fns()
+    _NAMESPACES["escape"] = escape_fns()
 
 
 def dispatch(tr: Translator, ns: str | None, name: str, args: list[TC], raw_args) -> TC:
