@@ -37,7 +37,7 @@ class SetVariable(Directive):
         from wrangler_spark.expression import compile_expression
         from wrangler_spark.expression.translator import TC
 
-        col = compile_expression(self.args["expression"], df)
+        col = compile_expression(self.args["expression"], df, ctx.variables)
         ctx.variables[self.args["variable"]] = TC(col, "unknown")
         return df
 
@@ -55,11 +55,14 @@ class IncrementVariable(Directive):
     ]
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Observation
+
         from wrangler_spark.expression import compile_condition
 
         var = self.args["variable"]
-        cond = compile_condition(self.args["condition"], df)
+        cond = compile_condition(self.args["condition"], df, ctx.variables)
         cond = cond.isNotNull() & cond
         metric = F.sum(F.when(cond, F.lit(self.args["amount"])).otherwise(F.lit(0))).alias(var)
-        ctx.observations[var] = metric
-        return df.observe(f"wrangler_{var}", metric)
+        obs = Observation(f"wrangler_{var}")
+        ctx.observations[var] = obs  # read via PipelineResult.variable(var)
+        return df.observe(obs, metric)

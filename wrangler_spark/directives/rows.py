@@ -33,7 +33,7 @@ class FilterRow(Directive):
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
         from wrangler_spark.expression import compile_condition
 
-        cond = compile_condition(self.args["condition"], df)
+        cond = compile_condition(self.args["condition"], df, ctx.variables)
         # SQL three-valued semantics: a null condition drops the row in both
         # directions. The reference would NPE on a null JEXL boolean
         # (RecordConditionFilter unboxes getBoolean()), so no behavior is
@@ -112,7 +112,7 @@ class SendToError(Directive):
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
         from wrangler_spark.expression import compile_expression
 
-        cond = compile_expression(self.args["condition"], df)
+        cond = compile_expression(self.args["condition"], df, ctx.variables)
         msg = self.args.value("message") or self.args["condition"]
         return ctx.route_errors(df, cond, self.name, msg)
 
@@ -132,7 +132,7 @@ class SendToErrorAndContinue(Directive):
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
         from wrangler_spark.expression import compile_expression
 
-        cond = compile_expression(self.args["condition"], df)
+        cond = compile_expression(self.args["condition"], df, ctx.variables)
         msg = self.args.value("message") or self.args["condition"]
         return ctx.copy_errors(df, cond, self.name, msg)
 
@@ -150,7 +150,7 @@ class Fail(Directive):
 
         from wrangler_spark.expression.translator import cond_true as _ct
 
-        cond = _ct(compile_condition(self.args["condition"], df))
+        cond = _ct(compile_condition(self.args["condition"], df, ctx.variables))
         msg = self.args.value("message") or self.args["condition"]
         ctx.fail_checks.append(FailCheck(self.name, msg, df, cond))
         return df

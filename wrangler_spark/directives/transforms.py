@@ -58,7 +58,10 @@ class SetColumn(Directive):
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
         from wrangler_spark.expression import compile_expression
 
-        return df.withColumn(self.args["column"], compile_expression(self.args["expression"], df))
+        return df.withColumn(
+            self.args["column"],
+            compile_expression(self.args["expression"], df, ctx.variables),
+        )
 
 
 @directive

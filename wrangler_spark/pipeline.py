@@ -50,6 +50,13 @@ class PipelineResult:
                     f"fail: condition matched at directive '{fc.directive}': {fc.message}"
                 )
 
+    def variable(self, name: str):
+        """Final value of an increment-variable counter. Available after an
+        action has run on ``df`` (Observation semantics); raises KeyError
+        for unknown variables."""
+        obs = self.ctx.observations[name]
+        return obs.get[name]
+
 
 class Pipeline:
     """A compiled recipe: an ordered list of bound directive objects."""
