@@ -175,3 +175,22 @@ def test_escape_fns(one):
     assert ev(one, "escape:unescapeCsv('\"a,b\"')") == "a,b"
     assert ev(one, "escape:escapeHtml4('a < b & c')") == "a &lt; b &amp; c"
     assert ev(one, "escape:escapeJson(s)") == "hello world"
+
+
+def test_more_string_fns(one):
+    assert ev(one, "string:removeStart('prefix_x', 'prefix_')") == "x"
+    assert ev(one, "string:removeEnd('x_suffix', '_suffix')") == "x"
+    assert ev(one, "string:prependIfMissing('x.txt', 'dir/')") == "dir/x.txt"
+    assert ev(one, "string:appendIfMissing('file', '.txt')") == "file.txt"
+    assert ev(one, "string:wrap('x', '\"')") == '"x"'
+    assert ev(one, "string:unwrap('\"x\"', '\"')") == "x"
+    assert ev(one, "string:truncate(s, 5)") == "hello"
+    assert ev(one, "string:center('ab', 6, '*')") == "**ab**"
+    assert ev(one, "string:rotate('abcdef', 2)") == "efabcd"
+    assert ev(one, "string:initials(s)") == "hw"
+
+
+def test_dq_meta_fns(one):
+    assert ev(one, "dq:columns(row)") == 5
+    assert ev(one, "dq:hascolumn(row, 's')") is True
+    assert ev(one, "dq:hascolumn(row, 'nope')") is False

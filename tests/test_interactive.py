@@ -50,3 +50,11 @@ def test_user_defined_directive(spark):
     df = spark.createDataFrame([("abc",)], ["s"])
     out = Pipeline.compile("reverse-string :s").apply(df)
     assert out.collect()[0]["s"] == "cba"
+
+
+def test_pipeline_lineage(spark):
+    p = Pipeline.compile("uppercase :name\ndrop :a,:b\nset-column :x exp:{ 1 }")
+    lin = p.lineage()
+    assert [r["directive"] for r in lin] == ["uppercase", "drop", "set-column"]
+    assert lin[0]["columns"] == ["name"]
+    assert lin[1]["columns"] == ["a", "b"]

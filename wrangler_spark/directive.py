@@ -118,5 +118,22 @@ class Directive:
     def apply(self, ctx: "CompileContext", df: DataFrame) -> DataFrame:  # noqa: F821
         raise NotImplementedError
 
+    def lineage(self) -> dict:
+        """Field-level lineage record (parity: the reference's per-directive
+        Mutation emitted in prepareRun, ``api/lineage/Mutation.java``).
+        Default: directive name + the column arguments it touches."""
+        cols: list[str] = []
+        for a in self.usage:
+            v = self.args.value(a.name)
+            if a.type is TokenType.COLUMN and isinstance(v, str):
+                cols.append(v)
+            elif a.type is TokenType.COLUMN_LIST and isinstance(v, list):
+                cols.extend(v)
+        return {
+            "directive": self.name,
+            "columns": cols,
+            "readable": f"{self.name} on {', '.join(cols) if cols else '(row)'}",
+        }
+
     def __repr__(self) -> str:
         return f"<{type(self).__name__} {self.name}>"

@@ -252,6 +252,57 @@ def _string_fns():
             ),
             "str",
         ),
+        "removestart": lambda tr, a: TC(
+            F.when(a[0].col.startswith(a[1].col), F.substring(a[0].col, F.length(a[1].col) + 1, F.lit(_MAXLEN))).otherwise(a[0].col),
+            "str",
+        ),
+        "removeend": lambda tr, a: TC(
+            F.when(a[0].col.endswith(a[1].col), F.left(a[0].col, F.length(a[0].col) - F.length(a[1].col))).otherwise(a[0].col),
+            "str",
+        ),
+        "prependifmissing": lambda tr, a: TC(
+            F.when(a[0].col.startswith(a[1].col), a[0].col).otherwise(F.concat(a[1].col, a[0].col)), "str"
+        ),
+        "appendifmissing": lambda tr, a: TC(
+            F.when(a[0].col.endswith(a[1].col), a[0].col).otherwise(F.concat(a[0].col, a[1].col)), "str"
+        ),
+        "wrap": lambda tr, a: TC(F.concat(a[1].col, a[0].col, a[1].col), "str"),
+        "unwrap": lambda tr, a: TC(
+            F.when(
+                a[0].col.startswith(a[1].col) & a[0].col.endswith(a[1].col) & (F.length(a[0].col) >= 2 * F.length(a[1].col)),
+                F.substring(a[0].col, F.length(a[1].col) + 1, F.lit(_MAXLEN)).substr(
+                    F.lit(1), F.length(a[0].col) - 2 * F.length(a[1].col)
+                ),
+            ).otherwise(a[0].col),
+            "str",
+        ),
+        "truncate": lambda tr, a: TC(F.left(a[0].col, a[1].col), "str"),
+        "center": lambda tr, a: TC(
+            # pad left to (size+len)//2 then right-pad to size (StringUtils.center)
+            F.rpad(
+                F.lpad(
+                    a[0].col,
+                    ((a[1].col + F.length(a[0].col)) / 2).cast("int"),
+                    _lit_str(a[2]) if len(a) > 2 else " ",
+                ),
+                _lit_int(a[1]),
+                _lit_str(a[2]) if len(a) > 2 else " ",
+            ),
+            "str",
+        ),
+        "rotate": lambda tr, a: TC(
+            F.concat(
+                F.right(a[0].col, ((a[1].col % F.length(a[0].col)) + F.length(a[0].col)) % F.length(a[0].col)),
+                F.left(a[0].col, F.length(a[0].col) - (((a[1].col % F.length(a[0].col)) + F.length(a[0].col)) % F.length(a[0].col))),
+            ),
+            "str",
+        ),
+        "initials": lambda tr, a: TC(
+            F.concat_ws("", F.transform(F.split(a[0].col, " "), lambda w: F.left(w, F.lit(1)))), "str"
+        ),
+        "difference": lambda tr, a: TC(
+            F.when(a[0].col == a[1].col, F.lit("")).otherwise(a[1].col), "str"
+        ),
     }
 
 
@@ -317,7 +368,17 @@ def _dq_fns():
         total = F.aggregate(weighted, F.lit(0), lambda s, x: s + x)
         return clean.rlike("^[0-9]{13}$") & (total % 10 == 0)
 
+    def hascolumn(tr, a):
+        # dq:hascolumn(row, 'name') — schema is static, so this folds to a
+        # literal at compile time (ref signature takes the Row object)
+        name = a[-1].lit
+        if name is None:
+            raise ExpressionError("dq:hascolumn needs a literal column name")
+        return TC(F.lit(str(name).lower() in {f.lower() for f in tr.df.columns}), "bool", None)
+
     out = {
+        "columns": lambda tr, a: TC(F.lit(len(tr.df.columns)), "num", len(tr.df.columns)),
+        "hascolumn": hascolumn,
         "inrange": lambda tr, a: TC(a[0].col.between(a[1].col, a[2].col), "bool"),
         "strlen": lambda tr, a: TC(F.length(a[0].col), "num"),
         "isnull": lambda tr, a: TC(a[0].col.isNull(), "bool"),

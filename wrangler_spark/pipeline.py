@@ -132,3 +132,8 @@ class Pipeline:
     def apply(self, df: DataFrame) -> DataFrame:
         """Convenience: clean output only."""
         return self.transform(df).df
+
+    def lineage(self) -> list[dict]:
+        """Ordered field-level lineage, one record per directive (parity:
+        ``Wrangler.prepareRun`` emitting each directive's Mutation)."""
+        return [d.lineage() for d in self.directives]
