@@ -436,13 +436,30 @@ class ParseXmlToJson(Directive):
                     obj[ch.tag] = val
             return obj
 
+        # no annotations: `from __future__ import annotations` turns them
+        # into strings pandas_udf can't resolve for locally-defined fns
         @pandas_udf(StringType())
-        def xml2json(s: pd.Series) -> pd.Series:
+        def xml2json(s):
             def conv(v):
                 if v is None:
                     return None
+                text = str(v)
                 try:
-                    root = ET.fromstring(str(v))
+                    root = ET.fromstring(text)
+                except Exception:
+                    # lenient path (org.json.XML parity): strip prolog/PIs and
+                    # wrap in a synthetic root to survive trailing content
+                    import re as _re
+
+                    body = _re.sub(r"<\?.*?\?>", "", text, flags=_re.S)
+                    body = _re.sub(r"<!DOCTYPE[^>]*>", "", body)
+                    try:
+                        wrapper = ET.fromstring(f"<__doc__>{body}</__doc__>")
+                    except Exception:
+                        return None
+                    children = list(wrapper)
+                    root = children[0] if len(children) == 1 else wrapper
+                try:
                     return _json.dumps({root.tag: elem_to_obj(root)})
                 except Exception:
                     return None
