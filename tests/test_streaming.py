@@ -86,3 +86,15 @@ def test_error_channel_on_stream(spark, stream_dir):
     q1 = run_to_memory(result.df, "clean_out")
     q1.stop()
     assert spark.sql("SELECT count(*) c FROM clean_out").collect()[0]["c"] == 2
+
+
+def test_errors_side_on_stream(spark, stream_dir):
+    static = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    p = Pipeline.compile("send-to-error exp:{ id > 2 } 'big id'")
+    result = transform_stream(p, stream, sample_df=static)
+    q = run_to_memory(result.errors(), "err_out")
+    q.stop()
+    rows = spark.sql("SELECT * FROM err_out").collect()
+    assert len(rows) == 2  # the two (3, carol) rows
+    assert all(r["message"] == "big id" for r in rows)

@@ -40,6 +40,26 @@ class MaskNumber(Directive):
         pattern = self.args["pattern"]
         value = F.col(col).cast("string")
 
+        # fast path: patterns of only '#'/'x' are purely positional — the
+        # cursor equals the pattern index, so the walk collapses to a
+        # concat of substrings and literal runs (no aggregate state)
+        if set(pattern) <= {"#", "x", "X"}:
+            parts = []
+            i = 0
+            while i < len(pattern):
+                ch = pattern[i]
+                j = i
+                while j < len(pattern) and pattern[j] == ch:
+                    j += 1
+                run = j - i
+                if ch == "#":
+                    parts.append(F.coalesce(value.substr(i + 1, run), F.lit("")))
+                else:
+                    parts.append(F.lit("x" * run))
+                i = j
+            masked = F.concat(*parts)
+            return df.withColumn(col, F.when(value.isNull(), F.col(col)).otherwise(masked))
+
         # accumulator: struct(i: value cursor, s: output string)
         def step(acc, pc):
             i, s = acc.getField("i"), acc.getField("s")

@@ -61,6 +61,12 @@ class PipelineResult:
 class Pipeline:
     """A compiled recipe: an ordered list of bound directive objects."""
 
+    # compiled-recipe cache (parity: the reference's 1024-entry JEXL
+    # compile cache, EL.java:57-65); directives are stateless so reuse
+    # across transforms is safe. Only default-registry compiles cache.
+    _CACHE: dict[tuple[str, str | None], "Pipeline"] = {}
+    _CACHE_MAX = 1024
+
     def __init__(self, directives: list[Directive], pragmas: dict[str, list[str]] | None = None):
         self.directives = directives
         self.pragmas = pragmas or {}
@@ -85,6 +91,12 @@ class Pipeline:
         reg = registry or default_registry
         if isinstance(recipe, (list, tuple)):
             recipe = "\n".join(recipe)
+
+        cacheable = registry is None
+        if cacheable:
+            hit = cls._CACHE.get((recipe, precondition))
+            if hit is not None:
+                return hit
 
         bound: list[Directive] = []
         pragmas: dict[str, list[str]] = {}
@@ -112,6 +124,10 @@ class Pipeline:
                 bound.append(dcls(args, mcall))
         p = cls(bound, pragmas)
         p.precondition = precondition
+        if cacheable:
+            if len(cls._CACHE) >= cls._CACHE_MAX:
+                cls._CACHE.clear()
+            cls._CACHE[(recipe, precondition)] = p
         return p
 
     precondition: str | None = None
