@@ -152,7 +152,7 @@ def _q_multimodal(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     with_payload = multimodal.attach_binary(docs, "text")
     feats = multimodal.extract_features(with_payload, "payload", "features")
-    return feats.select("doc_id", "features.n_bytes", "features.crc32", "features.sha1_prefix")
+    return feats.select("doc_id", "features.n_bytes", "features.md5_prefix")
 
 
 def _datapipe_oracles() -> dict[str, str]:
@@ -169,8 +169,46 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_quality": o.quality_sql(),
         "text_token_count": o.token_count_sql(),
         "text_fingerprint": o.fingerprint_sql(),
-        # ann_ivf_topk, multimodal_features: rows-only (driver's weaker check)
+        "multimodal_features": (
+            "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "
+            "substr(md5(text), 1, 12) AS md5_prefix FROM documents"
+        ),
+        "ann_ivf_topk": _ivf_oracle_sql(),
     }
+
+
+def _ivf_oracle_sql(n_centroids: int = 8, k: int = 5, n_queries: int = 5) -> str:
+    """Mirror of similarity.ivf_topk: centroids = first n vectors by id,
+    nearest-centroid assignment (cosine, ties by centroid id), probe only
+    the query's bucket."""
+    dot = "list_sum([{a}[i] * {b}[i] FOR i IN range(1, 65)])"
+    def cos(a, b):
+        d = dot.format(a=a, b=b)
+        na = f"sqrt(list_sum([x * x FOR x IN {a}]))"
+        nb = f"sqrt(list_sum([x * x FOR x IN {b}]))"
+        return f"round(({d}) / ({na} * {nb}), 6)"
+    return f"""
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS zv FROM c ORDER BY vec_id LIMIT {n_centroids}),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY {cos("c.v", "cent.zv")} DESC, cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1
+),
+q AS (
+  SELECT c.vec_id AS query_id, c.v AS qv, a.centroid_id
+  FROM c JOIN assign a ON c.vec_id = a.vec_id WHERE c.vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, {cos("q.qv", "c.v")} AS cosine
+  FROM c JOIN assign a ON c.vec_id = a.vec_id JOIN q ON a.centroid_id = q.centroid_id
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+WHERE rank <= {k}
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

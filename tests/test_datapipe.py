@@ -72,7 +72,7 @@ def test_multimodal_plumbing(docs):
     feats = multimodal.extract_features(with_payload).select("doc_id", "features.*").collect()
     r = {x["doc_id"]: x for x in feats}
     assert r[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
-    assert len(r[1]["sha1_prefix"]) == 12
+    assert len(r[1]["md5_prefix"]) == 12
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(with_payload)
 

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): parser robustness and
+implementation-path equivalence."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from wrangler_spark.errors import RecipeSyntaxError, WranglerError
+from wrangler_spark.parser.recipe_parser import parse_recipe
+from wrangler_spark.parser.tokenizer import tokenize_statement
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_parse_recipe_never_crashes_unexpectedly(text):
+    """Arbitrary input either parses or raises the engine's own error —
+    never an uncontrolled exception."""
+    try:
+        parse_recipe(text)
+    except WranglerError:
+        pass
+
+
+@given(
+    st.text(alphabet=string.ascii_letters + string.digits + " _-", min_size=1, max_size=40)
+)
+@settings(max_examples=100, deadline=None)
+def test_quoted_text_roundtrip(value):
+    toks = tokenize_statement(f"fill-null-or-empty :c '{value}'")
+    assert toks[2].value == value
+
+
+def _mask_walk(value: str, pattern: str) -> str:
+    """Reference mask-number algorithm (MaskNumber.java:121-147) in Python —
+    the spec both Spark implementations must match."""
+    out, i = [], 0
+    for ch in pattern:
+        if ch == "#":
+            if i > len(value) - 1:
+                continue
+            out.append(value[i])
+            i += 1
+        elif ch in ("x", "X"):
+            out.append("x")
+            i += 1
+        else:
+            if i < len(value) and value[i] == ch:
+                i += 1
+            out.append(ch)
+    return "".join(out)
+
+
+@given(
+    st.text(alphabet=string.digits, max_size=12),
+    st.text(alphabet="#xX", min_size=1, max_size=8),
+)
+@settings(max_examples=25, deadline=None)
+def test_mask_positional_fast_path_matches_spec(value, pattern):
+    """The concat/substr fast path must equal the reference walk for every
+    positional pattern. (Pure-python check of the same closed form the
+    Spark expression implements.)"""
+    parts, i = [], 0
+    while i < len(pattern):
+        ch = pattern[i]
+        j = i
+        while j < len(pattern) and pattern[j] == ch:
+            j += 1
+        run = j - i
+        if ch == "#":
+            parts.append(value[i : i + run])
+        else:
+            parts.append("x" * run)
+        i = j
+    assert "".join(parts) == _mask_walk(value, pattern)
+
+
+def test_mask_spark_matches_spec(spark):
+    """Both Spark implementations (positional fast path AND literal-bearing
+    aggregate walk) must equal the reference algorithm on real values."""
+    values = ["", "1", "12", "123456789", "98765", "12-34", "x1y2"]
+    for pattern in ["xx##", "####", "xxx", "#x#x#", "xxx-##", "(###) #", "##.##"]:
+        got = _run_mask(spark, values, pattern)
+        for v in values:
+            assert got[v] == _mask_walk(v, pattern), f"value={v!r} pattern={pattern!r}"
+
+
+def _run_mask(spark, values, pattern):
+    from pyspark.sql import functions as F
+
+    from wrangler_spark import Pipeline
+
+    df = spark.createDataFrame([(v,) for v in values], ["v"]).withColumn("v0", F.col("v"))
+    rows = Pipeline.compile(f"mask-number :v '{pattern}'").apply(df).collect()
+    return {r["v0"]: r["v"] for r in rows}

@@ -47,7 +47,7 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("n_bytes", T.LongType()),
         T.StructField("crc32", T.LongType()),
-        T.StructField("sha1_prefix", T.StringType()),
+        T.StructField("md5_prefix", T.StringType()),
         T.StructField("byte_entropy_q", T.LongType()),
     ]
 )
@@ -55,7 +55,8 @@ FEATURE_SCHEMA = T.StructType(
 
 def _fake_feature_row(b: bytes | None) -> tuple | None:
     """Deterministic byte-level features — the stand-in for a real
-    image/audio feature extractor (embedding, spectrogram stats, ...)."""
+    image/audio feature extractor (embedding, spectrogram stats, ...).
+    md5 (not sha1) so the DuckDB oracle can mirror the digest."""
     if b is None:
         return None
     counts = [0] * 16
@@ -64,7 +65,7 @@ def _fake_feature_row(b: bytes | None) -> tuple | None:
     total = max(sum(counts), 1)
     # quantized entropy proxy: number of non-rare nibble buckets
     q = sum(1 for c in counts if c / total > 0.02)
-    return (len(b), zlib.crc32(b) & 0xFFFFFFFF, hashlib.sha1(b).hexdigest()[:12], q)
+    return (len(b), zlib.crc32(b) & 0xFFFFFFFF, hashlib.md5(b).hexdigest()[:12], q)
 
 
 def extract_features(
