@@ -194,3 +194,8 @@ def test_dq_meta_fns(one):
     assert ev(one, "dq:columns(row)") == 5
     assert ev(one, "dq:hascolumn(row, 's')") is True
     assert ev(one, "dq:hascolumn(row, 'nope')") is False
+
+
+def test_json_drop_and_keys(one):
+    assert ev(one, "json:drop('{\"a\":1,\"b\":2}', 'b')") == '{"a":"1"}'
+    assert ev(one, "json:keysToLower('{\"Foo\":1}')") == '{"foo":"1"}'
