@@ -430,13 +430,15 @@ def _json_fns():
         "isobject": lambda tr, a: TC(F.coalesce(F.trim(a[0].col).startswith("{"), F.lit(False)), "bool"),
         "isarray": lambda tr, a: TC(F.coalesce(F.trim(a[0].col).startswith("["), F.lit(False)), "bool"),
         "arraylength": lambda tr, a: TC(F.json_array_length(a[0].col), "num"),
-        # flat-object ops via map<string,string> round-trip (nested values
-        # survive as raw JSON strings)
+        # FLAT-object ops via map<string,string> round-trip. Limitations
+        # (documented divergence from gson's typed tree): scalar values
+        # re-serialize as strings ("87"), and nested object/array values
+        # get re-escaped — use only on flat JSON objects.
         "drop": lambda tr, a: TC(
             F.to_json(
                 F.map_filter(
                     F.from_json(a[0].col, "map<string,string>"),
-                    lambda k, v: ~k.isin([str(x.lit) for x in a[1:]]),
+                    lambda k, v: ~k.isin([_lit_str(x) for x in a[1:]]),
                 )
             ),
             "str",
