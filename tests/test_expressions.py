@@ -199,3 +199,31 @@ def test_dq_meta_fns(one):
 def test_json_drop_and_keys(one):
     assert ev(one, "json:drop('{\"a\":1,\"b\":2}', 'b')") == '{"a":"1"}'
     assert ev(one, "json:keysToLower('{\"Foo\":1}')") == '{"foo":"1"}'
+
+
+def test_arithmetic_decimal_ddl(spark):
+    df = spark.createDataFrame([((5, "x"), 12, 8)], "st struct<a:int,b:string>, m int, n int")
+    p = Pipeline.compile(
+        "set-column :s exp:{ arithmetic:add(m, n) }\n"
+        "set-column :q exp:{ arithmetic:divider(m, n) }\n"
+        "set-column :g exp:{ arithmetic:lcm(m, n) }\n"
+        "set-column :sel exp:{ ddl:select(st, 'a') }\n"
+        "set-column :dropped exp:{ ddl:json(ddl:drop(st, 'b')) }"
+    )
+    r = p.apply(df).collect()[0]
+    assert r["s"] == 20 and r["q"] == 4
+    assert r["g"] == 24  # lcm(12, 8)
+    assert r["sel"] == 5
+    assert r["dropped"] == '{"a":5}'
+
+
+def test_decimal_fns(spark):
+    df = spark.createDataFrame([("123.45",)], ["x"])
+    p = Pipeline.compile(
+        "set-type :x decimal 2\n"
+        "set-column :p exp:{ decimal:precision(x) }\n"
+        "set-column :sc exp:{ decimal:scale(x) }\n"
+        "set-column :u exp:{ decimal:unscaled(x) }"
+    )
+    r = p.apply(df).collect()[0]
+    assert r["p"] == 5 and r["sc"] == 2 and r["u"] == 12345

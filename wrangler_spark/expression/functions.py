@@ -468,6 +468,69 @@ def _logical_fns():
     }
 
 
+def _ddl_fns():
+    """ddl: — schema/struct operations (ref: functions/DDL.java; CDAP
+    StructuredRecord ops → Spark struct Column ops)."""
+    return {
+        "select": lambda tr, a: TC(a[0].col.getField(_lit_str(a[1])), "unknown"),
+        "drop": lambda tr, a: TC(a[0].col.dropFields(*[_lit_str(x) for x in a[1:]]), "struct"),
+        "json": lambda tr, a: TC(F.to_json(a[0].col), "str"),
+        "parse": lambda tr, a: TC(a[0].col, "unknown"),  # schema is static here
+    }
+
+
+def _arith_fns():
+    """arithmetic: — type-preserving ops (ref: utils/ArithmeticOperations.java:
+    add/minus/multiply/divideq (quotient)/divider (remainder)/pow over
+    Integer/Float/Double/BigDecimal)."""
+    return {
+        "add": lambda tr, a: TC(a[0].col + a[1].col, "num"),
+        "minus": lambda tr, a: TC(a[0].col - a[1].col, "num"),
+        "multiply": lambda tr, a: TC(a[0].col * a[1].col, "num"),
+        "divideq": lambda tr, a: TC(a[0].col / a[1].col, "num"),
+        "divider": lambda tr, a: TC(a[0].col % a[1].col, "num"),
+        "pow": lambda tr, a: TC(F.pow(a[0].col, a[1].col), "num"),
+        "lcm": lambda tr, a: TC(
+            (a[0].col * a[1].col)
+            / F.aggregate(
+                F.sequence(F.lit(1), F.least(F.abs(a[0].col), F.abs(a[1].col)).cast("int")),
+                F.lit(1),
+                lambda acc, i: F.when(((a[0].col % i) == 0) & ((a[1].col % i) == 0), i).otherwise(acc),
+            ),
+            "num",
+        ),
+    }
+
+
+def _decimal_fns():
+    """decimal: — BigDecimal ops (ref: utils/DecimalTransform.java) on
+    DecimalType columns."""
+    return {
+        "add": lambda tr, a: TC(a[0].col + a[1].col, "num"),
+        "subtract": lambda tr, a: TC(a[0].col - a[1].col, "num"),
+        "multiply": lambda tr, a: TC(a[0].col * a[1].col, "num"),
+        "divide": lambda tr, a: TC(a[0].col / a[1].col, "num"),
+        "abs": lambda tr, a: TC(F.abs(a[0].col), "num"),
+        "negate": lambda tr, a: TC(-a[0].col, "num"),
+        "pow": lambda tr, a: TC(F.pow(a[0].col, a[1].col), "num"),
+        "decimal_left": lambda tr, a: TC(a[0].col * F.pow(F.lit(10), a[1].col), "num"),
+        "decimal_right": lambda tr, a: TC(a[0].col / F.pow(F.lit(10), a[1].col), "num"),
+        "precision": lambda tr, a: TC(
+            F.length(F.regexp_replace(F.abs(a[0].col).cast("string"), r"[.]", "")), "num"
+        ),
+        "scale": lambda tr, a: TC(
+            F.when(
+                a[0].col.cast("string").contains("."),
+                F.length(F.substring_index(a[0].col.cast("string"), ".", -1)),
+            ).otherwise(0),
+            "num",
+        ),
+        "unscaled": lambda tr, a: TC(
+            F.regexp_replace(a[0].col.cast("string"), r"[.]", "").cast("long"), "num"
+        ),
+    }
+
+
 def _bytes_fns():
     return {
         "tostring": lambda tr, a: TC(a[0].col.cast("string"), "str"),
@@ -494,6 +557,9 @@ def _build():
     _NAMESPACES["number"] = _number_fns()
     _NAMESPACES["logical"] = _logical_fns()
     _NAMESPACES["bytes"] = _bytes_fns()
+    _NAMESPACES["ddl"] = _ddl_fns()
+    _NAMESPACES["arithmetic"] = _arith_fns()
+    _NAMESPACES["decimal"] = _decimal_fns()
     from wrangler_spark.expression.datetime_fns import datetime_fns
     from wrangler_spark.expression.geo_escape_fns import escape_fns, geo_fns
 
