@@ -303,8 +303,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "copy :padded :l\nltrim :l\ncopy :padded :r\nrtrim :r\ncopy :padded :t\ntrim :t",
         ),
         "url_encode": _recipe_q("part", "copy :p_name :pn\nurl-encode :pn"),
+        "url_decode": _recipe_q("part", "copy :p_name :pn\nurl-encode :pn\nurl-decode :pn"),
+        "encode_hex": _recipe_q("part", "encode hex :p_name"),
         "stemming": _recipe_q("documents", "stemming :text\ndrop :text"),
         "generate_uuid": _recipe_q("region", "generate-uuid :uid"),
+        "parse_fixed_length": _recipe_q(
+            "part",
+            "set-column :fw exp:{ concat(padAtEnd(p_brand, 10, ' '), padAtEnd(p_type, 22, ' ')) }\n"
+            "parse-as-fixed-length :fw 10,22 ' '",
+        ),
+        "parse_as_datetime": _recipe_q(
+            "events",
+            "copy :ts :ds\nformat-date :ds 'yyyy-MM-dd HH:mm:ss'\n"
+            "parse-as-datetime :ds 'yyyy-MM-dd HH:mm:ss'\ndrop :ts",
+        ),
+        "parse_as_log": _recipe_q(
+            "customer",
+            "keep :c_custkey\n"
+            "set-column :line exp:{ '10.0.0.' + (c_custkey % 250) + ' - u' + c_custkey"
+            " + ' [10/Oct/2020:13:55:36 +0000] \"GET /c/' + c_custkey"
+            " + ' HTTP/1.1\" 200 ' + (c_custkey % 1000) }\n"
+            "parse-as-log :line 'common'\ndrop :line",
+        ),
+        "set_charset": _recipe_q(
+            "customer", "copy :c_name :cn\nset-type :cn bytes\nset-charset :cn 'utf-8'"
+        ),
+        "columns_replace": _recipe_q("customer", "columns-replace 's/^c_/cust_/'"),
+        "change_column_case": _recipe_q("region", "change-column-case upper"),
+        "cleanse_column_names": _recipe_q(
+            "region", "copy :r_name :R_Name_X\ncleanse-column-names"
+        ),
+        "split_first_rest": _recipe_q("part", "split :p_type ' ' :head :tail"),
+        "format_as_currency": _recipe_q(
+            "customer",
+            "set-column :v exp:{ (c_custkey % 2 == 0 ? 0.0 - 1.0 : 1.0) * ((c_custkey % 99900) / 100.0) }\n"
+            "format-as-currency :v :v_fmt",
+        ),
+        "text_distance_dice": _recipe_q("part", "text-distance dice :p_brand :p_type :dist"),
+        "send_to_error_continue": _recipe_q(
+            "customer", "send-to-error-and-continue exp:{ c_acctbal < 0.0 } 'neg'"
+        ),
+        "precondition_filter": _q_precondition,
+        "timestamp_to_datetime": _recipe_q(
+            "events",
+            "copy :ts :dt\ntimestamp-to-datetime :dt\n"
+            "format-datetime :dt 'yyyy-MM-dd HH:mm:ss'\ndrop :ts",
+        ),
+        "datetime_to_timestamp": _recipe_q(
+            "events",
+            "copy :ts :dt\ntimestamp-to-datetime :dt\n"
+            "datetime-to-timestamp :dt 'Asia/Kolkata'\n"
+            "format-date :dt 'yyyy-MM-dd HH:mm:ss'\ndrop :ts",
+        ),
         # --- Spark-native extensions (no reference equivalent, SURVEY §2.12)
         "ext_groupby_agg": _recipe_q(
             "lineitem",
@@ -321,6 +371,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ext_join": _q_ext_join,
     }
+
+
+def _q_precondition(spark, sf_dir):
+    """Plugin-level precondition (Wrangler.java:369-375): record skipped
+    when the JEXL expression is true, before the recipe runs."""
+    return Pipeline.compile("uppercase :c_mktsegment", precondition="c_acctbal < 0.0").apply(
+        _t(spark, sf_dir, "customer")
+    )
 
 
 def _q_ext_join(spark, sf_dir):
@@ -514,6 +572,85 @@ def oracle_sql() -> dict[str, str]:
         "url_encode": (
             "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
             "replace(p_name, ' ', '+') AS pn FROM part"
+        ),
+        "url_decode": (
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "p_name AS pn FROM part"
+        ),
+        "encode_hex": (
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "lower(hex(p_name)) AS p_name_encode_hex FROM part"
+        ),
+        "parse_fixed_length": (
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "rpad(p_brand, 10, ' ') || rpad(p_type, 22, ' ') AS fw, "
+            "trim(rpad(p_brand, 10, ' '), ' ') AS fw_1, "
+            "trim(rpad(p_type, 22, ' '), ' ') AS fw_2 FROM part"
+        ),
+        "parse_as_datetime": (
+            "SELECT event_id, user_id, event_type, value, props, "
+            "date_trunc('second', ts) AS ds FROM events"
+        ),
+        "parse_as_log": (
+            "SELECT c_custkey, "
+            "'10.0.0.' || (c_custkey % 250) AS ip_connection_client_host, "
+            "'u' || c_custkey AS string_connection_client_user, "
+            "TIMESTAMP '2020-10-10 13:55:36' AS time_stamp_request_receive_time, "
+            "'GET' AS http_method_request_receive_method, "
+            "'/c/' || c_custkey AS http_uri_request_firstline_uri, "
+            "'HTTP/1.1' AS http_protocol_request_firstline_protocol, "
+            "CAST(200 AS BIGINT) AS string_request_status_last, "
+            "CAST(c_custkey % 1000 AS BIGINT) AS bytes_response_body_bytes FROM customer"
+        ),
+        "set_charset": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
+            "c_name AS cn FROM customer"
+        ),
+        "columns_replace": (
+            "SELECT c_custkey AS cust_custkey, c_name AS cust_name, c_nationkey AS cust_nationkey, "
+            "c_acctbal AS cust_acctbal, c_mktsegment AS cust_mktsegment FROM customer"
+        ),
+        "change_column_case": (
+            'SELECT r_regionkey AS "R_REGIONKEY", r_name AS "R_NAME" FROM region'
+        ),
+        "cleanse_column_names": (
+            "SELECT r_regionkey, r_name, r_name AS r_name_x FROM region"
+        ),
+        "split_first_rest": (
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "CASE WHEN strpos(p_type, ' ') > 0 THEN substr(p_type, 1, strpos(p_type, ' ') - 1) "
+            "ELSE p_type END AS head, "
+            "CASE WHEN strpos(p_type, ' ') > 0 THEN substr(p_type, strpos(p_type, ' ') + 1) "
+            "END AS tail FROM part"
+        ),
+        "format_as_currency": (
+            "WITH v AS (SELECT *, (CASE WHEN c_custkey % 2 = 0 THEN -1.0 ELSE 1.0 END) "
+            "* ((c_custkey % 99900) / 100.0) AS v FROM customer) "
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, v, "
+            "(CASE WHEN v < 0 THEN '-' ELSE '' END) || '$' || printf('%.2f', abs(v) + 0.0) AS v_fmt FROM v"
+        ),
+        "text_distance_dice": (
+            "WITH b AS (SELECT *, "
+            "CASE WHEN length(p_brand) >= 2 THEN list_distinct(list_transform(range(1, length(p_brand)), "
+            "i -> substr(lower(p_brand), i, 2))) ELSE [lower(p_brand)] END AS ba, "
+            "CASE WHEN length(p_type) >= 2 THEN list_distinct(list_transform(range(1, length(p_type)), "
+            "i -> substr(lower(p_type), i, 2))) ELSE [lower(p_type)] END AS bb FROM part) "
+            "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, "
+            "CAST(1.0 - CASE WHEN len(ba) + len(bb) = 0 THEN 1.0 "
+            "ELSE 2.0 * len(list_intersect(ba, bb)) / (len(ba) + len(bb)) END AS REAL) AS dist FROM b"
+        ),
+        "send_to_error_continue": "SELECT * FROM customer",
+        "precondition_filter": (
+            "SELECT c_custkey, c_name, c_nationkey, c_acctbal, upper(c_mktsegment) AS c_mktsegment "
+            "FROM customer WHERE NOT (c_acctbal < 0.0)"
+        ),
+        "timestamp_to_datetime": (
+            "SELECT event_id, user_id, event_type, value, props, "
+            "strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt FROM events"
+        ),
+        "datetime_to_timestamp": (
+            "SELECT event_id, user_id, event_type, value, props, "
+            "strftime(timezone('UTC', timezone('Asia/Kolkata', ts)), '%Y-%m-%d %H:%M:%S') AS dt FROM events"
         ),
         "ext_groupby_agg": (
             "SELECT l_returnflag, l_linestatus, "
