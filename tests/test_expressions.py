@@ -108,6 +108,53 @@ def test_string_fns(one):
     assert ev(one, "string:getLevenshteinDistance('kitten', 'sitting')") == 3
 
 
+def test_string_fns_lang3_tail(one):
+    # goldens follow commons-lang3 StringUtils javadoc examples
+    assert ev(one, "string:equalsIgnoreCase('abc', 'ABC')") is True
+    assert ev(one, "string:equals('abc', 'abd')") is False
+    assert ev(one, "string:containsIgnoreCase(s, 'WORLD')") is True
+    assert ev(one, "string:indexOfIgnoreCase(s, 'WORLD')") == 6
+    assert ev(one, "string:lastIndexOf('aabaabaa', 'ab')") == 4
+    assert ev(one, "string:lastIndexOf('aabaabaa', 'zz')") == -1
+    assert ev(one, "string:substringAfterLast('a.b.c', '.')") == "c"
+    assert ev(one, "string:substringAfterLast('abc', '.')") == ""
+    assert ev(one, "string:substringBeforeLast('a.b.c', '.')") == "a.b"
+    assert ev(one, "string:substringBeforeLast('abc', '.')") == "abc"
+    assert ev(one, "string:isAlpha('abc')") is True
+    assert ev(one, "string:isAlpha('ab2c')") is False
+    assert ev(one, "string:isAlpha('')") is False
+    assert ev(one, "string:isNumeric('123')") is True
+    assert ev(one, "string:isNumeric('12 3')") is False
+    assert ev(one, "string:isNumeric('12.3')") is False
+    assert ev(one, "string:isAlphanumeric('ab2c')") is True
+    assert ev(one, "string:isAlphaSpace('ab c')") is True
+    assert ev(one, "string:isAlphaSpace('')") is True
+    assert ev(one, "string:isNumericSpace('12 3')") is True
+    assert ev(one, "string:isWhitespace('   ')") is True
+    assert ev(one, "string:isAllUpperCase('ABC')") is True
+    assert ev(one, "string:isAllUpperCase('aBC')") is False
+    assert ev(one, "string:isAllLowerCase('abc')") is True
+    assert ev(one, "string:stripStart('yxabcxy', 'xyz')") == "abcxy"
+    assert ev(one, "string:stripEnd('yxabcxy', 'xyz')") == "yxabc"
+    assert ev(one, "string:stripToNull('   ')") is None
+    assert ev(one, "string:stripToEmpty('  ab  ')") == "ab"
+    assert ev(one, "string:normalizeSpace('  a   b  c ')") == "a b c"
+    assert ev(one, "string:getDigits('(541) 754-3010')") == "5417543010"
+    assert ev(one, "string:overlay('abcdef', 'zzzz', 2, 4)") == "abzzzzef"
+    assert ev(one, "string:overlay('abcdef', 'zzzz', 4, 2)") == "abzzzzef"
+    assert ev(one, "string:overlay('abcdef', 'zzzz', -1, 4)") == "zzzzef"
+    assert ev(one, "string:replaceOnce('aba', 'a', 'z')") == "zba"
+    assert ev(one, "string:replaceIgnoreCase('FoOFoofoo', 'foo', '#')") == "###"
+    assert ev(one, "string:removeIgnoreCase('quEUed', 'ue')") == "qd"
+    assert ev(one, "string:containsAny('zzabyycdxx', 'za')") is True
+    assert ev(one, "string:containsAny('zzabyycdxx', 'q')") is False
+    assert ev(one, "string:containsNone('abab', 'xyz')") is True
+    assert ev(one, "string:containsOnly('abab', 'abc')") is True
+    assert ev(one, "string:containsOnly('ab1', 'abc')") is False
+    assert ev(one, "string:abbreviateMiddle('abcdef', '.', 4)") == "ab.f"
+    assert ev(one, "string:abbreviateMiddle('abc', '.', 3)") == "abc"
+
+
 def test_date_fns(one):
     assert ev(one, "date:YEAR(toDate(ts_str))".replace("toDate(ts_str)", "datetime:GetDateTime(ts_str)")) == 2024
     assert ev(one, "date:MONTH(datetime:GetDateTime(ts_str))") == 3

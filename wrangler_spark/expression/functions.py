@@ -16,6 +16,8 @@ ExpressionError naming the gap, never silently doing the wrong thing.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -208,7 +210,7 @@ def _string_fns():
         "endswith": lambda tr, a: TC(a[0].col.endswith(a[1].col), "bool"),
         "startswithignorecase": lambda tr, a: TC(F.lower(a[0].col).startswith(F.lower(a[1].col)), "bool"),
         "endswithignorecase": lambda tr, a: TC(F.lower(a[0].col).endswith(F.lower(a[1].col)), "bool"),
-        "indexof": lambda tr, a: TC(F.instr(a[0].col, a[1].col) - 1, "num"),
+        "indexof": lambda tr, a: TC(F.coalesce(F.instr(a[0].col, a[1].col) - 1, F.lit(-1)), "num"),
         "replace": lambda tr, a: TC(F.replace(a[0].col, a[1].col, a[2].col), "str"),
         "replacechars": lambda tr, a: TC(F.translate(a[0].col, _lit_str(a[1]), _lit_str(a[2])), "str"),
         "remove": lambda tr, a: TC(F.replace(a[0].col, a[1].col, F.lit("")), "str"),
@@ -244,11 +246,18 @@ def _string_fns():
             "str",
         ),
         "substringafterlast": lambda tr, a: TC(
-            F.when(F.instr(a[0].col, a[1].col) == 0, F.lit("")).otherwise(F.substring_index(a[0].col, a[1].col, -1)), "str"
+            F.when(F.instr(a[0].col, a[1].col) == 0, F.lit("")).otherwise(
+                F.substring(
+                    a[0].col,
+                    _last_index_0b(a[0].col, a[1].col) + F.length(a[1].col) + 1,
+                    F.lit(_MAXLEN),
+                )
+            ),
+            "str",
         ),
         "substringbeforelast": lambda tr, a: TC(
             F.when(F.instr(a[0].col, a[1].col) == 0, a[0].col).otherwise(
-                F.left(a[0].col, F.length(a[0].col) - F.length(F.substring_index(a[0].col, a[1].col, -1)) - F.length(a[1].col))
+                F.left(a[0].col, _last_index_0b(a[0].col, a[1].col))
             ),
             "str",
         ),
@@ -303,7 +312,130 @@ def _string_fns():
         "difference": lambda tr, a: TC(
             F.when(a[0].col == a[1].col, F.lit("")).otherwise(a[1].col), "str"
         ),
+        # --- commons-lang parity tail (StringUtils members) ---
+        "equals": lambda tr, a: TC(a[0].col.eqNullSafe(a[1].col), "bool"),
+        "equalsignorecase": lambda tr, a: TC(F.lower(a[0].col).eqNullSafe(F.lower(a[1].col)), "bool"),
+        "containsignorecase": lambda tr, a: TC(F.lower(a[0].col).contains(F.lower(a[1].col)), "bool"),
+        "indexofignorecase": lambda tr, a: TC(F.instr(F.lower(a[0].col), F.lower(a[1].col)) - 1, "num"),
+        "lastindexof": _last_index_of,
+        "isalpha": lambda tr, a: TC(a[0].col.rlike(r"^\p{L}+$"), "bool"),
+        "isnumeric": lambda tr, a: TC(a[0].col.rlike(r"^\p{Nd}+$"), "bool"),
+        "isalphanumeric": lambda tr, a: TC(a[0].col.rlike(r"^[\p{L}\p{Nd}]+$"), "bool"),
+        "isalphaspace": lambda tr, a: TC(a[0].col.rlike(r"^[\p{L} ]*$"), "bool"),
+        "isnumericspace": lambda tr, a: TC(a[0].col.rlike(r"^[\p{Nd} ]*$"), "bool"),
+        "iswhitespace": lambda tr, a: TC(a[0].col.rlike(r"^\s*$"), "bool"),
+        "isalluppercase": lambda tr, a: TC(a[0].col.rlike(r"^\p{Lu}+$"), "bool"),
+        "isalllowercase": lambda tr, a: TC(a[0].col.rlike(r"^\p{Ll}+$"), "bool"),
+        "ismixedcase": lambda tr, a: TC(
+            a[0].col.rlike(r"\p{Lu}") & a[0].col.rlike(r"\p{Ll}"), "bool"
+        ),
+        "stripstart": lambda tr, a: TC(
+            F.regexp_replace(a[0].col, "^[" + _re_escape_cls(_lit_str(a[1])) + "]+", "")
+            if len(a) > 1 else F.ltrim(a[0].col),
+            "str",
+        ),
+        "stripend": lambda tr, a: TC(
+            F.regexp_replace(a[0].col, "[" + _re_escape_cls(_lit_str(a[1])) + "]+$", "")
+            if len(a) > 1 else F.rtrim(a[0].col),
+            "str",
+        ),
+        "striptonull": lambda tr, a: TC(
+            F.when(F.length(F.trim(a[0].col)) == 0, F.lit(None)).otherwise(F.trim(a[0].col)), "str"
+        ),
+        "striptoempty": lambda tr, a: TC(F.coalesce(F.trim(a[0].col), F.lit("")), "str"),
+        "normalizespace": lambda tr, a: TC(
+            F.regexp_replace(F.trim(a[0].col), r"\s+", " "), "str"
+        ),
+        "getdigits": lambda tr, a: TC(F.regexp_replace(a[0].col, r"[^0-9]", ""), "str"),
+        "overlay": _overlay,
+        "replaceonce": _replace_once,
+        "replaceignorecase": lambda tr, a: TC(
+            F.regexp_replace(a[0].col, "(?i)" + _re_quote(_lit_str(a[1])), _re_quote_repl(_lit_str(a[2]))), "str"
+        ),
+        "removeignorecase": lambda tr, a: TC(
+            F.regexp_replace(a[0].col, "(?i)" + _re_quote(_lit_str(a[1])), ""), "str"
+        ),
+        "containsany": lambda tr, a: TC(
+            F.length(F.translate(a[0].col, _lit_str(a[1]), "")) < F.length(a[0].col), "bool"
+        ),
+        "containsnone": lambda tr, a: TC(
+            F.length(F.translate(a[0].col, _lit_str(a[1]), "")) == F.length(a[0].col), "bool"
+        ),
+        "containsonly": lambda tr, a: TC(
+            F.length(F.translate(a[0].col, _lit_str(a[1]), "")) == 0, "bool"
+        ),
+        "abbreviatemiddle": _abbreviate_middle,
     }
+
+
+def _re_escape_cls(chars: str) -> str:
+    """Escape characters for use inside a regex character class."""
+    return re.sub(r"([\\\]\[\^\-])", r"\\\1", chars)
+
+
+def _re_quote(s: str) -> str:
+    """Quote a literal string for use as a regex pattern (Pattern.quote)."""
+    return re.escape(s)
+
+
+def _re_quote_repl(s: str) -> str:
+    """Escape $ and \\ in a regexp_replace replacement (Java Matcher rules)."""
+    return s.replace("\\", "\\\\").replace("$", r"\$")
+
+
+def _last_index_0b(s: Column, sub: Column) -> Column:
+    """0-based index of the LAST occurrence of sub in s, -1 if absent —
+    via instr on the reversed strings (substring_index needs a literal
+    delimiter, so it can't take a Column here)."""
+    p = F.instr(F.reverse(s), F.reverse(sub))
+    return F.when(p == 0, F.lit(-1)).otherwise(F.length(s) - p + 1 - F.length(sub))
+
+
+def _last_index_of(tr, a):
+    """StringUtils.lastIndexOf: 0-based index of last occurrence; -1 if
+    absent or either side null (commons-lang is null-safe here)."""
+    return TC(F.coalesce(_last_index_0b(a[0].col, a[1].col), F.lit(-1)), "num")
+
+
+def _overlay(tr, a):
+    """StringUtils.overlay(str, overlay, start, end): replace [start,end)."""
+    s, ov, start, end = a[0].col, a[1].col, a[2].col, a[3].col
+    n = F.length(s)
+    start = F.least(F.greatest(start, F.lit(0)), n)
+    end = F.least(F.greatest(end, F.lit(0)), n)
+    lo = F.least(start, end)
+    hi = F.greatest(start, end)
+    return TC(
+        F.concat(F.left(s, lo), ov, F.substring(s, hi + 1, F.lit(_MAXLEN))), "str"
+    )
+
+
+def _replace_once(tr, a):
+    """StringUtils.replaceOnce: first occurrence only."""
+    s, find, rep = a[0].col, a[1].col, a[2].col
+    i = F.instr(s, find)
+    return TC(
+        F.when((i == 0) | (F.length(find) == 0), s).otherwise(
+            F.concat(F.left(s, i - 1), rep, F.substring(s, i + F.length(find), F.lit(_MAXLEN)))
+        ),
+        "str",
+    )
+
+
+def _abbreviate_middle(tr, a):
+    """StringUtils.abbreviateMiddle(str, middle, length): 'abcdef','.',4 → 'ab.f'."""
+    s, mid, length = a[0].col, a[1].col, a[2].col
+    target = length - F.length(mid)
+    start_off = (target / 2).cast("int") + (target % 2).cast("int")
+    end_off = F.length(s) - (target / 2).cast("int")
+    abbreviated = F.concat(F.left(s, start_off), mid, F.substring(s, end_off + 1, F.lit(_MAXLEN)))
+    return TC(
+        F.when(
+            (F.length(s) <= length) | (length < F.length(mid) + 2) | (F.length(s) - length <= 0),
+            s,
+        ).otherwise(abbreviated),
+        "str",
+    )
 
 
 def _strings_fns():
