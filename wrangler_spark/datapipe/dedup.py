@@ -72,10 +72,23 @@ def shingles_of_words(words: Column, k: int = SHINGLE_WORDS) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", words)))
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread an under-partitioned source across the cluster before heavy
+    per-row compute (hashing/signatures). Small-SF parquet is often a
+    single row group, so the scan stage is one task and everything fused
+    into it runs single-threaded; a production 100 TB input has hundreds
+    of splits and this is a no-op (the gate never fires), so the extra
+    shuffle is only ever paid on inputs small enough for it to be cheap."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, shingles) — tokenization staged as its own projection so the
     split runs once per row."""
-    staged = df.select(
+    staged = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.split(normalize_text(F.col(text_col)), " ").alias("__w")
     )
     return staged.select("id", shingles_of_words(F.col("__w")).alias("shingles"))
@@ -85,6 +98,17 @@ def word_shingles(c: Column, k: int = SHINGLE_WORDS) -> Column:
     """Single-expression form (inline tokenization) — fine for small frames
     and tests; prefer with_shingles() in pipelines (see shingles_of_words)."""
     return shingles_of_words(F.split(normalize_text(c), " "), k)
+
+
+# SQL fragments instead of Column-API lambdas: building 32 HOF lambdas
+# through py4j costs ~0.9 s of driver time per plan; one parsed SQL string
+# per column is ~3× cheaper and yields the identical expression tree.
+_HASH28_SQL = "CAST(conv(substring(md5({x}), 1, 7), 16, 10) AS BIGINT)"
+
+
+def _sig_sql(j: int) -> str:
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return f"array_min(transform(h, x -> (x * {a}L + {b}L) % {MINHASH_P}L)) AS mh{j}"
 
 
 def minhash_signature(shingles: Column) -> list[Column]:
@@ -118,30 +142,19 @@ def minhash_lsh_pairs(
     # persisted: evaluated once, read three times (signature path + both
     # sides of the candidate-verification join)
     base = with_shingles(df, id_col, text_col).persist()
-    hashed = base.withColumn("h", F.transform(F.col("shingles"), _hash28)).select("id", "h")
-
-    def mh(a: int, b: int):
-        return lambda x: (a * x + b) % MINHASH_P
-
-    sig = hashed.select(
-        "id",
-        *[
-            F.array_min(F.transform(F.col("h"), mh(a, b))).alias(f"mh{j}")
-            for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-        ],
+    hashed = base.selectExpr(
+        "id", f"transform(shingles, s -> {_HASH28_SQL.format(x='s')}) AS h"
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("-", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]).alias("key"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
+    sig = hashed.selectExpr("id", *[_sig_sql(j) for j in range(len(MINHASH_A))])
+    band_array = "array(" + ", ".join(
+        f"struct({b} AS band, concat_ws('-', "
+        + ", ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + ") AS key)"
+        for b in range(LSH_BANDS)
+    ) + ")"
     bands = (
-        sig.select("id", F.explode(band_structs).alias("bk"))
-        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        sig.selectExpr("id", f"explode({band_array}) AS bk")
+        .selectExpr("id", "bk.band AS band", "bk.key AS key")
         .persist()
     )
 

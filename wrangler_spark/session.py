@@ -22,6 +22,10 @@ def get_spark(app_name: str = "wrangler_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # split small files down to 256 KiB so low-SF test data still uses
+        # every core; with production-sized files (≥128 MiB parquet) the
+        # maxPartitionBytes default dominates and this setting is inert
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         # reference semantics are lenient (bad cast → null, not error);
         # directives also use try_* so they stay correct under ANSI sessions
