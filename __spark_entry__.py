@@ -370,7 +370,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window-rank :o_custkey :o_totalprice :rk true\nfilter-row exp:{ rk > 2 } true",
         ),
         "ext_join": _q_ext_join,
+        "sessionize": _q_sessionize,
     }
+
+
+def _q_sessionize(spark, sf_dir):
+    """Batch sessionization (30-min inactivity gap) over the events table —
+    the window-function form of the streaming applyInPandasWithState op."""
+    from wrangler_spark.streaming.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), "user_id", "ts", 30.0)
 
 
 def _q_precondition(spark, sf_dir):
@@ -669,6 +678,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ext_join": (
             "SELECT o.*, c.* FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "sessionize": (
+            "WITH numbered AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, sum(is_new) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM numbered) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events "
+            "FROM s GROUP BY user_id, session_id"
         ),
         # mask_shuffle, stemming, generate_uuid, ann_ivf_topk,
         # multimodal_features: rows-only (not SQL-expressible / nondeterministic)

@@ -98,3 +98,46 @@ def test_errors_side_on_stream(spark, stream_dir):
     rows = spark.sql("SELECT * FROM err_out").collect()
     assert len(rows) == 2  # the two (3, carol) rows
     assert all(r["message"] == "big id" for r in rows)
+
+
+def test_sessionize_batch(spark):
+    from wrangler_spark.streaming.sessions import sessionize
+
+    rows = [
+        ("u1", "2024-01-01 00:00:00"),
+        ("u1", "2024-01-01 00:10:00"),   # same session (10 min gap)
+        ("u1", "2024-01-01 01:00:00"),   # new session (50 min > 30)
+        ("u2", "2024-01-01 00:05:00"),   # u2 single-event session
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts_s"]).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = {(r["user"], r["session_id"]): (r["n_events"], r["session_start"].minute, r["session_end"].minute)
+           for r in sessionize(df, "user", "ts", gap_minutes=30).collect()}
+    assert out[("u1", 1)] == (2, 0, 10)
+    assert out[("u1", 2)] == (1, 0, 0)
+    assert out[("u2", 1)] == (1, 5, 5)
+
+
+def test_sessionize_stream(spark, tmp_path_factory):
+    from wrangler_spark.streaming.sessions import sessionize_stream
+
+    d = str(tmp_path_factory.mktemp("sess_src"))
+    rows = [
+        ("u1", "2024-01-01 00:00:00"),
+        ("u1", "2024-01-01 00:10:00"),
+        ("u1", "2024-01-01 01:00:00"),   # closes session 1 in-batch (50 min gap)
+        ("u2", "2024-01-01 00:05:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts_s"]).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.write.mode("overwrite").parquet(d)
+    static = spark.read.parquet(d)
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    q = run_to_memory(sessionize_stream(stream, "user", "ts", gap_minutes=30), "sess_out", timeout=90)
+    rows_out = spark.sql("SELECT * FROM sess_out").collect()
+    q.stop()
+    # only u1's first session closes (gap observed in-batch); open sessions
+    # stay in state until event-time timeout
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert r["key"] == "u1" and r["n_events"] == 2
+    assert r["session_start"].minute == 0 and r["session_end"].minute == 10
+    shutil.rmtree(d, ignore_errors=True)

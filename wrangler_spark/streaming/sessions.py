@@ -1,0 +1,162 @@
+"""Sessionization — group per-key events into sessions split by an
+inactivity gap. Beyond-reference extension (SURVEY §2.12): the reference
+engine has no cross-row state at all; this is the canonical stateful
+operator a training-data/event pipeline needs.
+
+Two implementations with identical semantics:
+
+- ``sessionize`` (batch): pure window functions — ``lag`` to detect gap
+  starts, running ``sum`` to number sessions. One shuffle on the key
+  column; at 100 TB this is a single hash-partitioned sort per key group,
+  no UDFs, fully codegen'd, and the plan is DuckDB-oracle-able.
+- ``sessionize_stream`` (streaming): ``applyInPandasWithState`` with an
+  event-time timeout — state per key is (session_start, last_ts, count),
+  bounded by the watermark; closed sessions are emitted when the timeout
+  fires. Arrow-batched, one state row per live key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def sessionize(
+    df: DataFrame, key_col: str, ts_col: str, gap_minutes: float = 30.0
+) -> DataFrame:
+    """Batch sessionization: assign ``session_id`` (per-key, 1-based) and
+    per-session aggregates. A new session starts when the time since the
+    previous event of the same key exceeds ``gap_minutes``.
+
+    Returns one row per session: (key, session_id, session_start,
+    session_end, n_events).
+    """
+    gap_us = int(gap_minutes * 60) * 1_000_000
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    numbered = df.select(
+        F.col(key_col), F.col(ts_col), is_new.alias("__new")
+    ).withColumn(
+        "session_id",
+        F.sum("__new").over(
+            Window.partitionBy(key_col)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        numbered.groupBy(key_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            key_col,
+            F.col("session_id").cast("long").alias("session_id"),
+            "session_start",
+            "session_end",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: float = 30.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via ``applyInPandasWithState``.
+
+    Emits one row per CLOSED session (closed by a gap within the batch or
+    by event-time timeout once the watermark passes last_ts + gap). State
+    per key: the open session's (start, last_ts, count).
+    """
+    import pandas as pd  # noqa: F401 — worker-side dependency, imported eagerly to fail fast
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = int(gap_minutes * 60)
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("count", LongType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        import datetime as _dt
+
+        import pandas as pd
+
+        def _us(ts) -> int:
+            # pandas Timestamp → epoch micros (naive = UTC here)
+            return int(ts.value // 1000)
+
+        def _ts(us: int):
+            return _dt.datetime.utcfromtimestamp(us / 1_000_000)
+
+        closed = []
+        if state.hasTimedOut:
+            start_us, last_us, count = state.get
+            closed.append((str(key[0]), _ts(start_us), _ts(last_us), count))
+            state.remove()
+        else:
+            ts_all = []
+            for pdf in pdf_iter:
+                ts_all.append(pdf["__ts"])
+            ts = pd.concat(ts_all).sort_values()
+            if state.exists:
+                start_us, last_us, count = state.get
+            else:
+                start_us = last_us = _us(ts.iloc[0])
+                count = 0
+            for t in ts:
+                t_us = _us(t)
+                if t_us - last_us > gap_s * 1_000_000:
+                    closed.append((str(key[0]), _ts(start_us), _ts(last_us), count))
+                    start_us, count = t_us, 0
+                last_us = t_us
+                count += 1
+            state.update((start_us, last_us, count))
+            # close the open session once event time passes last_ts + gap
+            state.setTimeoutTimestamp(last_us // 1000 + gap_s * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["key", "session_start", "session_end", "n_events"]
+            )
+
+    prepared = stream.select(
+        F.col(key_col).cast("string").alias("__key"), F.col(ts_col).alias("__ts")
+    ).withWatermark("__ts", watermark)
+    return prepared.groupBy("__key").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
