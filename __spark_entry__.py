@@ -371,6 +371,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ext_join": _q_ext_join,
         "sessionize": _q_sessionize,
+        "flatten_zip": _recipe_q(
+            "part",
+            "set-column :w1 exp:{ string:split(p_name, ' ') }\n"
+            "set-column :w2 exp:{ string:split(p_type, ' ') }\n"
+            "flatten :w1,:w2\nkeep :p_partkey,:w1,:w2",
+        ),
+        "parse_xml_to_json": _recipe_q(
+            "part",
+            "keep :p_partkey\n"
+            "set-column :x exp:{ '<r><brand>' + 'B' + p_partkey + '</brand><name>N</name></r>' }\n"
+            "parse-xml-to-json :x 2",
+        ),
     }
 
 
@@ -689,6 +701,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
             "min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        "flatten_zip": (
+            "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w1, "
+            "unnest(string_split(p_type, ' ')) AS w2 FROM part"
+        ),
+        "parse_xml_to_json": (
+            "SELECT p_partkey, 'B' || p_partkey AS x_r_brand, 'N' AS x_r_name FROM part"
         ),
         # mask_shuffle, stemming, generate_uuid, ann_ivf_topk,
         # multimodal_features: rows-only (not SQL-expressible / nondeterministic)
