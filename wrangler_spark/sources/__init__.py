@@ -72,15 +72,25 @@ def read_jdbc(spark: SparkSession, url: str, table: str, partition_column: str |
     any table that doesn't fit one executor)."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column:
-        bounds = (
-            spark.read.format("jdbc").option("url", url)
-            .option("query", f"SELECT min({partition_column}) lo, max({partition_column}) hi FROM {table}")
-            .load().collect()[0]
-        )
+        def _bounds(col_sql: str):
+            q = f"SELECT min({col_sql}) lo, max({col_sql}) hi FROM {table}"
+            r = spark.read.format("jdbc").option("url", url).option("query", q)
+            for k, v in options.items():
+                r = r.option(k, v)
+            return r.load().collect()[0]
+
+        try:
+            bounds = _bounds(partition_column)
+        except Exception:
+            # case-preserving dialects (Derby/Postgres) fold unquoted
+            # identifiers while Spark-written columns keep their case —
+            # retry with the column ANSI-quoted (table names are written
+            # unquoted, so they fold consistently and need no quoting)
+            bounds = _bounds(f'"{partition_column}"')
         reader = (
             reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(bounds["lo"]))
-            .option("upperBound", str(bounds["hi"]))
+            .option("lowerBound", str(bounds[0]))
+            .option("upperBound", str(bounds[1]))
             .option("numPartitions", str(num_partitions))
         )
     for k, v in options.items():
