@@ -98,3 +98,51 @@ def test_avro_stub_raises(spark):
     df = spark.createDataFrame([("x",)], ["body"])
     with pytest.raises(DirectiveApplyError, match="schema-registry"):
         Pipeline.compile("parse-as-avro :body someid").apply(df)
+
+
+def test_invoke_http_roundtrip(spark):
+    """Real POST round-trip against a local HTTP server: payload is the
+    selected columns as a JSON object; response body + status land in
+    http_response / http_status (Arrow-batched pandas UDF)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            body = json.loads(self.rfile.read(n))
+            out = json.dumps({"echo_id": body["id"], "tag": self.headers.get("X-Test"), "ok": True}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # keep test output quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_port}/api"
+    try:
+        df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"])
+        out = Pipeline.compile(f"invoke-http '{url}' :id,:v 'X-Test=t1'").apply(df)
+        rows = out.orderBy("id").collect()
+        assert [r["http_status"] for r in rows] == [200, 200, 200]
+        first = json.loads(rows[0]["http_response"])
+        assert first == {"echo_id": 1, "tag": "t1", "ok": True}
+        # composes with parse-as-json for response extraction
+        parsed = Pipeline.compile(
+            f"invoke-http '{url}' :id,:v\njson-path :http_response :echoed 'echo_id'"
+        ).apply(df)
+        assert [r["echoed"] for r in parsed.orderBy("id").collect()] == ["1", "2", "3"]
+    finally:
+        srv.shutdown()
+
+
+def test_invoke_http_error_lands_in_row(spark):
+    df = spark.createDataFrame([(1,)], ["id"])
+    out = Pipeline.compile("invoke-http 'http://127.0.0.1:1/unreachable' :id").apply(df)
+    r = out.collect()[0]
+    assert r["http_status"] == -1 and "refused" in r["http_response"].lower() or r["http_status"] == -1
