@@ -383,7 +383,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "set-column :x exp:{ '<r><brand>' + 'B' + p_partkey + '</brand><name>N</name></r>' }\n"
             "parse-xml-to-json :x 2",
         ),
+        "data_model_map": _recipe_q(
+            "orders",
+            "data-model-map-column :o_orderstatus 'order_status'\n"
+            "data-model-map-column :o_totalprice 'total_amount' string",
+        ),
+        "validate_standard": _q_validate_standard,
     }
+
+
+def _q_validate_standard(spark, sf_dir):
+    """JSON-schema validation; failing rows route to the error channel so
+    the clean side is the schema-conforming subset."""
+    from wrangler_spark.directives.advanced import register_standard
+
+    register_standard(
+        "k_small",
+        {"type": "object", "properties": {"k": {"type": "number", "maximum": 50}}, "required": ["k"]},
+    )
+    return Pipeline.compile("validate-standard :props k_small\ndrop :ts").apply(
+        _t(spark, sf_dir, "events")
+    )
 
 
 def _q_sessionize(spark, sf_dir):
@@ -701,6 +721,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
             "min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        "data_model_map": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus AS order_status, "
+            "CAST(o_totalprice AS VARCHAR) AS total_amount, o_orderdate, o_orderpriority FROM orders"
+        ),
+        "validate_standard": (
+            "SELECT event_id, user_id, event_type, value, props FROM events "
+            "WHERE CAST(json_extract(props, '$.k') AS DOUBLE) <= 50"
         ),
         "flatten_zip": (
             "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w1, "
