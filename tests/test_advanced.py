@@ -146,3 +146,33 @@ def test_invoke_http_error_lands_in_row(spark):
     out = Pipeline.compile("invoke-http 'http://127.0.0.1:1/unreachable' :id").apply(df)
     r = out.collect()[0]
     assert r["http_status"] == -1 and "refused" in r["http_response"].lower() or r["http_status"] == -1
+
+
+def test_recipes_survive_ansi_mode(spark):
+    """Spark 4 defaults ANSI on; get_spark turns it off for reference
+    parity (lenient casts), but every directive must also run — and give
+    the same lenient answers — under an ANSI session (try_cast/F.get/
+    try_element_at paths)."""
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [("1,x,9", "7", "abc"), ("2,y,", "not_a_number", "de")],
+            ["body", "num_s", "txt"],
+        )
+        out = Pipeline.compile(
+            "parse-as-csv :body ',' false\n"
+            "set-type :body_1 int\n"
+            "set-type :num_s double\n"          # 'not_a_number' → null, not error
+            "set-column :r exp:{ body_1 * 10 + string:length(txt) }\n"
+            "split-to-columns :txt 'b'\n"        # ragged: row 2 has 1 part
+            "mask-number :body_3 '#x'\n"
+            "quantize :num_s :q 0.0:10.0=LOW\n"
+        ).apply(df)
+        rows = out.orderBy("body_1").collect()
+        assert [r["body_1"] for r in rows] == [1, 2]
+        assert rows[1]["num_s"] is None          # lenient cast under ANSI
+        assert rows[0]["r"] == 13
+        assert rows[1]["txt_2"] is None          # missing split part → null, no ANSI index error
+        assert rows[0]["q"] == "LOW" and rows[1]["q"] is None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -592,11 +592,37 @@ def _number_fns():
 
 
 def _logical_fns():
+    def set_bit(tr, a):
+        """logical:SetBit(value, [positions], bit) — 1-based positions from
+        the LSB (ref: functions/Logical.java:193-206)."""
+        value = a[0].col.cast("long")
+        positions = a[1].col
+        bit_on = a[2].col.cast("int") > 0
+        # 2^(p-1) via pow: exact for p ≤ 53, matching the reference's `1 <<
+        # position` int-shift range
+        mask = lambda p: F.pow(F.lit(2.0), p.cast("int") - 1).cast("long")  # noqa: E731
+        return TC(
+            F.aggregate(
+                positions,
+                value,
+                lambda acc, p: F.when(bit_on, acc.bitwiseOR(mask(p))).otherwise(
+                    acc.bitwiseAND(F.bitwise_not(mask(p)))
+                ),
+            ),
+            "num",
+        )
+
     return {
         "bitand": lambda tr, a: TC(a[0].col.bitwiseAND(a[1].col), "num"),
         "bitor": lambda tr, a: TC(a[0].col.bitwiseOR(a[1].col), "num"),
         "bitxor": lambda tr, a: TC(a[0].col.bitwiseXOR(a[1].col), "num"),
-        "not": lambda tr, a: TC(F.when(a[0].col.cast("double") != 0, 0).otherwise(1), "num"),
+        "not": lambda tr, a: TC(
+            F.when(F.coalesce(a[0].col.cast("double"), F.lit(0.0)) != 0, 0).otherwise(1), "num"
+        ),
+        # binary string ↔ long (ref: Logical.java:171-183)
+        "bitcompress": lambda tr, a: TC(F.conv(a[0].col.cast("string"), 2, 10).cast("long"), "num"),
+        "bitexpand": lambda tr, a: TC(F.conv(a[0].col.cast("string"), 10, 2), "str"),
+        "setbit": set_bit,
     }
 
 

@@ -205,6 +205,16 @@ class _Parser:
             n = self.ternary()
             self.expect(")")
             return n
+        if t.kind == "op" and t.text == "[":
+            # JEXL array literal: [1, 2, 3]
+            items = []
+            if self.peek().text != "]":
+                items.append(self.ternary())
+                while self.peek().text == ",":
+                    self.next()
+                    items.append(self.ternary())
+            self.expect("]")
+            return ("array", items)
         raise ExpressionError(f"unexpected token {t.text!r} in {self.text!r}")
 
 

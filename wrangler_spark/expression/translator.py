@@ -138,6 +138,9 @@ class Translator:
                 return TC(obj.col.getItem(idx[1]), "unknown")
             i = self.translate(idx)
             return TC(F.element_at(obj.col, i.col.cast("int") + F.lit(1)), "unknown")
+        if tag == "array":
+            items = [self.translate(x) for x in node[1]]
+            return TC(F.array(*[x.col for x in items]), "array")
         if tag == "call":
             from wrangler_spark.expression.functions import dispatch
 

@@ -98,6 +98,12 @@ def migrate_statement(stmt: str) -> str | None:
     name = parts[0].lower()
     args = parts[1:]
 
+    # V1 bare "set-column <col> <expr>" (no ':', unwrapped expression —
+    # the form the reference's own function tests use, MigrateToV2.java)
+    if name == "set-column" and len(args) >= 2 and not args[0].startswith(":"):
+        expr = stmt.split(None, 2)[2]
+        if not expr.lstrip().startswith("exp:{"):
+            return f"set-column :{args[0]} exp:{{ {expr} }}"
     # "set column <col> <expr>" / "set columns <c1,c2,..>" (V1 'set')
     if name == "set" and args:
         if args[0] == "column" and len(args) >= 3:
