@@ -108,3 +108,90 @@ def test_number_casts_and_mantissa(spark):
     assert r["i1"] == 5                                 # :53 (truncation, not rounding)
     assert r["m1"] == 0.0                               # :54
     assert math.isclose(r["m2"], 0.2534, abs_tol=1e-9)  # :55
+
+
+# --- DateAndTimeTest.java --------------------------------------------------
+
+def test_datetime_date_from_days_since(spark):
+    # DateAndTimeTest.java:60-68
+    r = _run1(
+        spark,
+        "set-column d1 datetime:DateFromDaysSince(18250, datetime:GetDate('1958-08-18'))\n"
+        "set-column d2 datetime:DateFromDaysSince(-1, datetime:GetDate('1958-08-18'))",
+        [(1,)],
+        "x int",
+    )
+    assert str(r["d1"]) == "2008-08-05" and str(r["d2"]) == "1958-08-17"
+
+
+def test_datetime_date_from_components(spark):
+    # DateAndTimeTest.java:74-84
+    r = _run1(
+        spark,
+        "set-column d1 datetime:DateFromComponents(2010, 12, 2)\n"
+        "set-column d2 datetime:DateFromComponents(1958, 8, 18)",
+        [(1,)],
+        "x int",
+    )
+    assert str(r["d1"]) == "2010-12-02" and str(r["d2"]) == "1958-08-18"
+
+
+def test_datetime_julian_and_spans(spark):
+    # DateAndTimeTest.java:90-99, 149-181
+    r = _run1(
+        spark,
+        "set-column jd datetime:DateFromJulianDay(2454614L)\n"
+        "set-column dim datetime:DaysInMonth(datetime:GetDate('1958-08-18'))\n"
+        "set-column diy1 datetime:DaysInYear(datetime:GetDate('2012-08-18'))\n"
+        "set-column diy2 datetime:DaysInYear(datetime:GetDate('2011-08-18'))",
+        [(1,)],
+        "x int",
+    )
+    assert str(r["jd"])[:10] == "2008-05-27"
+    assert r["dim"] == 31 and r["diy1"] == 366 and r["diy2"] == 365
+
+
+def test_datetime_days_since_from_date(spark):
+    # DateAndTimeTest.java:121-143
+    r = _run1(
+        spark,
+        "set-column n1 datetime:DaysSinceFromDate(datetime:GetDate('2008-08-18'), datetime:GetDate('1958-08-18'))\n"
+        "set-column n2 datetime:DaysSinceFromDate(datetime:GetDate('1958-08-18'), datetime:GetDate('2008-08-18'))",
+        [(1,)],
+        "x int",
+    )
+    assert r["n1"] == -18263 and r["n2"] == 18263
+
+
+# --- JEXL script forms (GlobalTest.java:104-120, NumberFunctionsTest.java:35-58)
+
+def test_if_else_expression(spark):
+    r = _run1(
+        spark,
+        "set-column test4 if(IsNotNull(c)){ a } else {b}",
+        [("va", "vb", "vc")],
+        "a string, b string, c string",
+    )
+    assert r["test4"] == "va"
+    r2 = _run1(
+        spark,
+        "set-column test4 if(IsNotNull(c)){ a } else {b}",
+        [("va", "vb", None)],
+        "a string, b string, c string",
+    )
+    assert r2["test4"] == "vb"
+
+
+def test_script_block_locals(spark):
+    # local assignments shadow columns for the rest of the script
+    r = _run1(
+        spark,
+        "set-column d { a = 5.0; number:AsDouble(a/2) }\n"
+        "set-column i { a = 5.64; number:AsInteger(a) }\n"
+        "set-column m { a = 43.2534; number:Mantissa(a) }",
+        [(99.0,)],
+        "a double",
+    )
+    assert r["d"] == 2.5
+    assert r["i"] == 5
+    assert math.isclose(r["m"], 0.2534, abs_tol=1e-9)

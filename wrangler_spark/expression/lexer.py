@@ -21,7 +21,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+\.\d+([eE][+-]?\d+)?[dDfF]?|\d+[eE][+-]?\d+|\d+[lLdDfF]?)
   | (?P<str>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
   | (?P<ident>[A-Za-z_$][A-Za-z0-9_$]*)
-  | (?P<op>\|\||&&|==|!=|<=|>=|=~|!~|=\^|=\$|<<|>>|[-+*/%<>!?:(),.\[\]])
+  | (?P<op>\|\||&&|==|!=|<=|>=|=~|!~|=\^|=\$|<<|>>|[-+*/%<>!?:(),.;={}\[\]])
     """,
     re.VERBOSE,
 )

@@ -10,6 +10,9 @@ AST nodes:
   ('call', namespace|None, fname, [args])
   ('field', obj, name)                # struct field / property access
   ('index', obj, idx)                 # array / map element
+  ('array', [items])                  # JEXL array literal [1, 2, 3]
+  ('let', [(name, expr), ...], final) # script block: a = 1; b = a + 2; final
+  ('if', cond, then, else)            # if (c) { x } else { y } expression
 """
 
 from __future__ import annotations
@@ -53,10 +56,34 @@ class _Parser:
     # precedence: ternary < || < && < equality < relational < additive <
     # multiplicative < unary < postfix < primary
     def parse(self):
-        node = self.ternary()
+        node = self.script()
         if self.peek().kind != "eof":
             raise ExpressionError(f"unexpected {self.peek().text!r} in {self.text!r}")
         return node
+
+    def script(self):
+        """JEXL script: optional ``{ ... }`` wrapper around ``;``-separated
+        local assignments followed by the result expression (the shape the
+        reference's function tests use: ``{ a = 5.0; number:AsDouble(a/2) }``)."""
+        if self.peek().text == "{":
+            self.next()
+            node = self.script()
+            self.expect("}")
+            return node
+        bindings = []
+        while (
+            self.peek().kind == "ident"
+            and self.toks[self.i + 1].kind == "op"
+            and self.toks[self.i + 1].text == "="
+        ):
+            name = self.next().text
+            self.next()  # '='
+            bindings.append((name, self.ternary()))
+            self.expect(";")
+        final = self.ternary()
+        if self.peek().text == ";":  # tolerate a trailing ';'
+            self.next()
+        return ("let", bindings, final) if bindings else final
 
     def ternary(self):
         cond = self.or_()
@@ -146,6 +173,27 @@ class _Parser:
             break
         return n
 
+    def _if_expr(self):
+        """``if (cond) { a } else { b }`` used as an expression (JEXL
+        scripts return the last evaluated value; without else → null)."""
+        self.expect("(")
+        cond = self.ternary()
+        self.expect(")")
+        self.expect("{")
+        then = self.ternary()
+        self.expect("}")
+        els = ("null",)
+        if self.peek().kind == "ident" and self.peek().text == "else":
+            self.next()
+            if self.peek().kind == "ident" and self.peek().text == "if":
+                self.next()
+                els = self._if_expr()
+            else:
+                self.expect("{")
+                els = self.ternary()
+                self.expect("}")
+        return ("if", cond, then, els)
+
     def call_args(self):
         self.expect("(")
         args = []
@@ -187,6 +235,8 @@ class _Parser:
                 return ("bool", False)
             if word == "null":
                 return ("null",)
+            if word == "if" and self.peek().text == "(":
+                return self._if_expr()
             # namespace call ns:fn(...) — lookahead for ':' ident '('
             if (
                 self.peek().text == ":"

@@ -68,6 +68,7 @@ class Translator:
         self.df = df
         self._schema = {f.name.lower(): f for f in df.schema.fields}
         self.variables = variables or {}
+        self.locals: dict[str, TC] = {}  # script-block assignments, shadow columns
         self._integral: set[str] = {
             f.name.lower() for f in df.schema.fields if _is_integral(f.dataType)
         }
@@ -75,6 +76,9 @@ class Translator:
     # --- identifier resolution -----------------------------------------
 
     def var(self, name: str) -> TC:
+        loc = self.locals.get(name.lower())
+        if loc is not None:
+            return loc
         f = self._schema.get(name.lower())
         if f is not None:
             return TC(F.col(f.name), kind_of(f.dataType))
@@ -118,12 +122,22 @@ class Translator:
             return TC(~x.col.cast("boolean"), "bool")
         if tag == "bin":
             return self.binop(node[1], node[2], node[3])
-        if tag == "ternary":
+        if tag == "ternary" or tag == "if":
             c = self.translate(node[1])
             a = self.translate(node[2])
             b = self.translate(node[3])
             kind = a.kind if a.kind != "null" else b.kind
             return TC(F.when(c.col, a.col).otherwise(b.col), kind)
+        if tag == "let":
+            # script-local assignments shadow columns/variables for the
+            # rest of the script (JEXL context overwrite semantics)
+            saved = dict(self.locals)
+            try:
+                for name, expr in node[1]:
+                    self.locals[name.lower()] = self.translate(expr)
+                return self.translate(node[2])
+            finally:
+                self.locals = saved
         if tag == "elvis":
             a = self.translate(node[1])
             b = self.translate(node[2])
