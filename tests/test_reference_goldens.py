@@ -195,3 +195,47 @@ def test_script_block_locals(spark):
     assert r["d"] == 2.5
     assert r["i"] == 5
     assert math.isclose(r["m"], 0.2534, abs_tol=1e-9)
+
+
+# --- ExpressionTest.java:55-80 (the reference's flagship expression test) --
+
+def test_apply_expr_end_to_end(spark):
+    recipe = [
+        "parse-as-csv __col ,",
+        "drop __col",
+        "set columns id,first,last,dob,email,age,hrlywage,address,city,state,country,zip",
+        'set column name concat(last, ", ", first)',
+        "set column isteen age < 15 ? 'yes' : 'no'",
+        "set column salary hrlywage*40*4",
+        "drop first",
+        "drop last",
+        "set column email string:reverse(email)",
+        "set column hrlywage var x; x = math:ceil(toFloat(hrlywage)); x + 1",
+    ]
+    df = spark.createDataFrame(
+        [("1098,Root,Joltie,01/26/1956,root@jolite.io,32,11.79,150 Mars Ave,Palo Alto,CA,USA,32826",)],
+        "__col string",
+    )
+    r = Pipeline.compile(recipe).apply(df).collect()[0]
+    assert r["name"] == "Joltie, Root"          # ExpressionTest.java:76
+    assert r["salary"] == 1886.3999999999999    # :77 (same double artifacts)
+    assert r["isteen"] == "no"                  # :78
+    assert r["email"] == "oi.etiloj@toor"       # :79
+    assert r["hrlywage"] == 13.0                # :80
+
+
+def test_string_namespace_goldens(spark):
+    # ExpressionTest.java:101-125
+    r = _run1(
+        spark,
+        "set column abbreviate string:abbreviate(longtxt, 5)\n"
+        "set column eoltxt string:chomp(eoltxt)\n"
+        "set column chop string:chop(chop)\n"
+        "set column delws string:deleteWhitespace(delws)",
+        [("This is long transformation", "This has eol\n", "Joltie", "Jolti  Root")],
+        "longtxt string, eoltxt string, chop string, delws string",
+    )
+    assert r["abbreviate"] == "Th..."           # :125
+    assert r["eoltxt"] == "This has eol"        # :124
+    assert r["chop"] == "Jolti"                 # :122
+    assert r["delws"] == "JoltiRoot"            # :123

@@ -71,15 +71,34 @@ class _Parser:
             self.expect("}")
             return node
         bindings = []
-        while (
-            self.peek().kind == "ident"
-            and self.toks[self.i + 1].kind == "op"
-            and self.toks[self.i + 1].text == "="
-        ):
-            name = self.next().text
-            self.next()  # '='
-            bindings.append((name, self.ternary()))
-            self.expect(";")
+        while True:
+            t = self.peek()
+            if (
+                t.kind == "ident"
+                and t.text == "var"
+                and self.toks[self.i + 1].kind == "ident"
+            ):
+                # JEXL declaration: 'var x;' or 'var x = expr;'
+                self.next()
+                name = self.next().text
+                if self.peek().text == "=":
+                    self.next()
+                    bindings.append((name, self.ternary()))
+                else:
+                    bindings.append((name, ("null",)))
+                self.expect(";")
+                continue
+            if (
+                t.kind == "ident"
+                and self.toks[self.i + 1].kind == "op"
+                and self.toks[self.i + 1].text == "="
+            ):
+                name = self.next().text
+                self.next()  # '='
+                bindings.append((name, self.ternary()))
+                self.expect(";")
+                continue
+            break
         final = self.ternary()
         if self.peek().text == ";":  # tolerate a trailing ';'
             self.next()

@@ -107,7 +107,10 @@ def migrate_statement(stmt: str) -> str | None:
     # "set column <col> <expr>" / "set columns <c1,c2,..>" (V1 'set')
     if name == "set" and args:
         if args[0] == "column" and len(args) >= 3:
-            return f"set-column :{args[1]} exp:{{ {' '.join(_unq(a) for a in args[2:])} }}"
+            # keep the expression remainder VERBATIM — shlex re-joining
+            # would strip quotes inside it (e.g. concat(a, ", ", b))
+            expr = stmt.split(None, 3)[3]
+            return f"set-column :{args[1]} exp:{{ {expr} }}"
         if args[0] == "columns" and len(args) >= 2:
             cols = ",".join(f":{c.strip()}" for c in " ".join(args[1:]).split(",") if c.strip())
             return f"set-headers {cols}"

@@ -30,6 +30,38 @@ class ParsedRecipe:
     pragmas: dict[str, list[str]] = field(default_factory=dict)
 
 
+_EXPR_CONTINUATION = set("=+-*/%?.([<>!&|,)]}~^")
+
+
+def _starts_directive(text: str, i: int) -> bool:
+    """Does text[i:] (up to end-of-line) look like a new directive rather
+    than the continuation of a JEXL expression? A directive is an
+    identifier followed by end/args (':col', quotes, digits, another
+    word); an expression continuation follows the identifier with an
+    operator ('=', '+', '(' …)."""
+    n = len(text)
+    while i < n and text[i] in " \t":
+        i += 1
+    if i >= n or text[i] == "\n":
+        return True  # trailing ';'
+    if text[i] == "#":
+        return True  # comment/pragma line
+    j = i
+    while j < n and (text[j].isalnum() or text[j] in "-_"):
+        j += 1
+    if j == i:
+        return False  # ';' followed by an operator/paren — expression
+    if j < n and text[j] == ":":
+        return False  # 'ns:fn(...)' namespace call — expression ('drop :c'
+        # has a space before the ':')
+    while j < n and text[j] in " \t":
+        j += 1
+    if j >= n or text[j] == "\n":
+        return True  # bare no-arg directive … unless it was a final expr var —
+        # a directive name is the likelier read at statement level
+    return text[j] not in _EXPR_CONTINUATION
+
+
 def _split_statements(text: str) -> list[tuple[str, int]]:
     """Split on ';' and newlines outside quotes/braces. Returns (stmt, line_no)."""
     statements: list[tuple[str, int]] = []
@@ -59,6 +91,13 @@ def _split_statements(text: str) -> list[tuple[str, int]]:
         if ch == "/" and i + 1 < n and text[i + 1] == "/" and depth == 0:
             while i < n and text[i] != "\n":
                 i += 1
+            continue
+        if ch == ";" and depth == 0 and not _starts_directive(text, i + 1):
+            # a ';' inside a bare V1 expression (e.g. `set column x var y;
+            # y = ...; y + 1`) — JEXL statement separator, not a directive
+            # terminator; keep it in the current statement
+            cur.append(ch)
+            i += 1
             continue
         if (ch == ";" and depth == 0) or (ch == "\n" and depth == 0):
             stmt = "".join(cur).strip()
