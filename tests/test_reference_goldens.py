@@ -239,3 +239,25 @@ def test_string_namespace_goldens(spark):
     assert r["eoltxt"] == "This has eol"        # :124
     assert r["chop"] == "Jolti"                 # :122
     assert r["delws"] == "JoltiRoot"            # :123
+
+
+# --- DDLTest.java:71-94 (path selection over nested records) ---------------
+
+def test_ddl_select_paths(spark):
+    df = spark.createDataFrame(
+        [((("str1", 3), ["a", "b", "c"], {"rec2": "v2"}),)],
+        "rec struct<rec1:struct<s:string,l:bigint>, a:array<string>, m:map<string,string>>",
+    )
+    r = Pipeline.compile(
+        "set-column s0 ddl:select(rec, 'rec1.s')\n"
+        "set-column l0 ddl:select(rec, 'rec1.l')\n"
+        "set-column a0 ddl:select(rec, 'a[0]')\n"
+        "set-column a2 ddl:select(rec, 'a[2]')\n"
+        "set-column m0 ddl:select(rec, 'm[rec2]')",
+        registry=None,
+    ).apply(df).collect()[0]
+    assert r["s0"] == "str1"    # DDLTest.java:91
+    assert r["l0"] == 3         # :94
+    assert r["a0"] == "a"       # :86
+    assert r["a2"] == "c"       # :88
+    assert r["m0"] == "v2"      # :82-83

@@ -66,3 +66,16 @@ def test_partitioned_parquet_write(spark, tmp_path):
     # partition pruning: filter on the partition column prunes directories
     plan = back.filter(F.col("k") == "a")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(k" in plan
+
+
+def test_gzip_csv_read(spark, tmp_path):
+    import gzip
+
+    from wrangler_spark.sources import read
+
+    p = tmp_path / "d.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("x,y\n1,a\n2,b\n")
+    assert sniff_format(str(p)) == "csv"
+    df = read(spark, str(p))
+    assert df.count() == 2 and df.columns == ["x", "y"]

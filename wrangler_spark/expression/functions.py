@@ -626,11 +626,29 @@ def _logical_fns():
     }
 
 
+def _ddl_select(tr, a):
+    """ddl:select(record, 'path') — path syntax per DDL.select
+    (ref: functions/DDL.java, DDLTest.java:71-94): dotted fields
+    ('rec1.s'), array indexes ('a[0]'), map keys ('m[rec2]')."""
+    path = _lit_str(a[1])
+    col = a[0].col
+    for part in path.split("."):
+        m = re.match(r"([A-Za-z0-9_]*)((?:\[[^\]]+\])*)$", part)
+        if m is None:
+            raise ExpressionError(f"bad ddl:select path segment {part!r}")
+        name, idxs = m.group(1), m.group(2)
+        if name:
+            col = col.getField(name)
+        for idx in re.findall(r"\[([^\]]+)\]", idxs):
+            col = col.getItem(int(idx)) if idx.lstrip("-").isdigit() else col.getItem(idx)
+    return TC(col, "unknown")
+
+
 def _ddl_fns():
     """ddl: — schema/struct operations (ref: functions/DDL.java; CDAP
     StructuredRecord ops → Spark struct Column ops)."""
     return {
-        "select": lambda tr, a: TC(a[0].col.getField(_lit_str(a[1])), "unknown"),
+        "select": _ddl_select,
         "drop": lambda tr, a: TC(a[0].col.dropFields(*[_lit_str(x) for x in a[1:]]), "struct"),
         "json": lambda tr, a: TC(F.to_json(a[0].col), "str"),
         "parse": lambda tr, a: TC(a[0].col, "unknown"),  # schema is static here
