@@ -129,8 +129,11 @@ class ParseAsJson(Directive):
         sample = _sample_values(ctx.sampling_frame(df), col)
         if not sample:
             raise DirectiveApplyError(f"no non-null sample values in '{col}' to infer JSON schema")
-        inferred = spark.read.json(spark.sparkContext.parallelize(sample, 1))
-        schema = inferred.schema
+        schema = _infer_json_schema(sample)
+        if schema is None:
+            # conflicting/unusual shapes — fall back to Spark's inference
+            # (one extra small job)
+            schema = spark.read.json(spark.sparkContext.parallelize(sample, 1)).schema
         # spark.read.json flattens a top-level array into its elements, so
         # detect array-ness from the raw text
         top_level_array = all(s.lstrip().startswith("[") for s in sample if s.strip())
@@ -150,6 +153,99 @@ class ParseAsJson(Directive):
         _flatten_struct(base, schema, col, 1, depth, cols)
         out = out.withColumns(dict(cols))
         return out.drop("__json")
+
+
+def _infer_json_schema(sample: list[str]) -> T.StructType | None:
+    """Driver-side JSON schema inference mirroring spark.read.json's rules
+    for the common shapes (bool→boolean, int→long, float→double,
+    str→string, object→struct with fields in first-seen order, array→
+    merged element type, long+double→double). Returns None on any type
+    conflict or non-object sample so the caller can fall back to Spark's
+    own inference — saves the parallelize+scan job in the common case."""
+    import json as _json
+
+    def infer(v):
+        if v is None:
+            return None  # unknown; merge resolves
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, str):
+            return T.StringType()
+        if isinstance(v, list):
+            et = None
+            for x in v:
+                et = merge(et, infer(x))
+                if et is False:
+                    return False
+            return T.ArrayType(et or T.StringType())
+        if isinstance(v, dict):
+            fields = []
+            for k, x in sorted(v.items()):  # spark.read.json sorts fields by name
+                ft = infer(x)
+                if ft is False:
+                    return False
+                fields.append(T.StructField(k, ft or T.StringType()))
+            return T.StructType(fields)
+        return False
+
+    def merge(a, b):
+        if a is False or b is False:
+            return False
+        if a is None:
+            return b
+        if b is None:
+            return a
+        if a == b:
+            return a
+        nums = (T.LongType(), T.DoubleType())
+        if isinstance(a, (T.LongType, T.DoubleType)) and isinstance(b, (T.LongType, T.DoubleType)):
+            return T.DoubleType()
+        if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+            names = sorted(dict.fromkeys([f.name for f in a.fields] + [f.name for f in b.fields]))
+            am = {f.name: f.dataType for f in a.fields}
+            bm = {f.name: f.dataType for f in b.fields}
+            out = []
+            for n in names:
+                m = merge(am.get(n), bm.get(n))
+                if m is False:
+                    return False
+                out.append(T.StructField(n, m or T.StringType()))
+            return T.StructType(out)
+        if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+            m = merge(a.elementType, b.elementType)
+            if m is False:
+                return False
+            return T.ArrayType(m or T.StringType())
+        return False  # conflict (e.g. string vs struct) → Spark fallback
+
+    merged = None
+    for s in sample:
+        try:
+            doc = _json.loads(s)
+        except Exception:
+            return None
+        if isinstance(doc, list):
+            for el in doc:
+                if not isinstance(el, dict):
+                    return None
+                t = infer(el)
+                merged = merge(merged, t)
+                if merged is False:
+                    return None
+        elif isinstance(doc, dict):
+            t = infer(doc)
+            merged = merge(merged, t)
+            if merged is False:
+                return None
+        else:
+            return None
+    if merged is None or not isinstance(merged, T.StructType):
+        return None
+    return merged
 
 
 def _flatten_struct(base: Column, schema: T.StructType, prefix: str, depth: int, max_depth: int, out: list):
