@@ -261,3 +261,35 @@ def test_ddl_select_paths(spark):
     assert r["a0"] == "a"       # :86
     assert r["a2"] == "c"       # :88
     assert r["m0"] == "v2"      # :82-83
+
+
+# --- ExpressionTest.java:148-190 (date: namespace) --------------------------
+
+def test_date_namespace_goldens(spark):
+    recipe = [
+        "parse-as-simple-date date yyyy-MM-dd'T'HH:mm:ss",
+        "parse-as-simple-date other yyyy-MM-dd'T'HH:mm:ss",
+        "set-column unixtimestamp date:UNIXTIMESTAMP_MILLIS(date)",
+        "set-column month_no date:MONTH(date)",
+        "set-column month_short date:MONTH_SHORT(date)",
+        "set-column month_long date:MONTH_LONG(date)",
+        "set-column year date:YEAR(date)",
+        "set-column day_of_year date:DAY_OF_YEAR(date)",
+        "set-column days date:SECONDS_TO_DAYS(seconds)",
+        "set-column hours date:SECONDS_TO_HOURS(seconds)",
+        "set-column diff date:DAYS_BETWEEN(date, other)",
+    ]
+    df = spark.createDataFrame(
+        [("2017-02-02T21:06:44Z", 86401, "2017-02-03T21:06:44Z")],
+        "date string, seconds int, other string",
+    )
+    r = Pipeline.compile(recipe).apply(df).collect()[0]
+    assert r["unixtimestamp"] == 1486069604000   # ExpressionTest.java:180
+    assert r["month_no"] == 2                    # :181
+    assert r["month_short"] == "Feb"             # :182
+    assert r["month_long"] == "February"         # :183
+    assert r["year"] == 2017                     # :184
+    assert r["day_of_year"] == 33                # :185
+    assert r["days"] == 1                        # :187
+    assert r["hours"] == 24                      # :188
+    assert abs(r["diff"]) == 1                   # :189

@@ -297,7 +297,15 @@ class ParseAsSimpleDate(Directive):
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
         col = ctx.resolve(df, self.args["column"])
-        return df.withColumn(col, F.to_timestamp(F.col(col), self.args["format"]))
+        fmt = self.args["format"]
+        c = F.col(col)
+        # SimpleDateFormat parses a PREFIX — trailing text not covered by
+        # the pattern (a 'Z', a zone name) is ignored; Spark's to_timestamp
+        # is full-match, so retry with common trailing zone junk stripped
+        lenient = F.regexp_replace(c, r"\s*(Z|z|UTC|GMT)$", "")
+        return df.withColumn(
+            col, F.coalesce(F.try_to_timestamp(c, F.lit(fmt)), F.to_timestamp(lenient, fmt))
+        )
 
 
 @directive

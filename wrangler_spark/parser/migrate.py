@@ -146,13 +146,13 @@ def migrate_statement(stmt: str) -> str | None:
             out.append(",".join(f":{c}" for c in items))
             i = len(args) if slot is sig[-1] else i + 1
         elif kind == "text":
-            out.append(f"'{_unq(args[i])}'")
+            out.append(_quote(_unq(args[i])))
             i += 1
         elif kind in ("num", "numlist", "ranges", "ident", "bool"):
             out.append(_unq(args[i]))
             i += 1
         elif kind == "rest-text":
-            out.append(f"'{_unq(' '.join(args[i:]))}'")
+            out.append(_quote(_unq(" ".join(args[i:]))))
             i = len(args)
         elif kind == "rest-expr":
             out.append(f"exp:{{ {' '.join(_unq(a) for a in args[i:])} }}")
@@ -166,3 +166,14 @@ def _unq(s: str) -> str:
     if len(s) >= 2 and s[0] in "'\"" and s[-1] == s[0]:
         return s[1:-1]
     return s
+
+
+def _quote(s: str) -> str:
+    """Quote a migrated text token; date formats like yyyy-MM-dd'T'HH:mm:ss
+    contain single quotes, so fall back to double quotes (and escape) when
+    needed."""
+    if "'" not in s:
+        return f"'{s}'"
+    if '"' not in s:
+        return f'"{s}"'
+    return "'" + s.replace("'", "\\'") + "'"
