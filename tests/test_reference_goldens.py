@@ -293,3 +293,19 @@ def test_date_namespace_goldens(spark):
     assert r["days"] == 1                        # :187
     assert r["hours"] == 24                      # :188
     assert abs(r["diff"]) == 1                   # :189
+
+
+# --- JsonFunctionsTest.java:95-112 (IsValid + if-expression) ----------------
+
+def test_json_isvalid(spark):
+    malformed = '{ "a" : 1, "b" : 2.0, "c" : "test" "d" : true }'  # missing comma
+    basic = '{ "a" : 1, "b" : 2.0, "c" : "test", "d" : true }'
+    df = spark.createDataFrame([(malformed, basic)], "malformed string, basic string")
+    r = Pipeline.compile(
+        "set-column baddata if(json:IsValid(malformed)) { malformed } else { 'Invalid Json' }\n"
+        "set-column badjson json:IsValid(malformed)\n"
+        "set-column goodjson json:IsValid(basic)"
+    ).apply(df).collect()[0]
+    assert r["baddata"] == "Invalid Json"   # JsonFunctionsTest.java:109
+    assert r["badjson"] is False            # :110
+    assert r["goodjson"] is True            # :111
