@@ -176,3 +176,20 @@ def test_recipes_survive_ansi_mode(spark):
         assert rows[0]["q"] == "LOW" and rows[1]["q"] is None
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_text_distance_jaro_damerau_identity(spark):
+    df = spark.createDataFrame(
+        [("MARTHA", "MARHTA"), ("abcd", "acbd"), ("same", "same")], ["x", "y"]
+    )
+    out = Pipeline.compile(
+        "text-metric jaro :x :y :jaro\n"
+        "text-distance damerau-levenshtein :x :y :dl\n"
+        "text-metric identity :x :y :ident\n"
+        "text-distance unknown-method :x :y :cosd"   # reference defaults unknown → cosine
+    ).apply(df)
+    rows = {r["x"]: r for r in out.collect()}
+    assert abs(rows["MARTHA"]["jaro"] - 0.944444) < 1e-4   # textbook Jaro value
+    assert rows["abcd"]["dl"] == 1.0                       # one transposition (lev would be 2)
+    assert rows["same"]["ident"] == 1.0 and rows["MARTHA"]["ident"] == 0.0
+    assert 0.0 <= rows["abcd"]["cosd"] <= 1.0

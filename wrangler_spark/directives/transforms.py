@@ -353,12 +353,90 @@ def _bigrams(c):
     )).otherwise(F.array(lc))
 
 
+def _py_jaro(s1: str, s2: str) -> float:
+    """Jaro similarity — pure-Python, used inside an Arrow-batched pandas
+    UDF (parity: simmetrics StringDistances.jaro())."""
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    window = max(n1, n2) // 2 - 1
+    m1 = [False] * n1
+    m2 = [False] * n2
+    matches = 0
+    for i, ch in enumerate(s1):
+        lo, hi = max(0, i - window), min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == ch:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(n1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / n1 + matches / n2 + (matches - t) / matches) / 3
+
+
+def _py_damerau(s1: str, s2: str) -> int:
+    """Damerau-Levenshtein (optimal string alignment) edit count."""
+    n1, n2 = len(s1), len(s2)
+    d = [[0] * (n2 + 1) for _ in range(n1 + 1)]
+    for i in range(n1 + 1):
+        d[i][0] = i
+    for j in range(n2 + 1):
+        d[0][j] = j
+    for i in range(1, n1 + 1):
+        for j in range(1, n2 + 1):
+            cost = 0 if s1[i - 1] == s2[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if i > 1 and j > 1 and s1[i - 1] == s2[j - 2] and s1[i - 2] == s2[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
+    return d[n1][n2]
+
+
+def _pair_udf(fn):
+    import pandas as pd  # noqa: F811 — resolved via module global below for type hints
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def call(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+        return pd.Series(
+            [None if x is None or y is None else float(fn(x, y)) for x, y in zip(a, b)]
+        )
+
+    return call
+
+
 def _text_distance_expr(method: str, c1, c2, similarity: bool):
     lev = F.levenshtein(c1, c2)
     maxlen = F.greatest(F.length(c1), F.length(c2))
-    if method in ("levenshtein", "damerau-levenshtein"):
+    if method == "levenshtein":
         sim = F.when(maxlen == 0, 1.0).otherwise(1 - lev / maxlen)
         return sim if similarity else lev.cast("float")
+    if method == "damerau-levenshtein":
+        # true DL needs quadratic DP — Arrow-batched UDF (the reference
+        # itself calls a Java library here, TextDistanceMeasure.java:109)
+        dl = _pair_udf(_py_damerau)(c1, c2)
+        sim = F.when(maxlen == 0, 1.0).otherwise(1 - dl / maxlen)
+        return sim if similarity else dl.cast("float")
+    if method == "jaro":
+        sim = _pair_udf(_py_jaro)(c1, c2)
+        return sim if similarity else (1 - sim)
+    if method == "identity":
+        sim = F.when(c1.eqNullSafe(c2), 1.0).otherwise(0.0)
+        return sim if similarity else (1 - sim)
     a, b = _bigrams(c1), _bigrams(c2)
     inter = F.size(F.array_intersect(a, b)).cast("double")
     sa, sb = F.size(a).cast("double"), F.size(b).cast("double")
@@ -367,13 +445,14 @@ def _text_distance_expr(method: str, c1, c2, similarity: bool):
         sim = F.when(union == 0, 1.0).otherwise(inter / union)
     elif method in ("dice", "simon-white"):
         sim = F.when(sa + sb == 0, 1.0).otherwise(2 * inter / (sa + sb))
-    elif method in ("overlap", "overlap-coefficient"):
+    elif method in ("overlap", "overlap-coefficient", "overlap-cofficient"):
+        # last spelling: the reference's own switch label, TextDistanceMeasure.java:101
         sim = F.when(F.least(sa, sb) == 0, 1.0).otherwise(inter / F.least(sa, sb))
-    elif method in ("cosine", "block", "block-distance", "euclidean"):
-        sim = F.when(sa * sb == 0, 1.0).otherwise(inter / F.sqrt(sa * sb))
     elif method in ("longest-common-subsequence", "longest-common-substring"):
         # approximation: shared-bigram ratio (true LCS needs quadratic DP)
         sim = F.when(F.greatest(sa, sb) == 0, 1.0).otherwise(inter / F.greatest(sa, sb))
     else:
-        raise DirectiveApplyError(f"unknown text-distance method '{method}'")
+        # cosine, block, block-distance, euclidean — and the reference
+        # DEFAULTS unknown methods to cosine (TextDistanceMeasure.java:128-130)
+        sim = F.when(sa * sb == 0, 1.0).otherwise(inter / F.sqrt(sa * sb))
     return sim if similarity else (1 - sim)
