@@ -193,3 +193,14 @@ def test_text_distance_jaro_damerau_identity(spark):
     assert rows["abcd"]["dl"] == 1.0                       # one transposition (lev would be 2)
     assert rows["same"]["ident"] == 1.0 and rows["MARTHA"]["ident"] == 0.0
     assert 0.0 <= rows["abcd"]["cosd"] <= 1.0
+
+
+def test_text_distance_lcs_true_dp(spark):
+    df = spark.createDataFrame([("abcdgh", "aedfhr"), ("abab", "babca")], ["x", "y"])
+    out = Pipeline.compile(
+        "text-metric longest-common-subsequence :x :y :sub\n"
+        "text-metric longest-common-substring :x :y :substr"
+    ).apply(df)
+    rows = {r["x"]: r for r in out.collect()}
+    assert abs(rows["abcdgh"]["sub"] - 3 / 6) < 1e-6      # LCS("abcdgh","aedfhr") = "adh"
+    assert abs(rows["abab"]["substr"] - 3 / 5) < 1e-6     # "bab" in both, maxlen 5

@@ -404,6 +404,36 @@ def _py_damerau(s1: str, s2: str) -> int:
     return d[n1][n2]
 
 
+def _py_lcs_subsequence(s1: str, s2: str) -> int:
+    """Longest common subsequence length (quadratic DP, rolling row)."""
+    if not s1 or not s2:
+        return 0
+    prev = [0] * (len(s2) + 1)
+    for ch in s1:
+        cur = [0]
+        for j, ch2 in enumerate(s2, 1):
+            cur.append(prev[j - 1] + 1 if ch == ch2 else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
+def _py_lcs_substring(s1: str, s2: str) -> int:
+    """Longest common contiguous substring length."""
+    if not s1 or not s2:
+        return 0
+    best = 0
+    prev = [0] * (len(s2) + 1)
+    for ch in s1:
+        cur = [0]
+        for j, ch2 in enumerate(s2, 1):
+            v = prev[j - 1] + 1 if ch == ch2 else 0
+            cur.append(v)
+            if v > best:
+                best = v
+        prev = cur
+    return best
+
+
 def _pair_udf(fn):
     import pandas as pd  # noqa: F811 — resolved via module global below for type hints
     globals()["pd"] = pd
@@ -448,9 +478,12 @@ def _text_distance_expr(method: str, c1, c2, similarity: bool):
     elif method in ("overlap", "overlap-coefficient", "overlap-cofficient"):
         # last spelling: the reference's own switch label, TextDistanceMeasure.java:101
         sim = F.when(F.least(sa, sb) == 0, 1.0).otherwise(inter / F.least(sa, sb))
-    elif method in ("longest-common-subsequence", "longest-common-substring"):
-        # approximation: shared-bigram ratio (true LCS needs quadratic DP)
-        sim = F.when(F.greatest(sa, sb) == 0, 1.0).otherwise(inter / F.greatest(sa, sb))
+    elif method == "longest-common-subsequence":
+        lcs = _pair_udf(_py_lcs_subsequence)(c1, c2)
+        sim = F.when(maxlen == 0, 1.0).otherwise(lcs / maxlen)
+    elif method == "longest-common-substring":
+        lcs = _pair_udf(_py_lcs_substring)(c1, c2)
+        sim = F.when(maxlen == 0, 1.0).otherwise(lcs / maxlen)
     else:
         # cosine, block, block-distance, euclidean — and the reference
         # DEFAULTS unknown methods to cosine (TextDistanceMeasure.java:128-130)
