@@ -309,3 +309,34 @@ def test_json_isvalid(spark):
     assert r["baddata"] == "Invalid Json"   # JsonFunctionsTest.java:109
     assert r["badjson"] is False            # :110
     assert r["goodjson"] is True            # :111
+
+
+# --- JsonFunctionsTest.java:65-87 (wildcard JsonPath selection) -------------
+
+def test_jsonpath_wildcard_select(spark):
+    import json
+
+    doc = json.dumps({
+        "list": [
+            {"set": {"first": {"a1": "b1"}, "second": {"x1": "y1"}}},
+            {"set": {"first": {"a2": "b2"}, "second": {"x2": "y2"}}},
+            {"set": {"first": {"a3": "b3"}, "second": {"x3": "y3"}}},
+        ]
+    })
+    df = spark.createDataFrame([(doc,)], "body string")
+    out = Pipeline.compile("json-path :body :entries '$.list[*].set.*'").apply(df)
+    entries = json.loads(out.collect()[0]["entries"])
+    assert entries == [
+        {"a1": "b1"}, {"x1": "y1"},
+        {"a2": "b2"}, {"x2": "y2"},
+        {"a3": "b3"}, {"x3": "y3"},
+    ]  # JsonFunctionsTest.java:78-86 ordering and values
+
+
+def test_jsonpath_recursive_descent(spark):
+    df = spark.createDataFrame(
+        [('{"a": {"deep": 1, "b": {"deep": 2}}, "c": [{"deep": 3}]}',)], "body string"
+    )
+    out = Pipeline.compile("json-path :body :found '$..deep'").apply(df)
+    import json
+    assert sorted(json.loads(out.collect()[0]["found"])) == [1, 2, 3]

@@ -283,7 +283,82 @@ class JsonPath(Directive):
         dt = dict(df.dtypes)[src]
         if dt != "string":
             c = F.to_json(c)
+        if _JSONPATH_WILD.search(path):
+            # indefinite path (wildcards / recursive descent) — Jayway
+            # returns an ARRAY of matches; get_json_object can't express
+            # this, so evaluate with an Arrow-batched UDF
+            return df.withColumn(self.args["destination"], _jsonpath_udf(path)(c))
         return df.withColumn(self.args["destination"], F.get_json_object(c, path))
+
+
+_JSONPATH_WILD = re.compile(r"\[\*\]|\.\*|\.\.")
+_JSONPATH_TOK = re.compile(
+    r"\.\.([A-Za-z_]\w*)"      # ..name  recursive descent
+    r"|\.\*"                   # .*      all object values
+    r"|\[\*\]"                 # [*]     all array elements
+    r"|\.([A-Za-z_]\w*)"       # .name
+    r"|\[(\d+)\]"              # [n]
+    r"|\['([^']+)'\]"          # ['name']
+)
+
+
+def _jsonpath_eval(doc, path: str):
+    """Evaluate the Jayway-subset path against a parsed JSON doc →
+    list of matches (indefinite-path semantics)."""
+    nodes = [doc]
+    for m in _JSONPATH_TOK.finditer(path[1:] if path.startswith("$") else path):
+        descend, name, idx, quoted = m.group(1), m.group(2), m.group(3), m.group(4)
+        nxt = []
+        for n in nodes:
+            if descend is not None:
+                stack = [n]
+                while stack:
+                    cur = stack.pop()
+                    if isinstance(cur, dict):
+                        if descend in cur:
+                            nxt.append(cur[descend])
+                        stack.extend(cur.values())
+                    elif isinstance(cur, list):
+                        stack.extend(cur)
+            elif m.group(0) == ".*":
+                if isinstance(n, dict):
+                    nxt.extend(n.values())
+            elif m.group(0) == "[*]":
+                if isinstance(n, list):
+                    nxt.extend(n)
+            elif name is not None or quoted is not None:
+                key = name if name is not None else quoted
+                if isinstance(n, dict) and key in n:
+                    nxt.append(n[key])
+            elif idx is not None:
+                i = int(idx)
+                if isinstance(n, list) and i < len(n):
+                    nxt.append(n[i])
+        nodes = nxt
+    return nodes
+
+
+def _jsonpath_udf(path: str):
+    import pandas as pd  # noqa: F811
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def call(s: "pd.Series") -> "pd.Series":
+        import json as _json
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                doc = _json.loads(v)
+            except Exception:
+                return None
+            return _json.dumps(_jsonpath_eval(doc, path))
+
+        return s.map(one)
+
+    return call
 
 
 @directive
@@ -542,7 +617,7 @@ class ParseXmlToJson(Directive):
 
         # no annotations: `from __future__ import annotations` turns them
         # into strings pandas_udf can't resolve for locally-defined fns
-        @pandas_udf(StringType())
+        @pandas_udf(T.StringType())
         def xml2json(s):
             def conv(v):
                 if v is None:
