@@ -3,6 +3,8 @@ golden test resources (titanic.xlsx, cdap-log.avro) as INPUT DATA."""
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from wrangler_spark import Pipeline
 from wrangler_spark.directives.stemmer import porter_stem
 from wrangler_spark.errors import DirectiveApplyError
@@ -149,10 +151,11 @@ def test_invoke_http_error_lands_in_row(spark):
 
 
 def test_recipes_survive_ansi_mode(spark):
-    """Spark 4 defaults ANSI on; get_spark turns it off for reference
-    parity (lenient casts), but every directive must also run — and give
-    the same lenient answers — under an ANSI session (try_cast/F.get/
-    try_element_at paths)."""
+    """Sessions default ANSI on (Spark 4 / the driver's config); this
+    forces it explicitly so the guarantee survives even if a host session
+    flips it — lenient reference answers must come from try_cast/F.get/
+    try_element_at per-expression, never from session config."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         df = spark.createDataFrame(
@@ -174,8 +177,22 @@ def test_recipes_survive_ansi_mode(spark):
         assert rows[0]["r"] == 13
         assert rows[1]["txt_2"] is None          # missing split part → null, no ANSI index error
         assert rows[0]["q"] == "LOW" and rows[1]["q"] is None
+
+        # masking NUMERIC columns under ANSI: when/otherwise must not
+        # coerce the masked string back to the column type (round-1
+        # driver failure: CAST_INVALID_INPUT on '0xxx' → BIGINT,
+        # masks.py:61). Covers both the positional fast path and the
+        # general literal-pattern walk, plus mask-shuffle on ints.
+        ndf = spark.createDataFrame([(1234567, 42), (None, 7)], ["k", "v"])
+        nout = Pipeline.compile(
+            "mask-number :k '#xx-x#'\nmask-shuffle :v"
+        ).apply(ndf)
+        nrows = nout.orderBy(F.col("k").asc_nulls_last()).collect()
+        assert nrows[0]["k"] == "1xx-x5"
+        assert nrows[1]["k"] is None
+        assert nrows[0]["v"] is not None and nrows[0]["v"] != "42"
     finally:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
 def test_text_distance_jaro_damerau_identity(spark):

@@ -58,7 +58,10 @@ class MaskNumber(Directive):
                     parts.append(F.lit("x" * run))
                 i = j
             masked = F.concat(*parts)
-            return df.withColumn(col, F.when(value.isNull(), F.col(col)).otherwise(masked))
+            # both CASE branches must be STRING: under ANSI (driver default)
+            # when(null, numeric_col).otherwise(string) coerces string→numeric
+            # and CAST_INVALID_INPUT explodes on 'x'-masked output.
+            return df.withColumn(col, F.when(value.isNull(), value).otherwise(masked))
 
         # accumulator: struct(i: value cursor, s: output string)
         def step(acc, pc):
@@ -88,8 +91,9 @@ class MaskNumber(Directive):
             step,
             lambda acc: acc.getField("s"),
         )
-        # reference: null value → row untouched; missing column → empty string
-        return df.withColumn(col, F.when(value.isNull(), F.col(col)).otherwise(masked))
+        # reference: null value → row untouched; missing column → empty string.
+        # null branch uses the string-cast value (not F.col) — see fast path.
+        return df.withColumn(col, F.when(value.isNull(), value).otherwise(masked))
 
 
 # --- java.util.Random replication (seed fixed at 0 by the reference) -------

@@ -548,7 +548,7 @@ class ParseAsCurrency(Directive):
         c = F.trim(F.col(src).cast("string"))
         neg = c.rlike(r"^\(.*\)$")
         cleaned = F.regexp_replace(c, r"[^0-9.\-]", "")
-        value = F.when(cleaned == "", None).otherwise(cleaned.cast("double"))
+        value = F.when(cleaned == "", None).otherwise(cleaned.try_cast("double"))
         value = F.when(neg, -value).otherwise(value)
         return df.withColumn(self.args["destination"], value)
 
@@ -567,7 +567,7 @@ class FormatAsCurrency(Directive):
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
         src = ctx.resolve(df, self.args["source"])
-        v = F.col(src).cast("double")
+        v = F.col(src).try_cast("double")
         formatted = F.concat(
             F.when(v < 0, "-").otherwise(""), F.lit("$"), F.format_number(F.abs(v), 2)
         )

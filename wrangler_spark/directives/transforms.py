@@ -287,7 +287,7 @@ class Quantize(Directive):
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
         col = ctx.resolve(df, self.args["source"])
-        v = F.col(col).cast("double")
+        v = F.col(col).try_cast("double")
         expr = None
         for lo, hi, label in self.args["ranges"]:
             cond = (v >= lo) & (v <= hi)

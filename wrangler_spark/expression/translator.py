@@ -161,6 +161,21 @@ class Translator:
             return dispatch(self, node[1], node[2], [self.translate(a) for a in node[3]], node[3])
         raise ExpressionError(f"unhandled AST node {node!r}")
 
+    @staticmethod
+    def _num_coerce(l: TC, r: TC) -> tuple[Column, Column]:
+        """JEXL parity for mixed string/number arithmetic & comparison:
+        the string side coerces to a number ("20.0" > 40 → 20.0 > 40).
+        Legacy Spark promoted such mixes to double leniently; ANSI instead
+        casts string → the numeric type strictly and CAST_INVALID_INPUT
+        explodes on e.g. '20.0' vs BIGINT — so coerce explicitly with
+        try_cast (malformed → null → 3VL, same as the legacy answer)."""
+        lc, rc = l.col, r.col
+        if l.kind == "str" and r.kind == "num":
+            lc = lc.try_cast("double")
+        elif r.kind == "str" and l.kind == "num":
+            rc = rc.try_cast("double")
+        return lc, rc
+
     def binop(self, op: str, ln, rn) -> TC:
         l = self.translate(ln)
         r = self.translate(rn)
@@ -168,23 +183,28 @@ class Translator:
             if l.kind == "str" or r.kind == "str":
                 return TC(F.concat(l.col.cast("string"), r.col.cast("string")), "str")
             return TC(l.col + r.col, "num")
-        if op == "-":
-            return TC(l.col - r.col, "num")
-        if op == "*":
-            return TC(l.col * r.col, "num")
-        if op == "/":
-            # JEXL/Java: int / int is integral division (truncating toward 0)
-            if self.is_integral_expr(ln) and self.is_integral_expr(rn):
-                return TC((l.col / r.col).cast("long"), "num")
-            return TC(l.col / r.col, "num")
-        if op == "%":
-            return TC(l.col % r.col, "num")
-        if op == "==":
-            return TC(l.col == r.col, "bool")
-        if op == "!=":
-            return TC(l.col != r.col, "bool")
-        if op in ("<", "<=", ">", ">="):
-            c = {"<": l.col < r.col, "<=": l.col <= r.col, ">": l.col > r.col, ">=": l.col >= r.col}[op]
+        if op in ("-", "*", "/", "%"):
+            lc, rc = self._num_coerce(l, r)
+            if l.kind == "str" and r.kind != "num":
+                lc = lc.try_cast("double")
+            if r.kind == "str" and l.kind != "num":
+                rc = rc.try_cast("double")
+            if op == "-":
+                return TC(lc - rc, "num")
+            if op == "*":
+                return TC(lc * rc, "num")
+            if op == "/":
+                # JEXL/Java: int / int is integral division (truncating toward 0)
+                if self.is_integral_expr(ln) and self.is_integral_expr(rn):
+                    return TC((lc / rc).cast("long"), "num")
+                return TC(lc / rc, "num")
+            return TC(lc % rc, "num")
+        if op in ("==", "!=", "<", "<=", ">", ">="):
+            lc, rc = self._num_coerce(l, r)
+            c = {
+                "==": lc == rc, "!=": lc != rc,
+                "<": lc < rc, "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
+            }[op]
             return TC(c, "bool")
         if op in ("=~", "!~"):
             # JEXL on strings: String.matches — full-anchored regex

@@ -27,9 +27,11 @@ def get_spark(app_name: str = "wrangler_spark", cpus: int | None = None) -> Spar
         # maxPartitionBytes default dominates and this setting is inert
         .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # reference semantics are lenient (bad cast → null, not error);
-        # directives also use try_* so they stay correct under ANSI sessions
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI stays ON (the Spark 4 default, and what any external session
+        # will use): the engine must be ANSI-safe on its own — lenient
+        # reference semantics (bad cast → null) are expressed with try_*
+        # per-expression, never by assuming a lenient session config.
+        .config("spark.sql.ansi.enabled", os.environ.get("SPARK_GRAFT_ANSI", "true"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
