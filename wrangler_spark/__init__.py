@@ -23,8 +23,12 @@ Public API::
 
 from wrangler_spark.pipeline import Pipeline, PipelineResult
 from wrangler_spark.registry import directive, registry
+from wrangler_spark.schemas import register_schema
 from wrangler_spark.session import get_spark
 
-__all__ = ["Pipeline", "PipelineResult", "directive", "registry", "get_spark"]
+__all__ = [
+    "Pipeline", "PipelineResult", "directive", "registry", "get_spark",
+    "register_schema",
+]
 
 __version__ = "0.1.0"

@@ -174,25 +174,67 @@ class ParseAsAvroFile(Directive):
 
 @directive
 class ParseAsAvro(Directive):
-    """parse-as-avro :col schema-id type [version] — schema-registry-backed
-    decode (ref: parser/ParseAvro.java:110). Requires a registry client and
-    spark-avro runtime, neither present here — explicit error, not a
-    silent stub."""
+    """parse-as-avro :col schema-id type [version] — decode binary- or
+    json-encoded Avro message payloads against a registered writer schema
+    (ref: parser/ParseAvro.java:110 resolves the schema from a registry
+    service; standalone hosts register it via
+    ``wrangler_spark.register_schema`` — same host-API pattern as
+    ``register_lookup``). One output row per decoded record, columns =
+    top-level record fields; nested maps/lists → JSON strings, mirroring
+    ``codec/BinaryAvroDecoder.java:59-86`` / ``JsonAvroDecoder.java``."""
 
     name = "parse-as-avro"
     usage = [
         Arg("column", TokenType.COLUMN),
         Arg("schema_id", TokenType.IDENTIFIER),
-        Arg("type", TokenType.IDENTIFIER, optional=True),
+        Arg("type", TokenType.IDENTIFIER, optional=True, default="binary"),
         Arg("version", TokenType.NUMERIC, optional=True),
     ]
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
-        raise DirectiveApplyError(
-            "parse-as-avro needs a schema-registry connection and the spark-avro "
-            "runtime (from_avro); neither is available in this environment — "
-            "use parse-as-avro-file for object-container payloads"
+        from wrangler_spark.formats.avro_ocf import (
+            decode_binary_stream,
+            decode_json_stream,
+            parse_schema,
         )
+        from wrangler_spark.schemas import get_schema
+
+        col = ctx.resolve(df, self.args["column"])
+        enc = str(self.args["type"] or "binary").lower()
+        if enc not in ("binary", "json"):
+            raise DirectiveApplyError(
+                f"parse-as-avro: encoding must be 'json' or 'binary', got '{enc}'"
+            )
+        version = self.args.value("version")
+        schema, names = parse_schema(get_schema(self.args["schema_id"], version))
+        if not (isinstance(schema, dict) and schema.get("type") == "record"):
+            raise DirectiveApplyError("parse-as-avro expects a record-typed writer schema")
+        fields = [(f["name"], _avro_field_type(f["type"])) for f in schema["fields"]]
+        out_schema = T.StructType([T.StructField(n, t) for n, t in fields])
+        decode = decode_binary_stream if enc == "binary" else decode_json_stream
+        field_names = [n for n, _ in fields]
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for payload in pdf[col]:
+                    if payload is None:
+                        continue
+                    if isinstance(payload, str):
+                        payload = payload.encode("utf-8")
+                    for rec in decode(bytes(payload), schema, names):
+                        row = {}
+                        for name, t in fields:
+                            v = rec.get(name)
+                            if isinstance(v, (dict, list)):
+                                v = json.dumps(v)
+                            elif isinstance(v, (bytes, bytearray)) and isinstance(t, StringType):
+                                v = v.decode("latin-1")  # fixed-typed → printable
+                            row[name] = v
+                        out.append(row)
+                yield pd.DataFrame(out, columns=field_names)
+
+        return df.select(col).mapInPandas(run, out_schema)
 
 
 @directive

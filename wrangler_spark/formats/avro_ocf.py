@@ -133,6 +133,93 @@ class _Reader:
         raise ValueError(f"unsupported avro type {t!r}")
 
 
+def parse_schema(schema_text) -> tuple[Any, dict]:
+    """Parse an .avsc JSON writer schema → (schema, named-type index)."""
+    schema = json.loads(schema_text) if isinstance(schema_text, (str, bytes)) else schema_text
+    names: dict = {}
+    _register_named(schema, names)
+    return schema, names
+
+
+def decode_binary_stream(payload: bytes, schema: Any, names: dict) -> list[Any]:
+    """Decode a raw (schema-less) concatenation of binary-encoded datums —
+    the ``parse-as-avro ... binary`` message shape: the reference's
+    BinaryAvroDecoder reads records until EOF
+    (``codec/BinaryAvroDecoder.java:59-86``)."""
+    r = _Reader(payload, names)
+    records: list[Any] = []
+    while not r.at_end():
+        records.append(r.decode(schema))
+    return records
+
+
+def _branch_name(branch: Any) -> str:
+    if isinstance(branch, str):
+        return branch
+    if isinstance(branch, dict):
+        t = branch["type"]
+        if t in ("record", "enum", "fixed"):
+            name = branch["name"]
+            ns = branch.get("namespace")
+            return f"{ns}.{name}" if ns and "." not in name else name
+        return t
+    raise ValueError(f"bad union branch {branch!r}")
+
+
+def _from_json(value: Any, schema: Any, names: dict) -> Any:
+    """Map a JSON-encoded Avro value (the spec's JSON encoding: unions as
+    single-key {"branch": value} objects) to a Python value."""
+    if isinstance(schema, str) and schema in names:
+        schema = names[schema]
+    if isinstance(schema, list):  # union
+        if value is None:
+            return None
+        if not isinstance(value, dict) or len(value) != 1:
+            raise ValueError(f"union value must be a 1-key object, got {value!r}")
+        key, inner = next(iter(value.items()))
+        for b in schema:
+            bn = _branch_name(b)
+            if bn == key or bn.rsplit(".", 1)[-1] == key.rsplit(".", 1)[-1]:
+                return _from_json(inner, b, names)
+        raise ValueError(f"union branch {key!r} not in schema")
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "record":
+        return {
+            f["name"]: _from_json(value.get(f["name"]), f["type"], names)
+            for f in schema["fields"]
+        }
+    if t == "array":
+        return [_from_json(v, schema["items"], names) for v in value]
+    if t == "map":
+        return {k: _from_json(v, schema["values"], names) for k, v in value.items()}
+    if t == "bytes" or t == "fixed":
+        # JSON encoding: latin-1 string of the raw bytes
+        return value.encode("latin-1") if isinstance(value, str) else value
+    if t in ("int", "long"):
+        return int(value) if value is not None else None
+    if t in ("float", "double"):
+        return float(value) if value is not None else None
+    return value
+
+
+def decode_json_stream(payload: bytes, schema: Any, names: dict) -> list[Any]:
+    """Decode concatenated JSON-encoded Avro records until EOF — the
+    ``parse-as-avro ... json`` message shape (``codec/JsonAvroDecoder.java``)."""
+    text = payload.decode("utf-8") if isinstance(payload, (bytes, bytearray)) else str(payload)
+    dec = json.JSONDecoder()
+    records: list[Any] = []
+    pos = 0
+    n = len(text)
+    while pos < n:
+        while pos < n and text[pos] in " \t\r\n":
+            pos += 1
+        if pos >= n:
+            break
+        obj, pos = dec.raw_decode(text, pos)
+        records.append(_from_json(obj, schema, names))
+    return records
+
+
 def read_ocf(payload: bytes) -> tuple[dict, list[Any]]:
     """Parse an OCF payload → (schema, records)."""
     r = _Reader(payload)
