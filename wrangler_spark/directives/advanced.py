@@ -237,11 +237,40 @@ class ParseAsAvro(Directive):
         return df.select(col).mapInPandas(run, out_schema)
 
 
+_PB_SPARK_TYPES: dict[int, T.DataType] = {}
+
+
+def _pb_spark_type(f) -> T.DataType:
+    from wrangler_spark.formats import protobuf_wire as pw
+
+    if not _PB_SPARK_TYPES:
+        _PB_SPARK_TYPES.update({
+            pw.T_DOUBLE: T.DoubleType(), pw.T_FLOAT: T.FloatType(),
+            pw.T_INT64: T.LongType(), pw.T_UINT64: T.LongType(),
+            pw.T_INT32: T.IntegerType(), pw.T_FIXED64: T.LongType(),
+            pw.T_FIXED32: T.LongType(), pw.T_BOOL: T.BooleanType(),
+            pw.T_STRING: StringType(), pw.T_BYTES: T.BinaryType(),
+            pw.T_UINT32: T.LongType(), pw.T_ENUM: StringType(),
+            pw.T_SFIXED32: T.IntegerType(), pw.T_SFIXED64: T.LongType(),
+            pw.T_SINT32: T.IntegerType(), pw.T_SINT64: T.LongType(),
+        })
+    if f.repeated:
+        return StringType()  # JSON array — composes with parse-as-json
+    return _PB_SPARK_TYPES.get(f.type, StringType())
+
+
 @directive
 class ParseAsProtobuf(Directive):
-    """parse-as-protobuf :col schema-id message [version]
-    (ref: parser/ParseProtobuf.java:106). Needs protobuf descriptors +
-    spark-protobuf (from_protobuf), not shipped here."""
+    """parse-as-protobuf :col schema-id message [version] — decode protobuf
+    message payloads against a registered ``protoc --descriptor_set_out``
+    FileDescriptorSet (ref: parser/ParseProtobuf.java:106 pulls descriptor
+    bytes from a registry service; standalone hosts use
+    ``wrangler_spark.register_schema``). Output is one row per payload with
+    nested messages flattened to ``parent_field`` columns and enums as
+    value names — the exact column shape of
+    ``codec/ProtobufDecoderUsingDescriptor.java:decodeMessage`` (its
+    repeated-message duplicates resolve first-match like ``Row.find``).
+    Repeated scalar fields land as JSON array strings."""
 
     name = "parse-as-protobuf"
     usage = [
@@ -252,10 +281,45 @@ class ParseAsProtobuf(Directive):
     ]
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
-        raise DirectiveApplyError(
-            "parse-as-protobuf needs a descriptor registry and the spark-protobuf "
-            "runtime (from_protobuf); neither is available in this environment"
+        from wrangler_spark.formats import protobuf_wire as pw
+        from wrangler_spark.schemas import get_schema
+
+        col = ctx.resolve(df, self.args["column"])
+        if not self.args.value("message"):
+            raise DirectiveApplyError("parse-as-protobuf requires a message type name")
+        payload = get_schema(self.args["schema_id"], self.args.value("version"))
+        if isinstance(payload, str):  # path to a .desc file
+            with open(payload, "rb") as fh:
+                payload = fh.read()
+        index = pw.parse_descriptor_set(bytes(payload))
+        try:
+            msg = pw.find_message(index, str(self.args["message"]))
+        except KeyError as e:
+            raise DirectiveApplyError(str(e)) from None
+        cols = pw.flat_schema(msg, index)
+        out_schema = T.StructType(
+            [T.StructField(n, _pb_spark_type(f)) for n, f in cols]
         )
+        names = [n for n, _ in cols]
+        repeated = {n for n, f in cols if f.repeated}
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for blob in pdf[col]:
+                    if blob is None:
+                        continue
+                    flat = pw.decode_flat(bytes(blob), msg, index)
+                    row = {}
+                    for n in names:
+                        v = flat.get(n)
+                        if n in repeated:
+                            v = json.dumps(v, default=str) if v is not None else None
+                        row[n] = v
+                    out.append(row)
+                yield pd.DataFrame(out, columns=names)
+
+        return df.select(col).mapInPandas(run, out_schema)
 
 
 @directive

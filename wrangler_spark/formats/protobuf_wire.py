@@ -1,0 +1,280 @@
+"""Minimal protobuf wire-format + FileDescriptorSet reader — stdlib only.
+
+Implements the published protobuf encoding (varint / 64-bit / length-
+delimited / 32-bit wire types) and just enough of ``descriptor.proto``
+(whose field numbers are public protocol) to load a ``protoc
+--descriptor_set_out`` FileDescriptorSet and decode DynamicMessage-style.
+
+Covers the surface the reference exercises
+(``codec/ProtobufDecoderUsingDescriptor.java``): messages flattened to
+``parent_field`` columns, enums as value names, repeated scalars as lists,
+nested/repeated messages recursed. Proto3 packed repeated scalars handled.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+# FieldDescriptorProto.Type values (public protocol constants)
+T_DOUBLE, T_FLOAT, T_INT64, T_UINT64, T_INT32 = 1, 2, 3, 4, 5
+T_FIXED64, T_FIXED32, T_BOOL, T_STRING, T_GROUP = 6, 7, 8, 9, 10
+T_MESSAGE, T_BYTES, T_UINT32, T_ENUM, T_SFIXED32 = 11, 12, 13, 14, 15
+T_SFIXED64, T_SINT32, T_SINT64 = 16, 17, 18
+LABEL_REPEATED = 3
+
+_VARINT_TYPES = {T_INT64, T_UINT64, T_INT32, T_BOOL, T_UINT32, T_ENUM, T_SINT32, T_SINT64}
+_FIXED64_TYPES = {T_DOUBLE, T_FIXED64, T_SFIXED64}
+_FIXED32_TYPES = {T_FLOAT, T_FIXED32, T_SFIXED32}
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    acc = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return acc, pos
+        shift += 7
+
+
+def parse_wire(buf: bytes) -> dict[int, list[tuple[int, object]]]:
+    """Raw message parse: field number -> [(wire_type, value)] in order.
+    Varint/fixed values come back as ints, length-delimited as bytes."""
+    out: dict[int, list[tuple[int, object]]] = {}
+    pos, n = 0, len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        num, wt = key >> 3, key & 7
+        if wt == 0:
+            v, pos = _read_varint(buf, pos)
+        elif wt == 1:
+            v = int.from_bytes(buf[pos : pos + 8], "little")
+            pos += 8
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            v = buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:
+            v = int.from_bytes(buf[pos : pos + 4], "little")
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt} (group encoding?)")
+        out.setdefault(num, []).append((wt, v))
+    return out
+
+
+# --- descriptor model -------------------------------------------------------
+
+
+@dataclass
+class PBField:
+    name: str
+    number: int
+    label: int
+    type: int
+    type_name: str = ""  # fully-qualified, for message/enum fields
+
+    @property
+    def repeated(self) -> bool:
+        return self.label == LABEL_REPEATED
+
+
+@dataclass
+class PBMessage:
+    name: str
+    full_name: str
+    fields: list[PBField] = field(default_factory=list)
+
+
+@dataclass
+class PBEnum:
+    name: str
+    full_name: str
+    values: dict[int, str] = field(default_factory=dict)
+
+
+def _parse_enum(buf: bytes, scope: str, index: dict) -> PBEnum:
+    w = parse_wire(buf)
+    name = w[1][0][1].decode("utf-8")
+    full = f"{scope}.{name}" if scope else name
+    e = PBEnum(name, full)
+    for _, vb in w.get(2, []):
+        vw = parse_wire(vb)
+        vname = vw[1][0][1].decode("utf-8")
+        vnum = vw.get(2, [(0, 0)])[0][1]
+        e.values[vnum] = vname
+    index[full] = e
+    return e
+
+
+def _parse_message(buf: bytes, scope: str, index: dict) -> PBMessage:
+    w = parse_wire(buf)
+    name = w[1][0][1].decode("utf-8")
+    full = f"{scope}.{name}" if scope else name
+    m = PBMessage(name, full)
+    for _, fb in w.get(2, []):
+        fw = parse_wire(fb)
+        m.fields.append(
+            PBField(
+                name=fw[1][0][1].decode("utf-8"),
+                number=fw[3][0][1],
+                label=fw.get(4, [(0, 1)])[0][1],
+                type=fw.get(5, [(0, T_MESSAGE)])[0][1],
+                type_name=fw[6][0][1].decode("utf-8").lstrip(".") if 6 in fw else "",
+            )
+        )
+    for _, nb in w.get(3, []):  # nested_type
+        _parse_message(nb, full, index)
+    for _, eb in w.get(4, []):  # enum_type
+        _parse_enum(eb, full, index)
+    index[full] = m
+    return m
+
+
+def parse_descriptor_set(payload: bytes) -> dict[str, object]:
+    """FileDescriptorSet bytes -> {fully.qualified.Name: PBMessage|PBEnum}."""
+    index: dict[str, object] = {}
+    top = parse_wire(payload)
+    for _, fb in top.get(1, []):  # repeated FileDescriptorProto file
+        fw = parse_wire(fb)
+        package = fw[2][0][1].decode("utf-8") if 2 in fw else ""
+        for _, mb in fw.get(4, []):  # message_type
+            _parse_message(mb, package, index)
+        for _, eb in fw.get(5, []):  # file-level enum_type
+            _parse_enum(eb, package, index)
+    if not index:
+        raise ValueError("no message types in descriptor set")
+    return index
+
+
+def find_message(index: dict, name: str) -> PBMessage:
+    """Find by full name or bare name (the reference looks up by bare
+    message name within the first file)."""
+    m = index.get(name)
+    if isinstance(m, PBMessage):
+        return m
+    for k, v in index.items():
+        if isinstance(v, PBMessage) and k.rsplit(".", 1)[-1] == name:
+            return v
+    raise KeyError(f"message '{name}' not found in descriptor; have: {sorted(index)}")
+
+
+# --- decoding ---------------------------------------------------------------
+
+
+def _zigzag_dec(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _signed64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _signed32(u: int) -> int:
+    u &= 0xFFFFFFFF
+    return u - (1 << 32) if u >= (1 << 31) else u
+
+
+def _scalar(f: PBField, wt: int, v, index: dict):
+    t = f.type
+    if t == T_STRING:
+        return v.decode("utf-8") if isinstance(v, (bytes, bytearray)) else str(v)
+    if t == T_BYTES:
+        return bytes(v)
+    if t == T_BOOL:
+        return bool(v)
+    if t == T_DOUBLE:
+        return struct.unpack("<d", int(v).to_bytes(8, "little"))[0]
+    if t == T_FLOAT:
+        return struct.unpack("<f", int(v).to_bytes(4, "little"))[0]
+    if t in (T_SINT32, T_SINT64):
+        return _zigzag_dec(v)
+    if t in (T_INT32, T_INT64):
+        return _signed64(v) if v >= (1 << 63) else v
+    if t == T_SFIXED64:
+        return _signed64(v)
+    if t == T_SFIXED32:
+        return _signed32(v)
+    if t == T_ENUM:
+        e = index.get(f.type_name)
+        return e.values.get(v, str(v)) if isinstance(e, PBEnum) else v
+    # uint32/uint64/fixed32/fixed64
+    return v
+
+
+def _unpack_packed(f: PBField, blob: bytes, index: dict) -> list:
+    """Proto3 packs repeated numerics into one length-delimited blob."""
+    vals = []
+    pos, n = 0, len(blob)
+    while pos < n:
+        if f.type in _VARINT_TYPES:
+            v, pos = _read_varint(blob, pos)
+        elif f.type in _FIXED64_TYPES:
+            v = int.from_bytes(blob[pos : pos + 8], "little")
+            pos += 8
+        elif f.type in _FIXED32_TYPES:
+            v = int.from_bytes(blob[pos : pos + 4], "little")
+            pos += 4
+        else:
+            raise ValueError(f"field {f.name}: non-numeric packed data")
+        vals.append(_scalar(f, 0, v, index))
+    return vals
+
+
+def decode_flat(payload: bytes, msg: PBMessage, index: dict, prefix: str | None = None,
+                out: dict | None = None) -> dict:
+    """Decode to a flat {column: value} dict, reference-shaped:
+    nested/repeated messages flatten as ``parent_field`` and the FIRST
+    occurrence's leaves win (parity with ``Row.find`` first-match,
+    ``ProtobufDecoderUsingDescriptor.java:decodeMessage``); singular
+    scalars take the last wire occurrence (protobuf merge rule); repeated
+    scalars come back as Python lists."""
+    if out is None:
+        out = {}
+    wire = parse_wire(payload)
+    for f in msg.fields:
+        occ = wire.get(f.number)
+        if not occ:
+            continue
+        name = f"{prefix}_{f.name}" if prefix else f.name
+        if f.type == T_MESSAGE:
+            sub = index.get(f.type_name)
+            if not isinstance(sub, PBMessage):
+                raise ValueError(f"unresolved message type {f.type_name!r}")
+            for wt, blob in occ:
+                inner = decode_flat(bytes(blob), sub, index, name)
+                for k, v in inner.items():
+                    out.setdefault(k, v)
+        elif f.repeated:
+            vals: list = []
+            for wt, v in occ:
+                if wt == 2 and f.type not in (T_STRING, T_BYTES):
+                    vals.extend(_unpack_packed(f, v, index))
+                else:
+                    vals.append(_scalar(f, wt, v, index))
+            out[name] = vals
+        else:
+            wt, v = occ[-1]
+            out[name] = _scalar(f, wt, v, index)
+    return out
+
+
+def flat_schema(msg: PBMessage, index: dict, prefix: str | None = None,
+                seen: tuple = ()) -> list[tuple[str, PBField]]:
+    """Static flattened column list (name, leaf field) mirroring
+    decode_flat's naming; recursive message cycles cut off."""
+    cols: list[tuple[str, PBField]] = []
+    for f in msg.fields:
+        name = f"{prefix}_{f.name}" if prefix else f.name
+        if f.type == T_MESSAGE:
+            if f.type_name in seen:
+                continue
+            sub = index.get(f.type_name)
+            if isinstance(sub, PBMessage):
+                cols.extend(flat_schema(sub, index, name, seen + (f.type_name,)))
+        else:
+            cols.append((name, f))
+    return cols
