@@ -41,6 +41,46 @@ def test_ngram_jaccard(docs):
     assert (1, 4) in pairset  # normalized-identical pair has jaccard 1.0
 
 
+def test_minhash_hot_bucket_star_links(spark):
+    """1k identical docs: the clique would be ~500k candidate pairs; the
+    bucket-size cap star-links them to the min-id representative, so the
+    join emits exactly n-1 pairs and completes in seconds."""
+    n = 1000
+    hot = spark.createDataFrame(
+        [(i, "the exact same document body repeated everywhere") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.minhash_lsh_pairs(hot, "doc_id", "text", threshold=0.9,
+                                    max_bucket_size=10)
+    rows = pairs.collect()
+    assert len(rows) == n - 1                      # star, not clique
+    assert all(r["id_a"] == 0 for r in rows)       # min-id representative
+    assert all(r["jaccard"] == 1.0 for r in rows)
+
+
+def test_minhash_bucket_cap_preserves_small_cliques(docs):
+    """Buckets at/below the cap keep full-clique semantics — same pairs as
+    the uncapped run on a normal corpus."""
+    capped = {(r["id_a"], r["id_b"]) for r in
+              dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.3, max_bucket_size=100).collect()}
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.3, max_bucket_size=10**9).collect()}
+    assert capped == uncapped
+
+
+def test_ngram_stop_gram_pruning(spark):
+    """A gram shared by every doc is pruned by the df cap; docs that only
+    overlap through stop-grams stop pairing, true near-dups survive."""
+    rows = [(1, "alpha COMMONBLOCK first"), (2, "alpha COMMONBLOCK second"),
+            (3, "zzzz COMMONBLOCK qqqq"), (4, "alpha COMMONBLOCK first")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    strict = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=5, threshold=0.9,
+                                       max_gram_df=3)
+    pairset = {(r["id_a"], r["id_b"]) for r in strict.collect()}
+    assert (1, 4) in pairset           # identical docs still pair at 1.0
+    assert (1, 3) not in pairset and (2, 3) not in pairset
+
+
 def test_simhash_close_for_near_dups(docs):
     out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
     ham_12 = bin(out[1] ^ out[2]).count("1")

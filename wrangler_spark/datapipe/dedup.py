@@ -127,7 +127,8 @@ def minhash_signature(shingles: Column) -> list[Column]:
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
+    max_bucket_size: int = 100,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact Jaccard over shingle sets. Returns (id_a, id_b, jaccard).
@@ -136,12 +137,20 @@ def minhash_lsh_pairs(
     dominant cost — naively inlining it into all 32 signature mins
     recomputes it 32×); the band self-join carries only (id, band, key) so
     the shuffle payload is ~40 bytes/row, and shingle sets are re-fetched
-    for the (rare) candidates only. The banded frame is persisted because
-    a self-join evaluates its plan twice; at 100 TB persist/write the
-    signature table explicitly and reuse it across runs."""
-    # persisted: evaluated once, read three times (signature path + both
-    # sides of the candidate-verification join)
-    base = with_shingles(df, id_col, text_col).persist()
+    for the (rare) candidates only. Reused frames are localCheckpoint-ed
+    (not persist()-ed): blocks are ContextCleaner-managed, so repeated
+    calls in one session don't accumulate CacheManager entries. At 100 TB
+    persist/write the signature table explicitly and reuse it across runs.
+
+    Hot buckets: a (band, key) bucket of b near-identical docs would make
+    the self-join emit b² candidate rows — the classic quadratic blowup on
+    duplicate-heavy corpora (run exact_dedup upstream first). Buckets
+    larger than ``max_bucket_size`` are therefore STAR-LINKED: each member
+    pairs with the bucket's min-id representative only (b-1 candidates,
+    same connected components for clustering), instead of the full clique."""
+    # localCheckpoint: evaluated once, read three times (signature path +
+    # both sides of the candidate-verification join)
+    base = with_shingles(df, id_col, text_col).localCheckpoint(eager=False)
     hashed = base.selectExpr(
         "id", f"transform(shingles, s -> {_HASH28_SQL.format(x='s')}) AS h"
     )
@@ -155,20 +164,31 @@ def minhash_lsh_pairs(
     bands = (
         sig.selectExpr("id", f"explode({band_array}) AS bk")
         .selectExpr("id", "bk.band AS band", "bk.key AS key")
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
-    cand = (
-        bands.alias("l")
+    # bucket stats ride along on the same (band, key) partitioning the
+    # self-join uses, so AQE co-locates the two shuffles
+    stats = bands.groupBy("band", "key").agg(
+        F.count("*").alias("__n"), F.min("id").alias("__rep")
+    )
+    sized = bands.join(stats, ["band", "key"])
+    small = sized.filter(F.col("__n") <= max_bucket_size).select("id", "band", "key")
+    cand_small = (
+        small.alias("l")
         .join(
-            bands.alias("r"),
+            small.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    cand_big = (
+        sized.filter((F.col("__n") > max_bucket_size) & (F.col("id") != F.col("__rep")))
+        .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    cand = cand_small.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
     pairs = (
         cand.join(base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa")), "id_a")
         .join(base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb")), "id_b")
@@ -184,10 +204,20 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.6
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.6,
+    max_gram_df: int | None = 10_000,
 ) -> DataFrame:
     """Character n-gram Jaccard near-dups via an inverted-index equi-join:
-    only pairs sharing at least one n-gram are ever scored."""
+    only pairs sharing at least one n-gram are ever scored.
+
+    Stop-gram pruning: a gram shared by k documents contributes k² rows to
+    the self-join — one ubiquitous 5-gram (' the ') is the scale-killer at
+    100 TB. Grams with document frequency > ``max_gram_df`` are dropped
+    from BOTH the inverted index and the per-doc gram counts, so the score
+    is exact Jaccard over the non-stop grams (they carry ~no signal: a
+    gram in k of N docs shifts Jaccard by at most 1/|union| while costing
+    k² join rows). The df-count groupBy and the join back ride the same
+    gram-key partitioning as the self-join."""
     # stage the normalized text: it appears once per gram in the transform
     # lambda and Spark won't CSE it there (see shingles_of_words)
     staged = df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__t"))
@@ -199,8 +229,19 @@ def ngram_jaccard_pairs(
             F.transform(F.sequence(F.lit(1), ln - (n - 1)), lambda i: txt.substr(i, F.lit(n)))
         ),
     ).otherwise(F.array(txt))
-    base = staged.select(F.col("id"), grams.alias("grams")).withColumn("ng", F.size("grams"))
-    inv = base.select("id", "ng", F.explode("grams").alias("g"))
+    base = staged.select(F.col("id"), grams.alias("grams"))
+    inv = base.select("id", F.explode("grams").alias("g"))
+    if max_gram_df is not None:
+        keep = (
+            inv.groupBy("g")
+            .agg(F.count("*").alias("__gdf"))
+            .filter(F.col("__gdf") <= max_gram_df)
+            .select("g")
+        )
+        inv = inv.join(keep, "g")
+    # per-doc count AFTER pruning so jaccard stays internally consistent
+    ng = inv.groupBy("id").agg(F.count("*").alias("ng"))
+    inv = inv.join(ng, "id")
     l, r = inv.alias("l"), inv.alias("r")
     shared = (
         l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
