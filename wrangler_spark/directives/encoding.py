@@ -84,11 +84,64 @@ class Decode(Directive):
         return df.withColumn(f"{col}_decode_{method}", out)
 
 
+# reference matrix tail (transformation/MessageHash.java:54-103) beyond the
+# JVM-native family: hashlib name + kwargs, hashed in ONE Arrow-batched UDF
+_HASHLIB_ALGOS: dict[str, tuple[str, dict]] = {
+    "BLAKE2B-160": ("blake2b", {"digest_size": 20}),
+    "BLAKE2B-256": ("blake2b", {"digest_size": 32}),
+    "BLAKE2B-384": ("blake2b", {"digest_size": 48}),
+    "BLAKE2B-512": ("blake2b", {"digest_size": 64}),
+    "SHA3-224": ("sha3_224", {}),
+    "SHA3-256": ("sha3_256", {}),
+    "SHA3-384": ("sha3_384", {}),
+    "SHA3-512": ("sha3_512", {}),
+    "SHA-512/224": ("sha512_224", {}),
+    "SHA-512/256": ("sha512_256", {}),
+    "SM3": ("sm3", {}),
+    "RIPEMD160": ("ripemd160", {}),
+}
+_KECCAK_BITS = {f"KECCAK-{b}": b for b in (224, 256, 288, 384, 512)}
+# BouncyCastle-only exotics we do not re-implement (documented gap)
+_UNSUPPORTED_HASHES = (
+    "MD2", "MD4", "GOST3411", "GOST3411-2012-256", "GOST3411-2012-512",
+    "RIPEMD128", "RIPEMD256", "RIPEMD320", "TIGER", "WHIRLPOOL",
+)
+
+
+def _hashlib_hex_udf(algo: str):
+    import hashlib
+
+    from wrangler_spark.formats.keccak import keccak_digest
+
+    if algo in _KECCAK_BITS:
+        bits = _KECCAK_BITS[algo]
+
+        def one(v):
+            return None if v is None else keccak_digest(str(v).encode("utf-8"), bits).hex()
+    else:
+        name, kwargs = _HASHLIB_ALGOS[algo]
+
+        def one(v):
+            if v is None:
+                return None
+            return hashlib.new(name, str(v).encode("utf-8"), **kwargs).hexdigest()
+
+    @pandas_udf(StringType())
+    def digest(s: pd.Series) -> pd.Series:
+        return s.map(one)
+
+    return digest
+
+
 @directive
 class MessageHash(Directive):
     """hash :col algo [encode] — digest the column in place
-    (ref: transformation/MessageHash.java:157). Native: MD5/SHA-1/SHA-2
-    family/CRC32; others raise (hashlib UDF can be added per algo).
+    (ref: transformation/MessageHash.java:157, BouncyCastle matrix at
+    :54-103). MD5/SHA-1/SHA-2/CRC32 run JVM-native; BLAKE2B-*, SHA3-*,
+    SHA-512/224+256, SM3, RIPEMD160 via one hashlib Arrow UDF;
+    KECCAK-224/256/288/384/512 via a stdlib Keccak sponge (hashlib has
+    only the SHA-3 padding variant). MD2/MD4/GOST/RIPEMD-128/256/320/
+    Tiger/Whirlpool/Skein are BouncyCastle-only and raise explicitly.
     encode=true (default) → hex string; false → binary."""
 
     name = "hash"
@@ -104,17 +157,23 @@ class MessageHash(Directive):
         c = F.col(col).cast("string")
         if algo == "MD5":
             hexed = F.md5(c)
-        elif algo == "SHA-1" or algo == "SHA1":
+        elif algo in ("SHA-1", "SHA1", "SHA"):
             hexed = F.sha1(c)
         elif algo in ("SHA-224", "SHA-256", "SHA-384", "SHA-512"):
             hexed = F.sha2(c, int(algo.split("-")[1]))
         elif algo == "CRC32":
             hexed = F.lower(F.hex(F.crc32(c.cast("binary"))))
-        else:
+        elif algo in _HASHLIB_ALGOS or algo in _KECCAK_BITS:
+            hexed = _hashlib_hex_udf(algo)(c)
+        elif algo in _UNSUPPORTED_HASHES or algo.startswith("SKEIN"):
             raise DirectiveApplyError(
-                f"hash algorithm '{algo}' not supported natively "
-                "(MD5, SHA-1, SHA-224/256/384/512, CRC32 are)"
+                f"hash algorithm '{algo}' needs a BouncyCastle-only digest "
+                "with no stdlib equivalent — supported here: MD5, SHA/SHA-1, "
+                "SHA-224/256/384/512, SHA-512/224, SHA-512/256, SHA3-*, "
+                "KECCAK-*, BLAKE2B-*, SM3, RIPEMD160, CRC32"
             )
+        else:
+            raise DirectiveApplyError(f"unknown hash algorithm '{algo}'")
         out = hexed if self.args["encode"] else F.unhex(hexed)
         return df.withColumn(col, out)
 
