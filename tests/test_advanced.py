@@ -96,9 +96,9 @@ def test_data_model_map_column(spark):
     assert out.collect()[0]["person_age"] == 12
 
 
-def test_avro_stub_raises(spark):
+def test_avro_unregistered_schema_raises(spark):
     df = spark.createDataFrame([("x",)], ["body"])
-    with pytest.raises(DirectiveApplyError, match="schema-registry"):
+    with pytest.raises(DirectiveApplyError, match="not registered"):
         Pipeline.compile("parse-as-avro :body someid").apply(df)
 
 

@@ -226,6 +226,20 @@ def test_parse_as_protobuf_repeated_and_packed(spark):
     assert out2.collect()[0]["id"] == -7
 
 
+def test_parse_as_protobuf_uint64_wraps_to_signed_long(spark):
+    """uint64/fixed64 >= 2^63 must wrap to a signed Java-long (DynamicMessage
+    parity) or the LongType Arrow conversion raises at executor runtime."""
+    msg = ld(1, "U") + ld(2, fdp_field("u", 1, 4)) + ld(2, fdp_field("f", 2, 6))
+    fdp = ld(1, "u.proto") + ld(2, "t") + ld(4, msg)
+    register_schema("u64", ld(1, fdp))
+    umax = (1 << 64) - 1  # wire: all-ones varint → Java long -1
+    payload = vi(1, umax) + tag(2, 1) + umax.to_bytes(8, "little")
+    df = spark.createDataFrame([(payload,)], "payload binary")
+    out = Pipeline.compile("parse-as-protobuf :payload u64 U").apply(df)
+    r = out.collect()[0]
+    assert r["u"] == -1 and r["f"] == -1
+
+
 REF_DESC = "/root/reference/wrangler-core/src/test/resources/addressbook.desc"
 
 

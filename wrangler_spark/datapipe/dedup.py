@@ -146,8 +146,13 @@ def minhash_lsh_pairs(
     the self-join emit b² candidate rows — the classic quadratic blowup on
     duplicate-heavy corpora (run exact_dedup upstream first). Buckets
     larger than ``max_bucket_size`` are therefore STAR-LINKED: each member
-    pairs with the bucket's min-id representative only (b-1 candidates,
-    same connected components for clustering), instead of the full clique."""
+    pairs with the bucket's min-id representative only (b-1 candidates
+    instead of the full clique). Connected components are preserved only
+    for members that pass the Jaccard threshold against the representative;
+    two hot-bucket members similar to each other but not to the
+    representative are not linked — acceptable because hot buckets are by
+    construction near-identical signature collisions, and exact_dedup
+    upstream removes the true-identical mass that creates them."""
     # localCheckpoint: evaluated once, read three times (signature path +
     # both sides of the candidate-verification join)
     base = with_shingles(df, id_col, text_col).localCheckpoint(eager=False)
@@ -232,9 +237,12 @@ def ngram_jaccard_pairs(
     base = staged.select(F.col("id"), grams.alias("grams"))
     inv = base.select("id", F.explode("grams").alias("g"))
     if max_gram_df is not None:
+        # true DOCUMENT frequency: grams are array_distinct-ed per doc, so
+        # (id, g) is already unique, but countDistinct keeps the cutoff a
+        # doc-frequency even if the gram construction ever stops deduping
         keep = (
             inv.groupBy("g")
-            .agg(F.count("*").alias("__gdf"))
+            .agg(F.countDistinct("id").alias("__gdf"))
             .filter(F.col("__gdf") <= max_gram_df)
             .select("g")
         )

@@ -147,7 +147,9 @@ class MessageHash(Directive):
     name = "hash"
     usage = [
         Arg("column", TokenType.COLUMN),
-        Arg("algo", TokenType.IDENTIFIER),
+        # TEXT per the reference (MessageHash.java:113) — algos with '/'
+        # (SHA-512/224) must be quoted; bare identifiers widen to TEXT
+        Arg("algo", TokenType.TEXT),
         Arg("encode", TokenType.BOOL, optional=True, default=True),
     ]
 
@@ -164,6 +166,21 @@ class MessageHash(Directive):
         elif algo == "CRC32":
             hexed = F.lower(F.hex(F.crc32(c.cast("binary"))))
         elif algo in _HASHLIB_ALGOS or algo in _KECCAK_BITS:
+            if algo in _HASHLIB_ALGOS:
+                # OpenSSL-dependent names (ripemd160, sm3) may be missing on
+                # this build — probe on the driver at compile time so the
+                # failure is a clear DirectiveApplyError, not an executor
+                # UDF ValueError at runtime
+                import hashlib
+
+                name, kwargs = _HASHLIB_ALGOS[algo]
+                try:
+                    hashlib.new(name, b"", **kwargs)
+                except (ValueError, TypeError) as e:
+                    raise DirectiveApplyError(
+                        f"hash algorithm '{algo}' maps to hashlib '{name}', "
+                        f"which this Python/OpenSSL build does not provide: {e}"
+                    ) from None
             hexed = _hashlib_hex_udf(algo)(c)
         elif algo in _UNSUPPORTED_HASHES or algo.startswith("SKEIN"):
             raise DirectiveApplyError(

@@ -201,7 +201,12 @@ def _scalar(f: PBField, wt: int, v, index: dict):
     if t == T_ENUM:
         e = index.get(f.type_name)
         return e.values.get(v, str(v)) if isinstance(e, PBEnum) else v
-    # uint32/uint64/fixed32/fixed64
+    if t in (T_UINT64, T_FIXED64):
+        # values >= 2^63 must wrap to signed for LongType Arrow conversion —
+        # parity with the reference's DynamicMessage, which hands uint64
+        # through as a Java (signed) long
+        return _signed64(v)
+    # uint32/fixed32 always fit a long
     return v
 
 
