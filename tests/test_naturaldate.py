@@ -1,0 +1,98 @@
+"""parse-as-date natural-language fallback (natty parity shapes,
+ref: parser/ParseDate.java:103-112, ParseDateTest.testDateParser)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from wrangler_spark import Pipeline
+from wrangler_spark.formats.naturaldate import parse_natural
+
+NOW = datetime(2016, 12, 10, 6, 45, 0, tzinfo=timezone.utc)  # a Saturday
+
+
+def p(s, tz="UTC"):
+    return parse_natural(s, NOW, tz)
+
+
+def test_now_today():
+    assert p("now") == NOW
+    assert p("Today") == NOW
+    assert p("  now  ") == NOW
+
+
+def test_yesterday_tomorrow():
+    assert p("yesterday") == NOW - timedelta(days=1)
+    assert p("tomorrow") == NOW + timedelta(days=1)
+
+
+def test_epoch_seconds_and_millis():
+    # the reference test row "1485800109"
+    assert p("1485800109") == datetime(2017, 1, 30, 18, 15, 9, tzinfo=timezone.utc)
+    assert p("1485800109000") == datetime(2017, 1, 30, 18, 15, 9, tzinfo=timezone.utc)
+
+
+def test_month_name_forms():
+    # the reference test row "september 7th 2016"
+    assert p("september 7th 2016") == datetime(2016, 9, 7, tzinfo=timezone.utc)
+    assert p("Sep 7, 2016") == datetime(2016, 9, 7, tzinfo=timezone.utc)
+    assert p("7 september 2016") == datetime(2016, 9, 7, tzinfo=timezone.utc)
+    assert p("7th of September 2016") == datetime(2016, 9, 7, tzinfo=timezone.utc)
+    # year defaults to the current one
+    assert p("march 3rd") == datetime(2016, 3, 3, tzinfo=timezone.utc)
+    # with a time
+    assert p("september 7th 2016 at 6:45 pm") == datetime(2016, 9, 7, 18, 45, tzinfo=timezone.utc)
+    # invalid day-of-month → no match, not an exception
+    assert p("february 31 2016") is None
+
+
+def test_next_last_weekday():
+    # NOW is Saturday 2016-12-10; next tuesday = 12-13, last tuesday = 12-06
+    assert p("next tuesday") == datetime(2016, 12, 13, tzinfo=timezone.utc)
+    assert p("last tuesday") == datetime(2016, 12, 6, tzinfo=timezone.utc)
+    # same weekday never resolves to today
+    assert p("next saturday") == datetime(2016, 12, 17, tzinfo=timezone.utc)
+    assert p("last saturday") == datetime(2016, 12, 3, tzinfo=timezone.utc)
+    assert p("next week") == datetime(2016, 12, 17, tzinfo=timezone.utc)
+    assert p("last month") == datetime(2016, 11, 10, tzinfo=timezone.utc)
+    assert p("next year") == datetime(2017, 12, 10, tzinfo=timezone.utc)
+
+
+def test_relative_deltas():
+    assert p("3 days ago") == NOW - timedelta(days=3)
+    assert p("1 day ago") == NOW - timedelta(days=1)
+    assert p("2 weeks ago") == NOW - timedelta(weeks=2)
+    assert p("in 2 days") == NOW + timedelta(days=2)
+    assert p("5 hours from now") == NOW + timedelta(hours=5)
+    assert p("1 month ago") == datetime(2016, 11, 10, 6, 45, tzinfo=timezone.utc)
+
+
+def test_timezone_midnight():
+    # month-name date resolves to local midnight in the directive timezone
+    got = p("september 7th 2016", tz="US/Eastern")
+    assert got == datetime(2016, 9, 7, 4, 0, tzinfo=timezone.utc)  # EDT = UTC-4
+
+
+def test_no_match_returns_none():
+    assert p("not a date") is None
+    assert p("") is None
+    assert p(None) is None
+    assert p("123") is None  # not an epoch shape
+
+
+def test_directive_mixes_formats_and_natural(spark):
+    """The reference's testDateParser row set: formats parse natively,
+    natural shapes fall through to the Arrow UDF, garbage stays null."""
+    rows = [("12/10/2016",), ("september 7th 2016",), ("1485800109",),
+            ("now",), ("garbage",), (None,)]
+    df = spark.createDataFrame(rows, ["date"])
+    out = Pipeline.compile("parse-as-date :date").apply(df)
+    got = {r["date"]: r["date_1"] for r in out.collect()}
+    assert got["12/10/2016"] == datetime(2016, 12, 10)
+    assert got["september 7th 2016"] == datetime(2016, 9, 7)
+    assert got["1485800109"] == datetime(2017, 1, 30, 18, 15, 9)
+    assert got["now"] is not None
+    assert got["garbage"] is None
+    assert got[None] is None

@@ -154,8 +154,12 @@ def minhash_lsh_pairs(
     construction near-identical signature collisions, and exact_dedup
     upstream removes the true-identical mass that creates them."""
     # localCheckpoint: evaluated once, read three times (signature path +
-    # both sides of the candidate-verification join)
-    base = with_shingles(df, id_col, text_col).localCheckpoint(eager=False)
+    # both sides of the candidate-verification join). EAGER: with a lazy
+    # checkpoint the three consumer stages race to materialize the RDD
+    # concurrently and the losers' metric accumulators are dropped
+    # ("Failed to update accumulator" DAGScheduler errors); eager pays one
+    # synchronous job and every consumer reads checkpointed blocks
+    base = with_shingles(df, id_col, text_col).localCheckpoint(eager=True)
     hashed = base.selectExpr(
         "id", f"transform(shingles, s -> {_HASH28_SQL.format(x='s')}) AS h"
     )
@@ -169,7 +173,7 @@ def minhash_lsh_pairs(
     bands = (
         sig.selectExpr("id", f"explode({band_array}) AS bk")
         .selectExpr("id", "bk.band AS band", "bk.key AS key")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     # bucket stats ride along on the same (band, key) partitioning the

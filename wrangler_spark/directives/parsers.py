@@ -14,9 +14,12 @@ import csv as _csv
 import io
 import re
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from wrangler_spark.context import CompileContext
 from wrangler_spark.directive import Arg, Directive
@@ -47,6 +50,22 @@ def _is_stringy(v: str) -> bool:
     if s.lower() in ("true", "false"):
         return False
     return True
+
+
+def _pin_expensive(c: Column) -> Column:
+    """Nondeterministic no-op identity (a one-element array shuffle) that
+    pins an expensive expression to its own projection. Without it,
+    Catalyst's PushPredicateThroughNonJoin substitutes the full expression
+    into every later filter that references a parsed field — e.g. a
+    filter-row after parse-as-csv re-parses EVERY input row a second time
+    just to evaluate the predicate. Nondeterministic project fields block
+    that substitution (and CollapseProject duplication) while keeping
+    whole-stage codegen intact; the value is unchanged
+    (spark_partition_id() is never < 0). A when(rand()>-1) guard does NOT
+    work — the optimizer range-folds rand comparisons — and wrapping in
+    shuffle(array(c)) survives but falls out of codegen (measured ~40%
+    slower than the plain int comparison here)."""
+    return F.when(F.spark_partition_id() >= 0, c)
 
 
 @directive
@@ -99,7 +118,7 @@ class ParseAsCsv(Directive):
             out = out.filter(F.col(col).isNull() | (F.col(col) != F.lit(header_line)))
         ddl = ", ".join(f"_f{i} STRING" for i in range(width))
         parsed_col = F.from_csv(F.col(col), F.lit(ddl), {"sep": delim, "mode": "PERMISSIVE"})
-        out = out.withColumn("__csv", parsed_col)
+        out = out.withColumn("__csv", _pin_expensive(parsed_col))
         # one withColumns call: keeps the plan one projection deep
         out = out.withColumns({name: F.col("__csv").getField(f"_f{i}") for i, name in enumerate(names[:width])})
         return out.drop("__csv")
@@ -145,7 +164,10 @@ class ParseAsJson(Directive):
             out = out.withColumn("__json", F.explode_outer(parsed)).drop(col)
             base = F.col("__json")
         else:
-            parsed = F.from_json(F.col(col), schema)
+            # pinned for the same reason as parse-as-csv: a later filter on
+            # a parsed field would otherwise inline the whole from_json
+            # into its pushed-down predicate (double parse per row)
+            parsed = _pin_expensive(F.from_json(F.col(col), schema))
             out = out.withColumn("__json", parsed).drop(col)
             base = F.col("__json")
 
@@ -453,7 +475,26 @@ class ParseAsDate(Directive):
         tz = self.args["timezone"]
         if tz and tz != "UTC":
             ts = F.to_utc_timestamp(ts, tz)
-        return df.withColumn(f"{col}_1", ts)
+        # natural-language fallback (natty parity for the shapes the
+        # reference tests: now/today/"september 7th 2016"/epoch — plus
+        # relative forms). "now" is captured ONCE here on the driver so the
+        # run is internally consistent (documented divergence from natty's
+        # per-row clock). Arrow-batched; only consulted where the native
+        # format coalesce came up null.
+        from datetime import datetime, timezone as _pytz
+
+        from wrangler_spark.formats.naturaldate import parse_natural
+
+        now_utc = datetime.now(_pytz.utc)
+        tz_name = tz or "UTC"
+
+        @pandas_udf(T.TimestampType())
+        def nlp_date(s: pd.Series) -> pd.Series:
+            return pd.Series(
+                [parse_natural(v, now_utc, tz_name) for v in s], dtype="datetime64[ns, UTC]"
+            )
+
+        return df.withColumn(f"{col}_1", F.coalesce(ts, nlp_date(c)))
 
 
 @directive

