@@ -62,8 +62,15 @@ def main() -> int:
     problems += check("ann_cosine_topk", p, must=["Broadcast"])
 
     # 5. the cleanse recipe stays fully native (no Python in the hot path)
-    p = plan_of(qs["cleanse_recipe"](spark, SF_DIR))
+    # AND parses each row exactly once: without the parsers._pin_expensive
+    # guard, predicate pushdown substitutes the whole from_csv into the
+    # filter condition and every row is parsed twice
+    df = qs["cleanse_recipe"](spark, SF_DIR)
+    p = plan_of(df)
     problems += check("cleanse_recipe", p, must=["codegen id"], must_not=["BatchEvalPython", "ArrowEvalPython"])
+    n_parses = df._jdf.queryExecution().optimizedPlan().toString().count("from_csv")
+    if n_parses != 1:
+        problems.append(f"cleanse_recipe: from_csv appears {n_parses}x in the optimized plan (want 1 — pushdown duplication)")
 
     # 6. every oracled single-table transform query is UDF-free
     udf_expected = {"mask_shuffle", "multimodal_features"}
