@@ -124,3 +124,20 @@ def test_dedup_directives(spark, docs):
     assert {"n_tokens", "n_tokens_ws", "fingerprint", "lang_pred"} <= set(out.columns)
     dd = Pipeline.compile("dedup-exact :doc_id :text").apply(docs)
     assert dd.count() == 3
+
+
+def test_kmeans_centroids_separates_blobs(spark):
+    """Two well-separated direction blobs -> 2 trained centroids, one per
+    blob, each the (rounded) mean of its members; assignment groups the
+    blobs correctly through ivf_topk(train_iters=...)."""
+    rows = [(i, [10.0 + (i % 3) * 0.1, 1.0]) for i in range(6)]          # east-ish
+    rows += [(10 + i, [1.0, 10.0 + (i % 3) * 0.1]) for i in range(6)]    # north-ish
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = similarity.kmeans_centroids(df, k=2, iters=2, dim=2).collect()
+    assert len(cent) == 2
+    dirs = sorted((round(c["zv"][0] / c["zv"][1], 1) for c in cent))
+    assert dirs[0] < 0.2 and dirs[1] > 5.0  # one centroid per direction blob
+
+    topk = similarity.ivf_topk(df, df.filter(F.col("vec_id") == 0), 2, k=5, train_iters=2)
+    got = {r["vec_id"] for r in topk.collect()}
+    assert got == {1, 2, 3, 4, 5}  # neighbors all from the east blob

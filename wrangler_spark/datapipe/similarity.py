@@ -73,6 +73,55 @@ def ivf_assign(
     )
 
 
+def _assign_prepared(c: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment over pre-shaped frames (vec_id, cv) x
+    (centroid_id, zv): max rounded cosine, ties to the lower centroid id.
+    Centroids broadcast — the corpus never shuffles for assignment."""
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "centroid_id", F.round(_cosine(F.col("cv"), F.col("zv")), 6).alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+        "vec_id", "centroid_id"
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) trained entirely with DataFrame ops —
+    no collect of the corpus, no UDFs. Per iteration: one broadcast
+    nearest-centroid assignment (narrow) + one hash aggregation computing
+    the per-dimension mean (map-side partials; k x dim floats of state).
+    At 100 TB this is the standard pattern: only the k x dim centroid
+    table ever leaves the executors.
+
+    Determinism for cross-engine parity: init = first k vectors by id,
+    assignment cosine rounded to 6dp with ties to the lower centroid id,
+    and recentered means rounded to 6dp (so Spark's parallel sum order and
+    another engine's serial sum can't drift apart). Empty clusters drop
+    out, as in classic Lloyd's. Returns (centroid_id, zv array<double>)."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
+    if dim is None:
+        dim = len(c.select("cv").first()[0])
+    cent = c.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
+    )
+    for _ in range(iters):
+        assign = _assign_prepared(c, cent)
+        cent = (
+            c.join(assign, "vec_id")
+            .groupBy("centroid_id")
+            .agg(F.array(*[F.round(F.avg(F.col("cv")[i]), 6) for i in range(dim)]).alias("zv"))
+        )
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -80,10 +129,42 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    train_iters: int = 0,
 ) -> DataFrame:
-    """IVF-style ANN: centroids = the first n_centroids corpus vectors by id
-    (deterministic stand-in for k-means — swap in trained centroids in
-    production); probe only the query's bucket."""
+    """IVF-style ANN: probe only the query's centroid bucket. With
+    train_iters=0 the centroids are the first n_centroids corpus vectors
+    by id (the deterministic no-training baseline); train_iters>0 runs
+    that many spherical k-means iterations first (kmeans_centroids)."""
+    if train_iters > 0:
+        cent = kmeans_centroids(corpus, n_centroids, train_iters, id_col, vec_col)
+        c_all = corpus.select(
+            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
+        )
+        assign = _assign_prepared(c_all, cent)
+        q_all = queries.select(
+            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
+        )
+        q_assign = _assign_prepared(q_all, cent).withColumnRenamed("vec_id", "query_id")
+        q = queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        ).join(q_assign, on="query_id")
+        c = (
+            corpus.withColumnRenamed(id_col, "vec_id")
+            .join(assign, on="vec_id")
+            .select("vec_id", _as_double(F.col(vec_col)).alias("cv"), "centroid_id")
+        )
+        joined = c.join(F.broadcast(q), on="centroid_id").filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+        scored = joined.select(
+            "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank")
+        )
     centroids = corpus.orderBy(id_col).limit(n_centroids)
     assign = ivf_assign(corpus, centroids, id_col, vec_col)
     corpus_b = corpus.join(assign, on=id_col)
