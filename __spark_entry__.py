@@ -146,6 +146,8 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": lambda s, d: Pipeline.compile("quality-score :text").apply(docs(s, d)),
         "text_token_count": lambda s, d: Pipeline.compile("token-count :text").apply(docs(s, d)),
         "text_fingerprint": lambda s, d: Pipeline.compile("fingerprint :text").apply(docs(s, d)),
+        "text_repetition": lambda s, d: Pipeline.compile("repetition-stats :text").apply(docs(s, d)),
+        "text_gopher_quality": lambda s, d: Pipeline.compile("gopher-quality :text").apply(docs(s, d)),
         "multimodal_features": _q_multimodal,
     }
 
@@ -173,6 +175,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_quality": o.quality_sql(),
         "text_token_count": o.token_count_sql(),
         "text_fingerprint": o.fingerprint_sql(),
+        "text_repetition": o.repetition_stats_sql(),
+        "text_gopher_quality": o.gopher_quality_sql(),
         "multimodal_features": (
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "
             "substr(md5(text), 1, 12) AS md5_prefix FROM documents"

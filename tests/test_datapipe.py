@@ -107,6 +107,35 @@ def test_text_ops(docs):
     assert fp[1] == fp[4]  # order/dup-insensitive identical token sets
 
 
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c\na b c\nd e f"),          # 1 of 3 lines duplicated
+            (2, "one two three four"),            # no repetition
+            (3, "spam spam spam spam"),           # all-dup words
+        ],
+        ["doc_id", "text"],
+    )
+    r = {x["doc_id"]: x for x in text.repetition_stats(df, "text").collect()}
+    assert r[1]["dup_line_ratio"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r[2]["dup_line_ratio"] == 0.0 and r[2]["dup_word_ratio"] == 0.0
+    assert r[3]["dup_word_ratio"] == pytest.approx(3 / 4, abs=1e-6)
+
+
+def test_gopher_quality(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with real grace and it runs"] * 5
+    )
+    df = spark.createDataFrame(
+        [(1, good), (2, "short text"), (3, "#### " * 60)],
+        ["doc_id", "text"],
+    )
+    r = {x["doc_id"]: x for x in text.gopher_quality(df, "text").collect()}
+    assert r[1]["gopher_pass"] is True
+    assert r[2]["g_word_count"] is False and r[2]["gopher_pass"] is False
+    assert r[3]["g_symbol_ratio"] is False or r[3]["g_alpha_ratio"] is False
+
+
 def test_multimodal_plumbing(docs):
     with_payload = multimodal.attach_binary(docs, "text")
     feats = multimodal.extract_features(with_payload).select("doc_id", "features.*").collect()

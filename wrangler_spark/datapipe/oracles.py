@@ -197,3 +197,67 @@ def fingerprint_sql(table: str = "documents") -> str:
         f"SELECT doc_id, text, lang, source, n_chars, "
         f"md5(array_to_string(list_sort(list_distinct({_WORDS})), ' ')) AS fingerprint FROM {table}"
     )
+
+
+_LINES = "string_split(text, chr(10))"
+
+
+def repetition_stats_sql(table: str = "documents") -> str:
+    """Mirror of text.repetition_stats (Gopher A1.1 repetition ratios)."""
+    def ratio(num, den):
+        return f"round(({num})::DOUBLE / greatest({den}, 1)::DOUBLE, 6)"
+
+    def chars(arr):
+        return f"list_sum(list_transform({arr}, x -> length(x)))"
+
+    dup_line = f"round(1.0 - {ratio(f'len(list_distinct({_LINES}))', f'len({_LINES})')}, 6)"
+    dup_line_char = (
+        f"round(1.0 - {ratio(chars(f'list_distinct({_LINES})'), chars(_LINES))}, 6)"
+    )
+    dup_word = f"round(1.0 - {ratio(f'len(list_distinct({_WORDS}))', f'len({_WORDS})')}, 6)"
+    return (
+        f"SELECT doc_id, text, lang, source, n_chars, "
+        f"{dup_line} AS dup_line_ratio, {dup_line_char} AS dup_line_char_ratio, "
+        f"{dup_word} AS dup_word_ratio FROM {table}"
+    )
+
+
+_GOPHER_SW = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+
+def gopher_quality_sql(table: str = "documents") -> str:
+    """Mirror of text.gopher_quality (Gopher/MassiveText quality rules)."""
+    def ratio(num, den):
+        return f"round(({num})::DOUBLE / greatest({den}, 1)::DOUBLE, 6)"
+
+    n_words = f"len({_WORDS})"
+    n_lines = f"len({_LINES})"
+    mean_wlen = ratio(f"list_sum(list_transform({_WORDS}, x -> length(x)))", n_words)
+    n_symbols = (
+        "(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))"
+        " + len(regexp_extract_all(text, '…')))"
+    )
+    symbol_ratio = ratio(n_symbols, n_words)
+    bullet = ratio(
+        f"len(list_filter({_LINES}, x -> regexp_matches(ltrim(x), '^[-*•]')))", n_lines
+    )
+    ellipsis = ratio(
+        f"len(list_filter({_LINES}, x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))", n_lines
+    )
+    alpha = ratio(f"len(list_filter({_WORDS}, w -> regexp_matches(w, '[a-z]')))", n_words)
+    n_stop = f"len(list_filter({_WORDS}, w -> list_contains({_GOPHER_SW}, w)))"
+    flags = {
+        "g_word_count": f"({n_words} >= 50 AND {n_words} <= 100000)",
+        "g_mean_word_len": f"({mean_wlen} >= 3.0 AND {mean_wlen} <= 10.0)",
+        "g_symbol_ratio": f"({symbol_ratio} <= 0.1)",
+        "g_bullet_ratio": f"({bullet} <= 0.9)",
+        "g_ellipsis_ratio": f"({ellipsis} <= 0.3)",
+        "g_alpha_ratio": f"({alpha} >= 0.8)",
+        "g_stopwords": f"({n_stop} >= 2)",
+    }
+    cols = ", ".join(f"{v} AS {k}" for k, v in flags.items())
+    overall = " AND ".join(flags.values())
+    return (
+        f"SELECT doc_id, text, lang, source, n_chars, {cols}, "
+        f"({overall}) AS gopher_pass FROM {table}"
+    )

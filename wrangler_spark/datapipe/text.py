@@ -77,3 +77,87 @@ def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> D
     staged = _with_words(df, text_col)
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col(_W)))))
     return staged.withColumn(out_col, fp).drop(_W)
+
+
+# The Gopher/MassiveText repetition-and-quality rules (Rae et al. 2021,
+# §A1.1; also the C4 heuristics) — the standard cheap pretraining filters.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_L = "__lines"
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.round(num.cast("double") / F.greatest(den, F.lit(1)).cast("double"), 6)
+
+
+def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Within-document repetition ratios (Gopher §A1.1 'repetitious text'):
+    dup_line_ratio / dup_line_char_ratio over newline-split lines, plus
+    dup_word_ratio over normalized words. All native array ops — one
+    projection, no shuffle; lines/words staged once (no CSE in HOF
+    lambdas)."""
+    c = F.col(text_col)
+    staged = _with_words(df.withColumn(_L, F.split(c, "\n")), text_col)
+    lines, words = F.col(_L), F.col(_W)
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    out = (
+        staged.withColumn(
+            "dup_line_ratio",
+            F.round(1.0 - _ratio(F.size(F.array_distinct(lines)), F.size(lines)), 6),
+        )
+        .withColumn(
+            "dup_line_char_ratio",
+            F.round(1.0 - _ratio(chars(F.array_distinct(lines)), chars(lines)), 6),
+        )
+        .withColumn(
+            "dup_word_ratio",
+            F.round(1.0 - _ratio(F.size(F.array_distinct(words)), F.size(words)), 6),
+        )
+    )
+    return out.drop(_L, _W)
+
+
+def gopher_quality(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher/MassiveText quality rules as per-document flags + the overall
+    gopher_pass verdict: word count in [50, 100k], mean word length in
+    [3, 10], symbol-to-word ratio (# and ellipses) <= 0.1, bullet-start
+    lines <= 90%, ellipsis-end lines <= 30%, >= 80% words with an
+    alphabetic char, >= 2 of the 8 Gopher stopwords. Entirely native
+    Column expressions (filters run scan-side at 100 TB)."""
+    c = F.col(text_col)
+    staged = _with_words(df.withColumn(_L, F.split(c, "\n")), text_col)
+    lines, words = F.col(_L), F.col(_W)
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    mean_wlen = _ratio(
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)), n_words
+    )
+    n_symbols = F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit(r"\.\.\.")) + F.regexp_count(
+        c, F.lit("…")
+    )
+    symbol_ratio = _ratio(n_symbols, n_words)
+    bullet_ratio = _ratio(
+        F.size(F.filter(lines, lambda x: F.ltrim(x).rlike(r"^[-*•]"))), n_lines
+    )
+    ellipsis_ratio = _ratio(
+        F.size(F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))), n_lines
+    )
+    alpha_ratio = _ratio(F.size(F.filter(words, lambda w: w.rlike("[a-z]"))), n_words)
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    flags = {
+        "g_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "g_mean_word_len": (mean_wlen >= 3.0) & (mean_wlen <= 10.0),
+        "g_symbol_ratio": symbol_ratio <= 0.1,
+        "g_bullet_ratio": bullet_ratio <= 0.9,
+        "g_ellipsis_ratio": ellipsis_ratio <= 0.3,
+        "g_alpha_ratio": alpha_ratio >= 0.8,
+        "g_stopwords": n_stop >= 2,
+    }
+    out = staged.withColumns({k: v for k, v in flags.items()})
+    overall = None
+    for k in flags:
+        overall = F.col(k) if overall is None else (overall & F.col(k))
+    return out.withColumn("gopher_pass", overall).drop(_L, _W)

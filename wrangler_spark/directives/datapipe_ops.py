@@ -78,3 +78,32 @@ class Fingerprint(Directive):
         from wrangler_spark.datapipe.text import fingerprint
 
         return fingerprint(df, ctx.resolve(df, self.args["text"]))
+
+
+@directive
+class RepetitionStats(Directive):
+    """repetition-stats :text — within-document repetition ratios
+    (Gopher A1.1): dup_line_ratio, dup_line_char_ratio, dup_word_ratio."""
+
+    name = "repetition-stats"
+    usage = [Arg("text", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import repetition_stats
+
+        return repetition_stats(df, ctx.resolve(df, self.args["text"]))
+
+
+@directive
+class GopherQuality(Directive):
+    """gopher-quality :text — Gopher/MassiveText quality-rule flags
+    (g_word_count, g_mean_word_len, g_symbol_ratio, g_bullet_ratio,
+    g_ellipsis_ratio, g_alpha_ratio, g_stopwords) + gopher_pass."""
+
+    name = "gopher-quality"
+    usage = [Arg("text", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import gopher_quality
+
+        return gopher_quality(df, ctx.resolve(df, self.args["text"]))
