@@ -148,8 +148,41 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": lambda s, d: Pipeline.compile("fingerprint :text").apply(docs(s, d)),
         "text_repetition": lambda s, d: Pipeline.compile("repetition-stats :text").apply(docs(s, d)),
         "text_gopher_quality": lambda s, d: Pipeline.compile("gopher-quality :text").apply(docs(s, d)),
+        "pii_redact": lambda s, d: Pipeline.compile("pii-redact :text").apply(docs(s, d)),
+        "dedup_paragraphs": lambda s, d: Pipeline.compile("dedup-paragraphs :doc_id :text").apply(docs(s, d)),
+        "decontaminate": _q_decontaminate,
+        "source_filter": lambda s, d: Pipeline.compile(
+            "source-filter :source 'src3,src7,src11'"
+        ).apply(docs(s, d)),
+        "sample_by_quality": _q_sample_by_quality,
         "multimodal_features": _q_multimodal,
     }
+
+
+_SAMPLE_RATES = {"high": 1.0, "mid": 0.5, "low": 0.1}
+_QUALITY_HI, _QUALITY_MID = 0.65, 0.5
+
+
+def _q_decontaminate(spark, sf_dir):
+    from wrangler_spark.datapipe import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    return curation.decontaminate(docs, bench, "doc_id", "text", n=8, threshold=0.1)
+
+
+def _q_sample_by_quality(spark, sf_dir):
+    from wrangler_spark.datapipe import curation, text
+
+    docs = _t(spark, sf_dir, "documents")
+    q = text.quality_score(docs, "text")
+    b = q.withColumn(
+        "bucket",
+        F.when(F.col("quality") >= _QUALITY_HI, "high")
+        .when(F.col("quality") >= _QUALITY_MID, "mid")
+        .otherwise("low"),
+    )
+    return curation.sample_stratified(b, "doc_id", "bucket", _SAMPLE_RATES)
 
 
 def _q_multimodal(spark, sf_dir):
@@ -177,6 +210,11 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_fingerprint": o.fingerprint_sql(),
         "text_repetition": o.repetition_stats_sql(),
         "text_gopher_quality": o.gopher_quality_sql(),
+        "pii_redact": o.pii_redact_sql(),
+        "dedup_paragraphs": o.paragraph_dedup_sql(),
+        "decontaminate": o.decontaminate_sql(8, 0.1),
+        "source_filter": o.source_filter_sql(["src3", "src7", "src11"]),
+        "sample_by_quality": o.sample_by_quality_sql(_SAMPLE_RATES, _QUALITY_HI, _QUALITY_MID),
         "multimodal_features": (
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "
             "substr(md5(text), 1, 12) AS md5_prefix FROM documents"

@@ -170,3 +170,83 @@ def test_kmeans_centroids_separates_blobs(spark):
     topk = similarity.ivf_topk(df, df.filter(F.col("vec_id") == 0), 2, k=5, train_iters=2)
     got = {r["vec_id"] for r in topk.collect()}
     assert got == {1, 2, 3, 4, 5}  # neighbors all from the east blob
+
+
+def test_pii_redact(spark):
+    from wrangler_spark.datapipe import curation
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com or call (555) 123-4567 now"),
+            (2, "ssn 123-45-6789 ip 10.0.0.1 card 4111 1111 1111 1111"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    r = {x["doc_id"]: x for x in curation.pii_redact(df, "text").collect()}
+    assert r[1]["text"] == "mail <EMAIL> or call <PHONE> now"
+    assert r[1]["n_pii_email"] == 1 and r[1]["n_pii_phone"] == 1 and r[1]["n_pii"] == 2
+    assert r[2]["text"] == "ssn <SSN> ip <IP> card <CC>"
+    assert r[2]["n_pii_ssn"] == 1 and r[2]["n_pii_ip"] == 1 and r[2]["n_pii_cc"] == 1
+    assert r[3]["text"] == "clean text with no identifiers at all" and r[3]["n_pii"] == 0
+
+
+def test_paragraph_dedup(spark):
+    from wrangler_spark.datapipe import curation
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\ncommon boilerplate\nunique one"),
+            (2, "common boilerplate\nunique two"),
+            (3, "COMMON   boilerplate"),  # normalization collapses into doc 1's
+        ],
+        ["doc_id", "text"],
+    )
+    r = {x["doc_id"]: x for x in curation.paragraph_dedup(df, "doc_id", "text").collect()}
+    assert r[1]["text"] == "alpha beta\ncommon boilerplate\nunique one"
+    assert r[1]["n_dropped"] == 0
+    assert r[2]["text"] == "unique two" and r[2]["n_dropped"] == 1
+    assert r[3]["text"] == "" and r[3]["n_dropped"] == 1 and r[3]["n_paras"] == 1
+
+
+def test_decontaminate(spark):
+    from wrangler_spark.datapipe import curation
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "an entirely different set of training words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    r = {
+        x["doc_id"]: x
+        for x in curation.decontaminate(train, bench, "doc_id", "text", n=5, threshold=0.2).collect()
+    }
+    assert r[1]["contaminated"] is True and r[1]["n_matched"] > 0
+    assert r[2]["contaminated"] is False and r[2]["n_matched"] == 0
+
+
+def test_source_filter_and_sample(spark):
+    from wrangler_spark.datapipe import curation
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/page?x=1"),
+            (2, "https://good.example.org/a"),
+            (3, "curated-books"),
+        ],
+        ["doc_id", "source"],
+    )
+    kept = curation.source_filter(df, "source", ["spam.example.com"]).collect()
+    assert {r["doc_id"] for r in kept} == {2, 3}
+    assert {r["host"] for r in kept} == {"good.example.org", "curated-books"}
+
+    big = spark.range(0, 2000).withColumnRenamed("id", "k")
+    n = big.filter(curation.sample_hash(big, "k", 0.25, "s1")).count()
+    assert 400 < n < 600  # ~25% of 2000, deterministic for the fixed salt
+    n2 = big.filter(curation.sample_hash(big, "k", 0.25, "s1")).count()
+    assert n == n2

@@ -1,0 +1,216 @@
+"""Corpus-curation operators for training-data pipelines: PII redaction,
+cross-document paragraph dedup (C4-style), benchmark decontamination,
+source/domain blocklist filtering, and deterministic hash sampling.
+
+Scale design (100 TB):
+- PII redaction is a chain of native ``regexp_replace`` calls — scan-side,
+  no shuffle, whole-stage codegen;
+- paragraph dedup shuffles (paragraph-hash) once for the global
+  first-occurrence decision and once (doc id) for reassembly — both
+  equi-partitioned hash shuffles with map-side-combinable aggregates;
+- decontamination broadcasts the benchmark gram set (benchmarks are tiny
+  next to the corpus) so the corpus never shuffles;
+- hash sampling is a pure scan-side filter: md5-prefix threshold compare,
+  reproducible across runs/engines, no RNG state.
+
+All regexes are kept in the Java-regex ∩ RE2 dialect so the DuckDB
+oracles (oracles.py) evaluate the exact same patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- PII patterns (cf. the public BigScience/ROOTS and Dolma scrubbing
+# heuristics). Order matters: specific → general so phone-shaped digit
+# runs inside already-redacted spans don't double-fire. Each entry is
+# (tag, pattern, replacement-token).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("cc", r"\b(?:\d{4}[ -]){3}\d{4}\b|\b\d{13,19}\b", "<CC>"),
+    ("phone", r"\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str) -> DataFrame:
+    """Redact PII spans in-place and report per-category counts
+    (n_pii_email, n_pii_ip, n_pii_ssn, n_pii_cc, n_pii_phone, n_pii).
+    Counts are measured on the original text; redaction applies the
+    patterns sequentially in PII_PATTERNS order. Pure scan-side
+    regexp_replace chain — no shuffle, stays in codegen."""
+    c = F.col(text_col)
+    counts = {f"n_pii_{tag}": F.regexp_count(c, F.lit(pat)).cast("long") for tag, pat, _ in PII_PATTERNS}
+    red = c
+    for _, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    out = df.withColumns(counts)
+    total = None
+    for k in counts:
+        total = F.col(k) if total is None else total + F.col(k)
+    return out.withColumn("n_pii", total).withColumn(text_col, red)
+
+
+def paragraph_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style cross-document paragraph dedup: split on newlines, keep
+    only the globally-first occurrence (ordered by id, then position) of
+    each normalized paragraph, and reassemble documents. Returns
+    (id, <text_col> deduped, n_paras, n_dropped).
+
+    Scale shape: one shuffle on the paragraph md5 (window row_number —
+    partial aggregation doesn't apply, but the key is a 32-char hash so
+    the shuffle payload is small and uniformly distributed; the paragraph
+    text itself travels once), then one shuffle on the doc id for
+    reassembly. A stop-paragraph that appears in millions of docs is NOT
+    quadratic here (unlike similarity self-joins): each occurrence is one
+    row in the window partition."""
+    c = F.col(text_col)
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(c, "\n")).alias("__pos", "__para"),
+    ).withColumn("__key", F.md5(F.regexp_replace(F.lower(F.trim(F.col("__para"))), r"\s+", " ")))
+    w = Window.partitionBy("__key").orderBy("__id", "__pos")
+    first = paras.withColumn("__rn", F.row_number().over(w))
+    return (
+        first.groupBy("__id")
+        .agg(
+            F.coalesce(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("__rn") == 1, F.struct("__pos", "__para"))
+                            )
+                        ),
+                        lambda s: s["__para"],
+                    ),
+                ),
+                F.lit(""),
+            ).alias(text_col),
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def _word_grams(words: Column, n: int) -> Column:
+    """Distinct n-word grams of a tokenized column (named ref, not inline —
+    no CSE inside HOF lambdas)."""
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination (the published GPT-3/PaLM recipe): flag
+    training documents sharing ≥ ``threshold`` fraction of their word
+    n-grams with any benchmark document. ``bench`` is a DataFrame with the
+    same ``text_col``. Returns (id, n_grams, n_matched,
+    contamination_ratio, contaminated) for every input document.
+
+    Scale shape: the benchmark gram set is distinct-ed and BROADCAST
+    (benchmark suites are MBs; the corpus is the 100 TB side), so the
+    corpus-side plan is scan → gram explode → broadcast-hash-join →
+    per-doc aggregate — the only shuffle is the final groupBy(id), which
+    is count-shaped (map-side partials)."""
+    norm = lambda c: F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")  # noqa: E731
+    doc_grams = (
+        df.select(F.col(id_col).alias("__id"), norm(F.col(text_col)).alias("__w"))
+        .select("__id", F.explode(_word_grams(F.col("__w"), n)).alias("__g"))
+    )
+    bench_grams = (
+        bench.select(norm(F.col(text_col)).alias("__w"))
+        .select(F.explode(_word_grams(F.col("__w"), n)).alias("__g"))
+        .distinct()
+    )
+    matched = (
+        doc_grams.join(F.broadcast(bench_grams), "__g", "inner")
+        .groupBy("__id")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+    totals = df.select(F.col(id_col).alias("__id"), norm(F.col(text_col)).alias("__w")).select(
+        "__id", F.size(_word_grams(F.col("__w"), n)).cast("long").alias("n_grams")
+    )
+    ratio = F.round(
+        F.coalesce(F.col("n_matched"), F.lit(0)).cast("double")
+        / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+        6,
+    )
+    return (
+        totals.join(matched, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
+            ratio.alias("contamination_ratio"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )
+
+
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+
+
+def source_filter(
+    df: DataFrame, col: str, blocked: list[str], allow: bool = False
+) -> DataFrame:
+    """Blocklist (or allowlist with ``allow=True``) filter on a source /
+    URL column. URLs are reduced to their host; bare source labels pass
+    through unchanged. Pure scan-side filter — with a parquet source the
+    IN-list reaches the scan as a pushed filter when the column is a bare
+    label. Adds the extracted ``host`` column."""
+    c = F.col(col)
+    host = F.regexp_extract(c, _HOST_RE, 1)
+    val = F.when(host != "", host).otherwise(c)
+    out = df.withColumn("host", val)
+    cond = F.col("host").isin(blocked)
+    return out.filter(cond if allow else ~cond)
+
+
+def sample_hash(df: DataFrame, key_col: str, rate: float, salt: str = "") -> Column:
+    """Deterministic keep-condition for rate-based sampling: md5 prefix of
+    (salt || key) compared against a 16-bit hex threshold. Engine-portable
+    (same rows kept by the DuckDB oracle), reproducible, no RNG state,
+    scan-side."""
+    if rate >= 1.0:
+        return F.lit(True)
+    thr = format(max(int(round(rate * 65536)), 0), "04x")
+    return F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4) < thr
+
+
+def sample_stratified(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Quality-weighted (stratified) deterministic sampling: per-bucket
+    keep rates, hash-gated per row so the sample is stable across runs and
+    engines. E.g. rates={'high': 1.0, 'mid': 0.5, 'low': 0.1} over a
+    quality-bucket column. Scan-side filter, no shuffle."""
+    keep = None
+    for bucket, rate in rates.items():
+        cond = (F.col(bucket_col) == bucket) & sample_hash(df, key_col, rate, salt)
+        keep = cond if keep is None else keep | cond
+    others = ~F.col(bucket_col).isin(list(rates)) & sample_hash(df, key_col, default_rate, salt)
+    keep = others if keep is None else keep | others
+    return df.filter(keep)

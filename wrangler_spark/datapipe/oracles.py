@@ -261,3 +261,110 @@ def gopher_quality_sql(table: str = "documents") -> str:
         f"SELECT doc_id, text, lang, source, n_chars, {cols}, "
         f"({overall}) AS gopher_pass FROM {table}"
     )
+
+
+# --- curation oracles (patterns imported so Spark and DuckDB evaluate the
+# exact same Java∩RE2 regexes) ---
+
+from wrangler_spark.datapipe.curation import PII_PATTERNS, _HOST_RE  # noqa: E402
+
+
+def pii_redact_sql(table: str = "documents") -> str:
+    red = "text"
+    for _, pat, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    counts = {
+        f"n_pii_{tag}": f"len(regexp_extract_all(text, '{pat}'))::BIGINT"
+        for tag, pat, _ in PII_PATTERNS
+    }
+    cols = ", ".join(f"{v} AS {k}" for k, v in counts.items())
+    total = " + ".join(counts.values())
+    return (
+        f"SELECT doc_id, {red} AS text, lang, source, n_chars, {cols}, "
+        f"({total})::BIGINT AS n_pii FROM {table}"
+    )
+
+
+def paragraph_dedup_sql(table: str = "documents") -> str:
+    norm_p = r"md5(regexp_replace(lower(trim(para)), '\s+', ' ', 'g'))"
+    return f"""
+WITH p AS (SELECT doc_id, string_split(text, chr(10)) AS paras FROM {table}),
+e AS (
+  SELECT doc_id, unnest([{{'pos': i, 'para': paras[i]}} FOR i IN range(1, len(paras) + 1)],
+                        recursive := true)
+  FROM p
+),
+r AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY {norm_p} ORDER BY doc_id, pos) AS rn
+  FROM e
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos), '') AS text,
+  count(*)::BIGINT AS n_paras,
+  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM r GROUP BY doc_id
+"""
+
+
+def _grams_cte(n: int, table: str) -> str:
+    return f"""
+norm AS (SELECT doc_id AS id, {_WORDS} AS w FROM {table}),
+g AS (
+  SELECT id,
+    CASE WHEN len(w) >= {n}
+      THEN list_distinct([array_to_string(w[i:i+{n - 1}], ' ') FOR i IN range(1, len(w) - {n - 1} + 1)])
+      ELSE [array_to_string(w, ' ')] END AS grams
+  FROM norm
+)"""
+
+
+def decontaminate_sql(
+    n: int = 8, threshold: float = 0.1, bench_pred: str = "id % 17 = 3", table: str = "documents"
+) -> str:
+    ratio = "round(coalesce(n_matched, 0)::DOUBLE / greatest(len(grams), 1)::DOUBLE, 6)"
+    return f"""
+WITH {_grams_cte(n, table)},
+bg AS (SELECT DISTINCT unnest(grams) AS gm FROM g WHERE {bench_pred}),
+dg AS (SELECT id, unnest(grams) AS gm FROM g),
+m AS (SELECT id, count(*) AS n_matched FROM dg JOIN bg USING (gm) GROUP BY id)
+SELECT g.id AS doc_id, len(grams)::BIGINT AS n_grams,
+  coalesce(n_matched, 0)::BIGINT AS n_matched,
+  {ratio} AS contamination_ratio,
+  ({ratio} >= {threshold}) AS contaminated
+FROM g LEFT JOIN m ON g.id = m.id
+"""
+
+
+def source_filter_sql(blocked: list[str], table: str = "documents") -> str:
+    inlist = ", ".join(f"'{b}'" for b in blocked)
+    return f"""
+SELECT * FROM (
+  SELECT doc_id, text, lang, source, n_chars,
+    CASE WHEN regexp_extract(source, '{_HOST_RE}', 1) <> ''
+         THEN regexp_extract(source, '{_HOST_RE}', 1) ELSE source END AS host
+  FROM {table}
+) WHERE host NOT IN ({inlist})
+"""
+
+
+def _hash_keep(rate: float, salt: str, key: str = "doc_id") -> str:
+    if rate >= 1.0:
+        return "TRUE"
+    thr = format(max(int(round(rate * 65536)), 0), "04x")
+    return f"substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 4) < '{thr}'"
+
+
+def sample_by_quality_sql(
+    rates: dict[str, float], hi: float, mid: float, salt: str = "", table: str = "documents"
+) -> str:
+    keep = " OR ".join(
+        f"(bucket = '{b}' AND {_hash_keep(r, salt)})" for b, r in rates.items()
+    )
+    return f"""
+WITH q AS ({quality_sql(table)}),
+b AS (SELECT *, CASE WHEN quality >= {hi} THEN 'high'
+                     WHEN quality >= {mid} THEN 'mid'
+                     ELSE 'low' END AS bucket FROM q)
+SELECT * FROM b WHERE {keep}
+"""

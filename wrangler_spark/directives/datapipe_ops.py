@@ -107,3 +107,76 @@ class GopherQuality(Directive):
         from wrangler_spark.datapipe.text import gopher_quality
 
         return gopher_quality(df, ctx.resolve(df, self.args["text"]))
+
+
+@directive
+class PiiRedact(Directive):
+    """pii-redact :text — scrub emails/IPs/SSNs/credit-cards/phones in
+    place (sequential regexp_replace chain) and add per-category counts
+    n_pii_email/ip/ssn/cc/phone + n_pii."""
+
+    name = "pii-redact"
+    usage = [Arg("text", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import pii_redact
+
+        return pii_redact(df, ctx.resolve(df, self.args["text"]))
+
+
+@directive
+class DedupParagraphs(Directive):
+    """dedup-paragraphs :id :text — C4-style cross-document paragraph
+    dedup: keep the globally-first occurrence of each normalized
+    newline-separated paragraph; returns (id, text, n_paras, n_dropped)."""
+
+    name = "dedup-paragraphs"
+    usage = [Arg("id", TokenType.COLUMN), Arg("text", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import paragraph_dedup
+
+        return paragraph_dedup(
+            df, ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"])
+        )
+
+
+@directive
+class SourceFilter(Directive):
+    """source-filter :col 'a,b,c' [allow] — blocklist (default) or
+    allowlist filter on a source/URL column; URLs are reduced to their
+    host, adds the host column."""
+
+    name = "source-filter"
+    usage = [
+        Arg("col", TokenType.COLUMN),
+        Arg("list", TokenType.TEXT),
+        Arg("allow", TokenType.IDENTIFIER, optional=True, default="block"),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import source_filter
+
+        items = [s.strip() for s in str(self.args["list"]).split(",") if s.strip()]
+        return source_filter(
+            df, ctx.resolve(df, self.args["col"]), items, allow=self.args["allow"] == "allow"
+        )
+
+
+@directive
+class SampleHash(Directive):
+    """sample-hash :key rate ['salt'] — deterministic md5-gated sampling:
+    keeps a stable, engine-portable ~rate fraction of rows keyed on :key."""
+
+    name = "sample-hash"
+    usage = [
+        Arg("key", TokenType.COLUMN),
+        Arg("rate", TokenType.NUMERIC),
+        Arg("salt", TokenType.TEXT, optional=True, default=""),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import sample_hash
+
+        key = ctx.resolve(df, self.args["key"])
+        return df.filter(sample_hash(df, key, float(self.args["rate"]), str(self.args["salt"])))
