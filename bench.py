@@ -35,6 +35,16 @@ BENCH_QUERIES = [
     "ann_cosine_topk",     # broadcast NN + window top-k
 ]
 
+# Added round 3 — timed separately ("queries_extra") so the headline
+# total stays comparable across rounds.
+EXTRA_QUERIES = [
+    "pii_redact",          # regexp_replace chain, scan-side
+    "dedup_paragraphs",    # paragraph-hash window + doc reassembly
+    "decontaminate",       # gram explode + broadcast join
+    "sample_by_quality",   # quality score + hash-gated sampling
+    "text_gopher_quality", # HOF-heavy native text rules
+]
+
 
 def main() -> None:
     import __spark_entry__ as entry_mod
@@ -46,18 +56,26 @@ def main() -> None:
     # warm the JVM/session with a trivial action so q1 isn't charged for startup
     spark.range(1).count()
 
-    per_query: dict[str, float] = {}
-    rows_out: dict[str, int] = {}
-    total_rows = 0
+    def run(names: list[str]) -> tuple[dict[str, float], dict[str, int]]:
+        per: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            n = qs[name](spark, SF_DIR).count()
+            per[name] = round(time.perf_counter() - t0, 3)
+            rows[name] = n
+        return per, rows
+
     t_all = time.perf_counter()
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        rows_out[name] = n
-        total_rows += n
+    per_query, rows_out = run(BENCH_QUERIES)
     total = round(time.perf_counter() - t_all, 3)
+    total_rows = sum(rows_out.values())
+    # steady-state pass: same queries re-run after codegen/JIT/file-index
+    # warmup — the per-query number that amortizes at 100 TB
+    per_warm, _ = run(BENCH_QUERIES)
+    t_extra = time.perf_counter()
+    per_extra, rows_extra = run(EXTRA_QUERIES)
+    extra_total = round(time.perf_counter() - t_extra, 3)
     # baseline comparison: the reference's published number for this recipe
     # shape is ~63K records/s single-core (BASELINE.md); ours is wall-clock
     # including compile-time sampling and scan
@@ -78,6 +96,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "queries_warm": per_warm,
+                "queries_extra": per_extra,
+                "extra_wall_sec": extra_total,
+                "rows_out_extra": sum(rows_extra.values()),
                 "sf": sf,
                 "rows_out_total": total_rows,
                 "rows_per_sec": round(total_rows / total) if total > 0 else None,
