@@ -477,6 +477,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orders",
             "window-rank :o_custkey :o_totalprice :rk true\nfilter-row exp:{ rk > 2 } true",
         ),
+        "ext_pivot": _recipe_q(
+            "lineitem",
+            "keep :l_returnflag,:l_linestatus,:l_quantity\n"
+            "pivot-by :l_returnflag :l_linestatus :l_quantity sum 'O,F'",
+        ),
+        "ext_unpivot": _recipe_q(
+            "lineitem",
+            "keep :l_orderkey,:l_linenumber,:l_quantity,:l_discount\n"
+            "unpivot :l_orderkey,:l_linenumber :l_quantity,:l_discount :measure :val",
+        ),
+        "ext_rollup": _recipe_q(
+            "lineitem",
+            "rollup-by :l_returnflag,:l_linestatus prop:{"
+            "sum_qty='cast(sum(cast(l_quantity as decimal(20,2))) as double)', "
+            "n='count(*)'}",
+        ),
+        "ext_asof_join": _q_ext_asof,
         "flatten_zip": _recipe_q(
             "part",
             "set-column :w1 exp:{ string:split(p_name, ' ') }\n"
@@ -526,6 +543,20 @@ def _q_precondition(spark, sf_dir):
     return Pipeline.compile("uppercase :c_mktsegment", precondition="c_acctbal < 0.0").apply(
         _t(spark, sf_dir, "customer")
     )
+
+
+def _q_ext_asof(spark, sf_dir):
+    """Each event picks up the latest high-value 'mark' event at or before
+    its timestamp for the same user (backward-inclusive as-of join)."""
+    from wrangler_spark.directives.extensions import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    marks = (
+        ev.filter(F.col("value") > 900)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("mark_val"))
+    )
+    return asof_join(ev, marks, "user_id", "ts")
 
 
 def _q_ext_join(spark, sf_dir):
@@ -805,6 +836,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty, "
             "CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price, "
             "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "ext_pivot": (
+            'SELECT l_returnflag, sum(CASE WHEN l_linestatus = \'O\' THEN l_quantity END) AS "O", '
+            "sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS \"F\" "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "ext_unpivot": (
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem "
+            "UNION ALL "
+            "SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS val FROM lineitem"
+        ),
+        "ext_rollup": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty, "
+            "count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "ext_asof_join": (
+            "WITH ev AS (SELECT event_id, ts, user_id, value FROM events), "
+            "marks AS (SELECT user_id, ts, max(value) AS mark_val FROM events "
+            "WHERE value > 900 GROUP BY user_id, ts) "
+            "SELECT ev.event_id, ev.ts, ev.user_id, ev.value, m.mark_val "
+            "FROM ev ASOF LEFT JOIN marks m ON ev.user_id = m.user_id AND ev.ts >= m.ts"
         ),
         "ext_sort_limit": (
             "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 50"

@@ -1,0 +1,60 @@
+"""Spark-native extension directives: pivot/unpivot/rollup/asof-join."""
+
+import datetime
+
+import pytest
+
+from wrangler_spark import Pipeline
+from wrangler_spark.directives.extensions import asof_join
+from wrangler_spark.errors import DirectiveApplyError
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+def test_pivot_and_unpivot_roundtrip_shapes(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)], ["k", "p", "v"]
+    )
+    piv = Pipeline.compile("pivot-by :k :p :v sum 'x,y'").apply(df)
+    r = {x["k"]: x for x in piv.collect()}
+    assert r["a"]["x"] == 1.0 and r["a"]["y"] == 2.0
+    assert r["b"]["x"] == 3.0 and r["b"]["y"] is None
+
+    melt = Pipeline.compile("unpivot :k :v :name :val").apply(
+        df.select("k", "v")
+    )
+    assert melt.columns == ["k", "name", "val"] and melt.count() == 3
+
+
+def test_rollup_levels(spark):
+    df = spark.createDataFrame([("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], ["k1", "k2", "v"])
+    out = Pipeline.compile("rollup-by :k1,:k2 prop:{s='sum(v)'}").apply(df).collect()
+    rows = {(r["k1"], r["k2"]): r["s"] for r in out}
+    assert rows[("a", "x")] == 1 and rows[("a", None)] == 3
+    assert rows[(None, None)] == 7
+    assert len(rows) == 6  # 3 leaves + 2 k1 subtotals + grand total
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(0)), (2, 1, _ts(5)), (3, 1, _ts(10)), (4, 2, _ts(3))],
+        ["event_id", "uid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 50.0), (1, _ts(9), 90.0)], ["uid", "mts", "mark"]
+    )
+    out = {r["event_id"]: r["mark"] for r in
+           asof_join(left, right, "uid", "ts", "mts").collect()}
+    assert out[1] is None          # before any mark
+    assert out[2] == 50.0          # equal-ts mark matches (inclusive)
+    assert out[3] == 90.0          # latest prior mark wins
+    assert out[4] is None          # other key, no marks
+
+
+def test_asof_join_collision_raises(spark):
+    left = spark.createDataFrame([(1, 1, _ts(0), 1.0)], ["event_id", "uid", "ts", "mark"])
+    right = spark.createDataFrame([(1, _ts(0), 2.0)], ["uid", "mts", "mark"])
+    with pytest.raises(DirectiveApplyError, match="collide"):
+        asof_join(left, right, "uid", "ts", "mts")

@@ -147,3 +147,146 @@ class UnionWith(Directive):
         if table is None:
             raise DirectiveApplyError(f"table '{self.args['table']}' not registered")
         return df.unionByName(table, allowMissingColumns=True)
+
+
+@directive
+class PivotBy(Directive):
+    """pivot-by :keys :pivot :value agg ['v1,v2,...'] — wide pivot table
+    (extension). Passing the explicit pivot-value list skips the extra
+    distinct-values job Spark otherwise runs — always pass it at scale."""
+
+    name = "pivot-by"
+    usage = [
+        Arg("keys", TokenType.COLUMN_LIST),
+        Arg("pivot", TokenType.COLUMN),
+        Arg("value", TokenType.COLUMN),
+        Arg("agg", TokenType.IDENTIFIER, optional=True, default="sum"),
+        Arg("values", TokenType.TEXT, optional=True),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        keys = ctx.resolve_all(df, self.args["keys"])
+        pv = ctx.resolve(df, self.args["pivot"])
+        val = ctx.resolve(df, self.args["value"])
+        agg = str(self.args["agg"]).lower()
+        vals = self.args.value("values")
+        g = df.groupBy(*keys)
+        piv = g.pivot(pv, [v.strip() for v in str(vals).split(",")]) if vals else g.pivot(pv)
+        return piv.agg(F.expr(f"{agg}({val})"))
+
+
+@directive
+class Unpivot(Directive):
+    """unpivot :id1[,:id2...] :c1,:c2,... :name :value — melt the listed
+    measure columns into (name, value) rows (extension). Narrow map-side
+    transform, no shuffle."""
+
+    name = "unpivot"
+    usage = [
+        Arg("ids", TokenType.COLUMN_LIST),
+        Arg("measures", TokenType.COLUMN_LIST),
+        Arg("name", TokenType.COLUMN),
+        Arg("value", TokenType.COLUMN),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        ids = ctx.resolve_all(df, self.args["ids"])
+        measures = ctx.resolve_all(df, self.args["measures"])
+        return df.unpivot(ids, measures, self.args["name"], self.args["value"])
+
+
+@directive
+class RollupBy(Directive):
+    """rollup-by :k1[,:k2...] prop:{out='agg_sql', ...} — group-by with
+    subtotal rows per key prefix plus the grand total (extension).
+    Null key values mark the subtotal levels, like SQL ROLLUP."""
+
+    name = "rollup-by"
+    usage = [Arg("keys", TokenType.COLUMN_LIST), Arg("aggs", TokenType.PROPERTIES)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        keys = ctx.resolve_all(df, self.args["keys"])
+        aggs = self.args["aggs"]
+        if not aggs:
+            raise DirectiveApplyError("rollup-by needs at least one aggregate in prop:{}")
+        exprs = [F.expr(str(sql)).alias(name) for name, sql in aggs.items()]
+        return df.rollup(*keys).agg(*exprs)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: each left row picks up the value
+    columns of the latest right row with right_ts <= left_ts in its ``on``
+    group (nulls when no such row). Equivalent to DuckDB/pandas ASOF JOIN.
+
+    Scale shape: the union-and-forward-fill formulation — tag both sides,
+    union, one shuffle+sort on (on, ts, tag) and a running ``last(...,
+    ignorenulls)`` window — NOT a range join, so there is no candidate-pair
+    blowup however dense the right side is; cost is one sort per key
+    partition, AQE-skew-splittable."""
+    rts = right_ts or left_ts
+    val_cols = [c for c in right.columns if c not in (on, rts)]
+    clash = set(val_cols) & set(left.columns)
+    if clash:
+        raise DirectiveApplyError(
+            f"asof-join: right value columns collide with left columns: {sorted(clash)}; "
+            "rename the right side first"
+        )
+    if not val_cols:
+        raise DirectiveApplyError("asof-join: right side has no value columns beyond key/ts")
+    lt = left.withColumn("__tag", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.select(
+        F.col(on),
+        F.col(rts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c) for c in val_cols],
+    )
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    for c in val_cols:
+        lt = lt.withColumn(c, F.lit(None))
+    u = lt.select(*left.columns, "__ts", "__tag", *val_cols).unionByName(
+        rt.select(*left.columns, "__ts", "__tag", *val_cols)
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__tag"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in val_cols],
+    )
+    return filled.filter(F.col("__tag") == 1).drop("__tag")
+
+
+@directive
+class AsofJoin(Directive):
+    """asof-join 'table' :on :ts [right_ts] — backward-inclusive as-of
+    join against a registered table (extension): latest right row at or
+    before each left row's timestamp per key."""
+
+    name = "asof-join"
+    usage = [
+        Arg("table", TokenType.TEXT),
+        Arg("on", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+        Arg("right_ts", TokenType.COLUMN, optional=True),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.directives.lookups import _CATALOGS
+
+        table = _CATALOGS.get(self.args["table"].lower())
+        if table is None:
+            raise DirectiveApplyError(f"table '{self.args['table']}' not registered")
+        on = ctx.resolve(df, self.args["on"])
+        ts = ctx.resolve(df, self.args["ts"])
+        return asof_join(df, table, on, ts, self.args.value("right_ts"))
