@@ -221,6 +221,7 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
+        "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
     }
 
 
@@ -258,20 +259,19 @@ WHERE rank <= {k}
 """
 
 
-def _ivf_kmeans_oracle_sql(
-    n_centroids: int = 8, k: int = 5, n_queries: int = 5, iters: int = 2, dim: int = 64
-) -> str:
-    """Mirror of similarity.ivf_topk(train_iters=iters): spherical k-means
-    unrolled to `iters` assign/recenter CTE pairs (init = first n vectors
-    by id; assignment by cosine rounded 6dp, ties to lower centroid id;
-    recentered means rounded 6dp — the same determinism contract the Spark
-    side applies so the two engines can't drift)."""
-    def cos(a, b):
-        d = f"list_sum([{a}[i] * {b}[i] FOR i IN range(1, {dim + 1})])"
-        na = f"sqrt(list_sum([x * x FOR x IN {a}]))"
-        nb = f"sqrt(list_sum([x * x FOR x IN {b}]))"
-        return f"round(({d}) / ({na} * {nb}), 6)"
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    d = f"list_sum([{a}[i] * {b}[i] FOR i IN range(1, {dim + 1})])"
+    na = f"sqrt(list_sum([x * x FOR x IN {a}]))"
+    nb = f"sqrt(list_sum([x * x FOR x IN {b}]))"
+    return f"round(({d}) / ({na} * {nb}), 6)"
 
+
+def _kmeans_assign_ctes(n_centroids: int, iters: int, dim: int) -> list[str]:
+    """Shared unrolled-k-means CTE chain ending in `assign(vec_id,
+    centroid_id)` — the same determinism contract as
+    similarity.kmeans_centroids (first-k init, 6dp cosine, ties to lower
+    centroid id, 6dp recentered means)."""
+    cos = lambda a, b: _cos_sql(a, b, dim)  # noqa: E731
     mean_list = ", ".join(f"round(avg(c.v[{i}]), 6)" for i in range(1, dim + 1))
     ctes = [
         "c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
@@ -295,6 +295,16 @@ def _ivf_kmeans_oracle_sql(
         f"row_number() OVER (PARTITION BY c.vec_id ORDER BY {cos('c.v', f'{final}.zv')} DESC, {final}.centroid_id ASC) AS rn "
         f"FROM c CROSS JOIN {final}) WHERE rn = 1)"
     )
+    return ctes
+
+
+def _ivf_kmeans_oracle_sql(
+    n_centroids: int = 8, k: int = 5, n_queries: int = 5, iters: int = 2, dim: int = 64
+) -> str:
+    """Mirror of similarity.ivf_topk(train_iters=iters): spherical k-means
+    unrolled to `iters` assign/recenter CTE pairs."""
+    cos = lambda a, b: _cos_sql(a, b, dim)  # noqa: E731
+    ctes = _kmeans_assign_ctes(n_centroids, iters, dim)
     ctes.append(
         f"q AS (SELECT c.vec_id AS query_id, c.v AS qv, a.centroid_id "
         f"FROM c JOIN assign a ON c.vec_id = a.vec_id WHERE c.vec_id < {n_queries})"
@@ -309,6 +319,29 @@ def _ivf_kmeans_oracle_sql(
         + f"\nSELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ("
         f"SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored) "
         f"WHERE rank <= {k}"
+    )
+
+
+def _semdedup_oracle_sql(
+    n_clusters: int = 8, threshold: float = 0.9, iters: int = 1, dim: int = 64
+) -> str:
+    """Mirror of similarity.semdedup: unrolled k-means assignment, then
+    within-cluster pairwise cosine; is_dup when a lower-id cluster member
+    is >= threshold similar."""
+    cos = lambda a, b: _cos_sql(a, b, dim)  # noqa: E731
+    ctes = _kmeans_assign_ctes(n_clusters, iters, dim)
+    ctes.append(
+        "m AS (SELECT c.vec_id, c.v, a.centroid_id FROM c JOIN assign a ON c.vec_id = a.vec_id)"
+    )
+    ctes.append(
+        f"dropped AS (SELECT DISTINCT r.vec_id FROM m l JOIN m r "
+        f"ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id "
+        f"WHERE {cos('l.v', 'r.v')} >= {threshold})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT m.vec_id, m.centroid_id, (d.vec_id IS NOT NULL) AS is_dup "
+        "FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id"
     )
 
 
@@ -392,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_join": _q_ext_join,
         "sessionize": _q_sessionize,
         # --- below this line: outside the 50-slot window (still repo-oracled)
+        "dedup_semdedup": _q_semdedup,
         "mask_shuffle": _recipe_q("part", "mask-number :p_size 'x#'\nmask-shuffle :p_name"),
         "uppercase": _recipe_q("customer", "uppercase :c_name"),
         "filter_by_regex": _recipe_q("customer", "filter-by-regex if-matched :c_mktsegment 'BUI.*'"),
@@ -543,6 +577,14 @@ def _q_precondition(spark, sf_dir):
     return Pipeline.compile("uppercase :c_mktsegment", precondition="c_acctbal < 0.0").apply(
         _t(spark, sf_dir, "customer")
     )
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: 8 trained clusters (1 Lloyd's
+    iteration), within-cluster cosine >= 0.8 marks duplicates."""
+    from wrangler_spark.datapipe.similarity import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), 8, 0.8, train_iters=1)
 
 
 def _q_ext_asof(spark, sf_dir):

@@ -250,3 +250,18 @@ def test_source_filter_and_sample(spark):
     assert 400 < n < 600  # ~25% of 2000, deterministic for the fixed salt
     n2 = big.filter(curation.sample_hash(big, "k", 0.25, "s1")).count()
     assert n == n2
+
+
+def test_semdedup_drops_near_identical(spark):
+    from wrangler_spark.datapipe.similarity import semdedup
+
+    # two tight direction blobs; within each, members are near-identical
+    rows = [(i, [10.0 + i * 0.001, 1.0]) for i in range(3)]
+    rows += [(10 + i, [1.0, 10.0 + i * 0.001]) for i in range(3)]
+    rows.append((99, [-5.0, 1.0]))  # its own direction, no dup
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["is_dup"] for r in
+           semdedup(df, n_clusters=3, threshold=0.999, train_iters=1).collect()}
+    assert out[0] is False and out[1] is True and out[2] is True   # min-id survives
+    assert out[10] is False and out[11] is True and out[12] is True
+    assert out[99] is False

@@ -187,3 +187,45 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 1,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means clustering
+    + within-cluster cosine. A vector is a duplicate if some lower-id
+    vector in its cluster has cosine >= threshold; the min-id member of
+    each duplicate group survives. Returns (vec_id, centroid_id, is_dup).
+
+    Scale shape: clustering is the broadcast-assign + per-dim-mean
+    aggregate of kmeans_centroids (only k x dim floats of driver state);
+    the pairwise step is an equi-join on centroid_id — quadratic only
+    WITHIN a cluster, which is the SemDeDup design point: scale n_clusters
+    with the corpus (k ~ N / target_cluster_size) so per-cluster work
+    stays bounded, and the join remains hash-partitioned by cluster."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
+    if train_iters > 0:
+        cent = kmeans_centroids(corpus, n_clusters, train_iters, id_col, vec_col)
+    else:
+        cent = c.orderBy("vec_id").limit(n_clusters).select(
+            F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
+        )
+    a = c.join(_assign_prepared(c, cent), "vec_id")
+    left = a.select(F.col("vec_id").alias("id_a"), F.col("cv").alias("va"), "centroid_id")
+    right = a.select(F.col("vec_id").alias("id_b"), F.col("cv").alias("vb"), "centroid_id")
+    dup_pairs = (
+        left.join(right, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    dropped = dup_pairs.select("id_b").distinct().withColumn("__d", F.lit(True))
+    return (
+        a.join(dropped, a["vec_id"] == dropped["id_b"], "left")
+        .select("vec_id", "centroid_id", F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"))
+    )
