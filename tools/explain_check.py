@@ -74,9 +74,32 @@ def main() -> int:
 
     # 6. every oracled single-table transform query is UDF-free
     udf_expected = {"mask_shuffle", "multimodal_features"}
-    for name in ("uppercase", "expression_el", "dq_checks", "text_quality", "text_fingerprint", "dedup_simhash"):
+    for name in (
+        "uppercase", "expression_el", "dq_checks", "text_quality", "text_fingerprint",
+        "dedup_simhash", "pii_redact", "text_gopher_quality", "sample_by_quality",
+    ):
         p = plan_of(qs[name](spark, SF_DIR))
         problems += check(name, p, must_not=["BatchEvalPython", "ArrowEvalPython"])
+
+    # 7. decontaminate: the benchmark gram set is broadcast; the corpus
+    # side must never sort-merge
+    p = plan_of(qs["decontaminate"](spark, SF_DIR))
+    problems += check("decontaminate", p, must=["BroadcastHashJoin"], must_not=["SortMergeJoin"])
+
+    # 8. asof-join compiles to the single-sort window plan, not a range
+    # join (no cross/nested-loop join may appear)
+    p = plan_of(qs["ext_asof_join"](spark, SF_DIR))
+    problems += check(
+        "ext_asof_join", p, must=["Window"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
+    # 9. paragraph dedup: window + hash aggregate, no self-join
+    p = plan_of(qs["dedup_paragraphs"](spark, SF_DIR))
+    problems += check(
+        "dedup_paragraphs", p, must=["Window"],
+        must_not=["SortMergeJoin", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
 
     if problems:
         print("PLAN PROBLEMS:")
