@@ -141,3 +141,30 @@ def test_sessionize_stream(spark, tmp_path_factory):
     assert r["key"] == "u1" and r["n_events"] == 2
     assert r["session_start"].minute == 0 and r["session_end"].minute == 10
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_curation_recipe_on_stream(spark, tmp_path_factory):
+    """The round-3 curation directives are stateless per record, so they
+    run on a stream unchanged — quality flags + PII scrub + hash sampling
+    as one streaming recipe."""
+    import shutil as _sh
+
+    d = str(tmp_path_factory.mktemp("cur_src"))
+    rows = [
+        (1, "write to admin@example.com " + "the be to of and that have with word " * 8),
+        (2, "short"),
+        (3, "no pii here " + "the be to of and that have with word " * 8),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.write.mode("overwrite").parquet(d)
+    static = spark.read.parquet(d)
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    p = Pipeline.compile("pii-redact :text\ngopher-quality :text\nsample-hash :doc_id 1.0")
+    result = transform_stream(p, stream, sample_df=static)
+    q = run_to_memory(result.df, "cur_out")
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM cur_out").collect()}
+    q.stop()
+    assert got[1]["n_pii_email"] == 1 and "<EMAIL>" in got[1]["text"]
+    assert got[2]["g_word_count"] is False
+    assert got[3]["n_pii"] == 0 and got[3]["g_stopwords"] is True
+    _sh.rmtree(d, ignore_errors=True)
