@@ -92,3 +92,64 @@ def _run_mask(spark, values, pattern):
     df = spark.createDataFrame([(v,) for v in values], ["v"]).withColumn("v0", F.col("v"))
     rows = Pipeline.compile(f"mask-number :v '{pattern}'").apply(df).collect()
     return {r["v0"]: r["v"] for r in rows}
+
+
+# --- curation-op properties (pure-Python mirrors of the shared
+# Java∩RE2 patterns, plus Spark spot-checks on the boundary cases) ---
+
+import re
+
+from wrangler_spark.datapipe.curation import PII_PATTERNS
+
+
+def _redact_py(text: str) -> str:
+    for _, pat, tok in PII_PATTERNS:
+        text = re.sub(pat, tok, text)
+    return text
+
+
+@given(st.text(alphabet=string.ascii_letters + string.digits + " @.-()+\n", max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_pii_redact_idempotent(text):
+    """Redaction is a fixpoint: the replacement tokens never themselves
+    match any PII pattern, so redact(redact(x)) == redact(x)."""
+    once = _redact_py(text)
+    assert _redact_py(once) == once
+
+
+@given(st.text(alphabet=string.digits + " -", min_size=9, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_pii_redact_leaves_no_long_digit_runs(text):
+    """After redaction no 13+-digit run survives (credit-card guarantee)."""
+    assert re.search(r"\d{13,}", _redact_py(text)) is None
+
+
+def test_sample_hash_rate_monotonic(spark):
+    """Higher rate keeps a superset of rows: the kept set at rate r1 < r2
+    is contained in the kept set at r2 (same salt) — hash-threshold
+    sampling is nested by construction."""
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.datapipe.curation import sample_hash
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    kept = {}
+    for r in (0.1, 0.3, 0.7):
+        kept[r] = {x["k"] for x in df.filter(sample_hash(df, "k", r, "s")).collect()}
+    assert kept[0.1] <= kept[0.3] <= kept[0.7]
+    for r, s in kept.items():
+        assert abs(len(s) / 1000 - r) < 0.08  # within 8pp of the target rate
+
+
+def test_paragraph_dedup_no_cross_doc_repeats(spark):
+    """Post-condition: over the whole output corpus every normalized
+    paragraph appears exactly once."""
+    from wrangler_spark.datapipe.curation import paragraph_dedup
+
+    rows = [(i, f"common header\nbody {i % 3}\ntail {i}") for i in range(12)]
+    out = paragraph_dedup(spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text")
+    paras = []
+    for r in out.collect():
+        paras += [p for p in r["text"].split("\n") if p]
+    assert len(paras) == len(set(paras))
+    assert len(set(paras)) == 1 + 3 + 12  # header + 3 bodies + 12 tails
