@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n='count(*)'}",
         ),
         "ext_asof_join": _q_ext_asof,
+        "ext_range_join": _q_ext_range,
         "flatten_zip": _recipe_q(
             "part",
             "set-column :w1 exp:{ string:split(p_name, ' ') }\n"
@@ -585,6 +586,23 @@ def _q_semdedup(spark, sf_dir):
     from wrangler_spark.datapipe.similarity import semdedup
 
     return semdedup(_t(spark, sf_dir, "embeddings"), 8, 0.8, train_iters=1)
+
+
+def _q_ext_range(spark, sf_dir):
+    """Each event's value lands in its [lo, hi) band from a small interval
+    table (derived from region keys) — binned equi-join, no nested loop."""
+    from wrangler_spark.directives.extensions import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = (
+        _t(spark, sf_dir, "region")
+        .select(
+            F.col("r_regionkey").alias("band_id"),
+            (F.col("r_regionkey") * 200.0).alias("lo"),
+            (F.col("r_regionkey") * 200.0 + 200.0).alias("hi"),
+        )
+    )
+    return range_join(ev, bands, "value", "lo", "hi", bin_width=100.0)
 
 
 def _q_ext_asof(spark, sf_dir):
@@ -893,6 +911,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty, "
             "count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "ext_range_join": (
+            "SELECT e.event_id, e.value, b.band_id, b.lo, b.hi "
+            "FROM (SELECT event_id, value FROM events) e "
+            "JOIN (SELECT r_regionkey AS band_id, r_regionkey * 200.0 AS lo, "
+            "r_regionkey * 200.0 + 200.0 AS hi FROM region) b "
+            "ON e.value >= b.lo AND e.value < b.hi"
         ),
         "ext_asof_join": (
             "WITH ev AS (SELECT event_id, ts, user_id, value FROM events), "

@@ -58,3 +58,16 @@ def test_asof_join_collision_raises(spark):
     right = spark.createDataFrame([(1, _ts(0), 2.0)], ["uid", "mts", "mark"])
     with pytest.raises(DirectiveApplyError, match="collide"):
         asof_join(left, right, "uid", "ts", "mts")
+
+
+def test_range_join_binned(spark):
+    from wrangler_spark.directives.extensions import range_join
+
+    left = spark.createDataFrame([(1, 5.0), (2, 10.0), (3, 25.0), (4, -1.0)], ["id", "v"])
+    right = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 10.0, 20.0), (300, 20.0, 30.0)], ["band", "lo", "hi"]
+    )
+    out = {r["id"]: r["band"] for r in range_join(left, right, "v", "lo", "hi", 7.0).collect()}
+    assert out == {1: 100, 2: 200, 3: 300}  # 10.0 lands in [10,20), -1 drops
+    plan = range_join(left, right, "v", "lo", "hi", 7.0)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -290,3 +290,73 @@ class AsofJoin(Directive):
         on = ctx.resolve(df, self.args["on"])
         ts = ctx.resolve(df, self.args["ts"])
         return asof_join(df, table, on, ts, self.args.value("right_ts"))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    val_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join: pairs each left row with every right row
+    whose half-open interval [lo_col, hi_col) contains left's val_col.
+
+    Scale shape: the classic BINNING reduction — left rows key on
+    floor(val/w); each right interval explodes into the bins it covers;
+    the join is then a plain hash equi-join on the bin plus an exact
+    containment filter. No BroadcastNestedLoopJoin / CartesianProduct
+    however large both sides are. Pick ``bin_width`` near the median
+    interval width: much smaller multiplies right-side rows, much larger
+    multiplies false candidates per bin."""
+    clash = set(right.columns) & set(left.columns)
+    if clash:
+        raise DirectiveApplyError(
+            f"range-join: overlapping column names: {sorted(clash)}; rename one side first"
+        )
+    lb = left.withColumn("__bin", F.floor(F.col(val_col) / bin_width))
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_width), F.floor(F.col(hi_col) / bin_width)
+            )
+        ),
+    )
+    out = lb.join(rb, "__bin", how).filter(
+        (F.col(val_col) >= F.col(lo_col)) & (F.col(val_col) < F.col(hi_col))
+    )
+    return out.drop("__bin")
+
+
+@directive
+class RangeJoin(Directive):
+    """range-join 'table' :val :lo :hi bin_width — interval-containment
+    join against a registered table via the binning equi-join reduction
+    (extension)."""
+
+    name = "range-join"
+    usage = [
+        Arg("table", TokenType.TEXT),
+        Arg("val", TokenType.COLUMN),
+        Arg("lo", TokenType.COLUMN),
+        Arg("hi", TokenType.COLUMN),
+        Arg("bin", TokenType.NUMERIC),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.directives.lookups import _CATALOGS
+
+        table = _CATALOGS.get(self.args["table"].lower())
+        if table is None:
+            raise DirectiveApplyError(f"table '{self.args['table']}' not registered")
+        return range_join(
+            df,
+            table,
+            ctx.resolve(df, self.args["val"]),
+            self.args["lo"],
+            self.args["hi"],
+            float(self.args["bin"]),
+        )
