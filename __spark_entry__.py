@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ext_asof_join": _q_ext_asof,
         "ext_range_join": _q_ext_range,
+        "ext_union": _q_ext_union,
         "flatten_zip": _recipe_q(
             "part",
             "set-column :w1 exp:{ string:split(p_name, ' ') }\n"
@@ -586,6 +587,13 @@ def _q_semdedup(spark, sf_dir):
     from wrangler_spark.datapipe.similarity import semdedup
 
     return semdedup(_t(spark, sf_dir, "embeddings"), 8, 0.8, train_iters=1)
+
+
+def _q_ext_union(spark, sf_dir):
+    from wrangler_spark.directives.lookups import register_lookup
+
+    register_lookup("nation_extra", _t(spark, sf_dir, "nation"))
+    return Pipeline.compile("union-with 'nation_extra'").apply(_t(spark, sf_dir, "nation"))
 
 
 def _q_ext_range(spark, sf_dir):
@@ -911,6 +919,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty, "
             "count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "ext_union": (
+            "SELECT * FROM nation UNION ALL SELECT * FROM nation"
         ),
         "ext_range_join": (
             "SELECT e.event_id, e.value, b.band_id, b.lo, b.hi "

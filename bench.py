@@ -53,8 +53,16 @@ def main() -> None:
     spark = get_spark("wrangler_spark_bench")
     qs = entry_mod.queries()
 
-    # warm the JVM/session with a trivial action so q1 isn't charged for startup
+    # warm the JVM/session so q1 isn't charged for one-time startup: a
+    # trivial job, the parquet datasource path, and a from_csv codegen
+    # compile (first-job costs, not per-query work)
     spark.range(1).count()
+    from pyspark.sql import functions as F
+
+    warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(64)
+    warm.select(
+        F.from_csv(F.lit("a,1"), "c0 string, c1 int").alias("s"), *warm.columns
+    ).count()
 
     def run(names: list[str]) -> tuple[dict[str, float], dict[str, int]]:
         per: dict[str, float] = {}
