@@ -265,3 +265,38 @@ def test_semdedup_drops_near_identical(spark):
     assert out[0] is False and out[1] is True and out[2] is True   # min-id survives
     assert out[10] is False and out[11] is True and out[12] is True
     assert out[99] is False
+
+
+def test_pii_redact_cross_engine_on_pii_laden_rows(spark):
+    """The sf corpus has no PII, so driver parity never exercises the
+    patterns on MATCHING text — this pins Java-regex ≡ RE2 behavior on
+    rows where every pattern fires (incl. adjacent/overlapping spans)."""
+    import duckdb
+    import pandas as pd
+
+    from wrangler_spark.datapipe import curation, oracles
+
+    texts = [
+        "a@b.co c@d.org 1.2.3.4 999-99-9999",
+        "4111 1111 1111 1111 and 4111111111111111",
+        "(555) 123-4567 555.123.4567 555 123 4567",
+        "edge 123-45-678 12.34.56 1234567890123456789",
+        "mixed bob@x.io at 10.0.0.255 card 5500 0000 0000 0004 call 555-000-1234",
+        "",
+    ]
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = (
+        curation.pii_redact(df, "text")
+        .orderBy("doc_id")
+        .select("doc_id", "text", "n_pii_email", "n_pii_ip", "n_pii_ssn", "n_pii_cc", "n_pii_phone")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]))
+    want = con.sql(
+        f"SELECT doc_id, text, n_pii_email, n_pii_ip, n_pii_ssn, n_pii_cc, n_pii_phone "
+        f"FROM ({oracles.pii_redact_sql()}) ORDER BY doc_id"
+    ).df()
+    for col in got.columns:
+        assert list(got[col]) == list(want[col]), f"column {col} diverges"
