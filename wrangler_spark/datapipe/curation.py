@@ -173,9 +173,10 @@ def source_filter(
 ) -> DataFrame:
     """Blocklist (or allowlist with ``allow=True``) filter on a source /
     URL column. URLs are reduced to their host; bare source labels pass
-    through unchanged. Pure scan-side filter — with a parquet source the
-    IN-list reaches the scan as a pushed filter when the column is a bare
-    label. Adds the extracted ``host`` column."""
+    through unchanged. The predicate is expression-based (CASE over
+    regexp_extract) so it can't enter the parquet PushedFilters, but it
+    runs scan-adjacent inside whole-stage codegen — no shuffle, rows drop
+    before anything downstream. Adds the extracted ``host`` column."""
     c = F.col(col)
     host = F.regexp_extract(c, _HOST_RE, 1)
     val = F.when(host != "", host).otherwise(c)
