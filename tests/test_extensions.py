@@ -71,3 +71,13 @@ def test_range_join_binned(spark):
     assert out == {1: 100, 2: 200, 3: 300}  # 10.0 lands in [10,20), -1 drops
     plan = range_join(left, right, "v", "lo", "hi", 7.0)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from wrangler_spark.directives.extensions import range_join
+
+    left = spark.createDataFrame([(1, 5.0), (2, 99.0)], ["id", "v"])
+    right = spark.createDataFrame([(100, 0.0, 10.0)], ["band", "lo", "hi"])
+    out = {r["id"]: r["band"] for r in
+           range_join(left, right, "v", "lo", "hi", 7.0, how="left").collect()}
+    assert out == {1: 100, 2: None}  # unmatched row survives with null band

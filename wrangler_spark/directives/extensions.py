@@ -316,19 +316,24 @@ def range_join(
         raise DirectiveApplyError(
             f"range-join: overlapping column names: {sorted(clash)}; rename one side first"
         )
-    lb = left.withColumn("__bin", F.floor(F.col(val_col) / bin_width))
+    lb = left.withColumn("__lbin", F.floor(F.col(val_col) / bin_width))
     rb = right.withColumn(
-        "__bin",
+        "__rbin",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / bin_width), F.floor(F.col(hi_col) / bin_width)
             )
         ),
     )
-    out = lb.join(rb, "__bin", how).filter(
-        (F.col(val_col) >= F.col(lo_col)) & (F.col(val_col) < F.col(hi_col))
+    # containment lives IN the join condition (not a post-filter) so outer
+    # joins keep their unmatched left rows; the __lbin = __rbin equi-term
+    # is what Spark hash-partitions on
+    cond = (
+        (F.col("__lbin") == F.col("__rbin"))
+        & (F.col(val_col) >= F.col(lo_col))
+        & (F.col(val_col) < F.col(hi_col))
     )
-    return out.drop("__bin")
+    return lb.join(rb, cond, how).drop("__lbin", "__rbin")
 
 
 @directive
