@@ -117,11 +117,14 @@ def test_pii_redact_idempotent(text):
     assert _redact_py(once) == once
 
 
-@given(st.text(alphabet=string.digits + " -", min_size=9, max_size=20))
+@given(st.text(alphabet=string.digits + " -", min_size=9, max_size=24))
 @settings(max_examples=200, deadline=None)
-def test_pii_redact_leaves_no_long_digit_runs(text):
-    """After redaction no 13+-digit run survives (credit-card guarantee)."""
-    assert re.search(r"\d{13,}", _redact_py(text)) is None
+def test_pii_redact_leaves_no_cc_shaped_digit_runs(text):
+    """After redaction no credit-card-shaped digit run (13-19 digits,
+    boundary-delimited) survives. Runs of 20+ digits are NOT cards and
+    deliberately pass through."""
+    for run in re.findall(r"\d+", _redact_py(text)):
+        assert not (13 <= len(run) <= 19), run
 
 
 def test_sample_hash_rate_monotonic(spark):
