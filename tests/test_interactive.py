@@ -58,3 +58,26 @@ def test_pipeline_lineage(spark):
     assert [r["directive"] for r in lin] == ["uppercase", "drop", "set-column"]
     assert lin[0]["columns"] == ["name"]
     assert lin[1]["columns"] == ["a", "b"]
+
+
+def test_workspace_incremental(spark):
+    from wrangler_spark.errors import DirectiveParseError
+    from wrangler_spark.interactive import Workspace
+
+    df = spark.createDataFrame([(1, " a "), (2, " b ")], ["id", "v"])
+    ws = Workspace("w1", df)
+    resp = ws.add("trim :v")
+    assert resp.values[0]["v"] == "a"
+    resp = ws.add("uppercase :v", "copy :v :v2")
+    assert resp.values[0]["v2"] == "A" and ws.recipe().count("\n") == 2
+
+    # bad directive rejected atomically — workspace state unchanged
+    import pytest as _pt
+
+    with _pt.raises(DirectiveParseError):
+        ws.add("no-such-directive :v")
+    assert len(ws.directives) == 3
+
+    assert ws.undo() == ["copy :v :v2"]
+    assert [t[0] for t in ws.schema()] == ["id", "v"]
+    assert ws.execute().values[1]["v"] == "B"

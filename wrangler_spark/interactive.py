@@ -60,3 +60,43 @@ def schema(recipe: str | list[str], df: DataFrame, limit: int = 100) -> list[tup
     """The /schema endpoint: output schema of the recipe on this input."""
     out = Pipeline.compile(recipe).transform(df.limit(limit)).df
     return [(f.name, f.dataType.simpleString()) for f in out.schema.fields]
+
+
+class Workspace:
+    """Design-time workspace parity (wrangler-service keeps a named
+    sample + the directive list applied so far; the UI appends/undoes
+    directives and re-executes against the sample —
+    ``DirectivesHandler.java`` workspace endpoints). Plain object, no
+    HTTP: hold a bounded sample, build the recipe incrementally, then
+    export the final recipe for the production pipeline."""
+
+    def __init__(self, name: str, df: DataFrame, limit: int = 100):
+        self.name = name
+        self._sample = df.limit(limit)
+        self.directives: list[str] = []
+
+    def add(self, *directive_lines: str) -> "ExecutionResponse":
+        """Append directive(s); compile-check them against the sample
+        before accepting (a bad directive is rejected atomically)."""
+        candidate = self.directives + [ln for ln in directive_lines if ln.strip()]
+        resp = execute(candidate, self._sample, limit=2**31 - 1)
+        self.directives = candidate
+        return resp
+
+    def undo(self, n: int = 1) -> list[str]:
+        """Drop the last n directives (workspace 'undo'); returns them."""
+        if n <= 0:
+            return []
+        dropped = self.directives[-n:]
+        self.directives = self.directives[:-n]
+        return dropped
+
+    def execute(self, with_summary: bool = False) -> "ExecutionResponse":
+        return execute(self.directives, self._sample, limit=2**31 - 1, with_summary=with_summary)
+
+    def schema(self) -> list[tuple[str, str]]:
+        return schema(self.directives, self._sample)
+
+    def recipe(self) -> str:
+        """The accumulated recipe text — what ships to the pipeline."""
+        return "\n".join(self.directives)
