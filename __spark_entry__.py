@@ -527,6 +527,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sum_qty='cast(sum(cast(l_quantity as decimal(20,2))) as double)', "
             "n='count(*)'}",
         ),
+        "ext_cube": _recipe_q(
+            "lineitem",
+            "cube-by :l_returnflag,:l_linestatus prop:{"
+            "sum_qty='cast(sum(cast(l_quantity as decimal(20,2))) as double)', "
+            "n='count(*)'}",
+        ),
         "ext_asof_join": _q_ext_asof,
         "ext_range_join": _q_ext_range,
         "ext_union": _q_ext_union,
@@ -919,6 +925,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty, "
             "count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "ext_cube": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty, "
+            "count(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
         ),
         "ext_union": (
             "SELECT * FROM nation UNION ALL SELECT * FROM nation"

@@ -365,3 +365,20 @@ class RangeJoin(Directive):
             self.args["hi"],
             float(self.args["bin"]),
         )
+
+
+@directive
+class CubeBy(Directive):
+    """cube-by :k1[,:k2...] prop:{out='agg_sql', ...} — group-by with
+    subtotals for EVERY key combination (SQL CUBE; extension)."""
+
+    name = "cube-by"
+    usage = [Arg("keys", TokenType.COLUMN_LIST), Arg("aggs", TokenType.PROPERTIES)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        keys = ctx.resolve_all(df, self.args["keys"])
+        aggs = self.args["aggs"]
+        if not aggs:
+            raise DirectiveApplyError("cube-by needs at least one aggregate in prop:{}")
+        exprs = [F.expr(str(sql)).alias(name) for name, sql in aggs.items()]
+        return df.cube(*keys).agg(*exprs)
