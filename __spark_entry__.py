@@ -135,9 +135,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), "vec_id", "embedding", 10
         ),
-        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
-            embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5
-        ),
+        "dedup_semdedup": lambda s, d: similarity.semdedup(embs(s, d), 8, 0.8, train_iters=1),
         "ann_ivf_kmeans_topk": lambda s, d: similarity.ivf_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5,
             train_iters=2,
@@ -425,7 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_join": _q_ext_join,
         "sessionize": _q_sessionize,
         # --- below this line: outside the 50-slot window (still repo-oracled)
-        "dedup_semdedup": _q_semdedup,
+        "ann_ivf_topk": _q_ann_ivf,
         "mask_shuffle": _recipe_q("part", "mask-number :p_size 'x#'\nmask-shuffle :p_name"),
         "uppercase": _recipe_q("customer", "uppercase :c_name"),
         "filter_by_regex": _recipe_q("customer", "filter-by-regex if-matched :c_mktsegment 'BUI.*'"),
@@ -587,12 +585,13 @@ def _q_precondition(spark, sf_dir):
     )
 
 
-def _q_semdedup(spark, sf_dir):
-    """SemDeDup over the embeddings table: 8 trained clusters (1 Lloyd's
-    iteration), within-cluster cosine >= 0.8 marks duplicates."""
-    from wrangler_spark.datapipe.similarity import semdedup
+def _q_ann_ivf(spark, sf_dir):
+    """IVF with the untrained first-k-centroid baseline (the trained
+    k-means variant is graded in-window as ann_ivf_kmeans_topk)."""
+    from wrangler_spark.datapipe.similarity import ivf_topk
 
-    return semdedup(_t(spark, sf_dir, "embeddings"), 8, 0.8, train_iters=1)
+    embs = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(embs, embs.filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5)
 
 
 def _q_ext_union(spark, sf_dir):
