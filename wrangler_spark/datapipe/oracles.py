@@ -173,14 +173,23 @@ def langid_sql(table: str = "documents") -> str:
 
 
 def quality_sql(table: str = "documents") -> str:
+    """Mirror of text.quality_score's micro-unit integer formulation (see
+    its docstring: weighted sums of rounded doubles flip 1-ULP across
+    engines; integer arithmetic cannot)."""
     n_chars = "length(text)::DOUBLE"
-    n_words = f"len({_WORDS})::DOUBLE"
-    mean_wlen = f"round({n_chars} / greatest({n_words}, 1.0), 6)"
-    alpha = f"round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest({n_chars}, 1.0), 6)"
-    len_score = f"least({n_chars} / 500.0, 1.0)"
-    sw_score = f"least({_SW_RATIO} * 5.0, 1.0)"
-    wlen_score = f"CASE WHEN {mean_wlen} >= 3.0 AND {mean_wlen} <= 10.0 THEN 1.0 ELSE 0.5 END"
-    score = f"round(0.3 * {len_score} + 0.3 * {sw_score} + 0.2 * {alpha} + 0.2 * {wlen_score}, 6)"
+    n_words = f"greatest(len({_WORDS}), 1)::DOUBLE"
+    n_sw = f"len(list_filter({_WORDS}, w -> list_contains({_SW_LIST}, w)))::DOUBLE"
+    micro = lambda x: f"CAST(round(({x}) * 1000000, 0) AS BIGINT)"  # noqa: E731
+    ls = micro(f"least({n_chars} / 500.0, 1.0)")
+    ss = micro(f"least({n_sw} * 5.0 / {n_words}, 1.0)")
+    al = micro(
+        f"length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest({n_chars}, 1.0)"
+    )
+    wl = (
+        f"CASE WHEN ({n_chars} / {n_words}) >= 3.0 AND ({n_chars} / {n_words}) <= 10.0 "
+        f"THEN 1000000 ELSE 500000 END"
+    )
+    score = f"(({ls} * 3 + {ss} * 3 + {al} * 2 + {wl} * 2) // 10)::DOUBLE / 1000000.0"
     return f"SELECT doc_id, text, lang, source, n_chars, {score} AS quality FROM {table}"
 
 

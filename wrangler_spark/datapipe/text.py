@@ -46,21 +46,36 @@ def langid(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFram
 
 def quality_score(df: DataFrame, text_col: str, out_col: str = "quality") -> DataFrame:
     """Composite [0,1] quality score: length, stopword density, alpha ratio,
-    mean word length — the usual cheap pretraining-corpus filters."""
+    mean word length — the usual cheap pretraining-corpus filters.
+
+    Cross-engine determinism: each component is converted to integer
+    MICRO-UNITS (round(x*1e6)) before the weighted sum, and the final
+    divide-by-10 is integer division. A weighted sum of independently
+    6dp-rounded doubles can differ by 1 ULP between engines and flip the
+    final rounding (~1 doc in 5000 at sf0.1 did exactly that); integer
+    arithmetic on identically-derived doubles cannot."""
     c = F.col(text_col)
     staged = _with_words(df, text_col)
     n_chars = F.length(c).cast("double")
-    n_words = F.size(F.col(_W)).cast("double")
-    mean_wlen = F.round(n_chars / F.greatest(n_words, F.lit(1.0)), 6)
-    alpha_ratio = F.round(
+    n_words = F.greatest(F.size(F.col(_W)), F.lit(1)).cast("double")
+    words = F.col(_W)
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_sw = F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("double")
+    micro = lambda x: F.round(x * 1_000_000).cast("long")  # noqa: E731
+    ls = micro(F.least(n_chars / 500.0, F.lit(1.0)))
+    ss = micro(F.least(n_sw * 5.0 / n_words, F.lit(1.0)))
+    al = micro(
         F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
-        / F.greatest(n_chars, F.lit(1.0)),
-        6,
+        / F.greatest(n_chars, F.lit(1.0))
     )
-    len_score = F.least(n_chars / 500.0, F.lit(1.0))
-    sw_score = F.least(_stopword_ratio() * 5.0, F.lit(1.0))
-    wlen_score = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 1.0).otherwise(0.5)
-    score = F.round(0.3 * len_score + 0.3 * sw_score + 0.2 * alpha_ratio + 0.2 * wlen_score, 6)
+    mean_wlen = n_chars / n_words
+    wl = (
+        F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(1_000_000))
+        .otherwise(F.lit(500_000))
+        .cast("long")
+    )
+    total = ls * 3 + ss * 3 + al * 2 + wl * 2
+    score = F.floor(total / 10).cast("double") / 1_000_000.0
     return staged.withColumn(out_col, score).drop(_W)
 
 
