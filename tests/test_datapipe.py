@@ -300,3 +300,9 @@ def test_pii_redact_cross_engine_on_pii_laden_rows(spark):
     ).df()
     for col in got.columns:
         assert list(got[col]) == list(want[col]), f"column {col} diverges"
+
+
+def test_tokenize(spark):
+    df = spark.createDataFrame([(1, "don't split2 me!!")], ["doc_id", "text"])
+    out = text.tokenize(df, "text").collect()[0]["tokens"]
+    assert out == ["don", "'", "t", "split", "2", "me", "!!"]

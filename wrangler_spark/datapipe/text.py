@@ -176,3 +176,13 @@ def gopher_quality(df: DataFrame, text_col: str) -> DataFrame:
     for k in flags:
         overall = F.col(k) if overall is None else (overall & F.col(k))
     return out.withColumn("gopher_pass", overall).drop(_L, _W)
+
+
+def tokenize(df: DataFrame, text_col: str, out_col: str = "tokens") -> DataFrame:
+    """Materialize the regex pre-tokenization (same TOKEN_RE as
+    token_count): array of letter runs / digit runs / punctuation runs.
+    Narrow map-side projection — the input stage for n-gram features or a
+    downstream BPE pass."""
+    return df.withColumn(
+        out_col, F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    )

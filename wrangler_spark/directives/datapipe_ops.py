@@ -180,3 +180,17 @@ class SampleHash(Directive):
 
         key = ctx.resolve(df, self.args["key"])
         return df.filter(sample_hash(df, key, float(self.args["rate"]), str(self.args["salt"])))
+
+
+@directive
+class Tokenize(Directive):
+    """tokenize :text — materialize the regex pre-tokenization as an
+    array<string> column (letter/digit/punctuation runs) → tokens."""
+
+    name = "tokenize"
+    usage = [Arg("text", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import tokenize
+
+        return tokenize(df, ctx.resolve(df, self.args["text"]))
