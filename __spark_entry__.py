@@ -220,6 +220,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "ann_ivf_topk": _ivf_oracle_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
+        "text_vocabulary": o.vocabulary_sql(200),
         "text_tokenize": (
             "SELECT doc_id, text, lang, source, n_chars, "
             "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS tokens "
@@ -430,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- below this line: outside the 50-slot window (still repo-oracled)
         "ann_ivf_topk": _q_ann_ivf,
         "text_tokenize": _recipe_q("documents", "tokenize :text"),
+        "text_vocabulary": _recipe_q("documents", "vocabulary :text 200"),
         "mask_shuffle": _recipe_q("part", "mask-number :p_size 'x#'\nmask-shuffle :p_name"),
         "uppercase": _recipe_q("customer", "uppercase :c_name"),
         "filter_by_regex": _recipe_q("customer", "filter-by-regex if-matched :c_mktsegment 'BUI.*'"),

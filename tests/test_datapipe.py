@@ -306,3 +306,15 @@ def test_tokenize(spark):
     df = spark.createDataFrame([(1, "don't split2 me!!")], ["doc_id", "text"])
     out = text.tokenize(df, "text").collect()[0]["tokens"]
     assert out == ["don", "'", "t", "split", "2", "me", "!!"]
+
+
+def test_vocabulary_topk(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"), (3, "banana apple")],
+        ["doc_id", "text"],
+    )
+    rows = text.vocabulary(df, "text", k=2).collect()
+    assert [(r["token"], r["tf"], r["df"], r["rank"]) for r in rows] == [
+        ("apple", 4, 3, 1),
+        ("banana", 2, 2, 2),
+    ]

@@ -377,3 +377,17 @@ b AS (SELECT *, CASE WHEN quality >= {hi} THEN 'high'
                      ELSE 'low' END AS bucket FROM q)
 SELECT * FROM b WHERE {keep}
 """
+
+
+def vocabulary_sql(k: int = 1000, table: str = "documents") -> str:
+    """Mirror of text.vocabulary: top-k tokens by tf, ties lexical."""
+    return f"""
+WITH w AS (SELECT doc_id, unnest({_WORDS}) AS token FROM {table}),
+t AS (SELECT token, count(*)::BIGINT AS tf FROM w WHERE token <> '' GROUP BY token),
+d AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM w WHERE token <> '' GROUP BY token)
+SELECT token, tf, df, CAST(rank AS INT) AS rank FROM (
+  SELECT t.token, t.tf, d.df,
+         row_number() OVER (ORDER BY t.tf DESC, t.token ASC) AS rank
+  FROM t JOIN d ON t.token = d.token)
+WHERE rank <= {k}
+"""

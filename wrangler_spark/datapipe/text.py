@@ -9,7 +9,7 @@ lambdas, so an inlined split+regex would re-run per reference.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from wrangler_spark.datapipe.constants import EN_STOPWORDS
@@ -185,4 +185,35 @@ def tokenize(df: DataFrame, text_col: str, out_col: str = "tokens") -> DataFrame
     downstream BPE pass."""
     return df.withColumn(
         out_col, F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    )
+
+
+def vocabulary(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
+    """Corpus-level vocabulary: top-k tokens by total term frequency, with
+    document frequency and rank (ties broken lexically). The canonical
+    pretraining vocab/stop-list builder.
+
+    Scale shape: explode → one hash-aggregate shuffle keyed on the token
+    (map-side partials collapse each partition's counts first, so the
+    shuffle carries at most |vocab| rows per partition, not |tokens|);
+    the top-k is a single-partition window over the aggregated vocab —
+    fine for any real k, the vocab table is tiny next to the corpus."""
+    staged = _with_words(df, text_col)
+    tok = (
+        staged.select(F.explode(F.col(_W)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").cast("long").alias("tf"))
+    docs = (
+        staged.select(F.explode(F.array_distinct(F.col(_W))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    return (
+        counts.join(docs, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("token", "tf", "df", "rank")
     )

@@ -194,3 +194,18 @@ class Tokenize(Directive):
         from wrangler_spark.datapipe.text import tokenize
 
         return tokenize(df, ctx.resolve(df, self.args["text"]))
+
+
+@directive
+class Vocabulary(Directive):
+    """vocabulary :text k — corpus top-k tokens by term frequency →
+    (token, tf, df, rank). NOTE: aggregates the whole frame (corpus-level,
+    not per-row)."""
+
+    name = "vocabulary"
+    usage = [Arg("text", TokenType.COLUMN), Arg("k", TokenType.NUMERIC, optional=True, default=1000)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import vocabulary
+
+        return vocabulary(df, ctx.resolve(df, self.args["text"]), int(self.args["k"]))
