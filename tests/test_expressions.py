@@ -274,3 +274,42 @@ def test_decimal_fns(spark):
     )
     r = p.apply(df).collect()[0]
     assert r["p"] == 5 and r["sc"] == 2 and r["u"] == 12345
+
+
+def test_geo_in_fence_reference_goldens(one):
+    """The reference's GeoFenceTest cases verbatim (GeoFenceTest.java:28-66):
+    FeatureCollection fences (multi + single), the exact in/out points, and
+    the open-polygon rejection."""
+    multi = (
+        '{"type":"FeatureCollection","features":[{"type":"Feature","properties":{},'
+        '"geometry":{"type":"Polygon","coordinates":[[[-122.05870628356934,37.37943348292772],'
+        '[-122.05724716186525,37.374727268782294],[-122.04634666442871,37.37493189292912],'
+        '[-122.04608917236328,37.38175237839049],[-122.05870628356934,37.37943348292772]]]}},'
+        '{"type":"Feature","properties":{},"geometry":{"type":"Polygon","coordinates":'
+        '[[[-122.05055236816405,37.36862239166385],[-122.04038143157959,37.36841775030572],'
+        '[-122.04141139984132,37.37312436031927],[-122.05055236816405,37.36862239166385]]]}}]}'
+    )
+    single = (
+        '{"type":"FeatureCollection","features":[{"type":"Feature","properties":{},'
+        '"geometry":{"type":"Polygon","coordinates":[[[-122.05870628356934,37.37943348292772],'
+        '[-122.05724716186525,37.374727268782294],[-122.04634666442871,37.37493189292912],'
+        '[-122.04608917236328,37.38175237839049],[-122.05870628356934,37.37943348292772]]]}}]}'
+    )
+    for fence in (multi, single):
+        esc = fence.replace('"', '\\"')
+        assert ev(one, f'geo:inFence(37.378990156513105, -122.05076694488525, "{esc}")') is True
+        assert ev(one, f'geo:inFence(43.46089378008257, -462.49145507812494, "{esc}")') is False
+
+    open_poly = (
+        '{"type":"FeatureCollection","features":[{"type":"Feature","properties":{},'
+        '"geometry":{"type":"Polygon","coordinates":[[[-122.05870628356934,37.37943348292772],'
+        '[-122.05724716186525,37.374727268782294],[-122.04634666442871,37.37493189292912],'
+        '[-122.04608917236328,37.38175237839049]]]}}]}'
+    )
+    esc = open_poly.replace('"', '\\"')
+    import pytest as _pt
+
+    from wrangler_spark.errors import WranglerError
+
+    with _pt.raises(Exception):
+        ev(one, f'geo:inFence(43.46089378008257, -462.49145507812494, "{esc}")')

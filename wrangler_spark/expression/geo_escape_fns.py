@@ -21,15 +21,29 @@ from wrangler_spark.errors import ExpressionError
 from wrangler_spark.expression.translator import TC
 
 
-def _ring_from_geojson(doc: str) -> list[tuple[float, float]]:
+def _rings_from_geojson(doc: str) -> list[list[tuple[float, float]]]:
+    """All polygon outer rings in the fence document (a FeatureCollection
+    may carry several fences — the point is in-fence if inside ANY,
+    GeoFenceTest.java:28-41). Unclosed rings are rejected like the
+    reference's IllegalArgumentException (GeoFenceTest.java:55-66)."""
     g = json.loads(doc)
     if g.get("type") == "FeatureCollection":
-        g = g["features"][0]["geometry"]
+        geoms = [f["geometry"] for f in g["features"]]
     elif g.get("type") == "Feature":
-        g = g["geometry"]
-    if g.get("type") != "Polygon":
-        raise ExpressionError("geo:inFence supports Polygon GeoJSON fences")
-    return [(float(x), float(y)) for x, y in g["coordinates"][0]]
+        geoms = [g["geometry"]]
+    else:
+        geoms = [g]
+    rings = []
+    for geom in geoms:
+        if geom.get("type") != "Polygon":
+            raise ExpressionError("geo:inFence supports Polygon GeoJSON fences")
+        ring = [(float(x), float(y)) for x, y in geom["coordinates"][0]]
+        if len(ring) < 4 or ring[0] != ring[-1]:
+            raise ExpressionError(
+                "geo:inFence: polygon ring is not closed (first point must equal last)"
+            )
+        rings.append(ring)
+    return rings
 
 
 def _in_fence(lat: Column, lon: Column, ring: list[tuple[float, float]]) -> Column:
@@ -52,8 +66,12 @@ def geo_fns():
     def in_fence(tr, a):
         if a[2].lit is None:
             raise ExpressionError("geo:inFence needs a literal GeoJSON fence string")
-        ring = _ring_from_geojson(str(a[2].lit))
-        return TC(_in_fence(a[0].col.cast("double"), a[1].col.cast("double"), ring), "bool")
+        rings = _rings_from_geojson(str(a[2].lit))
+        lat, lon = a[0].col.cast("double"), a[1].col.cast("double")
+        inside = F.lit(False)
+        for ring in rings:
+            inside = inside | _in_fence(lat, lon, ring)
+        return TC(inside, "bool")
 
     return {"infence": in_fence}
 
