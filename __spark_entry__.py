@@ -20,12 +20,24 @@ from wrangler_spark import Pipeline
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default; read nanos as long and convert to a micros timestamp
+        # events.ts physical type has varied across testdata generations:
+        # TIMESTAMP(NANOS) (Spark rejects unless nanosAsLong reads it as
+        # int64) vs plain TIMESTAMP micros (reads as timestamp/timestamp_ntz
+        # directly). Branch on the dtype actually read — convert only the
+        # long-nanos case; never rewrite a column that is already a timestamp.
+        from pyspark.sql.types import LongType, TimestampNTZType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer division — double division would round the microseconds
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer division — double division would round the microseconds
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # session tz is UTC, so NTZ -> TIMESTAMP is a pure relabel of the
+            # same micros value; needed because unix_millis/unix_micros (and
+            # the epoch-based directives) require the LTZ type
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -64,12 +64,21 @@ def main() -> None:
         F.from_csv(F.lit("a,1"), "c0 string, c1 int").alias("s"), *warm.columns
     ).count()
 
+    errors: dict[str, str] = {}
+
     def run(names: list[str]) -> tuple[dict[str, float], dict[str, int]]:
+        # per-query fault isolation: one failing query must not abort the
+        # benchmark — record its error, keep timing the healthy ones, and
+        # always emit the final JSON line
         per: dict[str, float] = {}
         rows: dict[str, int] = {}
         for name in names:
             t0 = time.perf_counter()
-            n = qs[name](spark, SF_DIR).count()
+            try:
+                n = qs[name](spark, SF_DIR).count()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                continue
             per[name] = round(time.perf_counter() - t0, 3)
             rows[name] = n
         return per, rows
@@ -113,6 +122,7 @@ def main() -> None:
                 "rows_per_sec": round(total_rows / total) if total > 0 else None,
                 "cleanse_recipe_rows_per_sec": cleanse_rps,
                 "baseline_ref_rows_per_sec": 63000,
+                "errors": errors or None,
             }
         )
     )
