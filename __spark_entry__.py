@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 from wrangler_spark import Pipeline
 
 
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts physical type has varied across testdata generations:
@@ -30,8 +33,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, LongType):
-            # integer division — double division would round the microseconds
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # A LongType ts is *usually* TIMESTAMP(NANOS) surfaced via
+            # nanosAsLong — but a plain INT64 of millis/micros would also
+            # land here, so pick the divisor from the magnitude of one
+            # sampled value instead of assuming nanos (epoch-2020 is ~1.6e18
+            # ns, ~1.6e15 us, ~1.6e12 ms; the bands below are centuries
+            # wide). Cached per sf_dir so the 1-row sample job runs once.
+            unit = _TS_UNIT_CACHE.get(sf_dir)
+            if unit is None:
+                row = df.select("ts").filter(F.col("ts").isNotNull()).first()
+                v = abs(row[0]) if row is not None else 10**18
+                unit = "ns" if v >= 10**16 else ("us" if v >= 10**13 else "ms")
+                _TS_UNIT_CACHE[sf_dir] = unit
+            if unit == "ns":
+                # integer division — double division would round the micros
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif unit == "us":
+                df = df.withColumn("ts", F.timestamp_micros(F.col("ts")))
+            else:
+                df = df.withColumn("ts", F.timestamp_millis(F.col("ts")))
         elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
             # session tz is UTC, so NTZ -> TIMESTAMP is a pure relabel of the
             # same micros value; needed because unix_millis/unix_micros (and

@@ -66,10 +66,11 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
-    def run(names: list[str]) -> tuple[dict[str, float], dict[str, int]]:
+    def run(names: list[str], label: str) -> tuple[dict[str, float], dict[str, int]]:
         # per-query fault isolation: one failing query must not abort the
-        # benchmark — record its error, keep timing the healthy ones, and
-        # always emit the final JSON line
+        # benchmark — record its error (keyed by pass, so a cold-only or
+        # warm-only failure is unambiguous), keep timing the healthy ones,
+        # and always emit the final JSON line
         per: dict[str, float] = {}
         rows: dict[str, int] = {}
         for name in names:
@@ -77,21 +78,21 @@ def main() -> None:
             try:
                 n = qs[name](spark, SF_DIR).count()
             except Exception as exc:  # noqa: BLE001
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                errors[f"{label}:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
                 continue
             per[name] = round(time.perf_counter() - t0, 3)
             rows[name] = n
         return per, rows
 
     t_all = time.perf_counter()
-    per_query, rows_out = run(BENCH_QUERIES)
+    per_query, rows_out = run(BENCH_QUERIES, "cold")
     total = round(time.perf_counter() - t_all, 3)
     total_rows = sum(rows_out.values())
     # steady-state pass: same queries re-run after codegen/JIT/file-index
     # warmup — the per-query number that amortizes at 100 TB
-    per_warm, _ = run(BENCH_QUERIES)
+    per_warm, _ = run(BENCH_QUERIES, "warm")
     t_extra = time.perf_counter()
-    per_extra, rows_extra = run(EXTRA_QUERIES)
+    per_extra, rows_extra = run(EXTRA_QUERIES, "extra")
     extra_total = round(time.perf_counter() - t_extra, 3)
     # baseline comparison: the reference's published number for this recipe
     # shape is ~63K records/s single-core (BASELINE.md); ours is wall-clock
@@ -119,7 +120,11 @@ def main() -> None:
                 "rows_out_extra": sum(rows_extra.values()),
                 "sf": sf,
                 "rows_out_total": total_rows,
-                "rows_per_sec": round(total_rows / total) if total > 0 else None,
+                # throughput over time actually spent in successful queries —
+                # a failed query's partial wall time must not deflate it
+                "rows_per_sec": (
+                    round(total_rows / sum(per_query.values())) if per_query else None
+                ),
                 "cleanse_recipe_rows_per_sec": cleanse_rps,
                 "baseline_ref_rows_per_sec": 63000,
                 "errors": errors or None,

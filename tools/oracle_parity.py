@@ -4,18 +4,20 @@ Runs every ``queries()`` entry at sf0.01 on Spark AND its ``oracle_sql()``
 in DuckDB, then compares row count, column set, and order-insensitive
 values (columns sorted by name, rows sorted, cells canonicalized).
 
-Usage: PYTHONPATH=/root/repo python tools/oracle_parity.py [name ...]
+Usage: python tools/oracle_parity.py [name ...]
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
 import pandas as pd
 
-import os
+# make `import __spark_entry__` work from any cwd (same trick as bench.py)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
