@@ -2,14 +2,17 @@
 scale — filters pushed to the parquet scan, lookups broadcast, no Python
 UDFs outside the explicitly-UDF directives, codegen spans present.
 
-Usage: PYTHONPATH=/root/repo python tools/explain_check.py
+Usage: python tools/explain_check.py
 """
 
 from __future__ import annotations
 
 import io
+import os
 import sys
 from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -57,9 +60,12 @@ def main() -> int:
     p = plan_of(qs["table_lookup"](spark, SF_DIR))
     problems += check("table_lookup", p, must=["BroadcastHashJoin"], must_not=["SortMergeJoin"])
 
-    # 4. ANN top-k broadcasts the query side
-    p = plan_of(qs["ann_cosine_topk"](spark, SF_DIR))
-    problems += check("ann_cosine_topk", p, must=["Broadcast"])
+    # 4. ANN top-k broadcasts the query side AND ranks via two-phase
+    # partial aggregation — a Window here would mean all N×Q scored rows
+    # funnel through Q reducers (the 100×-corpus scale-killer)
+    for ann in ("ann_cosine_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk"):
+        p = plan_of(qs[ann](spark, SF_DIR))
+        problems += check(ann, p, must=["Broadcast"], must_not=["Window"])
 
     # 5. the cleanse recipe stays fully native (no Python in the hot path)
     # AND parses each row exactly once: without the parsers._pin_expensive

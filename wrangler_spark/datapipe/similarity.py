@@ -9,7 +9,7 @@ partitioned by centroid_id)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -24,6 +24,43 @@ def _cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _topk_reduce(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase top-k over (query_id, vec_id, cosine) WITHOUT a global
+    per-query rank window.
+
+    A ``Window.partitionBy(query_id) + row_number`` plan funnels all N×Q
+    scored rows through Q reducer partitions, each sorting the full corpus
+    per query — the scale-killer at 100× corpus. Instead:
+
+    phase 1: group by (input partition, query) — the partial aggregation
+      runs map-side inside the scan stage, so each scan task emits one row
+      per query holding only its partition-local candidates, sorted and
+      sliced to k (sort cost n/P·log(n/P) per task, fully parallel);
+    phase 2: group by query over the P×k survivors — ≤ P·k rows per query
+      ever reach a single reducer, independent of corpus size.
+
+    Ordering contract (identical to the old window): cosine desc, ties by
+    vec_id asc, via ascending struct sort on (-cosine, vec_id). rank is the
+    1-based position in the final sorted slice. NaN cosines (zero-norm
+    vectors) sort LAST here — the old rank-window put NaN first, which was
+    never useful; fixtures contain no zero vectors."""
+    item = F.struct((-F.col("cosine")).alias("nc"), F.col("vec_id").alias("vec_id"))
+    part = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid", "query_id")
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("tk"))
+    )
+    top = part.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("tk"))), 1, k).alias("tk")
+    )
+    return top.select("query_id", F.posexplode("tk").alias("pos", "it")).select(
+        "query_id",
+        F.col("it.vec_id").alias("vec_id"),
+        (-F.col("it.nc")).alias("cosine"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -32,7 +69,10 @@ def cosine_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector (broadcast the queries).
-    Returns (query_id, vec_id, cosine, rank); self-matches excluded."""
+    Returns (query_id, vec_id, cosine, rank); self-matches excluded.
+    Scoring is a narrow map over the corpus (queries broadcast); the rank
+    is a two-phase partial top-k (_topk_reduce) — no stage ever holds more
+    than max(partition, P·k) rows per query."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -41,12 +81,7 @@ def cosine_topk(
     scored = joined.select(
         "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _topk_reduce(scored, k)
 
 
 def ivf_assign(
@@ -62,27 +97,24 @@ def ivf_assign(
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("zv")
     )
-    scored = c.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "centroid_id", F.round(_cosine(F.col("cv"), F.col("zv")), 6).alias("cos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
-    )
+    return _assign_prepared(c, cent)
 
 
 def _assign_prepared(c: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment over pre-shaped frames (vec_id, cv) x
     (centroid_id, zv): max rounded cosine, ties to the lower centroid id.
-    Centroids broadcast — the corpus never shuffles for assignment."""
+
+    Centroids broadcast, so scoring is a narrow map; the per-vector argmax
+    is min-of-struct((-cos, centroid_id)) — an ordinary hash aggregate
+    whose map-side partial collapses the C candidate rows of each vector
+    inside the scan stage, so only ONE row per vector crosses the shuffle
+    (a rank window here would shuffle and sort all N×C rows)."""
     scored = c.crossJoin(F.broadcast(cent)).select(
         "vec_id", "centroid_id", F.round(_cosine(F.col("cv"), F.col("zv")), 6).alias("cos")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
-        "vec_id", "centroid_id"
+    best = F.min(F.struct((-F.col("cos")).alias("nc"), F.col("centroid_id").alias("centroid_id")))
+    return scored.groupBy("vec_id").agg(best.alias("b")).select(
+        "vec_id", F.col("b.centroid_id").alias("centroid_id")
     )
 
 
@@ -159,12 +191,7 @@ def ivf_topk(
         scored = joined.select(
             "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
         )
-        w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "vec_id", "cosine", "rank")
-        )
+        return _topk_reduce(scored, k)
     centroids = corpus.orderBy(id_col).limit(n_centroids)
     assign = ivf_assign(corpus, centroids, id_col, vec_col)
     corpus_b = corpus.join(assign, on=id_col)
@@ -181,12 +208,7 @@ def ivf_topk(
     scored = joined.select(
         "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _topk_reduce(scored, k)
 
 
 def semdedup(
