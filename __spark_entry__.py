@@ -62,6 +62,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _lineitem_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: deliberately NOT repartitioned before the parse. Measured at
+    # sf0.1 (local[32]): the fused scan→concat→from_csv single pass beats
+    # both round-robin (+12%: sortBeforeRepartition + shuffle) and hash
+    # repartition (−10%, within run noise) because local-mode from_csv is
+    # allocation/GC-bound, not CPU-bound — extra threads don't help. On a
+    # real cluster the multi-file scan parallelizes the parse for free.
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         F.concat_ws(",", *[F.col(c).cast("string") for c in li.columns]).alias("body")

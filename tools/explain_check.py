@@ -70,10 +70,14 @@ def main() -> int:
     # 5. the cleanse recipe stays fully native (no Python in the hot path)
     # AND parses each row exactly once: without the parsers._pin_expensive
     # guard, predicate pushdown substitutes the whole from_csv into the
-    # filter condition and every row is parsed twice
+    # filter condition and every row is parsed twice. The repartition that
+    # spreads the parse makes AQE hide codegen annotations in the
+    # *unexecuted* formatted plan, so run it and read the final plan.
     df = qs["cleanse_recipe"](spark, SF_DIR)
-    p = plan_of(df)
-    problems += check("cleanse_recipe", p, must=["codegen id"], must_not=["BatchEvalPython", "ArrowEvalPython"])
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # codegen spans render as "*(n)" in the executed simple plan string
+    problems += check("cleanse_recipe", p, must=["*("], must_not=["BatchEvalPython", "ArrowEvalPython"])
     n_parses = df._jdf.queryExecution().optimizedPlan().toString().count("from_csv")
     if n_parses != 1:
         problems.append(f"cleanse_recipe: from_csv appears {n_parses}x in the optimized plan (want 1 — pushdown duplication)")

@@ -74,13 +74,24 @@ def shingles_of_words(words: Column, k: int = SHINGLE_WORDS) -> Column:
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread an under-partitioned source across the cluster before heavy
-    per-row compute (hashing/signatures). Small-SF parquet is often a
-    single row group, so the scan stage is one task and everything fused
-    into it runs single-threaded; a production 100 TB input has hundreds
-    of splits and this is a no-op (the gate never fires), so the extra
-    shuffle is only ever paid on inputs small enough for it to be cheap."""
+    per-row compute (hashing/signatures/parsing). Small-SF parquet is often
+    a single file with one row group, so the scan stage is one task and
+    everything fused into it runs single-threaded; a production 100 TB
+    input has hundreds of files and this is a no-op (the gate never fires),
+    so the extra shuffle is only ever paid on inputs small enough for it to
+    be cheap.
+
+    The gate reads the scan's file list (already computed by the
+    datasource's file index) — NOT ``df.rdd.getNumPartitions()``, which
+    forces a full physical-plan → RDD conversion on the driver per call
+    (~100s of ms of py4j/planning). Non-file sources (memory, JDBC,
+    streams) report no files and pass through untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file source: leave partitioning alone
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -142,17 +153,28 @@ def minhash_lsh_pairs(
     calls in one session don't accumulate CacheManager entries. At 100 TB
     persist/write the signature table explicitly and reuse it across runs.
 
-    Hot buckets: a (band, key) bucket of b near-identical docs would make
-    the self-join emit b² candidate rows — the classic quadratic blowup on
-    duplicate-heavy corpora (run exact_dedup upstream first). Buckets
-    larger than ``max_bucket_size`` are therefore STAR-LINKED: each member
-    pairs with the bucket's min-id representative only (b-1 candidates
-    instead of the full clique). Connected components are preserved only
-    for members that pass the Jaccard threshold against the representative;
-    two hot-bucket members similar to each other but not to the
-    representative are not linked — acceptable because hot buckets are by
-    construction near-identical signature collisions, and exact_dedup
-    upstream removes the true-identical mass that creates them."""
+    Hot buckets: a (band, key) bucket of b near-identical docs would emit
+    b² candidate pairs — the classic quadratic blowup on duplicate-heavy
+    corpora (run exact_dedup upstream first). Buckets larger than
+    ``max_bucket_size`` are therefore STAR-LINKED: each member pairs with
+    the bucket's min-id representative only (b-1 candidates instead of the
+    full clique). Connected components are preserved only for members that
+    pass the Jaccard threshold against the representative; two hot-bucket
+    members similar to each other but not to the representative are not
+    linked — acceptable because hot buckets are by construction
+    near-identical signature collisions, and exact_dedup upstream removes
+    the true-identical mass that creates them.
+
+    Candidate generation is ONE hash aggregation: bucket members are
+    collected per (band, key) and pairs are expanded natively from the
+    sorted id array (bounded at max_bucket_size² for small buckets, b-1
+    for star-linked ones). This replaces the earlier bucket-stats groupBy
+    + stats join + band self-join — three shuffles and an extra
+    materialization — with a single shuffle of the (id, band, key) rows.
+    Per-group state is the bucket's id list; a star-linked bucket is
+    collected whole (longs), so a single band-bucket approaching ~10⁸
+    members needs exact_dedup upstream first — the same precondition the
+    star-linking already assumes."""
     # localCheckpoint: evaluated once, read three times (signature path +
     # both sides of the candidate-verification join). EAGER: with a lazy
     # checkpoint the three consumer stages race to materialize the RDD
@@ -173,31 +195,23 @@ def minhash_lsh_pairs(
     bands = (
         sig.selectExpr("id", f"explode({band_array}) AS bk")
         .selectExpr("id", "bk.band AS band", "bk.key AS key")
-        .localCheckpoint(eager=True)
     )
-
-    # bucket stats ride along on the same (band, key) partitioning the
-    # self-join uses, so AQE co-locates the two shuffles
-    stats = bands.groupBy("band", "key").agg(
-        F.count("*").alias("__n"), F.min("id").alias("__rep")
+    # all-pairs within small buckets, star-to-representative in hot ones;
+    # ids sorted ascending so id_a < id_b by construction
+    pair_expr = (
+        f"CASE WHEN size(ids) <= {int(max_bucket_size)} THEN "
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b)))) "
+        "ELSE transform(slice(ids, 2, size(ids)), y -> struct(ids[0] AS id_a, y AS id_b)) "
+        "END AS prs"
     )
-    sized = bands.join(stats, ["band", "key"])
-    small = sized.filter(F.col("__n") <= max_bucket_size).select("id", "band", "key")
-    cand_small = (
-        small.alias("l")
-        .join(
-            small.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    cand = (
+        bands.groupBy("band", "key")
+        .agg(F.expr("array_sort(collect_list(id))").alias("ids"))
+        .selectExpr(pair_expr)
+        .selectExpr("inline(prs)")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    cand_big = (
-        sized.filter((F.col("__n") > max_bucket_size) & (F.col("id") != F.col("__rep")))
-        .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
-    )
-    cand = cand_small.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
     pairs = (
         cand.join(base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa")), "id_a")
         .join(base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb")), "id_b")
