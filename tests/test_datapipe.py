@@ -172,6 +172,39 @@ def test_kmeans_centroids_separates_blobs(spark):
     assert got == {1, 2, 3, 4, 5}  # neighbors all from the east blob
 
 
+def test_kmeans_high_dim_plan_bounded(spark):
+    """At dim=256 the exploded-mean path must (a) produce exactly the same
+    centroids as the unrolled per-dimension path and (b) keep the plan size
+    independent of dim — the unrolled aggregate grows ~linearly with dim
+    and would blow up codegen at 768+."""
+    import random
+
+    rng = random.Random(7)
+    dim = 256
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    unrolled = similarity.kmeans_centroids(df, k=4, iters=2, dim=dim, explode_means=False)
+    exploded = similarity.kmeans_centroids(df, k=4, iters=2, dim=dim, explode_means=True)
+    a = {r["centroid_id"]: r["zv"] for r in unrolled.collect()}
+    b = {r["centroid_id"]: r["zv"] for r in exploded.collect()}
+    assert a == b  # identical ids AND identical rounded means
+
+    # auto mode picks the exploded path above dim=128; un-truncate plan
+    # strings so the size comparison is real
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    try:
+        auto = similarity.kmeans_centroids(df, k=4, iters=2, dim=dim)
+        plan_auto = auto._jdf.queryExecution().optimizedPlan().toString()
+        plan_unrolled = unrolled._jdf.queryExecution().optimizedPlan().toString()
+        # the exploded plan carries fixed overhead but no per-dimension
+        # expressions; at dim=256 it is already well under half the
+        # unrolled plan, and the gap widens linearly with dim
+        assert len(plan_auto) < len(plan_unrolled) / 2
+    finally:
+        spark.conf.unset("spark.sql.debug.maxToStringFields")
+
+
 def test_pii_redact(spark):
     from wrangler_spark.datapipe import curation
 

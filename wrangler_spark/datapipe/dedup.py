@@ -315,7 +315,14 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs. exact=False buckets by random-hyperplane
     signature first (only same-signature pairs compared — the scale path);
-    exact=True brute-forces all pairs (small inputs / recall baseline)."""
+    exact=True brute-forces all pairs (small inputs / recall baseline).
+
+    Plan-size ceiling: each hyperplane is inlined as a literal array, so
+    the plan holds N_PLANES x EMB_DIM literals (16x64 = 1K doubles with the
+    bundled constants — fine). Regenerating constants for 768-dim
+    embeddings would put ~12K literals in the plan; at that point store
+    the planes as a broadcast table and compute the dot products via a
+    zipped join instead (same shape as kmeans' explode_means switch)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"), v.alias("v"))
     if not exact:

@@ -125,6 +125,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    explode_means: bool | None = None,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's) trained entirely with DataFrame ops —
     no collect of the corpus, no UDFs. Per iteration: one broadcast
@@ -137,20 +138,43 @@ def kmeans_centroids(
     assignment cosine rounded to 6dp with ties to the lower centroid id,
     and recentered means rounded to 6dp (so Spark's parallel sum order and
     another engine's serial sum can't drift apart). Empty clusters drop
-    out, as in classic Lloyd's. Returns (centroid_id, zv array<double>)."""
+    out, as in classic Lloyd's. Returns (centroid_id, zv array<double>).
+
+    Recentering has two equivalent shapes:
+    - dim ≤ 128 (default): one aggregate with `dim` unrolled per-dimension
+      avg expressions — fastest, but the PLAN grows linearly with dim
+      (codegen blow-up territory at 768+);
+    - dim > 128 (or explode_means=True): posexplode to (centroid, pos, x)
+      rows, avg per (centroid, pos), re-assemble the array via a sorted
+      collect_list — constant plan size at any dim; the exploded aggregate
+      still gets map-side partials (k·dim rows per task cross the
+      shuffle). Both paths round identically, so results are identical."""
     c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
     if dim is None:
         dim = len(c.select("cv").first()[0])
+    if explode_means is None:
+        explode_means = dim > 128
     cent = c.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
     )
     for _ in range(iters):
         assign = _assign_prepared(c, cent)
-        cent = (
-            c.join(assign, "vec_id")
-            .groupBy("centroid_id")
-            .agg(F.array(*[F.round(F.avg(F.col("cv")[i]), 6) for i in range(dim)]).alias("zv"))
-        )
+        members = c.join(assign, "vec_id")
+        if explode_means:
+            per_dim = (
+                members.select("centroid_id", F.posexplode("cv").alias("pos", "x"))
+                .groupBy("centroid_id", "pos")
+                .agg(F.round(F.avg("x"), 6).alias("m"))
+            )
+            cent = per_dim.groupBy("centroid_id").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("zv")
+            )
+        else:
+            cent = members.groupBy("centroid_id").agg(
+                F.array(*[F.round(F.avg(F.col("cv")[i]), 6) for i in range(dim)]).alias("zv")
+            )
     return cent
 
 
