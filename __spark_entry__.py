@@ -150,6 +150,37 @@ def _q_catalog_lookup(spark, sf_dir):
     return Pipeline.compile("catalog-lookup segments :c_mktsegment").apply(_t(spark, sf_dir, "customer"))
 
 
+_ICD_CODES = ["4019", "25000", "4280", "42731", "41401", "486", "5990", "2724", "311", "53081"]
+
+
+def _q_catalog_lookup_icd(spark, sf_dir):
+    """Out-of-the-box bundled catalog: no register_lookup() call — the
+    directive resolves ICD-9 from the packaged public-domain subset."""
+    df = _t(spark, sf_dir, "customer").withColumn(
+        "code",
+        F.element_at(
+            F.array(*[F.lit(c) for c in _ICD_CODES]),
+            (F.col("c_custkey") % 10 + 1).cast("int"),
+        ),
+    )
+    return Pipeline.compile("catalog-lookup ICD-9 :code").apply(df)
+
+
+def _icd_oracle_sql() -> str:
+    from wrangler_spark.directives.lookups import load_bundled_catalog
+
+    m = load_bundled_catalog("icd-9")
+    arr = "[" + ", ".join(f"'{c}'" for c in _ICD_CODES) + "]"
+    case = " ".join(
+        "WHEN '" + c + "' THEN '" + m[c].replace("'", "''") + "'" for c in _ICD_CODES
+    )
+    return (
+        f"WITH b AS (SELECT *, ({arr})[CAST(c_custkey % 10 AS INT) + 1] AS code FROM customer) "
+        f"SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, code, "
+        f'CASE code {case} END AS "code_icd-9_description" FROM b'
+    )
+
+
 def _q_send_to_error(spark, sf_dir):
     recipe = "send-to-error exp:{ c_acctbal < 0.0 } 'negative balance'"
     return Pipeline.compile(recipe).apply(_t(spark, sf_dir, "customer"))
@@ -443,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "send_to_error": _q_send_to_error,
         "table_lookup": _q_table_lookup,
         "catalog_lookup": _q_catalog_lookup,
+        "catalog_lookup_icd": _q_catalog_lookup_icd,
         "text_distance_lev": _recipe_q(
             "customer", "text-distance levenshtein :c_name :c_mktsegment :dist"
         ),
@@ -819,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 'FURNITURE' THEN 'furn' WHEN 'MACHINERY' THEN 'mach' WHEN 'HOUSEHOLD' THEN 'home' END "
             "AS c_mktsegment_segments_description FROM customer"
         ),
+        "catalog_lookup_icd": _icd_oracle_sql(),
         "text_distance_lev": (
             "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, "
             "CAST(levenshtein(c_name, c_mktsegment) AS REAL) AS dist FROM customer"

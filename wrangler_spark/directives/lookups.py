@@ -5,6 +5,8 @@ small dimension, so at 100 TB the fact side never shuffles.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -25,12 +27,43 @@ def register_lookup(name: str, table) -> None:
     _CATALOGS[name.lower()] = table
 
 
+# Catalogs bundled as package resources, like the reference's ICD tables
+# (ref: lookup/CatalogLookup.java:93 + resources icd-9_cm_codes.txt): the
+# ICD code lists are US-government works (CDC/NCHS, CMS) in the public
+# domain, so a compact subset ships in wrangler_spark/resources and
+# `catalog-lookup ICD-9 :code` works with zero setup. register_lookup()
+# with the same name overrides the bundled subset with a full table.
+_BUNDLED_FILES = {
+    "icd-9": "icd9_cm_subset.txt",
+    "icd-10-2016": "icd10_subset.txt",
+    "icd-10-2017": "icd10_subset.txt",
+}
+
+
+def load_bundled_catalog(name: str) -> dict[str, str] | None:
+    """{code: description} for a bundled catalog name, else None."""
+    fname = _BUNDLED_FILES.get(name.lower())
+    if fname is None:
+        return None
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "resources", fname)
+    out: dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            code, _, desc = line.partition("|")
+            out[code] = desc
+    return out
+
+
 @directive
 class CatalogLookup(Directive):
     """catalog-lookup <catalog> :col — adds :col_<catalog>_description
     (ref: lookup/CatalogLookup.java:93; ICD catalogs ship as resources).
-    The catalog must be registered via register_lookup(); ICD-9/10 data is
-    not bundled here (licensing), any {code: description} mapping works."""
+    ICD-9 / ICD-10-2016 / ICD-10-2017 resolve out of the box from bundled
+    public-domain subsets; any other catalog (or a full ICD table) comes
+    from register_lookup() with a {code: description} mapping."""
 
     name = "catalog-lookup"
     usage = [Arg("catalog", TokenType.IDENTIFIER), Arg("column", TokenType.COLUMN)]
@@ -39,6 +72,8 @@ class CatalogLookup(Directive):
         catalog = str(self.args["catalog"]).lower()
         col = ctx.resolve(df, self.args["column"])
         table = _CATALOGS.get(catalog)
+        if table is None:
+            table = load_bundled_catalog(catalog)
         if table is None:
             raise DirectiveApplyError(
                 f"catalog '{catalog}' not registered; call register_lookup('{catalog}', mapping)"
