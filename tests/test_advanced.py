@@ -75,7 +75,50 @@ def test_parse_as_hl7(spark):
     doc = json.loads(out["body_hl7"])
     assert doc["PID"][0]["1"] == "0001"
     assert doc["PID"][0]["5"] == ["Smith", "John"]
-    assert doc["MSH"][0]["8"] == ["ADT", "A01"]
+    # standard/HAPI numbering: MSH-1 = field sep, MSH-2 = encoding chars
+    assert doc["MSH"][0]["1"] == "|"
+    assert doc["MSH"][0]["2"] == "^~\\&"
+    assert doc["MSH"][0]["9"] == ["ADT", "A01"]
+
+
+def test_parse_as_hl7_escapes_and_repeats(spark):
+    """Escape sequences + repeating fields + subcomponents, on field shapes
+    from the reference's HL7ParserTest fixtures (adt08 PID-3 repeating
+    patient ids with & subcomponents; ADT segments repeating)."""
+    import json
+
+    pid3 = (
+        "100003^^^&2.16.840.1.113883.3.1009&ISO"
+        "~011806^^^SLV Med Center&2.16.840.1.113883.3.930&ISO"
+        "~CL0001115542^^^CO Laboratory Services CL&&ISO"
+    )
+    msg = (
+        "MSH|^~\\&|ADT|CHMC|ProAccess||20230822181701||ADT^A08|MT14275|P|2.3\r"
+        f"PID|1|CEUL1984055|{pid3}\r"
+        "NK1|1|POLASKI^BOBBY|CHD\r"
+        "NK1|2|TYRIE^BLAIR|CHD\r"
+        "NK1|3|THIRD^KEPT|CHD\r"
+        "OBX|1|TX|A\\F\\B\\S\\C\\T\\D\\R\\E\\E\\F|X\\X41\\Y|\\.br\\Z"
+    )
+    df = spark.createDataFrame([(msg,)], ["body"])
+    out = Pipeline.compile("parse-as-hl7 :body").apply(df).collect()[0]
+    doc = json.loads(out["body_hl7"])
+
+    # repeating field -> array of repetitions; & -> subcomponent arrays
+    reps = doc["PID"][0]["3"]
+    assert len(reps) == 3
+    assert reps[0] == ["100003", "", "", ["", "2.16.840.1.113883.3.1009", "ISO"]]
+    assert reps[1][3] == ["SLV Med Center", "2.16.840.1.113883.3.930", "ISO"]
+    assert reps[2][3] == ["CO Laboratory Services CL", "", "ISO"]
+
+    # all three NK1 repeats kept (the reference's visitor drops the third)
+    assert [r["1"] for r in doc["NK1"]] == ["1", "2", "3"]
+
+    # escape decoding: \F\ \S\ \T\ \R\ \E\ and \Xhh\ hex; \.br\ kept
+    # verbatim ("A\F\B\S\C\T\D\R\E\E\F" -> seps, then E, then \E\ -> '\', F)
+    assert doc["OBX"][0]["3"] == "A|B^C&D~E\\F"
+    assert doc["OBX"][0]["4"] == "XAY"
+    assert doc["OBX"][0]["5"] == "\\.br\\Z"
 
 
 def test_validate_standard(spark):

@@ -322,13 +322,72 @@ class ParseAsProtobuf(Directive):
         return df.select(col).mapInPandas(run, out_schema)
 
 
+_HL7_ESCAPES = {"F": "|", "S": "^", "T": "&", "R": "~", "E": "\\"}
+
+
+def _hl7_unescape(s: str) -> str:
+    r"""Decode HL7 v2 escape sequences: \F\ field sep, \S\ component sep,
+    \T\ subcomponent sep, \R\ repetition sep, \E\ escape char, \Xhh..\
+    hex-encoded bytes. Unknown sequences (e.g. the \.br\ formatting
+    escapes) are kept verbatim, as HAPI does for unrecognized escapes."""
+    if "\\" not in s:
+        return s
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch != "\\":
+            out.append(ch)
+            i += 1
+            continue
+        j = s.find("\\", i + 1)
+        if j == -1:  # lone backslash at end — keep it
+            out.append(s[i:])
+            break
+        seq = s[i + 1 : j]
+        if seq in _HL7_ESCAPES:
+            out.append(_HL7_ESCAPES[seq])
+        elif len(seq) >= 3 and seq[0] in "Xx" and len(seq) % 2 == 1:
+            try:
+                out.append(bytes.fromhex(seq[1:]).decode("latin-1"))
+            except ValueError:
+                out.append("\\" + seq + "\\")
+        else:
+            out.append("\\" + seq + "\\")
+        i = j + 1
+    return "".join(out)
+
+
+def _hl7_field(fv: str):
+    """One field -> repetitions (~) of components (^) of subcomponents (&),
+    each level collapsing to a scalar when it has a single element; atoms
+    are escape-decoded AFTER all delimiter splits (escaped delimiters are
+    \\F\\-style sequences, so they never collide with live separators)."""
+    reps = []
+    for rep in fv.split("~"):
+        comps = []
+        for comp in rep.split("^"):
+            subs = [_hl7_unescape(x) for x in comp.split("&")]
+            comps.append(subs if len(subs) > 1 else subs[0])
+        reps.append(comps if len(comps) > 1 else comps[0])
+    return reps if len(reps) > 1 else reps[0]
+
+
 @directive
 class ParseAsHl7(Directive):
     """parse-as-hl7 :col [depth] — HL7 v2 pipe-delimited parse; adds
     col_hl7 as a JSON document {segment: [ {field#: value} ]} which
     composes with parse-as-json / json-path
     (ref: parser/HL7Parser.java:111 — HAPI-based; the wire format itself
-    is the public HL7 v2 encoding: segments CR, fields |, components ^)."""
+    is the public HL7 v2 encoding: segments CR, fields |, components ^,
+    subcomponents &, repetitions ~, escapes \\F\\ \\S\\ \\T\\ \\R\\ \\E\\
+    \\Xhh\\). Field numbering follows the standard/HAPI convention: MSH-1
+    is the field separator itself and MSH-2 the encoding characters (kept
+    raw, never split or unescaped), so ADT^A01 lands at MSH-9. Repeating
+    segments always collect into the array form (the reference's visitor
+    silently drops third-and-later repeats of a segment —
+    HL7Parser.java:196-207 only wraps the first pair into an array; we
+    keep them all)."""
 
     name = "parse-as-hl7"
     usage = [Arg("column", TokenType.COLUMN), Arg("depth", TokenType.NUMERIC, optional=True, default=2)]
@@ -349,13 +408,16 @@ class ParseAsHl7(Directive):
                     fields = seg.split("|")
                     name = fields[0]
                     rec: dict[str, object] = {}
-                    for i, fv in enumerate(fields[1:], start=1):
+                    if name == "MSH" and len(fields) > 1:
+                        rec["1"] = "|"
+                        rec["2"] = fields[1]  # encoding chars: raw by definition
+                        body = list(enumerate(fields[2:], start=3))
+                    else:
+                        body = list(enumerate(fields[1:], start=1))
+                    for i, fv in body:
                         if fv == "":
                             continue
-                        if "^" in fv:
-                            rec[str(i)] = fv.split("^")
-                        else:
-                            rec[str(i)] = fv
+                        rec[str(i)] = _hl7_field(fv)
                     segments.setdefault(name, []).append(rec)
                 return json.dumps(segments)
 
