@@ -97,6 +97,37 @@ def test_cosine_topk(spark):
     assert out[0]["vec_id"] == 4 and out[0]["rank"] == 1
 
 
+def test_topk_reduce_partition_invariant(spark):
+    """The two-phase top-k must be independent of the input partitioning
+    (phase 1 is per-partition) and must keep the old window ordering
+    contract: cosine desc, ties broken by vec_id asc; rank is dense
+    1..k; fewer than k candidates -> all returned."""
+    rows = []
+    for q in ("q1", "q2"):
+        # 30 candidates per query incl. deliberate cosine ties
+        rows += [(q, f"v{i:02d}", round(1.0 - (i % 10) * 0.1, 6)) for i in range(30)]
+    rows.append(("q3", "only", 0.5))  # fewer than k
+    scored = spark.createDataFrame(rows, ["query_id", "vec_id", "cosine"])
+
+    expected = None
+    for nparts in (1, 3, 17):
+        got = sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+            for r in similarity._topk_reduce(scored.repartition(nparts), 5).collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected, f"result changed at {nparts} partitions"
+
+    by_q = {}
+    for q, rank, vid, cos in expected:
+        by_q.setdefault(q, []).append((rank, vid, cos))
+    # ties at cosine=1.0 resolve by vec_id asc: i%10==0 -> v00, v10, v20
+    assert [x[1] for x in by_q["q1"][:3]] == ["v00", "v10", "v20"]
+    assert [x[0] for x in by_q["q1"]] == [1, 2, 3, 4, 5]
+    assert by_q["q3"] == [(1, "only", 0.5)]
+
+
 def test_text_ops(docs):
     out = text.token_count(text.quality_score(text.langid(docs, "text"), "text"), "text")
     r = {x["doc_id"]: x for x in out.collect()}
