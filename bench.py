@@ -122,8 +122,11 @@ def main() -> None:
                 "rows_out_total": total_rows,
                 # throughput over time actually spent in successful queries —
                 # a failed query's partial wall time must not deflate it
+                # (sum can round to 0.0 on trivially small inputs: guard it)
                 "rows_per_sec": (
-                    round(total_rows / sum(per_query.values())) if per_query else None
+                    round(total_rows / sum(per_query.values()))
+                    if sum(per_query.values()) > 0
+                    else None
                 ),
                 "cleanse_recipe_rows_per_sec": cleanse_rps,
                 "baseline_ref_rows_per_sec": 63000,

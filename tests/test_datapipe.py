@@ -128,6 +128,39 @@ def test_topk_reduce_partition_invariant(spark):
     assert by_q["q3"] == [(1, "only", 0.5)]
 
 
+def test_topk_null_cosine_never_evicts_real_neighbor(spark):
+    """A broken vector (null element -> null cosine) must rank LAST, as
+    under the old window's desc NULLS LAST — not first, as a naive
+    struct-min would order it."""
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [None, 1.0]), (3, [0.8, 0.2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 3]
+
+
+def test_assignment_ignores_null_cosine_centroid(spark):
+    """A centroid that yields a null cosine (broken/mismatched vector)
+    must lose to every real score in nearest-centroid assignment."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(10, [None, 1.0]), (11, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    got = {r["vec_id"]: r["centroid_id"] for r in similarity.ivf_assign(corpus, cents).collect()}
+    assert got == {1: 11, 2: 11}
+
+
+def test_minhash_duplicate_ids_no_self_pairs(spark):
+    """A duplicated input id lands twice in a bucket; the pair expansion
+    must not emit a bogus (a, a) self-pair (old self-join was l.id < r.id)."""
+    txt = "the quick brown fox jumps over the lazy dog again and again for good measure"
+    df = spark.createDataFrame([(1, txt), (1, txt), (2, txt)], ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text", 0.5).collect()
+    assert pairs and all(p["id_a"] != p["id_b"] for p in pairs)
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
 def test_text_ops(docs):
     out = text.token_count(text.quality_score(text.langid(docs, "text"), "text"), "text")
     r = {x["doc_id"]: x for x in out.collect()}

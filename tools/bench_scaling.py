@@ -33,8 +33,16 @@ QUERIES = [
 def build_sf1(spark) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(SF1_DIR, "_DONE")):
+    # versioned sentinel: v2 added the embeddings replication — a cache
+    # built by the v1 script (embeddings symlinked to sf0.1) must not be
+    # reused, and writing through a leftover symlink would clobber the
+    # shared /root/testdata source, so rebuild from scratch
+    if os.path.exists(os.path.join(SF1_DIR, "_DONE_v2")):
         return
+    if os.path.exists(SF1_DIR):
+        import shutil
+
+        shutil.rmtree(SF1_DIR)
     os.makedirs(SF1_DIR, exist_ok=True)
     li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
@@ -67,7 +75,7 @@ def build_sf1(spark) -> None:
         dst = os.path.join(SF1_DIR, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
-    open(os.path.join(SF1_DIR, "_DONE"), "w").close()
+    open(os.path.join(SF1_DIR, "_DONE_v2"), "w").close()
 
 
 def main() -> None:

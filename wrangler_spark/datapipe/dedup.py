@@ -210,6 +210,10 @@ def minhash_lsh_pairs(
         .agg(F.expr("array_sort(collect_list(id))").alias("ids"))
         .selectExpr(pair_expr)
         .selectExpr("inline(prs)")
+        # a duplicated input id lands twice in a bucket's sorted array and
+        # would emit a bogus (a, a) self-pair; the old self-join's strict
+        # l.id < r.id excluded those — keep that invariant
+        .filter(F.col("id_a") != F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = (

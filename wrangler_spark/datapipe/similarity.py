@@ -39,12 +39,26 @@ def _topk_reduce(scored: DataFrame, k: int) -> DataFrame:
     phase 2: group by query over the P×k survivors — ≤ P·k rows per query
       ever reach a single reducer, independent of corpus size.
 
-    Ordering contract (identical to the old window): cosine desc, ties by
-    vec_id asc, via ascending struct sort on (-cosine, vec_id). rank is the
-    1-based position in the final sorted slice. NaN cosines (zero-norm
-    vectors) sort LAST here — the old rank-window put NaN first, which was
-    never useful; fixtures contain no zero vectors."""
-    item = F.struct((-F.col("cosine")).alias("nc"), F.col("vec_id").alias("vec_id"))
+    Ordering contract (identical to the old window): cosine desc with
+    NULLS LAST (a null cosine — null embedding element, null array, or
+    length-mismatched vectors under zip_with — must never evict a real
+    neighbor), ties by vec_id asc; expressed as an ascending struct sort
+    on (is_null, -cosine, vec_id). rank is the 1-based position in the
+    final sorted slice. NaN cosines (zero-norm vectors) sort last among
+    the non-null here — the old rank-window put NaN first, which was
+    never useful; fixtures contain no zero vectors.
+
+    Memory bound: phase 1's aggregation state is one list per (partition,
+    query) holding that partition's scored rows — a task buffers up to
+    partition_rows x Q structs before the slice (the old window sort could
+    spill; hash-agg state cannot). With very large query batches, batch Q
+    (e.g. 1-10K queries per pass) — which a 100 TB serving path wants
+    anyway to bound the broadcast."""
+    item = F.struct(
+        F.col("cosine").isNull().cast("int").alias("z"),
+        (-F.col("cosine")).alias("nc"),
+        F.col("vec_id").alias("vec_id"),
+    )
     part = (
         scored.withColumn("__pid", F.spark_partition_id())
         .groupBy("__pid", "query_id")
@@ -112,7 +126,15 @@ def _assign_prepared(c: DataFrame, cent: DataFrame) -> DataFrame:
     scored = c.crossJoin(F.broadcast(cent)).select(
         "vec_id", "centroid_id", F.round(_cosine(F.col("cv"), F.col("zv")), 6).alias("cos")
     )
-    best = F.min(F.struct((-F.col("cos")).alias("nc"), F.col("centroid_id").alias("centroid_id")))
+    # is_null leads the struct so a null cosine (broken vector/centroid)
+    # loses to every real score — the old rank window's desc NULLS LAST
+    best = F.min(
+        F.struct(
+            F.col("cos").isNull().cast("int").alias("z"),
+            (-F.col("cos")).alias("nc"),
+            F.col("centroid_id").alias("centroid_id"),
+        )
+    )
     return scored.groupBy("vec_id").agg(best.alias("b")).select(
         "vec_id", F.col("b.centroid_id").alias("centroid_id")
     )

@@ -40,11 +40,19 @@ _BUNDLED_FILES = {
 }
 
 
+_BUNDLED_CACHE: dict[str, dict[str, str]] = {}
+
+
 def load_bundled_catalog(name: str) -> dict[str, str] | None:
-    """{code: description} for a bundled catalog name, else None."""
+    """{code: description} for a bundled catalog name, else None.
+    Parsed once per process (memoized) — repeated compiles must not
+    re-read the resource file."""
     fname = _BUNDLED_FILES.get(name.lower())
     if fname is None:
         return None
+    cached = _BUNDLED_CACHE.get(fname)
+    if cached is not None:
+        return cached
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "resources", fname)
     out: dict[str, str] = {}
     with open(path, encoding="utf-8") as f:
@@ -54,6 +62,7 @@ def load_bundled_catalog(name: str) -> dict[str, str] | None:
                 continue
             code, _, desc = line.partition("|")
             out[code] = desc
+    _BUNDLED_CACHE[fname] = out
     return out
 
 
