@@ -210,6 +210,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             train_iters=2,
         ),
         "text_langid": lambda s, d: Pipeline.compile("langid :text").apply(docs(s, d)),
+        "text_unigram_lp": lambda s, d: Pipeline.compile(
+            "unigram-logprob :doc_id :text 2000"
+        ).apply(docs(s, d)),
         "text_quality": lambda s, d: Pipeline.compile("quality-score :text").apply(docs(s, d)),
         "text_token_count": lambda s, d: Pipeline.compile("token-count :text").apply(docs(s, d)),
         "text_fingerprint": lambda s, d: Pipeline.compile("fingerprint :text").apply(docs(s, d)),
@@ -290,6 +293,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "text_vocabulary": o.vocabulary_sql(200),
+        "text_unigram_lp": o.unigram_logprob_sql(2000),
         "text_tokenize": (
             "SELECT doc_id, text, lang, source, n_chars, "
             "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS tokens "

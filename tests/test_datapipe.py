@@ -405,6 +405,31 @@ def test_tokenize(spark):
     assert out == ["don", "'", "t", "split", "2", "me", "!!"]
 
 
+def test_unigram_logprob(spark):
+    """Common-word docs score lower surprisal than rare-word docs; OOV
+    tokens take the floor probability; token-less docs get null."""
+    common = "the cat sat on the mat " * 5
+    df = spark.createDataFrame(
+        [
+            (1, common),
+            (2, common),
+            (3, "zyzzyva qwyjibo flibbertigibbet"),  # all singletons/OOV
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["doc_lp"] for r in text.unigram_logprob(df, "doc_id", "text", vocab_size=5).collect()}
+    assert out[1] == out[2]  # identical docs, identical score
+    assert out[1] < out[3]  # stereotypical text is less surprising
+    assert out[4] is None  # no tokens -> null, row kept
+    # vocab cap: only 5 tokens kept, the rare doc is fully OOV — its
+    # per-token surprisal is the floor -log2(1/(N+V+1)), far above the
+    # trivial-entropy bound of the tiny vocabulary
+    import math
+
+    assert out[3] > math.log2(5)
+
+
 def test_vocabulary_topk(spark):
     df = spark.createDataFrame(
         [(1, "apple apple banana"), (2, "apple cherry"), (3, "banana apple")],

@@ -379,6 +379,29 @@ SELECT * FROM b WHERE {keep}
 """
 
 
+def unigram_logprob_sql(vocab_size: int = 50_000, table: str = "documents") -> str:
+    """Mirror of text.unigram_logprob: N and V are scalar subqueries —
+    exact integers, so they equal the Spark path's driver-side literals;
+    per-token surprisal is micro-unit-integerized before the per-doc sum
+    (identical determinism contract)."""
+    return f"""
+WITH w AS (SELECT doc_id, unnest({_WORDS}) AS token FROM {table}),
+tk AS (SELECT doc_id, token FROM w WHERE token <> ''),
+counts AS (SELECT token, count(*)::BIGINT AS c FROM tk GROUP BY token),
+vocab AS (SELECT token, c FROM counts ORDER BY c DESC, token ASC LIMIT {vocab_size}),
+nv AS (SELECT (SELECT sum(c) FROM counts) AS n, (SELECT count(*) FROM vocab) AS v),
+surp AS (
+  SELECT tk.doc_id,
+         CAST(round(-log2(CAST(coalesce(vocab.c, 0) + 1 AS DOUBLE)
+                          / CAST(nv.n + nv.v + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS s
+  FROM tk LEFT JOIN vocab ON tk.token = vocab.token CROSS JOIN nv
+),
+agg AS (SELECT doc_id, sum(s) AS ssum, count(*) AS nt FROM surp GROUP BY doc_id)
+SELECT d.*, round(CAST(a.ssum AS DOUBLE) / (CAST(a.nt AS DOUBLE) * 1000000.0), 6) AS doc_lp
+FROM {table} d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def vocabulary_sql(k: int = 1000, table: str = "documents") -> str:
     """Mirror of text.vocabulary: top-k tokens by tf, ties lexical."""
     return f"""

@@ -188,6 +188,68 @@ def tokenize(df: DataFrame, text_col: str, out_col: str = "tokens") -> DataFrame
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 50_000,
+    out_col: str = "doc_lp",
+) -> DataFrame:
+    """CCNet-style LM-quality signal (Wenzek et al. 2020 score documents
+    with a language-model perplexity; here the model is a corpus-internal
+    unigram LM, the cheap self-contained variant): per-document mean token
+    surprisal -log2 p(token), add-one smoothed over the top-`vocab_size`
+    vocabulary, out-of-vocabulary tokens taking the floor probability
+    1/(N+V+1). Low score = stereotypical in-distribution text, high =
+    rare/garbled — the usual bucket-then-sample quality axis. Adds
+    `out_col` (null for token-less docs); all other columns pass through.
+
+    Scale shape: vocabulary = one explode + hash-aggregate (map-side
+    partials) + a sort-limit on the aggregated vocab table; scoring joins
+    the exploded tokens to the BROADCAST vocab (corpus never shuffles for
+    the lookup) and reduces per doc with an integer sum. The corpus is
+    read twice (model build + scoring) — at 100 TB persist the vocab table
+    and reuse it across runs.
+
+    Cross-engine determinism: per-token surprisal is converted to integer
+    MICRO-UNITS (round(-log2(p)*1e6) as long) before the per-doc sum, so
+    Spark's partial-aggregation order cannot drift from a serial engine
+    (same contract as quality_score); N and V are driver-side scalar
+    aggregates baked in as literals."""
+    staged = _with_words(df, text_col)
+    tok = staged.select(F.col(id_col).alias("__id"), F.explode(F.col(_W)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = tok.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    # two tiny driver scalars: total tokens (incl. what the cut drops) and
+    # the kept-vocab size (may be < vocab_size on small corpora)
+    n_total = counts.agg(F.sum("c")).collect()[0][0] or 0
+    vocab = counts.orderBy(F.col("c").desc(), F.col("token").asc()).limit(vocab_size)
+    v_kept = vocab.count()
+    denom = float(n_total + v_kept + 1)
+    surp = F.round(
+        -F.log2((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double") / F.lit(denom))
+        * F.lit(1e6)
+    ).cast("long")
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .select("__id", surp.alias("__s"))
+        .groupBy("__id")
+        .agg(F.sum("__s").alias("__sum"), F.count("*").alias("__n"))
+        .withColumn(
+            out_col,
+            F.round(
+                F.col("__sum").cast("double") / (F.col("__n").cast("double") * F.lit(1e6)), 6
+            ),
+        )
+        .select("__id", out_col)
+    )
+    return (
+        df.join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .drop("__id")
+    )
+
+
 def vocabulary(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
     """Corpus-level vocabulary: top-k tokens by total term frequency, with
     document frequency and rank (ties broken lexically). The canonical

@@ -209,3 +209,27 @@ class Vocabulary(Directive):
         from wrangler_spark.datapipe.text import vocabulary
 
         return vocabulary(df, ctx.resolve(df, self.args["text"]), int(self.args["k"]))
+
+
+@directive
+class UnigramLogprob(Directive):
+    """unigram-logprob :id :text [vocab_size] — CCNet-style corpus-internal
+    unigram LM score: per-doc mean token surprisal -log2 p(token), add-one
+    smoothed over the top-vocab_size vocabulary → doc_lp."""
+
+    name = "unigram-logprob"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("vocab", TokenType.NUMERIC, optional=True, default=50_000),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import unigram_logprob
+
+        return unigram_logprob(
+            df,
+            ctx.resolve(df, self.args["id"]),
+            ctx.resolve(df, self.args["text"]),
+            int(self.args["vocab"]),
+        )
