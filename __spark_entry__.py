@@ -198,6 +198,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": lambda s, d: dedup.exact_dedup(docs(s, d), "doc_id", "text"),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(docs(s, d), "doc_id", "text", 0.5),
+        "dedup_minhash_flag": lambda s, d: Pipeline.compile(
+            "dedup-minhash :doc_id :text 0.5"
+        ).apply(docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(docs(s, d), "doc_id", "text", 5, 0.6),
         "dedup_simhash": lambda s, d: dedup.simhash(docs(s, d), "doc_id", "text", 32),
         "dedup_embedding": lambda s, d: dedup.embedding_dup_pairs(embs(s, d), "vec_id", "embedding", 0.0),
@@ -270,6 +273,7 @@ def _datapipe_oracles() -> dict[str, str]:
     return {
         "dedup_exact": o.dedup_exact_sql(),
         "dedup_minhash_lsh": o.minhash_lsh_sql(0.5),
+        "dedup_minhash_flag": o.minhash_dedup_sql(0.5),
         "dedup_ngram_jaccard": o.ngram_jaccard_sql(5, 0.6),
         "dedup_simhash": o.simhash_sql(32),
         "dedup_embedding": o.embedding_pairs_sql(0.0),

@@ -151,6 +151,16 @@ def test_assignment_ignores_null_cosine_centroid(spark):
     assert got == {1: 11, 2: 11}
 
 
+def test_minhash_dedup_flags(docs):
+    """One-step near-dedup: min-id member of each near-dup group survives,
+    every row of the input keeps exactly one output row."""
+    out = {r["doc_id"]: r["is_dup"] for r in dedup.minhash_dedup(docs, "doc_id", "text", 0.3).collect()}
+    assert len(out) == docs.count()
+    dup_ids = {i for i, d in out.items() if d}
+    # the fixture's near-dup pair: the higher id is flagged, the lower kept
+    assert dup_ids and min(out) not in dup_ids
+
+
 def test_minhash_duplicate_ids_no_self_pairs(spark):
     """A duplicated input id lands twice in a bucket; the pair expansion
     must not emit a bogus (a, a) self-pair (old self-join was l.id < r.id)."""

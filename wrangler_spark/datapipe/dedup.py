@@ -230,6 +230,30 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
+    max_bucket_size: int = 100,
+) -> DataFrame:
+    """One-step near-dedup flagging: (id, is_dup) for every input row,
+    where is_dup marks any document that appears as the HIGHER id of a
+    verified near-duplicate pair (minhash_lsh_pairs) — the min-id member
+    of each duplicate group survives, the same keep-the-smallest contract
+    as exact_dedup and semdedup. Transitive chains drop every non-minimal
+    member (b dup-of a and c dup-of b drops both b and c), the standard
+    greedy behavior of large-corpus dedup pipelines.
+
+    Scale shape: inherits the pair generation's single-shuffle bucketing;
+    the flag is a distinct on the (rare) pair ids + one broadcast-friendly
+    left join back to the ids."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, max_bucket_size)
+    dropped = pairs.select(F.col("id_b").alias("__drop")).distinct()
+    return (
+        df.select(F.col(id_col))
+        .join(dropped, F.col(id_col) == F.col("__drop"), "left")
+        .select(F.col(id_col), F.col("__drop").isNotNull().alias("is_dup"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.6,
     max_gram_df: int | None = 10_000,

@@ -379,6 +379,17 @@ SELECT * FROM b WHERE {keep}
 """
 
 
+def minhash_dedup_sql(threshold: float = 0.5, table: str = "documents") -> str:
+    """Mirror of dedup.minhash_dedup: wrap the pair query and flag every
+    id that appears as id_b of a verified pair."""
+    return f"""
+WITH pairs AS ({minhash_lsh_sql(threshold, table)}),
+dropped AS (SELECT DISTINCT id_b FROM pairs)
+SELECT t.doc_id, (d.id_b IS NOT NULL) AS is_dup
+FROM {table} t LEFT JOIN dropped d ON t.doc_id = d.id_b
+"""
+
+
 def unigram_logprob_sql(vocab_size: int = 50_000, table: str = "documents") -> str:
     """Mirror of text.unigram_logprob: N and V are scalar subqueries —
     exact integers, so they equal the Spark path's driver-side literals;

@@ -27,6 +27,29 @@ class DedupExact(Directive):
 
 
 @directive
+class DedupMinhash(Directive):
+    """dedup-minhash :id :text [threshold] — one-step MinHash-LSH near-dedup:
+    flags every doc that near-duplicates a lower-id doc → (id, is_dup)."""
+
+    name = "dedup-minhash"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("threshold", TokenType.NUMERIC, optional=True, default=0.5),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.dedup import minhash_dedup
+
+        return minhash_dedup(
+            df,
+            ctx.resolve(df, self.args["id"]),
+            ctx.resolve(df, self.args["text"]),
+            float(self.args["threshold"]),
+        )
+
+
+@directive
 class LangId(Directive):
     """langid :text — stopword-density language heuristic → lang_pred."""
 
