@@ -128,6 +128,36 @@ def test_topk_reduce_partition_invariant(spark):
     assert by_q["q3"] == [(1, "only", 0.5)]
 
 
+def test_topk_reduce_matches_reference_on_random_input(spark):
+    """Seeded randomized equivalence: the two-phase top-k must reproduce a
+    plain-Python sort over (nulls-last, cosine desc, vec_id asc) on messy
+    input — duplicate vec_ids, cosine ties, nulls, empty queries."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(1234)
+    rows = []
+    for q in range(20):
+        for _ in range(rng.randint(0, 40)):
+            cos = None if rng.random() < 0.05 else round(rng.uniform(-1, 1), 6)
+            rows.append((f"q{q}", f"v{rng.randint(0, 30):03d}", cos))
+    scored = spark.createDataFrame(rows, "query_id string, vec_id string, cosine double")
+    k = 7
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in similarity._topk_reduce(scored.repartition(5), k).collect()
+    }
+    by_q = defaultdict(list)
+    for q, v, c in rows:
+        by_q[q].append((v, c))
+    expect = {}
+    for q, items in by_q.items():
+        items.sort(key=lambda t: (t[1] is None, -(t[1] or 0.0), t[0]))
+        for rank, (v, c) in enumerate(items[:k], 1):
+            expect[(q, rank)] = (v, c)
+    assert got == expect
+
+
 def test_topk_null_cosine_never_evicts_real_neighbor(spark):
     """A broken vector (null element -> null cosine) must rank LAST, as
     under the old window's desc NULLS LAST — not first, as a naive
