@@ -207,9 +207,10 @@ def unigram_logprob(
     Scale shape: vocabulary = one explode + hash-aggregate (map-side
     partials) + a sort-limit on the aggregated vocab table; scoring joins
     the exploded tokens to the BROADCAST vocab (corpus never shuffles for
-    the lookup) and reduces per doc with an integer sum. The corpus is
-    read twice (model build + scoring) — at 100 TB persist the vocab table
-    and reuse it across runs.
+    the lookup) and reduces per doc with an integer sum. The aggregated
+    counts table is localCheckpoint-ed so its three consumers (total-count
+    scalar, vocab cut, scoring join) tokenize the corpus exactly once; at
+    100 TB persist/write the vocab table and reuse it across runs.
 
     Cross-engine determinism: per-token surprisal is converted to integer
     MICRO-UNITS (round(-log2(p)*1e6) as long) before the per-doc sum, so
@@ -220,7 +221,9 @@ def unigram_logprob(
     tok = staged.select(F.col(id_col).alias("__id"), F.explode(F.col(_W)).alias("token")).filter(
         F.col("token") != ""
     )
-    counts = tok.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    counts = tok.groupBy("token").agg(F.count("*").cast("long").alias("c")).localCheckpoint(
+        eager=True
+    )
     # two tiny driver scalars: total tokens (incl. what the cut drops) and
     # the kept-vocab size (may be < vocab_size on small corpora)
     n_total = counts.agg(F.sum("c")).collect()[0][0] or 0
