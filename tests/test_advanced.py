@@ -53,8 +53,19 @@ def test_parse_as_excel(xlsx_df):
 
 def test_parse_as_excel_letters(xlsx_df):
     out = Pipeline.compile("parse-as-excel :body").apply(xlsx_df)
-    assert out.columns[:3] == ["fwd", "A", "B"]
+    assert out.columns[:3] == ["fwd", "bkd", "A"]
     assert out.count() == 892  # 891 data + header row
+    # ParseExcelTest.testBasicExcel: first row fwd=0, bkd=n-1
+    first = out.filter(out["fwd"] == 0).collect()[0]
+    assert first["bkd"] == 891
+
+
+def test_parse_as_excel_missing_sheet_routes_to_errors(xlsx_df):
+    """ParseExcelTest.testNoSheetName shape: 0 clean rows, the record in
+    the error channel."""
+    res = Pipeline.compile("parse-as-excel :body 'no-such-sheet'").transform(xlsx_df)
+    assert res.df.count() == 0
+    assert res.errors().count() == 1
 
 
 def test_parse_as_avro_file(spark):

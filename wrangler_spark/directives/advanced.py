@@ -59,9 +59,14 @@ class Stemming(Directive):
 @directive
 class ParseAsExcel(Directive):
     """parse-as-excel :col [sheet] [first-row-as-header] — one output row
-    per sheet row: fwd (row number) + cell columns (A,B,C... or header
-    names) (ref: parser/ParseExcel.java:100-260). Pure-stdlib XLSX reader;
-    output arity fixed from a compile-time sample payload."""
+    per sheet row: fwd/bkd (forward and backward row counters, the
+    reference's record-position pair) + cell columns (A,B,C... or header
+    names) (ref: parser/ParseExcel.java:100-260; ParseExcelTest asserts
+    fwd=0/bkd=n-1 on the first row). Pure-stdlib XLSX reader; output arity
+    fixed from a compile-time sample payload. Payloads whose workbook
+    can't be read or that lack the requested sheet route to the ERROR
+    channel (ParseExcelTest.testNoSheetName: 0 clean rows, 1 error row),
+    so the parse itself only ever sees readable payloads."""
 
     name = "parse-as-excel"
     usage = [
@@ -71,6 +76,8 @@ class ParseAsExcel(Directive):
     ]
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import BooleanType
+
         from wrangler_spark.formats.xlsx import read_sheet
 
         col = ctx.resolve(df, self.args["column"])
@@ -80,15 +87,37 @@ class ParseAsExcel(Directive):
         first = ctx.sampling_frame(df).select(col).filter(F.col(col).isNotNull()).limit(1).collect()
         if not first:
             raise DirectiveApplyError(f"no non-null payload in '{col}' to size the Excel schema")
-        sample_rows = read_sheet(bytes(first[0][0]), sheet)
+        try:
+            sample_rows = read_sheet(bytes(first[0][0]), sheet)
+        except Exception:
+            # sample lacks the sheet: keep compiling with a cell-less
+            # schema — every such payload lands in the error channel below
+            sample_rows = []
         letters = sorted({k for r in sample_rows for k in r}, key=lambda s: (len(s), s))
         if header and sample_rows:
             names = [sample_rows[0].get(letter, letter) for letter in letters]
         else:
             names = letters
 
+        @pandas_udf(BooleanType())
+        def readable(s: pd.Series) -> pd.Series:
+            def chk(p):
+                if p is None:
+                    return False
+                try:
+                    read_sheet(bytes(p), sheet)
+                    return True
+                except Exception:
+                    return False
+
+            return s.map(chk)
+
+        clean = ctx.route_errors(
+            df, ~readable(F.col(col)), self.name, f"sheet '{sheet}' not found or unreadable workbook"
+        )
+
         out_schema = T.StructType(
-            [T.StructField("fwd", T.LongType())]
+            [T.StructField("fwd", T.LongType()), T.StructField("bkd", T.LongType())]
             + [T.StructField(n, StringType()) for n in names]
         )
 
@@ -96,18 +125,17 @@ class ParseAsExcel(Directive):
             for pdf in batches:
                 out: list[dict] = []
                 for payload in pdf[col]:
-                    if payload is None:
-                        continue
                     rows = read_sheet(bytes(payload), sheet)
-                    start = 1 if header else 0
-                    for i, r in enumerate(rows[start:] if header else rows):
-                        rec = {"fwd": i}
+                    body = rows[1:] if header else rows
+                    n = len(body)
+                    for i, r in enumerate(body):
+                        rec = {"fwd": i, "bkd": n - 1 - i}
                         for letter, name in zip(letters, names):
                             rec[name] = r.get(letter)
                         out.append(rec)
-                yield pd.DataFrame(out, columns=["fwd", *names])
+                yield pd.DataFrame(out, columns=["fwd", "bkd", *names])
 
-        return df.select(col).mapInPandas(run, out_schema)
+        return clean.select(col).mapInPandas(run, out_schema)
 
 
 _AVRO_SPARK_TYPES = {
