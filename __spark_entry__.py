@@ -207,10 +207,10 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), "vec_id", "embedding", 10
         ),
-        "dedup_semdedup": lambda s, d: similarity.semdedup(embs(s, d), 8, 0.8, train_iters=1),
+        "dedup_semdedup": lambda s, d: similarity.semdedup(embs(s, d), 8, 0.8, train_iters=1, dim=64),
         "ann_ivf_kmeans_topk": lambda s, d: similarity.ivf_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5,
-            train_iters=2,
+            train_iters=2, dim=64,
         ),
         "text_langid": lambda s, d: Pipeline.compile("langid :text").apply(docs(s, d)),
         "text_unigram_lp": lambda s, d: Pipeline.compile(

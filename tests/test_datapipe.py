@@ -246,8 +246,9 @@ def test_multimodal_plumbing(docs):
     r = {x["doc_id"]: x for x in feats}
     assert r[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
     assert len(r[1]["md5_prefix"]) == 12
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(with_payload)
+    # text payloads are not images: the stdlib decoder yields null structs
+    imgs = multimodal.decode_image(with_payload).select("doc_id", "image").collect()
+    assert all(x["image"] is None for x in imgs)
 
 
 def test_dedup_directives(spark, docs):
@@ -480,3 +481,167 @@ def test_vocabulary_topk(spark):
         ("apple", 4, 3, 1),
         ("banana", 2, 2, 2),
     ]
+
+
+def test_cosine_topk_query_batching_matches_unbatched(spark):
+    """query_batch smaller than Q forces the chunked path (multiple
+    broadcast passes + union); results must be identical to one pass."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 13)
+
+    one = similarity.cosine_topk(df, q, k=4, query_batch=4096)
+    batched = similarity.cosine_topk(df, q, k=4, query_batch=5)  # 13 queries -> 3 passes
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, batched.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, one.collect()), key=lambda t: (t[0], t[3])
+    )
+
+    # ivf path too (untrained): same contract
+    one_ivf = similarity.ivf_topk(df, q, 4, k=3, query_batch=4096)
+    bat_ivf = similarity.ivf_topk(df, q, 4, k=3, query_batch=5)
+    assert sorted(map(tuple, bat_ivf.collect())) == sorted(map(tuple, one_ivf.collect()))
+
+
+def test_embedding_dup_broadcast_planes_matches_inline(spark):
+    """The broadcast-planes signature path must produce bit-identical
+    pairs to the inline-literal path, and its plan must stay bounded in
+    dim (the inline plan holds N_PLANES x dim literals)."""
+    import random
+
+    rng = random.Random(3)
+    dim, n_planes = 256, 12
+    planes = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_planes)]
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = [(0, base), (1, [x * 1.0001 for x in base])]  # near-dup pair
+    rows += [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(2, 30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    inline = dedup.embedding_dup_pairs(
+        df, "vec_id", "embedding", 0.5, planes=planes, broadcast_planes=False
+    )
+    bcast = dedup.embedding_dup_pairs(
+        df, "vec_id", "embedding", 0.5, planes=planes, broadcast_planes=True
+    )
+    got_i = sorted(map(tuple, inline.collect()))
+    got_b = sorted(map(tuple, bcast.collect()))
+    assert got_i == got_b
+    assert (0, 1) in {(a, b) for a, b, _ in got_b}
+
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    try:
+        # auto mode switches to broadcast planes above dim 128
+        auto = dedup.embedding_dup_pairs(df, "vec_id", "embedding", 0.5, planes=planes)
+        plan_auto = auto._jdf.queryExecution().optimizedPlan().toString()
+        plan_inline = inline._jdf.queryExecution().optimizedPlan().toString()
+        assert len(plan_auto) < len(plan_inline) / 2
+    finally:
+        spark.conf.unset("spark.sql.debug.maxToStringFields")
+
+
+def test_ngram_jaccard_corpus_relative_cap(spark):
+    """Float max_gram_df scales with the corpus: a gram present in (almost)
+    every doc is pruned under the default 0.5·N cap, so two docs whose only
+    overlap is that stop-gram are NOT paired; an absolute int cap above N
+    keeps it and pairs them."""
+    stop = "abcde"  # one shared 5-gram across all docs
+    mk = lambda tag: f"{stop} {tag}{tag}{tag}"  # noqa: E731
+    rows = [(i, mk(chr(ord("k") + i))) for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    rel = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=5, threshold=0.01)
+    # the stop-gram is in all 8 docs > cap(=4): pruned, docs share nothing
+    assert rel.count() == 0
+    absolute = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=5, threshold=0.01, max_gram_df=100
+    )
+    assert absolute.count() == 8 * 7 / 2  # every pair shares the stop-gram
+
+
+def _make_png(width: int, height: int, color_type: int = 2) -> bytes:
+    """Minimal valid PNG built with stdlib only (zlib CRCs + raw IDAT)."""
+    import struct as st
+    import zlib as zl
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            st.pack(">I", len(data)) + typ + data
+            + st.pack(">I", zl.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = st.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    px_per_row = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type] * width
+    raw = b"".join(b"\x00" + b"\x7f" * px_per_row for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zl.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(channels: int, rate: int, n_frames: int) -> bytes:
+    import io as iomod
+    import wave as wv
+
+    buf = iomod.BytesIO()
+    with wv.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x01" * channels * n_frames)
+    return buf.getvalue()
+
+
+def test_decode_image_stdlib_png_gif(spark):
+    """Golden: the stdlib default decoder reads PNG IHDR and GIF logical
+    screen dims; JPEG-ish/garbage payloads yield a null struct."""
+    import struct as st
+
+    gif = b"GIF89a" + st.pack("<HH", 320, 200) + b"\x00" * 20
+    rows = [
+        (1, _make_png(17, 9, 2)),       # RGB
+        (2, _make_png(4, 4, 6)),        # RGBA
+        (3, _make_png(5, 2, 0)),        # grayscale
+        (4, gif),
+        (5, b"\xff\xd8\xff\xe0 not decodable here"),  # JPEG magic, no SOF scan
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, payload BINARY")
+    got = {r["doc_id"]: r["image"] for r in multimodal.decode_image(df).collect()}
+    assert tuple(got[1]) == (17, 9, "RGB")
+    assert tuple(got[2]) == (4, 4, "RGBA")
+    assert tuple(got[3]) == (5, 2, "L")
+    assert tuple(got[4]) == (320, 200, "P")
+    assert got[5] is None and got[6] is None
+
+    # PIL-style metadata agrees with the raw-byte parse helpers directly
+    assert multimodal.png_meta(_make_png(1, 1, 3)) == (1, 1, "P")
+    assert multimodal.png_meta(b"\x89PNG\r\n\x1a\nshort") is None
+
+
+def test_decode_audio_stdlib_wav(spark):
+    """Golden: the stdlib WAV decoder reads channels/rate/frames through
+    the wave module; non-WAV payloads yield a null struct."""
+    rows = [
+        (1, _make_wav(1, 16000, 1600)),
+        (2, _make_wav(2, 44100, 441)),
+        (3, b"RIFFgarbage"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, payload BINARY")
+    got = {r["doc_id"]: r["audio"] for r in multimodal.decode_audio(df).collect()}
+    assert tuple(got[1]) == (1, 16000, 1600, 2, 0.1)
+    assert tuple(got[2]) == (2, 44100, 441, 2, 0.01)
+    assert got[3] is None and got[4] is None
+
+    # registry override still wins over the stdlib default
+    multimodal.register_decoder("audio", lambda b: (9, 8000, 80, 1))
+    try:
+        got2 = {r["doc_id"]: r["audio"] for r in multimodal.decode_audio(df).collect()}
+        assert tuple(got2[3]) == (9, 8000, 80, 1, 0.01)
+    finally:
+        multimodal._DECODERS.pop("audio", None)

@@ -256,19 +256,27 @@ def minhash_dedup(
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.6,
-    max_gram_df: int | None = 10_000,
+    max_gram_df: int | float | None = 0.5,
 ) -> DataFrame:
     """Character n-gram Jaccard near-dups via an inverted-index equi-join:
     only pairs sharing at least one n-gram are ever scored.
 
     Stop-gram pruning: a gram shared by k documents contributes k² rows to
     the self-join — one ubiquitous 5-gram (' the ') is the scale-killer at
-    100 TB. Grams with document frequency > ``max_gram_df`` are dropped
-    from BOTH the inverted index and the per-doc gram counts, so the score
-    is exact Jaccard over the non-stop grams (they carry ~no signal: a
-    gram in k of N docs shifts Jaccard by at most 1/|union| while costing
-    k² join rows). The df-count groupBy and the join back ride the same
-    gram-key partitioning as the self-join."""
+    100 TB. Grams with document frequency > the cap are dropped from BOTH
+    the inverted index and the per-doc gram counts, so the score is exact
+    Jaccard over the non-stop grams (they carry ~no signal: a gram in k of
+    N docs shifts Jaccard by at most 1/|union| while costing k² join rows).
+
+    ``max_gram_df`` is CORPUS-RELATIVE by default: a float in (0, 1) means
+    cap = max(2, ceil(frac · N_docs)). An absolute integer cap does not
+    scale — at 100 TB the number of grams sitting just under any fixed cap
+    grows with the corpus while the cap prunes nothing proportionally, so
+    the join degrades quadratically below it. The doc count enters the
+    plan as a broadcast 1-row aggregate (no driver job, no collected
+    scalar); an int is still accepted as an absolute cap and None disables
+    pruning. The df-count groupBy and the join back ride the same gram-key
+    partitioning as the self-join."""
     # stage the normalized text: it appears once per gram in the transform
     # lambda and Spark won't CSE it there (see shingles_of_words)
     staged = df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__t"))
@@ -286,12 +294,20 @@ def ngram_jaccard_pairs(
         # true DOCUMENT frequency: grams are array_distinct-ed per doc, so
         # (id, g) is already unique, but countDistinct keeps the cutoff a
         # doc-frequency even if the gram construction ever stops deduping
-        keep = (
-            inv.groupBy("g")
-            .agg(F.countDistinct("id").alias("__gdf"))
-            .filter(F.col("__gdf") <= max_gram_df)
-            .select("g")
-        )
+        gdf = inv.groupBy("g").agg(F.countDistinct("id").alias("__gdf"))
+        if isinstance(max_gram_df, float):
+            # lazy scalar: 1-row (cap) frame broadcast into the filter, so
+            # the cap tracks the corpus without a blocking .count() job
+            cap = staged.select(
+                F.greatest(
+                    F.lit(2), F.ceil(F.lit(max_gram_df) * F.count("*"))
+                ).cast("long").alias("__cap")
+            )
+            keep = gdf.crossJoin(F.broadcast(cap)).filter(
+                F.col("__gdf") <= F.col("__cap")
+            ).select("g")
+        else:
+            keep = gdf.filter(F.col("__gdf") <= int(max_gram_df)).select("g")
         inv = inv.join(keep, "g")
     # per-doc count AFTER pruning so jaccard stays internally consistent
     ng = inv.groupBy("id").agg(F.count("*").alias("ng"))
@@ -339,28 +355,60 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
 
 def embedding_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9, exact: bool = False
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9, exact: bool = False,
+    planes: list[list[float]] | None = None, broadcast_planes: bool | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs. exact=False buckets by random-hyperplane
     signature first (only same-signature pairs compared — the scale path);
     exact=True brute-forces all pairs (small inputs / recall baseline).
 
-    Plan-size ceiling: each hyperplane is inlined as a literal array, so
-    the plan holds N_PLANES x EMB_DIM literals (16x64 = 1K doubles with the
-    bundled constants — fine). Regenerating constants for 768-dim
-    embeddings would put ~12K literals in the plan; at that point store
-    the planes as a broadcast table and compute the dot products via a
-    zipped join instead (same shape as kmeans' explode_means switch)."""
+    Plan-size ceiling and the broadcast-planes switch: the default path
+    inlines each hyperplane as a literal array, so the plan holds
+    N_PLANES x EMB_DIM literals (16x64 = 1K doubles with the bundled
+    constants — fine). At 768-dim that is ~12K expression-tree literals —
+    codegen blow-up territory — so for plane dim > 128 (or
+    ``broadcast_planes=True``) the planes travel as ONE LocalRelation row
+    (array<array<double>>) cross-joined with a broadcast hint: every
+    executor holds one copy of the plane matrix, the signature is a
+    single nested higher-order transform over it, the plan size is
+    constant in dim, and no shuffle is introduced (same role as kmeans'
+    explode_means switch). Both paths fold the dot product left-to-right
+    over the array, so the float results — and therefore the signatures
+    and output — are bit-identical."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"), v.alias("v"))
+    if planes is None:
+        planes = HYPERPLANES
     if not exact:
-        sig = None
-        for p, plane in enumerate(HYPERPLANES):
-            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-            dot = F.aggregate(F.zip_with(F.col("v"), lit_plane, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
-            bit = F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
-            sig = bit if sig is None else F.concat(sig, bit)
-        base = base.withColumn("sig", sig)
+        if broadcast_planes is None:
+            broadcast_planes = len(planes[0]) > 128
+        if broadcast_planes:
+            pl = df.sparkSession.createDataFrame(
+                [([[float(x) for x in p] for p in planes],)],
+                "pls ARRAY<ARRAY<DOUBLE>>",
+            )
+            dot = lambda p: F.aggregate(  # noqa: E731
+                F.zip_with(F.col("v"), p, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+            )
+            sig = F.concat_ws(
+                "",
+                F.transform(
+                    F.col("pls"),
+                    lambda p: F.when(dot(p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+                ),
+            )
+            base = base.crossJoin(F.broadcast(pl)).withColumn("sig", sig).drop("pls")
+        else:
+            sig = None
+            for plane in planes:
+                lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+                dot = F.aggregate(
+                    F.zip_with(F.col("v"), lit_plane, lambda a, b: a * b),
+                    F.lit(0.0), lambda s, x: s + x,
+                )
+                bit = F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+                sig = bit if sig is None else F.concat(sig, bit)
+            base = base.withColumn("sig", sig)
         l, r = base.alias("l"), base.alias("r")
         cand = l.join(
             r, (F.col("l.sig") == F.col("r.sig")) & (F.col("l.id") < F.col("r.id"))

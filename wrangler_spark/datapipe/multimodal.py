@@ -2,11 +2,15 @@
 frame-sample over opaque `binary` payloads with typed metadata.
 
 The Spark-side shape is real and tested — schema contracts, Arrow batch
-transfer via mapInPandas, partition sizing — while the actual media
-decoding is stubbed: this container ships no image/audio libraries, so
-`decode_image`/`decode_audio` raise NotImplementedError unless a decoder
-is registered, and `fake_features` provides a deterministic byte-level
-extractor so pipelines (and the driver's checks) stay runnable.
+transfer via mapInPandas, partition sizing — and the container-safe
+decoding is real too: pure-stdlib default decoders parse PNG/GIF headers
+(`struct` over the IHDR / logical-screen descriptor) and WAV containers
+(`wave`), so `decode_image`/`decode_audio` work end-to-end with zero
+third-party dependencies. `register_decoder` still overrides the default
+with a full PIL/opencv/librosa-backed callable (pixel decode, resampling,
+...); payloads the active decoder cannot read yield a null struct, the
+row is kept. `fake_features` provides a deterministic byte-level feature
+extractor so feature pipelines stay runnable without any media library.
 
 At 100 TB: payloads should be read with `spark.read.format("binaryFile")`
 or from parquet with a binary column; keep
@@ -18,6 +22,9 @@ batch at a time (bounded memory regardless of file count).
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 import zlib
 from collections.abc import Callable, Iterator
 from typing import Any
@@ -30,6 +37,53 @@ from pyspark.sql import types as T
 
 # Registered real decoders (host app can plug in PIL/librosa/etc.)
 _DECODERS: dict[str, Callable[[bytes], Any]] = {}
+
+
+# --- stdlib default decoders -------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color types (spec §11.2.2) mapped to PIL-style mode names
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+
+
+def png_meta(b: bytes) -> tuple[int, int, str] | None:
+    """(width, height, mode) from a PNG's IHDR — signature (8 bytes), then
+    the first chunk must be IHDR: length(4BE) type(4) width(4BE)
+    height(4BE) bitdepth(1) colortype(1). Pure struct, no pixel decode."""
+    if len(b) < 26 or not b.startswith(_PNG_SIG) or b[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", b[16:24])
+    mode = _PNG_MODES.get(b[25])
+    if mode is None or width <= 0 or height <= 0:
+        return None
+    return (int(width), int(height), mode)
+
+
+def gif_meta(b: bytes) -> tuple[int, int, str] | None:
+    """(width, height, 'P') from a GIF logical screen descriptor
+    (GIF87a/89a header, then width/height as little-endian uint16)."""
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack("<HH", b[6:10])
+    if width <= 0 or height <= 0:
+        return None
+    return (int(width), int(height), "P")  # GIFs are palette-indexed
+
+
+def default_image_decoder(b: bytes) -> tuple[int, int, str] | None:
+    """Stdlib image metadata decoder: PNG or GIF headers; anything else
+    (JPEG needs a SOF scan, real pixel work needs PIL) → None."""
+    return png_meta(b) or gif_meta(b)
+
+
+def default_audio_decoder(b: bytes) -> tuple[int, int, int, int] | None:
+    """Stdlib WAV decoder via the `wave` module: (channels, sample_rate,
+    n_frames, sample_width_bytes); non-WAV/corrupt payloads → None."""
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            return (w.getnchannels(), w.getframerate(), w.getnframes(), w.getsampwidth())
+    except (wave.Error, EOFError, OSError):
+        return None
 
 
 def register_decoder(kind: str, fn: Callable[[bytes], Any]) -> None:
@@ -85,14 +139,11 @@ def extract_features(
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload", out_col: str = "image") -> DataFrame:
-    """Decode image payloads → struct(width, height, mode). Requires a
-    registered decoder ('image'); the container has no imaging library."""
-    dec = _DECODERS.get("image")
-    if dec is None:
-        raise NotImplementedError(
-            "no image decoder registered — call register_decoder('image', fn) "
-            "with a PIL/opencv-backed callable; this container ships none"
-        )
+    """Decode image payloads → struct(width, height, mode). Uses the
+    registered 'image' decoder when present (register_decoder — PIL/opencv
+    for pixel work and JPEG), else the stdlib PNG/GIF header decoder;
+    undecodable payloads get a null struct, the row is kept."""
+    dec = _DECODERS.get("image", default_image_decoder)
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -112,6 +163,49 @@ def decode_image(df: DataFrame, payload_col: str = "payload", out_col: str = "im
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf[out_col] = pdf[payload_col].map(lambda b: None if b is None else dec(b))
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload", out_col: str = "audio") -> DataFrame:
+    """Decode audio payloads → struct(channels, sample_rate, n_frames,
+    sample_width, duration_sec). Uses the registered 'audio' decoder when
+    present (librosa/soundfile for real sample work), else the stdlib WAV
+    container decoder; undecodable payloads get a null struct, the row is
+    kept. Same mapInPandas Arrow-streaming shape as decode_image."""
+    dec = _DECODERS.get("audio", default_audio_decoder)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(
+                out_col,
+                T.StructType(
+                    [
+                        T.StructField("channels", T.IntegerType()),
+                        T.StructField("sample_rate", T.IntegerType()),
+                        T.StructField("n_frames", T.LongType()),
+                        T.StructField("sample_width", T.IntegerType()),
+                        T.StructField("duration_sec", T.DoubleType()),
+                    ]
+                ),
+            )
+        ]
+    )
+
+    def to_row(b: bytes | None):
+        if b is None:
+            return None
+        meta = dec(b)
+        if meta is None:
+            return None
+        ch, rate, n_frames, width = meta
+        dur = round(n_frames / rate, 6) if rate else None
+        return (ch, rate, n_frames, width, dur)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[payload_col].map(to_row)
             yield pdf
 
     return df.mapInPandas(run, out_schema)

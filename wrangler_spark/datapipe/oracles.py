@@ -71,7 +71,35 @@ WHERE round(len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(list_concat(
 """
 
 
-def ngram_jaccard_sql(n: int = 5, threshold: float = 0.6, table: str = "documents") -> str:
+def ngram_jaccard_sql(
+    n: int = 5,
+    threshold: float = 0.6,
+    max_gram_df: int | float | None = 0.5,
+    table: str = "documents",
+) -> str:
+    """Mirror of dedup.ngram_jaccard_pairs incl. stop-gram pruning: a float
+    cap is corpus-relative (max(2, ceil(frac·N_docs))), an int absolute,
+    None disables; per-doc gram counts are taken AFTER pruning."""
+    if max_gram_df is None:
+        prune_ctes, inv_src = "", "inv0"
+    else:
+        cap_expr = (
+            f"greatest(2, CAST(ceil({max_gram_df} * count(*)) AS BIGINT))"
+            if isinstance(max_gram_df, float)
+            else str(int(max_gram_df))
+        )
+        cap_cte = (
+            f"cap AS (SELECT {cap_expr} AS cap FROM norm),\n"
+            if isinstance(max_gram_df, float)
+            else f"cap AS (SELECT {cap_expr} AS cap),\n"
+        )
+        prune_ctes = (
+            cap_cte
+            + "keep AS (SELECT g FROM inv0 CROSS JOIN cap GROUP BY g, cap.cap"
+            " HAVING count(DISTINCT id) <= cap.cap),\n"
+            "inv1 AS (SELECT inv0.id, inv0.g FROM inv0 JOIN keep USING (g)),\n"
+        )
+        inv_src = "inv1"
     return f"""
 WITH norm AS (SELECT doc_id AS id, {_NORM} AS t FROM {table}),
 gr AS (
@@ -81,8 +109,9 @@ gr AS (
       ELSE [t] END AS grams
   FROM norm
 ),
-base AS (SELECT id, grams, len(grams) AS ng FROM gr),
-inv AS (SELECT id, ng, unnest(grams) AS g FROM base),
+inv0 AS (SELECT id, unnest(grams) AS g FROM gr),
+{prune_ctes}ngc AS (SELECT id, count(*) AS ng FROM {inv_src} GROUP BY id),
+inv AS (SELECT i.id, i.g, ngc.ng FROM {inv_src} i JOIN ngc USING (id)),
 shared AS (
   SELECT l.id AS id_a, r.id AS id_b, count(*) AS shared, any_value(l.ng) AS na, any_value(r.ng) AS nb
   FROM inv l JOIN inv r ON l.g = r.g AND l.id < r.id

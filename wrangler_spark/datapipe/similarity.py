@@ -51,9 +51,11 @@ def _topk_reduce(scored: DataFrame, k: int) -> DataFrame:
     Memory bound: phase 1's aggregation state is one list per (partition,
     query) holding that partition's scored rows — a task buffers up to
     partition_rows x Q structs before the slice (the old window sort could
-    spill; hash-agg state cannot). With very large query batches, batch Q
-    (e.g. 1-10K queries per pass) — which a 100 TB serving path wants
-    anyway to bound the broadcast."""
+    spill; hash-agg state cannot). Q is therefore ENFORCED bounded by the
+    callers: cosine_topk/ivf_topk chunk the query set to ``query_batch``
+    queries per pass (_topk_batched) and union the per-batch results, so
+    no single aggregation ever sees more than partition_rows x query_batch
+    structs regardless of how many queries the caller submits."""
     item = F.struct(
         F.col("cosine").isNull().cast("int").alias("z"),
         (-F.col("cosine")).alias("nc"),
@@ -75,27 +77,63 @@ def _topk_reduce(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _topk_batched(q: DataFrame, k: int, query_batch: int, scorer) -> DataFrame:
+    """Enforce the phase-1 memory bound of _topk_reduce by chunking the
+    query set: ``scorer(q_chunk) -> (query_id, vec_id, cosine)`` is run
+    per chunk of ≤ ``query_batch`` queries, each reduced independently,
+    results unioned (per-batch output is only Q_chunk·k rows).
+
+    The chunk boundaries come from a driver-side collect of the query IDS
+    only — bounded by the same contract that lets the caller broadcast the
+    query frame in the first place (a set of vectors small enough to
+    broadcast has ids small enough to collect), so this is not an
+    unbounded driver pull. Each chunk re-reads the corpus: that is the
+    deliberate trade — memory-bounded passes over a 100 TB corpus instead
+    of one pass whose phase-1 hash-agg state (partition_rows × Q,
+    non-spillable) OOMs at large Q. Chunks are contiguous id ranges so
+    the per-chunk filter is a simple range predicate."""
+    ids = sorted(r[0] for r in q.select("query_id").distinct().collect())
+    if len(ids) <= query_batch:
+        return _topk_reduce(scorer(q), k)
+    parts = []
+    for i in range(0, len(ids), query_batch):
+        chunk = ids[i : i + query_batch]
+        qb = q.filter(
+            (F.col("query_id") >= chunk[0]) & (F.col("query_id") <= chunk[-1])
+        )
+        parts.append(_topk_reduce(scorer(qb), k))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    query_batch: int = 4096,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector (broadcast the queries).
     Returns (query_id, vec_id, cosine, rank); self-matches excluded.
     Scoring is a narrow map over the corpus (queries broadcast); the rank
     is a two-phase partial top-k (_topk_reduce) — no stage ever holds more
-    than max(partition, P·k) rows per query."""
+    than max(partition_rows · query_batch, P·k) rows, with Q bounded by
+    ``query_batch``-sized passes (_topk_batched)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
     c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
-    joined = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
-    scored = joined.select(
-        "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
-    )
-    return _topk_reduce(scored, k)
+
+    def scorer(qb: DataFrame) -> DataFrame:
+        joined = c.crossJoin(F.broadcast(qb)).filter(F.col("vec_id") != F.col("query_id"))
+        return joined.select(
+            "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+        )
+
+    return _topk_batched(q, k, query_batch, scorer)
 
 
 def ivf_assign(
@@ -163,19 +201,26 @@ def kmeans_centroids(
     out, as in classic Lloyd's. Returns (centroid_id, zv array<double>).
 
     Recentering has two equivalent shapes:
-    - dim ≤ 128 (default): one aggregate with `dim` unrolled per-dimension
+    - known dim ≤ 128: one aggregate with `dim` unrolled per-dimension
       avg expressions — fastest, but the PLAN grows linearly with dim
       (codegen blow-up territory at 768+);
-    - dim > 128 (or explode_means=True): posexplode to (centroid, pos, x)
-      rows, avg per (centroid, pos), re-assemble the array via a sorted
-      collect_list — constant plan size at any dim; the exploded aggregate
-      still gets map-side partials (k·dim rows per task cross the
-      shuffle). Both paths round identically, so results are identical."""
+    - dim unknown or > 128 (or explode_means=True): posexplode to
+      (centroid, pos, x) rows, avg per (centroid, pos), re-assemble the
+      array via a sorted collect_list — constant plan size at any dim and
+      no dim needed at plan time; the exploded aggregate still gets
+      map-side partials (k·dim rows per task cross the shuffle). Both
+      paths round identically, so results are identical.
+
+    ``dim`` is never sniffed from the data: an earlier version ran
+    ``c.select("cv").first()`` here — a blocking driver job inside a
+    library function, paid on every call. Callers that know the dimension
+    pass it (and get the unrolled path when it is small); callers that
+    don't get the dim-agnostic exploded path."""
     c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
-    if dim is None:
-        dim = len(c.select("cv").first()[0])
     if explode_means is None:
-        explode_means = dim > 128
+        explode_means = dim is None or dim > 128
+    if not explode_means and dim is None:
+        raise ValueError("explode_means=False requires an explicit dim")
     cent = c.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
     )
@@ -208,13 +253,17 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     train_iters: int = 0,
+    query_batch: int = 4096,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: probe only the query's centroid bucket. With
     train_iters=0 the centroids are the first n_centroids corpus vectors
     by id (the deterministic no-training baseline); train_iters>0 runs
-    that many spherical k-means iterations first (kmeans_centroids)."""
+    that many spherical k-means iterations first (kmeans_centroids;
+    ``dim``, when known, selects its unrolled recentering path).
+    Q is bounded per pass by ``query_batch`` (_topk_batched)."""
     if train_iters > 0:
-        cent = kmeans_centroids(corpus, n_centroids, train_iters, id_col, vec_col)
+        cent = kmeans_centroids(corpus, n_centroids, train_iters, id_col, vec_col, dim=dim)
         c_all = corpus.select(
             F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
         )
@@ -231,13 +280,16 @@ def ivf_topk(
             .join(assign, on="vec_id")
             .select("vec_id", _as_double(F.col(vec_col)).alias("cv"), "centroid_id")
         )
-        joined = c.join(F.broadcast(q), on="centroid_id").filter(
-            F.col("vec_id") != F.col("query_id")
-        )
-        scored = joined.select(
-            "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
-        )
-        return _topk_reduce(scored, k)
+        def scorer_t(qb: DataFrame) -> DataFrame:
+            joined = c.join(F.broadcast(qb), on="centroid_id").filter(
+                F.col("vec_id") != F.col("query_id")
+            )
+            return joined.select(
+                "query_id", "vec_id",
+                F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            )
+
+        return _topk_batched(q, k, query_batch, scorer_t)
     centroids = corpus.orderBy(id_col).limit(n_centroids)
     assign = ivf_assign(corpus, centroids, id_col, vec_col)
     corpus_b = corpus.join(assign, on=id_col)
@@ -250,11 +302,15 @@ def ivf_topk(
     c = corpus_b.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"), "centroid_id"
     )
-    joined = c.join(F.broadcast(q), on="centroid_id").filter(F.col("vec_id") != F.col("query_id"))
-    scored = joined.select(
-        "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
-    )
-    return _topk_reduce(scored, k)
+    def scorer_u(qb: DataFrame) -> DataFrame:
+        joined = c.join(F.broadcast(qb), on="centroid_id").filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+        return joined.select(
+            "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+        )
+
+    return _topk_batched(q, k, query_batch, scorer_u)
 
 
 def semdedup(
@@ -264,6 +320,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup via k-means clustering
     + within-cluster cosine. A vector is a duplicate if some lower-id
@@ -278,7 +335,7 @@ def semdedup(
     stays bounded, and the join remains hash-partitioned by cluster."""
     c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
     if train_iters > 0:
-        cent = kmeans_centroids(corpus, n_clusters, train_iters, id_col, vec_col)
+        cent = kmeans_centroids(corpus, n_clusters, train_iters, id_col, vec_col, dim=dim)
     else:
         cent = c.orderBy("vec_id").limit(n_clusters).select(
             F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
