@@ -128,6 +128,10 @@ def main() -> None:
                     if sum(per_query.values()) > 0
                     else None
                 ),
+                # the definition changed in r5 (was: total wall incl.
+                # inter-query overhead and failed queries' partial time);
+                # versioned so cross-round deltas aren't misread
+                "rows_per_sec_def": "v2: rows_out_total / sum(successful cold per-query sec)",
                 "cleanse_recipe_rows_per_sec": cleanse_rps,
                 "baseline_ref_rows_per_sec": 63000,
                 "errors": errors or None,

@@ -275,3 +275,17 @@ def test_text_distance_lcs_true_dp(spark):
     rows = {r["x"]: r for r in out.collect()}
     assert abs(rows["abcdgh"]["sub"] - 3 / 6) < 1e-6      # LCS("abcdgh","aedfhr") = "adh"
     assert abs(rows["abab"]["substr"] - 3 / 5) < 1e-6     # "bab" in both, maxlen 5
+
+
+def test_parse_as_excel_mixed_payloads_keep_cell_schema(spark):
+    """Regression: if the FIRST sampled payload lacks the sheet but a later
+    one has it, the schema must come from the readable payload — not
+    silently degrade to fwd/bkd-only (which dropped every cell column for
+    the payloads that DO contain the sheet)."""
+    payload = open(XLSX, "rb").read()
+    bogus = b"PK\x03\x04 not actually a workbook"
+    df = spark.createDataFrame([(1, bogus), (2, payload)], "rid int, body binary")
+    res = Pipeline.compile("parse-as-excel :body '0' true").transform(df.orderBy("rid"))
+    assert "PassengerId" in res.df.columns  # schema from payload #2
+    assert res.df.count() == 891
+    assert res.errors().count() == 1  # the bogus payload error-routes

@@ -85,15 +85,43 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     datasource's file index) — NOT ``df.rdd.getNumPartitions()``, which
     forces a full physical-plan → RDD conversion on the driver per call
     (~100s of ms of py4j/planning). Non-file sources (memory, JDBC,
-    streams) report no files and pass through untouched."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    streams) report no files and pass through untouched.
+
+    Few files does NOT imply few partitions: one large splittable parquet
+    file is split by maxPartitionBytes into many scan partitions, and
+    repartitioning it would pay a full shuffle for nothing. So the gate
+    also sums the listed files' sizes (statable file:// paths only) and
+    skips the repartition when the combined bytes already yield ≥ target
+    scan partitions at the session's maxPartitionBytes."""
+    session = df.sparkSession
+    target = session.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:  # noqa: BLE001 — non-file source: leave partitioning alone
-        n_files = 0
-    if 0 < n_files < target:
-        return df.repartition(target)
-    return df
+        return df
+    if not (0 < len(files) < target):
+        return df
+    try:
+        max_part = int(session.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b"))
+    except Exception:  # noqa: BLE001
+        max_part = 128 * 1024 * 1024
+    total_bytes = 0
+    for f in files:
+        if f.startswith("file:"):
+            import os
+            from urllib.parse import unquote, urlparse
+
+            try:
+                total_bytes += os.path.getsize(unquote(urlparse(f).path))
+            except OSError:
+                total_bytes = 0
+                break
+        else:  # remote FS: no cheap stat from here — size gate abstains
+            total_bytes = 0
+            break
+    if total_bytes >= target * max_part:
+        return df  # splittable bulk: the scan already parallelizes
+    return df.repartition(target)
 
 
 def with_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -139,7 +167,7 @@ def minhash_signature(shingles: Column) -> list[Column]:
 
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
-    max_bucket_size: int = 100,
+    max_bucket_size: int = 100, hard_bucket_cap: int = 10_000_000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact Jaccard over shingle sets. Returns (id_a, id_b, jaccard).
@@ -174,7 +202,15 @@ def minhash_lsh_pairs(
     Per-group state is the bucket's id list; a star-linked bucket is
     collected whole (longs), so a single band-bucket approaching ~10⁸
     members needs exact_dedup upstream first — the same precondition the
-    star-linking already assumes."""
+    star-linking already assumes. As a fail-soft backstop the expansion
+    slices the collected array at ``hard_bucket_cap`` ids (default 10⁷ ≈
+    80 MB of longs — large but survivable task state): members beyond the
+    cap lose their star link IN THIS BUCKET only, and with 32 independent
+    bands a genuine near-dup of the representative collides again
+    elsewhere, so the backstop degrades recall marginally instead of
+    OOMing the executor. The collect itself cannot be bounded natively
+    (no limit-per-group aggregate) — the cap bounds the dominant cost,
+    the emitted pair array."""
     # localCheckpoint: evaluated once, read three times (signature path +
     # both sides of the candidate-verification join). EAGER: with a lazy
     # checkpoint the three consumer stages race to materialize the RDD
@@ -202,7 +238,7 @@ def minhash_lsh_pairs(
         f"CASE WHEN size(ids) <= {int(max_bucket_size)} THEN "
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b)))) "
-        "ELSE transform(slice(ids, 2, size(ids)), y -> struct(ids[0] AS id_a, y AS id_b)) "
+        f"ELSE transform(slice(ids, 2, {int(hard_bucket_cap)}), y -> struct(ids[0] AS id_a, y AS id_b)) "
         "END AS prs"
     )
     cand = (

@@ -78,21 +78,30 @@ class ParseAsExcel(Directive):
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
         from pyspark.sql.types import BooleanType
 
-        from wrangler_spark.formats.xlsx import read_sheet
+        from wrangler_spark.formats.xlsx import read_sheet, sheet_exists
 
         col = ctx.resolve(df, self.args["column"])
         sheet = self.args["sheet"]
         header = bool(self.args["header"])
 
-        first = ctx.sampling_frame(df).select(col).filter(F.col(col).isNotNull()).limit(1).collect()
-        if not first:
+        # schema sample: scan up to 50 payloads for one that actually
+        # contains the requested sheet. Sampling only the FIRST payload
+        # silently degraded the schema to fwd/bkd-only when that one
+        # payload lacked the sheet while later readable payloads would
+        # then emit rows with every cell column dropped — silent data
+        # loss. Only when NO sampled payload has the sheet do we compile
+        # the cell-less schema (every payload routes to the error channel
+        # below — ParseExcelTest.testNoSheetName's contract).
+        cand = ctx.sampling_frame(df).select(col).filter(F.col(col).isNotNull()).limit(50).collect()
+        if not cand:
             raise DirectiveApplyError(f"no non-null payload in '{col}' to size the Excel schema")
-        try:
-            sample_rows = read_sheet(bytes(first[0][0]), sheet)
-        except Exception:
-            # sample lacks the sheet: keep compiling with a cell-less
-            # schema — every such payload lands in the error channel below
-            sample_rows = []
+        sample_rows: list[dict] = []
+        for row in cand:
+            try:
+                sample_rows = read_sheet(bytes(row[0]), sheet)
+                break
+            except Exception:  # noqa: BLE001 — unreadable/missing sheet: try next payload
+                continue
         letters = sorted({k for r in sample_rows for k in r}, key=lambda s: (len(s), s))
         if header and sample_rows:
             names = [sample_rows[0].get(letter, letter) for letter in letters]
@@ -101,16 +110,10 @@ class ParseAsExcel(Directive):
 
         @pandas_udf(BooleanType())
         def readable(s: pd.Series) -> pd.Series:
-            def chk(p):
-                if p is None:
-                    return False
-                try:
-                    read_sheet(bytes(p), sheet)
-                    return True
-                except Exception:
-                    return False
-
-            return s.map(chk)
+            # sheet_exists is the light probe (zip directory + workbook.xml
+            # only), so routing doesn't fully parse every payload a second
+            # time before the real parse in run()
+            return s.map(lambda p: p is not None and sheet_exists(bytes(p), sheet))
 
         clean = ctx.route_errors(
             df, ~readable(F.col(col)), self.name, f"sheet '{sheet}' not found or unreadable workbook"
@@ -125,7 +128,10 @@ class ParseAsExcel(Directive):
             for pdf in batches:
                 out: list[dict] = []
                 for payload in pdf[col]:
-                    rows = read_sheet(bytes(payload), sheet)
+                    try:
+                        rows = read_sheet(bytes(payload), sheet)
+                    except Exception:  # noqa: BLE001 — passed the light probe but
+                        continue  # fails full parse (e.g. bad shared-string ref)
                     body = rows[1:] if header else rows
                     n = len(body)
                     for i, r in enumerate(body):

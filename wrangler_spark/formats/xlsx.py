@@ -24,6 +24,32 @@ def col_letter_to_index(letters: str) -> int:
     return n - 1
 
 
+def sheet_exists(payload: bytes, sheet: str | int = 0) -> bool:
+    """Cheap readability probe: open the zip, resolve the sheet from
+    workbook.xml, and XML-parse the worksheet entry — but skip the
+    shared-string table and all cell extraction (the bulk of read_sheet's
+    work). For the error-channel routing predicate that runs over EVERY
+    payload; read_sheet's remaining failure modes past this probe
+    (e.g. an out-of-range shared-string index) are guarded at the caller."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        sheets = [(s.get("name"), i + 1) for i, s in enumerate(wb.find("m:sheets", _NS) or [])]
+        if isinstance(sheet, int) or (isinstance(sheet, str) and sheet.isdigit()):
+            target = int(sheet) + 1
+        else:
+            target = next((idx for name, idx in sheets if name == sheet), None)
+            if target is None:
+                return False
+        sheet_path = f"xl/worksheets/sheet{target}.xml"
+        if sheet_path not in zf.namelist():
+            return False
+        ET.fromstring(zf.read(sheet_path))
+        return True
+    except Exception:  # noqa: BLE001 — any malformed container is unreadable
+        return False
+
+
 def read_sheet(payload: bytes, sheet: str | int = 0) -> list[dict[str, str]]:
     """Returns one dict per non-empty row: {column-letter: value-as-string}."""
     zf = zipfile.ZipFile(io.BytesIO(payload))
