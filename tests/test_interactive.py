@@ -81,3 +81,29 @@ def test_workspace_incremental(spark):
     assert ws.undo() == ["copy :v :v2"]
     assert [t[0] for t in ws.schema()] == ["id", "v"]
     assert ws.execute().values[1]["v"] == "B"
+
+
+def test_workspace_persistence_round_trip(spark, tmp_path):
+    """wrangler-storage role: a workspace (sample + directive list) saved
+    to a directory reloads with identical recipe, schema, and results."""
+    from wrangler_spark.interactive import Workspace, WorkspaceStore
+
+    df = spark.createDataFrame(
+        [("  Alice  ", "10"), ("BOB", "20"), ("carol", "x")], ["name", "amt"]
+    )
+    store = WorkspaceStore(spark, str(tmp_path / "workspaces"))
+    ws = Workspace("cleanup", df, limit=100)
+    ws.add("trim :name", "lowercase :name")
+    ws.add("set-type :amt integer")
+    store.save(ws)
+
+    assert store.list() == ["cleanup"]
+    back = store.load("cleanup")
+    assert back.recipe() == ws.recipe()
+    assert back.schema() == ws.schema()
+    a = sorted(r["name"] for r in back.execute().values)
+    b = sorted(r["name"] for r in ws.execute().values)
+    assert a == b == ["alice", "bob", "carol"]
+
+    assert store.delete("cleanup") is True
+    assert store.list() == [] and store.delete("cleanup") is False

@@ -96,3 +96,19 @@ def test_directive_mixes_formats_and_natural(spark):
     assert got["now"] is not None
     assert got["garbage"] is None
     assert got[None] is None
+
+
+def test_the_nth_of_month_and_weekday_prefix():
+    """Round-6 natty-form widening: 'the Nth of <month> <year>', weekday-
+    prefixed dates ('fri jan 3' — weekday is decoration, not validated),
+    with optional comma/time still composing."""
+    assert p("the 31st of december 2017") == datetime(2017, 12, 31, tzinfo=timezone.utc)
+    assert p("the 3rd of march") == datetime(2016, 3, 3, tzinfo=timezone.utc)
+    assert p("fri jan 3") == datetime(2016, 1, 3, tzinfo=timezone.utc)
+    assert p("friday, january 3 2020") == datetime(2020, 1, 3, tzinfo=timezone.utc)
+    assert p("wed september 7th 2016") == datetime(2016, 9, 7, tzinfo=timezone.utc)
+    assert p("sat 1st of may 2021 at 9:30 pm") == datetime(
+        2021, 5, 1, 21, 30, tzinfo=timezone.utc
+    )
+    # weekday alone (no date) is still not a date in this grammar
+    assert p("friday") is None

@@ -43,10 +43,15 @@ _MON = "|".join(sorted(_MONTHS, key=len, reverse=True))
 _WD = "|".join(sorted(_WEEKDAYS, key=len, reverse=True))
 _TIME = r"(?:\s+(?:at\s+)?(\d{1,2}):(\d{2})(?::(\d{2}))?\s*(am|pm)?)?"
 
+# optional leading weekday ("fri jan 3", "friday, january 3 2020"): natty
+# treats the weekday token as decoration — the month/day/year decide the
+# date, the weekday is not validated against it
+_WDP = rf"(?:(?:{_WD})\.?,?\s+)?"
 _RE_MDY = re.compile(
-    rf"^({_MON})\.?\s+(\d{{1,2}}){_ORD}(?:\s*,?\s*(\d{{4}}))?{_TIME}$", re.I)
+    rf"^{_WDP}({_MON})\.?\s+(\d{{1,2}}){_ORD}(?:\s*,?\s*(\d{{4}}))?{_TIME}$", re.I)
 _RE_DMY = re.compile(
-    rf"^(\d{{1,2}}){_ORD}\s+(?:of\s+)?({_MON})\.?(?:\s*,?\s*(\d{{4}}))?{_TIME}$", re.I)
+    rf"^{_WDP}(?:the\s+)?(\d{{1,2}}){_ORD}\s+(?:of\s+)?({_MON})\.?(?:\s*,?\s*(\d{{4}}))?{_TIME}$",
+    re.I)
 _RE_NEXT_LAST = re.compile(rf"^(next|last)\s+({_WD}|week|month|year)$", re.I)
 _RE_AGO = re.compile(r"^(\d+)\s+(\w+?)s?\s+ago$", re.I)
 _RE_IN = re.compile(r"^(?:in\s+)?(\d+)\s+(\w+?)s?\s+(?:from\s+now|hence)$|^in\s+(\d+)\s+(\w+)$", re.I)

@@ -6,10 +6,13 @@ as plain functions: same compiler, applied to a sample, no HTTP.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 from wrangler_spark.pipeline import Pipeline
 from wrangler_spark.statistics import basic_statistics
@@ -100,3 +103,61 @@ class Workspace:
     def recipe(self) -> str:
         """The accumulated recipe text — what ships to the pipeline."""
         return "\n".join(self.directives)
+
+    # --- persistence (the reference's wrangler-storage role: named
+    # workspaces survive the session; here JSON + parquet on a local or
+    # DFS path instead of a structured-storage service) ---
+
+    def save(self, root: str) -> str:
+        """Persist this workspace under ``root/<name>/``: the directive
+        list + metadata as workspace.json, the bounded sample as parquet
+        (small by construction — it is the design-time sample, not the
+        production input). Returns the workspace directory."""
+        wdir = os.path.join(root, self.name)
+        os.makedirs(wdir, exist_ok=True)
+        self._sample.write.mode("overwrite").parquet(os.path.join(wdir, "sample.parquet"))
+        meta = {"name": self.name, "directives": self.directives, "version": 1}
+        with open(os.path.join(wdir, "workspace.json"), "w", encoding="utf-8") as f:
+            json.dump(meta, f, indent=2)
+        return wdir
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str, name: str) -> "Workspace":
+        """Re-open a saved workspace: sample + directive list round-trip."""
+        wdir = os.path.join(root, name)
+        with open(os.path.join(wdir, "workspace.json"), encoding="utf-8") as f:
+            meta = json.load(f)
+        sample = spark.read.parquet(os.path.join(wdir, "sample.parquet"))
+        ws = cls(meta["name"], sample, limit=2**31 - 1)
+        ws.directives = list(meta["directives"])
+        return ws
+
+
+class WorkspaceStore:
+    """Directory of named workspaces (wrangler-storage's workspace index,
+    file-backed). list/save/load/delete — enough for a design session to
+    survive a restart and hand recipes between users via a shared path."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def list(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isfile(os.path.join(self.root, d, "workspace.json"))
+        )
+
+    def save(self, ws: Workspace) -> str:
+        return ws.save(self.root)
+
+    def load(self, name: str) -> Workspace:
+        return Workspace.load(self.spark, self.root, name)
+
+    def delete(self, name: str) -> bool:
+        wdir = os.path.join(self.root, name)
+        if not os.path.isfile(os.path.join(wdir, "workspace.json")):
+            return False
+        shutil.rmtree(wdir)
+        return True
