@@ -201,6 +201,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_flag": lambda s, d: Pipeline.compile(
             "dedup-minhash :doc_id :text 0.5"
         ).apply(docs(s, d)),
+        "dedup_minhash_cc": lambda s, d: dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(docs(s, d), "doc_id", "text", 5, 0.6),
         "dedup_simhash": lambda s, d: dedup.simhash(docs(s, d), "doc_id", "text", 32),
         "dedup_embedding": lambda s, d: dedup.embedding_dup_pairs(embs(s, d), "vec_id", "embedding", 0.0),
@@ -274,6 +275,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_exact": o.dedup_exact_sql(),
         "dedup_minhash_lsh": o.minhash_lsh_sql(0.5),
         "dedup_minhash_flag": o.minhash_dedup_sql(0.5),
+        "dedup_minhash_cc": o.minhash_components_sql(0.5),
         "dedup_ngram_jaccard": o.ngram_jaccard_sql(5, 0.6),
         "dedup_simhash": o.simhash_sql(32),
         "dedup_embedding": o.embedding_pairs_sql(0.0),
@@ -491,7 +493,10 @@ _R6_WINDOW = [
     "json_path",
     "parse_as_log",
     "split_url",
-    "split_to_columns",
+    # new this round (transitive near-dup clustering) — takes the last
+    # back-fill slot so it lands in the driver window immediately;
+    # split_to_columns (green r1-4, graded repeatedly) rotates out
+    "dedup_minhash_cc",
 ]
 
 

@@ -464,3 +464,143 @@ def _cosine(a: Column, b: Column) -> Column:
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
     return dot / (na * nb)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Transitive closure of a duplicate-pair graph: (id, component) for
+    every node appearing in ``pairs``, where component is the minimum id
+    reachable from the node (roots map to themselves).
+
+    Why this exists: the pair-based keep/drop flag (minhash_dedup) drops
+    any id that appears as the larger member of SOME verified pair — a
+    greedy rule that is not transitively closed. Production dedup
+    pipelines cluster first (so a~b, b~c lands a, b, c in ONE group with
+    one survivor) and keep one representative per component; that
+    clustering is a connected-components problem on a graph with billions
+    of edges, which is exactly what this operator solves without ever
+    materializing a component on one machine.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    published shuffle-native CC method. Per round:
+
+      large-star: for each node u, every strictly-larger neighbor v is
+        re-pointed at m = min(neighbors(u) + [u]) — long chains collapse
+        toward their minimum from every direction at once;
+      small-star: for each node u over its smaller neighbors N(u),
+        N(u) + [u] all re-point at m = min(N(u)) — turns the forest into
+        stars.
+
+    Both steps are a groupBy(node).min + an equi-join back on the same
+    key (the join reuses the aggregation's hash partitioning, so a round
+    is ~2 effective shuffles of the edge list, never more state per task
+    than one node's neighbor minimum — an O(1) aggregate, unlike
+    label-propagation variants that collect neighbor lists). Convergence
+    is O(log^2 n) rounds on ANY graph shape — a 10^9-node path graph
+    converges in ~30 steps where naive min-propagation needs 10^9.
+    Per-round edges are eagerly localCheckpoint-ed: the loop truncates
+    lineage (no exponentially growing plan) and the fingerprint
+    (count + xxhash64 sum) read from the checkpointed blocks decides
+    fixpoint at no extra scan cost.
+
+    Contract: ids must be non-null and mutually orderable (the component
+    representative is the Spark-sort minimum). Self-pairs and duplicate /
+    reversed edges are tolerated. Nodes that never appear in a pair are
+    absent from the output — callers that need every input row join back
+    (see minhash_components). Raises RuntimeError if ``max_rounds``
+    (default 25 ≈ log^2 of anything storable) rounds don't converge
+    rather than returning a partially-contracted graph."""
+    edges = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("b"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = None
+    for _ in range(max_rounds):
+        # large-star over both edge directions: (v, m) for every v > u
+        und = edges.select("a", "b").union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = und.groupBy("a").agg(F.min("b").alias("mn"))
+        large = (
+            und.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.least(F.col("a"), F.col("mn")).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: edges now all point large->small; every smaller
+        # neighbor AND u itself re-point at u's minimum neighbor
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(mins2, "a")
+            .select(F.col("b").alias("x"), F.col("m"))
+            .union(mins2.select(F.col("a").alias("x"), F.col("m")))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        edges = small.localCheckpoint(eager=True)
+        fp_row = edges.agg(
+            F.count(F.lit(1)).alias("c"),
+            # decimal sum: a long sum of 64-bit hashes overflows under ANSI
+            F.coalesce(F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)).alias("h"),
+        ).first()
+        fp = (fp_row["c"], fp_row["h"])
+        if fp == prev_fp:
+            # at the large/small-star fixpoint the edge set is a union of
+            # stars: every edge is (member, component-min)
+            return edges.select(F.col("a").alias("id"), F.col("b").alias("component")).union(
+                edges.select(F.col("b").alias("id"), F.col("b").alias("component")).distinct()
+            )
+        prev_fp = fp
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds; "
+        "the alternating-star fixpoint is O(log^2 n) — this graph either "
+        "has non-orderable ids or max_rounds was set far too low"
+    )
+
+
+def minhash_components(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
+    max_bucket_size: int = 100,
+) -> DataFrame:
+    """Cluster-grade near-dedup: (id, component, is_dup) for every input
+    row, where component is the duplicate CLUSTER representative (minimum
+    id reachable through verified MinHash near-dup pairs, transitively
+    closed via connected_components) and is_dup flags every non-
+    representative member.
+
+    Difference from minhash_dedup's pairwise flags: with pairs (a,b) and
+    (b,c) but no verified (a,c), the pairwise rule keeps a and drops b
+    and c without recording that they belonged together; here all three
+    share component=a, so downstream can keep one survivor per CLUSTER,
+    count cluster sizes, or audit what was merged — the contract of
+    production dedup pipelines (and what near-dup chains at 100 TB
+    actually look like).
+
+    Scale shape: pair generation is minhash_lsh_pairs' single-shuffle
+    bucketing; the closure is O(log^2 n) alternating-star rounds over the
+    (rare) pair edges only; the final left join back to the corpus is on
+    the corpus' own id key."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, max_bucket_size)
+    cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed("id", "__cc_id")
+    out = (
+        df.select(F.col(id_col))
+        .join(cc, F.col(id_col) == F.col("__cc_id"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            (F.coalesce(F.col("component"), F.col(id_col)) != F.col(id_col)).alias("is_dup"),
+        )
+    )
+    return out

@@ -454,3 +454,25 @@ SELECT token, tf, df, CAST(rank AS INT) AS rank FROM (
   FROM t JOIN d ON t.token = d.token)
 WHERE rank <= {k}
 """
+
+
+def minhash_components_sql(threshold: float = 0.5, table: str = "documents") -> str:
+    """Mirror of dedup.minhash_components: transitive closure of the
+    verified near-dup pairs via a recursive CTE (min reachable id =
+    component representative), then every corpus row joined back. The
+    Spark side computes the same closure with alternating large-star /
+    small-star rounds — algorithmically different, same fixpoint."""
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_sql(threshold, table)}),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+SELECT t.doc_id,
+       COALESCE(c.component, t.doc_id) AS component,
+       (COALESCE(c.component, t.doc_id) <> t.doc_id) AS is_dup
+FROM {table} t LEFT JOIN comp c ON t.doc_id = c.u
+"""
