@@ -296,6 +296,7 @@ def _datapipe_oracles() -> dict[str, str]:
             "substr(md5(text), 1, 12) AS md5_prefix FROM documents"
         ),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "ann_ivf_probe_topk": _ivf_oracle_sql(nprobe=2),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "text_vocabulary": o.vocabulary_sql(200),
@@ -308,10 +309,13 @@ def _datapipe_oracles() -> dict[str, str]:
     }
 
 
-def _ivf_oracle_sql(n_centroids: int = 8, k: int = 5, n_queries: int = 5) -> str:
+def _ivf_oracle_sql(
+    n_centroids: int = 8, k: int = 5, n_queries: int = 5, nprobe: int = 1
+) -> str:
     """Mirror of similarity.ivf_topk: centroids = first n vectors by id,
-    nearest-centroid assignment (cosine, ties by centroid id), probe only
-    the query's bucket."""
+    nearest-centroid assignment (cosine, ties by centroid id); each query
+    probes its ``nprobe`` nearest centroid buckets (corpus vectors always
+    live in exactly one)."""
     dot = "list_sum([{a}[i] * {b}[i] FOR i IN range(1, 65)])"
     def cos(a, b):
         d = dot.format(a=a, b=b)
@@ -328,8 +332,10 @@ assign AS (
     FROM c CROSS JOIN cent) WHERE rn = 1
 ),
 q AS (
-  SELECT c.vec_id AS query_id, c.v AS qv, a.centroid_id
-  FROM c JOIN assign a ON c.vec_id = a.vec_id WHERE c.vec_id < {n_queries}
+  SELECT vec_id AS query_id, qv, centroid_id FROM (
+    SELECT c.vec_id, c.v AS qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY {cos("c.v", "cent.zv")} DESC, cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent WHERE c.vec_id < {n_queries}) WHERE rn <= {nprobe}
 ),
 scored AS (
   SELECT q.query_id, c.vec_id, {cos("q.qv", "c.v")} AS cosine
@@ -587,6 +593,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_join": _q_ext_join,
         "sessionize": _q_sessionize,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_probe_topk": _q_ann_ivf_probe,
         "text_tokenize": _recipe_q("documents", "tokenize :text"),
         "text_vocabulary": _recipe_q("documents", "vocabulary :text 200"),
         "mask_shuffle": _recipe_q("part", "mask-number :p_size 'x#'\nmask-shuffle :p_name"),
@@ -757,6 +764,15 @@ def _q_ann_ivf(spark, sf_dir):
 
     embs = _t(spark, sf_dir, "embeddings")
     return ivf_topk(embs, embs.filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5)
+
+
+def _q_ann_ivf_probe(spark, sf_dir):
+    """IVF with nprobe=2: each query probes its two nearest centroid
+    buckets — the multi-probe recall knob over the same bucket join."""
+    from wrangler_spark.datapipe.similarity import ivf_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(embs, embs.filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5, nprobe=2)
 
 
 def _q_ext_union(spark, sf_dir):

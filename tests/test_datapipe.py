@@ -645,3 +645,38 @@ def test_decode_audio_stdlib_wav(spark):
         assert tuple(got2[3]) == (9, 8000, 80, 1, 0.01)
     finally:
         multimodal._DECODERS.pop("audio", None)
+
+
+def test_ivf_multiprobe_recall_and_degeneracy(spark):
+    """nprobe is the IVF recall knob: nprobe=1 stays the old single-bucket
+    behavior, larger nprobe can only add candidates (recall monotone in
+    nprobe), and nprobe = n_centroids probes everything — at that point
+    the result must EQUAL the exact brute-force cosine_topk."""
+    import random
+
+    rng = random.Random(19)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 6)
+
+    exact = sorted(map(tuple, similarity.cosine_topk(df, q, k=4).collect()))
+    full_probe = sorted(map(tuple, similarity.ivf_topk(df, q, 4, k=4, nprobe=4).collect()))
+    assert full_probe == exact
+
+    def best_cos(res):
+        out = {}
+        for r in res.collect():
+            if r["rank"] == 1:
+                out[r["query_id"]] = r["cosine"]
+        return out
+
+    one = best_cos(similarity.ivf_topk(df, q, 4, k=4, nprobe=1))
+    two = best_cos(similarity.ivf_topk(df, q, 4, k=4, nprobe=2))
+    for qid, c1 in one.items():
+        assert two[qid] >= c1  # more probed buckets never worsen the best hit
+
+    # trained path honors nprobe too (full probe == exact over trained buckets)
+    trained_full = sorted(
+        map(tuple, similarity.ivf_topk(df, q, 4, k=4, train_iters=1, nprobe=4, dim=8).collect())
+    )
+    assert trained_full == exact

@@ -245,6 +245,36 @@ def kmeans_centroids(
     return cent
 
 
+def _probe_assign(q: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """Top-``nprobe`` nearest centroids per query over prepared frames
+    (query_id, qv) x (centroid_id, zv): the FAISS-style multi-probe knob —
+    probing several buckets recovers the neighbors that fell just across
+    a Voronoi boundary from the query.
+
+    Same no-Window discipline as _topk_reduce/_assign_prepared: centroids
+    broadcast, per-query top-nprobe is collect_list over the C candidate
+    structs → array_sort → slice (C = n_centroids, bounded by design —
+    the centroid table must fit in a broadcast anyway), so no global sort
+    and per-query state is C structs. nprobe=1 reproduces
+    _assign_prepared's argmax exactly (same (is_null, -cos, centroid_id)
+    ordering and tie rule). Returns (query_id, centroid_id), ≤ nprobe
+    rows per query."""
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "centroid_id", F.round(_cosine(F.col("qv"), F.col("zv")), 6).alias("cos")
+    )
+    item = F.struct(
+        F.col("cos").isNull().cast("int").alias("z"),
+        (-F.col("cos")).alias("nc"),
+        F.col("centroid_id").alias("centroid_id"),
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, nprobe).alias("tk"))
+        .select("query_id", F.explode("tk").alias("it"))
+        .select("query_id", F.col("it.centroid_id").alias("centroid_id"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -255,26 +285,34 @@ def ivf_topk(
     train_iters: int = 0,
     query_batch: int = 4096,
     dim: int | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: probe only the query's centroid bucket. With
+    """IVF-style ANN: probe the query's ``nprobe`` nearest centroid
+    buckets (default 1 — the recall/latency knob of every IVF index; at
+    nprobe = n_centroids this degenerates to the exact full scan). With
     train_iters=0 the centroids are the first n_centroids corpus vectors
     by id (the deterministic no-training baseline); train_iters>0 runs
     that many spherical k-means iterations first (kmeans_centroids;
     ``dim``, when known, selects its unrolled recentering path).
-    Q is bounded per pass by ``query_batch`` (_topk_batched)."""
+    Q is bounded per pass by ``query_batch`` (_topk_batched).
+
+    Scale shape: corpus vectors carry exactly one centroid_id (argmax
+    assignment — at production scale, write the corpus PARTITIONED BY
+    centroid_id so probes are partition-pruned scans); a query appears
+    once per probed bucket, so the probe join fans the broadcast side out
+    ×nprobe while the corpus side is still touched only in the probed
+    buckets. Probed buckets are disjoint per query, so candidate (query,
+    vec) pairs never duplicate and the downstream top-k is unchanged."""
     if train_iters > 0:
         cent = kmeans_centroids(corpus, n_centroids, train_iters, id_col, vec_col, dim=dim)
         c_all = corpus.select(
             F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
         )
         assign = _assign_prepared(c_all, cent)
-        q_all = queries.select(
-            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
-        )
-        q_assign = _assign_prepared(q_all, cent).withColumnRenamed("vec_id", "query_id")
-        q = queries.select(
+        q_prep = queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-        ).join(q_assign, on="query_id")
+        )
+        q = q_prep.join(_probe_assign(q_prep, cent, nprobe), on="query_id")
         c = (
             corpus.withColumnRenamed(id_col, "vec_id")
             .join(assign, on="vec_id")
@@ -291,14 +329,15 @@ def ivf_topk(
 
         return _topk_batched(q, k, query_batch, scorer_t)
     centroids = corpus.orderBy(id_col).limit(n_centroids)
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("zv")
+    )
     assign = ivf_assign(corpus, centroids, id_col, vec_col)
     corpus_b = corpus.join(assign, on=id_col)
-    q_assign = ivf_assign(queries, centroids, id_col, vec_col).withColumnRenamed(
-        "vec_id", "query_id"
-    )
-    q = queries.select(
+    q_prep = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).join(q_assign, on="query_id")
+    )
+    q = q_prep.join(_probe_assign(q_prep, cent, nprobe), on="query_id")
     c = corpus_b.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"), "centroid_id"
     )
