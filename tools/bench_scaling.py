@@ -24,9 +24,9 @@ SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 REPLICAS = 10
 
 QUERIES = [
-    "cleanse_recipe", "dedup_exact", "dedup_minhash_lsh", "text_quality",
-    "pii_redact", "dedup_paragraphs", "decontaminate", "sample_by_quality",
-    "ann_cosine_topk",
+    "cleanse_recipe", "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_cc",
+    "text_quality", "pii_redact", "dedup_paragraphs", "decontaminate",
+    "sample_by_quality", "ann_cosine_topk",
 ]
 
 
