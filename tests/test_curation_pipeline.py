@@ -72,3 +72,58 @@ def test_full_curation_chain(spark, docs):
 
     # the funnel is monotone and ends non-empty
     assert n0 >= n1 >= n2 >= n3 >= n4 >= n5 > 0
+
+
+def test_substring_dup_spans_cross_doc(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"intro one {shared} outro one"),
+        (2, f"different lead {shared} different tail here"),
+        (3, "nothing in common with the others at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curation.substring_dup_spans(df, "doc_id", "text", window=8).collect()}
+    assert len(out) == 3
+    # docs 1 and 2 share the 8-token run -> both have covered spans
+    assert out[1]["n_covered"] >= 8 and out[2]["n_covered"] >= 8
+    assert out[3]["n_covered"] == 0 and out[3]["dup_ratio"] == 0.0
+    # the shared run is gone from the deduped text, the unique frame stays
+    assert "gamma delta" not in out[1]["text_deduped"]
+    assert "intro one" in out[1]["text_deduped"]
+    assert "different lead" in out[2]["text_deduped"]
+    assert out[3]["text_deduped"] == rows[2][1]
+
+
+def test_substring_dup_spans_within_doc_repetition(spark):
+    run = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"{run} filler middle words {run}")], "doc_id long, text string"
+    )
+    out = curation.substring_dup_spans(df, "doc_id", "text", window=8).collect()[0]
+    # the same 8-token window occurs twice inside one doc -> count > 1
+    assert out["n_covered"] >= 16
+    assert "three four" not in out["text_deduped"]
+    assert "filler middle words" in out["text_deduped"]
+
+
+def test_substring_dup_spans_short_docs_unscathed(spark):
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           curation.substring_dup_spans(df, "doc_id", "text", window=8).collect()}
+    # identical but below the window width: no window ever fires
+    for d in (1, 2):
+        assert out[d]["n_covered"] == 0
+        assert out[d]["text_deduped"] == "too short"
+        assert out[d]["n_tokens"] == 2
+
+
+def test_substring_dup_spans_full_coverage(spark):
+    t = "exactly eight tokens in this duplicated document body"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    out = curation.substring_dup_spans(df, "doc_id", "text", window=8).collect()
+    for r in out:
+        assert r["dup_ratio"] == 1.0
+        assert r["text_deduped"] == ""

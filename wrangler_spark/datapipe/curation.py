@@ -215,3 +215,80 @@ def sample_stratified(
     others = ~F.col(bucket_col).isin(list(rates)) & sample_hash(df, key_col, default_rate, salt)
     keep = others if keep is None else keep | others
     return df.filter(keep)
+
+
+def substring_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, window: int = 20
+) -> DataFrame:
+    """Exact substring-span dedup (the token-window variant of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): find every ``window``-token span whose exact normalized
+    text occurs more than once ANYWHERE in the corpus, and report/remove
+    the covered tokens. Returns one row per input doc:
+    (id, n_tokens, n_covered, dup_ratio, text_deduped) where
+    text_deduped is the doc with every covered token dropped.
+
+    Why span-level: paragraph_dedup (C4) only catches duplication that
+    respects paragraph boundaries; boilerplate (license headers,
+    navigation chrome, quoted chain-mail) duplicates MID-paragraph.
+    The suffix-array approach of the paper is single-node; the
+    distributed equivalent used here is the rolling window + inverted
+    index: fixed-width windows at every token position, md5 over the
+    window text, a count per window hash, and positions covered by any
+    window with count > 1 are duplicated spans. Divergence from the
+    paper, documented: ALL occurrences are removed (the paper keeps
+    one survivor) — for cross-corpus boilerplate that is usually the
+    wanted behavior, and keeping a canonical survivor would need a
+    global first-occurrence tie-break per span chain.
+
+    Scale shape — this op is LINEAR, unlike the pair-based dedups: the
+    window explode is n_tokens rows per doc (same order as tokenize),
+    the hash count is one map-side-combinable shuffle, the dup filter is
+    an equi-join back on the hash (inverted index), and per-doc coverage
+    is one more hash aggregation keyed by doc id. A span duplicated 10^9
+    times costs 10^9 join rows — linear in its occurrences, never the
+    k^2 of pair expansion. At 100 TB the only care is the md5 width: the
+    full 128-bit hex is the join key, so hash collisions are negligible
+    and no verification pass is needed."""
+    from wrangler_spark.datapipe.dedup import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("__sid"), toks.alias("t"))
+    w = int(window)
+    wins = F.when(
+        F.size("t") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (w - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(w)))).alias("wh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,wh:string>>"))
+    exploded = base.select("__sid", F.explode(wins).alias("s")).select(
+        "__sid", F.col("s.pos").alias("pos"), F.col("s.wh").alias("wh")
+    )
+    dup = exploded.groupBy("wh").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") > 1
+    ).select("wh")
+    cov = (
+        exploded.join(dup, "wh")
+        .select("__sid", F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1)).alias("span"))
+        .groupBy("__sid")
+        .agg(F.array_distinct(F.flatten(F.collect_list("span"))).alias("cp"))
+    )
+    joined = base.join(cov, "__sid", "left")
+    cp = F.coalesce(F.col("cp"), F.array().cast("array<int>"))
+    n_tokens = F.size("t")
+    n_covered = F.size(cp)
+    return joined.select(
+        F.col("__sid").alias(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_covered.cast("long").alias("n_covered"),
+        F.round(
+            n_covered.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"), 6
+        ).alias("dup_ratio"),
+        F.concat_ws(
+            " ", F.filter(F.col("t"), lambda x, i: ~F.array_contains(cp, i + F.lit(1)))
+        ).alias("text_deduped"),
+    )

@@ -476,3 +476,34 @@ SELECT t.doc_id,
        (COALESCE(c.component, t.doc_id) <> t.doc_id) AS is_dup
 FROM {table} t LEFT JOIN comp c ON t.doc_id = c.u
 """
+
+
+def substring_dup_sql(window: int = 20, table: str = "documents") -> str:
+    """Mirror of curation.substring_dup_spans: rolling token windows,
+    md5 per window, count > 1 anywhere in the corpus = duplicated span,
+    covered tokens dropped from text_deduped."""
+    w = int(window)
+    return f"""
+WITH tk AS (SELECT doc_id, {_WORDS} AS t FROM {table}),
+wins AS (
+  SELECT doc_id, s.pos AS pos, s.wh AS wh FROM (
+    SELECT doc_id,
+           unnest([struct_pack(pos := i,
+                               wh := md5(array_to_string(list_slice(t, i, i + {w - 1}), ' ')))
+                   FOR i IN range(1, len(t) - {w} + 2)]) AS s
+    FROM tk WHERE len(t) >= {w})
+),
+dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) > 1),
+cov AS (
+  SELECT doc_id, list_distinct(flatten(list(range(pos, pos + {w})))) AS cp
+  FROM wins JOIN dup USING (wh) GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       len(tk.t)::BIGINT AS n_tokens,
+       coalesce(len(c.cp), 0)::BIGINT AS n_covered,
+       round(coalesce(len(c.cp), 0)::DOUBLE / greatest(len(tk.t), 1)::DOUBLE, 6) AS dup_ratio,
+       coalesce(array_to_string([tk.t[i] FOR i IN range(1, len(tk.t) + 1)
+                                 IF NOT list_contains(coalesce(c.cp, CAST([] AS BIGINT[])), i)],
+                                ' '), '') AS text_deduped
+FROM tk LEFT JOIN cov c USING (doc_id)
+"""
