@@ -127,3 +127,40 @@ def test_substring_dup_spans_full_coverage(spark):
     for r in out:
         assert r["dup_ratio"] == 1.0
         assert r["text_deduped"] == ""
+
+
+def test_dsir_target_affinity(spark):
+    # target distribution: cooking text; raw pool: cooking + legal
+    cooking = [
+        "whisk the eggs with butter and fold in the flour gently",
+        "simmer the onions in olive oil until golden and fragrant",
+        "knead the dough and let it rest before baking the bread",
+    ]
+    legal = [
+        "the party of the first part hereby waives all claims",
+        "pursuant to the agreement the licensee shall indemnify the licensor",
+    ]
+    raw_rows = [(i, t) for i, t in enumerate(cooking + legal)]
+    tgt_rows = [(100 + i, t) for i, t in enumerate(cooking)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in
+           curation.dsir_logratio(raw, tgt, "doc_id", "text", buckets=512).collect()}
+    assert len(out) == 5
+    cook_scores = [out[i]["dsir_lr"] for i in range(3)]
+    legal_scores = [out[i]["dsir_lr"] for i in range(3, 5)]
+    # every cooking doc outscores every legal doc under a cooking target
+    assert min(cook_scores) > max(legal_scores)
+    # n_feat = unigrams + bigrams = 2*len(words) - 1 for these clean texts
+    for i, t in raw_rows:
+        assert out[i]["n_feat"] == 2 * len(t.split()) - 1
+
+
+def test_dsir_feature_less_docs_null(spark):
+    raw = spark.createDataFrame([(1, "some words here"), (2, "")], "doc_id long, text string")
+    tgt = spark.createDataFrame([(9, "some words here")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curation.dsir_logratio(raw, tgt, "doc_id", "text", buckets=64).collect()}
+    assert out[2]["dsir_lr"] is None and out[2]["n_feat"] is None
+    assert out[1]["dsir_lr"] is not None

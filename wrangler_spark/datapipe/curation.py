@@ -292,3 +292,88 @@ def substring_dup_spans(
             " ", F.filter(F.col("t"), lambda x, i: ~F.array_contains(cp, i + F.lit(1)))
         ).alias("text_deduped"),
     )
+
+
+def _hashed_ngram_features(df: DataFrame, id_col: str, text_col: str, buckets: int) -> DataFrame:
+    """Hashed unigram+bigram features per doc: (id, b) with one row per
+    feature OCCURRENCE, b = 28-bit md5 hash of the feature string mod
+    ``buckets`` (the cross-engine base hash shared with the DuckDB
+    oracles). The hashing trick bounds the model size at ``buckets``
+    regardless of corpus vocabulary."""
+    from wrangler_spark.datapipe.dedup import _hash28, normalize_text
+
+    t = F.split(normalize_text(F.col(text_col)), " ")
+    uni = F.filter(t, lambda w: w != "")
+    bi = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + F.lit(1))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("__id"), F.concat(uni, bi).alias("fs"))
+        .select("__id", F.explode("fs").alias("f"))
+        .select("__id", F.pmod(_hash28(F.col("f")), F.lit(int(buckets))).alias("b"))
+    )
+
+
+def dsir_logratio(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 10_000,
+    out_col: str = "dsir_lr",
+) -> DataFrame:
+    """DSIR importance weight (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much more likely its hashed n-gram features are under the
+    TARGET distribution than under the RAW distribution —
+    log w(x) = Σ_features [ln p_target(b) − ln p_raw(b)], add-one
+    smoothed over ``buckets`` hash buckets. Positive = looks like the
+    target corpus (keep/upsample for training), negative = looks like
+    generic raw crawl. Adds ``out_col`` (null for feature-less docs) and
+    ``n_feat``; all raw columns pass through. Resampling itself composes
+    with sample_hash/sample_stratified on a bucketed ``out_col``.
+
+    Scale shape: two hash-aggregations build the bucket-count tables (one
+    over each corpus — the target is typically tiny), the per-bucket
+    log-ratio table is at most ``buckets`` rows and BROADCASTs to the
+    scoring join, and the per-doc reduce is an integer micro-unit sum
+    (map-side partials; same determinism contract as unigram_logprob:
+    per-feature weight rounded to round(·×1e6) as long BEFORE summing so
+    parallel order can't drift; N_target/N_raw are driver scalars baked
+    as literals). The raw corpus is scanned twice (feature counts +
+    scoring) — at 100 TB persist the bucket table and reuse it."""
+    B = int(buckets)
+    rawf = _hashed_ngram_features(raw, id_col, text_col, B)
+    tgtf = _hashed_ngram_features(target, id_col, text_col, B)
+    cr = rawf.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr")).localCheckpoint(
+        eager=True
+    )
+    ct = tgtf.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("ct")).localCheckpoint(
+        eager=True
+    )
+    n_raw = cr.agg(F.sum("cr")).collect()[0][0] or 0
+    n_tgt = ct.agg(F.sum("ct")).collect()[0][0] or 0
+    w = F.round(
+        (
+            F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double") / F.lit(float(n_tgt + B)))
+            - F.log((F.col("cr") + F.lit(1)).cast("double") / F.lit(float(n_raw + B)))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    # every bucket a raw doc can hit is in cr by construction
+    wtab = cr.join(ct, "b", "left").select("b", w.alias("w"))
+    per_doc = (
+        rawf.join(F.broadcast(wtab), "b")
+        .groupBy("__id")
+        .agg(F.sum("w").alias("__sum"), F.count(F.lit(1)).cast("long").alias("n_feat"))
+        .select(
+            "__id",
+            F.round(F.col("__sum").cast("double") / F.lit(1e6), 6).alias(out_col),
+            "n_feat",
+        )
+    )
+    return raw.join(per_doc, F.col(id_col) == F.col("__id"), "left").drop("__id")

@@ -507,3 +507,37 @@ SELECT tk.doc_id,
                                 ' '), '') AS text_deduped
 FROM tk LEFT JOIN cov c USING (doc_id)
 """
+
+
+def dsir_sql(buckets: int = 4096, table: str = "documents") -> str:
+    """Mirror of curation.dsir_logratio with target = the doc_id % 7 == 0
+    subset of the same table (the demo query's deterministic 'target
+    corpus'). N_raw/N_tgt are scalar subqueries — exact integers equal to
+    the Spark path's driver literals; per-feature weights integerized to
+    micro-units before the per-doc sum."""
+    B = int(buckets)
+    h = _H.format(s="f")
+    return f"""
+WITH rw AS (SELECT doc_id, {_WORDS} AS t FROM {table}),
+feats AS (
+  SELECT doc_id, unnest(list_concat(
+      list_filter(t, w -> w <> ''),
+      [t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))])) AS f
+  FROM rw
+),
+bf AS (SELECT doc_id, ({h}) % {B} AS b FROM feats),
+cr AS (SELECT b, count(*)::BIGINT AS cr FROM bf GROUP BY b),
+ct AS (SELECT b, count(*)::BIGINT AS ct FROM bf WHERE doc_id % 7 = 0 GROUP BY b),
+nn AS (SELECT (SELECT coalesce(sum(cr), 0) FROM cr) AS nr,
+              (SELECT coalesce(sum(ct), 0) FROM ct) AS nt),
+wtab AS (
+  SELECT cr.b,
+         CAST(round((ln((coalesce(ct.ct, 0) + 1)::DOUBLE / (nn.nt + {B})::DOUBLE)
+                   - ln((cr.cr + 1)::DOUBLE / (nn.nr + {B})::DOUBLE)) * 1e6) AS BIGINT) AS w
+  FROM cr LEFT JOIN ct USING (b) CROSS JOIN nn
+),
+agg AS (SELECT bf.doc_id, sum(w)::BIGINT AS s, count(*)::BIGINT AS n_feat
+        FROM bf JOIN wtab USING (b) GROUP BY bf.doc_id)
+SELECT d.*, round(a.s::DOUBLE / 1e6, 6) AS dsir_lr, a.n_feat
+FROM {table} d LEFT JOIN agg a USING (doc_id)
+"""
