@@ -111,6 +111,27 @@ def main() -> int:
         must_not=["SortMergeJoin", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 10. multi-probe IVF obeys the same no-Window ANN discipline as the
+    # other three ANN paths
+    p = plan_of(qs["ann_ivf_probe_topk"](spark, SF_DIR))
+    problems += check("ann_ivf_probe_topk", p, must=["Broadcast"], must_not=["Window"])
+
+    # 11. substring-span dedup is all native (explode + hash agg +
+    # equi-join inverted index): no Python, no window, no nested-loop
+    p = plan_of(qs["dedup_substring"](spark, SF_DIR))
+    problems += check(
+        "dedup_substring", p,
+        must_not=["BatchEvalPython", "ArrowEvalPython", "Window", "CartesianProduct"],
+    )
+
+    # 12. DSIR scoring join broadcasts the bucket weight table (≤ B rows);
+    # the corpus side must never sort-merge against it
+    p = plan_of(qs["text_dsir"](spark, SF_DIR))
+    problems += check(
+        "text_dsir", p, must=["BroadcastHashJoin"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:
