@@ -502,13 +502,14 @@ _R6_WINDOW = [
     "text_gopher_quality",
     "expression_el",
     "dq_checks",
-    "json_path",
-    "parse_as_log",
-    "split_url",
-    # new this round (transitive near-dup clustering) — takes the last
-    # back-fill slot so it lands in the driver window immediately;
-    # split_to_columns (green r1-4, graded repeatedly) rotates out
+    # new this round — take the last four back-fill slots so they land
+    # in the driver window immediately; json_path / parse_as_log /
+    # split_url / split_to_columns (all green r1-4, graded repeatedly)
+    # rotate out and stay covered by tools/oracle_parity.py
     "dedup_minhash_cc",
+    "dedup_substring",
+    "text_dsir",
+    "ann_ivf_probe_topk",
 ]
 
 

@@ -43,6 +43,10 @@ EXTRA_QUERIES = [
     "decontaminate",       # gram explode + broadcast join
     "sample_by_quality",   # quality score + hash-gated sampling
     "text_gopher_quality", # HOF-heavy native text rules
+    # Added round 6
+    "dedup_minhash_cc",    # MinHash pairs -> connected-components closure
+    "dedup_substring",     # rolling-window inverted-index span dedup
+    "text_dsir",           # hashed-ngram importance weights, broadcast scoring
 ]
 
 

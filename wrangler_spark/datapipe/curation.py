@@ -302,7 +302,16 @@ def _hashed_ngram_features(df: DataFrame, id_col: str, text_col: str, buckets: i
     regardless of corpus vocabulary."""
     from wrangler_spark.datapipe.dedup import _hash28, normalize_text
 
-    t = F.split(normalize_text(F.col(text_col)), " ")
+    # materialize the token array BEFORE the lambdas reference it: handing
+    # the raw split(regexp_replace(...)) expression to the bigram transform
+    # lets Catalyst inline the full normalization into every element_at —
+    # O(n_tokens) regex re-evaluations per doc (measured 16 s for 5k docs
+    # vs sub-second with the projection boundary)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("t"),
+    )
+    t = F.col("t")
     uni = F.filter(t, lambda w: w != "")
     bi = F.when(
         F.size(t) >= 2,
@@ -311,9 +320,19 @@ def _hashed_ngram_features(df: DataFrame, id_col: str, text_col: str, buckets: i
             lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + F.lit(1))),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # explode_OUTER, not explode: InferFiltersFromGenerate synthesizes a
+    # `size(child) > 0 AND isnotnull(child)` pre-filter under a plain
+    # explode and inlines the whole feature expression into it — the
+    # per-doc cost triples and, worse, the inlining dissolves the
+    # projection boundary above so every element_at re-runs the split+
+    # regexp normalization (measured: 7.6 s warm for a 536k-feature
+    # corpus vs 0.6 s without the inferred filter). outer generates are
+    # exempt from that rule; the cheap post-explode null filter restores
+    # identical semantics (feature-less docs drop out)
     return (
-        df.select(F.col(id_col).alias("__id"), F.concat(uni, bi).alias("fs"))
-        .select("__id", F.explode("fs").alias("f"))
+        base.select("__id", F.concat(uni, bi).alias("fs"))
+        .select("__id", F.explode_outer("fs").alias("f"))
+        .filter(F.col("f").isNotNull())
         .select("__id", F.pmod(_hash28(F.col("f")), F.lit(int(buckets))).alias("b"))
     )
 
@@ -337,35 +356,46 @@ def dsir_logratio(
     ``n_feat``; all raw columns pass through. Resampling itself composes
     with sample_hash/sample_stratified on a bucketed ``out_col``.
 
-    Scale shape: two hash-aggregations build the bucket-count tables (one
-    over each corpus — the target is typically tiny), the per-bucket
+    Scale shape: ONE fused hash-aggregation builds both bucket-count
+    columns (raw ∪ target with a flag column — one explode pass, one
+    shuffle, one checkpoint job instead of two of each); the per-bucket
     log-ratio table is at most ``buckets`` rows and BROADCASTs to the
     scoring join, and the per-doc reduce is an integer micro-unit sum
     (map-side partials; same determinism contract as unigram_logprob:
     per-feature weight rounded to round(·×1e6) as long BEFORE summing so
-    parallel order can't drift; N_target/N_raw are driver scalars baked
-    as literals). The raw corpus is scanned twice (feature counts +
-    scoring) — at 100 TB persist the bucket table and reuse it."""
+    parallel order can't drift). N_target/N_raw are a 1-row aggregate of
+    the checkpointed counts table cross-joined in broadcast — no driver
+    collect, exactly the oracle's scalar subqueries. The raw corpus is
+    scanned twice (fused counts + scoring) — at 100 TB persist the
+    bucket table and reuse it."""
     B = int(buckets)
     rawf = _hashed_ngram_features(raw, id_col, text_col, B)
     tgtf = _hashed_ngram_features(target, id_col, text_col, B)
-    cr = rawf.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr")).localCheckpoint(
-        eager=True
+    feats = rawf.withColumn("__is_t", F.lit(0)).unionByName(
+        tgtf.withColumn("__is_t", F.lit(1))
     )
-    ct = tgtf.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("ct")).localCheckpoint(
-        eager=True
+    counts = (
+        feats.groupBy("b")
+        .agg(
+            F.sum(1 - F.col("__is_t")).cast("long").alias("cr"),
+            F.sum("__is_t").cast("long").alias("ct"),
+        )
+        .localCheckpoint(eager=True)
     )
-    n_raw = cr.agg(F.sum("cr")).collect()[0][0] or 0
-    n_tgt = ct.agg(F.sum("ct")).collect()[0][0] or 0
+    nn = counts.agg(
+        F.sum("cr").cast("long").alias("nr"), F.sum("ct").cast("long").alias("nt")
+    )
     w = F.round(
         (
-            F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double") / F.lit(float(n_tgt + B)))
-            - F.log((F.col("cr") + F.lit(1)).cast("double") / F.lit(float(n_raw + B)))
+            F.log((F.col("ct") + F.lit(1)).cast("double") / (F.col("nt") + F.lit(B)).cast("double"))
+            - F.log((F.col("cr") + F.lit(1)).cast("double") / (F.col("nr") + F.lit(B)).cast("double"))
         )
         * F.lit(1e6)
     ).cast("long")
-    # every bucket a raw doc can hit is in cr by construction
-    wtab = cr.join(ct, "b", "left").select("b", w.alias("w"))
+    # every bucket a raw doc can hit has cr >= 1 by construction; buckets
+    # only the target hits (cr=0) never join to a raw doc, so keeping
+    # them in wtab is harmless
+    wtab = counts.crossJoin(F.broadcast(nn)).select("b", w.alias("w"))
     per_doc = (
         rawf.join(F.broadcast(wtab), "b")
         .groupBy("__id")
