@@ -203,10 +203,14 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).apply(docs(s, d)),
         "dedup_minhash_cc": lambda s, d: dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(docs(s, d), "doc_id", "text", 5, 0.6),
+        "dedup_ngram_word": lambda s, d: dedup.ngram_jaccard_pairs(
+            docs(s, d), "doc_id", "text", 3, 0.5, unit="word"
+        ),
         "dedup_substring": lambda s, d: curation.substring_dup_spans(docs(s, d), "doc_id", "text", 8),
         "text_dsir": lambda s, d: curation.dsir_logratio(
             docs(s, d), docs(s, d).filter(F.col("doc_id") % 7 == 0), "doc_id", "text", 4096
         ),
+        "pack_sequences": lambda s, d: curation.pack_sequences(docs(s, d), "doc_id", "text", 512),
         "dedup_simhash": lambda s, d: dedup.simhash(docs(s, d), "doc_id", "text", 32),
         "dedup_embedding": lambda s, d: dedup.embedding_dup_pairs(embs(s, d), "vec_id", "embedding", 0.0),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
@@ -282,7 +286,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_minhash_cc": o.minhash_components_sql(0.5),
         "dedup_substring": o.substring_dup_sql(8),
         "text_dsir": o.dsir_sql(4096),
+        "pack_sequences": o.pack_sequences_sql(512),
         "dedup_ngram_jaccard": o.ngram_jaccard_sql(5, 0.6),
+        "dedup_ngram_word": o.ngram_jaccard_sql(3, 0.5, unit="word"),
         "dedup_simhash": o.simhash_sql(32),
         "dedup_embedding": o.embedding_pairs_sql(0.0),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),

@@ -164,3 +164,33 @@ def test_dsir_feature_less_docs_null(spark):
            curation.dsir_logratio(raw, tgt, "doc_id", "text", buckets=64).collect()}
     assert out[2]["dsir_lr"] is None and out[2]["n_feat"] is None
     assert out[1]["dsir_lr"] is not None
+
+
+def test_pack_sequences_matches_serial_reference(spark):
+    import re
+
+    rows = [(i, " ".join(f"tok{j}" for j in range(i % 37))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curation.pack_sequences(df, "doc_id", "text", seq_len=64).collect()}
+
+    tok_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+")
+    run = 0
+    for i, t in rows:
+        n = len(tok_re.findall(t))
+        r = out[i]
+        assert r["n_tokens"] == n
+        assert r["start_pos"] == run
+        assert r["seq_id"] == run // 64 and r["seq_offset"] == run % 64
+        want_span = 0 if n == 0 else (run + n - 1) // 64 - run // 64 + 1
+        assert r["n_seqs"] == want_span
+        run += n
+
+
+def test_pack_sequences_partition_invariant(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + i % 11))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, curation.pack_sequences(df, "doc_id", "text", 32, range_partitions=1).collect()))
+    b = sorted(map(tuple, curation.pack_sequences(df, "doc_id", "text", 32, range_partitions=7).collect()))
+    c = sorted(map(tuple, curation.pack_sequences(df, "doc_id", "text", 32, range_partitions=64).collect()))
+    assert a == b == c

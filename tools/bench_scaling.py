@@ -25,8 +25,8 @@ REPLICAS = 10
 
 QUERIES = [
     "cleanse_recipe", "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_cc",
-    "text_quality", "pii_redact", "dedup_paragraphs", "decontaminate",
-    "sample_by_quality", "ann_cosine_topk",
+    "dedup_ngram_word", "text_quality", "pii_redact", "dedup_paragraphs",
+    "decontaminate", "sample_by_quality", "ann_cosine_topk",
 ]
 
 

@@ -407,3 +407,76 @@ def dsir_logratio(
         )
     )
     return raw.join(per_doc, F.col(id_col) == F.col("__id"), "left").drop("__id")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 2048,
+    range_partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing for pretraining batches: lay every document out on
+    the concatenated token stream (deterministic doc_id order) and report
+    where it lands when the stream is chunked into fixed ``seq_len``
+    sequences — the standard concat-then-chunk packing of GPT-style
+    pretraining, where documents may straddle sequence boundaries.
+    Returns (id, n_tokens, start_pos, seq_id, seq_offset, n_seqs) with
+    start_pos = exclusive prefix sum of token counts in id order,
+    seq_id = start_pos // seq_len, seq_offset = start_pos % seq_len,
+    n_seqs = number of sequences the doc touches (0 for empty docs).
+    Token counts use the shared TOKEN_RE regex (text.token_count).
+
+    Scale shape — the whole op is a DISTRIBUTED PREFIX SUM, never a
+    global window: a ``Window.orderBy(id)`` would funnel the entire
+    corpus through ONE reducer for the running total (the same
+    scale-killer the ANN top-k rewrite removed). Instead:
+      1. range-repartition by id (parallel sort; ascending ranges land
+         in ascending partition ids — repartitionByRange's contract);
+      2. per-partition running totals via a window PARTITIONED BY the
+         physical partition id — embarrassingly parallel;
+      3. per-partition totals (one row each) get their exclusive offsets
+         from a window over that P-row aggregate — P is the partition
+         count, driver-bounded tiny — broadcast-joined back.
+    Every shuffle is bounded; the only serial state is the P-row offset
+    table. This is the textbook two-phase scan (Blelloch) expressed in
+    DataFrame ops."""
+    from wrangler_spark.datapipe.text import TOKEN_RE
+
+    P = int(range_partitions or df.sparkSession.sparkContext.defaultParallelism)
+    L = int(seq_len)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).cast("long").alias("n_tokens"),
+    )
+    ranged = base.repartitionByRange(P, "__id").withColumn("__pid", F.spark_partition_id())
+    local = ranged.withColumn(
+        "__local",
+        F.sum("n_tokens").over(
+            Window.partitionBy("__pid").orderBy("__id").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).withColumn("__local", F.coalesce(F.col("__local"), F.lit(0)))
+    totals = ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("__tot"))
+    offs = totals.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__tot").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__pid", "__off")
+    start = F.col("__local") + F.col("__off")
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            start.alias("start_pos"),
+            F.floor(start / L).cast("long").alias("seq_id"),
+            (start % L).cast("long").alias("seq_offset"),
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                F.floor((start + F.col("n_tokens") - 1) / L) - F.floor(start / L) + 1
+            ).cast("long").alias("n_seqs"),
+        )
+    )

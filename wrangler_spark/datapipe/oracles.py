@@ -76,10 +76,15 @@ def ngram_jaccard_sql(
     threshold: float = 0.6,
     max_gram_df: int | float | None = 0.5,
     table: str = "documents",
+    unit: str = "char",
 ) -> str:
     """Mirror of dedup.ngram_jaccard_pairs incl. stop-gram pruning: a float
     cap is corpus-relative (max(2, ceil(frac·N_docs))), an int absolute,
-    None disables; per-doc gram counts are taken AFTER pruning."""
+    None disables; per-doc gram sets are taken AFTER pruning. Scoring
+    matches the Spark side's hashed verification: Jaccard over the
+    DISTINCT 28-bit gram hashes (same base hash), candidates = any
+    shared gram (a lossless superset of the Spark prefix filter —
+    verification decides membership identically)."""
     if max_gram_df is None:
         prune_ctes, inv_src = "", "inv0"
     else:
@@ -100,25 +105,40 @@ def ngram_jaccard_sql(
             "inv1 AS (SELECT inv0.id, inv0.g FROM inv0 JOIN keep USING (g)),\n"
         )
         inv_src = "inv1"
-    return f"""
-WITH norm AS (SELECT doc_id AS id, {_NORM} AS t FROM {table}),
-gr AS (
+    if unit == "char":
+        gr_cte = f"""gr AS (
   SELECT id,
     CASE WHEN len(t) >= {n}
       THEN list_distinct([substr(t, i, {n}) FOR i IN range(1, len(t) - {n - 1} + 1)])
       ELSE [t] END AS grams
   FROM norm
-),
+)"""
+    else:
+        gr_cte = f"""wr AS (SELECT id, string_split(t, ' ') AS w FROM norm),
+gr AS (
+  SELECT id,
+    CASE WHEN len(w) >= {n}
+      THEN list_distinct([array_to_string(list_slice(w, i, i + {n - 1}), ' ') FOR i IN range(1, len(w) - {n} + 2)])
+      ELSE [array_to_string(w, ' ')] END AS grams
+  FROM wr
+)"""
+    return f"""
+WITH norm AS (SELECT doc_id AS id, {_NORM} AS t FROM {table}),
+{gr_cte},
 inv0 AS (SELECT id, unnest(grams) AS g FROM gr),
-{prune_ctes}ngc AS (SELECT id, count(*) AS ng FROM {inv_src} GROUP BY id),
-inv AS (SELECT i.id, i.g, ngc.ng FROM {inv_src} i JOIN ngc USING (id)),
-shared AS (
-  SELECT l.id AS id_a, r.id AS id_b, count(*) AS shared, any_value(l.ng) AS na, any_value(r.ng) AS nb
-  FROM inv l JOIN inv r ON l.g = r.g AND l.id < r.id
-  GROUP BY l.id, r.id
+{prune_ctes}hsets AS (
+  SELECT id, list_distinct(list({_H.format(s='g')})) AS hs FROM {inv_src} GROUP BY id
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM {inv_src} l JOIN {inv_src} r ON l.g = r.g AND l.id < r.id
 )
-SELECT id_a, id_b, round(shared::DOUBLE / (na + nb - shared)::DOUBLE, 6) AS jaccard
-FROM shared WHERE round(shared::DOUBLE / (na + nb - shared)::DOUBLE, 6) >= {threshold}
+SELECT id_a, id_b,
+  round(len(list_intersect(a.hs, b.hs))::DOUBLE
+        / len(list_distinct(list_concat(a.hs, b.hs)))::DOUBLE, 6) AS jaccard
+FROM cand JOIN hsets a ON cand.id_a = a.id JOIN hsets b ON cand.id_b = b.id
+WHERE round(len(list_intersect(a.hs, b.hs))::DOUBLE
+            / len(list_distinct(list_concat(a.hs, b.hs)))::DOUBLE, 6) >= {threshold}
 """
 
 
@@ -540,4 +560,29 @@ agg AS (SELECT bf.doc_id, sum(w)::BIGINT AS s, count(*)::BIGINT AS n_feat
         FROM bf JOIN wtab USING (b) GROUP BY bf.doc_id)
 SELECT d.*, round(a.s::DOUBLE / 1e6, 6) AS dsir_lr, a.n_feat
 FROM {table} d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def pack_sequences_sql(seq_len: int = 2048, table: str = "documents") -> str:
+    """Mirror of curation.pack_sequences: exclusive prefix sum of TOKEN_RE
+    token counts in doc_id order, chunked into seq_len sequences. The
+    oracle uses a single global window (fine for DuckDB's single node);
+    the Spark side computes the same prefix sum with the two-phase
+    distributed scan."""
+    L = int(seq_len)
+    return f"""
+WITH tc AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT AS n_tokens FROM {table}
+),
+pre AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_pos
+  FROM tc
+)
+SELECT doc_id, n_tokens, start_pos,
+       (start_pos // {L})::BIGINT AS seq_id,
+       (start_pos % {L})::BIGINT AS seq_offset,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE ((start_pos + n_tokens - 1) // {L}) - (start_pos // {L}) + 1 END::BIGINT AS n_seqs
+FROM pre
 """
