@@ -194,3 +194,13 @@ def test_pack_sequences_partition_invariant(spark):
     b = sorted(map(tuple, curation.pack_sequences(df, "doc_id", "text", 32, range_partitions=7).collect()))
     c = sorted(map(tuple, curation.pack_sequences(df, "doc_id", "text", 32, range_partitions=64).collect()))
     assert a == b == c
+
+
+def test_new_datapipe_directives_run(spark, docs):
+    out = Pipeline.compile("dedup-minhash-cluster :doc_id :text 0.5").apply(docs)
+    assert set(out.columns) == {"doc_id", "component", "is_dup"}
+    assert out.count() == docs.count()
+    out = Pipeline.compile("dedup-substring :doc_id :text 8").apply(docs)
+    assert {"n_covered", "dup_ratio", "text_deduped"} <= set(out.columns)
+    out = Pipeline.compile("pack-sequences :doc_id :text 256").apply(docs)
+    assert {"start_pos", "seq_id", "seq_offset", "n_seqs"} <= set(out.columns)

@@ -256,3 +256,75 @@ class UnigramLogprob(Directive):
             ctx.resolve(df, self.args["text"]),
             int(self.args["vocab"]),
         )
+
+
+@directive
+class DedupMinhashCluster(Directive):
+    """dedup-minhash-cluster :id :text [threshold] — transitive near-dedup
+    clustering: MinHash pairs closed via distributed connected components →
+    (id, component, is_dup) with one surviving representative per cluster."""
+
+    name = "dedup-minhash-cluster"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("threshold", TokenType.NUMERIC, optional=True, default=0.5),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.dedup import minhash_components
+
+        return minhash_components(
+            df,
+            ctx.resolve(df, self.args["id"]),
+            ctx.resolve(df, self.args["text"]),
+            float(self.args["threshold"]),
+        )
+
+
+@directive
+class DedupSubstring(Directive):
+    """dedup-substring :id :text [window] — strip token spans duplicated
+    anywhere in the corpus (rolling-window exact substring dedup) →
+    (id, n_tokens, n_covered, dup_ratio, text_deduped)."""
+
+    name = "dedup-substring"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("window", TokenType.NUMERIC, optional=True, default=20),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import substring_dup_spans
+
+        return substring_dup_spans(
+            df,
+            ctx.resolve(df, self.args["id"]),
+            ctx.resolve(df, self.args["text"]),
+            int(self.args["window"]),
+        )
+
+
+@directive
+class PackSequences(Directive):
+    """pack-sequences :id :text [seq_len] — concat-then-chunk pretraining
+    layout: token-stream position, sequence id/offset and span per doc via
+    a distributed prefix sum."""
+
+    name = "pack-sequences"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("seq_len", TokenType.NUMERIC, optional=True, default=2048),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import pack_sequences
+
+        return pack_sequences(
+            df,
+            ctx.resolve(df, self.args["id"]),
+            ctx.resolve(df, self.args["text"]),
+            int(self.args["seq_len"]),
+        )
