@@ -502,8 +502,8 @@ _R6_WINDOW = [
     "source_filter",
     "text_langid",
     "text_quality",
-    "text_token_count",
-    "text_fingerprint",
+    "dedup_ngram_word",
+    "pack_sequences",
     "text_repetition",
     "text_gopher_quality",
     "expression_el",
