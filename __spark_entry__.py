@@ -186,6 +186,13 @@ def _q_send_to_error(spark, sf_dir):
     return Pipeline.compile(recipe).apply(_t(spark, sf_dir, "customer"))
 
 
+_BM25_QUERIES = [
+    (1, "spark shuffle partitions"),
+    (2, "the quick brown fox"),
+    (3, "customer order lineitem revenue"),
+]
+
+
 def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from wrangler_spark.datapipe import curation, dedup, similarity, text
 
@@ -211,6 +218,11 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), docs(s, d).filter(F.col("doc_id") % 7 == 0), "doc_id", "text", 4096
         ),
         "pack_sequences": lambda s, d: curation.pack_sequences(docs(s, d), "doc_id", "text", 512),
+        "text_bm25": lambda s, d: text.bm25_scores(
+            docs(s, d),
+            s.createDataFrame(_BM25_QUERIES, "query_id long, query string"),
+            "doc_id", "text",
+        ),
         "dedup_simhash": lambda s, d: dedup.simhash(docs(s, d), "doc_id", "text", 32),
         "dedup_embedding": lambda s, d: dedup.embedding_dup_pairs(embs(s, d), "vec_id", "embedding", 0.0),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
@@ -287,6 +299,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_substring": o.substring_dup_sql(8),
         "text_dsir": o.dsir_sql(4096),
         "pack_sequences": o.pack_sequences_sql(512),
+        "text_bm25": o.bm25_sql(_BM25_QUERIES),
         "dedup_ngram_jaccard": o.ngram_jaccard_sql(5, 0.6),
         "dedup_ngram_word": o.ngram_jaccard_sql(3, 0.5, unit="word"),
         "dedup_simhash": o.simhash_sql(32),

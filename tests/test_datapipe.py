@@ -680,3 +680,55 @@ def test_ivf_multiprobe_recall_and_degeneracy(spark):
         map(tuple, similarity.ivf_topk(df, q, 4, k=4, train_iters=1, nprobe=4, dim=8).collect())
     )
     assert trained_full == exact
+
+
+def test_bm25_against_serial_reference(spark):
+    import math
+
+    docs_rows = [
+        (1, "spark shuffle partitions and spark executors"),
+        (2, "the cat sat on the mat"),
+        (3, "shuffle the deck of cards"),
+        (4, "unrelated text entirely here"),
+    ]
+    q_rows = [(10, "spark shuffle")]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    qs = spark.createDataFrame(q_rows, "query_id long, query string")
+    out = {(r["query_id"], r["doc_id"]): r["bm25"] for r in
+           text.bm25_scores(docs, qs, "doc_id", "text").collect()}
+
+    # serial reference
+    k1, b = 1.2, 0.75
+    toks = {i: t.lower().split() for i, t in docs_rows}
+    N = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / N
+    terms = ["spark", "shuffle"]
+    df_ = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    want = {}
+    for i, w in toks.items():
+        s = 0
+        for t in terms:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (N - df_[t] + 0.5) / (df_[t] + 0.5))
+            s += round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(w) / avgdl)) * 1e6)
+        if s:
+            want[(10, i)] = round(s / 1e6, 6)
+    assert out == want
+    # doc 1 (two query terms, one twice) outranks doc 3 (one term)
+    assert out[(10, 1)] > out[(10, 3)]
+    assert (10, 4) not in out  # no matching term -> no row
+
+
+def test_bm25_multiple_queries_independent(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(1, "alpha"), (2, "gamma")], "query_id long, query string"
+    )
+    out = text.bm25_scores(docs, qs, "doc_id", "text").collect()
+    got = {(r["query_id"], r["doc_id"]) for r in out}
+    assert got == {(1, 1), (2, 2), (2, 3)}

@@ -132,6 +132,14 @@ def main() -> int:
         must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
     )
 
+    # 13. BM25: query terms and the df table broadcast; the corpus-side
+    # dl join is the only wide join and must be an equi-join (no cartesian)
+    p = plan_of(qs["text_bm25"](spark, SF_DIR))
+    problems += check(
+        "text_bm25", p, must=["BroadcastHashJoin"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:

@@ -586,3 +586,43 @@ SELECT doc_id, n_tokens, start_pos,
             ELSE ((start_pos + n_tokens - 1) // {L}) - (start_pos // {L}) + 1 END::BIGINT AS n_seqs
 FROM pre
 """
+
+
+def bm25_sql(
+    queries: list[tuple[int, str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """Mirror of text.bm25_scores for a literal query list: same
+    normalization/tokenization (_WORDS), Lucene-style idf, micro-unit
+    integerized per-term contributions summed per (query, doc)."""
+    qvals = ", ".join(f"({qid}, '{qt}')" for qid, qt in queries)
+    return f"""
+WITH dw AS (SELECT doc_id AS id, {_WORDS} AS w FROM {table}),
+dls AS (SELECT id, len(w)::BIGINT AS dl FROM dw),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dls),
+qraw (qid, qtext) AS (VALUES {qvals}),
+qn AS (SELECT qid, string_split(regexp_replace(lower(trim(qtext)), '\\s+', ' ', 'g'), ' ') AS qw FROM qraw),
+terms AS (SELECT DISTINCT qid, unnest(qw) AS term FROM qn WHERE len(qw) > 0),
+terms_f AS (SELECT qid, term FROM terms WHERE term <> ''),
+tset AS (SELECT DISTINCT term FROM terms_f),
+tok AS (SELECT id, unnest(w) AS term FROM dw),
+tf AS (
+  SELECT tok.id, tok.term, count(*)::BIGINT AS tf
+  FROM tok JOIN tset USING (term) WHERE tok.term <> '' GROUP BY tok.id, tok.term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.id, tf.term,
+         CAST(round(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {float(k1) + 1.0})
+           / (tf.tf + {float(k1)} * ({1.0 - float(b)} + {float(b)} * dls.dl / stats.avgdl))
+           * 1e6) AS BIGINT) AS c
+  FROM tf JOIN dfreq USING (term) JOIN dls ON tf.id = dls.id CROSS JOIN stats
+)
+SELECT t.qid AS query_id, c.id AS doc_id, round(sum(c.c)::DOUBLE / 1e6, 6) AS bm25
+FROM contrib c JOIN terms_f t USING (term)
+GROUP BY t.qid, c.id
+"""

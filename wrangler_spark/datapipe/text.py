@@ -282,3 +282,94 @@ def vocabulary(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("token", "tf", "df", "rank")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against every query
+    (Robertson et al.; the Lucene-style non-negative idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5))). Returns (query_id, id, bm25) for
+    every (query, doc) pair with at least one matching term — the
+    retrieval primitive behind search-based decontamination, RAG corpus
+    audits, and relevance-filtered selection.
+
+    Scale shape: the query term set is exploded, distinct-ed and
+    BROADCAST (query workloads are tiny next to a 100 TB corpus); the
+    corpus-side plan is token explode → broadcast semi-join on the term →
+    per (doc, term) tf count → broadcast joins to the per-term df table
+    and the 1-row (N, avgdl) aggregate — the only wide shuffles are
+    count-shaped hash aggregations with map-side partials. Per-term
+    contributions are integerized to micro-units (round(·×1e6) as long)
+    BEFORE the per-doc sum, the repo-wide cross-engine determinism
+    contract, so Spark's parallel sum order cannot drift from the serial
+    DuckDB oracle.
+
+    Doc length uses the whitespace token count of the normalized text
+    (the same tokenization that produces the terms, so dl = Σ tf)."""
+    k1 = float(k1)
+    b = float(b)
+    docs_w = _with_words(df, text_col).select(
+        F.col(id_col).alias("__id"), F.col(_W).alias("__w")
+    )
+    # dl from the SAME token array; one row per doc, reused by scoring
+    dls = docs_w.select("__id", F.size("__w").cast("long").alias("dl"))
+    stats = dls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    terms = (
+        _with_words(queries, query_text_col)
+        .select(F.col(query_id_col).alias("__qid"), F.explode(F.col(_W)).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    term_set = terms.select("term").distinct()
+    tok = docs_w.select("__id", F.explode_outer("__w").alias("term")).filter(
+        F.col("term").isNotNull() & (F.col("term") != "")
+    )
+    # tf only for query terms (broadcast semi-join keeps the corpus narrow)
+    tf = (
+        tok.join(F.broadcast(term_set), "term")
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = F.round(
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        # dls is corpus-sized (one row per doc) — an equi-join on the doc
+        # id, never a broadcast
+        .join(dls, "__id")
+        .crossJoin(F.broadcast(stats))
+        .select("__id", "term", contrib.alias("__c"))
+        .join(F.broadcast(terms), "term")
+        .groupBy("__qid", "__id")
+        .agg(F.sum("__c").alias("__s"))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__id").alias(id_col),
+            F.round(F.col("__s").cast("double") / F.lit(1e6), 6).alias("bm25"),
+        )
+    )
+    return scored
