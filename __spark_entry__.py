@@ -517,7 +517,7 @@ _R6_WINDOW = [
     "text_quality",
     "dedup_ngram_word",
     "pack_sequences",
-    "text_repetition",
+    "text_bm25",
     "text_gopher_quality",
     "expression_el",
     "dq_checks",
