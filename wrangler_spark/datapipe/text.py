@@ -317,11 +317,11 @@ def bm25_scores(
     k1 = float(k1)
     b = float(b)
     docs_w = _with_words(df, text_col).select(
-        F.col(id_col).alias("__id"), F.col(_W).alias("__w")
+        F.col(id_col).alias("__id"),
+        F.col(_W).alias("__w"),
+        F.size(F.col(_W)).cast("long").alias("dl"),
     )
-    # dl from the SAME token array; one row per doc, reused by scoring
-    dls = docs_w.select("__id", F.size("__w").cast("long").alias("dl"))
-    stats = dls.agg(
+    stats = docs_w.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
@@ -332,14 +332,18 @@ def bm25_scores(
         .distinct()
     )
     term_set = terms.select("term").distinct()
-    tok = docs_w.select("__id", F.explode_outer("__w").alias("term")).filter(
+    # dl rides the token rows so scoring needs NO join back to the corpus
+    # (an equi-join against a per-doc dl table would shuffle the corpus
+    # a second time); explode_outer per the repo-wide
+    # InferFiltersFromGenerate discipline
+    tok = docs_w.select("__id", "dl", F.explode_outer("__w").alias("term")).filter(
         F.col("term").isNotNull() & (F.col("term") != "")
     )
     # tf only for query terms (broadcast semi-join keeps the corpus narrow)
     tf = (
         tok.join(F.broadcast(term_set), "term")
         .groupBy("__id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     idf = F.log(
@@ -358,9 +362,6 @@ def bm25_scores(
     ).cast("long")
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        # dls is corpus-sized (one row per doc) — an equi-join on the doc
-        # id, never a broadcast
-        .join(dls, "__id")
         .crossJoin(F.broadcast(stats))
         .select("__id", "term", contrib.alias("__c"))
         .join(F.broadcast(terms), "term")
