@@ -225,6 +225,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_simhash": lambda s, d: dedup.simhash(docs(s, d), "doc_id", "text", 32),
         "dedup_embedding": lambda s, d: dedup.embedding_dup_pairs(embs(s, d), "vec_id", "embedding", 0.0),
+        "dedup_embedding_cc": lambda s, d: dedup.embedding_components(embs(s, d), "vec_id", "embedding", 0.0),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), "vec_id", "embedding", 10
         ),
@@ -304,6 +305,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_ngram_word": o.ngram_jaccard_sql(3, 0.5, unit="word"),
         "dedup_simhash": o.simhash_sql(32),
         "dedup_embedding": o.embedding_pairs_sql(0.0),
+        "dedup_embedding_cc": o.embedding_components_sql(0.0),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
         "text_quality": o.quality_sql(),

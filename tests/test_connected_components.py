@@ -150,3 +150,28 @@ def test_component_column_survivor_counts(spark):
         for r in connected_components(df).groupBy("component").agg(F.count("*").alias("n")).collect()
     }
     assert sizes == {1: 4, 7: 2}
+
+
+def test_embedding_components_chain(spark):
+    from wrangler_spark.datapipe.dedup import embedding_components
+
+    # a, b, c sit on a drift chain: cos(a,b) and cos(b,c) are high but
+    # cos(a,c) is lower; with a permissive threshold all three must land
+    # in one component via transitivity, with the min id surviving
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.4, 0.0, 0.0]),
+        (3, [0.6, 0.8, 0.0, 0.0]),
+        (10, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["component"], r["is_dup"]) for r in
+           embedding_components(df, "vec_id", "embedding", 0.8).collect()}
+    assert len(out) == 4
+    assert out[1] == (1, False)
+    assert out[10] == (10, False)
+    # 2 links to 1; whether 3 joins depends on the LSH bucketing, but if
+    # it pairs with anyone its component must be 1
+    assert out[2][0] in (1, 2)
+    if out[3][1]:
+        assert out[3][0] == 1

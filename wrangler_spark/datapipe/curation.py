@@ -426,6 +426,8 @@ def pack_sequences(
     seq_id = start_pos // seq_len, seq_offset = start_pos % seq_len,
     n_seqs = number of sequences the doc touches (0 for empty docs).
     Token counts use the shared TOKEN_RE regex (text.token_count).
+    Ids must be unique and orderable — the layout is defined by the total
+    id order, and duplicate ids would make the prefix sum ambiguous.
 
     Scale shape — the whole op is a DISTRIBUTED PREFIX SUM, never a
     global window: a ``Window.orderBy(id)`` would funnel the entire

@@ -708,3 +708,27 @@ def minhash_components(
         )
     )
     return out
+
+
+def embedding_components(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Transitive clusters over embedding-cosine near-dup pairs: the
+    hyperplane-LSH pair generator (embedding_dup_pairs) closed with
+    connected_components, then every input row joined back —
+    (id, component, is_dup), the embedding-space counterpart of
+    minhash_components. Chains of drifted embeddings (a~b, b~c with
+    cos(a,c) below threshold) land in ONE cluster with one surviving
+    representative — what pair flags alone cannot express."""
+    pairs = embedding_dup_pairs(df, id_col, vec_col, threshold)
+    cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed("id", "__cc_id")
+    return (
+        df.select(F.col(id_col))
+        .join(cc, F.col(id_col) == F.col("__cc_id"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            (F.coalesce(F.col("component"), F.col(id_col)) != F.col(id_col)).alias("is_dup"),
+        )
+    )

@@ -626,3 +626,22 @@ SELECT t.qid AS query_id, c.id AS doc_id, round(sum(c.c)::DOUBLE / 1e6, 6) AS bm
 FROM contrib c JOIN terms_f t USING (term)
 GROUP BY t.qid, c.id
 """
+
+
+def embedding_components_sql(threshold: float = 0.9, table: str = "embeddings") -> str:
+    """Mirror of dedup.embedding_components: recursive-CTE closure of the
+    hyperplane-LSH verified pairs (same shape as minhash_components_sql)."""
+    return f"""
+WITH RECURSIVE pairs AS ({embedding_pairs_sql(threshold, table)}),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+SELECT t.vec_id,
+       COALESCE(c.component, t.vec_id) AS component,
+       (COALESCE(c.component, t.vec_id) <> t.vec_id) AS is_dup
+FROM {table} t LEFT JOIN comp c ON t.vec_id = c.u
+"""
