@@ -235,6 +235,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             train_iters=2, dim=64,
         ),
         "text_langid": lambda s, d: Pipeline.compile("langid :text").apply(docs(s, d)),
+        "text_langid_multi": lambda s, d: text.langid_multi(docs(s, d), "text"),
         "text_unigram_lp": lambda s, d: Pipeline.compile(
             "unigram-logprob :doc_id :text 2000"
         ).apply(docs(s, d)),
@@ -308,6 +309,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_embedding_cc": o.embedding_components_sql(0.0),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
+        "text_langid_multi": o.langid_multi_sql(),
         "text_quality": o.quality_sql(),
         "text_token_count": o.token_count_sql(),
         "text_fingerprint": o.fingerprint_sql(),

@@ -732,3 +732,23 @@ def test_bm25_multiple_queries_independent(spark):
     out = text.bm25_scores(docs, qs, "doc_id", "text").collect()
     got = {(r["query_id"], r["doc_id"]) for r in out}
     assert got == {(1, 1), (2, 2), (2, 3)}
+
+
+def test_langid_multi_separates_languages(spark):
+    rows = [
+        (1, "the cat is on the table and it was a good day for the dog"),
+        (2, "el gato es un animal y la casa es grande por lo que al fin"),
+        (3, "le chat est dans la maison et il est pour une bonne journée"),
+        (4, "der hund ist in dem haus und das ist ein gutes tier für mich"),
+        (5, "zzz qqq xxx yyy www vvv"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["lang_pred"], r["lang_score"]) for r in
+           text.langid_multi(df, "text").collect()}
+    assert out[1][0] == "en"
+    assert out[2][0] == "es"
+    assert out[3][0] == "fr"
+    assert out[4][0] == "de"
+    assert out[5][0] == "unknown" and out[5][1] < 0.05
+    for d in (1, 2, 3, 4):
+        assert out[d][1] >= 0.05

@@ -645,3 +645,28 @@ SELECT t.vec_id,
        (COALESCE(c.component, t.vec_id) <> t.vec_id) AS is_dup
 FROM {table} t LEFT JOIN comp c ON t.vec_id = c.u
 """
+
+
+def langid_multi_sql(min_ratio: float = 0.05, table: str = "documents") -> str:
+    """Mirror of text.langid_multi: per-language stopword densities,
+    struct-sort argmax ((-density, code) ascending), threshold to
+    'unknown'. Same LANG_STOPWORDS constants."""
+    from wrangler_spark.datapipe.constants import LANG_STOPWORDS
+
+    items = []
+    for lang in sorted(LANG_STOPWORDS):
+        lst = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+        r = (
+            f"round(len(list_filter(w, x -> list_contains({lst}, x)))::DOUBLE"
+            f" / greatest(len(w), 1)::DOUBLE, 6)"
+        )
+        items.append(f"struct_pack(nr := -{r}, l := '{lang}')")
+    arr = "[" + ", ".join(items) + "]"
+    return f"""
+WITH wrd AS (SELECT *, {_WORDS} AS w FROM {table}),
+scored AS (SELECT *, list_sort({arr})[1] AS best FROM wrd)
+SELECT doc_id, text, lang, source, n_chars,
+       CASE WHEN -best.nr >= {float(min_ratio)} THEN best.l ELSE 'unknown' END AS lang_pred,
+       round(-best.nr, 6) AS lang_score
+FROM scored
+"""

@@ -374,3 +374,45 @@ def bm25_scores(
         )
     )
     return scored
+
+
+def langid_multi(
+    df: DataFrame, text_col: str, out_col: str = "lang_pred", min_ratio: float = 0.05
+) -> DataFrame:
+    """Multi-language stopword-profile LID: density of each language's
+    function words (constants.LANG_STOPWORDS: en/es/fr/de/it/pt), argmax
+    wins (ties to the lexically-smaller code), 'unknown' below
+    ``min_ratio``. Adds ``out_col`` and lang_score (the winning density).
+    The cheap-LID baseline — a real pipeline swaps in fastText via the
+    same column contract, but this one is deterministic, dependency-free
+    and SQL-oracle-able.
+
+    Scale shape: per-row array filters against 6 broadcast-literal word
+    lists — scan-side, zero shuffle, whole-stage codegen. The argmax is
+    the repo's struct-sort idiom (array_sort over (-density, code)
+    structs), never a window."""
+    from wrangler_spark.datapipe.constants import LANG_STOPWORDS
+
+    staged = _with_words(df, text_col)
+    words = F.col(_W)
+    n = F.greatest(F.size(words), F.lit(1)).cast("double")
+    def matcher(sw):
+        # factory, not a default-arg lambda: pyspark reads the lambda's
+        # arity, so `lambda w, s=sw` would register as the 2-arg
+        # (element, index) form (same pitfall as minhash_signature.mh)
+        return lambda w: F.array_contains(sw, w)
+
+    items = []
+    for lang in sorted(LANG_STOPWORDS):
+        swarr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        r = F.round(F.size(F.filter(words, matcher(swarr))).cast("double") / n, 6)
+        items.append(F.struct((-r).alias("nr"), F.lit(lang).alias("l")))
+    best = F.array_sort(F.array(*items)).getItem(0)
+    score = F.round(-best["nr"], 6)
+    return (
+        staged.withColumn(
+            out_col, F.when(score >= F.lit(float(min_ratio)), best["l"]).otherwise(F.lit("unknown"))
+        )
+        .withColumn("lang_score", score)
+        .drop(_W)
+    )
