@@ -140,6 +140,14 @@ def main() -> int:
         must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
     )
 
+    # 14. multi-language LID is scan-side only: no shuffle, no Python,
+    # no window — the whole argmax lives in one projection
+    p = plan_of(qs["text_langid_multi"](spark, SF_DIR))
+    problems += check(
+        "text_langid_multi", p,
+        must_not=["Exchange", "Window", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:
