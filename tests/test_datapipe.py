@@ -752,3 +752,24 @@ def test_langid_multi_separates_languages(spark):
     assert out[5][0] == "unknown" and out[5][1] < 0.05
     for d in (1, 2, 3, 4):
         assert out[d][1] >= 0.05
+
+
+def test_ann_recall_full_probe_is_one(spark):
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(df, q, k=4)
+    full = similarity.ivf_topk(df, q, 4, k=4, nprobe=4)
+    one = similarity.ivf_topk(df, q, 4, k=4, nprobe=1)
+    r_full = {r["query_id"]: r["recall"] for r in similarity.ann_recall(exact, full).collect()}
+    r_one = {r["query_id"]: r["recall"] for r in similarity.ann_recall(exact, one).collect()}
+    assert all(v == 1.0 for v in r_full.values())
+    assert set(r_one) == set(r_full)
+    assert all(0.0 <= r_one[qid] <= 1.0 for qid in r_one)
+    # an empty approx result scores 0, not an error
+    empty = exact.filter(F.lit(False))
+    r0 = {r["query_id"]: r["recall"] for r in similarity.ann_recall(exact, empty).collect()}
+    assert all(v == 0.0 for v in r0.values())

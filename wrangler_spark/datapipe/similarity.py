@@ -393,3 +393,33 @@ def semdedup(
         a.join(dropped, a["vec_id"] == dropped["id_b"], "left")
         .select("vec_id", "centroid_id", F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"))
     )
+
+
+def ann_recall(
+    exact: DataFrame, approx: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the tuning companion to ivf_topk's n_centroids/nprobe knobs. Both
+    inputs are (query_id, vec_id, cosine, rank) frames (cosine_topk /
+    ivf_topk output). Returns one row per query (query_id, n_exact,
+    n_hit, recall) plus the convention that a query absent from
+    ``approx`` scores 0.
+
+    Scale shape: top-k result sets are k rows per query — two
+    hash-aggregated collects to per-query id sets, one equi-join on
+    query_id, set intersection per row. No window, no corpus access."""
+    lim = (lambda d: d.filter(F.col("rank") <= int(k))) if k else (lambda d: d)
+    ex = lim(exact).groupBy("query_id").agg(F.collect_set("vec_id").alias("__e"))
+    ap = lim(approx).groupBy("query_id").agg(F.collect_set("vec_id").alias("__a"))
+    hit = F.size(F.array_intersect(F.col("__e"), F.coalesce(F.col("__a"), F.array())))
+    return (
+        ex.join(ap, "query_id", "left")
+        .select(
+            "query_id",
+            F.size("__e").cast("long").alias("n_exact"),
+            hit.cast("long").alias("n_hit"),
+            F.round(
+                hit.cast("double") / F.greatest(F.size("__e"), F.lit(1)).cast("double"), 6
+            ).alias("recall"),
+        )
+    )
