@@ -773,3 +773,39 @@ def test_ann_recall_full_probe_is_one(spark):
     empty = exact.filter(F.lit(False))
     r0 = {r["query_id"]: r["recall"] for r in similarity.ann_recall(exact, empty).collect()}
     assert all(v == 0.0 for v in r0.values())
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct as _s
+
+    return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _make_mp4(timescale=1000, duration=12500, tracks=2, version=0) -> bytes:
+    import struct as _s
+
+    if version == 0:
+        mvhd = bytes([0, 0, 0, 0]) + _s.pack(">II", 0, 0) + _s.pack(
+            ">II", timescale, duration
+        ) + b"\x00" * 80
+    else:
+        mvhd = bytes([1, 0, 0, 0]) + _s.pack(">QQ", 0, 0) + _s.pack(
+            ">I", timescale
+        ) + _s.pack(">Q", duration) + b"\x00" * 80
+    moov = _mp4_box(b"mvhd", mvhd) + b"".join(
+        _mp4_box(b"trak", b"\x00" * 16) for _ in range(tracks)
+    )
+    return _mp4_box(b"ftyp", b"isom" + b"\x00" * 8) + _mp4_box(b"moov", moov)
+
+
+def test_mp4_meta_and_decode_video(spark):
+    assert multimodal.mp4_meta(_make_mp4()) == (12.5, 2, "isom")
+    assert multimodal.mp4_meta(_make_mp4(90000, 90000 * 3, 1, version=1)) == (3.0, 1, "isom")
+    assert multimodal.mp4_meta(b"not a video at all") is None
+    assert multimodal.mp4_meta(_mp4_box(b"ftyp", b"isom")) is None  # no moov
+
+    rows = [(1, _make_mp4()), (2, b"garbage"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["video"] for r in multimodal.decode_video(df).collect()}
+    assert got[1]["duration_sec"] == 12.5 and got[1]["n_tracks"] == 2 and got[1]["brand"] == "isom"
+    assert got[2] is None and got[3] is None

@@ -86,6 +86,72 @@ def default_audio_decoder(b: bytes) -> tuple[int, int, int, int] | None:
         return None
 
 
+def mp4_meta(b: bytes) -> tuple[float, int, str] | None:
+    """(duration_sec, n_tracks, brand) from an MP4/ISO-BMFF container:
+    walk the top-level box list to `moov`, read `mvhd` (version 0:
+    32-bit timescale/duration at +12; version 1: 64-bit duration after a
+    64-bit ctime/mtime pair) and count `trak` children. Pure struct over
+    the box headers — no sample decode (that needs a codec library,
+    registered via register_decoder("video", ...))."""
+    def boxes(buf: bytes, start: int, end: int):
+        off = start
+        while off + 8 <= end:
+            size, = struct.unpack(">I", buf[off:off + 4])
+            btype = buf[off + 4:off + 8]
+            if size == 1:  # 64-bit largesize
+                if off + 16 > end:
+                    return
+                size, = struct.unpack(">Q", buf[off + 8:off + 16])
+                hdr = 16
+            else:
+                hdr = 8
+            if size < hdr or off + size > end:
+                return
+            yield btype, off + hdr, off + size
+            off += size
+
+    if len(b) < 16:
+        return None
+    brand = None
+    moov = None
+    for btype, s, e in boxes(b, 0, len(b)):
+        if btype == b"ftyp" and e - s >= 4:
+            brand = b[s:s + 4].decode("ascii", "replace").strip()
+        elif btype == b"moov":
+            moov = (s, e)
+    if moov is None:
+        return None
+    duration = None
+    n_tracks = 0
+    for btype, s, e in boxes(b, moov[0], moov[1]):
+        if btype == b"mvhd":
+            ver = b[s]
+            try:
+                if ver == 0 and e - s >= 20:
+                    timescale, dur = struct.unpack(">II", b[s + 12:s + 20])
+                elif ver == 1 and e - s >= 32:
+                    timescale, = struct.unpack(">I", b[s + 20:s + 24])
+                    dur, = struct.unpack(">Q", b[s + 24:s + 32])
+                else:
+                    return None
+            except struct.error:
+                return None
+            if timescale <= 0:
+                return None
+            duration = round(dur / timescale, 6)
+        elif btype == b"trak":
+            n_tracks += 1
+    if duration is None:
+        return None
+    return (float(duration), int(n_tracks), brand or "")
+
+
+def default_video_decoder(b: bytes) -> tuple[float, int, str] | None:
+    """Stdlib video metadata decoder: MP4/ISO-BMFF container headers;
+    other containers / sample decode need a registered decoder."""
+    return mp4_meta(b)
+
+
 def register_decoder(kind: str, fn: Callable[[bytes], Any]) -> None:
     _DECODERS[kind.lower()] = fn
 
@@ -206,6 +272,37 @@ def decode_audio(df: DataFrame, payload_col: str = "payload", out_col: str = "au
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf[out_col] = pdf[payload_col].map(to_row)
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def decode_video(df: DataFrame, payload_col: str = "payload", out_col: str = "video") -> DataFrame:
+    """Decode video container payloads → struct(duration_sec, n_tracks,
+    brand). Uses the registered 'video' decoder when present (ffmpeg/
+    opencv for real frame work), else the stdlib MP4 box parser;
+    undecodable payloads get a null struct, the row is kept. Same
+    mapInPandas Arrow-streaming shape as decode_image/decode_audio."""
+    dec = _DECODERS.get("video", default_video_decoder)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(
+                out_col,
+                T.StructType(
+                    [
+                        T.StructField("duration_sec", T.DoubleType()),
+                        T.StructField("n_tracks", T.IntegerType()),
+                        T.StructField("brand", T.StringType()),
+                    ]
+                ),
+            )
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[payload_col].map(lambda b: None if b is None else dec(b))
             yield pdf
 
     return df.mapInPandas(run, out_schema)
