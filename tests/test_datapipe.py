@@ -809,3 +809,23 @@ def test_mp4_meta_and_decode_video(spark):
     got = {r["doc_id"]: r["video"] for r in multimodal.decode_video(df).collect()}
     assert got[1]["duration_sec"] == 12.5 and got[1]["n_tracks"] == 2 and got[1]["brand"] == "isom"
     assert got[2] is None and got[3] is None
+
+
+def test_ngram_replica_mode_matches_exact_below_cap(spark):
+    # below the star-link cap the replica-mode candidate generator must
+    # produce the identical pair set as the exact self-join path
+    rows = [(i, f"shared words that repeat in every doc plus marker {i % 4} "
+                f"and some more text to gram over nicely")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", 3, 0.5, unit="word").collect()))
+    capped = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", 3, 0.5, unit="word", max_gram_group=100).collect()))
+    assert exact == capped and len(exact) > 0
+    # star-linking (tiny cap) keeps every pair that still shares a
+    # below-cap gram — on this corpus the marker grams are rare, so the
+    # within-marker-group pairs must survive
+    starred = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", 3, 0.5, unit="word", max_gram_group=5).collect()))
+    assert set(starred) <= set(exact)

@@ -293,6 +293,7 @@ def minhash_dedup(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.6,
     max_gram_df: int | float | None = 0.5, unit: str = "char",
+    max_gram_group: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dups via an inverted-index equi-join: only
     pairs sharing at least one n-gram are ever scored. ``unit`` picks the
@@ -402,12 +403,10 @@ def ngram_jaccard_pairs(
     # grams sorted by a global rarest-first order (df asc, gram asc),
     # two docs with Jaccard >= t over those sets MUST share a gram
     # within their first ng - ceil(t*ng) + 1 grams — so only that
-    # prefix is indexed for the candidate self-join, and prefixes hold
+    # prefix is indexed for candidate generation, and prefixes hold
     # only the RAREST grams, whose k^2 is small wherever the df
-    # distribution has a rare tail. The join also applies PPJoin's size
-    # filter — Jaccard >= t forces t·max(|A|,|B|) <= min(|A|,|B|), so
-    # size-incompatible docs never pair. Both filters are LOSSLESS for
-    # the capped-set Jaccard this op scores.
+    # distribution has a rare tail. LOSSLESS for the capped-set Jaccard
+    # this op scores, except hot-gram star-linking (below).
     #
     # Verification runs on 28-bit gram HASHES (array_distinct-ed, the
     # DuckDB oracle hashes identically so parity is exact): intersect/
@@ -441,21 +440,76 @@ def ngram_jaccard_pairs(
         .select("id", "ng", "kept_h", "prefix")
         .localCheckpoint(eager=True)
     )
+    # candidate generation is ONE hash aggregation, the same shape as
+    # minhash_lsh_pairs: per prefix gram collect the sorted doc-id list
+    # and expand pairs natively. A plain index self-join re-emits every
+    # pair once PER shared prefix gram before the distinct — on a
+    # 100-replica-cluster corpus (500k docs, ~40 shared prefix grams per
+    # pair) that multiplicity filled 75 GB of shuffle spill and killed
+    # the job; the collect+expand emits each gram's pairs exactly once.
+    # ``max_gram_group`` (opt-in) STAR-LINKS grams shared by more docs
+    # than the cap (members pair with the gram's min doc only) — the
+    # minhash hot-bucket rule, for replica-saturated corpora where even
+    # prefix grams sit in 100-member cliques (measured: 500k docs in
+    # ~100-replica clusters need it to avoid quadratic expansion; at
+    # cap=100 the sf0.1 fixture would lose 48 of its 256 true pairs, so
+    # the DEFAULT is None = exact: every gram expands its full pair
+    # set, each pair emitted once per gram instead of once per shared
+    # gram occurrence).
     index = per_doc.select("id", "ng", F.explode("prefix").alias("g"))
-    cand = (
-        index.alias("l")
-        .join(
-            index.alias("r"),
-            (F.col("l.g") == F.col("r.g"))
-            & (F.col("l.id") < F.col("r.id"))
-            & (
-                F.least(F.col("l.ng"), F.col("r.ng")).cast("double")
-                >= F.lit(threshold) * F.greatest(F.col("l.ng"), F.col("r.ng")).cast("double")
-            ),
+    if max_gram_group is None:
+        # EXACT default: distributed prefix-index self-join with PPJoin's
+        # size filter in the join condition (Jaccard >= t forces
+        # t*max(|A|,|B|) <= min(|A|,|B|)). Fastest at moderate gram
+        # document frequencies (fixture char grams: 17 s vs 47 s for the
+        # collect+expand shape below) — the join distributes each hot
+        # gram's k^2 work across tasks.
+        cand = (
+            index.alias("l")
+            .join(
+                index.alias("r"),
+                (F.col("l.g") == F.col("r.g"))
+                & (F.col("l.id") < F.col("r.id"))
+                & (
+                    F.least(F.col("l.ng"), F.col("r.ng")).cast("double")
+                    >= F.lit(threshold) * F.greatest(F.col("l.ng"), F.col("r.ng")).cast("double")
+                ),
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    else:
+        # REPLICA-CORPUS mode (max_gram_group set): single-aggregation
+        # candidate generation, the minhash hot-bucket shape — per gram
+        # collect the sorted (id, ng) list, expand size-compatible pairs
+        # natively, STAR-LINK grams above the cap (members pair with the
+        # gram's min doc only). On a 100-replica-cluster corpus the
+        # self-join re-emits every pair once per shared prefix gram
+        # (~40x) before the distinct — 1G pre-distinct rows filled 75 GB
+        # of shuffle spill at 500k docs; here a hot gram emits at most
+        # cap-1 pairs. Recall caveat mirrors minhash: a pair whose EVERY
+        # shared prefix gram is hot loses its clique-interior link —
+        # acceptable on the replica corpora this mode exists for, where
+        # every pair shares many prefix grams.
+        full_expand = (
+            "flatten(transform(ids, (x, i) -> "
+            "filter(transform(slice(ids, i + 2, size(ids)), "
+            f"y -> CASE WHEN least(x.ng, y.ng) >= {float(threshold)} * greatest(x.ng, y.ng) "
+            "THEN struct(x.id AS id_a, y.id AS id_b) END), p -> p IS NOT NULL)))"
+        )
+        pair_expr = (
+            f"CASE WHEN size(ids) <= {int(max_gram_group)} THEN {full_expand} "
+            f"ELSE transform(slice(ids, 2, {int(max_gram_group)}), y -> struct(ids[0].id AS id_a, y.id AS id_b)) "
+            "END AS prs"
+        )
+        cand = (
+            index.groupBy("g")
+            .agg(F.expr("array_sort(collect_list(struct(id, ng)))").alias("ids"))
+            .selectExpr(pair_expr)
+            .selectExpr("inline(prs)")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     pairs = (
         cand.join(per_doc.select(F.col("id").alias("id_a"), F.col("kept_h").alias("ka")), "id_a")
         .join(per_doc.select(F.col("id").alias("id_b"), F.col("kept_h").alias("kb")), "id_b")
