@@ -47,6 +47,9 @@ EXTRA_QUERIES = [
     "dedup_minhash_cc",    # MinHash pairs -> connected-components closure
     "dedup_substring",     # rolling-window inverted-index span dedup
     "text_dsir",           # hashed-ngram importance weights, broadcast scoring
+    "dedup_ngram_word",    # prefix-filtered word-gram Jaccard (scale-true unit)
+    "pack_sequences",      # distributed prefix-sum sequence packing
+    "text_bm25",           # Okapi BM25 retrieval scoring
 ]
 
 

@@ -707,13 +707,23 @@ def connected_components(
             .select(F.col("x").alias("a"), F.col("m").alias("b"))
             .distinct()
         )
-        edges = small.localCheckpoint(eager=True)
-        fp_row = edges.agg(
+        # the convergence fingerprint rides the checkpoint's own job via
+        # observe() — one job per round instead of checkpoint + a second
+        # fingerprint scan (the per-round job latency IS the cost floor
+        # of this loop at small edge counts). Single consumer, so the
+        # accumulator-race caveat documented at minhash's checkpoint
+        # doesn't apply. decimal sum: a long sum of 64-bit hashes
+        # overflows under ANSI.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        edges = small.observe(
+            obs,
             F.count(F.lit(1)).alias("c"),
-            # decimal sum: a long sum of 64-bit hashes overflows under ANSI
             F.coalesce(F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)).alias("h"),
-        ).first()
-        fp = (fp_row["c"], fp_row["h"])
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        fp = (got["c"], got["h"])
         if fp == prev_fp:
             # at the large/small-star fixpoint the edge set is a union of
             # stars: every edge is (member, component-min)
