@@ -236,6 +236,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_langid": lambda s, d: Pipeline.compile("langid :text").apply(docs(s, d)),
         "text_langid_multi": lambda s, d: text.langid_multi(docs(s, d), "text"),
+        "url_canonicalize": _q_url_canonicalize,
         "text_unigram_lp": lambda s, d: Pipeline.compile(
             "unigram-logprob :doc_id :text 2000"
         ).apply(docs(s, d)),
@@ -310,6 +311,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
         "text_langid_multi": o.langid_multi_sql(),
+        "url_canonicalize": o.url_canonicalize_sql(),
         "text_quality": o.quality_sql(),
         "text_token_count": o.token_count_sql(),
         "text_fingerprint": o.fingerprint_sql(),
@@ -794,6 +796,25 @@ def _q_ann_ivf(spark, sf_dir):
 
     embs = _t(spark, sf_dir, "embeddings")
     return ivf_topk(embs, embs.filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5)
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization over URLs synthesized deterministically from
+    doc_id (the fixture's source column holds bare labels; both engines
+    build byte-identical inputs, see oracles.url_canonicalize_sql)."""
+    from wrangler_spark.datapipe import curation
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.expr(
+        "CASE doc_id % 4 "
+        "WHEN 0 THEN 'https://WWW.Site' || (doc_id % 7) || '.com:443/p' || (doc_id % 3) || '/?b=2&utm_source=x&a=1#f' "
+        "WHEN 1 THEN 'http://Example' || (doc_id % 5) || '.org:80/a/b?z=9&fbclid=abc&y=8' "
+        "WHEN 2 THEN 'https://cdn.host' || (doc_id % 2) || '.net/static/img.png' "
+        "ELSE 'src' || (doc_id % 20) END"
+    )
+    return curation.url_canonicalize(
+        d.select("doc_id", url.alias("url")), "url"
+    )
 
 
 def _q_ann_ivf_probe(spark, sf_dir):

@@ -204,3 +204,29 @@ def test_new_datapipe_directives_run(spark, docs):
     assert {"n_covered", "dup_ratio", "text_deduped"} <= set(out.columns)
     out = Pipeline.compile("pack-sequences :doc_id :text 256").apply(docs)
     assert {"start_pos", "seq_id", "seq_offset", "n_seqs"} <= set(out.columns)
+
+
+def test_url_canonicalize_rules(spark):
+    rows = [
+        (1, "https://WWW.Example.com:443/path/?b=2&utm_source=x&a=1#frag"),
+        (2, "http://Tracker.org:80/a/b?z=9&fbclid=abc&gclid=q&y=8"),
+        (3, "https://plain.net/static/img.png"),
+        (4, "not a url at all"),
+        (5, "https://dup.com/x?utm_campaign=only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: (r["url_canonical"], r["url_host"]) for r in
+           curation.url_canonicalize(df, "url").collect()}
+    assert out[1] == ("https://example.com/path?a=1&b=2", "example.com")
+    assert out[2] == ("http://tracker.org/a/b?y=8&z=9", "tracker.org")
+    assert out[3] == ("https://plain.net/static/img.png", "plain.net")
+    assert out[4] == ("not a url at all", None)
+    assert out[5] == ("https://dup.com/x", "dup.com")
+    # the canonical key actually dedups: same page under different
+    # tracking params / host casing collapses
+    pair = spark.createDataFrame(
+        [(10, "https://www.A.com/p?utm_source=1&k=v"), (11, "https://a.com/p/?k=v&utm_source=2")],
+        "doc_id long, url string",
+    )
+    keys = {r["url_canonical"] for r in curation.url_canonicalize(pair, "url").collect()}
+    assert keys == {"https://a.com/p?k=v"}

@@ -482,3 +482,47 @@ def pack_sequences(
             ).cast("long").alias("n_seqs"),
         )
     )
+
+
+# query-parameter names that never identify content (analytics /
+# click-tracking); the URL-dedup canonicalization drops them
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
+
+
+def url_canonicalize(df: DataFrame, url_col: str, out_prefix: str = "url") -> DataFrame:
+    """Canonical URL key for URL-level dedup / domain aggregation: adds
+    ``{out_prefix}_canonical`` and ``{out_prefix}_host``. Rules (the
+    common crawl-pipeline normalization): lowercase scheme+host, strip a
+    leading ``www.``, strip explicit :80/:443 ports, drop the fragment,
+    drop tracking query params (TRACKING_PARAM_RE), sort the surviving
+    params, strip one trailing slash from the path. Values that don't
+    parse as a URL (no ``scheme://host``) pass through unchanged with a
+    null host — the column can mix URLs and bare source labels.
+
+    Scale shape: pure scan-side string expressions (regexp groups + one
+    bounded array filter/sort over the query params) — no shuffle, no
+    UDF, whole-stage codegen; the canonical string feeds exact_dedup /
+    groupBy directly."""
+    pat = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)(\?([^#]*))?"
+    c = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(c, pat, 1))
+    host0 = F.lower(F.regexp_extract(c, pat, 2))
+    host = F.regexp_replace(F.regexp_replace(host0, r"^www\.", ""), r":(80|443)$", "")
+    path = F.regexp_replace(F.regexp_extract(c, pat, 3), r"/$", "")
+    query = F.regexp_extract(c, pat, 5)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda w: (w != "") & ~w.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme, F.lit("://"), host, path, F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit(""))
+    )
+    is_url = host0 != ""
+    return df.withColumn(
+        f"{out_prefix}_canonical", F.when(is_url, canon).otherwise(c)
+    ).withColumn(f"{out_prefix}_host", F.when(is_url, host))

@@ -670,3 +670,43 @@ SELECT doc_id, text, lang, source, n_chars,
        round(-best.nr, 6) AS lang_score
 FROM scored
 """
+
+
+def url_canonicalize_sql(table: str = "documents") -> str:
+    """Mirror of curation.url_canonicalize over the demo query's
+    synthesized URLs (deterministic from doc_id so both engines build
+    byte-identical inputs: a rotating mix of https/:443/www/tracking
+    params, http/:80, no-query, and a bare non-URL label)."""
+    from wrangler_spark.datapipe.curation import TRACKING_PARAM_RE
+
+    url = (
+        "CASE doc_id % 4 "
+        "WHEN 0 THEN 'https://WWW.Site' || (doc_id % 7) || '.com:443/p' || (doc_id % 3) || '/?b=2&utm_source=x&a=1#f' "
+        "WHEN 1 THEN 'http://Example' || (doc_id % 5) || '.org:80/a/b?z=9&fbclid=abc&y=8' "
+        "WHEN 2 THEN 'https://cdn.host' || (doc_id % 2) || '.net/static/img.png' "
+        "ELSE 'src' || (doc_id % 20) END"
+    )
+    pat = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)(\?([^#]*))?"
+    return f"""
+WITH u AS (SELECT doc_id, {url} AS url FROM {table}),
+p AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '{pat}', 1)) AS scheme,
+         lower(regexp_extract(url, '{pat}', 2)) AS host0,
+         regexp_replace(regexp_extract(url, '{pat}', 3), '/$', '') AS path,
+         regexp_extract(url, '{pat}', 5) AS query
+  FROM u
+),
+n AS (
+  SELECT *, regexp_replace(regexp_replace(host0, '^www\\.', ''), ':(80|443)$', '') AS host,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+             w -> w <> '' AND NOT regexp_matches(w, '{TRACKING_PARAM_RE}'))), '&') AS kept
+  FROM p
+)
+SELECT doc_id, url,
+       CASE WHEN host0 <> '' THEN scheme || '://' || host || path ||
+            (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END)
+            ELSE url END AS url_canonical,
+       CASE WHEN host0 <> '' THEN host END AS url_host
+FROM n
+"""
