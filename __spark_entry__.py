@@ -237,6 +237,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": lambda s, d: Pipeline.compile("langid :text").apply(docs(s, d)),
         "text_langid_multi": lambda s, d: text.langid_multi(docs(s, d), "text"),
         "url_canonicalize": _q_url_canonicalize,
+        "text_script_ratios": lambda s, d: text.script_ratios(docs(s, d), "text"),
         "text_unigram_lp": lambda s, d: Pipeline.compile(
             "unigram-logprob :doc_id :text 2000"
         ).apply(docs(s, d)),
@@ -312,6 +313,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_langid": o.langid_sql(),
         "text_langid_multi": o.langid_multi_sql(),
         "url_canonicalize": o.url_canonicalize_sql(),
+        "text_script_ratios": o.script_ratios_sql(),
         "text_quality": o.quality_sql(),
         "text_token_count": o.token_count_sql(),
         "text_fingerprint": o.fingerprint_sql(),

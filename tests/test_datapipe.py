@@ -829,3 +829,23 @@ def test_ngram_replica_mode_matches_exact_below_cap(spark):
     starred = sorted(map(tuple, dedup.ngram_jaccard_pairs(
         df, "doc_id", "text", 3, 0.5, unit="word", max_gram_group=5).collect()))
     assert set(starred) <= set(exact)
+
+
+def test_script_ratios_multiscript(spark):
+    rows = [
+        (1, "hello world"),
+        (2, "Привет мир"),
+        (3, "漢字とカタカナ"),
+        (4, "mixed Привет hello 123"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.script_ratios(df, "text").collect()}
+    assert out[1]["script_latin"] == 1.0 and out[1]["script_cyrillic"] == 0.0
+    assert out[2]["script_cyrillic"] == 1.0
+    assert out[3]["script_cjk"] == 1.0
+    m = out[4]
+    assert 0 < m["script_latin"] < 1 and 0 < m["script_cyrillic"] < 1 and m["script_digit"] > 0
+    total = sum(m[f"script_{s}"] for s in ("latin", "cyrillic", "greek", "arabic", "cjk", "digit"))
+    assert abs(total + m["script_other"] - 1.0) < 1e-4
+    assert out[5]["script_latin"] == 0.0 and out[5]["script_other"] == 0.0

@@ -710,3 +710,23 @@ SELECT doc_id, url,
        CASE WHEN host0 <> '' THEN host END AS url_host
 FROM n
 """
+
+
+def script_ratios_sql(table: str = "documents") -> str:
+    """Mirror of text.script_ratios with RE2 \\x{..} codepoint classes."""
+    from wrangler_spark.datapipe.constants import SCRIPT_RANGES
+
+    denom = "greatest(length(regexp_replace(text, '\\s', '', 'g')), 1)::DOUBLE"
+    cols, total = [], []
+    for name in sorted(SCRIPT_RANGES):
+        cls = "[" + "".join(
+            f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}" for lo, hi in SCRIPT_RANGES[name]
+        ) + "]"
+        n = f"len(regexp_extract_all(text, '{cls}'))"
+        cols.append(f"round({n}::DOUBLE / {denom}, 6) AS script_{name}")
+        total.append(n)
+    other = (
+        f"round((length(regexp_replace(text, '\\s', '', 'g')) - ({' + '.join(total)}))::DOUBLE"
+        f" / {denom}, 6) AS script_other"
+    )
+    return f"SELECT doc_id, text, lang, source, n_chars, {', '.join(cols)}, {other} FROM {table}"

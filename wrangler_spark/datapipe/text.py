@@ -416,3 +416,39 @@ def langid_multi(
         .withColumn("lang_score", score)
         .drop(_W)
     )
+
+
+def script_ratios(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-document Unicode script composition: for each script in
+    constants.SCRIPT_RANGES (latin/cyrillic/greek/arabic/cjk/digit) adds
+    ``script_<name>`` = fraction of the document's non-whitespace
+    characters in that script's codepoint ranges, plus
+    ``script_other`` = the unaccounted remainder. The standard
+    mixed-script / wrong-script filter signal for multilingual corpora
+    (and the cheap companion to langid_multi, which only sees function
+    words).
+
+    Scale shape: one regexp_count per script over the raw text —
+    scan-side, zero shuffle, codegen; ratios are integer/integer rounded
+    once (cross-engine deterministic)."""
+    from wrangler_spark.datapipe.constants import SCRIPT_RANGES
+
+    c = F.col(text_col)
+    denom = F.greatest(
+        F.length(F.regexp_replace(c, r"\s", "")), F.lit(1)
+    ).cast("double")
+    out = df
+    accounted = None
+    for name in sorted(SCRIPT_RANGES):
+        cls = "[" + "".join(
+            f"\\u{lo:04X}-\\u{hi:04X}" for lo, hi in SCRIPT_RANGES[name]
+        ) + "]"
+        n = F.regexp_count(c, F.lit(cls))
+        out = out.withColumn(f"script_{name}", F.round(n.cast("double") / denom, 6))
+        accounted = n if accounted is None else accounted + n
+    return out.withColumn(
+        "script_other",
+        F.round(
+            (F.length(F.regexp_replace(c, r"\s", "")) - accounted).cast("double") / denom, 6
+        ),
+    )
