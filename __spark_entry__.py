@@ -527,8 +527,8 @@ _R6_WINDOW = [
     "pack_sequences",
     "text_bm25",
     "text_gopher_quality",
-    "expression_el",
-    "dq_checks",
+    "url_canonicalize",
+    "text_script_ratios",
     # new this round — take the last four back-fill slots so they land
     # in the driver window immediately; json_path / parse_as_log /
     # split_url / split_to_columns (all green r1-4, graded repeatedly)
