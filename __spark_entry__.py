@@ -209,7 +209,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup-minhash :doc_id :text 0.5"
         ).apply(docs(s, d)),
         "dedup_minhash_cc": lambda s, d: dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5),
-        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(docs(s, d), "doc_id", "text", 5, 0.6),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
+            docs(s, d), "doc_id", "text", 5, 0.6, unit="char"
+        ),
         "dedup_ngram_word": lambda s, d: dedup.ngram_jaccard_pairs(
             docs(s, d), "doc_id", "text", 3, 0.5, unit="word"
         ),
@@ -304,7 +306,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_dsir": o.dsir_sql(4096),
         "pack_sequences": o.pack_sequences_sql(512),
         "text_bm25": o.bm25_sql(_BM25_QUERIES),
-        "dedup_ngram_jaccard": o.ngram_jaccard_sql(5, 0.6),
+        "dedup_ngram_jaccard": o.ngram_jaccard_sql(5, 0.6, unit="char"),
         "dedup_ngram_word": o.ngram_jaccard_sql(3, 0.5, unit="word"),
         "dedup_simhash": o.simhash_sql(32),
         "dedup_embedding": o.embedding_pairs_sql(0.0),

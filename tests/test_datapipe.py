@@ -75,7 +75,7 @@ def test_ngram_stop_gram_pruning(spark):
             (3, "zzzz COMMONBLOCK qqqq"), (4, "alpha COMMONBLOCK first")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     strict = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=5, threshold=0.9,
-                                       max_gram_df=3)
+                                       max_gram_df=3, unit="char")
     pairset = {(r["id_a"], r["id_b"]) for r in strict.collect()}
     assert (1, 4) in pairset           # identical docs still pair at 1.0
     assert (1, 3) not in pairset and (2, 3) not in pairset
@@ -552,11 +552,11 @@ def test_ngram_jaccard_corpus_relative_cap(spark):
     rows = [(i, mk(chr(ord("k") + i))) for i in range(8)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
 
-    rel = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=5, threshold=0.01)
+    rel = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=5, threshold=0.01, unit="char")
     # the stop-gram is in all 8 docs > cap(=4): pruned, docs share nothing
     assert rel.count() == 0
     absolute = dedup.ngram_jaccard_pairs(
-        df, "doc_id", "text", n=5, threshold=0.01, max_gram_df=100
+        df, "doc_id", "text", n=5, threshold=0.01, max_gram_df=100, unit="char"
     )
     assert absolute.count() == 8 * 7 / 2  # every pair shares the stop-gram
 

@@ -292,30 +292,32 @@ def minhash_dedup(
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.6,
-    max_gram_df: int | float | None = 0.5, unit: str = "char",
+    max_gram_df: int | float | None = 0.5, unit: str = "word",
     max_gram_group: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dups via an inverted-index equi-join: only
     pairs sharing at least one n-gram are ever scored. ``unit`` picks the
     gram alphabet:
 
-    - ``"char"`` (default, the classic text-similarity measure): beware
-      the UNIVERSE SATURATION bound — there are only ~1M plausible
-      character 5-grams, so past ~10^5 docs the average gram document
-      frequency grows LINEARLY with the corpus and every exact pairwise
-      scheme (this one, PPJoin, anything) goes quadratic because most doc
-      pairs genuinely share grams. Measured: a 5k-doc corpus over a small
-      vocabulary yields 9-11M candidates for a few hundred true pairs.
-      Use char grams for bounded corpora or within-bucket verification.
-    - ``"word"``: grams are n-word sequences, whose universe GROWS with
-      the corpus — df stays near 1 for non-boilerplate grams, the
-      rarest-first prefix index actually prunes, and the op stays
-      near-linear at corpus scale. The scale-true choice for whole-corpus
-      near-dedup (same reasoning as MinHash's word shingles). Measured on
-      a 5.1k-doc random-vocabulary corpus: char grams 156 s (10.6M
-      candidates for 102 true pairs), word grams 8.3 s finding the same
-      102 pairs; at 51k docs char grams OOM the executor while word grams
-      hold at 8.0 s.
+    - ``"word"`` (DEFAULT — the scale-true unit): grams are n-word
+      sequences, whose universe GROWS with the corpus — df stays near 1
+      for non-boilerplate grams, the rarest-first prefix index actually
+      prunes, and the op stays near-linear at corpus scale. The same
+      reasoning as MinHash's word shingles. Measured on a 5.1k-doc
+      random-vocabulary corpus: char grams 156 s (10.6M candidates for
+      102 true pairs), word grams 8.3 s finding the same 102 pairs; at
+      51k docs char grams OOM the executor while word grams hold at 8.0 s.
+    - ``"char"`` (opt-in, the classic bounded-corpus text-similarity
+      measure): beware the UNIVERSE SATURATION bound — there are only
+      ~1M plausible character 5-grams, so past ~10^5 docs the average
+      gram document frequency grows LINEARLY with the corpus and every
+      exact pairwise scheme (this one, PPJoin, anything) goes quadratic
+      because most doc pairs genuinely share grams. Measured: a 5k-doc
+      corpus over a small vocabulary yields 9-11M candidates for a few
+      hundred true pairs. Use char grams for bounded corpora or
+      within-bucket verification. (The default was char through round 6;
+      flipped because a user reaching for the default at corpus scale
+      got the quadratic footgun.)
 
     Stop-gram pruning: a gram shared by k documents contributes k² rows to
     the self-join — one ubiquitous 5-gram (' the ') is the scale-killer at
@@ -359,7 +361,21 @@ def ngram_jaccard_pairs(
                 )
             ),
         ).otherwise(F.array(F.concat_ws(" ", txt)))
-    base = staged.select(F.col("id"), grams.alias("grams"))
+    # EVERYTHING downstream works in 28-bit HASH space: the grams are
+    # hashed (and re-deduped — two strings may collide) right here, so
+    # the df count, the stop cap, the prefix index, the size filter, and
+    # the final Jaccard all measure the SAME sets. An earlier version
+    # computed ng/prefix from string-gram counts while scoring hashed
+    # sets — a hash collision could make hash-Jaccard >= t with
+    # string-Jaccard < t, and the string-space prefix/size filters could
+    # then drop a pair the scoring space admits (the "exact parity"
+    # claim only held collision-free). Aligning the filter space with
+    # the scoring space restores the PPJoin losslessness proof, and the
+    # int join keys are ~3x cheaper to shuffle than 5-char strings.
+    base = staged.select(
+        F.col("id"),
+        F.array_distinct(F.transform(grams, _hash28)).alias("grams"),
+    )
     # the inverted index feeds FOUR consumers (df-count, prune join,
     # per-doc count, both sides of the self-join). Left lazy, every
     # consumer re-derives the explode AND InferFiltersFromGenerate plants
@@ -368,7 +384,7 @@ def ngram_jaccard_pairs(
     # over the inlined text), measured 83 s for 5k docs at sf0.1.
     # explode_outer sidesteps the filter inference and the eager
     # localCheckpoint evaluates the gram construction exactly once
-    # (checkpoint state = one (id, gram) row per distinct gram — the
+    # (checkpoint state = one (id, hash) row per distinct gram — the
     # op's own working set; at 100 TB persist it explicitly instead):
     # measured 1.9 s warm after the change, 40x
     inv = (
@@ -376,7 +392,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("g").isNotNull())
         .localCheckpoint(eager=True)
     )
-    # document frequency per gram: (id, g) is unique (grams are
+    # document frequency per gram hash: (id, g) is unique (hashes are
     # array_distinct-ed per doc) but countDistinct keeps the cutoff a
     # doc-frequency even if the gram construction ever stops deduping.
     # Needed even when the stop-gram cap is off — it is the global
@@ -400,34 +416,32 @@ def ngram_jaccard_pairs(
         keep = gdf.select("g", "__gdf")
     # PREFIX FILTERING (Bayardo et al. 2007 "Scaling Up All Pairs
     # Similarity Search"; Xiao et al. PPJoin): with every doc's kept
-    # grams sorted by a global rarest-first order (df asc, gram asc),
-    # two docs with Jaccard >= t over those sets MUST share a gram
-    # within their first ng - ceil(t*ng) + 1 grams — so only that
-    # prefix is indexed for candidate generation, and prefixes hold
-    # only the RAREST grams, whose k^2 is small wherever the df
-    # distribution has a rare tail. LOSSLESS for the capped-set Jaccard
-    # this op scores, except hot-gram star-linking (below).
+    # gram hashes sorted by a global rarest-first order (df asc, hash
+    # asc), two docs with Jaccard >= t over those sets MUST share a
+    # hash within their first ng - ceil(t*ng) + 1 entries — so only
+    # that prefix is indexed for candidate generation, and prefixes
+    # hold only the RAREST grams, whose k^2 is small wherever the df
+    # distribution has a rare tail. LOSSLESS for the capped-set hash
+    # Jaccard this op scores (filter space == scoring space — both are
+    # the distinct-28-bit-hash sets), except hot-gram star-linking
+    # (below); the DuckDB oracle hashes identically so parity is exact
+    # by construction, collisions included.
     #
-    # Verification runs on 28-bit gram HASHES (array_distinct-ed, the
-    # DuckDB oracle hashes identically so parity is exact): intersect/
-    # union over int arrays measures ~3x cheaper than over 5-char
-    # strings. Honest bound, measured on the adversarial fixture (5k
-    # docs built from a small vocabulary, only ~2k distinct grams, so
-    # ~75% of ALL doc pairs share a rare gram): candidates are
-    # output-shaped, 9.4M pairs — exact all-pairs Jaccard is inherently
-    # near-quadratic on low-entropy corpora and no lossless candidate
-    # scheme can beat the count of genuinely-gram-sharing pairs. On
-    # natural corpora the df tail is long and prefixes prune; when the
-    # corpus is known to be duplicate-heavy/low-entropy, minhash_lsh is
-    # the approximate path with subquadratic candidates.
+    # Honest bound, measured on the adversarial fixture (5k docs built
+    # from a small vocabulary, only ~2k distinct grams, so ~75% of ALL
+    # doc pairs share a rare gram): candidates are output-shaped, 9.4M
+    # pairs — exact all-pairs Jaccard is inherently near-quadratic on
+    # low-entropy corpora and no lossless candidate scheme can beat the
+    # count of genuinely-gram-sharing pairs. On natural corpora the df
+    # tail is long and prefixes prune; when the corpus is known to be
+    # duplicate-heavy/low-entropy, minhash_lsh is the approximate path
+    # with subquadratic candidates.
     per_doc = (
         inv.join(keep, "g")
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("__gdf", "g"))).alias("sg"))
         .withColumn("ng", F.size("sg"))
-        .withColumn(
-            "kept_h", F.array_distinct(F.transform("sg", lambda s: _hash28(s["g"])))
-        )
+        .withColumn("kept_h", F.transform("sg", lambda s: s["g"]))
         .withColumn(
             "prefix",
             F.transform(

@@ -76,15 +76,17 @@ def ngram_jaccard_sql(
     threshold: float = 0.6,
     max_gram_df: int | float | None = 0.5,
     table: str = "documents",
-    unit: str = "char",
+    unit: str = "word",
 ) -> str:
     """Mirror of dedup.ngram_jaccard_pairs incl. stop-gram pruning: a float
     cap is corpus-relative (max(2, ceil(frac·N_docs))), an int absolute,
-    None disables; per-doc gram sets are taken AFTER pruning. Scoring
-    matches the Spark side's hashed verification: Jaccard over the
-    DISTINCT 28-bit gram hashes (same base hash), candidates = any
-    shared gram (a lossless superset of the Spark prefix filter —
-    verification decides membership identically)."""
+    None disables. Everything past the gram construction runs in 28-BIT
+    HASH SPACE exactly like the Spark side: grams are hashed and deduped
+    per doc first, the df cap applies to hash doc-frequency, candidates =
+    any shared kept hash (a lossless superset of the Spark prefix filter,
+    which is provably complete for the same hash sets), and the score is
+    Jaccard over the kept-hash sets — so parity is exact by construction,
+    hash collisions included."""
     if max_gram_df is None:
         prune_ctes, inv_src = "", "inv0"
     else:
@@ -125,9 +127,10 @@ gr AS (
     return f"""
 WITH norm AS (SELECT doc_id AS id, {_NORM} AS t FROM {table}),
 {gr_cte},
-inv0 AS (SELECT id, unnest(grams) AS g FROM gr),
+inv0 AS (SELECT DISTINCT id, {_H.format(s='g')} AS g
+         FROM (SELECT id, unnest(grams) AS g FROM gr)),
 {prune_ctes}hsets AS (
-  SELECT id, list_distinct(list({_H.format(s='g')})) AS hs FROM {inv_src} GROUP BY id
+  SELECT id, list(g) AS hs FROM {inv_src} GROUP BY id
 ),
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
