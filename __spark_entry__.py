@@ -216,6 +216,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), "doc_id", "text", 3, 0.5, unit="word"
         ),
         "dedup_substring": lambda s, d: curation.substring_dup_spans(docs(s, d), "doc_id", "text", 8),
+        "dedup_substring_keepfirst": lambda s, d: curation.substring_dup_spans(
+            docs(s, d), "doc_id", "text", 8, keep_first=True
+        ),
         "text_dsir": lambda s, d: curation.dsir_logratio(
             docs(s, d), docs(s, d).filter(F.col("doc_id") % 7 == 0), "doc_id", "text", 4096
         ),
@@ -231,6 +234,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), "vec_id", "embedding", 10
         ),
+        "ann_recall": _q_ann_recall,
         "dedup_semdedup": lambda s, d: similarity.semdedup(embs(s, d), 8, 0.8, train_iters=1, dim=64),
         "ann_ivf_kmeans_topk": lambda s, d: similarity.ivf_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5,
@@ -303,6 +307,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_minhash_flag": o.minhash_dedup_sql(0.5),
         "dedup_minhash_cc": o.minhash_components_sql(0.5),
         "dedup_substring": o.substring_dup_sql(8),
+        "dedup_substring_keepfirst": o.substring_dup_sql(8, keep_first=True),
         "text_dsir": o.dsir_sql(4096),
         "pack_sequences": o.pack_sequences_sql(512),
         "text_bm25": o.bm25_sql(_BM25_QUERIES),
@@ -332,6 +337,7 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "ann_ivf_probe_topk": _ivf_oracle_sql(nprobe=2),
+        "ann_recall": _ann_recall_oracle_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "text_vocabulary": o.vocabulary_sql(200),
@@ -819,6 +825,41 @@ def _q_url_canonicalize(spark, sf_dir):
     return curation.url_canonicalize(
         d.select("doc_id", url.alias("url")), "url"
     )
+
+
+def _q_ann_recall(spark, sf_dir):
+    """recall@5 of untrained IVF (8 buckets, nprobe=1) against the exact
+    scan over the same 5 queries — the driver-verified form of the
+    similarity.ann_recall tuning metric (deterministic set intersection,
+    fully SQL-expressible)."""
+    from wrangler_spark.datapipe import similarity
+
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(embs, q, "vec_id", "embedding", 5)
+    approx = similarity.ivf_topk(embs, q, 8, "vec_id", "embedding", 5)
+    return similarity.ann_recall(exact, approx)
+
+
+def _ann_recall_oracle_sql(
+    k: int = 5, n_queries: int = 5, n_centroids: int = 8, nprobe: int = 1
+) -> str:
+    """Mirror of _q_ann_recall: exact top-k CTE ∩ IVF top-k CTE per query."""
+    from wrangler_spark.datapipe import oracles as o
+
+    ex = o.cosine_topk_sql(k, n_queries)
+    ap = _ivf_oracle_sql(n_centroids, k, n_queries, nprobe)
+    hit = "len(list_intersect(e.ids, coalesce(a.ids, CAST([] AS BIGINT[]))))"
+    return f"""
+WITH ex AS ({ex}), ap AS ({ap}),
+e AS (SELECT query_id, list(vec_id) AS ids FROM ex GROUP BY query_id),
+a AS (SELECT query_id, list(vec_id) AS ids FROM ap GROUP BY query_id)
+SELECT e.query_id,
+       len(e.ids)::BIGINT AS n_exact,
+       {hit}::BIGINT AS n_hit,
+       round({hit}::DOUBLE / greatest(len(e.ids), 1)::DOUBLE, 6) AS recall
+FROM e LEFT JOIN a ON e.query_id = a.query_id
+"""
 
 
 def _q_ann_ivf_probe(spark, sf_dir):

@@ -129,6 +129,35 @@ def test_substring_dup_spans_full_coverage(spark):
         assert r["text_deduped"] == ""
 
 
+def test_substring_dup_spans_keep_first_survivor(spark):
+    """keep_first=True implements the Lee et al. survivor contract: the
+    globally-first occurrence (min doc_id, min pos) keeps its tokens."""
+    t = "exactly eight tokens in this duplicated document body"
+    df = spark.createDataFrame([(2, t), (1, t), (3, t)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           curation.substring_dup_spans(df, "doc_id", "text", window=8,
+                                        keep_first=True).collect()}
+    # doc 1 is the min-id occurrence: survives untouched
+    assert out[1]["n_covered"] == 0 and out[1]["text_deduped"] == t
+    # the later occurrences are removed
+    for d in (2, 3):
+        assert out[d]["dup_ratio"] == 1.0 and out[d]["text_deduped"] == ""
+
+
+def test_substring_dup_spans_keep_first_within_doc(spark):
+    run = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"{run} filler middle words {run}")], "doc_id long, text string"
+    )
+    out = curation.substring_dup_spans(
+        df, "doc_id", "text", window=8, keep_first=True
+    ).collect()[0]
+    # first in-doc occurrence survives, the repeat at the tail is removed
+    assert out["n_covered"] == 8
+    assert out["text_deduped"].startswith(run)
+    assert out["text_deduped"].count("three four") == 1
+
+
 def test_dsir_target_affinity(spark):
     # target distribution: cooking text; raw pool: cooking + legal
     cooking = [

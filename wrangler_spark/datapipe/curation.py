@@ -218,7 +218,8 @@ def sample_stratified(
 
 
 def substring_dup_spans(
-    df: DataFrame, id_col: str, text_col: str, window: int = 20
+    df: DataFrame, id_col: str, text_col: str, window: int = 20,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact substring-span dedup (the token-window variant of Lee et
     al. 2022, "Deduplicating Training Data Makes Language Models
@@ -235,11 +236,23 @@ def substring_dup_spans(
     distributed equivalent used here is the rolling window + inverted
     index: fixed-width windows at every token position, md5 over the
     window text, a count per window hash, and positions covered by any
-    window with count > 1 are duplicated spans. Divergence from the
-    paper, documented: ALL occurrences are removed (the paper keeps
-    one survivor) — for cross-corpus boilerplate that is usually the
-    wanted behavior, and keeping a canonical survivor would need a
-    global first-occurrence tie-break per span chain.
+    window with count > 1 are duplicated spans. ``keep_first`` picks
+    the survivor contract:
+
+    - ``False`` (default): ALL occurrences are removed — the divergence
+      from the paper that cross-corpus boilerplate removal wants (a
+      license header duplicated across corpora should not survive in
+      either);
+    - ``True``: the paper's semantics (Lee et al. keep one occurrence)
+      — the globally-first occurrence of each duplicated window, by
+      (min doc id, min position) over the inverted index, keeps its
+      tokens; only the later occurrences are covered/removed. The
+      tie-break is ONE more aggregate on the existing window-hash key
+      (min of a (doc_id, pos) struct riding the same shuffle
+      partitioning) — no new shuffle shape. A survivor's tokens can
+      still fall to a DIFFERENT window's non-first occurrence — that
+      overlap behavior is inherent to window-granular dedup and
+      matches the paper's span merging in effect.
 
     Scale shape — this op is LINEAR, unlike the pair-based dedups: the
     window explode is n_tokens rows per doc (same order as tokenize),
@@ -268,11 +281,29 @@ def substring_dup_spans(
     exploded = base.select("__sid", F.explode(wins).alias("s")).select(
         "__sid", F.col("s.pos").alias("pos"), F.col("s.wh").alias("wh")
     )
-    dup = exploded.groupBy("wh").agg(F.count(F.lit(1)).alias("cnt")).filter(
-        F.col("cnt") > 1
-    ).select("wh")
+    if keep_first:
+        # one aggregate computes BOTH the dup flag and the survivor
+        # tie-break (min (doc_id, pos) struct) per window hash — same
+        # single shuffle on wh as the count-only path
+        dup = (
+            exploded.groupBy("wh")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min(F.struct(F.col("__sid").alias("fd"), F.col("pos").alias("fp"))).alias("fo"),
+            )
+            .filter(F.col("cnt") > 1)
+            .select("wh", "fo")
+        )
+        occ = exploded.join(dup, "wh").filter(
+            ~((F.col("__sid") == F.col("fo.fd")) & (F.col("pos") == F.col("fo.fp")))
+        )
+    else:
+        dup = exploded.groupBy("wh").agg(F.count(F.lit(1)).alias("cnt")).filter(
+            F.col("cnt") > 1
+        ).select("wh")
+        occ = exploded.join(dup, "wh")
     cov = (
-        exploded.join(dup, "wh")
+        occ
         .select("__sid", F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1)).alias("span"))
         .groupBy("__sid")
         .agg(F.array_distinct(F.flatten(F.collect_list("span"))).alias("cp"))

@@ -501,11 +501,27 @@ FROM {table} t LEFT JOIN comp c ON t.doc_id = c.u
 """
 
 
-def substring_dup_sql(window: int = 20, table: str = "documents") -> str:
+def substring_dup_sql(
+    window: int = 20, table: str = "documents", keep_first: bool = False
+) -> str:
     """Mirror of curation.substring_dup_spans: rolling token windows,
     md5 per window, count > 1 anywhere in the corpus = duplicated span,
-    covered tokens dropped from text_deduped."""
+    covered tokens dropped from text_deduped. keep_first=True mirrors the
+    Lee et al. survivor contract: the (min doc_id, min pos) occurrence of
+    each duplicated window stays uncovered."""
     w = int(window)
+    if keep_first:
+        occ_cte = (
+            "dup AS (SELECT wh, min(struct_pack(fd := doc_id, fp := pos)) AS fo\n"
+            "        FROM wins GROUP BY wh HAVING count(*) > 1),\n"
+            "occ AS (SELECT wins.doc_id, wins.pos FROM wins JOIN dup USING (wh)\n"
+            "        WHERE NOT (wins.doc_id = dup.fo.fd AND wins.pos = dup.fo.fp))"
+        )
+    else:
+        occ_cte = (
+            "dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) > 1),\n"
+            "occ AS (SELECT doc_id, pos FROM wins JOIN dup USING (wh))"
+        )
     return f"""
 WITH tk AS (SELECT doc_id, {_WORDS} AS t FROM {table}),
 wins AS (
@@ -516,10 +532,10 @@ wins AS (
                    FOR i IN range(1, len(t) - {w} + 2)]) AS s
     FROM tk WHERE len(t) >= {w})
 ),
-dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) > 1),
+{occ_cte},
 cov AS (
   SELECT doc_id, list_distinct(flatten(list(range(pos, pos + {w})))) AS cp
-  FROM wins JOIN dup USING (wh) GROUP BY doc_id
+  FROM occ GROUP BY doc_id
 )
 SELECT tk.doc_id,
        len(tk.t)::BIGINT AS n_tokens,

@@ -77,31 +77,73 @@ def _topk_reduce(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+# resolution of the query-id quantile grid used to derive chunk
+# boundaries: supports up to _CHUNK_GRID chunks (beyond that, chunk sizes
+# scale up proportionally — at the default query_batch=4096 that is 4M+
+# queries per call, past the broadcast contract anyway)
+_CHUNK_GRID = 1024
+
+
 def _topk_batched(q: DataFrame, k: int, query_batch: int, scorer) -> DataFrame:
     """Enforce the phase-1 memory bound of _topk_reduce by chunking the
     query set: ``scorer(q_chunk) -> (query_id, vec_id, cosine)`` is run
-    per chunk of ≤ ``query_batch`` queries, each reduced independently,
+    per chunk of ≈ ``query_batch`` queries, each reduced independently,
     results unioned (per-batch output is only Q_chunk·k rows).
 
-    The chunk boundaries come from a driver-side collect of the query IDS
-    only — bounded by the same contract that lets the caller broadcast the
-    query frame in the first place (a set of vectors small enough to
-    broadcast has ids small enough to collect), so this is not an
-    unbounded driver pull. Each chunk re-reads the corpus: that is the
-    deliberate trade — memory-bounded passes over a 100 TB corpus instead
-    of one pass whose phase-1 hash-agg state (partition_rows × Q,
-    non-spillable) OOMs at large Q. Chunks are contiguous id ranges so
-    the per-chunk filter is a simple range predicate."""
-    ids = sorted(r[0] for r in q.select("query_id").distinct().collect())
-    if len(ids) <= query_batch:
-        return _topk_reduce(scorer(q), k)
-    parts = []
-    for i in range(0, len(ids), query_batch):
-        chunk = ids[i : i + query_batch]
-        qb = q.filter(
-            (F.col("query_id") >= chunk[0]) & (F.col("query_id") <= chunk[-1])
+    Chunk boundaries come from ONE scalar aggregate job — a row count
+    fused with a fixed 1024-point approx_percentile grid over query_id —
+    never from collecting the ids themselves (an earlier version pulled
+    every distinct id to the driver; the quantile sketch keeps the
+    driver payload at 1024 scalars no matter how many queries there
+    are). Chunks are contiguous half-open id ranges cut at grid
+    quantiles, so the per-chunk filter is a simple range predicate and
+    every non-null id lands in exactly one chunk. The sketch is
+    approximate (accuracy 1e4), so a chunk can exceed query_batch by the
+    sketch error; the memory bound is engineering-approximate, not
+    adversarial-exact — a pathological id distribution that defeats the
+    sketch is one with massively duplicated ids, which violates the
+    query contract anyway. Multi-probe callers carry nprobe rows per
+    query; the row count then overestimates Q, which only splits the
+    work into more, smaller chunks.
+
+    Each chunk re-reads the corpus: that is the deliberate trade —
+    memory-bounded passes over a 100 TB corpus instead of one pass whose
+    phase-1 hash-agg state (partition_rows × Q, non-spillable) OOMs at
+    large Q. Non-numeric (e.g. string) query ids fall back to the
+    collected-distinct-ids path, still bounded by the broadcast
+    contract."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(q.schema["query_id"].dataType, NumericType):
+        ids = sorted(r[0] for r in q.select("query_id").distinct().collect())
+        if len(ids) <= query_batch:
+            return _topk_reduce(scorer(q), k)
+        bounds = [ids[i - 1] for i in range(query_batch, len(ids), query_batch)]
+    else:
+        fracs = [i / _CHUNK_GRID for i in range(1, _CHUNK_GRID)]
+        row = q.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx("query_id", fracs, 10_000).alias("ps"),
+        ).collect()[0]
+        n = row["n"] or 0
+        if n <= query_batch:
+            return _topk_reduce(scorer(q), k)
+        nchunks = min(-(-n // query_batch), _CHUNK_GRID)
+        ps = row["ps"]
+        bounds = sorted(
+            {
+                ps[min(max(round(j * _CHUNK_GRID / nchunks), 1), _CHUNK_GRID - 1) - 1]
+                for j in range(1, nchunks)
+            }
         )
-        parts.append(_topk_reduce(scorer(qb), k))
+    parts = []
+    for i in range(len(bounds) + 1):
+        cond = F.lit(True)
+        if i > 0:
+            cond = cond & (F.col("query_id") > F.lit(bounds[i - 1]))
+        if i < len(bounds):
+            cond = cond & (F.col("query_id") <= F.lit(bounds[i]))
+        parts.append(_topk_reduce(scorer(q.filter(cond)), k))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
