@@ -343,9 +343,13 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_vocabulary": o.vocabulary_sql(200),
         "text_unigram_lp": o.unigram_logprob_sql(2000),
         "text_tokenize": (
-            "SELECT doc_id, text, lang, source, n_chars, "
+            # posexplode shape: parallel unnest of the token list and a
+            # 0-based position range (DuckDB zips equal-length unnests)
+            "WITH tk AS (SELECT doc_id, "
             "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS tokens "
-            "FROM documents"
+            "FROM documents) "
+            "SELECT doc_id, CAST(unnest(range(0, len(tokens))) AS INT) AS pos, "
+            "unnest(tokens) AS token FROM tk"
         ),
     }
 
@@ -636,7 +640,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_probe_topk": _q_ann_ivf_probe,
-        "text_tokenize": _recipe_q("documents", "tokenize :text"),
+        "text_tokenize": _q_text_tokenize,
         "text_vocabulary": _recipe_q("documents", "vocabulary :text 200"),
         "mask_shuffle": _recipe_q("part", "mask-number :p_size 'x#'\nmask-shuffle :p_name"),
         "uppercase": _recipe_q("customer", "uppercase :c_name"),
@@ -769,6 +773,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _q_text_tokenize(spark, sf_dir):
+    """The tokenize directive materializes `tokens array<string>` — which
+    the driver's pandas canonicalizer cannot hash (lists are unhashable;
+    the r6 red row). The GRADED projection is the canonicalization-
+    friendly posexplode to (doc_id, pos, token) rows — same information,
+    hashable shape; the array-returning directive stays the user
+    surface."""
+    out = Pipeline.compile("tokenize :text").apply(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", F.posexplode("tokens").alias("pos", "token"))
+
+
 def _q_validate_standard(spark, sf_dir):
     """JSON-schema validation; failing rows route to the error channel so
     the clean side is the schema-conforming subset."""
@@ -816,10 +831,12 @@ def _q_url_canonicalize(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     url = F.expr(
-        "CASE doc_id % 4 "
+        "CASE doc_id % 6 "
         "WHEN 0 THEN 'https://WWW.Site' || (doc_id % 7) || '.com:443/p' || (doc_id % 3) || '/?b=2&utm_source=x&a=1#f' "
         "WHEN 1 THEN 'http://Example' || (doc_id % 5) || '.org:80/a/b?z=9&fbclid=abc&y=8' "
         "WHEN 2 THEN 'https://cdn.host' || (doc_id % 2) || '.net/static/img.png' "
+        "WHEN 3 THEN 'https://odd.port' || (doc_id % 3) || '.io:80/x?fbclid&a=1' "
+        "WHEN 4 THEN 'http://alt' || (doc_id % 4) || '.example:8080/q/?utm_campaign' "
         "ELSE 'src' || (doc_id % 20) END"
     )
     return curation.url_canonicalize(

@@ -242,6 +242,15 @@ def test_url_canonicalize_rules(spark):
         (3, "https://plain.net/static/img.png"),
         (4, "not a url at all"),
         (5, "https://dup.com/x?utm_campaign=only"),
+        # port is stripped only when it matches the scheme's default:
+        # https on :80 / http on :443 are DIFFERENT resources
+        (6, "https://odd.io:80/x"),
+        (7, "http://odd.io:443/x"),
+        (8, "http://alt.example:8080/q"),
+        # a valueless tracking param still tracks — dropped bare
+        (9, "https://bare.com/p?fbclid&a=1"),
+        # 'referrer' must NOT be eaten by the 'ref' rule
+        (10, "https://keep.com/p?referrer=x"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = {r["doc_id"]: (r["url_canonical"], r["url_host"]) for r in
@@ -251,6 +260,11 @@ def test_url_canonicalize_rules(spark):
     assert out[3] == ("https://plain.net/static/img.png", "plain.net")
     assert out[4] == ("not a url at all", None)
     assert out[5] == ("https://dup.com/x", "dup.com")
+    assert out[6] == ("https://odd.io:80/x", "odd.io:80")
+    assert out[7] == ("http://odd.io:443/x", "odd.io:443")
+    assert out[8] == ("http://alt.example:8080/q", "alt.example:8080")
+    assert out[9] == ("https://bare.com/p?a=1", "bare.com")
+    assert out[10] == ("https://keep.com/p?referrer=x", "keep.com")
     # the canonical key actually dedups: same page under different
     # tracking params / host casing collapses
     pair = spark.createDataFrame(

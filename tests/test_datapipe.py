@@ -811,6 +811,28 @@ def test_mp4_meta_and_decode_video(spark):
     assert got[2] is None and got[3] is None
 
 
+def test_mp4_meta_malformed_boxes(spark):
+    import struct as _s
+
+    # zero-payload mvhd (size==8) as the LAST box of moov: no version
+    # byte to read — must be a null result, never an IndexError
+    moov = _mp4_box(b"mvhd", b"")
+    bad = _mp4_box(b"ftyp", b"isom" + b"\x00" * 8) + _mp4_box(b"moov", moov)
+    assert multimodal.mp4_meta(bad) is None
+    # and through the mapInPandas task (the documented contract:
+    # undecodable payloads -> null struct, task survives)
+    df = spark.createDataFrame([(1, bad)], "doc_id long, payload binary")
+    got = multimodal.decode_video(df).collect()[0]["video"]
+    assert got is None
+    # size==0 = box-extends-to-EOF (legal for the last top-level box):
+    # a moov written that way still parses
+    full = _make_mp4()
+    moov_payload = full[full.index(b"moov") + 4:]
+    eof_moov = _s.pack(">I", 0) + b"moov" + moov_payload
+    ok = _mp4_box(b"ftyp", b"isom" + b"\x00" * 8) + eof_moov
+    assert multimodal.mp4_meta(ok) == (12.5, 2, "isom")
+
+
 def test_ngram_replica_mode_matches_exact_below_cap(spark):
     # below the star-link cap the replica-mode candidate generator must
     # produce the identical pair set as the exact self-join path

@@ -482,7 +482,19 @@ def pack_sequences(
         F.col(id_col).alias("__id"),
         F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).cast("long").alias("n_tokens"),
     )
-    ranged = base.repartitionByRange(P, "__id").withColumn("__pid", F.spark_partition_id())
+    # eager localCheckpoint PINS the range partitioning: `ranged` feeds
+    # both the per-row local prefix sum and the per-partition totals — if
+    # ReuseExchange ever declined to share the exchange, a re-executed
+    # RangePartitioner would resample its boundaries with a different
+    # seed and the two branches would see DIFFERENT __pid assignments,
+    # silently corrupting start_pos. The checkpoint materializes one
+    # partition assignment both consumers read (the repo's established
+    # idiom for multi-consumer frames).
+    ranged = (
+        base.repartitionByRange(P, "__id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     local = ranged.withColumn(
         "__local",
         F.sum("n_tokens").over(
@@ -516,17 +528,22 @@ def pack_sequences(
 
 
 # query-parameter names that never identify content (analytics /
-# click-tracking); the URL-dedup canonicalization drops them
-TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
+# click-tracking); the URL-dedup canonicalization drops them. The name
+# may appear with a value (utm_source=x) or bare (a valueless 'fbclid'
+# still tracks) — hence (=|$), not '='
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)(=|$)"
 
 
 def url_canonicalize(df: DataFrame, url_col: str, out_prefix: str = "url") -> DataFrame:
     """Canonical URL key for URL-level dedup / domain aggregation: adds
     ``{out_prefix}_canonical`` and ``{out_prefix}_host``. Rules (the
     common crawl-pipeline normalization): lowercase scheme+host, strip a
-    leading ``www.``, strip explicit :80/:443 ports, drop the fragment,
-    drop tracking query params (TRACKING_PARAM_RE), sort the surviving
-    params, strip one trailing slash from the path. Values that don't
+    leading ``www.``, strip an explicit port only when it is the
+    SCHEME'S default (http→:80, https→:443 — an https://host:80 is a
+    genuinely different resource and keeps its port), drop the fragment,
+    drop tracking query params (TRACKING_PARAM_RE — with or without a
+    value), sort the surviving params, strip one trailing slash from the
+    path. Values that don't
     parse as a URL (no ``scheme://host``) pass through unchanged with a
     null host — the column can mix URLs and bare source labels.
 
@@ -538,7 +555,12 @@ def url_canonicalize(df: DataFrame, url_col: str, out_prefix: str = "url") -> Da
     c = F.col(url_col)
     scheme = F.lower(F.regexp_extract(c, pat, 1))
     host0 = F.lower(F.regexp_extract(c, pat, 2))
-    host = F.regexp_replace(F.regexp_replace(host0, r"^www\.", ""), r":(80|443)$", "")
+    host1 = F.regexp_replace(host0, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host1, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host1, r":443$", ""))
+        .otherwise(host1)
+    )
     path = F.regexp_replace(F.regexp_extract(c, pat, 3), r"/$", "")
     query = F.regexp_extract(c, pat, 5)
     kept = F.array_join(

@@ -103,6 +103,8 @@ def mp4_meta(b: bytes) -> tuple[float, int, str] | None:
                     return
                 size, = struct.unpack(">Q", buf[off + 8:off + 16])
                 hdr = 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size, hdr = end - off, 8
             else:
                 hdr = 8
             if size < hdr or off + size > end:
@@ -125,6 +127,11 @@ def mp4_meta(b: bytes) -> tuple[float, int, str] | None:
     n_tracks = 0
     for btype, s, e in boxes(b, moov[0], moov[1]):
         if btype == b"mvhd":
+            # a truncated/malformed zero-payload mvhd (size==8 at end of
+            # buffer) has no version byte — must yield the null struct,
+            # not an IndexError out of the mapInPandas task
+            if e - s < 1:
+                return None
             ver = b[s]
             try:
                 if ver == 0 and e - s >= 20:

@@ -699,10 +699,12 @@ def url_canonicalize_sql(table: str = "documents") -> str:
     from wrangler_spark.datapipe.curation import TRACKING_PARAM_RE
 
     url = (
-        "CASE doc_id % 4 "
+        "CASE doc_id % 6 "
         "WHEN 0 THEN 'https://WWW.Site' || (doc_id % 7) || '.com:443/p' || (doc_id % 3) || '/?b=2&utm_source=x&a=1#f' "
         "WHEN 1 THEN 'http://Example' || (doc_id % 5) || '.org:80/a/b?z=9&fbclid=abc&y=8' "
         "WHEN 2 THEN 'https://cdn.host' || (doc_id % 2) || '.net/static/img.png' "
+        "WHEN 3 THEN 'https://odd.port' || (doc_id % 3) || '.io:80/x?fbclid&a=1' "
+        "WHEN 4 THEN 'http://alt' || (doc_id % 4) || '.example:8080/q/?utm_campaign' "
         "ELSE 'src' || (doc_id % 20) END"
     )
     pat = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)(\?([^#]*))?"
@@ -717,7 +719,9 @@ p AS (
   FROM u
 ),
 n AS (
-  SELECT *, regexp_replace(regexp_replace(host0, '^www\\.', ''), ':(80|443)$', '') AS host,
+  SELECT *, CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(host0, '^www\\.', ''), ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(regexp_replace(host0, '^www\\.', ''), ':443$', '')
+                 ELSE regexp_replace(host0, '^www\\.', '') END AS host,
          array_to_string(list_sort(list_filter(string_split(query, '&'),
              w -> w <> '' AND NOT regexp_matches(w, '{TRACKING_PARAM_RE}'))), '&') AS kept
   FROM p
