@@ -248,6 +248,13 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "unigram-logprob :doc_id :text 2000"
         ).apply(docs(s, d)),
         "text_quality": lambda s, d: Pipeline.compile("quality-score :text").apply(docs(s, d)),
+        "text_c4_quality": lambda s, d: text.c4_quality(docs(s, d), "text"),
+        "text_lp_buckets": lambda s, d: text.perplexity_buckets(
+            text.unigram_logprob(docs(s, d), "doc_id", "text", 2000), "doc_lp", by_col="lang"
+        ),
+        "sample_mixture": lambda s, d: curation.mixture_sample(
+            docs(s, d), "doc_id", "source", 0.5
+        ),
         "text_token_count": lambda s, d: Pipeline.compile("token-count :text").apply(docs(s, d)),
         "text_fingerprint": lambda s, d: Pipeline.compile("fingerprint :text").apply(docs(s, d)),
         "text_repetition": lambda s, d: Pipeline.compile("repetition-stats :text").apply(docs(s, d)),
@@ -322,6 +329,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "url_canonicalize": o.url_canonicalize_sql(),
         "text_script_ratios": o.script_ratios_sql(),
         "text_quality": o.quality_sql(),
+        "text_c4_quality": o.c4_quality_sql(),
+        "text_lp_buckets": o.perplexity_buckets_sql(2000, "lang"),
+        "sample_mixture": o.mixture_sample_sql(0.5, "source", "doc_id"),
         "text_token_count": o.token_count_sql(),
         "text_fingerprint": o.fingerprint_sql(),
         "text_repetition": o.repetition_stats_sql(),

@@ -101,6 +101,10 @@ def main() -> None:
     t_extra = time.perf_counter()
     per_extra, rows_extra = run(EXTRA_QUERIES, "extra")
     extra_total = round(time.perf_counter() - t_extra, 3)
+    # warm pass for the extras too: this box shows ~48% cold-run spread
+    # (BENCH_SCALING.md), so the heavy new ops need a noise-resistant
+    # column for cross-round comparison just like the headline set
+    per_extra_warm, _ = run(EXTRA_QUERIES, "extra_warm")
     # baseline comparison: the reference's published number for this recipe
     # shape is ~63K records/s single-core (BASELINE.md); ours is wall-clock
     # including compile-time sampling and scan
@@ -123,6 +127,7 @@ def main() -> None:
                 "queries": per_query,
                 "queries_warm": per_warm,
                 "queries_extra": per_extra,
+                "queries_extra_warm": per_extra_warm,
                 "extra_wall_sec": extra_total,
                 "rows_out_extra": sum(rows_extra.values()),
                 "sf": sf,

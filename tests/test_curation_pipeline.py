@@ -273,3 +273,65 @@ def test_url_canonicalize_rules(spark):
     )
     keys = {r["url_canonical"] for r in curation.url_canonicalize(pair, "url").collect()}
     assert keys == {"https://a.com/p?k=v"}
+
+
+def test_c4_quality_line_and_doc_rules(spark):
+    from wrangler_spark.datapipe import text as dtext
+
+    good = "This is a proper sentence with enough words here.\nAnother fine long sentence follows right after it!\nA third complete sentence closes out the document."
+    rows = [
+        (1, good),
+        (2, "short line\nenable javascript to view this page now please.\nNo terminal punctuation on this long line here"),
+        (3, "Lorem ipsum dolor sit amet consectetur adipiscing elit sed.\nA second proper sentence lives right here today.\nAnd a third one completes the minimum count now."),
+        (4, "function f() { return 1; }\nThis sentence is fine and long enough to keep.\nSo is this second one with plenty of words.\nAnd a third keeps the count at three."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dtext.c4_quality(df, "text").collect()}
+    # doc 1: every line kept, 3 sentences, passes
+    assert out[1]["n_kept_lines"] == 3 and out[1]["c4_pass"] is True
+    assert out[1]["text_clean"] == good
+    # doc 2: short line (<5 words), javascript line, unterminated line all drop
+    assert out[2]["n_kept_lines"] == 0 and out[2]["c4_pass"] is False
+    # doc 3: lines are fine but 'lorem ipsum' flags the document
+    assert out[3]["n_kept_lines"] == 3 and out[3]["has_lorem"] is True
+    assert out[3]["c4_pass"] is False
+    # doc 4: brace flags code
+    assert out[4]["has_brace"] is True and out[4]["c4_pass"] is False
+
+
+def test_perplexity_buckets_tertiles(spark):
+    from wrangler_spark.datapipe import text as dtext
+
+    rows = [(i, "en", float(i)) for i in range(1, 10)] + [(100, "en", None), (200, "fr", 5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, lp double")
+    out = {r["doc_id"]: r["lp_bucket"] for r in
+           dtext.perplexity_buckets(df, "lp", by_col="lang").collect()}
+    # en group 1..9: tertile boundaries at 1/3 and 2/3 quantiles
+    # (type-7: ~3.67 and ~6.33) -> 1-3 head, 4-6 middle, 7-9 tail
+    assert [out[i] for i in range(1, 10)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    assert out[100] is None            # null score -> null bucket
+    assert out[200] == "head"          # singleton group: its own tertiles
+    # global mode (no by_col)
+    g = {r["doc_id"]: r["lp_bucket"] for r in
+         dtext.perplexity_buckets(df, "lp").collect()}
+    assert g[1] == "head" and g[9] == "tail" and g[100] is None
+
+
+def test_mixture_sample_temperature(spark):
+    big = [(i, "web") for i in range(200)]
+    small = [(1000 + i, "books") for i in range(20)]
+    df = spark.createDataFrame(big + small, "doc_id long, source string")
+    # tau=0: flat mixture -> big domain rate (200/20)^-1 = 0.1, small anchors at 1.0
+    out = curation.mixture_sample(df, "doc_id", "source", temperature=0.0)
+    rows = out.collect()
+    rates = {r["source"]: r["sample_rate"] for r in rows}
+    assert rates["books"] == 1.0 and abs(rates["web"] - 0.1) < 1e-9
+    kept_small = sum(1 for r in rows if r["source"] == "books")
+    kept_big = sum(1 for r in rows if r["source"] == "web")
+    assert kept_small == 20                       # anchor domain untouched
+    assert 5 <= kept_big <= 40                    # ~20 expected, hash-gated
+    # deterministic: same rows on re-run
+    again = curation.mixture_sample(df, "doc_id", "source", temperature=0.0)
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again.collect())
+    # tau=1: identity
+    assert curation.mixture_sample(df, "doc_id", "source", temperature=1.0).count() == 220

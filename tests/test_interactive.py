@@ -107,3 +107,49 @@ def test_workspace_persistence_round_trip(spark, tmp_path):
 
     assert store.delete("cleanup") is True
     assert store.list() == [] and store.delete("cleanup") is False
+
+
+def test_workspace_store_service_lifecycle(spark, tmp_path):
+    """Golden mirror of the reference service's workspace lifecycle
+    (wrangler-service DirectivesHandler.java:555-595): every execute runs
+    the CURRENT recipe over the workspace sample under the sampling
+    limit, the response carries (values, headers, types, directives), and
+    the executed recipe is persisted with the workspace — a reload after
+    further edits + save must re-execute byte-identically to the session
+    that saved it."""
+    from wrangler_spark.interactive import Workspace, WorkspaceStore
+
+    df = spark.createDataFrame(
+        [(i, f" u{i} ", str(i * 10)) for i in range(8)], ["id", "name", "amt"]
+    )
+    store = WorkspaceStore(spark, str(tmp_path / "ws"))
+
+    # session 1: iterate (execute-on-sample per add), then save
+    ws = Workspace("sess", df, limit=5)
+    ws.add("trim :name")
+    r1 = ws.add("set-type :amt integer")
+    assert r1.directives == ["trim", "set-type"]  # response carries recipe
+    store.save(ws)
+
+    # session 1 continues editing AFTER the save; re-save persists the
+    # updated request (the service's updateWorkspaceRequest overwrite)
+    ws.add("uppercase :name")
+    store.save(ws)
+
+    # session 2: reload → identical recipe, schema, and execution response
+    back = store.load("sess")
+    assert back.recipe() == "trim :name\nset-type :amt integer\nuppercase :name"
+    a, b = ws.execute(), back.execute()
+    assert a.headers == b.headers and a.types == b.types
+    assert a.values == b.values and a.directives == b.directives
+    # the workspace sample was bounded to 5 rows at creation (the
+    # service's sampling subList) — both sessions execute over exactly it
+    assert {r["name"] for r in b.values} == {f"U{i}" for i in range(5)}
+
+    # the sampling limit contract: the sample is bounded at workspace
+    # creation (the design-time subList), so a reloaded workspace made
+    # from a limited sample executes over exactly that many rows
+    small = Workspace("lim", df, limit=3)
+    small.add("trim :name")
+    store.save(small)
+    assert len(store.load("lim").execute().values) == len(small.execute().values)

@@ -579,3 +579,50 @@ def url_canonicalize(df: DataFrame, url_col: str, out_prefix: str = "url") -> Da
     return df.withColumn(
         f"{out_prefix}_canonical", F.when(is_url, canon).otherwise(c)
     ).withColumn(f"{out_prefix}_host", F.when(is_url, host))
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    temperature: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based domain rebalancing — the multilingual/multi-domain
+    mixture rule of mT5/XLM-R ("sample with p ∝ n^τ", Conneau et al. 2020;
+    UniMax is the budgeted refinement): a domain of size n_d keeps rows at
+    rate round((n_d / n_min)^(τ−1), 6), so at τ=1 nothing changes, at τ=0
+    every domain downsamples to ~n_min rows (flat mixture), and between,
+    large domains shrink toward the temperature-scaled share. Downsample-
+    only by construction (the smallest domain anchors at rate 1.0 — no
+    row duplication). Keeps are the deterministic md5 hash gate of
+    sample_hash (floor(rate·65536) 16-bit hex threshold), so the sample
+    is stable across runs AND engines. Returns the kept rows with
+    n_domain and sample_rate attached.
+
+    Scale shape: one count aggregate (the domain table — thousands of
+    rows at most), a 1-row min cross-joined in broadcast, the rate table
+    broadcast-joined back on the domain key, and the gate is a scan-side
+    filter. The corpus itself never shuffles."""
+    tau = float(temperature)
+    d = F.col(domain_col)
+    counts = df.groupBy(d.alias("__d")).agg(F.count(F.lit(1)).cast("long").alias("n_domain"))
+    nmin = counts.agg(F.min("n_domain").alias("__nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "__d",
+        "n_domain",
+        F.round(
+            F.pow(F.col("n_domain").cast("double") / F.col("__nmin").cast("double"), F.lit(tau - 1.0)),
+            6,
+        ).alias("sample_rate"),
+    )
+    joined = df.join(F.broadcast(rates), d.eqNullSafe(F.col("__d")), "left").drop("__d")
+    # 16-bit hex gate, engine-portable: floor(rate*65536) is unambiguous
+    # where a round() could straddle engines' half-way rules
+    thr = F.lower(
+        F.lpad(F.hex(F.floor(F.col("sample_rate") * 65536).cast("int")), 4, "0")
+    )
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+    )
+    return joined.filter((F.col("sample_rate") >= 1.0) | (prefix < thr))

@@ -753,3 +753,89 @@ def script_ratios_sql(table: str = "documents") -> str:
         f" / {denom}, 6) AS script_other"
     )
     return f"SELECT doc_id, text, lang, source, n_chars, {', '.join(cols)}, {other} FROM {table}"
+
+
+def c4_quality_sql(
+    min_words_per_line: int = 5, min_sentences: int = 3, table: str = "documents"
+) -> str:
+    """Mirror of text.c4_quality: the C4 line rule (terminal punctuation,
+    min words, no 'javascript') + doc flags (lorem ipsum, brace, min
+    sentences)."""
+    term = """[.!?"'']$"""  # doubled quote inside the SQL string literal
+    return f"""
+WITH l AS (
+  SELECT *, string_split(text, chr(10)) AS lines FROM {table}
+),
+k AS (
+  SELECT *, list_filter(lines, x ->
+           regexp_matches(rtrim(x), '{term}')
+           AND len(regexp_extract_all(x, '\\S+')) >= {int(min_words_per_line)}
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l
+),
+t AS (
+  SELECT *, coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{{') AS has_brace
+  FROM k
+)
+SELECT doc_id, text, lang, source, n_chars, text_clean,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept_lines,
+       has_lorem, has_brace,
+       len(regexp_extract_all(text_clean, '[.!?]'))::BIGINT AS n_sentences,
+       (NOT has_lorem AND NOT has_brace
+        AND len(regexp_extract_all(text_clean, '[.!?]')) >= {int(min_sentences)}) AS c4_pass
+FROM t
+"""
+
+
+def perplexity_buckets_sql(
+    vocab_size: int = 2000,
+    by_col: str = "lang",
+    fractions: tuple[float, float] = (1 / 3, 2 / 3),
+    table: str = "documents",
+) -> str:
+    """Mirror of text.perplexity_buckets over unigram_logprob: per-group
+    type-7 tertiles (quantile_cont == Spark's exact `percentile`
+    interpolation), 6dp-rounded boundaries, head/middle/tail."""
+    f1, f2 = float(fractions[0]), float(fractions[1])
+    lp = unigram_logprob_sql(vocab_size, table)
+    return f"""
+WITH lpq AS ({lp}),
+b AS (
+  SELECT {by_col} AS byk,
+         round(quantile_cont(doc_lp, {f1!r}), 6) AS b1,
+         round(quantile_cont(doc_lp, {f2!r}), 6) AS b2
+  FROM lpq GROUP BY {by_col}
+)
+SELECT lpq.*, CASE WHEN doc_lp IS NULL THEN NULL
+                   WHEN doc_lp <= b.b1 THEN 'head'
+                   WHEN doc_lp <= b.b2 THEN 'middle'
+                   ELSE 'tail' END AS lp_bucket
+FROM lpq LEFT JOIN b ON lpq.{by_col} IS NOT DISTINCT FROM b.byk
+"""
+
+
+def mixture_sample_sql(
+    temperature: float = 0.5,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    table: str = "documents",
+) -> str:
+    """Mirror of curation.mixture_sample: per-domain counts, rate =
+    round((n/n_min)^(τ−1), 6), floor-16-bit md5 hash gate."""
+    tau = float(temperature)
+    return f"""
+WITH c AS (SELECT {domain_col} AS d, count(*)::BIGINT AS n_domain FROM {table} GROUP BY {domain_col}),
+m AS (SELECT min(n_domain) AS nmin FROM c),
+r AS (SELECT d, n_domain,
+             round(pow(n_domain::DOUBLE / nmin::DOUBLE, {tau!r} - 1.0), 6) AS sample_rate
+      FROM c CROSS JOIN m)
+SELECT t.*, r.n_domain, r.sample_rate
+FROM {table} t JOIN r ON t.{domain_col} IS NOT DISTINCT FROM r.d
+WHERE r.sample_rate >= 1.0
+   OR substr(md5('{salt}' || CAST(t.{id_col} AS VARCHAR)), 1, 4)
+      < lpad(lower(hex(CAST(floor(r.sample_rate * 65536) AS INT))), 4, '0')
+"""

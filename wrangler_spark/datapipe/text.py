@@ -452,3 +452,107 @@ def script_ratios(df: DataFrame, text_col: str) -> DataFrame:
             (F.length(F.regexp_replace(c, r"\s", "")) - accounted).cast("double") / denom, 6
         ),
     )
+
+
+# terminal punctuation accepted by the C4 line rule (Raffel et al. 2020:
+# "a period, exclamation mark, question mark, or end quotation mark") —
+# ASCII-only so the Java and RE2 regex dialects read it identically
+C4_TERMINAL_RE = r"""[.!?"']$"""
+
+
+def c4_quality(
+    df: DataFrame,
+    text_col: str,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style line/document quality filtering (Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning..." — the cleaning rules
+    behind the C4 corpus, cf. also the public TensorFlow-Datasets
+    c4_utils): keep only lines that end in terminal punctuation, have at
+    least ``min_words_per_line`` words, and do not contain 'javascript';
+    flag documents containing 'lorem ipsum' or a curly brace (code), or
+    whose cleaned text has fewer than ``min_sentences`` sentences. Adds
+    (text_clean, n_lines, n_kept_lines, has_lorem, has_brace,
+    n_sentences, c4_pass); all input columns pass through — the caller
+    decides between filtering on c4_pass and training on text_clean.
+
+    The word-blocklist rule of the paper needs the external "bad words"
+    list — compose with source_filter / a register_lookup table for
+    that; it is a data file, not an operator.
+
+    Scale shape: one split + bounded array filter + a few regexp_counts
+    per row — scan-side, zero shuffle, whole-stage codegen (the same
+    plan family as gopher_quality)."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    keep_line = lambda l: (  # noqa: E731
+        F.rtrim(l).rlike(C4_TERMINAL_RE)
+        & (F.regexp_count(l, F.lit(r"\S+")) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript")
+    )
+    staged = df.withColumn("__kept", F.filter(lines, keep_line))
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{")
+    text_clean = F.concat_ws("\n", F.col("__kept"))
+    n_sent = F.regexp_count(text_clean, F.lit(r"[.!?]"))
+    return (
+        staged.withColumn("text_clean", text_clean)
+        .withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_kept_lines", F.size("__kept").cast("long"))
+        .withColumn("has_lorem", has_lorem)
+        .withColumn("has_brace", has_brace)
+        .withColumn("n_sentences", n_sent.cast("long"))
+        .withColumn(
+            "c4_pass",
+            ~has_lorem & ~has_brace & (n_sent >= min_sentences),
+        )
+        .drop("__kept")
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    lp_col: str,
+    by_col: str | None = None,
+    out_col: str = "lp_bucket",
+    fractions: tuple[float, float] = (1 / 3, 2 / 3),
+    approx: bool = False,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020): split the
+    corpus into three quality tiers by LM score tertiles — per
+    ``by_col`` group (typically the language) when given, else global.
+    Low score = in-distribution = 'head' (the tier CCNet keeps first).
+    Compose downstream with sample_stratified over the bucket column.
+    Null scores (token-less docs) get a null bucket.
+
+    Determinism/scale trade, explicit: the default computes EXACT
+    tertile boundaries (Spark's `percentile`, linearly interpolated —
+    the same type-7 quantile DuckDB's quantile_cont computes, so the
+    oracle matches) — exact percentile buffers each group's values on
+    its reducer, fine up to ~1e8 docs per language group. At full
+    100 TB scale pass ``approx=True`` (percentile_approx, bounded
+    sketch state, same plan otherwise) — the boundaries then drift by
+    sketch error, which a sampling tier can tolerate but an oracle
+    diff cannot, hence exact as the default. Boundaries are a per-group
+    TWO-DOUBLE table: broadcast-joined back, corpus scans once, one
+    grouped aggregate total."""
+    f1, f2 = float(fractions[0]), float(fractions[1])
+    lp = F.col(lp_col)
+    pct = F.percentile_approx(lp, [f1, f2], 10_000) if approx else F.percentile(lp, [f1, f2])
+    bounds = F.round(pct.getItem(0), 6).alias("__b1"), F.round(pct.getItem(1), 6).alias("__b2")
+    if by_col is None:
+        b = df.agg(*bounds)
+        joined = df.crossJoin(F.broadcast(b))
+    else:
+        b = df.groupBy(F.col(by_col).alias("__byk")).agg(*bounds)
+        joined = df.join(
+            F.broadcast(b), F.col(by_col).eqNullSafe(F.col("__byk")), "left"
+        ).drop("__byk")
+    bucket = (
+        F.when(lp.isNull(), F.lit(None).cast("string"))
+        .when(lp <= F.col("__b1"), F.lit("head"))
+        .when(lp <= F.col("__b2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.withColumn(out_col, bucket).drop("__b1", "__b2")
