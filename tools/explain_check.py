@@ -148,6 +148,42 @@ def main() -> int:
         must_not=["Exchange", "Window", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 15. C4 quality is scan-side only (the gopher_quality plan family):
+    # no shuffle, no Python, no window
+    p = plan_of(qs["text_c4_quality"](spark, SF_DIR))
+    problems += check(
+        "text_c4_quality", p,
+        must_not=["Exchange", "Window", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # 16. mixture sampling: the rate table broadcasts back; the corpus
+    # must not shuffle or sort-merge for the gate
+    p = plan_of(qs["sample_mixture"](spark, SF_DIR))
+    problems += check(
+        "sample_mixture", p, must=["BroadcastHashJoin"],
+        must_not=["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # 17. perplexity buckets: the per-group boundary table broadcasts
+    # (a SortMergeJoin is allowed ONLY for unigram_logprob's lp-attach —
+    # that join is corpus×corpus by design; the two-double boundary
+    # table must never be the SMJ side)
+    p = plan_of(qs["text_lp_buckets"](spark, SF_DIR))
+    problems += check(
+        "text_lp_buckets", p, must=["BroadcastHashJoin"],
+        must_not=["CartesianProduct"],
+    )
+
+    # 18. the hash-space ngram prefix join is still an equi-join on int
+    # keys (no cartesian, no Python) for BOTH gram units
+    for name in ("dedup_ngram_jaccard", "dedup_ngram_word"):
+        p = plan_of(qs[name](spark, SF_DIR))
+        problems += check(
+            name, p,
+            must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                      "BatchEvalPython", "ArrowEvalPython"],
+        )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:

@@ -328,3 +328,76 @@ class PackSequences(Directive):
             ctx.resolve(df, self.args["text"]),
             int(self.args["seq_len"]),
         )
+
+
+@directive
+class C4Quality(Directive):
+    """c4-quality :text [min_words] [min_sentences] — the C4 cleaning
+    rules (Raffel et al. 2020): line filter (terminal punctuation, min
+    words, no 'javascript') + doc flags (lorem ipsum, brace, sentence
+    count) → text_clean, n_lines, n_kept_lines, has_lorem, has_brace,
+    n_sentences, c4_pass."""
+
+    name = "c4-quality"
+    usage = [
+        Arg("text", TokenType.COLUMN),
+        Arg("min_words", TokenType.NUMERIC, optional=True, default=5),
+        Arg("min_sentences", TokenType.NUMERIC, optional=True, default=3),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import c4_quality
+
+        return c4_quality(
+            df,
+            ctx.resolve(df, self.args["text"]),
+            int(self.args["min_words"]),
+            int(self.args["min_sentences"]),
+        )
+
+
+@directive
+class LpBuckets(Directive):
+    """lp-buckets :lp_col [:by_col] — CCNet head/middle/tail bucketing on
+    an LM-score column (tertiles per :by_col group when given, else
+    global) → lp_bucket. Compose after unigram-logprob."""
+
+    name = "lp-buckets"
+    usage = [
+        Arg("lp", TokenType.COLUMN),
+        Arg("by", TokenType.COLUMN, optional=True, default=None),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import perplexity_buckets
+
+        by = self.args["by"]
+        return perplexity_buckets(
+            df,
+            ctx.resolve(df, self.args["lp"]),
+            by_col=ctx.resolve(df, by) if by else None,
+        )
+
+
+@directive
+class MixtureSample(Directive):
+    """mixture-sample :id :domain [temperature] — temperature-scaled
+    domain rebalancing (rate (n_d/n_min)^(t-1), deterministic hash gate);
+    keeps rows, adds n_domain + sample_rate."""
+
+    name = "mixture-sample"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("domain", TokenType.COLUMN),
+        Arg("temperature", TokenType.NUMERIC, optional=True, default=0.5),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import mixture_sample
+
+        return mixture_sample(
+            df,
+            ctx.resolve(df, self.args["id"]),
+            ctx.resolve(df, self.args["domain"]),
+            float(self.args["temperature"]),
+        )
