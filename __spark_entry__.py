@@ -255,6 +255,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": lambda s, d: curation.mixture_sample(
             docs(s, d), "doc_id", "source", 0.5
         ),
+        "text_clf_score": _q_clf_score,
         "text_token_count": lambda s, d: Pipeline.compile("token-count :text").apply(docs(s, d)),
         "text_fingerprint": lambda s, d: Pipeline.compile("fingerprint :text").apply(docs(s, d)),
         "text_repetition": lambda s, d: Pipeline.compile("repetition-stats :text").apply(docs(s, d)),
@@ -332,6 +333,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_c4_quality": o.c4_quality_sql(),
         "text_lp_buckets": o.perplexity_buckets_sql(2000, "lang"),
         "sample_mixture": o.mixture_sample_sql(0.5, "source", "doc_id"),
+        "text_clf_score": o.quality_classifier_sql(512, 3),
         "text_token_count": o.token_count_sql(),
         "text_fingerprint": o.fingerprint_sql(),
         "text_repetition": o.repetition_stats_sql(),
@@ -547,7 +549,7 @@ _R7_WINDOW = [
     "text_bm25",
     "dedup_simhash",
     "dedup_embedding",
-    "text_langid",
+    "text_clf_score",
     "text_quality",
     "text_unigram_lp",
     "text_vocabulary",
@@ -780,6 +782,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "validate_standard": _q_validate_standard,
     }
+
+
+def _q_clf_score(spark, sf_dir):
+    """Hashed logistic-regression quality classifier: train pos =
+    doc_id % 7 == 0 vs the rest (deterministic labels), score every doc.
+    The discriminative counterpart to text_dsir, same feature space."""
+    from wrangler_spark.datapipe import curation
+
+    d = _t(spark, sf_dir, "documents")
+    pos = d.filter(F.col("doc_id") % 7 == 0)
+    neg = d.filter(F.col("doc_id") % 7 != 0)
+    w = curation.train_quality_classifier(pos, neg, "doc_id", "text", 512, 3)
+    return curation.quality_classifier_score(d, w, "doc_id", "text", 512).select(
+        "doc_id", "clf_score"
+    )
 
 
 def _q_text_tokenize(spark, sf_dir):

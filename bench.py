@@ -53,6 +53,7 @@ EXTRA_QUERIES = [
     # Added round 7
     "text_lp_buckets",     # unigram-LM score + per-lang tertile broadcast
     "sample_mixture",      # domain counts + broadcast rate gate
+    "text_clf_score",      # hashed logistic regression train + score
 ]
 
 

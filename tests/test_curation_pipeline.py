@@ -335,3 +335,46 @@ def test_mixture_sample_temperature(spark):
     assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again.collect())
     # tau=1: identity
     assert curation.mixture_sample(df, "doc_id", "source", temperature=1.0).count() == 220
+
+
+def test_quality_classifier_learns_separation(spark):
+    cooking = [
+        "whisk the eggs with butter and fold in the flour gently",
+        "simmer the onions in olive oil until golden and fragrant",
+        "knead the dough and let it rest before baking the bread",
+        "roast the garlic and toss with pasta and fresh basil",
+    ]
+    legal = [
+        "the party of the first part hereby waives all claims",
+        "pursuant to the agreement the licensee shall indemnify the licensor",
+        "the undersigned agrees to the terms and conditions herein",
+        "this contract shall be governed by the laws of the state",
+    ]
+    pos = spark.createDataFrame(list(enumerate(cooking)), "doc_id long, text string")
+    neg = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(legal)], "doc_id long, text string"
+    )
+    w = curation.train_quality_classifier(pos, neg, "doc_id", "text", buckets=256, iters=5)
+    out = {r["doc_id"]: r["clf_score"] for r in curation.quality_classifier_score(
+        pos.unionByName(neg), w, "doc_id", "text", 256).collect()}
+    assert min(out[i] for i in range(4)) > max(out[100 + i] for i in range(4))
+    # held-out docs from each register score on the right side of 0.5
+    held = spark.createDataFrame(
+        [(900, "saute the mushrooms in butter with fresh thyme and serve"),
+         (901, "the licensor shall retain all right title and interest herein")],
+        "doc_id long, text string",
+    )
+    ho = {r["doc_id"]: r["clf_score"] for r in curation.quality_classifier_score(
+        held, w, "doc_id", "text", 256).collect()}
+    assert ho[900] > 0.5 > ho[901]
+
+
+def test_quality_classifier_empty_doc_bias_only(spark):
+    pos = spark.createDataFrame([(1, "good words here")], "doc_id long, text string")
+    neg = spark.createDataFrame([(2, "bad words there"), (3, "")], "doc_id long, text string")
+    # the empty doc contributes no features and is EXCLUDED from training
+    w = curation.train_quality_classifier(pos, neg, "doc_id", "text", buckets=64, iters=2)
+    # ...but still scores (bias only) instead of dropping out
+    out = {r["doc_id"]: r["clf_score"] for r in curation.quality_classifier_score(
+        neg, w, "doc_id", "text", 64).collect()}
+    assert out[3] is not None and 0.0 <= out[3] <= 1.0

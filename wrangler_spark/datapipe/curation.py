@@ -626,3 +626,120 @@ def mixture_sample(
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
     )
     return joined.filter((F.col("sample_rate") >= 1.0) | (prefix < thr))
+
+
+def train_quality_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 512,
+    iters: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Train a hashed-feature logistic-regression quality classifier with
+    DataFrame ops only — the fastText-style DISCRIMINATIVE counterpart to
+    DSIR's generative log-ratio (the published pipeline pattern: GPT-3 /
+    PaLM / LLaMA all filtered CommonCrawl with a linear classifier over
+    cheap features, positives = curated corpus, negatives = raw crawl).
+    Features are the same hashed unigram+bigram buckets as dsir_logratio,
+    taken as PRESENCE (0/1, distinct per doc) plus an always-on bias
+    bucket b = −1; training is full-batch gradient descent unrolled
+    ``iters`` times. Returns the weight table (b, w) with w in integer
+    MICRO-UNITS (divide by 1e6 for the real weight); feed to
+    quality_classifier_score.
+
+    Cross-engine determinism (the repo's integer contract): the per-doc
+    margin is an integer sum of micro-unit weights; the sigmoid output is
+    rounded to 6dp and the per-doc error integerized to micro-units
+    BEFORE the per-bucket gradient sum, so engine aggregation order
+    cannot drift; the weight update rounds lr·grad/N once per bucket.
+    The DuckDB oracle unrolls the same iterations as CTEs and matches
+    exactly.
+
+    Scale shape: the labeled presence features are built once and
+    eagerly checkpointed (they feed every iteration twice); per
+    iteration = one broadcast join (weights ≤ buckets+1 rows) + one
+    per-doc integer-sum aggregate + one equi-join of the per-doc error
+    back onto the features + one per-bucket integer-sum aggregate — two
+    bounded hash shuffles, no driver-side model state beyond the weight
+    table itself (checkpointed per iteration exactly like
+    kmeans_centroids' recentering). N is a one-row count over the
+    checkpointed features, the unigram_logprob scalar-literal
+    precedent."""
+    B = int(buckets)
+    lab = lambda df, y: _hashed_ngram_features(df, id_col, text_col, B).select(  # noqa: E731
+        "__id", "b"
+    ).distinct().withColumn("__y", F.lit(y))
+    feats = lab(pos, 1).unionByName(lab(neg, 0))
+    # the always-on bias bucket, one per doc
+    docs = feats.select("__id", "__y").distinct()
+    feats = feats.unionByName(
+        docs.select("__id", F.lit(-1).alias("b"), "__y")
+    ).localCheckpoint(eager=True)
+    n_docs = docs.count()
+    w = (
+        feats.select("b").distinct()
+        .withColumn("w", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(iters)):
+        margins = (
+            feats.join(F.broadcast(w), "b")
+            .groupBy("__id", "__y")
+            .agg(F.sum("w").alias("__m"))
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m").cast("double") / F.lit(1e6))), 6)
+        err = margins.select(
+            "__id",
+            F.round((p - F.col("__y").cast("double")) * F.lit(1e6)).cast("long").alias("__e"),
+        )
+        grad = (
+            feats.join(err, "__id")
+            .groupBy("b")
+            .agg(F.sum("__e").alias("__g"))
+        )
+        w = (
+            w.join(grad, "b", "left")
+            .select(
+                "b",
+                (
+                    F.col("w")
+                    - F.round(
+                        F.lit(float(lr)) * F.coalesce(F.col("__g"), F.lit(0)).cast("double") / F.lit(float(n_docs))
+                    ).cast("long")
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 512,
+    out_col: str = "clf_score",
+) -> DataFrame:
+    """Score documents with a train_quality_classifier weight table:
+    sigmoid of (bias + Σ present-bucket weights), rounded 6dp. Adds
+    ``out_col``; all input columns pass through. Buckets must match
+    training. Scale shape: features scan-side, weight table broadcast,
+    one per-doc integer-sum aggregate — the corpus shuffles once."""
+    B = int(buckets)
+    feats = _hashed_ngram_features(df, id_col, text_col, B).distinct()
+    feats = feats.unionByName(
+        df.select(F.col(id_col).alias("__id"), F.lit(-1).alias("b"))
+    )
+    margins = (
+        feats.join(F.broadcast(weights), "b")
+        .groupBy("__id")
+        .agg(F.sum("w").alias("__m"))
+    )
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m").cast("double") / F.lit(1e6))), 6
+    )
+    scored = margins.select("__id", score.alias(out_col))
+    return df.join(scored, F.col(id_col) == F.col("__id"), "left").drop("__id")

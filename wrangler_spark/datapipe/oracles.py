@@ -839,3 +839,56 @@ WHERE r.sample_rate >= 1.0
    OR substr(md5('{salt}' || CAST(t.{id_col} AS VARCHAR)), 1, 4)
       < lpad(lower(hex(CAST(floor(r.sample_rate * 65536) AS INT))), 4, '0')
 """
+
+
+def quality_classifier_sql(
+    buckets: int = 512, iters: int = 3, lr: float = 1.0, table: str = "documents"
+) -> str:
+    """Mirror of train_quality_classifier + quality_classifier_score with
+    pos = doc_id % 7 == 0 (the demo query's label): full-batch logistic
+    regression unrolled to ``iters`` CTE pairs, the same integer
+    micro-unit contract (6dp sigmoid -> integer error -> integer
+    per-bucket gradient -> one rounded update)."""
+    B = int(buckets)
+    h = _H.format(s="f")
+    ctes = [
+        f"rw AS (SELECT doc_id, {_WORDS} AS t FROM {table})",
+        "feats0 AS (SELECT doc_id, unnest(list_concat("
+        "list_filter(t, w -> w <> ''), "
+        "[t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))])) AS f FROM rw)",
+        f"bf AS (SELECT DISTINCT doc_id, ({h}) % {B} AS b FROM feats0)",
+        "fz AS (SELECT doc_id, b FROM bf UNION ALL SELECT DISTINCT doc_id, -1 AS b FROM bf)",
+        "lab AS (SELECT DISTINCT doc_id, CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS y FROM bf)",
+        "nn AS (SELECT count(*) AS nd FROM lab)",
+        "w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM fz)",
+    ]
+    for i in range(int(iters)):
+        ctes.append(
+            f"m{i} AS (SELECT f.doc_id, l.y, sum(w.w) AS m "
+            f"FROM fz f JOIN w{i} w USING (b) JOIN lab l USING (doc_id) "
+            f"GROUP BY f.doc_id, l.y)"
+        )
+        ctes.append(
+            f"e{i} AS (SELECT doc_id, CAST(round((round(1.0 / (1.0 + exp(-(m::DOUBLE) / 1e6)), 6) - y) * 1e6) AS BIGINT) AS e "
+            f"FROM m{i})"
+        )
+        ctes.append(
+            f"g{i} AS (SELECT f.b, sum(e.e) AS g FROM fz f JOIN e{i} e USING (doc_id) GROUP BY f.b)"
+        )
+        ctes.append(
+            f"w{i + 1} AS (SELECT w.b, w.w - CAST(round({float(lr)!r} * coalesce(g.g, 0)::DOUBLE / nn.nd) AS BIGINT) AS w "
+            f"FROM w{i} w LEFT JOIN g{i} g USING (b) CROSS JOIN nn)"
+        )
+    K = int(iters)
+    ctes.append(
+        f"sf AS (SELECT DISTINCT doc_id, ({h}) % {B} AS b FROM feats0 "
+        f"UNION ALL SELECT doc_id, -1 AS b FROM {table})"
+    )
+    ctes.append(
+        f"sm AS (SELECT f.doc_id, sum(w.w) AS m FROM sf f JOIN w{K} w USING (b) GROUP BY f.doc_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT d.doc_id, round(1.0 / (1.0 + exp(-(sm.m::DOUBLE) / 1e6)), 6) AS clf_score "
+        f"FROM {table} d LEFT JOIN sm USING (doc_id)"
+    )
