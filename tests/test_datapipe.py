@@ -871,3 +871,39 @@ def test_script_ratios_multiscript(spark):
     total = sum(m[f"script_{s}"] for s in ("latin", "cyrillic", "greek", "arabic", "cjk", "digit"))
     assert abs(total + m["script_other"] - 1.0) < 1e-4
     assert out[5]["script_latin"] == 0.0 and out[5]["script_other"] == 0.0
+
+
+def test_resize_image_stub_and_registered(spark):
+    rows = [(1, _make_png(640, 480)), (2, _make_png(100, 200)), (3, b"junk"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["resized"] for r in
+           multimodal.resize_image(df, 128, 128).collect()}
+    # aspect-preserving fit into the 128x128 box
+    assert got[1]["orig_width"] == 640 and (got[1]["width"], got[1]["height"]) == (128, 96)
+    assert (got[2]["width"], got[2]["height"]) == (64, 128)
+    assert got[1]["data"] is None          # stub: geometry real, no fake pixels
+    assert got[3] is None and got[4] is None
+    # a registered resizer receives (payload, w, h) and supplies the bytes
+    multimodal.register_decoder("image_resize", lambda b, w, h: (b"RESIZED%d" % (w * h), "RGB"))
+    try:
+        got = {r["doc_id"]: r["resized"] for r in
+               multimodal.resize_image(df, 128, 128).collect()}
+        assert got[1]["data"] == b"RESIZED%d" % (128 * 96)
+    finally:
+        multimodal._DECODERS.pop("image_resize", None)
+
+
+def test_sample_frames_duration_true(spark):
+    # 12.5 s video, 5 s period -> frames at 0, 5, 10
+    rows = [(1, _make_mp4(1000, 12500, 2)), (2, b"not video"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = multimodal.sample_frames(df, period_sec=5.0).collect()
+    times = sorted(r["frame_time_sec"] for r in out)
+    assert [r["doc_id"] for r in out] == [1, 1, 1] and times == [0.0, 5.0, 10.0]
+    assert all(r["frame"] is None for r in out)  # stub: timeline real, no fake pixels
+    multimodal.register_decoder("video_frame", lambda b, t: b"F@%.1f" % t)
+    try:
+        out = multimodal.sample_frames(df, period_sec=5.0).collect()
+        assert sorted(r["frame"] for r in out) == [b"F@0.0", b"F@10.0", b"F@5.0"]
+    finally:
+        multimodal._DECODERS.pop("video_frame", None)

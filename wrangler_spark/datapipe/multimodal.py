@@ -320,7 +320,130 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Video frame-sampling *plan*: emits (payload, frame_index) rows for a
     downstream decoder — demonstrates the explode-shaped row generation
-    without decoding (frame count approximated from payload size)."""
+    without decoding (frame count approximated from payload size).
+    Prefer sample_frames, which reads the real container duration."""
     approx_frames = F.greatest((F.length(F.col(payload_col)) / 1024).cast("int"), F.lit(1))
     idx = F.explode(F.sequence(F.lit(0), approx_frames - 1, F.lit(every_n)))
     return df.withColumn("frame_index", idx)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("orig_width", T.IntegerType()),
+        T.StructField("orig_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    out_col: str = "resized",
+    keep_aspect: bool = True,
+) -> DataFrame:
+    """Resize image payloads → struct(orig_width, orig_height, width,
+    height, mode, data). The Spark plumbing (schema, Arrow batching,
+    null-on-undecodable) is real; the PIXEL RESAMPLE is behind the
+    registry: register_decoder("image_resize", fn) with
+    ``fn(payload, w, h) -> (bytes, mode)`` (a PIL thumbnail/resize fits
+    this signature directly) — without one, the stdlib header decoders
+    supply the original dimensions, the target box is computed (aspect-
+    preserving fit when ``keep_aspect``), and ``data`` is None: the
+    STUB contract — deterministic geometry, no fake pixels. Undecodable
+    payloads yield a null struct; rows are kept either way."""
+    tw, th = int(width), int(height)
+    fn = _DECODERS.get("image_resize")
+    in_schema = df.schema
+    out_schema = T.StructType(list(in_schema.fields) + [T.StructField(out_col, RESIZE_SCHEMA)])
+
+    def fit(ow: int, oh: int) -> tuple[int, int]:
+        if not keep_aspect:
+            return tw, th
+        scale = min(tw / ow, th / oh)
+        return max(int(ow * scale), 1), max(int(oh * scale), 1)
+
+    def to_row(b):
+        if b is None:
+            return None
+        meta = default_image_decoder(bytes(b))
+        if meta is None:
+            return None
+        ow, oh, mode = meta
+        w, h = fit(ow, oh)
+        data = None
+        if fn is not None:
+            try:
+                data, mode = fn(bytes(b), w, h)
+            except Exception:
+                return None
+        return (ow, oh, w, h, mode, data)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[payload_col].map(to_row)
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    period_sec: float = 1.0,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Duration-true video frame sampling: one output row per sampled
+    timestamp (0, period, 2·period, … up to the container duration read
+    from the REAL mvhd box), with (frame_index, frame_time_sec, frame).
+    The pixel extraction is behind the registry:
+    register_decoder("video_frame", fn) with
+    ``fn(payload, t_sec) -> bytes`` (an opencv/pyav grab fits) —
+    without one ``frame`` is None (stub contract: real timeline, no
+    fake pixels). Undecodable payloads emit zero rows.
+
+    Scale shape: the explode happens INSIDE mapInPandas (one Arrow
+    batch in, k·rows out, streamed) — payload bytes are not duplicated
+    per frame row in the shuffle unless the caller keeps the column; at
+    100 TB select the frame rows' metadata (ids + frame) forward and
+    drop the payload before any wide operation."""
+    p = float(period_sec)
+    fn = _DECODERS.get("video_frame")
+    in_schema = df.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [
+            T.StructField("frame_index", T.LongType()),
+            T.StructField("frame_time_sec", T.DoubleType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                b = row[payload_col]
+                meta = mp4_meta(bytes(b)) if b is not None else None
+                if meta is None:
+                    continue
+                duration = meta[0]
+                t, i = 0.0, 0
+                while t <= duration:
+                    frame = None
+                    if fn is not None:
+                        try:
+                            frame = fn(bytes(b), t)
+                        except Exception:
+                            frame = None
+                    out_rows.append({**row.to_dict(), "frame_index": i,
+                                     "frame_time_sec": round(t, 6), "frame": frame})
+                    i += 1
+                    t = round(i * p, 9)
+            yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(run, out_schema)
