@@ -27,6 +27,9 @@ QUERIES = [
     "cleanse_recipe", "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_cc",
     "dedup_ngram_word", "text_quality", "pii_redact", "dedup_paragraphs",
     "decontaminate", "sample_by_quality", "ann_cosine_topk",
+    # round 7
+    "dedup_substring_keepfirst", "text_c4_quality", "text_lp_buckets",
+    "sample_mixture", "text_clf_score",
 ]
 
 
