@@ -378,3 +378,20 @@ def test_quality_classifier_empty_doc_bias_only(spark):
     out = {r["doc_id"]: r["clf_score"] for r in curation.quality_classifier_score(
         neg, w, "doc_id", "text", 64).collect()}
     assert out[3] is not None and 0.0 <= out[3] <= 1.0
+
+
+def test_round7_directive_wrappers(spark, docs):
+    """Recipe-surface parity for the library ops added in rounds 6-7:
+    every single-frame datapipe op is reachable from a recipe."""
+    out = Pipeline.compile(
+        "langid-multi :text\nscript-ratios :text\nc4-quality :text"
+    ).apply(docs)
+    assert {"lang_pred", "lang_score", "script_latin", "c4_pass"} <= set(out.columns)
+    assert out.count() == docs.count()
+    sh = Pipeline.compile("dedup-simhash :doc_id :text 16").apply(docs)
+    assert "simhash" in sh.columns
+    ng = Pipeline.compile("dedup-ngram :doc_id :text 3 0.5 'word'").apply(docs)
+    assert set(ng.columns) == {"id_a", "id_b", "jaccard"} and ng.count() > 0
+    u = docs.selectExpr("doc_id", "'https://WWW.D.com:443/p/?gclid=1&z=2#f' AS link")
+    cu = Pipeline.compile("url-canonicalize :link").apply(u)
+    assert cu.select("link_canonical").first()[0] == "https://d.com/p?z=2"

@@ -401,3 +401,96 @@ class MixtureSample(Directive):
             ctx.resolve(df, self.args["domain"]),
             float(self.args["temperature"]),
         )
+
+
+@directive
+class UrlCanonicalize(Directive):
+    """url-canonicalize :url — canonical URL dedup key (lowercase host,
+    strip www/fragment/tracking params, scheme-matched default-port
+    strip, sorted query) → url_canonical, url_host."""
+
+    name = "url-canonicalize"
+    usage = [Arg("url", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import url_canonicalize
+
+        col = ctx.resolve(df, self.args["url"])
+        return url_canonicalize(df, col, out_prefix=col)
+
+
+@directive
+class ScriptRatios(Directive):
+    """script-ratios :text — per-doc Unicode script composition
+    (script_latin/cyrillic/greek/arabic/cjk/digit/other fractions)."""
+
+    name = "script-ratios"
+    usage = [Arg("text", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import script_ratios
+
+        return script_ratios(df, ctx.resolve(df, self.args["text"]))
+
+
+@directive
+class LangIdMulti(Directive):
+    """langid-multi :text — multi-language stopword-profile LID
+    (en/es/fr/de/it/pt argmax) → lang_pred, lang_score."""
+
+    name = "langid-multi"
+    usage = [Arg("text", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import langid_multi
+
+        return langid_multi(df, ctx.resolve(df, self.args["text"]))
+
+
+@directive
+class DedupSimhash(Directive):
+    """dedup-simhash :id :text [bits] — per-doc SimHash signature over
+    word hashes → simhash (near-dups are small hamming distances)."""
+
+    name = "dedup-simhash"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("bits", TokenType.NUMERIC, optional=True, default=32),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.dedup import simhash
+
+        return simhash(
+            df, ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"]),
+            int(self.args["bits"]),
+        )
+
+
+@directive
+class DedupNgram(Directive):
+    """dedup-ngram :id :text [n] [threshold] [unit] — n-gram Jaccard
+    near-dup pairs (word grams by default; prefix-filtered inverted
+    index) → (id_a, id_b, jaccard)."""
+
+    name = "dedup-ngram"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("n", TokenType.NUMERIC, optional=True, default=3),
+        Arg("threshold", TokenType.NUMERIC, optional=True, default=0.5),
+        Arg("unit", TokenType.TEXT, optional=True, default="word"),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(
+            df,
+            ctx.resolve(df, self.args["id"]),
+            ctx.resolve(df, self.args["text"]),
+            int(self.args["n"]),
+            float(self.args["threshold"]),
+            unit=str(self.args["unit"]),
+        )
