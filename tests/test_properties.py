@@ -156,3 +156,66 @@ def test_paragraph_dedup_no_cross_doc_repeats(spark):
         paras += [p for p in r["text"].split("\n") if p]
     assert len(paras) == len(set(paras))
     assert len(set(paras)) == 1 + 3 + 12  # header + 3 bodies + 12 tails
+
+
+def test_url_canonicalize_idempotent(spark):
+    """Canonicalization is a fixpoint: canonicalize(canonical) == canonical
+    for URLs and non-URLs alike — the property that makes the output a
+    safe dedup KEY (re-running a pipeline stage must not re-split
+    groups)."""
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.datapipe.curation import url_canonicalize
+
+    urls = [
+        "https://WWW.Site.com:443/p/?b=2&utm_source=x&a=1#f",
+        "http://Example.org:80/a/b?z=9&fbclid=abc&y=8",
+        "https://odd.io:80/x?fbclid&a=1",
+        "http://odd.io:443/x",
+        "http://alt.example:8080/q/?utm_campaign",
+        "https://cdn.host.net/static/img.png",
+        "https://x.com/",
+        "https://x.com",
+        "HTTPS://UPPER.COM/PATH?B=1&A=2",
+        "ftp://files.example.com:21/pub/",
+        "https://h.com/p?ref&ref=2&referrer=3",
+        "https://h.com/p?",
+        "not a url at all",
+        "src17",
+        "",
+        "://broken",
+        "https://trail.com/a//b//",
+        "https://q.com/p?a=1&a=0&b",
+    ]
+    df = spark.createDataFrame(list(enumerate(urls)), "i long, url string")
+    once = url_canonicalize(df, "url").select(
+        "i", F.col("url_canonical").alias("url")
+    )
+    twice = url_canonicalize(once, "url")
+    diffs = twice.filter(F.col("url") != F.col("url_canonical")).collect()
+    assert diffs == [], [(r["url"], r["url_canonical"]) for r in diffs]
+
+
+def test_c4_text_clean_is_a_fixpoint(spark):
+    """Re-running the C4 line filter over its own text_clean drops
+    nothing: every kept line still satisfies the line rule."""
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.datapipe.text import c4_quality
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    mixed = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\nThis is a proper closing sentence with enough words."
+                  "\nshort one\nAnother good long sentence to keep around here!"),
+        ),
+    )
+    once = c4_quality(mixed, "text").select("doc_id", F.col("text_clean").alias("text"))
+    again = c4_quality(once, "text")
+    bad = again.filter(F.col("n_kept_lines") != F.col("n_lines")).collect()
+    # empty text_clean splits to one empty line that is (correctly) not
+    # kept — exclude the empty-doc case from the fixpoint claim
+    bad = [r for r in bad if r["text"] != ""]
+    assert bad == []

@@ -542,8 +542,8 @@ def url_canonicalize(df: DataFrame, url_col: str, out_prefix: str = "url") -> Da
     SCHEME'S default (http→:80, https→:443 — an https://host:80 is a
     genuinely different resource and keeps its port), drop the fragment,
     drop tracking query params (TRACKING_PARAM_RE — with or without a
-    value), sort the surviving params, strip one trailing slash from the
-    path. Values that don't
+    value), sort the surviving params, strip trailing slashes from the path
+    (all of them — the canonical string must be a fixpoint). Values that don't
     parse as a URL (no ``scheme://host``) pass through unchanged with a
     null host — the column can mix URLs and bare source labels.
 
@@ -561,7 +561,11 @@ def url_canonicalize(df: DataFrame, url_col: str, out_prefix: str = "url") -> Da
         .when(scheme == "https", F.regexp_replace(host1, r":443$", ""))
         .otherwise(host1)
     )
-    path = F.regexp_replace(F.regexp_extract(c, pat, 3), r"/$", "")
+    # /+$ (not /$): stripping a single slash is not idempotent on
+    # 'a//b//' (pass 1 -> 'a//b/', pass 2 -> 'a//b'), and a dedup KEY
+    # must be a fixpoint — re-canonicalizing must never re-split groups
+    # (caught by the test_url_canonicalize_idempotent property)
+    path = F.regexp_replace(F.regexp_extract(c, pat, 3), r"/+$", "")
     query = F.regexp_extract(c, pat, 5)
     kept = F.array_join(
         F.array_sort(

@@ -714,7 +714,7 @@ p AS (
   SELECT doc_id, url,
          lower(regexp_extract(url, '{pat}', 1)) AS scheme,
          lower(regexp_extract(url, '{pat}', 2)) AS host0,
-         regexp_replace(regexp_extract(url, '{pat}', 3), '/$', '') AS path,
+         regexp_replace(regexp_extract(url, '{pat}', 3), '/+$', '') AS path,
          regexp_extract(url, '{pat}', 5) AS query
   FROM u
 ),
