@@ -266,6 +266,14 @@ def substring_dup_spans(
     from wrangler_spark.datapipe.dedup import normalize_text
 
     toks = F.split(normalize_text(F.col(text_col)), " ")
+    # base feeds TWO branches (the window explode and the final coverage
+    # join), so the normalize+split runs twice — DELIBERATELY left lazy:
+    # a localCheckpoint here measured SLOWER (0.52 -> 0.61-0.85 s warm at
+    # sf0.1) because materializing the tokenized corpus costs more than
+    # re-running a scan-side split over pruned parquet. The checkpoint
+    # idiom pays only when the shared subtree contains shuffles/aggregates
+    # (DSIR counts, ngram inv, perplexity_buckets' scored frame) — a pure
+    # scan-side branch is cheaper to recompute than to store.
     base = df.select(F.col(id_col).alias("__sid"), toks.alias("t"))
     w = int(window)
     wins = F.when(
