@@ -247,6 +247,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lp": lambda s, d: Pipeline.compile(
             "unigram-logprob :doc_id :text 2000"
         ).apply(docs(s, d)),
+        "text_bigram_lp": lambda s, d: text.bigram_logprob(docs(s, d), "doc_id", "text", 2000),
         "text_quality": lambda s, d: Pipeline.compile("quality-score :text").apply(docs(s, d)),
         "text_c4_quality": lambda s, d: text.c4_quality(docs(s, d), "text"),
         "text_lp_buckets": lambda s, d: text.perplexity_buckets(
@@ -354,6 +355,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "text_vocabulary": o.vocabulary_sql(200),
         "text_unigram_lp": o.unigram_logprob_sql(2000),
+        "text_bigram_lp": o.bigram_logprob_sql(2000),
         "text_tokenize": (
             # posexplode shape: parallel unnest of the token list and a
             # 0-based position range (DuckDB zips equal-length unnests)
@@ -551,7 +553,7 @@ _R7_WINDOW = [
     "dedup_embedding",
     "text_clf_score",
     "text_quality",
-    "text_unigram_lp",
+    "text_bigram_lp",
     "text_vocabulary",
     "decontaminate",
     "pii_redact",

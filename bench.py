@@ -54,6 +54,7 @@ EXTRA_QUERIES = [
     "text_lp_buckets",     # unigram-LM score + per-lang tertile broadcast
     "sample_mixture",      # domain counts + broadcast rate gate
     "text_clf_score",      # hashed logistic regression train + score
+    "text_bigram_lp",      # interpolated bigram LM (pair explode + bigram join)
 ]
 
 

@@ -907,3 +907,31 @@ def test_sample_frames_duration_true(spark):
         assert sorted(r["frame"] for r in out) == [b"F@0.0", b"F@10.0", b"F@5.0"]
     finally:
         multimodal._DECODERS.pop("video_frame", None)
+
+
+def test_bigram_logprob_detects_word_order(spark):
+    """The interpolated bigram score must separate fluent text from the
+    SAME words shuffled — the signal a unigram model cannot see."""
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on dog sat the rug cat the and on sat the"
+    filler = [(100 + i, fluent) for i in range(6)]  # give bigrams support
+    df = spark.createDataFrame(
+        [(1, fluent), (2, shuffled)] + filler, "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           text.bigram_logprob(df, "doc_id", "text", vocab_size=100).collect()}
+    assert out[2]["doc_lp2"] > out[1]["doc_lp2"]
+    # unigram cannot: identical token multiset -> identical unigram score
+    uni = {r["doc_id"]: r["doc_lp"] for r in
+           text.unigram_logprob(df, "doc_id", "text", 100).collect()}
+    assert uni[1] == uni[2]
+
+
+def test_bigram_logprob_null_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "some words here for scoring now"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["doc_lp2"] for r in
+           text.bigram_logprob(df, "doc_id", "text", 50).collect()}
+    assert out[1] is not None and out[2] is None and out[3] is None

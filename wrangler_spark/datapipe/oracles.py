@@ -892,3 +892,42 @@ def quality_classifier_sql(
         + f"\nSELECT d.doc_id, round(1.0 / (1.0 + exp(-(sm.m::DOUBLE) / 1e6)), 6) AS clf_score "
         f"FROM {table} d LEFT JOIN sm USING (doc_id)"
     )
+
+
+def bigram_logprob_sql(
+    vocab_size: int = 2000, lam: float = 0.7, table: str = "documents"
+) -> str:
+    """Mirror of text.bigram_logprob: interpolated bigram surprisal with
+    the unigram add-one top-V floor, micro-unit integer per-doc sums;
+    N/V scalar subqueries; interpolation constants rendered from the
+    same Python doubles Spark uses."""
+    V = int(vocab_size)
+    L, M = float(lam), 1.0 - float(lam)
+    punif = "(coalesce(v.cv, 0) + 1)::DOUBLE / (nv.n + nv.v + 1)::DOUBLE"
+    return f"""
+WITH rw AS (SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS wl FROM {table}),
+toks AS (
+  SELECT doc_id, unnest([struct_pack(
+      prev := CASE WHEN i > 1 THEN wl[i - 1] END, cur := wl[i])
+    FOR i IN range(1, len(wl) + 1)]) AS p
+  FROM rw
+),
+t AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM toks WHERE p.cur IS NOT NULL),
+uni AS (SELECT cur, count(*)::BIGINT AS c FROM t GROUP BY cur),
+vocab AS (SELECT cur, c AS cv FROM uni ORDER BY c DESC, cur ASC LIMIT {V}),
+nv AS (SELECT (SELECT sum(c) FROM uni) AS n, (SELECT count(*) FROM vocab) AS v),
+bi AS (SELECT prev, cur, count(*)::BIGINT AS c12 FROM t WHERE prev IS NOT NULL GROUP BY prev, cur),
+bi2 AS (SELECT bi.prev, bi.cur, bi.c12, u.c AS c1 FROM bi JOIN uni u ON bi.prev = u.cur),
+sc AS (
+  SELECT t.doc_id,
+         CAST(round(-log2(CASE WHEN t.prev IS NULL THEN {punif}
+             ELSE {L!r} * coalesce(b.c12::DOUBLE / b.c1::DOUBLE, 0.0) + {M!r} * ({punif}) END
+         ) * 1e6) AS BIGINT) AS s
+  FROM t LEFT JOIN vocab v ON t.cur = v.cur
+         LEFT JOIN bi2 b ON t.prev = b.prev AND t.cur = b.cur
+         CROSS JOIN nv
+),
+agg AS (SELECT doc_id, sum(s) AS ssum, count(*) AS nt FROM sc GROUP BY doc_id)
+SELECT d.*, round(a.ssum::DOUBLE / (a.nt::DOUBLE * 1e6), 6) AS doc_lp2
+FROM {table} d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""

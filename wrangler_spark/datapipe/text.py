@@ -565,3 +565,102 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
     )
     return joined.withColumn(out_col, bucket).drop("__b1", "__b2")
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 50_000,
+    lam: float = 0.7,
+    out_col: str = "doc_lp2",
+) -> DataFrame:
+    """Interpolated bigram LM quality score — the step from
+    unigram_logprob toward CCNet's KenLM n-gram scorer (Wenzek et al.
+    2020; Jelinek-Mercer interpolation): per-token surprisal
+    −log2(λ·p_bi + (1−λ)·p_uni), averaged per document, where
+    p_bi(w|w₁) = c(w₁,w)/c(w₁) (MLE with the standard unigram-count
+    denominator) and p_uni is the add-one top-``vocab_size`` unigram of
+    unigram_logprob (same N+V+1 smoothing, same OOV floor). A document's
+    first token has no predecessor and scores pure unigram. Low score =
+    fluent in-distribution text; captures word-ORDER garbling that a
+    unigram model cannot (shuffled text scores ~unchanged under unigram,
+    sharply worse here). Adds ``out_col`` (null for token-less docs).
+
+    Scale shape: the (prev, cur) pair stream is built SCAN-SIDE from the
+    token array (no window/lag — a transform over positions), exploded
+    once and eagerly checkpointed (three consumers: unigram counts,
+    bigram counts, scoring — the ngram-inv fan-out discipline). The
+    unigram vocab broadcasts; the bigram table does NOT (it grows with
+    the corpus) — scoring joins it on the (prev, cur) hash key, one
+    bounded shuffle each side. Per-token surprisal is micro-unit
+    integerized before the per-doc sum (the cross-engine contract);
+    N and V are scalar aggregates over the checkpointed counts."""
+    L = float(lam)
+    staged = _with_words(df, text_col)
+    # stage the filtered token array as its own projection FIRST (no CSE
+    # inside HOF lambdas — the pair transform references it 3x per
+    # element), then build pairs over the staged column reference
+    base = staged.select(
+        F.col(id_col).alias("__id"),
+        F.filter(F.col(_W), lambda x: x != "").alias("__wl"),
+    )
+    wl = F.col("__wl")
+    # the size guard matters: F.sequence(1, 0) generates DESCENDING
+    # [1, 0] (not empty), and element_at(wl, 0) is an error/null — an
+    # empty token array must yield an empty pair array
+    pairs = F.when(
+        F.size(wl) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wl)),
+            lambda i: F.struct(
+                F.when(i > 1, F.element_at(wl, i - 1)).alias("prev"),
+                F.element_at(wl, i).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    # explode_outer + null-filter + eager checkpoint idiom (three
+    # consumers re-derive the explode otherwise)
+    toks = (
+        base.select("__id", F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p.cur").isNotNull())
+        .select("__id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .localCheckpoint(eager=True)
+    )
+    uni = toks.groupBy("cur").agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(
+        eager=True
+    )
+    n_total = uni.agg(F.sum("c")).collect()[0][0] or 0
+    vocab = uni.orderBy(F.col("c").desc(), F.col("cur").asc()).limit(int(vocab_size))
+    v_kept = vocab.count()
+    denom = float(n_total + v_kept + 1)
+    bi = (
+        toks.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .join(uni.select(F.col("cur").alias("prev"), F.col("c").alias("c1")), "prev")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab.withColumnRenamed("c", "cv")), "cur", "left")
+        .join(bi, ["prev", "cur"], "left")
+    )
+    p_uni = (F.coalesce(F.col("cv"), F.lit(0)) + F.lit(1)).cast("double") / F.lit(denom)
+    p_bi = F.coalesce(
+        F.col("c12").cast("double") / F.col("c1").cast("double"), F.lit(0.0)
+    )
+    interp = F.when(F.col("prev").isNull(), p_uni).otherwise(
+        F.lit(L) * p_bi + F.lit(1.0 - L) * p_uni
+    )
+    s = F.round(-F.log2(interp) * F.lit(1e6)).cast("long")
+    per_doc = (
+        scored.select("__id", s.alias("__s"))
+        .groupBy("__id")
+        .agg(F.sum("__s").alias("__sum"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__id",
+            F.round(
+                F.col("__sum").cast("double") / (F.col("__n").cast("double") * F.lit(1e6)), 6
+            ).alias(out_col),
+        )
+    )
+    return df.join(per_doc, F.col(id_col) == F.col("__id"), "left").drop("__id")
