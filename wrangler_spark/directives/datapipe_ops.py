@@ -494,3 +494,27 @@ class DedupNgram(Directive):
             float(self.args["threshold"]),
             unit=str(self.args["unit"]),
         )
+
+
+@directive
+class BigramLogprob(Directive):
+    """bigram-logprob :id :text [vocab_size] — interpolated bigram LM
+    score (λ·p_bi + (1−λ)·p_uni per token, doc mean) → doc_lp2; the
+    word-order-aware companion to unigram-logprob."""
+
+    name = "bigram-logprob"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("vocab", TokenType.NUMERIC, optional=True, default=50_000),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import bigram_logprob
+
+        return bigram_logprob(
+            df,
+            ctx.resolve(df, self.args["id"]),
+            ctx.resolve(df, self.args["text"]),
+            int(self.args["vocab"]),
+        )
