@@ -223,6 +223,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), docs(s, d).filter(F.col("doc_id") % 7 == 0), "doc_id", "text", 4096
         ),
         "pack_sequences": lambda s, d: curation.pack_sequences(docs(s, d), "doc_id", "text", 512),
+        "text_chunk": lambda s, d: curation.chunk_documents(docs(s, d), "doc_id", "text", 64, 8),
         "text_bm25": lambda s, d: text.bm25_scores(
             docs(s, d),
             s.createDataFrame(_BM25_QUERIES, "query_id long, query string"),
@@ -319,6 +320,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_substring_keepfirst": o.substring_dup_sql(8, keep_first=True),
         "text_dsir": o.dsir_sql(4096),
         "pack_sequences": o.pack_sequences_sql(512),
+        "text_chunk": o.chunk_documents_sql(64, 8),
         "text_bm25": o.bm25_sql(_BM25_QUERIES),
         "dedup_ngram_jaccard": o.ngram_jaccard_sql(5, 0.6, unit="char"),
         "dedup_ngram_word": o.ngram_jaccard_sql(3, 0.5, unit="word"),
@@ -557,7 +559,7 @@ _R7_WINDOW = [
     "text_vocabulary",
     "decontaminate",
     "pii_redact",
-    "dedup_paragraphs",
+    "text_chunk",
     "sample_by_quality",
     "source_filter",
     "text_gopher_quality",

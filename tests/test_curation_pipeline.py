@@ -395,3 +395,37 @@ def test_round7_directive_wrappers(spark, docs):
     u = docs.selectExpr("doc_id", "'https://WWW.D.com:443/p/?gclid=1&z=2#f' AS link")
     cu = Pipeline.compile("url-canonicalize :link").apply(u)
     assert cu.select("link_canonical").first()[0] == "https://d.com/p?z=2"
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(1, 21))  # 20 words
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    out = curation.chunk_documents(df, "doc_id", "text", chunk_words=8, overlap=2)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"]))
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # stride 6: starts 1, 7, 13 — tail chunk covers w13..w20
+    assert [r["chunk_start"] for r in d1] == [1, 7, 13]
+    assert d1[0]["chunk_text"].startswith("w1 ") and d1[-1]["chunk_text"].endswith("w20")
+    assert d1[-1]["n_chunk_words"] == 8
+    # consecutive chunks share exactly `overlap` words
+    a, b = d1[0]["chunk_text"].split(), d1[1]["chunk_text"].split()
+    assert a[-2:] == b[:2]
+    # every word appears in some chunk (full coverage)
+    covered = {w for r in d1 for w in r["chunk_text"].split()}
+    assert covered == set(words.split())
+    # sub-window doc -> one chunk; empty/null -> zero rows
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "short doc"
+    assert not [r for r in rows if r["doc_id"] in (3, 4)]
+    # chunking then re-joining a no-overlap split reconstructs the doc
+    nj = curation.chunk_documents(df.filter("doc_id = 1"), "doc_id", "text", 8, 0)
+    rebuilt = " ".join(r["chunk_text"] for r in sorted(nj.collect(), key=lambda r: r["chunk_id"]))
+    assert rebuilt == words
+
+
+def test_chunk_docs_directive(spark, docs):
+    out = Pipeline.compile("chunk-docs :doc_id :text 64 8").apply(docs)
+    assert set(out.columns) == {"doc_id", "chunk_id", "chunk_start", "chunk_text", "n_chunk_words"}
+    assert out.count() >= docs.count()

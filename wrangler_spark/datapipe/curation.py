@@ -755,3 +755,63 @@ def quality_classifier_score(
     )
     scored = margins.select("__id", score.alias(out_col))
     return df.join(scored, F.col(id_col) == F.col("__id"), "left").drop("__id")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping word windows — the standard
+    RAG-indexing / context-window chunking (stride = chunk_words −
+    overlap; the final partial window is kept so no tail text is lost;
+    empty docs yield zero rows). Whitespace words, rejoined with single
+    spaces (documented normalization — chunk boundaries are word-exact,
+    intra-chunk whitespace is collapsed). Returns one row per chunk:
+    (id, chunk_id, chunk_start, chunk_text, n_chunk_words) — feed
+    chunk_text to the embedding/ANN path and (id, chunk_id) back-joins
+    retrieval hits to documents.
+
+    Scale shape: pure scan-side transform + one explode — zero shuffle,
+    whole-stage codegen; output size is input words × (1 + overlap/
+    stride), bounded by construction. The same explode_outer discipline
+    as every other generator (InferFiltersFromGenerate would otherwise
+    inline the window construction into a synthesized filter)."""
+    W, O = int(chunk_words), int(overlap)
+    if not 0 <= O < W:
+        raise ValueError(f"need 0 <= overlap < chunk_words, got {O} >= {W}")
+    step = W - O
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+    ).select("__id", F.filter(F.col("__w"), lambda x: x != "").alias("__w"))
+    w = F.col("__w")
+    n = F.size(w)
+    # window starts: 1, 1+step, ... — the last start is the largest
+    # s <= n with s == 1 (mod step), so the tail is always covered
+    starts = F.when(
+        n >= 1, F.sequence(F.lit(1), F.greatest(n - F.lit(W - 1), F.lit(1)) + F.lit(step - 1), F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    # drop synthetic starts past n (sequence overshoots by < step)
+    starts = F.filter(starts, lambda s: s <= n)
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("cs"),
+            F.concat_ws(" ", F.slice(w, s, F.lit(W))).alias("ct"),
+            F.least(n - s + 1, F.lit(W)).cast("long").alias("cn"),
+        ),
+    )
+    return (
+        base.select("__id", F.posexplode_outer(chunks).alias("__pos", "c"))
+        .filter(F.col("c").isNotNull())
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__pos").cast("long").alias("chunk_id"),
+            F.col("c.cs").cast("long").alias("chunk_start"),
+            F.col("c.ct").alias("chunk_text"),
+            F.col("c.cn").alias("n_chunk_words"),
+        )
+    )

@@ -931,3 +931,32 @@ agg AS (SELECT doc_id, sum(s) AS ssum, count(*) AS nt FROM sc GROUP BY doc_id)
 SELECT d.*, round(a.ssum::DOUBLE / (a.nt::DOUBLE * 1e6), 6) AS doc_lp2
 FROM {table} d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
+
+
+def chunk_documents_sql(
+    chunk_words: int = 256, overlap: int = 32, table: str = "documents"
+) -> str:
+    """Mirror of curation.chunk_documents: same start grid (1, 1+step, …
+    capped so the tail window is generated exactly once)."""
+    W, O = int(chunk_words), int(overlap)
+    step = W - O
+    return f"""
+WITH b AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM {table}
+),
+s AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) >= 1
+           THEN [x FOR x IN range(1, greatest(len(w) - {W - 1}, 1) + {step - 1} + 1, {step}) IF x <= len(w)]
+           ELSE CAST([] AS BIGINT[]) END AS starts
+  FROM b
+),
+e AS (SELECT doc_id, w, unnest(starts) AS cs, unnest(range(0, len(starts))) AS cid FROM s)
+SELECT doc_id,
+       CAST(cid AS BIGINT) AS chunk_id,
+       CAST(cs AS BIGINT) AS chunk_start,
+       array_to_string(list_slice(w, cs, cs + {W - 1}), ' ') AS chunk_text,
+       least(len(w) - cs + 1, {W})::BIGINT AS n_chunk_words
+FROM e
+"""

@@ -518,3 +518,29 @@ class BigramLogprob(Directive):
             ctx.resolve(df, self.args["text"]),
             int(self.args["vocab"]),
         )
+
+
+@directive
+class ChunkDocs(Directive):
+    """chunk-docs :id :text [chunk_words] [overlap] — overlapping word-
+    window chunking (RAG indexing / context windows) → one row per chunk
+    (id, chunk_id, chunk_start, chunk_text, n_chunk_words)."""
+
+    name = "chunk-docs"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("chunk_words", TokenType.NUMERIC, optional=True, default=256),
+        Arg("overlap", TokenType.NUMERIC, optional=True, default=32),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import chunk_documents
+
+        return chunk_documents(
+            df,
+            ctx.resolve(df, self.args["id"]),
+            ctx.resolve(df, self.args["text"]),
+            int(self.args["chunk_words"]),
+            int(self.args["overlap"]),
+        )
