@@ -168,3 +168,36 @@ def test_curation_recipe_on_stream(spark, tmp_path_factory):
     assert got[2]["g_word_count"] is False
     assert got[3]["n_pii"] == 0 and got[3]["g_stopwords"] is True
     _sh.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_near_dedup(spark, tmp_path_factory):
+    import shutil as _sh
+
+    from wrangler_spark.streaming import streaming_near_dedup
+
+    d = str(tmp_path_factory.mktemp("near_src"))
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "THE  quick   Brown fox jumps over the lazy dog"),  # normalized dup
+        (4, "completely different content about spark engines and shuffles"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    try:
+        static = spark.read.parquet(d)
+        stream = spark.readStream.schema(static.schema).parquet(d)
+        q = run_to_memory(streaming_near_dedup(stream, "text"), "near_out")
+        got = spark.sql("SELECT doc_id, simhash FROM near_out").collect()
+        q.stop()
+        # the three identical-after-normalization docs collapse to one
+        # survivor; the distinct doc stays; simhash column rides along
+        ids = sorted(r["doc_id"] for r in got)
+        assert len(ids) == 2 and 4 in ids and ids[0] in (1, 2, 3)
+        assert all(r["simhash"] is not None for r in got)
+        # batch form: same semantics on a static frame
+        b = streaming_near_dedup(static, "text")
+        assert b.count() == 2
+    finally:
+        _sh.rmtree(d, ignore_errors=True)

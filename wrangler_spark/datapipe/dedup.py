@@ -538,15 +538,10 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
-    """Per-document SimHash over word hashes (bits ≤ 32 so the bit test
-    stays in exact integer range for both engines). Adds `simhash` long."""
-    # stage tokenization + hashing: `hashes` feeds all `bits` aggregates,
-    # so inlining would recompute md5 per word x bits (no CSE in lambdas)
-    df = df.select(
-        F.col(id_col), F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")).alias("__w")
-    ).select(F.col(id_col), F.transform(F.col("__w"), _hash28).alias("__h"))
-    hashes = F.col("__h")
+def simhash_expr(hashes: Column, bits: int = 32) -> Column:
+    """SimHash bit-vote expression over a STAGED array-of-word-hashes
+    column (the caller must project the hash array first — it feeds all
+    ``bits`` aggregates and Spark does not CSE inside HOF lambdas)."""
 
     def voter(pw: int):
         return lambda acc, h: acc + F.when(((h / pw).cast("long") % 2) == 1, 1).otherwise(-1)
@@ -559,7 +554,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     sh = bit_cols[0]
     for c in bit_cols[1:]:
         sh = sh + c
-    return df.select(F.col(id_col), sh.cast("long").alias("simhash"))
+    return sh.cast("long")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-document SimHash over word hashes (bits ≤ 32 so the bit test
+    stays in exact integer range for both engines). Adds `simhash` long."""
+    # stage tokenization + hashing: `hashes` feeds all `bits` aggregates,
+    # so inlining would recompute md5 per word x bits (no CSE in lambdas)
+    df = df.select(
+        F.col(id_col), F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")).alias("__w")
+    ).select(F.col(id_col), F.transform(F.col("__w"), _hash28).alias("__h"))
+    return df.select(F.col(id_col), simhash_expr(F.col("__h"), bits).alias("simhash"))
 
 
 def embedding_dup_pairs(

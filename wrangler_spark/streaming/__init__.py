@@ -84,6 +84,48 @@ def streaming_dedup(
     return df.dropDuplicates(keys)
 
 
+def streaming_near_dedup(
+    df: DataFrame,
+    text_col: str,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+    bits: int = 32,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Streaming NEAR-dedup: the first document per SimHash-prefix bucket
+    (within the watermark) survives; later documents whose simhash agrees
+    on the top ``prefix_bits`` collapse onto it. All columns pass through
+    plus the computed ``simhash``.
+
+    Why this shape for streams: the batch near-dup paths (MinHash band
+    pairing, ngram prefix joins) need self-joins or multi-op stateful
+    chains that Structured Streaming restricts; a SimHash prefix bucket
+    needs exactly ONE stateful operator (dropDuplicatesWithinWatermark on
+    the bucket), the signature itself is pure scan-side expression work,
+    and the state store holds one row per bucket bounded by the
+    watermark. The trade, documented: granularity is the bucket — two
+    docs collapse iff their top prefix_bits agree (coarser than a
+    Hamming-distance test; raise prefix_bits to split more, lower it to
+    collapse more). Works identically on a batch frame (plain
+    dropDuplicates) for backfill/testing parity."""
+    from wrangler_spark.datapipe.dedup import _hash28, normalize_text, simhash_expr
+
+    staged = df.withColumn(
+        "__h",
+        F.transform(
+            F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")), _hash28
+        ),
+    )
+    out = staged.withColumn("simhash", simhash_expr(F.col("__h"), bits)).withColumn(
+        "__bucket", F.shiftright(F.col("simhash"), bits - int(prefix_bits))
+    )
+    if ts_col and out.isStreaming:
+        out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["__bucket"])
+    else:
+        out = out.dropDuplicates(["__bucket"])
+    return out.drop("__h", "__bucket")
+
+
 def run_to_memory(df: DataFrame, name: str, timeout: int = 60, output_mode: str | None = None):
     """Test helper: drain all available input into an in-memory table.
     Windowed aggregations need output_mode='complete' to see the still-open
