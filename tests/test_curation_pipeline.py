@@ -335,6 +335,10 @@ def test_mixture_sample_temperature(spark):
     assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again.collect())
     # tau=1: identity
     assert curation.mixture_sample(df, "doc_id", "source", temperature=1.0).count() == 220
+    # tau outside [0, 1] is rejected (would silently no-op)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="temperature"):
+        curation.mixture_sample(df, "doc_id", "source", temperature=1.5)
 
 
 def test_quality_classifier_learns_separation(spark):

@@ -935,3 +935,35 @@ def test_bigram_logprob_null_and_empty(spark):
     out = {r["doc_id"]: r["doc_lp2"] for r in
            text.bigram_logprob(df, "doc_id", "text", 50).collect()}
     assert out[1] is not None and out[2] is None and out[3] is None
+
+
+def test_ivf_index_persist_and_pruned_query(spark, tmp_path_factory):
+    """The persisted IVF index must return byte-identical results to the
+    in-memory ivf_topk AND prove partition pruning: the vectors scan
+    reads only the probed centroid_id directories."""
+    import io
+    from contextlib import redirect_stdout
+
+    path = str(tmp_path_factory.mktemp("ivf_idx"))
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 5)
+    similarity.ivf_write_index(embs, path, n_centroids=8)
+    got = sorted(map(tuple, similarity.ivf_query_index(
+        spark, path, q, k=5, nprobe=1).collect()))
+    want = sorted(map(tuple, similarity.ivf_topk(
+        embs, q, 8, "vec_id", "embedding", 5).collect()))
+    assert got == want and len(got) == 25
+    # multi-probe parity too
+    got2 = sorted(map(tuple, similarity.ivf_query_index(
+        spark, path, q, k=5, nprobe=2).collect()))
+    want2 = sorted(map(tuple, similarity.ivf_topk(
+        embs, q, 8, "vec_id", "embedding", 5, nprobe=2).collect()))
+    assert got2 == want2
+    # pruning evidence: the scan plan carries a centroid_id partition
+    # filter (pruned file index, not a full-directory read)
+    df = similarity.ivf_query_index(spark, path, q, k=5, nprobe=1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "centroid_id" in plan

@@ -617,6 +617,12 @@ def mixture_sample(
     broadcast-joined back on the domain key, and the gate is a scan-side
     filter. The corpus itself never shuffles."""
     tau = float(temperature)
+    if not 0.0 <= tau <= 1.0:
+        # τ > 1 would produce rates > 1 for every above-minimum domain,
+        # which the downsample-only gate silently clips to keep-all —
+        # reject instead of no-opping (upsampling needs row duplication,
+        # a different operator)
+        raise ValueError(f"temperature must be in [0, 1], got {tau}")
     d = F.col(domain_col)
     counts = df.groupBy(d.alias("__d")).agg(F.count(F.lit(1)).cast("long").alias("n_domain"))
     nmin = counts.agg(F.min("n_domain").alias("__nmin"))

@@ -465,3 +465,81 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 0,
+    dim: int | None = None,
+) -> None:
+    """Materialize an IVF index on disk: the corpus written PARTITIONED BY
+    centroid_id (``<path>/vectors/centroid_id=*/``) plus the centroid
+    table (``<path>/centroids``). This is the production form every
+    ivf_topk docstring points at — at 100 TB the index is built once and
+    every query session probes it with PARTITION-PRUNED scans instead of
+    re-assigning the corpus per query batch. Centroids are the
+    deterministic first-k baseline, or k-means-trained with
+    ``train_iters`` > 0."""
+    if train_iters > 0:
+        cent = kmeans_centroids(corpus, n_centroids, train_iters, id_col, vec_col, dim=dim)
+    else:
+        cent = corpus.orderBy(id_col).limit(n_centroids).select(
+            F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("zv")
+        )
+    c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
+    assign = _assign_prepared(c, cent)
+    (
+        corpus.withColumnRenamed(id_col, "vec_id")
+        .join(assign, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/vectors")
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+    query_batch: int = 4096,
+) -> DataFrame:
+    """Query a persisted IVF index with PARTITION-PRUNED bucket scans:
+    the query set probes its ``nprobe`` nearest centroids, the DISTINCT
+    probed bucket ids (≤ n_centroids scalars — bounded by the broadcast
+    contract) become an ``isin`` partition filter on the vectors read, so
+    the scan touches only the probed ``centroid_id=*`` directories
+    (verify with .explain: PartitionFilters carries the centroid_id
+    predicate and the file index reads a subset of partitions). Scoring
+    and top-k reduction are exactly ivf_topk's (same bucket equi-join,
+    same two-phase no-Window top-k, same query batching)."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    q_prep = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    probes = _probe_assign(q_prep, cent, nprobe)
+    probed = [r[0] for r in probes.select("centroid_id").distinct().collect()]
+    vecs = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("centroid_id").isin(probed))
+        .select("vec_id", _as_double(F.col(vec_col)).alias("cv"), "centroid_id")
+    )
+    q = q_prep.join(probes, "query_id")
+
+    def scorer(qb: DataFrame) -> DataFrame:
+        joined = vecs.join(F.broadcast(qb), "centroid_id").filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+        return joined.select(
+            "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+        )
+
+    return _topk_batched(q, k, query_batch, scorer)
