@@ -219,3 +219,37 @@ def test_c4_text_clean_is_a_fixpoint(spark):
     # kept — exclude the empty-doc case from the fixpoint claim
     bad = [r for r in bad if r["text"] != ""]
     assert bad == []
+
+
+from hypothesis import given as _given, settings as _settings, strategies as _st
+
+
+@_given(_st.binary(max_size=300))
+@_settings(max_examples=300, deadline=None)
+def test_media_decoders_never_raise_on_garbage(b):
+    """Untrusted bytes through every stdlib media decoder must yield a
+    value or None — never an exception out of the mapInPandas task (the
+    r6-advice mvhd IndexError class of bug)."""
+    from wrangler_spark.datapipe import multimodal as mm
+
+    for fn in (mm.png_meta, mm.gif_meta, mm.mp4_meta,
+               mm.default_image_decoder, mm.default_audio_decoder,
+               mm.default_video_decoder):
+        fn(b)
+
+
+@_given(_st.binary(max_size=200))
+@_settings(max_examples=150, deadline=None)
+def test_mp4_meta_prefix_truncations(payload):
+    """Every truncation of a VALID mp4 must also decode cleanly (valid
+    prefix bytes exercise the box-walk bounds far better than noise)."""
+    import struct as _s
+
+    from wrangler_spark.datapipe import multimodal as mm
+
+    box = lambda t, p: _s.pack(">I", 8 + len(p)) + t + p  # noqa: E731
+    mvhd = bytes([0, 0, 0, 0]) + _s.pack(">II", 0, 0) + _s.pack(">II", 1000, 5000) + b"\x00" * 80
+    good = box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", box(b"mvhd", mvhd) + box(b"trak", b"\x00" * 16))
+    blob = good + payload
+    for cut in range(0, len(blob), 7):
+        mm.mp4_meta(blob[:cut])

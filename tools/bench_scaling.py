@@ -29,7 +29,7 @@ QUERIES = [
     "decontaminate", "sample_by_quality", "ann_cosine_topk",
     # round 7
     "dedup_substring_keepfirst", "text_c4_quality", "text_lp_buckets",
-    "sample_mixture", "text_clf_score",
+    "sample_mixture", "text_clf_score", "text_bigram_lp", "text_chunk",
 ]
 
 
