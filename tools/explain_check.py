@@ -184,6 +184,30 @@ def main() -> int:
                       "BatchEvalPython", "ArrowEvalPython"],
         )
 
+    # 19. classifier scoring: weight table broadcast, never cartesian,
+    # no Python anywhere in train+score
+    p = plan_of(qs["text_clf_score"](spark, SF_DIR))
+    problems += check(
+        "text_clf_score", p, must=["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # 20. chunking is a pure scan-side generator: zero shuffle
+    p = plan_of(qs["text_chunk"](spark, SF_DIR))
+    problems += check(
+        "text_chunk", p,
+        must_not=["Exchange", "Window", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # 21. bigram LM: the unigram vocab broadcasts; the corpus-sized
+    # bigram join may SMJ (it grows with the corpus, by design) but
+    # nothing may go cartesian or through Python
+    p = plan_of(qs["text_bigram_lp"](spark, SF_DIR))
+    problems += check(
+        "text_bigram_lp", p, must=["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:
