@@ -258,6 +258,11 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), "doc_id", "source", 0.5
         ),
         "text_clf_score": _q_clf_score,
+        "sample_budget": lambda s, d: curation.sample_to_budget(
+            text.token_count(docs(s, d), "text").drop("n_tokens_ws"),
+            "doc_id", "source", "n_tokens",
+            {"src1": 0.5, "src2": 0.3, "src3": 0.2}, 5000,
+        ),
         "text_token_count": lambda s, d: Pipeline.compile("token-count :text").apply(docs(s, d)),
         "text_fingerprint": lambda s, d: Pipeline.compile("fingerprint :text").apply(docs(s, d)),
         "text_repetition": lambda s, d: Pipeline.compile("repetition-stats :text").apply(docs(s, d)),
@@ -337,6 +342,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_lp_buckets": o.perplexity_buckets_sql(2000, "lang"),
         "sample_mixture": o.mixture_sample_sql(0.5, "source", "doc_id"),
         "text_clf_score": o.quality_classifier_sql(512, 3),
+        "sample_budget": o.sample_to_budget_sql(
+            {"src1": 0.5, "src2": 0.3, "src3": 0.2}, 5000, "source", "doc_id"
+        ),
         "text_token_count": o.token_count_sql(),
         "text_fingerprint": o.fingerprint_sql(),
         "text_repetition": o.repetition_stats_sql(),
@@ -561,7 +569,7 @@ _R7_WINDOW = [
     "pii_redact",
     "text_chunk",
     "sample_by_quality",
-    "source_filter",
+    "sample_budget",
     "text_gopher_quality",
     "text_script_ratios",
 ]

@@ -433,3 +433,33 @@ def test_chunk_docs_directive(spark, docs):
     out = Pipeline.compile("chunk-docs :doc_id :text 64 8").apply(docs)
     assert set(out.columns) == {"doc_id", "chunk_id", "chunk_start", "chunk_text", "n_chunk_words"}
     assert out.count() >= docs.count()
+
+
+def test_mixture_plan_and_budget_sampling(spark):
+    rows = ([(i, "w " * 100, "big") for i in range(100)]          # 10k tokens avail
+            + [(1000 + i, "w " * 100, "small") for i in range(10)]  # 1k tokens avail
+            + [(2000, "w " * 100, "other")])                        # unweighted
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string").withColumn(
+        "n_tokens", F.lit(100).cast("long")
+    )
+    plan = {r["domain"]: r for r in curation.mixture_plan(
+        df, "source", "n_tokens", {"big": 0.5, "small": 0.5}, budget=2000).collect()}
+    # shares renormalize over the named domains; 'other' gets 0
+    assert plan["big"]["target_share"] == 0.5 and plan["other"]["target_share"] == 0.0
+    # big: want 1000 of 10000 -> rate 0.1; small: want 1000 of 1000 -> rate 1, no shortfall
+    assert abs(plan["big"]["sample_rate"] - 0.1) < 1e-9 and plan["big"]["shortfall"] == 0
+    assert plan["small"]["sample_rate"] == 1.0 and plan["small"]["shortfall"] == 0
+    # a domain that cannot fill its share reports the shortfall
+    plan2 = {r["domain"]: r for r in curation.mixture_plan(
+        df, "source", "n_tokens", {"small": 1.0}, budget=5000).collect()}
+    assert plan2["small"]["sample_rate"] == 1.0 and plan2["small"]["shortfall"] == 4000
+    # applying the plan: small kept whole, big downsampled toward its want,
+    # unweighted domain dropped entirely; deterministic across runs
+    kept = curation.sample_to_budget(df, "doc_id", "source", "n_tokens",
+                                     {"big": 0.5, "small": 0.5}, 2000)
+    by = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by.get("small") == 10 and "other" not in by
+    assert 2 <= by.get("big", 0) <= 25  # ~10 expected at rate 0.1
+    again = curation.sample_to_budget(df, "doc_id", "source", "n_tokens",
+                                      {"big": 0.5, "small": 0.5}, 2000)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(r["doc_id"] for r in again.collect())

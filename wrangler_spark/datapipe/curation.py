@@ -821,3 +821,86 @@ def chunk_documents(
             F.col("c.cn").alias("n_chunk_words"),
         )
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    budget: int,
+) -> DataFrame:
+    """Token-budget mixture planning — the explicit-share counterpart to
+    mixture_sample's temperature rule (the planning step of every
+    pretraining data recipe: 'B tokens total, w_d of them from domain
+    d'). Produces the per-domain plan table: (domain, n_docs,
+    avail_tokens, target_share, want_tokens, sample_rate, shortfall)
+    where target shares are ``weights`` renormalized over the domains it
+    names (others get share 0 and rate 0), want = share·budget,
+    rate = min(1, want/avail) rounded 6dp — downsample-only, and a
+    domain that cannot fill its share reports the token ``shortfall``
+    instead of silently under-delivering (upsampling/epoching is the
+    trainer's decision, not the sampler's).
+
+    Scale shape: ONE aggregate over (domain) — the plan table is
+    domain-cardinality-tiny; apply it with sample_to_budget (hash gate)
+    or feed it to an epoch scheduler."""
+    total_w = sum(float(v) for v in weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    shares = {k: float(v) / total_w for k, v in weights.items()}
+    d = F.col(domain_col)
+    agg = df.groupBy(d.alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("avail_tokens"),
+    )
+    share = F.coalesce(
+        *[F.when(F.col("domain") == k, F.lit(v)) for k, v in shares.items()],
+        F.lit(0.0),
+    ) if shares else F.lit(0.0)
+    want = F.round(share * F.lit(float(int(budget)))).cast("long")
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            want.cast("double") / F.greatest(F.col("avail_tokens"), F.lit(1)).cast("double"),
+        ),
+        6,
+    )
+    return agg.select(
+        "domain",
+        "n_docs",
+        "avail_tokens",
+        F.round(share, 6).alias("target_share"),
+        want.alias("want_tokens"),
+        rate.alias("sample_rate"),
+        F.greatest(want - F.col("avail_tokens"), F.lit(0)).cast("long").alias("shortfall"),
+    )
+
+
+def sample_to_budget(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Apply a mixture_plan: keep each domain's rows at its plan rate via
+    the deterministic md5 hash gate (same floor-16-bit threshold as
+    mixture_sample), dropping domains outside ``weights``. In
+    expectation each kept domain contributes ~want_tokens (exactness is
+    per-doc-granular — a hash gate cannot split documents). Returns kept
+    rows with n_docs/avail_tokens/target_share/want_tokens/sample_rate
+    attached. Plan table broadcast-joins back; corpus never shuffles."""
+    plan = mixture_plan(df, domain_col, token_col, weights, budget)
+    joined = df.join(
+        F.broadcast(plan), F.col(domain_col).eqNullSafe(F.col("domain")), "inner"
+    ).drop("domain", "shortfall")
+    thr = F.lower(
+        F.lpad(F.hex(F.floor(F.col("sample_rate") * 65536).cast("int")), 4, "0")
+    )
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+    )
+    return joined.filter((F.col("sample_rate") >= 1.0) | (prefix < thr))

@@ -960,3 +960,42 @@ SELECT doc_id,
        least(len(w) - cs + 1, {W})::BIGINT AS n_chunk_words
 FROM e
 """
+
+
+def sample_to_budget_sql(
+    weights: dict[str, float],
+    budget: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    table: str = "documents",
+) -> str:
+    """Mirror of curation.sample_to_budget over token_count's n_tokens:
+    renormalized target shares, want = round(share*budget),
+    rate = round(min(1, want/avail), 6), floor-16-bit md5 gate."""
+    total = sum(float(v) for v in weights.values())
+    shares = {k: float(v) / total for k, v in weights.items()}
+    share_case = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in shares.items()
+    )
+    return f"""
+WITH tk AS (SELECT *, len(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT AS n_tokens FROM {table}),
+agg AS (SELECT {domain_col} AS domain, count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS avail_tokens
+        FROM tk GROUP BY {domain_col}),
+plan AS (
+  SELECT domain, n_docs, avail_tokens,
+         round(CASE domain {share_case} ELSE 0.0 END, 6) AS target_share,
+         CAST(round((CASE domain {share_case} ELSE 0.0 END) * {float(int(budget))!r}) AS BIGINT) AS want_tokens
+  FROM agg
+),
+plan2 AS (
+  SELECT *, round(least(1.0, want_tokens::DOUBLE / greatest(avail_tokens, 1)::DOUBLE), 6) AS sample_rate
+  FROM plan
+)
+SELECT tk.*, p.n_docs, p.avail_tokens, p.target_share, p.want_tokens, p.sample_rate
+FROM tk JOIN plan2 p ON tk.{domain_col} IS NOT DISTINCT FROM p.domain
+WHERE p.sample_rate >= 1.0
+   OR substr(md5('{salt}' || CAST(tk.{id_col} AS VARCHAR)), 1, 4)
+      < lpad(lower(hex(CAST(floor(p.sample_rate * 65536) AS INT))), 4, '0')
+"""
