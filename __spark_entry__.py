@@ -232,6 +232,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda s, d: dedup.simhash(docs(s, d), "doc_id", "text", 32),
         "dedup_embedding": lambda s, d: dedup.embedding_dup_pairs(embs(s, d), "vec_id", "embedding", 0.0),
         "dedup_embedding_cc": lambda s, d: dedup.embedding_components(embs(s, d), "vec_id", "embedding", 0.0),
+        "emb_quantize": lambda s, d: similarity.embedding_quantize(embs(s, d)).select(
+            "vec_id", "q_scale", F.posexplode("q").alias("pos", "qv")
+        ),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), "vec_id", "embedding", 10
         ),
@@ -332,6 +335,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_simhash": o.simhash_sql(32),
         "dedup_embedding": o.embedding_pairs_sql(0.0),
         "dedup_embedding_cc": o.embedding_components_sql(0.0),
+        "emb_quantize": o.embedding_quantize_sql(),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
         "text_langid_multi": o.langid_multi_sql(),
@@ -537,6 +541,7 @@ _R7_WINDOW = [
     "text_c4_quality",
     "text_lp_buckets",
     "sample_mixture",
+    "emb_quantize",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -562,7 +567,6 @@ _R7_WINDOW = [
     "dedup_simhash",
     "dedup_embedding",
     "text_clf_score",
-    "text_quality",
     "text_bigram_lp",
     "text_vocabulary",
     "decontaminate",

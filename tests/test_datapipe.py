@@ -967,3 +967,35 @@ def test_ivf_index_persist_and_pruned_query(spark, tmp_path_factory):
         df.explain(True)
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_embedding_normalize_and_quantize(spark):
+    rows = [
+        (0, [3.0, 4.0]),          # norm 5 -> (0.6, 0.8)
+        (1, [0.0, 0.0]),          # zero vector -> null
+        (2, None),                # null vector -> null
+        (3, [-1.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nz = {r["vec_id"]: r["embedding"] for r in similarity.embedding_normalize(df).collect()}
+    assert nz[0] == [0.6, 0.8] and nz[1] is None and nz[2] is None
+    assert abs(sum(x * x for x in nz[3]) - 1.0) < 1e-5
+    qz = {r["vec_id"]: (r["q"], r["q_scale"]) for r in similarity.embedding_quantize(df).collect()}
+    assert qz[0][0] == [95, 127]                 # round(127*3/4), 127
+    assert qz[1] == (None, None) and qz[2] == (None, None)
+    # dequantization reconstructs within half a quant step per element
+    q, s = qz[3]
+    assert all(abs(qi * s - xi) <= s / 2 + 1e-9 for qi, xi in zip(q, [-1.0, 2.0]))
+    # recall of ANN over dequantized vectors vs float (real embeddings):
+    # int8 keeps top-5 recall high — the storage cut is measurable, the
+    # quality loss is quantified by the existing ann_recall metric
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    deq = similarity.embedding_quantize(embs).select(
+        "vec_id",
+        F.expr("transform(q, x -> x * q_scale)").alias("embedding"),
+    )
+    queries = embs.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(embs, queries, k=5)
+    approx = similarity.cosine_topk(deq, queries, k=5)
+    rec = similarity.ann_recall(exact, approx).agg(F.avg("recall")).collect()[0][0]
+    assert rec >= 0.9, f"int8 recall collapsed: {rec}"

@@ -999,3 +999,24 @@ WHERE p.sample_rate >= 1.0
    OR substr(md5('{salt}' || CAST(tk.{id_col} AS VARCHAR)), 1, 4)
       < lpad(lower(hex(CAST(floor(p.sample_rate * 65536) AS INT))), 4, '0')
 """
+
+
+def embedding_quantize_sql(table: str = "embeddings") -> str:
+    """Mirror of similarity.embedding_quantize, graded as the hashable
+    posexplode projection (vec_id, q_scale, pos, qv)."""
+    return f"""
+WITH b AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM {table}
+),
+m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM b),
+q AS (
+  SELECT vec_id,
+         CASE WHEN ma > 0 THEN round(ma / 127.0, 6) END AS q_scale,
+         CASE WHEN ma > 0 THEN list_transform(v, x -> CAST(round(x * 127.0 / ma) AS INT)) END AS qv
+  FROM m
+)
+SELECT vec_id, q_scale,
+       CAST(unnest(range(0, len(qv))) AS INT) AS pos,
+       unnest(qv) AS qv
+FROM q
+"""

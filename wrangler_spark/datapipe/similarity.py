@@ -543,3 +543,52 @@ def ivf_query_index(
         )
 
     return _topk_batched(q, k, query_batch, scorer)
+
+
+def embedding_normalize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """L2-normalize an embedding column (6dp-rounded elements — the
+    cross-engine contract). Unit vectors make cosine a plain dot product
+    downstream and are the expected input of most ANN indexes. Zero/null
+    vectors come through as null (a zero vector has no direction).
+    Scan-side transform, zero shuffle."""
+    c = F.col(vec_col)
+    nrm = F.sqrt(F.aggregate(_as_double(c), F.lit(0.0), lambda s, x: s + x * x))
+    out = F.when(
+        c.isNotNull() & (nrm > 0),
+        F.transform(_as_double(c), lambda x: F.round(x / nrm, 6)),
+    )
+    return df.withColumn(out_col or vec_col, out)
+
+
+def embedding_quantize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q", scale_col: str = "q_scale"
+) -> DataFrame:
+    """Symmetric int8 quantization with a per-vector max-abs scale:
+    q_i = round(127·x_i / max|x|), scale = round(max|x|/127, 6) — at
+    100 TB this is the standard 4x storage/IO cut for embedding columns
+    (dequantize as q_i·scale; recall loss is benchmarkable with
+    ann_recall over a dequantized index vs the float one). All-zero /
+    null vectors quantize to null. Scan-side, zero shuffle; stage the
+    max-abs as its own projection (no CSE in HOF lambdas)."""
+    staged = df.withColumn(
+        "__ma",
+        F.aggregate(
+            _as_double(F.col(vec_col)), F.lit(0.0), lambda s, x: F.greatest(s, F.abs(x))
+        ),
+    )
+    ma = F.col("__ma")
+    q = F.when(
+        F.col(vec_col).isNotNull() & (ma > 0),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.round(x * F.lit(127.0) / ma).cast("int"),
+        ),
+    )
+    scale = F.when(F.col(vec_col).isNotNull() & (ma > 0), F.round(ma / F.lit(127.0), 6))
+    return (
+        staged.withColumn(out_col, q)
+        .withColumn(scale_col, scale.cast("double"))
+        .drop("__ma")
+    )
