@@ -209,6 +209,14 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup-minhash :doc_id :text 0.5"
         ).apply(docs(s, d)),
         "dedup_minhash_cc": lambda s, d: dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5),
+        "dedup_survivors": lambda s, d: dedup.cluster_survivors(
+            dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5),
+            docs(s, d), "doc_id", "component", "n_chars",
+        ),
+        "dedup_lsh_eval": lambda s, d: dedup.pair_eval(
+            dedup.minhash_lsh_pairs(docs(s, d), "doc_id", "text", 0.5),
+            dedup.ngram_jaccard_pairs(docs(s, d), "doc_id", "text", 3, 0.5, unit="word"),
+        ),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             docs(s, d), "doc_id", "text", 5, 0.6, unit="char"
         ),
@@ -234,6 +242,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cc": lambda s, d: dedup.embedding_components(embs(s, d), "vec_id", "embedding", 0.0),
         "emb_quantize": lambda s, d: similarity.embedding_quantize(embs(s, d)).select(
             "vec_id", "q_scale", F.posexplode("q").alias("pos", "qv")
+        ),
+        "emb_project": lambda s, d: similarity.embedding_project(embs(s, d), 64, 16).select(
+            "vec_id", F.posexplode("embedding").alias("pos", "y")
         ),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), "vec_id", "embedding", 10
@@ -336,6 +347,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_embedding": o.embedding_pairs_sql(0.0),
         "dedup_embedding_cc": o.embedding_components_sql(0.0),
         "emb_quantize": o.embedding_quantize_sql(),
+        "emb_project": o.embedding_project_sql(64, 16),
+        "dedup_survivors": o.cluster_survivors_sql(0.5),
+        "dedup_lsh_eval": o.pair_eval_sql(0.5, 3, 0.5),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
         "text_langid_multi": o.langid_multi_sql(),
@@ -542,6 +556,9 @@ _R7_WINDOW = [
     "text_lp_buckets",
     "sample_mixture",
     "emb_quantize",
+    "emb_project",
+    "dedup_survivors",
+    "dedup_lsh_eval",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -557,14 +574,11 @@ _R7_WINDOW = [
     "ext_groupby_agg",
     "ext_join",
     "ext_window_rank",
-    "ext_pivot",
-    "ext_rollup",
     "dedup_exact",
     "dedup_minhash_cc",
     "dedup_minhash_flag",
     "text_dsir",
     "text_bm25",
-    "dedup_simhash",
     "dedup_embedding",
     "text_clf_score",
     "text_bigram_lp",

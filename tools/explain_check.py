@@ -208,6 +208,31 @@ def main() -> int:
         must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 22. JL projection + int8 quantize are pure scan-side transforms:
+    # zero shuffle, no Window, no Python
+    for name in ("emb_project", "emb_quantize"):
+        p = plan_of(qs[name](spark, SF_DIR))
+        problems += check(
+            name, p,
+            must_not=["Exchange", "Window", "BatchEvalPython", "ArrowEvalPython"],
+        )
+
+    # 23. survivor selection: argmax is a hash aggregate (never a rank
+    # window), winners join back without a cartesian
+    p = plan_of(qs["dedup_survivors"](spark, SF_DIR))
+    problems += check(
+        "dedup_survivors", p, must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # 24. pair_eval: pair frames meet in an equi-join (full outer on the
+    # pair key), single global aggregate — no window, no cartesian
+    p = plan_of(qs["dedup_lsh_eval"](spark, SF_DIR))
+    problems += check(
+        "dedup_lsh_eval", p,
+        must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:

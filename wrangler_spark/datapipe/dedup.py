@@ -816,3 +816,88 @@ def embedding_components(
             (F.coalesce(F.col("component"), F.col(id_col)) != F.col(id_col)).alias("is_dup"),
         )
     )
+
+def cluster_survivors(
+    components: DataFrame, df: DataFrame, id_col: str = "doc_id",
+    comp_col: str = "component", quality_col: str | None = None,
+) -> DataFrame:
+    """Survivor selection per duplicate cluster — the keep policy that
+    turns (id, component) clusters into an actual dedup decision:
+    (id, component, keep) where exactly ONE member of every cluster has
+    keep=true. With ``quality_col`` the survivor is the highest-quality
+    member (ties break to the smaller id); without it, the component
+    representative (= minimum id, which connected_components already
+    computed) survives, requiring no aggregate at all.
+
+    Why quality-aware: min-id survivorship is arbitrary — production
+    pipelines keep the LONGEST / highest-scoring member of a near-dup
+    cluster (the shorter ones are usually truncations or boilerplate
+    wrappers of it). This is the composition point for quality_score /
+    gopher_quality / classifier scores with minhash_components /
+    embedding_components.
+
+    Scale shape: the argmax aggregate runs only over members of
+    MULTI-member clusters (dup rate x corpus, not the corpus — the
+    `dup_comps` semi-join prunes singletons first), one hash aggregate on
+    the component key; winners then left-join back to the full mapping —
+    a frame of one row per duplicate CLUSTER, broadcastable at any
+    realistic dup rate. No window, no global sort."""
+    base = components.select(F.col(id_col), F.col(comp_col))
+    if quality_col is None:
+        return base.withColumn("keep", F.col(id_col) == F.col(comp_col))
+    dup_comps = (
+        base.filter(F.col(id_col) != F.col(comp_col)).select(comp_col).distinct()
+    )
+    members = base.join(dup_comps, comp_col).join(
+        df.select(F.col(id_col), F.col(quality_col)), id_col
+    )
+    # argmax quality, tie -> min id: min_by over the (-quality, id) struct
+    winners = members.groupBy(comp_col).agg(
+        F.min_by(
+            F.col(id_col),
+            F.struct(
+                (-F.col(quality_col).cast("double")).alias("nq"),
+                F.col(id_col).alias("i"),
+            ),
+        ).alias("__surv")
+    )
+    return base.join(winners, comp_col, "left").select(
+        F.col(id_col),
+        F.col(comp_col),
+        F.when(F.col("__surv").isNull(), F.col(id_col) == F.col(comp_col))
+        .otherwise(F.col(id_col) == F.col("__surv"))
+        .alias("keep"),
+    )
+
+
+def pair_eval(
+    approx: DataFrame, exact: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Precision / recall / F1 of an approximate near-dup pair generator
+    against an exact one — the dedup counterpart of ann_recall, and the
+    metric that tunes LSH band/row choices before a 100 TB run: run both
+    generators on a sample, read one row, adjust bands. Pairs are
+    direction- and duplicate-normalized before comparison.
+
+    Scale shape: two distincts + one full outer join on the (rare) pair
+    keys + a single global aggregate to one row."""
+    def norm(p: DataFrame) -> DataFrame:
+        return p.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        ).distinct()
+
+    a = norm(approx).withColumn("__a", F.lit(1))
+    e = norm(exact).withColumn("__e", F.lit(1))
+    j = a.join(e, ["u", "v"], "full")
+    return j.agg(
+        F.count("__a").alias("approx_pairs"),
+        F.count("__e").alias("exact_pairs"),
+        F.count(F.when(F.col("__a").isNotNull() & F.col("__e").isNotNull(), 1)).alias("hits"),
+    ).select(
+        "approx_pairs",
+        "exact_pairs",
+        "hits",
+        F.round(F.col("hits") / F.greatest(F.col("approx_pairs"), F.lit(1)), 6).alias("precision"),
+        F.round(F.col("hits") / F.greatest(F.col("exact_pairs"), F.lit(1)), 6).alias("recall"),
+    )

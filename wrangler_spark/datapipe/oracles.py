@@ -1020,3 +1020,80 @@ SELECT vec_id, q_scale,
        unnest(qv) AS qv
 FROM q
 """
+
+
+def cluster_survivors_sql(threshold: float = 0.5, table: str = "documents") -> str:
+    """Mirror of dedup.cluster_survivors over minhash_components with
+    n_chars as the quality column: one survivor per duplicate cluster =
+    the longest member, ties to the smaller id. The oracle uses a rank
+    window (fine for DuckDB at oracle scale); the Spark side is a
+    pruned argmax aggregate — same fixpoint."""
+    return f"""
+WITH comp AS ({minhash_components_sql(threshold, table)}),
+q AS (SELECT c.doc_id, c.component, t.n_chars
+      FROM comp c JOIN {table} t USING (doc_id)),
+w AS (SELECT doc_id, component,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM q)
+SELECT doc_id, component, (rn = 1) AS keep FROM w
+"""
+
+
+def pair_eval_sql(
+    minhash_threshold: float = 0.5, n: int = 3, jaccard_threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """Mirror of dedup.pair_eval(minhash_lsh_pairs, ngram_jaccard_pairs):
+    precision/recall of the LSH pair generator against exact word-gram
+    Jaccard at the same threshold."""
+    return f"""
+WITH a AS (
+  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+  FROM ({minhash_lsh_sql(minhash_threshold, table)})
+),
+e AS (
+  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+  FROM ({ngram_jaccard_sql(n, jaccard_threshold, table=table, unit="word")})
+),
+j AS (
+  SELECT (a.u IS NOT NULL) AS ia, (e.u IS NOT NULL) AS ie
+  FROM a FULL JOIN e ON a.u = e.u AND a.v = e.v
+)
+SELECT count(CASE WHEN ia THEN 1 END) AS approx_pairs,
+       count(CASE WHEN ie THEN 1 END) AS exact_pairs,
+       count(CASE WHEN ia AND ie THEN 1 END) AS hits,
+       round(count(CASE WHEN ia AND ie THEN 1 END)
+             / greatest(count(CASE WHEN ia THEN 1 END), 1), 6) AS precision,
+       round(count(CASE WHEN ia AND ie THEN 1 END)
+             / greatest(count(CASE WHEN ie THEN 1 END), 1), 6) AS recall
+FROM j
+"""
+
+
+def embedding_project_sql(
+    dim_in: int = 64, dim_out: int = 16, seed: int = 1337, table: str = "embeddings"
+) -> str:
+    """Mirror of similarity.embedding_project, graded as the hashable
+    (vec_id, pos, y) explode. Inlines the SAME seeded LCG sign matrix the
+    Spark op uses (constants.jl_signs), so both engines multiply
+    identical literals."""
+    from .constants import jl_signs
+
+    signs = jl_signs(dim_out, dim_in, seed)
+    comps = []
+    for row in signs:
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in row) + "]"
+        dot = _DOT.format(a="v", b=lit)
+        comps.append(f"round({dot} / sqrt({float(dim_out)}), 6)")
+    arr = "[" + ", ".join(comps) + "]"
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM {table}
+),
+proj AS (SELECT vec_id, {arr} AS y FROM base WHERE v IS NOT NULL)
+SELECT vec_id,
+       CAST(unnest(range(0, {dim_out})) AS INT) AS pos,
+       unnest(y) AS y
+FROM proj
+"""
