@@ -213,6 +213,16 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5),
             docs(s, d), "doc_id", "component", "n_chars",
         ),
+        "dedup_cross_exact": lambda s, d: dedup.exact_dedup_against(
+            docs(s, d).filter(F.col("doc_id") % 3 != 0),
+            docs(s, d).filter(F.col("doc_id") % 3 == 0),
+            "doc_id", "text",
+        ),
+        "dedup_cross_minhash": lambda s, d: dedup.minhash_pairs_against(
+            docs(s, d).filter(F.col("doc_id") % 3 != 0),
+            docs(s, d).filter(F.col("doc_id") % 3 == 0),
+            "doc_id", "text", 0.5,
+        ),
         "dedup_lsh_eval": lambda s, d: dedup.pair_eval(
             dedup.minhash_lsh_pairs(docs(s, d), "doc_id", "text", 0.5),
             dedup.ngram_jaccard_pairs(docs(s, d), "doc_id", "text", 3, 0.5, unit="word"),
@@ -350,6 +360,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "emb_project": o.embedding_project_sql(64, 16),
         "dedup_survivors": o.cluster_survivors_sql(0.5),
         "dedup_lsh_eval": o.pair_eval_sql(0.5, 3, 0.5),
+        "dedup_cross_exact": o.exact_dedup_against_sql(3),
+        "dedup_cross_minhash": o.minhash_cross_sql(0.5, 3),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
         "text_langid_multi": o.langid_multi_sql(),
@@ -559,6 +571,8 @@ _R7_WINDOW = [
     "emb_project",
     "dedup_survivors",
     "dedup_lsh_eval",
+    "dedup_cross_exact",
+    "dedup_cross_minhash",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -571,12 +585,10 @@ _R7_WINDOW = [
     "ann_ivf_kmeans_topk",
     # back-fill (green r1-6, family coverage)
     "ext_asof_join",
-    "ext_groupby_agg",
     "ext_join",
     "ext_window_rank",
     "dedup_exact",
     "dedup_minhash_cc",
-    "dedup_minhash_flag",
     "text_dsir",
     "text_bm25",
     "dedup_embedding",

@@ -1062,3 +1062,54 @@ def test_embedding_project(spark):
     # magnitude better. On real (clustered) embeddings recall is high —
     # that property belongs to the data, not the operator.
     assert rec >= 0.02, f"JL projection no better than chance: {rec}"
+
+
+def test_exact_dedup_against(spark):
+    old = spark.createDataFrame(
+        [(10, "the quick brown fox"), (11, "existing corpus text")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "THE  quick   Brown fox"),   # normalizes to an old text
+         (2, "genuinely fresh content"),
+         (3, "existing corpus text")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["is_dup"] for r in
+           dedup.exact_dedup_against(new, old, "doc_id", "text").collect()}
+    assert out == {1: True, 2: False, 3: True}
+
+
+def test_minhash_pairs_against(spark):
+    old = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "completely unrelated existing document about engines")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 100
+         (2, "the quick brown fox jumps over the lazy rat"),   # near-dup of 100 AND of new doc 1
+         (3, "fresh text with no counterpart anywhere at all")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.minhash_pairs_against(new, old, "doc_id", "text", 0.3).collect()
+    got = {(r["id_new"], r["id_old"]) for r in pairs}
+    assert (1, 100) in got and (2, 100) in got
+    # asymmetric contract: no new-new, no old-old pairs
+    assert all(o in (100, 101) and n in (1, 2, 3) for n, o in got)
+    for r in pairs:
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_minhash_pairs_against_hot_old_bucket(spark):
+    """A hot OLD bucket is capped: a colliding new doc checks against at
+    most max_bucket_size representatives, not the whole bucket."""
+    body = "the exact same document body repeated everywhere in the corpus"
+    old = spark.createDataFrame([(i, body) for i in range(100, 400)], ["doc_id", "text"])
+    new = spark.createDataFrame([(1, body)], ["doc_id", "text"])
+    pairs = dedup.minhash_pairs_against(new, old, "doc_id", "text", 0.9,
+                                        max_bucket_size=10).collect()
+    olds = sorted(r["id_old"] for r in pairs)
+    assert 1 <= len(olds) <= 10          # capped, never the full 300
+    assert olds[0] == 100                # sorted slice keeps the min ids
+    assert all(r["jaccard"] == 1.0 for r in pairs)

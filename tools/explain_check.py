@@ -233,6 +233,16 @@ def main() -> int:
         must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 25. cross-corpus dedup: key/band equi-joins only — no cartesian,
+    # no window, no Python
+    for name in ("dedup_cross_exact", "dedup_cross_minhash"):
+        p = plan_of(qs[name](spark, SF_DIR))
+        problems += check(
+            name, p,
+            must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+                      "BatchEvalPython", "ArrowEvalPython"],
+        )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:

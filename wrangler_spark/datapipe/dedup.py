@@ -165,6 +165,32 @@ def minhash_signature(shingles: Column) -> list[Column]:
     ]
 
 
+def _sig_bands(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash front end: (base, bands) where base = (id, shingles)
+    eagerly localCheckpoint-ed (evaluated once, read by the signature path
+    AND the candidate-verification join — with a lazy checkpoint those
+    consumers race to materialize the RDD and the losers' metric
+    accumulators are dropped), and bands = (id, band, key) banded
+    signature rows, ~40 bytes each, the only thing the bucket shuffle
+    carries."""
+    base = with_shingles(df, id_col, text_col).localCheckpoint(eager=True)
+    hashed = base.selectExpr(
+        "id", f"transform(shingles, s -> {_HASH28_SQL.format(x='s')}) AS h"
+    )
+    sig = hashed.selectExpr("id", *[_sig_sql(j) for j in range(len(MINHASH_A))])
+    band_array = "array(" + ", ".join(
+        f"struct({b} AS band, concat_ws('-', "
+        + ", ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + ") AS key)"
+        for b in range(LSH_BANDS)
+    ) + ")"
+    bands = (
+        sig.selectExpr("id", f"explode({band_array}) AS bk")
+        .selectExpr("id", "bk.band AS band", "bk.key AS key")
+    )
+    return base, bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
     max_bucket_size: int = 100, hard_bucket_cap: int = 10_000_000,
@@ -211,27 +237,7 @@ def minhash_lsh_pairs(
     OOMing the executor. The collect itself cannot be bounded natively
     (no limit-per-group aggregate) — the cap bounds the dominant cost,
     the emitted pair array."""
-    # localCheckpoint: evaluated once, read three times (signature path +
-    # both sides of the candidate-verification join). EAGER: with a lazy
-    # checkpoint the three consumer stages race to materialize the RDD
-    # concurrently and the losers' metric accumulators are dropped
-    # ("Failed to update accumulator" DAGScheduler errors); eager pays one
-    # synchronous job and every consumer reads checkpointed blocks
-    base = with_shingles(df, id_col, text_col).localCheckpoint(eager=True)
-    hashed = base.selectExpr(
-        "id", f"transform(shingles, s -> {_HASH28_SQL.format(x='s')}) AS h"
-    )
-    sig = hashed.selectExpr("id", *[_sig_sql(j) for j in range(len(MINHASH_A))])
-    band_array = "array(" + ", ".join(
-        f"struct({b} AS band, concat_ws('-', "
-        + ", ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
-        + ") AS key)"
-        for b in range(LSH_BANDS)
-    ) + ")"
-    bands = (
-        sig.selectExpr("id", f"explode({band_array}) AS bk")
-        .selectExpr("id", "bk.band AS band", "bk.key AS key")
-    )
+    base, bands = _sig_bands(df, id_col, text_col)
     # all-pairs within small buckets, star-to-representative in hot ones;
     # ids sorted ascending so id_a < id_b by construction
     pair_expr = (
@@ -900,4 +906,69 @@ def pair_eval(
         "hits",
         F.round(F.col("hits") / F.greatest(F.col("approx_pairs"), F.lit(1)), 6).alias("precision"),
         F.round(F.col("hits") / F.greatest(F.col("exact_pairs"), F.lit(1)), 6).alias("recall"),
+    )
+
+def exact_dedup_against(
+    df_new: DataFrame, df_old: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Incremental exact dedup: (id, is_dup) for every NEW row, where
+    is_dup marks a normalized text already present in the EXISTING corpus.
+    The production shape of dedup at 100 TB is incremental — each
+    ingestion batch is checked against the accumulated corpus, not
+    re-self-deduped from scratch.
+
+    Scale shape: the old corpus collapses to DISTINCT 16-byte md5 keys
+    (one hash aggregate over keys only — the documents never move), then
+    one equi-join on the key. The old-keys frame is what you materialize
+    once and reuse across batches; a small batch joining a huge key set
+    shuffles only the batch side when AQE picks the broadcast the other
+    way, and partitioned key parquet turns this into a co-located join."""
+    key = F.md5(normalize_text(F.col(text_col)))
+    old_keys = df_old.select(key.alias("__k")).distinct().withColumn("__hit", F.lit(1))
+    return (
+        df_new.select(F.col(id_col), key.alias("__k"))
+        .join(old_keys, "__k", "left")
+        .select(F.col(id_col), F.col("__hit").isNotNull().alias("is_dup"))
+    )
+
+
+def minhash_pairs_against(
+    df_new: DataFrame, df_old: DataFrame, id_col: str, text_col: str,
+    threshold: float = 0.5, max_bucket_size: int = 100,
+) -> DataFrame:
+    """Incremental NEAR-dedup: (id_new, id_old, jaccard) for new docs that
+    near-duplicate an EXISTING doc — the asymmetric counterpart of
+    minhash_lsh_pairs for batch ingestion. New-new pairs are deliberately
+    not emitted (run minhash_lsh_pairs on the batch for those); old-old
+    pairs never are.
+
+    Scale shape: both corpora share the banding front end (_sig_bands);
+    the OLD side aggregates each (band, key) bucket to its sorted id list
+    capped at ``max_bucket_size`` (a hot old bucket is a near-identical
+    signature collision — any ``max_bucket_size`` representatives give the
+    same keep/drop verdict for a colliding new doc, the star-link
+    argument), so candidates per new row are bounded and the old corpus
+    shuffles only its ~40-byte band rows. Verification re-fetches shingle
+    sets for the rare candidates from each side's checkpointed base."""
+    base_n, bands_n = _sig_bands(df_new, id_col, text_col)
+    base_o, bands_o = _sig_bands(df_old, id_col, text_col)
+    old_buckets = bands_o.groupBy("band", "key").agg(
+        F.expr(f"slice(array_sort(collect_list(id)), 1, {int(max_bucket_size)})").alias("__olds")
+    )
+    cand = (
+        bands_n.join(old_buckets, ["band", "key"])
+        .selectExpr("id AS id_new", "explode(__olds) AS id_old")
+        .dropDuplicates(["id_new", "id_old"])
+    )
+    pairs = (
+        cand.join(base_n.select(F.col("id").alias("id_new"), F.col("shingles").alias("sa")), "id_new")
+        .join(base_o.select(F.col("id").alias("id_old"), F.col("shingles").alias("sb")), "id_old")
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
+    jac = F.round(inter / union, 6)
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_old", "jaccard")
     )

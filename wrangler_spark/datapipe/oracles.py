@@ -1097,3 +1097,51 @@ SELECT vec_id,
        unnest(y) AS y
 FROM proj
 """
+
+
+def exact_dedup_against_sql(split_mod: int = 3, table: str = "documents") -> str:
+    """Mirror of dedup.exact_dedup_against with the graded split: OLD =
+    doc_id % split_mod == 0, NEW = the rest."""
+    return f"""
+WITH nw AS (SELECT doc_id, md5({_NORM}) AS k FROM {table} WHERE doc_id % {split_mod} <> 0),
+od AS (SELECT DISTINCT md5({_NORM}) AS k FROM {table} WHERE doc_id % {split_mod} = 0)
+SELECT nw.doc_id, (od.k IS NOT NULL) AS is_dup
+FROM nw LEFT JOIN od USING (k)
+"""
+
+
+def minhash_cross_sql(
+    threshold: float = 0.5, split_mod: int = 3, table: str = "documents"
+) -> str:
+    """Mirror of dedup.minhash_pairs_against on the same split: bands are
+    computed once over the whole table, then the candidate join pairs NEW
+    ids (doc_id % split_mod != 0) with OLD ids only. Uncapped buckets —
+    parity holds while no (band, key) bucket exceeds the Spark cap, the
+    same precondition the self-join oracle already relies on."""
+    h = _H.format(s="s")
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MINHASH_P})) AS mh{j}"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, shingles, {b} AS band, ".format(b=b)
+        + " || '-' || ".join(f"CAST(mh{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS))
+        + " AS key FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_shingles_cte(table)},
+hsh AS (SELECT id, shingles, list_transform(shingles, s -> {h}) AS h FROM sh),
+sig AS (SELECT id, shingles, {sig_exprs} FROM hsh),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.id AS id_new, r.id AS id_old, l.shingles AS sa, r.shingles AS sb
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.key = r.key
+   AND l.id % {split_mod} <> 0 AND r.id % {split_mod} = 0
+)
+SELECT id_new, id_old,
+  round(len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(list_concat(sa, sb)))::DOUBLE, 6) AS jaccard
+FROM cand
+WHERE round(len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(list_concat(sa, sb)))::DOUBLE, 6) >= {threshold}
+"""
