@@ -201,3 +201,32 @@ def test_streaming_near_dedup(spark, tmp_path_factory):
         assert b.count() == 2
     finally:
         _sh.rmtree(d, ignore_errors=True)
+
+
+def test_exact_dedup_against_on_stream(spark, tmp_path_factory):
+    """Incremental exact dedup is stream-safe as-is: the batch operator's
+    stream-static left join (streaming new batch vs the accumulated static
+    key set) runs unchanged under Structured Streaming — the production
+    ingestion shape (readStream the landing zone, join the corpus keys)."""
+    import shutil
+
+    from wrangler_spark.datapipe.dedup import exact_dedup_against
+
+    d = str(tmp_path_factory.mktemp("ingest_src"))
+    new = spark.createDataFrame(
+        [(1, "seen before text"), (2, "brand new text"), (3, "also seen text")],
+        ["doc_id", "text"],
+    )
+    new.write.mode("overwrite").parquet(d)
+    old = spark.createDataFrame(
+        [(100, "SEEN  before   text"), (101, "also seen text"), (102, "other")],
+        ["doc_id", "text"],
+    )
+    stream = spark.readStream.schema(new.schema).parquet(d)
+    flags = exact_dedup_against(stream, old, "doc_id", "text")
+    assert flags.isStreaming
+    q = run_to_memory(flags, "cross_flags")
+    got = {r["doc_id"]: r["is_dup"] for r in spark.sql("SELECT * FROM cross_flags").collect()}
+    q.stop()
+    shutil.rmtree(d, ignore_errors=True)
+    assert got == {1: True, 2: False, 3: True}

@@ -915,7 +915,10 @@ def exact_dedup_against(
     is_dup marks a normalized text already present in the EXISTING corpus.
     The production shape of dedup at 100 TB is incremental — each
     ingestion batch is checked against the accumulated corpus, not
-    re-self-deduped from scratch.
+    re-self-deduped from scratch. Stream-safe: with a STREAMING new side
+    this becomes a stream-static left join and runs unchanged under
+    Structured Streaming (tested) — readStream the landing zone, join
+    the corpus keys.
 
     Scale shape: the old corpus collapses to DISTINCT 16-byte md5 keys
     (one hash aggregate over keys only — the documents never move), then
