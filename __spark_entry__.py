@@ -213,6 +213,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5),
             docs(s, d), "doc_id", "component", "n_chars",
         ),
+        "sample_domain_cap": lambda s, d: curation.cap_per_group(
+            docs(s, d), "source", "doc_id", 20, order_col="n_chars"
+        ),
         "dedup_cross_exact": lambda s, d: dedup.exact_dedup_against(
             docs(s, d).filter(F.col("doc_id") % 3 != 0),
             docs(s, d).filter(F.col("doc_id") % 3 == 0),
@@ -361,6 +364,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_survivors": o.cluster_survivors_sql(0.5),
         "dedup_lsh_eval": o.pair_eval_sql(0.5, 3, 0.5),
         "dedup_cross_exact": o.exact_dedup_against_sql(3),
+        "sample_domain_cap": o.cap_per_group_sql(20),
         "dedup_cross_minhash": o.minhash_cross_sql(0.5, 3),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
@@ -573,6 +577,7 @@ _R7_WINDOW = [
     "dedup_lsh_eval",
     "dedup_cross_exact",
     "dedup_cross_minhash",
+    "sample_domain_cap",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -598,7 +603,6 @@ _R7_WINDOW = [
     "decontaminate",
     "pii_redact",
     "text_chunk",
-    "sample_by_quality",
     "sample_budget",
     "text_gopher_quality",
     "text_script_ratios",

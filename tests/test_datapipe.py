@@ -1113,3 +1113,28 @@ def test_minhash_pairs_against_hot_old_bucket(spark):
     assert 1 <= len(olds) <= 10          # capped, never the full 300
     assert olds[0] == 100                # sorted slice keeps the min ids
     assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_cap_per_group(spark):
+    from wrangler_spark.datapipe import curation
+
+    rows = [(i, "big" if i < 8 else "small", float(100 - i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    # quality-ordered: keep the 3 highest-quality per group (= lowest ids here)
+    kept = {(r["source"], r["doc_id"]) for r in
+            curation.cap_per_group(df, "source", "doc_id", 3, order_col="quality").collect()}
+    assert kept == {("big", 0), ("big", 1), ("big", 2), ("small", 8), ("small", 9)}
+    # deterministic-random mode: stable across partitionings, exactly 3 per hot group
+    a = {(r["source"], r["doc_id"]) for r in
+         curation.cap_per_group(df.repartition(1), "source", "doc_id", 3).collect()}
+    b = {(r["source"], r["doc_id"]) for r in
+         curation.cap_per_group(df.repartition(7), "source", "doc_id", 3).collect()}
+    assert a == b
+    assert sum(1 for s, _ in a if s == "big") == 3
+    # order ties resolve to the smaller id
+    tie = spark.createDataFrame(
+        [(5, "g", 1.0), (2, "g", 1.0), (9, "g", 1.0)], "doc_id long, source string, quality double"
+    )
+    got = sorted(r["doc_id"] for r in
+                 curation.cap_per_group(tie, "source", "doc_id", 2, order_col="quality").collect())
+    assert got == [2, 5]

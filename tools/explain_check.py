@@ -233,6 +233,14 @@ def main() -> int:
         must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 25a. per-domain cap: two-phase slice aggregates, NEVER a rank
+    # window (the hot-domain skew this op exists to fight)
+    p = plan_of(qs["sample_domain_cap"](spark, SF_DIR))
+    problems += check(
+        "sample_domain_cap", p, must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     # 25. cross-corpus dedup: key/band equi-joins only — no cartesian,
     # no window, no Python
     for name in ("dedup_cross_exact", "dedup_cross_minhash"):

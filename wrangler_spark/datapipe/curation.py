@@ -904,3 +904,40 @@ def sample_to_budget(
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
     )
     return joined.filter((F.col("sample_rate") >= 1.0) | (prefix < thr))
+
+def cap_per_group(
+    df: DataFrame, group_col: str, id_col: str, n: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Cap any single group's contribution at ``n`` rows — the per-host /
+    per-domain document cap of C4-style pipelines (one mirror-heavy domain
+    must not dominate the corpus). Returns the SURVIVING (group, id) rows.
+
+    Which n survive: with ``order_col``, the n HIGHEST by that column
+    (ties → smaller id) — "keep the best n per domain"; without it, the n
+    smallest by md5(id) — a deterministic pseudo-random sample per group,
+    reproducible across runs and engines.
+
+    Scale shape: the same two-phase trick as the ANN top-k (_topk_reduce)
+    — phase 1 groups by (input partition, group) and slices each
+    partition-local sorted list to n map-side, so at most P·n rows per
+    group ever reach the phase-2 reducer, independent of group size. A
+    rank window would funnel every row of the hottest domain through one
+    sorted reducer partition — the exact skew this op exists to fight."""
+    ordk = (
+        F.struct((-F.col(order_col).cast("double")).alias("o"), F.col(id_col).alias("i"))
+        if order_col
+        else F.struct(F.md5(F.col(id_col).cast("string")).alias("o"), F.col(id_col).alias("i"))
+    )
+    part = (
+        df.select(F.col(group_col), ordk.alias("__it"))
+        .withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid", group_col)
+        .agg(F.slice(F.array_sort(F.collect_list("__it")), 1, int(n)).alias("tk"))
+    )
+    top = part.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("tk"))), 1, int(n)).alias("tk")
+    )
+    return top.select(F.col(group_col), F.explode("tk").alias("__it")).select(
+        F.col(group_col), F.col("__it.i").alias(id_col)
+    )

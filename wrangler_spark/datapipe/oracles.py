@@ -1145,3 +1145,17 @@ SELECT id_new, id_old,
 FROM cand
 WHERE round(len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(list_concat(sa, sb)))::DOUBLE, 6) >= {threshold}
 """
+
+
+def cap_per_group_sql(n: int = 20, table: str = "documents") -> str:
+    """Mirror of curation.cap_per_group(documents, source, doc_id, n,
+    order_col='n_chars'): keep the n longest docs per source domain."""
+    return f"""
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rn
+  FROM {table}
+)
+SELECT source, doc_id FROM r WHERE rn <= {int(n)}
+"""
