@@ -213,6 +213,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5),
             docs(s, d), "doc_id", "component", "n_chars",
         ),
+        "text_winnow": lambda s, d: text.winnow_fingerprints(docs(s, d), "doc_id", "text"),
         "sample_domain_cap": lambda s, d: curation.cap_per_group(
             docs(s, d), "source", "doc_id", 20, order_col="n_chars"
         ),
@@ -365,6 +366,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_lsh_eval": o.pair_eval_sql(0.5, 3, 0.5),
         "dedup_cross_exact": o.exact_dedup_against_sql(3),
         "sample_domain_cap": o.cap_per_group_sql(20),
+        "text_winnow": o.winnow_sql(3, 4),
         "dedup_cross_minhash": o.minhash_cross_sql(0.5, 3),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
@@ -578,6 +580,7 @@ _R7_WINDOW = [
     "dedup_cross_exact",
     "dedup_cross_minhash",
     "sample_domain_cap",
+    "text_winnow",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -599,7 +602,6 @@ _R7_WINDOW = [
     "dedup_embedding",
     "text_clf_score",
     "text_bigram_lp",
-    "text_vocabulary",
     "decontaminate",
     "pii_redact",
     "text_chunk",

@@ -1138,3 +1138,33 @@ def test_cap_per_group(spark):
     got = sorted(r["doc_id"] for r in
                  curation.cap_per_group(tie, "source", "doc_id", 2, order_col="quality").collect())
     assert got == [2, 5]
+
+
+def test_winnow_fingerprints(spark):
+    """Winnowing guarantees (Schleimer et al. 2003): shared runs of at
+    least w+k-1 words share a fingerprint; density ~ 2/(w+1); rightmost
+    minimum wins ties."""
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words > w+k-1=6
+    df = spark.createDataFrame(
+        [(1, f"one two {shared} three four five"),
+         (2, f"nine eight seven {shared} six"),
+         (3, "totally unrelated words in this other document body here")],
+        ["doc_id", "text"],
+    )
+    fps = text.winnow_fingerprints(df, "doc_id", "text", k, w)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: ~2/(w+1) of gram hashes selected on a long random-ish doc
+    long = spark.createDataFrame(
+        [(9, " ".join(f"w{(i * 131) % 997}" for i in range(2000)))], ["doc_id", "text"]
+    )
+    n_sel = text.winnow_fingerprints(long, "doc_id", "text", k, w).count()
+    n_grams = 2000 - (k - 1)
+    assert 0.25 <= n_sel / n_grams <= 0.55, n_sel / n_grams
+    # short docs (< w+k-1 words) emit nothing rather than erroring
+    short = spark.createDataFrame([(5, "just four tiny words")], ["doc_id", "text"])
+    assert text.winnow_fingerprints(short, "doc_id", "text", k, w).count() == 0

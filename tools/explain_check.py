@@ -233,6 +233,15 @@ def main() -> int:
         must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 25b. winnowing fingerprints: pure scan-side lambda chain — zero
+    # shuffle, no Python (the lambda-binding shape that keeps the
+    # split/md5 chain out of the window fold)
+    p = plan_of(qs["text_winnow"](spark, SF_DIR))
+    problems += check(
+        "text_winnow", p,
+        must_not=["Exchange", "Window", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     # 25a. per-domain cap: two-phase slice aggregates, NEVER a rank
     # window (the hot-domain skew this op exists to fight)
     p = plan_of(qs["sample_domain_cap"](spark, SF_DIR))

@@ -1159,3 +1159,32 @@ WITH r AS (
 )
 SELECT source, doc_id FROM r WHERE rn <= {int(n)}
 """
+
+
+def winnow_sql(k: int = 3, w: int = 4, table: str = "documents") -> str:
+    """Mirror of text.winnow_fingerprints: k-word gram hashes, window of
+    w, rightmost minimum per window (list_position over the reversed
+    window finds the LAST occurrence), selections exploded then
+    SELECT DISTINCT (DuckDB's list_distinct can't hash struct lists)."""
+    h = _H.format(s="array_to_string(wd[i:i+{km1}], ' ')").format(km1=k - 1)
+    return f"""
+WITH tk AS (SELECT doc_id, {_WORDS} AS wd FROM {table}),
+gh AS (
+  SELECT doc_id,
+         [{h} FOR i IN range(1, len(wd) - {k} + 2)] AS hs
+  FROM tk WHERE len(wd) >= {k}
+),
+sel AS (
+  SELECT doc_id,
+         [
+           struct_pack(
+             p := i + ({w} - list_position(list_reverse(hs[i:i+{w - 1}]), list_min(hs[i:i+{w - 1}]))),
+             v := list_min(hs[i:i+{w - 1}])
+           )
+           FOR i IN range(1, len(hs) - {w} + 2)
+         ] AS sels
+  FROM gh WHERE len(hs) >= {w}
+)
+SELECT DISTINCT doc_id, s.p AS pos, s.v AS fp
+FROM (SELECT doc_id, unnest(sels) AS s FROM sel)
+"""

@@ -664,3 +664,80 @@ def bigram_logprob(
         )
     )
     return df.join(per_doc, F.col(id_col) == F.col("__id"), "left").drop("__id")
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS scheme): hash every ``k``-word gram, slide a window
+    of ``w`` consecutive hashes, select each window's RIGHTMOST minimum,
+    de-duplicate the selections. Guarantees: any shared run of at least
+    w+k-1 words between two documents shares at least one selected
+    fingerprint, while only ~2/(w+1) of the gram hashes are kept — the
+    published local, position-robust alternative to fixed-stride
+    fingerprints for partial-overlap detection (shared paragraphs between
+    docs that are NOT near-dups as wholes).
+
+    Returns exploded (id, pos, fp) rows — pos is the 1-based gram
+    position, fp the shared 28-bit md5 hash, so fingerprints equi-join
+    across documents (the overlap-detection join is fp-to-fp, exactly
+    like the substring-dedup inverted index).
+
+    Plan-shape note (the load-bearing part): the words → gram-hashes →
+    window-selection chain is built as NESTED LAMBDA BINDINGS —
+    ``transform(array(expr), x -> ...)`` wraps each intermediate array so
+    downstream references read the bound lambda variable ``x``, which is
+    MATERIALIZED ONCE per row. Staging these as separate projections
+    instead lets CollapseProject inline the split/regex/md5 chain into
+    every element_at of the window fold (confirmed by thread dump:
+    RegExpReplace re-evaluated inside the innermost lambda — minutes on a
+    two-row frame). Zero shuffle; the rightmost-minimum is a left fold
+    with <= so later equal hashes win, per the paper's tie rule."""
+    from wrangler_spark.datapipe.dedup import _hash28
+
+    def gram_hashes(wd):
+        n = F.size(wd)
+        return F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: _hash28(
+                F.concat_ws(" ", *[F.element_at(wd, i + j) for j in range(k)])
+            ),
+        )
+
+    def selection(hs):
+        ng = F.size(hs)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), ng - (w - 1)),
+                lambda i: F.aggregate(
+                    F.sequence(i, i + (w - 1)),
+                    F.struct(
+                        F.lit(None).cast("long").alias("v"), F.lit(0).cast("int").alias("p")
+                    ),
+                    lambda acc, j: F.when(
+                        acc["v"].isNull() | (F.element_at(hs, j) <= acc["v"]),
+                        F.struct(F.element_at(hs, j).alias("v"), j.cast("int").alias("p")),
+                    ).otherwise(acc),
+                ),
+            )
+        )
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = F.split(norm, " ")
+    sel = F.element_at(
+        F.transform(
+            F.array(words),
+            lambda wd: F.when(
+                F.size(wd) >= k + w - 1,
+                F.element_at(
+                    F.transform(F.array(gram_hashes(wd)), selection), 1
+                ),
+            ),
+        ),
+        1,
+    )
+    picked = df.select(F.col(id_col), sel.alias("__sel"))
+    return picked.select(F.col(id_col), F.explode("__sel").alias("__s")).select(
+        F.col(id_col), F.col("__s.p").alias("pos"), F.col("__s.v").alias("fp")
+    )
