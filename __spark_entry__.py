@@ -214,6 +214,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), "doc_id", "component", "n_chars",
         ),
         "text_winnow": lambda s, d: text.winnow_fingerprints(docs(s, d), "doc_id", "text"),
+        "text_winnow_overlap": lambda s, d: text.winnow_overlap(docs(s, d), "doc_id", "text"),
         "sample_domain_cap": lambda s, d: curation.cap_per_group(
             docs(s, d), "source", "doc_id", 20, order_col="n_chars"
         ),
@@ -367,6 +368,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_cross_exact": o.exact_dedup_against_sql(3),
         "sample_domain_cap": o.cap_per_group_sql(20),
         "text_winnow": o.winnow_sql(3, 4),
+        "text_winnow_overlap": o.winnow_overlap_sql(3, 4),
         "dedup_cross_minhash": o.minhash_cross_sql(0.5, 3),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
@@ -581,6 +583,7 @@ _R7_WINDOW = [
     "dedup_cross_minhash",
     "sample_domain_cap",
     "text_winnow",
+    "text_winnow_overlap",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -606,7 +609,6 @@ _R7_WINDOW = [
     "pii_redact",
     "text_chunk",
     "sample_budget",
-    "text_gopher_quality",
     "text_script_ratios",
 ]
 

@@ -1168,3 +1168,26 @@ def test_winnow_fingerprints(spark):
     # short docs (< w+k-1 words) emit nothing rather than erroring
     short = spark.createDataFrame([(5, "just four tiny words")], ["doc_id", "text"])
     assert text.winnow_fingerprints(short, "doc_id", "text", k, w).count() == 0
+
+
+def test_winnow_overlap(spark):
+    """A copied passage inside otherwise-distinct documents pairs them;
+    whole-doc near-dup is not required."""
+    passage = "the copied paragraph travels verbatim between these two documents today"
+    df = spark.createDataFrame(
+        [(1, f"intro about databases {passage} outro on storage engines"),
+         (2, f"weather report morning {passage} evening summary follows here"),
+         (3, "entirely original material with no borrowed passages anywhere at all"),
+         (4, "more original writing that shares nothing with the others either")],
+        ["doc_id", "text"],
+    )
+    pairs = text.winnow_overlap(df, "doc_id", "text", min_shared=2).collect()
+    got = {(r["id_a"], r["id_b"]): r["shared_fps"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(p == (1, 2) for p in got)
+    # a ubiquitous fingerprint (in > max_fp_df docs) stops generating pairs
+    boiler = [(i, f"unique{i} filler {passage} trailing unique{i} words") for i in range(10)]
+    bf = spark.createDataFrame(boiler, ["doc_id", "text"])
+    capped = text.winnow_overlap(bf, "doc_id", "text", min_shared=1, max_fp_df=5).count()
+    uncapped = text.winnow_overlap(bf, "doc_id", "text", min_shared=1, max_fp_df=None).count()
+    assert capped < uncapped

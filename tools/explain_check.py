@@ -242,6 +242,15 @@ def main() -> int:
         must_not=["Exchange", "Window", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 25c. winnow overlap: fingerprint inverted-index equi-join — no
+    # cartesian, no Python
+    p = plan_of(qs["text_winnow_overlap"](spark, SF_DIR))
+    problems += check(
+        "text_winnow_overlap", p,
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     # 25a. per-domain cap: two-phase slice aggregates, NEVER a rank
     # window (the hot-domain skew this op exists to fight)
     p = plan_of(qs["sample_domain_cap"](spark, SF_DIR))

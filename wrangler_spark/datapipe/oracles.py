@@ -1188,3 +1188,19 @@ sel AS (
 SELECT DISTINCT doc_id, s.p AS pos, s.v AS fp
 FROM (SELECT doc_id, unnest(sels) AS s FROM sel)
 """
+
+
+def winnow_overlap_sql(
+    k: int = 3, w: int = 4, min_shared: int = 2, max_fp_df: int = 1000,
+    table: str = "documents",
+) -> str:
+    """Mirror of text.winnow_overlap composed over winnow_sql."""
+    return f"""
+WITH fp0 AS (SELECT DISTINCT doc_id AS id, fp FROM ({winnow_sql(k, w, table)})),
+hot AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(DISTINCT id) <= {int(max_fp_df)}),
+fps AS (SELECT fp0.id, fp0.fp FROM fp0 JOIN hot USING (fp))
+SELECT l.id AS id_a, r.id AS id_b, count(*) AS shared_fps
+FROM fps l JOIN fps r ON l.fp = r.fp AND l.id < r.id
+GROUP BY l.id, r.id
+HAVING count(*) >= {int(min_shared)}
+"""

@@ -741,3 +741,36 @@ def winnow_fingerprints(
     return picked.select(F.col(id_col), F.explode("__sel").alias("__s")).select(
         F.col(id_col), F.col("__s.p").alias("pos"), F.col("__s.v").alias("fp")
     )
+
+
+def winnow_overlap(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4,
+    min_shared: int = 2, max_fp_df: int | None = 1000,
+) -> DataFrame:
+    """Partial-overlap pairs via shared winnowing fingerprints:
+    (id_a, id_b, shared_fps) for documents sharing at least ``min_shared``
+    selected fingerprints — detects COPIED PASSAGES between documents that
+    are not near-dups as wholes (the MOSS use case: one plagiarized
+    paragraph inside otherwise-distinct docs), which whole-document
+    Jaccard/MinHash structurally miss.
+
+    Scale shape: the winnow selection is scan-side (zero shuffle); pairs
+    come from an inverted-index equi-join on the fingerprint value —
+    identical shape to the substring-dedup index. ``max_fp_df`` drops
+    fingerprints appearing in more than that many documents (ubiquitous
+    boilerplate — the k²-join-row scale-killer, same argument as the
+    ngram stop-gram cap); matching spans that common carry no
+    plagiarism signal anyway."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        F.col(id_col).alias("id"), "fp"
+    ).distinct()
+    if max_fp_df is not None:
+        hot = fps.groupBy("fp").agg(F.countDistinct("id").alias("__df"))
+        fps = fps.join(hot.filter(F.col("__df") <= int(max_fp_df)).select("fp"), "fp")
+    l, r = fps.alias("l"), fps.alias("r")
+    return (
+        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= int(min_shared))
+    )
