@@ -215,6 +215,15 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_winnow": lambda s, d: text.winnow_fingerprints(docs(s, d), "doc_id", "text"),
         "text_winnow_overlap": lambda s, d: text.winnow_overlap(docs(s, d), "doc_id", "text"),
+        "corpus_diff": lambda s, d: curation.corpus_diff(
+            docs(s, d).filter(F.col("doc_id") % 11 != 0),
+            docs(s, d).filter(F.col("doc_id") % 7 != 0).withColumn(
+                "text",
+                F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+                .otherwise(F.col("text")),
+            ),
+            "doc_id", "text",
+        ),
         "sample_domain_cap": lambda s, d: curation.cap_per_group(
             docs(s, d), "source", "doc_id", 20, order_col="n_chars"
         ),
@@ -369,6 +378,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "sample_domain_cap": o.cap_per_group_sql(20),
         "text_winnow": o.winnow_sql(3, 4),
         "text_winnow_overlap": o.winnow_overlap_sql(3, 4),
+        "corpus_diff": o.corpus_diff_sql(),
         "dedup_cross_minhash": o.minhash_cross_sql(0.5, 3),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
@@ -584,6 +594,7 @@ _R7_WINDOW = [
     "sample_domain_cap",
     "text_winnow",
     "text_winnow_overlap",
+    "corpus_diff",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -605,7 +616,6 @@ _R7_WINDOW = [
     "dedup_embedding",
     "text_clf_score",
     "text_bigram_lp",
-    "decontaminate",
     "pii_redact",
     "text_chunk",
     "sample_budget",

@@ -55,6 +55,10 @@ EXTRA_QUERIES = [
     "sample_mixture",      # domain counts + broadcast rate gate
     "text_clf_score",      # hashed logistic regression train + score
     "text_bigram_lp",      # interpolated bigram LM (pair explode + bigram join)
+    "text_winnow",         # winnowing fingerprints, scan-side lambda chain
+    "text_winnow_overlap", # fingerprint inverted-index overlap pairs
+    "dedup_cross_minhash", # asymmetric new-vs-old MinHash band join
+    "emb_project",         # JL sign projection over the embedding table
 ]
 
 

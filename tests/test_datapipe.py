@@ -1191,3 +1191,21 @@ def test_winnow_overlap(spark):
     capped = text.winnow_overlap(bf, "doc_id", "text", min_shared=1, max_fp_df=5).count()
     uncapped = text.winnow_overlap(bf, "doc_id", "text", min_shared=1, max_fp_df=None).count()
     assert capped < uncapped
+
+
+def test_corpus_diff(spark):
+    from wrangler_spark.datapipe import curation
+
+    old = spark.createDataFrame(
+        [(1, "stays the same"), (2, "will change"), (3, "will be removed")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "STAYS  the   same"),   # same after normalization
+         (2, "has changed now"),
+         (4, "brand new doc")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["status"] for r in
+           curation.corpus_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -941,3 +941,31 @@ def cap_per_group(
     return top.select(F.col(group_col), F.explode("tk").alias("__it")).select(
         F.col(group_col), F.col("__it.i").alias(id_col)
     )
+
+def corpus_diff(
+    df_old: DataFrame, df_new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: (id, status) with
+    status ∈ added / removed / changed / unchanged, where content
+    identity is the normalized-text md5 (same key as exact dedup). The
+    audit primitive of incremental pipelines: what did this ingestion
+    round actually do — and the 'changed' set is what downstream caches
+    (embeddings, signatures, indexes) must recompute.
+
+    Scale shape: each side collapses to (id, 16-byte key) scan-side, then
+    ONE full-outer equi-join on id — no content ever shuffles."""
+    from wrangler_spark.datapipe.dedup import normalize_text
+
+    key = F.md5(normalize_text(F.col(text_col)))
+    a = df_old.select(F.col(id_col).alias("__ia"), key.alias("__ka"))
+    b = df_new.select(F.col(id_col).alias("__ib"), key.alias("__kb"))
+    j = a.join(b, F.col("__ia") == F.col("__ib"), "full")
+    status = (
+        F.when(F.col("__ia").isNull(), F.lit("added"))
+        .when(F.col("__ib").isNull(), F.lit("removed"))
+        .when(F.col("__ka") != F.col("__kb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col("__ib"), F.col("__ia")).alias(id_col), status.alias("status")
+    )

@@ -1204,3 +1204,27 @@ FROM fps l JOIN fps r ON l.fp = r.fp AND l.id < r.id
 GROUP BY l.id, r.id
 HAVING count(*) >= {int(min_shared)}
 """
+
+
+def corpus_diff_sql(table: str = "documents") -> str:
+    """Mirror of curation.corpus_diff on the graded synthetic split:
+    OLD = docs with doc_id % 11 != 0; NEW = docs with doc_id % 7 != 0,
+    text suffixed ' v2' when doc_id % 5 == 0 — exercises all four
+    statuses on one table."""
+    return f"""
+WITH a AS (
+  SELECT doc_id AS ia, md5({_NORM}) AS ka FROM {table} WHERE doc_id % 11 <> 0
+),
+b0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM {table} WHERE doc_id % 7 <> 0
+),
+b AS (SELECT doc_id AS ib, md5({_NORM}) AS kb FROM b0)
+SELECT coalesce(ib, ia) AS doc_id,
+       CASE WHEN ia IS NULL THEN 'added'
+            WHEN ib IS NULL THEN 'removed'
+            WHEN ka <> kb THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL JOIN b ON ia = ib
+"""
