@@ -79,3 +79,33 @@ def test_gzip_csv_read(spark, tmp_path):
     assert sniff_format(str(p)) == "csv"
     df = read(spark, str(p))
     assert df.count() == 2 and df.columns == ["x", "y"]
+
+
+def test_write_corpus_file_sizing(spark, tmp_path_factory):
+    """write_corpus aims files at the target size: a small target splits
+    output into more files than a large one; coalesce merges tiny
+    partitions down instead of emitting one file per input partition."""
+    import glob
+
+    from wrangler_spark.sources import write_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    base = str(tmp_path_factory.mktemp("corpus_out"))
+
+    rpf_small = write_corpus(docs.repartition(4), f"{base}/small", target_file_mb=1,
+                             compression_ratio=1.0)
+    rpf_big = write_corpus(docs.repartition(4), f"{base}/big", target_file_mb=512)
+    assert rpf_small < rpf_big
+    n_small = len(glob.glob(f"{base}/small/*.parquet"))
+    n_big = len(glob.glob(f"{base}/big/*.parquet"))
+    assert n_small >= n_big
+    # round-trips identically
+    back = spark.read.parquet(f"{base}/small")
+    assert back.count() == docs.count()
+    # coalesce: many tiny partitions collapse to ~ceil(rows/rows_per_file) files
+    write_corpus(docs.repartition(32), f"{base}/co", target_file_mb=512, coalesce=True)
+    assert len(glob.glob(f"{base}/co/*.parquet")) <= 2
+    # partitioned layout with sizing still prunes on read
+    write_corpus(docs, f"{base}/bylang", partition_by=["lang"], target_file_mb=512)
+    langs = glob.glob(f"{base}/bylang/lang=*")
+    assert len(langs) >= 2

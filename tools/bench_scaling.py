@@ -30,6 +30,9 @@ QUERIES = [
     # round 7
     "dedup_substring_keepfirst", "text_c4_quality", "text_lp_buckets",
     "sample_mixture", "text_clf_score", "text_bigram_lp", "text_chunk",
+    # round 7, second batch
+    "text_winnow", "text_winnow_overlap", "dedup_cross_minhash",
+    "sample_domain_cap", "emb_project", "corpus_diff",
 ]
 
 

@@ -131,3 +131,45 @@ def write(df: DataFrame, path: str, fmt: str | None = None, mode: str = "error",
         writer.orc(path)
     else:
         writer.format(fmt).save(path)
+
+
+def write_corpus(
+    df: DataFrame, path: str, partition_by: list[str] | None = None,
+    target_file_mb: int = 256, mode: str = "error", fmt: str = "parquet",
+    compression_ratio: float = 0.3, coalesce: bool = False, **options,
+) -> int:
+    """Size-targeted corpus writer: aims every output file at
+    ``target_file_mb`` on disk — the file-sizing discipline that decides
+    whether a 100 TB corpus is 400K healthy 256 MB files or 40M
+    scheduler-choking 2 MB ones (and read-side scan parallelism later).
+
+    How: one BOUNDED sample job (1024 rows, the compile-time-sample
+    contract) estimates serialized row bytes via to_json length ×
+    ``compression_ratio`` (parquet+snappy on text commonly lands at
+    0.25–0.4 of JSON size — an ESTIMATE, documented as such; pass your
+    measured ratio for your data), then sets ``maxRecordsPerFile`` so a
+    task splits its output at the target. maxRecordsPerFile only SPLITS
+    oversized task outputs; if the frame arrives in thousands of
+    small partitions, pass ``coalesce=True`` to also repartition down to
+    ceil(total_rows / rows_per_file) first (costs a count job + shuffle —
+    worth it once at the final sink, pointless mid-pipeline).
+
+    Returns the rows-per-file setting used."""
+    from pyspark.sql import functions as F
+
+    sample = df.limit(1024).select(
+        F.avg(F.length(F.to_json(F.struct(*df.columns)))).alias("b")
+    ).collect()[0]["b"]
+    disk_bytes_per_row = max(1.0, float(sample or 1.0) * compression_ratio)
+    rows_per_file = max(1, int(target_file_mb * (1 << 20) / disk_bytes_per_row))
+    out = df
+    if coalesce:
+        total = df.count()
+        n_files = max(1, -(-total // rows_per_file))
+        out = df.repartition(n_files, *[F.col(c) for c in (partition_by or [])]) \
+            if partition_by else df.repartition(n_files)
+    write(
+        out, path, fmt=fmt, mode=mode, partition_by=partition_by,
+        maxRecordsPerFile=str(rows_per_file), **options,
+    )
+    return rows_per_file
