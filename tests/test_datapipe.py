@@ -1209,3 +1209,29 @@ def test_corpus_diff(spark):
     got = {r["doc_id"]: r["status"] for r in
            curation.corpus_diff(old, new, "doc_id", "text").collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_ivf_index_quantized(spark, tmp_path_factory):
+    """quantize=True stores int8 columns, shrinks the index on disk, and
+    keeps probe recall high after on-the-fly dequantization."""
+    import os
+
+    base = str(tmp_path_factory.mktemp("ivf_q"))
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 5)
+
+    similarity.ivf_write_index(embs, f"{base}/f", n_centroids=8)
+    similarity.ivf_write_index(embs, f"{base}/q", n_centroids=8, quantize=True)
+
+    def du(p):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(p) for f in fs)
+
+    assert du(f"{base}/q/vectors") < 0.6 * du(f"{base}/f/vectors"), "int8 index not smaller"
+    qcols = spark.read.parquet(f"{base}/q/vectors").columns
+    assert "q" in qcols and "q_scale" in qcols and "embedding" not in qcols
+
+    exact = similarity.ivf_query_index(spark, f"{base}/f", queries, k=5, nprobe=8)
+    approx = similarity.ivf_query_index(spark, f"{base}/q", queries, k=5, nprobe=8)
+    rec = similarity.ann_recall(exact, approx).agg(F.avg("recall")).collect()[0][0]
+    assert rec >= 0.9, f"quantized index recall collapsed: {rec}"

@@ -475,6 +475,7 @@ def ivf_write_index(
     vec_col: str = "embedding",
     train_iters: int = 0,
     dim: int | None = None,
+    quantize: bool = False,
 ) -> None:
     """Materialize an IVF index on disk: the corpus written PARTITIONED BY
     centroid_id (``<path>/vectors/centroid_id=*/``) plus the centroid
@@ -483,7 +484,14 @@ def ivf_write_index(
     every query session probes it with PARTITION-PRUNED scans instead of
     re-assigning the corpus per query batch. Centroids are the
     deterministic first-k baseline, or k-means-trained with
-    ``train_iters`` > 0."""
+    ``train_iters`` > 0.
+
+    ``quantize=True`` stores the vectors int8-quantized (columns ``q`` +
+    ``q_scale`` replace the float array — the embedding_quantize layout):
+    ~4× less index disk/scan IO, assignment still happens on the float
+    vectors at build time, and ivf_query_index dequantizes bucket rows on
+    the fly (recall cost is measurable with ann_recall; int8 keeps top-5
+    recall ≥0.9 on the fixture embeddings, tested)."""
     if train_iters > 0:
         cent = kmeans_centroids(corpus, n_centroids, train_iters, id_col, vec_col, dim=dim)
     else:
@@ -492,9 +500,11 @@ def ivf_write_index(
         )
     c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
     assign = _assign_prepared(c, cent)
+    base = corpus.withColumnRenamed(id_col, "vec_id")
+    if quantize:
+        base = embedding_quantize(base, vec_col).drop(vec_col)
     (
-        corpus.withColumnRenamed(id_col, "vec_id")
-        .join(assign, "vec_id")
+        base.join(assign, "vec_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(f"{path}/vectors")
@@ -527,11 +537,14 @@ def ivf_query_index(
     )
     probes = _probe_assign(q_prep, cent, nprobe)
     probed = [r[0] for r in probes.select("centroid_id").distinct().collect()]
-    vecs = (
-        spark.read.parquet(f"{path}/vectors")
-        .filter(F.col("centroid_id").isin(probed))
-        .select("vec_id", _as_double(F.col(vec_col)).alias("cv"), "centroid_id")
-    )
+    raw = spark.read.parquet(f"{path}/vectors").filter(F.col("centroid_id").isin(probed))
+    if vec_col not in raw.columns and "q" in raw.columns:
+        # int8-quantized index (quantize=True at build): dequantize the
+        # probed bucket rows scan-side — q_i · scale, still zero shuffle
+        cv = F.transform(F.col("q"), lambda x: x.cast("double") * F.col("q_scale"))
+    else:
+        cv = _as_double(F.col(vec_col))
+    vecs = raw.select("vec_id", cv.alias("cv"), "centroid_id")
     q = q_prep.join(probes, "query_id")
 
     def scorer(qb: DataFrame) -> DataFrame:
