@@ -253,3 +253,79 @@ def test_mp4_meta_prefix_truncations(payload):
     blob = good + payload
     for cut in range(0, len(blob), 7):
         mm.mp4_meta(blob[:cut])
+
+
+def test_cap_per_group_invariants(spark):
+    """Random corpora: output is a subset of input, never more than n per
+    group, every non-empty group keeps min(n, group_size) rows, and the
+    random-mode keep-set is invariant to input partitioning."""
+    import random
+
+    from wrangler_spark.datapipe.curation import cap_per_group
+
+    rng = random.Random(77)
+    rows = [(i, f"g{rng.randint(0, 6)}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    sizes = {}
+    for _, g in rows:
+        sizes[g] = sizes.get(g, 0) + 1
+    for n in (1, 5, 40):
+        kept = [(r["source"], r["doc_id"]) for r in
+                cap_per_group(df, "source", "doc_id", n).collect()]
+        assert len(kept) == len(set(kept))
+        assert set(kept) <= {(g, i) for i, g in rows}
+        per = {}
+        for g, _ in kept:
+            per[g] = per.get(g, 0) + 1
+        assert per == {g: min(n, s) for g, s in sizes.items()}
+        kept7 = {(r["source"], r["doc_id"]) for r in
+                 cap_per_group(df.repartition(7), "source", "doc_id", n).collect()}
+        assert kept7 == set(kept)
+
+
+def test_corpus_diff_is_a_partition(spark):
+    """Random snapshot pairs: every id appears exactly once, with the
+    status a driver-side reference computes."""
+    import random
+
+    from wrangler_spark.datapipe.curation import corpus_diff
+
+    rng = random.Random(99)
+    old = {i: f"text {rng.randint(0, 5)}" for i in range(60) if rng.random() < 0.8}
+    new = {i: f"text {rng.randint(0, 5)}" for i in range(60) if rng.random() < 0.8}
+    odf = spark.createDataFrame(list(old.items()), "doc_id long, text string")
+    ndf = spark.createDataFrame(list(new.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(odf, ndf, "doc_id", "text").collect()}
+    expect = {}
+    for i in set(old) | set(new):
+        if i not in old:
+            expect[i] = "added"
+        elif i not in new:
+            expect[i] = "removed"
+        else:
+            expect[i] = "unchanged" if old[i] == new[i] else "changed"
+    assert got == expect
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """The paper's theorem, randomized: two docs sharing a run of
+    w+k-1 = 6 words ALWAYS share at least one fingerprint, whatever the
+    surrounding text."""
+    import random
+
+    from wrangler_spark.datapipe.text import winnow_fingerprints
+
+    rng = random.Random(123)
+    rows = []
+    for t in range(8):
+        run = " ".join(f"shared{t}x{j}" for j in range(6))
+        pad_a = " ".join(f"a{t}p{j}" for j in range(rng.randint(0, 10)))
+        pad_b = " ".join(f"b{t}p{j}" for j in range(rng.randint(0, 10)))
+        rows.append((2 * t, f"{pad_a} {run} {2 * t}tail".strip()))
+        rows.append((2 * t + 1, f"{pad_b} {run} {2 * t + 1}end".strip()))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", 3, 4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    for t in range(8):
+        assert fps.get(2 * t, set()) & fps.get(2 * t + 1, set()), f"pair {t} shares no fp"
