@@ -192,6 +192,8 @@ _BM25_QUERIES = [
     (3, "customer order lineitem revenue"),
 ]
 
+_TAG_KEYWORDS = ["spark", "hash join", "table scan", "quantum"]
+
 
 def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from wrangler_spark.datapipe import curation, dedup, similarity, text
@@ -215,6 +217,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_winnow": lambda s, d: text.winnow_fingerprints(docs(s, d), "doc_id", "text"),
         "text_winnow_overlap": lambda s, d: text.winnow_overlap(docs(s, d), "doc_id", "text"),
+        "keyword_tag": lambda s, d: curation.keyword_tag(
+            docs(s, d), "doc_id", "text", _TAG_KEYWORDS
+        ),
         "corpus_diff": lambda s, d: curation.corpus_diff(
             docs(s, d).filter(F.col("doc_id") % 11 != 0),
             docs(s, d).filter(F.col("doc_id") % 7 != 0).withColumn(
@@ -379,6 +384,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_winnow": o.winnow_sql(3, 4),
         "text_winnow_overlap": o.winnow_overlap_sql(3, 4),
         "corpus_diff": o.corpus_diff_sql(),
+        "keyword_tag": o.keyword_tag_sql(_TAG_KEYWORDS),
         "dedup_cross_minhash": o.minhash_cross_sql(0.5, 3),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
@@ -595,6 +601,7 @@ _R7_WINDOW = [
     "text_winnow",
     "text_winnow_overlap",
     "corpus_diff",
+    "keyword_tag",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -617,7 +624,6 @@ _R7_WINDOW = [
     "text_clf_score",
     "text_bigram_lp",
     "pii_redact",
-    "text_chunk",
     "sample_budget",
     "text_script_ratios",
 ]

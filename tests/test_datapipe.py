@@ -1235,3 +1235,24 @@ def test_ivf_index_quantized(spark, tmp_path_factory):
     approx = similarity.ivf_query_index(spark, f"{base}/q", queries, k=5, nprobe=8)
     rec = similarity.ann_recall(exact, approx).agg(F.avg("recall")).collect()[0][0]
     assert rec >= 0.9, f"quantized index recall collapsed: {rec}"
+
+
+def test_keyword_tag(spark):
+    from wrangler_spark.datapipe import curation
+
+    df = spark.createDataFrame(
+        [(1, "The HASH  JOIN beat the sort merge join; hash join won"),
+         (2, "nothing relevant here"),
+         (3, "spark runs the table scan then a hash aggregate"),
+         (4, "hashjoin is one word and must not match")],
+        ["doc_id", "text"],
+    )
+    out = curation.keyword_tag(df, "doc_id", "text",
+                               ["spark", "hash join", "table scan", "absent phrase"])
+    got = {(r["doc_id"], r["keyword"]): r["n_hits"] for r in out.collect()}
+    assert got == {(1, "hash join"): 2, (3, "spark"): 1, (3, "table scan"): 1}
+    # DataFrame-dictionary form matches the list form
+    kw_df = spark.createDataFrame([("Hash  Join",), ("spark",)], "kw string")
+    got2 = {(r["doc_id"], r["keyword"]): r["n_hits"]
+            for r in curation.keyword_tag(df, "doc_id", "text", kw_df).collect()}
+    assert got2 == {(1, "hash join"): 2, (3, "spark"): 1}

@@ -242,6 +242,15 @@ def main() -> int:
         must_not=["Exchange", "Window", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 25d. keyword tagging: dictionary slices broadcast, corpus never
+    # shuffles before the per-doc count aggregate
+    p = plan_of(qs["keyword_tag"](spark, SF_DIR))
+    problems += check(
+        "keyword_tag", p, must=["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "SortMergeJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     # 25c. winnow overlap: fingerprint inverted-index equi-join — no
     # cartesian, no Python
     p = plan_of(qs["text_winnow_overlap"](spark, SF_DIR))

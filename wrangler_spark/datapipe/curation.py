@@ -969,3 +969,66 @@ def corpus_diff(
     return j.select(
         F.coalesce(F.col("__ib"), F.col("__ia")).alias(id_col), status.alias("status")
     )
+
+def keyword_tag(
+    df: DataFrame, id_col: str, text_col: str, keywords,
+    kw_col: str = "keyword",
+) -> DataFrame:
+    """Dictionary tagging: (id, keyword, n_hits) for every document
+    containing a dictionary word or phrase as whole words — the targeted-
+    selection primitive (medical/code/legal sub-corpus extraction,
+    blocklist topic filters) that regex alternations stop scaling for.
+
+    ``keywords`` is a list of strings or a 1-column DataFrame. Keywords
+    are normalized like the document text; multi-word phrases match as
+    word n-grams.
+
+    Scale shape: the dictionary is grouped by phrase word-count (the
+    distinct counts — a handful of scalars — are the only driver
+    round-trip); for each count m the corpus explodes its m-word grams
+    ONCE and equi-joins the broadcast dictionary slice; per-doc counts
+    come from one hash aggregate. Corpus never shuffles; no per-keyword
+    expressions, so a 100K-entry dictionary costs the same plan as a
+    10-entry one."""
+    from wrangler_spark.datapipe.dedup import normalize_text
+
+    spark = df.sparkSession
+    if not isinstance(keywords, DataFrame):
+        keywords = spark.createDataFrame([(k,) for k in keywords], f"{kw_col} string")
+    kw = keywords.select(
+        normalize_text(F.col(keywords.columns[0])).alias("__kw")
+    ).filter(F.length("__kw") > 0).distinct()
+    kw = kw.withColumn("__m", F.size(F.split(F.col("__kw"), " ")))
+    lengths = sorted(r["__m"] for r in kw.select("__m").distinct().collect())
+    words = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__w")
+    )
+    parts = []
+    for m in lengths:
+        grams = words.select(
+            F.col(id_col), F.explode(_word_grams_all(F.col("__w"), m)).alias("__kw")
+        )
+        parts.append(
+            grams.join(
+                F.broadcast(kw.filter(F.col("__m") == m).select("__kw")), "__kw"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(F.col(id_col), F.col("__kw").alias(kw_col)).agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+
+
+def _word_grams_all(words: Column, n: int) -> Column:
+    """ALL n-word grams (with repeats — hit counts need every occurrence),
+    unlike _word_grams' distinct set; empty when the doc is shorter than
+    n words."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -1228,3 +1228,24 @@ SELECT coalesce(ib, ia) AS doc_id,
             ELSE 'unchanged' END AS status
 FROM a FULL JOIN b ON ia = ib
 """
+
+
+def keyword_tag_sql(keywords: list[str], table: str = "documents") -> str:
+    """Mirror of curation.keyword_tag for a literal keyword list (1- and
+    2-word phrases; longer phrases would add a gN CTE per length)."""
+    ones = [k for k in keywords if len(k.split()) == 1]
+    twos = [k for k in keywords if len(k.split()) == 2]
+    assert len(ones) + len(twos) == len(keywords), "oracle supports 1-2 word phrases"
+    kw_vals = ", ".join(f"('{k}')" for k in keywords)
+    return f"""
+WITH kws AS (SELECT * FROM (VALUES {kw_vals}) AS t(kw)),
+tk AS (SELECT doc_id, {_WORDS} AS w FROM {table}),
+g1 AS (SELECT doc_id, unnest(w) AS g FROM tk),
+g2 AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+                              FOR i IN range(1, len(w))]) AS g
+       FROM tk WHERE len(w) >= 2),
+hits AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+SELECT h.doc_id, k.kw AS keyword, count(*) AS n_hits
+FROM hits h JOIN kws k ON h.g = k.kw
+GROUP BY h.doc_id, k.kw
+"""
