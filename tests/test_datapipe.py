@@ -1256,3 +1256,44 @@ def test_keyword_tag(spark):
     got2 = {(r["doc_id"], r["keyword"]): r["n_hits"]
             for r in curation.keyword_tag(df, "doc_id", "text", kw_df).collect()}
     assert got2 == {(1, "hash join"): 2, (3, "spark"): 1}
+
+
+def test_bpe_train_and_apply(spark):
+    from wrangler_spark.datapipe import bpe
+
+    # the classic Sennrich example family: 'low'-prefixed vocabulary
+    corpus = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower newest newest"),
+         (3, "newest newest newest newest widest widest")],
+        ["doc_id", "text"],
+    )
+    merges = bpe.train_bpe(corpus, "text", n_merges=10)
+    assert merges, "no merges learned"
+    # determinism: retraining on the same frame yields the same table
+    assert merges == bpe.train_bpe(corpus, "text", n_merges=10)
+    # the most frequent pair in this corpus involves the 'est</w>' family
+    # (newest x6 + widest x2) or 'lo' (low x5 + lower x2); both exist in
+    # the first few merges
+    flat = ["".join(p) for p in merges]
+    assert any("es" in m or "lo" in m for m in flat[:3])
+
+    out = {r["doc_id"]: r["bpe_tokens"] for r in
+           bpe.apply_bpe(corpus, "text", merges).collect()}
+    # every doc tokenizes; tokens reassemble to the original words
+    for did, toks in out.items():
+        text = corpus.filter(F.col("doc_id") == did).collect()[0]["text"]
+        rejoined = "".join(toks).replace("</w>", " ").strip()
+        assert rejoined == text.lower()
+    # trained words compress below character count
+    n = {r["doc_id"]: r["n_bpe_tokens"] for r in
+         bpe.bpe_token_count(corpus, "text", merges).collect()}
+    assert n[1] < len("low low low low low".replace(" ", "")) + 5
+    # unseen words still tokenize (fall back toward characters)
+    unseen = spark.createDataFrame([(9, "zzz qqq")], ["doc_id", "text"])
+    toks = bpe.apply_bpe(unseen, "text", merges).collect()[0]["bpe_tokens"]
+    assert "".join(toks).replace("</w>", " ").strip() == "zzz qqq"
+    # null/empty safe
+    nulls = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    got = {r["doc_id"]: r["bpe_tokens"] for r in
+           bpe.apply_bpe(nulls, "text", merges).collect()}
+    assert got == {1: [], 2: []}
