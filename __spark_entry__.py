@@ -196,7 +196,7 @@ _TAG_KEYWORDS = ["spark", "hash join", "table scan", "quantum"]
 
 
 def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from wrangler_spark.datapipe import curation, dedup, similarity, text
+    from wrangler_spark.datapipe import bpe, curation, dedup, similarity, text
 
     def docs(spark, sf_dir):
         return _t(spark, sf_dir, "documents")
@@ -217,6 +217,14 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_winnow": lambda s, d: text.winnow_fingerprints(docs(s, d), "doc_id", "text"),
         "text_winnow_overlap": lambda s, d: text.winnow_overlap(docs(s, d), "doc_id", "text"),
+        "shuffle_shards": lambda s, d: curation.shuffle_shards(
+            docs(s, d), "doc_id", 8, "ep0"
+        ).select("doc_id", "shard", "sort_key"),
+        "text_bpe_count": lambda s, d: (
+            lambda m: bpe.bpe_token_count(docs(s, d), "text", m).select(
+                "doc_id", "n_bpe_tokens"
+            )
+        )(bpe.train_bpe(docs(s, d), "text", 100)),
         "keyword_tag": lambda s, d: curation.keyword_tag(
             docs(s, d), "doc_id", "text", _TAG_KEYWORDS
         ),
@@ -385,6 +393,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_winnow_overlap": o.winnow_overlap_sql(3, 4),
         "corpus_diff": o.corpus_diff_sql(),
         "keyword_tag": o.keyword_tag_sql(_TAG_KEYWORDS),
+        "shuffle_shards": o.shuffle_shards_sql(8, "ep0"),
         "dedup_cross_minhash": o.minhash_cross_sql(0.5, 3),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
@@ -602,6 +611,7 @@ _R7_WINDOW = [
     "text_winnow_overlap",
     "corpus_diff",
     "keyword_tag",
+    "shuffle_shards",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -615,7 +625,6 @@ _R7_WINDOW = [
     # back-fill (green r1-6, family coverage)
     "ext_asof_join",
     "ext_join",
-    "ext_window_rank",
     "dedup_exact",
     "dedup_minhash_cc",
     "text_dsir",

@@ -1297,3 +1297,24 @@ def test_bpe_train_and_apply(spark):
     got = {r["doc_id"]: r["bpe_tokens"] for r in
            bpe.apply_bpe(nulls, "text", merges).collect()}
     assert got == {1: [], 2: []}
+
+
+def test_shuffle_shards(spark):
+    from wrangler_spark.datapipe import curation
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = curation.shuffle_shards(df, "doc_id", 8, "ep0").collect()
+    # deterministic replay
+    b = curation.shuffle_shards(df, "doc_id", 8, "ep0").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    shards = [r["shard"] for r in a]
+    assert set(shards) == set(range(8))
+    # balanced within ~3x of even (hash balance on 2000 keys)
+    from collections import Counter
+    c = Counter(shards)
+    assert max(c.values()) < 3 * (2000 / 8)
+    # a different seed produces a different permutation
+    c2 = {r["doc_id"]: r["sort_key"] for r in
+          curation.shuffle_shards(df, "doc_id", 8, "ep1").collect()}
+    c1 = {r["doc_id"]: r["sort_key"] for r in a}
+    assert sum(1 for k in c1 if c1[k] != c2[k]) > 1900

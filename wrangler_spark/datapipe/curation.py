@@ -1032,3 +1032,23 @@ def _word_grams_all(words: Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+def shuffle_shards(
+    df: DataFrame, id_col: str, n_shards: int, seed: str = ""
+) -> DataFrame:
+    """Deterministic pre-training shard assignment + within-shard order:
+    adds (shard, sort_key) where shard = hash28(seed‖id) mod n_shards and
+    sort_key is the md5 of the same string — a reproducible global
+    shuffle without any RNG state. Write with
+    write_corpus(partition_by=['shard']) and read shards in sort_key
+    order for the training-ready layout; changing ``seed`` reshuffles,
+    same seed replays byte-identically (the epoch-shuffle contract).
+
+    Scale shape: pure scan-side expressions; the partitionBy write is the
+    only shuffle and it is the one you wanted anyway."""
+    from wrangler_spark.datapipe.dedup import _hash28
+
+    tagged = F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    return df.withColumn(
+        "shard", F.pmod(_hash28(tagged), F.lit(int(n_shards))).cast("int")
+    ).withColumn("sort_key", F.md5(tagged))

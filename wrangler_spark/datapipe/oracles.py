@@ -1249,3 +1249,14 @@ SELECT h.doc_id, k.kw AS keyword, count(*) AS n_hits
 FROM hits h JOIN kws k ON h.g = k.kw
 GROUP BY h.doc_id, k.kw
 """
+
+
+def shuffle_shards_sql(n_shards: int = 8, seed: str = "", table: str = "documents") -> str:
+    """Mirror of curation.shuffle_shards (projection: id, shard, sort_key)."""
+    h = _H.format(s=f"'{seed}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id,
+       CAST({h} % {int(n_shards)} AS INT) AS shard,
+       md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS sort_key
+FROM {table}
+"""
