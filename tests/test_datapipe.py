@@ -1318,3 +1318,27 @@ def test_shuffle_shards(spark):
           curation.shuffle_shards(df, "doc_id", 8, "ep1").collect()}
     c1 = {r["doc_id"]: r["sort_key"] for r in a}
     assert sum(1 for k in c1 if c1[k] != c2[k]) > 1900
+
+
+def test_new_datapipe_directives_compile_and_run(spark):
+    """Recipe-surface wrappers for the round-7 second-batch ops."""
+    from wrangler_spark import Pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "the hash join plan", "a"), (2, "spark table scan", "a"), (3, "other", "b")],
+        ["doc_id", "text", "source"],
+    )
+    assert Pipeline.compile("winnow-fingerprints :doc_id :text 1 2").apply(docs).columns \
+        == ["doc_id", "pos", "fp"]
+    assert Pipeline.compile("domain-cap :source :doc_id 1").apply(docs).count() == 2
+    sh = Pipeline.compile("shuffle-shards :doc_id 2 'e'").apply(docs)
+    assert {"shard", "sort_key"} <= set(sh.columns)
+    tags = Pipeline.compile("keyword-tag :doc_id :text 'spark,hash join'").apply(docs)
+    got = {(r["doc_id"], r["keyword"]) for r in tags.collect()}
+    assert got == {(1, "hash join"), (2, "spark")}
+    embs = spark.createDataFrame([(1, [3.0, 4.0])], "vec_id long, embedding array<double>")
+    assert Pipeline.compile("emb-normalize :embedding").apply(embs).first()["embedding"] == [0.6, 0.8]
+    q = Pipeline.compile("emb-quantize :embedding").apply(embs).first()
+    assert q["q"] == [95, 127]
+    p = Pipeline.compile("emb-project :embedding 2 4").apply(embs).first()["embedding"]
+    assert len(p) == 4

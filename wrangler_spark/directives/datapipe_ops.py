@@ -544,3 +544,136 @@ class ChunkDocs(Directive):
             int(self.args["chunk_words"]),
             int(self.args["overlap"]),
         )
+
+
+@directive
+class WinnowFingerprints(Directive):
+    """winnow-fingerprints :id :text [k] [w] — SIGMOD'03 winnowing:
+    (id, pos, fp) selected-fingerprint rows (~2/(w+1) density)."""
+
+    name = "winnow-fingerprints"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("k", TokenType.NUMERIC, optional=True, default=3),
+        Arg("w", TokenType.NUMERIC, optional=True, default=4),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import winnow_fingerprints
+
+        return winnow_fingerprints(
+            df, ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"]),
+            int(self.args["k"]), int(self.args["w"]),
+        )
+
+
+@directive
+class DomainCap(Directive):
+    """domain-cap :group :id n [order_col] — keep at most n rows per group:
+    best-n by order_col (desc, ties → min id) or deterministic-random-n."""
+
+    name = "domain-cap"
+    usage = [
+        Arg("group", TokenType.COLUMN),
+        Arg("id", TokenType.COLUMN),
+        Arg("n", TokenType.NUMERIC),
+        Arg("order_col", TokenType.COLUMN, optional=True, default=None),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import cap_per_group
+
+        order = self.args["order_col"]
+        return cap_per_group(
+            df, ctx.resolve(df, self.args["group"]), ctx.resolve(df, self.args["id"]),
+            int(self.args["n"]), ctx.resolve(df, order) if order else None,
+        )
+
+
+@directive
+class ShuffleShards(Directive):
+    """shuffle-shards :id n_shards ['seed'] — reproducible epoch shuffle:
+    adds (shard, sort_key)."""
+
+    name = "shuffle-shards"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("n_shards", TokenType.NUMERIC),
+        Arg("seed", TokenType.TEXT, optional=True, default=""),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import shuffle_shards
+
+        return shuffle_shards(
+            df, ctx.resolve(df, self.args["id"]), int(self.args["n_shards"]),
+            str(self.args["seed"]),
+        )
+
+
+@directive
+class KeywordTag(Directive):
+    """keyword-tag :id :text 'kw1,kw2 phrase,...' — dictionary tagging:
+    (id, keyword, n_hits) for whole-word/phrase matches."""
+
+    name = "keyword-tag"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("keywords", TokenType.TEXT),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import keyword_tag
+
+        kws = [k.strip() for k in str(self.args["keywords"]).split(",") if k.strip()]
+        return keyword_tag(
+            df, ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"]), kws
+        )
+
+
+@directive
+class EmbNormalize(Directive):
+    """emb-normalize :vec — L2-normalize an embedding column in place."""
+
+    name = "emb-normalize"
+    usage = [Arg("vec", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.similarity import embedding_normalize
+
+        return embedding_normalize(df, ctx.resolve(df, self.args["vec"]))
+
+
+@directive
+class EmbQuantize(Directive):
+    """emb-quantize :vec — symmetric int8 quantization → (q, q_scale)."""
+
+    name = "emb-quantize"
+    usage = [Arg("vec", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.similarity import embedding_quantize
+
+        return embedding_quantize(df, ctx.resolve(df, self.args["vec"]))
+
+
+@directive
+class EmbProject(Directive):
+    """emb-project :vec dim_in [dim_out] — JL ±1 random projection."""
+
+    name = "emb-project"
+    usage = [
+        Arg("vec", TokenType.COLUMN),
+        Arg("dim_in", TokenType.NUMERIC),
+        Arg("dim_out", TokenType.NUMERIC, optional=True, default=16),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.similarity import embedding_project
+
+        return embedding_project(
+            df, int(self.args["dim_in"]), int(self.args["dim_out"]),
+            ctx.resolve(df, self.args["vec"]),
+        )
