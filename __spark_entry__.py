@@ -217,6 +217,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_winnow": lambda s, d: text.winnow_fingerprints(docs(s, d), "doc_id", "text"),
         "text_winnow_overlap": lambda s, d: text.winnow_overlap(docs(s, d), "doc_id", "text"),
+        "corpus_report": lambda s, d: curation.corpus_report(
+            docs(s, d), "doc_id", "text", "lang"
+        ),
         "shuffle_shards": lambda s, d: curation.shuffle_shards(
             docs(s, d), "doc_id", 8, "ep0"
         ).select("doc_id", "shard", "sort_key"),
@@ -394,6 +397,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "corpus_diff": o.corpus_diff_sql(),
         "keyword_tag": o.keyword_tag_sql(_TAG_KEYWORDS),
         "shuffle_shards": o.shuffle_shards_sql(8, "ep0"),
+        "corpus_report": o.corpus_report_sql(),
         "dedup_cross_minhash": o.minhash_cross_sql(0.5, 3),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
@@ -612,6 +616,7 @@ _R7_WINDOW = [
     "corpus_diff",
     "keyword_tag",
     "shuffle_shards",
+    "corpus_report",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -627,7 +632,6 @@ _R7_WINDOW = [
     "ext_join",
     "dedup_exact",
     "dedup_minhash_cc",
-    "text_dsir",
     "text_bm25",
     "dedup_embedding",
     "text_clf_score",

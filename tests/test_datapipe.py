@@ -1342,3 +1342,18 @@ def test_new_datapipe_directives_compile_and_run(spark):
     assert q["q"] == [95, 127]
     p = Pipeline.compile("emb-project :embedding 2 4").apply(embs).first()["embedding"]
     assert len(p) == 4
+
+
+def test_corpus_report(spark):
+    from wrangler_spark.datapipe import curation
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "A  B C", "en"), (3, None, "de"), (4, "unique", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    r = curation.corpus_report(df, "doc_id", "text", "lang").collect()[0]
+    assert r["n_docs"] == 4 and r["n_null_text"] == 1
+    assert r["n_exact_dup_docs"] == 1        # doc 2 normalizes onto doc 1
+    assert r["distinct_langs"] == 3
+    assert abs(r["pct_dup"] - 0.25) < 1e-9
+    assert r["n_words"] == 3 + 3 + 1

@@ -1052,3 +1052,43 @@ def shuffle_shards(
     return df.withColumn(
         "shard", F.pmod(_hash28(tagged), F.lit(int(n_shards))).cast("int")
     ).withColumn("sort_key", F.md5(tagged))
+
+def corpus_report(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """One-call corpus health snapshot — the numbers a curation run is
+    judged by, computed in a SINGLE aggregate job over one scan:
+    (n_docs, n_null_text, n_chars, n_words, n_exact_dup_docs,
+    distinct_langs, pct_dup). Exact-dup count via the same normalized-md5
+    key as exact_dedup (count - approx? no: exact distinct), language
+    breadth via the lang column when present.
+
+    Scale shape: ONE pass, one hash aggregate to a single row; the
+    distinct content count rides the same aggregate as
+    count(DISTINCT key) — Spark expands it to a two-stage exact distinct,
+    still one job, no window, no collect of anything but the 1-row
+    result frame (which stays a DataFrame — callers decide when to
+    collect)."""
+    from wrangler_spark.datapipe.dedup import normalize_text
+
+    key = F.md5(normalize_text(F.col(text_col)))
+    words = F.size(F.split(normalize_text(F.col(text_col)), " "))
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.count(F.when(F.col(text_col).isNull(), 1)).cast("long").alias("n_null_text"),
+        F.coalesce(F.sum(F.length(F.col(text_col))), F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce(F.sum(words), F.lit(0)).cast("long").alias("n_words"),
+        (F.count(text_col) - F.countDistinct(key)).cast("long").alias("n_exact_dup_docs"),
+    ]
+    if lang_col:
+        aggs.append(F.countDistinct(F.col(lang_col)).cast("long").alias("distinct_langs"))
+    out = df.agg(*aggs)
+    return out.withColumn(
+        "pct_dup",
+        F.round(
+            F.col("n_exact_dup_docs").cast("double")
+            / F.greatest(F.col("n_docs"), F.lit(1)).cast("double"),
+            6,
+        ),
+    )

@@ -1260,3 +1260,18 @@ SELECT doc_id,
        md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS sort_key
 FROM {table}
 """
+
+
+def corpus_report_sql(table: str = "documents") -> str:
+    """Mirror of curation.corpus_report with lang_col='lang'."""
+    return f"""
+SELECT count(*) AS n_docs,
+       count(CASE WHEN text IS NULL THEN 1 END) AS n_null_text,
+       coalesce(sum(len(text)), 0) AS n_chars,
+       coalesce(sum(len({_WORDS})), 0) AS n_words,
+       count(text) - count(DISTINCT md5({_NORM})) AS n_exact_dup_docs,
+       count(DISTINCT lang) AS distinct_langs,
+       round((count(text) - count(DISTINCT md5({_NORM})))::DOUBLE
+             / greatest(count(*), 1)::DOUBLE, 6) AS pct_dup
+FROM {table}
+"""
