@@ -230,3 +230,37 @@ def test_exact_dedup_against_on_stream(spark, tmp_path_factory):
     q.stop()
     shutil.rmtree(d, ignore_errors=True)
     assert got == {1: True, 2: False, 3: True}
+
+
+def test_streaming_near_dedup_against(spark, tmp_path_factory):
+    """Streaming docs whose SimHash bucket exists in the static corpus are
+    flagged; fresh content passes. Batch mode gives identical flags.
+    prefix_bits=14 here: the one-word change flips a bit inside the top
+    16 of this pair's simhash, which is exactly the granularity knob the
+    docstring documents (raise to split more, lower to collapse more)."""
+    import shutil
+
+    from wrangler_spark.streaming import streaming_near_dedup_against
+
+    d = str(tmp_path_factory.mktemp("near_ingest"))
+    new = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "totally novel writing about unrelated topics entirely")],
+        ["doc_id", "text"],
+    )
+    new.write.mode("overwrite").parquet(d)
+    old = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy cat")],  # near-dup of 1
+        ["doc_id", "text"],
+    )
+    stream = spark.readStream.schema(new.schema).parquet(d)
+    flagged = streaming_near_dedup_against(stream, old, "text", prefix_bits=14)
+    assert flagged.isStreaming
+    q = run_to_memory(flagged, "near_flags")
+    got = {r["doc_id"]: r["is_dup"] for r in spark.sql("SELECT * FROM near_flags").collect()}
+    q.stop()
+    shutil.rmtree(d, ignore_errors=True)
+    assert got == {1: True, 2: False}
+    batch = {r["doc_id"]: r["is_dup"] for r in
+             streaming_near_dedup_against(new, old, "text", prefix_bits=14).collect()}
+    assert batch == got

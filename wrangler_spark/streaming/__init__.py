@@ -136,3 +136,51 @@ def run_to_memory(df: DataFrame, name: str, timeout: int = 60, output_mode: str 
     q = w.start()
     q.awaitTermination(timeout)
     return q
+
+
+def streaming_near_dedup_against(
+    stream_df: DataFrame,
+    static_old: DataFrame,
+    text_col: str,
+    old_text_col: str | None = None,
+    bits: int = 32,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Streaming INCREMENTAL near-dedup: flag each arriving document
+    whose SimHash-prefix bucket already exists in a STATIC accumulated
+    corpus — the streaming counterpart of minhash_pairs_against, with the
+    same granularity trade as streaming_near_dedup (bucket = top
+    ``prefix_bits`` of the simhash; raise to split more). Adds
+    ``simhash`` and ``is_dup`` to the stream, all rows pass through.
+
+    Why this shape: a stream cannot self-join or run LSH band pairing
+    (multi-stateful-op restriction), but a stream-STATIC equi-join is
+    unrestricted and stateless — the old corpus collapses to its DISTINCT
+    bucket ids once (materialize that frame across batches in
+    production), and each micro-batch is a scan-side signature + one
+    broadcast-or-hash join. Works identically on a batch frame for
+    backfill parity (tested both ways)."""
+    from wrangler_spark.datapipe.dedup import _hash28, normalize_text, simhash_expr
+
+    def bucket_of(c):
+        h = F.transform(F.array_distinct(F.split(normalize_text(c), " ")), _hash28)
+        return F.shiftright(simhash_expr(h, bits), bits - int(prefix_bits))
+
+    old_buckets = (
+        static_old.select(bucket_of(F.col(old_text_col or text_col)).alias("__bucket"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    staged = stream_df.withColumn(
+        "__h",
+        F.transform(
+            F.array_distinct(F.split(normalize_text(F.col(text_col)), " ")), _hash28
+        ),
+    ).withColumn("simhash", simhash_expr(F.col("__h"), bits)).withColumn(
+        "__bucket", F.shiftright(F.col("simhash"), bits - int(prefix_bits))
+    )
+    return (
+        staged.join(old_buckets, "__bucket", "left")
+        .withColumn("is_dup", F.col("__hit").isNotNull())
+        .drop("__h", "__bucket", "__hit")
+    )
