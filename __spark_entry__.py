@@ -217,6 +217,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_winnow": lambda s, d: text.winnow_fingerprints(docs(s, d), "doc_id", "text"),
         "text_winnow_overlap": lambda s, d: text.winnow_overlap(docs(s, d), "doc_id", "text"),
+        "split_by_cluster": lambda s, d: curation.split_by_cluster(
+            dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5), 0.1, salt="sp"
+        ),
         "corpus_report": lambda s, d: curation.corpus_report(
             docs(s, d), "doc_id", "text", "lang"
         ),
@@ -398,6 +401,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "keyword_tag": o.keyword_tag_sql(_TAG_KEYWORDS),
         "shuffle_shards": o.shuffle_shards_sql(8, "ep0"),
         "corpus_report": o.corpus_report_sql(),
+        "split_by_cluster": o.split_by_cluster_sql(0.5, 0.1, "sp"),
         "dedup_cross_minhash": o.minhash_cross_sql(0.5, 3),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
@@ -617,6 +621,7 @@ _R7_WINDOW = [
     "keyword_tag",
     "shuffle_shards",
     "corpus_report",
+    "split_by_cluster",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -631,7 +636,6 @@ _R7_WINDOW = [
     "ext_asof_join",
     "ext_join",
     "dedup_exact",
-    "dedup_minhash_cc",
     "text_bm25",
     "dedup_embedding",
     "text_clf_score",

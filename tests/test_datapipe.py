@@ -1357,3 +1357,22 @@ def test_corpus_report(spark):
     assert r["distinct_langs"] == 3
     assert abs(r["pct_dup"] - 0.25) < 1e-9
     assert r["n_words"] == 3 + 3 + 1
+
+
+def test_split_by_cluster_no_leakage(spark):
+    from wrangler_spark.datapipe import curation
+
+    comp = spark.createDataFrame(
+        [(i, i // 3 * 3) for i in range(300)], "doc_id long, component long"
+    )
+    out = curation.split_by_cluster(comp, 0.2, salt="x").collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    # every cluster lands wholly on one side
+    assert all(len(s) == 1 for s in by_comp.values())
+    frac = sum(1 for r in out if r["split"] == "test") / len(out)
+    assert 0.1 < frac < 0.3
+    # deterministic; different salt re-splits
+    again = curation.split_by_cluster(comp, 0.2, salt="x").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

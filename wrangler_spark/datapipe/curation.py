@@ -1092,3 +1092,28 @@ def corpus_report(
             6,
         ),
     )
+
+def split_by_cluster(
+    components: DataFrame, test_frac: float = 0.1, id_col: str = "doc_id",
+    comp_col: str = "component", salt: str = "",
+) -> DataFrame:
+    """Leakage-free train/test split: the deterministic hash gate is
+    applied to the duplicate-cluster REPRESENTATIVE, so a whole near-dup
+    cluster always lands on one side — the split that makes held-out loss
+    honest (a test doc whose near-duplicate sits in train is leakage that
+    a per-doc split cannot prevent). Input is the (id, component) frame
+    from minhash_components / embedding_components; output adds
+    ``split`` ∈ {'train', 'test'}.
+
+    Scale shape: pure scan-side md5-threshold gate on the component key —
+    zero shuffle beyond what the components frame already carries; the
+    same 16-bit threshold arithmetic as sample_hash, so rates are
+    reproducible across engines."""
+    thr = int(float(test_frac) * 65536)
+    gate = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(comp_col).cast("string"))), 1, 4
+    )
+    lim = F.lpad(F.lower(F.hex(F.lit(thr))), 4, "0")
+    return components.withColumn(
+        "split", F.when(gate < lim, F.lit("test")).otherwise(F.lit("train"))
+    )

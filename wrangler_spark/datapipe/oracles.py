@@ -1275,3 +1275,19 @@ SELECT count(*) AS n_docs,
              / greatest(count(*), 1)::DOUBLE, 6) AS pct_dup
 FROM {table}
 """
+
+
+def split_by_cluster_sql(
+    threshold: float = 0.5, test_frac: float = 0.1, salt: str = "",
+    table: str = "documents",
+) -> str:
+    """Mirror of curation.split_by_cluster over minhash_components."""
+    thr = int(float(test_frac) * 65536)
+    return f"""
+WITH comp AS ({minhash_components_sql(threshold, table)})
+SELECT doc_id, component, is_dup,
+       CASE WHEN substr(md5('{salt}:' || CAST(component AS VARCHAR)), 1, 4)
+                 < lpad(lower(hex({thr})), 4, '0')
+            THEN 'test' ELSE 'train' END AS split
+FROM comp
+"""
