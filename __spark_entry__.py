@@ -286,6 +286,10 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": lambda s, d: similarity.embedding_quantize(embs(s, d)).select(
             "vec_id", "q_scale", F.posexplode("q").alias("pos", "qv")
         ),
+        "ann_mmr_rerank": lambda s, d: similarity.mmr_rerank(
+            similarity.cosine_topk(embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), k=20),
+            embs(s, d), k=10,
+        ),
         "emb_project": lambda s, d: similarity.embedding_project(embs(s, d), 64, 16).select(
             "vec_id", F.posexplode("embedding").alias("pos", "y")
         ),

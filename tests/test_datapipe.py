@@ -1376,3 +1376,25 @@ def test_split_by_cluster_no_leakage(spark):
     # deterministic; different salt re-splits
     again = curation.split_by_cluster(comp, 0.2, salt="x").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Two near-identical top hits: plain ranking keeps both up top; MMR
+    demotes the redundant twin below the diverse third candidate."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.04, 0.0]),   # twin of 1
+         (3, [0.4, 0.9, 0.0]), (0, [0.9, 0.3, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") == 0)
+    top = similarity.cosine_topk(corpus, queries, k=3)
+    plain = [r["vec_id"] for r in sorted(top.collect(), key=lambda r: r["rank"])]
+    assert set(plain[:2]) == {1, 2}  # the twins dominate plain relevance
+    rer = similarity.mmr_rerank(top, corpus, k=3, lam=0.5)
+    order = [r["vec_id"] for r in sorted(rer.collect(), key=lambda r: r["mmr_rank"])]
+    # first pick = plain winner; the diverse candidate 3 jumps its twin
+    assert order[0] == plain[0] and order[1] == 3 and order[2] == plain[1]
+    # lam=1.0 degenerates to relevance order
+    rel = similarity.mmr_rerank(top, corpus, lam=1.0)
+    order1 = [r["vec_id"] for r in sorted(rel.collect(), key=lambda r: r["mmr_rank"])]
+    assert order1 == plain
