@@ -242,6 +242,24 @@ def main() -> int:
         must_not=["Exchange", "Window", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 25e. shard shuffle + corpus report: scan-side / single-aggregate —
+    # no window, no Python
+    for name in ("shuffle_shards", "corpus_report"):
+        p = plan_of(qs[name](spark, SF_DIR))
+        problems += check(
+            name, p,
+            must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+        )
+
+    # 25f. MMR: the ONLY Python in the plan is the sanctioned grouped
+    # Arrow op (FlatMapGroupsInPandas); candidates join vectors via an
+    # equi-join, never cartesian
+    p = plan_of(qs["ann_mmr_rerank"](spark, SF_DIR))
+    problems += check(
+        "ann_mmr_rerank", p, must=["FlatMapGroupsInPandas"],
+        must_not=["CartesianProduct", "BatchEvalPython"],
+    )
+
     # 25d. keyword tagging: dictionary slices broadcast, corpus never
     # shuffles before the per-doc count aggregate
     p = plan_of(qs["keyword_tag"](spark, SF_DIR))
