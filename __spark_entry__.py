@@ -223,6 +223,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": lambda s, d: curation.corpus_report(
             docs(s, d), "doc_id", "text", "lang"
         ),
+        "corpus_report_by": lambda s, d: curation.corpus_report_by(docs(s, d), "source"),
         "shuffle_shards": lambda s, d: curation.shuffle_shards(
             docs(s, d), "doc_id", 8, "ep0"
         ).select("doc_id", "shard", "sort_key"),
@@ -406,6 +407,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "shuffle_shards": o.shuffle_shards_sql(8, "ep0"),
         "corpus_report": o.corpus_report_sql(),
         "split_by_cluster": o.split_by_cluster_sql(0.5, 0.1, "sp"),
+        "corpus_report_by": o.corpus_report_by_sql("source"),
         "dedup_cross_minhash": o.minhash_cross_sql(0.5, 3),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),

@@ -1398,3 +1398,35 @@ def test_mmr_rerank_diversifies(spark):
     rel = similarity.mmr_rerank(top, corpus, lam=1.0)
     order1 = [r["vec_id"] for r in sorted(rel.collect(), key=lambda r: r["mmr_rank"])]
     assert order1 == plain
+
+
+def test_corpus_report_by(spark):
+    from wrangler_spark.datapipe import curation
+
+    df = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "A  b", "s1"), (3, "c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: (r["n_docs"], r["n_exact_dup_docs"]) for r in
+           curation.corpus_report_by(df, "source").collect()}
+    assert got == {"s1": (2, 1), "s2": (1, 0)}
+
+
+def test_new_directive_arg_errors(spark):
+    """Bad arguments to the new directives raise the engine's own typed
+    errors, never uncontrolled exceptions."""
+    import pytest as _pt
+
+    from wrangler_spark import Pipeline
+    from wrangler_spark.errors import WranglerError
+
+    docs = spark.createDataFrame([(1, "t", "s")], ["doc_id", "text", "source"])
+    for recipe in [
+        "domain-cap :source :doc_id",          # missing required n
+        "winnow-fingerprints :doc_id",         # missing text col
+        "keyword-tag :doc_id :text",           # missing dictionary
+        "shuffle-shards :doc_id",              # missing n_shards
+        "domain-cap :nope :doc_id 3",          # unknown column
+    ]:
+        with _pt.raises(WranglerError):
+            Pipeline.compile(recipe).apply(docs).collect()

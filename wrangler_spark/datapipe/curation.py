@@ -1117,3 +1117,33 @@ def split_by_cluster(
     return components.withColumn(
         "split", F.when(gate < lim, F.lit("test")).otherwise(F.lit("train"))
     )
+
+def corpus_report_by(
+    df: DataFrame, group_col: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """corpus_report per group (source / lang / shard): one row per group
+    with the same metrics — the per-slice view that catches a single bad
+    source poisoning an otherwise healthy ingestion round. Same single-
+    aggregate shape, grouped; dup counts are WITHIN-group exact dups."""
+    from wrangler_spark.datapipe.dedup import normalize_text
+
+    key = F.md5(normalize_text(F.col(text_col)))
+    words = F.size(F.split(normalize_text(F.col(text_col)), " "))
+    return (
+        df.groupBy(F.col(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(F.when(F.col(text_col).isNull(), 1)).cast("long").alias("n_null_text"),
+            F.coalesce(F.sum(F.length(F.col(text_col))), F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce(F.sum(words), F.lit(0)).cast("long").alias("n_words"),
+            (F.count(text_col) - F.countDistinct(key)).cast("long").alias("n_exact_dup_docs"),
+        )
+        .withColumn(
+            "pct_dup",
+            F.round(
+                F.col("n_exact_dup_docs").cast("double")
+                / F.greatest(F.col("n_docs"), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+    )

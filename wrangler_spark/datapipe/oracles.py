@@ -1267,8 +1267,8 @@ def corpus_report_sql(table: str = "documents") -> str:
     return f"""
 SELECT count(*) AS n_docs,
        count(CASE WHEN text IS NULL THEN 1 END) AS n_null_text,
-       coalesce(sum(len(text)), 0) AS n_chars,
-       coalesce(sum(len({_WORDS})), 0) AS n_words,
+       CAST(coalesce(sum(len(text)), 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(sum(len({_WORDS})), 0) AS BIGINT) AS n_words,
        count(text) - count(DISTINCT md5({_NORM})) AS n_exact_dup_docs,
        count(DISTINCT lang) AS distinct_langs,
        round((count(text) - count(DISTINCT md5({_NORM})))::DOUBLE
@@ -1290,4 +1290,20 @@ SELECT doc_id, component, is_dup,
                  < lpad(lower(hex({thr})), 4, '0')
             THEN 'test' ELSE 'train' END AS split
 FROM comp
+"""
+
+
+def corpus_report_by_sql(group_col: str = "source", table: str = "documents") -> str:
+    """Mirror of curation.corpus_report_by."""
+    return f"""
+SELECT {group_col},
+       count(*) AS n_docs,
+       count(CASE WHEN text IS NULL THEN 1 END) AS n_null_text,
+       CAST(coalesce(sum(len(text)), 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(sum(len({_WORDS})), 0) AS BIGINT) AS n_words,
+       count(text) - count(DISTINCT md5({_NORM})) AS n_exact_dup_docs,
+       round((count(text) - count(DISTINCT md5({_NORM})))::DOUBLE
+             / greatest(count(*), 1)::DOUBLE, 6) AS pct_dup
+FROM {table}
+GROUP BY {group_col}
 """
