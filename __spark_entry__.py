@@ -287,6 +287,18 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": lambda s, d: similarity.embedding_quantize(embs(s, d)).select(
             "vec_id", "q_scale", F.posexplode("q").alias("pos", "qv")
         ),
+        "ann_rrf_fuse": lambda s, d: similarity.rrf_fuse(
+            [
+                similarity.cosine_topk(
+                    embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), k=5
+                ),
+                similarity.ivf_topk(
+                    embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), 8,
+                    "vec_id", "embedding", 5,
+                ),
+            ],
+            k=5,
+        ),
         "ann_mmr_rerank": lambda s, d: similarity.mmr_rerank(
             similarity.cosine_topk(embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), k=20),
             embs(s, d), k=10,
@@ -436,6 +448,7 @@ def _datapipe_oracles() -> dict[str, str]:
             "substr(md5(text), 1, 12) AS md5_prefix FROM documents"
         ),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "ann_rrf_fuse": _rrf_oracle_sql(),
         "ann_ivf_probe_topk": _ivf_oracle_sql(nprobe=2),
         "ann_recall": _ann_recall_oracle_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
@@ -453,6 +466,28 @@ def _datapipe_oracles() -> dict[str, str]:
             "unnest(tokens) AS token FROM tk"
         ),
     }
+
+
+def _rrf_oracle_sql(k: int = 5, kconst: int = 60) -> str:
+    """Mirror of similarity.rrf_fuse over the exact and IVF(nprobe=1)
+    top-5 lists: Σ 1/(kconst+rank) per (query, doc), re-ranked by score
+    desc then vec_id (the _topk_reduce tie order)."""
+    from wrangler_spark.datapipe import oracles as o
+
+    return f"""
+WITH a AS ({o.cosine_topk_sql(5, 5)}),
+b AS ({_ivf_oracle_sql(8, 5, 5, 1)}),
+u AS (SELECT query_id, vec_id, rank FROM a
+      UNION ALL SELECT query_id, vec_id, rank FROM b),
+s AS (SELECT query_id, vec_id,
+             round(sum(1.0 / ({kconst} + rank)), 6) AS rrf_score
+      FROM u GROUP BY query_id, vec_id),
+r AS (SELECT query_id, vec_id, rrf_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_score DESC, vec_id) AS INT) AS rank
+      FROM s)
+SELECT query_id, vec_id, rrf_score, rank FROM r WHERE rank <= {k}
+"""
 
 
 def _ivf_oracle_sql(
@@ -628,6 +663,7 @@ _R7_WINDOW = [
     "shuffle_shards",
     "corpus_report",
     "split_by_cluster",
+    "ann_rrf_fuse",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -643,7 +679,6 @@ _R7_WINDOW = [
     "ext_join",
     "dedup_exact",
     "text_bm25",
-    "dedup_embedding",
     "text_clf_score",
     "text_bigram_lp",
     "pii_redact",

@@ -1430,3 +1430,22 @@ def test_new_directive_arg_errors(spark):
     ]:
         with _pt.raises(WranglerError):
             Pipeline.compile(recipe).apply(docs).collect()
+
+
+def test_rrf_fuse(spark):
+    """A doc ranked well by BOTH systems beats a doc ranked first by only
+    one; singles still score (missing rank just contributes nothing)."""
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, vec_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)], "query_id long, vec_id long, rank int"
+    )
+    out = sorted(similarity.rrf_fuse([a, b], kconst=60, k=4).collect(),
+                 key=lambda r: r["rank"])
+    order = [r["vec_id"] for r in out]
+    # 11: 1/62+1/61; 10: 1/61+1/63; 12: 1/63; 13: 1/62
+    assert order == [11, 10, 13, 12]
+    import math
+    assert math.isclose(out[0]["rrf_score"],
+                        round(1 / 62 + 1 / 61, 6), abs_tol=1e-9)

@@ -731,3 +731,31 @@ def mmr_rerank(
 
     schema = "query_id long, vec_id long, cosine double, mmr_rank int, mmr_score double"
     return cand.groupBy("query_id").applyInPandas(_mmr, schema)
+
+
+def rrf_fuse(
+    frames: list[DataFrame], kconst: int = 60, k: int = 10
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    fuse ranked result lists — lexical BM25 with vector ANN, or exact
+    with approximate — by score(q,d) = Σ_systems 1/(kconst + rank). The
+    standard hybrid-retrieval combiner: needs no score calibration
+    between systems because only RANKS enter, and kconst=60 is the
+    published default. Input frames are (query_id, vec_id, rank) (the
+    cosine_topk / ivf_topk / bm25-derived shape); returns (query_id,
+    vec_id, rrf_score, rank) with the fused top-k per query.
+
+    Scale shape: one union of k-rows-per-query frames, one hash
+    aggregate on (query, doc), then the same two-phase no-Window top-k
+    as every ANN path. Input is rank lists, never corpora — the heavy
+    retrieval already happened upstream."""
+    u = frames[0].select("query_id", "vec_id", "rank")
+    for f in frames[1:]:
+        u = u.unionByName(f.select("query_id", "vec_id", "rank"))
+    scored = u.groupBy("query_id", "vec_id").agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(kconst)) + F.col("rank").cast("double"))), 6
+        ).alias("cosine")
+    )
+    out = _topk_reduce(scored, k)
+    return out.withColumnRenamed("cosine", "rrf_score")
