@@ -276,6 +276,11 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pack_sequences": lambda s, d: curation.pack_sequences(docs(s, d), "doc_id", "text", 512),
         "text_chunk": lambda s, d: curation.chunk_documents(docs(s, d), "doc_id", "text", 64, 8),
+        "text_bm25_topk": lambda s, d: text.bm25_topk(
+            docs(s, d),
+            s.createDataFrame(_BM25_QUERIES, "query_id long, query string"),
+            "doc_id", "text", 10,
+        ),
         "text_bm25": lambda s, d: text.bm25_scores(
             docs(s, d),
             s.createDataFrame(_BM25_QUERIES, "query_id long, query string"),
@@ -401,6 +406,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "pack_sequences": o.pack_sequences_sql(512),
         "text_chunk": o.chunk_documents_sql(64, 8),
         "text_bm25": o.bm25_sql(_BM25_QUERIES),
+        "text_bm25_topk": o.bm25_topk_sql(_BM25_QUERIES, 10),
         "dedup_ngram_jaccard": o.ngram_jaccard_sql(5, 0.6, unit="char"),
         "dedup_ngram_word": o.ngram_jaccard_sql(3, 0.5, unit="word"),
         "dedup_simhash": o.simhash_sql(32),
@@ -664,6 +670,7 @@ _R7_WINDOW = [
     "corpus_report",
     "split_by_cluster",
     "ann_rrf_fuse",
+    "text_bm25_topk",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -678,7 +685,6 @@ _R7_WINDOW = [
     "ext_asof_join",
     "ext_join",
     "dedup_exact",
-    "text_bm25",
     "text_clf_score",
     "text_bigram_lp",
     "pii_redact",

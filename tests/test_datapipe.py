@@ -1449,3 +1449,23 @@ def test_rrf_fuse(spark):
     import math
     assert math.isclose(out[0]["rrf_score"],
                         round(1 / 62 + 1 / 61, 6), abs_tol=1e-9)
+
+
+def test_bm25_topk_and_hybrid_fusion(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle partitions tuning"), (2, "shuffle service"),
+         (3, "unrelated cooking recipe"), (4, "spark spark spark")],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame([(1, "spark shuffle")], "query_id long, query string")
+    top = text.bm25_topk(docs, qs, "doc_id", "text", k=3)
+    rows = sorted(top.collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert {r["vec_id"] for r in rows} <= {1, 2, 4}      # cooking never ranks
+    assert rows[0]["bm25"] >= rows[1]["bm25"] >= rows[2]["bm25"]
+    # fuses directly with another ranked list
+    other = spark.createDataFrame(
+        [(1, 3, 1), (1, 1, 2)], "query_id long, vec_id long, rank int"
+    )
+    fused = similarity.rrf_fuse([top, other], k=4)
+    assert fused.count() == 4

@@ -1307,3 +1307,19 @@ SELECT {group_col},
 FROM {table}
 GROUP BY {group_col}
 """
+
+
+def bm25_topk_sql(
+    queries: list[tuple[int, str]], k: int = 10,
+    k1: float = 1.2, b: float = 0.75, table: str = "documents",
+) -> str:
+    """Mirror of text.bm25_topk: bm25_sql ranked per query (score desc,
+    ties → smaller doc id), top k."""
+    return f"""
+WITH s AS ({bm25_sql(queries, k1, b, table)}),
+r AS (SELECT query_id, doc_id AS vec_id, bm25,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+      FROM s)
+SELECT query_id, vec_id, bm25, rank FROM r WHERE rank <= {int(k)}
+"""

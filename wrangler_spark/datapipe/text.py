@@ -774,3 +774,24 @@ def winnow_overlap(
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= int(min_shared))
     )
+
+
+def bm25_topk(
+    df: DataFrame, queries: DataFrame, id_col: str, text_col: str, k: int = 10,
+    query_id_col: str = "query_id", query_text_col: str = "query",
+    k1: float = 1.2, b: float = 0.75,
+) -> DataFrame:
+    """Rank-shaped BM25: the top-k (query_id, vec_id, bm25, rank) per
+    query — the frame rrf_fuse consumes, so lexical retrieval fuses with
+    vector ANN in one line. Ranking reuses the ANN family's two-phase
+    no-Window top-k (bm25 desc, ties → smaller id)."""
+    from wrangler_spark.datapipe.similarity import _topk_reduce
+
+    scored = bm25_scores(
+        df, queries, id_col, text_col, query_id_col, query_text_col, k1, b
+    ).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        F.col("bm25").alias("cosine"),
+    )
+    return _topk_reduce(scored, k).withColumnRenamed("cosine", "bm25")
