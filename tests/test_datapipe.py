@@ -1469,3 +1469,33 @@ def test_bm25_topk_and_hybrid_fusion(spark):
     )
     fused = similarity.rrf_fuse([top, other], k=4)
     assert fused.count() == 4
+
+
+def test_ivf_append_index(spark, tmp_path_factory):
+    """Appending a batch extends the index in place: appended vectors are
+    findable, pre-existing data is untouched, quantization mode is
+    inherited, and probes still partition-prune."""
+    base = str(tmp_path_factory.mktemp("ivf_app"))
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = embs.filter(F.col("vec_id") < 400)
+    new = embs.filter(F.col("vec_id") >= 400)
+
+    similarity.ivf_write_index(old, f"{base}/ix", n_centroids=8)
+    before = spark.read.parquet(f"{base}/ix/vectors").count()
+    similarity.ivf_append_index(new, f"{base}/ix")
+    after = spark.read.parquet(f"{base}/ix/vectors")
+    assert after.count() == embs.count() and before == old.count()
+
+    # an appended vector is its own nearest neighbor via the index
+    q = embs.filter(F.col("vec_id") == 450)
+    got = similarity.ivf_query_index(
+        spark, f"{base}/ix", q.withColumn("vec_id", F.lit(999999)), k=1, nprobe=2
+    ).collect()
+    assert got and got[0]["vec_id"] == 450 and got[0]["cosine"] == 1.0
+
+    # quantized index stays quantized on append
+    similarity.ivf_write_index(old, f"{base}/qx", n_centroids=8, quantize=True)
+    similarity.ivf_append_index(new, f"{base}/qx")
+    cols = spark.read.parquet(f"{base}/qx/vectors").columns
+    assert "q" in cols and "embedding" not in cols
+    assert spark.read.parquet(f"{base}/qx/vectors").count() == embs.count()

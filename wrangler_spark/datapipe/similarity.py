@@ -759,3 +759,41 @@ def rrf_fuse(
     )
     out = _topk_reduce(scored, k)
     return out.withColumnRenamed("cosine", "rrf_score")
+
+
+def ivf_append_index(
+    new_vectors: DataFrame, path: str, id_col: str = "vec_id",
+    vec_col: str = "embedding", quantize: bool | None = None,
+) -> None:
+    """Incrementally extend a persisted IVF index: assign NEW vectors to
+    the EXISTING centroids and append them to the partitioned layout —
+    the ANN counterpart of exact_dedup_against's ingestion contract. At
+    100 TB the index is built once and each ingestion batch appends;
+    re-clustering is a deliberate, rare event (centroids drift slowly,
+    and rewriting 100 TB to move 0.1% of vectors is never worth it —
+    re-run ivf_write_index when recall, measured with ann_recall, says
+    so).
+
+    ``quantize`` defaults to whatever the existing index stores (sniffed
+    from the vectors schema, one metadata read — no data scan), so a
+    float index stays float and an int8 index stays int8. Appends use
+    dynamic partition append: only the probed centroid_id directories
+    gain files, existing data is never rewritten."""
+    spark = new_vectors.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    existing_cols = spark.read.parquet(f"{path}/vectors").schema.fieldNames()
+    if quantize is None:
+        quantize = "q" in existing_cols and vec_col not in existing_cols
+    c = new_vectors.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    assign = _assign_prepared(c, cent)
+    base = new_vectors.withColumnRenamed(id_col, "vec_id")
+    if quantize:
+        base = embedding_quantize(base, vec_col).drop(vec_col)
+    (
+        base.join(assign, "vec_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/vectors")
+    )
