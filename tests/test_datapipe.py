@@ -1499,3 +1499,17 @@ def test_ivf_append_index(spark, tmp_path_factory):
     cols = spark.read.parquet(f"{base}/qx/vectors").columns
     assert "q" in cols and "embedding" not in cols
     assert spark.read.parquet(f"{base}/qx/vectors").count() == embs.count()
+
+
+def test_langid_multi_cjk_branch(spark):
+    """CJK text has no whitespace-stopword signal; the script branch
+    classifies it as zh where the profile argmax saw only noise."""
+    df = spark.createDataFrame(
+        [(1, "这是一个中文文档的例子 包含汉字"),
+         (2, "the quick brown fox and the lazy dog in the yard"),
+         (3, "el perro y el gato en la casa de la abuela")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in
+           text.langid_multi(df, "text").collect()}
+    assert got[1] == "zh" and got[2] == "en" and got[3] == "es"

@@ -666,11 +666,15 @@ FROM {table} t LEFT JOIN comp c ON t.vec_id = c.u
 """
 
 
-def langid_multi_sql(min_ratio: float = 0.05, table: str = "documents") -> str:
+def langid_multi_sql(
+    min_ratio: float = 0.05, cjk_ratio: float = 0.3, table: str = "documents"
+) -> str:
     """Mirror of text.langid_multi: per-language stopword densities,
     struct-sort argmax ((-density, code) ascending), threshold to
-    'unknown'. Same LANG_STOPWORDS constants."""
-    from wrangler_spark.datapipe.constants import LANG_STOPWORDS
+    'unknown', with the CJK script branch (≥ cjk_ratio CJK chars → 'zh'
+    scored by the CJK fraction). Same LANG_STOPWORDS / SCRIPT_RANGES
+    constants."""
+    from wrangler_spark.datapipe.constants import LANG_STOPWORDS, SCRIPT_RANGES
 
     items = []
     for lang in sorted(LANG_STOPWORDS):
@@ -681,12 +685,22 @@ def langid_multi_sql(min_ratio: float = 0.05, table: str = "documents") -> str:
         )
         items.append(f"struct_pack(nr := -{r}, l := '{lang}')")
     arr = "[" + ", ".join(items) + "]"
+    cjk_cls = "[" + "".join(
+        f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}" for lo, hi in SCRIPT_RANGES["cjk"]
+    ) + "]"
+    cjk = (
+        f"round(len(regexp_extract_all(text, '{cjk_cls}'))::DOUBLE"
+        f" / greatest(length(regexp_replace(text, '\\s', '', 'g')), 1)::DOUBLE, 6)"
+    )
     return f"""
 WITH wrd AS (SELECT *, {_WORDS} AS w FROM {table}),
-scored AS (SELECT *, list_sort({arr})[1] AS best FROM wrd)
+scored AS (SELECT *, list_sort({arr})[1] AS best, {cjk} AS cjkf FROM wrd)
 SELECT doc_id, text, lang, source, n_chars,
-       CASE WHEN -best.nr >= {float(min_ratio)} THEN best.l ELSE 'unknown' END AS lang_pred,
-       round(-best.nr, 6) AS lang_score
+       CASE WHEN cjkf >= {float(cjk_ratio)} THEN 'zh'
+            WHEN -best.nr >= {float(min_ratio)} THEN best.l
+            ELSE 'unknown' END AS lang_pred,
+       CASE WHEN cjkf >= {float(cjk_ratio)} THEN cjkf
+            ELSE round(-best.nr, 6) END AS lang_score
 FROM scored
 """
 

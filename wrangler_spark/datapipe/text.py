@@ -377,21 +377,26 @@ def bm25_scores(
 
 
 def langid_multi(
-    df: DataFrame, text_col: str, out_col: str = "lang_pred", min_ratio: float = 0.05
+    df: DataFrame, text_col: str, out_col: str = "lang_pred", min_ratio: float = 0.05,
+    cjk_ratio: float = 0.3,
 ) -> DataFrame:
-    """Multi-language stopword-profile LID: density of each language's
-    function words (constants.LANG_STOPWORDS: en/es/fr/de/it/pt), argmax
-    wins (ties to the lexically-smaller code), 'unknown' below
-    ``min_ratio``. Adds ``out_col`` and lang_score (the winning density).
-    The cheap-LID baseline — a real pipeline swaps in fastText via the
-    same column contract, but this one is deterministic, dependency-free
-    and SQL-oracle-able.
+    """Multi-language LID: density of each language's function words
+    (constants.LANG_STOPWORDS: en/es/fr/de/it/pt), argmax wins (ties to
+    the lexically-smaller code), 'unknown' below ``min_ratio`` — plus a
+    SCRIPT branch for zh: stopword profiles are a Latin-alphabet
+    instrument and see CJK text as zero-density noise, so a document
+    whose non-whitespace characters are ≥ ``cjk_ratio`` CJK classifies
+    as 'zh' with the CJK fraction as its score (ideograph presence IS
+    the function-word signal for unsegmented scripts). Adds ``out_col``
+    and lang_score. The cheap-LID baseline — a real pipeline swaps in
+    fastText via the same column contract, but this one is
+    deterministic, dependency-free and SQL-oracle-able.
 
     Scale shape: per-row array filters against 6 broadcast-literal word
-    lists — scan-side, zero shuffle, whole-stage codegen. The argmax is
-    the repo's struct-sort idiom (array_sort over (-density, code)
-    structs), never a window."""
-    from wrangler_spark.datapipe.constants import LANG_STOPWORDS
+    lists + one codepoint-class regexp count — scan-side, zero shuffle,
+    whole-stage codegen. The argmax is the repo's struct-sort idiom
+    (array_sort over (-density, code) structs), never a window."""
+    from wrangler_spark.datapipe.constants import LANG_STOPWORDS, SCRIPT_RANGES
 
     staged = _with_words(df, text_col)
     words = F.col(_W)
@@ -409,11 +414,22 @@ def langid_multi(
         items.append(F.struct((-r).alias("nr"), F.lit(lang).alias("l")))
     best = F.array_sort(F.array(*items)).getItem(0)
     score = F.round(-best["nr"], 6)
+    c = F.col(text_col)
+    cjk_cls = "[" + "".join(
+        f"\\u{lo:04X}-\\u{hi:04X}" for lo, hi in SCRIPT_RANGES["cjk"]
+    ) + "]"
+    cjk_frac = F.round(
+        F.regexp_count(c, F.lit(cjk_cls)).cast("double")
+        / F.greatest(F.length(F.regexp_replace(c, r"\s", "")), F.lit(1)).cast("double"),
+        6,
+    )
+    pred = F.when(cjk_frac >= F.lit(float(cjk_ratio)), F.lit("zh")).otherwise(
+        F.when(score >= F.lit(float(min_ratio)), best["l"]).otherwise(F.lit("unknown"))
+    )
+    final_score = F.when(cjk_frac >= F.lit(float(cjk_ratio)), cjk_frac).otherwise(score)
     return (
-        staged.withColumn(
-            out_col, F.when(score >= F.lit(float(min_ratio)), best["l"]).otherwise(F.lit("unknown"))
-        )
-        .withColumn("lang_score", score)
+        staged.withColumn(out_col, pred)
+        .withColumn("lang_score", final_score)
         .drop(_W)
     )
 
