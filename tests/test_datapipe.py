@@ -1513,3 +1513,13 @@ def test_langid_multi_cjk_branch(spark):
     got = {r["doc_id"]: r["lang_pred"] for r in
            text.langid_multi(df, "text").collect()}
     assert got[1] == "zh" and got[2] == "en" and got[3] == "es"
+    # the other non-Latin script branches
+    more = spark.createDataFrame(
+        [(4, "это русский текст про базы данных и таблицы"),
+         (5, "αυτό είναι ένα ελληνικό κείμενο για δοκιμή"),
+         (6, "هذا نص عربي عن قواعد البيانات")],
+        ["doc_id", "text"],
+    )
+    got2 = {r["doc_id"]: r["lang_pred"] for r in
+            text.langid_multi(more, "text").collect()}
+    assert got2 == {4: "ru", 5: "el", 6: "ar"}

@@ -685,21 +685,24 @@ def langid_multi_sql(
         )
         items.append(f"struct_pack(nr := -{r}, l := '{lang}')")
     arr = "[" + ", ".join(items) + "]"
-    cjk_cls = "[" + "".join(
-        f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}" for lo, hi in SCRIPT_RANGES["cjk"]
-    ) + "]"
-    cjk = (
-        f"round(len(regexp_extract_all(text, '{cjk_cls}'))::DOUBLE"
-        f" / greatest(length(regexp_replace(text, '\\s', '', 'g')), 1)::DOUBLE, 6)"
-    )
+    denom = "greatest(length(regexp_replace(text, '\\s', '', 'g')), 1)::DOUBLE"
+    fracs, pred_cases, score_cases = [], [], []
+    for script, code in (("cjk", "zh"), ("arabic", "ar"), ("cyrillic", "ru"), ("greek", "el")):
+        cls = "[" + "".join(
+            f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}" for lo, hi in SCRIPT_RANGES[script]
+        ) + "]"
+        fr = f"round(len(regexp_extract_all(text, '{cls}'))::DOUBLE / {denom}, 6)"
+        fracs.append(f"{fr} AS f_{script}")
+        pred_cases.append(f"WHEN f_{script} >= {float(cjk_ratio)} THEN '{code}'")
+        score_cases.append(f"WHEN f_{script} >= {float(cjk_ratio)} THEN f_{script}")
     return f"""
 WITH wrd AS (SELECT *, {_WORDS} AS w FROM {table}),
-scored AS (SELECT *, list_sort({arr})[1] AS best, {cjk} AS cjkf FROM wrd)
+scored AS (SELECT *, list_sort({arr})[1] AS best, {', '.join(fracs)} FROM wrd)
 SELECT doc_id, text, lang, source, n_chars,
-       CASE WHEN cjkf >= {float(cjk_ratio)} THEN 'zh'
+       CASE {' '.join(pred_cases)}
             WHEN -best.nr >= {float(min_ratio)} THEN best.l
             ELSE 'unknown' END AS lang_pred,
-       CASE WHEN cjkf >= {float(cjk_ratio)} THEN cjkf
+       CASE {' '.join(score_cases)}
             ELSE round(-best.nr, 6) END AS lang_score
 FROM scored
 """

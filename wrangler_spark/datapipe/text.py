@@ -415,18 +415,31 @@ def langid_multi(
     best = F.array_sort(F.array(*items)).getItem(0)
     score = F.round(-best["nr"], 6)
     c = F.col(text_col)
-    cjk_cls = "[" + "".join(
-        f"\\u{lo:04X}-\\u{hi:04X}" for lo, hi in SCRIPT_RANGES["cjk"]
-    ) + "]"
-    cjk_frac = F.round(
-        F.regexp_count(c, F.lit(cjk_cls)).cast("double")
-        / F.greatest(F.length(F.regexp_replace(c, r"\s", "")), F.lit(1)).cast("double"),
-        6,
-    )
-    pred = F.when(cjk_frac >= F.lit(float(cjk_ratio)), F.lit("zh")).otherwise(
+    denom = F.greatest(
+        F.length(F.regexp_replace(c, r"\s", "")), F.lit(1)
+    ).cast("double")
+    # non-Latin scripts, checked in fixed order (dominant script wins
+    # first): the script itself is the language signal for scripts the
+    # Latin stopword profiles cannot see. cyrillic→ru / greek→el /
+    # arabic→ar are the standard cheap-LID approximations (documented
+    # coarseness: all Cyrillic-script languages tag ru at this tier).
+    pred, final_score = None, None
+    for script, code in (("cjk", "zh"), ("arabic", "ar"), ("cyrillic", "ru"), ("greek", "el")):
+        cls = "[" + "".join(
+            f"\\u{lo:04X}-\\u{hi:04X}" for lo, hi in SCRIPT_RANGES[script]
+        ) + "]"
+        frac = F.round(F.regexp_count(c, F.lit(cls)).cast("double") / denom, 6)
+        hit = frac >= F.lit(float(cjk_ratio))
+        if pred is None:
+            pred = F.when(hit, F.lit(code))
+            final_score = F.when(hit, frac)
+        else:
+            pred = pred.when(hit, F.lit(code))
+            final_score = final_score.when(hit, frac)
+    pred = pred.otherwise(
         F.when(score >= F.lit(float(min_ratio)), best["l"]).otherwise(F.lit("unknown"))
     )
-    final_score = F.when(cjk_frac >= F.lit(float(cjk_ratio)), cjk_frac).otherwise(score)
+    final_score = final_score.otherwise(score)
     return (
         staged.withColumn(out_col, pred)
         .withColumn("lang_score", final_score)
