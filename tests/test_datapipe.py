@@ -1523,3 +1523,34 @@ def test_langid_multi_cjk_branch(spark):
     got2 = {r["doc_id"]: r["lang_pred"] for r in
             text.langid_multi(more, "text").collect()}
     assert got2 == {4: "ru", 5: "el", 6: "ar"}
+
+
+def test_new_op_edge_cases(spark):
+    """Null quality never wins survivor/cap selection; empty keyword
+    dict returns the empty contract; test_frac >= 1 sends everything to
+    test (the lpad-truncation overflow guard); bad dims raise."""
+    import pytest as _pt
+
+    from wrangler_spark.datapipe import curation
+
+    comp = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, component long")
+    q = spark.createDataFrame([(1, None), (2, 5)], "doc_id long, quality int")
+    out = {r["doc_id"]: r["keep"] for r in
+           dedup.cluster_survivors(comp, q, "doc_id", "component", "quality").collect()}
+    assert out == {1: False, 2: True}       # scored member beats null
+    capdf = spark.createDataFrame(
+        [(1, "g", None), (2, "g", 1.0)], "doc_id long, source string, quality double"
+    )
+    kept = {r["doc_id"] for r in
+            curation.cap_per_group(capdf, "source", "doc_id", 1, "quality").collect()}
+    assert kept == {2}
+    empty = curation.keyword_tag(
+        spark.createDataFrame([(1, "x")], ["doc_id", "text"]), "doc_id", "text", []
+    )
+    assert empty.count() == 0 and empty.columns == ["doc_id", "keyword", "n_hits"]
+    allt = curation.split_by_cluster(comp, 1.0).select("split").distinct().collect()
+    assert [r["split"] for r in allt] == ["test"]
+    with _pt.raises(ValueError):
+        similarity.rrf_fuse([])
+    with _pt.raises(ValueError):
+        similarity.embedding_project(q, 0, 4)

@@ -924,10 +924,21 @@ def cap_per_group(
     group ever reach the phase-2 reducer, independent of group size. A
     rank window would funnel every row of the hottest domain through one
     sorted reducer partition — the exact skew this op exists to fight."""
+    # ordering structs lead with an is-null flag: bare struct ordering
+    # sorts a null field FIRST ascending, which would keep null-quality
+    # rows preferentially — they must lose to every scored row
     ordk = (
-        F.struct((-F.col(order_col).cast("double")).alias("o"), F.col(id_col).alias("i"))
+        F.struct(
+            F.col(order_col).isNull().cast("int").alias("z"),
+            (-F.col(order_col).cast("double")).alias("o"),
+            F.col(id_col).alias("i"),
+        )
         if order_col
-        else F.struct(F.md5(F.col(id_col).cast("string")).alias("o"), F.col(id_col).alias("i"))
+        else F.struct(
+            F.lit(0).alias("z"),
+            F.md5(F.col(id_col).cast("string")).alias("o"),
+            F.col(id_col).alias("i"),
+        )
     )
     part = (
         df.select(F.col(group_col), ordk.alias("__it"))
@@ -1000,6 +1011,12 @@ def keyword_tag(
     ).filter(F.length("__kw") > 0).distinct()
     kw = kw.withColumn("__m", F.size(F.split(F.col("__kw"), " ")))
     lengths = sorted(r["__m"] for r in kw.select("__m").distinct().collect())
+    if not lengths:  # empty dictionary: no matches, keep the output contract
+        spark2 = df.sparkSession
+        return spark2.createDataFrame(
+            [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+                f"{kw_col} string, n_hits long"
+        )
     words = df.select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__w")
     )
@@ -1109,7 +1126,12 @@ def split_by_cluster(
     zero shuffle beyond what the components frame already carries; the
     same 16-bit threshold arithmetic as sample_hash, so rates are
     reproducible across engines."""
-    thr = int(float(test_frac) * 65536)
+    # clamp: at frac >= 1 the 4-hex-digit threshold would overflow lpad
+    # (hex(65536) is 5 chars, lpad TRUNCATES to '1000' ≈ 1/16) — the same
+    # rate>=1.0 short-circuit sample_hash uses
+    thr = max(0, min(65535, int(float(test_frac) * 65536)))
+    if float(test_frac) >= 1.0:
+        return components.withColumn("split", F.lit("test"))
     gate = F.substring(
         F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(comp_col).cast("string"))), 1, 4
     )

@@ -857,11 +857,15 @@ def cluster_survivors(
     members = base.join(dup_comps, comp_col).join(
         df.select(F.col(id_col), F.col(quality_col)), id_col
     )
-    # argmax quality, tie -> min id: min_by over the (-quality, id) struct
+    # argmax quality, tie -> min id: min_by over the (is_null, -quality,
+    # id) struct — the null flag leads so a NULL quality loses to every
+    # real score (bare struct ordering would sort the null field FIRST
+    # ascending and hand null-quality members the win)
     winners = members.groupBy(comp_col).agg(
         F.min_by(
             F.col(id_col),
             F.struct(
+                F.col(quality_col).isNull().cast("int").alias("z"),
                 (-F.col(quality_col).cast("double")).alias("nq"),
                 F.col(id_col).alias("i"),
             ),

@@ -633,6 +633,8 @@ def embedding_project(
     null, not a wrong number)."""
     from .constants import jl_signs
 
+    if dim_in <= 0 or dim_out <= 0:
+        raise ValueError("embedding_project needs positive dim_in/dim_out")
     out_col = out_col or vec_col
     signs = jl_signs(dim_out, dim_in, seed)
     v = _as_double(F.col(vec_col))
@@ -749,6 +751,8 @@ def rrf_fuse(
     aggregate on (query, doc), then the same two-phase no-Window top-k
     as every ANN path. Input is rank lists, never corpora — the heavy
     retrieval already happened upstream."""
+    if not frames:
+        raise ValueError("rrf_fuse needs at least one ranked frame")
     u = frames[0].select("query_id", "vec_id", "rank")
     for f in frames[1:]:
         u = u.unionByName(f.select("query_id", "vec_id", "rank"))
