@@ -1554,3 +1554,20 @@ def test_new_op_edge_cases(spark):
         similarity.rrf_fuse([])
     with _pt.raises(ValueError):
         similarity.embedding_project(q, 0, 4)
+
+
+def test_winnow_overlap_and_report_directives(spark):
+    from wrangler_spark import Pipeline
+
+    passage = "shared passage words travel verbatim between documents here today"
+    docs = spark.createDataFrame(
+        [(1, f"alpha {passage} omega", "s1"), (2, f"beta {passage} gamma", "s1"),
+         (3, "nothing in common with anyone", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    pairs = Pipeline.compile("winnow-overlap :doc_id :text 1").apply(docs)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+    rep = Pipeline.compile("corpus-report :doc_id :text").apply(docs).collect()[0]
+    assert rep["n_docs"] == 3
+    by = Pipeline.compile("corpus-report :doc_id :text :source").apply(docs)
+    assert by.count() == 2

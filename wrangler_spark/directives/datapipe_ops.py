@@ -677,3 +677,49 @@ class EmbProject(Directive):
             df, int(self.args["dim_in"]), int(self.args["dim_out"]),
             ctx.resolve(df, self.args["vec"]),
         )
+
+
+@directive
+class WinnowOverlap(Directive):
+    """winnow-overlap :id :text [min_shared] — copied-passage pairs via
+    shared winnowing fingerprints → (id_a, id_b, shared_fps)."""
+
+    name = "winnow-overlap"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("min_shared", TokenType.NUMERIC, optional=True, default=2),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import winnow_overlap
+
+        return winnow_overlap(
+            df, ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"]),
+            min_shared=int(self.args["min_shared"]),
+        )
+
+
+@directive
+class CorpusReport(Directive):
+    """corpus-report :id :text [group] — one-row (or per-group) corpus
+    health snapshot: docs, nulls, chars, words, exact-dup count, dup %."""
+
+    name = "corpus-report"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("group", TokenType.COLUMN, optional=True, default=None),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import corpus_report, corpus_report_by
+
+        if self.args["group"]:
+            return corpus_report_by(
+                df, ctx.resolve(df, self.args["group"]),
+                ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"]),
+            )
+        return corpus_report(
+            df, ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"])
+        )
