@@ -247,6 +247,10 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_domain_cap": lambda s, d: curation.cap_per_group(
             docs(s, d), "source", "doc_id", 20, order_col="n_chars"
         ),
+        "entity_match": lambda s, d: dedup.entity_match_pairs(
+            _t(s, d, "customer"), "c_custkey",
+            ["c_nationkey", "c_mktsegment"], [("c_name", 2)],
+        ),
         "dedup_cross_exact": lambda s, d: dedup.exact_dedup_against(
             docs(s, d).filter(F.col("doc_id") % 3 != 0),
             docs(s, d).filter(F.col("doc_id") % 3 == 0),
@@ -417,6 +421,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_survivors": o.cluster_survivors_sql(0.5),
         "dedup_lsh_eval": o.pair_eval_sql(0.5, 3, 0.5),
         "dedup_cross_exact": o.exact_dedup_against_sql(3),
+        "entity_match": o.entity_match_sql(2),
         "sample_domain_cap": o.cap_per_group_sql(20),
         "text_winnow": o.winnow_sql(3, 4),
         "text_winnow_overlap": o.winnow_overlap_sql(3, 4),
@@ -671,6 +676,7 @@ _R7_WINDOW = [
     "split_by_cluster",
     "ann_rrf_fuse",
     "text_bm25_topk",
+    "entity_match",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -683,7 +689,6 @@ _R7_WINDOW = [
     "ann_ivf_kmeans_topk",
     # back-fill (green r1-6, family coverage)
     "ext_asof_join",
-    "ext_join",
     "dedup_exact",
     "text_clf_score",
     "text_bigram_lp",

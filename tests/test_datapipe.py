@@ -1571,3 +1571,26 @@ def test_winnow_overlap_and_report_directives(spark):
     assert rep["n_docs"] == 3
     by = Pipeline.compile("corpus-report :doc_id :text :source").apply(docs)
     assert by.count() == 2
+
+
+def test_entity_match_pairs(spark):
+    rows = [
+        (1, "Acme Corp",  "NY", "A"),
+        (2, "Acme Corp.", "NY", "A"),   # 1 edit away, same block
+        (3, "Acme Corp",  "CA", "A"),   # identical name, DIFFERENT block
+        (4, "Zenith Ltd", "NY", "A"),   # same block, far name
+        (5, "Acme Corpse", "NY", "A"),  # 2 edits from 1
+    ]
+    df = spark.createDataFrame(rows, ["cid", "name", "state", "seg"])
+    pairs = dedup.entity_match_pairs(df, "cid", ["state", "seg"], [("name", 2)])
+    got = {(r["id_a"], r["id_b"]): r["name_dist"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1
+    assert (1, 5) in got and got[(1, 5)] == 2
+    assert all(3 not in p and 4 not in p for p in got)  # blocked out / too far
+    # block cap bounds the expansion
+    hot = spark.createDataFrame(
+        [(i, f"n{i}", "X", "A") for i in range(50)], ["cid", "name", "state", "seg"]
+    )
+    capped = dedup.entity_match_pairs(hot, "cid", ["state"], [("name", 99)],
+                                      max_block_size=10)
+    assert capped.count() == 10 * 9 / 2

@@ -1340,3 +1340,17 @@ r AS (SELECT query_id, doc_id AS vec_id, bm25,
       FROM s)
 SELECT query_id, vec_id, bm25, rank FROM r WHERE rank <= {int(k)}
 """
+
+
+def entity_match_sql(max_dist: int = 2, table: str = "customer") -> str:
+    """Mirror of dedup.entity_match_pairs on the graded parameters:
+    block on (c_nationkey, c_mktsegment), verify c_name levenshtein."""
+    return f"""
+WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_name FROM {table})
+SELECT l.c_custkey AS id_a, r.c_custkey AS id_b,
+       levenshtein(l.c_name, r.c_name) AS c_name_dist
+FROM c l JOIN c r
+  ON l.c_nationkey = r.c_nationkey AND l.c_mktsegment = r.c_mktsegment
+ AND l.c_custkey < r.c_custkey
+WHERE levenshtein(l.c_name, r.c_name) <= {int(max_dist)}
+"""
