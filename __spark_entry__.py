@@ -631,13 +631,17 @@ def _semdedup_oracle_sql(
 # family and the r6-new ops (49/50 — the one red was text_tokenize's
 # array output crashing the harness canonicalizer, fixed this round by
 # grading the posexplode projection). Round 7's window: every query that
-# is NEW or whose CODE PATH CHANGED this round (the hash-space ngram
-# rewrite, collect-free ANN batching, url rules, pack_sequences pin,
-# keep_first substring mode, c4/lp-buckets/mixture, the reshaped
-# tokenize), the last two never-driver-graded queries
-# (dedup_embedding_cc, text_langid_multi), the standing sentinels, and
-# strongest back-fill. Everything rotated out stays green in
-# tools/oracle_parity.py.
+# is NEW or whose CODE PATH CHANGED this round — the first batch (the
+# hash-space ngram rewrite, collect-free ANN batching, url rules,
+# pack_sequences pin, keep_first substring mode, c4/lp-buckets/mixture,
+# the reshaped tokenize) plus the second batch of new operators
+# (embedding quantize/JL-project, cluster survivors, LSH eval,
+# cross-corpus dedup, domain cap, winnowing + overlap, corpus diff /
+# report, keyword tagging, shard shuffle, cluster-gated split, RRF,
+# BM25 top-k, entity matching) — the last two never-driver-graded
+# queries (dedup_embedding_cc, text_langid_multi), the standing
+# sentinels, and back-fill. Everything rotated out stays green in
+# tools/oracle_parity.py (148/148 this round).
 _R7_WINDOW = [
     # sentinels (flagship + historically fragile + broadcast join)
     "cleanse_recipe",

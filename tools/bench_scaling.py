@@ -33,6 +33,7 @@ QUERIES = [
     # round 7, second batch
     "text_winnow", "text_winnow_overlap", "dedup_cross_minhash",
     "sample_domain_cap", "emb_project", "corpus_diff",
+    "entity_match", "text_bm25_topk", "ann_rrf_fuse", "split_by_cluster",
 ]
 
 

@@ -242,6 +242,16 @@ def main() -> int:
         must_not=["Exchange", "Window", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 25g. entity matching: candidates come from the block aggregate's
+    # native pair expansion + equi-joins — no cartesian, no Python,
+    # levenshtein stays JVM-side
+    p = plan_of(qs["entity_match"](spark, SF_DIR))
+    problems += check(
+        "entity_match", p,
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     # 25e. shard shuffle + corpus report: scan-side / single-aggregate —
     # no window, no Python
     for name in ("shuffle_shards", "corpus_report"):
