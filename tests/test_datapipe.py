@@ -1594,3 +1594,15 @@ def test_entity_match_pairs(spark):
     capped = dedup.entity_match_pairs(hot, "cid", ["state"], [("name", 99)],
                                       max_block_size=10)
     assert capped.count() == 10 * 9 / 2
+
+
+def test_entity_match_phonetic_blocking(spark):
+    """Column-expression blocking keys: soundex groups 'Smith'/'Smyth'
+    into one block, so the one-edit pair surfaces without a quadratic
+    scan over unrelated names."""
+    rows = [(1, "Smith"), (2, "Smyth"), (3, "Jones"), (4, "Smithe")]
+    df = spark.createDataFrame(rows, ["cid", "name"])
+    pairs = dedup.entity_match_pairs(df, "cid", [F.soundex("name")], [("name", 2)])
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 4) in got
+    assert all(3 not in p for p in got)

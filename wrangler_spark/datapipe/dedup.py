@@ -1004,7 +1004,16 @@ def entity_match_pairs(
     pairs expand natively, then one join back per side fetches the
     similarity columns for the (rare) candidates. Levenshtein runs
     JVM-side on candidate pairs only."""
-    bk = F.concat_ws("|", *[F.col(c).cast("string") for c in block_cols])
+    # names or Column expressions: phonetic blocking is
+    # entity_match_pairs(df, id, [F.soundex("name")], ...) — any
+    # deterministic expression works as a blocking key
+    bk = F.concat_ws(
+        "|",
+        *[
+            (F.col(c) if isinstance(c, str) else c).cast("string")
+            for c in block_cols
+        ],
+    )
     blocks = (
         df.select(F.col(id_col).alias("id"), bk.alias("__bk"))
         .groupBy("__bk")
