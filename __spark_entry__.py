@@ -247,6 +247,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_domain_cap": lambda s, d: curation.cap_per_group(
             docs(s, d), "source", "doc_id", 20, order_col="n_chars"
         ),
+        "dedup_template": lambda s, d: dedup.template_dedup(docs(s, d), "doc_id", "text"),
         "entity_match": lambda s, d: dedup.entity_match_pairs(
             _t(s, d, "customer"), "c_custkey",
             ["c_nationkey", "c_mktsegment"], [("c_name", 2)],
@@ -422,6 +423,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_lsh_eval": o.pair_eval_sql(0.5, 3, 0.5),
         "dedup_cross_exact": o.exact_dedup_against_sql(3),
         "entity_match": o.entity_match_sql(2),
+        "dedup_template": o.template_dedup_sql(),
         "sample_domain_cap": o.cap_per_group_sql(20),
         "text_winnow": o.winnow_sql(3, 4),
         "text_winnow_overlap": o.winnow_overlap_sql(3, 4),
@@ -681,6 +683,7 @@ _R7_WINDOW = [
     "ann_rrf_fuse",
     "text_bm25_topk",
     "entity_match",
+    "dedup_template",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -693,7 +696,6 @@ _R7_WINDOW = [
     "ann_ivf_kmeans_topk",
     # back-fill (green r1-6, family coverage)
     "ext_asof_join",
-    "dedup_exact",
     "text_clf_score",
     "text_bigram_lp",
     "pii_redact",

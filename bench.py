@@ -59,6 +59,7 @@ EXTRA_QUERIES = [
     "text_winnow_overlap", # fingerprint inverted-index overlap pairs
     "dedup_cross_minhash", # asymmetric new-vs-old MinHash band join
     "emb_project",         # JL sign projection over the embedding table
+    "entity_match",        # blocked record linkage on the customer table
 ]
 
 

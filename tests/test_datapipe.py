@@ -1606,3 +1606,21 @@ def test_entity_match_phonetic_blocking(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got and (1, 4) in got
     assert all(3 not in p for p in got)
+
+
+def test_template_dedup(spark):
+    rows = [
+        (1, "Your order 12345 ships on 2024-01-02 via http://a.example/x"),
+        (2, "Your order 99 ships on 2025-12-31 via http://b.example/yyy"),
+        (3, "completely different content"),
+        (4, "Your order 7 ships on 1999-09-09 via ftp://c.example/z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["n_dups"] for r in
+           dedup.template_dedup(df, "doc_id", "text").collect()}
+    assert out == {1: 3, 3: 1}       # templated variants collapse onto min id
+    # exact dedup sees all four as unique
+    assert dedup.exact_dedup(df, "doc_id", "text").count() == 4
+    # numbers-only masking keeps URL differences distinct
+    out2 = dedup.template_dedup(df, "doc_id", "text", mask_urls=False).count()
+    assert out2 == 4

@@ -1044,3 +1044,29 @@ def entity_match_pairs(
         dists.append(d.alias(f"{c}_dist"))
         keep = keep & (d <= int(budget))
     return out.filter(keep).select("id_a", "id_b", *dists)
+
+def template_dedup(
+    df: DataFrame, id_col: str, text_col: str, mask_numbers: bool = True,
+    mask_urls: bool = True,
+) -> DataFrame:
+    """Template-aware exact dedup: digits (and optionally URLs) are
+    masked before keying, so the thousands of near-identical TEMPLATED
+    documents instruction/synthetic datasets carry — same sentence,
+    different numbers or links — collapse onto one representative.
+    Returns (id, n_dups, template_key) per distinct template; plain
+    exact_dedup sees each filled-in variant as unique.
+
+    Scale shape: identical to exact_dedup — scan-side masking + one
+    hash-aggregate shuffle on the 16-byte key."""
+    norm = normalize_text(F.col(text_col))
+    if mask_urls:
+        norm = F.regexp_replace(norm, r"[a-z][a-z0-9+.-]*://[^ ]+", "<url>")
+    if mask_numbers:
+        norm = F.regexp_replace(norm, r"[0-9]+", "#")
+    key = F.md5(norm).alias("__key")
+    return (
+        df.select(F.col(id_col), key)
+        .groupBy("__key")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+        .select(id_col, "n_dups", F.col("__key").alias("template_key"))
+    )

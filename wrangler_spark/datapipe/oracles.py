@@ -1354,3 +1354,16 @@ FROM c l JOIN c r
  AND l.c_custkey < r.c_custkey
 WHERE levenshtein(l.c_name, r.c_name) <= {int(max_dist)}
 """
+
+
+def template_dedup_sql(table: str = "documents") -> str:
+    """Mirror of dedup.template_dedup (urls + numbers masked)."""
+    masked = (
+        f"regexp_replace(regexp_replace({_NORM}, "
+        f"'[a-z][a-z0-9+.-]*://[^ ]+', '<url>', 'g'), '[0-9]+', '#', 'g')"
+    )
+    return f"""
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups, k AS template_key
+FROM (SELECT doc_id, md5({masked}) AS k FROM {table})
+GROUP BY k
+"""
