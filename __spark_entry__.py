@@ -248,6 +248,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), "source", "doc_id", 20, order_col="n_chars"
         ),
         "dedup_template": lambda s, d: dedup.template_dedup(docs(s, d), "doc_id", "text"),
+        "dedup_cluster_hist": lambda s, d: dedup.cluster_histogram(
+            dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5)
+        ),
         "entity_match": lambda s, d: dedup.entity_match_pairs(
             _t(s, d, "customer"), "c_custkey",
             ["c_nationkey", "c_mktsegment"], [("c_name", 2)],
@@ -424,6 +427,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_cross_exact": o.exact_dedup_against_sql(3),
         "entity_match": o.entity_match_sql(2),
         "dedup_template": o.template_dedup_sql(),
+        "dedup_cluster_hist": o.cluster_histogram_sql(0.5),
         "sample_domain_cap": o.cap_per_group_sql(20),
         "text_winnow": o.winnow_sql(3, 4),
         "text_winnow_overlap": o.winnow_overlap_sql(3, 4),

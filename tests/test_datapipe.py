@@ -1624,3 +1624,13 @@ def test_template_dedup(spark):
     # numbers-only masking keeps URL differences distinct
     out2 = dedup.template_dedup(df, "doc_id", "text", mask_urls=False).count()
     assert out2 == 4
+
+
+def test_cluster_histogram(spark):
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 6), (7, 6)],
+        "doc_id long, component long",
+    )
+    got = {r["cluster_size"]: (r["n_clusters"], r["n_docs"]) for r in
+           dedup.cluster_histogram(comp).collect()}
+    assert got == {3: (1, 3), 2: (1, 2), 1: (2, 2)}

@@ -1070,3 +1070,18 @@ def template_dedup(
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
         .select(id_col, "n_dups", F.col("__key").alias("template_key"))
     )
+
+def cluster_histogram(components: DataFrame, comp_col: str = "component") -> DataFrame:
+    """Duplicate-cluster size distribution: (cluster_size, n_clusters,
+    n_docs) — the audit readout of a dedup run. A healthy web corpus
+    shows a long singleton tail and a short head; a fat head (huge
+    clusters) means boilerplate or mirror floods and tells you to run
+    exact_dedup / substring dedup upstream before paying the near-dup
+    pass. Two count-shaped hash aggregates (map-side partials), no
+    window."""
+    sizes = components.groupBy(comp_col).agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .withColumn("n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long"))
+    )

@@ -1367,3 +1367,14 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_dups, k AS template_key
 FROM (SELECT doc_id, md5({masked}) AS k FROM {table})
 GROUP BY k
 """
+
+
+def cluster_histogram_sql(threshold: float = 0.5, table: str = "documents") -> str:
+    """Mirror of dedup.cluster_histogram over minhash_components."""
+    return f"""
+WITH comp AS ({minhash_components_sql(threshold, table)}),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT cluster_size, count(*) AS n_clusters,
+       cluster_size * count(*) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
