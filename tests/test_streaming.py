@@ -264,3 +264,37 @@ def test_streaming_near_dedup_against(spark, tmp_path_factory):
     batch = {r["doc_id"]: r["is_dup"] for r in
              streaming_near_dedup_against(new, old, "text", prefix_bits=14).collect()}
     assert batch == got
+
+
+def test_ingest_monitor(spark, tmp_path_factory):
+    """Windowed dup-rate against the accumulated corpus, on a real
+    stream; batch mode agrees."""
+    import datetime
+    import shutil
+
+    from wrangler_spark.streaming import ingest_monitor
+
+    d = str(tmp_path_factory.mktemp("mon_src"))
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "known text a"), (2, t0, "fresh text b"),
+        (3, t0 + datetime.timedelta(minutes=1), "known text c"),
+        (4, t0 + datetime.timedelta(minutes=1), "fresh text d"),
+        (5, t0 + datetime.timedelta(minutes=1), "KNOWN  text a"),
+    ]
+    new = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    new.write.mode("overwrite").parquet(d)
+    old = spark.createDataFrame(
+        [(100, "known text a"), (101, "known text c")], ["doc_id", "text"]
+    )
+    stream = spark.readStream.schema(new.schema).parquet(d)
+    mon = ingest_monitor(stream, old, "ts", "text", window="1 minute")
+    q = run_to_memory(mon, "mon_out", output_mode="complete")
+    got = {r["window_start"].minute: (r["n_docs"], r["n_dups"]) for r in
+           spark.sql("SELECT * FROM mon_out").collect()}
+    q.stop()
+    shutil.rmtree(d, ignore_errors=True)
+    assert got == {0: (2, 1), 1: (3, 2)}
+    batch = {r["window_start"].minute: (r["n_docs"], r["n_dups"]) for r in
+             ingest_monitor(new, old, "ts", "text", window="1 minute").collect()}
+    assert batch == got

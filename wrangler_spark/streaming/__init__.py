@@ -184,3 +184,50 @@ def streaming_near_dedup_against(
         .withColumn("is_dup", F.col("__hit").isNotNull())
         .drop("__h", "__bucket", "__hit")
     )
+
+
+def ingest_monitor(
+    stream_df: DataFrame,
+    static_old: DataFrame,
+    ts_col: str,
+    text_col: str,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    old_text_col: str | None = None,
+) -> DataFrame:
+    """Live ingestion health: per event-time window, how many documents
+    arrived and how many exactly duplicate the ACCUMULATED corpus —
+    (window_start, window_end, n_docs, n_dups, dup_rate). The streaming
+    dashboard feed of an incremental pipeline: a dup_rate spike means a
+    re-crawl/replay is flooding the ingest and downstream dedup is about
+    to pay for it.
+
+    Plan shape: scan-side md5 key, stream-static LEFT join against the
+    old corpus' distinct key set (stateless per micro-batch), then ONE
+    watermarked tumbling-window aggregate — a single stateful operator,
+    state bounded by the watermark. Works on a batch frame identically
+    for backfill."""
+    from wrangler_spark.datapipe.dedup import normalize_text
+
+    key = F.md5(normalize_text(F.col(text_col)))
+    old_keys = (
+        static_old.select(
+            F.md5(normalize_text(F.col(old_text_col or text_col))).alias("__k")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    keyed = stream_df.withColumn("__k", key).join(old_keys, "__k", "left")
+    if keyed.isStreaming:
+        keyed = keyed.withWatermark(ts_col, watermark)
+    agg = keyed.groupBy(F.window(F.col(ts_col), window)).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count("__hit").cast("long").alias("n_dups"),
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_docs",
+        "n_dups",
+        F.round(F.col("n_dups") / F.greatest(F.col("n_docs"), F.lit(1)), 6).alias("dup_rate"),
+    )
