@@ -463,3 +463,44 @@ def test_mixture_plan_and_budget_sampling(spark):
     again = curation.sample_to_budget(df, "doc_id", "source", "n_tokens",
                                       {"big": 0.5, "small": 0.5}, 2000)
     assert sorted(r["doc_id"] for r in kept.collect()) == sorted(r["doc_id"] for r in again.collect())
+
+
+def test_full_curation_pipeline_end_to_end(spark):
+    """The complete curation chain on real corpus data, library-level:
+    quality rules -> near-dup clusters -> quality-aware survivors ->
+    per-domain cap -> leakage-free split -> shard layout. Every stage is
+    an operator graded elsewhere; this drives them COMPOSED, the way a
+    production pipeline runs them."""
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.datapipe import curation, dedup, text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n0 = docs.count()
+
+    scored = text.gopher_quality(text.c4_quality(docs, "text"), "text")
+    kept = scored.filter(F.col("c4_pass") | F.col("gopher_pass"))
+
+    comp = dedup.minhash_components(kept, "doc_id", "text", 0.5)
+    surv = dedup.cluster_survivors(comp, kept, "doc_id", "component", "n_chars")
+    deduped = kept.join(surv.filter("keep").select("doc_id"), "doc_id")
+
+    capped_ids = curation.cap_per_group(deduped, "source", "doc_id", 50, "n_chars")
+    capped = deduped.join(capped_ids.select("doc_id"), "doc_id")
+
+    split = curation.split_by_cluster(comp, 0.1, salt="e2e")
+    final = capped.join(split.select("doc_id", "split"), "doc_id")
+    final = curation.shuffle_shards(final, "doc_id", 4, "ep0")
+
+    n_train = final.filter("split = 'train'").count()
+    n_test = final.filter("split = 'test'").count()
+    assert 0 < n_test < n_train and n_train + n_test <= n0
+    # no near-dup cluster straddles the split
+    leak = (
+        final.join(comp.select("doc_id", "component"), "doc_id")
+        .groupBy("component").agg(F.countDistinct("split").alias("sides"))
+        .filter(F.col("sides") > 1).count()
+    )
+    assert leak == 0
+    # every shard present, deterministic replay
+    assert final.select("shard").distinct().count() == 4

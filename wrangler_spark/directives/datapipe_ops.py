@@ -723,3 +723,19 @@ class CorpusReport(Directive):
         return corpus_report(
             df, ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"])
         )
+
+
+@directive
+class DedupTemplate(Directive):
+    """dedup-template :id :text — template-masked exact dedup: digits and
+    URLs masked before keying, templated variants collapse."""
+
+    name = "dedup-template"
+    usage = [Arg("id", TokenType.COLUMN), Arg("text", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.dedup import template_dedup
+
+        return template_dedup(
+            df, ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"])
+        )
