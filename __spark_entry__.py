@@ -196,7 +196,7 @@ _TAG_KEYWORDS = ["spark", "hash join", "table scan", "quantum"]
 
 
 def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from wrangler_spark.datapipe import bpe, curation, dedup, similarity, text
+    from wrangler_spark.datapipe import bpe, curation, dedup, numeric, similarity, text
 
     def docs(spark, sf_dir):
         return _t(spark, sf_dir, "documents")
@@ -251,6 +251,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_hist": lambda s, d: dedup.cluster_histogram(
             dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5)
         ),
+        "num_outliers": lambda s, d: numeric.flag_outliers(
+            _t(s, d, "customer"), "c_acctbal", "zscore", 2.0
+        ).select("c_custkey", "c_acctbal_outlier"),
+        "num_scale": lambda s, d: numeric.scale_column(
+            _t(s, d, "customer"), "c_acctbal", "minmax"
+        ).select("c_custkey", "c_acctbal_scaled"),
         "entity_match": lambda s, d: dedup.entity_match_pairs(
             _t(s, d, "customer"), "c_custkey",
             ["c_nationkey", "c_mktsegment"], [("c_name", 2)],
@@ -426,6 +432,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_lsh_eval": o.pair_eval_sql(0.5, 3, 0.5),
         "dedup_cross_exact": o.exact_dedup_against_sql(3),
         "entity_match": o.entity_match_sql(2),
+        "num_outliers": o.flag_outliers_sql("c_acctbal", "zscore", 2.0),
+        "num_scale": o.scale_column_sql("c_acctbal", "minmax"),
         "dedup_template": o.template_dedup_sql(),
         "dedup_cluster_hist": o.cluster_histogram_sql(0.5),
         "sample_domain_cap": o.cap_per_group_sql(20),
@@ -688,6 +696,8 @@ _R7_WINDOW = [
     "text_bm25_topk",
     "entity_match",
     "dedup_template",
+    "num_outliers",
+    "num_scale",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -702,9 +712,7 @@ _R7_WINDOW = [
     "ext_asof_join",
     "text_clf_score",
     "text_bigram_lp",
-    "pii_redact",
     "sample_budget",
-    "text_script_ratios",
 ]
 
 

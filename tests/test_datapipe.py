@@ -1634,3 +1634,30 @@ def test_cluster_histogram(spark):
     got = {r["cluster_size"]: (r["n_clusters"], r["n_docs"]) for r in
            dedup.cluster_histogram(comp).collect()}
     assert got == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
+
+
+def test_numeric_outliers_and_scaling(spark):
+    from wrangler_spark.datapipe import numeric
+
+    # enough inliers that the outlier CAN exceed 2 sigma: in an n-point
+    # sample max |z| is (n-1)/sqrt(n), so tiny samples mask outliers
+    rows = [(i, 10.0 + (i % 5) * 0.5) for i in range(1, 11)] + [(50, 1000.0), (60, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    z = {r["id"]: r["v_outlier"] for r in numeric.flag_outliers(df, "v", "zscore", 2.0).collect()}
+    assert z[50] is True and z[60] is False and not any(z[i] for i in range(1, 11))
+    i = {r["id"]: r["v_outlier"] for r in numeric.flag_outliers(df, "v", "iqr", 1.5).collect()}
+    assert i[50] is True and i[60] is False
+    mm = {r["id"]: r["v_scaled"] for r in numeric.scale_column(df, "v", "minmax").collect()}
+    assert mm[5] == 0.0 and mm[50] == 1.0 and mm[60] is None  # i%5==0 -> 10.0 = min
+    # constant column scales to 0, never divides by zero
+    const = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, v double")
+    cs = {r["id"]: r["v_scaled"] for r in numeric.scale_column(const, "v").collect()}
+    assert cs == {1: 0.0, 2: 0.0}
+    zs = {r["id"]: r["v_scaled"] for r in numeric.scale_column(df, "v", "zscore").collect()}
+    import statistics
+    vals = [10.0 + (i % 5) * 0.5 for i in range(1, 11)] + [1000.0]
+    m, s = statistics.mean(vals), statistics.pstdev(vals)
+    assert abs(zs[50] - round((1000.0 - m) / s, 6)) < 1e-6
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        numeric.flag_outliers(df, "v", "nope")

@@ -1,0 +1,77 @@
+"""Numeric column operators: outlier flagging and feature scaling.
+
+Both follow the broadcast-scalar pattern: ONE aggregate computes the
+per-column statistics (mean/stddev or quartiles, exact at these
+cardinalities; swap in approx_percentile at extreme scale), the scalars
+ride a broadcast 1-row cross join, and the flag/scale itself is a pure
+scan-side expression — zero corpus shuffle, whole-stage codegen."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def flag_outliers(
+    df: DataFrame, col: str, method: str = "zscore", k: float = 3.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Flag numeric outliers: ``zscore`` marks |x - mean| > k·stddev
+    (population stddev, the classic 3-sigma rule), ``iqr`` marks values
+    outside [Q1 - k·IQR, Q3 + k·IQR] (Tukey's fences, k=1.5 customary —
+    pass it explicitly). Adds ``<col>_outlier`` boolean; nulls flag
+    false (a missing value is a missingness problem, not an outlier).
+
+    Quartiles are exact type-7 percentiles (the lp-buckets contract) so
+    the DuckDB oracle reproduces them bit-for-bit."""
+    out_col = out_col or f"{col}_outlier"
+    c = F.col(col).cast("double")
+    if method == "zscore":
+        stats = df.agg(
+            F.avg(c).alias("__m"), F.coalesce(F.stddev_pop(c), F.lit(0.0)).alias("__s")
+        )
+        flag = c.isNotNull() & (F.abs(c - F.col("__m")) > F.lit(float(k)) * F.col("__s")) & (
+            F.col("__s") > 0
+        )
+    elif method == "iqr":
+        stats = df.agg(
+            F.expr(f"percentile({col}, 0.25)").alias("__q1"),
+            F.expr(f"percentile({col}, 0.75)").alias("__q3"),
+        )
+        iqr = F.col("__q3") - F.col("__q1")
+        flag = c.isNotNull() & (
+            (c < F.col("__q1") - F.lit(float(k)) * iqr)
+            | (c > F.col("__q3") + F.lit(float(k)) * iqr)
+        )
+    else:
+        raise ValueError(f"unknown outlier method: {method!r} (zscore|iqr)")
+    joined = df.crossJoin(F.broadcast(stats))
+    return joined.withColumn(out_col, flag).drop(*stats.columns)
+
+
+def scale_column(
+    df: DataFrame, col: str, method: str = "minmax", out_col: str | None = None,
+) -> DataFrame:
+    """Feature scaling: ``minmax`` → (x - min)/(max - min) in [0, 1],
+    ``zscore`` → (x - mean)/stddev. Adds ``<col>_scaled`` (6dp — the
+    cross-engine contract); constant columns scale to 0.0, nulls stay
+    null."""
+    out_col = out_col or f"{col}_scaled"
+    c = F.col(col).cast("double")
+    if method == "minmax":
+        stats = df.agg(F.min(c).alias("__lo"), F.max(c).alias("__hi"))
+        rng = F.col("__hi") - F.col("__lo")
+        scaled = F.when(rng > 0, F.round((c - F.col("__lo")) / rng, 6)).otherwise(
+            F.when(c.isNotNull(), F.lit(0.0))
+        )
+    elif method == "zscore":
+        stats = df.agg(
+            F.avg(c).alias("__m"), F.coalesce(F.stddev_pop(c), F.lit(0.0)).alias("__s")
+        )
+        scaled = F.when(F.col("__s") > 0, F.round((c - F.col("__m")) / F.col("__s"), 6)).otherwise(
+            F.when(c.isNotNull(), F.lit(0.0))
+        )
+    else:
+        raise ValueError(f"unknown scaling method: {method!r} (minmax|zscore)")
+    joined = df.crossJoin(F.broadcast(stats))
+    return joined.withColumn(out_col, scaled).drop(*stats.columns)

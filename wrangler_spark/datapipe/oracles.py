@@ -1378,3 +1378,46 @@ SELECT cluster_size, count(*) AS n_clusters,
        cluster_size * count(*) AS n_docs
 FROM sizes GROUP BY cluster_size
 """
+
+
+def flag_outliers_sql(
+    col: str = "c_acctbal", method: str = "zscore", k: float = 3.0,
+    table: str = "customer", id_col: str = "c_custkey",
+) -> str:
+    """Mirror of numeric.flag_outliers (graded projection: id, flag)."""
+    if method == "zscore":
+        return f"""
+WITH s AS (SELECT avg({col}) AS m, coalesce(stddev_pop({col}), 0) AS sd FROM {table})
+SELECT {id_col}, ({col} IS NOT NULL AND sd > 0 AND abs({col} - m) > {float(k)} * sd)
+       AS {col}_outlier
+FROM {table} CROSS JOIN s
+"""
+    return f"""
+WITH s AS (SELECT quantile_cont({col}, 0.25) AS q1, quantile_cont({col}, 0.75) AS q3 FROM {table})
+SELECT {id_col}, ({col} IS NOT NULL AND
+       ({col} < q1 - {float(k)} * (q3 - q1) OR {col} > q3 + {float(k)} * (q3 - q1)))
+       AS {col}_outlier
+FROM {table} CROSS JOIN s
+"""
+
+
+def scale_column_sql(
+    col: str = "c_acctbal", method: str = "minmax",
+    table: str = "customer", id_col: str = "c_custkey",
+) -> str:
+    """Mirror of numeric.scale_column (graded projection: id, scaled)."""
+    if method == "minmax":
+        return f"""
+WITH s AS (SELECT min({col}) AS lo, max({col}) AS hi FROM {table})
+SELECT {id_col},
+       CASE WHEN hi - lo > 0 THEN round(({col} - lo) / (hi - lo), 6)
+            WHEN {col} IS NOT NULL THEN 0.0 END AS {col}_scaled
+FROM {table} CROSS JOIN s
+"""
+    return f"""
+WITH s AS (SELECT avg({col}) AS m, coalesce(stddev_pop({col}), 0) AS sd FROM {table})
+SELECT {id_col},
+       CASE WHEN sd > 0 THEN round(({col} - m) / sd, 6)
+            WHEN {col} IS NOT NULL THEN 0.0 END AS {col}_scaled
+FROM {table} CROSS JOIN s
+"""
