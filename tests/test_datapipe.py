@@ -1661,3 +1661,15 @@ def test_numeric_outliers_and_scaling(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         numeric.flag_outliers(df, "v", "nope")
+
+
+def test_numeric_directives(spark):
+    from wrangler_spark import Pipeline
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 21)] + [(99, 1000.0)], ["id", "v"]
+    )
+    out = Pipeline.compile("flag-outliers :v zscore 2.0\nscale-column :v").apply(df)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[99]["v_outlier"] is True and rows[1]["v_outlier"] is False
+    assert rows[99]["v_scaled"] == 1.0 and rows[1]["v_scaled"] == 0.0

@@ -739,3 +739,41 @@ class DedupTemplate(Directive):
         return template_dedup(
             df, ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"])
         )
+
+
+@directive
+class FlagOutliers(Directive):
+    """flag-outliers :col [method] [k] — z-score (default, k=3) or IQR
+    (Tukey, pass k=1.5) outlier flag → <col>_outlier."""
+
+    name = "flag-outliers"
+    usage = [
+        Arg("col", TokenType.COLUMN),
+        Arg("method", TokenType.IDENTIFIER, optional=True, default="zscore"),
+        Arg("k", TokenType.NUMERIC, optional=True, default=3.0),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.numeric import flag_outliers
+
+        return flag_outliers(
+            df, ctx.resolve(df, self.args["col"]), str(self.args["method"]),
+            float(self.args["k"]),
+        )
+
+
+@directive
+class ScaleColumn(Directive):
+    """scale-column :col [method] — min-max (default) or z-score feature
+    scaling → <col>_scaled."""
+
+    name = "scale-column"
+    usage = [
+        Arg("col", TokenType.COLUMN),
+        Arg("method", TokenType.IDENTIFIER, optional=True, default="minmax"),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.numeric import scale_column
+
+        return scale_column(df, ctx.resolve(df, self.args["col"]), str(self.args["method"]))
