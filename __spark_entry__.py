@@ -251,6 +251,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_hist": lambda s, d: dedup.cluster_histogram(
             dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5)
         ),
+        "num_winsorize": lambda s, d: numeric.winsorize_column(
+            _t(s, d, "customer"), "c_acctbal", 0.05, 0.95
+        ).select("c_custkey", "c_acctbal_wins"),
+        "text_readability": lambda s, d: text.readability(docs(s, d), "text").select(
+            "doc_id", "n_sentences", "n_words_fk", "n_syllables", "flesch_ease", "fk_grade"
+        ),
         "num_outliers": lambda s, d: numeric.flag_outliers(
             _t(s, d, "customer"), "c_acctbal", "zscore", 2.0
         ).select("c_custkey", "c_acctbal_outlier"),
@@ -434,6 +440,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "entity_match": o.entity_match_sql(2),
         "num_outliers": o.flag_outliers_sql("c_acctbal", "zscore", 2.0),
         "num_scale": o.scale_column_sql("c_acctbal", "minmax"),
+        "num_winsorize": o.winsorize_sql("c_acctbal", 0.05, 0.95),
+        "text_readability": o.readability_sql(),
         "dedup_template": o.template_dedup_sql(),
         "dedup_cluster_hist": o.cluster_histogram_sql(0.5),
         "sample_domain_cap": o.cap_per_group_sql(20),
@@ -663,9 +671,6 @@ _R7_WINDOW = [
     "dedup_semdedup",
     "sessionize",
     "json_parse",
-    "parse_simple_date",
-    "diff_date",
-    "parse_timestamp",
     "table_lookup",
     # the r6 red row, reshaped: MUST be green this round
     "text_tokenize",
@@ -698,6 +703,12 @@ _R7_WINDOW = [
     "dedup_template",
     "num_outliers",
     "num_scale",
+    "num_winsorize",
+    "text_readability",
+    "text_clf_score",
+    "text_bigram_lp",
+    "text_chunk",
+    "corpus_report_by",
     # code paths changed this round
     "dedup_ngram_jaccard",
     "dedup_ngram_word",
@@ -709,9 +720,6 @@ _R7_WINDOW = [
     "ann_ivf_probe_topk",
     "ann_ivf_kmeans_topk",
     # back-fill (green r1-6, family coverage)
-    "ext_asof_join",
-    "text_clf_score",
-    "text_bigram_lp",
     "sample_budget",
 ]
 

@@ -1673,3 +1673,30 @@ def test_numeric_directives(spark):
     rows = {r["id"]: r for r in out.collect()}
     assert rows[99]["v_outlier"] is True and rows[1]["v_outlier"] is False
     assert rows[99]["v_scaled"] == 1.0 and rows[1]["v_scaled"] == 0.0
+
+
+def test_winsorize_and_readability(spark):
+    from wrangler_spark.datapipe import numeric
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)] + [(999, None)], "id long, v double"
+    )
+    w = {r["id"]: r["v_wins"] for r in
+         numeric.winsorize_column(df, "v", 0.10, 0.90).collect()}
+    assert w[1] == w[2] == w[5]          # low tail clipped to p10
+    assert w[100] == w[95]               # high tail clipped to p90
+    assert w[50] == 50.0 and w[999] is None
+
+    txt = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran! A bird flew?"),
+         (2, "Antidisestablishmentarianism notwithstanding, comprehensive "
+             "considerations necessitate exhaustive deliberation."),
+         (3, None)],
+        ["doc_id", "text"],
+    )
+    r = {x["doc_id"]: x for x in text.readability(txt, "text").collect()}
+    assert r[1]["n_sentences"] == 3 and r[1]["n_words_fk"] == 9
+    # simple prose reads easier and at a lower grade than sesquipedalia
+    assert r[1]["flesch_ease"] > r[2]["flesch_ease"]
+    assert r[1]["fk_grade"] < r[2]["fk_grade"]
+    assert r[3]["flesch_ease"] is None

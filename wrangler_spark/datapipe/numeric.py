@@ -75,3 +75,27 @@ def scale_column(
         raise ValueError(f"unknown scaling method: {method!r} (minmax|zscore)")
     joined = df.crossJoin(F.broadcast(stats))
     return joined.withColumn(out_col, scaled).drop(*stats.columns)
+
+
+def winsorize_column(
+    df: DataFrame, col: str, lo: float = 0.01, hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize: clip to the [lo, hi] exact percentile bounds — the
+    robust-statistics companion to flag_outliers for when you want the
+    rows KEPT but the tail influence capped (price columns, token
+    counts feeding a mean). Adds ``<col>_wins`` (6dp); nulls stay
+    null. Same one-aggregate + broadcast-scalar shape."""
+    out_col = out_col or f"{col}_wins"
+    c = F.col(col).cast("double")
+    stats = df.agg(
+        F.expr(f"percentile({col}, {float(lo)})").alias("__plo"),
+        F.expr(f"percentile({col}, {float(hi)})").alias("__phi"),
+    )
+    clipped = F.when(
+        c.isNotNull(),
+        F.round(F.least(F.greatest(c, F.col("__plo")), F.col("__phi")), 6),
+    )
+    return df.crossJoin(F.broadcast(stats)).withColumn(out_col, clipped).drop(
+        "__plo", "__phi"
+    )

@@ -1421,3 +1421,44 @@ SELECT {id_col},
             WHEN {col} IS NOT NULL THEN 0.0 END AS {col}_scaled
 FROM {table} CROSS JOIN s
 """
+
+
+def winsorize_sql(
+    col: str = "c_acctbal", lo: float = 0.01, hi: float = 0.99,
+    table: str = "customer", id_col: str = "c_custkey",
+) -> str:
+    """Mirror of numeric.winsorize_column (graded: id, clipped)."""
+    return f"""
+WITH s AS (SELECT quantile_cont({col}, {float(lo)}) AS plo,
+                  quantile_cont({col}, {float(hi)}) AS phi FROM {table})
+SELECT {id_col},
+       CASE WHEN {col} IS NOT NULL
+            THEN round(least(greatest(CAST({col} AS DOUBLE), plo), phi), 6) END
+       AS {col}_wins
+FROM {table} CROSS JOIN s
+"""
+
+
+def readability_sql(table: str = "documents") -> str:
+    """Mirror of text.readability (graded projection: doc_id, counts +
+    both scores)."""
+    sent = "greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE"
+    words = f"list_filter({_WORDS}, w -> len(w) > 0)"
+    nw = f"greatest(len({words}), 1)::DOUBLE"
+    syl = (
+        f"coalesce(list_sum(list_transform({words},"
+        f" w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))), 0)"
+    )
+    return f"""
+SELECT doc_id,
+       CAST({sent} AS BIGINT) AS n_sentences,
+       CAST({nw} AS BIGINT) AS n_words_fk,
+       CAST({syl} AS BIGINT) AS n_syllables,
+       CASE WHEN text IS NOT NULL THEN
+         round(206.835 - 1.015 * ({nw} / {sent}) - 84.6 * ({syl}::DOUBLE / {nw}), 6)
+       END AS flesch_ease,
+       CASE WHEN text IS NOT NULL THEN
+         round(0.39 * ({nw} / {sent}) + 11.8 * ({syl}::DOUBLE / {nw}) - 15.59, 6)
+       END AS fk_grade
+FROM {table}
+"""

@@ -824,3 +824,47 @@ def bm25_topk(
         F.col("bm25").alias("cosine"),
     )
     return _topk_reduce(scored, k).withColumnRenamed("cosine", "bm25")
+
+
+def readability(
+    df: DataFrame, text_col: str,
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade level (Kincaid et
+    al. 1975) — the classic readability pair, a standard curation signal
+    (too-low grade = fragment soup, absurdly high = OCR garbage or
+    legalese). Adds n_sentences, n_words_fk, n_syllables, flesch_ease,
+    fk_grade (6dp).
+
+    Syllables use the deterministic vowel-GROUP heuristic (runs of
+    aeiouy count once, minimum 1 per word) — not dictionary-true, but
+    identical in both engines and monotone with real syllable counts,
+    which is all a corpus-level filter needs. Scan-side expressions,
+    zero shuffle."""
+    c = F.col(text_col)
+    sentences = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1)).cast("double")
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    words_arr = F.filter(F.split(norm, " "), lambda w: F.length(w) > 0)
+    n_words = F.greatest(F.size(words_arr), F.lit(1)).cast("double")
+    syl = F.aggregate(
+        words_arr,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)).cast("long"),
+    )
+    ease = F.round(
+        F.lit(206.835) - F.lit(1.015) * (n_words / sentences)
+        - F.lit(84.6) * (syl.cast("double") / n_words),
+        6,
+    )
+    grade = F.round(
+        F.lit(0.39) * (n_words / sentences)
+        + F.lit(11.8) * (syl.cast("double") / n_words) - F.lit(15.59),
+        6,
+    )
+    return (
+        df.withColumn("n_sentences", sentences.cast("long"))
+        .withColumn("n_words_fk", n_words.cast("long"))
+        .withColumn("n_syllables", syl)
+        .withColumn("flesch_ease", F.when(c.isNotNull(), ease))
+        .withColumn("fk_grade", F.when(c.isNotNull(), grade))
+    )
