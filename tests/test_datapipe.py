@@ -1700,3 +1700,15 @@ def test_winsorize_and_readability(spark):
     assert r[1]["flesch_ease"] > r[2]["flesch_ease"]
     assert r[1]["fk_grade"] < r[2]["fk_grade"]
     assert r[3]["flesch_ease"] is None
+
+
+def test_winsorize_readability_directives(spark):
+    from wrangler_spark import Pipeline
+
+    df = spark.createDataFrame(
+        [(i, float(i), "Simple words sit here. More follow!") for i in range(1, 51)],
+        ["id", "v", "text"],
+    )
+    out = Pipeline.compile("winsorize :v 0.1 0.9\nreadability :text").apply(df)
+    r = out.filter("id = 50").collect()[0]
+    assert r["v_wins"] < 50.0 and r["n_sentences"] == 2

@@ -777,3 +777,37 @@ class ScaleColumn(Directive):
         from wrangler_spark.datapipe.numeric import scale_column
 
         return scale_column(df, ctx.resolve(df, self.args["col"]), str(self.args["method"]))
+
+
+@directive
+class Winsorize(Directive):
+    """winsorize :col [lo] [hi] — clip to exact percentile bounds →
+    <col>_wins."""
+
+    name = "winsorize"
+    usage = [
+        Arg("col", TokenType.COLUMN),
+        Arg("lo", TokenType.NUMERIC, optional=True, default=0.01),
+        Arg("hi", TokenType.NUMERIC, optional=True, default=0.99),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.numeric import winsorize_column
+
+        return winsorize_column(
+            df, ctx.resolve(df, self.args["col"]),
+            float(self.args["lo"]), float(self.args["hi"]),
+        )
+
+
+@directive
+class Readability(Directive):
+    """readability :text — Flesch reading-ease + FK grade columns."""
+
+    name = "readability"
+    usage = [Arg("text", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import readability
+
+        return readability(df, ctx.resolve(df, self.args["text"]))
