@@ -1712,3 +1712,17 @@ def test_winsorize_readability_directives(spark):
     out = Pipeline.compile("winsorize :v 0.1 0.9\nreadability :text").apply(df)
     r = out.filter("id = 50").collect()[0]
     assert r["v_wins"] < 50.0 and r["n_sentences"] == 2
+
+
+def test_sentence_split(spark):
+    from wrangler_spark.datapipe import curation
+
+    df = spark.createDataFrame(
+        [(1, "First one. Second!  Third? "), (2, "no terminal punctuation"), (3, "")],
+        ["doc_id", "text"],
+    )
+    got = [(r["doc_id"], r["sent_idx"], r["sentence"]) for r in
+           curation.sentence_split(df, "doc_id", "text").collect()]
+    assert (1, 1, "First one") in got and (1, 2, "Second") in got and (1, 3, "Third") in got
+    assert (2, 1, "no terminal punctuation") in got
+    assert all(d != 3 for d, _, _ in got)      # empty doc yields nothing

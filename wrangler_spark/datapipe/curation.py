@@ -1169,3 +1169,23 @@ def corpus_report_by(
             ),
         )
     )
+
+def sentence_split(
+    df: DataFrame, id_col: str, text_col: str,
+) -> DataFrame:
+    """Explode documents into (id, sent_idx, sentence) rows on terminal
+    punctuation — the finer-grained sibling of chunk_documents for
+    sentence-level RAG indexing, dedup, and alignment. The splitter is
+    the deterministic [.!?]+ boundary (shared with readability's
+    sentence count); empty fragments are dropped, sent_idx is 1-based
+    document order. Scan-side split + one explode, zero shuffle."""
+    c = F.col(text_col)
+    parts = F.filter(
+        F.transform(F.split(c, r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(parts).alias("sent_idx0", "sentence")
+    ).select(
+        F.col(id_col), (F.col("sent_idx0") + 1).cast("int").alias("sent_idx"), "sentence"
+    )

@@ -1462,3 +1462,20 @@ SELECT doc_id,
        END AS fk_grade
 FROM {table}
 """
+
+
+def sentence_split_sql(table: str = "documents") -> str:
+    """Mirror of curation.sentence_split."""
+    return f"""
+WITH parts AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                                    s -> trim(s)),
+                     s -> len(s) > 0) AS ps
+  FROM {table}
+)
+SELECT doc_id,
+       CAST(unnest(range(1, len(ps) + 1)) AS INT) AS sent_idx,
+       unnest(ps) AS sentence
+FROM parts
+"""
