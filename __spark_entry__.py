@@ -221,6 +221,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5), 0.1, salt="sp"
         ),
         "text_sentences": lambda s, d: curation.sentence_split(docs(s, d), "doc_id", "text"),
+        "dedup_sentences": lambda s, d: curation.sentence_dedup(docs(s, d), "doc_id", "text"),
         "corpus_report": lambda s, d: curation.corpus_report(
             docs(s, d), "doc_id", "text", "lang"
         ),
@@ -453,6 +454,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "shuffle_shards": o.shuffle_shards_sql(8, "ep0"),
         "corpus_report": o.corpus_report_sql(),
         "text_sentences": o.sentence_split_sql(),
+        "dedup_sentences": o.sentence_dedup_sql(),
         "split_by_cluster": o.split_by_cluster_sql(0.5, 0.1, "sp"),
         "corpus_report_by": o.corpus_report_by_sql("source"),
         "dedup_cross_minhash": o.minhash_cross_sql(0.5, 3),

@@ -1726,3 +1726,27 @@ def test_sentence_split(spark):
     assert (1, 1, "First one") in got and (1, 2, "Second") in got and (1, 3, "Third") in got
     assert (2, 1, "no terminal punctuation") in got
     assert all(d != 3 for d, _, _ in got)      # empty doc yields nothing
+
+
+def test_sentence_dedup(spark):
+    from wrangler_spark.datapipe import curation
+
+    boiler = "Subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [(1, f"Real content one. {boiler}. More real text!"),
+         (2, f"{boiler}. Different real content here?"),
+         (3, f"{boiler}."),
+         (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           curation.sentence_dedup(df, "doc_id", "text").collect()}
+    assert boiler in out[1]["text"] and boiler not in out[2]["text"]
+    assert "Different real content here" in out[2]["text"]
+    assert out[3]["text"] == "" and out[3]["n_dropped"] == 1
+    assert out[4]["text"] == "" and out[4]["n_sentences"] == 0
+    # globally: every normalized sentence appears exactly once
+    all_sents = []
+    for r in out.values():
+        all_sents += [s.strip().lower() for s in r["text"].split(".") if s.strip()]
+    assert len(all_sents) == len(set(all_sents))

@@ -1189,3 +1189,59 @@ def sentence_split(
     ).select(
         F.col(id_col), (F.col("sent_idx0") + 1).cast("int").alias("sent_idx"), "sentence"
     )
+
+def sentence_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Cross-document SENTENCE dedup: keep only the globally-first
+    occurrence of each normalized sentence and reassemble documents —
+    the finer-grained sibling of paragraph_dedup for web boilerplate
+    that rides inside paragraphs ("subscribe to our newsletter", cookie
+    banners glued to prose). Returns (id, <text_col> deduped,
+    n_sentences, n_dropped); sentences are [.!?]+ bounded (the
+    sentence_split/readability rule) and rejoin with '. '.
+
+    Scale shape: identical to paragraph_dedup — one shuffle on the
+    sentence md5 for the first-occurrence decision, one on the doc id
+    for reassembly; a boilerplate sentence in millions of docs is one
+    row per occurrence in its window partition, never quadratic."""
+    c = F.col(text_col)
+    parts = F.filter(
+        F.transform(F.split(c, r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    sents = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(parts).alias("__pos", "__sent")
+    ).withColumn(
+        "__key", F.md5(F.regexp_replace(F.lower(F.col("__sent")), r"\s+", " "))
+    )
+    w = Window.partitionBy("__key").orderBy("__id", "__pos")
+    first = sents.withColumn("__rn", F.row_number().over(w))
+    agg = first.groupBy("__id").agg(
+        F.coalesce(
+            F.concat_ws(
+                ". ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__rn") == 1, F.struct("__pos", "__sent"))
+                        )
+                    ),
+                    lambda s: s["__sent"],
+                ),
+            ),
+            F.lit(""),
+        ).alias(text_col),
+        F.count("*").cast("long").alias("n_sentences"),
+        F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
+    )
+    # keep sentence-less docs (empty/null text): posexplode dropped them
+    # from the aggregate, so join back to every input id
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(agg, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_sentences"), F.lit(0)).cast("long").alias("n_sentences"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )

@@ -1479,3 +1479,39 @@ SELECT doc_id,
        unnest(ps) AS sentence
 FROM parts
 """
+
+
+def sentence_dedup_sql(table: str = "documents") -> str:
+    """Mirror of curation.sentence_dedup: [.!?]+ sentence split (trimmed,
+    empties dropped), first occurrence by (doc_id, pos) per normalized
+    sentence, rejoined with '. '."""
+    norm_s = r"md5(regexp_replace(lower(sent), '\s+', ' ', 'g'))"
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                                    s -> trim(s)), s -> len(s) > 0) AS sents
+  FROM {table}
+),
+e AS (
+  SELECT doc_id, unnest([{{'pos': i, 'sent': sents[i]}} FOR i IN range(1, len(sents) + 1)],
+                        recursive := true)
+  FROM p
+),
+r AS (
+  SELECT doc_id, pos, sent,
+         row_number() OVER (PARTITION BY {norm_s} ORDER BY doc_id, pos) AS rn
+  FROM e
+)
+SELECT p.doc_id,
+  coalesce(agg.text, '') AS text,
+  coalesce(agg.n_sentences, 0) AS n_sentences,
+  coalesce(agg.n_dropped, 0) AS n_dropped
+FROM p LEFT JOIN (
+  SELECT doc_id,
+    coalesce(string_agg(CASE WHEN rn = 1 THEN sent END, '. ' ORDER BY pos), '') AS text,
+    count(*)::BIGINT AS n_sentences,
+    sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+  FROM r GROUP BY doc_id
+) agg USING (doc_id)
+"""
