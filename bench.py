@@ -88,12 +88,21 @@ def main() -> None:
         # benchmark — record its error (keyed by pass, so a cold-only or
         # warm-only failure is unambiguous), keep timing the healthy ones,
         # and always emit the final JSON line
+        # each query runs inside a checkpoint_scope: its count() fully
+        # materializes the result, so every localCheckpoint the operator
+        # pinned is released before the next query times — without this
+        # the session accumulates dead blocks and late queries measure
+        # the leak, not the operator (BENCH_r07's 3x warm-extras
+        # inflation)
+        from wrangler_spark.datapipe import checkpoint_scope
+
         per: dict[str, float] = {}
         rows: dict[str, int] = {}
         for name in names:
             t0 = time.perf_counter()
             try:
-                n = qs[name](spark, SF_DIR).count()
+                with checkpoint_scope():
+                    n = qs[name](spark, SF_DIR).count()
             except Exception as exc:  # noqa: BLE001
                 errors[f"{label}:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
                 continue

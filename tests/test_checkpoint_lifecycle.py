@@ -1,0 +1,111 @@
+"""Checkpoint lifecycle: localCheckpoint blocks must be released, not
+leaked for the session lifetime.
+
+Round-7 measurement (VERDICT r7): ~15 localCheckpoint sites, zero
+unpersists — four operator invocations in one session grew executor
+storage 5→17 pinned RDDs / 30→100 MB, nothing reclaimed, and the bench's
+late warm queries ran ~3x slower than cold purely from accumulated dead
+blocks. These tests pin the fix: loops release superseded rounds
+immediately, and checkpoint_scope() releases an operator's one-shot
+checkpoints once its results are materialized.
+"""
+
+from pyspark.sql import functions as F
+
+from wrangler_spark.datapipe import (
+    checkpoint_scope,
+    dedup,
+    eager_checkpoint,
+    persistent_rdd_ids,
+    release,
+)
+from wrangler_spark.datapipe.curation import (
+    quality_classifier_score,
+    train_quality_classifier,
+)
+
+
+def test_release_frees_blocks(spark):
+    base = persistent_rdd_ids(spark)
+    c = eager_checkpoint(spark.range(100).withColumn("x", F.col("id") * 2))
+    assert len(persistent_rdd_ids(spark) - base) == 1
+    assert release(c) is True
+    assert persistent_rdd_ids(spark) - base == set()
+    # releasing a non-checkpoint frame is a safe no-op
+    assert release(spark.range(3)) is False
+
+
+def test_checkpoint_scope_releases_only_scoped(spark):
+    base = persistent_rdd_ids(spark)
+    outer = eager_checkpoint(spark.range(10))
+    with checkpoint_scope():
+        inner = eager_checkpoint(spark.range(20))
+        assert inner.count() == 20
+        assert len(persistent_rdd_ids(spark) - base) == 2
+    # inner released, outer (pre-scope) untouched
+    assert len(persistent_rdd_ids(spark) - base) == 1
+    assert outer.count() == 10
+    release(outer)
+    assert persistent_rdd_ids(spark) - base == set()
+
+
+def test_connected_components_pins_at_most_two_rounds(spark):
+    """A long chain forces multiple alternating-star rounds; superseded
+    rounds must be released as the loop advances, leaving only the final
+    edge set pinned (plus the initial-input checkpoint budget of 1)."""
+    base = persistent_rdd_ids(spark)
+    # 0-1-2-...-40 chain: needs several rounds to contract
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    with checkpoint_scope():
+        out = dedup.connected_components(pairs, "id_a", "id_b")
+        comps = {r["component"] for r in out.collect()}
+        assert comps == {0}
+    assert persistent_rdd_ids(spark) - base == set()
+
+
+def _tiny_corpus(spark, n=30, seed_word="good"):
+    rows = [(i, f"{seed_word} text sample number {i} with words") for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_session_storage_stays_flat_across_ops(spark):
+    """The r7 reproducer: clf x2 + connected-components x1 + clf x1 in
+    ONE session previously accumulated 17 dead RDDs / 100 MB. With
+    loop-release + scopes, pinned-RDD count returns to baseline after
+    every op."""
+    base = persistent_rdd_ids(spark)
+    pos = _tiny_corpus(spark, 20, "excellent prose")
+    neg = _tiny_corpus(spark, 20, "spam junk")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], ["a", "b"]
+    )
+    for _ in range(2):
+        with checkpoint_scope():
+            w = train_quality_classifier(pos, neg, "doc_id", "text", iters=2)
+            scored = quality_classifier_score(pos, w, "doc_id", "text")
+            assert scored.count() == 20
+        assert persistent_rdd_ids(spark) - base == set()
+    with checkpoint_scope():
+        assert dedup.connected_components(pairs, "a", "b").count() > 0
+    assert persistent_rdd_ids(spark) - base == set()
+    with checkpoint_scope():
+        w = train_quality_classifier(pos, neg, "doc_id", "text", iters=2)
+        assert w.count() > 0
+    assert persistent_rdd_ids(spark) - base == set()
+
+
+def test_classifier_training_pins_only_final_weights(spark):
+    """Without a scope, training must still release per-iteration
+    superseded weights and the features table — only the returned
+    weight table stays pinned (the caller reads it)."""
+    base = persistent_rdd_ids(spark)
+    pos = _tiny_corpus(spark, 15, "fine writing")
+    neg = _tiny_corpus(spark, 15, "bad noise")
+    w = train_quality_classifier(pos, neg, "doc_id", "text", iters=3)
+    assert w.count() > 0
+    held = persistent_rdd_ids(spark) - base
+    assert len(held) == 1, f"expected only the final weight checkpoint, got {held}"
+    release(w)
+    assert persistent_rdd_ids(spark) - base == set()

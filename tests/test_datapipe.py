@@ -1596,6 +1596,24 @@ def test_entity_match_pairs(spark):
     assert capped.count() == 10 * 9 / 2
 
 
+def test_entity_match_null_and_separator_keys(spark):
+    """Blocking keys are per-column strict equality: NULL keys match
+    nothing (SQL-join semantics, what the DuckDB oracle computes), and
+    values containing the old concat separator '|' cannot conflate
+    distinct blocks (('a|b','c') vs ('a','b|c'))."""
+    rows = [
+        (1, "Acme", None, "A"),     # NULL key: pairs with nothing,
+        (2, "Acme", None, "A"),     # not even another NULL
+        (3, "Acme", "a|b", "c"),    # separator collision candidates:
+        (4, "Acme", "a", "b|c"),    # distinct blocks, must NOT pair
+        (5, "Acme", "a|b", "c"),    # true same-block partner of 3
+    ]
+    df = spark.createDataFrame(rows, ["cid", "name", "state", "seg"])
+    pairs = dedup.entity_match_pairs(df, "cid", ["state", "seg"], [("name", 2)])
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(3, 5)}
+
+
 def test_entity_match_phonetic_blocking(spark):
     """Column-expression blocking keys: soundex groups 'Smith'/'Smyth'
     into one block, so the one-edit pair surfaces without a quadratic

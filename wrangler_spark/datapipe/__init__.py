@@ -13,3 +13,11 @@ Python-per-row paths are clearly-marked multimodal decode stubs.
 """
 
 from wrangler_spark.datapipe import dedup, similarity, text  # noqa: F401
+from wrangler_spark.datapipe._checkpoint import (  # noqa: F401
+    checkpoint_scope,
+    eager_checkpoint,
+    live_count,
+    persistent_rdd_ids,
+    release,
+    release_all,
+)

@@ -1,0 +1,142 @@
+"""localCheckpoint lifecycle management.
+
+``localCheckpoint(eager=True)`` pins the materialized RDD blocks in
+executor storage and nothing in Spark releases them promptly: the JVM
+ContextCleaner only fires when the py4j proxy chain is garbage-collected,
+which in a long-lived driver is "maybe, eventually" — measured in this
+repo as 17 orphaned RDDs / 100 MB of executor storage after four operator
+invocations in one session, and a ~3x warm-vs-cold inflation across a
+60-query bench suite (BENCH_r07) purely from accumulated dead blocks.
+
+Every checkpoint in the package therefore goes through
+:func:`eager_checkpoint`, which records the pinned JVM RDD so the blocks
+can be released deterministically:
+
+- iterative loops (connected_components, train_quality_classifier)
+  release the SUPERSEDED round's blocks via :func:`release` as soon as
+  the next eager checkpoint has materialized — at that point the old
+  frame is provably unreferenced by anything that can still execute;
+- one-shot producer checkpoints (the frame the operator RETURNS still
+  reads their blocks lazily) stay registered in a session-level
+  registry; pipeline code wraps a unit of work in
+  :func:`checkpoint_scope` — everything checkpointed inside is released
+  on exit — or calls :func:`release_all` at a known-quiet point (e.g.
+  the interactive service between directive executions, or bench.py
+  between timed queries). The scope must enclose the full
+  materialization (collect / write) of whatever it computes.
+
+Release is ``unpersist(blocking=False)``: block deletion is async and
+the driver never stalls on it. A released frame must never be read
+again — localCheckpoint truncates lineage, so there is nothing left to
+recompute from (Spark raises on access; that is the contract).
+"""
+
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+_LOCK = threading.Lock()
+# (rdd_id, py4j JavaObject of the pinned org.apache.spark.rdd.RDD)
+_LIVE: list[tuple[int, object]] = []
+
+
+def _pinned_jrdd(cdf: DataFrame):
+    """The JVM RDD a checkpointed DataFrame pins, or None.
+
+    A frame returned by ``localCheckpoint`` analyzes to a bare
+    ``LogicalRDD`` whose ``rdd`` field IS the persisted RDD; anything
+    else (a frame derived from the checkpoint, a never-checkpointed
+    frame, a stopped session) yields None and the caller treats the
+    release as a no-op."""
+    try:
+        plan = cdf._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return None
+        return plan.rdd()
+    except Exception:
+        return None
+
+
+def eager_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` + registration in the session
+    registry so :func:`checkpoint_scope` / :func:`release_all` can free
+    the pinned blocks. Drop-in replacement for every localCheckpoint
+    call in the package."""
+    cdf = df.localCheckpoint(eager=eager)
+    jrdd = _pinned_jrdd(cdf)
+    if jrdd is not None:
+        with _LOCK:
+            _LIVE.append((jrdd.id(), jrdd))
+    return cdf
+
+
+def release(cdf: DataFrame) -> bool:
+    """Unpersist the blocks pinned by a frame returned from
+    :func:`eager_checkpoint`. Call ONLY when the frame (and everything
+    lazily derived from it that has not itself been checkpointed) will
+    never execute again — the loop-superseded-variable case. Returns
+    False (no-op) for non-checkpoint frames or a dead session."""
+    jrdd = _pinned_jrdd(cdf)
+    if jrdd is None:
+        return False
+    try:
+        rid = jrdd.id()
+        jrdd.unpersist(False)
+    except Exception:
+        return False
+    with _LOCK:
+        _LIVE[:] = [(i, r) for i, r in _LIVE if i != rid]
+    return True
+
+
+def release_all() -> int:
+    """Release every registered checkpoint. For session-quiet points
+    only: any still-held frame that depends on a registered checkpoint
+    becomes unreadable. Returns the number of entries released."""
+    with _LOCK:
+        entries = list(_LIVE)
+        _LIVE.clear()
+    for _, jrdd in entries:
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
+    return len(entries)
+
+
+@contextmanager
+def checkpoint_scope():
+    """Release every checkpoint created inside the ``with`` block on
+    exit. The block must fully materialize its results (collect /
+    write / toPandas) before exiting — frames escaping the scope that
+    still read a scoped checkpoint become unreadable."""
+    with _LOCK:
+        mark = {i for i, _ in _LIVE}
+    try:
+        yield
+    finally:
+        with _LOCK:
+            fresh = [(i, r) for i, r in _LIVE if i not in mark]
+            _LIVE[:] = [(i, r) for i, r in _LIVE if i in mark]
+        for _, jrdd in fresh:
+            try:
+                jrdd.unpersist(False)
+            except Exception:
+                pass
+
+
+def live_count() -> int:
+    """Number of currently-registered (un-released) checkpoints."""
+    with _LOCK:
+        return len(_LIVE)
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of RDDs currently persisted in the session's block manager —
+    the ground-truth leak probe (tests assert this stays flat across
+    repeated operator runs inside checkpoint_scope)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return set(jmap.keySet().toArray())

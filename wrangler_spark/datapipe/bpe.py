@@ -99,19 +99,22 @@ def apply_bpe(
 
     Arrow-batched pandas UDF — the merge loop is per-word iterative
     (lowest-rank pair first, GPT-2's greedy order) so it cannot be a
-    Column expression; the word→tokens cache persists across the UDF's
-    batches within each executor, so at corpus scale almost every word is
+    Column expression; the word→tokens cache lives in the UDF closure,
+    so within each task it persists ACROSS Arrow batches (it pickles
+    empty, fills on first use) and at corpus scale almost every word is
     a dict hit, not a merge loop. Null/empty text → empty array. The
     merge table travels in the closure (serialized once per task, the
     broadcast-variable contract for compile-time constants)."""
     from pyspark.sql.functions import pandas_udf
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # closure-level: survives across batches within a task; per-batch
+    # placement here would rebuild it every ~10k rows and the Zipf hit
+    # rate the docstring promises would never materialize
+    cache: dict[str, list[str]] = {}
 
     @pandas_udf("array<string>")
     def _bpe(col: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
-
         def enc(text):
             if not text:
                 return []

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
+
 # --- PII patterns (cf. the public BigScience/ROOTS and Dolma scrubbing
 # heuristics). Order matters: specific → general so phone-shaped digit
 # runs inside already-redacted spans don't double-fire. Each entry is
@@ -419,8 +421,8 @@ def dsir_logratio(
             F.sum(1 - F.col("__is_t")).cast("long").alias("cr"),
             F.sum("__is_t").cast("long").alias("ct"),
         )
-        .localCheckpoint(eager=True)
     )
+    counts = eager_checkpoint(counts)
     nn = counts.agg(
         F.sum("cr").cast("long").alias("nr"), F.sum("ct").cast("long").alias("nt")
     )
@@ -498,10 +500,9 @@ def pack_sequences(
     # silently corrupting start_pos. The checkpoint materializes one
     # partition assignment both consumers read (the repo's established
     # idiom for multi-consumer frames).
-    ranged = (
+    ranged = eager_checkpoint(
         base.repartitionByRange(P, "__id")
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
     )
     local = ranged.withColumn(
         "__local",
@@ -692,14 +693,12 @@ def train_quality_classifier(
     feats = lab(pos, 1).unionByName(lab(neg, 0))
     # the always-on bias bucket, one per doc
     docs = feats.select("__id", "__y").distinct()
-    feats = feats.unionByName(
-        docs.select("__id", F.lit(-1).alias("b"), "__y")
-    ).localCheckpoint(eager=True)
+    feats = eager_checkpoint(
+        feats.unionByName(docs.select("__id", F.lit(-1).alias("b"), "__y"))
+    )
     n_docs = docs.count()
-    w = (
-        feats.select("b").distinct()
-        .withColumn("w", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+    w = eager_checkpoint(
+        feats.select("b").distinct().withColumn("w", F.lit(0).cast("long"))
     )
     for _ in range(int(iters)):
         margins = (
@@ -717,7 +716,8 @@ def train_quality_classifier(
             .groupBy("b")
             .agg(F.sum("__e").alias("__g"))
         )
-        w = (
+        prev_w = w
+        w = eager_checkpoint(
             w.join(grad, "b", "left")
             .select(
                 "b",
@@ -728,8 +728,14 @@ def train_quality_classifier(
                     ).cast("long")
                 ).alias("w"),
             )
-            .localCheckpoint(eager=True)
         )
+        # this iteration's weights are fully materialized; the superseded
+        # iteration's blocks are dead — release instead of leaking one
+        # checkpoint per iteration (the r7-measured session leak)
+        release(prev_w)
+    # the returned weight table is the only checkpoint the caller still
+    # reads; the features fed their last gradient above
+    release(feats)
     return w
 
 
@@ -1177,8 +1183,16 @@ def sentence_split(
     punctuation — the finer-grained sibling of chunk_documents for
     sentence-level RAG indexing, dedup, and alignment. The splitter is
     the deterministic [.!?]+ boundary (shared with readability's
-    sentence count); empty fragments are dropped, sent_idx is 1-based
-    document order. Scan-side split + one explode, zero shuffle."""
+    sentence count and the DuckDB oracle); empty fragments are dropped,
+    sent_idx is 1-based document order. Scan-side split + one explode,
+    zero shuffle.
+
+    LIMITATION: [.!?]+ is a punctuation rule, not a linguistic
+    segmenter — it splits on abbreviations ("Dr. Smith" → "Dr" /
+    "Smith") and inside decimals ("3.14" → "3" / "14"). That is the
+    deliberate cross-engine contract (deterministic, oracle-
+    reproducible); do not feed it prose where abbreviation-accurate
+    boundaries matter."""
     c = F.col(text_col)
     parts = F.filter(
         F.transform(F.split(c, r"[.!?]+"), lambda s: F.trim(s)),

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
 from wrangler_spark.datapipe.constants import (
     HYPERPLANES,
     LSH_BANDS,
@@ -173,7 +174,7 @@ def _sig_bands(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, Da
     accumulators are dropped), and bands = (id, band, key) banded
     signature rows, ~40 bytes each, the only thing the bucket shuffle
     carries."""
-    base = with_shingles(df, id_col, text_col).localCheckpoint(eager=True)
+    base = eager_checkpoint(with_shingles(df, id_col, text_col))
     hashed = base.selectExpr(
         "id", f"transform(shingles, s -> {_HASH28_SQL.format(x='s')}) AS h"
     )
@@ -393,10 +394,9 @@ def ngram_jaccard_pairs(
     # (checkpoint state = one (id, hash) row per distinct gram — the
     # op's own working set; at 100 TB persist it explicitly instead):
     # measured 1.9 s warm after the change, 40x
-    inv = (
+    inv = eager_checkpoint(
         base.select("id", F.explode_outer("grams").alias("g"))
         .filter(F.col("g").isNotNull())
-        .localCheckpoint(eager=True)
     )
     # document frequency per gram hash: (id, g) is unique (hashes are
     # array_distinct-ed per doc) but countDistinct keeps the cutoff a
@@ -458,8 +458,8 @@ def ngram_jaccard_pairs(
             ),
         )
         .select("id", "ng", "kept_h", "prefix")
-        .localCheckpoint(eager=True)
     )
+    per_doc = eager_checkpoint(per_doc)
     # candidate generation is ONE hash aggregation, the same shape as
     # minhash_lsh_pairs: per prefix gram collect the sorted doc-id list
     # and expand pairs natively. A plain index self-join re-emits every
@@ -690,7 +690,9 @@ def connected_components(
     Per-round edges are eagerly localCheckpoint-ed: the loop truncates
     lineage (no exponentially growing plan) and the fingerprint
     (count + xxhash64 sum) read from the checkpointed blocks decides
-    fixpoint at no extra scan cost.
+    fixpoint at no extra scan cost. The superseded round's blocks are
+    unpersisted as soon as the new checkpoint materializes — at most
+    two rounds of edges are ever pinned, whatever the round count.
 
     Contract: ids must be non-null and mutually orderable (the component
     representative is the Spark-sort minimum). Self-pairs and duplicate /
@@ -699,14 +701,13 @@ def connected_components(
     (see minhash_components). Raises RuntimeError if ``max_rounds``
     (default 25 ≈ log^2 of anything storable) rounds don't converge
     rather than returning a partially-contracted graph."""
-    edges = (
+    edges = eager_checkpoint(
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("b"),
             F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
         )
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     prev_fp = None
     for _ in range(max_rounds):
@@ -743,11 +744,19 @@ def connected_components(
         from pyspark.sql import Observation
 
         obs = Observation()
-        edges = small.observe(
-            obs,
-            F.count(F.lit(1)).alias("c"),
-            F.coalesce(F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)).alias("h"),
-        ).localCheckpoint(eager=True)
+        prev_edges = edges
+        edges = eager_checkpoint(
+            small.observe(
+                obs,
+                F.count(F.lit(1)).alias("c"),
+                F.coalesce(F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)).alias("h"),
+            )
+        )
+        # the eager checkpoint above has fully materialized this round's
+        # edges, so the superseded round's blocks are dead — release them
+        # now instead of leaking one checkpoint per round (the r7-measured
+        # session-lifetime storage leak)
+        release(prev_edges)
         got = obs.get
         fp = (got["c"], got["h"])
         if fp == prev_fp:
@@ -997,6 +1006,9 @@ def entity_match_pairs(
     classic blocking step that makes matching sub-quadratic: only
     same-block pairs are ever compared); ``sim_cols`` is
     [(col, max_levenshtein), ...] verified on the candidates only.
+    Blocking is STRICT equality per key: a NULL blocking key matches
+    nothing (the SQL-join semantics of the oracle), so rows with any
+    NULL key never pair.
 
     Scale shape: one hash aggregate per block collects the sorted id
     list (capped at ``max_block_size`` — an over-broad blocking key is
@@ -1006,17 +1018,24 @@ def entity_match_pairs(
     JVM-side on candidate pairs only."""
     # names or Column expressions: phonetic blocking is
     # entity_match_pairs(df, id, [F.soundex("name")], ...) — any
-    # deterministic expression works as a blocking key
-    bk = F.concat_ws(
-        "|",
-        *[
-            (F.col(c) if isinstance(c, str) else c).cast("string")
-            for c in block_cols
-        ],
-    )
+    # deterministic expression works as a blocking key. Keys are grouped
+    # as SEPARATE columns, never concatenated: a '|'-joined string
+    # conflates ('a|b','c') with ('a','b|c'), and concat_ws drops NULLs
+    # so (NULL,'X') / ('X',NULL) / all-NULL rows collide. Strict-equality
+    # semantics (the oracle's): a NULL blocking key matches nothing, so
+    # those rows are filtered before grouping.
+    key_cols = [
+        (F.col(c) if isinstance(c, str) else c).alias(f"__bk{i}")
+        for i, c in enumerate(block_cols)
+    ]
+    key_names = [f"__bk{i}" for i in range(len(block_cols))]
+    not_null = F.lit(True)
+    for n in key_names:
+        not_null = not_null & F.col(n).isNotNull()
     blocks = (
-        df.select(F.col(id_col).alias("id"), bk.alias("__bk"))
-        .groupBy("__bk")
+        df.select(F.col(id_col).alias("id"), *key_cols)
+        .filter(not_null)
+        .groupBy(*key_names)
         .agg(F.expr(f"slice(array_sort(collect_list(id)), 1, {int(max_block_size)})").alias("ids"))
         .filter(F.size("ids") >= 2)
     )

@@ -1,10 +1,12 @@
 """Numeric column operators: outlier flagging and feature scaling.
 
 Both follow the broadcast-scalar pattern: ONE aggregate computes the
-per-column statistics (mean/stddev or quartiles, exact at these
-cardinalities; swap in approx_percentile at extreme scale), the scalars
-ride a broadcast 1-row cross join, and the flag/scale itself is a pure
-scan-side expression — zero corpus shuffle, whole-stage codegen."""
+per-column statistics (mean/stddev or quartiles; percentile-based ops
+take ``exact=False`` to switch from exact type-7 percentiles to
+approx_percentile's bounded-state t-digest at extreme scale), the
+scalars ride a broadcast 1-row cross join, and the flag/scale itself is
+a pure scan-side expression — zero corpus shuffle, whole-stage
+codegen."""
 
 from __future__ import annotations
 
@@ -12,9 +14,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pctl(col: str, p: float, exact: bool, accuracy: int):
+    """Exact type-7 percentile (the lp-buckets cross-engine contract)
+    or the t-digest approx_percentile. Exact buffers EVERY value of the
+    column in one aggregation buffer — fine to ~10^8 rows, a driver OOM
+    at 100 TB; ``exact=False`` is the scale path (bounded state, same
+    one-aggregate plan shape), at the cost of bit-exact oracle parity."""
+    if exact:
+        return F.expr(f"percentile({col}, {p})")
+    return F.expr(f"approx_percentile({col}, {p}, {int(accuracy)})")
+
+
 def flag_outliers(
     df: DataFrame, col: str, method: str = "zscore", k: float = 3.0,
-    out_col: str | None = None,
+    out_col: str | None = None, exact: bool = True, accuracy: int = 10000,
 ) -> DataFrame:
     """Flag numeric outliers: ``zscore`` marks |x - mean| > k·stddev
     (population stddev, the classic 3-sigma rule), ``iqr`` marks values
@@ -23,7 +36,9 @@ def flag_outliers(
     false (a missing value is a missingness problem, not an outlier).
 
     Quartiles are exact type-7 percentiles (the lp-buckets contract) so
-    the DuckDB oracle reproduces them bit-for-bit."""
+    the DuckDB oracle reproduces them bit-for-bit; ``exact=False``
+    switches to approx_percentile (bounded aggregation state — the
+    extreme-scale path, same knob as perplexity_buckets)."""
     out_col = out_col or f"{col}_outlier"
     c = F.col(col).cast("double")
     if method == "zscore":
@@ -35,8 +50,8 @@ def flag_outliers(
         )
     elif method == "iqr":
         stats = df.agg(
-            F.expr(f"percentile({col}, 0.25)").alias("__q1"),
-            F.expr(f"percentile({col}, 0.75)").alias("__q3"),
+            _pctl(col, 0.25, exact, accuracy).alias("__q1"),
+            _pctl(col, 0.75, exact, accuracy).alias("__q3"),
         )
         iqr = F.col("__q3") - F.col("__q1")
         flag = c.isNotNull() & (
@@ -79,18 +94,19 @@ def scale_column(
 
 def winsorize_column(
     df: DataFrame, col: str, lo: float = 0.01, hi: float = 0.99,
-    out_col: str | None = None,
+    out_col: str | None = None, exact: bool = True, accuracy: int = 10000,
 ) -> DataFrame:
-    """Winsorize: clip to the [lo, hi] exact percentile bounds — the
+    """Winsorize: clip to the [lo, hi] percentile bounds — the
     robust-statistics companion to flag_outliers for when you want the
     rows KEPT but the tail influence capped (price columns, token
     counts feeding a mean). Adds ``<col>_wins`` (6dp); nulls stay
-    null. Same one-aggregate + broadcast-scalar shape."""
+    null. Same one-aggregate + broadcast-scalar shape; ``exact=False``
+    is the bounded-state scale path (approx_percentile)."""
     out_col = out_col or f"{col}_wins"
     c = F.col(col).cast("double")
     stats = df.agg(
-        F.expr(f"percentile({col}, {float(lo)})").alias("__plo"),
-        F.expr(f"percentile({col}, {float(hi)})").alias("__phi"),
+        _pctl(col, float(lo), exact, accuracy).alias("__plo"),
+        _pctl(col, float(hi), exact, accuracy).alias("__phi"),
     )
     clipped = F.when(
         c.isNotNull(),

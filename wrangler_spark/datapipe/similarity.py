@@ -565,14 +565,21 @@ def embedding_normalize(
     cross-engine contract). Unit vectors make cosine a plain dot product
     downstream and are the expected input of most ANN indexes. Zero/null
     vectors come through as null (a zero vector has no direction).
-    Scan-side transform, zero shuffle."""
+    Scan-side transform, zero shuffle; the norm is staged as its own
+    projection — Spark does no CSE inside HOF lambdas, so referencing
+    the O(d) aggregate from the per-element lambda would recompute it
+    per element, O(d^2) per row (the constraint embedding_quantize's
+    __ma staging documents)."""
     c = F.col(vec_col)
-    nrm = F.sqrt(F.aggregate(_as_double(c), F.lit(0.0), lambda s, x: s + x * x))
+    staged = df.withColumn(
+        "__nrm", F.sqrt(F.aggregate(_as_double(c), F.lit(0.0), lambda s, x: s + x * x))
+    )
+    nrm = F.col("__nrm")
     out = F.when(
         c.isNotNull() & (nrm > 0),
         F.transform(_as_double(c), lambda x: F.round(x / nrm, 6)),
     )
-    return df.withColumn(out_col or vec_col, out)
+    return staged.withColumn(out_col or vec_col, out).drop("__nrm")
 
 
 def embedding_quantize(
@@ -731,7 +738,12 @@ def mmr_rerank(
         sel["mmr_score"] = scores
         return sel
 
-    schema = "query_id long, vec_id long, cosine double, mmr_rank int, mmr_score double"
+    # id types follow the input frame (cosine_topk over string or int
+    # ids is legal) — hardcoding long here raised Arrow schema
+    # mismatches on any non-long id
+    qt = topk.schema["query_id"].dataType.simpleString()
+    vt = topk.schema["vec_id"].dataType.simpleString()
+    schema = f"query_id {qt}, vec_id {vt}, cosine double, mmr_rank int, mmr_score double"
     return cand.groupBy("query_id").applyInPandas(_mmr, schema)
 
 

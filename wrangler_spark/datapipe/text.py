@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from wrangler_spark.datapipe._checkpoint import eager_checkpoint
 from wrangler_spark.datapipe.constants import EN_STOPWORDS
 
 # GPT-2-ish pre-tokenizer approximation: letter runs, digit runs,
@@ -221,8 +222,8 @@ def unigram_logprob(
     tok = staged.select(F.col(id_col).alias("__id"), F.explode(F.col(_W)).alias("token")).filter(
         F.col("token") != ""
     )
-    counts = tok.groupBy("token").agg(F.count("*").cast("long").alias("c")).localCheckpoint(
-        eager=True
+    counts = eager_checkpoint(
+        tok.groupBy("token").agg(F.count("*").cast("long").alias("c"))
     )
     # two tiny driver scalars: total tokens (incl. what the cut drops) and
     # the kept-vocab size (may be < vocab_size on small corpora)
@@ -575,7 +576,7 @@ def perplexity_buckets(
     # localCheckpoint materializes the scores once, shared by both
     # consumers (the repo's multi-consumer idiom; lazy, not eager, so no
     # extra blocking job at call time — the first action computes it).
-    df = df.localCheckpoint(eager=False)
+    df = eager_checkpoint(df, eager=False)
     lp = F.col(lp_col)
     pct = F.percentile_approx(lp, [f1, f2], 10_000) if approx else F.percentile(lp, [f1, f2])
     bounds = F.round(pct.getItem(0), 6).alias("__b1"), F.round(pct.getItem(1), 6).alias("__b2")
@@ -650,14 +651,13 @@ def bigram_logprob(
     ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
     # explode_outer + null-filter + eager checkpoint idiom (three
     # consumers re-derive the explode otherwise)
-    toks = (
+    toks = eager_checkpoint(
         base.select("__id", F.explode_outer(pairs).alias("p"))
         .filter(F.col("p.cur").isNotNull())
         .select("__id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
-        .localCheckpoint(eager=True)
     )
-    uni = toks.groupBy("cur").agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(
-        eager=True
+    uni = eager_checkpoint(
+        toks.groupBy("cur").agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     n_total = uni.agg(F.sum("c")).collect()[0][0] or 0
     vocab = uni.orderBy(F.col("c").desc(), F.col("cur").asc()).limit(int(vocab_size))
@@ -790,9 +790,17 @@ def winnow_overlap(
     boilerplate — the k²-join-row scale-killer, same argument as the
     ngram stop-gram cap); matching spans that common carry no
     plagiarism signal anyway."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
-        F.col(id_col).alias("id"), "fp"
-    ).distinct()
+    # the (id, fp) frame feeds FOUR consumers (the hot-fp aggregate, the
+    # cap join-back, and both sides of the self-join) and contains a
+    # shuffle (.distinct()) — the repo's checkpoint-when-shared-branch-
+    # shuffles rule applies (r7 measured plan without it: 4 FileScans,
+    # 7 Exchanges, 0 ReusedExchange — the deep winnow selection scan
+    # re-executed per consumer)
+    fps = eager_checkpoint(
+        winnow_fingerprints(df, id_col, text_col, k, w).select(
+            F.col(id_col).alias("id"), "fp"
+        ).distinct()
+    )
     if max_fp_df is not None:
         hot = fps.groupBy("fp").agg(F.countDistinct("id").alias("__df"))
         fps = fps.join(hot.filter(F.col("__df") <= int(max_fp_df)).select("fp"), "fp")

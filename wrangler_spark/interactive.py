@@ -41,21 +41,29 @@ def execute(
     schema (the workspace 'execute' round-trip). The sample bound is
     applied BEFORE the recipe, like the service truncating the workspace
     sample to ``sampling.limit``."""
-    sample = df.limit(limit)
-    pipeline = Pipeline.compile(recipe)
-    result = pipeline.transform(sample)
-    out = result.df
-    rows = [r.asDict(recursive=True) for r in out.collect()]
-    types = dict(out.dtypes)
-    resp = ExecutionResponse(
-        values=rows,
-        types=types,
-        headers=out.columns,
-        directives=[d.name for d in pipeline.directives],
-        error_count=result.errors().count() if result.ctx.error_frames else 0,
-    )
-    if with_summary:
-        resp.summary = basic_statistics(out)
+    from wrangler_spark.datapipe import checkpoint_scope
+
+    # every value leaving this function is plain Python (rows, types,
+    # counts), so the scope releases any localCheckpoint an operator
+    # pinned as soon as the execution materializes — a long-lived design
+    # session runs storage-flat instead of accumulating dead blocks per
+    # execute round-trip (the r7-measured session leak)
+    with checkpoint_scope():
+        sample = df.limit(limit)
+        pipeline = Pipeline.compile(recipe)
+        result = pipeline.transform(sample)
+        out = result.df
+        rows = [r.asDict(recursive=True) for r in out.collect()]
+        types = dict(out.dtypes)
+        resp = ExecutionResponse(
+            values=rows,
+            types=types,
+            headers=out.columns,
+            directives=[d.name for d in pipeline.directives],
+            error_count=result.errors().count() if result.ctx.error_frames else 0,
+        )
+        if with_summary:
+            resp.summary = basic_statistics(out)
     return resp
 
 
