@@ -1614,6 +1614,42 @@ def test_entity_match_null_and_separator_keys(spark):
     assert got == {(3, 5)}
 
 
+def test_entity_match_against(spark):
+    """Cross-corpus linkage: asymmetric new-old pairs only, same
+    blocking/verify contract as entity_match_pairs; NULL keys match
+    nothing; block cap bounds the old-side expansion."""
+    old = spark.createDataFrame(
+        [
+            (10, "Acme Corp", "NY", "A"),
+            (11, "Acme Corpse", "NY", "A"),   # 2 edits from new #1
+            (12, "Acme Corp", "CA", "A"),     # different block
+            (13, "Zenith Ltd", "NY", "A"),    # same block, far name
+            (14, "Acme Corp", None, "A"),     # NULL key: never matches
+        ],
+        ["cid", "name", "state", "seg"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "Acme Corp.", "NY", "A"),     # matches 10 (1 edit), 11 (3 edits -> out)
+            (2, "Acme Corp", None, "A"),      # NULL key: no candidates
+            (3, "Acme Corp", "TX", "A"),      # empty block
+        ],
+        ["cid", "name", "state", "seg"],
+    )
+    pairs = dedup.entity_match_against(new, old, "cid", ["state", "seg"], [("name", 2)])
+    got = {(r["id_new"], r["id_old"]): r["name_dist"] for r in pairs.collect()}
+    assert got == {(1, 10): 1, (1, 11): 2}
+    # block cap: 1 new record against 50 same-block olds, capped at 10
+    hot_old = spark.createDataFrame(
+        [(i, f"n{i}", "X") for i in range(50)], ["cid", "name", "state"]
+    )
+    one_new = spark.createDataFrame([(99, "n0", "X")], ["cid", "name", "state"])
+    capped = dedup.entity_match_against(
+        one_new, hot_old, "cid", ["state"], [("name", 99)], max_block_size=10
+    )
+    assert capped.count() == 10
+
+
 def test_entity_match_phonetic_blocking(spark):
     """Column-expression blocking keys: soundex groups 'Smith'/'Smyth'
     into one block, so the one-edit pair surfaces without a quadratic

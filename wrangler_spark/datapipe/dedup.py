@@ -1064,6 +1064,78 @@ def entity_match_pairs(
         keep = keep & (d <= int(budget))
     return out.filter(keep).select("id_a", "id_b", *dists)
 
+
+def entity_match_against(
+    df_new: DataFrame, df_old: DataFrame, id_col: str, block_cols: list[str],
+    sim_cols: list[tuple[str, int]], max_block_size: int = 1000,
+) -> DataFrame:
+    """Cross-corpus record linkage: match each NEW record against an
+    EXISTING corpus — the fuzzy-key analog of exact_dedup_against, and
+    the reconcile-two-ingestion-sources step every production pipeline
+    hits (same blocking/verification contract as entity_match_pairs,
+    asymmetric new-old candidates only; new-new pairs are deliberately
+    not emitted — run entity_match_pairs on the batch for those, and
+    old-old never are). Returns (id_new, id_old, <col>_dist per sim
+    col) for pairs that agree on every blocking key and are within the
+    Levenshtein budget on each similarity column.
+
+    Blocking is STRICT per-column equality (NULL keys match nothing,
+    the SQL-join semantics of the oracle). ``block_cols`` accepts
+    column names or Column expressions (phonetic blocking via
+    F.soundex works here too).
+
+    Scale shape: the OLD corpus collapses to one capped, sorted id
+    list per block (one hash aggregate over id + keys only — the old
+    documents never move; materialize this frame once and reuse it
+    across ingestion batches, the exact_dedup_against contract); each
+    new record equi-joins its block's list and explodes, so candidates
+    are block-bounded, never quadratic; attribute joins fetch the
+    similarity columns for the (rare) candidates only, and levenshtein
+    runs JVM-side on those. A new record belongs to exactly one block,
+    so (id_new, id_old) pairs are unique by construction — no distinct
+    pass."""
+
+    def keyed(df: DataFrame, id_alias: str):
+        cols = [
+            (F.col(c) if isinstance(c, str) else c).alias(f"__bk{i}")
+            for i, c in enumerate(block_cols)
+        ]
+        out = df.select(F.col(id_col).alias(id_alias), *cols)
+        nn = F.lit(True)
+        for i in range(len(block_cols)):
+            nn = nn & F.col(f"__bk{i}").isNotNull()
+        return out.filter(nn)
+
+    key_names = [f"__bk{i}" for i in range(len(block_cols))]
+    old_blocks = (
+        keyed(df_old, "__oid")
+        .groupBy(*key_names)
+        .agg(F.expr(f"slice(array_sort(collect_list(__oid)), 1, {int(max_block_size)})").alias("__olds"))
+    )
+    cand = (
+        keyed(df_new, "id_new")
+        .join(old_blocks, key_names)
+        .select("id_new", F.explode("__olds").alias("id_old"))
+    )
+    attrs_new = df_new.select(
+        F.col(id_col).alias("__aid"), *[F.col(c).alias(f"__l_{c}") for c, _ in sim_cols]
+    )
+    attrs_old = df_old.select(
+        F.col(id_col).alias("__bid"), *[F.col(c).alias(f"__r_{c}") for c, _ in sim_cols]
+    )
+    out = (
+        cand.join(attrs_new, F.col("id_new") == F.col("__aid"))
+        .join(attrs_old, F.col("id_old") == F.col("__bid"))
+    )
+    keep = F.lit(True)
+    dists = []
+    for c, budget in sim_cols:
+        d = F.levenshtein(F.col(f"__l_{c}"), F.col(f"__r_{c}"))
+        dists.append(d.alias(f"{c}_dist"))
+        keep = keep & (d <= int(budget))
+    return out.filter(keep).select("id_new", "id_old", *dists)
+
+
 def template_dedup(
     df: DataFrame, id_col: str, text_col: str, mask_numbers: bool = True,
     mask_urls: bool = True,

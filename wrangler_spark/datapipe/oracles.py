@@ -1356,6 +1356,24 @@ WHERE levenshtein(l.c_name, r.c_name) <= {int(max_dist)}
 """
 
 
+def entity_match_against_sql(max_dist: int = 2, table: str = "customer") -> str:
+    """Mirror of dedup.entity_match_against on the graded parameters:
+    new = c_custkey % 3 = 0, old = the rest; block on (c_nationkey,
+    c_mktsegment), verify c_name levenshtein. Asymmetric new-old pairs
+    only — strict join equality, so NULL keys match nothing."""
+    return f"""
+WITH n AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_name FROM {table}
+           WHERE c_custkey % 3 = 0),
+o AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_name FROM {table}
+      WHERE c_custkey % 3 <> 0)
+SELECT n.c_custkey AS id_new, o.c_custkey AS id_old,
+       levenshtein(n.c_name, o.c_name) AS c_name_dist
+FROM n JOIN o
+  ON n.c_nationkey = o.c_nationkey AND n.c_mktsegment = o.c_mktsegment
+WHERE levenshtein(n.c_name, o.c_name) <= {int(max_dist)}
+"""
+
+
 def template_dedup_sql(table: str = "documents") -> str:
     """Mirror of dedup.template_dedup (urls + numbers masked)."""
     masked = (
