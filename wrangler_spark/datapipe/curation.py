@@ -1176,8 +1176,18 @@ def corpus_report_by(
         )
     )
 
+# bounded-length lookbehind alternation (Java regex requirement): common
+# English abbreviations + any single-letter token (initials, "e"/"g" of
+# e.g.) must not end a sentence; a digit directly after the punctuation
+# means a decimal ("3.14"), not a boundary
+_ABBREV_SAFE_BOUNDARY = (
+    r"(?<!\b(?:Dr|Mr|Mrs|Ms|Prof|St|Jr|Sr|vs|etc|Inc|Ltd|Co|No|Fig|al))"
+    r"(?<!\b[A-Za-z])[.!?]+(?!\d)"
+)
+
+
 def sentence_split(
-    df: DataFrame, id_col: str, text_col: str,
+    df: DataFrame, id_col: str, text_col: str, abbrev_safe: bool = False,
 ) -> DataFrame:
     """Explode documents into (id, sent_idx, sentence) rows on terminal
     punctuation — the finer-grained sibling of chunk_documents for
@@ -1187,15 +1197,21 @@ def sentence_split(
     sent_idx is 1-based document order. Scan-side split + one explode,
     zero shuffle.
 
-    LIMITATION: [.!?]+ is a punctuation rule, not a linguistic
-    segmenter — it splits on abbreviations ("Dr. Smith" → "Dr" /
-    "Smith") and inside decimals ("3.14" → "3" / "14"). That is the
-    deliberate cross-engine contract (deterministic, oracle-
-    reproducible); do not feed it prose where abbreviation-accurate
-    boundaries matter."""
+    LIMITATION: the default [.!?]+ is a punctuation rule, not a
+    linguistic segmenter — it splits on abbreviations ("Dr. Smith" →
+    "Dr" / "Smith") and inside decimals ("3.14" → "3" / "14"). That is
+    the deliberate cross-engine contract (deterministic, oracle-
+    reproducible). ``abbrev_safe=True`` opts into a lookbehind/
+    lookahead rule that keeps common abbreviations, single-letter
+    initials, and decimals intact (still scan-side, still
+    deterministic; tradeoff: a sentence genuinely ending in a
+    single-letter word — "plan B." — no longer splits there). The two
+    modes agree on abbreviation- and decimal-free text (property
+    tested)."""
     c = F.col(text_col)
+    boundary = _ABBREV_SAFE_BOUNDARY if abbrev_safe else r"[.!?]+"
     parts = F.filter(
-        F.transform(F.split(c, r"[.!?]+"), lambda s: F.trim(s)),
+        F.transform(F.split(c, boundary), lambda s: F.trim(s)),
         lambda s: F.length(s) > 0,
     )
     return df.select(
