@@ -262,6 +262,15 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "num_outliers": lambda s, d: numeric.flag_outliers(
             _t(s, d, "customer"), "c_acctbal", "zscore", 2.0
         ).select("c_custkey", "c_acctbal_outlier"),
+        "num_mad": lambda s, d: numeric.flag_outliers(
+            _t(s, d, "customer"), "c_acctbal", "mad", 3.5
+        ).select("c_custkey", "c_acctbal_outlier"),
+        "num_qbins": lambda s, d: numeric.quantile_bins(
+            _t(s, d, "customer"), "c_acctbal", 10
+        ).select("c_custkey", "c_acctbal_bin"),
+        "text_entropy": lambda s, d: text.char_entropy(
+            docs(s, d), "doc_id", "text"
+        ).select("doc_id", "char_entropy"),
         "num_scale": lambda s, d: numeric.scale_column(
             _t(s, d, "customer"), "c_acctbal", "minmax"
         ).select("c_custkey", "c_acctbal_scaled"),
@@ -447,6 +456,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "entity_match": o.entity_match_sql(2),
         "entity_match_against": o.entity_match_against_sql(2),
         "num_outliers": o.flag_outliers_sql("c_acctbal", "zscore", 2.0),
+        "num_mad": o.flag_outliers_sql("c_acctbal", "mad", 3.5),
+        "num_qbins": o.quantile_bins_sql("c_acctbal", 10),
+        "text_entropy": o.char_entropy_sql(),
         "num_scale": o.scale_column_sql("c_acctbal", "minmax"),
         "num_winsorize": o.winsorize_sql("c_acctbal", 0.05, 0.95),
         "text_readability": o.readability_sql(),
@@ -686,6 +698,9 @@ _R8_WINDOW = [
     "dedup_sentences",
     # new this round
     "entity_match_against",
+    "num_mad",
+    "num_qbins",
+    "text_entropy",
     # code paths changed this round (checkpoint lifecycle / blocking
     # rewrite / staged norm / plan-shape fixes)
     "entity_match",
@@ -724,10 +739,7 @@ _R8_WINDOW = [
     "corpus_report",
     "ann_rrf_fuse",
     "text_bm25_topk",
-    "shuffle_shards",
-    "split_by_cluster",
     "num_scale",
-    "text_chunk",
     "sample_budget",
 ]
 

@@ -1717,6 +1717,79 @@ def test_numeric_outliers_and_scaling(spark):
         numeric.flag_outliers(df, "v", "nope")
 
 
+def test_numeric_mad_outliers(spark):
+    from wrangler_spark.datapipe import numeric
+
+    # zscore's weakness is MAD's point: ONE huge outlier inflates the
+    # stddev; the median/MAD threshold doesn't move
+    rows = [(i, 10.0 + (i % 5) * 0.5) for i in range(1, 21)] + [(50, 1000.0), (60, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    m = {r["id"]: r["v_outlier"] for r in numeric.flag_outliers(df, "v", "mad", 3.5).collect()}
+    assert m[50] is True and m[60] is False and not any(m[i] for i in range(1, 21))
+    # constant column: MAD = 0 -> nothing flags (never divides/overflows)
+    const = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, v double")
+    c = {r["id"]: r["v_outlier"] for r in numeric.flag_outliers(const, "v", "mad").collect()}
+    assert c == {1: False, 2: False}
+    # approx path agrees on this tiny frame
+    a = {r["id"]: r["v_outlier"] for r in
+         numeric.flag_outliers(df, "v", "mad", 3.5, exact=False).collect()}
+    assert a == m
+
+
+def test_quantile_bins(spark):
+    from wrangler_spark.datapipe import numeric
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)] + [(999, None)], "id long, v double"
+    )
+    b = {r["id"]: r["v_bin"] for r in numeric.quantile_bins(df, "v", 4).collect()}
+    assert b[1] == 1 and b[100] == 4 and b[999] is None
+    assert b[25] == 1 and b[26] == 2      # on-boundary value -> LOWER bin
+    assert b[50] == 2 and b[51] == 3 and b[75] == 3 and b[76] == 4
+    # every bin index 1..4 occupied, quartiles balanced
+    from collections import Counter
+    sizes = Counter(v for k, v in b.items() if v is not None)
+    assert set(sizes) == {1, 2, 3, 4} and max(sizes.values()) - min(sizes.values()) <= 1
+    # constant column: all boundaries equal -> everything in bin 1
+    const = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, v double")
+    cb = {r["id"]: r["v_bin"] for r in numeric.quantile_bins(const, "v", 4).collect()}
+    assert cb == {1: 1, 2: 1}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        numeric.quantile_bins(df, "v", 1)
+
+
+def test_char_entropy(spark):
+    from wrangler_spark.datapipe import text as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),            # one symbol -> 0 bits
+            (2, "abab"),            # two equiprobable -> 1 bit
+            (3, "abcd"),            # four equiprobable -> 2 bits
+            (4, ""),                # no distribution -> null
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    e = {r["doc_id"]: r["char_entropy"] for r in
+         t.char_entropy(df, "doc_id", "text").collect()}
+    assert e[1] == 0.0 and e[2] == 1.0 and e[3] == 2.0
+    assert e[4] is None and e[5] is None
+
+
+def test_quantile_bins_char_entropy_directives(spark):
+    from wrangler_spark import Pipeline
+
+    df = spark.createDataFrame(
+        [(i, float(i), "abab") for i in range(1, 9)], ["id", "v", "text"]
+    )
+    out = Pipeline.compile("quantile-bins :v 2\nchar-entropy :id :text").apply(df)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["v_bin"] == 1 and rows[8]["v_bin"] == 2
+    assert rows[1]["char_entropy"] == 1.0
+
+
 def test_numeric_directives(spark):
     from wrangler_spark import Pipeline
 
@@ -1780,6 +1853,37 @@ def test_sentence_split(spark):
     assert (1, 1, "First one") in got and (1, 2, "Second") in got and (1, 3, "Third") in got
     assert (2, 1, "no terminal punctuation") in got
     assert all(d != 3 for d, _, _ in got)      # empty doc yields nothing
+
+
+def test_sentence_split_abbrev_safe(spark):
+    from wrangler_spark.datapipe import curation
+
+    df = spark.createDataFrame(
+        [
+            (1, "Dr. Smith went home. He slept."),
+            (2, "Pi is 3.14 exactly. Next sentence!"),
+            (3, "We saw J. R. Tolkien. Then left."),
+            (4, "See e.g. the appendix. Done."),
+        ],
+        ["doc_id", "text"],
+    )
+    got = [(r["doc_id"], r["sentence"]) for r in
+           curation.sentence_split(df, "doc_id", "text", abbrev_safe=True).collect()]
+    assert (1, "Dr. Smith went home") in got and (1, "He slept") in got
+    assert (2, "Pi is 3.14 exactly") in got
+    assert (3, "We saw J. R. Tolkien") in got
+    assert (4, "See e.g. the appendix") in got
+    # property: the two modes agree wherever no abbreviation/initial/
+    # decimal is in play (the opt-in only ADDS suppressed boundaries)
+    plain = spark.createDataFrame(
+        [(1, "One here. Two there! Three? And four."), (2, "no punctuation"), (3, "")],
+        ["doc_id", "text"],
+    )
+    a = sorted((r["doc_id"], r["sent_idx"], r["sentence"]) for r in
+               curation.sentence_split(plain, "doc_id", "text").collect())
+    b = sorted((r["doc_id"], r["sent_idx"], r["sentence"]) for r in
+               curation.sentence_split(plain, "doc_id", "text", abbrev_safe=True).collect())
+    assert a == b
 
 
 def test_sentence_dedup(spark):

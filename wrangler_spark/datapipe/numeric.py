@@ -32,8 +32,12 @@ def flag_outliers(
     """Flag numeric outliers: ``zscore`` marks |x - mean| > k·stddev
     (population stddev, the classic 3-sigma rule), ``iqr`` marks values
     outside [Q1 - k·IQR, Q3 + k·IQR] (Tukey's fences, k=1.5 customary —
-    pass it explicitly). Adds ``<col>_outlier`` boolean; nulls flag
-    false (a missing value is a missingness problem, not an outlier).
+    pass it explicitly), ``mad`` marks |x - median| > k·1.4826·MAD
+    (median absolute deviation with the normal-consistency constant —
+    Iglewicz & Hoaglin's robust rule, k=3.5 customary; unlike zscore,
+    a 50% contamination cannot drag the threshold). Adds
+    ``<col>_outlier`` boolean; nulls flag false (a missing value is a
+    missingness problem, not an outlier).
 
     Quartiles are exact type-7 percentiles (the lp-buckets contract) so
     the DuckDB oracle reproduces them bit-for-bit; ``exact=False``
@@ -58,8 +62,24 @@ def flag_outliers(
             (c < F.col("__q1") - F.lit(float(k)) * iqr)
             | (c > F.col("__q3") + F.lit(float(k)) * iqr)
         )
+    elif method == "mad":
+        # two sequential broadcast-scalar aggregates (median, then the
+        # median of |x - median|) — two corpus scans, zero corpus
+        # shuffle, same shape per pass as the other methods
+        med = df.agg(_pctl(col, 0.5, exact, accuracy).alias("__med"))
+        stats = (
+            df.crossJoin(F.broadcast(med))
+            .select(F.col("__med"), F.abs(c - F.col("__med")).alias("__dev"))
+            .agg(
+                F.min("__med").alias("__med"),
+                _pctl("__dev", 0.5, exact, accuracy).alias("__mad"),
+            )
+        )
+        flag = c.isNotNull() & (F.col("__mad") > 0) & (
+            F.abs(c - F.col("__med")) > F.lit(float(k)) * F.lit(1.4826) * F.col("__mad")
+        )
     else:
-        raise ValueError(f"unknown outlier method: {method!r} (zscore|iqr)")
+        raise ValueError(f"unknown outlier method: {method!r} (zscore|iqr|mad)")
     joined = df.crossJoin(F.broadcast(stats))
     return joined.withColumn(out_col, flag).drop(*stats.columns)
 
@@ -115,3 +135,49 @@ def winsorize_column(
     return df.crossJoin(F.broadcast(stats)).withColumn(out_col, clipped).drop(
         "__plo", "__phi"
     )
+
+
+def quantile_bins(
+    df: DataFrame, col: str, n_bins: int = 10, out_col: str | None = None,
+    exact: bool = True, accuracy: int = 10000,
+) -> DataFrame:
+    """Equi-depth binning: assign each value its quantile bucket 1..n
+    (deciles by default) — the distribution-aware companion to the
+    reference's fixed-range `quantize` directive (ref: Quantization.java
+    takes explicit range:label pairs; here the ranges come from the data).
+    The standard move before stratified sampling by popularity, mixture
+    weighting by score, or histogram reporting at 100 TB.
+
+    Bin b = 1 + #{boundaries < x} with boundaries at the i/n percentiles
+    (i = 1..n-1, type-7 exact by default — the cross-engine contract;
+    ``exact=False`` for bounded-state approx_percentile at extreme
+    scale). Strictly-less comparison puts a value sitting exactly ON a
+    boundary in the LOWER bin; equal boundary values (low-cardinality
+    columns) collapse those bins to the lowest index, never dropping a
+    row. Nulls stay null. One aggregate for the n-1 boundary scalars
+    (broadcast), then a pure scan-side fold — zero corpus shuffle."""
+    n = int(n_bins)
+    if n < 2:
+        raise ValueError("n_bins must be >= 2")
+    out_col = out_col or f"{col}_bin"
+    c = F.col(col).cast("double")
+    ps = [i / n for i in range(1, n)]
+    if exact:
+        bounds = F.expr(f"percentile({col}, array({', '.join(str(p) for p in ps)}))")
+    else:
+        bounds = F.expr(
+            f"approx_percentile({col}, array({', '.join(str(p) for p in ps)}), {int(accuracy)})"
+        )
+    stats = df.agg(bounds.alias("__bounds"))
+    bin_expr = F.when(
+        c.isNotNull(),
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("__bounds"),
+                F.lit(0),
+                lambda acc, b: acc + F.when(b < c, 1).otherwise(0),
+            )
+        ).cast("int"),
+    )
+    return df.crossJoin(F.broadcast(stats)).withColumn(out_col, bin_expr).drop("__bounds")

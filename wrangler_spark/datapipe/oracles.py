@@ -1410,6 +1410,15 @@ SELECT {id_col}, ({col} IS NOT NULL AND sd > 0 AND abs({col} - m) > {float(k)} *
        AS {col}_outlier
 FROM {table} CROSS JOIN s
 """
+    if method == "mad":
+        return f"""
+WITH m AS (SELECT quantile_cont({col}, 0.5) AS med FROM {table}),
+s AS (SELECT min(med) AS med, quantile_cont(abs({col} - med), 0.5) AS mad
+      FROM {table} CROSS JOIN m)
+SELECT {id_col}, ({col} IS NOT NULL AND mad > 0
+       AND abs({col} - med) > {float(k)} * 1.4826 * mad) AS {col}_outlier
+FROM {table} CROSS JOIN s
+"""
     return f"""
 WITH s AS (SELECT quantile_cont({col}, 0.25) AS q1, quantile_cont({col}, 0.75) AS q3 FROM {table})
 SELECT {id_col}, ({col} IS NOT NULL AND
@@ -1454,6 +1463,46 @@ SELECT {id_col},
             THEN round(least(greatest(CAST({col} AS DOUBLE), plo), phi), 6) END
        AS {col}_wins
 FROM {table} CROSS JOIN s
+"""
+
+
+def quantile_bins_sql(
+    col: str = "c_acctbal", n_bins: int = 10,
+    table: str = "customer", id_col: str = "c_custkey",
+) -> str:
+    """Mirror of numeric.quantile_bins (graded: id, bin). Boundaries as
+    n-1 quantile_cont scalars; bin = 1 + #{boundaries strictly < x}."""
+    n = int(n_bins)
+    bounds = ", ".join(
+        f"quantile_cont({col}, {i / n}) AS b{i}" for i in range(1, n)
+    )
+    hits = " + ".join(
+        f"(CASE WHEN b{i} < {col} THEN 1 ELSE 0 END)" for i in range(1, n)
+    )
+    return f"""
+WITH s AS (SELECT {bounds} FROM {table})
+SELECT {id_col},
+       CASE WHEN {col} IS NOT NULL THEN CAST(1 + {hits} AS INT) END AS {col}_bin
+FROM {table} CROSS JOIN s
+"""
+
+
+def char_entropy_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """Mirror of text.char_entropy: per-character count terms integerized
+    to micro-units before the per-doc sum (the shared determinism
+    contract), entropy = log2(N) - S/(N*1e6); charless docs → NULL."""
+    return f"""
+WITH ch AS (
+  SELECT t.{id_col} AS id, u.ch
+  FROM {table} t, unnest(string_split(t.text, '')) AS u(ch)
+  WHERE length(u.ch) > 0
+),
+cnt AS (SELECT id, ch, count(*) AS c FROM ch GROUP BY id, ch),
+e AS (SELECT id, sum(c) AS n,
+             sum(CAST(round(c * log2(c) * 1e6) AS BIGINT)) AS s
+      FROM cnt GROUP BY id)
+SELECT t.{id_col}, round(log2(e.n) - e.s / (e.n * 1e6), 6) AS char_entropy
+FROM {table} t LEFT JOIN e ON t.{id_col} = e.id
 """
 
 

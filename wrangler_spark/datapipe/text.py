@@ -876,3 +876,48 @@ def readability(
         .withColumn("flesch_ease", F.when(c.isNotNull(), ease))
         .withColumn("fk_grade", F.when(c.isNotNull(), grade))
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "char_entropy",
+) -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution — the cheap degenerate-text detector: keyboard mash,
+    repeated padding, and single-char runs score near 0, natural English
+    prose ~4.0-4.5, uniform random noise → log2(alphabet). The standard
+    pre-filter before heavier quality models (a corpus-scale histogram
+    of this column finds encoding disasters in one pass). Adds
+    ``out_col`` (6dp); null/empty text → null (no distribution).
+
+    Cross-engine determinism (the repo's integer contract): entropy is
+    computed as log2(N) − (Σ_ch c·log2(c)·1e6 rounded to long) / (N·1e6)
+    — each per-character term integerizes BEFORE the per-doc sum, so
+    engine aggregation order cannot drift the 6dp rounding.
+
+    Scale shape: one explode to (id, char) rows, one hash aggregate on
+    (id, char), one on id — two bounded shuffles whose width is the
+    alphabet per doc, never quadratic; the final left join is on the
+    corpus' own id key."""
+    chars = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(F.split(F.col(text_col), "")).alias("__ch"),
+    ).filter(F.length("__ch") > 0)
+    counts = chars.groupBy("__id", "__ch").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ent = (
+        counts.groupBy("__id")
+        .agg(
+            F.sum("c").alias("__n"),
+            F.sum(
+                F.round(F.col("c").cast("double") * F.log2("c") * F.lit(1e6)).cast("long")
+            ).alias("__s"),
+        )
+        .select(
+            "__id",
+            F.round(
+                F.log2("__n")
+                - F.col("__s").cast("double") / (F.col("__n").cast("double") * F.lit(1e6)),
+                6,
+            ).alias(out_col),
+        )
+    )
+    return df.join(ent, F.col(id_col) == F.col("__id"), "left").drop("__id")

@@ -743,8 +743,9 @@ class DedupTemplate(Directive):
 
 @directive
 class FlagOutliers(Directive):
-    """flag-outliers :col [method] [k] — z-score (default, k=3) or IQR
-    (Tukey, pass k=1.5) outlier flag → <col>_outlier."""
+    """flag-outliers :col [method] [k] — z-score (default, k=3), IQR
+    (Tukey, pass k=1.5), or MAD (robust modified z-score, pass k=3.5)
+    outlier flag → <col>_outlier."""
 
     name = "flag-outliers"
     usage = [
@@ -797,6 +798,39 @@ class Winsorize(Directive):
         return winsorize_column(
             df, ctx.resolve(df, self.args["col"]),
             float(self.args["lo"]), float(self.args["hi"]),
+        )
+
+
+@directive
+class QuantileBins(Directive):
+    """quantile-bins :col [n] — equi-depth quantile bucket 1..n (deciles
+    by default) → <col>_bin."""
+
+    name = "quantile-bins"
+    usage = [
+        Arg("col", TokenType.COLUMN),
+        Arg("n", TokenType.NUMERIC, optional=True, default=10),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.numeric import quantile_bins
+
+        return quantile_bins(df, ctx.resolve(df, self.args["col"]), int(self.args["n"]))
+
+
+@directive
+class CharEntropy(Directive):
+    """char-entropy :id :text — Shannon entropy (bits/char) of each
+    document's character distribution → char_entropy."""
+
+    name = "char-entropy"
+    usage = [Arg("id", TokenType.COLUMN), Arg("text", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import char_entropy
+
+        return char_entropy(
+            df, ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"])
         )
 
 
