@@ -271,6 +271,14 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": lambda s, d: text.char_entropy(
             docs(s, d), "doc_id", "text"
         ).select("doc_id", "char_entropy"),
+        "text_top_ngrams": lambda s, d: text.top_ngrams(
+            docs(s, d), "doc_id", "text", 3, 20
+        ),
+        "corpus_drift": lambda s, d: curation.distribution_drift(
+            _t(s, d, "customer").filter(F.col("c_custkey") % 3 != 0),
+            _t(s, d, "customer").filter(F.col("c_custkey") % 3 == 0),
+            "c_acctbal", 10,
+        ),
         "num_scale": lambda s, d: numeric.scale_column(
             _t(s, d, "customer"), "c_acctbal", "minmax"
         ).select("c_custkey", "c_acctbal_scaled"),
@@ -459,6 +467,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_mad": o.flag_outliers_sql("c_acctbal", "mad", 3.5),
         "num_qbins": o.quantile_bins_sql("c_acctbal", 10),
         "text_entropy": o.char_entropy_sql(),
+        "text_top_ngrams": o.top_ngrams_sql(3, 20),
+        "corpus_drift": o.distribution_drift_sql("c_acctbal", 10),
         "num_scale": o.scale_column_sql("c_acctbal", "minmax"),
         "num_winsorize": o.winsorize_sql("c_acctbal", 0.05, 0.95),
         "text_readability": o.readability_sql(),
@@ -701,6 +711,8 @@ _R8_WINDOW = [
     "num_mad",
     "num_qbins",
     "text_entropy",
+    "text_top_ngrams",
+    "corpus_drift",
     # code paths changed this round (checkpoint lifecycle / blocking
     # rewrite / staged norm / plan-shape fixes)
     "entity_match",
@@ -739,8 +751,6 @@ _R8_WINDOW = [
     "corpus_report",
     "ann_rrf_fuse",
     "text_bm25_topk",
-    "num_scale",
-    "sample_budget",
 ]
 
 

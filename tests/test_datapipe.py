@@ -1778,6 +1778,55 @@ def test_char_entropy(spark):
     assert e[4] is None and e[5] is None
 
 
+def test_top_ngrams(spark):
+    from wrangler_spark.datapipe import text as t
+
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [(1, f"Real prose one. {boiler}."),
+         (2, f"{boiler} today"),
+         (3, f"{boiler} now and {boiler} again"),
+         (4, "completely different text"),
+         (5, "")],
+        ["doc_id", "text"],
+    )
+    out = t.top_ngrams(df, "doc_id", "text", n=3, k=5).collect()
+    top = out[0]
+    # "subscribe to our" / "to our newsletter": 4 occurrences in 3 docs;
+    # ties order by gram asc
+    assert top["ngram"] == "subscribe to our"
+    assert top["n_occurrences"] == 4 and top["n_docs"] == 3
+    assert out[1]["ngram"] == "to our newsletter"
+    assert len(out) == 5
+    # directive round-trip
+    from wrangler_spark import Pipeline
+
+    d = Pipeline.compile("top-ngrams :doc_id :text 3 2").apply(df)
+    assert d.count() == 2
+
+
+def test_distribution_drift(spark):
+    from wrangler_spark.datapipe import curation
+
+    ref = spark.createDataFrame([(i, float(i % 100)) for i in range(1000)], "id long, v double")
+    same = spark.createDataFrame([(i, float(i % 100)) for i in range(500)], "id long, v double")
+    out = curation.distribution_drift(ref, same, "v", 10).collect()
+    assert len(out) == 10 and {r["bin"] for r in out} == set(range(1, 11))
+    psi_same = sum(r["psi_term"] for r in out)
+    assert abs(psi_same) < 0.01                       # identical distribution -> ~0
+    # shifted distribution: everything lands in the top bins
+    shifted = spark.createDataFrame([(i, 95.0 + (i % 5)) for i in range(500)], "id long, v double")
+    out2 = curation.distribution_drift(ref, shifted, "v", 10).collect()
+    psi_shift = sum(r["psi_term"] for r in out2)
+    assert psi_shift > 0.25                           # the published "drifted" bar
+    empty_bins = [r for r in out2 if r["cur_count"] == 0]
+    assert len(empty_bins) >= 8                        # occupancy collapsed to the edge
+    # nulls excluded, never counted
+    withnull = spark.createDataFrame([(1, None), (2, 50.0)], "id long, v double")
+    out3 = curation.distribution_drift(ref, withnull, "v", 10).collect()
+    assert sum(r["cur_count"] for r in out3) == 1
+
+
 def test_quantile_bins_char_entropy_directives(spark):
     from wrangler_spark import Pipeline
 

@@ -1275,3 +1275,80 @@ def sentence_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
         )
     )
+
+
+def distribution_drift(
+    ref: DataFrame, cur: DataFrame, col: str, n_bins: int = 10,
+    exact: bool = True, accuracy: int = 10000,
+) -> DataFrame:
+    """Population Stability Index between a REFERENCE corpus and the
+    CURRENT batch over a numeric column (quality score, token count,
+    perplexity): bin both by the reference's equi-depth quantile
+    boundaries and compare occupancy. Returns one row per bin —
+    (bin, ref_count, cur_count, ref_frac, cur_frac, psi_term) — and
+    sum(psi_term) is the PSI, with the published operating rule:
+    < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 drifted (investigate
+    before training). The standard production-ML ingestion-monitoring
+    check: a new crawl snapshot whose quality distribution drifts gets
+    caught HERE, one aggregate row per bin, before it pollutes a mixture.
+
+    Boundaries come from the reference only (that is the point — "has
+    the new data moved relative to what we trained on"); current values
+    outside the reference range land in the edge bins, exactly where
+    drift should surface. Nulls are excluded from both sides.
+    Determinism: fractions round to 6dp BEFORE the psi term, and the
+    term smooths zero-occupancy with a 1e-6 floor (PSI's standard
+    epsilon — an empty bin is strong drift signal, not an infinity).
+
+    Scale shape: one aggregate on the reference for the n-1 boundary
+    scalars (broadcast), one scan-side bin fold + one count aggregate
+    per side (bins rows, not corpus rows), one n-row outer join."""
+    n = int(n_bins)
+    if n < 2:
+        raise ValueError("n_bins must be >= 2")
+    c = F.col(col).cast("double")
+    ps = [i / n for i in range(1, n)]
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {int(accuracy)}"
+    bounds = F.expr(f"{fn}({col}, array({', '.join(str(p) for p in ps)}){acc})")
+    stats = ref.agg(bounds.alias("__bounds"))
+    bin_of = (
+        F.lit(1)
+        + F.aggregate(
+            F.col("__bounds"), F.lit(0), lambda acc_, b: acc_ + F.when(b < c, 1).otherwise(0)
+        )
+    ).cast("int")
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.filter(c.isNotNull())
+            .crossJoin(F.broadcast(stats))
+            .select(bin_of.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    r, u = binned(ref, "ref_count"), binned(cur, "cur_count")
+    joined = (
+        r.join(u, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("ref_count", F.lit(0)).cast("long").alias("ref_count"),
+            F.coalesce("cur_count", F.lit(0)).cast("long").alias("cur_count"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("ref_count").alias("__rt"), F.sum("cur_count").alias("__ct")
+    )
+    rf = F.round(F.col("ref_count") / F.greatest(F.col("__rt"), F.lit(1)), 6)
+    cf = F.round(F.col("cur_count") / F.greatest(F.col("__ct"), F.lit(1)), 6)
+    out = joined.crossJoin(F.broadcast(totals)).select(
+        "bin", "ref_count", "cur_count",
+        rf.alias("ref_frac"), cf.alias("cur_frac"),
+    )
+    rs = F.greatest(F.col("ref_frac"), F.lit(1e-6))
+    cs = F.greatest(F.col("cur_frac"), F.lit(1e-6))
+    return out.withColumn(
+        "psi_term",
+        F.round((F.col("ref_frac") - F.col("cur_frac")) * F.log(rs / cs), 6),
+    )

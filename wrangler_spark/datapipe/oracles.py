@@ -1506,6 +1506,61 @@ FROM {table} t LEFT JOIN e ON t.{id_col} = e.id
 """
 
 
+def top_ngrams_sql(n: int = 3, k: int = 20, table: str = "documents") -> str:
+    """Mirror of text.top_ngrams: shared normalization, n-gram unnest,
+    count + doc-frequency, deterministic (count desc, gram asc) top-k."""
+    nn = int(n)
+    return f"""
+WITH norm AS (SELECT doc_id AS id, {_NORM} AS t FROM {table}),
+wrd AS (SELECT id, string_split(t, ' ') AS w FROM norm),
+g AS (
+  SELECT id,
+         unnest([array_to_string(w[i:i+{nn - 1}], ' ')
+                 FOR i IN range(1, len(w) - {nn - 2})]) AS ngram
+  FROM wrd WHERE len(w) >= {nn}
+)
+SELECT ngram, count(*) AS n_occurrences, count(DISTINCT id) AS n_docs
+FROM g WHERE ngram <> '' GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC LIMIT {int(k)}
+"""
+
+
+def distribution_drift_sql(
+    col: str = "c_acctbal", n_bins: int = 10,
+    table: str = "customer", id_col: str = "c_custkey",
+) -> str:
+    """Mirror of curation.distribution_drift on the graded split (ref =
+    id % 3 <> 0, cur = id % 3 = 0): reference-quantile bins, per-bin
+    occupancy, 6dp-rounded fractions feeding the smoothed PSI term."""
+    n = int(n_bins)
+    bounds = ", ".join(f"quantile_cont(v, {i / n}) AS b{i}" for i in range(1, n))
+    hits = " + ".join(f"(CASE WHEN b{i} < v THEN 1 ELSE 0 END)" for i in range(1, n))
+    return f"""
+WITH ref AS (SELECT CAST({col} AS DOUBLE) AS v FROM {table}
+             WHERE {id_col} % 3 <> 0 AND {col} IS NOT NULL),
+cur AS (SELECT CAST({col} AS DOUBLE) AS v FROM {table}
+        WHERE {id_col} % 3 = 0 AND {col} IS NOT NULL),
+s AS (SELECT {bounds} FROM ref),
+rb AS (SELECT CAST(1 + {hits} AS INT) AS bin, count(*) AS ref_count
+       FROM ref CROSS JOIN s GROUP BY 1),
+cb AS (SELECT CAST(1 + {hits} AS INT) AS bin, count(*) AS cur_count
+       FROM cur CROSS JOIN s GROUP BY 1),
+j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+             coalesce(ref_count, 0) AS ref_count,
+             coalesce(cur_count, 0) AS cur_count
+      FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+t AS (SELECT sum(ref_count) AS rt, sum(cur_count) AS ct FROM j),
+f AS (SELECT bin, ref_count, cur_count,
+             round(ref_count / greatest(rt, 1), 6) AS ref_frac,
+             round(cur_count / greatest(ct, 1), 6) AS cur_frac
+      FROM j CROSS JOIN t)
+SELECT bin, ref_count, cur_count, ref_frac, cur_frac,
+       round((ref_frac - cur_frac)
+             * ln(greatest(ref_frac, 1e-6) / greatest(cur_frac, 1e-6)), 6) AS psi_term
+FROM f
+"""
+
+
 def readability_sql(table: str = "documents") -> str:
     """Mirror of text.readability (graded projection: doc_id, counts +
     both scores)."""

@@ -921,3 +921,56 @@ def char_entropy(
         )
     )
     return df.join(ent, F.col(id_col) == F.col("__id"), "left").drop("__id")
+
+
+def top_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 20,
+) -> DataFrame:
+    """Corpus-level n-gram heavy hitters: the ``k`` most frequent word
+    n-grams with occurrence and document counts — the boilerplate
+    DISCOVERY step (cookie banners, nav bars, license headers show up
+    as top trigrams long before any dedup pass), and the input a human
+    reviews before writing keyword_tag / template_dedup rules. Returns
+    (ngram, n_occurrences, n_docs) ordered by count desc with the gram
+    text as the deterministic tiebreak.
+
+    Scale shape: gram construction is scan-side (the same nested
+    lambda-binding idiom as winnow_fingerprints — the split/normalize
+    chain materializes once per row and can never be inlined into the
+    per-gram lambda), one hash aggregate on the gram, then a
+    distributed sort-limit (TakeOrdered: each partition keeps its local
+    top-k, the driver merges P·k rows — never a global sort of the gram
+    table). Normalization is the shared dedup contract
+    (lower/trim/whitespace-collapse)."""
+    nn = int(n)
+    if nn < 1:
+        raise ValueError("n must be >= 1")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = F.split(norm, " ")
+    grams = F.element_at(
+        F.transform(
+            F.array(words),
+            lambda wd: F.when(
+                F.size(wd) >= nn,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(wd) - (nn - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(wd, i + j) for j in range(nn)]
+                    ),
+                ),
+            ),
+        ),
+        1,
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("__id"), F.explode_outer(grams).alias("ngram"))
+        .filter(F.col("ngram").isNotNull() & (F.col("ngram") != ""))
+    )
+    counts = exploded.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("__id").cast("long").alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram").asc()
+    ).limit(int(k))
+

@@ -835,6 +835,29 @@ class CharEntropy(Directive):
 
 
 @directive
+class TopNgrams(Directive):
+    """top-ngrams :id :text [n] [k] — corpus heavy hitters: the k most
+    frequent word n-grams with occurrence + document counts (boilerplate
+    discovery)."""
+
+    name = "top-ngrams"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("n", TokenType.NUMERIC, optional=True, default=3),
+        Arg("k", TokenType.NUMERIC, optional=True, default=20),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import top_ngrams
+
+        return top_ngrams(
+            df, ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"]),
+            int(self.args["n"]), int(self.args["k"]),
+        )
+
+
+@directive
 class Readability(Directive):
     """readability :text — Flesch reading-ease + FK grade columns."""
 
