@@ -296,6 +296,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d).filter(F.col("doc_id") % 3 == 0),
             "doc_id", "text",
         ),
+        "dedup_overlap": lambda s, d: dedup.overlap_pairs(
+            docs(s, d), "doc_id", "text", 3, 0.8
+        ),
         "dedup_cross_minhash": lambda s, d: dedup.minhash_pairs_against(
             docs(s, d).filter(F.col("doc_id") % 3 != 0),
             docs(s, d).filter(F.col("doc_id") % 3 == 0),
@@ -463,6 +466,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_cross_exact": o.exact_dedup_against_sql(3),
         "entity_match": o.entity_match_sql(2),
         "entity_match_against": o.entity_match_against_sql(2),
+        "dedup_overlap": o.overlap_pairs_sql(3, 0.8),
         "num_outliers": o.flag_outliers_sql("c_acctbal", "zscore", 2.0),
         "num_mad": o.flag_outliers_sql("c_acctbal", "mad", 3.5),
         "num_qbins": o.quantile_bins_sql("c_acctbal", 10),
@@ -713,6 +717,7 @@ _R8_WINDOW = [
     "text_entropy",
     "text_top_ngrams",
     "corpus_drift",
+    "dedup_overlap",
     # code paths changed this round (checkpoint lifecycle / blocking
     # rewrite / staged norm / plan-shape fixes)
     "entity_match",
@@ -745,7 +750,6 @@ _R8_WINDOW = [
     "sample_mixture",
     "sample_domain_cap",
     "text_readability",
-    "text_c4_quality",
     "keyword_tag",
     "corpus_diff",
     "corpus_report",

@@ -1778,6 +1778,38 @@ def test_char_entropy(spark):
     assert e[4] is None and e[5] is None
 
 
+def test_overlap_pairs_containment(spark):
+    """The case Jaccard structurally misses: a short doc fully embedded
+    in a much longer one has Jaccard ~ |A|/|B| but overlap_coef 1.0."""
+    quote = "the quick brown fox jumps over the lazy dog near the river bank"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, quote),                       # short doc
+            (2, f"{filler} {quote}"),         # long doc CONTAINING it
+            (3, "completely unrelated words about something else entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in
+           dedup.overlap_pairs(df, "doc_id", "text", n=3, threshold=0.8,
+                               max_gram_df=None).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["overlap_coef"] == 1.0 and r["containment_a"] == 1.0
+    assert r["containment_b"] < 0.5           # asymmetry visible
+    assert all(3 not in p for p in out)
+    # the same pair is far below any useful Jaccard threshold
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5,
+                                    max_gram_df=None).collect()
+    assert not any({p["id_a"], p["id_b"]} == {1, 2} for p in jac)
+    # directive round-trip
+    from wrangler_spark import Pipeline
+
+    d = Pipeline.compile("dedup-overlap :doc_id :text 3 0.8").apply(df)
+    assert d.count() >= 1
+
+
 def test_top_ngrams(spark):
     from wrangler_spark.datapipe import text as t
 

@@ -297,6 +297,58 @@ def minhash_dedup(
     )
 
 
+def _gram_hash_base(
+    df: DataFrame, id_col: str, text_col: str, n: int, unit: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared n-gram → 28-bit-hash-set front end for the gram-set
+    similarity family (ngram_jaccard_pairs, overlap_pairs): returns
+    (base = (id, grams: array<int> distinct hashes), staged = the
+    normalized pre-gram frame, kept for corpus-relative cap scalars).
+
+    EVERYTHING downstream works in 28-bit HASH space: the grams are
+    hashed (and re-deduped — two strings may collide) right here, so
+    df counts, stop caps, prefix/size filters, and the final score all
+    measure the SAME sets. An earlier version computed sizes from
+    string-gram counts while scoring hashed sets — a hash collision
+    could make hash-similarity >= t with string-similarity < t, and the
+    string-space filters could then drop a pair the scoring space
+    admits (the "exact parity" claim only held collision-free).
+    Aligning the filter space with the scoring space restores the
+    PPJoin losslessness proof, and the int join keys are ~3x cheaper to
+    shuffle than 5-char strings. The normalized text is staged as its
+    own projection: it appears once per gram in the transform lambda
+    and Spark won't CSE it there (see shingles_of_words)."""
+    if unit not in ("char", "word"):
+        raise ValueError(f"unit must be 'char' or 'word', got {unit!r}")
+    staged = df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__t"))
+    txt = F.col("__t")
+    if unit == "char":
+        ln = F.length(txt)
+        grams = F.when(
+            ln >= n,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), ln - (n - 1)), lambda i: txt.substr(i, F.lit(n)))
+            ),
+        ).otherwise(F.array(txt))
+    else:
+        staged = staged.select("id", F.split(txt, " ").alias("__t"))
+        nw = F.size(txt)
+        grams = F.when(
+            nw >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), nw - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(txt, i, n)),
+                )
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", txt)))
+    base = staged.select(
+        F.col("id"),
+        F.array_distinct(F.transform(grams, _hash28)).alias("grams"),
+    )
+    return base, staged
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.6,
     max_gram_df: int | float | None = 0.5, unit: str = "word",
@@ -342,47 +394,7 @@ def ngram_jaccard_pairs(
     scalar); an int is still accepted as an absolute cap and None disables
     pruning. The df-count groupBy and the join back ride the same gram-key
     partitioning as the self-join."""
-    if unit not in ("char", "word"):
-        raise ValueError(f"unit must be 'char' or 'word', got {unit!r}")
-    # stage the normalized text: it appears once per gram in the transform
-    # lambda and Spark won't CSE it there (see shingles_of_words)
-    staged = df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__t"))
-    txt = F.col("__t")
-    if unit == "char":
-        ln = F.length(txt)
-        grams = F.when(
-            ln >= n,
-            F.array_distinct(
-                F.transform(F.sequence(F.lit(1), ln - (n - 1)), lambda i: txt.substr(i, F.lit(n)))
-            ),
-        ).otherwise(F.array(txt))
-    else:
-        staged = staged.select("id", F.split(txt, " ").alias("__t"))
-        nw = F.size(txt)
-        grams = F.when(
-            nw >= n,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), nw - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(txt, i, n)),
-                )
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", txt)))
-    # EVERYTHING downstream works in 28-bit HASH space: the grams are
-    # hashed (and re-deduped — two strings may collide) right here, so
-    # the df count, the stop cap, the prefix index, the size filter, and
-    # the final Jaccard all measure the SAME sets. An earlier version
-    # computed ng/prefix from string-gram counts while scoring hashed
-    # sets — a hash collision could make hash-Jaccard >= t with
-    # string-Jaccard < t, and the string-space prefix/size filters could
-    # then drop a pair the scoring space admits (the "exact parity"
-    # claim only held collision-free). Aligning the filter space with
-    # the scoring space restores the PPJoin losslessness proof, and the
-    # int join keys are ~3x cheaper to shuffle than 5-char strings.
-    base = staged.select(
-        F.col("id"),
-        F.array_distinct(F.transform(grams, _hash28)).alias("grams"),
-    )
+    base, staged = _gram_hash_base(df, id_col, text_col, n, unit)
     # the inverted index feeds FOUR consumers (df-count, prune join,
     # per-doc count, both sides of the self-join). Left lazy, every
     # consumer re-derives the explode AND InferFiltersFromGenerate plants
@@ -541,6 +553,121 @@ def ngram_jaccard_pairs(
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def overlap_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8,
+    max_gram_df: int | float | None = 0.25, unit: str = "word",
+) -> DataFrame:
+    """Overlap-coefficient near-dup pairs: Szymkiewicz–Simpson
+    |A∩B| / min(|A|,|B|) over the distinct n-gram hash sets, reported
+    with Broder's per-direction containments |A∩B|/|A| and |A∩B|/|B|.
+    This is the CONTAINMENT detector Jaccard structurally cannot be: a
+    short document fully embedded in a much longer one (quoted email
+    chains, article + commentary aggregations, doc re-released with an
+    appendix) has Jaccard ≈ |A|/|B| — arbitrarily small — while its
+    overlap coefficient is 1.0. Returns (id_a, id_b, overlap_coef,
+    containment_a, containment_b) for pairs with coefficient >=
+    ``threshold``; id_a < id_b; containment_a is how much of the
+    SMALLER-ID doc is contained in the other.
+
+    Scale shape: shares the 28-bit hash-space front end and stop-gram
+    cap with ngram_jaccard_pairs (``max_gram_df`` defaults LOWER, 0.25
+    corpus-relative — overlap joins admit more candidates than Jaccard
+    at the same gram frequencies, so the boilerplate cap carries more
+    of the pruning load). Candidate generation uses the overlap-join
+    prefix principle (Xiao et al.; the Bayardo prefix bound applied to
+    the SMALLER side): |A∩B| >= t·min(|A|,|B|) forces the smaller doc
+    to share a gram within the first |A| − ceil(t·|A|) + 1 of its
+    rarest-first-sorted kept hashes, so only that prefix is indexed and
+    joins against the FULL kept index of same-or-larger docs — sound
+    because containment puts no lower bound on the larger doc's size
+    (the Jaccard op's symmetric size filter would be UNSOUND here and
+    is deliberately absent). Each stage is an equi-join or hash
+    aggregate on the gram key; shared frames are checkpointed per the
+    repo rule."""
+    base, staged = _gram_hash_base(df, id_col, text_col, n, unit)
+    inv = eager_checkpoint(
+        base.select("id", F.explode_outer("grams").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    gdf = inv.groupBy("g").agg(F.countDistinct("id").alias("__gdf"))
+    if max_gram_df is not None:
+        if isinstance(max_gram_df, float):
+            cap = staged.select(
+                F.greatest(
+                    F.lit(2), F.ceil(F.lit(max_gram_df) * F.count("*"))
+                ).cast("long").alias("__cap")
+            )
+            keep = gdf.crossJoin(F.broadcast(cap)).filter(
+                F.col("__gdf") <= F.col("__cap")
+            ).select("g", "__gdf")
+        else:
+            keep = gdf.filter(F.col("__gdf") <= int(max_gram_df)).select("g", "__gdf")
+    else:
+        keep = gdf.select("g", "__gdf")
+    per_doc = (
+        inv.join(keep, "g")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("__gdf", "g"))).alias("sg"))
+        .withColumn("ng", F.size("sg"))
+        .withColumn("kept_h", F.transform("sg", lambda s: s["g"]))
+        .withColumn(
+            "prefix",
+            F.transform(
+                F.slice(
+                    "sg", 1, F.col("ng") - F.ceil(F.lit(threshold) * F.col("ng")).cast("int") + 1
+                ),
+                lambda s: s["g"],
+            ),
+        )
+        .select("id", "ng", "kept_h", "prefix")
+    )
+    per_doc = eager_checkpoint(per_doc)
+    prefix_index = per_doc.select("id", "ng", F.explode("prefix").alias("g"))
+    full_index = per_doc.select("id", "ng", F.explode("kept_h").alias("g"))
+    cand = (
+        prefix_index.alias("l")
+        .join(
+            full_index.alias("r"),
+            (F.col("l.g") == F.col("r.g"))
+            & (
+                (F.col("l.ng") < F.col("r.ng"))
+                | ((F.col("l.ng") == F.col("r.ng")) & (F.col("l.id") < F.col("r.id")))
+            ),
+        )
+        .select(
+            F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+            F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    pairs = (
+        cand.join(
+            per_doc.select(
+                F.col("id").alias("id_a"), F.col("kept_h").alias("ka"), F.col("ng").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            per_doc.select(
+                F.col("id").alias("id_b"), F.col("kept_h").alias("kb"), F.col("ng").alias("nb")
+            ),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("ka"), F.col("kb"))).cast("double")
+    coef = F.round(inter / F.least(F.col("na"), F.col("nb")).cast("double"), 6)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            coef.alias("overlap_coef"),
+            F.round(inter / F.col("na").cast("double"), 6).alias("containment_a"),
+            F.round(inter / F.col("nb").cast("double"), 6).alias("containment_b"),
+        )
+        .filter(F.col("overlap_coef") >= threshold)
     )
 
 

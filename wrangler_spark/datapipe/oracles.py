@@ -87,6 +87,25 @@ def ngram_jaccard_sql(
     which is provably complete for the same hash sets), and the score is
     Jaccard over the kept-hash sets — so parity is exact by construction,
     hash collisions included."""
+    return f"""
+WITH {_gram_hash_ctes(n, max_gram_df, table, unit)}
+SELECT id_a, id_b,
+  round(len(list_intersect(a.hs, b.hs))::DOUBLE
+        / len(list_distinct(list_concat(a.hs, b.hs)))::DOUBLE, 6) AS jaccard
+FROM cand JOIN hsets a ON cand.id_a = a.id JOIN hsets b ON cand.id_b = b.id
+WHERE round(len(list_intersect(a.hs, b.hs))::DOUBLE
+            / len(list_distinct(list_concat(a.hs, b.hs)))::DOUBLE, 6) >= {threshold}
+"""
+
+
+def _gram_hash_ctes(
+    n: int, max_gram_df: int | float | None, table: str, unit: str
+) -> str:
+    """Shared CTE chain for the hash-space n-gram similarity family
+    (jaccard, overlap): norm → grams → 28-bit hash inverted index →
+    optional stop-gram prune → per-doc hash sets + any-shared-gram
+    candidates (a lossless superset of the Spark side's prefix
+    filters, which are provably complete for the same hash sets)."""
     if max_gram_df is None:
         prune_ctes, inv_src = "", "inv0"
     else:
@@ -124,8 +143,7 @@ gr AS (
       ELSE [array_to_string(w, ' ')] END AS grams
   FROM wr
 )"""
-    return f"""
-WITH norm AS (SELECT doc_id AS id, {_NORM} AS t FROM {table}),
+    return f"""norm AS (SELECT doc_id AS id, {_NORM} AS t FROM {table}),
 {gr_cte},
 inv0 AS (SELECT DISTINCT id, {_H.format(s='g')} AS g
          FROM (SELECT id, unnest(grams) AS g FROM gr)),
@@ -135,13 +153,34 @@ inv0 AS (SELECT DISTINCT id, {_H.format(s='g')} AS g
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
   FROM {inv_src} l JOIN {inv_src} r ON l.g = r.g AND l.id < r.id
+)"""
+
+
+def overlap_pairs_sql(
+    n: int = 3,
+    threshold: float = 0.8,
+    max_gram_df: int | float | None = 0.25,
+    table: str = "documents",
+    unit: str = "word",
+) -> str:
+    """Mirror of dedup.overlap_pairs: same hash-space front end as
+    ngram_jaccard_sql; candidates = any shared kept hash (superset of
+    the Spark smaller-side prefix filter); score = overlap coefficient
+    with per-direction containments."""
+    return f"""
+WITH {_gram_hash_ctes(n, max_gram_df, table, unit)},
+scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(a.hs, b.hs))::DOUBLE AS inter,
+         len(a.hs)::DOUBLE AS la, len(b.hs)::DOUBLE AS lb
+  FROM cand JOIN hsets a ON cand.id_a = a.id JOIN hsets b ON cand.id_b = b.id
 )
 SELECT id_a, id_b,
-  round(len(list_intersect(a.hs, b.hs))::DOUBLE
-        / len(list_distinct(list_concat(a.hs, b.hs)))::DOUBLE, 6) AS jaccard
-FROM cand JOIN hsets a ON cand.id_a = a.id JOIN hsets b ON cand.id_b = b.id
-WHERE round(len(list_intersect(a.hs, b.hs))::DOUBLE
-            / len(list_distinct(list_concat(a.hs, b.hs)))::DOUBLE, 6) >= {threshold}
+       round(inter / least(la, lb), 6) AS overlap_coef,
+       round(inter / la, 6) AS containment_a,
+       round(inter / lb, 6) AS containment_b
+FROM scored
+WHERE round(inter / least(la, lb), 6) >= {threshold}
 """
 
 

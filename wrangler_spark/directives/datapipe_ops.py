@@ -497,6 +497,35 @@ class DedupNgram(Directive):
 
 
 @directive
+class DedupOverlap(Directive):
+    """dedup-overlap :id :text [n] [threshold] [unit] — overlap-coefficient
+    containment pairs (a short doc embedded in a longer one — the case
+    Jaccard structurally misses) → (id_a, id_b, overlap_coef,
+    containment_a, containment_b)."""
+
+    name = "dedup-overlap"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("n", TokenType.NUMERIC, optional=True, default=3),
+        Arg("threshold", TokenType.NUMERIC, optional=True, default=0.8),
+        Arg("unit", TokenType.TEXT, optional=True, default="word"),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.dedup import overlap_pairs
+
+        return overlap_pairs(
+            df,
+            ctx.resolve(df, self.args["id"]),
+            ctx.resolve(df, self.args["text"]),
+            int(self.args["n"]),
+            float(self.args["threshold"]),
+            unit=str(self.args["unit"]),
+        )
+
+
+@directive
 class BigramLogprob(Directive):
     """bigram-logprob :id :text [vocab_size] — interpolated bigram LM
     score (λ·p_bi + (1−λ)·p_uni per token, doc mean) → doc_lp2; the
