@@ -1357,6 +1357,11 @@ def test_corpus_report(spark):
     assert r["distinct_langs"] == 3
     assert abs(r["pct_dup"] - 0.25) < 1e-9
     assert r["n_words"] == 3 + 3 + 1
+    # the 100 TB path: HLL sketch distinct counts — exact at these
+    # cardinalities (HLL++ is exact under its sparse threshold)
+    a = curation.corpus_report(df, "doc_id", "text", "lang", exact=False).collect()[0]
+    assert a["n_exact_dup_docs"] == 1 and a["distinct_langs"] == 3
+    assert a["n_docs"] == 4 and a["n_words"] == r["n_words"]
 
 
 def test_split_by_cluster_no_leakage(spark):

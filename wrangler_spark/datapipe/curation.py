@@ -1078,7 +1078,7 @@ def shuffle_shards(
 
 def corpus_report(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    lang_col: str | None = None,
+    lang_col: str | None = None, exact: bool = True,
 ) -> DataFrame:
     """One-call corpus health snapshot — the numbers a curation run is
     judged by, computed in a SINGLE aggregate job over one scan:
@@ -1092,9 +1092,17 @@ def corpus_report(
     count(DISTINCT key) — Spark expands it to a two-stage exact distinct,
     still one job, no window, no collect of anything but the 1-row
     result frame (which stays a DataFrame — callers decide when to
-    collect)."""
+    collect). ``exact=False`` swaps the distinct counts for
+    approx_count_distinct (HyperLogLog++, ~2% default error): the exact
+    distinct shuffles every distinct 16-byte key once, which at 100 TB
+    is a corpus-sized shuffle for a HEALTH METRIC — the sketch collapses
+    it to fixed-size per-partition state, one narrow job. Report numbers
+    feed dashboards and drift gates, not dedup decisions, so the
+    approximation is the right default at extreme scale (dedup itself
+    always uses the exact path)."""
     from wrangler_spark.datapipe.dedup import normalize_text
 
+    cdist = F.countDistinct if exact else F.approx_count_distinct
     key = F.md5(normalize_text(F.col(text_col)))
     words = F.size(F.split(normalize_text(F.col(text_col)), " "))
     aggs = [
@@ -1102,10 +1110,10 @@ def corpus_report(
         F.count(F.when(F.col(text_col).isNull(), 1)).cast("long").alias("n_null_text"),
         F.coalesce(F.sum(F.length(F.col(text_col))), F.lit(0)).cast("long").alias("n_chars"),
         F.coalesce(F.sum(words), F.lit(0)).cast("long").alias("n_words"),
-        (F.count(text_col) - F.countDistinct(key)).cast("long").alias("n_exact_dup_docs"),
+        (F.count(text_col) - cdist(key)).cast("long").alias("n_exact_dup_docs"),
     ]
     if lang_col:
-        aggs.append(F.countDistinct(F.col(lang_col)).cast("long").alias("distinct_langs"))
+        aggs.append(cdist(F.col(lang_col)).cast("long").alias("distinct_langs"))
     out = df.agg(*aggs)
     return out.withColumn(
         "pct_dup",
