@@ -112,3 +112,38 @@ def test_the_nth_of_month_and_weekday_prefix():
     )
     # weekday alone (no date) is still not a date in this grammar
     assert p("friday") is None
+
+
+def test_relative_day_with_time():
+    # NOW is Saturday 2016-12-10 06:45 UTC
+    assert p("tomorrow at 3pm") == datetime(2016, 12, 11, 15, 0, tzinfo=timezone.utc)
+    assert p("yesterday 10:30") == datetime(2016, 12, 9, 10, 30, tzinfo=timezone.utc)
+    assert p("today at noon") == datetime(2016, 12, 10, 12, 0, tzinfo=timezone.utc)
+    assert p("tomorrow at midnight") == datetime(2016, 12, 11, 0, 0, tzinfo=timezone.utc)
+    assert p("today at 12am") == datetime(2016, 12, 10, 0, 0, tzinfo=timezone.utc)
+
+
+def test_day_before_after():
+    assert p("the day before yesterday") == NOW - timedelta(days=2)
+    assert p("day after tomorrow") == NOW + timedelta(days=2)
+    assert p("the day after tomorrow at 9:15") == datetime(
+        2016, 12, 12, 9, 15, tzinfo=timezone.utc
+    )
+
+
+def test_this_weekday():
+    # "this saturday" on a Saturday is today; "this tuesday" the nearest
+    # upcoming tuesday (natty's nearest-occurrence rule)
+    assert p("this saturday") == datetime(2016, 12, 10, tzinfo=timezone.utc)
+    assert p("this tuesday") == datetime(2016, 12, 13, tzinfo=timezone.utc)
+
+
+def test_article_counts():
+    assert p("a week ago") == NOW - timedelta(weeks=1)
+    assert p("in an hour") == NOW + timedelta(hours=1)
+    assert p("a month ago") == datetime(2016, 11, 10, 6, 45, tzinfo=timezone.utc)
+
+
+def test_month_year():
+    assert p("october 2006") == datetime(2006, 10, 1, tzinfo=timezone.utc)
+    assert p("May 2016") == datetime(2016, 5, 1, tzinfo=timezone.utc)

@@ -34,6 +34,9 @@ QUERIES = [
     "text_winnow", "text_winnow_overlap", "dedup_cross_minhash",
     "sample_domain_cap", "emb_project", "corpus_diff",
     "entity_match", "text_bm25_topk", "ann_rrf_fuse", "split_by_cluster",
+    # round 8
+    "entity_match_against", "dedup_overlap", "text_top_ngrams",
+    "corpus_drift", "text_entropy", "num_mad", "num_qbins",
 ]
 
 
@@ -99,13 +102,19 @@ def main() -> None:
     for sf, d in [(0.01, "/root/testdata/sf0.01"), (0.1, "/root/testdata/sf0.1"), (1.0, SF1_DIR)]:
         per: dict[str, float] = {}
         nr: dict[str, int] = {}
+        from wrangler_spark.datapipe import checkpoint_scope
+
         for name in QUERIES:
             # warm pass (JIT, file index, shuffle buffers), then the timed
             # pass — slope needs steady-state per-sf numbers, not whichever
-            # sf happened to pay the session's one-time costs
-            nr[name] = qs[name](spark, d).count()
+            # sf happened to pay the session's one-time costs. Each pass
+            # in a checkpoint_scope so slope numbers measure the operator,
+            # not accumulated session blocks (BENCH_SCALING round-8 note).
+            with checkpoint_scope():
+                nr[name] = qs[name](spark, d).count()
             t0 = time.perf_counter()
-            qs[name](spark, d).count()
+            with checkpoint_scope():
+                qs[name](spark, d).count()
             per[name] = round(time.perf_counter() - t0, 3)
         results[str(sf)] = per
         rows[str(sf)] = nr

@@ -4,7 +4,9 @@ A small relative-date grammar covering the shapes the reference exercises
 through natty (ref: parser/ParseDate.java:103-112, ParseDateTest
 ``testDateParser``: "now", "today", "12/10/2016", "september 7th 2016",
 "1485800109") plus the common relative forms natty documents
-("yesterday", "tomorrow", "next tuesday", "3 days ago", "in 2 weeks").
+("yesterday", "tomorrow", "next tuesday", "3 days ago", "in 2 weeks",
+"this tuesday", "the day before yesterday", "tomorrow at 3pm",
+"today at noon", "a week ago", "october 2006").
 Fresh implementation against natty's published behavior — not a port.
 
 Pure Python, no Spark imports: the directive wraps :func:`parse_natural`
@@ -52,10 +54,22 @@ _RE_MDY = re.compile(
 _RE_DMY = re.compile(
     rf"^{_WDP}(?:the\s+)?(\d{{1,2}}){_ORD}\s+(?:of\s+)?({_MON})\.?(?:\s*,?\s*(\d{{4}}))?{_TIME}$",
     re.I)
-_RE_NEXT_LAST = re.compile(rf"^(next|last)\s+({_WD}|week|month|year)$", re.I)
-_RE_AGO = re.compile(r"^(\d+)\s+(\w+?)s?\s+ago$", re.I)
-_RE_IN = re.compile(r"^(?:in\s+)?(\d+)\s+(\w+?)s?\s+(?:from\s+now|hence)$|^in\s+(\d+)\s+(\w+)$", re.I)
+_RE_NEXT_LAST = re.compile(rf"^(next|last|this)\s+({_WD}|week|month|year)$", re.I)
+_RE_AGO = re.compile(r"^(\d+|an?)\s+(\w+?)s?\s+ago$", re.I)
+_RE_IN = re.compile(
+    r"^(?:in\s+)?(\d+|an?)\s+(\w+?)s?\s+(?:from\s+now|hence)$|^in\s+(\d+|an?)\s+(\w+)$", re.I
+)
 _RE_EPOCH = re.compile(r"^\d{10}(\d{3})?$")
+# relative day + optional clock time: "tomorrow at 3pm", "yesterday 10:30",
+# "today at noon" — natty composes day words with times freely
+_RE_RELDAY_TIME = re.compile(
+    r"^(today|tomorrow|yesterday|"
+    r"(?:the\s+)?day\s+before\s+yesterday|(?:the\s+)?day\s+after\s+tomorrow)"
+    r"(?:\s+(?:at\s+)?(?:(noon|midnight)|(\d{1,2})(?::(\d{2}))?(?::(\d{2}))?\s*(am|pm)?))?$",
+    re.I,
+)
+# bare month-year ("october 2006") → the 1st of that month, natty's rule
+_RE_MY = re.compile(rf"^({_MON})\.?\s+(\d{{4}})$", re.I)
 
 
 def _hms(m, start: int):
@@ -79,6 +93,12 @@ def _shift_months(dt: datetime, months: int) -> datetime:
     day = min(dt.day, [31, 29 if y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
                        else 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31][m])
     return dt.replace(year=y, month=m + 1, day=day)
+
+
+def _count(tok: str) -> int:
+    """Numeric count token; natty accepts the articles a/an as 1
+    ("a week ago", "in an hour")."""
+    return 1 if tok.lower() in ("a", "an") else int(tok)
 
 
 def _apply_delta(base: datetime, n: int, unit: str) -> datetime | None:
@@ -116,6 +136,34 @@ def parse_natural(s: str | None, now_utc: datetime, tz: str = "UTC") -> datetime
     if t == "tomorrow":
         return (now_local + timedelta(days=1)).astimezone(_tz.utc)
 
+    m = _RE_RELDAY_TIME.match(t)
+    if m:
+        word = " ".join(m.group(1).split())
+        off = {
+            "today": 0, "tomorrow": 1, "yesterday": -1,
+            "day after tomorrow": 2, "the day after tomorrow": 2,
+            "day before yesterday": -2, "the day before yesterday": -2,
+        }[word]
+        base = now_local + timedelta(days=off)
+        if m.group(2):  # noon / midnight
+            h = 12 if m.group(2) == "noon" else 0
+            out = base.replace(hour=h, minute=0, second=0, microsecond=0)
+        elif m.group(3):
+            h = int(m.group(3))
+            mi = int(m.group(4) or 0)
+            sec = int(m.group(5) or 0)
+            ampm = (m.group(6) or "").lower()
+            if ampm == "pm" and h < 12:
+                h += 12
+            elif ampm == "am" and h == 12:
+                h = 0
+            out = base.replace(hour=h, minute=mi, second=sec, microsecond=0)
+        else:
+            # bare two-word day phrases keep the current clock time, the
+            # yesterday/tomorrow rule above
+            out = base
+        return out.astimezone(_tz.utc)
+
     m = _RE_EPOCH.match(t)
     if m:
         v = int(t)
@@ -123,8 +171,18 @@ def parse_natural(s: str | None, now_utc: datetime, tz: str = "UTC") -> datetime
 
     m = _RE_NEXT_LAST.match(t)
     if m:
-        direction = 1 if m.group(1) == "next" else -1
+        word = m.group(1)
         what = m.group(2)
+        if word == "this":
+            # natty's "this tuesday": the NEAREST upcoming occurrence —
+            # today if the weekday matches, else forward within 7 days;
+            # "this week/month/year" resolves to the current period's
+            # start-of-today anchor (the instant's own period)
+            if what in _WEEKDAYS:
+                delta = (_WEEKDAYS[what] - midnight.weekday()) % 7
+                return (midnight + timedelta(days=delta)).astimezone(_tz.utc)
+            return midnight.astimezone(_tz.utc)
+        direction = 1 if word == "next" else -1
         if what in _WEEKDAYS:
             delta = (_WEEKDAYS[what] - midnight.weekday()) % 7
             if direction == 1:
@@ -140,15 +198,24 @@ def parse_natural(s: str | None, now_utc: datetime, tz: str = "UTC") -> datetime
 
     m = _RE_AGO.match(t)
     if m:
-        out = _apply_delta(now_local, -int(m.group(1)), m.group(2))
+        out = _apply_delta(now_local, -_count(m.group(1)), m.group(2))
         return out.astimezone(_tz.utc) if out else None
 
     m = _RE_IN.match(t)
     if m:
-        n = int(m.group(1) or m.group(3))
+        n = _count(m.group(1) or m.group(3))
         unit = m.group(2) or m.group(4)
         out = _apply_delta(now_local, n, unit)
         return out.astimezone(_tz.utc) if out else None
+
+    m = _RE_MY.match(t)
+    if m:
+        try:
+            return datetime(
+                int(m.group(2)), _MONTHS[m.group(1)], 1, tzinfo=zone
+            ).astimezone(_tz.utc)
+        except ValueError:
+            return None
 
     m = _RE_MDY.match(t)
     if m:
