@@ -306,6 +306,56 @@ def main() -> int:
                       "BatchEvalPython", "ArrowEvalPython"],
         )
 
+    # 26. round-8 ops.
+    # entity_match_against / dedup_overlap: equi-joins + hash aggregates
+    # only — no cartesian, no Python, no rank window
+    for name in ("entity_match_against", "dedup_overlap"):
+        p = plan_of(qs[name](spark, SF_DIR))
+        problems += check(
+            name, p,
+            must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+                      "BatchEvalPython", "ArrowEvalPython"],
+        )
+    # winnow_overlap's shared fingerprint subtree is checkpointed: the
+    # EXECUTED plan must read cached blocks, never re-scan parquet
+    # (r7 measured 4 FileScans / 0 ReusedExchange without it)
+    df = qs["text_winnow_overlap"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    if "FileScan" in p:
+        problems.append(
+            "text_winnow_overlap: executed plan re-scans parquet — the "
+            "fps checkpoint is not being hit"
+        )
+    # quantile bins / MAD outliers: broadcast-scalar shape — the corpus
+    # side must never sort-merge against the 1-row stats frame
+    for name in ("num_qbins", "num_mad"):
+        p = plan_of(qs[name](spark, SF_DIR))
+        problems += check(
+            name, p,
+            must_not=["SortMergeJoin", "Window", "CartesianProduct",
+                      "BatchEvalPython", "ArrowEvalPython"],
+        )
+    # char entropy: two hash aggregates + id join — no window, no Python
+    p = plan_of(qs["text_entropy"](spark, SF_DIR))
+    problems += check(
+        "text_entropy", p, must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+    # top-ngrams: distributed TakeOrdered, never a global Sort+Window
+    p = plan_of(qs["text_top_ngrams"](spark, SF_DIR))
+    problems += check(
+        "text_top_ngrams", p, must=["TakeOrderedAndProject"],
+        must_not=["Window", "BatchEvalPython", "ArrowEvalPython"],
+    )
+    # drift: reference boundaries broadcast; per-side bin counts are
+    # hash aggregates; the n-row outer join may be any join shape
+    p = plan_of(qs["corpus_drift"](spark, SF_DIR))
+    problems += check(
+        "corpus_drift", p, must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:
