@@ -329,3 +329,64 @@ def test_winnow_shared_run_guarantee(spark):
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     for t in range(8):
         assert fps.get(2 * t, set()) & fps.get(2 * t + 1, set()), f"pair {t} shares no fp"
+
+
+def test_quantile_bins_monotone_and_total(spark):
+    """Equi-depth binning invariants over an adversarial value mix
+    (ties, negatives, one huge outlier): bin is MONOTONE in the value,
+    every non-null row gets a bin in [1, n], and no row is dropped."""
+    from wrangler_spark.datapipe.numeric import quantile_bins
+
+    vals = [float(v) for v in
+            [5, 5, 5, 5, -3, -3, 0, 1, 2, 2, 7, 9, 11, 13, 1e9, -1e6, 4, 4, 4, 8]]
+    df = spark.createDataFrame(list(enumerate(vals)), "id long, v double")
+    rows = quantile_bins(df, "v", 5).collect()
+    assert len(rows) == len(vals)
+    got = sorted((r["v"], r["v_bin"]) for r in rows)
+    assert all(1 <= b <= 5 for _, b in got)
+    for (v1, b1), (v2, b2) in zip(got, got[1:]):
+        assert b1 <= b2, f"bin not monotone: {v1}->{b1}, {v2}->{b2}"
+        if v1 == v2:
+            assert b1 == b2, "equal values must share a bin"
+
+
+def test_char_entropy_bounds(spark):
+    """0 <= H <= log2(#distinct chars), with equality at the uniform
+    extremes — the Shannon bound, checked on adversarial strings."""
+    import math
+
+    from wrangler_spark.datapipe.text import char_entropy
+
+    texts = ["aaaa", "ab", "abcabc", "xyzzy!!", "a" * 100 + "b",
+             "0123456789" * 3, "  spaces  "]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for r in char_entropy(df, "doc_id", "text").collect():
+        distinct = len(set(texts[r["doc_id"]]))
+        h = r["char_entropy"]
+        assert -1e-9 <= h <= math.log2(distinct) + 1e-6, (texts[r["doc_id"]], h)
+        if distinct == 1:
+            assert h == 0.0
+
+
+def test_overlap_coef_dominates_jaccard(spark):
+    """For every pair both ops emit, overlap_coef >= jaccard (set
+    identity: min(|A|,|B|) <= |A∪B|) — run both on the same corpus with
+    pruning off and compare the common pairs."""
+    from wrangler_spark.datapipe import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        (2, base + " extra words tail"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        (4, "unrelated content entirely different words here now"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ov = {(r["id_a"], r["id_b"]): r["overlap_coef"] for r in
+          dedup.overlap_pairs(df, "doc_id", "text", 3, 0.0, max_gram_df=None).collect()}
+    ja = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+          dedup.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.0, max_gram_df=None).collect()}
+    common = set(ov) & set(ja)
+    assert common, "expected shared pairs"
+    for p in common:
+        assert ov[p] >= ja[p] - 1e-9, (p, ov[p], ja[p])
