@@ -232,6 +232,40 @@ def test_exact_dedup_against_on_stream(spark, tmp_path_factory):
     assert got == {1: True, 2: False, 3: True}
 
 
+def test_entity_match_against_on_stream(spark, tmp_path_factory):
+    """Cross-corpus fuzzy matching is stream-safe: the new side is
+    scan-side (key projection + explode), the old side collapses to a
+    STATIC per-block list frame, so the whole op is stream-static
+    equi-joins — reconcile a streaming ingestion source against the
+    master corpus without code changes."""
+    import shutil
+
+    from wrangler_spark.datapipe.dedup import entity_match_against
+
+    d = str(tmp_path_factory.mktemp("em_src"))
+    new = spark.createDataFrame(
+        [(1, "Acme Corp.", "NY"), (2, "Zed Ltd", "NY"), (3, "Acme Corp", None)],
+        ["cid", "name", "state"],
+    )
+    new.write.mode("overwrite").parquet(d)
+    old = spark.createDataFrame(
+        [(100, "Acme Corp", "NY"), (101, "Other Inc", "NY"), (102, "Acme Corp", "CA")],
+        ["cid", "name", "state"],
+    )
+    stream = spark.readStream.schema(new.schema).parquet(d)
+    pairs = entity_match_against(stream, old, "cid", ["state"], [("name", 2)])
+    assert pairs.isStreaming
+    q = run_to_memory(pairs, "em_pairs")
+    got = {(r["id_new"], r["id_old"]): r["name_dist"]
+           for r in spark.sql("SELECT * FROM em_pairs").collect()}
+    q.stop()
+    shutil.rmtree(d, ignore_errors=True)
+    # batch mode gives identical pairs
+    batch = {(r["id_new"], r["id_old"]): r["name_dist"]
+             for r in entity_match_against(new, old, "cid", ["state"], [("name", 2)]).collect()}
+    assert got == batch == {(1, 100): 1}
+
+
 def test_streaming_near_dedup_against(spark, tmp_path_factory):
     """Streaming docs whose SimHash bucket exists in the static corpus are
     flagged; fresh content passes. Batch mode gives identical flags.
