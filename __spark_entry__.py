@@ -362,6 +362,8 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), "vec_id", "embedding", 10
         ),
         "ann_recall": _q_ann_recall,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "ann_pq_recall": _q_ann_pq_recall,
         "dedup_semdedup": lambda s, d: similarity.semdedup(embs(s, d), 8, 0.8, train_iters=1, dim=64),
         "ann_ivf_kmeans_topk": lambda s, d: similarity.ivf_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5,
@@ -520,6 +522,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "ann_rrf_fuse": _rrf_oracle_sql(),
         "ann_ivf_probe_topk": _ivf_oracle_sql(nprobe=2),
         "ann_recall": _ann_recall_oracle_sql(),
+        "ann_pq_topk": _pq_oracle_sql(),
+        "ann_pq_recall": _pq_recall_oracle_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "text_vocabulary": o.vocabulary_sql(200),
@@ -745,12 +749,13 @@ _R8_WINDOW = [
     "dedup_cross_minhash",
     "dedup_substring_keepfirst",
     "dedup_template",
+    # new this round: product quantization (ADC top-k + recall)
+    "ann_pq_topk",
+    "ann_pq_recall",
     # back-fill (green in a prior window, family coverage)
     "corpus_report_by",
-    "sample_mixture",
     "sample_domain_cap",
     "text_readability",
-    "keyword_tag",
     "corpus_diff",
     "corpus_report",
     "ann_rrf_fuse",
@@ -1087,6 +1092,89 @@ def _ann_recall_oracle_sql(
 
     ex = o.cosine_topk_sql(k, n_queries)
     ap = _ivf_oracle_sql(n_centroids, k, n_queries, nprobe)
+    hit = "len(list_intersect(e.ids, coalesce(a.ids, CAST([] AS BIGINT[]))))"
+    return f"""
+WITH ex AS ({ex}), ap AS ({ap}),
+e AS (SELECT query_id, list(vec_id) AS ids FROM ex GROUP BY query_id),
+a AS (SELECT query_id, list(vec_id) AS ids FROM ap GROUP BY query_id)
+SELECT e.query_id,
+       len(e.ids)::BIGINT AS n_exact,
+       {hit}::BIGINT AS n_hit,
+       round({hit}::DOUBLE / greatest(len(e.ids), 1)::DOUBLE, 6) AS recall
+FROM e LEFT JOIN a ON e.query_id = a.query_id
+"""
+
+
+def _q_ann_pq_topk(spark, sf_dir):
+    """PQ/ADC top-5 with an untrained codebook (iters=0: per-subspace
+    codewords = the first-16 vectors' subvectors, densely reindexed by
+    init id) — the SQL-expressible form, same convention as the
+    untrained-IVF oracle. The trained path (Lloyd's per subspace) is
+    covered by the MSE-monotonicity property test."""
+    from wrangler_spark.datapipe import similarity
+
+    embs = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(embs, dim=64, m=8, k=16, iters=0)
+    codes = similarity.pq_encode(embs, cb, dim=64, m=8)
+    return similarity.pq_topk(
+        codes, embs.filter(F.col("vec_id") < 5), cb, dim=64, m=8, k=5
+    )
+
+
+def _pq_oracle_sql(m: int = 8, kcb: int = 16, k: int = 5, n_queries: int = 5, dim: int = 64) -> str:
+    """Mirror of _q_ann_pq_topk: untrained codebook (first-kcb
+    subvectors, dense cid = rank of init id), nearest-codeword encode
+    (6dp L2, ties to lower cid), per-query ADC lookup tables (6dp dots),
+    score = 6dp sum of per-subspace table entries."""
+    sub = dim // m
+    sq = f"list_sum([(s.sv[i]-cb.zv[i])*(s.sv[i]-cb.zv[i]) FOR i IN range(1,{sub + 1})])"
+    dot = f"list_sum([s.sv[i]*cb.zv[i] FOR i IN range(1,{sub + 1})])"
+    return f"""
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+subs AS (SELECT vec_id, j, list_slice(v, j*{sub}+1, (j+1)*{sub}) AS sv
+         FROM c, (SELECT unnest(range(0, {m})) AS j) js),
+fk AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+       FROM (SELECT vec_id FROM c ORDER BY vec_id LIMIT {kcb})),
+cb AS (SELECT s.j AS m, fk.cid, s.sv AS zv FROM subs s JOIN fk ON s.vec_id = fk.vec_id),
+enc AS (SELECT vec_id, j, cid FROM (
+    SELECT s.vec_id, s.j, cb.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY round({sq}, 6) ASC, cb.cid ASC) AS rn
+    FROM subs s JOIN cb ON s.j = cb.m) WHERE rn = 1),
+lut AS (SELECT s.vec_id AS query_id, s.j, cb.cid, round({dot}, 6) AS d
+        FROM subs s JOIN cb ON s.j = cb.m WHERE s.vec_id < {n_queries}),
+scored AS (SELECT l.query_id, e.vec_id, round(sum(l.d), 6) AS cosine
+           FROM enc e JOIN lut l ON e.j = l.j AND e.cid = l.cid
+           WHERE e.vec_id != l.query_id
+           GROUP BY l.query_id, e.vec_id)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def _q_ann_pq_recall(spark, sf_dir):
+    """recall@5 of untrained PQ/ADC against the exact cosine scan over
+    the same 5 queries — the PQ analog of ann_recall, measuring pure
+    quantization loss (64 floats -> 8 codes is a 64x compression; the
+    recall column is the price)."""
+    from wrangler_spark.datapipe import similarity
+
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(embs, q, "vec_id", "embedding", 5)
+    cb = similarity.pq_train(embs, dim=64, m=8, k=16, iters=0)
+    codes = similarity.pq_encode(embs, cb, dim=64, m=8)
+    approx = similarity.pq_topk(codes, q, cb, dim=64, m=8, k=5)
+    return similarity.ann_recall(exact, approx)
+
+
+def _pq_recall_oracle_sql(k: int = 5, n_queries: int = 5) -> str:
+    """Mirror of _q_ann_pq_recall: exact top-k CTE ∩ PQ/ADC top-k CTE."""
+    from wrangler_spark.datapipe import oracles as o
+
+    ex = o.cosine_topk_sql(k, n_queries)
+    ap = _pq_oracle_sql(k=k, n_queries=n_queries)
     hit = "len(list_intersect(e.ids, coalesce(a.ids, CAST([] AS BIGINT[]))))"
     return f"""
 WITH ex AS ({ex}), ap AS ({ap}),

@@ -1994,3 +1994,108 @@ def test_sentence_dedup(spark):
     for r in out.values():
         all_sents += [s.strip().lower() for s in r["text"].split(".") if s.strip()]
     assert len(all_sents) == len(set(all_sents))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (pq_train / pq_encode / pq_topk)
+# ---------------------------------------------------------------------------
+
+
+def _unit_rows(n, dim, seed):
+    import math
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        rows.append((i, [x / nrm for x in v]))
+    return rows
+
+
+def test_pq_codebook_dense_and_codes_in_range(spark):
+    df = spark.createDataFrame(_unit_rows(40, 16, 7), ["vec_id", "embedding"])
+    cb = similarity.pq_train(df, dim=16, m=4, k=8, iters=1)
+    rows = cb.collect()
+    # dense 0..k-1 cid per subspace, subvector length dim/m
+    by_m = {}
+    for r in rows:
+        by_m.setdefault(r["m"], []).append(r["cid"])
+        assert len(r["zv"]) == 4
+    assert set(by_m) == {0, 1, 2, 3}
+    for cids in by_m.values():
+        assert sorted(cids) == list(range(8))
+    codes = similarity.pq_encode(df, cb, dim=16, m=4).collect()
+    assert len(codes) == 40
+    for r in codes:
+        assert len(r["pq_code"]) == 4 and all(0 <= c < 8 for c in r["pq_code"])
+
+
+def test_pq_full_codebook_recall_is_one(spark):
+    """With k >= n_vectors and iters=0 every vector is its own codeword,
+    so ADC scoring is the exact dot product (= cosine on unit vectors)
+    and PQ top-k recovers the exact neighbors."""
+    df = spark.createDataFrame(_unit_rows(24, 16, 11), ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 4)
+    cb = similarity.pq_train(df, dim=16, m=4, k=24, iters=0)
+    codes = similarity.pq_encode(df, cb, dim=16, m=4)
+    approx = similarity.pq_topk(codes, q, cb, dim=16, m=4, k=3)
+    exact = similarity.cosine_topk(df, q, k=3)
+    rec = similarity.ann_recall(exact, approx).collect()
+    assert len(rec) == 4 and all(r["recall"] == 1.0 for r in rec)
+
+
+def test_pq_training_reduces_quantization_error(spark):
+    """Lloyd's guarantee: reconstruction MSE is non-increasing in
+    training iterations (up to the 6dp determinism rounding)."""
+    df = spark.createDataFrame(_unit_rows(120, 16, 3), ["vec_id", "embedding"])
+
+    def mse(iters):
+        cb = similarity.pq_train(df, dim=16, m=4, k=8, iters=iters)
+        codes = similarity.pq_encode(df, cb, dim=16, m=4)
+        sub = (
+            codes.select("vec_id", "pq_code", F.posexplode(
+                F.array(*[F.slice(F.col("embedding").cast("array<double>"), j * 4 + 1, 4)
+                          for j in range(4)])).alias("j", "sv"))
+        )
+        err = (
+            sub.join(cb, (F.col("j") == F.col("m"))
+                     & (F.element_at("pq_code", F.col("j") + 1) == F.col("cid")))
+            .select(F.aggregate(F.zip_with("sv", "zv", lambda x, y: (x - y) * (x - y)),
+                                F.lit(0.0), lambda s, x: s + x).alias("e"))
+        )
+        return err.agg(F.avg("e")).collect()[0][0]
+
+    m0, m1, m2 = mse(0), mse(1), mse(2)
+    assert m1 <= m0 + 1e-4 and m2 <= m1 + 1e-4
+    assert m1 < m0  # training from raw-vector init must actually help
+
+
+def test_pq_partitioning_invariant(spark):
+    df = spark.createDataFrame(_unit_rows(60, 16, 23), ["vec_id", "embedding"])
+    outs = []
+    for parts in (1, 7):
+        d = df.repartition(parts)
+        cb = similarity.pq_train(d, dim=16, m=4, k=8, iters=2)
+        codes = similarity.pq_encode(d, cb, dim=16, m=4)
+        outs.append({r["vec_id"]: tuple(r["pq_code"]) for r in codes.collect()})
+    assert outs[0] == outs[1]
+
+
+def test_pq_checkpoints_released(spark):
+    from wrangler_spark.datapipe._checkpoint import checkpoint_scope, persistent_rdd_ids
+
+    df = spark.createDataFrame(_unit_rows(30, 16, 5), ["vec_id", "embedding"])
+    base = persistent_rdd_ids(spark)
+    with checkpoint_scope():
+        cb = similarity.pq_train(df, dim=16, m=4, k=8, iters=2)
+        codes = similarity.pq_encode(df, cb, dim=16, m=4)
+        assert codes.count() == 30
+    import time
+
+    for _ in range(50):  # unpersist is async
+        if persistent_rdd_ids(spark) <= base:
+            break
+        time.sleep(0.1)
+    assert persistent_rdd_ids(spark) <= base

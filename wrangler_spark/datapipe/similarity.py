@@ -813,3 +813,236 @@ def ivf_append_index(
         .partitionBy("centroid_id")
         .parquet(f"{path}/vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011) — the standard memory-bound ANN
+# compression: each vector becomes m uint8-sized codes (dim 64 float64 →
+# 8 bytes, a 64x cut), and query scoring never touches a float vector,
+# only per-query lookup tables (ADC, asymmetric distance computation).
+# At 100 TB this is what makes a billion-vector index fit executor
+# memory; combine with the IVF partitioning for the classic IVF-PQ.
+# ---------------------------------------------------------------------------
+
+
+def _subvectors(df: DataFrame, id_expr: Column, vec_col: str, dim: int, m: int) -> DataFrame:
+    """(id, __m, __sv): each vector split into m contiguous dim/m
+    subvectors — the unrolled-array + posexplode shape (m is small, the
+    plan stays constant-size per subspace; no Column-typed slice starts
+    needed)."""
+    sub = dim // m
+    arr = F.array(
+        *[F.slice(_as_double(F.col(vec_col)), j * sub + 1, sub) for j in range(m)]
+    )
+    return df.select(id_expr, F.posexplode(arr).alias("__m", "__sv"))
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train a product-quantization codebook: an independent ``k``-entry
+    L2 Lloyd's codebook per contiguous subspace, ALL subspaces in ONE
+    grouped iteration loop (the (vec, subspace) rows carry a subspace
+    key, so per-iteration assignment and recentering are single
+    broadcast-join + hash-aggregate jobs over every subspace at once —
+    never m sequential k-means runs). Returns (m, cid, zv) with cid a
+    DENSE 0..k-1 index per subspace (what pq_encode's codes and
+    pq_topk's lookup tables address by position).
+
+    Determinism (the kmeans_centroids contract): init = the first k
+    vectors by id, L2 distances rounded to 6dp with ties to the lower
+    init id, per-dimension means rounded to 6dp, and the dense re-index
+    sorts by the init id — bit-stable across partitionings. ``dim`` is
+    explicit and must be divisible by ``m``; it is never sniffed with a
+    driver job.
+
+    Scale shape: only the m·k·(dim/m) codebook ever leaves the
+    executors (broadcast per iteration); the subvector frame is
+    checkpointed once (it feeds init + 2 consumers per iteration) and
+    released before return; per-iteration codebooks release their
+    superseded checkpoints (the round-8 lifecycle rule)."""
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
+    subs = eager_checkpoint(_subvectors(c, F.col("vec_id"), "__v", dim, m))
+    first_k = c.orderBy("vec_id").limit(int(k)).select("vec_id")
+    cent = eager_checkpoint(
+        subs.join(first_k, "vec_id").select(
+            "__m", F.col("vec_id").alias("centroid_id"), F.col("__sv").alias("zv")
+        )
+    )
+    l2 = lambda a, b: F.round(  # noqa: E731
+        F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, x: s + x),
+        6,
+    )
+    for _ in range(int(iters)):
+        scored = subs.join(F.broadcast(cent), "__m").select(
+            "vec_id", "__m", "__sv", "centroid_id", l2(F.col("__sv"), F.col("zv")).alias("d")
+        )
+        best = F.min(
+            F.struct(
+                F.col("d").isNull().cast("int").alias("z"),
+                F.col("d").alias("d"),
+                F.col("centroid_id").alias("centroid_id"),
+            )
+        )
+        assign = scored.groupBy("vec_id", "__m").agg(best.alias("b")).select(
+            "vec_id", "__m", F.col("b.centroid_id").alias("centroid_id")
+        )
+        per_dim = (
+            subs.join(assign, ["vec_id", "__m"])
+            .select("__m", "centroid_id", F.posexplode("__sv").alias("pos", "x"))
+            .groupBy("__m", "centroid_id", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("mn"))
+        )
+        prev = cent
+        cent = eager_checkpoint(
+            per_dim.groupBy("__m", "centroid_id").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+                ).alias("zv")
+            )
+        )
+        release(prev)
+    dense = (
+        cent.groupBy("__m")
+        .agg(F.array_sort(F.collect_list(F.struct("centroid_id", "zv"))).alias("cs"))
+        .select(F.col("__m").alias("m"), F.posexplode("cs").alias("cid", "s"))
+        .select("m", F.col("cid").cast("int").alias("cid"), F.col("s.zv").alias("zv"))
+    )
+    out = eager_checkpoint(dense)
+    release(cent)
+    release(subs)
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors against a pq_train codebook: ``out_col`` becomes
+    an array<int> of m dense centroid indices (subspace order). The
+    compressed corpus representation pq_topk scores WITHOUT reading the
+    vectors — persist (id, pq_code) and drop the float column for the
+    64x storage cut. Nearest-centroid per subspace = broadcast join +
+    min-struct hash aggregate (one row per (vec, subspace) crosses the
+    shuffle; never a rank window). Ties round-6dp to the lower cid,
+    matching training."""
+    subs = _subvectors(df, F.col(id_col).alias("__id"), vec_col, dim, m)
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__sv"), F.col("zv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+        6,
+    )
+    scored = subs.join(F.broadcast(codebook), F.col("__m") == F.col("m")).select(
+        "__id", "__m", "cid", l2.alias("d")
+    )
+    best = F.min(
+        F.struct(
+            F.col("d").isNull().cast("int").alias("z"),
+            F.col("d").alias("d"),
+            F.col("cid").alias("cid"),
+        )
+    )
+    codes = (
+        scored.groupBy("__id", "__m")
+        .agg(best.alias("b"))
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__m"), F.col("b.cid").alias("cid")))),
+                lambda s: s["cid"],
+            ).alias(out_col)
+        )
+    )
+    return df.join(codes, F.col(id_col) == F.col("__id"), "left").drop("__id")
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    query_batch: int = 4096,
+) -> DataFrame:
+    """ADC top-k over a PQ-encoded corpus: per query, ONE m×k lookup
+    table of subvector dot products (queries × codebook, broadcast);
+    per corpus row, the approximate dot product is m array lookups —
+    the corpus float vectors are never read. Returns (query_id, vec_id,
+    cosine, rank) — the cosine column holds the APPROXIMATE dot product
+    (exact cosine for unit vectors up to quantization error; measure
+    the error with ann_recall against cosine_topk, the same harness as
+    the int8/IVF knobs).
+
+    Scale shape: table construction is queries×(m·k) rows (broadcast
+    codebook), the scoring pass is a narrow map over the code column
+    (tables broadcast per query batch), and ranking is the family's
+    two-phase no-Window top-k with the _topk_batched memory bound."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+
+    def scorer(qb: DataFrame) -> DataFrame:
+        qsubs = _subvectors(qb, F.col("query_id"), "__qv", dim, m)
+        dot = F.round(
+            F.aggregate(
+                F.zip_with(F.col("__sv"), F.col("zv"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+            6,
+        )
+        per_cell = qsubs.join(F.broadcast(codebook), F.col("__m") == F.col("m")).select(
+            "query_id", "__m", "cid", dot.alias("d")
+        )
+        per_sub = per_cell.groupBy("query_id", "__m").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cid", "d"))), lambda s: s["d"]
+            ).alias("ds")
+        )
+        tables = per_sub.groupBy("query_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__m", "ds"))), lambda s: s["ds"]
+            ).alias("__tables")
+        )
+        code = F.col(code_col)
+        score = F.round(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(int(m))),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(
+                    F.element_at(F.col("__tables"), i),
+                    F.element_at(code, i) + F.lit(1),
+                ),
+            ),
+            6,
+        )
+        return (
+            corpus_codes.select(F.col(id_col).alias("vec_id"), code.alias(code_col))
+            .crossJoin(F.broadcast(tables))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", score.alias("cosine"))
+        )
+
+    return _topk_batched(q, k, query_batch, scorer)
