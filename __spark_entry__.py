@@ -296,6 +296,11 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d).filter(F.col("doc_id") % 3 == 0),
             "doc_id", "text",
         ),
+        "dedup_cross_bloom": lambda s, d: dedup.exact_dedup_against(
+            docs(s, d).filter(F.col("doc_id") % 3 != 0),
+            docs(s, d).filter(F.col("doc_id") % 3 == 0),
+            "doc_id", "text", bloom_bits=1 << 20,
+        ),
         "dedup_overlap": lambda s, d: dedup.overlap_pairs(
             docs(s, d), "doc_id", "text", 3, 0.8
         ),
@@ -466,6 +471,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_survivors": o.cluster_survivors_sql(0.5),
         "dedup_lsh_eval": o.pair_eval_sql(0.5, 3, 0.5),
         "dedup_cross_exact": o.exact_dedup_against_sql(3),
+        # the Bloom pre-filter is exact end-to-end (verification join
+        # resolves FPs), so it shares the plain path's oracle
+        "dedup_cross_bloom": o.exact_dedup_against_sql(3),
         "entity_match": o.entity_match_sql(2),
         "entity_match_against": o.entity_match_against_sql(2),
         "dedup_overlap": o.overlap_pairs_sql(3, 0.8),

@@ -60,6 +60,12 @@ EXTRA_QUERIES = [
     "dedup_cross_minhash", # asymmetric new-vs-old MinHash band join
     "emb_project",         # JL sign projection over the embedding table
     "entity_match",        # blocked record linkage on the customer table
+    # Added round 8
+    "entity_match_against",  # cross-corpus record linkage (asymmetric blocks)
+    "dedup_overlap",       # overlap-coefficient containment dedup
+    "corpus_drift",        # PSI distribution drift between corpus snapshots
+    "text_top_ngrams",     # corpus n-gram heavy hitters (two-phase top-k)
+    "ann_pq_topk",         # product-quantization ADC top-k (64x compression)
 ]
 
 

@@ -2099,3 +2099,57 @@ def test_pq_checkpoints_released(spark):
             break
         time.sleep(0.1)
     assert persistent_rdd_ids(spark) <= base
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered cross-corpus exact dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def _cross_corpora(spark):
+    rows = [
+        (i, f"document body number {i % 37}" if i < 120 else f"unique tail {i}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return df.filter(F.col("doc_id") % 3 != 0), df.filter(F.col("doc_id") % 3 == 0)
+
+
+def test_bloom_dedup_bit_identical_to_plain(_cross_corpora):
+    new, old = _cross_corpora
+    plain = {tuple(r) for r in dedup.exact_dedup_against(new, old, "doc_id", "text").collect()}
+    assert any(d for _, d in plain) and any(not d for _, d in plain)  # non-trivial fixture
+    # well-sized, under-sized (all-maybe), and tiny-FP-heavy configs all
+    # verify back to the exact answer — Bloom has no false negatives and
+    # the verification join kills the false positives
+    for bits, k in [(1 << 20, 5), (64, 3), (512, 7)]:
+        b = {tuple(r) for r in dedup.exact_dedup_against(
+            new, old, "doc_id", "text", bloom_bits=bits, bloom_hashes=k).collect()}
+        assert b == plain, (bits, k)
+
+
+def test_bloom_probe_plan_is_jvm_broadcast_only(_cross_corpora):
+    import io
+    from contextlib import redirect_stdout
+
+    new, old = _cross_corpora
+    out = dedup.exact_dedup_against(new, old, "doc_id", "text", bloom_bits=1 << 16)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "EvalPython" not in plan          # probe is pure JVM
+    assert "BroadcastHashJoin" in plan       # word-index probe joins
+    # at most ONE shuffle join: the verification equi-join over the
+    # bloom-positive candidates; the probe itself never sort-merges
+    # (formatted plans print each operator twice: tree + details)
+    assert plan.count("SortMergeJoin") <= 2
+
+
+def test_bloom_words_sparse_and_bounded(spark):
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], ["k"])
+    rows = dedup.bloom_words(keys, "k", 1 << 14, 5).collect()
+    assert len(rows) <= min((1 << 14) // 64, 5 * 50)
+    assert all(r["__bits"] != 0 for r in rows)          # sparse: no empty words
+    assert all(0 <= r["__w"] < (1 << 14) // 64 for r in rows)

@@ -1048,8 +1048,42 @@ def pair_eval(
         F.round(F.col("hits") / F.greatest(F.col("exact_pairs"), F.lit(1)), 6).alias("recall"),
     )
 
+def _bloom_positions(key: Column, bits: int, k: int) -> list[Column]:
+    """The k Bloom bit positions of ``key`` (Bloom CACM'70), derived by
+    Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod bits
+    from two xxhash64 views of the key (distinct constant salt columns).
+    h1, h2 are reduced mod bits BEFORE combining — identical result
+    (modular arithmetic), but every intermediate stays < k*bits, so the
+    expression never overflows a long and is ANSI-mode safe. h2 is
+    forced odd-of-range (never 0) so the k probes cannot degenerate to
+    one position."""
+    h1 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(2)), F.lit(bits - 1)) + F.lit(1)
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(bits)) for i in range(k)]
+
+
+def bloom_words(keys: DataFrame, key_col: str, bits: int, num_hashes: int) -> DataFrame:
+    """SPARSE Bloom bitmap over a key frame: (``__w`` word index,
+    ``__bits`` 64-bit word) rows for every NON-ZERO 64-bit word of the
+    ``bits``-wide filter. One explode + one hash aggregate; the output is
+    bounded by min(bits/64, num_hashes * n_keys) rows NO MATTER how big
+    the key corpus is — this is the artifact you materialize once per
+    accumulated corpus and broadcast against every ingestion batch."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(key_col), bits, num_hashes)))
+    return (
+        keys.select(pos.alias("__p"))
+        .select(
+            F.shiftright("__p", 6).alias("__w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__p, 64) AS INT))").alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(__m)").alias("__bits"))
+    )
+
+
 def exact_dedup_against(
-    df_new: DataFrame, df_old: DataFrame, id_col: str, text_col: str
+    df_new: DataFrame, df_old: DataFrame, id_col: str, text_col: str,
+    bloom_bits: int = 0, bloom_hashes: int = 5,
 ) -> DataFrame:
     """Incremental exact dedup: (id, is_dup) for every NEW row, where
     is_dup marks a normalized text already present in the EXISTING corpus.
@@ -1065,14 +1099,61 @@ def exact_dedup_against(
     one equi-join on the key. The old-keys frame is what you materialize
     once and reuse across batches; a small batch joining a huge key set
     shuffles only the batch side when AQE picks the broadcast the other
-    way, and partitioned key parquet turns this into a co-located join."""
+    way, and partitioned key parquet turns this into a co-located join.
+
+    ``bloom_bits > 0`` switches on the Bloom pre-filter — the true
+    100 TB shape when the OLD key set is too big to broadcast and the
+    join would otherwise shuffle every new row: the old keys collapse to
+    a sparse bitmap (:func:`bloom_words`, ≤ bits/64 rows), the new batch
+    is probed scan-side through ``bloom_hashes`` chained BROADCAST joins
+    on word index (pure JVM — no Python, no shuffle), and only
+    bloom-POSITIVE rows reach the verification equi-join. The result is
+    bit-identical to the plain path (false positives are resolved by the
+    verification join; a Bloom filter has no false negatives), so both
+    paths share one oracle. Size ``bloom_bits`` ≈ 10-15x the old key
+    count for ~1% FP at the default 5 hashes; the probed frame is
+    referenced by both output branches, so the batch is scanned twice
+    (column-pruned to id + text) — the price of skipping the shuffle for
+    the ~99% clean rows."""
     key = F.md5(normalize_text(F.col(text_col)))
     old_keys = df_old.select(key.alias("__k")).distinct().withColumn("__hit", F.lit(1))
-    return (
-        df_new.select(F.col(id_col), key.alias("__k"))
+    if not bloom_bits:
+        return (
+            df_new.select(F.col(id_col), key.alias("__k"))
+            .join(old_keys, "__k", "left")
+            .select(F.col(id_col), F.col("__hit").isNotNull().alias("is_dup"))
+        )
+    # the words frame feeds 2*bloom_hashes broadcast consumers and its
+    # subtree contains the full old-corpus scan + a shuffle aggregate —
+    # the repo's checkpoint rule applies; it materializes to <= bits/64
+    # rows (released by the caller's checkpoint_scope)
+    words = eager_checkpoint(bloom_words(old_keys, "__k", bloom_bits, bloom_hashes))
+    probed = df_new.select(F.col(id_col), key.alias("__k"))
+    for i, p in enumerate(_bloom_positions(F.col("__k"), bloom_bits, bloom_hashes)):
+        probed = probed.withColumn(f"__p{i}", p)
+    tests = []
+    for i in range(bloom_hashes):
+        wf = words.select(F.col("__w").alias(f"__w{i}"), F.col("__bits").alias(f"__b{i}"))
+        probed = probed.join(
+            F.broadcast(wf), F.shiftright(F.col(f"__p{i}"), 6) == F.col(f"__w{i}"), "left"
+        )
+        tests.append(
+            F.expr(f"(shiftrightunsigned(__b{i}, CAST(pmod(__p{i}, 64) AS INT)) & 1) = 1")
+        )
+    maybe = F.lit(True)
+    for t in tests:
+        maybe = maybe & t
+    probed = probed.withColumn("__maybe", F.coalesce(maybe, F.lit(False)))
+    cand = (
+        probed.filter(F.col("__maybe"))
+        .select(F.col(id_col), F.col("__k"))
         .join(old_keys, "__k", "left")
         .select(F.col(id_col), F.col("__hit").isNotNull().alias("is_dup"))
     )
+    clean = probed.filter(~F.col("__maybe")).select(
+        F.col(id_col), F.lit(False).alias("is_dup")
+    )
+    return cand.unionByName(clean)
 
 
 def minhash_pairs_against(
