@@ -369,6 +369,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_recall": _q_ann_pq_recall,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq,
         "dedup_semdedup": lambda s, d: similarity.semdedup(embs(s, d), 8, 0.8, train_iters=1, dim=64),
         "ann_ivf_kmeans_topk": lambda s, d: similarity.ivf_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5,
@@ -532,6 +533,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "ann_recall": _ann_recall_oracle_sql(),
         "ann_pq_topk": _pq_oracle_sql(),
         "ann_pq_recall": _pq_recall_oracle_sql(),
+        "ann_ivf_pq_topk": _ivf_pq_oracle_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "text_vocabulary": o.vocabulary_sql(200),
@@ -757,17 +759,17 @@ _R8_WINDOW = [
     "dedup_cross_minhash",
     "dedup_substring_keepfirst",
     "dedup_template",
-    # new this round: product quantization (ADC top-k + recall)
+    # new this round: PQ / IVF-PQ ANN family + Bloom-prefiltered dedup
     "ann_pq_topk",
     "ann_pq_recall",
+    "ann_ivf_pq_topk",
+    "dedup_cross_bloom",
     # back-fill (green in a prior window, family coverage)
     "corpus_report_by",
     "sample_domain_cap",
     "text_readability",
     "corpus_diff",
     "corpus_report",
-    "ann_rrf_fuse",
-    "text_bm25_topk",
 ]
 
 
@@ -1193,6 +1195,81 @@ SELECT e.query_id,
        {hit}::BIGINT AS n_hit,
        round({hit}::DOUBLE / greatest(len(e.ids), 1)::DOUBLE, 6) AS recall
 FROM e LEFT JOIN a ON e.query_id = a.query_id
+"""
+
+
+def _q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ ADC top-5, untrained everywhere (first-8 coarse centroids,
+    first-16 residual codewords) — the fully SQL-expressible form of the
+    billion-vector index layout; trained paths are covered by the
+    degeneracy/monotonicity property tests."""
+    from wrangler_spark.datapipe import similarity
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        embs, embs.filter(F.col("vec_id") < 5), 64,
+        n_centroids=8, m=8, k_cb=16, k=5, nprobe=1,
+    )
+
+
+def _ivf_pq_oracle_sql(
+    n_centroids: int = 8, m: int = 8, kcb: int = 16, k: int = 5,
+    n_queries: int = 5, dim: int = 64, nprobe: int = 1,
+) -> str:
+    """Mirror of _q_ann_ivf_pq: coarse cosine assignment (6dp, ties to
+    lower centroid id), residuals v - centroid, untrained residual
+    codebook (first-kcb residual subvectors, dense cid), nearest-codeword
+    encode (6dp L2, ties lower cid), score = 6dp( qc_dot + Σ_j 6dp LUT )
+    with qc_dot the 6dp raw dot(query, probed centroid)."""
+    sub = dim // m
+    cos = _cos_sql("c.v", "cent.zv", dim)
+    qcos = _cos_sql("c.v", "cent.zv", dim)
+    sq = f"list_sum([(s.sv[i]-cb.zv[i])*(s.sv[i]-cb.zv[i]) FOR i IN range(1,{sub + 1})])"
+    ldot = f"list_sum([s.sv[i]*cb.zv[i] FOR i IN range(1,{sub + 1})])"
+    qcdot = f"list_sum([q.qv[i]*ct.zv[i] FOR i IN range(1,{dim + 1})])"
+    return f"""
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS zv FROM c ORDER BY vec_id LIMIT {n_centroids}),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY {cos} DESC, cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1),
+resid AS (
+  SELECT c.vec_id, a.centroid_id, [c.v[i] - ct.zv[i] FOR i IN range(1, {dim + 1})] AS rv
+  FROM c JOIN assign a ON c.vec_id = a.vec_id JOIN cent ct ON a.centroid_id = ct.centroid_id),
+js AS (SELECT unnest(range(0, {m})) AS j),
+rsubs AS (SELECT vec_id, centroid_id, j, list_slice(rv, j*{sub}+1, (j+1)*{sub}) AS sv FROM resid, js),
+fk AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+       FROM (SELECT vec_id FROM resid ORDER BY vec_id LIMIT {kcb})),
+cb AS (SELECT s.j AS m, fk.cid, s.sv AS zv FROM rsubs s JOIN fk ON s.vec_id = fk.vec_id),
+enc AS (SELECT vec_id, centroid_id, j, cid FROM (
+    SELECT s.vec_id, s.centroid_id, s.j, cb.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY round({sq}, 6) ASC, cb.cid ASC) AS rn
+    FROM rsubs s JOIN cb ON s.j = cb.m) WHERE rn = 1),
+probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT c.vec_id AS query_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY {qcos} DESC, cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent WHERE c.vec_id < {n_queries}) WHERE rn <= {nprobe}),
+qv AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {n_queries}),
+qc AS (SELECT p.query_id, p.centroid_id, round({qcdot}, 6) AS qcd
+       FROM probe p JOIN qv q ON p.query_id = q.query_id
+            JOIN cent ct ON p.centroid_id = ct.centroid_id),
+qsubs AS (SELECT query_id, j, list_slice(qv, j*{sub}+1, (j+1)*{sub}) AS sv FROM qv, js),
+lut AS (SELECT s.query_id, s.j, cb.cid, round({ldot}, 6) AS d
+        FROM qsubs s JOIN cb ON s.j = cb.m),
+scored AS (
+  SELECT qc.query_id, e.vec_id, round(qc.qcd + sum(l.d), 6) AS cosine
+  FROM enc e
+  JOIN qc ON e.centroid_id = qc.centroid_id
+  JOIN lut l ON l.query_id = qc.query_id AND l.j = e.j AND l.cid = e.cid
+  WHERE e.vec_id != qc.query_id
+  GROUP BY qc.query_id, e.vec_id, qc.qcd)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+WHERE rank <= {k}
 """
 
 

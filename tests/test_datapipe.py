@@ -2153,3 +2153,69 @@ def test_bloom_words_sparse_and_bounded(spark):
     assert len(rows) <= min((1 << 14) // 64, 5 * 50)
     assert all(r["__bits"] != 0 for r in rows)          # sparse: no empty words
     assert all(0 <= r["__w"] < (1 << 14) // 64 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (coarse IVF + residual product quantization)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_pq_full_probe_full_codebook_is_exact(spark):
+    """Degeneracy: probing every bucket with a codebook big enough that
+    every residual is its own codeword makes ADC scoring the exact dot
+    product — the result must equal brute-force cosine_topk on unit
+    vectors (dot == cosine)."""
+    df = spark.createDataFrame(_unit_rows(24, 16, 31), ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 4)
+    out = similarity.ivf_pq_topk(
+        df, q, 16, n_centroids=4, m=4, k_cb=24, k=3, nprobe=4
+    )
+    exact = similarity.cosine_topk(df, q, k=3)
+    rec = similarity.ann_recall(exact, out).collect()
+    assert len(rec) == 4 and all(r["recall"] == 1.0 for r in rec)
+    # scores agree with the exact cosine to quantization-free rounding
+    ex = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact.collect()}
+    for r in out.collect():
+        assert abs(ex[(r["query_id"], r["vec_id"])] - r["cosine"]) < 5e-6
+
+
+def test_ivf_pq_nprobe_monotone_and_bucket_restriction(spark):
+    df = spark.createDataFrame(_unit_rows(80, 16, 13), ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 6)
+    exact = similarity.cosine_topk(df, q, k=4)
+
+    def avg_recall(nprobe):
+        out = similarity.ivf_pq_topk(df, q, 16, n_centroids=8, m=4, k_cb=16, k=4, nprobe=nprobe)
+        return similarity.ann_recall(exact, out).agg(F.avg("recall")).collect()[0][0]
+
+    r1, r8 = avg_recall(1), avg_recall(8)
+    assert r1 <= r8 + 1e-9  # more probes never lose ADC-reachable neighbors
+    # nprobe=1 must only return vectors from the query's own probed bucket
+    out1 = similarity.ivf_pq_topk(df, q, 16, n_centroids=8, m=4, k_cb=16, k=4, nprobe=1)
+    c = df.select(F.col("vec_id"), F.col("embedding"))
+    cent = c.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("zv"))
+    assign = {r["vec_id"]: r["centroid_id"] for r in similarity.ivf_assign(c, cent.select(
+        F.col("centroid_id").alias("vec_id"), F.col("zv").alias("embedding"))).collect()}
+    probe = {r["vec_id"]: r["centroid_id"] for r in similarity.ivf_assign(
+        q, cent.select(F.col("centroid_id").alias("vec_id"), F.col("zv").alias("embedding"))).collect()}
+    for r in out1.collect():
+        assert assign[r["vec_id"]] == probe[r["query_id"]]
+
+
+def test_ivf_pq_checkpoints_released(spark):
+    from wrangler_spark.datapipe._checkpoint import checkpoint_scope, persistent_rdd_ids
+
+    df = spark.createDataFrame(_unit_rows(40, 16, 17), ["vec_id", "embedding"])
+    base = persistent_rdd_ids(spark)
+    with checkpoint_scope():
+        out = similarity.ivf_pq_topk(df, df.filter(F.col("vec_id") < 3), 16,
+                                     n_centroids=4, m=4, k_cb=8, k=3, pq_iters=1)
+        assert out.count() == 9
+    import time
+
+    for _ in range(50):
+        if persistent_rdd_ids(spark) <= base:
+            break
+        time.sleep(0.1)
+    assert persistent_rdd_ids(spark) <= base

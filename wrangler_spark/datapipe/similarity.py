@@ -1003,46 +1003,150 @@ def pq_topk(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
 
     def scorer(qb: DataFrame) -> DataFrame:
-        qsubs = _subvectors(qb, F.col("query_id"), "__qv", dim, m)
-        dot = F.round(
-            F.aggregate(
-                F.zip_with(F.col("__sv"), F.col("zv"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            ),
-            6,
-        )
-        per_cell = qsubs.join(F.broadcast(codebook), F.col("__m") == F.col("m")).select(
-            "query_id", "__m", "cid", dot.alias("d")
-        )
-        per_sub = per_cell.groupBy("query_id", "__m").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("cid", "d"))), lambda s: s["d"]
-            ).alias("ds")
-        )
-        tables = per_sub.groupBy("query_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__m", "ds"))), lambda s: s["ds"]
-            ).alias("__tables")
-        )
-        code = F.col(code_col)
-        score = F.round(
-            F.aggregate(
-                F.sequence(F.lit(1), F.lit(int(m))),
-                F.lit(0.0),
-                lambda acc, i: acc
-                + F.element_at(
-                    F.element_at(F.col("__tables"), i),
-                    F.element_at(code, i) + F.lit(1),
-                ),
-            ),
-            6,
-        )
+        tables = _adc_tables(qb, codebook, dim, m)
         return (
-            corpus_codes.select(F.col(id_col).alias("vec_id"), code.alias(code_col))
+            corpus_codes.select(F.col(id_col).alias("vec_id"), F.col(code_col).alias(code_col))
             .crossJoin(F.broadcast(tables))
             .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id", score.alias("cosine"))
+            .select(
+                "query_id", "vec_id",
+                F.round(_adc_sum(F.col(code_col), m), 6).alias("cosine"),
+            )
+        )
+
+    return _topk_batched(q, k, query_batch, scorer)
+
+
+def _adc_tables(qb: DataFrame, codebook: DataFrame, dim: int, m: int) -> DataFrame:
+    """(query_id, __tables) per query in ``qb`` (query_id, __qv):
+    __tables[j+1][c+1] = 6dp dot of the query's j-th subvector with
+    subspace j's codeword c — the ADC lookup table, built with the
+    codebook broadcast (queries × m·k rows, never corpus-sized)."""
+    qsubs = _subvectors(qb, F.col("query_id"), "__qv", dim, m)
+    dot = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__sv"), F.col("zv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+        6,
+    )
+    per_cell = qsubs.join(F.broadcast(codebook), F.col("__m") == F.col("m")).select(
+        "query_id", "__m", "cid", dot.alias("d")
+    )
+    per_sub = per_cell.groupBy("query_id", "__m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("cid", "d"))), lambda s: s["d"]
+        ).alias("ds")
+    )
+    return per_sub.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__m", "ds"))), lambda s: s["ds"]
+        ).alias("__tables")
+    )
+
+
+def _adc_sum(code: Column, m: int) -> Column:
+    """The (unrounded) ADC approximate dot product: m lookups of
+    ``__tables`` addressed by the row's dense code array."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(m))),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.element_at(F.col("__tables"), i), F.element_at(code, i) + F.lit(1)),
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    m: int = 8,
+    k_cb: int = 16,
+    k: int = 5,
+    nprobe: int = 1,
+    pq_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_batch: int = 4096,
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. TPAMI'11 §IV): coarse IVF partitioning +
+    product quantization of the RESIDUALS (v - centroid), the classic
+    billion-vector layout — each vector stored as (centroid_id, m codes),
+    queries probe ``nprobe`` buckets and ADC-score only bucket members.
+    For the inner-product metric the identity dot(q, c + r̂) =
+    dot(q, c) + dot(q, r̂) makes the lookup tables CENTROID-INDEPENDENT:
+    one m×k_cb table per query (built once against the residual
+    codebook) plus one scalar dot(q, centroid) per probed bucket.
+    Returns (query_id, vec_id, cosine, rank); cosine is the approximate
+    dot (exact for unit vectors up to quantization error — measure with
+    ann_recall, the family harness).
+
+    Coarse centroids are the deterministic first-``n_centroids`` vectors
+    (cosine assignment, the ivf_topk convention); ``pq_iters`` trains the
+    residual codebook with per-subspace Lloyd's. All determinism
+    contracts (6dp rounding, ties to lower id) are inherited, so the
+    untrained path has a full DuckDB oracle.
+
+    Scale shape: residual computation is a broadcast centroid join
+    (narrow); codes are checkpointed once (they feed every query chunk —
+    at production scale use ivf_write_index(pq_m=m) to persist them
+    partitioned by centroid_id and get partition-pruned probes);
+    per-chunk scoring joins codes to the broadcast (query, bucket, qc,
+    tables) frame on centroid_id — bucket members only, never the whole
+    corpus — and ranking is the two-phase no-Window top-k. Checkpoints
+    (centroids, codebook, codes) release via the caller's
+    checkpoint_scope."""
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
+    cent = eager_checkpoint(
+        c.orderBy("vec_id").limit(int(n_centroids)).select(
+            F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
+        )
+    )
+    assign = _assign_prepared(c, cent)
+    resid = (
+        c.join(assign, "vec_id")
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            "vec_id", "centroid_id",
+            F.zip_with("cv", "zv", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    cb = pq_train(resid, dim, m, k_cb, pq_iters, id_col="vec_id", vec_col="rv")
+    codes = eager_checkpoint(
+        pq_encode(resid, cb, dim, m, id_col="vec_id", vec_col="rv")
+        .select("vec_id", "centroid_id", "pq_code")
+    )
+    q_prep = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    tables = _adc_tables(q_prep, cb, dim, m)
+    probes = _probe_assign(q_prep.select("query_id", F.col("__qv").alias("qv")), cent, nprobe)
+    qc_dot = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__qv"), F.col("zv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+        6,
+    )
+    q = (
+        probes.join(q_prep, "query_id")
+        .join(F.broadcast(cent), "centroid_id")
+        .select("query_id", "centroid_id", qc_dot.alias("__qc"))
+        .join(tables, "query_id")
+    )
+
+    def scorer(qb: DataFrame) -> DataFrame:
+        joined = codes.join(F.broadcast(qb), "centroid_id").filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+        return joined.select(
+            "query_id", "vec_id",
+            F.round(F.col("__qc") + _adc_sum(F.col("pq_code"), m), 6).alias("cosine"),
         )
 
     return _topk_batched(q, k, query_batch, scorer)
