@@ -2219,3 +2219,29 @@ def test_ivf_pq_checkpoints_released(spark):
             break
         time.sleep(0.1)
     assert persistent_rdd_ids(spark) <= base
+
+
+def test_ivf_pq_index_persist_matches_in_memory(spark, tmp_path_factory):
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(_unit_rows(60, 16, 41), ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 4)
+    path = str(tmp_path_factory.mktemp("ivfpq")) + "/ix"
+    similarity.ivf_write_index(df, path, n_centroids=6, dim=16, pq_m=4, pq_k=8, pq_iters=1)
+    out = similarity.ivf_query_index(spark, path, q, k=3, nprobe=2)
+    mem = similarity.ivf_pq_topk(df, q, 16, n_centroids=6, m=4, k_cb=8, k=3,
+                                 nprobe=2, pq_iters=1)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, mem.collect()))
+    # probes are partition-pruned scans over the code files
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:150]
+    # layout: quantize and pq are mutually exclusive, pq needs dim
+    with pytest.raises(ValueError):
+        similarity.ivf_write_index(df, path, quantize=True, pq_m=4, dim=16)
+    with pytest.raises(ValueError):
+        similarity.ivf_write_index(df, path, pq_m=4)

@@ -476,6 +476,9 @@ def ivf_write_index(
     train_iters: int = 0,
     dim: int | None = None,
     quantize: bool = False,
+    pq_m: int = 0,
+    pq_k: int = 16,
+    pq_iters: int = 0,
 ) -> None:
     """Materialize an IVF index on disk: the corpus written PARTITIONED BY
     centroid_id (``<path>/vectors/centroid_id=*/``) plus the centroid
@@ -491,7 +494,20 @@ def ivf_write_index(
     ~4× less index disk/scan IO, assignment still happens on the float
     vectors at build time, and ivf_query_index dequantizes bucket rows on
     the fly (recall cost is measurable with ann_recall; int8 keeps top-5
-    recall ≥0.9 on the fixture embeddings, tested)."""
+    recall ≥0.9 on the fixture embeddings, tested).
+
+    ``pq_m > 0`` stores IVF-PQ instead (requires ``dim``; exclusive with
+    ``quantize``): the vectors partition becomes (vec_id, pq_code) —
+    ``pq_m`` codes over the RESIDUAL v - centroid, trained with
+    ``pq_iters`` per-subspace Lloyd's over ``pq_k`` codewords — plus the
+    residual codebook at ``<path>/codebook``. dim·4 bytes/vector becomes
+    pq_m bytes: the layout that fits a billion-vector index in executor
+    memory; ivf_query_index ADC-scores the probed buckets without ever
+    reading a float vector."""
+    if quantize and pq_m:
+        raise ValueError("quantize and pq_m are mutually exclusive index layouts")
+    if pq_m and not dim:
+        raise ValueError("pq_m requires an explicit dim")
     if train_iters > 0:
         cent = kmeans_centroids(corpus, n_centroids, train_iters, id_col, vec_col, dim=dim)
     else:
@@ -500,6 +516,31 @@ def ivf_write_index(
         )
     c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
     assign = _assign_prepared(c, cent)
+    if pq_m:
+        from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
+
+        cent_ck = eager_checkpoint(cent)
+        resid = (
+            c.join(assign, "vec_id")
+            .join(F.broadcast(cent_ck), "centroid_id")
+            .select(
+                "vec_id", "centroid_id",
+                F.zip_with("cv", "zv", lambda x, y: x - y).alias("rv"),
+            )
+        )
+        cb = pq_train(resid, dim, pq_m, pq_k, pq_iters, id_col="vec_id", vec_col="rv")
+        (
+            pq_encode(resid, cb, dim, pq_m, id_col="vec_id", vec_col="rv")
+            .select("vec_id", "pq_code", "centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{path}/vectors")
+        )
+        cb.write.mode("overwrite").parquet(f"{path}/codebook")
+        cent_ck.write.mode("overwrite").parquet(f"{path}/centroids")
+        release(cb)
+        release(cent_ck)
+        return
     base = corpus.withColumnRenamed(id_col, "vec_id")
     if quantize:
         base = embedding_quantize(base, vec_col).drop(vec_col)
@@ -538,6 +579,22 @@ def ivf_query_index(
     probes = _probe_assign(q_prep, cent, nprobe)
     probed = [r[0] for r in probes.select("centroid_id").distinct().collect()]
     raw = spark.read.parquet(f"{path}/vectors").filter(F.col("centroid_id").isin(probed))
+    if "pq_code" in raw.columns:
+        # IVF-PQ layout (pq_m at build): ADC-score the pruned code scans
+        # against the residual codebook — no float vector is ever read.
+        # m and dim come from the codebook itself (one bounded scalar
+        # aggregate: ≤ m·k rows), never from sniffing the corpus.
+        cb = spark.read.parquet(f"{path}/codebook")
+        shape = cb.agg(
+            (F.max("m") + 1).alias("m"), F.max(F.size("zv")).alias("sub")
+        ).collect()[0]
+        m = int(shape["m"])
+        return _ivf_pq_score(
+            raw.select("vec_id", "centroid_id", "pq_code"),
+            cent, cb,
+            q_prep.select("query_id", F.col("qv").alias("__qv")),
+            probes, m * int(shape["sub"]), m, k, query_batch,
+        )
     if vec_col not in raw.columns and "q" in raw.columns:
         # int8-quantized index (quantize=True at build): dequantize the
         # probed bucket rows scan-side — q_i · scale, still zero shuffle
@@ -1123,8 +1180,20 @@ def ivf_pq_topk(
     q_prep = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
-    tables = _adc_tables(q_prep, cb, dim, m)
     probes = _probe_assign(q_prep.select("query_id", F.col("__qv").alias("qv")), cent, nprobe)
+    return _ivf_pq_score(codes, cent, cb, q_prep, probes, dim, m, k, query_batch)
+
+
+def _ivf_pq_score(
+    codes: DataFrame, cent: DataFrame, cb: DataFrame, q_prep: DataFrame,
+    probes: DataFrame, dim: int, m: int, k: int, query_batch: int,
+) -> DataFrame:
+    """Shared IVF-PQ scoring tail over prepared frames: codes (vec_id,
+    centroid_id, pq_code), cent (centroid_id, zv), cb (m, cid, zv),
+    q_prep (query_id, __qv), probes (query_id, centroid_id). Builds the
+    centroid-independent ADC tables once, attaches the per-bucket
+    query-centroid dot, and runs the family's batched no-Window top-k."""
+    tables = _adc_tables(q_prep, cb, dim, m)
     qc_dot = F.round(
         F.aggregate(
             F.zip_with(F.col("__qv"), F.col("zv"), lambda x, y: x * y),
