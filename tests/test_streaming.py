@@ -332,3 +332,33 @@ def test_ingest_monitor(spark, tmp_path_factory):
     batch = {r["window_start"].minute: (r["n_docs"], r["n_dups"]) for r in
              ingest_monitor(new, old, "ts", "text", window="1 minute").collect()}
     assert batch == got
+
+
+def test_bloom_dedup_against_on_stream(spark, tmp_path_factory):
+    """The Bloom pre-filter path is stream-safe too: the sparse bitmap is
+    a STATIC frame (checkpointed at plan time from the accumulated
+    corpus), the probe is stream-static broadcast joins, and the
+    positive/negative branches union back — same flags as the plain
+    path, scan-side for the ~all-clean streaming batch."""
+    import shutil
+
+    from wrangler_spark.datapipe.dedup import exact_dedup_against
+
+    d = str(tmp_path_factory.mktemp("ingest_src_bloom"))
+    new = spark.createDataFrame(
+        [(1, "seen before text"), (2, "brand new text"), (3, "also seen text")],
+        ["doc_id", "text"],
+    )
+    new.write.mode("overwrite").parquet(d)
+    old = spark.createDataFrame(
+        [(100, "SEEN  before   text"), (101, "also seen text"), (102, "other")],
+        ["doc_id", "text"],
+    )
+    stream = spark.readStream.schema(new.schema).parquet(d)
+    flags = exact_dedup_against(stream, old, "doc_id", "text", bloom_bits=1 << 16)
+    assert flags.isStreaming
+    q = run_to_memory(flags, "bloom_flags")
+    got = {r["doc_id"]: r["is_dup"] for r in spark.sql("SELECT * FROM bloom_flags").collect()}
+    q.stop()
+    shutil.rmtree(d, ignore_errors=True)
+    assert got == {1: True, 2: False, 3: True}

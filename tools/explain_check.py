@@ -356,6 +356,25 @@ def main() -> int:
         must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 27. PQ / IVF-PQ ANN: ADC tables broadcast against the code scan;
+    # no Python, no rank window anywhere in train+encode+score (pq_topk's
+    # table crossJoin is the sanctioned broadcast-1-row-per-query shape)
+    for name in ("ann_pq_topk", "ann_ivf_pq_topk"):
+        p = plan_of(qs[name](spark, SF_DIR))
+        problems += check(
+            name, p, must=["Broadcast"],
+            must_not=["Window", "BatchEvalPython", "ArrowEvalPython"],
+        )
+    # Bloom-prefiltered cross-corpus dedup: the probe is pure JVM
+    # broadcast joins; the only sort-merge allowed is the verification
+    # equi-join over bloom-positive candidates
+    p = plan_of(qs["dedup_cross_bloom"](spark, SF_DIR))
+    problems += check(
+        "dedup_cross_bloom", p, must=["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:
