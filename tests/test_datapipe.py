@@ -2245,3 +2245,22 @@ def test_ivf_pq_index_persist_matches_in_memory(spark, tmp_path_factory):
         similarity.ivf_write_index(df, path, quantize=True, pq_m=4, dim=16)
     with pytest.raises(ValueError):
         similarity.ivf_write_index(df, path, pq_m=4)
+
+
+def test_bloom_dedup_adversarial_values(spark):
+    """Null text, empty strings, separator characters, unicode, and long
+    values: the bloom path must agree with the plain path row-for-row
+    (nulls flagged not-dup, every new row present exactly once)."""
+    new = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a|b"), (4, "ünïcødé 文"), (5, "x" * 5000), (6, "only new")],
+        ["doc_id", "text"],
+    )
+    old = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "A|B"), (13, "ünïcødé 文"), (14, "x" * 5000)],
+        ["doc_id", "text"],
+    )
+    plain = sorted(tuple(r) for r in dedup.exact_dedup_against(new, old, "doc_id", "text").collect())
+    b = sorted(tuple(r) for r in dedup.exact_dedup_against(
+        new, old, "doc_id", "text", bloom_bits=1 << 12).collect())
+    assert b == plain
+    assert len(b) == 6 and dict(b)[1] is False  # null text present, not dup

@@ -37,6 +37,8 @@ QUERIES = [
     # round 8
     "entity_match_against", "dedup_overlap", "text_top_ngrams",
     "corpus_drift", "text_entropy", "num_mad", "num_qbins",
+    # round 8, second batch (ANN compression + bloom dedup)
+    "ann_pq_topk", "ann_ivf_pq_topk", "dedup_cross_bloom",
 ]
 
 
