@@ -2264,3 +2264,26 @@ def test_bloom_dedup_adversarial_values(spark):
         new, old, "doc_id", "text", bloom_bits=1 << 12).collect())
     assert b == plain
     assert len(b) == 6 and dict(b)[1] is False  # null text present, not dup
+
+
+def test_ivf_pq_index_append(spark, tmp_path_factory):
+    """Appending into a PQ index encodes the new batch's residuals
+    against the STORED codebook: the appended vector is findable via
+    ADC, prior results are untouched, and codes stay the only payload."""
+    df = spark.createDataFrame(_unit_rows(50, 16, 53), ["vec_id", "embedding"])
+    path = str(tmp_path_factory.mktemp("ivfpq_app")) + "/ix"
+    similarity.ivf_write_index(df, path, n_centroids=5, dim=16, pq_m=4, pq_k=8)
+    before = spark.read.parquet(f"{path}/vectors").count()
+    newbie = spark.createDataFrame(
+        [(r[0] + 1000, r[1]) for r in _unit_rows(4, 16, 99)], ["vec_id", "embedding"]
+    )
+    similarity.ivf_append_index(newbie, path)
+    raw = spark.read.parquet(f"{path}/vectors")
+    assert raw.count() == before + 4
+    assert set(raw.columns) == {"vec_id", "pq_code", "centroid_id"}
+    # an appended vector queried against the index finds itself excluded
+    # (self-match filter) but its code reconstructs: query with a copy id
+    probe = newbie.withColumn("vec_id", F.col("vec_id") + 5000)
+    out = similarity.ivf_query_index(spark, path, probe, k=3, nprobe=5)
+    found = {r["vec_id"] for r in out.collect()}
+    assert any(v >= 1000 for v in found)  # appended rows participate

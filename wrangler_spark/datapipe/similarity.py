@@ -849,18 +849,44 @@ def ivf_append_index(
 
     ``quantize`` defaults to whatever the existing index stores (sniffed
     from the vectors schema, one metadata read — no data scan), so a
-    float index stays float and an int8 index stays int8. Appends use
-    dynamic partition append: only the probed centroid_id directories
-    gain files, existing data is never rewritten."""
+    float index stays float, an int8 index stays int8, and an IVF-PQ
+    index (pq_code layout) encodes the batch's residuals against the
+    STORED codebook — codewords are frozen at build time, exactly like
+    the centroids (retrain, like recluster, is a deliberate rare event
+    triggered by an ann_recall regression). Appends use dynamic
+    partition append: only the probed centroid_id directories gain
+    files, existing data is never rewritten."""
     spark = new_vectors.sparkSession
     cent = spark.read.parquet(f"{path}/centroids")
     existing_cols = spark.read.parquet(f"{path}/vectors").schema.fieldNames()
-    if quantize is None:
-        quantize = "q" in existing_cols and vec_col not in existing_cols
     c = new_vectors.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     assign = _assign_prepared(c, cent)
+    if "pq_code" in existing_cols:
+        cb = spark.read.parquet(f"{path}/codebook")
+        shape = cb.agg(
+            (F.max("m") + 1).alias("m"), F.max(F.size("zv")).alias("sub")
+        ).collect()[0]
+        m = int(shape["m"])
+        resid = (
+            c.join(assign, "vec_id")
+            .join(F.broadcast(cent), "centroid_id")
+            .select(
+                "vec_id", "centroid_id",
+                F.zip_with("cv", "zv", lambda x, y: x - y).alias("rv"),
+            )
+        )
+        (
+            pq_encode(resid, cb, m * int(shape["sub"]), m, id_col="vec_id", vec_col="rv")
+            .select("vec_id", "pq_code", "centroid_id")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(f"{path}/vectors")
+        )
+        return
+    if quantize is None:
+        quantize = "q" in existing_cols and vec_col not in existing_cols
     base = new_vectors.withColumnRenamed(id_col, "vec_id")
     if quantize:
         base = embedding_quantize(base, vec_col).drop(vec_col)
