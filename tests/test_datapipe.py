@@ -2314,3 +2314,29 @@ def test_embedding_outliers_per_cluster_thresholds(spark):
     approx = {r["vec_id"]: r["is_outlier"] for r in
               similarity.embedding_outliers(df, n_clusters=2, q=0.10, exact=False).collect()}
     assert approx[99] is True
+
+
+def test_minhash_index_persist_matches_in_memory(spark, tmp_path_factory):
+    """The persisted LSH index returns the SAME pairs as the in-memory
+    cross-corpus op, and querying it never recomputes old signatures
+    (the old side appears in the plan as parquet scans of the index)."""
+    import io
+    from contextlib import redirect_stdout
+
+    rows = [(i, f"the quick brown fox number {i % 11} jumps over the lazy dog") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    new = df.filter(F.col("doc_id") % 3 != 0)
+    old = df.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path_factory.mktemp("mh_ix")) + "/ix"
+    dedup.minhash_write_index(old, path, "doc_id", "text")
+    got = sorted(tuple(r) for r in
+                 dedup.minhash_pairs_against_index(new, path, "doc_id", "text", 0.5).collect())
+    want = sorted(tuple(r) for r in
+                  dedup.minhash_pairs_against(new, old, "doc_id", "text", 0.5).collect())
+    assert got == want and len(got) > 0
+    out = dedup.minhash_pairs_against_index(new, path, "doc_id", "text", 0.5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "ix/buckets" in plan and "ix/shingles" in plan  # old side = index scans

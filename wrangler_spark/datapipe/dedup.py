@@ -1179,6 +1179,16 @@ def minhash_pairs_against(
     old_buckets = bands_o.groupBy("band", "key").agg(
         F.expr(f"slice(array_sort(collect_list(id)), 1, {int(max_bucket_size)})").alias("__olds")
     )
+    return _pairs_against_tail(base_n, bands_n, base_o, old_buckets, threshold)
+
+
+def _pairs_against_tail(
+    base_n: DataFrame, bands_n: DataFrame, base_o: DataFrame,
+    old_buckets: DataFrame, threshold: float,
+) -> DataFrame:
+    """Shared candidate+verify tail of the cross-corpus near-dedup: band
+    equi-join against the (capped) old buckets, exact Jaccard over the
+    two shingle bases for the surviving candidates only."""
     cand = (
         bands_n.join(old_buckets, ["band", "key"])
         .selectExpr("id AS id_new", "explode(__olds) AS id_old")
@@ -1195,6 +1205,56 @@ def minhash_pairs_against(
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_new", "id_old", "jaccard")
+    )
+
+
+def minhash_write_index(
+    df_old: DataFrame, path: str, id_col: str, text_col: str,
+    max_bucket_size: int = 100,
+) -> None:
+    """Materialize the accumulated corpus's LSH state ONCE so every
+    ingestion batch skips re-hashing 100 TB of history:
+    ``<path>/buckets`` = the capped sorted (band, key, __olds) bucket
+    table (the expensive groupBy paid at build time) and
+    ``<path>/shingles`` = (id, shingles) verification payloads, read
+    only for the rare candidates. minhash_pairs_against recomputes both
+    per call — correct, but O(old corpus) per batch; this is the
+    materialize-once counterpart (same discipline as ivf_write_index).
+
+    Freshness contract: the index is a snapshot. The standard layout is
+    log-structured — rebuild on a cadence, and for exactness between
+    rebuilds ALSO run minhash_pairs_against(batch, delta_since_rebuild)
+    (cheap: the delta is small) and union the pairs. Parquet can't
+    merge capped lists in place, so there is deliberately no in-place
+    bucket append."""
+    base_o, bands_o = _sig_bands(df_old, id_col, text_col)
+    (
+        bands_o.groupBy("band", "key")
+        .agg(F.expr(f"slice(array_sort(collect_list(id)), 1, {int(max_bucket_size)})").alias("__olds"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/buckets")
+    )
+    base_o.write.mode("overwrite").parquet(f"{path}/shingles")
+    release(base_o)
+
+
+def minhash_pairs_against_index(
+    df_new: DataFrame, path: str, id_col: str, text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """minhash_pairs_against for a batch vs a PERSISTED minhash index:
+    identical pairs (same banding, caps, and exact-Jaccard verification)
+    but the old side is two parquet scans — the batch's band rows join
+    the stored buckets, and stored shingles are fetched for candidates
+    only. The per-batch cost no longer contains the old corpus's
+    signature computation at all."""
+    spark = df_new.sparkSession
+    base_n, bands_n = _sig_bands(df_new, id_col, text_col)
+    return _pairs_against_tail(
+        base_n, bands_n,
+        spark.read.parquet(f"{path}/shingles"),
+        spark.read.parquet(f"{path}/buckets"),
+        threshold,
     )
 
 
