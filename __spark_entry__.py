@@ -371,6 +371,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall": _q_ann_pq_recall,
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
         "emb_outliers": lambda s, d: similarity.embedding_outliers(embs(s, d), 8, 0.05),
+        "text_nfc": lambda s, d: text.unicode_normalize(
+            docs(s, d), "text", "NFC", out_col="text_nfc"
+        ).select("doc_id", "text_nfc"),
         "dedup_semdedup": lambda s, d: similarity.semdedup(embs(s, d), 8, 0.8, train_iters=1, dim=64),
         "ann_ivf_kmeans_topk": lambda s, d: similarity.ivf_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5,
@@ -536,6 +539,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "ann_pq_recall": _pq_recall_oracle_sql(),
         "ann_ivf_pq_topk": _ivf_pq_oracle_sql(),
         "emb_outliers": _emb_outliers_oracle_sql(),
+        # NFC is the only form DuckDB exposes (nfc_normalize); NFKC/NFD/
+        # NFKD are covered by unit tests against unicodedata's spec
+        "text_nfc": "SELECT doc_id, nfc_normalize(text) AS text_nfc FROM documents",
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "text_vocabulary": o.vocabulary_sql(200),

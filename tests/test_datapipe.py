@@ -2340,3 +2340,30 @@ def test_minhash_index_persist_matches_in_memory(spark, tmp_path_factory):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "ix/buckets" in plan and "ix/shingles" in plan  # old side = index scans
+
+
+def test_unicode_normalize_forms_and_dedup_effect(spark):
+    """Decomposed é and composed é hash apart before NFC and together
+    after — the exact failure mode this op exists to close; NFKC folds
+    compatibility forms; bad form rejected; nulls pass through."""
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "café"), (3, "Ｈｅｌｌｏ"),
+         (4, "ﬁle"), (5, None)],
+        ["doc_id", "t"],
+    )
+    nfc = {r["doc_id"]: r["t"] for r in text.unicode_normalize(df, "t", "NFC").collect()}
+    assert nfc[1] == nfc[2] == "café" and nfc[5] is None
+    assert nfc[3] == "Ｈｅｌｌｏ"  # NFC keeps compatibility forms
+    nfkc = {r["doc_id"]: r["t"] for r in text.unicode_normalize(df, "t", "NFKC").collect()}
+    assert nfkc[3] == "Hello" and nfkc[4] == "file"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text.unicode_normalize(df, "t", "NFX")
+    # the dedup motivation, end to end: exact dedup collapses 1 and 2
+    # only after normalization
+    before = dedup.exact_dedup(df.filter(F.col("t").isNotNull()), "doc_id", "t").count()
+    after = dedup.exact_dedup(
+        text.unicode_normalize(df.filter(F.col("t").isNotNull()), "t", "NFC"), "doc_id", "t"
+    ).count()
+    assert after == before - 1

@@ -83,7 +83,7 @@ def main() -> int:
         problems.append(f"cleanse_recipe: from_csv appears {n_parses}x in the optimized plan (want 1 — pushdown duplication)")
 
     # 6. every oracled single-table transform query is UDF-free
-    udf_expected = {"mask_shuffle", "multimodal_features"}
+    udf_expected = {"mask_shuffle", "multimodal_features", "text_nfc"}
     for name in (
         "uppercase", "expression_el", "dq_checks", "text_quality", "text_fingerprint",
         "dedup_simhash", "pii_redact", "text_gopher_quality", "sample_by_quality",

@@ -974,3 +974,35 @@ def top_ngrams(
         F.col("n_occurrences").desc(), F.col("ngram").asc()
     ).limit(int(k))
 
+
+
+def unicode_normalize(
+    df: DataFrame, col: str, form: str = "NFC", out_col: str | None = None
+) -> DataFrame:
+    """Unicode normalization (NFC / NFKC / NFD / NFKD) — the
+    canonicalization every multilingual dedup pipeline runs BEFORE
+    hashing: é as U+00E9 and as e + COMBINING ACUTE are the same text
+    but different bytes, so they md5/MinHash apart and survive dedup.
+    NFKC additionally folds compatibility forms (ﬁ → fi, ① → 1,
+    fullwidth → ASCII) — the aggressive pre-dedup choice.
+
+    Spark has no built-in normalizer, so this is the sanctioned Arrow
+    path: one vectorized pandas UDF over stdlib unicodedata (C-speed
+    per string), scan-side, zero shuffle — the same contract as the
+    multimodal decoders. Nulls pass through. NFC output is
+    cross-checked against DuckDB's nfc_normalize in the oracle."""
+    import unicodedata
+
+    import pandas  # noqa: F401 — resolves the UDF's postponed type hints
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm(s):
+        return s.map(lambda t: unicodedata.normalize(form, t) if t is not None else None)
+
+    _norm.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    norm_udf = pandas_udf(_norm, "string")
+    return df.withColumn(out_col or col, norm_udf(F.col(col)))

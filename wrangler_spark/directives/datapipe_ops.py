@@ -897,3 +897,20 @@ class Readability(Directive):
         from wrangler_spark.datapipe.text import readability
 
         return readability(df, ctx.resolve(df, self.args["text"]))
+
+
+@directive
+class UnicodeNormalize(Directive):
+    """unicode-normalize :col [form] — NFC (default) / NFKC / NFD / NFKD
+    canonicalization in place (the pre-dedup byte-canonical step)."""
+
+    name = "unicode-normalize"
+    usage = [
+        Arg("col", TokenType.COLUMN),
+        Arg("form", TokenType.IDENTIFIER, optional=True, default="NFC"),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import unicode_normalize
+
+        return unicode_normalize(df, ctx.resolve(df, self.args["col"]), str(self.args["form"]))
