@@ -374,6 +374,10 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nfc": lambda s, d: text.unicode_normalize(
             docs(s, d), "text", "NFC", out_col="text_nfc"
         ).select("doc_id", "text_nfc"),
+        # rows-only by design: no SQL engine exposes a zlib scalar
+        "text_compress_ratio": lambda s, d: text.compression_ratio(
+            docs(s, d), "text"
+        ).select("doc_id", "compress_ratio"),
         "dedup_semdedup": lambda s, d: similarity.semdedup(embs(s, d), 8, 0.8, train_iters=1, dim=64),
         "ann_ivf_kmeans_topk": lambda s, d: similarity.ivf_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5,

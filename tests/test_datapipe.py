@@ -2367,3 +2367,29 @@ def test_unicode_normalize_forms_and_dedup_effect(spark):
         text.unicode_normalize(df.filter(F.col("t").isNotNull()), "t", "NFC"), "doc_id", "t"
     ).count()
     assert after == before - 1
+
+
+def test_compression_ratio_separates_repetition_from_noise(spark):
+    import random
+    import string
+
+    rng = random.Random(3)
+    noise = "".join(rng.choice(string.ascii_letters + string.digits) for _ in range(2000))
+    df = spark.createDataFrame(
+        [(1, "spam ham " * 250), (2, noise),
+         (3, "The quiet brown fox discussed philosophy with a passing turtle. " * 30),
+         (4, None), (5, "")],
+        ["doc_id", "t"],
+    )
+    out = {r["doc_id"]: r["compress_ratio"] for r in
+           text.compression_ratio(df, "t").collect()}
+    assert out[1] < 0.05              # pure repetition collapses
+    assert out[2] > 0.7               # random noise barely compresses
+    assert out[1] < out[3] < out[2]   # prose sits between
+    assert out[4] is None and out[5] == 1.0
+    # directive surface
+    from wrangler_spark import Pipeline
+
+    d = {r["doc_id"]: r["compress_ratio"] for r in
+         Pipeline.compile("compression-ratio :t").apply(df).collect()}
+    assert d == out

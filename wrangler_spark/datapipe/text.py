@@ -1006,3 +1006,38 @@ def unicode_normalize(
     _norm.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
     norm_udf = pandas_udf(_norm, "string")
     return df.withColumn(out_col or col, norm_udf(F.col(col)))
+
+
+def compression_ratio(
+    df: DataFrame, col: str, out_col: str = "compress_ratio", level: int = 6
+) -> DataFrame:
+    """zlib compression ratio (compressed bytes / raw UTF-8 bytes) — the
+    classic two-sided quality signal: boilerplate/repetition compresses
+    far below normal prose (ratio << typical), while random gibberish /
+    base64 / binary noise barely compresses (ratio ≈ 1). Filter both
+    tails. Deterministic for a fixed zlib level, so thresholds derived
+    at sf0.01 hold at 100 TB.
+
+    Sanctioned Arrow path (stdlib zlib is C-speed per string; no SQL
+    engine exposes a compression scalar, so this op is rows-only —
+    properties are unit-tested instead). Null → null, empty → 1.0.
+    Scan-side, zero shuffle."""
+    import zlib
+
+    import pandas  # noqa: F401 — resolves the UDF's postponed type hints
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(s):
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return s.map(one)
+
+    _ratio.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    return df.withColumn(out_col, pandas_udf(_ratio, "double")(F.col(col)))

@@ -914,3 +914,17 @@ class UnicodeNormalize(Directive):
         from wrangler_spark.datapipe.text import unicode_normalize
 
         return unicode_normalize(df, ctx.resolve(df, self.args["col"]), str(self.args["form"]))
+
+
+@directive
+class CompressionRatio(Directive):
+    """compression-ratio :col — zlib compressed/raw byte ratio →
+    compress_ratio (low = repetitive boilerplate, ~1 = gibberish)."""
+
+    name = "compression-ratio"
+    usage = [Arg("col", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import compression_ratio
+
+        return compression_ratio(df, ctx.resolve(df, self.args["col"]))
