@@ -2393,3 +2393,30 @@ def test_compression_ratio_separates_repetition_from_noise(spark):
     d = {r["doc_id"]: r["compress_ratio"] for r in
          Pipeline.compile("compression-ratio :t").apply(df).collect()}
     assert d == out
+
+
+def test_bloom_index_log_structured_append(spark, tmp_path_factory):
+    """Persisted Bloom index: no false negatives ever (including after a
+    plain-parquet append — duplicate word rows OR-merge at load), FP
+    rate small on a well-sized filter, geometry mismatch rejected."""
+    path = str(tmp_path_factory.mktemp("bloom_ix")) + "/ix"
+    gen = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, f"historical document body {i}") for i in range(lo, hi)], ["doc_id", "text"])
+    dedup.bloom_write_index(gen(0, 300), path, "text", bits=1 << 14, num_hashes=5)
+    # batch 1: half dups of the index, half fresh
+    batch = spark.createDataFrame(
+        [(i, f"historical document body {i % 600}") for i in range(1000, 1400)],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["is_dup_maybe"] for r in
+           dedup.bloom_probe_index(batch, path, "doc_id", "text").collect()}
+    misses = [i for i in range(1000, 1400) if i % 600 < 300 and not got[i]]
+    assert misses == []                      # no false negatives
+    fps = [i for i in range(1000, 1400) if i % 600 >= 300 and got[i]]
+    assert len(fps) <= 8                     # ~2% of 200 at this sizing
+    # append the fresh half, re-probe: everything is now a member
+    dedup.bloom_write_index(batch, path, "text", bits=1 << 14, num_hashes=5, append=True)
+    got2 = {r["doc_id"]: r["is_dup_maybe"] for r in
+            dedup.bloom_probe_index(batch, path, "doc_id", "text").collect()}
+    assert all(got2.values())
+    with pytest.raises(ValueError):
+        dedup.bloom_write_index(batch, path, "text", bits=1 << 12, append=True)

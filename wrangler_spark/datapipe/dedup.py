@@ -1128,22 +1128,9 @@ def exact_dedup_against(
     # the repo's checkpoint rule applies; it materializes to <= bits/64
     # rows (released by the caller's checkpoint_scope)
     words = eager_checkpoint(bloom_words(old_keys, "__k", bloom_bits, bloom_hashes))
-    probed = df_new.select(F.col(id_col), key.alias("__k"))
-    for i, p in enumerate(_bloom_positions(F.col("__k"), bloom_bits, bloom_hashes)):
-        probed = probed.withColumn(f"__p{i}", p)
-    tests = []
-    for i in range(bloom_hashes):
-        wf = words.select(F.col("__w").alias(f"__w{i}"), F.col("__bits").alias(f"__b{i}"))
-        probed = probed.join(
-            F.broadcast(wf), F.shiftright(F.col(f"__p{i}"), 6) == F.col(f"__w{i}"), "left"
-        )
-        tests.append(
-            F.expr(f"(shiftrightunsigned(__b{i}, CAST(pmod(__p{i}, 64) AS INT)) & 1) = 1")
-        )
-    maybe = F.lit(True)
-    for t in tests:
-        maybe = maybe & t
-    probed = probed.withColumn("__maybe", F.coalesce(maybe, F.lit(False)))
+    probed = _bloom_probe(
+        df_new.select(F.col(id_col), key.alias("__k")), words, bloom_bits, bloom_hashes
+    )
     cand = (
         probed.filter(F.col("__maybe"))
         .select(F.col(id_col), F.col("__k"))
@@ -1154,6 +1141,87 @@ def exact_dedup_against(
         F.col(id_col), F.lit(False).alias("is_dup")
     )
     return cand.unionByName(clean)
+
+
+def _bloom_probe(keyed: DataFrame, words: DataFrame, bits: int, k: int) -> DataFrame:
+    """Append ``__maybe`` to a (… , __k) frame: the pure-JVM Bloom
+    membership test — k chained broadcast joins on word index + native
+    bit tests; a missing word (null) makes the row a definite miss."""
+    probed = keyed
+    for i, p in enumerate(_bloom_positions(F.col("__k"), bits, k)):
+        probed = probed.withColumn(f"__p{i}", p)
+    maybe = F.lit(True)
+    for i in range(k):
+        wf = words.select(F.col("__w").alias(f"__w{i}"), F.col("__bits").alias(f"__b{i}"))
+        probed = probed.join(
+            F.broadcast(wf), F.shiftright(F.col(f"__p{i}"), 6) == F.col(f"__w{i}"), "left"
+        )
+        maybe = maybe & F.expr(
+            f"(shiftrightunsigned(__b{i}, CAST(pmod(__p{i}, 64) AS INT)) & 1) = 1"
+        )
+    out = probed.withColumn("__maybe", F.coalesce(maybe, F.lit(False)))
+    return out.drop(*[c for c in out.columns if c.startswith("__p") or c.startswith("__w") or c.startswith("__b")])
+
+
+def bloom_write_index(
+    df_old: DataFrame, path: str, text_col: str,
+    bits: int = 1 << 27, num_hashes: int = 5, append: bool = False,
+) -> None:
+    """Persist (or extend) a LOG-STRUCTURED Bloom index of the corpus's
+    normalized-content keys: ``<path>/words`` holds sparse bitmap word
+    rows — appends are PLAIN parquet appends (no read-modify-write;
+    duplicate word rows are bit_or-merged at load, which is why a Bloom
+    filter is the one sketch where log-structured append is exact) —
+    and ``<path>/meta`` pins (bits, num_hashes), asserted on every
+    append (mixing geometries would corrupt membership silently).
+
+    This is the terminal form of the incremental-dedup state machine:
+    per ingestion batch, probe (bloom_probe_index), then append the
+    batch's own keys — O(batch) work and O(bits) state forever, never
+    a rescan of history."""
+    spark = df_old.sparkSession
+    if append:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        if (int(meta["bits"]), int(meta["num_hashes"])) != (int(bits), int(num_hashes)):
+            raise ValueError(
+                f"bloom geometry mismatch: index has (bits={meta['bits']}, "
+                f"num_hashes={meta['num_hashes']}), got ({bits}, {num_hashes})"
+            )
+    key = F.md5(normalize_text(F.col(text_col)))
+    keys = df_old.select(key.alias("__k")).distinct()
+    mode = "append" if append else "overwrite"
+    bloom_words(keys, "__k", bits, num_hashes).write.mode(mode).parquet(f"{path}/words")
+    if not append:
+        spark.createDataFrame(
+            [(int(bits), int(num_hashes))], "bits long, num_hashes int"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bloom_probe_index(
+    df_new: DataFrame, path: str, id_col: str, text_col: str,
+) -> DataFrame:
+    """(id, is_dup_maybe) for a batch against a persisted Bloom index:
+    NO false negatives (every true duplicate of an indexed doc is
+    flagged), false positives at the filter's design rate
+    (~(1 - e^(-kn/m))^k; <1% when bits ≈ 15x the key count). The
+    bloom-only verdict is the pure-O(batch) path — when exactness is
+    required, verify the flagged rows with exact_dedup_against against
+    a recent delta, or accept the FP rate (in dedup, an FP just drops a
+    non-duplicate — usually a fine trade at 100 TB). Probe is the same
+    pure-JVM chained broadcast join as the in-memory path."""
+    spark = df_new.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    bits, k = int(meta["bits"]), int(meta["num_hashes"])
+    words = (
+        spark.read.parquet(f"{path}/words")
+        .groupBy("__w")
+        .agg(F.expr("bit_or(__bits)").alias("__bits"))
+    )
+    key = F.md5(normalize_text(F.col(text_col)))
+    probed = _bloom_probe(
+        df_new.select(F.col(id_col), key.alias("__k")), words, bits, k
+    )
+    return probed.select(F.col(id_col), F.col("__maybe").alias("is_dup_maybe"))
 
 
 def minhash_pairs_against(
