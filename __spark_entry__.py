@@ -776,9 +776,9 @@ _R8_WINDOW = [
     "ann_pq_recall",
     "ann_ivf_pq_topk",
     "dedup_cross_bloom",
+    "emb_outliers",
+    "text_nfc",
     # back-fill (green in a prior window, family coverage)
-    "corpus_report_by",
-    "sample_domain_cap",
     "text_readability",
     "corpus_diff",
     "corpus_report",
