@@ -520,7 +520,8 @@ def ivf_write_index(
         from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
 
         cent_ck = eager_checkpoint(cent)
-        resid = (
+        # same 3-consumer shuffle-bearing subtree as ivf_pq_topk
+        resid = eager_checkpoint(
             c.join(assign, "vec_id")
             .join(F.broadcast(cent_ck), "centroid_id")
             .select(
@@ -538,6 +539,7 @@ def ivf_write_index(
         )
         cb.write.mode("overwrite").parquet(f"{path}/codebook")
         cent_ck.write.mode("overwrite").parquet(f"{path}/centroids")
+        release(resid)
         release(cb)
         release(cent_ck)
         return
@@ -1181,7 +1183,7 @@ def ivf_pq_topk(
     corpus — and ranking is the two-phase no-Window top-k. Checkpoints
     (centroids, codebook, codes) release via the caller's
     checkpoint_scope."""
-    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
 
     c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
     cent = eager_checkpoint(
@@ -1190,7 +1192,11 @@ def ivf_pq_topk(
         )
     )
     assign = _assign_prepared(c, cent)
-    resid = (
+    # resid's subtree contains the assignment shuffle aggregate and
+    # feeds THREE consumers (pq_train's subvectors, pq_encode's
+    # subvectors, pq_encode's code join-back) — the checkpoint rule
+    # applies; released as soon as codes have materialized
+    resid = eager_checkpoint(
         c.join(assign, "vec_id")
         .join(F.broadcast(cent), "centroid_id")
         .select(
@@ -1203,6 +1209,7 @@ def ivf_pq_topk(
         pq_encode(resid, cb, dim, m, id_col="vec_id", vec_col="rv")
         .select("vec_id", "centroid_id", "pq_code")
     )
+    release(resid)
     q_prep = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
