@@ -1212,7 +1212,11 @@ def bloom_probe_index(
     spark = df_new.sparkSession
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     bits, k = int(meta["bits"]), int(meta["num_hashes"])
-    words = (
+    # the OR-merge aggregate feeds k broadcast consumers; aliased
+    # broadcast sides defeat exchange reuse (measured: k+1 scans of the
+    # words parquet without this), so the bounded <= bits/64-row frame
+    # is checkpointed once (released by the caller's checkpoint_scope)
+    words = eager_checkpoint(
         spark.read.parquet(f"{path}/words")
         .groupBy("__w")
         .agg(F.expr("bit_or(__bits)").alias("__bits"))
