@@ -1084,7 +1084,11 @@ def pq_topk(
     Scale shape: table construction is queries×(m·k) rows (broadcast
     codebook), the scoring pass is a narrow map over the code column
     (tables broadcast per query batch), and ranking is the family's
-    two-phase no-Window top-k with the _topk_batched memory bound."""
+    two-phase no-Window top-k with the _topk_batched memory bound.
+    ``corpus_codes`` executes once per query chunk — for query sets
+    beyond one chunk pass a PERSISTED codes frame (pq_encode output
+    written to parquet, or the ivf_write_index(pq_m=…) layout), not the
+    raw encode pipeline, or the encode joins re-run per chunk."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
 
     def scorer(qb: DataFrame) -> DataFrame:
