@@ -365,6 +365,13 @@ def main() -> int:
             name, p, must=["Broadcast"],
             must_not=["Window", "BatchEvalPython", "ArrowEvalPython"],
         )
+    # embedding outliers: broadcast assignment + <=n_clusters threshold
+    # rows joined back broadcast — never a window or a corpus sort-merge
+    p = plan_of(qs["emb_outliers"](spark, SF_DIR))
+    problems += check(
+        "emb_outliers", p, must=["HashAggregate"],
+        must_not=["Window", "SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"],
+    )
     # Bloom-prefiltered cross-corpus dedup: the probe is pure JVM
     # broadcast joins; the only sort-merge allowed is the verification
     # equi-join over bloom-positive candidates
