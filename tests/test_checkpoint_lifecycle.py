@@ -109,3 +109,41 @@ def test_classifier_training_pins_only_final_weights(spark):
     assert len(held) == 1, f"expected only the final weight checkpoint, got {held}"
     release(w)
     assert persistent_rdd_ids(spark) - base == set()
+
+
+def test_concurrent_scopes_do_not_release_each_other(spark):
+    """Two scopes on different threads: thread B's checkpoint must stay
+    readable after thread A's scope exits (the global mark-diff bug)."""
+    import threading
+    import time
+
+    from wrangler_spark.datapipe._checkpoint import checkpoint_scope, eager_checkpoint
+
+    b_ready, a_done = threading.Event(), threading.Event()
+    errors = []
+
+    def thread_b():
+        try:
+            with checkpoint_scope():
+                cdf = eager_checkpoint(spark.range(100))
+                b_ready.set()
+                assert a_done.wait(30)
+                time.sleep(0.3)  # let any wrong unpersist land
+                assert cdf.count() == 100  # still readable
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def thread_a():
+        try:
+            with checkpoint_scope():
+                eager_checkpoint(spark.range(10)).count()
+                assert b_ready.wait(30)
+            a_done.set()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+            a_done.set()
+
+    tb = threading.Thread(target=thread_b)
+    ta = threading.Thread(target=thread_a)
+    tb.start(); ta.start(); tb.join(60); ta.join(60)
+    assert errors == []

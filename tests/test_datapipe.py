@@ -2420,3 +2420,22 @@ def test_bloom_index_log_structured_append(spark, tmp_path_factory):
     assert all(got2.values())
     with pytest.raises(ValueError):
         dedup.bloom_write_index(batch, path, "text", bits=1 << 12, append=True)
+
+
+def test_pq_broken_vectors_never_evict_real_neighbors(spark):
+    """A null or length-mismatched vector must get NULL codes and a null
+    ADC score (ranked last), not a real-looking cid-0 code — the same
+    'null cosine never evicts a real neighbor' contract as the exact
+    path."""
+    rows = _unit_rows(20, 16, 61) + [(100, None), (101, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = similarity.pq_train(df.filter(F.col("vec_id") < 100), dim=16, m=4, k=8, iters=0)
+    codes = {r["vec_id"]: r["pq_code"] for r in
+             similarity.pq_encode(df, cb, dim=16, m=4).collect()}
+    assert codes[100] is None or all(c is None for c in codes[100])
+    assert all(c is None for c in codes[101])
+    q = df.filter(F.col("vec_id") < 3)
+    enc = similarity.pq_encode(df, cb, dim=16, m=4)
+    top = similarity.pq_topk(enc, q, cb, dim=16, m=4, k=19)
+    got = {r["vec_id"] for r in top.collect()}
+    assert 100 not in got and 101 not in got  # broken rows never rank

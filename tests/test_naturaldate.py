@@ -147,3 +147,11 @@ def test_article_counts():
 def test_month_year():
     assert p("october 2006") == datetime(2006, 10, 1, tzinfo=timezone.utc)
     assert p("May 2016") == datetime(2016, 5, 1, tzinfo=timezone.utc)
+
+
+def test_relday_time_out_of_range_clock_is_unparseable():
+    """'tomorrow at 25:00' must return None (like every other branch),
+    not raise ValueError out of the pandas UDF."""
+    for s in ("tomorrow at 25:00", "today at 99", "yesterday 5:75"):
+        assert p(s) is None
+    assert p("tomorrow at 12:30") is not None

@@ -41,6 +41,12 @@ from pyspark.sql import DataFrame
 _LOCK = threading.Lock()
 # (rdd_id, py4j JavaObject of the pinned org.apache.spark.rdd.RDD)
 _LIVE: list[tuple[int, object]] = []
+# per-thread stack of active checkpoint_scope collection lists — a scope
+# must release ONLY the checkpoints ITS OWN thread created inside it;
+# a global mark-diff would unpersist a concurrent thread's live
+# checkpoints (truncated lineage = unrecoverable), e.g. two interactive
+# service requests running scoped operators at once
+_TLS = threading.local()
 
 
 def _pinned_jrdd(cdf: DataFrame):
@@ -70,6 +76,8 @@ def eager_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     if jrdd is not None:
         with _LOCK:
             _LIVE.append((jrdd.id(), jrdd))
+        for scope in getattr(_TLS, "scopes", ()):
+            scope.append((jrdd.id(), jrdd))
     return cdf
 
 
@@ -109,19 +117,28 @@ def release_all() -> int:
 
 @contextmanager
 def checkpoint_scope():
-    """Release every checkpoint created inside the ``with`` block on
-    exit. The block must fully materialize its results (collect /
-    write / toPandas) before exiting — frames escaping the scope that
-    still read a scoped checkpoint become unreadable."""
-    with _LOCK:
-        mark = {i for i, _ in _LIVE}
+    """Release every checkpoint THIS THREAD created inside the ``with``
+    block on exit. The block must fully materialize its results
+    (collect / write / toPandas) before exiting — frames escaping the
+    scope that still read a scoped checkpoint become unreadable.
+
+    Thread-safe by construction: the scope collects its own thread's
+    eager_checkpoint registrations (a thread-local stack), so two
+    concurrent scopes — e.g. parallel interactive-service requests —
+    never release each other's live checkpoints. (An earlier version
+    mark-diffed the global registry, which did exactly that.)"""
+    if not hasattr(_TLS, "scopes"):
+        _TLS.scopes = []
+    mine: list[tuple[int, object]] = []
+    _TLS.scopes.append(mine)
     try:
         yield
     finally:
+        _TLS.scopes.remove(mine)
+        ids = {i for i, _ in mine}
         with _LOCK:
-            fresh = [(i, r) for i, r in _LIVE if i not in mark]
-            _LIVE[:] = [(i, r) for i, r in _LIVE if i in mark]
-        for _, jrdd in fresh:
+            _LIVE[:] = [(i, r) for i, r in _LIVE if i not in ids]
+        for _, jrdd in mine:
             try:
                 jrdd.unpersist(False)
             except Exception:

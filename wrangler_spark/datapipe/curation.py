@@ -1110,7 +1110,10 @@ def corpus_report(
         F.count(F.when(F.col(text_col).isNull(), 1)).cast("long").alias("n_null_text"),
         F.coalesce(F.sum(F.length(F.col(text_col))), F.lit(0)).cast("long").alias("n_chars"),
         F.coalesce(F.sum(words), F.lit(0)).cast("long").alias("n_words"),
-        (F.count(text_col) - cdist(key)).cast("long").alias("n_exact_dup_docs"),
+        # HLL can OVER-estimate distincts (~2% error), which would push
+        # count - distinct negative on a near-unique corpus — clamp at 0
+        F.greatest(F.count(text_col) - cdist(key), F.lit(0))
+        .cast("long").alias("n_exact_dup_docs"),
     ]
     if lang_col:
         aggs.append(cdist(F.col(lang_col)).cast("long").alias("distinct_langs"))

@@ -1055,10 +1055,12 @@ def _bloom_positions(key: Column, bits: int, k: int) -> list[Column]:
     h1, h2 are reduced mod bits BEFORE combining — identical result
     (modular arithmetic), but every intermediate stays < k*bits, so the
     expression never overflows a long and is ANSI-mode safe. h2 is
-    forced odd-of-range (never 0) so the k probes cannot degenerate to
-    one position."""
+    forced ODD (2·(h mod ⌊bits/2⌋) + 1 < bits): with the power-of-two
+    ``bits`` the defaults use, odd step ⇒ coprime ⇒ the k probes walk k
+    DISTINCT positions — an even step with a large gcd would collapse
+    them onto a small subgroup and inflate the FP rate."""
     h1 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(bits))
-    h2 = F.pmod(F.xxhash64(key, F.lit(2)), F.lit(bits - 1)) + F.lit(1)
+    h2 = F.pmod(F.xxhash64(key, F.lit(2)), F.lit(max(bits // 2, 1))) * F.lit(2) + F.lit(1)
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(bits)) for i in range(k)]
 
 

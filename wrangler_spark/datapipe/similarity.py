@@ -508,22 +508,25 @@ def ivf_write_index(
         raise ValueError("quantize and pq_m are mutually exclusive index layouts")
     if pq_m and not dim:
         raise ValueError("pq_m requires an explicit dim")
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
+
     if train_iters > 0:
         cent = kmeans_centroids(corpus, n_centroids, train_iters, id_col, vec_col, dim=dim)
     else:
         cent = corpus.orderBy(id_col).limit(n_centroids).select(
             F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("zv")
         )
+    # cent feeds the assignment AND the centroids write (plus the
+    # residual join in pq mode) — with train_iters > 0 an un-checkpointed
+    # cent re-runs the whole k-means per consumer
+    cent = eager_checkpoint(cent)
     c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
     assign = _assign_prepared(c, cent)
     if pq_m:
-        from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
-
-        cent_ck = eager_checkpoint(cent)
         # same 3-consumer shuffle-bearing subtree as ivf_pq_topk
         resid = eager_checkpoint(
             c.join(assign, "vec_id")
-            .join(F.broadcast(cent_ck), "centroid_id")
+            .join(F.broadcast(cent), "centroid_id")
             .select(
                 "vec_id", "centroid_id",
                 F.zip_with("cv", "zv", lambda x, y: x - y).alias("rv"),
@@ -538,10 +541,10 @@ def ivf_write_index(
             .parquet(f"{path}/vectors")
         )
         cb.write.mode("overwrite").parquet(f"{path}/codebook")
-        cent_ck.write.mode("overwrite").parquet(f"{path}/centroids")
+        cent.write.mode("overwrite").parquet(f"{path}/centroids")
         release(resid)
         release(cb)
-        release(cent_ck)
+        release(cent)
         return
     base = corpus.withColumnRenamed(id_col, "vec_id")
     if quantize:
@@ -553,6 +556,7 @@ def ivf_write_index(
         .parquet(f"{path}/vectors")
     )
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    release(cent)
 
 
 def ivf_query_index(
@@ -866,12 +870,17 @@ def ivf_append_index(
     )
     assign = _assign_prepared(c, cent)
     if "pq_code" in existing_cols:
+        from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
+
         cb = spark.read.parquet(f"{path}/codebook")
         shape = cb.agg(
             (F.max("m") + 1).alias("m"), F.max(F.size("zv")).alias("sub")
         ).collect()[0]
         m = int(shape["m"])
-        resid = (
+        # pq_encode reads resid twice (subvectors + code join-back) and
+        # resid contains the assignment shuffle — checkpoint, like the
+        # build path
+        resid = eager_checkpoint(
             c.join(assign, "vec_id")
             .join(F.broadcast(cent), "centroid_id")
             .select(
@@ -886,6 +895,7 @@ def ivf_append_index(
             .partitionBy("centroid_id")
             .parquet(f"{path}/vectors")
         )
+        release(resid)
         return
     if quantize is None:
         quantize = "q" in existing_cols and vec_col not in existing_cols
@@ -1046,13 +1056,19 @@ def pq_encode(
             F.col("cid").alias("cid"),
         )
     )
+    # a broken vector (null / length-mismatched) has every distance null
+    # (z=1): its cid becomes NULL, so the code array carries nulls and
+    # ADC scoring yields a null score — ranked NULLS LAST by the family
+    # contract ("a null cosine must never evict a real neighbor"),
+    # matching how cosine_topk/ivf_topk treat the same row
+    cid = F.when(F.col("b.z") == 0, F.col("b.cid"))
     codes = (
         scored.groupBy("__id", "__m")
         .agg(best.alias("b"))
         .groupBy("__id")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("__m"), F.col("b.cid").alias("cid")))),
+                F.array_sort(F.collect_list(F.struct(F.col("__m"), cid.alias("cid")))),
                 lambda s: s["cid"],
             ).alias(out_col)
         )

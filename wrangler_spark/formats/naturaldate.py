@@ -157,7 +157,12 @@ def parse_natural(s: str | None, now_utc: datetime, tz: str = "UTC") -> datetime
                 h += 12
             elif ampm == "am" and h == 12:
                 h = 0
-            out = base.replace(hour=h, minute=mi, second=sec, microsecond=0)
+            try:
+                # the regex admits 25:75 etc. — unparseable like every
+                # other branch, never a UDF-crashing ValueError
+                out = base.replace(hour=h, minute=mi, second=sec, microsecond=0)
+            except ValueError:
+                return None
         else:
             # bare two-word day phrases keep the current clock time, the
             # yesterday/tomorrow rule above
