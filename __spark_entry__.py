@@ -378,6 +378,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_compress_ratio": lambda s, d: text.compression_ratio(
             docs(s, d), "text"
         ).select("doc_id", "compress_ratio"),
+        "text_hash_emb": lambda s, d: text.hash_embedding(
+            docs(s, d), "doc_id", "text", 16
+        ).select("doc_id", F.posexplode("embedding").alias("pos", "y")),
         "dedup_semdedup": lambda s, d: similarity.semdedup(embs(s, d), 8, 0.8, train_iters=1, dim=64),
         "ann_ivf_kmeans_topk": lambda s, d: similarity.ivf_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5,
@@ -546,6 +549,7 @@ def _datapipe_oracles() -> dict[str, str]:
         # NFC is the only form DuckDB exposes (nfc_normalize); NFKC/NFD/
         # NFKD are covered by unit tests against unicodedata's spec
         "text_nfc": "SELECT doc_id, nfc_normalize(text) AS text_nfc FROM documents",
+        "text_hash_emb": _hash_emb_oracle_sql(16),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "text_vocabulary": o.vocabulary_sql(200),
@@ -1282,6 +1286,28 @@ scored AS (
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
 WHERE rank <= {k}
+"""
+
+
+def _hash_emb_oracle_sql(dim: int = 16) -> str:
+    """Mirror of text.hash_embedding: ±1 sign-hash per (token, d) in the
+    shared 28-bit md5 space, integer sums (order-exact), IEEE sqrt,
+    6dp-rounded normalized components; zero-token docs dropped by the
+    nrm > 0 gate on both engines."""
+    sign = "((('0x' || substr(md5(tok || '#' || d), 1, 7))::BIGINT % 2) * 2 - 1)::DOUBLE"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_distinct(string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')), x -> x <> '') AS ts
+  FROM documents),
+comp AS (
+  SELECT doc_id, d,
+         coalesce(list_sum(list_transform(ts, tok -> {sign})), 0.0) AS v
+  FROM t, (SELECT unnest(range(0, {dim})) AS d) ds),
+n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY doc_id)
+SELECT c.doc_id, CAST(c.d AS INT) AS pos, round(c.v / n.nrm, 6) AS y
+FROM comp c JOIN n USING (doc_id) WHERE n.nrm > 0
 """
 
 

@@ -2439,3 +2439,28 @@ def test_pq_broken_vectors_never_evict_real_neighbors(spark):
     top = similarity.pq_topk(enc, q, cb, dim=16, m=4, k=19)
     got = {r["vec_id"] for r in top.collect()}
     assert 100 not in got and 101 not in got  # broken rows never rank
+
+
+def test_hash_embedding_lexical_similarity(spark):
+    """Near-dup texts land close in cosine, unrelated texts far; empty
+    and whitespace-only docs get NULL embeddings; output feeds the
+    vector stack end to end (cosine_topk ranks the near-dup first)."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different content about spark engines and clusters"),
+         (4, ""), (5, "   ")],
+        ["doc_id", "text"],
+    )
+    e = text.hash_embedding(df, "doc_id", "text", dim=64)
+    rows = {r["doc_id"]: r["embedding"] for r in e.collect()}
+    assert rows[4] is None and rows[5] is None
+    import math
+
+    for v in (rows[1], rows[2], rows[3]):
+        # unit norm up to the 6dp component rounding (error ~ dim * 1e-6)
+        assert abs(math.fsum(x * x for x in v) - 1.0) < 1e-4
+    top = similarity.cosine_topk(e, e.filter(F.col("doc_id") == 1), "doc_id", "embedding", 2)
+    got = [(r["vec_id"], r["cosine"]) for r in top.orderBy("rank").collect()]
+    assert got[0][0] == 2 and got[0][1] > 0.7       # near-dup first, high
+    assert got[1][1] < 0.3                           # unrelated far

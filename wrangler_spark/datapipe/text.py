@@ -1041,3 +1041,50 @@ def compression_ratio(
 
     _ratio.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
     return df.withColumn(out_col, pandas_udf(_ratio, "double")(F.col(col)))
+
+
+def hash_embedding(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 64,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic dense text embedding WITHOUT a model: component d
+    is Σ over the doc's distinct normalized tokens of ±1, the sign
+    drawn from a 28-bit md5 hash of (token, d) — feature hashing with
+    sign hashing (Weinberger et al. ICML'09), the dense generalization
+    of SimHash (Charikar STOC'02). L2-normalized, so cosine between two
+    embeddings estimates token-set overlap — which means the ENTIRE
+    vector stack (cosine_topk, IVF/PQ indexes, SemDeDup,
+    embedding_outliers, embedding_project) runs on raw text with zero
+    external models. Zero-token docs get a NULL embedding (the family's
+    null contract: never ranked above a real vector).
+
+    Scale shape: scan-side nested HOF (outer transform over dims, inner
+    aggregate over tokens) — zero shuffle; cost is dim × tokens md5
+    calls per doc, so keep dim modest (32–64) — this is the cheap
+    lexical-similarity embedding, not a semantic encoder. 6dp rounding
+    on the normalized components is the cross-engine contract (integer
+    ±1 sums and IEEE sqrt are exact; only the divide is rounded)."""
+    toks = F.array_remove(
+        F.array_distinct(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ),
+        "",
+    )
+    staged = df.select(F.col(id_col), toks.alias("__t"))
+
+    def sign(t: Column, d: Column) -> Column:
+        h = F.conv(F.substring(F.md5(F.concat_ws("#", t, d.cast("string"))), 1, 7), 16, 10).cast("long")
+        return (F.pmod(h, F.lit(2)) * 2 - 1).cast("double")
+
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+        lambda d: F.aggregate(F.col("__t"), F.lit(0.0), lambda acc, t: acc + sign(t, d)),
+    )
+    staged = staged.withColumn("__v", vec).withColumn(
+        "__nrm", F.sqrt(F.aggregate(F.col("__v"), F.lit(0.0), lambda s, x: s + x * x))
+    )
+    out = F.when(
+        F.col("__nrm") > 0,
+        F.transform(F.col("__v"), lambda x: F.round(x / F.col("__nrm"), 6)),
+    )
+    return staged.select(F.col(id_col), out.alias(out_col))
