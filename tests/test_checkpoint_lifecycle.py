@@ -147,3 +147,25 @@ def test_concurrent_scopes_do_not_release_each_other(spark):
     ta = threading.Thread(target=thread_a)
     tb.start(); ta.start(); tb.join(60); ta.join(60)
     assert errors == []
+
+
+def test_nested_empty_scope_does_not_corrupt_stack(spark):
+    """A nested scope that creates no checkpoints must pop ITS OWN list
+    (two empty lists compare equal — value-based removal corrupted the
+    stack and leaked the outer scope's checkpoints)."""
+    from wrangler_spark.datapipe._checkpoint import (
+        checkpoint_scope, eager_checkpoint, persistent_rdd_ids,
+    )
+    import time
+
+    base = persistent_rdd_ids(spark)
+    with checkpoint_scope():
+        with checkpoint_scope():
+            pass
+        cdf = eager_checkpoint(spark.range(50))
+        assert cdf.count() == 50
+    for _ in range(50):
+        if persistent_rdd_ids(spark) <= base:
+            break
+        time.sleep(0.1)
+    assert persistent_rdd_ids(spark) <= base  # outer scope released it

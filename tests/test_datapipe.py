@@ -2464,3 +2464,21 @@ def test_hash_embedding_lexical_similarity(spark):
     got = [(r["vec_id"], r["cosine"]) for r in top.orderBy("rank").collect()]
     assert got[0][0] == 2 and got[0][1] > 0.7       # near-dup first, high
     assert got[1][1] < 0.3                           # unrelated far
+
+
+def test_bloom_index_scheme_version_guard(spark, tmp_path_factory):
+    """An index whose meta carries a different position scheme (or a
+    pre-versioning meta with none) is rejected — probing across schemes
+    would silently produce false negatives."""
+    path = str(tmp_path_factory.mktemp("bloom_v")) + "/ix"
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    dedup.bloom_write_index(df, path, "text", bits=1 << 10)
+    # current scheme round-trips
+    assert dedup.bloom_probe_index(df, path, "doc_id", "text").count() == 1
+    # forge a v1 meta (no scheme column — the pre-versioning layout)
+    spark.createDataFrame([(1 << 10, 5)], "bits long, num_hashes int") \
+        .write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="scheme"):
+        dedup.bloom_probe_index(df, path, "doc_id", "text")
+    with pytest.raises(ValueError, match="scheme"):
+        dedup.bloom_write_index(df, path, "text", bits=1 << 10, append=True)

@@ -134,7 +134,10 @@ def checkpoint_scope():
     try:
         yield
     finally:
-        _TLS.scopes.remove(mine)
+        # strict LIFO pop — list.remove() compares by VALUE and two
+        # empty scope lists are equal, so a nested empty scope would
+        # remove the outer's list and corrupt the stack
+        assert _TLS.scopes.pop() is mine
         ids = {i for i, _ in mine}
         with _LOCK:
             _LIVE[:] = [(i, r) for i, r in _LIVE if i not in ids]

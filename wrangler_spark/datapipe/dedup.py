@@ -1184,6 +1184,7 @@ def bloom_write_index(
     spark = df_old.sparkSession
     if append:
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        _bloom_check_scheme(meta)
         if (int(meta["bits"]), int(meta["num_hashes"])) != (int(bits), int(num_hashes)):
             raise ValueError(
                 f"bloom geometry mismatch: index has (bits={meta['bits']}, "
@@ -1195,8 +1196,26 @@ def bloom_write_index(
     bloom_words(keys, "__k", bits, num_hashes).write.mode(mode).parquet(f"{path}/words")
     if not append:
         spark.createDataFrame(
-            [(int(bits), int(num_hashes))], "bits long, num_hashes int"
+            [(int(bits), int(num_hashes), _BLOOM_SCHEME)],
+            "bits long, num_hashes int, scheme int",
         ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+# position-derivation version persisted in every index's meta: ANY change
+# to _bloom_positions MUST bump this — probing an index built with a
+# different scheme yields silent false negatives, the one failure a Bloom
+# filter must never have. v2 = odd-h2 double hashing.
+_BLOOM_SCHEME = 2
+
+
+def _bloom_check_scheme(meta) -> None:
+    stored = int(meta["scheme"]) if "scheme" in meta.__fields__ else 1
+    if stored != _BLOOM_SCHEME:
+        raise ValueError(
+            f"bloom index was built with position scheme v{stored}, this code "
+            f"is v{_BLOOM_SCHEME} — probing would silently miss true duplicates; "
+            "rebuild the index (bloom_write_index without append)"
+        )
 
 
 def bloom_probe_index(
@@ -1213,6 +1232,7 @@ def bloom_probe_index(
     pure-JVM chained broadcast join as the in-memory path."""
     spark = df_new.sparkSession
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    _bloom_check_scheme(meta)
     bits, k = int(meta["bits"]), int(meta["num_hashes"])
     # the OR-merge aggregate feeds k broadcast consumers; aliased
     # broadcast sides defeat exchange reuse (measured: k+1 scans of the

@@ -1064,6 +1064,10 @@ def hash_embedding(
     lexical-similarity embedding, not a semantic encoder. 6dp rounding
     on the normalized components is the cross-engine contract (integer
     ±1 sums and IEEE sqrt are exact; only the divide is rounded)."""
+    from wrangler_spark.datapipe.dedup import _hash28
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")  # sequence(0,-1) descends
     toks = F.array_remove(
         F.array_distinct(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
@@ -1073,7 +1077,7 @@ def hash_embedding(
     staged = df.select(F.col(id_col), toks.alias("__t"))
 
     def sign(t: Column, d: Column) -> Column:
-        h = F.conv(F.substring(F.md5(F.concat_ws("#", t, d.cast("string"))), 1, 7), 16, 10).cast("long")
+        h = _hash28(F.concat_ws("#", t, d.cast("string")))
         return (F.pmod(h, F.lit(2)) * 2 - 1).cast("double")
 
     vec = F.transform(
