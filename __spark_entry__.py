@@ -550,6 +550,10 @@ def _datapipe_oracles() -> dict[str, str]:
         # NFKD are covered by unit tests against unicodedata's spec
         "text_nfc": "SELECT doc_id, nfc_normalize(text) AS text_nfc FROM documents",
         "text_hash_emb": _hash_emb_oracle_sql(16),
+        # the greedy MMR loop, unrolled into k_out selection-step CTEs
+        # (previously rows-only; same pattern as the classifier's
+        # unrolled-GD oracle)
+        "ann_mmr_rerank": _mmr_oracle_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "text_vocabulary": o.vocabulary_sql(200),
@@ -1286,6 +1290,67 @@ scored AS (
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
 WHERE rank <= {k}
+"""
+
+
+def _mmr_oracle_sql(
+    k_in: int = 20, k_out: int = 10, n_queries: int = 5,
+    lam: float = 0.7, dim: int = 64,
+) -> str:
+    """Mirror of similarity.mmr_rerank over the cosine_topk(k_in) input:
+    the greedy loop unrolled into k_out selection steps (the classifier
+    unrolled-GD oracle pattern). Per step: every unselected candidate's
+    penalty is max pairwise sim (unit-normalized raw vectors) to the
+    selected set, mmr = λ·rel − (1−λ)·pen (step 1: rel itself), argmax
+    with ties to the lower input rank — np.argmax over the rank-sorted
+    frame. Scores round 6dp at output only, like the Spark op."""
+    from wrangler_spark.datapipe import oracles as o
+
+    dot = f"list_sum([a.u[i] * b.u[i] FOR i IN range(1, {dim + 1})])"
+    ctes = [
+        f"tk AS MATERIALIZED ({o.cosine_topk_sql(k_in, n_queries)})",
+        "v AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw FROM embeddings)",
+        # unit-normalize candidate vectors (zero-norm guarded like np);
+        # cand/sims MATERIALIZED — inlined CTEs would re-open the
+        # parquet once per unrolled step (fd exhaustion)
+        """cand AS MATERIALIZED (
+  SELECT tk.query_id, tk.vec_id, tk.cosine AS rel, tk.rank,
+         list_transform(v.raw, x -> x / (CASE WHEN sqrt(list_sum([y*y FOR y IN v.raw])) = 0
+                                         THEN 1.0 ELSE sqrt(list_sum([y*y FOR y IN v.raw])) END)) AS u
+  FROM tk JOIN v ON tk.vec_id = v.vec_id)""",
+        f"""sims AS MATERIALIZED (
+  SELECT a.query_id, a.rank AS ra, b.rank AS rb, {dot} AS s
+  FROM cand a JOIN cand b ON a.query_id = b.query_id)""",
+        f"""sel1 AS MATERIALIZED (
+  SELECT query_id, rank, 1 AS step, rel AS score FROM (
+    SELECT query_id, rank, rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, rank ASC) AS rn
+    FROM cand) WHERE rn = 1)""",
+    ]
+    for i in range(2, k_out + 1):
+        prev = f"sel{i - 1}"
+        ctes.append(f"""pen{i} AS MATERIALIZED (
+  SELECT c.query_id, c.rank, max(sm.s) AS pen
+  FROM cand c
+  JOIN {prev} s ON c.query_id = s.query_id
+  JOIN sims sm ON sm.query_id = c.query_id AND sm.ra = c.rank AND sm.rb = s.rank
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} x WHERE x.query_id = c.query_id AND x.rank = c.rank)
+  GROUP BY c.query_id, c.rank)""")
+        ctes.append(f"""sel{i} AS MATERIALIZED (
+  SELECT query_id, rank, step, score FROM {prev}
+  UNION ALL
+  SELECT query_id, rank, {i} AS step, mmr AS score FROM (
+    SELECT p.query_id, p.rank, {lam} * c.rel - {round(1 - lam, 10)} * p.pen AS mmr,
+           row_number() OVER (PARTITION BY p.query_id
+               ORDER BY ({lam} * c.rel - {round(1 - lam, 10)} * p.pen) DESC, p.rank ASC) AS rn
+    FROM pen{i} p JOIN cand c ON p.query_id = c.query_id AND p.rank = c.rank)
+  WHERE rn = 1)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT s.query_id, c.vec_id, c.rel AS cosine,
+       CAST(s.step AS INT) AS mmr_rank, round(s.score, 6) AS mmr_score
+FROM sel{k_out} s JOIN cand c ON s.query_id = c.query_id AND s.rank = c.rank
 """
 
 
