@@ -378,6 +378,10 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_compress_ratio": lambda s, d: text.compression_ratio(
             docs(s, d), "text"
         ).select("doc_id", "compress_ratio"),
+        "corpus_overlap": lambda s, d: curation.corpus_overlap(
+            docs(s, d).filter(F.col("doc_id") % 3 != 0),
+            docs(s, d).filter(F.col("doc_id") % 2 == 0), "text",
+        ),
         "text_hash_emb": lambda s, d: text.hash_embedding(
             docs(s, d), "doc_id", "text", 16
         ).select("doc_id", F.posexplode("embedding").alias("pos", "y")),
@@ -554,6 +558,7 @@ def _datapipe_oracles() -> dict[str, str]:
         # (previously rows-only; same pattern as the classifier's
         # unrolled-GD oracle)
         "ann_mmr_rerank": _mmr_oracle_sql(),
+        "corpus_overlap": o.corpus_overlap_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "text_vocabulary": o.vocabulary_sql(200),

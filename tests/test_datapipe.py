@@ -2482,3 +2482,20 @@ def test_bloom_index_scheme_version_guard(spark, tmp_path_factory):
         dedup.bloom_probe_index(df, path, "doc_id", "text")
     with pytest.raises(ValueError, match="scheme"):
         dedup.bloom_write_index(df, path, "text", bits=1 << 10, append=True)
+
+
+def test_corpus_overlap_exact_and_sketched(spark):
+    from wrangler_spark.datapipe import curation
+
+    a = spark.createDataFrame([(i, f"doc {i}") for i in range(100)], ["doc_id", "text"])
+    b = spark.createDataFrame([(i, f"doc {i}") for i in range(60, 160)], ["doc_id", "text"])
+    r = curation.corpus_overlap(a, b, "text").collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_union"], r["n_intersect"]) == (100, 100, 160, 40)
+    assert abs(r["jaccard"] - 0.25) < 1e-6
+    s = curation.corpus_overlap(a, b, "text", exact=False).collect()[0]
+    assert abs(s["n_intersect"] - 40) <= 12  # HLL ~2% rsd per count, 3 counts
+    # disjoint corpora: zero intersection in both modes, never negative
+    c = spark.createDataFrame([(i, f"other {i}") for i in range(50)], ["doc_id", "text"])
+    for mode in (True, False):
+        z = curation.corpus_overlap(a, c, "text", exact=mode).collect()[0]
+        assert z["n_intersect"] >= 0 and z["jaccard"] >= 0.0

@@ -1363,3 +1363,41 @@ def distribution_drift(
         "psi_term",
         F.round((F.col("ref_frac") - F.col("cur_frac")) * F.log(rs / cs), 6),
     )
+
+
+def corpus_overlap(
+    df_a: DataFrame, df_b: DataFrame, text_col: str, exact: bool = True,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """One-row content-overlap summary between two corpora: (n_a, n_b,
+    n_union, n_intersect, jaccard) over distinct normalized-content
+    keys — the cheap answer to "how much of snapshot B is already in A"
+    BEFORE committing to corpus_diff's full-outer id join or a dedup
+    pass. ``exact=False`` swaps every distinct count for a
+    HyperLogLog++ sketch (union counted over a unioned scan — sketch
+    state is KB regardless of corpus size, the 100 TB mode);
+    inclusion–exclusion then gives the intersection, clamped at 0
+    (sketch error can push it negative). jaccard = n_intersect /
+    n_union.
+
+    Scale shape: two scan-side key projections, ONE aggregate job per
+    side + one over the union — no join at all, nothing corpus-sized
+    crosses a shuffle in sketch mode."""
+    from wrangler_spark.datapipe.dedup import normalize_text
+
+    key = F.md5(normalize_text(F.col(text_col))).alias("__k")
+    a, b = df_a.select(key), df_b.select(key)
+    cdist = (
+        (lambda c: F.countDistinct(c)) if exact
+        else (lambda c: F.approx_count_distinct(c, rsd))
+    )
+    na = a.agg(cdist(F.col("__k")).alias("n")).collect()[0]["n"]
+    nb = b.agg(cdist(F.col("__k")).alias("n")).collect()[0]["n"]
+    nu = a.unionByName(b).agg(cdist(F.col("__k")).alias("n")).collect()[0]["n"]
+    ni = max(na + nb - nu, 0)
+    spark = df_a.sparkSession
+    return spark.createDataFrame(
+        [(int(na), int(nb), int(nu), int(ni),
+          round(ni / nu, 6) if nu else 0.0)],
+        "n_a long, n_b long, n_union long, n_intersect long, jaccard double",
+    )

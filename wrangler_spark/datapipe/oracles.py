@@ -1676,3 +1676,21 @@ FROM p LEFT JOIN (
   FROM r GROUP BY doc_id
 ) agg USING (doc_id)
 """
+
+
+def corpus_overlap_sql(table: str = "documents") -> str:
+    """Mirror of curation.corpus_overlap (exact) on the graded split:
+    A = doc_id % 3 != 0, B = doc_id % 2 = 0, distinct normalized-md5
+    keys, intersection by inclusion-exclusion."""
+    return f"""
+WITH a AS (SELECT DISTINCT md5({_NORM}) AS k FROM {table} WHERE doc_id % 3 <> 0),
+b AS (SELECT DISTINCT md5({_NORM}) AS k FROM {table} WHERE doc_id % 2 = 0),
+s AS (SELECT (SELECT count(*) FROM a) AS na,
+             (SELECT count(*) FROM b) AS nb,
+             (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS nu)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, nu::BIGINT AS n_union,
+       greatest(na + nb - nu, 0)::BIGINT AS n_intersect,
+       CASE WHEN nu = 0 THEN 0.0
+            ELSE round(greatest(na + nb - nu, 0)::DOUBLE / nu::DOUBLE, 6) END AS jaccard
+FROM s
+"""
