@@ -2499,3 +2499,19 @@ def test_corpus_overlap_exact_and_sketched(spark):
     for mode in (True, False):
         z = curation.corpus_overlap(a, c, "text", exact=mode).collect()[0]
         assert z["n_intersect"] >= 0 and z["jaccard"] >= 0.0
+
+
+def test_hash_embedding_and_outlier_directives_chain(spark):
+    """Recipe surface: raw text -> hash-embedding -> emb-outliers in one
+    compiled chain; the unrelated doc is the flagged one."""
+    from wrangler_spark import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta"), (3, "unrelated words entirely")],
+        ["doc_id", "text"],
+    )
+    out = {r["vec_id"]: r["is_outlier"] for r in Pipeline.compile("""
+hash-embedding :doc_id :text 32
+emb-outliers :doc_id :embedding 2 0.3
+""").apply(df).collect()}
+    assert out[3] is True and out[1] is False and out[2] is False

@@ -928,3 +928,50 @@ class CompressionRatio(Directive):
         from wrangler_spark.datapipe.text import compression_ratio
 
         return compression_ratio(df, ctx.resolve(df, self.args["col"]))
+
+
+@directive
+class HashEmbedding(Directive):
+    """hash-embedding :id :text [dim] — model-free dense text embedding
+    (sign-hash feature hashing, L2-normalized) → embedding column; feeds
+    the whole vector stack (ANN, SemDeDup, outlier flags) from raw
+    text."""
+
+    name = "hash-embedding"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("dim", TokenType.NUMERIC, optional=True, default=64),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import hash_embedding
+
+        return hash_embedding(
+            df, ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"]),
+            int(self.args["dim"]),
+        )
+
+
+@directive
+class EmbOutliers(Directive):
+    """emb-outliers :id :vec [n_clusters] [q] — per-cluster
+    distance-to-centroid outlier flag (off-manifold noise) →
+    (vec_id, centroid_id, cos, is_outlier)."""
+
+    name = "emb-outliers"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("vec", TokenType.COLUMN),
+        Arg("n_clusters", TokenType.NUMERIC, optional=True, default=8),
+        Arg("q", TokenType.NUMERIC, optional=True, default=0.05),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.similarity import embedding_outliers
+
+        return embedding_outliers(
+            df, int(self.args["n_clusters"]), float(self.args["q"]),
+            id_col=ctx.resolve(df, self.args["id"]),
+            vec_col=ctx.resolve(df, self.args["vec"]),
+        )
