@@ -734,9 +734,13 @@ def _semdedup_oracle_sql(
 # minhash/ngram/cc/classifier/lp-buckets/bigram/dsir/pack_sequences
 # plans; entity_match's blocking-key rewrite; winnow_overlap's shared-
 # subtree checkpoint; mmr's schema derivation; embedding_normalize's
-# staged norm); the new r8 operators (entity_match_against, ...); and
-# back-fill from long-green rows. Everything rotated out stays green in
-# tools/oracle_parity.py.
+# staged norm); the new r8 operators (entity_match_against through
+# text_hash_emb/corpus_overlap — every oracled query CREATED this round
+# is in the window, none ships parity-only); and back-fill from
+# long-green rows. Rotated out to make room for the late r8 additions:
+# dedup_ngram_jaccard (green r1-r4,r6,r7 incl. post-rewrite r7) and
+# ann_cosine_topk (green r1-r7; ANN family still covered by 5 entries).
+# Everything rotated out stays green in tools/oracle_parity.py.
 _R8_WINDOW = [
     # sentinels (flagship + historically fragile + broadcast join)
     "cleanse_recipe",
@@ -762,7 +766,6 @@ _R8_WINDOW = [
     "entity_match",
     "text_winnow_overlap",
     "text_winnow",
-    "dedup_ngram_jaccard",
     "dedup_ngram_word",
     "dedup_minhash_cc",
     "dedup_embedding_cc",
@@ -778,7 +781,6 @@ _R8_WINDOW = [
     "ann_mmr_rerank",
     "emb_quantize",
     "emb_project",
-    "ann_cosine_topk",
     "ann_recall",
     "dedup_cross_exact",
     "dedup_cross_minhash",
@@ -791,6 +793,8 @@ _R8_WINDOW = [
     "dedup_cross_bloom",
     "emb_outliers",
     "text_nfc",
+    "corpus_overlap",
+    "text_hash_emb",
     # back-fill (green in a prior window, family coverage)
     "text_readability",
     "corpus_diff",
