@@ -196,7 +196,9 @@ _TAG_KEYWORDS = ["spark", "hash join", "table scan", "quantum"]
 
 
 def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from wrangler_spark.datapipe import bpe, curation, dedup, numeric, similarity, text
+    from wrangler_spark.datapipe import (
+        bpe, curation, dedup, events, numeric, similarity, text,
+    )
 
     def docs(spark, sf_dir):
         return _t(spark, sf_dir, "documents")
@@ -382,6 +384,15 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d).filter(F.col("doc_id") % 3 != 0),
             docs(s, d).filter(F.col("doc_id") % 2 == 0), "text",
         ),
+        "events_funnel": lambda s, d: events.funnel_steps(
+            _t(s, d, "events"), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], within_minutes=1440,
+        ),
+        # cohort_start cast to its yyyy-MM-dd string: Spark DATE→datetime.date
+        # and DuckDB DATE→datetime64 canonicalize differently in pandas
+        "events_retention": lambda s, d: events.retention_cohorts(
+            _t(s, d, "events"), "user_id", "ts", period_days=1, max_periods=8,
+        ).withColumn("cohort_start", F.col("cohort_start").cast("string")),
         "text_hash_emb": lambda s, d: text.hash_embedding(
             docs(s, d), "doc_id", "text", 16
         ).select("doc_id", F.posexplode("embedding").alias("pos", "y")),
@@ -559,6 +570,10 @@ def _datapipe_oracles() -> dict[str, str]:
         # unrolled-GD oracle)
         "ann_mmr_rerank": _mmr_oracle_sql(),
         "corpus_overlap": o.corpus_overlap_sql(),
+        "events_funnel": o.funnel_steps_sql(
+            ["view", "click", "purchase"], within_seconds=86400
+        ),
+        "events_retention": o.retention_cohorts_sql(1, 8),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "text_vocabulary": o.vocabulary_sql(200),
@@ -738,9 +753,12 @@ def _semdedup_oracle_sql(
 # text_hash_emb/corpus_overlap — every oracled query CREATED this round
 # is in the window, none ships parity-only); and back-fill from
 # long-green rows. Rotated out to make room for the late r8 additions:
-# dedup_ngram_jaccard (green r1-r4,r6,r7 incl. post-rewrite r7) and
-# ann_cosine_topk (green r1-r7; ANN family still covered by 5 entries).
-# Everything rotated out stays green in tools/oracle_parity.py.
+# dedup_ngram_jaccard (green r1-r4,r6,r7 incl. post-rewrite r7),
+# ann_cosine_topk (green r1-r7; ANN family still covered by 5 entries),
+# and — for the events-analytics pair (funnel/retention) — the r7-green
+# text_readability and corpus_diff (corpus_report keeps the corpus-
+# summary family covered). Everything rotated out stays green in
+# tools/oracle_parity.py.
 _R8_WINDOW = [
     # sentinels (flagship + historically fragile + broadcast join)
     "cleanse_recipe",
@@ -795,9 +813,9 @@ _R8_WINDOW = [
     "text_nfc",
     "corpus_overlap",
     "text_hash_emb",
+    "events_funnel",
+    "events_retention",
     # back-fill (green in a prior window, family coverage)
-    "text_readability",
-    "corpus_diff",
     "corpus_report",
 ]
 

@@ -1,0 +1,154 @@
+"""funnel_steps / retention_cohorts — event-analytics extensions
+(datapipe/events.py). Hand-computed fixtures exercise the ordering,
+anchor-window, null, and denominator contracts the sf0.01 oracle can't
+isolate."""
+
+import datetime as dt
+
+import pytest
+
+from wrangler_spark.datapipe.events import funnel_steps, retention_cohorts
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_funnel_strict_order_and_conversion(spark):
+    df = _events(
+        spark,
+        [
+            # u1 completes a->b->c in order
+            (1, _ts(1, 0), "a"), (1, _ts(1, 1), "b"), (1, _ts(1, 2), "c"),
+            # u2: b before a, never after -> stops at step 1
+            (2, _ts(1, 1), "b"), (2, _ts(1, 2), "a"),
+            # u3: a then c (no b) -> stops at step 1
+            (3, _ts(1, 0), "a"), (3, _ts(1, 5), "c"),
+        ],
+    )
+    got = {
+        r["step"]: (r["event_type"], r["users"], r["conversion"])
+        for r in funnel_steps(df, "user_id", "ts", "event_type", ["a", "b", "c"]).collect()
+    }
+    assert got == {
+        1: ("a", 3, 1.0),
+        2: ("b", 1, round(1 / 3, 6)),
+        3: ("c", 1, round(1 / 3, 6)),
+    }
+
+
+def test_funnel_equal_timestamp_not_counted(spark):
+    # strictly-after contract: b at the same instant as a does not advance
+    df = _events(spark, [(1, _ts(1, 0), "a"), (1, _ts(1, 0), "b")])
+    got = {r["step"]: r["users"] for r in
+           funnel_steps(df, "user_id", "ts", "event_type", ["a", "b"]).collect()}
+    assert got == {1: 1, 2: 0}
+
+
+def test_funnel_within_anchored_at_greedy_first_step(spark):
+    # u1's greedy anchor is day-1 a; its only b is outside the 60-min
+    # window even though a later a (day 2) would anchor a valid chain —
+    # the documented earliest-anchor convention counts u1 out
+    df = _events(
+        spark,
+        [
+            (1, _ts(1, 0), "a"), (1, _ts(2, 0), "a"), (1, _ts(2, 0, 30), "b"),
+            # u2 converts inside the window
+            (2, _ts(1, 0), "a"), (2, _ts(1, 0, 30), "b"),
+        ],
+    )
+    got = {r["step"]: r["users"] for r in
+           funnel_steps(df, "user_id", "ts", "event_type", ["a", "b"],
+                        within_minutes=60).collect()}
+    assert got == {1: 2, 2: 1}
+    # without the bound the late chain counts
+    got2 = {r["step"]: r["users"] for r in
+            funnel_steps(df, "user_id", "ts", "event_type", ["a", "b"]).collect()}
+    assert got2 == {1: 2, 2: 2}
+
+
+def test_funnel_no_first_step_users_all_zero(spark):
+    df = _events(spark, [(1, _ts(1), "b")])
+    rows = funnel_steps(df, "user_id", "ts", "event_type", ["a", "b"]).collect()
+    assert [(r["users"], r["conversion"]) for r in rows] == [(0, 0.0), (0, 0.0)]
+
+
+def test_funnel_null_user_and_ts_dropped(spark):
+    df = _events(
+        spark,
+        [(None, _ts(1), "a"), (1, None, "a"), (1, _ts(1), "a"), (1, _ts(2), "b")],
+    )
+    got = {r["step"]: r["users"] for r in
+           funnel_steps(df, "user_id", "ts", "event_type", ["a", "b"]).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_funnel_rejects_single_step(spark):
+    df = _events(spark, [(1, _ts(1), "a")])
+    with pytest.raises(ValueError):
+        funnel_steps(df, "user_id", "ts", "event_type", ["a"])
+
+
+def test_retention_offsets_and_denominator(spark):
+    # weekly periods from the epoch: 2024-01-01 is day 19723 -> bucket 2817
+    # (19723 = 2817*7 + 4), so the bucket containing it starts 2023-12-28
+    df = _events(
+        spark,
+        [
+            # u1 active in weeks 0,1,3; u2 only week 0; u3 weeks 0,1
+            (1, _ts(1), "a"), (1, _ts(8), "a"), (1, _ts(22), "a"),
+            (2, _ts(2), "a"),
+            (3, _ts(3), "a"), (3, _ts(9), "a"), (3, _ts(9, 5), "a"),
+        ],
+    )
+    rows = retention_cohorts(df, "user_id", "ts", period_days=7, max_periods=8).collect()
+    got = {r["period_offset"]: (r["active_users"], r["retention"]) for r in rows}
+    assert all(str(r["cohort_start"]) == "2023-12-28" for r in rows)
+    assert got == {0: (3, 1.0), 1: (2, round(2 / 3, 6)), 3: (1, round(1 / 3, 6))}
+
+
+def test_retention_max_periods_drops_tail(spark):
+    df = _events(spark, [(1, _ts(1), "a"), (1, _ts(29), "a")])  # offsets 0 and 4
+    rows = retention_cohorts(df, "user_id", "ts", period_days=7, max_periods=2).collect()
+    assert sorted(r["period_offset"] for r in rows) == [0]
+
+
+def test_retention_two_cohorts_independent_denominators(spark):
+    df = _events(
+        spark,
+        [
+            (1, _ts(1), "a"), (2, _ts(2), "a"),   # cohort week 0: u1,u2
+            (1, _ts(8), "a"),                      # u1 retained
+            (3, _ts(8), "a"),                      # cohort week 1: u3 alone
+        ],
+    )
+    rows = retention_cohorts(df, "user_id", "ts", period_days=7).collect()
+    by = {(str(r["cohort_start"]), r["period_offset"]): r for r in rows}
+    assert by[("2023-12-28", 0)]["active_users"] == 2
+    assert by[("2023-12-28", 1)]["retention"] == 0.5
+    assert by[("2024-01-04", 0)]["active_users"] == 1
+    assert by[("2024-01-04", 0)]["retention"] == 1.0
+
+
+def test_retention_rejects_bad_period(spark):
+    df = _events(spark, [(1, _ts(1), "a")])
+    with pytest.raises(ValueError):
+        retention_cohorts(df, "user_id", "ts", period_days=0)
+
+
+def test_directive_surface(spark):
+    from wrangler_spark import Pipeline
+
+    df = _events(
+        spark, [(1, _ts(1, 0), "a"), (1, _ts(1, 1), "b"), (2, _ts(1), "a")]
+    )
+    r = Pipeline.compile("funnel :user_id :ts :event_type 'a,b'").apply(df)
+    assert {x["step"]: x["users"] for x in r.collect()} == {1: 2, 2: 1}
+    r2 = Pipeline.compile("retention-cohorts :user_id :ts 7 4").apply(df)
+    assert r2.count() == 1  # single cohort, offset 0 only

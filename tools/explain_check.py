@@ -382,6 +382,23 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 28. events analytics: both checkpoint their k-row/cohort-row summary
+    # (shared shuffle-bearing branch rule), so the RETURNED plan reads the
+    # checkpoint — zero parquet scans, no window, no Python; funnel's
+    # 1-row denominator crossJoin is the sanctioned broadcast shape and
+    # retention's size join-back must be a broadcast hash join
+    p = plan_of(qs["events_funnel"](spark, SF_DIR))
+    problems += check(
+        "events_funnel", p,
+        must_not=["FileScan", "Window", "BatchEvalPython", "ArrowEvalPython"],
+    )
+    p = plan_of(qs["events_retention"](spark, SF_DIR))
+    problems += check(
+        "events_retention", p, must=["BroadcastHashJoin"],
+        must_not=["FileScan", "Window", "CartesianProduct",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:

@@ -1,0 +1,197 @@
+"""Event-funnel and cohort-retention analytics — beyond-reference
+extensions (SURVEY §2.12 family): the reference engine has no cross-row
+event analytics at all; these are the two canonical product-analytics
+aggregations an events pipeline needs next to sessionization
+(streaming/sessions.py).
+
+Both are pure DataFrame compositions with no window functions — the
+repo-wide discipline: a ``Window.partitionBy(user)`` sort is avoidable
+here because each op only needs per-user MIN timestamps, which hash
+aggregation gives without sorting.
+
+Scale shapes (100 TB):
+
+- ``funnel_steps``: k-1 joins, every one keyed on the user column, so
+  after the first step's hash aggregate the remaining stages reuse the
+  same partitioning (ensureRequirements inserts no new exchange on the
+  already-partitioned side); each stage's probe side is pre-filtered to
+  ONE event type before the shuffle. State per user is a handful of
+  timestamps — nothing event-sized survives past its stage.
+- ``retention_cohorts``: one distinct on (user, period-bucket) — the
+  only data-sized shuffle — then co-partitioned first-bucket join and a
+  hash aggregate over (cohort, offset); the per-cohort size join-back is
+  a broadcast (rows = number of cohorts, bounded by calendar range /
+  period, never by data volume).
+
+Determinism contract (COVERAGE.md): period buckets are pure integer
+day arithmetic from a fixed origin (no engine week conventions);
+ratios are integer/integer double divisions — IEEE-identical across
+engines — rounded once to 6dp.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_minutes: float | None = None,
+) -> DataFrame:
+    """Ordered event funnel: one row per step with how many users reached
+    it and the conversion ratio from step 1.
+
+    A user reaches step i when events of types ``steps[0..i-1]`` exist at
+    strictly increasing timestamps, resolved greedily: t1 = the user's
+    earliest step-1 event, then t_i = earliest step-i event after
+    t_{i-1}. With no time bound the greedy chain exists iff any chain
+    does; ``within_minutes`` bounds every later step to t1 + within,
+    anchored at the GREEDY t1 — a chain that only completes from a later
+    step-1 event is not counted (the standard earliest-anchor funnel
+    convention; documented divergence from per-anchor scans).
+
+    Returns (step, event_type, users, conversion) sorted by step;
+    conversion = users_i / users_1 rounded to 6dp (1.0 for step 1;
+    all-zero rows when no user has a step-1 event).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_steps needs at least two steps")
+    u, t = F.col(user_col), F.col(ts_col)
+    ev = df.filter(F.col(type_col).isin(list(steps)) & u.isNotNull() & t.isNotNull()).select(
+        u.alias("__u"), t.alias("__t"), F.col(type_col).alias("__e")
+    )
+
+    # stage 1: earliest step-1 event per user (hash agg — the one shuffle
+    # that partitions everything downstream on __u)
+    reached = ev.filter(F.col("__e") == steps[0]).groupBy("__u").agg(
+        F.min("__t").alias("__prev")
+    )
+    reached = reached.withColumn("__anchor", F.col("__prev"))
+    stages = [reached]
+    for st in steps[1:]:
+        nxt = (
+            ev.filter(F.col("__e") == st)
+            .join(stages[-1].select("__u", "__prev", "__anchor"), "__u")
+            .filter(F.col("__t") > F.col("__prev"))
+        )
+        if within_minutes is not None:
+            bound = F.col("__anchor") + F.expr(
+                f"INTERVAL {int(within_minutes * 60)} SECONDS"
+            )
+            nxt = nxt.filter(F.col("__t") <= bound)
+        stages.append(
+            nxt.groupBy("__u").agg(
+                F.min("__t").alias("__prev"), F.min("__anchor").alias("__anchor")
+            )
+        )
+
+    # one count row per stage; union is k tiny aggregates in one job
+    counts = [
+        s.agg(F.count("*").alias("users")).select(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(steps[i]).alias("event_type"),
+            F.col("users").cast("long").alias("users"),
+        )
+        for i, s in enumerate(stages)
+    ]
+    summary = reduce(DataFrame.unionByName, counts)
+    # the step-1 count is consumed twice (its own row + every row's
+    # conversion denominator) and the branch is ALL shuffle/aggregate, so
+    # without a cut Catalyst pushes `step == 1` into the union children
+    # (different subplans → no ReusedExchange) and re-executes the entire
+    # stage chain — checkpoint the k-row summary once (the repo's
+    # shuffle-in-shared-branch rule), then both consumers read k rows
+    summary = eager_checkpoint(summary)
+    first = summary.filter(F.col("step") == 1).select(
+        F.col("users").alias("__n1")
+    )
+    return (
+        summary.crossJoin(F.broadcast(first))
+        .select(
+            "step",
+            "event_type",
+            "users",
+            F.when(F.col("__n1") > 0, F.round(F.col("users") / F.col("__n1"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("conversion"),
+        )
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_days: int = 7,
+    max_periods: int = 8,
+) -> DataFrame:
+    """Cohort retention: users bucketed by the period of their first
+    activity; one row per (cohort, period offset) with how many of that
+    cohort were active ``offset`` periods later.
+
+    Period buckets are ``floor(days_since_1970 / period_days)`` — pure
+    integer day arithmetic from the Unix epoch, NOT calendar weeks/
+    months, so the bucketing is engine-convention-free (DuckDB's
+    date_trunc('week') is ISO-Monday, Spark's weekofyear differs — this
+    contract sidesteps both). ``cohort_start`` is the bucket's first
+    day as a date.
+
+    Returns (cohort_start, period_offset, active_users, retention)
+    where retention = active_users / cohort size (offset-0 users),
+    rounded to 6dp; offset 0 is 1.0 by construction. Offsets >=
+    ``max_periods`` are dropped.
+    """
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    u = F.col(user_col)
+    # (user, bucket) distinct — the only event-volume shuffle
+    b = (
+        df.filter(u.isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            u.alias("__u"),
+            F.floor(
+                F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date"))
+                / period_days
+            ).alias("__b"),
+        )
+        .distinct()
+    )
+    # first bucket per user: distinct partitioned on (__u,__b), so this is
+    # one more bounded shuffle on __u — after which the activity join is
+    # co-partitioned
+    first = b.groupBy("__u").agg(F.min("__b").alias("__cb"))
+    act = (
+        b.join(first, "__u")
+        .select("__cb", (F.col("__b") - F.col("__cb")).alias("period_offset"))
+        .filter(F.col("period_offset") < max_periods)
+        .groupBy("__cb", "period_offset")
+        .agg(F.count("*").alias("active_users"))  # (user,bucket) distinct → count(*)
+    )
+    # the aggregate feeds two consumers (rows + per-cohort denominator)
+    # and its branch holds the event-volume distinct — checkpoint the
+    # cohort×offset-row result so the big shuffle executes exactly once
+    act = eager_checkpoint(act)
+    sizes = act.filter(F.col("period_offset") == 0).select(
+        F.col("__cb").alias("__cb2"), F.col("active_users").alias("__size")
+    )
+    return (
+        act.join(F.broadcast(sizes), act["__cb"] == sizes["__cb2"])
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("__cb") * period_days).cast("int"),
+            ).alias("cohort_start"),
+            F.col("period_offset").cast("long").alias("period_offset"),
+            F.col("active_users").cast("long").alias("active_users"),
+            F.round(F.col("active_users") / F.col("__size"), 6).alias("retention"),
+        )
+    )

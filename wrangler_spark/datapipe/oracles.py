@@ -1694,3 +1694,65 @@ SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, nu::BIGINT AS n_union,
             ELSE round(greatest(na + nb - nu, 0)::DOUBLE / nu::DOUBLE, 6) END AS jaccard
 FROM s
 """
+
+
+def funnel_steps_sql(
+    steps: list[str], within_seconds: int | None = None, table: str = "events",
+) -> str:
+    """Mirror of events.funnel_steps: greedy earliest-anchor CTE chain —
+    s1 = min step-1 ts per user; s_i = min step-i ts after s_{i-1}
+    (optionally bounded to the anchor t1 + within)."""
+    ctes = [
+        f"ev AS (SELECT user_id, ts, event_type FROM {table} "
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL)",
+        f"s1 AS (SELECT user_id, min(ts) AS t1, min(ts) AS tprev FROM ev "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)",
+    ]
+    for i, st in enumerate(steps[1:], start=2):
+        bound = (
+            f" AND e.ts <= s{i-1}.t1 + INTERVAL {within_seconds} SECOND"
+            if within_seconds is not None
+            else ""
+        )
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(s{i-1}.t1) AS t1, min(e.ts) AS tprev "
+            f"FROM ev e JOIN s{i-1} ON e.user_id = s{i-1}.user_id "
+            f"WHERE e.event_type = '{st}' AND e.ts > s{i-1}.tprev{bound} "
+            "GROUP BY e.user_id)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, '{st}' AS event_type, "
+        f"(SELECT count(*) FROM s{i + 1}) AS users"
+        for i, st in enumerate(steps)
+    )
+    ctes.append(f"c AS ({unions})")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT CAST(step AS BIGINT) AS step, event_type, "
+        "CAST(users AS BIGINT) AS users, "
+        "CASE WHEN (SELECT users FROM c WHERE step = 1) > 0 "
+        "THEN round(CAST(users AS DOUBLE) / (SELECT users FROM c WHERE step = 1), 6) "
+        "ELSE 0.0 END AS conversion FROM c"
+    )
+
+
+def retention_cohorts_sql(
+    period_days: int = 7, max_periods: int = 8, table: str = "events",
+) -> str:
+    """Mirror of events.retention_cohorts: epoch-day integer buckets
+    (engine-convention-free), first bucket per user = cohort, per-cohort
+    denominator = offset-0 count."""
+    return f"""
+WITH b AS (SELECT DISTINCT user_id AS u,
+                  CAST(floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                             / {period_days}.0) AS BIGINT) AS bk
+           FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (SELECT u, min(bk) AS cb FROM b GROUP BY u),
+a AS (SELECT cb, bk - cb AS off, count(*) AS n FROM b JOIN f USING(u)
+      WHERE bk - cb < {max_periods} GROUP BY cb, bk - cb),
+s AS (SELECT cb, n AS sz FROM a WHERE off = 0)
+SELECT CAST(DATE '1970-01-01' + CAST(a.cb * {period_days} AS INT) AS VARCHAR) AS cohort_start,
+       CAST(a.off AS BIGINT) AS period_offset, CAST(a.n AS BIGINT) AS active_users,
+       round(CAST(a.n AS DOUBLE) / s.sz, 6) AS retention
+FROM a JOIN s ON a.cb = s.cb
+"""

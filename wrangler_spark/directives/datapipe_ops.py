@@ -975,3 +975,57 @@ class EmbOutliers(Directive):
             id_col=ctx.resolve(df, self.args["id"]),
             vec_col=ctx.resolve(df, self.args["vec"]),
         )
+
+
+@directive
+class Funnel(Directive):
+    """funnel :user :ts :type 'step1,step2,...' [within_minutes] — ordered
+    event funnel: per-step users reached + conversion from step 1."""
+
+    name = "funnel"
+    usage = [
+        Arg("user", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+        Arg("type", TokenType.COLUMN),
+        Arg("steps", TokenType.TEXT),
+        Arg("within_minutes", TokenType.NUMERIC, optional=True),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import funnel_steps
+
+        steps = [s.strip() for s in str(self.args["steps"]).split(",") if s.strip()]
+        within = self.args.value("within_minutes")
+        return funnel_steps(
+            df,
+            ctx.resolve(df, self.args["user"]),
+            ctx.resolve(df, self.args["ts"]),
+            ctx.resolve(df, self.args["type"]),
+            steps,
+            None if within is None else float(within),
+        )
+
+
+@directive
+class RetentionCohorts(Directive):
+    """retention-cohorts :user :ts [period_days] [max_periods] — cohort
+    retention grid: (cohort_start, period_offset, active_users, retention)."""
+
+    name = "retention-cohorts"
+    usage = [
+        Arg("user", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+        Arg("period_days", TokenType.NUMERIC, optional=True, default=7),
+        Arg("max_periods", TokenType.NUMERIC, optional=True, default=8),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import retention_cohorts
+
+        return retention_cohorts(
+            df,
+            ctx.resolve(df, self.args["user"]),
+            ctx.resolve(df, self.args["ts"]),
+            int(self.args["period_days"]),
+            int(self.args["max_periods"]),
+        )
