@@ -66,6 +66,8 @@ EXTRA_QUERIES = [
     "corpus_drift",        # PSI distribution drift between corpus snapshots
     "text_top_ngrams",     # corpus n-gram heavy hitters (two-phase top-k)
     "ann_pq_topk",         # product-quantization ADC top-k (64x compression)
+    "events_funnel",       # ordered funnel: co-partitioned user-key joins
+    "events_retention",    # cohort grid: distinct + first-bucket join
 ]
 
 

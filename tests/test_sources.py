@@ -109,3 +109,50 @@ def test_write_corpus_file_sizing(spark, tmp_path_factory):
     write_corpus(docs, f"{base}/bylang", partition_by=["lang"], target_file_mb=512)
     langs = glob.glob(f"{base}/bylang/lang=*")
     assert len(langs) >= 2
+
+
+def test_bucketed_join_and_agg_skip_shuffle(spark, tmp_path_factory):
+    """write_bucketed registers a bucket spec the planner honors: a join
+    of two tables bucketed on the same key with the same bucket count and
+    an aggregation on the bucket key both plan WITHOUT a shuffle
+    Exchange — the co-located-join contract that matters at 100 TB."""
+    from wrangler_spark.sources import read_table, write_bucketed
+
+    base = tmp_path_factory.mktemp("bucketed")
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    # sf0.01 dims are broadcast-sized, which makes the planner skip the
+    # bucketed scan entirely ("Bucketed: false (disabled by query
+    # planner)") — disable auto-broadcast so the test exercises the
+    # big-join path bucketing exists for
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, "t_orders_b", ["o_custkey"], 8,
+                       sort_by=["o_custkey"], path=str(base / "o"))
+        write_bucketed(cust, "t_cust_b", ["c_custkey"], 8,
+                       sort_by=["c_custkey"], path=str(base / "c"))
+        o, c = read_table(spark, "t_orders_b"), read_table(spark, "t_cust_b")
+
+        joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == orders.count()
+
+        agg = o.groupBy("o_custkey").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert agg.count() == orders.select("o_custkey").distinct().count()
+
+        # a non-bucketed probe side shuffles only ITSELF to match the
+        # bucket layout: exactly one Exchange, on the plain side
+        plain = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+        j2 = o.join(plain, o["o_custkey"] == plain["c_custkey"])
+        plan = j2._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("+- Exchange") == 1, plan
+        assert j2.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")

@@ -39,17 +39,20 @@ QUERIES = [
     "corpus_drift", "text_entropy", "num_mad", "num_qbins",
     # round 8, second batch (ANN compression + bloom dedup)
     "ann_pq_topk", "ann_ivf_pq_topk", "dedup_cross_bloom",
+    # round 8, third batch (event analytics; sf1 replicates events 10x
+    # by user-id shift — 10x users, same per-user density)
+    "events_funnel", "events_retention",
 ]
 
 
 def build_sf1(spark) -> None:
     from pyspark.sql import functions as F
 
-    # versioned sentinel: v2 added the embeddings replication — a cache
-    # built by the v1 script (embeddings symlinked to sf0.1) must not be
-    # reused, and writing through a leftover symlink would clobber the
-    # shared /root/testdata source, so rebuild from scratch
-    if os.path.exists(os.path.join(SF1_DIR, "_DONE_v2")):
+    # versioned sentinel: v2 added the embeddings replication, v3 the
+    # events replication (user-id shift) — a cache built by an older
+    # script version must not be reused, and writing through a leftover
+    # symlink would clobber the shared /root/testdata source, so rebuild
+    if os.path.exists(os.path.join(SF1_DIR, "_DONE_v3")):
         return
     if os.path.exists(SF1_DIR):
         import shutil
@@ -59,9 +62,14 @@ def build_sf1(spark) -> None:
     li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     embs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    li_parts, doc_parts, emb_parts = [], [], []
+    evs = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    li_parts, doc_parts, emb_parts, ev_parts = [], [], [], []
     for k in range(REPLICAS):
         li_parts.append(li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 10_000_000)))
+        ev_parts.append(
+            evs.withColumn("event_id", F.col("event_id") + F.lit(k * 10_000_000))
+            .withColumn("user_id", F.col("user_id") + F.lit(k * 1_000_000))
+        )
         doc_parts.append(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * 1_000_000)).withColumn(
                 "text",
@@ -81,13 +89,17 @@ def build_sf1(spark) -> None:
     out_li.repartition(32).write.mode("overwrite").parquet(os.path.join(SF1_DIR, "lineitem.parquet"))
     out_docs.repartition(32).write.mode("overwrite").parquet(os.path.join(SF1_DIR, "documents.parquet"))
     out_embs.repartition(32).write.mode("overwrite").parquet(os.path.join(SF1_DIR, "embeddings.parquet"))
-    # the scaling queries only touch lineitem + documents + embeddings;
+    out_evs = ev_parts[0]
+    for p in ev_parts[1:]:
+        out_evs = out_evs.unionByName(p)
+    out_evs.repartition(32).write.mode("overwrite").parquet(os.path.join(SF1_DIR, "events.parquet"))
+    # the scaling queries only touch lineitem/documents/embeddings/events;
     # link the rest so _t() keeps working if a query set grows
-    for t in ["region", "nation", "customer", "supplier", "part", "orders", "events"]:
+    for t in ["region", "nation", "customer", "supplier", "part", "orders"]:
         dst = os.path.join(SF1_DIR, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
-    open(os.path.join(SF1_DIR, "_DONE_v2"), "w").close()
+    open(os.path.join(SF1_DIR, "_DONE_v3"), "w").close()
 
 
 def main() -> None:

@@ -173,3 +173,44 @@ def write_corpus(
         maxRecordsPerFile=str(rows_per_file), **options,
     )
     return rows_per_file
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_by: list[str], n_buckets: int,
+    sort_by: list[str] | None = None, path: str | None = None,
+    mode: str = "error", fmt: str = "parquet", **options,
+) -> None:
+    """Write a BUCKETED table: rows hash-partitioned into ``n_buckets``
+    files per partition by ``bucket_by``, registered in the session
+    catalog (``path`` makes it external). The co-located-join discipline:
+    every later join or aggregation keyed on the bucket columns reads
+    each side pre-partitioned and skips its shuffle entirely — at 100 TB
+    that converts the nightly fact-to-fact join from a full network
+    re-shuffle into a local zip of matching buckets. ``sort_by`` adds
+    within-bucket ordering (merge-join-friendly, better row-group skip).
+
+    Bucketing pays off when the table is written once and joined many
+    times; for one-shot joins prefer broadcast (small side) or AQE.
+    Choose ``n_buckets`` so one bucket ≈ one healthy task (hundreds of
+    MB): e.g. 100 TB / 4096 buckets ≈ 25 GB per bucket — too big; 65536
+    buckets ≈ 1.5 GB — right for wide executors. n_buckets is fixed at
+    write time; both join sides must use the SAME bucket count (or a
+    divisor, with spark.sql.bucketing.coalesceBucketsInJoin.enabled) to
+    co-locate."""
+    if not bucket_by:
+        raise ValueError("write_bucketed needs at least one bucket column")
+    writer = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path is not None:
+        writer = writer.option("path", path)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog-table read — the bucketed counterpart of :func:`read`;
+    the scan carries the table's bucket spec, so Catalyst plans
+    bucket-key joins/aggs without an Exchange."""
+    return spark.table(table)
