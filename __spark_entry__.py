@@ -393,6 +393,13 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": lambda s, d: events.retention_cohorts(
             _t(s, d, "events"), "user_id", "ts", period_days=1, max_periods=8,
         ).withColumn("cohort_start", F.col("cohort_start").cast("string")),
+        "events_transitions": lambda s, d: events.event_transitions(
+            _t(s, d, "events"), "user_id", "ts", "event_type", tie_col="event_id",
+        ),
+        "events_paths": lambda s, d: events.event_paths_topk(
+            _t(s, d, "events"), "user_id", "ts", "event_type",
+            k=10, max_len=5, tie_col="event_id",
+        ),
         "text_hash_emb": lambda s, d: text.hash_embedding(
             docs(s, d), "doc_id", "text", 16
         ).select("doc_id", F.posexplode("embedding").alias("pos", "y")),
@@ -574,6 +581,8 @@ def _datapipe_oracles() -> dict[str, str]:
             ["view", "click", "purchase"], within_seconds=86400
         ),
         "events_retention": o.retention_cohorts_sql(1, 8),
+        "events_transitions": o.event_transitions_sql(),
+        "events_paths": o.event_paths_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "text_vocabulary": o.vocabulary_sql(200),
@@ -755,10 +764,12 @@ def _semdedup_oracle_sql(
 # long-green rows. Rotated out to make room for the late r8 additions:
 # dedup_ngram_jaccard (green r1-r4,r6,r7 incl. post-rewrite r7),
 # ann_cosine_topk (green r1-r7; ANN family still covered by 5 entries),
-# and — for the events-analytics pair (funnel/retention) — the r7-green
-# text_readability and corpus_diff (corpus_report keeps the corpus-
-# summary family covered). Everything rotated out stays green in
-# tools/oracle_parity.py.
+# text_readability and corpus_diff (r7-green; corpus_report keeps the
+# corpus-summary family covered) for the funnel/retention pair, and
+# pack_sequences + text_dsir (green r6+r7; their only r8 change is the
+# eager_checkpoint conversion, a single shared mechanism still
+# represented by ~10 remaining window entries) for transitions/paths.
+# Everything rotated out stays green in tools/oracle_parity.py.
 _R8_WINDOW = [
     # sentinels (flagship + historically fragile + broadcast join)
     "cleanse_recipe",
@@ -792,8 +803,6 @@ _R8_WINDOW = [
     "text_clf_score",
     "text_lp_buckets",
     "text_bigram_lp",
-    "pack_sequences",
-    "text_dsir",
     "num_outliers",
     "num_winsorize",
     "ann_mmr_rerank",
@@ -815,6 +824,8 @@ _R8_WINDOW = [
     "text_hash_emb",
     "events_funnel",
     "events_retention",
+    "events_transitions",
+    "events_paths",
     # back-fill (green in a prior window, family coverage)
     "corpus_report",
 ]

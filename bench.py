@@ -68,6 +68,8 @@ EXTRA_QUERIES = [
     "ann_pq_topk",         # product-quantization ADC top-k (64x compression)
     "events_funnel",       # ordered funnel: co-partitioned user-key joins
     "events_retention",    # cohort grid: distinct + first-bucket join
+    "events_transitions",  # Markov matrix: lead window + broadcast normalizer
+    "events_paths",        # top-k journeys: max_len trim + TakeOrdered
 ]
 
 

@@ -152,3 +152,99 @@ def test_directive_surface(spark):
     assert {x["step"]: x["users"] for x in r.collect()} == {1: 2, 2: 1}
     r2 = Pipeline.compile("retention-cohorts :user_id :ts 7 4").apply(df)
     assert r2.count() == 1  # single cohort, offset 0 only
+
+
+def _events_with_id(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_transitions_counts_and_row_normalization(spark):
+    from wrangler_spark.datapipe.events import event_transitions
+
+    df = _events_with_id(
+        spark,
+        [
+            # u1: a->b->a->c   (a->b, b->a, a->c)
+            (1, 1, _ts(1, 0), "a"), (2, 1, _ts(1, 1), "b"),
+            (3, 1, _ts(1, 2), "a"), (4, 1, _ts(1, 3), "c"),
+            # u2: a->b          (a->b)
+            (5, 2, _ts(1, 0), "a"), (6, 2, _ts(1, 1), "b"),
+        ],
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in event_transitions(df, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    # from 'a': 2x a->b, 1x a->c; from 'b': 1x b->a
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 6)),
+        ("a", "c"): (1, round(1 / 3, 6)),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_transitions_tie_col_orders_equal_timestamps(spark):
+    from wrangler_spark.datapipe.events import event_transitions
+
+    # both events at the same instant: tie on event_id makes a->b, never b->a
+    df = _events_with_id(
+        spark, [(1, 1, _ts(1, 0), "a"), (2, 1, _ts(1, 0), "b")]
+    )
+    rows = event_transitions(df, "user_id", "ts", "event_type", "event_id").collect()
+    assert [(r["from_type"], r["to_type"]) for r in rows] == [("a", "b")]
+
+
+def test_transitions_no_cross_user_pairs(spark):
+    from wrangler_spark.datapipe.events import event_transitions
+
+    df = _events_with_id(spark, [(1, 1, _ts(1, 0), "a"), (2, 2, _ts(1, 1), "b")])
+    assert event_transitions(df, "user_id", "ts", "event_type", "event_id").count() == 0
+
+
+def test_paths_trim_and_tiebreak(spark):
+    from wrangler_spark.datapipe.events import event_paths_topk
+
+    df = _events_with_id(
+        spark,
+        [
+            # u1 and u2 share path a>b ; u3 has b>a ; u4 has a>b>c trimmed to 2 -> a>b
+            (1, 1, _ts(1, 0), "a"), (2, 1, _ts(1, 1), "b"),
+            (3, 2, _ts(1, 0), "a"), (4, 2, _ts(1, 1), "b"),
+            (5, 3, _ts(1, 0), "b"), (6, 3, _ts(1, 1), "a"),
+            (7, 4, _ts(1, 0), "a"), (8, 4, _ts(1, 1), "b"), (9, 4, _ts(1, 2), "c"),
+        ],
+    )
+    rows = event_paths_topk(
+        df, "user_id", "ts", "event_type", k=10, max_len=2, tie_col="event_id"
+    ).collect()
+    assert [(r["path"], r["n_users"]) for r in rows] == [("a>b", 3), ("b>a", 1)]
+    # k truncates deterministically: ties broken by path asc
+    one = event_paths_topk(
+        df, "user_id", "ts", "event_type", k=1, max_len=1, tie_col="event_id"
+    ).collect()
+    # max_len=1 paths: 'a' x3, 'b' x1 -> top-1 is 'a'
+    assert [(r["path"], r["n_users"]) for r in one] == [("a", 3)]
+
+
+def test_paths_custom_separator(spark):
+    from wrangler_spark.datapipe.events import event_paths_topk
+
+    df = _events_with_id(spark, [(1, 1, _ts(1, 0), "x"), (2, 1, _ts(1, 1), "y")])
+    rows = event_paths_topk(
+        df, "user_id", "ts", "event_type", tie_col="event_id", sep="->"
+    ).collect()
+    assert rows[0]["path"] == "x->y"
+
+
+def test_events_directive_surface_transitions_paths(spark):
+    from wrangler_spark import Pipeline
+
+    df = _events_with_id(
+        spark, [(1, 1, _ts(1, 0), "a"), (2, 1, _ts(1, 1), "b")]
+    )
+    r = Pipeline.compile("event-transitions :user_id :ts :event_type :event_id").apply(df)
+    assert [(x["from_type"], x["to_type"], x["n"]) for x in r.collect()] == [("a", "b", 1)]
+    r2 = Pipeline.compile("event-paths :user_id :ts :event_type 5 3 :event_id").apply(df)
+    assert r2.collect()[0]["path"] == "a>b"

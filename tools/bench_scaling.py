@@ -41,7 +41,7 @@ QUERIES = [
     "ann_pq_topk", "ann_ivf_pq_topk", "dedup_cross_bloom",
     # round 8, third batch (event analytics; sf1 replicates events 10x
     # by user-id shift — 10x users, same per-user density)
-    "events_funnel", "events_retention",
+    "events_funnel", "events_retention", "events_transitions", "events_paths",
 ]
 
 

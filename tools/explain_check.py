@@ -398,6 +398,22 @@ def main() -> int:
         must_not=["FileScan", "Window", "CartesianProduct",
                   "BatchEvalPython", "ArrowEvalPython"],
     )
+    # transitions: the |types|^2 pair table is checkpointed (no re-scan)
+    # and the row-normalizer joins back broadcast; the per-user lead
+    # window is the sanctioned sequential use, executed before the cut
+    p = plan_of(qs["events_transitions"](spark, SF_DIR))
+    problems += check(
+        "events_transitions", p, must=["BroadcastHashJoin"],
+        must_not=["FileScan", "CartesianProduct",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+    # paths: top-k is a distributed TakeOrdered, never a rank window
+    # over the corpus (the only Window is the per-user max_len trim)
+    p = plan_of(qs["events_paths"](spark, SF_DIR))
+    problems += check(
+        "events_paths", p, must=["TakeOrderedAndProject"],
+        must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
 
     if problems:
         print("PLAN PROBLEMS:")

@@ -1,13 +1,16 @@
-"""Event-funnel and cohort-retention analytics — beyond-reference
-extensions (SURVEY §2.12 family): the reference engine has no cross-row
-event analytics at all; these are the two canonical product-analytics
-aggregations an events pipeline needs next to sessionization
-(streaming/sessions.py).
+"""Event analytics — beyond-reference extensions (SURVEY §2.12 family):
+the reference engine has no cross-row event analytics at all; together
+with sessionization (streaming/sessions.py) this module is the
+product-analytics suite an events pipeline needs: ordered funnels,
+cohort retention, Markov transitions, top user journeys.
 
-Both are pure DataFrame compositions with no window functions — the
-repo-wide discipline: a ``Window.partitionBy(user)`` sort is avoidable
-here because each op only needs per-user MIN timestamps, which hash
-aggregation gives without sorting.
+Funnel and retention are pure DataFrame compositions with NO window
+functions — they only need per-user MIN timestamps, which hash
+aggregation gives without sorting. Transitions and paths DO use a
+per-user sequential window (lead / row_number) because within-user
+ordering is inherent to their semantics — the same legitimate window
+use as sessionize: partitioned by user (never a rank window over the
+whole corpus), skew bounded by the hottest user's event count.
 
 Scale shapes (100 TB):
 
@@ -22,11 +25,18 @@ Scale shapes (100 TB):
   hash aggregate over (cohort, offset); the per-cohort size join-back is
   a broadcast (rows = number of cohorts, bounded by calendar range /
   period, never by data volume).
+- ``event_transitions``: one window pass emits (from,to) pairs straight
+  into a hash aggregate; the |types|²-bounded result is checkpointed and
+  the normalizer joins back broadcast.
+- ``event_paths_topk``: the window TRIMS each user to max_len rows
+  before any aggregation (bounded per-user state), then path building,
+  counting, and a distributed TakeOrdered top-k.
 
 Determinism contract (COVERAGE.md): period buckets are pure integer
 day arithmetic from a fixed origin (no engine week conventions);
 ratios are integer/integer double divisions — IEEE-identical across
-engines — rounded once to 6dp.
+engines — rounded once to 6dp; orderings take an explicit ``tie_col``
+so equal timestamps never depend on storage order.
 """
 
 from __future__ import annotations
@@ -194,4 +204,113 @@ def retention_cohorts(
             F.col("active_users").cast("long").alias("active_users"),
             F.round(F.col("active_users") / F.col("__size"), 6).alias("retention"),
         )
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    one row per observed (from_type, to_type) consecutive pair with its
+    count and row-normalized probability.
+
+    Ordering within a user is (ts, tie_col) — pass the event-id column as
+    ``tie_col`` whenever timestamps can collide, or the pairing at equal
+    timestamps is storage-order-dependent. Uses a per-user sequential
+    window (lead) — the legitimate window use, like sessionize: ordering
+    is inherent to the semantics, the partition key is the user (skew
+    bounded by the hottest user's event count, same as any sessionizer),
+    and no rank/top-k window ever sees the whole corpus.
+
+    prob = n / (total transitions out of from_type), integer/integer
+    rounded once to 6dp; the per-from totals frame is type-cardinality
+    sized and broadcast back.
+    """
+    from pyspark.sql import Window
+
+    u, t = F.col(user_col), F.col(ts_col)
+    order_cols = [ts_col] + ([tie_col] if tie_col else [])
+    w = Window.partitionBy("__u").orderBy(*order_cols)
+    pairs = (
+        df.filter(u.isNotNull() & t.isNotNull())
+        .select(u.alias("__u"), *order_cols, F.col(type_col).alias("__from"))
+        .withColumn("__to", F.lead("__from").over(w))
+        .filter(F.col("__to").isNotNull())
+        .groupBy("__from", "__to")
+        .agg(F.count("*").alias("n"))
+    )
+    # transition-count rows are |types|^2-bounded — checkpoint once so the
+    # per-from normalizer doesn't re-run the event-volume window+aggregate
+    pairs = eager_checkpoint(pairs)
+    totals = pairs.groupBy("__from").agg(F.sum("n").alias("__tot")).select(
+        F.col("__from").alias("__from2"), "__tot"
+    )
+    return (
+        pairs.join(F.broadcast(totals), pairs["__from"] == totals["__from2"])
+        .select(
+            F.col("__from").alias("from_type"),
+            F.col("__to").alias("to_type"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("__tot"), 6).alias("prob"),
+        )
+    )
+
+
+def event_paths_topk(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    k: int = 10,
+    max_len: int = 5,
+    tie_col: str | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k most common user journeys: each user's first ``max_len``
+    event types (ordered by ts, then ``tie_col``) joined with ``sep``,
+    counted across users, top k by (count desc, path asc — the
+    deterministic tie-break).
+
+    Shape: a per-user sequential window trims each user to max_len rows
+    FIRST (state per user bounded by max_len from that point on — the
+    collect_list can never see an unbounded hot user), then one hash
+    aggregate builds the path, one counts it, and the top-k is a
+    distributed TakeOrdered (two-phase, no global sort, no rank window
+    over the corpus).
+    """
+    from pyspark.sql import Window
+
+    u, t = F.col(user_col), F.col(ts_col)
+    order_cols = [ts_col] + ([tie_col] if tie_col else [])
+    w = Window.partitionBy("__u").orderBy(*order_cols)
+    trimmed = (
+        df.filter(u.isNotNull() & t.isNotNull())
+        .select(u.alias("__u"), *order_cols, F.col(type_col).alias("__e"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_len)
+    )
+    paths = (
+        trimmed.groupBy("__u")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__rn").alias("r"), F.col("__e").alias("e")))
+                    ),
+                    lambda s: s["e"],
+                ),
+                sep,
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+    )
+    return (
+        paths.orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(k)
+        .select("path", F.col("n_users").cast("long").alias("n_users"))
     )

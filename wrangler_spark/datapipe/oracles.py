@@ -1756,3 +1756,39 @@ SELECT CAST(DATE '1970-01-01' + CAST(a.cb * {period_days} AS INT) AS VARCHAR) AS
        round(CAST(a.n AS DOUBLE) / s.sz, 6) AS retention
 FROM a JOIN s ON a.cb = s.cb
 """
+
+
+def event_transitions_sql(tie: str | None = "event_id", table: str = "events") -> str:
+    """Mirror of events.event_transitions: lead() over (user ORDER BY
+    ts[, tie]), pair counts, row-normalized by from-type totals."""
+    order = "ts" + (f", {tie}" if tie else "")
+    return f"""
+WITH p AS (SELECT event_type AS f,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY {order}) AS t
+           FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT f, t, count(*) AS n FROM p WHERE t IS NOT NULL GROUP BY f, t),
+tot AS (SELECT f, sum(n) AS tt FROM c GROUP BY f)
+SELECT c.f AS from_type, c.t AS to_type, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / tot.tt, 6) AS prob
+FROM c JOIN tot ON c.f = tot.f
+"""
+
+
+def event_paths_sql(
+    k: int = 10, max_len: int = 5, tie: str | None = "event_id",
+    sep: str = ">", table: str = "events",
+) -> str:
+    """Mirror of events.event_paths_topk: row_number trim to max_len,
+    ordered string_agg per user, count, top-k with (n desc, path asc)
+    tie-break."""
+    order = "ts" + (f", {tie}" if tie else "")
+    return f"""
+WITH r AS (SELECT user_id, event_type, ts{', ' + tie if tie else ''},
+                  row_number() OVER (PARTITION BY user_id ORDER BY {order}) AS rn
+           FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+p AS (SELECT user_id, string_agg(event_type, '{sep}' ORDER BY rn) AS path
+      FROM r WHERE rn <= {max_len} GROUP BY user_id),
+c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
+SELECT path, CAST(n_users AS BIGINT) AS n_users
+FROM c ORDER BY n_users DESC, path ASC LIMIT {k}
+"""

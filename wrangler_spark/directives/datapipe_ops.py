@@ -1029,3 +1029,59 @@ class RetentionCohorts(Directive):
             int(self.args["period_days"]),
             int(self.args["max_periods"]),
         )
+
+
+@directive
+class EventTransitions(Directive):
+    """event-transitions :user :ts :type [:tie] — first-order Markov
+    matrix: (from_type, to_type, n, prob) over per-user event streams."""
+
+    name = "event-transitions"
+    usage = [
+        Arg("user", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+        Arg("type", TokenType.COLUMN),
+        Arg("tie", TokenType.COLUMN, optional=True),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import event_transitions
+
+        tie = self.args.value("tie")
+        return event_transitions(
+            df,
+            ctx.resolve(df, self.args["user"]),
+            ctx.resolve(df, self.args["ts"]),
+            ctx.resolve(df, self.args["type"]),
+            None if tie is None else ctx.resolve(df, tie),
+        )
+
+
+@directive
+class EventPaths(Directive):
+    """event-paths :user :ts :type [k] [max_len] [:tie] — top-k most
+    common user journeys (first max_len event types per user)."""
+
+    name = "event-paths"
+    usage = [
+        Arg("user", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+        Arg("type", TokenType.COLUMN),
+        Arg("k", TokenType.NUMERIC, optional=True, default=10),
+        Arg("max_len", TokenType.NUMERIC, optional=True, default=5),
+        Arg("tie", TokenType.COLUMN, optional=True),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import event_paths_topk
+
+        tie = self.args.value("tie")
+        return event_paths_topk(
+            df,
+            ctx.resolve(df, self.args["user"]),
+            ctx.resolve(df, self.args["ts"]),
+            ctx.resolve(df, self.args["type"]),
+            int(self.args["k"]),
+            int(self.args["max_len"]),
+            None if tie is None else ctx.resolve(df, tie),
+        )
