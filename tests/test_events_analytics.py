@@ -248,3 +248,55 @@ def test_events_directive_surface_transitions_paths(spark):
     assert [(x["from_type"], x["to_type"], x["n"]) for x in r.collect()] == [("a", "b", 1)]
     r2 = Pipeline.compile("event-paths :user_id :ts :event_type 5 3 :event_id").apply(df)
     assert r2.collect()[0]["path"] == "a>b"
+
+
+def test_retention_state_incremental_equals_batch(spark, tmp_path_factory):
+    """write-state + N update folds == retention_cohorts over the union:
+    the persisted pairs table is a sufficient statistic, and re-ingesting
+    overlapping events never double-counts (anti-join append)."""
+    from wrangler_spark.datapipe.events import (
+        retention_cohorts, retention_grid_from_state,
+        retention_update_state, retention_write_state,
+    )
+
+    b1 = _events(spark, [(1, _ts(1), "a"), (2, _ts(2), "a"), (1, _ts(8), "a")])
+    b2 = _events(spark, [(3, _ts(8), "a"), (1, _ts(8, 3), "a")])   # u1 wk1 repeats
+    b3 = _events(spark, [(1, _ts(22), "a"), (2, _ts(2), "a")])     # u2 wk0 re-ingested
+    path = str(tmp_path_factory.mktemp("ret_state") / "idx")
+
+    retention_write_state(b1, path, "user_id", "ts", period_days=7)
+    retention_update_state(b2, path, "user_id", "ts")
+    retention_update_state(b3, path, "user_id", "ts")
+
+    inc = retention_grid_from_state(spark, path, max_periods=8)
+    full = retention_cohorts(
+        b1.unionByName(b2).unionByName(b3), "user_id", "ts", 7, 8
+    )
+    key = lambda r: (str(r["cohort_start"]), r["period_offset"])  # noqa: E731
+    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+    gi = {key(r): (r["active_users"], r["retention"]) for r in inc.collect()}
+    gf = {key(r): (r["active_users"], r["retention"]) for r in full.collect()}
+    assert gi == gf
+    # pairs table stayed minimal: distinct (user, bucket) only
+    n_pairs = spark.read.parquet(f"{path}/pairs").count()
+    assert n_pairs == spark.read.parquet(f"{path}/pairs").distinct().count()
+
+
+def test_retention_state_meta_pins_period(spark, tmp_path_factory):
+    from wrangler_spark.datapipe.events import (
+        retention_update_state, retention_write_state,
+    )
+
+    path = str(tmp_path_factory.mktemp("ret_state2") / "idx")
+    retention_write_state(
+        _events(spark, [(1, _ts(1), "a")]), path, "user_id", "ts", period_days=1
+    )
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta["period_days"] == 1
+    # updates bucket with the STORED period (daily): day-2 activity is a
+    # new bucket even though a weekly caller would fold it into bucket 0
+    retention_update_state(
+        _events(spark, [(1, _ts(2), "a")]), path, "user_id", "ts"
+    )
+    bks = {r["__b"] for r in spark.read.parquet(f"{path}/pairs").collect()}
+    assert len(bks) == 2

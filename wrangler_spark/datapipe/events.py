@@ -162,19 +162,9 @@ def retention_cohorts(
     """
     if period_days < 1:
         raise ValueError("period_days must be >= 1")
-    u = F.col(user_col)
-    # (user, bucket) distinct — the only event-volume shuffle
-    b = (
-        df.filter(u.isNotNull() & F.col(ts_col).isNotNull())
-        .select(
-            u.alias("__u"),
-            F.floor(
-                F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date"))
-                / period_days
-            ).alias("__b"),
-        )
-        .distinct()
-    )
+    # (user, bucket) distinct — the only event-volume shuffle; shared
+    # with the persisted-state lifecycle (retention_write_state)
+    b = _activity_pairs(df, user_col, ts_col, period_days)
     # first bucket per user: distinct partitioned on (__u,__b), so this is
     # one more bounded shuffle on __u — after which the activity join is
     # co-partitioned
@@ -313,4 +303,110 @@ def event_paths_topk(
         paths.orderBy(F.col("n_users").desc(), F.col("path").asc())
         .limit(k)
         .select("path", F.col("n_users").cast("long").alias("n_users"))
+    )
+
+
+def _activity_pairs(
+    df: DataFrame, user_col: str, ts_col: str, period_days: int
+) -> DataFrame:
+    """Distinct (user, period-bucket) pairs — the retention grid's
+    sufficient statistic (shared by retention_cohorts and the persisted
+    state lifecycle)."""
+    u = F.col(user_col)
+    return (
+        df.filter(u.isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            u.alias("__u"),
+            F.floor(
+                F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date"))
+                / period_days
+            ).alias("__b"),
+        )
+        .distinct()
+    )
+
+
+def retention_write_state(
+    df: DataFrame, path: str, user_col: str, ts_col: str, period_days: int = 7,
+) -> None:
+    """Materialize retention state ONCE so later event batches never
+    rescan history: ``<path>/pairs`` holds the distinct (user,
+    period-bucket) activity pairs — users x active-periods rows, orders
+    of magnitude below event volume — partitioned by bucket (grid reads
+    over a window of periods prune directories), plus a 1-row
+    ``<path>/meta`` pinning period_days (an update with a different
+    period would silently corrupt the bucketing). Same materialize-once
+    discipline as bloom_write_index / minhash_write_index /
+    ivf_write_index."""
+    spark = df.sparkSession
+    (
+        _activity_pairs(df, user_col, ts_col, period_days)
+        .write.mode("overwrite").partitionBy("__b").parquet(f"{path}/pairs")
+    )
+    spark.createDataFrame(
+        [(int(period_days), 1)], "period_days int, state_version int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def retention_update_state(
+    batch: DataFrame, path: str, user_col: str, ts_col: str,
+) -> None:
+    """Fold an event batch into persisted retention state: the batch's
+    distinct pairs anti-join the stored pairs (per-batch shuffle is
+    O(batch); the store side is read, never rewritten) and only the NEW
+    pairs append — dynamic partition append touches only the buckets the
+    batch is active in, which for a daily ingest is one or two
+    directories regardless of history size. The anti-join result is
+    eagerly checkpointed (and released) before the write so the append
+    never reads the directory it is writing."""
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
+
+    spark = batch.sparkSession
+    period_days = int(
+        spark.read.parquet(f"{path}/meta").collect()[0]["period_days"]
+    )
+    stored = spark.read.parquet(f"{path}/pairs").select("__u", "__b")
+    fresh = eager_checkpoint(
+        _activity_pairs(batch, user_col, ts_col, period_days)
+        .join(stored, ["__u", "__b"], "left_anti")
+    )
+    fresh.write.mode("append").partitionBy("__b").parquet(f"{path}/pairs")
+    release(fresh)
+
+
+def retention_grid_from_state(
+    spark, path: str, max_periods: int = 8,
+) -> DataFrame:
+    """The retention grid from persisted state — identical output
+    contract to :func:`retention_cohorts` on the full event history, but
+    the input is the pairs table (users x periods), so the nightly grid
+    refresh costs minutes of small-table aggregation, never a 100 TB
+    event rescan."""
+    period_days = int(
+        spark.read.parquet(f"{path}/meta").collect()[0]["period_days"]
+    )
+    b = spark.read.parquet(f"{path}/pairs").select("__u", "__b")
+    first = b.groupBy("__u").agg(F.min("__b").alias("__cb"))
+    act = (
+        b.join(first, "__u")
+        .select("__cb", (F.col("__b") - F.col("__cb")).alias("period_offset"))
+        .filter(F.col("period_offset") < max_periods)
+        .groupBy("__cb", "period_offset")
+        .agg(F.count("*").alias("active_users"))
+    )
+    act = eager_checkpoint(act)
+    sizes = act.filter(F.col("period_offset") == 0).select(
+        F.col("__cb").alias("__cb2"), F.col("active_users").alias("__size")
+    )
+    return (
+        act.join(F.broadcast(sizes), act["__cb"] == sizes["__cb2"])
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("__cb") * period_days).cast("int"),
+            ).alias("cohort_start"),
+            F.col("period_offset").cast("long").alias("period_offset"),
+            F.col("active_users").cast("long").alias("active_users"),
+            F.round(F.col("active_users") / F.col("__size"), 6).alias("retention"),
+        )
     )
