@@ -758,9 +758,10 @@ def _semdedup_oracle_sql(
 # minhash/ngram/cc/classifier/lp-buckets/bigram/dsir/pack_sequences
 # plans; entity_match's blocking-key rewrite; winnow_overlap's shared-
 # subtree checkpoint; mmr's schema derivation; embedding_normalize's
-# staged norm); the new r8 operators (entity_match_against through
-# text_hash_emb/corpus_overlap — every oracled query CREATED this round
-# is in the window, none ships parity-only); and back-fill from
+# staged norm); the new r8 operators (entity_match_against through the
+# events-analytics quartet — every oracled query CREATED this round
+# is in the window, none ships parity-only; pack_sequences/dsir vacated
+# the dsir/packing slots, see below); and back-fill from
 # long-green rows. Rotated out to make room for the late r8 additions:
 # dedup_ngram_jaccard (green r1-r4,r6,r7 incl. post-rewrite r7),
 # ann_cosine_topk (green r1-r7; ANN family still covered by 5 entries),

@@ -390,3 +390,52 @@ def test_overlap_coef_dominates_jaccard(spark):
     assert common, "expected shared pairs"
     for p in common:
         assert ov[p] >= ja[p] - 1e-9, (p, ov[p], ja[p])
+
+
+def test_events_analytics_invariants(spark):
+    """Random event streams: funnel counts are non-increasing by step;
+    per-from transition probabilities sum to 1 and pair totals equal
+    sum(user_events - 1); all-paths user counts partition the user set;
+    retention offset-0 rows carry retention exactly 1.0 and every ratio
+    is in (0, 1]; all results are invariant to input partitioning."""
+    import datetime as dt
+    import random
+
+    from wrangler_spark.datapipe.events import (
+        event_paths_topk, event_transitions, funnel_steps, retention_cohorts,
+    )
+
+    rng = random.Random(42)
+    types = ["a", "b", "c", "d"]
+    rows = [
+        (i, rng.randint(0, 25),
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randint(0, 40000)),
+         rng.choice(types))
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    n_users = df.select("user_id").distinct().count()
+
+    fun = funnel_steps(df, "user_id", "ts", "event_type", ["a", "b", "c"]).collect()
+    by_step = [r["users"] for r in sorted(fun, key=lambda r: r["step"])]
+    assert all(x >= y for x, y in zip(by_step, by_step[1:]))
+    fun7 = funnel_steps(df.repartition(7), "user_id", "ts", "event_type", ["a", "b", "c"]).collect()
+    assert {(r["step"], r["users"]) for r in fun7} == {(r["step"], r["users"]) for r in fun}
+
+    tr = event_transitions(df, "user_id", "ts", "event_type", "event_id").collect()
+    per_from = {}
+    for r in tr:
+        per_from[r["from_type"]] = per_from.get(r["from_type"], 0.0) + r["prob"]
+    assert all(abs(s - 1.0) < 1e-4 for s in per_from.values()), per_from
+    per_user = df.groupBy("user_id").count().collect()
+    assert sum(r["n"] for r in tr) == sum(r["count"] - 1 for r in per_user if r["count"] > 0)
+
+    paths = event_paths_topk(
+        df, "user_id", "ts", "event_type", k=10**6, max_len=3, tie_col="event_id"
+    ).collect()
+    assert sum(r["n_users"] for r in paths) == n_users
+
+    ret = retention_cohorts(df, "user_id", "ts", period_days=7, max_periods=100).collect()
+    assert all(r["retention"] == 1.0 for r in ret if r["period_offset"] == 0)
+    assert all(0.0 < r["retention"] <= 1.0 for r in ret)
+    assert sum(r["active_users"] for r in ret if r["period_offset"] == 0) == n_users
