@@ -362,3 +362,48 @@ def test_bloom_dedup_against_on_stream(spark, tmp_path_factory):
     q.stop()
     shutil.rmtree(d, ignore_errors=True)
     assert got == {1: True, 2: False, 3: True}
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path_factory):
+    """Stream funnel == batch funnel on in-order data: per-step user
+    counts agree, and the strict-order / within-anchor rules carry over
+    (u2's b at the same instant as a does not advance; u3's b is outside
+    the 60-min anchor window)."""
+    import shutil as _sh
+
+    from wrangler_spark.datapipe.events import funnel_steps
+    from wrangler_spark.streaming.funnels import funnel_stream
+
+    d = str(tmp_path_factory.mktemp("funnel_src"))
+    rows = [
+        ("u1", "2024-01-01 00:00:00", "a"),
+        ("u1", "2024-01-01 00:10:00", "b"),
+        ("u2", "2024-01-01 00:00:00", "a"),
+        ("u2", "2024-01-01 00:00:00", "b"),   # same instant: no advance
+        ("u3", "2024-01-01 00:00:00", "a"),
+        ("u3", "2024-01-01 02:00:00", "b"),   # outside 60-min anchor window
+        ("u4", "2024-01-01 00:30:00", "b"),   # b before any a: stuck
+    ]
+    df = (
+        spark.createDataFrame(rows, ["user", "ts_s", "etype"])
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    )
+    df.write.mode("overwrite").parquet(d)
+    static = spark.read.parquet(d)
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    q = run_to_memory(
+        funnel_stream(stream, "user", "ts", "etype", ["a", "b"], within_minutes=60),
+        "funnel_out", timeout=90,
+    )
+    out = spark.sql("SELECT * FROM funnel_out").collect()
+    q.stop()
+    stream_counts = {}
+    for r in out:
+        stream_counts[r["step"]] = stream_counts.get(r["step"], 0) + 1
+    batch = funnel_steps(static, "user", "ts", "etype", ["a", "b"], within_minutes=60)
+    batch_counts = {r["step"]: r["users"] for r in batch.collect() if r["users"]}
+    assert stream_counts == batch_counts == {1: 3, 2: 1}
+    # the emitted fill rows carry the greedy chain timestamps
+    fills = {(r["key"], r["step"]): r["step_ts"] for r in out}
+    assert fills[("u1", 2)].minute == 10
+    _sh.rmtree(d, ignore_errors=True)
