@@ -607,7 +607,7 @@ def test_decode_image_stdlib_png_gif(spark):
         (2, _make_png(4, 4, 6)),        # RGBA
         (3, _make_png(5, 2, 0)),        # grayscale
         (4, gif),
-        (5, b"\xff\xd8\xff\xe0 not decodable here"),  # JPEG magic, no SOF scan
+        (5, b"\xff\xd8\xff\xe0 not decodable here"),  # JPEG magic, corrupt segments
         (6, None),
     ]
     df = spark.createDataFrame(rows, "doc_id INT, payload BINARY")
@@ -621,6 +621,45 @@ def test_decode_image_stdlib_png_gif(spark):
     # PIL-style metadata agrees with the raw-byte parse helpers directly
     assert multimodal.png_meta(_make_png(1, 1, 3)) == (1, 1, "P")
     assert multimodal.png_meta(b"\x89PNG\r\n\x1a\nshort") is None
+
+
+def _make_jpeg(w, h, ncomp, sof=0xC0, fill=False):
+    """Minimal JPEG header stream: SOI, APP0(JFIF), DQT, then a SOF
+    frame header carrying the dimensions (ITU T.81 B.2.2)."""
+    import struct as st
+
+    out = b"\xff\xd8"
+    out += b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    out += b"\xff\xdb" + st.pack(">H", 67) + b"\x00" * 65
+    if fill:
+        out += b"\xff"  # fill byte before the next marker (T.81 B.1.1.2)
+    out += (
+        bytes([0xFF, sof]) + st.pack(">H", 8 + 3 * ncomp) + b"\x08"
+        + st.pack(">HH", h, w) + bytes([ncomp]) + b"\x00" * (3 * ncomp)
+    )
+    return out
+
+
+def test_jpeg_meta_sof_scan():
+    """Golden: the stdlib JPEG SOF scan walks marker segments to the
+    first frame header — baseline, progressive, fill bytes, grayscale,
+    CMYK; truncated or SOF-less streams yield None."""
+    assert multimodal.jpeg_meta(_make_jpeg(17, 9, 3)) == (17, 9, "RGB")
+    assert multimodal.jpeg_meta(_make_jpeg(640, 480, 1)) == (640, 480, "L")
+    assert multimodal.jpeg_meta(_make_jpeg(8, 8, 4)) == (8, 8, "CMYK")
+    assert multimodal.jpeg_meta(_make_jpeg(5, 7, 3, sof=0xC2)) == (5, 7, "RGB")  # progressive
+    assert multimodal.jpeg_meta(_make_jpeg(5, 7, 3, fill=True)) == (5, 7, "RGB")
+    full = _make_jpeg(17, 9, 3)
+    assert multimodal.jpeg_meta(full[: len(full) - 12]) is None   # truncated before SOF payload
+    assert multimodal.jpeg_meta(full[:2]) is None                  # bare SOI
+    assert multimodal.jpeg_meta(b"\xff\xd8\xff\xd9") is None       # SOI then EOI, no frame
+    assert multimodal.jpeg_meta(b"not a jpeg") is None
+    # DHT (C4) must not be mistaken for a SOF
+    import struct as st
+    dht_first = b"\xff\xd8" + b"\xff\xc4" + st.pack(">H", 4) + b"\x00\x00"
+    assert multimodal.jpeg_meta(dht_first) is None
+    # the default decoder routes JPEG payloads through the scan
+    assert multimodal.default_image_decoder(_make_jpeg(3, 2, 3)) == (3, 2, "RGB")
 
 
 def test_decode_audio_stdlib_wav(spark):

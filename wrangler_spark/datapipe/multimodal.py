@@ -70,10 +70,54 @@ def gif_meta(b: bytes) -> tuple[int, int, str] | None:
     return (int(width), int(height), "P")  # GIFs are palette-indexed
 
 
+# SOF marker set (ITU T.81 table B.1): C0-C3, C5-C7, C9-CB, CD-CF carry
+# frame dimensions; C4/C8/CC are DHT/JPG/DAC, not frames
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+_JPEG_MODES = {1: "L", 3: "RGB", 4: "CMYK"}
+
+
+def jpeg_meta(b: bytes) -> tuple[int, int, str] | None:
+    """(width, height, mode) from a JPEG's first SOF frame header: walk
+    the marker segments (each FF xx + 2-byte BE length) from SOI until a
+    start-of-frame, then read precision(1) height(2BE) width(2BE)
+    n_components(1). Pure marker scan, no entropy decode; truncated or
+    malformed streams → None."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None  # not at a marker: corrupt stream
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if i + 10 > len(b):  # precision+height+width+ncomp = bytes i+4..i+9
+                return None
+            height, width = struct.unpack(">HH", b[i + 5 : i + 9])
+            ncomp = b[i + 9]
+            mode = _JPEG_MODES.get(ncomp)
+            if mode is None or width <= 0 or height <= 0:
+                return None
+            return (int(width), int(height), mode)
+        i += 2 + seg_len
+    return None
+
+
 def default_image_decoder(b: bytes) -> tuple[int, int, str] | None:
-    """Stdlib image metadata decoder: PNG or GIF headers; anything else
-    (JPEG needs a SOF scan, real pixel work needs PIL) → None."""
-    return png_meta(b) or gif_meta(b)
+    """Stdlib image metadata decoder: PNG, GIF, or JPEG headers (a pure
+    marker/struct scan each — real pixel work needs PIL, plugged in via
+    register_decoder); anything else → None."""
+    return png_meta(b) or gif_meta(b) or jpeg_meta(b)
 
 
 def default_audio_decoder(b: bytes) -> tuple[int, int, int, int] | None:
