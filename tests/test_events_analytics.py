@@ -300,3 +300,77 @@ def test_retention_state_meta_pins_period(spark, tmp_path_factory):
     )
     bks = {r["__b"] for r in spark.read.parquet(f"{path}/pairs").collect()}
     assert len(bks) == 2
+
+
+def test_funnel_anchor_any_counts_late_chains(spark):
+    """anchor='any' is the exact windowed count: u1's day-2 anchor chain
+    completes inside its own 60-min window even though the greedy
+    first-anchor chain (day 1) does not."""
+    df = _events(
+        spark,
+        [
+            (1, _ts(1, 0), "a"), (1, _ts(2, 0), "a"), (1, _ts(2, 0, 30), "b"),
+            (2, _ts(1, 0), "a"), (2, _ts(1, 0, 30), "b"),
+            (3, _ts(1, 0), "a"),  # never reaches b under any anchor
+        ],
+    )
+    any_ = {r["step"]: r["users"] for r in
+            funnel_steps(df, "user_id", "ts", "event_type", ["a", "b"],
+                         within_minutes=60, anchor="any").collect()}
+    first = {r["step"]: r["users"] for r in
+             funnel_steps(df, "user_id", "ts", "event_type", ["a", "b"],
+                          within_minutes=60, anchor="first").collect()}
+    assert any_ == {1: 3, 2: 2}
+    assert first == {1: 3, 2: 1}
+
+
+def test_funnel_anchor_modes_agree_without_bound(spark):
+    """With no time bound the greedy chain exists iff any chain does —
+    the two modes must count identically on random streams."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randint(0, 15),
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randint(0, 5000)),
+         rng.choice(["a", "b", "c", "x"]))
+        for _ in range(600)
+    ]
+    df = _events(spark, rows)
+    got = {}
+    for mode in ("first", "any"):
+        got[mode] = {r["step"]: r["users"] for r in
+                     funnel_steps(df, "user_id", "ts", "event_type",
+                                  ["a", "b", "c"], anchor=mode).collect()}
+    assert got["first"] == got["any"]
+
+
+def test_funnel_anchor_any_dominates_first(spark):
+    """Windowed: the exact count is never below the greedy count, and
+    step-1 counts always agree (every step-1 event is its own anchor)."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (rng.randint(0, 20),
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randint(0, 3000)),
+         rng.choice(["a", "b", "c"]))
+        for _ in range(800)
+    ]
+    df = _events(spark, rows)
+    any_ = {r["step"]: r["users"] for r in
+            funnel_steps(df, "user_id", "ts", "event_type", ["a", "b", "c"],
+                         within_minutes=45, anchor="any").collect()}
+    first = {r["step"]: r["users"] for r in
+             funnel_steps(df, "user_id", "ts", "event_type", ["a", "b", "c"],
+                          within_minutes=45, anchor="first").collect()}
+    assert any_[1] == first[1]
+    assert all(any_[s] >= first[s] for s in any_)
+
+
+def test_funnel_rejects_bad_anchor(spark):
+    df = _events(spark, [(1, _ts(1), "a"), (1, _ts(2), "b")])
+    with pytest.raises(ValueError):
+        funnel_steps(df, "user_id", "ts", "event_type", ["a", "b"], anchor="last")

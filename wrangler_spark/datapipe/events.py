@@ -56,18 +56,26 @@ def funnel_steps(
     type_col: str,
     steps: list[str],
     within_minutes: float | None = None,
+    anchor: str = "first",
 ) -> DataFrame:
     """Ordered event funnel: one row per step with how many users reached
     it and the conversion ratio from step 1.
 
     A user reaches step i when events of types ``steps[0..i-1]`` exist at
-    strictly increasing timestamps, resolved greedily: t1 = the user's
-    earliest step-1 event, then t_i = earliest step-i event after
-    t_{i-1}. With no time bound the greedy chain exists iff any chain
-    does; ``within_minutes`` bounds every later step to t1 + within,
-    anchored at the GREEDY t1 — a chain that only completes from a later
-    step-1 event is not counted (the standard earliest-anchor funnel
-    convention; documented divergence from per-anchor scans).
+    strictly increasing timestamps. ``anchor`` picks the counting method
+    for a ``within_minutes``-bounded funnel (with no bound the two are
+    provably identical — the greedy chain exists iff any chain does):
+
+    - ``"first"`` (default): greedy earliest-anchor — t1 = the user's
+      earliest step-1 event, t_i = earliest step-i event after t_{i-1},
+      every step bounded to t1 + within. A chain that only completes
+      from a LATER step-1 event is not counted (the common funnel-tool
+      convention; one hash-aggregate per step).
+    - ``"any"``: exact — a user counts at step i if ANY step-1 anchor
+      starts a chain reaching step i inside its own window. Stage state
+      is keyed (user, anchor): per-user rows are bounded by the user's
+      step-1 event count, so the plan is the same co-partitioned join
+      chain with an anchor-grained aggregate, not a pair explosion.
 
     Returns (step, event_type, users, conversion) sorted by step;
     conversion = users_i / users_1 rounded to 6dp (1.0 for step 1;
@@ -75,17 +83,25 @@ def funnel_steps(
     """
     if len(steps) < 2:
         raise ValueError("funnel_steps needs at least two steps")
+    if anchor not in ("first", "any"):
+        raise ValueError("anchor must be 'first' or 'any'")
     u, t = F.col(user_col), F.col(ts_col)
     ev = df.filter(F.col(type_col).isin(list(steps)) & u.isNotNull() & t.isNotNull()).select(
         u.alias("__u"), t.alias("__t"), F.col(type_col).alias("__e")
     )
 
-    # stage 1: earliest step-1 event per user (hash agg — the one shuffle
-    # that partitions everything downstream on __u)
-    reached = ev.filter(F.col("__e") == steps[0]).groupBy("__u").agg(
-        F.min("__t").alias("__prev")
-    )
-    reached = reached.withColumn("__anchor", F.col("__prev"))
+    # stage 1 partitions everything downstream on __u: anchor='first'
+    # collapses to the earliest step-1 event per user (one hash agg);
+    # anchor='any' keeps every step-1 event as its own chain anchor
+    s1 = ev.filter(F.col("__e") == steps[0])
+    if anchor == "first":
+        reached = s1.groupBy("__u").agg(F.min("__t").alias("__prev"))
+        reached = reached.withColumn("__anchor", F.col("__prev"))
+        stage_keys = ["__u"]
+    else:
+        reached = s1.select("__u", F.col("__t").alias("__prev")).distinct() \
+            .withColumn("__anchor", F.col("__prev"))
+        stage_keys = ["__u", "__anchor"]
     stages = [reached]
     for st in steps[1:]:
         nxt = (
@@ -98,15 +114,21 @@ def funnel_steps(
                 f"INTERVAL {int(within_minutes * 60)} SECONDS"
             )
             nxt = nxt.filter(F.col("__t") <= bound)
-        stages.append(
-            nxt.groupBy("__u").agg(
-                F.min("__t").alias("__prev"), F.min("__anchor").alias("__anchor")
-            )
-        )
+        aggs = [F.min("__t").alias("__prev")]
+        if anchor == "first":
+            # anchor is constant per user; under 'any' it IS a group key
+            aggs.append(F.min("__anchor").alias("__anchor"))
+        stages.append(nxt.groupBy(*stage_keys).agg(*aggs))
 
-    # one count row per stage; union is k tiny aggregates in one job
+    # one count row per stage (users, not chains: anchor='any' counts a
+    # user once however many anchors complete); union is k tiny
+    # aggregates in one job
+    count_expr = (
+        (lambda: F.count("*")) if anchor == "first"
+        else (lambda: F.countDistinct("__u"))
+    )
     counts = [
-        s.agg(F.count("*").alias("users")).select(
+        s.agg(count_expr().alias("users")).select(
             F.lit(i + 1).cast("long").alias("step"),
             F.lit(steps[i]).alias("event_type"),
             F.col("users").cast("long").alias("users"),

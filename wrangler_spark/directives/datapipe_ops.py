@@ -979,8 +979,9 @@ class EmbOutliers(Directive):
 
 @directive
 class Funnel(Directive):
-    """funnel :user :ts :type 'step1,step2,...' [within_minutes] — ordered
-    event funnel: per-step users reached + conversion from step 1."""
+    """funnel :user :ts :type 'step1,step2,...' [within_minutes]
+    ['first'|'any'] — ordered event funnel: per-step users reached +
+    conversion from step 1 (anchor='any' = exact windowed count)."""
 
     name = "funnel"
     usage = [
@@ -989,6 +990,7 @@ class Funnel(Directive):
         Arg("type", TokenType.COLUMN),
         Arg("steps", TokenType.TEXT),
         Arg("within_minutes", TokenType.NUMERIC, optional=True),
+        Arg("anchor", TokenType.TEXT, optional=True, default="first"),
     ]
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
@@ -1003,6 +1005,7 @@ class Funnel(Directive):
             ctx.resolve(df, self.args["type"]),
             steps,
             None if within is None else float(within),
+            anchor=str(self.args["anchor"]),
         )
 
 
