@@ -4,7 +4,8 @@ Not present in the reference engine (SURVEY §2.12) — these are the
 Spark-native extensions a 100 TB corpus pipeline needs: deduplication
 (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine),
 approximate nearest-neighbor search, text analysis (language-ID, quality
-scores, token counts, fingerprints), and multimodal binary-column
+scores, token counts, fingerprints), event analytics (funnels,
+retention, transitions, journeys), and multimodal binary-column
 plumbing.
 
 Everything is built from native Column expressions and shuffles only where
@@ -12,7 +13,7 @@ the algorithm requires it (LSH band joins, inverted-index joins); the only
 Python-per-row paths are clearly-marked multimodal decode stubs.
 """
 
-from wrangler_spark.datapipe import dedup, similarity, text  # noqa: F401
+from wrangler_spark.datapipe import dedup, events, similarity, text  # noqa: F401
 from wrangler_spark.datapipe._checkpoint import (  # noqa: F401
     checkpoint_scope,
     eager_checkpoint,
