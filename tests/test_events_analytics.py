@@ -374,3 +374,37 @@ def test_funnel_rejects_bad_anchor(spark):
     df = _events(spark, [(1, _ts(1), "a"), (1, _ts(2), "b")])
     with pytest.raises(ValueError):
         funnel_steps(df, "user_id", "ts", "event_type", ["a", "b"], anchor="last")
+
+
+def test_retention_calendar_month_cohorts(spark):
+    """calendar='month': cohorts are true calendar months (Jan 31 and
+    Feb 1 are different buckets; Dec->Jan crosses the year boundary),
+    cohort_start is the month's first day, offsets count months."""
+    from wrangler_spark.datapipe.events import retention_cohorts
+
+    rows = [
+        (1, dt.datetime(2023, 12, 31), "a"),  # u1 cohort 2023-12
+        (1, dt.datetime(2024, 1, 1), "a"),    # ... active the next month
+        (2, dt.datetime(2024, 1, 31), "a"),   # u2 cohort 2024-01
+        (2, dt.datetime(2024, 2, 1), "a"),    # ... active in Feb
+        (3, dt.datetime(2024, 1, 2), "a"),    # u3 cohort 2024-01, Jan only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (str(r["cohort_start"]), r["period_offset"]): (r["active_users"], r["retention"])
+        for r in retention_cohorts(df, "user_id", "ts", calendar="month").collect()
+    }
+    assert got == {
+        ("2023-12-01", 0): (1, 1.0),
+        ("2023-12-01", 1): (1, 1.0),
+        ("2024-01-01", 0): (2, 1.0),
+        ("2024-01-01", 1): (1, 0.5),
+    }
+
+
+def test_retention_rejects_bad_calendar(spark):
+    from wrangler_spark.datapipe.events import retention_cohorts
+
+    df = _events(spark, [(1, _ts(1), "a")])
+    with pytest.raises(ValueError):
+        retention_cohorts(df, "user_id", "ts", calendar="week").collect()

@@ -165,6 +165,7 @@ def retention_cohorts(
     ts_col: str,
     period_days: int = 7,
     max_periods: int = 8,
+    calendar: str | None = None,
 ) -> DataFrame:
     """Cohort retention: users bucketed by the period of their first
     activity; one row per (cohort, period offset) with how many of that
@@ -174,8 +175,10 @@ def retention_cohorts(
     integer day arithmetic from the Unix epoch, NOT calendar weeks/
     months, so the bucketing is engine-convention-free (DuckDB's
     date_trunc('week') is ISO-Monday, Spark's weekofyear differs — this
-    contract sidesteps both). ``cohort_start`` is the bucket's first
-    day as a date.
+    contract sidesteps both); ``calendar='month'`` switches to true
+    calendar-month cohorts (month boundaries ARE convention-free, so the
+    epoch-arithmetic rationale doesn't apply and offsets count months).
+    ``cohort_start`` is the bucket's first day as a date.
 
     Returns (cohort_start, period_offset, active_users, retention)
     where retention = active_users / cohort size (offset-0 users),
@@ -186,7 +189,7 @@ def retention_cohorts(
         raise ValueError("period_days must be >= 1")
     # (user, bucket) distinct — the only event-volume shuffle; shared
     # with the persisted-state lifecycle (retention_write_state)
-    b = _activity_pairs(df, user_col, ts_col, period_days)
+    b = _activity_pairs(df, user_col, ts_col, period_days, calendar)
     # first bucket per user: distinct partitioned on (__u,__b), so this is
     # one more bounded shuffle on __u — after which the activity join is
     # co-partitioned
@@ -208,10 +211,7 @@ def retention_cohorts(
     return (
         act.join(F.broadcast(sizes), act["__cb"] == sizes["__cb2"])
         .select(
-            F.date_add(
-                F.lit("1970-01-01").cast("date"),
-                (F.col("__cb") * period_days).cast("int"),
-            ).alias("cohort_start"),
+            _cohort_start(period_days, calendar).alias("cohort_start"),
             F.col("period_offset").cast("long").alias("period_offset"),
             F.col("active_users").cast("long").alias("active_users"),
             F.round(F.col("active_users") / F.col("__size"), 6).alias("retention"),
@@ -329,22 +329,43 @@ def event_paths_topk(
 
 
 def _activity_pairs(
-    df: DataFrame, user_col: str, ts_col: str, period_days: int
+    df: DataFrame, user_col: str, ts_col: str, period_days: int,
+    calendar: str | None = None,
 ) -> DataFrame:
     """Distinct (user, period-bucket) pairs — the retention grid's
     sufficient statistic (shared by retention_cohorts and the persisted
-    state lifecycle)."""
+    state lifecycle). ``calendar='month'`` switches the bucket to the
+    calendar-month index (12*(year-1970) + month-1) — month boundaries
+    are convention-free across engines, unlike ISO weeks."""
     u = F.col(user_col)
+    if calendar == "month":
+        bucket = (
+            (F.year(F.col(ts_col)) - 1970) * 12 + F.month(F.col(ts_col)) - 1
+        ).cast("long")
+    elif calendar is None:
+        bucket = F.floor(
+            F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date"))
+            / period_days
+        )
+    else:
+        raise ValueError("calendar must be None or 'month'")
     return (
         df.filter(u.isNotNull() & F.col(ts_col).isNotNull())
-        .select(
-            u.alias("__u"),
-            F.floor(
-                F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date"))
-                / period_days
-            ).alias("__b"),
-        )
+        .select(u.alias("__u"), bucket.alias("__b"))
         .distinct()
+    )
+
+
+def _cohort_start(period_days: int, calendar: str | None):
+    """Bucket index → the bucket's first day, as a Column over __cb."""
+    if calendar == "month":
+        return F.make_date(
+            F.lit(1970) + F.floor(F.col("__cb") / 12).cast("int"),
+            (F.col("__cb") % 12 + 1).cast("int"),
+            F.lit(1),
+        )
+    return F.date_add(
+        F.lit("1970-01-01").cast("date"), (F.col("__cb") * period_days).cast("int")
     )
 
 
