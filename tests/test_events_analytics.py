@@ -408,3 +408,58 @@ def test_retention_rejects_bad_calendar(spark):
     df = _events(spark, [(1, _ts(1), "a")])
     with pytest.raises(ValueError):
         retention_cohorts(df, "user_id", "ts", calendar="week").collect()
+
+
+def test_directive_funnel_anchor_arg(spark):
+    from wrangler_spark import Pipeline
+
+    df = _events(
+        spark,
+        [
+            (1, _ts(1, 0), "a"), (1, _ts(2, 0), "a"), (1, _ts(2, 0, 30), "b"),
+        ],
+    )
+    r = Pipeline.compile("funnel :user_id :ts :event_type 'a,b' 60 'any'").apply(df)
+    assert {x["step"]: x["users"] for x in r.collect()} == {1: 1, 2: 1}
+    r2 = Pipeline.compile("funnel :user_id :ts :event_type 'a,b' 60").apply(df)
+    assert {x["step"]: x["users"] for x in r2.collect()} == {1: 1, 2: 0}
+
+
+def test_retention_state_updates_from_stream(spark, tmp_path_factory):
+    """The state lifecycle wired to a stream: foreachBatch folds each
+    micro-batch with retention_update_state, and the resulting grid
+    equals the batch computation over everything the stream delivered —
+    the nightly-ingest shape end to end."""
+    import shutil as _sh
+
+    from wrangler_spark.datapipe.events import (
+        retention_cohorts, retention_grid_from_state,
+        retention_update_state, retention_write_state,
+    )
+
+    src = str(tmp_path_factory.mktemp("ret_stream_src"))
+    state = str(tmp_path_factory.mktemp("ret_stream_state") / "idx")
+    seed = _events(spark, [(1, _ts(1), "a"), (2, _ts(2), "a")])
+    retention_write_state(seed, state, "user_id", "ts", period_days=7)
+
+    newer = _events(
+        spark, [(1, _ts(8), "a"), (3, _ts(9), "a"), (2, _ts(2), "a")]  # one re-ingest
+    )
+    newer.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(newer.schema).parquet(src)
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", src + "_chk")
+        .foreachBatch(
+            lambda batch, _id: retention_update_state(batch, state, "user_id", "ts")
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+
+    inc = retention_grid_from_state(spark, state)
+    full = retention_cohorts(seed.unionByName(newer), "user_id", "ts", 7)
+    key = lambda r: (str(r["cohort_start"]), r["period_offset"],
+                     r["active_users"], r["retention"])  # noqa: E731
+    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+    _sh.rmtree(src, ignore_errors=True)
