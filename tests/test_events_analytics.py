@@ -463,3 +463,29 @@ def test_retention_state_updates_from_stream(spark, tmp_path_factory):
                      r["active_users"], r["retention"])  # noqa: E731
     assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
     _sh.rmtree(src, ignore_errors=True)
+
+
+def test_funnel_latencies_hand_computed(spark):
+    from wrangler_spark.datapipe.events import funnel_latencies
+
+    df = _events(
+        spark,
+        [
+            # u1: a@0 -> b@10min -> c@30min   (b lat 600s, c lat 1200s)
+            (1, _ts(1, 0, 0), "a"), (1, _ts(1, 0, 10), "b"), (1, _ts(1, 0, 30), "c"),
+            # u2: a@0 -> b@30min              (b lat 1800s)
+            (2, _ts(1, 0, 0), "a"), (2, _ts(1, 0, 30), "b"),
+            # u3: a only
+            (3, _ts(1, 0, 0), "a"),
+        ],
+    )
+    got = {r["step"]: r for r in
+           funnel_latencies(df, "user_id", "ts", "event_type", ["a", "b", "c"]).collect()}
+    assert set(got) == {2, 3}
+    assert got[2]["users"] == 2 and got[2]["avg_sec"] == 1200.0 and got[2]["p50_sec"] == 1200.0
+    assert got[3]["users"] == 1 and got[3]["avg_sec"] == 1200.0 and got[3]["p50_sec"] == 1200.0
+    # approx mode agrees on small data
+    approx = {r["step"]: r["p50_sec"] for r in
+              funnel_latencies(df, "user_id", "ts", "event_type",
+                               ["a", "b", "c"], exact=False).collect()}
+    assert approx[3] == 1200.0

@@ -49,40 +49,22 @@ from pyspark.sql import functions as F
 from wrangler_spark.datapipe._checkpoint import eager_checkpoint
 
 
-def funnel_steps(
+def _funnel_stages(
     df: DataFrame,
     user_col: str,
     ts_col: str,
     type_col: str,
     steps: list[str],
-    within_minutes: float | None = None,
-    anchor: str = "first",
-) -> DataFrame:
-    """Ordered event funnel: one row per step with how many users reached
-    it and the conversion ratio from step 1.
-
-    A user reaches step i when events of types ``steps[0..i-1]`` exist at
-    strictly increasing timestamps. ``anchor`` picks the counting method
-    for a ``within_minutes``-bounded funnel (with no bound the two are
-    provably identical — the greedy chain exists iff any chain does):
-
-    - ``"first"`` (default): greedy earliest-anchor — t1 = the user's
-      earliest step-1 event, t_i = earliest step-i event after t_{i-1},
-      every step bounded to t1 + within. A chain that only completes
-      from a LATER step-1 event is not counted (the common funnel-tool
-      convention; one hash-aggregate per step).
-    - ``"any"``: exact — a user counts at step i if ANY step-1 anchor
-      starts a chain reaching step i inside its own window. Stage state
-      is keyed (user, anchor): per-user rows are bounded by the user's
-      step-1 event count, so the plan is the same co-partitioned join
-      chain with an anchor-grained aggregate, not a pair explosion.
-
-    Returns (step, event_type, users, conversion) sorted by step;
-    conversion = users_i / users_1 rounded to 6dp (1.0 for step 1;
-    all-zero rows when no user has a step-1 event).
-    """
+    within_minutes: float | None,
+    anchor: str,
+) -> list[DataFrame]:
+    """The funnel's stage chain: stage i = one row per user (anchor=
+    'first') or per (user, anchor) ('any') that reached step i, with
+    __prev = that chain's step-i completion time and __anchor = its
+    step-1 time. Shared by funnel_steps (counts) and funnel_latencies
+    (step-to-step timing)."""
     if len(steps) < 2:
-        raise ValueError("funnel_steps needs at least two steps")
+        raise ValueError("funnel needs at least two steps")
     if anchor not in ("first", "any"):
         raise ValueError("anchor must be 'first' or 'any'")
     u, t = F.col(user_col), F.col(ts_col)
@@ -119,6 +101,44 @@ def funnel_steps(
             # anchor is constant per user; under 'any' it IS a group key
             aggs.append(F.min("__anchor").alias("__anchor"))
         stages.append(nxt.groupBy(*stage_keys).agg(*aggs))
+    return stages
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_minutes: float | None = None,
+    anchor: str = "first",
+) -> DataFrame:
+    """Ordered event funnel: one row per step with how many users reached
+    it and the conversion ratio from step 1.
+
+    A user reaches step i when events of types ``steps[0..i-1]`` exist at
+    strictly increasing timestamps. ``anchor`` picks the counting method
+    for a ``within_minutes``-bounded funnel (with no bound the two are
+    provably identical — the greedy chain exists iff any chain does):
+
+    - ``"first"`` (default): greedy earliest-anchor — t1 = the user's
+      earliest step-1 event, t_i = earliest step-i event after t_{i-1},
+      every step bounded to t1 + within. A chain that only completes
+      from a LATER step-1 event is not counted (the common funnel-tool
+      convention; one hash-aggregate per step).
+    - ``"any"``: exact — a user counts at step i if ANY step-1 anchor
+      starts a chain reaching step i inside its own window. Stage state
+      is keyed (user, anchor): per-user rows are bounded by the user's
+      step-1 event count, so the plan is the same co-partitioned join
+      chain with an anchor-grained aggregate, not a pair explosion.
+
+    Returns (step, event_type, users, conversion) sorted by step;
+    conversion = users_i / users_1 rounded to 6dp (1.0 for step 1;
+    all-zero rows when no user has a step-1 event).
+    """
+    stages = _funnel_stages(
+        df, user_col, ts_col, type_col, steps, within_minutes, anchor
+    )
 
     # one count row per stage (users, not chains: anchor='any' counts a
     # user once however many anchors complete); union is k tiny
@@ -453,3 +473,59 @@ def retention_grid_from_state(
             F.round(F.col("active_users") / F.col("__size"), 6).alias("retention"),
         )
     )
+
+
+def funnel_latencies(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_minutes: float | None = None,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Step-to-step conversion timing for the greedy (anchor='first')
+    funnel: one row per step i >= 2 with how many users converted and
+    the average / median seconds from their step-(i-1) completion to
+    step i.
+
+    Reuses the funnel's stage chain (stage frames are one row per user),
+    so the timing join of stage i against stage i-1 is co-partitioned on
+    the user key. ``exact=False`` swaps the exact median for
+    percentile_approx — numeric.py's knob: exact percentiles buffer
+    every latency in one aggregation buffer, the approx sketch is the
+    100 TB path.
+    """
+    stages = _funnel_stages(
+        df, user_col, ts_col, type_col, steps, within_minutes, "first"
+    )
+    med = (
+        F.expr("percentile(__lat, 0.5)") if exact
+        else F.expr(f"percentile_approx(__lat, 0.5, {int(accuracy)})")
+    )
+    rows = []
+    for i in range(1, len(stages)):
+        lat = (
+            stages[i].select("__u", F.col("__prev").alias("__ti"))
+            .join(stages[i - 1].select("__u", F.col("__prev").alias("__tp")), "__u")
+            .select(
+                (F.unix_micros(F.col("__ti")) - F.unix_micros(F.col("__tp")))
+                .cast("double").alias("__lat")
+            )
+            .select((F.col("__lat") / 1e6).alias("__lat"))
+        )
+        rows.append(
+            lat.agg(
+                F.count("*").alias("users"),
+                F.round(F.avg("__lat"), 6).alias("avg_sec"),
+                F.round(med, 6).alias("p50_sec"),
+            ).select(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(steps[i]).alias("event_type"),
+                F.col("users").cast("long").alias("users"),
+                "avg_sec",
+                "p50_sec",
+            )
+        )
+    return reduce(DataFrame.unionByName, rows)
