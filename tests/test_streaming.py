@@ -407,3 +407,45 @@ def test_funnel_stream_matches_batch(spark, tmp_path_factory):
     fills = {(r["key"], r["step"]): r["step_ts"] for r in out}
     assert fills[("u1", 2)].minute == 10
     _sh.rmtree(d, ignore_errors=True)
+
+
+def test_transitions_stream_matches_batch(spark, tmp_path_factory):
+    """Streamed pair emission aggregates to the batch transition matrix
+    on in-order data, including pairs that SPAN micro-batch boundaries
+    (state carries the last event across batches)."""
+    import shutil as _sh
+
+    from wrangler_spark.datapipe.events import event_transitions
+    from wrangler_spark.streaming.funnels import transitions_stream
+
+    d = str(tmp_path_factory.mktemp("trans_src"))
+    rows = [
+        ("u1", "2024-01-01 00:00:00", "a"),
+        ("u1", "2024-01-01 00:10:00", "b"),
+        ("u1", "2024-01-01 00:20:00", "a"),
+        ("u2", "2024-01-01 00:00:00", "b"),
+        ("u2", "2024-01-01 00:05:00", "a"),
+        ("u3", "2024-01-01 00:00:00", "a"),  # single event: no pair
+    ]
+    df = (
+        spark.createDataFrame(rows, ["user", "ts_s", "etype"])
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    )
+    df.write.mode("overwrite").parquet(d)
+    static = spark.read.parquet(d)
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    q = run_to_memory(
+        transitions_stream(stream, "user", "ts", "etype"), "trans_out", timeout=90
+    )
+    out = spark.sql("SELECT * FROM trans_out").collect()
+    q.stop()
+    stream_counts = {}
+    for r in out:
+        k = (r["from_type"], r["to_type"])
+        stream_counts[k] = stream_counts.get(k, 0) + 1
+    batch = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transitions(static, "user", "ts", "etype").collect()
+    }
+    assert stream_counts == batch == {("a", "b"): 1, ("b", "a"): 2}
+    _sh.rmtree(d, ignore_errors=True)

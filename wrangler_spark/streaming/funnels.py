@@ -1,6 +1,7 @@
-"""Streaming ordered funnel — the stream form of
-``datapipe.events.funnel_steps`` (same greedy earliest-anchor
-semantics), via ``applyInPandasWithState``.
+"""Streaming event analytics — the stream forms of
+``datapipe.events`` funnels (funnel_stream, same greedy
+earliest-anchor semantics) and Markov transitions (transitions_stream),
+via ``applyInPandasWithState``.
 
 State per user is exactly the funnel chain: k epoch-micro timestamps
 (t1..tk, unset = missing) — a few dozen bytes per live user, nothing
@@ -126,4 +127,84 @@ def funnel_stream(
             if within_us is not None
             else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+def transitions_stream(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming Markov-transition emitter — the stream form of
+    ``datapipe.events.event_transitions``'s pair extraction. State per
+    user is ONE (last_ts, last_type) tuple; each event folded in
+    event-time order within the micro-batch emits the consecutive pair
+    (key, from_type, to_type, to_ts) and replaces the state. Counting /
+    row-normalizing is the consumer's aggregation (a streaming
+    ``groupBy(from_type, to_type).count()`` or a batch rollup of the
+    emitted pairs) — this op is the stateful pair extraction only.
+
+    Same in-order exactness contract as funnel_stream / sessionize:
+    pairs are exact under event-time-ordered arrival; a late event that
+    belonged between two already-paired events cannot retroactively
+    split their pair."""
+    import pandas as pd  # noqa: F401 — worker-side dependency, fail fast
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("from_type", StringType()),
+            StructField("to_type", StringType()),
+            StructField("to_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_us", LongType()), StructField("last_type", StringType())]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        import datetime as _dt
+
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        frames = [pdf[["__ts", "__e"]] for pdf in pdf_iter]
+        ev = pd.concat(frames).sort_values("__ts", kind="mergesort")
+        last_us, last_type = state.get if state.exists else (None, None)
+        pairs = []
+        for ts, et in zip(ev["__ts"], ev["__e"]):
+            t_us = int(ts.value // 1000)
+            if last_type is not None:
+                pairs.append(
+                    (str(key[0]), last_type, et,
+                     _dt.datetime.utcfromtimestamp(t_us / 1_000_000))
+                )
+            last_us, last_type = t_us, et
+        state.update((last_us, last_type))
+        if pairs:
+            yield pd.DataFrame(
+                pairs, columns=["key", "from_type", "to_type", "to_ts"]
+            )
+
+    prepared = (
+        stream.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).cast("string").alias("__key"),
+            F.col(ts_col).alias("__ts"),
+            F.col(type_col).alias("__e"),
+        )
+        .withWatermark("__ts", watermark)
+    )
+    return prepared.groupBy("__key").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
