@@ -21,6 +21,13 @@ Downstream per-step user counts (count by step) equal
 GCs itself via event-time timeout once the anchor window closes (no
 further progress is possible); without it, state is k longs per user
 for the stream's lifetime — size that consciously.
+
+Windowed-restart semantics: after a user's window closes and its state
+is GC'd, a LATER step-1 event starts a fresh funnel window and emits
+step-1 again — per-window counting, the streaming convention. The
+batch op's one-anchor-per-user convention corresponds to a stream that
+never GCs (within_minutes=None); consumers needing strict
+once-per-user counts should aggregate count(DISTINCT key) per step.
 """
 
 from __future__ import annotations
@@ -103,8 +110,17 @@ def funnel_stream(
                 break
         state.update(tuple(slots))
         if within_us is not None and slots[0]:
-            # no slot can fill after t1 + within — schedule the GC
-            state.setTimeoutTimestamp((slots[0] + within_us) // 1000)
+            # no slot can fill after t1 + within — schedule the GC. Spark
+            # clears a key's timeout on every invocation with data, so it
+            # must be re-set each batch; if the window end is already
+            # BELOW the watermark the set throws — and in that case the
+            # window is provably closed (any future event is above the
+            # watermark, hence outside the window), so dropping the state
+            # is exactly the GC the timeout would have performed
+            try:
+                state.setTimeoutTimestamp((slots[0] + within_us) // 1000)
+            except Exception:
+                state.remove()
         if fills:
             yield pd.DataFrame(fills, columns=["key", "step", "event_type", "step_ts"])
 
