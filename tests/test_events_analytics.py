@@ -489,3 +489,14 @@ def test_funnel_latencies_hand_computed(spark):
               funnel_latencies(df, "user_id", "ts", "event_type",
                                ["a", "b", "c"], exact=False).collect()}
     assert approx[3] == 1200.0
+
+
+def test_directive_funnel_latency(spark):
+    from wrangler_spark import Pipeline
+
+    df = _events(
+        spark, [(1, _ts(1, 0, 0), "a"), (1, _ts(1, 0, 10), "b")]
+    )
+    r = Pipeline.compile("funnel-latency :user_id :ts :event_type 'a,b'").apply(df)
+    rows = r.collect()
+    assert len(rows) == 1 and rows[0]["avg_sec"] == 600.0

@@ -1088,3 +1088,33 @@ class EventPaths(Directive):
             int(self.args["max_len"]),
             None if tie is None else ctx.resolve(df, tie),
         )
+
+
+@directive
+class FunnelLatency(Directive):
+    """funnel-latency :user :ts :type 'step1,step2,...' [within_minutes]
+    — per-step conversion timing: (step, event_type, users, avg_sec,
+    p50_sec) for steps 2..k of the greedy funnel."""
+
+    name = "funnel-latency"
+    usage = [
+        Arg("user", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+        Arg("type", TokenType.COLUMN),
+        Arg("steps", TokenType.TEXT),
+        Arg("within_minutes", TokenType.NUMERIC, optional=True),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import funnel_latencies
+
+        steps = [s.strip() for s in str(self.args["steps"]).split(",") if s.strip()]
+        within = self.args.value("within_minutes")
+        return funnel_latencies(
+            df,
+            ctx.resolve(df, self.args["user"]),
+            ctx.resolve(df, self.args["ts"]),
+            ctx.resolve(df, self.args["type"]),
+            steps,
+            None if within is None else float(within),
+        )
