@@ -500,3 +500,24 @@ def test_directive_funnel_latency(spark):
     r = Pipeline.compile("funnel-latency :user_id :ts :event_type 'a,b'").apply(df)
     rows = r.collect()
     assert len(rows) == 1 and rows[0]["avg_sec"] == 600.0
+
+
+def test_retention_state_month_calendar_roundtrip(spark, tmp_path_factory):
+    from wrangler_spark.datapipe.events import (
+        retention_cohorts, retention_grid_from_state,
+        retention_update_state, retention_write_state,
+    )
+
+    path = str(tmp_path_factory.mktemp("ret_month") / "idx")
+    b1 = _events(spark, [(1, dt.datetime(2023, 12, 15), "a"),
+                         (2, dt.datetime(2024, 1, 5), "a")])
+    b2 = _events(spark, [(1, dt.datetime(2024, 1, 20), "a")])
+    retention_write_state(b1, path, "user_id", "ts", calendar="month")
+    retention_update_state(b2, path, "user_id", "ts")
+    inc = retention_grid_from_state(spark, path)
+    full = retention_cohorts(b1.unionByName(b2), "user_id", "ts", calendar="month")
+    key = lambda r: (str(r["cohort_start"]), r["period_offset"],
+                     r["active_users"], r["retention"])  # noqa: E731
+    got = sorted(map(key, inc.collect()))
+    assert got == sorted(map(key, full.collect()))
+    assert got[0][0] == "2023-12-01"  # true month boundary, not epoch-day math

@@ -156,3 +156,12 @@ def test_bucketed_join_and_agg_skip_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_write_bucketed_requires_bucket_columns(spark, tmp_path):
+    from wrangler_spark.sources import write_bucketed
+
+    df = spark.range(3)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        write_bucketed(df, "t_nope", [], 8, path=str(tmp_path / "x"))

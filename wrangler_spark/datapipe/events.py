@@ -391,23 +391,25 @@ def _cohort_start(period_days: int, calendar: str | None):
 
 def retention_write_state(
     df: DataFrame, path: str, user_col: str, ts_col: str, period_days: int = 7,
+    calendar: str | None = None,
 ) -> None:
     """Materialize retention state ONCE so later event batches never
     rescan history: ``<path>/pairs`` holds the distinct (user,
     period-bucket) activity pairs — users x active-periods rows, orders
     of magnitude below event volume — partitioned by bucket (grid reads
     over a window of periods prune directories), plus a 1-row
-    ``<path>/meta`` pinning period_days (an update with a different
-    period would silently corrupt the bucketing). Same materialize-once
-    discipline as bloom_write_index / minhash_write_index /
-    ivf_write_index."""
+    ``<path>/meta`` pinning period_days and the calendar mode (an update
+    with a different bucketing would silently corrupt the state). Same
+    materialize-once discipline as bloom_write_index /
+    minhash_write_index / ivf_write_index."""
     spark = df.sparkSession
     (
-        _activity_pairs(df, user_col, ts_col, period_days)
+        _activity_pairs(df, user_col, ts_col, period_days, calendar)
         .write.mode("overwrite").partitionBy("__b").parquet(f"{path}/pairs")
     )
     spark.createDataFrame(
-        [(int(period_days), 1)], "period_days int, state_version int"
+        [(int(period_days), calendar or "", 2)],
+        "period_days int, calendar string, state_version int",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -425,12 +427,10 @@ def retention_update_state(
     from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
 
     spark = batch.sparkSession
-    period_days = int(
-        spark.read.parquet(f"{path}/meta").collect()[0]["period_days"]
-    )
+    period_days, cal = _read_state_meta(spark, path)
     stored = spark.read.parquet(f"{path}/pairs").select("__u", "__b")
     fresh = eager_checkpoint(
-        _activity_pairs(batch, user_col, ts_col, period_days)
+        _activity_pairs(batch, user_col, ts_col, period_days, cal)
         .join(stored, ["__u", "__b"], "left_anti")
     )
     fresh.write.mode("append").partitionBy("__b").parquet(f"{path}/pairs")
@@ -445,9 +445,7 @@ def retention_grid_from_state(
     the input is the pairs table (users x periods), so the nightly grid
     refresh costs minutes of small-table aggregation, never a 100 TB
     event rescan."""
-    period_days = int(
-        spark.read.parquet(f"{path}/meta").collect()[0]["period_days"]
-    )
+    period_days, cal = _read_state_meta(spark, path)
     b = spark.read.parquet(f"{path}/pairs").select("__u", "__b")
     first = b.groupBy("__u").agg(F.min("__b").alias("__cb"))
     act = (
@@ -464,10 +462,7 @@ def retention_grid_from_state(
     return (
         act.join(F.broadcast(sizes), act["__cb"] == sizes["__cb2"])
         .select(
-            F.date_add(
-                F.lit("1970-01-01").cast("date"),
-                (F.col("__cb") * period_days).cast("int"),
-            ).alias("cohort_start"),
+            _cohort_start(period_days, cal).alias("cohort_start"),
             F.col("period_offset").cast("long").alias("period_offset"),
             F.col("active_users").cast("long").alias("active_users"),
             F.round(F.col("active_users") / F.col("__size"), 6).alias("retention"),
@@ -529,3 +524,11 @@ def funnel_latencies(
             )
         )
     return reduce(DataFrame.unionByName, rows)
+
+
+def _read_state_meta(spark, path: str) -> tuple[int, str | None]:
+    """(period_days, calendar) from a state's meta table; v1 states
+    (written before the calendar field) read as day-based."""
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    cal = row["calendar"] if "calendar" in row.__fields__ else ""
+    return int(row["period_days"]), (cal or None)
