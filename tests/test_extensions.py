@@ -81,3 +81,39 @@ def test_range_join_left_keeps_unmatched(spark):
     out = {r["id"]: r["band"] for r in
            range_join(left, right, "v", "lo", "hi", 7.0, how="left").collect()}
     assert out == {1: 100, 2: None}  # unmatched row survives with null band
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance nulls out matches older than the lookback window —
+    merge_asof/attribution semantics; default path (no tolerance)
+    unchanged."""
+    import datetime as dt
+
+    from wrangler_spark.directives.extensions import asof_join
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    conv = spark.createDataFrame(
+        [(1, t(30)), (2, t(30)), (3, t(30))], "user long, ts timestamp"
+    )
+    touch = spark.createDataFrame(
+        [(1, t(25), "ad_a"),    # 5 min before: inside a 10-min window
+         (2, t(5), "ad_b"),     # 25 min before: outside
+         ],                      # user 3: no touch at all
+        "user long, ts timestamp, campaign string",
+    )
+    rows = {r["user"]: r["campaign"] for r in
+            asof_join(conv, touch, "user", "ts", tolerance=600).collect()}
+    assert rows == {1: "ad_a", 2: None, 3: None}
+    # without tolerance the stale match still attributes
+    rows2 = {r["user"]: r["campaign"] for r in
+             asof_join(conv, touch, "user", "ts").collect()}
+    assert rows2 == {1: "ad_a", 2: "ad_b", 3: None}
+    # numeric ts: tolerance is a raw difference
+    conv_n = spark.createDataFrame([(1, 100.0)], "user long, ts double")
+    touch_n = spark.createDataFrame([(1, 90.0, "x")], "user long, ts double, v string")
+    got = asof_join(conv_n, touch_n, "user", "ts", tolerance=5).collect()[0]["v"]
+    assert got is None
+    got2 = asof_join(conv_n, touch_n, "user", "ts", tolerance=15).collect()[0]["v"]
+    assert got2 == "x"

@@ -219,16 +219,22 @@ def asof_join(
     on: str,
     left_ts: str,
     right_ts: str | None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join: each left row picks up the value
     columns of the latest right row with right_ts <= left_ts in its ``on``
     group (nulls when no such row). Equivalent to DuckDB/pandas ASOF JOIN.
+    ``tolerance`` (optional) also REQUIRES left_ts - right_ts <= tolerance
+    — matches older than the window null out, the pandas merge_asof
+    ``tolerance`` / attribution-lookback semantics. Units: seconds when
+    the ts column is a timestamp, raw difference when it is numeric.
 
     Scale shape: the union-and-forward-fill formulation — tag both sides,
     union, one shuffle+sort on (on, ts, tag) and a running ``last(...,
     ignorenulls)`` window — NOT a range join, so there is no candidate-pair
     blowup however dense the right side is; cost is one sort per key
-    partition, AQE-skew-splittable."""
+    partition, AQE-skew-splittable. The tolerance path carries ONE extra
+    filled column (the matched right ts) — same single window pass."""
     rts = right_ts or left_ts
     val_cols = [c for c in right.columns if c not in (on, rts)]
     clash = set(val_cols) & set(left.columns)
@@ -246,13 +252,20 @@ def asof_join(
         F.lit(0).alias("__tag"),
         *[F.col(c) for c in val_cols],
     )
+    fill_cols = list(val_cols)
+    if tolerance is not None:
+        # carry the matched right ts through the same forward fill so the
+        # window bound can be checked per left row
+        rt = rt.withColumn("__rts", F.col("__ts"))
+        fill_cols.append("__rts")
     for c in left.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None))
-    for c in val_cols:
-        lt = lt.withColumn(c, F.lit(None))
-    u = lt.select(*left.columns, "__ts", "__tag", *val_cols).unionByName(
-        rt.select(*left.columns, "__ts", "__tag", *val_cols)
+    for c in fill_cols:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+    u = lt.select(*left.columns, "__ts", "__tag", *fill_cols).unionByName(
+        rt.select(*left.columns, "__ts", "__tag", *fill_cols)
     )
     w = (
         Window.partitionBy(on)
@@ -261,10 +274,30 @@ def asof_join(
     )
     filled = u.select(
         *[F.col(c) for c in left.columns],
+        F.col("__ts"),
         F.col("__tag"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in val_cols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
     )
-    return filled.filter(F.col("__tag") == 1).drop("__tag")
+    out = filled.filter(F.col("__tag") == 1)
+    if tolerance is not None:
+        from pyspark.sql.types import TimestampType, TimestampNTZType
+
+        is_ts = isinstance(
+            left.schema[left_ts].dataType, (TimestampType, TimestampNTZType)
+        )
+        diff = (
+            (F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__rts"))) / 1e6
+            if is_ts
+            else F.col("__ts") - F.col("__rts")
+        )
+        ok = F.col("__rts").isNotNull() & (diff <= float(tolerance))
+        out = out.select(
+            *[F.col(c) for c in left.columns],
+            F.col("__tag"),
+            *[F.when(ok, F.col(c)).alias(c) for c in val_cols],
+        )
+    return out.drop("__tag", "__ts", "__rts") if tolerance is not None \
+        else out.drop("__tag").drop("__ts")
 
 
 @directive
@@ -279,6 +312,7 @@ class AsofJoin(Directive):
         Arg("on", TokenType.COLUMN),
         Arg("ts", TokenType.COLUMN),
         Arg("right_ts", TokenType.COLUMN, optional=True),
+        Arg("tolerance", TokenType.NUMERIC, optional=True),
     ]
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
@@ -289,7 +323,11 @@ class AsofJoin(Directive):
             raise DirectiveApplyError(f"table '{self.args['table']}' not registered")
         on = ctx.resolve(df, self.args["on"])
         ts = ctx.resolve(df, self.args["ts"])
-        return asof_join(df, table, on, ts, self.args.value("right_ts"))
+        tol = self.args.value("tolerance")
+        return asof_join(
+            df, table, on, ts, self.args.value("right_ts"),
+            None if tol is None else float(tol),
+        )
 
 
 def range_join(
