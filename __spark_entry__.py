@@ -206,6 +206,18 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embs(spark, sf_dir):
         return _t(spark, sf_dir, "embeddings")
 
+    def _boiler_docs(spark, sf_dir):
+        # fixture docs are single-line; append one corpus-wide boilerplate
+        # line, a blank line, and a per-doc unique line (mirrored in the
+        # oracle's doc_cte) so strip_boilerplate has real work at every SF
+        return docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat_ws(
+                "\n", F.col("text"), F.lit(""), F.lit("Subscribe to our newsletter!"),
+                F.concat(F.lit("ref: doc "), F.col("doc_id").cast("string")),
+            ).alias("text"),
+        )
+
     return {
         "dedup_exact": lambda s, d: dedup.exact_dedup(docs(s, d), "doc_id", "text"),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(docs(s, d), "doc_id", "text", 0.5),
@@ -310,6 +322,16 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d).filter(F.col("doc_id") % 3 != 0),
             docs(s, d).filter(F.col("doc_id") % 3 == 0),
             "doc_id", "text", 0.5,
+        ),
+        # 8 planes (not the default 16) so the mod-5 split still collides
+        # on the fixture embeddings; oracle mirrors the same prefix
+        "dedup_cross_embedding": lambda s, d: dedup.embedding_pairs_against(
+            embs(s, d).filter(F.col("vec_id") % 5 == 0),
+            embs(s, d).filter(F.col("vec_id") % 5 != 0),
+            "vec_id", "embedding", 0.0, planes=dedup.HYPERPLANES[:8],
+        ),
+        "strip_boilerplate": lambda s, d: curation.strip_boilerplate_lines(
+            _boiler_docs(s, d), "doc_id", "text", 2
         ),
         "dedup_lsh_eval": lambda s, d: dedup.pair_eval(
             dedup.minhash_lsh_pairs(docs(s, d), "doc_id", "text", 0.5),
@@ -534,6 +556,15 @@ def _datapipe_oracles() -> dict[str, str]:
         "split_by_cluster": o.split_by_cluster_sql(0.5, 0.1, "sp"),
         "corpus_report_by": o.corpus_report_by_sql("source"),
         "dedup_cross_minhash": o.minhash_cross_sql(0.5, 3),
+        "dedup_cross_embedding": o.embedding_cross_sql(0.0, 5, 8),
+        "strip_boilerplate": o.strip_boilerplate_sql(
+            2,
+            doc_cte=(
+                "SELECT doc_id, concat_ws(chr(10), text, '', "
+                "'Subscribe to our newsletter!', 'ref: doc ' || doc_id) AS text "
+                "FROM documents"
+            ),
+        ),
         "ann_cosine_topk": o.cosine_topk_sql(10, 5),
         "text_langid": o.langid_sql(),
         "text_langid_multi": o.langid_multi_sql(),
@@ -799,8 +830,12 @@ _R8_WINDOW = [
     "dedup_ngram_word",
     "dedup_minhash_cc",
     "dedup_embedding_cc",
-    "dedup_survivors",
-    "dedup_lsh_eval",
+    # late r8 additions (cross-corpus semantic dedup; corpus-frequency
+    # boilerplate strip) — dedup_survivors and dedup_lsh_eval vacated
+    # these slots (r7-green; their only r8 change is the shared
+    # eager_checkpoint mechanism, still represented by ~10 entries here)
+    "dedup_cross_embedding",
+    "strip_boilerplate",
     "text_clf_score",
     "text_lp_buckets",
     "text_bigram_lp",

@@ -2554,3 +2554,107 @@ hash-embedding :doc_id :text 32
 emb-outliers :doc_id :embedding 2 0.3
 """).apply(df).collect()}
     assert out[3] is True and out[1] is False and out[2] is False
+
+
+def test_strip_boilerplate_lines(spark):
+    from wrangler_spark.datapipe import curation
+
+    rows = [
+        (1, "unique alpha\nSubscribe Now\n\nbody one"),
+        (2, "Subscribe   now\nbody two"),  # whitespace/case-normalized match
+        (3, "body three"),
+        (4, ""),  # empty doc preserved
+        (5, "Subscribe Now"),  # doc reduced to nothing
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in curation.strip_boilerplate_lines(df, "doc_id", "text", 2).collect()
+    }
+    assert len(out) == 5  # every doc survives as a row
+    # boilerplate removed from EVERY doc (not keep-first), blank line kept
+    assert out[1]["text"] == "unique alpha\n\nbody one" and out[1]["n_dropped"] == 1
+    assert out[2]["text"] == "body two" and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "body three" and out[3]["n_dropped"] == 0
+    assert out[4]["text"] == "" and out[4]["n_dropped"] == 0
+    assert out[5]["text"] == "" and out[5]["n_dropped"] == 1
+    # threshold not met -> nothing dropped, text round-trips
+    out4 = {
+        r["doc_id"]: r
+        for r in curation.strip_boilerplate_lines(df, "doc_id", "text", 4).collect()
+    }
+    assert all(out4[i]["n_dropped"] == 0 for i in out4)
+    assert out4[1]["text"] == rows[0][1]
+
+
+def test_embedding_pairs_against_matches_self_join_cross_slice(spark):
+    """The asymmetric op's pairs == the self-join op's pairs restricted to
+    (new, old) memberships, under the same planes — and it never emits
+    new-new or old-old pairs."""
+    import random
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = [(i, [x * (1 + 0.001 * i) for x in base]) for i in range(6)]  # one tight cluster
+    rows += [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(6, 40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    new = df.filter(F.col("vec_id") % 3 == 0)
+    old = df.filter(F.col("vec_id") % 3 != 0)
+    planes = dedup.HYPERPLANES[:6]
+
+    got = dedup.embedding_pairs_against(new, old, "vec_id", "embedding", 0.9, planes=planes)
+    got_rows = got.collect()
+    new_ids = {r["vec_id"] for r in new.collect()}
+    old_ids = {r["vec_id"] for r in old.collect()}
+    assert all(r["id_new"] in new_ids and r["id_old"] in old_ids for r in got_rows)
+
+    both = dedup.embedding_dup_pairs(df, "vec_id", "embedding", 0.9, planes=planes)
+    want = {
+        (min(a, b), max(a, b), c)
+        for a, b, c in map(tuple, both.collect())
+        if (a in new_ids) != (b in new_ids)
+    }
+    assert {
+        (min(r["id_new"], r["id_old"]), max(r["id_new"], r["id_old"]), r["cosine"])
+        for r in got_rows
+    } == want
+    assert len(got_rows) > 0  # the cluster straddles the mod-3 split
+
+
+def test_embedding_index_persist_matches_in_memory(spark, tmp_path_factory):
+    """embedding_write_index + embedding_pairs_against_index == the
+    in-memory op (planes pinned in the index meta, cap + verify shared)."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = [(i, [x * (1 + 0.002 * i) for x in base]) for i in range(8)]
+    rows += [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(8, 50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    new = df.filter(F.col("vec_id") % 4 == 0)
+    old = df.filter(F.col("vec_id") % 4 != 0)
+    planes = dedup.HYPERPLANES[:8]
+
+    path = str(tmp_path_factory.mktemp("emb_idx")) + "/ix"
+    dedup.embedding_write_index(old, path, "vec_id", "embedding", planes=planes)
+    via_index = dedup.embedding_pairs_against_index(new, path, "vec_id", "embedding", 0.8)
+    in_memory = dedup.embedding_pairs_against(
+        new, old, "vec_id", "embedding", 0.8, planes=planes
+    )
+    got = sorted(map(tuple, via_index.collect()))
+    want = sorted(map(tuple, in_memory.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_strip_boilerplate_directive(spark):
+    from wrangler_spark import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "keep me\nshared footer"), (2, "other\nshared footer")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in Pipeline.compile("strip-boilerplate :doc_id :text 2").apply(df).collect()
+    }
+    assert out == {1: "keep me", 2: "other"}

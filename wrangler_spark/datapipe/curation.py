@@ -99,6 +99,67 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def strip_boilerplate_lines(
+    df: DataFrame, id_col: str, text_col: str, min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet-style line filter):
+    a line whose normalized form appears in >= ``min_docs`` DISTINCT
+    documents is removed from EVERY document. This is deliberately NOT
+    paragraph_dedup's keep-first contract — nav bars, cookie banners and
+    footers should survive nowhere, while a genuinely-authored paragraph
+    that happens to be mirrored should survive once (use paragraph_dedup
+    for that). Blank lines are never counted or removed (they are
+    document structure, not content). Returns
+    (id, <text_col> stripped, n_lines, n_dropped).
+
+    Scale shape: one hash aggregate (key -> distinct doc count) where
+    partial aggregation applies — a million-doc boilerplate line is one
+    row per partition after the map-side combine; the bad-key table
+    (boilerplate only — tiny vs the corpus) equi-joins back on the md5
+    key and AQE broadcasts it when it fits; reassembly is the same
+    doc-id aggregate as paragraph_dedup. No windows anywhere, so a
+    hot line is never a hot partition."""
+    c = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("__line"))), r"\s+", " ")
+    lines = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(c, "\n")).alias("__pos", "__line"),
+        )
+        .withColumn("__blank", norm == "")
+        .withColumn("__key", F.md5(norm))
+    )
+    bad = (
+        lines.filter(~F.col("__blank"))
+        .groupBy("__key")
+        .agg(F.countDistinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= int(min_docs))
+        .select("__key", F.lit(True).alias("__bad"))
+    )
+    drop = F.coalesce(F.col("__bad"), F.lit(False))
+    return (
+        lines.join(bad, "__key", "left")
+        .groupBy("__id")
+        .agg(
+            F.coalesce(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.when(~drop, F.struct("__pos", "__line")))
+                        ),
+                        lambda s: s["__line"],
+                    ),
+                ),
+                F.lit(""),
+            ).alias(text_col),
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(drop, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def _word_grams(words: Column, n: int) -> Column:
     """Distinct n-word grams of a tokenized column (named ref, not inline —
     no CSE inside HOF lambdas)."""

@@ -701,13 +701,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return df.select(F.col(id_col), simhash_expr(F.col("__h"), bits).alias("simhash"))
 
 
-def embedding_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9, exact: bool = False,
-    planes: list[list[float]] | None = None, broadcast_planes: bool | None = None,
+def _plane_sigs(
+    df: DataFrame, id_col: str, vec_col: str,
+    planes: list[list[float]] | None, broadcast_planes: bool | None,
 ) -> DataFrame:
-    """Embedding near-dup pairs. exact=False buckets by random-hyperplane
-    signature first (only same-signature pairs compared — the scale path);
-    exact=True brute-forces all pairs (small inputs / recall baseline).
+    """(id, v, sig): the scan-side hyperplane-LSH signature frame shared
+    by the self-join (embedding_dup_pairs) and the cross-corpus
+    (embedding_pairs_against) near-dup ops — factored so both bucket in
+    the SAME signature space and a persisted index built by one is
+    probeable by the other.
 
     Plan-size ceiling and the broadcast-planes switch: the default path
     inlines each hyperplane as a literal array, so the plan holds
@@ -726,41 +728,54 @@ def embedding_dup_pairs(
     base = df.select(F.col(id_col).alias("id"), v.alias("v"))
     if planes is None:
         planes = HYPERPLANES
+    if broadcast_planes is None:
+        broadcast_planes = len(planes[0]) > 128
+    if broadcast_planes:
+        pl = df.sparkSession.createDataFrame(
+            [([[float(x) for x in p] for p in planes],)],
+            "pls ARRAY<ARRAY<DOUBLE>>",
+        )
+        dot = lambda p: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("v"), p, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+        sig = F.concat_ws(
+            "",
+            F.transform(
+                F.col("pls"),
+                lambda p: F.when(dot(p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+        )
+        return base.crossJoin(F.broadcast(pl)).withColumn("sig", sig).drop("pls")
+    sig = None
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), lit_plane, lambda a, b: a * b),
+            F.lit(0.0), lambda s, x: s + x,
+        )
+        bit = F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+        sig = bit if sig is None else F.concat(sig, bit)
+    return base.withColumn("sig", sig)
+
+
+def embedding_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9, exact: bool = False,
+    planes: list[list[float]] | None = None, broadcast_planes: bool | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs. exact=False buckets by random-hyperplane
+    signature first (only same-signature pairs compared — the scale path);
+    exact=True brute-forces all pairs (small inputs / recall baseline).
+    Signature computation and the literal-vs-broadcast plane delivery
+    contract live in :func:`_plane_sigs`."""
     if not exact:
-        if broadcast_planes is None:
-            broadcast_planes = len(planes[0]) > 128
-        if broadcast_planes:
-            pl = df.sparkSession.createDataFrame(
-                [([[float(x) for x in p] for p in planes],)],
-                "pls ARRAY<ARRAY<DOUBLE>>",
-            )
-            dot = lambda p: F.aggregate(  # noqa: E731
-                F.zip_with(F.col("v"), p, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
-            )
-            sig = F.concat_ws(
-                "",
-                F.transform(
-                    F.col("pls"),
-                    lambda p: F.when(dot(p) >= 0, F.lit("1")).otherwise(F.lit("0")),
-                ),
-            )
-            base = base.crossJoin(F.broadcast(pl)).withColumn("sig", sig).drop("pls")
-        else:
-            sig = None
-            for plane in planes:
-                lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-                dot = F.aggregate(
-                    F.zip_with(F.col("v"), lit_plane, lambda a, b: a * b),
-                    F.lit(0.0), lambda s, x: s + x,
-                )
-                bit = F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
-                sig = bit if sig is None else F.concat(sig, bit)
-            base = base.withColumn("sig", sig)
+        base = _plane_sigs(df, id_col, vec_col, planes, broadcast_planes)
         l, r = base.alias("l"), base.alias("r")
         cand = l.join(
             r, (F.col("l.sig") == F.col("r.sig")) & (F.col("l.id") < F.col("r.id"))
         )
     else:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        base = df.select(F.col(id_col).alias("id"), v.alias("v"))
         l, r = base.alias("l"), base.alias("r")
         cand = l.join(r, F.col("l.id") < F.col("r.id"))
     cos = F.round(_cosine(F.col("l.v"), F.col("r.v")), 6)
@@ -1347,6 +1362,124 @@ def minhash_pairs_against_index(
     return _pairs_against_tail(
         base_n, bands_n,
         spark.read.parquet(f"{path}/shingles"),
+        spark.read.parquet(f"{path}/buckets"),
+        threshold,
+    )
+
+
+def embedding_pairs_against(
+    df_new: DataFrame, df_old: DataFrame, id_col: str, vec_col: str,
+    threshold: float = 0.9,
+    planes: list[list[float]] | None = None,
+    broadcast_planes: bool | None = None,
+    max_bucket_size: int = 100,
+) -> DataFrame:
+    """Incremental SEMANTIC near-dedup: (id_new, id_old, cosine) for new
+    docs whose embedding near-duplicates an EXISTING doc's — the
+    embedding analog of minhash_pairs_against, and the semantic-
+    decontamination primitive: embed the benchmark/eval corpus as the
+    OLD side and an ingestion batch as the NEW side; any pair above
+    threshold is contamination MinHash cannot see (paraphrases share no
+    n-grams). Asymmetric by contract: new-new and old-old pairs are
+    never emitted (embedding_dup_pairs covers within-corpus pairs).
+
+    Scale shape: both sides compute the scan-side hyperplane signature
+    (:func:`_plane_sigs` — zero shuffle); the OLD side aggregates each
+    signature bucket to a sorted id list capped at ``max_bucket_size``
+    (a hot bucket means near-identical directions — any cap
+    representatives give a colliding new doc the same verdict, the same
+    star-link argument as minhash_pairs_against), so candidates per new
+    row are bounded and the old corpus shuffles only (16-char sig, id)
+    rows. Old VECTORS are re-fetched for the rare candidates via one
+    equi-join on id — the embedding floats never ride the bucket
+    shuffle."""
+    sigs_n = _plane_sigs(df_new, id_col, vec_col, planes, broadcast_planes)
+    old_buckets = (
+        _plane_sigs(df_old, id_col, vec_col, planes, broadcast_planes)
+        .groupBy("sig")
+        .agg(F.expr(f"slice(array_sort(collect_list(id)), 1, {int(max_bucket_size)})").alias("__olds"))
+    )
+    vecs_o = df_old.select(
+        F.col(id_col).alias("id_old"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vo"),
+    )
+    return _emb_against_tail(sigs_n, vecs_o, old_buckets, threshold)
+
+
+def _emb_against_tail(
+    sigs_n: DataFrame, vecs_o: DataFrame, old_buckets: DataFrame, threshold: float,
+) -> DataFrame:
+    """Shared candidate+verify tail of the cross-corpus embedding dedup:
+    full-signature equi-join against the capped old buckets (one bucket
+    per doc — unlike minhash bands, a pair can collide only once, so no
+    dedup step), exact cosine for the surviving candidates only."""
+    cand = sigs_n.join(old_buckets, "sig").select(
+        F.col("id").alias("id_new"),
+        F.col("v").alias("__vn"),
+        F.explode("__olds").alias("id_old"),
+    )
+    cos = F.round(_cosine(F.col("__vn"), F.col("__vo")), 6)
+    return (
+        cand.join(vecs_o, "id_old")
+        .select("id_new", "id_old", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_write_index(
+    df_old: DataFrame, path: str, id_col: str, vec_col: str,
+    planes: list[list[float]] | None = None,
+    broadcast_planes: bool | None = None,
+    max_bucket_size: int = 100,
+) -> None:
+    """Materialize the accumulated corpus's hyperplane-LSH state ONCE so
+    ingestion batches skip re-bucketing history (the embedding
+    counterpart of minhash_write_index, same materialize-once posture):
+    ``<path>/buckets`` = capped sorted (sig, __olds), ``<path>/vectors``
+    = (id_old, __vo) verification payloads read only for candidates, and
+    ``<path>/meta`` pins the PLANE MATRIX — probing with different
+    planes would bucket in a different space and silently miss true
+    pairs, so the probe always reads its planes from the index.
+
+    Freshness contract is minhash_write_index's: the index is a
+    snapshot — rebuild on a cadence and check batches against the
+    since-rebuild delta with embedding_pairs_against (cheap: the delta
+    is small)."""
+    spark = df_old.sparkSession
+    if planes is None:
+        planes = HYPERPLANES
+    sigs_o = _plane_sigs(df_old, id_col, vec_col, planes, broadcast_planes)
+    (
+        sigs_o.groupBy("sig")
+        .agg(F.expr(f"slice(array_sort(collect_list(id)), 1, {int(max_bucket_size)})").alias("__olds"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/buckets")
+    )
+    df_old.select(
+        F.col(id_col).alias("id_old"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vo"),
+    ).write.mode("overwrite").parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [([[float(x) for x in p] for p in planes],)], "planes ARRAY<ARRAY<DOUBLE>>"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def embedding_pairs_against_index(
+    df_new: DataFrame, path: str, id_col: str, vec_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """embedding_pairs_against for a batch vs a PERSISTED hyperplane-LSH
+    index: identical pairs (planes read from the index meta, same caps
+    and exact-cosine verification) but the old side is two parquet scans
+    and the per-batch cost no longer contains the old corpus's
+    signature computation at all."""
+    spark = df_new.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    planes = [[float(x) for x in p] for p in meta["planes"]]
+    sigs_n = _plane_sigs(df_new, id_col, vec_col, planes, None)
+    return _emb_against_tail(
+        sigs_n,
+        spark.read.parquet(f"{path}/vectors"),
         spark.read.parquet(f"{path}/buckets"),
         threshold,
     )

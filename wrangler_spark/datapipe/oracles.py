@@ -231,6 +231,37 @@ WHERE round({cos}, 6) >= {threshold}
 """
 
 
+def embedding_cross_sql(
+    threshold: float = 0.9, mod: int = 5, n_planes: int | None = None,
+    table: str = "embeddings",
+) -> str:
+    """Cross-corpus hyperplane-LSH pairs: the asymmetric (new vs old)
+    form of embedding_pairs_sql, split by ``id % mod``. Assumes the
+    Spark side's max_bucket_size does not bind at oracle scale (same
+    contract as minhash_cross_sql's cap; measured max bucket = 20 at
+    sf0.1 with the driver query's 8 planes, cap 100). ``n_planes``
+    prefixes HYPERPLANES — the driver query uses 8 so the mod-5 split
+    still collides (16 planes yield zero cross pairs on the fixtures)."""
+    plane_sig_parts = []
+    for plane in HYPERPLANES[: n_planes or len(HYPERPLANES)]:
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        dot = _DOT.format(a="v", b=lit)
+        plane_sig_parts.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    sig = " || ".join(plane_sig_parts)
+    cos = _cos("n.v", "o.v")
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM {table}
+),
+sigs AS (SELECT id, v, {sig} AS sig FROM base),
+n AS (SELECT * FROM sigs WHERE id % {mod} = 0),
+o AS (SELECT * FROM sigs WHERE id % {mod} <> 0)
+SELECT n.id AS id_new, o.id AS id_old, round({cos}, 6) AS cosine
+FROM n JOIN o ON n.sig = o.sig
+WHERE round({cos}, 6) >= {threshold}
+"""
+
+
 def cosine_topk_sql(k: int = 10, n_queries: int = 5, table: str = "embeddings") -> str:
     cos = _cos("q.qv", "c.v")
     return f"""
@@ -404,6 +435,37 @@ SELECT doc_id,
   count(*)::BIGINT AS n_paras,
   sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
 FROM r GROUP BY doc_id
+"""
+
+
+def strip_boilerplate_sql(min_docs: int = 2, table: str = "documents", doc_cte: str | None = None) -> str:
+    """Mirror of curation.strip_boilerplate_lines. ``doc_cte`` optionally
+    replaces the raw table with a synthesized (doc_id, text) SELECT —
+    the fixture documents are single-line, so the driver query appends
+    a shared footer + per-doc line on both engines."""
+    src = f"({doc_cte})" if doc_cte else table
+    nrm = r"regexp_replace(lower(trim(line)), '\s+', ' ', 'g')"
+    return f"""
+WITH p AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {src}),
+e AS (
+  SELECT doc_id, unnest([{{'pos': i, 'line': ls[i]}} FOR i IN range(1, len(ls) + 1)],
+                        recursive := true)
+  FROM p
+),
+k AS (SELECT doc_id, pos, line, {nrm} AS nrm FROM e),
+bad AS (
+  SELECT md5(nrm) AS key FROM k WHERE nrm <> ''
+  GROUP BY md5(nrm) HAVING count(DISTINCT doc_id) >= {int(min_docs)}
+),
+m AS (
+  SELECT doc_id, pos, line, (bad.key IS NOT NULL) AS dropped
+  FROM k LEFT JOIN bad ON md5(k.nrm) = bad.key
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY pos), '') AS text,
+  count(*)::BIGINT AS n_lines,
+  sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM m GROUP BY doc_id
 """
 
 

@@ -165,6 +165,33 @@ class DedupParagraphs(Directive):
 
 
 @directive
+class StripBoilerplate(Directive):
+    """strip-boilerplate :id :text [min_docs] — corpus-frequency line
+    removal: a normalized line appearing in >= min_docs distinct docs is
+    removed from EVERY doc (nav bars / cookie banners / footers survive
+    nowhere, unlike dedup-paragraphs' keep-first contract); blank lines
+    are structure and never removed. Returns (id, text, n_lines,
+    n_dropped)."""
+
+    name = "strip-boilerplate"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("min_docs", TokenType.NUMERIC, optional=True, default=2),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import strip_boilerplate_lines
+
+        return strip_boilerplate_lines(
+            df,
+            ctx.resolve(df, self.args["id"]),
+            ctx.resolve(df, self.args["text"]),
+            int(self.args["min_docs"]),
+        )
+
+
+@directive
 class SourceFilter(Directive):
     """source-filter :col 'a,b,c' [allow] — blocklist (default) or
     allowlist filter on a source/URL column; URLs are reduced to their
