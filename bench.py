@@ -70,6 +70,8 @@ EXTRA_QUERIES = [
     "events_retention",    # cohort grid: distinct + first-bucket join
     "events_transitions",  # Markov matrix: lead window + broadcast normalizer
     "events_paths",        # top-k journeys: max_len trim + TakeOrdered
+    "dedup_cross_embedding",  # cross-corpus semantic near-dedup (LSH buckets)
+    "strip_boilerplate",   # corpus-frequency line removal + reassembly
 ]
 
 

@@ -1,0 +1,147 @@
+"""WARC/WET source + html-to-text extraction (the Common Crawl front end)."""
+
+import gzip
+
+from wrangler_spark.formats import warc
+from wrangler_spark.sources import read_warc
+
+
+def _http_block(body: bytes, status: int = 200, ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+    )
+
+
+def _fixture_bytes() -> bytes:
+    """warcinfo + 2 responses + 1 WET conversion record."""
+    recs = [
+        warc.build_record(
+            {"WARC-Record-ID": "<urn:uuid:info>", "Content-Type": "application/warc-fields"},
+            b"software: test\r\n",
+            warc_type="warcinfo",
+        ),
+        warc.build_record(
+            {
+                "WARC-Record-ID": "<urn:uuid:r1>",
+                "WARC-Target-URI": "http://example.com/a",
+                "WARC-Date": "2026-01-01T00:00:00Z",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            _http_block(b"<html><body><p>Hello &amp; welcome</p></body></html>"),
+        ),
+        warc.build_record(
+            {
+                "WARC-Record-ID": "<urn:uuid:r2>",
+                "WARC-Target-URI": "http://example.com/b",
+                "WARC-Date": "2026-01-01T00:00:01Z",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            _http_block(b"<html><script>bad()</script><h1>Title</h1>page two</html>", 404),
+        ),
+        warc.build_record(
+            {
+                "WARC-Record-ID": "<urn:uuid:w1>",
+                "WARC-Target-URI": "http://example.com/a",
+                "Content-Type": "text/plain",
+            },
+            b"Hello extracted text",
+            warc_type="conversion",
+        ),
+    ]
+    return b"".join(recs)
+
+
+def test_iter_records_plain_and_gzip_variants():
+    raw = _fixture_bytes()
+    got_plain = list(warc.iter_records(raw))
+    assert len(got_plain) == 4
+    assert got_plain[0][0]["warc-type"] == "warcinfo"
+    assert got_plain[3][1] == b"Hello extracted text"
+
+    # whole-stream gzip AND the archival per-record-member convention
+    whole = gzip.compress(raw)
+    per_record = b"".join(
+        gzip.compress(warc.build_record({"WARC-Record-ID": f"<urn:uuid:{i}>"}, b"x" * i))
+        for i in range(1, 4)
+    )
+    assert [h["warc-record-id"] for h, _ in warc.iter_records(whole)] == [
+        h["warc-record-id"] for h, _ in got_plain
+    ]
+    assert [len(b) for _, b in warc.iter_records(per_record)] == [1, 2, 3]
+
+    # truncated tail record is dropped, not raised
+    cut = raw[: len(raw) - 10]
+    assert len(list(warc.iter_records(cut))) == 3
+
+
+def test_split_http_payload():
+    status, body = warc.split_http_payload(_http_block(b"payload", 301))
+    assert (status, body) == (301, b"payload")
+    # non-HTTP block untouched
+    status, body = warc.split_http_payload(b"plain bytes")
+    assert status is None and body == b"plain bytes"
+
+
+def test_read_warc_spark(spark, tmp_path):
+    (tmp_path / "a.warc.gz").write_bytes(gzip.compress(_fixture_bytes()))
+    (tmp_path / "b.warc").write_bytes(_fixture_bytes())
+
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    # 2 files x (2 responses + 1 conversion); warcinfo filtered by default
+    assert len(rows) == 6
+    by_uri = {(r["warc_file"].rsplit("/", 1)[-1], r["target_uri"], r["warc_type"]): r for r in rows}
+    r1 = by_uri[("a.warc.gz", "http://example.com/a", "response")]
+    assert r1["http_status"] == 200
+    assert bytes(r1["payload"]).startswith(b"<html>")  # HTTP envelope stripped
+    assert by_uri[("b.warc", "http://example.com/b", "response")]["http_status"] == 404
+    wet = by_uri[("a.warc.gz", "http://example.com/a", "conversion")]
+    assert bytes(wet["payload"]) == b"Hello extracted text" and wet["http_status"] is None
+
+    # record-type filter
+    only_wet = read_warc(spark, str(tmp_path), record_types=("conversion",))
+    assert only_wet.count() == 2
+
+
+def test_html_to_text(spark):
+    from wrangler_spark.datapipe.text import html_to_text
+
+    rows = [
+        (1, "<html><head><title>t</title><style>p{}</style></head>"
+            "<body><h1>Head&nbsp;line</h1><p>one &amp; two</p>"
+            "<script>var x=1;</script><div>three</div></body></html>"),
+        (2, "no markup at all"),
+        (3, None),
+        (4, "<ul><li>a</li><li>b</li></ul>"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "html"])
+    out = {r["id"]: r["text"] for r in html_to_text(df, "html").collect()}
+    assert out[1] == "Head line\none & two\nthree"  # script/style/head content gone
+    assert out[2] == "no markup at all"
+    assert out[3] is None
+    assert out[4] == "a\nb"
+
+    flat = {r["id"]: r["text"] for r in html_to_text(df, "html", keep_block_breaks=False).collect()}
+    assert flat[4] == "a b"
+
+
+def test_warc_to_text_pipeline(spark, tmp_path):
+    """End-to-end: WARC -> html_to_text on the BINARY payload -> the
+    text stack sees clean lines."""
+    from wrangler_spark.datapipe.text import html_to_text
+
+    (tmp_path / "c.warc.gz").write_bytes(gzip.compress(_fixture_bytes()))
+    pages = read_warc(spark, str(tmp_path), record_types=("response",))
+    texts = html_to_text(pages, "payload", out_col="text").select("target_uri", "text")
+    got = {r["target_uri"]: r["text"] for r in texts.collect()}
+    assert got["http://example.com/a"] == "Hello & welcome"
+    assert got["http://example.com/b"] == "Title\npage two"
+
+
+def test_html_to_text_directive(spark):
+    from wrangler_spark import Pipeline
+
+    df = spark.createDataFrame([(1, "<p>hi</p>")], ["id", "html"])
+    out = Pipeline.compile("html-to-text :html body").apply(df).collect()[0]
+    assert out["body"] == "hi"

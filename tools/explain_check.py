@@ -415,6 +415,25 @@ def main() -> int:
         must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 29. strip_boilerplate: frequency filter + reassembly are hash
+    # aggregates + one equi-join on the md5 key — no window (a hot
+    # boilerplate line must never become a hot sort partition), no Python
+    p = plan_of(qs["strip_boilerplate"](spark, SF_DIR))
+    problems += check(
+        "strip_boilerplate", p, must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # 30. cross-corpus embedding dedup: signature-bucket equi-join +
+    # candidates-only cosine verify — no window, no nested loop, no Python
+    p = plan_of(qs["dedup_cross_embedding"](spark, SF_DIR))
+    problems += check(
+        "dedup_cross_embedding", p,
+        must_not=["Window", "CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:

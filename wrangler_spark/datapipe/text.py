@@ -1092,3 +1092,92 @@ def hash_embedding(
         F.transform(F.col("__v"), lambda x: F.round(x / F.col("__nrm"), 6)),
     )
     return staged.select(F.col(id_col), out.alias(out_col))
+
+
+def html_to_text(
+    df: DataFrame, col: str, out_col: str = "text",
+    keep_block_breaks: bool = True,
+) -> DataFrame:
+    """Strip HTML to visible text — the extraction step between a WARC
+    ``response`` payload (sources.read_warc) and the text-curation stack
+    (langid -> quality -> dedup). `<script>/<style>/<template>` subtrees
+    and comments are dropped entirely; block-level closes emit a newline
+    (so paragraph_dedup / strip_boilerplate still see line structure)
+    and entities are decoded by the parser. Whitespace inside a line is
+    collapsed; lines are trimmed; 3+ consecutive blank lines collapse to
+    one. Input may be a string column or a binary column (decoded UTF-8,
+    errors replaced — crawl payloads lie about charsets).
+
+    This is the sanctioned Arrow path (stdlib html.parser, one vectorized
+    pandas UDF, scan-side, zero shuffle — same contract as the multimodal
+    decoders and unicode_normalize). It is a structural extractor, not a
+    readability/boilerplate model: run strip_boilerplate_lines on the
+    OUTPUT for corpus-level boilerplate, which sees repeated nav/footer
+    lines across documents and removes them with corpus statistics this
+    per-document pass cannot have. Nulls and unparseable fragments pass
+    through as null / best-effort text (html.parser never raises on
+    malformed markup)."""
+    import re as _re
+    from html.parser import HTMLParser
+
+    import pandas  # noqa: F401 — resolves the UDF's postponed type hints
+
+    from pyspark.sql.functions import pandas_udf
+
+    _BLOCK = {
+        "p", "div", "br", "li", "ul", "ol", "tr", "table", "h1", "h2",
+        "h3", "h4", "h5", "h6", "blockquote", "pre", "section", "article",
+        "header", "footer", "nav", "form", "hr", "dd", "dt",
+    }
+    _SKIP = {"script", "style", "template", "noscript", "head"}
+
+    class _Extract(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self._skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP:
+                self._skip += 1
+            elif tag in _BLOCK:
+                self.parts.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP and self._skip:
+                self._skip -= 1
+            elif tag in _BLOCK:
+                self.parts.append("\n")
+
+        def handle_data(self, data):
+            if not self._skip:
+                self.parts.append(data)
+
+    ws = _re.compile(r"[ \t\f\v\xa0]+")
+
+    def _one(raw) -> str | None:
+        if raw is None:
+            return None
+        if isinstance(raw, (bytes, bytearray)):
+            raw = bytes(raw).decode("utf-8", "replace")
+        p = _Extract()
+        try:
+            p.feed(raw)
+            p.close()
+        except Exception:
+            pass  # html.parser is forgiving; belt-and-braces for exotic input
+        text = ws.sub(" ", "".join(p.parts))
+        # adjacent block tags produce spurious empty lines -- collapse to
+        # ONE newline per block boundary (downstream paragraph_dedup /
+        # strip_boilerplate split on single \n)
+        lines = [ln for ln in (s.strip() for s in text.split("\n")) if ln]
+        if not keep_block_breaks:
+            return " ".join(lines)
+        return "\n".join(lines)
+
+    def _extract(s):
+        return s.map(_one)
+
+    _extract.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    udf = pandas_udf(_extract, "string")
+    return df.withColumn(out_col, udf(F.col(col)))  # _one decodes binary itself

@@ -944,6 +944,25 @@ class UnicodeNormalize(Directive):
 
 
 @directive
+class HtmlToText(Directive):
+    """html-to-text :col [out] — strip HTML to visible text (drops
+    script/style subtrees, decodes entities, keeps block-level line
+    breaks); accepts string or binary (WARC payload) columns. Writes
+    ``out`` (default ``text``)."""
+
+    name = "html-to-text"
+    usage = [
+        Arg("col", TokenType.COLUMN),
+        Arg("out", TokenType.IDENTIFIER, optional=True, default="text"),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import html_to_text
+
+        return html_to_text(df, ctx.resolve(df, self.args["col"]), str(self.args["out"]))
+
+
+@directive
 class CompressionRatio(Directive):
     """compression-ratio :col — zlib compressed/raw byte ratio →
     compress_ratio (low = repetitive boilerplate, ~1 = gibberish)."""

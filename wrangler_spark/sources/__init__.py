@@ -66,6 +66,90 @@ def read_raw_lines(spark: SparkSession, path: str, line_sep: str | None = None) 
     return reader.text(path).withColumnRenamed("value", "body")
 
 
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response", "conversion"),
+    strip_http_headers: bool = True,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Read WARC / WET archives (the Common Crawl container) into
+    (warc_file, warc_type, record_id, target_uri, warc_date,
+    content_type, http_status, payload binary).
+
+    Scale shape: the unit of parallelism is the FILE — WARC gzip is
+    per-record-member compressed but not block-splittable, and the
+    archival convention is ~1 GB files precisely so that file-level
+    parallelism is enough (a Common Crawl snapshot is ~90k files; any
+    cluster saturates on that). ``binaryFile`` streams one file per
+    task; the parser yields Arrow batches of ``batch_rows`` records so
+    peak memory per task is one file buffer + one batch, independent of
+    records-per-file. ``conversion`` records are WET extracted text;
+    ``response`` records get their HTTP envelope stripped (status kept)
+    when ``strip_http_headers`` — the payload is then the raw body,
+    ready for html-to-text -> langid -> quality -> dedup downstream.
+    """
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from wrangler_spark.formats import warc as _warc
+
+    schema = StructType(
+        [
+            StructField("warc_file", StringType()),
+            StructField("warc_type", StringType()),
+            StructField("record_id", StringType()),
+            StructField("target_uri", StringType()),
+            StructField("warc_date", StringType()),
+            StructField("content_type", StringType()),
+            StructField("http_status", IntegerType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    wanted = {t.lower() for t in record_types}
+
+    def parse(batches):
+        import pandas as pd
+
+        cols = [f.name for f in schema.fields]
+
+        def flush(rows):
+            return pd.DataFrame(rows, columns=cols)
+
+        for pdf in batches:
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for headers, block in _warc.iter_records(bytes(content)):
+                    wtype = headers.get("warc-type", "")
+                    if wanted and wtype.lower() not in wanted:
+                        continue
+                    status, body = None, block
+                    ctype = headers.get("content-type", "")
+                    if strip_http_headers and ctype.startswith("application/http"):
+                        status, body = _warc.split_http_payload(block)
+                    rows.append(
+                        (
+                            fname,
+                            wtype,
+                            headers.get("warc-record-id"),
+                            headers.get("warc-target-uri"),
+                            headers.get("warc-date"),
+                            ctype,
+                            status,
+                            body,
+                        )
+                    )
+                    if len(rows) >= batch_rows:
+                        yield flush(rows)
+                        rows = []
+                if rows:
+                    yield flush(rows)
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(parse, schema)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, partition_column: str | None = None,
               num_partitions: int = 8, **options) -> DataFrame:
     """JDBC source; pass partition_column for parallel reads (required for
