@@ -449,3 +449,45 @@ def test_transitions_stream_matches_batch(spark, tmp_path_factory):
     }
     assert stream_counts == batch == {("a", "b"): 1, ("b", "a"): 2}
     _sh.rmtree(d, ignore_errors=True)
+
+
+def test_embedding_pairs_against_on_stream(spark, tmp_path_factory):
+    """Cross-corpus SEMANTIC near-dedup is stream-safe: the new side's
+    hyperplane signature is scan-side, the old side collapses to static
+    bucket/vector frames, so the op is two stream-static equi-joins —
+    semantic decontamination of a streaming ingestion source against a
+    static benchmark corpus, no code changes. Batch mode gives
+    identical pairs."""
+    import random
+    import shutil
+
+    from wrangler_spark.datapipe import dedup
+
+    rng = random.Random(5)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    new = spark.createDataFrame(
+        [(1, [x * 1.001 for x in base]),
+         (2, [rng.uniform(-1, 1) for _ in range(16)])],
+        ["vec_id", "embedding"],
+    )
+    old = spark.createDataFrame(
+        [(100, base), (101, [rng.uniform(-1, 1) for _ in range(16)])],
+        ["vec_id", "embedding"],
+    )
+    d = str(tmp_path_factory.mktemp("emb_ingest"))
+    new.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(new.schema).parquet(d)
+    planes = dedup.HYPERPLANES[:8]
+    pairs = dedup.embedding_pairs_against(
+        stream, old, "vec_id", "embedding", 0.9, planes=planes
+    )
+    assert pairs.isStreaming
+    q = run_to_memory(pairs, "emb_cross")
+    got = {(r["id_new"], r["id_old"]): r["cosine"]
+           for r in spark.sql("SELECT * FROM emb_cross").collect()}
+    q.stop()
+    shutil.rmtree(d, ignore_errors=True)
+    batch = {(r["id_new"], r["id_old"]): r["cosine"]
+             for r in dedup.embedding_pairs_against(
+                 new, old, "vec_id", "embedding", 0.9, planes=planes).collect()}
+    assert got == batch and (1, 100) in got

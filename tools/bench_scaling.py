@@ -42,6 +42,10 @@ QUERIES = [
     # round 8, third batch (event analytics; sf1 replicates events 10x
     # by user-id shift — 10x users, same per-user density)
     "events_funnel", "events_retention", "events_transitions", "events_paths",
+    # round 8, fourth batch (cross-corpus semantic dedup; boilerplate strip —
+    # sf1's replicated embeddings make old buckets 10x denser, exercising
+    # the max_bucket_size cap exactly as a mirror-heavy corpus would)
+    "dedup_cross_embedding", "strip_boilerplate",
 ]
 
 
