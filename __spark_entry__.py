@@ -344,6 +344,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), "doc_id", "text", 3, 0.5, unit="word"
         ),
         "dedup_substring": lambda s, d: curation.substring_dup_spans(docs(s, d), "doc_id", "text", 8),
+        "decontam_spans": lambda s, d: curation.substring_spans_against(
+            docs(s, d), docs(s, d).filter(F.col("doc_id") % 17 == 3), "doc_id", "text", 8
+        ),
         "dedup_substring_keepfirst": lambda s, d: curation.substring_dup_spans(
             docs(s, d), "doc_id", "text", 8, keep_first=True
         ),
@@ -511,6 +514,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_minhash_flag": o.minhash_dedup_sql(0.5),
         "dedup_minhash_cc": o.minhash_components_sql(0.5),
         "dedup_substring": o.substring_dup_sql(8),
+        "decontam_spans": o.substring_against_sql(8),
         "dedup_substring_keepfirst": o.substring_dup_sql(8, keep_first=True),
         "text_dsir": o.dsir_sql(4096),
         "pack_sequences": o.pack_sequences_sql(512),
@@ -839,7 +843,10 @@ _R8_WINDOW = [
     "text_clf_score",
     "text_lp_buckets",
     "text_bigram_lp",
-    "num_outliers",
+    # late r8 addition (benchmark-contamination spans) — num_outliers
+    # vacated this slot (flag_outliers stays graded through num_mad,
+    # which exercises the same r8 exact-knob path)
+    "decontam_spans",
     "num_winsorize",
     "ann_mmr_rerank",
     "emb_quantize",

@@ -2658,3 +2658,28 @@ def test_strip_boilerplate_directive(spark):
         for r in Pipeline.compile("strip-boilerplate :doc_id :text 2").apply(df).collect()
     }
     assert out == {1: "keep me", 2: "other"}
+
+
+def test_substring_spans_against(spark):
+    from wrangler_spark.datapipe import curation
+
+    bench = spark.createDataFrame(
+        [(100, "alpha bravo charlie delta echo foxtrot golf hotel")],
+        ["doc_id", "text"],
+    )
+    docs_df = spark.createDataFrame(
+        [
+            (1, "intro words alpha bravo charlie delta echo foxtrot golf hotel outro stuff"),
+            (2, "completely unrelated words that never match anything at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.substring_spans_against(docs_df, bench, "doc_id", "text", 8).collect()
+    }
+    assert out[1]["n_covered"] == 8 and out[1]["n_tokens"] == 12
+    assert out[1]["text_clean"] == "intro words outro stuff"
+    assert out[1]["contam_ratio"] == round(8 / 12, 6)
+    assert out[2]["n_covered"] == 0 and out[2]["contam_ratio"] == 0.0
+    assert out[2]["text_clean"] == docs_df.collect()[1]["text"]

@@ -326,32 +326,8 @@ def substring_dup_spans(
     k^2 of pair expansion. At 100 TB the only care is the md5 width: the
     full 128-bit hex is the join key, so hash collisions are negligible
     and no verification pass is needed."""
-    from wrangler_spark.datapipe.dedup import normalize_text
-
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    # base feeds TWO branches (the window explode and the final coverage
-    # join), so the normalize+split runs twice — DELIBERATELY left lazy:
-    # a localCheckpoint here measured SLOWER (0.52 -> 0.61-0.85 s warm at
-    # sf0.1) because materializing the tokenized corpus costs more than
-    # re-running a scan-side split over pruned parquet. The checkpoint
-    # idiom pays only when the shared subtree contains shuffles/aggregates
-    # (DSIR counts, ngram inv, perplexity_buckets' scored frame) — a pure
-    # scan-side branch is cheaper to recompute than to store.
-    base = df.select(F.col(id_col).alias("__sid"), toks.alias("t"))
+    base, exploded = _window_hashes(df, id_col, text_col, int(window))
     w = int(window)
-    wins = F.when(
-        F.size("t") >= w,
-        F.transform(
-            F.sequence(F.lit(1), F.size("t") - (w - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(w)))).alias("wh"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,wh:string>>"))
-    exploded = base.select("__sid", F.explode(wins).alias("s")).select(
-        "__sid", F.col("s.pos").alias("pos"), F.col("s.wh").alias("wh")
-    )
     if keep_first:
         # one aggregate computes BOTH the dup flag and the survivor
         # tie-break (min (doc_id, pos) struct) per window hash — same
@@ -373,6 +349,52 @@ def substring_dup_spans(
             F.col("cnt") > 1
         ).select("wh")
         occ = exploded.join(dup, "wh")
+    return _span_coverage(base, occ, id_col, w, "dup_ratio", "text_deduped")
+
+
+def _window_hashes(
+    df: DataFrame, id_col: str, text_col: str, w: int
+) -> tuple[DataFrame, DataFrame]:
+    """(base, exploded) rolling-window frames shared by the within-corpus
+    (substring_dup_spans) and against-benchmark (substring_spans_against)
+    span ops: base = (__sid, t tokens), exploded = one (__sid, pos, wh)
+    row per window position, wh = md5 over the window's normalized text.
+
+    base feeds TWO branches (the window explode and the final coverage
+    join), so the normalize+split runs twice — DELIBERATELY left lazy:
+    a localCheckpoint here measured SLOWER (0.52 -> 0.61-0.85 s warm at
+    sf0.1) because materializing the tokenized corpus costs more than
+    re-running a scan-side split over pruned parquet. The checkpoint
+    idiom pays only when the shared subtree contains shuffles/aggregates
+    (DSIR counts, ngram inv, perplexity_buckets' scored frame) — a pure
+    scan-side branch is cheaper to recompute than to store."""
+    from wrangler_spark.datapipe.dedup import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("__sid"), toks.alias("t"))
+    wins = F.when(
+        F.size("t") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (w - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(w)))).alias("wh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,wh:string>>"))
+    exploded = base.select("__sid", F.explode(wins).alias("s")).select(
+        "__sid", F.col("s.pos").alias("pos"), F.col("s.wh").alias("wh")
+    )
+    return base, exploded
+
+
+def _span_coverage(
+    base: DataFrame, occ: DataFrame, id_col: str, w: int,
+    ratio_name: str, text_name: str,
+) -> DataFrame:
+    """Shared coverage tail: flagged (__sid, pos) occurrences -> per-doc
+    covered-position set -> (id, n_tokens, n_covered, ratio, stripped
+    text). One hash aggregate keyed by doc id + one left join back."""
     cov = (
         occ
         .select("__sid", F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1)).alias("span"))
@@ -389,11 +411,36 @@ def substring_dup_spans(
         n_covered.cast("long").alias("n_covered"),
         F.round(
             n_covered.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"), 6
-        ).alias("dup_ratio"),
+        ).alias(ratio_name),
         F.concat_ws(
             " ", F.filter(F.col("t"), lambda x, i: ~F.array_contains(cp, i + F.lit(1)))
-        ).alias("text_deduped"),
+        ).alias(text_name),
     )
+
+
+def substring_spans_against(
+    df: DataFrame, bench: DataFrame, id_col: str, text_col: str, window: int = 20,
+) -> DataFrame:
+    """Verbatim-contamination spans against a benchmark corpus: every
+    ``window``-token span of a doc whose exact normalized text occurs
+    ANYWHERE in ``bench`` is contaminated. Returns one row per input doc:
+    (id, n_tokens, n_covered, contam_ratio, text_clean) with the covered
+    tokens stripped from text_clean.
+
+    decontaminate() answers "how much n-gram overlap" (a gate); this is
+    its span-level companion — positive evidence (which tokens) and the
+    surgical fix (strip the verbatim spans, keep the doc) for borderline
+    docs a hard gate would waste. Same rolling-window machinery as
+    substring_dup_spans (Lee et al. 2022), but the inverted index is the
+    BENCHMARK side and the join is asymmetric: the bench collapses to
+    DISTINCT window hashes — eval suites are tiny next to a training
+    corpus, so the hash set broadcasts (AQE) and clean docs never
+    shuffle. Linear in corpus tokens, like the within-corpus op."""
+    w = int(window)
+    base, exploded = _window_hashes(df, id_col, text_col, w)
+    _, bench_e = _window_hashes(bench, id_col, text_col, w)
+    occ = exploded.join(bench_e.select("wh").distinct(), "wh")
+    return _span_coverage(base, occ, id_col, w, "contam_ratio", "text_clean")
 
 
 def _hashed_ngram_features(df: DataFrame, id_col: str, text_col: str, buckets: int) -> DataFrame:

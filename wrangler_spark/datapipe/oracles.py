@@ -649,6 +649,40 @@ FROM tk LEFT JOIN cov c USING (doc_id)
 """
 
 
+def substring_against_sql(
+    window: int = 20, bench_pred: str = "doc_id % 17 = 3", table: str = "documents"
+) -> str:
+    """Mirror of curation.substring_spans_against with bench = the
+    ``bench_pred`` subset of the same table (the decontaminate demo's
+    deterministic benchmark split)."""
+    w = int(window)
+    return f"""
+WITH tk AS (SELECT doc_id, {_WORDS} AS t FROM {table}),
+wins AS (
+  SELECT doc_id, s.pos AS pos, s.wh AS wh FROM (
+    SELECT doc_id,
+           unnest([struct_pack(pos := i,
+                               wh := md5(array_to_string(list_slice(t, i, i + {w - 1}), ' ')))
+                   FOR i IN range(1, len(t) - {w} + 2)]) AS s
+    FROM tk WHERE len(t) >= {w})
+),
+bh AS (SELECT DISTINCT wh FROM wins WHERE {bench_pred}),
+occ AS (SELECT doc_id, pos FROM wins JOIN bh USING (wh)),
+cov AS (
+  SELECT doc_id, list_distinct(flatten(list(range(pos, pos + {w})))) AS cp
+  FROM occ GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       len(tk.t)::BIGINT AS n_tokens,
+       coalesce(len(c.cp), 0)::BIGINT AS n_covered,
+       round(coalesce(len(c.cp), 0)::DOUBLE / greatest(len(tk.t), 1)::DOUBLE, 6) AS contam_ratio,
+       coalesce(array_to_string([tk.t[i] FOR i IN range(1, len(tk.t) + 1)
+                                 IF NOT list_contains(coalesce(c.cp, CAST([] AS BIGINT[])), i)],
+                                ' '), '') AS text_clean
+FROM tk LEFT JOIN cov c USING (doc_id)
+"""
+
+
 def dsir_sql(buckets: int = 4096, table: str = "documents") -> str:
     """Mirror of curation.dsir_logratio with target = the doc_id % 7 == 0
     subset of the same table (the demo query's deterministic 'target
