@@ -221,6 +221,11 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": lambda s, d: dedup.exact_dedup(docs(s, d), "doc_id", "text"),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(docs(s, d), "doc_id", "text", 0.5),
+        # the recall-tilted LSH operating point (16 bands x 2 rows) — the
+        # banding knob tuned via pair_eval before a full-scale run
+        "dedup_minhash_b16r2": lambda s, d: dedup.minhash_lsh_pairs(
+            docs(s, d), "doc_id", "text", 0.3, bands=16, rows_per_band=2
+        ),
         "dedup_minhash_flag": lambda s, d: Pipeline.compile(
             "dedup-minhash :doc_id :text 0.5"
         ).apply(docs(s, d)),
@@ -511,6 +516,7 @@ def _datapipe_oracles() -> dict[str, str]:
     return {
         "dedup_exact": o.dedup_exact_sql(),
         "dedup_minhash_lsh": o.minhash_lsh_sql(0.5),
+        "dedup_minhash_b16r2": o.minhash_lsh_sql(0.3, bands=16, rows=2),
         "dedup_minhash_flag": o.minhash_dedup_sql(0.5),
         "dedup_minhash_cc": o.minhash_components_sql(0.5),
         "dedup_substring": o.substring_dup_sql(8),
@@ -855,7 +861,10 @@ _R8_WINDOW = [
     "dedup_cross_exact",
     "dedup_cross_minhash",
     "dedup_substring_keepfirst",
-    "dedup_template",
+    # late r8 addition (parameterized LSH banding) — dedup_template
+    # vacated (r7-green; its one-shuffle exact-dedup shape stays graded
+    # through dedup_cross_exact and the checkpoint-mechanism entries)
+    "dedup_minhash_b16r2",
     # new this round: PQ / IVF-PQ ANN family + Bloom-prefiltered dedup
     "ann_pq_topk",
     "ann_pq_recall",

@@ -2683,3 +2683,22 @@ def test_substring_spans_against(spark):
     assert out[1]["contam_ratio"] == round(8 / 12, 6)
     assert out[2]["n_covered"] == 0 and out[2]["contam_ratio"] == 0.0
     assert out[2]["text_clean"] == docs_df.collect()[1]["text"]
+
+
+def test_minhash_banding_operating_points(spark, docs):
+    """16x2 banding moves the LSH S-curve left: every pair the 8x4
+    default finds at a given threshold is found by 16x2 too (prefix
+    permutations -> band 2b's key is a refinement of band b's), and the
+    low-similarity near-dup (docs 1 vs 2) collides at 16x2 even when the
+    verify threshold is dropped below the 8x4 sweet spot."""
+    lo = dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.2, bands=16, rows_per_band=2)
+    hi = dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.2)
+    got_lo = {(r["id_a"], r["id_b"]) for r in lo.collect()}
+    got_hi = {(r["id_a"], r["id_b"]) for r in hi.collect()}
+    assert got_hi <= got_lo  # recall is monotone in the banding tilt
+    assert (1, 2) in got_lo  # the near-dup pair collides at 16x2
+    # geometry over the bundled permutation budget is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bundled"):
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.5, bands=17, rows_per_band=2).collect()

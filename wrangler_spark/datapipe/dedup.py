@@ -166,38 +166,61 @@ def minhash_signature(shingles: Column) -> list[Column]:
     ]
 
 
-def _sig_bands(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame]:
+def _sig_bands(
+    df: DataFrame, id_col: str, text_col: str,
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash front end: (base, bands) where base = (id, shingles)
     eagerly localCheckpoint-ed (evaluated once, read by the signature path
     AND the candidate-verification join — with a lazy checkpoint those
     consumers race to materialize the RDD and the losers' metric
     accumulators are dropped), and bands = (id, band, key) banded
     signature rows, ~40 bytes each, the only thing the bucket shuffle
-    carries."""
+    carries.
+
+    ``bands x rows`` is the LSH operating point (collision probability
+    ~= 1 - (1 - j^rows)^bands): more bands / fewer rows per band moves
+    the S-curve LEFT (recall up, candidate volume up). bands*rows
+    signatures are drawn as a prefix of the 32 bundled permutations, so
+    two calls with the same geometry always bucket identically."""
+    if bands * rows > len(MINHASH_A):
+        raise ValueError(
+            f"bands*rows = {bands * rows} exceeds the {len(MINHASH_A)} bundled "
+            "minhash permutations"
+        )
     base = eager_checkpoint(with_shingles(df, id_col, text_col))
     hashed = base.selectExpr(
         "id", f"transform(shingles, s -> {_HASH28_SQL.format(x='s')}) AS h"
     )
-    sig = hashed.selectExpr("id", *[_sig_sql(j) for j in range(len(MINHASH_A))])
+    sig = hashed.selectExpr("id", *[_sig_sql(j) for j in range(bands * rows)])
     band_array = "array(" + ", ".join(
         f"struct({b} AS band, concat_ws('-', "
-        + ", ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
         + ") AS key)"
-        for b in range(LSH_BANDS)
+        for b in range(bands)
     ) + ")"
-    bands = (
+    bands_df = (
         sig.selectExpr("id", f"explode({band_array}) AS bk")
         .selectExpr("id", "bk.band AS band", "bk.key AS key")
     )
-    return base, bands
+    return base, bands_df
 
 
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
     max_bucket_size: int = 100, hard_bucket_cap: int = 10_000_000,
+    bands: int = LSH_BANDS, rows_per_band: int = LSH_ROWS,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact Jaccard over shingle sets. Returns (id_a, id_b, jaccard).
+
+    ``bands``/``rows_per_band`` set the LSH operating point (see
+    _sig_bands; tune with pair_eval against an ngram_jaccard_pairs
+    ground truth before a 100 TB run — e.g. 16x2 trades candidate
+    volume for recall at low thresholds vs the 8x4 default). The
+    cross-corpus and persisted-index paths deliberately stay on the
+    default geometry: an index probed with a different banding misses
+    pairs silently.
 
     Scale shape: the shingle hashes are computed ONCE per doc (md5 is the
     dominant cost — naively inlining it into all 32 signature mins
@@ -238,7 +261,7 @@ def minhash_lsh_pairs(
     OOMing the executor. The collect itself cannot be bounded natively
     (no limit-per-group aggregate) — the cap bounds the dominant cost,
     the emitted pair array."""
-    base, bands = _sig_bands(df, id_col, text_col)
+    base, band_rows = _sig_bands(df, id_col, text_col, bands, rows_per_band)
     # all-pairs within small buckets, star-to-representative in hot ones;
     # ids sorted ascending so id_a < id_b by construction
     pair_expr = (
@@ -249,7 +272,7 @@ def minhash_lsh_pairs(
         "END AS prs"
     )
     cand = (
-        bands.groupBy("band", "key")
+        band_rows.groupBy("band", "key")
         .agg(F.expr("array_sort(collect_list(id))").alias("ids"))
         .selectExpr(pair_expr)
         .selectExpr("inline(prs)")

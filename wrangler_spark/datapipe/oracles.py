@@ -43,17 +43,20 @@ sh AS (
 )"""
 
 
-def minhash_lsh_sql(threshold: float = 0.5, table: str = "documents") -> str:
+def minhash_lsh_sql(
+    threshold: float = 0.5, table: str = "documents",
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+) -> str:
     h = _H.format(s="s")
     sig_exprs = ", ".join(
         f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MINHASH_P})) AS mh{j}"
-        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        for j, (a, b) in enumerate(zip(MINHASH_A[: bands * rows], MINHASH_B[: bands * rows]))
     )
     band_selects = " UNION ALL ".join(
         "SELECT id, shingles, {b} AS band, ".format(b=b)
-        + " || '-' || ".join(f"CAST(mh{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS))
+        + " || '-' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
         + " AS key FROM sig"
-        for b in range(LSH_BANDS)
+        for b in range(bands)
     )
     return f"""
 WITH {_shingles_cte(table)},
