@@ -855,7 +855,12 @@ _R8_WINDOW = [
     "decontam_spans",
     "num_winsorize",
     "ann_mmr_rerank",
-    "emb_quantize",
+    # late r8 change (langid_multi grew nl/sv/pl/id profiles — its output
+    # semantics changed, so it re-enters the window); emb_quantize vacated
+    # (r7-green; its own __ma staging predates the staged-norm fix, and
+    # the embedding family stays graded via ann_recall/emb_project/
+    # emb_outliers)
+    "text_langid_multi",
     "emb_project",
     "ann_recall",
     "dedup_cross_exact",

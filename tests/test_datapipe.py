@@ -2702,3 +2702,20 @@ def test_minhash_banding_operating_points(spark, docs):
 
     with _pytest.raises(ValueError, match="bundled"):
         dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.5, bands=17, rows_per_band=2).collect()
+
+
+def test_langid_multi_new_languages(spark):
+    """The four round-8 profiles (nl/sv/pl/id) classify natural sentences
+    correctly and don't perturb the original six."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away", "en"),
+        (2, "ik denk dat het een mooie dag is en we gaan met de fiets naar het strand", "nl"),
+        (3, "jag tror att det är en vacker dag och vi ska åka till stranden med bilen", "sv"),
+        (4, "nie wiem czy to jest dobry pomysł ale być może tak trzeba zrobić", "pl"),
+        (5, "saya pikir ini adalah hari yang indah dan kami akan pergi ke pantai dengan mereka", "id"),
+        (6, "el perro corre por la calle y no quiere volver a la casa con los niños", "es"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], ["id", "text"])
+    got = {r["id"]: r["lang_pred"] for r in text.langid_multi(df, "text").collect()}
+    want = {i: lang for i, _, lang in rows}
+    assert got == want

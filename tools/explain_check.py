@@ -117,12 +117,14 @@ def main() -> int:
     problems += check("ann_ivf_probe_topk", p, must=["Broadcast"], must_not=["Window"])
 
     # 11. substring-span dedup is all native (explode + hash agg +
-    # equi-join inverted index): no Python, no window, no nested-loop
-    p = plan_of(qs["dedup_substring"](spark, SF_DIR))
-    problems += check(
-        "dedup_substring", p,
-        must_not=["BatchEvalPython", "ArrowEvalPython", "Window", "CartesianProduct"],
-    )
+    # equi-join inverted index): no Python, no window, no nested-loop —
+    # and the against-benchmark variant shares the same contract
+    for nm in ("dedup_substring", "decontam_spans"):
+        p = plan_of(qs[nm](spark, SF_DIR))
+        problems += check(
+            nm, p,
+            must_not=["BatchEvalPython", "ArrowEvalPython", "Window", "CartesianProduct"],
+        )
 
     # 12. DSIR scoring join broadcasts the bucket weight table (≤ B rows);
     # the corpus side must never sort-merge against it

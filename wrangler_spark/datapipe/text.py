@@ -382,8 +382,9 @@ def langid_multi(
     cjk_ratio: float = 0.3,
 ) -> DataFrame:
     """Multi-language LID: density of each language's function words
-    (constants.LANG_STOPWORDS: en/es/fr/de/it/pt), argmax wins (ties to
-    the lexically-smaller code), 'unknown' below ``min_ratio`` — plus a
+    (constants.LANG_STOPWORDS: en/es/fr/de/it/pt/nl/sv/pl/id), argmax
+    wins (ties to the lexically-smaller code), 'unknown' below
+    ``min_ratio`` — plus a
     SCRIPT branch for zh: stopword profiles are a Latin-alphabet
     instrument and see CJK text as zero-density noise, so a document
     whose non-whitespace characters are ≥ ``cjk_ratio`` CJK classifies
@@ -393,7 +394,7 @@ def langid_multi(
     fastText via the same column contract, but this one is
     deterministic, dependency-free and SQL-oracle-able.
 
-    Scale shape: per-row array filters against 6 broadcast-literal word
+    Scale shape: per-row array filters against 10 broadcast-literal word
     lists + one codepoint-class regexp count — scan-side, zero shuffle,
     whole-stage codegen. The argmax is the repo's struct-sort idiom
     (array_sort over (-density, code) structs), never a window."""

@@ -463,7 +463,7 @@ class ScriptRatios(Directive):
 @directive
 class LangIdMulti(Directive):
     """langid-multi :text — multi-language stopword-profile LID
-    (en/es/fr/de/it/pt argmax) → lang_pred, lang_score."""
+    (en/es/fr/de/it/pt/nl/sv/pl/id argmax) → lang_pred, lang_score."""
 
     name = "langid-multi"
     usage = [Arg("text", TokenType.COLUMN)]
