@@ -72,6 +72,8 @@ EXTRA_QUERIES = [
     "events_paths",        # top-k journeys: max_len trim + TakeOrdered
     "dedup_cross_embedding",  # cross-corpus semantic near-dedup (LSH buckets)
     "strip_boilerplate",   # corpus-frequency line removal + reassembly
+    "decontam_spans",      # benchmark-contamination span detection
+    "dedup_minhash_b16r2", # recall-tilted LSH banding operating point
 ]
 
 

@@ -491,3 +491,39 @@ def test_embedding_pairs_against_on_stream(spark, tmp_path_factory):
              for r in dedup.embedding_pairs_against(
                  new, old, "vec_id", "embedding", 0.9, planes=planes).collect()}
     assert got == batch and (1, 100) in got
+
+
+def test_read_warc_streaming(spark, tmp_path_factory):
+    """Crawl drops landing in a directory stream through the same WARC
+    parse path (binaryFile file source, schema pinned) and compose with
+    the incremental dedup: new pages are flagged against the accumulated
+    static corpus per micro-batch."""
+    import gzip
+    import shutil
+
+    from wrangler_spark.datapipe.dedup import exact_dedup_against
+    from wrangler_spark.formats import warc
+    from wrangler_spark.sources import read_warc
+
+    d = str(tmp_path_factory.mktemp("crawl_drop"))
+    recs = []
+    for i, body in ((1, b"seen before page"), (2, b"genuinely new page")):
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        recs.append(warc.build_record(
+            {"WARC-Record-ID": f"<urn:uuid:{i}>", "WARC-Target-URI": f"http://x/{i}",
+             "Content-Type": "application/http; msgtype=response"}, http))
+    with open(f"{d}/drop0.warc.gz", "wb") as fh:
+        fh.write(gzip.compress(b"".join(recs)))
+
+    pages = read_warc(spark, d, record_types=("response",), streaming=True)
+    assert pages.isStreaming
+    corpus = spark.createDataFrame([(100, "SEEN  before   page")], ["doc_id", "text"])
+    flags = exact_dedup_against(
+        pages.selectExpr("target_uri AS doc_id", "CAST(payload AS STRING) AS text"),
+        corpus, "doc_id", "text",
+    )
+    q = run_to_memory(flags, "crawl_flags")
+    got = {r["doc_id"]: r["is_dup"] for r in spark.sql("SELECT * FROM crawl_flags").collect()}
+    q.stop()
+    shutil.rmtree(d, ignore_errors=True)
+    assert got == {"http://x/1": True, "http://x/2": False}

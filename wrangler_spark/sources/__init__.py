@@ -72,6 +72,7 @@ def read_warc(
     record_types: tuple[str, ...] = ("response", "conversion"),
     strip_http_headers: bool = True,
     batch_rows: int = 256,
+    streaming: bool = False,
 ) -> DataFrame:
     """Read WARC / WET archives (the Common Crawl container) into
     (warc_file, warc_type, record_id, target_uri, warc_date,
@@ -88,9 +89,16 @@ def read_warc(
     ``response`` records get their HTTP envelope stripped (status kept)
     when ``strip_http_headers`` — the payload is then the raw body,
     ready for html-to-text -> langid -> quality -> dedup downstream.
+
+    ``streaming=True`` reads the SAME directory as a Structured
+    Streaming file source (binaryFile needs its schema pinned on a
+    stream): crawl drops landing in the directory become micro-batches
+    through the identical parse path, composing with the stream-safe
+    incremental dedups (exact_dedup_against, embedding_pairs_against).
     """
     from pyspark.sql.types import (
-        BinaryType, IntegerType, StringType, StructField, StructType,
+        BinaryType, IntegerType, LongType, StringType, StructField,
+        StructType, TimestampType,
     )
 
     from wrangler_spark.formats import warc as _warc
@@ -146,8 +154,19 @@ def read_warc(
                 if rows:
                     yield flush(rows)
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-    return files.mapInPandas(parse, schema)
+    if streaming:
+        src_schema = StructType(
+            [
+                StructField("path", StringType()),
+                StructField("modificationTime", TimestampType()),
+                StructField("length", LongType()),
+                StructField("content", BinaryType()),
+            ]
+        )
+        files = spark.readStream.format("binaryFile").schema(src_schema).load(path)
+    else:
+        files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(parse, schema)
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, partition_column: str | None = None,
