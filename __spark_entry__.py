@@ -301,6 +301,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "num_scale": lambda s, d: numeric.scale_column(
             _t(s, d, "customer"), "c_acctbal", "minmax"
         ).select("c_custkey", "c_acctbal_scaled"),
+        "num_scale_by": lambda s, d: numeric.scale_column(
+            _t(s, d, "customer"), "c_acctbal", "zscore", by=["c_mktsegment"]
+        ).select("c_custkey", "c_mktsegment", "c_acctbal_scaled"),
+        "sample_top_frac": lambda s, d: curation.keep_top_frac(
+            _t(s, d, "customer"), "c_acctbal", 0.1
+        ).select("c_custkey", "c_acctbal"),
         "entity_match": lambda s, d: dedup.entity_match_pairs(
             _t(s, d, "customer"), "c_custkey",
             ["c_nationkey", "c_mktsegment"], [("c_name", 2)],
@@ -550,6 +556,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_top_ngrams": o.top_ngrams_sql(3, 20),
         "corpus_drift": o.distribution_drift_sql("c_acctbal", 10),
         "num_scale": o.scale_column_sql("c_acctbal", "minmax"),
+        "num_scale_by": o.scale_by_sql("c_acctbal", "zscore", "c_mktsegment"),
+        "sample_top_frac": o.keep_top_frac_sql(0.1),
         "num_winsorize": o.winsorize_sql("c_acctbal", 0.05, 0.95),
         "text_readability": o.readability_sql(),
         "dedup_template": o.template_dedup_sql(),
@@ -836,7 +844,9 @@ _R8_WINDOW = [
     # rewrite / staged norm / plan-shape fixes)
     "entity_match",
     "text_winnow_overlap",
-    "text_winnow",
+    # late r8 addition (per-group scaling) — text_winnow vacated (r7-green;
+    # winnow_fingerprints IS the in-window winnow_overlap's subtree)
+    "num_scale_by",
     "dedup_ngram_word",
     "dedup_minhash_cc",
     "dedup_embedding_cc",
@@ -863,7 +873,10 @@ _R8_WINDOW = [
     "text_langid_multi",
     "emb_project",
     "ann_recall",
-    "dedup_cross_exact",
+    # late r8 addition (top-fraction pruning) — dedup_cross_exact vacated
+    # (r7-green; its plain branch is unchanged and dedup_cross_bloom
+    # grades the identical oracle through the harder code path)
+    "sample_top_frac",
     "dedup_cross_minhash",
     "dedup_substring_keepfirst",
     # late r8 addition (parameterized LSH banding) — dedup_template

@@ -2719,3 +2719,54 @@ def test_langid_multi_new_languages(spark):
     got = {r["id"]: r["lang_pred"] for r in text.langid_multi(df, "text").collect()}
     want = {i: lang for i, _, lang in rows}
     assert got == want
+
+
+def test_scale_column_grouped(spark):
+    from wrangler_spark import Pipeline
+    from wrangler_spark.datapipe import numeric
+
+    rows = [
+        (1, "a", 0.0), (2, "a", 10.0),          # group a: range 0..10
+        (3, "b", 100.0), (4, "b", 300.0),       # group b: range 100..300
+        (5, None, 5.0), (6, None, 15.0),        # NULL group must keep its rows
+        (7, "c", 42.0),                          # constant group -> 0.0
+        (8, "a", None),                          # null value stays null
+    ]
+    df = spark.createDataFrame(rows, ["id", "grp", "x"])
+    out = {r["id"]: r["x_scaled"] for r in numeric.scale_column(df, "x", "minmax", by=["grp"]).collect()}
+    assert out[1] == 0.0 and out[2] == 1.0
+    assert out[3] == 0.0 and out[4] == 1.0
+    assert out[5] == 0.0 and out[6] == 1.0  # null group scaled within itself
+    assert out[7] == 0.0                     # constant group contract
+    assert out[8] is None
+    assert len(out) == 8                     # no rows lost to the stats join
+
+    # recipe surface
+    d2 = Pipeline.compile("scale-column :x minmax :grp").apply(df)
+    got2 = {r["id"]: r["x_scaled"] for r in d2.collect()}
+    assert got2 == out
+
+
+def test_keep_top_frac(spark):
+    from wrangler_spark.datapipe import curation
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)], ["id", "score"])
+    kept = curation.keep_top_frac(df, "score", 0.1)
+    ids = sorted(r["id"] for r in kept.collect())
+    assert ids == list(range(91, 101))  # type-7 90th pct of 1..100 = 90.1 -> top 10
+
+    # boundary ties are ALL kept
+    tied = spark.createDataFrame([(i, 1.0 if i <= 50 else 2.0) for i in range(1, 101)], ["id", "score"])
+    n = curation.keep_top_frac(tied, "score", 0.25).count()
+    assert n == 50  # the tie mass at 2.0 all passes
+
+    # null scores never pass; frac domain enforced
+    withnull = spark.createDataFrame([(1, None), (2, 5.0)], "id long, score double")
+    assert [r["id"] for r in curation.keep_top_frac(withnull, "score", 1.0).collect()] == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="frac"):
+        curation.keep_top_frac(df, "score", 0.0)
+    # approx mode: same plan shape, near-identical result on this data
+    approx_ids = sorted(r["id"] for r in curation.keep_top_frac(df, "score", 0.1, exact=False).collect())
+    assert set(approx_ids) >= set(range(92, 101))

@@ -99,6 +99,36 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def keep_top_frac(
+    df: DataFrame, score_col: str, frac: float,
+    exact: bool = True, accuracy: int = 10000,
+) -> DataFrame:
+    """Keep the top ``frac`` of rows by score — the classifier-threshold
+    pruning step (train on the top X% by quality/edu-value): one
+    aggregate computes the (1-frac) quantile of the score, the scalar
+    broadcasts back, and the filter runs scan-side. Boundary ties are
+    ALL kept (>= threshold — the stable, deterministic contract; the
+    realized fraction can exceed ``frac`` by the tie mass). Null scores
+    never pass. ``exact=True`` is the type-7 cross-engine percentile
+    (buffers the score column in one aggregation buffer — fine to ~10^8
+    rows); ``exact=False`` swaps in approx_percentile, the
+    bounded-state path at 100 TB (same plan shape, no oracle
+    bit-parity). Unlike sample_hash (a uniform rate), this is
+    rank-selective — and unlike a global sort-limit, it never sorts:
+    the quantile aggregate + scan-side filter costs one pass + one
+    broadcast whatever the corpus size."""
+    from wrangler_spark.datapipe.numeric import _pctl
+
+    if not 0.0 < float(frac) <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    stats = df.agg(_pctl(score_col, 1.0 - float(frac), exact, accuracy).alias("__thr"))
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .filter(F.col(score_col).cast("double") >= F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def strip_boilerplate_lines(
     df: DataFrame, id_col: str, text_col: str, min_docs: int = 2,
 ) -> DataFrame:

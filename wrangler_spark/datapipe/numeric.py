@@ -86,28 +86,45 @@ def flag_outliers(
 
 def scale_column(
     df: DataFrame, col: str, method: str = "minmax", out_col: str | None = None,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Feature scaling: ``minmax`` → (x - min)/(max - min) in [0, 1],
     ``zscore`` → (x - mean)/stddev. Adds ``<col>_scaled`` (6dp — the
     cross-engine contract); constant columns scale to 0.0, nulls stay
-    null."""
+    null.
+
+    ``by`` scales WITHIN each group instead of globally — the
+    mixed-source normalization (a quality score's range differs per
+    source/language; global scaling lets one source's spread swamp
+    another's). Stats become a per-group aggregate equi-joined back
+    (null-safe on the keys so null-group rows keep their stats; the
+    stats frame has one row per group, AQE broadcasts it when small)
+    instead of the global broadcast scalar."""
     out_col = out_col or f"{col}_scaled"
     c = F.col(col).cast("double")
     if method == "minmax":
-        stats = df.agg(F.min(c).alias("__lo"), F.max(c).alias("__hi"))
+        aggs = [F.min(c).alias("__lo"), F.max(c).alias("__hi")]
         rng = F.col("__hi") - F.col("__lo")
         scaled = F.when(rng > 0, F.round((c - F.col("__lo")) / rng, 6)).otherwise(
             F.when(c.isNotNull(), F.lit(0.0))
         )
     elif method == "zscore":
-        stats = df.agg(
-            F.avg(c).alias("__m"), F.coalesce(F.stddev_pop(c), F.lit(0.0)).alias("__s")
-        )
+        aggs = [F.avg(c).alias("__m"), F.coalesce(F.stddev_pop(c), F.lit(0.0)).alias("__s")]
         scaled = F.when(F.col("__s") > 0, F.round((c - F.col("__m")) / F.col("__s"), 6)).otherwise(
             F.when(c.isNotNull(), F.lit(0.0))
         )
     else:
         raise ValueError(f"unknown scaling method: {method!r} (minmax|zscore)")
+    if by:
+        st = df.groupBy(*by).agg(*aggs)
+        stat_cols = [f.name for f in st.schema.fields if f.name.startswith("__")]
+        cond = None
+        for k in by:
+            eq = df[k].eqNullSafe(st[k])
+            cond = eq if cond is None else cond & eq
+        joined = df.join(st, cond).drop(*[st[k] for k in by])
+        return joined.withColumn(out_col, scaled).drop(*stat_cols)
+    stats = df.agg(*aggs)
     joined = df.crossJoin(F.broadcast(stats))
     return joined.withColumn(out_col, scaled).drop(*stats.columns)
 

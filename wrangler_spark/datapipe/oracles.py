@@ -1588,6 +1588,46 @@ FROM {table} CROSS JOIN s
 """
 
 
+def scale_by_sql(
+    col: str = "c_acctbal", method: str = "zscore", by: str = "c_mktsegment",
+    table: str = "customer", id_col: str = "c_custkey",
+) -> str:
+    """Mirror of numeric.scale_column(by=[...]) — per-group stats joined
+    back null-safely (DuckDB's IS NOT DISTINCT FROM == eqNullSafe)."""
+    if method == "minmax":
+        stats = f"SELECT {by}, min({col}) AS lo, max({col}) AS hi FROM {table} GROUP BY {by}"
+        scaled = (
+            f"CASE WHEN s.hi - s.lo > 0 THEN round((t.{col} - s.lo) / (s.hi - s.lo), 6) "
+            f"WHEN t.{col} IS NOT NULL THEN 0.0 END"
+        )
+    else:
+        stats = (
+            f"SELECT {by}, avg({col}) AS m, coalesce(stddev_pop({col}), 0) AS sd "
+            f"FROM {table} GROUP BY {by}"
+        )
+        scaled = (
+            f"CASE WHEN s.sd > 0 THEN round((t.{col} - s.m) / s.sd, 6) "
+            f"WHEN t.{col} IS NOT NULL THEN 0.0 END"
+        )
+    return f"""
+WITH s AS ({stats})
+SELECT t.{id_col}, t.{by}, {scaled} AS {col}_scaled
+FROM {table} t JOIN s ON t.{by} IS NOT DISTINCT FROM s.{by}
+"""
+
+
+def keep_top_frac_sql(
+    frac: float, score_col: str = "c_acctbal",
+    table: str = "customer", id_col: str = "c_custkey",
+) -> str:
+    """Mirror of curation.keep_top_frac (graded projection: id, score)."""
+    return f"""
+WITH s AS (SELECT quantile_cont({score_col}, {1.0 - float(frac)}) AS thr FROM {table})
+SELECT {id_col}, {score_col} FROM {table} CROSS JOIN s
+WHERE CAST({score_col} AS DOUBLE) >= thr
+"""
+
+
 def winsorize_sql(
     col: str = "c_acctbal", lo: float = 0.01, hi: float = 0.99,
     table: str = "customer", id_col: str = "c_custkey",

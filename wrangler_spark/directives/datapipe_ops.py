@@ -821,19 +821,25 @@ class FlagOutliers(Directive):
 
 @directive
 class ScaleColumn(Directive):
-    """scale-column :col [method] — min-max (default) or z-score feature
-    scaling → <col>_scaled."""
+    """scale-column :col [method] [:by] — min-max (default) or z-score
+    feature scaling → <col>_scaled; an optional :by column scales within
+    each group (per-source normalization) instead of globally."""
 
     name = "scale-column"
     usage = [
         Arg("col", TokenType.COLUMN),
         Arg("method", TokenType.IDENTIFIER, optional=True, default="minmax"),
+        Arg("by", TokenType.COLUMN, optional=True, default=None),
     ]
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
         from wrangler_spark.datapipe.numeric import scale_column
 
-        return scale_column(df, ctx.resolve(df, self.args["col"]), str(self.args["method"]))
+        by = self.args["by"]
+        return scale_column(
+            df, ctx.resolve(df, self.args["col"]), str(self.args["method"]),
+            by=[ctx.resolve(df, by)] if by else None,
+        )
 
 
 @directive
