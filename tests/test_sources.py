@@ -165,3 +165,65 @@ def test_write_bucketed_requires_bucket_columns(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         write_bucketed(df, "t_nope", [], 8, path=str(tmp_path / "x"))
+
+
+def test_write_corpus_sorted_zone_maps(spark, tmp_path):
+    """sort_by gives parquet row groups non-overlapping min/max on the
+    sort column (the zone-map contract a range-filtering reader prunes
+    with); an unsorted write of the same data has overlapping stats."""
+    import pyarrow.parquet as pq
+
+    from wrangler_spark.sources import write_corpus
+
+    df = spark.range(300_000).selectExpr(
+        "id", "CAST(hash(id) AS BIGINT) AS score"
+    ).repartition(2)
+
+    def rg_stats(root):
+        out = []
+        for f in sorted(root.rglob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = md.schema.names.index("score")
+            out.append([
+                (md.row_group(i).column(idx).statistics.min,
+                 md.row_group(i).column(idx).statistics.max)
+                for i in range(md.num_row_groups)
+            ])
+        return out
+
+    srt = tmp_path / "sorted"
+    write_corpus(df, str(srt), sort_by=["score"], mode="overwrite",
+                 **{"parquet.block.size": str(1 << 20)})
+    uns = tmp_path / "unsorted"
+    write_corpus(df, str(uns), mode="overwrite",
+                 **{"parquet.block.size": str(1 << 20)})
+
+    sorted_stats = rg_stats(srt)
+    assert any(len(groups) > 1 for groups in sorted_stats)  # multi-row-group files
+    for groups in sorted_stats:
+        for (a_min, a_max), (b_min, b_max) in zip(groups, groups[1:]):
+            assert a_max <= b_min  # non-overlapping zone maps within a file
+    overlap = any(
+        a_max > b_min
+        for groups in rg_stats(uns)
+        for (a_min, a_max), (b_min, b_max) in zip(groups, groups[1:])
+    )
+    assert overlap  # hash-ordered data: stats overlap, no pruning possible
+    # content identical either way
+    assert spark.read.parquet(str(srt)).count() == 300_000
+
+
+def test_keep_top_frac_grouped(spark):
+    from wrangler_spark.datapipe.curation import keep_top_frac
+
+    rows = [(i, "a", float(i)) for i in range(1, 101)]          # a: scores 1..100
+    rows += [(1000 + i, "b", float(i) / 10) for i in range(1, 11)]  # b: 0.1..1.0
+    rows += [(2000, None, 99.0), (2001, None, 1.0)]             # null group
+    df = spark.createDataFrame(rows, ["id", "grp", "score"])
+    kept = keep_top_frac(df, "score", 0.1, by=["grp"])
+    got = sorted(r["id"] for r in kept.collect())
+    # per-group 10%: a keeps 91..100, b keeps its top value, null grp keeps 99.0
+    assert got == list(range(91, 101)) + [1010, 2000]
+    # a GLOBAL 10% would have dropped everything in group b
+    global_ids = {r["id"] for r in keep_top_frac(df, "score", 0.1).collect()}
+    assert 1010 not in global_ids

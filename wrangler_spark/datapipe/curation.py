@@ -102,6 +102,7 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def keep_top_frac(
     df: DataFrame, score_col: str, frac: float,
     exact: bool = True, accuracy: int = 10000,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Keep the top ``frac`` of rows by score — the classifier-threshold
     pruning step (train on the top X% by quality/edu-value): one
@@ -116,17 +117,27 @@ def keep_top_frac(
     bit-parity). Unlike sample_hash (a uniform rate), this is
     rank-selective — and unlike a global sort-limit, it never sorts:
     the quantile aggregate + scan-side filter costs one pass + one
-    broadcast whatever the corpus size."""
+    broadcast whatever the corpus size.
+
+    ``by`` applies the fraction WITHIN each group (top X% per
+    language/source — a global threshold would let one high-scoring
+    source crowd out every other): per-group quantiles equi-joined
+    back null-safely, the scale_column(by=) shape."""
     from wrangler_spark.datapipe.numeric import _pctl
 
     if not 0.0 < float(frac) <= 1.0:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
-    stats = df.agg(_pctl(score_col, 1.0 - float(frac), exact, accuracy).alias("__thr"))
-    return (
-        df.crossJoin(F.broadcast(stats))
-        .filter(F.col(score_col).cast("double") >= F.col("__thr"))
-        .drop("__thr")
-    )
+    thr = _pctl(score_col, 1.0 - float(frac), exact, accuracy).alias("__thr")
+    passing = F.col(score_col).cast("double") >= F.col("__thr")
+    if by:
+        st = df.groupBy(*by).agg(thr)
+        cond = None
+        for k in by:
+            eq = df[k].eqNullSafe(st[k])
+            cond = eq if cond is None else cond & eq
+        return df.join(st, cond).drop(*[st[k] for k in by]).filter(passing).drop("__thr")
+    stats = df.agg(thr)
+    return df.crossJoin(F.broadcast(stats)).filter(passing).drop("__thr")
 
 
 def strip_boilerplate_lines(

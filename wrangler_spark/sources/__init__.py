@@ -239,7 +239,8 @@ def write(df: DataFrame, path: str, fmt: str | None = None, mode: str = "error",
 def write_corpus(
     df: DataFrame, path: str, partition_by: list[str] | None = None,
     target_file_mb: int = 256, mode: str = "error", fmt: str = "parquet",
-    compression_ratio: float = 0.3, coalesce: bool = False, **options,
+    compression_ratio: float = 0.3, coalesce: bool = False,
+    sort_by: list[str] | None = None, **options,
 ) -> int:
     """Size-targeted corpus writer: aims every output file at
     ``target_file_mb`` on disk — the file-sizing discipline that decides
@@ -257,6 +258,15 @@ def write_corpus(
     ceil(total_rows / rows_per_file) first (costs a count job + shuffle —
     worth it once at the final sink, pointless mid-pipeline).
 
+    ``sort_by`` sorts WITHIN each write task before the file split —
+    the zone-map discipline: parquet stores per-row-group min/max
+    statistics, and a reader filtering on a sorted column skips whole
+    row groups/files without decoding them (free at write time, paid
+    back on every later scan; pair with ``partition_by`` for the
+    coarse-grained cut and ``sort_by`` for the fine one). Sort keys of
+    later range queries (timestamps, quality scores, hosts) belong
+    here; it is task-local (sortWithinPartitions — no extra shuffle).
+
     Returns the rows-per-file setting used."""
     from pyspark.sql import functions as F
 
@@ -271,6 +281,8 @@ def write_corpus(
         n_files = max(1, -(-total // rows_per_file))
         out = df.repartition(n_files, *[F.col(c) for c in (partition_by or [])]) \
             if partition_by else df.repartition(n_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
     write(
         out, path, fmt=fmt, mode=mode, partition_by=partition_by,
         maxRecordsPerFile=str(rows_per_file), **options,
