@@ -2770,3 +2770,28 @@ def test_keep_top_frac(spark):
     # approx mode: same plan shape, near-identical result on this data
     approx_ids = sorted(r["id"] for r in curation.keep_top_frac(df, "score", 0.1, exact=False).collect())
     assert set(approx_ids) >= set(range(92, 101))
+
+
+def test_flag_outliers_grouped(spark):
+    from wrangler_spark.datapipe import numeric
+
+    # group a is tight around 10 with one wild point; group b is tight
+    # around 1000 with one wild point; a GLOBAL fence would flag all of
+    # group b instead
+    rows = [(i, "a", 10.0 + (i % 3) * 0.1) for i in range(20)] + [(98, "a", 500.0)]
+    rows += [(100 + i, "b", 1000.0 + (i % 3) * 0.1) for i in range(20)] + [(199, "b", 5.0)]
+    rows += [(300, None, 1.0), (301, None, 1.1), (302, None, 99.0)]  # null group
+    df = spark.createDataFrame(rows, ["id", "grp", "x"])
+    for method, k in (("zscore", 3.0), ("iqr", 1.5), ("mad", 3.5)):
+        out = {r["id"]: r["x_outlier"] for r in
+               numeric.flag_outliers(df, "x", method, k, by=["grp"]).collect()}
+        assert len(out) == len(rows), method          # no rows lost (incl. null group)
+        assert out[98] is True and out[199] is True, method
+        assert sum(out[i] for i in range(20)) == 0, method
+        assert sum(out[100 + i] for i in range(20)) == 0, method
+        assert out[300] is False and out[301] is False, method  # null grp kept + flagged
+    # only the robust rule can flag inside a 3-point group (3-sigma/Tukey
+    # fences of n=3 always cover all 3 points)
+    mout = {r["id"]: r["x_outlier"] for r in
+            numeric.flag_outliers(df, "x", "mad", 3.5, by=["grp"]).collect()}
+    assert mout[302] is True                          # null group gets its own fence

@@ -28,6 +28,7 @@ def _pctl(col: str, p: float, exact: bool, accuracy: int):
 def flag_outliers(
     df: DataFrame, col: str, method: str = "zscore", k: float = 3.0,
     out_col: str | None = None, exact: bool = True, accuracy: int = 10000,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Flag numeric outliers: ``zscore`` marks |x - mean| > k·stddev
     (population stddev, the classic 3-sigma rule), ``iqr`` marks values
@@ -42,21 +43,30 @@ def flag_outliers(
     Quartiles are exact type-7 percentiles (the lp-buckets contract) so
     the DuckDB oracle reproduces them bit-for-bit; ``exact=False``
     switches to approx_percentile (bounded aggregation state — the
-    extreme-scale path, same knob as perplexity_buckets)."""
+    extreme-scale path, same knob as perplexity_buckets).
+
+    ``by`` computes the fences WITHIN each group (per-source/per-language
+    thresholds — a heavy-tailed source must not set every other source's
+    fence): stats become a per-group aggregate joined back null-safely,
+    the scale_column(by=) shape."""
     out_col = out_col or f"{col}_outlier"
     c = F.col(col).cast("double")
+
+    def _agg(frame, exprs):
+        return frame.groupBy(*by).agg(*exprs) if by else frame.agg(*exprs)
+
     if method == "zscore":
-        stats = df.agg(
+        stats = _agg(df, [
             F.avg(c).alias("__m"), F.coalesce(F.stddev_pop(c), F.lit(0.0)).alias("__s")
-        )
+        ])
         flag = c.isNotNull() & (F.abs(c - F.col("__m")) > F.lit(float(k)) * F.col("__s")) & (
             F.col("__s") > 0
         )
     elif method == "iqr":
-        stats = df.agg(
+        stats = _agg(df, [
             _pctl(col, 0.25, exact, accuracy).alias("__q1"),
             _pctl(col, 0.75, exact, accuracy).alias("__q3"),
-        )
+        ])
         iqr = F.col("__q3") - F.col("__q1")
         flag = c.isNotNull() & (
             (c < F.col("__q1") - F.lit(float(k)) * iqr)
@@ -66,20 +76,48 @@ def flag_outliers(
         # two sequential broadcast-scalar aggregates (median, then the
         # median of |x - median|) — two corpus scans, zero corpus
         # shuffle, same shape per pass as the other methods
-        med = df.agg(_pctl(col, 0.5, exact, accuracy).alias("__med"))
-        stats = (
-            df.crossJoin(F.broadcast(med))
-            .select(F.col("__med"), F.abs(c - F.col("__med")).alias("__dev"))
-            .agg(
-                F.min("__med").alias("__med"),
-                _pctl("__dev", 0.5, exact, accuracy).alias("__mad"),
+        med = _agg(df, [_pctl(col, 0.5, exact, accuracy).alias("__med")])
+        if by:
+            # rename the key columns on the stats side before joining back:
+            # stats derive FROM df, so df[key].eqNullSafe(stats[key]) can
+            # resolve both sides to the same attribute (ambiguous-self-join)
+            med = med.select(
+                *[F.col(key).alias(f"__k_{key}") for key in by], "__med"
             )
-        )
+            mcond = None
+            for key in by:
+                eq = df[key].eqNullSafe(F.col(f"__k_{key}"))
+                mcond = eq if mcond is None else mcond & eq
+            devs = (
+                df.join(med, mcond)
+                .select(*by, F.col("__med"), F.abs(c - F.col("__med")).alias("__dev"))
+            )
+        else:
+            devs = df.crossJoin(F.broadcast(med)).select(
+                F.col("__med"), F.abs(c - F.col("__med")).alias("__dev")
+            )
+        stats = _agg(devs, [
+            F.min("__med").alias("__med"),
+            _pctl("__dev", 0.5, exact, accuracy).alias("__mad"),
+        ])
         flag = c.isNotNull() & (F.col("__mad") > 0) & (
             F.abs(c - F.col("__med")) > F.lit(float(k)) * F.lit(1.4826) * F.col("__mad")
         )
     else:
         raise ValueError(f"unknown outlier method: {method!r} (zscore|iqr|mad)")
+    if by:
+        stat_cols = [f.name for f in stats.schema.fields if f.name.startswith("__")]
+        stats = stats.select(
+            *[F.col(key).alias(f"__k_{key}") for key in by], *stat_cols
+        )
+        cond = None
+        for key in by:
+            eq = df[key].eqNullSafe(F.col(f"__k_{key}"))
+            cond = eq if cond is None else cond & eq
+        joined = df.join(stats, cond)
+        return joined.withColumn(out_col, flag).drop(
+            *stat_cols, *[f"__k_{key}" for key in by]
+        )
     joined = df.crossJoin(F.broadcast(stats))
     return joined.withColumn(out_col, flag).drop(*stats.columns)
 
