@@ -2795,3 +2795,18 @@ def test_flag_outliers_grouped(spark):
     mout = {r["id"]: r["x_outlier"] for r in
             numeric.flag_outliers(df, "x", "mad", 3.5, by=["grp"]).collect()}
     assert mout[302] is True                          # null group gets its own fence
+
+
+def test_minhash_index_pins_banding_geometry(spark, tmp_path_factory, docs):
+    """An index built at 16x2 is probed at 16x2 (geometry read from the
+    index meta, never a probe argument) and matches the in-memory
+    cross op at the same geometry."""
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    old = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path_factory.mktemp("mh_idx_g")) + "/ix"
+    dedup.minhash_write_index(old, path, "doc_id", "text", bands=16, rows_per_band=2)
+    via_index = sorted(map(tuple, dedup.minhash_pairs_against_index(
+        new, path, "doc_id", "text", 0.2).collect()))
+    in_memory = sorted(map(tuple, dedup.minhash_pairs_against(
+        new, old, "doc_id", "text", 0.2, bands=16, rows_per_band=2).collect()))
+    assert via_index == in_memory and len(via_index) > 0

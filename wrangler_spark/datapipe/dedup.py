@@ -1291,6 +1291,7 @@ def bloom_probe_index(
 def minhash_pairs_against(
     df_new: DataFrame, df_old: DataFrame, id_col: str, text_col: str,
     threshold: float = 0.5, max_bucket_size: int = 100,
+    bands: int = LSH_BANDS, rows_per_band: int = LSH_ROWS,
 ) -> DataFrame:
     """Incremental NEAR-dedup: (id_new, id_old, jaccard) for new docs that
     near-duplicate an EXISTING doc — the asymmetric counterpart of
@@ -1305,9 +1306,13 @@ def minhash_pairs_against(
     same keep/drop verdict for a colliding new doc, the star-link
     argument), so candidates per new row are bounded and the old corpus
     shuffles only its ~40-byte band rows. Verification re-fetches shingle
-    sets for the rare candidates from each side's checkpointed base."""
-    base_n, bands_n = _sig_bands(df_new, id_col, text_col)
-    base_o, bands_o = _sig_bands(df_old, id_col, text_col)
+    sets for the rare candidates from each side's checkpointed base.
+
+    ``bands``/``rows_per_band`` must match on BOTH sides (they do here by
+    construction); the persisted-index path pins them in the index meta
+    for the same reason."""
+    base_n, bands_n = _sig_bands(df_new, id_col, text_col, bands, rows_per_band)
+    base_o, bands_o = _sig_bands(df_old, id_col, text_col, bands, rows_per_band)
     old_buckets = bands_o.groupBy("band", "key").agg(
         F.expr(f"slice(array_sort(collect_list(id)), 1, {int(max_bucket_size)})").alias("__olds")
     )
@@ -1343,6 +1348,7 @@ def _pairs_against_tail(
 def minhash_write_index(
     df_old: DataFrame, path: str, id_col: str, text_col: str,
     max_bucket_size: int = 100,
+    bands: int = LSH_BANDS, rows_per_band: int = LSH_ROWS,
 ) -> None:
     """Materialize the accumulated corpus's LSH state ONCE so every
     ingestion batch skips re-hashing 100 TB of history:
@@ -1358,8 +1364,13 @@ def minhash_write_index(
     rebuilds ALSO run minhash_pairs_against(batch, delta_since_rebuild)
     (cheap: the delta is small) and union the pairs. Parquet can't
     merge capped lists in place, so there is deliberately no in-place
-    bucket append."""
-    base_o, bands_o = _sig_bands(df_old, id_col, text_col)
+    bucket append.
+
+    The banding geometry is PINNED in ``<path>/meta`` and the probe
+    reads it from there — probing buckets built at a different
+    (bands, rows) would silently miss true pairs (the bloom-scheme
+    hazard), so geometry is an index property, not a probe argument."""
+    base_o, bands_o = _sig_bands(df_old, id_col, text_col, bands, rows_per_band)
     (
         bands_o.groupBy("band", "key")
         .agg(F.expr(f"slice(array_sort(collect_list(id)), 1, {int(max_bucket_size)})").alias("__olds"))
@@ -1367,6 +1378,9 @@ def minhash_write_index(
         .parquet(f"{path}/buckets")
     )
     base_o.write.mode("overwrite").parquet(f"{path}/shingles")
+    df_old.sparkSession.createDataFrame(
+        [(int(bands), int(rows_per_band))], "bands int, rows_per_band int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     release(base_o)
 
 
@@ -1379,9 +1393,16 @@ def minhash_pairs_against_index(
     but the old side is two parquet scans — the batch's band rows join
     the stored buckets, and stored shingles are fetched for candidates
     only. The per-batch cost no longer contains the old corpus's
-    signature computation at all."""
+    signature computation at all. Banding geometry comes from the
+    index's meta (default geometry assumed for pre-meta indexes), so a
+    tuned index is always probed in its own signature space."""
     spark = df_new.sparkSession
-    base_n, bands_n = _sig_bands(df_new, id_col, text_col)
+    try:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        bands, rows = int(meta["bands"]), int(meta["rows_per_band"])
+    except Exception:
+        bands, rows = LSH_BANDS, LSH_ROWS  # pre-meta index layout
+    base_n, bands_n = _sig_bands(df_new, id_col, text_col, bands, rows)
     return _pairs_against_tail(
         base_n, bands_n,
         spark.read.parquet(f"{path}/shingles"),
