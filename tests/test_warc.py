@@ -209,3 +209,26 @@ def test_crawl_curation_capstone(spark, tmp_path):
     write_corpus(kept, str(out), target_file_mb=64)
     back = spark.read.parquet(str(out))
     assert back.count() == 6
+
+
+def test_iter_records_resyncs_past_mid_file_corruption():
+    """One malformed record (bad Content-Length / junk bytes) must cost
+    ONE record, never the rest of the file."""
+    good_a = warc.build_record({"WARC-Record-ID": "<a>"}, b"AAAA")
+    bad = good_a.replace(b"Content-Length: 4", b"Content-Length: nope")
+    junk = b"random garbage not a record\r\n"
+    good_b = warc.build_record({"WARC-Record-ID": "<b>"}, b"BBBB")
+    good_c = warc.build_record({"WARC-Record-ID": "<c>"}, b"CCCC")
+
+    got = [h["warc-record-id"] for h, _ in warc.iter_records(bad + good_b + good_c)]
+    assert got == ["<b>", "<c>"]          # malformed head skipped, rest kept
+    got = [h["warc-record-id"] for h, _ in warc.iter_records(good_a + junk + good_c)]
+    assert got == ["<a>", "<c>"]          # junk between records skipped
+    # a record MISSING Content-Length entirely is skipped alone
+    no_len = b"WARC/1.0\r\nWARC-Record-ID: <x>\r\n\r\npayload\r\n\r\n"
+    got = [h["warc-record-id"] for h, _ in warc.iter_records(no_len + good_c)]
+    assert got == ["<c>"]
+    # build_record never lets a stale caller Content-Length break framing
+    forged = warc.build_record({"Content-Length": "10", "WARC-Record-ID": "<f>"}, b"X" * 50)
+    (h, block), = warc.iter_records(forged + b"")
+    assert len(block) == 50 and h["content-length"] == "50"

@@ -130,12 +130,10 @@ def keep_top_frac(
     thr = _pctl(score_col, 1.0 - float(frac), exact, accuracy).alias("__thr")
     passing = F.col(score_col).cast("double") >= F.col("__thr")
     if by:
+        from wrangler_spark.datapipe.numeric import join_group_stats
+
         st = df.groupBy(*by).agg(thr)
-        cond = None
-        for k in by:
-            eq = df[k].eqNullSafe(st[k])
-            cond = eq if cond is None else cond & eq
-        return df.join(st, cond).drop(*[st[k] for k in by]).filter(passing).drop("__thr")
+        return join_group_stats(df, st, by).filter(passing).drop("__thr")
     stats = df.agg(thr)
     return df.crossJoin(F.broadcast(stats)).filter(passing).drop("__thr")
 

@@ -217,10 +217,11 @@ def minhash_lsh_pairs(
     ``bands``/``rows_per_band`` set the LSH operating point (see
     _sig_bands; tune with pair_eval against an ngram_jaccard_pairs
     ground truth before a 100 TB run — e.g. 16x2 trades candidate
-    volume for recall at low thresholds vs the 8x4 default). The
-    cross-corpus and persisted-index paths deliberately stay on the
-    default geometry: an index probed with a different banding misses
-    pairs silently.
+    volume for recall at low thresholds vs the 8x4 default). The same
+    knob reaches minhash_pairs_against and minhash_write_index; a
+    persisted index pins its geometry in meta and the probe reads it
+    from there, because probing at a different banding misses pairs
+    silently.
 
     Scale shape: the shingle hashes are computed ONCE per doc (md5 is the
     dominant cost — naively inlining it into all 32 signature mins
@@ -1396,12 +1397,20 @@ def minhash_pairs_against_index(
     signature computation at all. Banding geometry comes from the
     index's meta (default geometry assumed for pre-meta indexes), so a
     tuned index is always probed in its own signature space."""
+    from pyspark.errors import AnalysisException
+
     spark = df_new.sparkSession
     try:
         meta = spark.read.parquet(f"{path}/meta").collect()[0]
         bands, rows = int(meta["bands"]), int(meta["rows_per_band"])
-    except Exception:
-        bands, rows = LSH_BANDS, LSH_ROWS  # pre-meta index layout
+    except AnalysisException as ex:
+        # ONLY a missing meta directory means the pre-meta index layout;
+        # any other failure (corrupt parquet, permissions, empty meta)
+        # must raise — silently probing at the default geometry against
+        # tuned buckets would return (almost) no pairs with no error
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        bands, rows = LSH_BANDS, LSH_ROWS
     base_n, bands_n = _sig_bands(df_new, id_col, text_col, bands, rows)
     return _pairs_against_tail(
         base_n, bands_n,
@@ -1434,19 +1443,20 @@ def embedding_pairs_against(
     representatives give a colliding new doc the same verdict, the same
     star-link argument as minhash_pairs_against), so candidates per new
     row are bounded and the old corpus shuffles only (16-char sig, id)
-    rows. Old VECTORS are re-fetched for the rare candidates via one
+    rows. The old side is eagerly checkpointed ONCE (minhash's base_o
+    discipline — it feeds both the bucket aggregate and the
+    vector-verification join, and an expensive upstream lineage must
+    not evaluate twice; released by the caller's checkpoint_scope); old
+    VECTORS are re-fetched from it for the rare candidates via one
     equi-join on id — the embedding floats never ride the bucket
-    shuffle."""
+    shuffle. Only the NEW side is stream-safe (scan-side signature);
+    the old side is static by contract, as in every *_against op."""
     sigs_n = _plane_sigs(df_new, id_col, vec_col, planes, broadcast_planes)
-    old_buckets = (
-        _plane_sigs(df_old, id_col, vec_col, planes, broadcast_planes)
-        .groupBy("sig")
-        .agg(F.expr(f"slice(array_sort(collect_list(id)), 1, {int(max_bucket_size)})").alias("__olds"))
+    sigs_o = eager_checkpoint(_plane_sigs(df_old, id_col, vec_col, planes, broadcast_planes))
+    old_buckets = sigs_o.groupBy("sig").agg(
+        F.expr(f"slice(array_sort(collect_list(id)), 1, {int(max_bucket_size)})").alias("__olds")
     )
-    vecs_o = df_old.select(
-        F.col(id_col).alias("id_old"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vo"),
-    )
+    vecs_o = sigs_o.select(F.col("id").alias("id_old"), F.col("v").alias("__vo"))
     return _emb_against_tail(sigs_n, vecs_o, old_buckets, threshold)
 
 
@@ -1492,20 +1502,22 @@ def embedding_write_index(
     spark = df_old.sparkSession
     if planes is None:
         planes = HYPERPLANES
-    sigs_o = _plane_sigs(df_old, id_col, vec_col, planes, broadcast_planes)
+    # one materialization serves both artifact writes (bucket aggregate
+    # + vector payloads); released after the writes complete
+    sigs_o = eager_checkpoint(_plane_sigs(df_old, id_col, vec_col, planes, broadcast_planes))
     (
         sigs_o.groupBy("sig")
         .agg(F.expr(f"slice(array_sort(collect_list(id)), 1, {int(max_bucket_size)})").alias("__olds"))
         .write.mode("overwrite")
         .parquet(f"{path}/buckets")
     )
-    df_old.select(
-        F.col(id_col).alias("id_old"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vo"),
+    sigs_o.select(
+        F.col("id").alias("id_old"), F.col("v").alias("__vo")
     ).write.mode("overwrite").parquet(f"{path}/vectors")
     spark.createDataFrame(
         [([[float(x) for x in p] for p in planes],)], "planes ARRAY<ARRAY<DOUBLE>>"
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    release(sigs_o)
 
 
 def embedding_pairs_against_index(

@@ -25,6 +25,25 @@ def _pctl(col: str, p: float, exact: bool, accuracy: int):
     return F.expr(f"approx_percentile({col}, {p}, {int(accuracy)})")
 
 
+def join_group_stats(df: DataFrame, stats: DataFrame, by: list[str]) -> DataFrame:
+    """Null-safe per-group stats join-back — the ONE idiom shared by
+    scale_column, flag_outliers and curation.keep_top_frac. The stats
+    frame's key columns are renamed before the join because stats always
+    derive FROM df here, and once more than one derivation separates
+    them, ``df[k].eqNullSafe(stats[k])`` can resolve both sides to the
+    SAME attribute (Spark's ambiguous-self-join trap — the grouped-MAD
+    path hit it as a trivially-true predicate). eqNullSafe keeps
+    null-group rows: they join their own group's stats. Returns df's
+    rows + the stats columns."""
+    stat_cols = [f.name for f in stats.schema.fields if f.name not in by]
+    st = stats.select(*[F.col(k).alias(f"__k_{k}") for k in by], *stat_cols)
+    cond = None
+    for k in by:
+        eq = df[k].eqNullSafe(F.col(f"__k_{k}"))
+        cond = eq if cond is None else cond & eq
+    return df.join(st, cond).drop(*[f"__k_{k}" for k in by])
+
+
 def flag_outliers(
     df: DataFrame, col: str, method: str = "zscore", k: float = 3.0,
     out_col: str | None = None, exact: bool = True, accuracy: int = 10000,
@@ -78,19 +97,8 @@ def flag_outliers(
         # shuffle, same shape per pass as the other methods
         med = _agg(df, [_pctl(col, 0.5, exact, accuracy).alias("__med")])
         if by:
-            # rename the key columns on the stats side before joining back:
-            # stats derive FROM df, so df[key].eqNullSafe(stats[key]) can
-            # resolve both sides to the same attribute (ambiguous-self-join)
-            med = med.select(
-                *[F.col(key).alias(f"__k_{key}") for key in by], "__med"
-            )
-            mcond = None
-            for key in by:
-                eq = df[key].eqNullSafe(F.col(f"__k_{key}"))
-                mcond = eq if mcond is None else mcond & eq
-            devs = (
-                df.join(med, mcond)
-                .select(*by, F.col("__med"), F.abs(c - F.col("__med")).alias("__dev"))
+            devs = join_group_stats(df, med, by).select(
+                *by, F.col("__med"), F.abs(c - F.col("__med")).alias("__dev")
             )
         else:
             devs = df.crossJoin(F.broadcast(med)).select(
@@ -107,17 +115,7 @@ def flag_outliers(
         raise ValueError(f"unknown outlier method: {method!r} (zscore|iqr|mad)")
     if by:
         stat_cols = [f.name for f in stats.schema.fields if f.name.startswith("__")]
-        stats = stats.select(
-            *[F.col(key).alias(f"__k_{key}") for key in by], *stat_cols
-        )
-        cond = None
-        for key in by:
-            eq = df[key].eqNullSafe(F.col(f"__k_{key}"))
-            cond = eq if cond is None else cond & eq
-        joined = df.join(stats, cond)
-        return joined.withColumn(out_col, flag).drop(
-            *stat_cols, *[f"__k_{key}" for key in by]
-        )
+        return join_group_stats(df, stats, by).withColumn(out_col, flag).drop(*stat_cols)
     joined = df.crossJoin(F.broadcast(stats))
     return joined.withColumn(out_col, flag).drop(*stats.columns)
 
@@ -156,12 +154,7 @@ def scale_column(
     if by:
         st = df.groupBy(*by).agg(*aggs)
         stat_cols = [f.name for f in st.schema.fields if f.name.startswith("__")]
-        cond = None
-        for k in by:
-            eq = df[k].eqNullSafe(st[k])
-            cond = eq if cond is None else cond & eq
-        joined = df.join(st, cond).drop(*[st[k] for k in by])
-        return joined.withColumn(out_col, scaled).drop(*stat_cols)
+        return join_group_stats(df, st, by).withColumn(out_col, scaled).drop(*stat_cols)
     stats = df.agg(*aggs)
     joined = df.crossJoin(F.broadcast(stats))
     return joined.withColumn(out_col, scaled).drop(*stats.columns)

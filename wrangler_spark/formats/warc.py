@@ -26,31 +26,48 @@ def maybe_gunzip(data: bytes) -> bytes:
     return data
 
 
+def _resync(data: bytes, pos: int) -> int:
+    """Position of the next plausible record start (a ``WARC/`` version
+    line at line start) past ``pos``, or len(data). Bounds the damage
+    of one malformed record to that record — without this, mid-file
+    corruption silently discards everything after it. A ``WARC/`` at
+    line start inside a payload can false-positive; the bogus candidate
+    then fails header parsing and resyncs again, so the loss stays
+    local either way."""
+    j = data.find(b"\nWARC/", pos)
+    return len(data) if j < 0 else j + 1
+
+
 def iter_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
     """Yield (headers, block) per WARC record. Header names are
-    lower-cased; values are stripped. Tolerates trailing garbage (stops
-    at the first non-record byte run) — a truncated tail record is
-    dropped rather than raised, matching how crawl pipelines treat
-    partial downloads."""
+    lower-cased; values are stripped. A truncated TAIL record is dropped
+    rather than raised (partial downloads); a malformed MID-FILE record
+    (missing/non-numeric Content-Length — a mandatory header — or
+    non-record bytes) is skipped by resyncing to the next record
+    boundary, so one bad record never discards the rest of the file."""
     data = maybe_gunzip(data)
     i, n = 0, len(data)
     while i < n:
         while i < n and data[i : i + 1] in (b"\r", b"\n"):
             i += 1
-        if i >= n or not data.startswith(b"WARC/", i):
+        if i >= n:
             return
+        if not data.startswith(b"WARC/", i):
+            i = _resync(data, i)
+            continue
         end_hdr = data.find(b"\r\n\r\n", i)
         if end_hdr < 0:
-            return
+            return  # truncated header at the tail
         headers: dict[str, str] = {}
         for ln in data[i:end_hdr].decode("utf-8", "replace").split("\r\n")[1:]:
             if ":" in ln:
                 k, v = ln.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
-        try:
-            clen = int(headers.get("content-length", "0"))
-        except ValueError:
-            return
+        clen_s = headers.get("content-length")
+        if clen_s is None or not clen_s.isdigit():
+            i = _resync(data, end_hdr)  # malformed record: skip it alone
+            continue
+        clen = int(clen_s)
         start = end_hdr + 4
         if start + clen > n:
             return  # truncated tail record
@@ -80,8 +97,11 @@ def build_record(
     headers: dict[str, str], block: bytes, warc_type: str = "response"
 ) -> bytes:
     """Serialize one WARC record (test/fixture helper — the writer side
-    of iter_records)."""
-    hdr = {"WARC-Type": warc_type, "Content-Length": str(len(block)), **headers}
+    of iter_records). The Content-Length is always COMPUTED from the
+    block — a caller-supplied value (e.g. copied from an HTTP response)
+    would desynchronize the record framing for everything after it."""
+    hdr = {"WARC-Type": warc_type, **headers}
+    hdr["Content-Length"] = str(len(block))
     head = b"WARC/1.0\r\n" + b"".join(
         f"{k}: {v}\r\n".encode() for k, v in hdr.items()
     )
