@@ -439,3 +439,29 @@ def test_events_analytics_invariants(spark):
     assert all(r["retention"] == 1.0 for r in ret if r["period_offset"] == 0)
     assert all(0.0 < r["retention"] <= 1.0 for r in ret)
     assert sum(r["active_users"] for r in ret if r["period_offset"] == 0) == n_users
+
+
+@given(
+    st.lists(
+        st.binary(min_size=0, max_size=200).map(
+            # adversarial payloads: embed record markers and CRLFs inside
+            lambda b: b + b"\r\n\r\nWARC/1.0\r\n" if len(b) % 3 == 0 else b
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_roundtrip_property(payloads):
+    """Length-based framing means ANY payload bytes — including ones
+    containing record markers and blank lines — round-trip exactly
+    through build_record -> iter_records."""
+    from wrangler_spark.formats import warc
+
+    blob = b"".join(
+        warc.build_record({"WARC-Record-ID": f"<r{i}>"}, p)
+        for i, p in enumerate(payloads)
+    )
+    got = list(warc.iter_records(blob))
+    assert [b for _, b in got] == payloads
+    assert [h["warc-record-id"] for h, _ in got] == [f"<r{i}>" for i in range(len(payloads))]

@@ -46,6 +46,9 @@ QUERIES = [
     # sf1's replicated embeddings make old buckets 10x denser, exercising
     # the max_bucket_size cap exactly as a mirror-heavy corpus would)
     "dedup_cross_embedding", "strip_boilerplate",
+    # round 8, fifth batch (contamination spans; recall-tilted banding;
+    # grouped scaling; top-fraction pruning)
+    "decontam_spans", "dedup_minhash_b16r2", "num_scale_by", "sample_top_frac",
 ]
 
 
