@@ -2810,3 +2810,21 @@ def test_minhash_index_pins_banding_geometry(spark, tmp_path_factory, docs):
     in_memory = sorted(map(tuple, dedup.minhash_pairs_against(
         new, old, "doc_id", "text", 0.2, bands=16, rows_per_band=2).collect()))
     assert via_index == in_memory and len(via_index) > 0
+
+
+def test_lsh_sweep(spark, docs):
+    """The tuning harness orders geometries by the S-curve: recall is
+    monotone non-decreasing as bands go up (rows per band down), and
+    every metric row is internally consistent."""
+    truth = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.3, unit="word")
+    sweep = dedup.lsh_sweep(
+        docs, "doc_id", "text", truth,
+        geometries=[(4, 8), (8, 4), (16, 2)], threshold=0.3,
+    ).orderBy("bands").collect()
+    assert [r["bands"] for r in sweep] == [4, 8, 16]
+    recalls = [r["recall"] for r in sweep]
+    assert recalls == sorted(recalls)  # more bands -> recall never drops
+    for r in sweep:
+        assert r["hits"] <= min(r["approx_pairs"], r["exact_pairs"])
+        assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
+    assert sweep[-1]["recall"] > 0  # 16x2 finds the fixture near-dups

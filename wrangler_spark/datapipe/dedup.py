@@ -1122,6 +1122,46 @@ def bloom_words(keys: DataFrame, key_col: str, bits: int, num_hashes: int) -> Da
     )
 
 
+def lsh_sweep(
+    df: DataFrame, id_col: str, text_col: str, truth: DataFrame,
+    geometries: list[tuple[int, int]] = ((4, 8), (8, 4), (16, 2)),
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Tune the LSH operating point BEFORE a full-scale run: for each
+    (bands, rows_per_band) geometry, run minhash_lsh_pairs on a SAMPLE
+    and score it against a ground-truth pair set (typically
+    ngram_jaccard_pairs at the same threshold) via pair_eval. Returns
+    one row per geometry: (bands, rows_per_band, approx_pairs,
+    exact_pairs, hits, precision, recall) — pick the leftmost geometry
+    whose recall clears your bar; its candidate volume (approx_pairs)
+    is the 100 TB cost you are signing up for.
+
+    Driver-side loop over len(geometries) (3-5 in practice) bounded
+    one-row aggregates — the sanctioned tuning-harness shape; the
+    ground truth computes ONCE and is reused across geometries."""
+    truth = eager_checkpoint(
+        truth.select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+        ).distinct()
+    )
+    spark = df.sparkSession
+    rows = []
+    for b, r in geometries:
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, threshold, bands=int(b), rows_per_band=int(r)
+        )
+        m = pair_eval(pairs, truth).collect()[0]
+        rows.append((int(b), int(r), m["approx_pairs"], m["exact_pairs"],
+                     m["hits"], m["precision"], m["recall"]))
+    release(truth)
+    return spark.createDataFrame(
+        rows,
+        "bands int, rows_per_band int, approx_pairs long, exact_pairs long, "
+        "hits long, precision double, recall double",
+    )
+
+
 def exact_dedup_against(
     df_new: DataFrame, df_old: DataFrame, id_col: str, text_col: str,
     bloom_bits: int = 0, bloom_hashes: int = 5,
