@@ -329,6 +329,22 @@ def main() -> int:
             "text_winnow_overlap: executed plan re-scans parquet — the "
             "fps checkpoint is not being hit"
         )
+    # dedup_cross_embedding's OLD side is checkpointed once (it feeds the
+    # bucket aggregate AND the vector verification): the executed plan
+    # may scan the embeddings parquet only for the NEW side — exactly one
+    # FileScan of the source
+    df = qs["dedup_cross_embedding"](spark, SF_DIR)
+    df.collect()
+    # AQE's toString appends the pre-adaptive plan after an
+    # "== Initial Plan ==" marker — count scans in the FINAL plan only
+    p = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    n_scans = p.count("FileScan")
+    if n_scans > 1:
+        problems.append(
+            f"dedup_cross_embedding: executed plan has {n_scans} FileScans — "
+            "the old-side signature checkpoint is not being hit (only the "
+            "NEW side may scan the source)"
+        )
     # quantile bins / MAD outliers: broadcast-scalar shape — the corpus
     # side must never sort-merge against the 1-row stats frame
     for name in ("num_qbins", "num_mad"):
