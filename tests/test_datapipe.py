@@ -2828,3 +2828,38 @@ def test_lsh_sweep(spark, docs):
         assert r["hits"] <= min(r["approx_pairs"], r["exact_pairs"])
         assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
     assert sweep[-1]["recall"] > 0  # 16x2 finds the fixture near-dups
+
+
+def test_report_state_incremental_equals_one_pass(spark, tmp_path_factory):
+    """Folding batches into the report state reproduces corpus_report:
+    sums match EXACTLY; the merged distinct estimate sits inside the
+    HLL accuracy bound of the true distinct count."""
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.datapipe import curation
+
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path_factory.mktemp("rep_state")) + "/st"
+    for k in range(3):  # three ingestion batches
+        curation.report_update_state(
+            docs_df.filter(F.col("doc_id") % 3 == k), path,
+            lang_col="lang", batch_id=f"b{k}",
+        )
+    got = curation.report_from_state(spark, path).collect()[0]
+
+    exact = curation.corpus_report(docs_df, lang_col="lang").collect()[0]
+    for c in ("n_docs", "n_null_text", "n_chars", "n_words"):
+        assert got[c] == exact[c], c
+    # merged estimate within the sketch bound of the TRUE distinct count
+    from wrangler_spark.datapipe.dedup import normalize_text
+
+    key = F.md5(normalize_text(F.col("text")))
+    true_distinct = docs_df.agg(F.countDistinct(key)).collect()[0][0]
+    n_with_text = docs_df.filter(F.col("text").isNotNull()).count()
+    merged_distinct = n_with_text - got["n_exact_dup_docs"]
+    assert abs(merged_distinct - true_distinct) <= max(3, 0.05 * true_distinct)
+    assert got["distinct_langs"] == docs_df.agg(F.countDistinct("lang")).collect()[0][0]
+    # a FOURTH batch folds in O(batch): state grows by one row
+    curation.report_update_state(docs_df.limit(10), path, lang_col="lang", batch_id="b3")
+    assert spark.read.parquet(f"{path}/rows").count() == 4
+    assert curation.report_from_state(spark, path).collect()[0]["n_docs"] == exact["n_docs"] + 10

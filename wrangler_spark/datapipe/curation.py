@@ -1274,6 +1274,81 @@ def corpus_report(
         ),
     )
 
+def report_update_state(
+    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text",
+    lang_col: str | None = None, batch_id: str = "",
+) -> None:
+    """Fold one ingestion batch into a LOG-STRUCTURED corpus-report
+    state: appends a single row of (counts + DataSketches HLL binaries)
+    parquet — O(batch) work, O(rows-appended) state, never a rescan of
+    history. The distinct-count sketches are MERGEABLE, so
+    :func:`report_from_state` reconstructs the whole-corpus report from
+    any number of batch rows inside the sketch's accuracy guarantee
+    (~2% at the default lgK; the merged estimate can differ from a
+    one-pass sketch by a few counts — HLL4's exception-slot handling —
+    but both sit inside the same bound, and the counts/sums are exact
+    regardless). This is the materialize-once posture
+    (retention_write_state, bloom_write_index) applied to the health
+    metrics a 100 TB dashboard polls: per-batch cost stays flat as the
+    corpus grows. All batches must agree on lang_col presence."""
+    from wrangler_spark.datapipe.dedup import normalize_text
+
+    key = F.md5(normalize_text(F.col(text_col)))
+    words = F.size(F.split(normalize_text(F.col(text_col)), " "))
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.count(F.when(F.col(text_col).isNull(), 1)).cast("long").alias("n_null_text"),
+        F.coalesce(F.sum(F.length(F.col(text_col))), F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce(F.sum(words), F.lit(0)).cast("long").alias("n_words"),
+        F.count(text_col).cast("long").alias("n_with_text"),
+        F.hll_sketch_agg(key).alias("content_sketch"),
+    ]
+    if lang_col:
+        aggs.append(F.hll_sketch_agg(F.col(lang_col)).alias("lang_sketch"))
+    row = df.agg(*aggs).withColumn("batch_id", F.lit(str(batch_id)))
+    row.write.mode("append").parquet(f"{path}/rows")
+
+
+def report_from_state(spark, path: str) -> DataFrame:
+    """Whole-corpus health report from the accumulated batch rows: sums
+    are exact, distinct counts come from the UNION of the per-batch HLL
+    sketches (within the same ~2% guarantee as a one-pass sketch).
+    Output columns match corpus_report(exact=False)
+    semantics: (n_docs, n_null_text, n_chars, n_words, n_exact_dup_docs
+    [, distinct_langs], pct_dup). Reads only the state rows — one row
+    per ingested batch — never the corpus."""
+    rows = spark.read.parquet(f"{path}/rows")
+    aggs = [
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_null_text").cast("long").alias("n_null_text"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_with_text").cast("long").alias("__with_text"),
+        F.hll_sketch_estimate(F.hll_union_agg("content_sketch")).alias("__distinct"),
+    ]
+    if "lang_sketch" in rows.columns:
+        aggs.append(
+            F.hll_sketch_estimate(F.hll_union_agg("lang_sketch"))
+            .cast("long").alias("distinct_langs")
+        )
+    out = rows.agg(*aggs).withColumn(
+        "n_exact_dup_docs",
+        F.greatest(F.col("__with_text") - F.col("__distinct"), F.lit(0)).cast("long"),
+    )
+    out = out.withColumn(
+        "pct_dup",
+        F.round(
+            F.col("n_exact_dup_docs").cast("double")
+            / F.greatest(F.col("n_docs"), F.lit(1)).cast("double"),
+            6,
+        ),
+    ).drop("__with_text", "__distinct")
+    cols = ["n_docs", "n_null_text", "n_chars", "n_words", "n_exact_dup_docs"]
+    if "lang_sketch" in rows.columns:
+        cols.append("distinct_langs")
+    return out.select(*cols, "pct_dup")
+
+
 def split_by_cluster(
     components: DataFrame, test_frac: float = 0.1, id_col: str = "doc_id",
     comp_col: str = "component", salt: str = "",
