@@ -290,6 +290,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": lambda s, d: text.char_entropy(
             docs(s, d), "doc_id", "text"
         ).select("doc_id", "char_entropy"),
+        "text_vocab": lambda s, d: text.vocab_coverage(docs(s, d), "text", 0.9),
         "text_top_ngrams": lambda s, d: text.top_ngrams(
             docs(s, d), "doc_id", "text", 3, 20
         ),
@@ -554,6 +555,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_qbins": o.quantile_bins_sql("c_acctbal", 10),
         "text_entropy": o.char_entropy_sql(),
         "text_top_ngrams": o.top_ngrams_sql(3, 20),
+        "text_vocab": o.vocab_coverage_sql(0.9),
         "corpus_drift": o.distribution_drift_sql("c_acctbal", 10),
         "num_scale": o.scale_column_sql("c_acctbal", "minmax"),
         "num_scale_by": o.scale_by_sql("c_acctbal", "zscore", "c_mktsegment"),
@@ -847,7 +849,10 @@ _R8_WINDOW = [
     # late r8 addition (per-group scaling) — text_winnow vacated (r7-green;
     # winnow_fingerprints IS the in-window winnow_overlap's subtree)
     "num_scale_by",
-    "dedup_ngram_word",
+    # late r8 addition (vocab coverage cutoff) — dedup_ngram_word vacated
+    # (green r1-r7 incl. post-rewrite r7; its only r8 change is the shared
+    # eager_checkpoint mechanism, represented by many remaining entries)
+    "text_vocab",
     "dedup_minhash_cc",
     "dedup_embedding_cc",
     # late r8 additions (cross-corpus semantic dedup; corpus-frequency

@@ -2863,3 +2863,30 @@ def test_report_state_incremental_equals_one_pass(spark, tmp_path_factory):
     curation.report_update_state(docs_df.limit(10), path, lang_col="lang", batch_id="b3")
     assert spark.read.parquet(f"{path}/rows").count() == 4
     assert curation.report_from_state(spark, path).collect()[0]["n_docs"] == exact["n_docs"] + 10
+
+
+def test_vocab_coverage(spark):
+    # zipfy corpus: 'a' x10, 'b' x5, 'c' x3, 'd' 'e' x1 -> total 20 tokens
+    df = spark.createDataFrame(
+        [(1, " ".join(["a"] * 10 + ["b"] * 5)), (2, " ".join(["c"] * 3 + ["d", "e"]))],
+        ["id", "text"],
+    )
+    got = {r["word"]: (r["count"], r["share"]) for r in
+           text.vocab_coverage(df, "text", 0.75).collect()}
+    # cumulative: a=10 (.5), b=15 (.75) -> threshold class = 5, keep a+b
+    assert got == {"a": (10, 0.5), "b": (5, 0.25)}
+    # coverage 0.76 needs the count=3 class too
+    got2 = set(r["word"] for r in text.vocab_coverage(df, "text", 0.76).collect())
+    assert got2 == {"a", "b", "c"}
+    # full coverage keeps everything; overshoot-by-class contract: 0.95
+    # lands inside the count=1 class so BOTH singletons stay
+    assert text.vocab_coverage(df, "text", 1.0).count() == 5
+    assert text.vocab_coverage(df, "text", 0.95).count() == 5
+    # empty corpus -> empty frame with the right schema
+    empty = spark.createDataFrame([], "id long, text string")
+    out = text.vocab_coverage(empty, "text", 0.9)
+    assert out.count() == 0 and out.columns == ["word", "count", "share"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="coverage"):
+        text.vocab_coverage(df, "text", 0.0)

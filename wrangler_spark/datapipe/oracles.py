@@ -441,6 +441,30 @@ FROM r GROUP BY doc_id
 """
 
 
+def vocab_coverage_sql(coverage: float = 0.999, table: str = "documents") -> str:
+    """Mirror of text.vocab_coverage: the cutoff count is the frequency
+    class whose cumulative (count-desc) token mass first reaches
+    ``coverage``; all words at or above it are kept."""
+    return f"""
+WITH w AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS word FROM {table}
+),
+wc AS (SELECT word, count(*) AS count FROM w WHERE word <> '' GROUP BY word),
+hist AS (SELECT count, count(*) AS n_words FROM wc GROUP BY count),
+tot AS (SELECT sum(count * n_words) AS total FROM hist),
+cum AS (
+  SELECT count,
+         sum(count * n_words) OVER (ORDER BY count DESC
+                                    ROWS UNBOUNDED PRECEDING) AS c
+  FROM hist
+),
+thr AS (SELECT max(count) AS t FROM cum, tot WHERE c >= total * {float(coverage)})
+SELECT wc.word, wc.count,
+       round(wc.count::DOUBLE / (SELECT total FROM tot)::DOUBLE, 6) AS share
+FROM wc, thr WHERE wc.count >= thr.t
+"""
+
+
 def strip_boilerplate_sql(min_docs: int = 2, table: str = "documents", doc_cte: str | None = None) -> str:
     """Mirror of curation.strip_boilerplate_lines. ``doc_cte`` optionally
     replaces the raw table with a synthesized (doc_id, text) SELECT —

@@ -1182,3 +1182,62 @@ def html_to_text(
     _extract.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
     udf = pandas_udf(_extract, "string")
     return df.withColumn(out_col, udf(F.col(col)))  # _one decodes binary itself
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, coverage: float = 0.999,
+) -> DataFrame:
+    """Corpus vocabulary with a cumulative-coverage cutoff: the word
+    table (word, count, share) restricted to the MOST FREQUENT words
+    whose summed share first reaches ``coverage`` of all tokens — the
+    vocab-sizing step before a unigram LM / tokenizer baseline (Zipf's
+    law means 99.9% token coverage usually needs a tiny fraction of the
+    type inventory; everything below the cut is OOV/byte-fallback
+    territory). Also the vocabulary-pruning dual of top_ngrams' fixed-k.
+
+    Scale shape — the naive formulation is a GLOBAL SORT of the word
+    table plus a running-total window (one partition, the classic
+    anti-pattern). Here the cutoff COUNT is derived instead from the
+    count-of-counts histogram: one hash aggregate (word -> count, the
+    table a 100 TB corpus bounds at vocabulary size, not token count),
+    one tiny aggregate (count -> n_words, total_tokens — at most a few
+    thousand distinct frequency values even for web-scale corpora, Zipf
+    again), a cumulative sum over THAT bounded table (the only window,
+    over thousands of rows, not the corpus), and a scan-side
+    ``count >= threshold`` filter joined back broadcast. The threshold
+    is the smallest frequency whose inclusion reaches coverage, so the
+    kept set can overshoot coverage by at most one frequency class —
+    the deterministic contract both engines share (no per-word
+    tiebreak inside a frequency class is ever needed)."""
+    cov = float(coverage)
+    if not 0.0 < cov <= 1.0:
+        raise ValueError(f"coverage must be in (0, 1], got {coverage}")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = (
+        df.select(F.explode(F.split(norm, " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+    hist = words.groupBy("count").agg(F.count("*").alias("__n_words"))
+    w = Window.orderBy(F.col("count").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    total = hist.agg(F.sum(F.col("count") * F.col("__n_words"))).collect()[0][0] or 0
+    thr_rows = (
+        hist.withColumn("__cum", F.sum(F.col("count") * F.col("__n_words")).over(w))
+        .filter(F.col("__cum") >= F.lit(total * cov))
+        .agg(F.max("count").alias("__thr"))
+        .collect()
+    )
+    thr = thr_rows[0]["__thr"] if thr_rows and thr_rows[0]["__thr"] is not None else None
+    if thr is None:
+        return words.select(
+            "word", "count", F.round(F.lit(0.0), 6).alias("share")
+        ).limit(0)
+    return (
+        words.filter(F.col("count") >= F.lit(int(thr)))
+        .select(
+            "word",
+            "count",
+            F.round(F.col("count").cast("double") / F.lit(float(total)), 6).alias("share"),
+        )
+    )
