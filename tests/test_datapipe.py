@@ -2890,3 +2890,12 @@ def test_vocab_coverage(spark):
 
     with _pytest.raises(ValueError, match="coverage"):
         text.vocab_coverage(df, "text", 0.0)
+
+
+def test_vocab_coverage_directive(spark):
+    from wrangler_spark import Pipeline
+
+    df = spark.createDataFrame([(1, "x x x y")], ["id", "text"])
+    out = {r["word"]: r["count"] for r in
+           Pipeline.compile("vocab-coverage :text 0.75").apply(df).collect()}
+    assert out == {"x": 3}

@@ -950,6 +950,24 @@ class UnicodeNormalize(Directive):
 
 
 @directive
+class VocabCoverage(Directive):
+    """vocab-coverage :text [coverage] — corpus word table cut at the
+    cumulative-coverage frequency class (vocab sizing for LM/tokenizer
+    baselines) → (word, count, share)."""
+
+    name = "vocab-coverage"
+    usage = [
+        Arg("text", TokenType.COLUMN),
+        Arg("coverage", TokenType.NUMERIC, optional=True, default=0.999),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import vocab_coverage
+
+        return vocab_coverage(df, ctx.resolve(df, self.args["text"]), float(self.args["coverage"]))
+
+
+@directive
 class HtmlToText(Directive):
     """html-to-text :col [out] — strip HTML to visible text (drops
     script/style subtrees, decodes entities, keeps block-level line
