@@ -2899,3 +2899,45 @@ def test_vocab_coverage_directive(spark):
     out = {r["word"]: r["count"] for r in
            Pipeline.compile("vocab-coverage :text 0.75").apply(df).collect()}
     assert out == {"x": 3}
+
+
+def test_report_state_grouped(spark, tmp_path_factory):
+    """Grouped state keeps one row per source per batch; the grid read
+    returns one report row per source whose exact sums match the
+    one-shot per-group report."""
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.datapipe import curation
+
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path_factory.mktemp("rep_state_g")) + "/st"
+    for k in range(2):
+        curation.report_update_state(
+            docs_df.filter(F.col("doc_id") % 2 == k), path, by="source", batch_id=f"b{k}"
+        )
+    got = {r["__grp"]: r for r in curation.report_from_state(spark, path).collect()}
+    want = {
+        r["source"]: r
+        for r in docs_df.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for src in want:
+        assert got[src]["n_docs"] == want[src]["n_docs"]
+        assert got[src]["n_chars"] == want[src]["n_chars"]
+
+
+def test_keep_top_frac_directive(spark):
+    from wrangler_spark import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 9.0), (3, "b", 0.1), (4, "b", 0.9)],
+        ["id", "grp", "score"],
+    )
+    ids = {r["id"] for r in Pipeline.compile("keep-top-frac :score 0.5 :grp").apply(df).collect()}
+    assert ids == {2, 4}  # top half per group
+    # global: type-7 median of [0.1, 0.9, 1.0, 9.0] is 0.95 -> scores 1.0, 9.0
+    ids_g = {r["id"] for r in Pipeline.compile("keep-top-frac :score 0.5").apply(df).collect()}
+    assert ids_g == {1, 2}

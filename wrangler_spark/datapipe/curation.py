@@ -1277,6 +1277,7 @@ def corpus_report(
 def report_update_state(
     df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text",
     lang_col: str | None = None, batch_id: str = "",
+    by: str | None = None,
 ) -> None:
     """Fold one ingestion batch into a LOG-STRUCTURED corpus-report
     state: appends a single row of (counts + DataSketches HLL binaries)
@@ -1290,7 +1291,11 @@ def report_update_state(
     regardless). This is the materialize-once posture
     (retention_write_state, bloom_write_index) applied to the health
     metrics a 100 TB dashboard polls: per-batch cost stays flat as the
-    corpus grows. All batches must agree on lang_col presence."""
+    corpus grows. All batches must agree on lang_col/by presence.
+
+    ``by`` keeps one state row per GROUP per batch (source/shard) —
+    the corpus_report_by counterpart; dup estimates then stay
+    within-group, like the one-shot grouped report."""
     from wrangler_spark.datapipe.dedup import normalize_text
 
     key = F.md5(normalize_text(F.col(text_col)))
@@ -1305,7 +1310,8 @@ def report_update_state(
     ]
     if lang_col:
         aggs.append(F.hll_sketch_agg(F.col(lang_col)).alias("lang_sketch"))
-    row = df.agg(*aggs).withColumn("batch_id", F.lit(str(batch_id)))
+    agged = df.groupBy(F.col(by).alias("__grp")).agg(*aggs) if by else df.agg(*aggs)
+    row = agged.withColumn("batch_id", F.lit(str(batch_id)))
     row.write.mode("append").parquet(f"{path}/rows")
 
 
@@ -1316,8 +1322,10 @@ def report_from_state(spark, path: str) -> DataFrame:
     Output columns match corpus_report(exact=False)
     semantics: (n_docs, n_null_text, n_chars, n_words, n_exact_dup_docs
     [, distinct_langs], pct_dup). Reads only the state rows — one row
-    per ingested batch — never the corpus."""
+    per ingested batch (or per group per batch for a grouped state,
+    returning one report row per group) — never the corpus."""
     rows = spark.read.parquet(f"{path}/rows")
+    grouped = "__grp" in rows.columns
     aggs = [
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("n_null_text").cast("long").alias("n_null_text"),
@@ -1331,7 +1339,8 @@ def report_from_state(spark, path: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("lang_sketch"))
             .cast("long").alias("distinct_langs")
         )
-    out = rows.agg(*aggs).withColumn(
+    agged = rows.groupBy("__grp").agg(*aggs) if grouped else rows.agg(*aggs)
+    out = agged.withColumn(
         "n_exact_dup_docs",
         F.greatest(F.col("__with_text") - F.col("__distinct"), F.lit(0)).cast("long"),
     )
@@ -1346,6 +1355,8 @@ def report_from_state(spark, path: str) -> DataFrame:
     cols = ["n_docs", "n_null_text", "n_chars", "n_words", "n_exact_dup_docs"]
     if "lang_sketch" in rows.columns:
         cols.append("distinct_langs")
+    if grouped:
+        cols = ["__grp"] + cols
     return out.select(*cols, "pct_dup")
 
 

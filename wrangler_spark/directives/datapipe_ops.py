@@ -950,6 +950,30 @@ class UnicodeNormalize(Directive):
 
 
 @directive
+class KeepTopFrac(Directive):
+    """keep-top-frac :score frac [:by] — keep the top ``frac`` of rows
+    by score (classifier-threshold pruning; ties at the boundary all
+    kept); an optional :by column applies the fraction within each
+    group (top X% per language/source)."""
+
+    name = "keep-top-frac"
+    usage = [
+        Arg("score", TokenType.COLUMN),
+        Arg("frac", TokenType.NUMERIC),
+        Arg("by", TokenType.COLUMN, optional=True, default=None),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import keep_top_frac
+
+        by = self.args["by"]
+        return keep_top_frac(
+            df, ctx.resolve(df, self.args["score"]), float(self.args["frac"]),
+            by=[ctx.resolve(df, by)] if by else None,
+        )
+
+
+@directive
 class VocabCoverage(Directive):
     """vocab-coverage :text [coverage] — corpus word table cut at the
     cumulative-coverage frequency class (vocab sizing for LM/tokenizer
