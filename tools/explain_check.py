@@ -452,6 +452,27 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 31. round-9 plan fixes.
+    # vocab_coverage: the shared word-count aggregate is checkpointed —
+    # the RETURNED (lazy) plan reads the checkpoint, so exactly zero
+    # parquet scans and no window appear (r8 measured 3 corpus
+    # scans + 2 plan-build-time collects without this); the stats
+    # join-back is the sanctioned broadcast-1-row crossJoin
+    p = plan_of(qs["text_vocab"](spark, SF_DIR))
+    problems += check(
+        "text_vocab", p,
+        must_not=["FileScan", "Window", "SortMergeJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+    # vocabulary: top-k is a distributed TakeOrdered over the token
+    # aggregate, never a global rank window (a web-scale raw vocabulary
+    # is 10^8+ rows — one sort task otherwise)
+    p = plan_of(qs["text_vocabulary"](spark, SF_DIR))
+    problems += check(
+        "text_vocabulary", p, must=["TakeOrderedAndProject"],
+        must_not=["Window", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:

@@ -262,8 +262,14 @@ def vocabulary(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
     Scale shape: explode → one hash-aggregate shuffle keyed on the token
     (map-side partials collapse each partition's counts first, so the
     shuffle carries at most |vocab| rows per partition, not |tokens|);
-    the top-k is a single-partition window over the aggregated vocab —
-    fine for any real k, the vocab table is tiny next to the corpus."""
+    the top-k is a distributed TakeOrdered (each partition keeps its
+    local top-k, the driver merges P·k rows) — NEVER a global rank
+    window: a 100 TB web corpus's raw token vocabulary (typos, URLs,
+    hashes) runs 10^8-10^9 distinct rows, and a
+    ``Window.orderBy(tf desc)`` would funnel all of them through ONE
+    task to rank. The rank column is re-derived from the k survivors
+    (posexplode of one sorted k-array — the _topk_reduce finish),
+    bounded by k, never by vocabulary size."""
     staged = _with_words(df, text_col)
     tok = (
         staged.select(F.explode(F.col(_W)).alias("token"))
@@ -276,12 +282,29 @@ def vocabulary(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("df"))
     )
-    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
-    return (
+    top = (
         counts.join(docs, "token")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("token", "tf", "df", "rank")
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(int(k))
+    )
+    # rank over the k survivors only: collect the (<= k)-row result into
+    # ONE sorted array and posexplode — same ordering contract as the
+    # old row_number (tf desc, token asc), expressed as an ascending
+    # struct sort on (-tf, token)
+    item = F.struct(
+        (-F.col("tf")).alias("ntf"),
+        F.col("token").alias("token"),
+        F.col("df").alias("df"),
+    )
+    return (
+        top.agg(F.array_sort(F.collect_list(item)).alias("__tk"))
+        .select(F.posexplode("__tk").alias("__pos", "__it"))
+        .select(
+            F.col("__it.token").alias("token"),
+            (-F.col("__it.ntf")).cast("long").alias("tf"),
+            F.col("__it.df").alias("df"),
+            (F.col("__pos") + 1).cast("int").alias("rank"),
+        )
     )
 
 
@@ -1199,16 +1222,22 @@ def vocab_coverage(
     table plus a running-total window (one partition, the classic
     anti-pattern). Here the cutoff COUNT is derived instead from the
     count-of-counts histogram: one hash aggregate (word -> count, the
-    table a 100 TB corpus bounds at vocabulary size, not token count),
-    one tiny aggregate (count -> n_words, total_tokens — at most a few
-    thousand distinct frequency values even for web-scale corpora, Zipf
-    again), a cumulative sum over THAT bounded table (the only window,
-    over thousands of rows, not the corpus), and a scan-side
-    ``count >= threshold`` filter joined back broadcast. The threshold
-    is the smallest frequency whose inclusion reaches coverage, so the
-    kept set can overshoot coverage by at most one frequency class —
-    the deterministic contract both engines share (no per-word
-    tiebreak inside a frequency class is ever needed)."""
+    table a 100 TB corpus bounds at vocabulary size, not token count —
+    eagerly checkpointed, since it is a shuffle-bearing branch shared
+    by the histogram AND the returned filter; released by the caller's
+    checkpoint_scope), one tiny aggregate folding the histogram into a
+    single sorted array (at most a few thousand distinct frequency
+    values even for web-scale corpora, Zipf again), a running-sum FOLD
+    over that array deriving total and threshold in the SAME 1-row
+    frame, and a scan-side ``count >= threshold`` filter joined back
+    with crossJoin(broadcast(stats)) — the whole op stays LAZY (no
+    driver collect; nothing executes at plan-build time beyond the
+    checkpoint, which a streaming input skips) and the corpus is
+    scanned and aggregated exactly once. The threshold is the smallest
+    frequency whose inclusion reaches coverage, so the kept set can
+    overshoot coverage by at most one frequency class — the
+    deterministic contract both engines share (no per-word tiebreak
+    inside a frequency class is ever needed)."""
     cov = float(coverage)
     if not 0.0 < cov <= 1.0:
         raise ValueError(f"coverage must be in (0, 1], got {coverage}")
@@ -1219,25 +1248,52 @@ def vocab_coverage(
         .groupBy("word")
         .agg(F.count("*").alias("count"))
     )
-    hist = words.groupBy("count").agg(F.count("*").alias("__n_words"))
-    w = Window.orderBy(F.col("count").desc()).rowsBetween(Window.unboundedPreceding, 0)
-    total = hist.agg(F.sum(F.col("count") * F.col("__n_words"))).collect()[0][0] or 0
-    thr_rows = (
-        hist.withColumn("__cum", F.sum(F.col("count") * F.col("__n_words")).over(w))
-        .filter(F.col("__cum") >= F.lit(total * cov))
-        .agg(F.max("count").alias("__thr"))
-        .collect()
+    if not df.isStreaming:
+        words = eager_checkpoint(words)
+    # histogram rows sorted by frequency DESC (nc = -count ascending);
+    # tok = tokens contributed by that frequency class
+    hist_item = F.struct(
+        (-F.col("count")).alias("nc"),
+        (F.col("count") * F.col("__n_words")).alias("tok"),
     )
-    thr = thr_rows[0]["__thr"] if thr_rows and thr_rows[0]["__thr"] is not None else None
-    if thr is None:
-        return words.select(
-            "word", "count", F.round(F.lit(0.0), 6).alias("share")
-        ).limit(0)
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("run"),
+        F.lit(None).cast("long").alias("thr"),
+    )
+
+    def _fold(a, x):
+        run = a["run"] + x["tok"]
+        return F.struct(
+            run.alias("run"),
+            F.coalesce(
+                a["thr"],
+                F.when(
+                    run.cast("double")
+                    >= F.col("__total").cast("double") * F.lit(cov),
+                    -x["nc"],
+                ),
+            ).alias("thr"),
+        )
+
+    stats = (
+        words.groupBy("count")
+        .agg(F.count("*").alias("__n_words"))
+        .agg(F.array_sort(F.collect_list(hist_item)).alias("__h"))
+        .withColumn(
+            "__total",
+            F.aggregate("__h", F.lit(0).cast("long"), lambda s, x: s + x["tok"]),
+        )
+        .withColumn("__thr", F.aggregate("__h", acc0, _fold, lambda a: a["thr"]))
+        .select("__total", "__thr")
+    )
     return (
-        words.filter(F.col("count") >= F.lit(int(thr)))
+        words.crossJoin(F.broadcast(stats))
+        .filter(F.col("__thr").isNotNull() & (F.col("count") >= F.col("__thr")))
         .select(
             "word",
             "count",
-            F.round(F.col("count").cast("double") / F.lit(float(total)), 6).alias("share"),
+            F.round(
+                F.col("count").cast("double") / F.col("__total").cast("double"), 6
+            ).alias("share"),
         )
     )
