@@ -2702,6 +2702,11 @@ def test_minhash_banding_operating_points(spark, docs):
 
     with _pytest.raises(ValueError, match="bundled"):
         dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.5, bands=17, rows_per_band=2).collect()
+    # zero/negative geometry must be loud too — it would otherwise build
+    # an empty band array and return zero pairs with no error
+    for b, r in ((0, 4), (8, 0), (-1, 4), (8, -2)):
+        with _pytest.raises(ValueError, match=">= 1"):
+            dedup.minhash_lsh_pairs(docs, "doc_id", "text", 0.5, bands=b, rows_per_band=r)
 
 
 def test_langid_multi_new_languages(spark):
@@ -2811,6 +2816,18 @@ def test_minhash_index_pins_banding_geometry(spark, tmp_path_factory, docs):
         new, old, "doc_id", "text", 0.2, bands=16, rows_per_band=2).collect()))
     assert via_index == in_memory and len(via_index) > 0
 
+    # meta is written FIRST: a build that dies after meta leaves a
+    # partial index that fails LOUDLY at probe (missing buckets scan) —
+    # never a silent default-geometry probe of tuned buckets
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    partial = str(tmp_path_factory.mktemp("mh_idx_partial")) + "/ix"
+    spark.createDataFrame([(16, 2)], "bands int, rows_per_band int") \
+        .write.parquet(f"{partial}/meta")
+    with _pytest.raises(AnalysisException):
+        dedup.minhash_pairs_against_index(new, partial, "doc_id", "text", 0.2).collect()
+
 
 def test_lsh_sweep(spark, docs):
     """The tuning harness orders geometries by the S-curve: recall is
@@ -2915,7 +2932,8 @@ def test_report_state_grouped(spark, tmp_path_factory):
         curation.report_update_state(
             docs_df.filter(F.col("doc_id") % 2 == k), path, by="source", batch_id=f"b{k}"
         )
-    got = {r["__grp"]: r for r in curation.report_from_state(spark, path).collect()}
+    # the group column surfaces under its REAL name, not an internal alias
+    got = {r["source"]: r for r in curation.report_from_state(spark, path).collect()}
     want = {
         r["source"]: r
         for r in docs_df.groupBy("source").agg(

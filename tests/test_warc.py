@@ -75,6 +75,52 @@ def test_iter_records_plain_and_gzip_variants():
     assert len(list(warc.iter_records(cut))) == 3
 
 
+def test_iter_records_peak_memory_is_one_record():
+    """The scale contract of the gzip path: peak parse-buffer bytes are
+    bounded by ONE record (+ fixed chunk slack), never the decompressed
+    archive — for the per-record-member convention AND whole-stream
+    gzip. 64 records x 256 KiB = 16 MiB decompressed; the buffer must
+    stay under one record + the 1 MiB chunk slack."""
+    rec_body = b"x" * (256 * 1024)
+    recs = [
+        warc.build_record({"WARC-Record-ID": f"<r{i}>"}, rec_body)
+        for i in range(64)
+    ]
+    one_record = len(recs[0])
+    for blob in (
+        b"".join(gzip.compress(r) for r in recs),  # per-record members
+        gzip.compress(b"".join(recs)),             # whole-stream gzip
+    ):
+        wm = [0]
+        got = list(warc.iter_records(blob, _watermark=wm))
+        assert len(got) == 64 and all(b == rec_body for _, b in got)
+        assert wm[0] <= one_record + warc._MAX_CHUNK, (
+            f"peak buffer {wm[0]} exceeds one record + chunk slack "
+            f"({one_record} + {warc._MAX_CHUNK}) — decompressed archive "
+            f"is {sum(map(len, recs))}"
+        )
+
+    # truncated gzip tail: records that decoded cleanly are kept, the
+    # partial tail record is dropped (the plain-file contract)
+    blob = b"".join(gzip.compress(r) for r in recs[:4])
+    assert len(list(warc.iter_records(blob[: len(blob) - 40]))) == 3
+
+    # a long marker-free junk run between records is trimmed while
+    # scanning, not accumulated — resync still lands on the next record
+    # (the boundary marker is "\nWARC/", so the junk must end in a
+    # newline to be recoverable at all — same contract as _resync)
+    junk = bytes(range(65, 91)) * (1 << 18) + b"\r\n"  # 6.8 MB, no \nWARC/
+    wm = [0]
+    got = list(
+        warc.iter_records(
+            b"".join(gzip.compress(b) for b in (recs[0], junk, recs[1])),
+            _watermark=wm,
+        )
+    )
+    assert [h["warc-record-id"] for h, _ in got] == ["<r0>", "<r1>"]
+    assert wm[0] <= one_record + 2 * warc._MAX_CHUNK  # junk never piles up
+
+
 def test_split_http_payload():
     status, body = warc.split_http_payload(_http_block(b"payload", 301))
     assert (status, body) == (301, b"payload")

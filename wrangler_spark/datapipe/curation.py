@@ -1295,9 +1295,17 @@ def report_update_state(
 
     ``by`` keeps one state row per GROUP per batch (source/shard) —
     the corpus_report_by counterpart; dup estimates then stay
-    within-group, like the one-shot grouped report."""
+    within-group, like the one-shot grouped report. The group column
+    keeps its REAL name in the state rows (and in the report output) —
+    all batches must agree on it, and it may not collide with the
+    report's own metric names."""
     from wrangler_spark.datapipe.dedup import normalize_text
 
+    if by and by in _REPORT_STATE_COLS:
+        raise ValueError(
+            f"by={by!r} collides with a report state column; rename the "
+            "group column before folding it into state"
+        )
     key = F.md5(normalize_text(F.col(text_col)))
     words = F.size(F.split(normalize_text(F.col(text_col)), " "))
     aggs = [
@@ -1310,9 +1318,19 @@ def report_update_state(
     ]
     if lang_col:
         aggs.append(F.hll_sketch_agg(F.col(lang_col)).alias("lang_sketch"))
-    agged = df.groupBy(F.col(by).alias("__grp")).agg(*aggs) if by else df.agg(*aggs)
+    agged = df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
     row = agged.withColumn("batch_id", F.lit(str(batch_id)))
     row.write.mode("append").parquet(f"{path}/rows")
+
+
+# the metric/meta columns every report state row carries; anything else
+# in a state row's schema is the (single) group column, under its real
+# name — how report_from_state recovers what the grouping was without a
+# separate meta table
+_REPORT_STATE_COLS = frozenset(
+    {"n_docs", "n_null_text", "n_chars", "n_words", "n_with_text",
+     "content_sketch", "lang_sketch", "batch_id"}
+)
 
 
 def report_from_state(spark, path: str) -> DataFrame:
@@ -1323,9 +1341,13 @@ def report_from_state(spark, path: str) -> DataFrame:
     semantics: (n_docs, n_null_text, n_chars, n_words, n_exact_dup_docs
     [, distinct_langs], pct_dup). Reads only the state rows — one row
     per ingested batch (or per group per batch for a grouped state,
-    returning one report row per group) — never the corpus."""
+    returning one report row per group, keyed by the group column's
+    REAL name as written by report_update_state; states written before
+    the name was preserved surface as ``__grp``) — never the corpus."""
     rows = spark.read.parquet(f"{path}/rows")
-    grouped = "__grp" in rows.columns
+    extra = [c for c in rows.columns if c not in _REPORT_STATE_COLS]
+    grp_col = extra[0] if extra else None
+    grouped = grp_col is not None
     aggs = [
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("n_null_text").cast("long").alias("n_null_text"),
@@ -1339,7 +1361,7 @@ def report_from_state(spark, path: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("lang_sketch"))
             .cast("long").alias("distinct_langs")
         )
-    agged = rows.groupBy("__grp").agg(*aggs) if grouped else rows.agg(*aggs)
+    agged = rows.groupBy(grp_col).agg(*aggs) if grouped else rows.agg(*aggs)
     out = agged.withColumn(
         "n_exact_dup_docs",
         F.greatest(F.col("__with_text") - F.col("__distinct"), F.lit(0)).cast("long"),
@@ -1356,7 +1378,7 @@ def report_from_state(spark, path: str) -> DataFrame:
     if "lang_sketch" in rows.columns:
         cols.append("distinct_langs")
     if grouped:
-        cols = ["__grp"] + cols
+        cols = [grp_col] + cols
     return out.select(*cols, "pct_dup")
 
 

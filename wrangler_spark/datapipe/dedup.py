@@ -183,6 +183,10 @@ def _sig_bands(
     the S-curve LEFT (recall up, candidate volume up). bands*rows
     signatures are drawn as a prefix of the 32 bundled permutations, so
     two calls with the same geometry always bucket identically."""
+    if bands < 1 or rows < 1:
+        # zero/negative geometry would silently produce an empty band
+        # array — every pair op would return zero pairs with no error
+        raise ValueError(f"bands and rows_per_band must be >= 1, got ({bands}, {rows})")
     if bands * rows > len(MINHASH_A):
         raise ValueError(
             f"bands*rows = {bands * rows} exceeds the {len(MINHASH_A)} bundled "
@@ -1410,7 +1414,15 @@ def minhash_write_index(
     The banding geometry is PINNED in ``<path>/meta`` and the probe
     reads it from there — probing buckets built at a different
     (bands, rows) would silently miss true pairs (the bloom-scheme
-    hazard), so geometry is an index property, not a probe argument."""
+    hazard), so geometry is an index property, not a probe argument.
+    Meta is written FIRST: a failure mid-build then leaves an index
+    whose missing buckets scan fails LOUDLY at probe time — the
+    reverse order left tuned-geometry buckets without meta, which the
+    probe's pre-meta fallback would silently read at the default
+    geometry (the exact silent-miss hazard meta exists to prevent)."""
+    df_old.sparkSession.createDataFrame(
+        [(int(bands), int(rows_per_band))], "bands int, rows_per_band int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     base_o, bands_o = _sig_bands(df_old, id_col, text_col, bands, rows_per_band)
     (
         bands_o.groupBy("band", "key")
@@ -1419,9 +1431,6 @@ def minhash_write_index(
         .parquet(f"{path}/buckets")
     )
     base_o.write.mode("overwrite").parquet(f"{path}/shingles")
-    df_old.sparkSession.createDataFrame(
-        [(int(bands), int(rows_per_band))], "bands int, rows_per_band int"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
     release(base_o)
 
 

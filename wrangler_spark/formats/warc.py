@@ -4,8 +4,17 @@ The format underlying Common Crawl and web-archive corpora: a WARC file
 is a sequence of records, each ``WARC/1.x\\r\\n`` + header lines + blank
 line + exactly ``Content-Length`` payload bytes + ``\\r\\n\\r\\n``. Files
 ship either plain or gzipped; the archival convention is ONE GZIP MEMBER
-PER RECORD (so tools can seek), which stdlib ``gzip.decompress`` handles
-transparently (it concatenates members).
+PER RECORD (so tools can seek).
+
+Decompression is INCREMENTAL: a ``zlib.decompressobj`` loop walks the
+members, yielding bounded decompressed chunks that a buffered parser
+consumes and discards as records complete — peak memory is the
+compressed input buffer plus ONE pending record (plus a fixed chunk
+slack), never the fully-decompressed archive (a ~1 GB Common Crawl
+.warc.gz is ~4-5 GB decompressed; 32 concurrent whole-file decompresses
+would need 140+ GB). This holds for the per-record-member convention AND
+for whole-stream gzip: the parser's buffer drains after every record
+either way.
 
 This module only parses bytes; the Spark plumbing (file parallelism,
 batching, schema) lives in ``wrangler_spark.sources.read_warc``.
@@ -14,65 +23,159 @@ batching, schema) lives in ``wrangler_spark.sources.read_warc``.
 from __future__ import annotations
 
 import gzip
+import zlib
 from collections.abc import Iterator
 
 GZIP_MAGIC = b"\x1f\x8b"
 
+# compressed bytes fed to the decompressor per call / decompressed bytes
+# yielded per chunk — both bound the transient memory of the member walk
+_FEED = 1 << 20
+_MAX_CHUNK = 1 << 20
+
 
 def maybe_gunzip(data: bytes) -> bytes:
-    """Decompress iff the buffer is gzip (multi-member safe)."""
+    """Decompress iff the buffer is gzip (multi-member safe). Whole-buffer
+    helper for SMALL payloads (fixtures, single records) — the record
+    iterator uses :func:`_gunzip_members` instead, which never
+    materializes the full decompressed archive."""
     if data[:2] == GZIP_MAGIC:
         return gzip.decompress(data)
     return data
 
 
-def _resync(data: bytes, pos: int) -> int:
-    """Position of the next plausible record start (a ``WARC/`` version
-    line at line start) past ``pos``, or len(data). Bounds the damage
-    of one malformed record to that record — without this, mid-file
-    corruption silently discards everything after it. A ``WARC/`` at
-    line start inside a payload can false-positive; the bogus candidate
-    then fails header parsing and resyncs again, so the loss stays
-    local either way."""
-    j = data.find(b"\nWARC/", pos)
-    return len(data) if j < 0 else j + 1
+def _gunzip_members(data: bytes) -> Iterator[bytes]:
+    """Yield decompressed chunks (each ≤ ``_MAX_CHUNK``) across all gzip
+    members of ``data`` without ever holding more than one chunk of
+    decompressed output. A truncated final member yields what decoded
+    cleanly and stops (the parser then drops the partial tail record —
+    the same contract as a truncated PLAIN file); a corrupt member stops
+    the walk (everything after an undecodable member is unreachable —
+    gzip has no resync marker, unlike the WARC record layer)."""
+    view = memoryview(data)
+    pos, n = 0, len(data)
+    while pos < n:
+        if bytes(view[pos : pos + 2]) != GZIP_MAGIC:
+            return  # trailing garbage after the last member: drop it
+        d = zlib.decompressobj(wbits=31)
+        buf = view[pos : pos + _FEED]
+        pos += len(buf)
+        while True:
+            try:
+                out = d.decompress(buf, _MAX_CHUNK)
+            except zlib.error:
+                return  # corrupt member
+            if out:
+                yield out
+            if d.eof:
+                pos -= len(d.unused_data)  # rewind to the next member
+                break
+            buf = d.unconsumed_tail
+            if not buf:
+                if pos >= n:
+                    tail = d.flush()  # truncated final member
+                    if tail:
+                        yield tail
+                    return
+                buf = view[pos : pos + _FEED]
+                pos += len(buf)
 
 
-def iter_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
-    """Yield (headers, block) per WARC record. Header names are
-    lower-cased; values are stripped. A truncated TAIL record is dropped
-    rather than raised (partial downloads); a malformed MID-FILE record
-    (missing/non-numeric Content-Length — a mandatory header — or
-    non-record bytes) is skipped by resyncing to the next record
-    boundary, so one bad record never discards the rest of the file."""
-    data = maybe_gunzip(data)
-    i, n = 0, len(data)
-    while i < n:
-        while i < n and data[i : i + 1] in (b"\r", b"\n"):
-            i += 1
-        if i >= n:
+def _records_from_chunks(
+    chunks: Iterator[bytes], _watermark: list[int] | None = None
+) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Incremental record parser over a chunk stream: the working buffer
+    holds at most one pending record (consumed prefixes are deleted as
+    records complete; junk runs are trimmed during resync), so memory is
+    bounded by the largest record, not the archive. ``_watermark`` is a
+    test hook — a 1-element list updated with the peak buffer size."""
+    buf = bytearray()
+    exhausted = False
+
+    def fill() -> bool:
+        nonlocal exhausted
+        if exhausted:
+            return False
+        c = next(chunks, None)
+        if c is None:
+            exhausted = True
+            return False
+        buf.extend(c)
+        if _watermark is not None and len(buf) > _watermark[0]:
+            _watermark[0] = len(buf)
+        return True
+
+    while True:
+        # skip inter-record CR/LF padding
+        while True:
+            i = 0
+            while i < len(buf) and buf[i : i + 1] in (b"\r", b"\n"):
+                i += 1
+            if i:
+                del buf[:i]
+            if buf or not fill():
+                break
+        if not buf:
             return
-        if not data.startswith(b"WARC/", i):
-            i = _resync(data, i)
+        while len(buf) < 5 and fill():
+            pass
+        if bytes(buf[:5]) != b"WARC/":
+            # resync: junk / malformed bytes cost at most the run up to
+            # the next record boundary; trim the buffer while scanning so
+            # a marker-free junk run never accumulates
+            j = buf.find(b"\nWARC/")
+            while j < 0:
+                if len(buf) > 5:
+                    del buf[: len(buf) - 5]
+                if not fill():
+                    return
+                j = buf.find(b"\nWARC/")
+            del buf[: j + 1]
             continue
-        end_hdr = data.find(b"\r\n\r\n", i)
-        if end_hdr < 0:
-            return  # truncated header at the tail
+        end_hdr = buf.find(b"\r\n\r\n")
+        while end_hdr < 0:
+            if not fill():
+                return  # truncated header at the tail
+            end_hdr = buf.find(b"\r\n\r\n")
         headers: dict[str, str] = {}
-        for ln in data[i:end_hdr].decode("utf-8", "replace").split("\r\n")[1:]:
+        for ln in bytes(buf[:end_hdr]).decode("utf-8", "replace").split("\r\n")[1:]:
             if ":" in ln:
                 k, v = ln.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
         clen_s = headers.get("content-length")
         if clen_s is None or not clen_s.isdigit():
-            i = _resync(data, end_hdr)  # malformed record: skip it alone
+            # malformed record (Content-Length is mandatory): skip it
+            # alone — resync from the end of its header block
+            del buf[:end_hdr]
+            if buf[:1] in (b"\r", b"\n"):
+                del buf[:1]  # don't let the header's own CRLF re-match
             continue
         clen = int(clen_s)
         start = end_hdr + 4
-        if start + clen > n:
-            return  # truncated tail record
-        yield headers, data[start : start + clen]
-        i = start + clen
+        while len(buf) < start + clen:
+            if not fill():
+                return  # truncated tail record
+        yield headers, bytes(buf[start : start + clen])
+        del buf[: start + clen]
+
+
+def iter_records(
+    data: bytes, _watermark: list[int] | None = None
+) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Yield (headers, block) per WARC record. Header names are
+    lower-cased; values are stripped. A truncated TAIL record is dropped
+    rather than raised (partial downloads); a malformed MID-FILE record
+    (missing/non-numeric Content-Length — a mandatory header — or
+    non-record bytes) is skipped by resyncing to the next record
+    boundary, so one bad record never discards the rest of the file.
+
+    Gzip input is decompressed INCREMENTALLY per member: peak memory is
+    the compressed input + one record, never the decompressed archive
+    (see module docstring). ``_watermark`` is a test hook exposing the
+    parser's peak buffer size."""
+    if data[:2] == GZIP_MAGIC:
+        return _records_from_chunks(_gunzip_members(data), _watermark)
+    return _records_from_chunks(iter((bytes(data),)), _watermark)
 
 
 def split_http_payload(block: bytes) -> tuple[int | None, bytes]:

@@ -83,8 +83,11 @@ def read_warc(
     archival convention is ~1 GB files precisely so that file-level
     parallelism is enough (a Common Crawl snapshot is ~90k files; any
     cluster saturates on that). ``binaryFile`` streams one file per
-    task; the parser yields Arrow batches of ``batch_rows`` records so
-    peak memory per task is one file buffer + one batch, independent of
+    task; gzip members are decompressed INCREMENTALLY (one
+    zlib.decompressobj walk — the decompressed archive, 4-5x the file,
+    is never materialized) and the parser yields Arrow batches of
+    ``batch_rows`` records, so peak memory per task is one COMPRESSED
+    file buffer + one record + one batch, independent of
     records-per-file. ``conversion`` records are WET extracted text;
     ``response`` records get their HTTP envelope stripped (status kept)
     when ``strip_http_headers`` — the payload is then the raw body,
