@@ -2461,6 +2461,73 @@ def test_bloom_index_log_structured_append(spark, tmp_path_factory):
         dedup.bloom_write_index(batch, path, "text", bits=1 << 12, append=True)
 
 
+def test_compact_index_probe_identical(spark, tmp_path_factory):
+    """compact_index rewrites a log-structured index to O(partitions)
+    files with BIT-IDENTICAL probe results — the maintenance loop the
+    append-only write path needs after thousands of batches. Covers the
+    three layout families: Bloom word rows (row-merge + rewrite),
+    partitioned IVF vectors (partition dirs preserved), retention state
+    (partitioned pairs + untouched meta)."""
+    from wrangler_spark.datapipe.events import (
+        retention_grid_from_state, retention_update_state, retention_write_state,
+    )
+    from wrangler_spark.datapipe.maintenance import compact_index
+
+    # --- Bloom: 1 build + 4 appends = 5 file generations of word rows
+    path = str(tmp_path_factory.mktemp("bloom_cpt")) + "/ix"
+    gen = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, f"historical document body {i}") for i in range(lo, hi)], ["doc_id", "text"])
+    dedup.bloom_write_index(gen(0, 100), path, "text", bits=1 << 14, num_hashes=5)
+    for b in range(4):
+        dedup.bloom_write_index(
+            gen(100 + b * 50, 150 + b * 50), path, "text",
+            bits=1 << 14, num_hashes=5, append=True)
+    batch = spark.createDataFrame(
+        [(i, f"historical document body {i % 600}") for i in range(1000, 1400)],
+        ["doc_id", "text"])
+    before = sorted(map(tuple, dedup.bloom_probe_index(batch, path, "doc_id", "text").collect()))
+    st = compact_index(spark, path)
+    after = sorted(map(tuple, dedup.bloom_probe_index(batch, path, "doc_id", "text").collect()))
+    assert after == before                                    # bit-identical probes
+    assert [i for (i, dup) in after if i % 600 < 300 and not dup] == []  # still no FNs
+    assert st["words"]["files_after"] < st["words"]["files_before"]
+    # row-merge: duplicate word rows collapsed back to <= bits/64
+    words = spark.read.parquet(f"{path}/words")
+    assert words.count() == words.select("__w").distinct().count() <= (1 << 14) // 64
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]    # meta untouched
+    assert (int(meta["bits"]), int(meta["num_hashes"])) == (1 << 14, 5)
+
+    # --- IVF: write + append, then compact; probes identical, layout kept
+    ivf = str(tmp_path_factory.mktemp("ivf_cpt")) + "/ix"
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    similarity.ivf_write_index(embs.filter(F.col("vec_id") < 400), ivf, n_centroids=8)
+    similarity.ivf_append_index(embs.filter(F.col("vec_id") >= 400), ivf)
+    q = embs.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 9))  # noqa: E731
+    before = sorted(map(key, similarity.ivf_query_index(spark, ivf, q, k=3, nprobe=2).collect()))
+    st = compact_index(spark, ivf)
+    assert st["vectors"]["files_after"] < st["vectors"]["files_before"]
+    after_df = spark.read.parquet(f"{ivf}/vectors")
+    assert "centroid_id" in after_df.columns                  # partitioning preserved
+    after = sorted(map(key, similarity.ivf_query_index(spark, ivf, q, k=3, nprobe=2).collect()))
+    assert after == before
+
+    # --- retention state: seed + 2 update batches, compact, grid identical
+    rst = str(tmp_path_factory.mktemp("ret_cpt")) + "/st"
+    ev = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(u, f"2026-01-{d:02d} 00:00:00", "a") for u, d in rows],
+        ["user_id", "ts", "event_type"]).withColumn("ts", F.to_timestamp("ts"))
+    retention_write_state(ev([(1, 1), (2, 2)]), rst, "user_id", "ts", period_days=7)
+    retention_update_state(ev([(1, 8), (3, 9)]), rst, "user_id", "ts")
+    retention_update_state(ev([(2, 16), (3, 2)]), rst, "user_id", "ts")
+    gkey = lambda r: (str(r["cohort_start"]), r["period_offset"],  # noqa: E731
+                      r["active_users"], r["retention"])
+    before = sorted(map(gkey, retention_grid_from_state(spark, rst).collect()))
+    st = compact_index(spark, rst)
+    assert st["pairs"]["files_after"] < st["pairs"]["files_before"]
+    assert sorted(map(gkey, retention_grid_from_state(spark, rst).collect())) == before
+
+
 def test_pq_broken_vectors_never_evict_real_neighbors(spark):
     """A null or length-mismatched vector must get NULL codes and a null
     ADC score (ranked last), not a real-looking cid-0 code — the same
