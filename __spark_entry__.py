@@ -287,6 +287,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "num_qbins": lambda s, d: numeric.quantile_bins(
             _t(s, d, "customer"), "c_acctbal", 10
         ).select("c_custkey", "c_acctbal_bin"),
+        "num_mad_by": lambda s, d: numeric.flag_outliers(
+            _t(s, d, "customer"), "c_acctbal", "mad", 3.5, by=["c_mktsegment"]
+        ).select("c_custkey", "c_mktsegment", "c_acctbal_outlier"),
+        "sample_top_frac_by": lambda s, d: curation.keep_top_frac(
+            _t(s, d, "customer"), "c_acctbal", 0.1, by=["c_mktsegment"]
+        ).select("c_custkey", "c_mktsegment", "c_acctbal"),
         "text_entropy": lambda s, d: text.char_entropy(
             docs(s, d), "doc_id", "text"
         ).select("doc_id", "char_entropy"),
@@ -552,7 +558,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_overlap": o.overlap_pairs_sql(3, 0.8),
         "num_outliers": o.flag_outliers_sql("c_acctbal", "zscore", 2.0),
         "num_mad": o.flag_outliers_sql("c_acctbal", "mad", 3.5),
+        "num_mad_by": o.flag_outliers_by_sql("c_acctbal", "mad", 3.5, "c_mktsegment"),
         "num_qbins": o.quantile_bins_sql("c_acctbal", 10),
+        "sample_top_frac_by": o.keep_top_frac_by_sql(0.1, "c_acctbal", "c_mktsegment"),
         "text_entropy": o.char_entropy_sql(),
         "text_top_ngrams": o.top_ngrams_sql(3, 20),
         "text_vocab": o.vocab_coverage_sql(0.9),
@@ -798,31 +806,32 @@ def _semdedup_oracle_sql(
     )
 
 
-# The driver oracle-grades the FIRST 50 queries() entries. Round 7 was
-# 50/50 green (the first perfect round). Round 8's window, by the
-# established zero-sum audit (every name in _all_queries() must be in
-# some past CORRECTNESS file or in this window): the ~6 standing
-# sentinels; the THREE r7 queries that shipped with parity-only
-# evidence (dedup_cluster_hist, text_sentences, dedup_sentences — the
-# r7 window was full when they landed); every query whose CODE PATH
-# changed this round (the checkpoint-lifecycle conversion touches the
-# minhash/ngram/cc/classifier/lp-buckets/bigram/dsir/pack_sequences
-# plans; entity_match's blocking-key rewrite; winnow_overlap's shared-
-# subtree checkpoint; mmr's schema derivation; embedding_normalize's
-# staged norm); the new r8 operators (entity_match_against through the
-# events-analytics quartet — every oracled query CREATED this round
-# is in the window, none ships parity-only; pack_sequences/dsir vacated
-# the dsir/packing slots, see below); and back-fill from
-# long-green rows. Rotated out to make room for the late r8 additions:
-# dedup_ngram_jaccard (green r1-r4,r6,r7 incl. post-rewrite r7),
-# ann_cosine_topk (green r1-r7; ANN family still covered by 5 entries),
-# text_readability and corpus_diff (r7-green; corpus_report keeps the
-# corpus-summary family covered) for the funnel/retention pair, and
-# pack_sequences + text_dsir (green r6+r7; their only r8 change is the
+# The driver oracle-grades the FIRST 50 queries() entries. Rounds 7 and
+# 8 were 50/50 green. Round 9's window, by the established zero-sum
+# audit (every name in _all_queries() must be in some past CORRECTNESS
+# file or in this window): the standing sentinels; every query whose
+# CODE PATH changed this round (text_vocab — the single-scan lazy
+# rewrite; text_vocabulary — the distributed-TakeOrdered rewrite;
+# dedup_minhash_lsh/dedup_minhash_b16r2 — _sig_bands grew geometry
+# validation on their call path); the new r9 grouped-fence queries
+# (num_mad_by, sample_top_frac_by — every oracled query CREATED this
+# round is in the window); and the r8 entries retained because their
+# grades were first earned last round. Rotated out for the r9
+# additions: num_winsorize and num_qbins (r8-green, unchanged; the
+# numeric-fence family stays graded through num_mad + num_mad_by) and
+# corpus_report (r8 back-fill, green r1-r8; the corpus-summary family
+# stays graded through corpus_overlap + corpus_drift).
+#
+# Prior r8 rationale (kept for the audit trail): the THREE r7
+# parity-only queries got first grades; the checkpoint-lifecycle
+# conversion re-entered the minhash/ngram/cc/classifier/lp-buckets/
+# bigram plans; rotated out then: dedup_ngram_jaccard, ann_cosine_topk,
+# text_readability, corpus_diff, pack_sequences + text_dsir (all
+# r6/r7-green; their only r8 change was the
 # eager_checkpoint conversion, a single shared mechanism still
 # represented by ~10 remaining window entries) for transitions/paths.
 # Everything rotated out stays green in tools/oracle_parity.py.
-_R8_WINDOW = [
+_R9_WINDOW = [
     # sentinels (flagship + historically fragile + broadcast join)
     "cleanse_recipe",
     "dedup_minhash_lsh",
@@ -837,7 +846,9 @@ _R8_WINDOW = [
     # new this round
     "entity_match_against",
     "num_mad",
-    "num_qbins",
+    # r9: num_qbins vacated (r8-green, unchanged) for the grouped
+    # top-fraction pruning — keep_top_frac(by=)
+    "sample_top_frac_by",
     "text_entropy",
     "text_top_ngrams",
     "corpus_drift",
@@ -868,7 +879,9 @@ _R8_WINDOW = [
     # vacated this slot (flag_outliers stays graded through num_mad,
     # which exercises the same r8 exact-knob path)
     "decontam_spans",
-    "num_winsorize",
+    # r9: num_winsorize vacated (r8-green, unchanged) for the grouped
+    # MAD fence — flag_outliers(by=) through the shared join_group_stats
+    "num_mad_by",
     "ann_mmr_rerank",
     # late r8 change (langid_multi grew nl/sv/pl/id profiles — its output
     # semantics changed, so it re-enters the window); emb_quantize vacated
@@ -901,15 +914,17 @@ _R8_WINDOW = [
     "events_retention",
     "events_transitions",
     "events_paths",
-    # back-fill (green in a prior window, family coverage)
-    "corpus_report",
+    # r9: corpus_report vacated (green r1-r8, unchanged) for
+    # text_vocabulary, whose top-k was rewritten this round (global rank
+    # window -> distributed TakeOrdered + posexplode rank)
+    "text_vocabulary",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    assert len(_R8_WINDOW) == 50 and all(n in all_q for n in _R8_WINDOW)
-    ordered = {name: all_q[name] for name in _R8_WINDOW}
+    assert len(_R9_WINDOW) == 50 and all(n in all_q for n in _R9_WINDOW)
+    ordered = {name: all_q[name] for name in _R9_WINDOW}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
     return ordered
 
@@ -974,7 +989,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_distance_lev": _recipe_q(
             "customer", "text-distance levenshtein :c_name :c_mktsegment :dist"
         ),
-        # (ordering here is irrelevant — queries() reorders via _R8_WINDOW)
+        # (ordering here is irrelevant — queries() reorders via _R9_WINDOW)
         "parse_as_log": _recipe_q(
             "customer",
             "keep :c_custkey\n"

@@ -2896,6 +2896,37 @@ def test_minhash_index_pins_banding_geometry(spark, tmp_path_factory, docs):
         dedup.minhash_pairs_against_index(new, partial, "doc_id", "text", 0.2).collect()
 
 
+def test_minhash_index_auto_geometry(spark, tmp_path_factory, docs):
+    """geometry='auto' sweeps on a sample, pins the winning banding in
+    meta, persists the audit sweep table, and probes identically to an
+    in-memory run at the pinned geometry."""
+    path = str(tmp_path_factory.mktemp("mh_auto")) + "/ix"
+    dedup.minhash_write_index(
+        docs, path, "doc_id", "text", geometry="auto", threshold=0.3,
+    )
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    pinned = (int(meta["bands"]), int(meta["rows_per_band"]))
+    sweep = {(r["bands"], r["rows_per_band"]): r
+             for r in spark.read.parquet(f"{path}/sweep").collect()}
+    assert pinned in sweep and len(sweep) == 3        # audit table persisted
+    # winner rule: leftmost geometry clearing the recall bar, else max recall
+    ordered = sorted(sweep)                            # by bands asc
+    clearing = [g for g in ordered if sweep[g]["recall"] >= 0.9]
+    assert pinned == (clearing[0] if clearing else ordered[-1])
+    # probe matches the in-memory op at the pinned geometry
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    via_index = sorted(map(tuple, dedup.minhash_pairs_against_index(
+        new, path, "doc_id", "text", 0.3).collect()))
+    in_memory = sorted(map(tuple, dedup.minhash_pairs_against(
+        new, docs, "doc_id", "text", 0.3,
+        bands=pinned[0], rows_per_band=pinned[1]).collect()))
+    assert via_index == in_memory
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="auto"):
+        dedup.minhash_write_index(docs, path, "doc_id", "text", geometry="best")
+
+
 def test_lsh_sweep(spark, docs):
     """The tuning harness orders geometries by the S-curve: recall is
     monotone non-decreasing as bands go up (rows per band down), and

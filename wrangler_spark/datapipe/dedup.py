@@ -1394,6 +1394,11 @@ def minhash_write_index(
     df_old: DataFrame, path: str, id_col: str, text_col: str,
     max_bucket_size: int = 100,
     bands: int = LSH_BANDS, rows_per_band: int = LSH_ROWS,
+    geometry: str | None = None,
+    threshold: float = 0.5,
+    sample_docs: int = 2000,
+    recall_target: float = 0.9,
+    geometries: list[tuple[int, int]] = ((4, 8), (8, 4), (16, 2)),
 ) -> None:
     """Materialize the accumulated corpus's LSH state ONCE so every
     ingestion batch skips re-hashing 100 TB of history:
@@ -1419,10 +1424,39 @@ def minhash_write_index(
     whose missing buckets scan fails LOUDLY at probe time — the
     reverse order left tuned-geometry buckets without meta, which the
     probe's pre-meta fallback would silently read at the default
-    geometry (the exact silent-miss hazard meta exists to prevent)."""
-    df_old.sparkSession.createDataFrame(
+    geometry (the exact silent-miss hazard meta exists to prevent).
+
+    ``geometry="auto"`` closes the tune-then-pin loop: before building,
+    :func:`lsh_sweep` runs on a deterministic ``sample_docs``-row sample
+    (ground truth = word-3-gram Jaccard pairs at the same
+    ``threshold``), the LEFTMOST swept geometry whose recall clears
+    ``recall_target`` wins (falling back to the highest-recall one —
+    more bands, the right failure direction: extra candidate volume,
+    never silent misses), the winner overrides ``bands``/
+    ``rows_per_band``, and the full sweep table is persisted at
+    ``<path>/sweep`` so the 100 TB operator can audit what the pin was
+    based on. The probe path is unchanged — it reads geometry from meta
+    exactly as for a hand-pinned index."""
+    spark = df_old.sparkSession
+    sweep = None
+    if geometry == "auto":
+        sample = df_old.select(id_col, text_col).orderBy(id_col).limit(int(sample_docs))
+        sample = eager_checkpoint(sample)  # feeds truth AND every sweep geometry
+        truth = ngram_jaccard_pairs(sample, id_col, text_col, 3, threshold, unit="word")
+        sweep = lsh_sweep(sample, id_col, text_col, truth,
+                          geometries=geometries, threshold=threshold)
+        rows_ = sweep.orderBy("bands").collect()
+        ok = [r for r in rows_ if r["recall"] >= float(recall_target)]
+        pick = ok[0] if ok else rows_[-1]
+        bands, rows_per_band = int(pick["bands"]), int(pick["rows_per_band"])
+        release(sample)
+    elif geometry is not None:
+        raise ValueError(f"geometry must be 'auto' or None, got {geometry!r}")
+    spark.createDataFrame(
         [(int(bands), int(rows_per_band))], "bands int, rows_per_band int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    if sweep is not None:
+        sweep.write.mode("overwrite").parquet(f"{path}/sweep")
     base_o, bands_o = _sig_bands(df_old, id_col, text_col, bands, rows_per_band)
     (
         bands_o.groupBy("band", "key")

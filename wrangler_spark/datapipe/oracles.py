@@ -1590,6 +1590,57 @@ FROM {table} CROSS JOIN s
 """
 
 
+def flag_outliers_by_sql(
+    col: str = "c_acctbal", method: str = "mad", k: float = 3.5,
+    by: str = "c_mktsegment", table: str = "customer", id_col: str = "c_custkey",
+) -> str:
+    """Mirror of numeric.flag_outliers(by=[...]) — per-group fences
+    joined back null-safely (IS NOT DISTINCT FROM == eqNullSafe).
+    Graded projection: (id, group, flag)."""
+    if method == "zscore":
+        return f"""
+WITH s AS (SELECT {by} AS g, avg({col}) AS m, coalesce(stddev_pop({col}), 0) AS sd
+           FROM {table} GROUP BY {by})
+SELECT t.{id_col}, t.{by}, (t.{col} IS NOT NULL AND s.sd > 0
+       AND abs(t.{col} - s.m) > {float(k)} * s.sd) AS {col}_outlier
+FROM {table} t JOIN s ON t.{by} IS NOT DISTINCT FROM s.g
+"""
+    if method == "mad":
+        return f"""
+WITH m AS (SELECT {by} AS g, quantile_cont({col}, 0.5) AS med
+           FROM {table} GROUP BY {by}),
+s AS (SELECT m.g, m.med, quantile_cont(abs(t.{col} - m.med), 0.5) AS mad
+      FROM {table} t JOIN m ON t.{by} IS NOT DISTINCT FROM m.g
+      GROUP BY m.g, m.med)
+SELECT t.{id_col}, t.{by}, (t.{col} IS NOT NULL AND s.mad > 0
+       AND abs(t.{col} - s.med) > {float(k)} * 1.4826 * s.mad) AS {col}_outlier
+FROM {table} t JOIN s ON t.{by} IS NOT DISTINCT FROM s.g
+"""
+    return f"""
+WITH s AS (SELECT {by} AS g, quantile_cont({col}, 0.25) AS q1,
+                  quantile_cont({col}, 0.75) AS q3 FROM {table} GROUP BY {by})
+SELECT t.{id_col}, t.{by}, (t.{col} IS NOT NULL AND
+       (t.{col} < s.q1 - {float(k)} * (s.q3 - s.q1)
+        OR t.{col} > s.q3 + {float(k)} * (s.q3 - s.q1))) AS {col}_outlier
+FROM {table} t JOIN s ON t.{by} IS NOT DISTINCT FROM s.g
+"""
+
+
+def keep_top_frac_by_sql(
+    frac: float, score_col: str = "c_acctbal", by: str = "c_mktsegment",
+    table: str = "customer", id_col: str = "c_custkey",
+) -> str:
+    """Mirror of curation.keep_top_frac(by=[...]) — per-group threshold,
+    boundary ties all kept. Graded projection: (id, group, score)."""
+    return f"""
+WITH s AS (SELECT {by} AS g, quantile_cont({score_col}, {1.0 - float(frac)}) AS thr
+           FROM {table} GROUP BY {by})
+SELECT t.{id_col}, t.{by}, t.{score_col}
+FROM {table} t JOIN s ON t.{by} IS NOT DISTINCT FROM s.g
+WHERE CAST(t.{score_col} AS DOUBLE) >= s.thr
+"""
+
+
 def scale_column_sql(
     col: str = "c_acctbal", method: str = "minmax",
     table: str = "customer", id_col: str = "c_custkey",
