@@ -297,6 +297,15 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), "doc_id", "text"
         ).select("doc_id", "char_entropy"),
         "text_vocab": lambda s, d: text.vocab_coverage(docs(s, d), "text", 0.9),
+        "text_ngram_rep": lambda s, d: text.ngram_repetition_stats(
+            docs(s, d), "doc_id", "text", top_ns=(2, 3, 4), dup_ns=(5, 10)
+        ).select(
+            "doc_id", "top_2gram_char_frac", "top_3gram_char_frac",
+            "top_4gram_char_frac", "dup_5gram_char_frac", "dup_10gram_char_frac",
+        ),
+        "text_oov": lambda s, d: text.oov_rate(
+            docs(s, d), "doc_id", "text", text.vocab_coverage(docs(s, d), "text", 0.9)
+        ).select("doc_id", "oov_rate"),
         "text_top_ngrams": lambda s, d: text.top_ngrams(
             docs(s, d), "doc_id", "text", 3, 20
         ),
@@ -564,6 +573,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_entropy": o.char_entropy_sql(),
         "text_top_ngrams": o.top_ngrams_sql(3, 20),
         "text_vocab": o.vocab_coverage_sql(0.9),
+        "text_ngram_rep": o.ngram_repetition_sql((2, 3, 4), (5, 10)),
+        "text_oov": o.oov_rate_sql(0.9),
         "corpus_drift": o.distribution_drift_sql("c_acctbal", 10),
         "num_scale": o.scale_column_sql("c_acctbal", "minmax"),
         "num_scale_by": o.scale_by_sql("c_acctbal", "zscore", "c_mktsegment"),
@@ -865,7 +876,10 @@ _R9_WINDOW = [
     # eager_checkpoint mechanism, represented by many remaining entries)
     "text_vocab",
     "dedup_minhash_cc",
-    "dedup_embedding_cc",
+    # r9: dedup_embedding_cc vacated (r8-green, unchanged; the cc family
+    # stays graded through dedup_minhash_cc) for the Gopher n-gram
+    # repetition suite — new this round
+    "text_ngram_rep",
     # late r8 additions (cross-corpus semantic dedup; corpus-frequency
     # boilerplate strip) — dedup_survivors and dedup_lsh_eval vacated
     # these slots (r7-green; their only r8 change is the shared
@@ -889,7 +903,10 @@ _R9_WINDOW = [
     # the embedding family stays graded via ann_recall/emb_project/
     # emb_outliers)
     "text_langid_multi",
-    "emb_project",
+    # r9: emb_project vacated (r8-green, unchanged; embedding family
+    # graded via ann_recall/emb_outliers) for the per-doc OOV rate —
+    # new this round, composes the rewritten vocab_coverage
+    "text_oov",
     "ann_recall",
     # late r8 addition (top-fraction pruning) — dedup_cross_exact vacated
     # (r7-green; its plain branch is unchanged and dedup_cross_bloom

@@ -3016,6 +3016,67 @@ def test_vocab_coverage_directive(spark):
     assert out == {"x": 3}
 
 
+def test_ngram_repetition_stats_hand_computed(spark):
+    """'a b a b a b c' (13 chars): top bigram 'a b' occurs 3x ('a b' = 3
+    chars) -> 9/13; duplicated bigrams 'a b'(3) + 'b a'(2) -> 15/13
+    capped at 1.0. Short/empty/null docs score 0.0 everywhere."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, "x y"), (3, ""), (4, None),
+         (5, "one two three four five")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.ngram_repetition_stats(
+        df, "doc_id", "text", top_ns=(2, 3), dup_ns=(2,)).collect()}
+    assert out[1]["top_2gram_char_frac"] == round(9 / 13, 6)
+    assert out[1]["top_3gram_char_frac"] == round(10 / 13, 6)  # 'a b a' 2x
+    assert out[1]["dup_2gram_char_frac"] == 1.0                # 15/13 capped
+    assert out[2]["top_2gram_char_frac"] == 1.0                # 'x y' covers all
+    assert out[2]["dup_2gram_char_frac"] == 0.0                # nothing repeats
+    assert out[2]["top_3gram_char_frac"] == 0.0                # < 3 words
+    for d in (3, 4):                                           # no grams at all
+        assert all(out[d][c] == 0.0 for c in out[d].asDict() if c != "doc_id" and c != "text")
+    assert out[5]["dup_2gram_char_frac"] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 2"):
+        text.ngram_repetition_stats(df, "doc_id", "text", top_ns=(1,))
+
+
+def test_oov_rate_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran fast"), (3, ""), (4, None)],
+        ["doc_id", "text"],
+    )
+    vocab = spark.createDataFrame([("the",), ("cat",), ("dog",)], ["word"])
+    out = {r["doc_id"]: r["oov_rate"] for r in
+           text.oov_rate(df, "doc_id", "text", vocab).collect()}
+    assert out[1] == round(1 / 3, 6)     # sat is OOV
+    assert out[2] == 0.5                 # ran, fast OOV
+    assert out[3] is None and out[4] is None  # zero tokens -> NULL
+
+    # composes with vocab_coverage end to end, and the directive surface
+    from wrangler_spark import Pipeline
+
+    docs_df = spark.createDataFrame(
+        [(i, "common words here" if i % 2 else "rare unique %d" % i)
+         for i in range(10)], ["doc_id", "text"])
+    via_dir = Pipeline.compile("oov-rate :doc_id :text 0.5").apply(docs_df)
+    direct = text.oov_rate(
+        docs_df, "doc_id", "text", text.vocab_coverage(docs_df, "text", 0.5))
+    assert sorted(map(tuple, via_dir.select("doc_id", "oov_rate").collect())) == \
+           sorted(map(tuple, direct.select("doc_id", "oov_rate").collect()))
+
+
+def test_ngram_repetition_directive(spark):
+    from wrangler_spark import Pipeline
+
+    df = spark.createDataFrame([(1, "a b a b a b c")], ["doc_id", "text"])
+    row = Pipeline.compile("ngram-repetition :doc_id :text").apply(df).collect()[0]
+    assert row["top_2gram_char_frac"] == round(9 / 13, 6)
+    assert row["dup_5gram_char_frac"] == 0.0   # all 5-grams unique
+    assert "dup_10gram_char_frac" in row.asDict()
+
+
 def test_report_state_grouped(spark, tmp_path_factory):
     """Grouped state keeps one row per source per batch; the grid read
     returns one report row per source whose exact sums match the

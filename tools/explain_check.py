@@ -473,6 +473,22 @@ def main() -> int:
         must_not=["Window", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # ngram repetition: one gram explode -> hash aggregates -> pivot —
+    # no window, no Python, no cartesian (per-doc skew bounded by doc
+    # length, like the rest of the token family)
+    p = plan_of(qs["text_ngram_rep"](spark, SF_DIR))
+    problems += check(
+        "text_ngram_rep", p, must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+    # oov rate: the vocabulary side broadcasts; the token explode joins
+    # it without a corpus sort-merge or a window
+    p = plan_of(qs["text_oov"](spark, SF_DIR))
+    problems += check(
+        "text_oov", p, must=["BroadcastHashJoin"],
+        must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:

@@ -64,9 +64,15 @@ def main(names: list[str] | None = None) -> int:
     oracles = entry_mod.oracle_sql()
     selected = names or list(qs)
     failures = []
+    from wrangler_spark.datapipe import checkpoint_scope
+
     for name in selected:
         try:
-            sdf = qs[name](spark, SF_DIR).toPandas()
+            # scope per query (bench.py's discipline): ops that checkpoint a
+            # shared subtree release their blocks before the next query runs,
+            # so a 185-query sweep stays storage-flat
+            with checkpoint_scope():
+                sdf = qs[name](spark, SF_DIR).toPandas()
         except Exception as e:
             print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)

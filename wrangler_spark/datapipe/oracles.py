@@ -1740,6 +1740,91 @@ FROM {table} CROSS JOIN s
 """
 
 
+def ngram_repetition_sql(
+    top_ns: tuple[int, ...] = (2, 3, 4), dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    table: str = "documents", id_col: str = "doc_id",
+) -> str:
+    """Mirror of text.ngram_repetition_stats (graded projection: id +
+    the fraction columns). Same contract: occurrence-sum char coverage
+    over the normalized text length, dup capped at 1.0, <n words -> 0."""
+    ns = sorted(set((*top_ns, *dup_ns)))
+    n_list = ", ".join(str(n) for n in ns)
+    tops = ",\n       ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN round(top_chars / greatest(nc, 1), 6) END), 0.0)"
+        f" AS top_{n}gram_char_frac" for n in top_ns
+    )
+    dups = ",\n       ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN round(least(dup_chars / greatest(nc, 1), 1.0), 6) END), 0.0)"
+        f" AS dup_{n}gram_char_frac" for n in dup_ns
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col}, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS w
+  FROM {table}
+),
+b2 AS (SELECT {id_col}, w, length(array_to_string(w, ' ')) AS nc FROM base),
+g AS (
+  SELECT {id_col}, nc, n,
+         unnest(list_transform(range(1, greatest(len(w) - n + 1, 0) + 1),
+                i -> array_to_string(w[i:i + n - 1], ' '))) AS gram
+  FROM b2 CROSS JOIN (SELECT unnest([{n_list}]) AS n) ns
+),
+c AS (SELECT {id_col}, nc, n, gram, count(*) AS cnt FROM g GROUP BY ALL),
+agg AS (
+  SELECT {id_col}, n, min(nc) AS nc,
+         max(cnt * length(gram)) AS top_chars,
+         coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0) AS dup_chars
+  FROM c GROUP BY {id_col}, n
+),
+p AS (
+  SELECT {id_col},
+       {tops},
+       {dups}
+  FROM agg GROUP BY {id_col}
+)
+SELECT t.{id_col},
+       {", ".join(f"coalesce(p.top_{n}gram_char_frac, 0.0) AS top_{n}gram_char_frac" for n in top_ns)},
+       {", ".join(f"coalesce(p.dup_{n}gram_char_frac, 0.0) AS dup_{n}gram_char_frac" for n in dup_ns)}
+FROM {table} t LEFT JOIN p ON t.{id_col} = p.{id_col}
+"""
+
+
+def oov_rate_sql(
+    coverage: float = 0.9, table: str = "documents", id_col: str = "doc_id",
+) -> str:
+    """Mirror of text.oov_rate against text.vocab_coverage's vocabulary
+    at ``coverage`` (graded projection: id, oov_rate; zero-token docs
+    NULL)."""
+    return f"""
+WITH w AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS word FROM {table}
+),
+wc AS (SELECT word, count(*) AS count FROM w WHERE word <> '' GROUP BY word),
+hist AS (SELECT count, count(*) AS n_words FROM wc GROUP BY count),
+tot AS (SELECT sum(count * n_words) AS total FROM hist),
+cum AS (
+  SELECT count,
+         sum(count * n_words) OVER (ORDER BY count DESC
+                                    ROWS UNBOUNDED PRECEDING) AS c
+  FROM hist
+),
+thr AS (SELECT max(count) AS t FROM cum, tot WHERE c >= total * {float(coverage)}),
+vocab AS (SELECT wc.word FROM wc, thr WHERE wc.count >= thr.t),
+toks AS (
+  SELECT {id_col}, unnest(string_split({_NORM}, ' ')) AS word FROM {table}
+),
+rates AS (
+  SELECT t.{id_col},
+         round(count(CASE WHEN v.word IS NULL THEN 1 END)::DOUBLE / count(*)::DOUBLE, 6)
+         AS oov_rate
+  FROM toks t LEFT JOIN vocab v ON t.word = v.word
+  WHERE t.word <> '' GROUP BY t.{id_col}
+)
+SELECT d.{id_col}, r.oov_rate
+FROM {table} d LEFT JOIN rates r ON d.{id_col} = r.{id_col}
+"""
+
+
 def char_entropy_sql(table: str = "documents", id_col: str = "doc_id") -> str:
     """Mirror of text.char_entropy: per-character count terms integerized
     to micro-units before the per-doc sum (the shared determinism

@@ -135,6 +135,101 @@ def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
     return out.drop(_L, _W)
 
 
+def ngram_repetition_stats(
+    df: DataFrame, id_col: str, text_col: str,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The n-gram half of Gopher §A1.1's repetition filters (Rae et al.
+    2021; the thresholds RefinedWeb/FineWeb/Dolma reuse): per document,
+    ``top_{n}gram_char_frac`` = characters covered by the single most
+    frequent word n-gram (occurrences x gram length over the normalized
+    text length; Gopher filters at n=2,3,4 with caps 0.20/0.18/0.16) and
+    ``dup_{n}gram_char_frac`` = characters covered by ALL n-grams that
+    occur more than once (n=5..10, caps 0.15 down to 0.10). Coverage is
+    the standard occurrence-sum upper bound (overlapping occurrences
+    count each time), capped at 1.0 — the same contract as the public
+    reimplementations. Documents with fewer than n words score 0.0 for
+    that n; normalization is the shared dedup contract
+    (lower/trim/whitespace-collapse).
+
+    Scale shape: ONE scan-side gram build tags every gram with its n
+    (the per-row transform chain stages words once — no CSE inside HOF
+    lambdas), one explode carries (id, n, gram, doc_len) rows into a
+    single hash aggregate keyed on (id, n, gram), a second bounded
+    aggregate folds each (id, n) group to its two fractions, and a
+    conditional-aggregation pivot (n values are compile-time constants)
+    lands one row per document, equi-joined back on the id. No windows,
+    no Python; per-doc skew is bounded by document length, the same
+    bound every op in the token family carries."""
+    ns = sorted(set(int(n) for n in (*top_ns, *dup_ns)))
+    if not ns or ns[0] < 2:
+        raise ValueError(f"n-gram sizes must be >= 2, got {(*top_ns, *dup_ns)}")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    staged = df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(F.split(norm, " "), lambda x: x != "").alias("__w"),
+    ).select("__id", "__w", F.length(F.array_join("__w", " ")).alias("__nc"))
+    wd = F.col("__w")
+
+    def _grams(n: int):
+        empty = F.array().cast("array<struct<n:int,gram:string>>")
+        return F.when(
+            F.size(wd) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(wd) - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(
+                        " ", *[F.element_at(wd, i + j) for j in range(n)]
+                    ).alias("gram"),
+                ),
+            ),
+        ).otherwise(empty)
+
+    exploded = staged.select(
+        "__id", "__nc",
+        F.explode(F.flatten(F.array(*[_grams(n) for n in ns]))).alias("g"),
+    ).select("__id", "__nc", F.col("g.n").alias("__n"), F.col("g.gram").alias("__gram"))
+    counts = exploded.groupBy("__id", "__n", "__gram").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min("__nc").alias("__nc")
+    )
+    per_n = counts.groupBy("__id", "__n").agg(
+        F.max(F.col("__cnt") * F.length("__gram")).alias("__top"),
+        F.coalesce(
+            F.sum(F.when(F.col("__cnt") >= 2, F.col("__cnt") * F.length("__gram"))),
+            F.lit(0),
+        ).alias("__dup"),
+        F.min("__nc").alias("__nc"),
+    )
+    frac = lambda c: F.round(  # noqa: E731
+        c.cast("double") / F.greatest(F.col("__nc"), F.lit(1)).cast("double"), 6
+    )
+    pivoted = per_n.groupBy("__id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("__n") == n, frac(F.col("__top")))), F.lit(0.0)
+            ).alias(f"top_{n}gram_char_frac")
+            for n in top_ns
+        ],
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("__n") == n, F.least(frac(F.col("__dup")), F.lit(1.0)))),
+                F.lit(0.0),
+            ).alias(f"dup_{n}gram_char_frac")
+            for n in dup_ns
+        ],
+    )
+    out_cols = [f"top_{n}gram_char_frac" for n in top_ns] + [
+        f"dup_{n}gram_char_frac" for n in dup_ns
+    ]
+    joined = df.join(pivoted, F.col(id_col) == F.col("__id"), "left").drop("__id")
+    # short docs produce no gram rows at all -> fill the whole row of 0.0
+    return joined.withColumns(
+        {c: F.coalesce(F.col(c), F.lit(0.0)) for c in out_cols}
+    )
+
+
 def gopher_quality(df: DataFrame, text_col: str) -> DataFrame:
     """Gopher/MassiveText quality rules as per-document flags + the overall
     gopher_pass verdict: word count in [50, 100k], mean word length in
@@ -1297,3 +1392,48 @@ def vocab_coverage(
             ).alias("share"),
         )
     )
+
+
+def oov_rate(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame,
+    word_col: str = "word", out_col: str = "oov_rate",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document out-of-vocabulary token fraction against a vocabulary
+    frame — the downstream consumer of :func:`vocab_coverage`: size the
+    vocab there, then score every document by how much of it falls
+    outside (a high OOV doc is noise/another language/binary junk under
+    the chosen tokenization; tokenizer teams gate ingestion on exactly
+    this number). Tokenization is the shared dedup contract
+    (lower/trim/whitespace-collapse split). Adds ``out_col`` double;
+    documents with zero tokens get NULL (no evidence, not 0 — the
+    readability/langid convention).
+
+    Scale shape: token explode -> left join the vocab's word column
+    (BROADCAST by default — a coverage-sized vocab is small by
+    construction (Zipf); set ``broadcast_vocab=False`` for a raw
+    multi-GB vocab and let AQE pick the shuffle join) -> one per-doc
+    hash aggregate -> equi-join back on the id. No windows, no Python;
+    the vocab never rides the token shuffle."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = (
+        df.select(F.col(id_col).alias("__id"), F.explode(F.split(norm, " ")).alias("__t"))
+        .filter(F.col("__t") != "")
+    )
+    v = vocab.select(F.col(word_col).alias("__t")).distinct().withColumn(
+        "__in", F.lit(1)
+    )
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    rates = (
+        toks.join(v, "__t", "left")
+        .groupBy("__id")
+        .agg(
+            F.round(
+                F.count(F.when(F.col("__in").isNull(), 1)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias(out_col)
+        )
+    )
+    return df.join(rates, F.col(id_col) == F.col("__id"), "left").drop("__id")

@@ -992,6 +992,47 @@ class VocabCoverage(Directive):
 
 
 @directive
+class NgramRepetition(Directive):
+    """ngram-repetition :id :text — Gopher n-gram repetition fractions
+    (top_{2,3,4}gram_char_frac + dup_{5..10}gram_char_frac) appended per
+    document; filter on them with the published caps downstream."""
+
+    name = "ngram-repetition"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import ngram_repetition_stats
+
+        return ngram_repetition_stats(
+            df, ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"])
+        )
+
+
+@directive
+class OovRate(Directive):
+    """oov-rate :id :text [coverage] — per-document out-of-vocabulary
+    token fraction against the corpus's own vocab-coverage vocabulary at
+    ``coverage`` (zero-token docs NULL)."""
+
+    name = "oov-rate"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("coverage", TokenType.NUMERIC, optional=True, default=0.999),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import oov_rate, vocab_coverage
+
+        text_col = ctx.resolve(df, self.args["text"])
+        vocab = vocab_coverage(df, text_col, float(self.args["coverage"]))
+        return oov_rate(df, ctx.resolve(df, self.args["id"]), text_col, vocab)
+
+
+@directive
 class HtmlToText(Directive):
     """html-to-text :col [out] — strip HTML to visible text (drops
     script/style subtrees, decodes entities, keeps block-level line
