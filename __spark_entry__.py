@@ -445,6 +445,10 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": lambda s, d: events.retention_cohorts(
             _t(s, d, "events"), "user_id", "ts", period_days=1, max_periods=8,
         ).withColumn("cohort_start", F.col("cohort_start").cast("string")),
+        # day cast to string for the same DATE-canonicalization reason
+        "events_active_users": lambda s, d: events.active_users(
+            _t(s, d, "events"), "user_id", "ts", windows=(1, 7, 30)
+        ).withColumn("day", F.col("day").cast("string")),
         "events_transitions": lambda s, d: events.event_transitions(
             _t(s, d, "events"), "user_id", "ts", "event_type", tie_col="event_id",
         ),
@@ -651,6 +655,7 @@ def _datapipe_oracles() -> dict[str, str]:
             ["view", "click", "purchase"], within_seconds=86400
         ),
         "events_retention": o.retention_cohorts_sql(1, 8),
+        "events_active_users": o.active_users_sql((1, 7, 30)),
         "events_transitions": o.event_transitions_sql(),
         "events_paths": o.event_paths_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
@@ -918,9 +923,12 @@ _R9_WINDOW = [
     # vacated (r7-green; its one-shuffle exact-dedup shape stays graded
     # through dedup_cross_exact and the checkpoint-mechanism entries)
     "dedup_minhash_b16r2",
-    # new this round: PQ / IVF-PQ ANN family + Bloom-prefiltered dedup
+    # new in r8: PQ / IVF-PQ ANN family + Bloom-prefiltered dedup
     "ann_pq_topk",
-    "ann_pq_recall",
+    # r9: ann_pq_recall vacated (r8-green, unchanged; the PQ family stays
+    # graded through ann_pq_topk + ann_ivf_pq_topk) for the rolling
+    # DAU/WAU/MAU counts — new this round
+    "events_active_users",
     "ann_ivf_pq_topk",
     "dedup_cross_bloom",
     "emb_outliers",

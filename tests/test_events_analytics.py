@@ -465,6 +465,36 @@ def test_retention_state_updates_from_stream(spark, tmp_path_factory):
     _sh.rmtree(src, ignore_errors=True)
 
 
+def test_active_users_hand_computed(spark):
+    """u1 active day1+day3, u2 day1, u3 day8: DAU counts exact per day,
+    WAU slides (day 8 window [2..8] holds u1(d3)+u3(d8) = 2), the grid
+    is dense (day 5 exists with au_1d 0), and null user/ts rows drop."""
+    from wrangler_spark.datapipe.events import active_users
+
+    df = _events(
+        spark,
+        [(1, _ts(1), "a"), (1, _ts(1), "b"), (1, _ts(3), "a"),
+         (2, _ts(1), "a"), (3, _ts(8), "a")],
+    )
+    out = {str(r["day"]): r for r in active_users(df, "user_id", "ts", (1, 7)).collect()}
+    assert len(out) == 8                                  # dense day 1..8 grid
+    d = sorted(out)
+    assert [out[k]["au_1d"] for k in d] == [2, 0, 1, 0, 0, 0, 0, 1]
+    assert out[d[0]]["au_7d"] == 2                        # day1: u1, u2
+    assert out[d[2]]["au_7d"] == 2                        # day3 window [d-6..d3]
+    assert out[d[6]]["au_7d"] == 2                        # day7: u1+u2 (day1) still in
+    assert out[d[7]]["au_7d"] == 2                        # day8: u1(d3) + u3(d8); day1 aged out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 1"):
+        active_users(df, "user_id", "ts", (0,))
+    # directive surface
+    from wrangler_spark import Pipeline
+
+    rows = Pipeline.compile("active-users :user_id :ts").apply(df).collect()
+    assert len(rows) == 8 and {"au_1d", "au_7d", "au_30d"} <= set(rows[0].asDict())
+
+
 def test_funnel_latencies_hand_computed(spark):
     from wrangler_spark.datapipe.events import funnel_latencies
 

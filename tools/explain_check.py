@@ -489,6 +489,16 @@ def main() -> int:
         must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # rolling active users: collapsed (user, day) pairs explode to
+    # contribution days and hash-aggregate — never a sliding window over
+    # users, never a per-day self-join of the event log
+    p = plan_of(qs["events_active_users"](spark, SF_DIR))
+    problems += check(
+        "events_active_users", p, must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct", "SortMergeJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:

@@ -348,6 +348,87 @@ def event_paths_topk(
     )
 
 
+def active_users(
+    df: DataFrame, user_col: str, ts_col: str, windows: tuple[int, ...] = (1, 7, 30),
+) -> DataFrame:
+    """Rolling active-user counts — DAU/WAU/MAU and friends: one row per
+    calendar day from the first to the last event day (dense grid, zeros
+    included), with ``au_{w}d`` = distinct users active in the w-day
+    window ENDING that day, for each ``windows`` entry. The engagement
+    dashboard primitive next to retention_cohorts (which buckets by
+    cohort; this slides by day) — stickiness is au_1d/au_7d downstream.
+
+    Scale shape: events collapse to distinct (user, day) pairs first
+    (ONE hash aggregate — the same sufficient statistic the retention
+    family uses; everything after is bounded by users x active-days,
+    orders of magnitude below event volume). Each pair then explodes to
+    the sum(windows) target days it contributes to (a scan-side
+    sequence, clipped at the grid edge), one hash aggregate counts
+    distinct users per (day, window), a compile-time pivot lands the
+    window columns, and the dense day grid (one broadcast 1-row bounds
+    frame, exploded) left-joins the counts back. No windows over users,
+    no per-day self-joins; the explode factor is the window sum — the
+    price every sliding-distinct implementation pays somewhere, paid
+    here on the COLLAPSED pair table, not the event log."""
+    ws = sorted(set(int(w) for w in windows))
+    if not ws or ws[0] < 1:
+        raise ValueError(f"windows must be >= 1 days, got {windows}")
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date"))
+    pairs = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), day.cast("long").alias("__d"))
+        .distinct()
+    )
+    bounds = pairs.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    # (user, day) contributes to target days d..d+w-1 for each window w —
+    # tag contributions with w and count distinct users per (target, w).
+    # closure-maker, not a default-arg lambda: HOF arity is inspected, so
+    # `lambda t, w=w` would read as the 2-arg (element, index) form
+    def _tag(w: int):
+        return lambda t: F.struct(F.lit(w).alias("w"), t.alias("t"))
+
+    tagged = pairs.crossJoin(F.broadcast(bounds)).select(
+        "__u",
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.transform(
+                            F.sequence(
+                                F.col("__d"),
+                                F.least(F.col("__d") + (w - 1), F.col("__hi")),
+                            ),
+                            _tag(w),
+                        )
+                        for w in ws
+                    ]
+                )
+            )
+        ).alias("c"),
+    )
+    counts = tagged.groupBy(F.col("c.t").alias("__t"), F.col("c.w").alias("__w")).agg(
+        F.countDistinct("__u").alias("__au")
+    )
+    pivoted = counts.groupBy("__t").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("__w") == w, F.col("__au"))), F.lit(0)
+            ).cast("long").alias(f"au_{w}d")
+            for w in ws
+        ]
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__t")
+    )
+    out = grid.join(pivoted, "__t", "left")
+    return out.select(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("__t").cast("int")).alias("day"),
+        *[F.coalesce(F.col(f"au_{w}d"), F.lit(0)).cast("long").alias(f"au_{w}d") for w in ws],
+    )
+
+
 def _activity_pairs(
     df: DataFrame, user_col: str, ts_col: str, period_days: int,
     calendar: str | None = None,

@@ -2057,6 +2057,32 @@ FROM a JOIN s ON a.cb = s.cb
 """
 
 
+def active_users_sql(
+    windows: tuple[int, ...] = (1, 7, 30), table: str = "events",
+) -> str:
+    """Mirror of events.active_users: dense day grid, per-window rolling
+    distinct users via a range join on the collapsed (user, day) pairs."""
+    ws = sorted(set(int(w) for w in windows))
+    ctes = ",\n".join(
+        f"w{w} AS (SELECT g.t, count(DISTINCT p.u) AS au FROM g JOIN p "
+        f"ON p.d BETWEEN g.t - {w - 1} AND g.t GROUP BY g.t)" for w in ws
+    )
+    cols = ", ".join(
+        f"CAST(coalesce(w{w}.au, 0) AS BIGINT) AS au_{w}d" for w in ws
+    )
+    joins = " ".join(f"LEFT JOIN w{w} ON g.t = w{w}.t" for w in ws)
+    return f"""
+WITH p AS (SELECT DISTINCT user_id AS u,
+                  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+           FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+b AS (SELECT min(d) AS lo, max(d) AS hi FROM p),
+g AS (SELECT unnest(range(lo, hi + 1)) AS t FROM b),
+{ctes}
+SELECT CAST(DATE '1970-01-01' + CAST(g.t AS INT) AS VARCHAR) AS day, {cols}
+FROM g {joins}
+"""
+
+
 def event_transitions_sql(tie: str | None = "event_id", table: str = "events") -> str:
     """Mirror of events.event_transitions: lead() over (user ORDER BY
     ts[, tie]), pair counts, row-normalized by from-type totals."""

@@ -1170,6 +1170,26 @@ class RetentionCohorts(Directive):
 
 
 @directive
+class ActiveUsers(Directive):
+    """active-users :user :ts — rolling DAU/WAU/MAU: one row per calendar
+    day with au_1d / au_7d / au_30d distinct-user counts (dense grid,
+    zeros included)."""
+
+    name = "active-users"
+    usage = [
+        Arg("user", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import active_users
+
+        return active_users(
+            df, ctx.resolve(df, self.args["user"]), ctx.resolve(df, self.args["ts"])
+        )
+
+
+@directive
 class EventTransitions(Directive):
     """event-transitions :user :ts :type [:tie] — first-order Markov
     matrix: (from_type, to_type, n, prob) over per-user event streams."""
