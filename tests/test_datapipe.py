@@ -3077,6 +3077,43 @@ def test_ngram_repetition_directive(spark):
     assert "dup_10gram_char_frac" in row.asDict()
 
 
+def test_vocab_state_incremental_equals_batch(spark, tmp_path_factory):
+    """Vocabulary state folded per batch reconstructs the one-shot
+    coverage vocabulary EXACTLY (counts merge by summation), feeds
+    oov_rate unchanged, and compaction sum-merges the rows without
+    changing any read."""
+    from wrangler_spark.datapipe.maintenance import compact_index
+
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path_factory.mktemp("vocab_state")) + "/st"
+    for k in range(3):
+        text.vocab_update_state(
+            docs_df.filter(F.col("doc_id") % 3 == k), path, "text", batch_id=f"b{k}")
+    key = lambda r: (r["word"], r["count"], r["share"])  # noqa: E731
+    inc = sorted(map(key, text.vocab_coverage_from_state(spark, path, 0.9).collect()))
+    one = sorted(map(key, text.vocab_coverage(docs_df, "text", 0.9).collect()))
+    assert inc == one and len(inc) > 0
+
+    # oov_rate over the state vocabulary == over the one-shot vocabulary
+    batch = docs_df.limit(50)
+    via_state = sorted(map(tuple, text.oov_rate(
+        batch, "doc_id", "text",
+        text.vocab_coverage_from_state(spark, path, 0.9)
+    ).select("doc_id", "oov_rate").collect()))
+    via_batch = sorted(map(tuple, text.oov_rate(
+        batch, "doc_id", "text", text.vocab_coverage(docs_df, "text", 0.9)
+    ).select("doc_id", "oov_rate").collect()))
+    assert via_state == via_batch
+
+    # compaction: rows sum-merge (3 batches -> 1 row per word), reads identical
+    n_rows_before = spark.read.parquet(f"{path}/rows").count()
+    st = compact_index(spark, path)
+    assert st["rows"]["rows"] < n_rows_before          # duplicate words merged
+    rows = spark.read.parquet(f"{path}/rows")
+    assert rows.count() == rows.select("word").distinct().count()
+    assert sorted(map(key, text.vocab_coverage_from_state(spark, path, 0.9).collect())) == one
+
+
 def test_report_state_grouped(spark, tmp_path_factory):
     """Grouped state keeps one row per source per batch; the grid read
     returns one report row per source whose exact sums match the

@@ -28,8 +28,10 @@ from pyspark.sql import functions as F
 
 # datasets that get a semantics-preserving ROW merge during compaction,
 # not just a file rewrite: the Bloom sparse bitmap OR-merges duplicate
-# word rows (the load-time merge, precomputed)
+# word rows, the vocabulary state sum-merges word counts — in both
+# cases the read path's own load-time merge, precomputed
 _BLOOM_WORDS_COLS = {"__w", "__bits"}
+_VOCAB_STATE_COLS = {"word", "count", "batch_id"}
 
 
 def _hadoop(spark: SparkSession, path: str):
@@ -99,6 +101,11 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
         df = spark.read.parquet(dstr)
         if set(df.columns) == _BLOOM_WORDS_COLS:
             df = df.groupBy("__w").agg(F.expr("bit_or(__bits)").alias("__bits"))
+        elif set(df.columns) == _VOCAB_STATE_COLS:
+            df = df.groupBy("word").agg(
+                F.sum("count").cast("long").alias("count"),
+                F.lit("compacted").alias("batch_id"),
+            )
         tmp = jvm.org.apache.hadoop.fs.Path(root, f".compact_tmp_{name}")
         fs.delete(tmp, True)
         # size-based file target (~128 MB each): a compaction that

@@ -1343,7 +1343,16 @@ def vocab_coverage(
         .groupBy("word")
         .agg(F.count("*").alias("count"))
     )
-    if not df.isStreaming:
+    return _coverage_cut(words, cov, checkpoint=not df.isStreaming)
+
+
+def _coverage_cut(words: DataFrame, cov: float, checkpoint: bool = True) -> DataFrame:
+    """The coverage-cutoff tail shared by vocab_coverage and
+    vocab_coverage_from_state: given a (word, count) frame, keep the
+    most-frequent words whose summed share reaches ``cov`` (threshold
+    derived from the count-of-counts histogram fold — see
+    vocab_coverage's scale-shape contract)."""
+    if checkpoint:
         words = eager_checkpoint(words)
     # histogram rows sorted by frequency DESC (nc = -count ascending);
     # tok = tokens contributed by that frequency class
@@ -1392,6 +1401,56 @@ def vocab_coverage(
             ).alias("share"),
         )
     )
+
+
+def vocab_update_state(
+    df: DataFrame, path: str, text_col: str, batch_id: str = "",
+) -> None:
+    """Fold one ingestion batch's word counts into LOG-STRUCTURED
+    vocabulary state: appends the batch's (word, count, batch_id)
+    aggregate as plain parquet — O(batch) work, never a rescan of
+    history (the report_update_state / retention_update_state posture
+    applied to the vocabulary). Word counts are exactly mergeable by
+    summation, so :func:`vocab_coverage_from_state` reconstructs the
+    whole-corpus coverage vocabulary EXACTLY (no sketch error), and
+    :func:`~wrangler_spark.datapipe.maintenance.compact_index` can
+    sum-merge the accumulated rows without changing any read. All
+    batches share the normalization contract
+    (lower/trim/whitespace-collapse)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    (
+        df.select(F.explode(F.split(norm, " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("count"))
+        .withColumn("batch_id", F.lit(str(batch_id)))
+        .write.mode("append")
+        .parquet(f"{path}/rows")
+    )
+
+
+def vocab_from_state(spark, path: str) -> DataFrame:
+    """The accumulated (word, count) table from vocabulary state — one
+    sum-merge aggregate over the state rows (words x batches rows, never
+    the corpus). Feed to oov_rate as the vocab side, or cut it with
+    vocab_coverage_from_state."""
+    return (
+        spark.read.parquet(f"{path}/rows")
+        .groupBy("word")
+        .agg(F.sum("count").cast("long").alias("count"))
+    )
+
+
+def vocab_coverage_from_state(spark, path: str, coverage: float = 0.999) -> DataFrame:
+    """vocab_coverage reconstructed from persisted state: EXACTLY the
+    one-shot result on the union of all ingested batches (word counts
+    merge by summation — no sketch error), at the cost of reading the
+    state rows only. The nightly-vocab-refresh shape: per batch,
+    vocab_update_state; per refresh, this + oov_rate on the new batch."""
+    cov = float(coverage)
+    if not 0.0 < cov <= 1.0:
+        raise ValueError(f"coverage must be in (0, 1], got {coverage}")
+    return _coverage_cut(vocab_from_state(spark, path), cov)
 
 
 def oov_rate(
