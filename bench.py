@@ -74,6 +74,11 @@ EXTRA_QUERIES = [
     "strip_boilerplate",   # corpus-frequency line removal + reassembly
     "decontam_spans",      # benchmark-contamination span detection
     "dedup_minhash_b16r2", # recall-tilted LSH banding operating point
+    # Added round 9
+    "text_ngram_rep",      # Gopher n-gram repetition (tagged gram explode + pivot)
+    "text_oov",            # OOV rate vs the corpus's own coverage vocab
+    "events_active_users", # rolling DAU/WAU/MAU (pair explode + pivot)
+    "text_vocab",          # coverage vocab (single-scan checkpoint rewrite)
 ]
 
 
