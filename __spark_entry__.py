@@ -290,6 +290,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "num_mad_by": lambda s, d: numeric.flag_outliers(
             _t(s, d, "customer"), "c_acctbal", "mad", 3.5, by=["c_mktsegment"]
         ).select("c_custkey", "c_mktsegment", "c_acctbal_outlier"),
+        "num_winsorize_by": lambda s, d: numeric.winsorize_column(
+            _t(s, d, "customer"), "c_acctbal", 0.05, 0.95, by=["c_mktsegment"]
+        ).select("c_custkey", "c_mktsegment", "c_acctbal_wins"),
+        "num_qbins_by": lambda s, d: numeric.quantile_bins(
+            _t(s, d, "customer"), "c_acctbal", 10, by=["c_mktsegment"]
+        ).select("c_custkey", "c_mktsegment", "c_acctbal_bin"),
         "sample_top_frac_by": lambda s, d: curation.keep_top_frac(
             _t(s, d, "customer"), "c_acctbal", 0.1, by=["c_mktsegment"]
         ).select("c_custkey", "c_mktsegment", "c_acctbal"),
@@ -572,6 +578,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_outliers": o.flag_outliers_sql("c_acctbal", "zscore", 2.0),
         "num_mad": o.flag_outliers_sql("c_acctbal", "mad", 3.5),
         "num_mad_by": o.flag_outliers_by_sql("c_acctbal", "mad", 3.5, "c_mktsegment"),
+        "num_winsorize_by": o.winsorize_by_sql("c_acctbal", 0.05, 0.95, "c_mktsegment"),
+        "num_qbins_by": o.quantile_bins_by_sql("c_acctbal", 10, "c_mktsegment"),
         "num_qbins": o.quantile_bins_sql("c_acctbal", 10),
         "sample_top_frac_by": o.keep_top_frac_by_sql(0.1, "c_acctbal", "c_mktsegment"),
         "text_entropy": o.char_entropy_sql(),
@@ -892,8 +900,12 @@ _R9_WINDOW = [
     "dedup_cross_embedding",
     "strip_boilerplate",
     "text_clf_score",
-    "text_lp_buckets",
-    "text_bigram_lp",
+    # r9: text_lp_buckets and text_bigram_lp vacated (r8-green; their only
+    # r8 change was the shared checkpoint mechanism, still represented by
+    # several remaining entries) for the grouped winsorize/qbins — the
+    # grouped numeric family is now fully driver-graded
+    "num_winsorize_by",
+    "num_qbins_by",
     # late r8 addition (benchmark-contamination spans) — num_outliers
     # vacated this slot (flag_outliers stays graded through num_mad,
     # which exercises the same r8 exact-knob path)

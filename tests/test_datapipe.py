@@ -2869,6 +2869,38 @@ def test_flag_outliers_grouped(spark):
     assert mout[302] is True                          # null group gets its own fence
 
 
+def test_winsorize_and_qbins_grouped(spark):
+    """Per-group winsorize clips within each group's own percentile
+    bounds; per-group bins assign each group its own boundary grid; null
+    groups keep their rows and use their own stats (join_group_stats)."""
+    from wrangler_spark.datapipe import numeric
+
+    rows = (
+        [(i, "a", float(i)) for i in range(1, 11)]           # a: 1..10
+        + [(100 + i, "b", float(100 + i)) for i in range(1, 11)]  # b: 101..110
+        + [(200, None, 5.0), (201, None, 500.0), (202, "a", None)]
+    )
+    df = spark.createDataFrame(rows, ["id", "grp", "x"])
+    w = {r["id"]: r["x_wins"] for r in
+         numeric.winsorize_column(df, "x", 0.1, 0.9, by=["grp"]).collect()}
+    assert len(w) == len(rows)
+    # group a: type-7 p10 of 1..10 = 1.9, p90 = 9.1
+    assert w[1] == 1.9 and w[10] == 9.1 and w[5] == 5.0
+    # group b clips in ITS range, unaffected by a
+    assert w[101] == 101.9 and w[110] == 109.1
+    assert w[200] == round(5.0 + 0.1 * 495.0, 6)   # null group: own bounds
+    assert w[202] is None                          # null value stays null
+
+    b = {r["id"]: r["x_bin"] for r in
+         numeric.quantile_bins(df, "x", 5, by=["grp"]).collect()}
+    assert b[1] == 1 and b[10] == 5               # each group spans all bins
+    assert b[101] == 1 and b[110] == 5
+    assert b[202] is None
+    # a global binning would have put ALL of group a in bin 1 — per-group
+    # must not: group a's values reach bin 5
+    assert max(b[i] for i in range(1, 11)) == 5
+
+
 def test_minhash_index_pins_banding_geometry(spark, tmp_path_factory, docs):
     """An index built at 16x2 is probed at 16x2 (geometry read from the
     index meta, never a probe argument) and matches the in-memory
@@ -3112,6 +3144,35 @@ def test_vocab_state_incremental_equals_batch(spark, tmp_path_factory):
     rows = spark.read.parquet(f"{path}/rows")
     assert rows.count() == rows.select("word").distinct().count()
     assert sorted(map(key, text.vocab_coverage_from_state(spark, path, 0.9).collect())) == one
+
+
+def test_vocab_state_updates_from_stream(spark, tmp_path_factory):
+    """The vocab-state lifecycle wired to a stream (the retention-state
+    pattern): foreachBatch folds each micro-batch with vocab_update_state
+    and the state-reconstructed coverage vocabulary equals the batch
+    computation over everything the stream delivered."""
+    import shutil as _sh
+
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path_factory.mktemp("vocab_stream_src"))
+    state = str(tmp_path_factory.mktemp("vocab_stream_state") / "st")
+    docs_df.select("doc_id", "text").write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", src + "_chk")
+        .foreachBatch(
+            lambda batch, bid: text.vocab_update_state(batch, state, "text", str(bid))
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r["word"], r["count"], r["share"])  # noqa: E731
+    inc = sorted(map(key, text.vocab_coverage_from_state(spark, state, 0.9).collect()))
+    one = sorted(map(key, text.vocab_coverage(docs_df, "text", 0.9).collect()))
+    assert inc == one and len(inc) > 0
+    _sh.rmtree(src, ignore_errors=True)
 
 
 def test_report_state_grouped(spark, tmp_path_factory):

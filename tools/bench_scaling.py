@@ -49,6 +49,11 @@ QUERIES = [
     # round 8, fifth batch (contamination spans; recall-tilted banding;
     # grouped scaling; top-fraction pruning)
     "decontam_spans", "dedup_minhash_b16r2", "num_scale_by", "sample_top_frac",
+    # round 9 (single-scan vocab rewrite — the re-measure VERDICT r8 asked
+    # for; distributed-top-k vocabulary; n-gram repetition; OOV gate;
+    # rolling active users)
+    "text_vocab", "text_vocabulary", "text_ngram_rep", "text_oov",
+    "events_active_users",
 ]
 
 

@@ -163,23 +163,32 @@ def scale_column(
 def winsorize_column(
     df: DataFrame, col: str, lo: float = 0.01, hi: float = 0.99,
     out_col: str | None = None, exact: bool = True, accuracy: int = 10000,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Winsorize: clip to the [lo, hi] percentile bounds — the
     robust-statistics companion to flag_outliers for when you want the
     rows KEPT but the tail influence capped (price columns, token
     counts feeding a mean). Adds ``<col>_wins`` (6dp); nulls stay
     null. Same one-aggregate + broadcast-scalar shape; ``exact=False``
-    is the bounded-state scale path (approx_percentile)."""
+    is the bounded-state scale path (approx_percentile). ``by`` clips
+    within each group (per-source tails — the scale_column(by=) shape,
+    null-safe join-back via join_group_stats)."""
     out_col = out_col or f"{col}_wins"
     c = F.col(col).cast("double")
-    stats = df.agg(
+    aggs = [
         _pctl(col, float(lo), exact, accuracy).alias("__plo"),
         _pctl(col, float(hi), exact, accuracy).alias("__phi"),
-    )
+    ]
     clipped = F.when(
         c.isNotNull(),
         F.round(F.least(F.greatest(c, F.col("__plo")), F.col("__phi")), 6),
     )
+    if by:
+        st = df.groupBy(*by).agg(*aggs)
+        return join_group_stats(df, st, by).withColumn(out_col, clipped).drop(
+            "__plo", "__phi"
+        )
+    stats = df.agg(*aggs)
     return df.crossJoin(F.broadcast(stats)).withColumn(out_col, clipped).drop(
         "__plo", "__phi"
     )
@@ -188,6 +197,7 @@ def winsorize_column(
 def quantile_bins(
     df: DataFrame, col: str, n_bins: int = 10, out_col: str | None = None,
     exact: bool = True, accuracy: int = 10000,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Equi-depth binning: assign each value its quantile bucket 1..n
     (deciles by default) — the distribution-aware companion to the
@@ -203,7 +213,10 @@ def quantile_bins(
     boundary in the LOWER bin; equal boundary values (low-cardinality
     columns) collapse those bins to the lowest index, never dropping a
     row. Nulls stay null. One aggregate for the n-1 boundary scalars
-    (broadcast), then a pure scan-side fold — zero corpus shuffle."""
+    (broadcast), then a pure scan-side fold — zero corpus shuffle.
+    ``by`` bins within each group (per-language quality deciles — a
+    high-scoring language must not claim every global top bin); the
+    boundary array joins back null-safely per group."""
     n = int(n_bins)
     if n < 2:
         raise ValueError("n_bins must be >= 2")
@@ -216,7 +229,6 @@ def quantile_bins(
         bounds = F.expr(
             f"approx_percentile({col}, array({', '.join(str(p) for p in ps)}), {int(accuracy)})"
         )
-    stats = df.agg(bounds.alias("__bounds"))
     bin_expr = F.when(
         c.isNotNull(),
         (
@@ -228,4 +240,8 @@ def quantile_bins(
             )
         ).cast("int"),
     )
+    if by:
+        st = df.groupBy(*by).agg(bounds.alias("__bounds"))
+        return join_group_stats(df, st, by).withColumn(out_col, bin_expr).drop("__bounds")
+    stats = df.agg(bounds.alias("__bounds"))
     return df.crossJoin(F.broadcast(stats)).withColumn(out_col, bin_expr).drop("__bounds")

@@ -1825,6 +1825,46 @@ FROM {table} d LEFT JOIN rates r ON d.{id_col} = r.{id_col}
 """
 
 
+def winsorize_by_sql(
+    col: str = "c_acctbal", lo: float = 0.05, hi: float = 0.95,
+    by: str = "c_mktsegment", table: str = "customer", id_col: str = "c_custkey",
+) -> str:
+    """Mirror of numeric.winsorize_column(by=[...]) — per-group clip
+    bounds joined back null-safely. Graded: (id, group, clipped)."""
+    return f"""
+WITH s AS (SELECT {by} AS g, quantile_cont({col}, {float(lo)}) AS plo,
+                  quantile_cont({col}, {float(hi)}) AS phi
+           FROM {table} GROUP BY {by})
+SELECT t.{id_col}, t.{by},
+       CASE WHEN t.{col} IS NOT NULL
+            THEN round(least(greatest(CAST(t.{col} AS DOUBLE), s.plo), s.phi), 6) END
+       AS {col}_wins
+FROM {table} t JOIN s ON t.{by} IS NOT DISTINCT FROM s.g
+"""
+
+
+def quantile_bins_by_sql(
+    col: str = "c_acctbal", n_bins: int = 10, by: str = "c_mktsegment",
+    table: str = "customer", id_col: str = "c_custkey",
+) -> str:
+    """Mirror of numeric.quantile_bins(by=[...]) — per-group boundary
+    scalars, bin = 1 + #{group boundaries strictly < x}. Graded:
+    (id, group, bin)."""
+    n = int(n_bins)
+    bounds = ", ".join(
+        f"quantile_cont({col}, {i / n}) AS b{i}" for i in range(1, n)
+    )
+    hits = " + ".join(
+        f"(CASE WHEN s.b{i} < t.{col} THEN 1 ELSE 0 END)" for i in range(1, n)
+    )
+    return f"""
+WITH s AS (SELECT {by} AS g, {bounds} FROM {table} GROUP BY {by})
+SELECT t.{id_col}, t.{by},
+       CASE WHEN t.{col} IS NOT NULL THEN CAST(1 + {hits} AS INT) END AS {col}_bin
+FROM {table} t JOIN s ON t.{by} IS NOT DISTINCT FROM s.g
+"""
+
+
 def char_entropy_sql(table: str = "documents", id_col: str = "doc_id") -> str:
     """Mirror of text.char_entropy: per-character count terms integerized
     to micro-units before the per-doc sum (the shared determinism

@@ -799,23 +799,27 @@ class DedupTemplate(Directive):
 
 @directive
 class FlagOutliers(Directive):
-    """flag-outliers :col [method] [k] — z-score (default, k=3), IQR
+    """flag-outliers :col [method] [k] [:by] — z-score (default, k=3), IQR
     (Tukey, pass k=1.5), or MAD (robust modified z-score, pass k=3.5)
-    outlier flag → <col>_outlier."""
+    outlier flag → <col>_outlier; an optional :by column computes the
+    fences within each group."""
 
     name = "flag-outliers"
     usage = [
         Arg("col", TokenType.COLUMN),
         Arg("method", TokenType.IDENTIFIER, optional=True, default="zscore"),
         Arg("k", TokenType.NUMERIC, optional=True, default=3.0),
+        Arg("by", TokenType.COLUMN, optional=True, default=None),
     ]
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
         from wrangler_spark.datapipe.numeric import flag_outliers
 
+        by = self.args["by"]
         return flag_outliers(
             df, ctx.resolve(df, self.args["col"]), str(self.args["method"]),
             float(self.args["k"]),
+            by=[ctx.resolve(df, by)] if by else None,
         )
 
 
@@ -844,40 +848,49 @@ class ScaleColumn(Directive):
 
 @directive
 class Winsorize(Directive):
-    """winsorize :col [lo] [hi] — clip to exact percentile bounds →
-    <col>_wins."""
+    """winsorize :col [lo] [hi] [:by] — clip to exact percentile bounds →
+    <col>_wins; an optional :by column clips within each group."""
 
     name = "winsorize"
     usage = [
         Arg("col", TokenType.COLUMN),
         Arg("lo", TokenType.NUMERIC, optional=True, default=0.01),
         Arg("hi", TokenType.NUMERIC, optional=True, default=0.99),
+        Arg("by", TokenType.COLUMN, optional=True, default=None),
     ]
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
         from wrangler_spark.datapipe.numeric import winsorize_column
 
+        by = self.args["by"]
         return winsorize_column(
             df, ctx.resolve(df, self.args["col"]),
             float(self.args["lo"]), float(self.args["hi"]),
+            by=[ctx.resolve(df, by)] if by else None,
         )
 
 
 @directive
 class QuantileBins(Directive):
-    """quantile-bins :col [n] — equi-depth quantile bucket 1..n (deciles
-    by default) → <col>_bin."""
+    """quantile-bins :col [n] [:by] — equi-depth quantile bucket 1..n
+    (deciles by default) → <col>_bin; an optional :by column bins within
+    each group (per-language deciles)."""
 
     name = "quantile-bins"
     usage = [
         Arg("col", TokenType.COLUMN),
         Arg("n", TokenType.NUMERIC, optional=True, default=10),
+        Arg("by", TokenType.COLUMN, optional=True, default=None),
     ]
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
         from wrangler_spark.datapipe.numeric import quantile_bins
 
-        return quantile_bins(df, ctx.resolve(df, self.args["col"]), int(self.args["n"]))
+        by = self.args["by"]
+        return quantile_bins(
+            df, ctx.resolve(df, self.args["col"]), int(self.args["n"]),
+            by=[ctx.resolve(df, by)] if by else None,
+        )
 
 
 @directive
