@@ -495,6 +495,34 @@ def test_active_users_hand_computed(spark):
     assert len(rows) == 8 and {"au_1d", "au_7d", "au_30d"} <= set(rows[0].asDict())
 
 
+def test_active_users_from_state(spark, tmp_path_factory):
+    """A day-bucketed retention state (period_days=1) holds exactly
+    active_users' sufficient statistic: the from-state grid equals the
+    batch op over everything folded in; coarser states are rejected."""
+    from wrangler_spark.datapipe.events import (
+        active_users, active_users_from_state,
+        retention_update_state, retention_write_state,
+    )
+
+    seed = _events(spark, [(1, _ts(1), "a"), (1, _ts(3), "b"), (2, _ts(1), "a")])
+    newer = _events(spark, [(3, _ts(8), "a"), (1, _ts(3), "b")])  # one re-ingest
+    state = str(tmp_path_factory.mktemp("au_state")) + "/st"
+    retention_write_state(seed, state, "user_id", "ts", period_days=1)
+    retention_update_state(newer, state, "user_id", "ts")
+
+    key = lambda r: tuple(map(str, r))  # noqa: E731
+    inc = sorted(map(key, active_users_from_state(spark, state, (1, 7)).collect()))
+    full = sorted(map(key, active_users(
+        seed.unionByName(newer), "user_id", "ts", (1, 7)).collect()))
+    assert inc == full and len(inc) == 8
+
+    # a weekly state cannot answer daily windows — loud, never silent
+    weekly = str(tmp_path_factory.mktemp("au_state_w")) + "/st"
+    retention_write_state(seed, weekly, "user_id", "ts", period_days=7)
+    with pytest.raises(ValueError, match="period_days=1"):
+        active_users_from_state(spark, weekly, (1, 7))
+
+
 def test_funnel_latencies_hand_computed(spark):
     from wrangler_spark.datapipe.events import funnel_latencies
 

@@ -379,6 +379,35 @@ def active_users(
         .select(F.col(user_col).alias("__u"), day.cast("long").alias("__d"))
         .distinct()
     )
+    return _active_users_from_pairs(pairs, ws)
+
+
+def active_users_from_state(
+    spark, path: str, windows: tuple[int, ...] = (1, 7, 30),
+) -> DataFrame:
+    """:func:`active_users` from PERSISTED retention state — the state a
+    daily-bucketed ``retention_write_state(period_days=1)`` /
+    ``retention_update_state`` lifecycle already maintains holds exactly
+    this op's sufficient statistic (distinct (user, day) pairs), so the
+    engagement dashboard reads users x active-days rows, never the
+    event log. Requires a day-granularity state (period_days=1, no
+    month calendar) — anything coarser can't answer a daily window, so
+    it raises rather than silently returning week-grained counts."""
+    period_days, cal = _read_state_meta(spark, path)
+    if period_days != 1 or cal is not None:
+        raise ValueError(
+            f"active_users_from_state needs a period_days=1 day-bucketed state, "
+            f"got (period_days={period_days}, calendar={cal!r})"
+        )
+    ws = sorted(set(int(w) for w in windows))
+    if not ws or ws[0] < 1:
+        raise ValueError(f"windows must be >= 1 days, got {windows}")
+    pairs = spark.read.parquet(f"{path}/pairs").select("__u", F.col("__b").alias("__d"))
+    return _active_users_from_pairs(pairs, ws)
+
+
+def _active_users_from_pairs(pairs: DataFrame, ws: list[int]) -> DataFrame:
+    """The shared tail: (user, day) pairs -> dense-grid au_{w}d counts."""
     bounds = pairs.agg(
         F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
     )
