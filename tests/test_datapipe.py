@@ -2959,6 +2959,57 @@ def test_minhash_index_auto_geometry(spark, tmp_path_factory, docs):
         dedup.minhash_write_index(docs, path, "doc_id", "text", geometry="best")
 
 
+def test_embedding_sweep_and_auto_planes(spark, tmp_path_factory):
+    """Plane matrices are prefix-consistent (make_planes(k) is the first
+    k rows of make_planes(k')), so sweep recall is monotone
+    NON-INCREASING in the plane count; planes='auto' pins the largest
+    count clearing the recall bar and probes identically to a hand-built
+    index at the pinned matrix."""
+    from wrangler_spark.datapipe.constants import EMB_DIM, HYPERPLANES, N_PLANES, make_planes
+
+    assert make_planes(N_PLANES, EMB_DIM) == HYPERPLANES
+    assert make_planes(8, EMB_DIM) == HYPERPLANES[:8]   # prefix property
+    assert make_planes(24, EMB_DIM)[:N_PLANES] == HYPERPLANES
+
+    # the docs fixture is near-dup-heavy by construction; its hash
+    # embeddings give a real high-cosine pair population (the random
+    # embeddings table has none above 0.5 at sf0.001)
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    embs = text.hash_embedding(docs_df, "doc_id", "text", dim=EMB_DIM).filter(
+        F.col("embedding").isNotNull()
+    )
+    sweep = {r["n_planes"]: r for r in dedup.embedding_sweep(
+        embs, "doc_id", "embedding", threshold=0.9,
+        n_planes_list=(4, 8, 16)).collect()}
+    recalls = [sweep[n]["recall"] for n in (4, 8, 16)]
+    assert recalls == sorted(recalls, reverse=True)      # fewer planes -> recall >=
+    assert sweep[4]["exact_pairs"] > 0                   # real ground truth
+    assert sweep[4]["recall"] > sweep[16]["recall"] > 0  # a real S-curve, not zeros
+    for r in sweep.values():
+        assert r["hits"] <= min(r["approx_pairs"], r["exact_pairs"])
+        assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
+    # exact_pairs (ground truth size) is n-independent
+    assert len({r["exact_pairs"] for r in sweep.values()}) == 1
+
+    path = str(tmp_path_factory.mktemp("emb_auto")) + "/ix"
+    dedup.embedding_write_index(
+        embs.filter(F.col("doc_id") % 2 == 1), path, "doc_id", "embedding",
+        planes="auto", threshold=0.9,
+    )
+    meta_planes = spark.read.parquet(f"{path}/meta").collect()[0]["planes"]
+    assert len(meta_planes) in (4, 8, 12, 16)            # a swept count won
+    assert spark.read.parquet(f"{path}/sweep").count() == 4
+    new = embs.filter(F.col("doc_id") % 2 == 0)
+    via_index = sorted(map(tuple, dedup.embedding_pairs_against_index(
+        new, path, "doc_id", "embedding", 0.9).collect()))
+    in_memory = sorted(map(tuple, dedup.embedding_pairs_against(
+        new, embs.filter(F.col("doc_id") % 2 == 1), "doc_id", "embedding", 0.9,
+        planes=[[float(x) for x in p] for p in meta_planes]).collect()))
+    assert via_index == in_memory and len(via_index) > 0
+    with pytest.raises(ValueError, match="auto"):
+        dedup.embedding_write_index(embs, path + "2", "doc_id", "embedding", planes="best")
+
+
 def test_lsh_sweep(spark, docs):
     """The tuning harness orders geometries by the S-curve: recall is
     monotone non-decreasing as bands go up (rows per band down), and

@@ -28,6 +28,7 @@ from wrangler_spark.datapipe.constants import (
     MINHASH_B,
     MINHASH_P,
     SHINGLE_WORDS,
+    make_planes,
 )
 
 
@@ -1166,6 +1167,55 @@ def lsh_sweep(
     )
 
 
+def embedding_sweep(
+    df: DataFrame, id_col: str, vec_col: str, truth: DataFrame | None = None,
+    n_planes_list: tuple[int, ...] = (4, 8, 12, 16),
+    threshold: float = 0.9, dim: int | None = None,
+) -> DataFrame:
+    """Tune the hyperplane COUNT before a full-scale embedding-dedup run
+    — the embedding analog of :func:`lsh_sweep`: for each n, bucket a
+    SAMPLE with the first n bundled planes and score the candidate pairs
+    against exact all-pairs cosine ground truth via pair_eval. One row
+    per n: (n_planes, approx_pairs, exact_pairs, hits, precision,
+    recall). FEWER planes = coarser buckets = recall up, candidate
+    volume up (the opposite tilt from minhash bands); plane matrices are
+    PREFIX-CONSISTENT (make_planes), so an n-plane collision set
+    provably CONTAINS every n'-plane collision set for n' > n and recall
+    is monotone non-increasing in n — pick the LARGEST n whose recall
+    clears your bar (cheapest candidate volume at that recall).
+
+    ``truth`` defaults to ``embedding_dup_pairs(exact=True)`` on ``df``
+    — all-pairs cosine, so run this on a bounded sample (the lsh_sweep
+    contract); ``dim`` defaults to the bundled EMB_DIM when the vectors
+    match it, otherwise pass it explicitly."""
+    from wrangler_spark.datapipe.constants import EMB_DIM
+
+    d = int(dim) if dim else EMB_DIM
+    if truth is None:
+        truth = embedding_dup_pairs(df, id_col, vec_col, threshold, exact=True)
+    truth = eager_checkpoint(
+        truth.select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+        ).distinct()
+    )
+    spark = df.sparkSession
+    rows = []
+    for n in n_planes_list:
+        pairs = embedding_dup_pairs(
+            df, id_col, vec_col, threshold, planes=make_planes(int(n), d)
+        )
+        m = pair_eval(pairs, truth).collect()[0]
+        rows.append((int(n), m["approx_pairs"], m["exact_pairs"],
+                     m["hits"], m["precision"], m["recall"]))
+    release(truth)
+    return spark.createDataFrame(
+        rows,
+        "n_planes int, approx_pairs long, exact_pairs long, "
+        "hits long, precision double, recall double",
+    )
+
+
 def exact_dedup_against(
     df_new: DataFrame, df_old: DataFrame, id_col: str, text_col: str,
     bloom_bits: int = 0, bloom_hashes: int = 5,
@@ -1565,9 +1615,13 @@ def _emb_against_tail(
 
 def embedding_write_index(
     df_old: DataFrame, path: str, id_col: str, vec_col: str,
-    planes: list[list[float]] | None = None,
+    planes: list[list[float]] | str | None = None,
     broadcast_planes: bool | None = None,
     max_bucket_size: int = 100,
+    threshold: float = 0.9,
+    sample_rows: int = 2000,
+    recall_target: float = 0.9,
+    n_planes_list: tuple[int, ...] = (4, 8, 12, 16),
 ) -> None:
     """Materialize the accumulated corpus's hyperplane-LSH state ONCE so
     ingestion batches skip re-bucketing history (the embedding
@@ -1581,8 +1635,34 @@ def embedding_write_index(
     Freshness contract is minhash_write_index's: the index is a
     snapshot — rebuild on a cadence and check batches against the
     since-rebuild delta with embedding_pairs_against (cheap: the delta
-    is small)."""
+    is small).
+
+    ``planes="auto"`` runs :func:`embedding_sweep` on a deterministic
+    ``sample_rows``-row sample first (exact all-pairs cosine as ground
+    truth) and pins the LARGEST prefix-consistent plane count whose
+    recall clears ``recall_target`` (fewest candidates at that recall;
+    falls back to the fewest planes = highest recall — the fail-toward-
+    extra-candidates direction, minhash auto's contract mirrored). The
+    winning matrix lands in meta exactly as a hand-picked one would, and
+    the sweep table persists at ``<path>/sweep`` for audit."""
     spark = df_old.sparkSession
+    sweep = None
+    if isinstance(planes, str):
+        if planes != "auto":
+            raise ValueError(f"planes must be a matrix, 'auto', or None — got {planes!r}")
+        sample = eager_checkpoint(
+            df_old.select(id_col, vec_col).orderBy(id_col).limit(int(sample_rows))
+        )
+        dim = len(sample.select(vec_col).first()[0])
+        sweep = embedding_sweep(
+            sample, id_col, vec_col,
+            n_planes_list=n_planes_list, threshold=threshold, dim=dim,
+        )
+        rows_ = sweep.orderBy(F.col("n_planes").desc()).collect()
+        ok = [r for r in rows_ if r["recall"] >= float(recall_target)]
+        pick = ok[0] if ok else rows_[-1]
+        planes = make_planes(int(pick["n_planes"]), dim)
+        release(sample)
     if planes is None:
         planes = HYPERPLANES
     # one materialization serves both artifact writes (bucket aggregate
@@ -1600,6 +1680,8 @@ def embedding_write_index(
     spark.createDataFrame(
         [([[float(x) for x in p] for p in planes],)], "planes ARRAY<ARRAY<DOUBLE>>"
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    if sweep is not None:
+        sweep.write.mode("overwrite").parquet(f"{path}/sweep")
     release(sigs_o)
 
 
