@@ -491,11 +491,13 @@ def main() -> int:
 
     # rolling active users: collapsed (user, day) pairs explode to
     # contribution days and hash-aggregate — never a sliding window over
-    # users, never a per-day self-join of the event log
+    # users, never a per-day self-join of the event log; the pair
+    # subtree is checkpointed (it feeds bounds AND the explode), so the
+    # RETURNED plan reads the checkpoint — zero parquet scans
     p = plan_of(qs["events_active_users"](spark, SF_DIR))
     problems += check(
         "events_active_users", p, must=["HashAggregate"],
-        must_not=["Window", "CartesianProduct", "SortMergeJoin",
+        must_not=["FileScan", "Window", "CartesianProduct", "SortMergeJoin",
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 

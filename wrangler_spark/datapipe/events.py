@@ -407,10 +407,24 @@ def active_users_from_state(
 
 
 def _active_users_from_pairs(pairs: DataFrame, ws: list[int]) -> DataFrame:
-    """The shared tail: (user, day) pairs -> dense-grid au_{w}d counts."""
+    """The shared tail: (user, day) pairs -> dense-grid au_{w}d counts.
+
+    The pair frame contains a shuffle (the distinct) and feeds TWO
+    consumers (the bounds aggregate and the contribution explode), and
+    bounds itself feeds two more (the clip and the grid) — the repo's
+    shared-shuffle-branch rule applies twice, so both are eagerly
+    checkpointed (pairs at users x active-days rows, bounds at ONE row;
+    released by the caller's checkpoint_scope). Without this the event
+    scan + distinct execute twice per call."""
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+
+    if not pairs.isStreaming:
+        pairs = eager_checkpoint(pairs)
     bounds = pairs.agg(
         F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
     )
+    if not pairs.isStreaming:
+        bounds = eager_checkpoint(bounds)
     # (user, day) contributes to target days d..d+w-1 for each window w —
     # tag contributions with w and count distinct users per (target, w).
     # closure-maker, not a default-arg lambda: HOF arity is inspected, so
