@@ -309,6 +309,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "top_2gram_char_frac", "top_3gram_char_frac",
             "top_4gram_char_frac", "dup_5gram_char_frac", "dup_10gram_char_frac",
         ),
+        "text_group_terms": lambda s, d: text.group_top_terms(
+            docs(s, d), "text", "source", 10
+        ),
         "text_oov": lambda s, d: text.oov_rate(
             docs(s, d), "doc_id", "text", text.vocab_coverage(docs(s, d), "text", 0.9)
         ).select("doc_id", "oov_rate"),
@@ -587,6 +590,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_vocab": o.vocab_coverage_sql(0.9),
         "text_ngram_rep": o.ngram_repetition_sql((2, 3, 4), (5, 10)),
         "text_oov": o.oov_rate_sql(0.9),
+        "text_group_terms": o.group_top_terms_sql("source", 10),
         "corpus_drift": o.distribution_drift_sql("c_acctbal", 10),
         "num_scale": o.scale_column_sql("c_acctbal", "minmax"),
         "num_scale_by": o.scale_by_sql("c_acctbal", "zscore", "c_mktsegment"),
@@ -924,6 +928,10 @@ _R9_WINDOW = [
     # graded via ann_recall/emb_outliers) for the per-doc OOV rate —
     # new this round, composes the rewritten vocab_coverage
     "text_oov",
+    # r9: text_hash_emb vacated (r8-green, unchanged; it still feeds the
+    # graded ann/emb family) for per-group top terms — new this round,
+    # the group-labeling counterpart of the rewritten vocabulary
+    "text_group_terms",
     "ann_recall",
     # late r8 addition (top-fraction pruning) — dedup_cross_exact vacated
     # (r7-green; its plain branch is unchanged and dedup_cross_bloom
@@ -946,7 +954,6 @@ _R9_WINDOW = [
     "emb_outliers",
     "text_nfc",
     "corpus_overlap",
-    "text_hash_emb",
     "events_funnel",
     "events_retention",
     "events_transitions",

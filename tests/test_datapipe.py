@@ -3125,6 +3125,30 @@ def test_ngram_repetition_stats_hand_computed(spark):
         text.ngram_repetition_stats(df, "doc_id", "text", top_ns=(1,))
 
 
+def test_group_top_terms_hand_computed(spark):
+    """Per-group term counts with the shared normalization; rank is
+    dense 1..k per group with term-asc tiebreak; null group is a real
+    group; k caps each group independently."""
+    df = spark.createDataFrame(
+        [(1, "a", "x x y"), (2, "a", "x z"), (3, "b", "q q q w"),
+         (4, None, "n n m")],
+        ["doc_id", "src", "text"],
+    )
+    out = {(r["src"], r["rank"]): (r["term"], r["tf"]) for r in
+           text.group_top_terms(df, "text", "src", k=2).collect()}
+    assert out[("a", 1)] == ("x", 3) and out[("a", 2)] == ("y", 1)  # y<z tie
+    assert out[("b", 1)] == ("q", 3) and out[("b", 2)] == ("w", 1)
+    assert out[(None, 1)] == ("n", 2) and out[(None, 2)] == ("m", 1)
+    assert len(out) == 6                                 # k=2 per group
+    with pytest.raises(ValueError, match=">= 1"):
+        text.group_top_terms(df, "text", "src", k=0)
+    # directive surface
+    from wrangler_spark import Pipeline
+
+    rows = Pipeline.compile("top-terms :text :src 1").apply(df).collect()
+    assert {(r["src"], r["term"]) for r in rows} == {("a", "x"), ("b", "q"), (None, "n")}
+
+
 def test_oov_rate_hand_computed(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat"), (2, "the dog ran fast"), (3, ""), (4, None)],

@@ -488,6 +488,13 @@ def main() -> int:
         "text_oov", p, must=["BroadcastHashJoin"],
         must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     )
+    # per-group top terms: the two-phase per-group slice — never a rank
+    # window over the (groups x vocabulary) table
+    p = plan_of(qs["text_group_terms"](spark, SF_DIR))
+    problems += check(
+        "text_group_terms", p, must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
 
     # rolling active users: collapsed (user, day) pairs explode to
     # contribution days and hash-aggregate — never a sliding window over

@@ -1865,6 +1865,27 @@ FROM {table} t JOIN s ON t.{by} IS NOT DISTINCT FROM s.g
 """
 
 
+def group_top_terms_sql(
+    by: str = "source", k: int = 10, table: str = "documents",
+) -> str:
+    """Mirror of text.group_top_terms (graded: group, term, tf, rank).
+    DuckDB may rank with a window — the parity contract is values, not
+    plans; the Spark side uses the two-phase no-window slice."""
+    return f"""
+WITH t AS (
+  SELECT {by} AS g, unnest(string_split({_NORM}, ' ')) AS term FROM {table}
+),
+c AS (SELECT g, term, count(*) AS tf FROM t WHERE term <> '' GROUP BY g, term),
+r AS (
+  SELECT g, term, tf,
+         row_number() OVER (PARTITION BY g ORDER BY tf DESC, term ASC) AS rank
+  FROM c
+)
+SELECT g AS {by}, term, CAST(tf AS BIGINT) AS tf, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {int(k)}
+"""
+
+
 def char_entropy_sql(table: str = "documents", id_col: str = "doc_id") -> str:
     """Mirror of text.char_entropy: per-character count terms integerized
     to micro-units before the per-doc sum (the shared determinism

@@ -1403,6 +1403,50 @@ def _coverage_cut(words: DataFrame, cov: float, checkpoint: bool = True) -> Data
     )
 
 
+def group_top_terms(
+    df: DataFrame, text_col: str, by_col: str, k: int = 10,
+) -> DataFrame:
+    """Top-k distinguishing terms per GROUP — the cluster/source labeling
+    step after SemDeDup / k-means / mixture assembly: join any (id ->
+    group) assignment onto the corpus (or point ``by_col`` at an
+    existing source/language column) and read each group's most frequent
+    vocabulary. Returns (group, term, tf, rank), rank 1..k per group,
+    ties broken term-asc — the deterministic contract the per-query ANN
+    rank shares. Null groups form their own group (a null source is a
+    real slice worth inspecting).
+
+    Scale shape: token explode -> ONE hash aggregate on (group, term) ->
+    the two-phase per-group slice (partition-local sorted top-k, then a
+    per-group merge of P·k survivors — sample_domain_cap's shape): never
+    a rank window over the (groups x vocabulary) table, which at
+    web scale is exactly the 10^8-row global-sort hazard vocabulary's
+    rewrite removed."""
+    kk = int(k)
+    if kk < 1:
+        raise ValueError("k must be >= 1")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = (
+        df.select(F.col(by_col).alias("__g"), F.explode(F.split(norm, " ")).alias("__t"))
+        .filter(F.col("__t") != "")
+    )
+    counts = toks.groupBy("__g", "__t").agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    item = F.struct((-F.col("__tf")).alias("ntf"), F.col("__t").alias("t"))
+    part = (
+        counts.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid", "__g")
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, kk).alias("__tk"))
+    )
+    top = part.groupBy("__g").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__tk"))), 1, kk).alias("__tk")
+    )
+    return top.select("__g", F.posexplode("__tk").alias("__pos", "__it")).select(
+        F.col("__g").alias(by_col),
+        F.col("__it.t").alias("term"),
+        (-F.col("__it.ntf")).cast("long").alias("tf"),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+    )
+
+
 def vocab_update_state(
     df: DataFrame, path: str, text_col: str, batch_id: str = "",
 ) -> None:

@@ -1025,6 +1025,27 @@ class NgramRepetition(Directive):
 
 
 @directive
+class GroupTopTerms(Directive):
+    """top-terms :text :by [k] — top-k most frequent terms per group
+    (cluster/source labeling) → (by, term, tf, rank)."""
+
+    name = "top-terms"
+    usage = [
+        Arg("text", TokenType.COLUMN),
+        Arg("by", TokenType.COLUMN),
+        Arg("k", TokenType.NUMERIC, optional=True, default=10),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import group_top_terms
+
+        return group_top_terms(
+            df, ctx.resolve(df, self.args["text"]),
+            ctx.resolve(df, self.args["by"]), int(self.args["k"]),
+        )
+
+
+@directive
 class OovRate(Directive):
     """oov-rate :id :text [coverage] — per-document out-of-vocabulary
     token fraction against the corpus's own vocab-coverage vocabulary at
