@@ -155,3 +155,18 @@ def test_relday_time_out_of_range_clock_is_unparseable():
     for s in ("tomorrow at 25:00", "today at 99", "yesterday 5:75"):
         assert p(s) is None
     assert p("tomorrow at 12:30") is not None
+
+
+def test_next_last_with_clock_time():
+    """natty composes next/last/this phrases with times: the weekday
+    anchor keeps its date, the clock replaces midnight; bad clocks are
+    unparseable (None), never a UDF crash."""
+    # NOW is Saturday 2016-12-10; next friday = 2016-12-16
+    assert p("next friday at 3pm") == datetime(2016, 12, 16, 15, 0, tzinfo=timezone.utc)
+    assert p("last monday 10:30") == datetime(2016, 12, 5, 10, 30, tzinfo=timezone.utc)
+    assert p("this tuesday at 9:15:30 am") == datetime(2016, 12, 13, 9, 15, 30, tzinfo=timezone.utc)
+    assert p("next month at noon") == datetime(2017, 1, 10, 12, 0, tzinfo=timezone.utc)
+    assert p("next week 8am") == datetime(2016, 12, 17, 8, 0, tzinfo=timezone.utc)
+    assert p("next friday at 25:00") is None        # out-of-range clock
+    # the bare forms still anchor at midnight
+    assert p("next friday") == datetime(2016, 12, 16, tzinfo=timezone.utc)

@@ -54,7 +54,14 @@ _RE_MDY = re.compile(
 _RE_DMY = re.compile(
     rf"^{_WDP}(?:the\s+)?(\d{{1,2}}){_ORD}\s+(?:of\s+)?({_MON})\.?(?:\s*,?\s*(\d{{4}}))?{_TIME}$",
     re.I)
-_RE_NEXT_LAST = re.compile(rf"^(next|last|this)\s+({_WD}|week|month|year)$", re.I)
+# optional trailing clock time ("next friday at 3pm", "last monday
+# 10:30", "this tuesday at noon") — natty composes next/last/this
+# phrases with times freely; the clause is the relday branch's richer
+# one (bare hour + am/pm, noon/midnight), not _TIME's h:mm-only form
+_TIMEX = (
+    r"(?:\s+(?:at\s+)?(?:(noon|midnight)|(\d{1,2})(?::(\d{2}))?(?::(\d{2}))?\s*(am|pm)?))?"
+)
+_RE_NEXT_LAST = re.compile(rf"^(next|last|this)\s+({_WD}|week|month|year){_TIMEX}$", re.I)
 _RE_AGO = re.compile(r"^(\d+|an?)\s+(\w+?)s?\s+ago$", re.I)
 _RE_IN = re.compile(
     r"^(?:in\s+)?(\d+|an?)\s+(\w+?)s?\s+(?:from\s+now|hence)$|^in\s+(\d+|an?)\s+(\w+)$", re.I
@@ -185,21 +192,42 @@ def parse_natural(s: str | None, now_utc: datetime, tz: str = "UTC") -> datetime
             # start-of-today anchor (the instant's own period)
             if what in _WEEKDAYS:
                 delta = (_WEEKDAYS[what] - midnight.weekday()) % 7
-                return (midnight + timedelta(days=delta)).astimezone(_tz.utc)
-            return midnight.astimezone(_tz.utc)
-        direction = 1 if word == "next" else -1
-        if what in _WEEKDAYS:
-            delta = (_WEEKDAYS[what] - midnight.weekday()) % 7
-            if direction == 1:
-                delta = delta or 7
+                anchor = midnight + timedelta(days=delta)
             else:
-                delta = (delta - 7) if delta else -7
-            return (midnight + timedelta(days=delta)).astimezone(_tz.utc)
-        if what == "week":
-            return (midnight + timedelta(weeks=direction)).astimezone(_tz.utc)
-        if what == "month":
-            return _shift_months(midnight, direction).astimezone(_tz.utc)
-        return _shift_months(midnight, 12 * direction).astimezone(_tz.utc)
+                anchor = midnight
+        else:
+            direction = 1 if word == "next" else -1
+            if what in _WEEKDAYS:
+                delta = (_WEEKDAYS[what] - midnight.weekday()) % 7
+                if direction == 1:
+                    delta = delta or 7
+                else:
+                    delta = (delta - 7) if delta else -7
+                anchor = midnight + timedelta(days=delta)
+            elif what == "week":
+                anchor = midnight + timedelta(weeks=direction)
+            elif what == "month":
+                anchor = _shift_months(midnight, direction)
+            else:
+                anchor = _shift_months(midnight, 12 * direction)
+        if m.group(3):  # noon / midnight
+            h, mi, sec = (12 if m.group(3).lower() == "noon" else 0), 0, 0
+        elif m.group(4):
+            h = int(m.group(4))
+            mi = int(m.group(5) or 0)
+            sec = int(m.group(6) or 0)
+            ampm = (m.group(7) or "").lower()
+            if ampm == "pm" and h < 12:
+                h += 12
+            elif ampm == "am" and h == 12:
+                h = 0
+        else:
+            h = mi = sec = 0
+        try:
+            anchor = anchor.replace(hour=h, minute=mi, second=sec, microsecond=0)
+        except ValueError:
+            return None  # 25:75-style times: unparseable, never a UDF crash
+        return anchor.astimezone(_tz.utc)
 
     m = _RE_AGO.match(t)
     if m:
