@@ -79,6 +79,7 @@ EXTRA_QUERIES = [
     "text_oov",            # OOV rate vs the corpus's own coverage vocab
     "events_active_users", # rolling DAU/WAU/MAU (pair explode + pivot)
     "text_vocab",          # coverage vocab (single-scan checkpoint rewrite)
+    "text_group_terms",    # per-group top-k terms (two-phase slice)
 ]
 
 
