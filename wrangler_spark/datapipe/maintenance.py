@@ -122,6 +122,9 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(tmp.toString())
+        # verification count of the rewrite before the swap; count(*)
+        # over parquet projects zero columns, so this is footer-bounded
+        # work, not a second data pass
         rows = spark.read.parquet(tmp.toString()).count()
         fs.delete(dpath, True)
         if not fs.rename(tmp, dpath):
