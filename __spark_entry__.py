@@ -312,6 +312,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_group_terms": lambda s, d: text.group_top_terms(
             docs(s, d), "text", "source", 10
         ),
+        "text_rep_filter": lambda s, d: text.repetition_filter(
+            docs(s, d), "doc_id", "text"
+        ).select("doc_id", "repetition_pass"),
         "text_oov": lambda s, d: text.oov_rate(
             docs(s, d), "doc_id", "text", text.vocab_coverage(docs(s, d), "text", 0.9)
         ).select("doc_id", "oov_rate"),
@@ -591,6 +594,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_ngram_rep": o.ngram_repetition_sql((2, 3, 4), (5, 10)),
         "text_oov": o.oov_rate_sql(0.9),
         "text_group_terms": o.group_top_terms_sql("source", 10),
+        "text_rep_filter": o.repetition_filter_sql(),
         "corpus_drift": o.distribution_drift_sql("c_acctbal", 10),
         "num_scale": o.scale_column_sql("c_acctbal", "minmax"),
         "num_scale_by": o.scale_by_sql("c_acctbal", "zscore", "c_mktsegment"),
@@ -953,7 +957,10 @@ _R9_WINDOW = [
     "dedup_cross_bloom",
     "emb_outliers",
     "text_nfc",
-    "corpus_overlap",
+    # r9: corpus_overlap vacated (r8-green, unchanged; the corpus-summary
+    # family stays graded via corpus_drift) for the Gopher repetition
+    # FILTER — new this round, the caps applied over both signal families
+    "text_rep_filter",
     "events_funnel",
     "events_retention",
     "events_transitions",

@@ -3113,7 +3113,7 @@ def test_ngram_repetition_stats_hand_computed(spark):
     assert out[1]["top_2gram_char_frac"] == round(9 / 13, 6)
     assert out[1]["top_3gram_char_frac"] == round(10 / 13, 6)  # 'a b a' 2x
     assert out[1]["dup_2gram_char_frac"] == 1.0                # 15/13 capped
-    assert out[2]["top_2gram_char_frac"] == 1.0                # 'x y' covers all
+    assert out[2]["top_2gram_char_frac"] == 0.0  # 'x y' occurs ONCE: not repetition
     assert out[2]["dup_2gram_char_frac"] == 0.0                # nothing repeats
     assert out[2]["top_3gram_char_frac"] == 0.0                # < 3 words
     for d in (3, 4):                                           # no grams at all
@@ -3147,6 +3147,42 @@ def test_group_top_terms_hand_computed(spark):
 
     rows = Pipeline.compile("top-terms :text :src 1").apply(df).collect()
     assert {(r["src"], r["term"]) for r in rows} == {("a", "x"), ("b", "q"), (None, "n")}
+
+
+def test_repetition_filter_hand_computed(spark):
+    """The published caps: a heavily-repeated doc fails (its top bigram
+    covers most characters), normal prose passes, null/empty docs pass
+    (no repetition evidence), a duplicate-line doc fails the line cap,
+    and per-cap overrides work."""
+    rows = [
+        (1, "a b a b a b a b a b a b"),                  # top-2gram frac ~1 -> fail
+        (2, "the quick brown fox jumps over one lazy dog near the river bank today"),
+        (3, None),
+        (4, ""),
+        (5, "keep this line\nkeep this line\nkeep this line\nunique one"),  # dup lines
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["repetition_pass"] for r in
+           text.repetition_filter(df, "doc_id", "text").collect()}
+    assert out[1] is False and out[2] is True
+    assert out[3] is True and out[4] is True
+    assert out[5] is False                               # dup_line_ratio 0.5 > 0.3
+    # override: loosening EVERY cap to 1.0 passes everything (the dup
+    # fractions are capped at 1.0 by construction)
+    loose = {r["doc_id"]: r["repetition_pass"] for r in text.repetition_filter(
+        df, "doc_id", "text",
+        caps={k: 1.0 for k in text.GOPHER_REP_CAPS}).collect()}
+    assert all(loose.values())
+    with pytest.raises(ValueError, match="unknown"):
+        text.repetition_filter(df, "doc_id", "text", caps={"nope": 0.1})
+    # signal columns are dropped; only the verdict is appended
+    cols = set(text.repetition_filter(df, "doc_id", "text").columns)
+    assert cols == {"doc_id", "text", "repetition_pass"}
+    # directive surface
+    from wrangler_spark import Pipeline
+
+    got = Pipeline.compile("repetition-filter :doc_id :text").apply(df)
+    assert {r["doc_id"]: r["repetition_pass"] for r in got.collect()} == out
 
 
 def test_oov_rate_hand_computed(spark):

@@ -495,6 +495,13 @@ def main() -> int:
         "text_group_terms", p, must=["HashAggregate"],
         must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     )
+    # repetition filter: the caps ride the same gram-aggregate plan —
+    # no window, no Python, no cartesian
+    p = plan_of(qs["text_rep_filter"](spark, SF_DIR))
+    problems += check(
+        "text_rep_filter", p, must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
 
     # rolling active users: collapsed (user, day) pairs explode to
     # contribution days and hash-aggregate — never a sliding window over

@@ -1750,9 +1750,11 @@ def ngram_repetition_sql(
     ns = sorted(set((*top_ns, *dup_ns)))
     n_list = ", ".join(str(n) for n in ns)
     tops = ",\n       ".join(
-        f"coalesce(max(CASE WHEN n = {n} THEN round(top_chars / greatest(nc, 1), 6) END), 0.0)"
+        f"coalesce(max(CASE WHEN n = {n} THEN round(least(top_chars / greatest(nc, 1), 1.0), 6) END), 0.0)"
         f" AS top_{n}gram_char_frac" for n in top_ns
     )
+    # top_chars counts only grams occurring >= 2 times (a singleton is
+    # not repetition — the shared contract with the Spark side)
     dups = ",\n       ".join(
         f"coalesce(max(CASE WHEN n = {n} THEN round(least(dup_chars / greatest(nc, 1), 1.0), 6) END), 0.0)"
         f" AS dup_{n}gram_char_frac" for n in dup_ns
@@ -1772,7 +1774,7 @@ g AS (
 c AS (SELECT {id_col}, nc, n, gram, count(*) AS cnt FROM g GROUP BY ALL),
 agg AS (
   SELECT {id_col}, n, min(nc) AS nc,
-         max(cnt * length(gram)) AS top_chars,
+         coalesce(max(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0) AS top_chars,
          coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0) AS dup_chars
   FROM c GROUP BY {id_col}, n
 ),
@@ -1786,6 +1788,67 @@ SELECT t.{id_col},
        {", ".join(f"coalesce(p.top_{n}gram_char_frac, 0.0) AS top_{n}gram_char_frac" for n in top_ns)},
        {", ".join(f"coalesce(p.dup_{n}gram_char_frac, 0.0) AS dup_{n}gram_char_frac" for n in dup_ns)}
 FROM {table} t LEFT JOIN p ON t.{id_col} = p.{id_col}
+"""
+
+
+def repetition_filter_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """Mirror of text.repetition_filter: the Gopher A1.1 caps applied to
+    the line ratios + n-gram char fractions (graded: id, pass). Null
+    signals coalesce to 0 on both engines (null text passes)."""
+    caps = {2: 0.20, 3: 0.18, 4: 0.16, 5: 0.15, 6: 0.14, 7: 0.13,
+            8: 0.12, 9: 0.11, 10: 0.10}
+    n_list = ", ".join(str(n) for n in caps)
+
+    def ratio(num, den):
+        return f"round(({num})::DOUBLE / greatest({den}, 1)::DOUBLE, 6)"
+
+    def chars(arr):
+        return f"list_sum(list_transform({arr}, x -> length(x)))"
+
+    dup_line = f"round(1.0 - {ratio(f'len(list_distinct({_LINES}))', f'len({_LINES})')}, 6)"
+    dup_line_char = (
+        f"round(1.0 - {ratio(chars(f'list_distinct({_LINES})'), chars(_LINES))}, 6)"
+    )
+    # top/dup char sums computed in the agg CTE, caps applied in the pivot
+    tops = " AND ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN round(least(top_chars / greatest(nc, 1), 1.0), 6) END), 0.0) <= {caps[n]}"
+        for n in (2, 3, 4)
+    )
+    dups = " AND ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN round(least(dup_chars / greatest(nc, 1), 1.0), 6) END), 0.0) <= {caps[n]}"
+        for n in (5, 6, 7, 8, 9, 10)
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col}, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS w
+  FROM {table}
+),
+b2 AS (SELECT {id_col}, w, length(array_to_string(w, ' ')) AS nc FROM base),
+g AS (
+  SELECT {id_col}, nc, n,
+         unnest(list_transform(range(1, greatest(len(w) - n + 1, 0) + 1),
+                i -> array_to_string(w[i:i + n - 1], ' '))) AS gram
+  FROM b2 CROSS JOIN (SELECT unnest([{n_list}]) AS n) ns
+),
+c AS (SELECT {id_col}, nc, n, gram, count(*) AS cnt FROM g GROUP BY ALL),
+agg AS (
+  SELECT {id_col}, n, min(nc) AS nc,
+         coalesce(max(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0) AS top_chars,
+         coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0) AS dup_chars
+  FROM c GROUP BY {id_col}, n
+),
+p AS (SELECT {id_col}, ({tops} AND {dups}) AS gram_ok FROM agg GROUP BY {id_col}),
+l AS (
+  SELECT {id_col},
+         coalesce({dup_line}, 0.0) <= 0.30
+         AND coalesce({dup_line_char}, 0.0) <= 0.20 AS line_ok
+  FROM {table}
+)
+SELECT t.{id_col},
+       (t.text IS NULL OR length(trim(t.text)) = 0
+        OR (coalesce(p.gram_ok, TRUE) AND l.line_ok)) AS repetition_pass
+FROM {table} t LEFT JOIN p ON t.{id_col} = p.{id_col}
+JOIN l ON t.{id_col} = l.{id_col}
 """
 
 

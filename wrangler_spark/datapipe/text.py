@@ -144,7 +144,12 @@ def ngram_repetition_stats(
     2021; the thresholds RefinedWeb/FineWeb/Dolma reuse): per document,
     ``top_{n}gram_char_frac`` = characters covered by the single most
     frequent word n-gram (occurrences x gram length over the normalized
-    text length; Gopher filters at n=2,3,4 with caps 0.20/0.18/0.16) and
+    text length; Gopher filters at n=2,3,4 with caps 0.20/0.18/0.16) —
+    PROVIDED the top gram occurs at least twice: a singleton n-gram is
+    not repetition, and counting it makes every short document trivially
+    fail the caps (the public reimplementations share this rule); both
+    fraction families are capped at 1.0 (overlapping occurrences make
+    the occurrence-sum bound exceed the text length) — and
     ``dup_{n}gram_char_frac`` = characters covered by ALL n-grams that
     occur more than once (n=5..10, caps 0.15 down to 0.10). Coverage is
     the standard occurrence-sum upper bound (overlapping occurrences
@@ -195,7 +200,10 @@ def ngram_repetition_stats(
         F.count(F.lit(1)).alias("__cnt"), F.min("__nc").alias("__nc")
     )
     per_n = counts.groupBy("__id", "__n").agg(
-        F.max(F.col("__cnt") * F.length("__gram")).alias("__top"),
+        F.coalesce(
+            F.max(F.when(F.col("__cnt") >= 2, F.col("__cnt") * F.length("__gram"))),
+            F.lit(0),
+        ).alias("__top"),
         F.coalesce(
             F.sum(F.when(F.col("__cnt") >= 2, F.col("__cnt") * F.length("__gram"))),
             F.lit(0),
@@ -208,7 +216,8 @@ def ngram_repetition_stats(
     pivoted = per_n.groupBy("__id").agg(
         *[
             F.coalesce(
-                F.max(F.when(F.col("__n") == n, frac(F.col("__top")))), F.lit(0.0)
+                F.max(F.when(F.col("__n") == n, F.least(frac(F.col("__top")), F.lit(1.0)))),
+                F.lit(0.0),
             ).alias(f"top_{n}gram_char_frac")
             for n in top_ns
         ],
@@ -228,6 +237,58 @@ def ngram_repetition_stats(
     return joined.withColumns(
         {c: F.coalesce(F.col(c), F.lit(0.0)) for c in out_cols}
     )
+
+
+# Gopher §A1.1 repetitious-text removal thresholds (Rae et al. 2021,
+# Table A1) — a document exceeding ANY cap is removed. The published
+# numbers RefinedWeb/FineWeb reuse.
+GOPHER_REP_CAPS = {
+    "dup_line_ratio": 0.30,
+    "dup_line_char_ratio": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def repetition_filter(
+    df: DataFrame, id_col: str, text_col: str,
+    caps: dict[str, float] | None = None,
+) -> DataFrame:
+    """The Gopher repetitious-text FILTER — the published caps applied to
+    both signal families (line ratios from :func:`repetition_stats`,
+    n-gram char fractions from :func:`ngram_repetition_stats`): adds
+    ``repetition_pass`` (true = keep; a doc exceeding ANY cap fails).
+    Null/empty documents pass — no text is no repetition evidence (the
+    word-count rule in gopher_quality is the filter that drops those).
+    Line-based duplicate ratios stand in for Gopher's line+paragraph
+    pair (documented subset: paragraph splits reduce to lines for
+    single-newline corpora); ``caps`` overrides individual thresholds.
+
+    Scale shape: the n-gram half's single tagged explode + aggregates
+    (ngram_repetition_stats) plus a scan-side line-ratio projection —
+    the conjunction itself is free."""
+    caps = {**GOPHER_REP_CAPS, **(caps or {})}
+    unknown = set(caps) - set(GOPHER_REP_CAPS)
+    if unknown:
+        raise ValueError(f"unknown repetition caps: {sorted(unknown)}")
+    staged = ngram_repetition_stats(df, id_col, text_col)
+    staged = repetition_stats(staged, text_col)
+    cond = None
+    for col_name, cap in caps.items():
+        ok = F.coalesce(F.col(col_name), F.lit(0.0)) <= F.lit(float(cap))
+        cond = ok if cond is None else (cond & ok)
+    # blank docs pass outright: the line-char ratio degenerates to 1.0
+    # on zero characters (1 - 0/1), and no text is no repetition
+    blank = F.col(text_col).isNull() | (F.length(F.trim(F.col(text_col))) == 0)
+    drop = list(GOPHER_REP_CAPS) + ["dup_word_ratio"]
+    return staged.withColumn("repetition_pass", blank | cond).drop(*drop)
 
 
 def gopher_quality(df: DataFrame, text_col: str) -> DataFrame:

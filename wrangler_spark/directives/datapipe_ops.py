@@ -1046,6 +1046,26 @@ class GroupTopTerms(Directive):
 
 
 @directive
+class RepetitionFilter(Directive):
+    """repetition-filter :id :text — the Gopher repetitious-text caps
+    applied to both signal families (line ratios + n-gram char
+    fractions) → repetition_pass boolean (true = keep)."""
+
+    name = "repetition-filter"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import repetition_filter
+
+        return repetition_filter(
+            df, ctx.resolve(df, self.args["id"]), ctx.resolve(df, self.args["text"])
+        )
+
+
+@directive
 class OovRate(Directive):
     """oov-rate :id :text [coverage] — per-document out-of-vocabulary
     token fraction against the corpus's own vocab-coverage vocabulary at
