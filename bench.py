@@ -80,6 +80,7 @@ EXTRA_QUERIES = [
     "events_active_users", # rolling DAU/WAU/MAU (pair explode + pivot)
     "text_vocab",          # coverage vocab (single-scan checkpoint rewrite)
     "text_group_terms",    # per-group top-k terms (two-phase slice)
+    "text_rep_filter",     # Gopher repetition caps (both signal families)
 ]
 
 
