@@ -473,13 +473,15 @@ def main() -> int:
         must_not=["Window", "BatchEvalPython", "ArrowEvalPython"],
     )
 
-    # ngram repetition: one gram explode -> hash aggregates -> pivot —
-    # no window, no Python, no cartesian (per-doc skew bounded by doc
-    # length, like the rest of the token family)
+    # ngram repetition: the statistic is per-document, so the r10 shape
+    # computes it entirely scan-side (array_sort + run-length fold per
+    # n) — ZERO Exchange: the r9 shape shuffled raw gram strings, ~50x
+    # the corpus text bytes through one exchange at 100 TB
     p = plan_of(qs["text_ngram_rep"](spark, SF_DIR))
     problems += check(
-        "text_ngram_rep", p, must=["HashAggregate"],
-        must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+        "text_ngram_rep", p,
+        must_not=["Exchange", "Window", "CartesianProduct",
+                  "BatchEvalPython", "ArrowEvalPython"],
     )
     # oov rate: the vocabulary side broadcasts; the token explode joins
     # it without a corpus sort-merge or a window
@@ -495,12 +497,14 @@ def main() -> int:
         "text_group_terms", p, must=["HashAggregate"],
         must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     )
-    # repetition filter: the caps ride the same gram-aggregate plan —
-    # no window, no Python, no cartesian
+    # repetition filter: both signal families (line ratios + n-gram
+    # fracs) are scan-side per-row expressions — the whole filter is
+    # ZERO Exchange (see text_ngram_rep)
     p = plan_of(qs["text_rep_filter"](spark, SF_DIR))
     problems += check(
-        "text_rep_filter", p, must=["HashAggregate"],
-        must_not=["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+        "text_rep_filter", p,
+        must_not=["Exchange", "Window", "CartesianProduct",
+                  "BatchEvalPython", "ArrowEvalPython"],
     )
 
     # rolling active users: collapsed (user, day) pairs explode to

@@ -135,6 +135,53 @@ def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
     return out.drop(_L, _W)
 
 
+def _runlen_top_dup(sorted_grams):
+    """(top, dup) struct from a SORTED gram array via ONE run-length
+    fold: walking the array, equal neighbors extend the current run;
+    a run of length >= 2 contributes run_length x gram_chars to ``dup``
+    and competes for ``top``. Pure per-row Column expression — the
+    zero-exchange core of :func:`ngram_repetition_stats`."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def _contrib(acc):
+        # the finished run's char coverage; singleton runs contribute 0
+        # (a gram seen once is not repetition — see the caller's rule)
+        return F.when(
+            acc["cnt"] >= 2, acc["cnt"] * F.length(acc["prev"]).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    def _merge(acc, x):
+        return F.when(
+            acc["prev"].isNotNull() & (x == acc["prev"]),
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["cnt"] + F.lit(1).cast("long")).alias("cnt"),
+                acc["top"].alias("top"),
+                acc["dup"].alias("dup"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("cnt"),
+                F.greatest(acc["top"], _contrib(acc)).alias("top"),
+                (acc["dup"] + _contrib(acc)).alias("dup"),
+            )
+        )
+
+    def _finish(acc):
+        return F.struct(
+            F.greatest(acc["top"], _contrib(acc)).alias("top"),
+            (acc["dup"] + _contrib(acc)).alias("dup"),
+        )
+
+    return F.aggregate(sorted_grams, init, _merge, _finish)
+
+
 def ngram_repetition_stats(
     df: DataFrame, id_col: str, text_col: str,
     top_ns: tuple[int, ...] = (2, 3, 4),
@@ -147,96 +194,77 @@ def ngram_repetition_stats(
     text length; Gopher filters at n=2,3,4 with caps 0.20/0.18/0.16) —
     PROVIDED the top gram occurs at least twice: a singleton n-gram is
     not repetition, and counting it makes every short document trivially
-    fail the caps (the public reimplementations share this rule); both
-    fraction families are capped at 1.0 (overlapping occurrences make
-    the occurrence-sum bound exceed the text length) — and
-    ``dup_{n}gram_char_frac`` = characters covered by ALL n-grams that
-    occur more than once (n=5..10, caps 0.15 down to 0.10). Coverage is
-    the standard occurrence-sum upper bound (overlapping occurrences
-    count each time), capped at 1.0 — the same contract as the public
-    reimplementations. Documents with fewer than n words score 0.0 for
-    that n; normalization is the shared dedup contract
-    (lower/trim/whitespace-collapse).
+    fail the caps. NOTE this >= 2 rule is a deliberate LOCAL divergence
+    from the published formulation, which counts the most frequent
+    n-gram's characters even at one occurrence; the DuckDB oracle and
+    :func:`repetition_filter` share the local rule, so parity holds, but
+    pass/fail on very short documents can differ from other public
+    reimplementations. Both fraction families are capped at 1.0
+    (overlapping occurrences make the occurrence-sum bound exceed the
+    text length) — and ``dup_{n}gram_char_frac`` = characters covered by
+    ALL n-grams that occur more than once (n=5..10, caps 0.15 down to
+    0.10). Coverage is the standard occurrence-sum upper bound
+    (overlapping occurrences count each time), capped at 1.0. Documents
+    with fewer than n words score 0.0 for that n; normalization is the
+    shared dedup contract (lower/trim/whitespace-collapse).
 
-    Scale shape: ONE scan-side gram build tags every gram with its n
-    (the per-row transform chain stages words once — no CSE inside HOF
-    lambdas), one explode carries (id, n, gram, doc_len) rows into a
-    single hash aggregate keyed on (id, n, gram), a second bounded
-    aggregate folds each (id, n) group to its two fractions, and a
-    conditional-aggregation pivot (n values are compile-time constants)
-    lands one row per document, equi-joined back on the id. No windows,
-    no Python; per-doc skew is bounded by document length, the same
-    bound every op in the token family carries."""
+    Scale shape: ZERO exchange. The gram multiset is per-document by
+    definition, so no cross-row aggregation exists to distribute: per n,
+    the gram array is built, ``array_sort``-ed, and folded to its
+    (top, dup) char totals by a run-length ``aggregate`` — all inside
+    one scan-side projection, one output row per input row, no shuffle,
+    no join-back. (The previous shape exploded (doc, n, gram) rows into
+    a hash aggregate — correct, but it shuffled the raw gram STRINGS,
+    ~sum(n)·text bytes ≈ 50x the corpus through one exchange at 100 TB,
+    violating the package's hash-the-key discipline, dedup.py:42.)
+    Per-row transient memory is the same sum(n)·doc_len bound the old
+    explode paid per task, now never serialized. Fold structs are staged
+    one column per n so each fold evaluates once (CollapseProject keeps
+    multiply-referenced non-trivial aliases staged)."""
     ns = sorted(set(int(n) for n in (*top_ns, *dup_ns)))
     if not ns or ns[0] < 2:
         raise ValueError(f"n-gram sizes must be >= 2, got {(*top_ns, *dup_ns)}")
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    staged = df.select(
-        F.col(id_col).alias("__id"),
-        F.filter(F.split(norm, " "), lambda x: x != "").alias("__w"),
-    ).select("__id", "__w", F.length(F.array_join("__w", " ")).alias("__nc"))
+    staged = df.withColumn(
+        "__w", F.filter(F.split(norm, " "), lambda x: x != "")
+    ).withColumn("__nc", F.length(F.array_join("__w", " ")))
     wd = F.col("__w")
 
     def _grams(n: int):
-        empty = F.array().cast("array<struct<n:int,gram:string>>")
+        empty = F.array().cast("array<string>")
         return F.when(
             F.size(wd) >= n,
             F.transform(
                 F.sequence(F.lit(1), F.size(wd) - (n - 1)),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.concat_ws(
-                        " ", *[F.element_at(wd, i + j) for j in range(n)]
-                    ).alias("gram"),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(wd, i + j) for j in range(n)]
                 ),
             ),
         ).otherwise(empty)
 
-    exploded = staged.select(
-        "__id", "__nc",
-        F.explode(F.flatten(F.array(*[_grams(n) for n in ns]))).alias("g"),
-    ).select("__id", "__nc", F.col("g.n").alias("__n"), F.col("g.gram").alias("__gram"))
-    counts = exploded.groupBy("__id", "__n", "__gram").agg(
-        F.count(F.lit(1)).alias("__cnt"), F.min("__nc").alias("__nc")
-    )
-    per_n = counts.groupBy("__id", "__n").agg(
-        F.coalesce(
-            F.max(F.when(F.col("__cnt") >= 2, F.col("__cnt") * F.length("__gram"))),
-            F.lit(0),
-        ).alias("__top"),
-        F.coalesce(
-            F.sum(F.when(F.col("__cnt") >= 2, F.col("__cnt") * F.length("__gram"))),
-            F.lit(0),
-        ).alias("__dup"),
-        F.min("__nc").alias("__nc"),
+    folded = staged.withColumns(
+        {f"__f{n}": _runlen_top_dup(F.array_sort(_grams(n))) for n in ns}
     )
     frac = lambda c: F.round(  # noqa: E731
         c.cast("double") / F.greatest(F.col("__nc"), F.lit(1)).cast("double"), 6
     )
-    pivoted = per_n.groupBy("__id").agg(
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("__n") == n, F.least(frac(F.col("__top")), F.lit(1.0)))),
-                F.lit(0.0),
-            ).alias(f"top_{n}gram_char_frac")
-            for n in top_ns
-        ],
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("__n") == n, F.least(frac(F.col("__dup")), F.lit(1.0)))),
-                F.lit(0.0),
-            ).alias(f"dup_{n}gram_char_frac")
-            for n in dup_ns
-        ],
+    out = folded.withColumns(
+        {
+            **{
+                f"top_{n}gram_char_frac": F.coalesce(
+                    F.least(frac(F.col(f"__f{n}")["top"]), F.lit(1.0)), F.lit(0.0)
+                )
+                for n in top_ns
+            },
+            **{
+                f"dup_{n}gram_char_frac": F.coalesce(
+                    F.least(frac(F.col(f"__f{n}")["dup"]), F.lit(1.0)), F.lit(0.0)
+                )
+                for n in dup_ns
+            },
+        }
     )
-    out_cols = [f"top_{n}gram_char_frac" for n in top_ns] + [
-        f"dup_{n}gram_char_frac" for n in dup_ns
-    ]
-    joined = df.join(pivoted, F.col(id_col) == F.col("__id"), "left").drop("__id")
-    # short docs produce no gram rows at all -> fill the whole row of 0.0
-    return joined.withColumns(
-        {c: F.coalesce(F.col(c), F.lit(0.0)) for c in out_cols}
-    )
+    return out.drop("__w", "__nc", *[f"__f{n}" for n in ns])
 
 
 # Gopher §A1.1 repetitious-text removal thresholds (Rae et al. 2021,
