@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from wrangler_spark.datapipe import dedup, multimodal, similarity, text
+from wrangler_spark.datapipe._layout import resolve as _ixroot
 
 
 @pytest.fixture(scope="module")
@@ -1266,8 +1267,8 @@ def test_ivf_index_quantized(spark, tmp_path_factory):
         return sum(os.path.getsize(os.path.join(r, f))
                    for r, _, fs in os.walk(p) for f in fs)
 
-    assert du(f"{base}/q/vectors") < 0.6 * du(f"{base}/f/vectors"), "int8 index not smaller"
-    qcols = spark.read.parquet(f"{base}/q/vectors").columns
+    assert du(_ixroot(spark, f"{base}/q") + "/vectors") < 0.6 * du(_ixroot(spark, f"{base}/f") + "/vectors"), "int8 index not smaller"
+    qcols = spark.read.parquet(_ixroot(spark, f"{base}/q") + "/vectors").columns
     assert "q" in qcols and "q_scale" in qcols and "embedding" not in qcols
 
     exact = similarity.ivf_query_index(spark, f"{base}/f", queries, k=5, nprobe=8)
@@ -1525,9 +1526,9 @@ def test_ivf_append_index(spark, tmp_path_factory):
     new = embs.filter(F.col("vec_id") >= 400)
 
     similarity.ivf_write_index(old, f"{base}/ix", n_centroids=8)
-    before = spark.read.parquet(f"{base}/ix/vectors").count()
+    before = spark.read.parquet(_ixroot(spark, f"{base}/ix") + "/vectors").count()
     similarity.ivf_append_index(new, f"{base}/ix")
-    after = spark.read.parquet(f"{base}/ix/vectors")
+    after = spark.read.parquet(_ixroot(spark, f"{base}/ix") + "/vectors")
     assert after.count() == embs.count() and before == old.count()
 
     # an appended vector is its own nearest neighbor via the index
@@ -1540,9 +1541,9 @@ def test_ivf_append_index(spark, tmp_path_factory):
     # quantized index stays quantized on append
     similarity.ivf_write_index(old, f"{base}/qx", n_centroids=8, quantize=True)
     similarity.ivf_append_index(new, f"{base}/qx")
-    cols = spark.read.parquet(f"{base}/qx/vectors").columns
+    cols = spark.read.parquet(_ixroot(spark, f"{base}/qx") + "/vectors").columns
     assert "q" in cols and "embedding" not in cols
-    assert spark.read.parquet(f"{base}/qx/vectors").count() == embs.count()
+    assert spark.read.parquet(_ixroot(spark, f"{base}/qx") + "/vectors").count() == embs.count()
 
 
 def test_langid_multi_cjk_branch(spark):
@@ -2312,12 +2313,12 @@ def test_ivf_pq_index_append(spark, tmp_path_factory):
     df = spark.createDataFrame(_unit_rows(50, 16, 53), ["vec_id", "embedding"])
     path = str(tmp_path_factory.mktemp("ivfpq_app")) + "/ix"
     similarity.ivf_write_index(df, path, n_centroids=5, dim=16, pq_m=4, pq_k=8)
-    before = spark.read.parquet(f"{path}/vectors").count()
+    before = spark.read.parquet(_ixroot(spark, path) + "/vectors").count()
     newbie = spark.createDataFrame(
         [(r[0] + 1000, r[1]) for r in _unit_rows(4, 16, 99)], ["vec_id", "embedding"]
     )
     similarity.ivf_append_index(newbie, path)
-    raw = spark.read.parquet(f"{path}/vectors")
+    raw = spark.read.parquet(_ixroot(spark, path) + "/vectors")
     assert raw.count() == before + 4
     assert set(raw.columns) == {"vec_id", "pq_code", "centroid_id"}
     # an appended vector queried against the index finds itself excluded
@@ -2378,7 +2379,8 @@ def test_minhash_index_persist_matches_in_memory(spark, tmp_path_factory):
     with redirect_stdout(buf):
         out.explain("formatted")
     plan = buf.getvalue()
-    assert "ix/buckets" in plan and "ix/shingles" in plan  # old side = index scans
+    # old side = parquet scans of the committed index version
+    assert "/buckets" in plan and "/shingles" in plan
 
 
 def test_unicode_normalize_forms_and_dedup_effect(spark):
@@ -2492,9 +2494,9 @@ def test_compact_index_probe_identical(spark, tmp_path_factory):
     assert [i for (i, dup) in after if i % 600 < 300 and not dup] == []  # still no FNs
     assert st["words"]["files_after"] < st["words"]["files_before"]
     # row-merge: duplicate word rows collapsed back to <= bits/64
-    words = spark.read.parquet(f"{path}/words")
+    words = spark.read.parquet(_ixroot(spark, path) + "/words")
     assert words.count() == words.select("__w").distinct().count() <= (1 << 14) // 64
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]    # meta untouched
+    meta = spark.read.parquet(_ixroot(spark, path) + "/meta").collect()[0]    # meta untouched
     assert (int(meta["bits"]), int(meta["num_hashes"])) == (1 << 14, 5)
 
     # --- IVF: write + append, then compact; probes identical, layout kept
@@ -2507,7 +2509,7 @@ def test_compact_index_probe_identical(spark, tmp_path_factory):
     before = sorted(map(key, similarity.ivf_query_index(spark, ivf, q, k=3, nprobe=2).collect()))
     st = compact_index(spark, ivf)
     assert st["vectors"]["files_after"] < st["vectors"]["files_before"]
-    after_df = spark.read.parquet(f"{ivf}/vectors")
+    after_df = spark.read.parquet(_ixroot(spark, ivf) + "/vectors")
     assert "centroid_id" in after_df.columns                  # partitioning preserved
     after = sorted(map(key, similarity.ivf_query_index(spark, ivf, q, k=3, nprobe=2).collect()))
     assert after == before
@@ -2583,7 +2585,7 @@ def test_bloom_index_scheme_version_guard(spark, tmp_path_factory):
     assert dedup.bloom_probe_index(df, path, "doc_id", "text").count() == 1
     # forge a v1 meta (no scheme column — the pre-versioning layout)
     spark.createDataFrame([(1 << 10, 5)], "bits long, num_hashes int") \
-        .write.mode("overwrite").parquet(f"{path}/meta")
+        .write.mode("overwrite").parquet(_ixroot(spark, path) + "/meta")
     with pytest.raises(ValueError, match="scheme"):
         dedup.bloom_probe_index(df, path, "doc_id", "text")
     with pytest.raises(ValueError, match="scheme"):
@@ -2915,9 +2917,11 @@ def test_minhash_index_pins_banding_geometry(spark, tmp_path_factory, docs):
         new, old, "doc_id", "text", 0.2, bands=16, rows_per_band=2).collect()))
     assert via_index == in_memory and len(via_index) > 0
 
-    # meta is written FIRST: a build that dies after meta leaves a
-    # partial index that fails LOUDLY at probe (missing buckets scan) —
-    # never a silent default-geometry probe of tuned buckets
+    # a legacy FLAT index with meta but no buckets (e.g. a pre-versioning
+    # build that died mid-way) fails LOUDLY at probe (missing buckets
+    # scan) — never a silent default-geometry probe of tuned buckets.
+    # (Versioned builds can't produce this state at all: nothing is
+    # visible before the commit marker.)
     import pytest as _pytest
     from pyspark.errors import AnalysisException
 
@@ -2936,10 +2940,10 @@ def test_minhash_index_auto_geometry(spark, tmp_path_factory, docs):
     dedup.minhash_write_index(
         docs, path, "doc_id", "text", geometry="auto", threshold=0.3,
     )
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = spark.read.parquet(_ixroot(spark, path) + "/meta").collect()[0]
     pinned = (int(meta["bands"]), int(meta["rows_per_band"]))
     sweep = {(r["bands"], r["rows_per_band"]): r
-             for r in spark.read.parquet(f"{path}/sweep").collect()}
+             for r in spark.read.parquet(_ixroot(spark, path) + "/sweep").collect()}
     assert pinned in sweep and len(sweep) == 3        # audit table persisted
     # winner rule: leftmost geometry clearing the recall bar, else max recall
     ordered = sorted(sweep)                            # by bands asc
@@ -2996,9 +3000,9 @@ def test_embedding_sweep_and_auto_planes(spark, tmp_path_factory):
         embs.filter(F.col("doc_id") % 2 == 1), path, "doc_id", "embedding",
         planes="auto", threshold=0.9,
     )
-    meta_planes = spark.read.parquet(f"{path}/meta").collect()[0]["planes"]
+    meta_planes = spark.read.parquet(_ixroot(spark, path) + "/meta").collect()[0]["planes"]
     assert len(meta_planes) in (4, 8, 12, 16)            # a swept count won
-    assert spark.read.parquet(f"{path}/sweep").count() == 4
+    assert spark.read.parquet(_ixroot(spark, path) + "/sweep").count() == 4
     new = embs.filter(F.col("doc_id") % 2 == 0)
     via_index = sorted(map(tuple, dedup.embedding_pairs_against_index(
         new, path, "doc_id", "embedding", 0.9).collect()))
@@ -3249,10 +3253,10 @@ def test_vocab_state_incremental_equals_batch(spark, tmp_path_factory):
     assert via_state == via_batch
 
     # compaction: rows sum-merge (3 batches -> 1 row per word), reads identical
-    n_rows_before = spark.read.parquet(f"{path}/rows").count()
+    n_rows_before = spark.read.parquet(_ixroot(spark, path) + "/rows").count()
     st = compact_index(spark, path)
     assert st["rows"]["rows"] < n_rows_before          # duplicate words merged
-    rows = spark.read.parquet(f"{path}/rows")
+    rows = spark.read.parquet(_ixroot(spark, path) + "/rows")
     assert rows.count() == rows.select("word").distinct().count()
     assert sorted(map(key, text.vocab_coverage_from_state(spark, path, 0.9).collect())) == one
 
@@ -3327,3 +3331,116 @@ def test_keep_top_frac_directive(spark):
     # global: type-7 median of [0.1, 0.9, 1.0, 9.0] is 0.95 -> scores 1.0, 9.0
     ids_g = {r["id"] for r in Pipeline.compile("keep-top-frac :score 0.5").apply(df).collect()}
     assert ids_g == {1, 2}
+
+
+def test_versioned_index_probe_during_compaction_and_crash(spark, tmp_path_factory):
+    """The _layout snapshot protocol: (1) a probe PLANNED before a
+    compaction commits reads the version it resolved — file-identical
+    results, nothing deleted under it; (2) a compaction (or rebuild)
+    that crashes before its commit marker leaves the previous version
+    fully readable — probes are unaffected; (3) vacuum reclaims
+    superseded versions without changing probe results."""
+    from wrangler_spark.datapipe import _layout
+    from wrangler_spark.datapipe.maintenance import compact_index, vacuum_index
+
+    path = str(tmp_path_factory.mktemp("vix")) + "/ix"
+    gen = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, f"historical document body {i}") for i in range(lo, hi)], ["doc_id", "text"])
+    dedup.bloom_write_index(gen(0, 200), path, "text", bits=1 << 14, num_hashes=5)
+    for b in range(3):
+        dedup.bloom_write_index(gen(200 + b * 50, 250 + b * 50), path, "text",
+                                bits=1 << 14, num_hashes=5, append=True)
+    batch = gen(0, 400).withColumn("doc_id", F.col("doc_id") + 1000)
+
+    # (1) concurrent probe: plan (resolve) BEFORE compacting, collect AFTER
+    in_flight = dedup.bloom_probe_index(batch, path, "doc_id", "text")
+    baseline = sorted(map(tuple, dedup.bloom_probe_index(batch, path, "doc_id", "text").collect()))
+    compact_index(spark, path)
+    assert sorted(map(tuple, in_flight.collect())) == baseline  # old version still served it
+    assert sorted(map(tuple, dedup.bloom_probe_index(batch, path, "doc_id", "text").collect())) == baseline
+
+    # (2) crash mid-rebuild: a newer version dir WITHOUT a commit marker
+    # is invisible — probes keep resolving the last committed version
+    stale = _layout.begin_version(spark, path)
+    spark.createDataFrame([(1 << 20, 9, 2)], "bits long, num_hashes int, scheme int") \
+        .write.parquet(f"{stale}/meta")  # simulated partial rebuild (no words, no marker)
+    assert not _layout.resolve(spark, path).endswith(stale.rsplit("/", 1)[-1])
+    assert sorted(map(tuple, dedup.bloom_probe_index(batch, path, "doc_id", "text").collect())) == baseline
+
+    # (3) vacuum: reclaim the flat legacy layout, the superseded grace
+    # version, and the abandoned build — probe results unchanged
+    deleted = vacuum_index(spark, path, keep=1)
+    assert deleted, "vacuum found nothing to reclaim"
+    assert sorted(map(tuple, dedup.bloom_probe_index(batch, path, "doc_id", "text").collect())) == baseline
+    import os
+
+    left = {d for d in os.listdir(path) if not d.startswith(("_", "."))}
+    cur = _layout.resolve(spark, path).rsplit("/", 1)[-1]
+    # the current version survives; so does the NEWER uncommitted dir
+    # (it could be a build in flight — vacuum never kills those); the
+    # flat legacy datasets and every superseded version are gone
+    assert cur in left and "words" not in left and "meta" not in left
+    assert left <= {cur, stale.rsplit("/", 1)[-1]}
+
+
+def test_minhash_rebuild_in_place_never_mixes_geometries(spark, tmp_path_factory, docs):
+    """Rebuilding a LIVE minhash index is safe: an INVALID geometry is
+    rejected before anything is written (the old index keeps probing
+    bit-identically), and a successful rebuild at a different geometry
+    flips atomically — probes match the in-memory op at the NEW
+    geometry afterwards, never a new-meta/old-buckets mix."""
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    old = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path_factory.mktemp("mh_rb")) + "/ix"
+    dedup.minhash_write_index(old, path, "doc_id", "text", bands=16, rows_per_band=2)
+    baseline = sorted(map(tuple, dedup.minhash_pairs_against_index(
+        new, path, "doc_id", "text", 0.2).collect()))
+
+    # invalid rebuild: bands*rows exceeds the permutation budget — must
+    # raise BEFORE any write (meta used to be clobbered first)
+    with pytest.raises(ValueError, match="exceeds"):
+        dedup.minhash_write_index(old, path, "doc_id", "text", bands=16, rows_per_band=3)
+    assert sorted(map(tuple, dedup.minhash_pairs_against_index(
+        new, path, "doc_id", "text", 0.2).collect())) == baseline
+
+    # valid rebuild at 8x4: the probe follows the new committed version
+    dedup.minhash_write_index(old, path, "doc_id", "text", bands=8, rows_per_band=4)
+    got = sorted(map(tuple, dedup.minhash_pairs_against_index(
+        new, path, "doc_id", "text", 0.2).collect()))
+    want = sorted(map(tuple, dedup.minhash_pairs_against(
+        new, old, "doc_id", "text", 0.2, bands=8, rows_per_band=4).collect()))
+    assert got == want
+
+
+def test_embedding_auto_planes_empty_corpus_guard(spark, tmp_path_factory):
+    """planes='auto' on an empty corpus or null vectors raises a clear
+    ValueError instead of an opaque TypeError, and writes NOTHING."""
+    import os
+
+    path = str(tmp_path_factory.mktemp("emb_guard")) + "/ix"
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        dedup.embedding_write_index(empty, path, "vec_id", "embedding", planes="auto")
+    nulls = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        dedup.embedding_write_index(nulls, path, "vec_id", "embedding", planes="auto")
+    assert not os.path.exists(path) or not any(
+        d.startswith("v_") for d in os.listdir(path)
+    )
+
+
+def test_report_state_mixed_group_columns_raise(spark, tmp_path_factory):
+    """A report state whose batches disagree on the group column is
+    rejected loudly — grouping by an arbitrary one would silently
+    bucket the other batches under null."""
+    from wrangler_spark.datapipe import curation
+
+    path = str(tmp_path_factory.mktemp("rep_mixed")) + "/st"
+    df = spark.createDataFrame(
+        [(1, "hello world", "a", "x"), (2, "more text", "b", "y")],
+        ["doc_id", "text", "source", "lang"],
+    )
+    curation.report_update_state(df, path, by="source", batch_id="b0")
+    curation.report_update_state(df, path, by="lang", batch_id="b1")
+    with pytest.raises(ValueError, match="mixed group columns"):
+        curation.report_from_state(spark, path).collect()

@@ -8,6 +8,7 @@ import datetime as dt
 import pytest
 
 from wrangler_spark.datapipe.events import funnel_steps, retention_cohorts
+from wrangler_spark.datapipe._layout import resolve as _ixroot
 
 
 def _ts(day, hour=0, minute=0):
@@ -278,8 +279,8 @@ def test_retention_state_incremental_equals_batch(spark, tmp_path_factory):
     gf = {key(r): (r["active_users"], r["retention"]) for r in full.collect()}
     assert gi == gf
     # pairs table stayed minimal: distinct (user, bucket) only
-    n_pairs = spark.read.parquet(f"{path}/pairs").count()
-    assert n_pairs == spark.read.parquet(f"{path}/pairs").distinct().count()
+    n_pairs = spark.read.parquet(_ixroot(spark, path) + "/pairs").count()
+    assert n_pairs == spark.read.parquet(_ixroot(spark, path) + "/pairs").distinct().count()
 
 
 def test_retention_state_meta_pins_period(spark, tmp_path_factory):
@@ -291,14 +292,14 @@ def test_retention_state_meta_pins_period(spark, tmp_path_factory):
     retention_write_state(
         _events(spark, [(1, _ts(1), "a")]), path, "user_id", "ts", period_days=1
     )
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = spark.read.parquet(_ixroot(spark, path) + "/meta").collect()[0]
     assert meta["period_days"] == 1
     # updates bucket with the STORED period (daily): day-2 activity is a
     # new bucket even though a weekly caller would fold it into bucket 0
     retention_update_state(
         _events(spark, [(1, _ts(2), "a")]), path, "user_id", "ts"
     )
-    bks = {r["__b"] for r in spark.read.parquet(f"{path}/pairs").collect()}
+    bks = {r["__b"] for r in spark.read.parquet(_ixroot(spark, path) + "/pairs").collect()}
     assert len(bks) == 2
 
 

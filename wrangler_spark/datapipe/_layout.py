@@ -1,0 +1,134 @@
+"""Versioned-snapshot layout for persisted indexes and state.
+
+Every materialize-once artifact in the package (bloom/minhash/embedding/
+IVF indexes, retention/vocab/report state) is a directory of parquet
+datasets plus a 1-row ``meta``. The original layout was FLAT —
+``<path>/<dataset>`` — which makes every rebuild-in-place and every
+compaction a multi-directory swap with no atomic step: a crash between
+the ``meta`` write and the ``buckets`` write leaves NEW-geometry meta
+over OLD-geometry buckets, and probes silently miss pairs (the one
+failure an index must never have), while a probe running concurrently
+with a compaction can read a half-swapped dataset.
+
+The versioned layout closes both holes with one mechanism, the
+minimal form of the snapshot pattern every table format (Iceberg/Delta/
+Hudi) builds on:
+
+- a BUILD writes all datasets into ``<path>/v_NNNNNN/`` (invisible to
+  readers), then creates the empty ``v_NNNNNN/_COMMITTED`` marker —
+  a single file create, the only atomicity the filesystem must provide;
+- a READER resolves the highest committed version and plans against
+  those concrete paths — a build or compaction running concurrently
+  writes elsewhere and flips visibility only at its commit, and files a
+  running probe already resolved are never deleted out from under it
+  (vacuum keeps the previous committed version precisely as that grace
+  period);
+- an APPEND (the log-structured state family) lands in the CURRENT
+  resolved root, so appends survive compaction cadences;
+- a crash at ANY point leaves either the old committed version or the
+  new one readable — never a mix, never a missing dataset.
+
+Flat legacy indexes keep working: ``resolve`` returns ``path`` itself
+when no committed version exists, and the first compaction migrates the
+artifact into ``v_000001`` without touching the flat datasets (vacuum
+removes them once a committed version supersedes them).
+
+Single-writer contract (documented, not enforced): builds, appends, and
+compactions of the SAME artifact must not race each other — probes may
+race any of them freely.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+_VERSION_RE = re.compile(r"^v_(\d{6,})$")
+_MARKER = "_COMMITTED"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _version_dirs(fs, root, jvm) -> list[tuple[int, str, bool]]:
+    """(number, name, committed) for every ``v_NNNNNN`` dir under root,
+    ascending by number. Empty when root doesn't exist (fresh path)."""
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        m = _VERSION_RE.match(st.getPath().getName())
+        if not m:
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), _MARKER)
+        out.append((int(m.group(1)), st.getPath().getName(), fs.exists(marker)))
+    return sorted(out)
+
+
+def resolve(spark: SparkSession, path: str) -> str:
+    """The root directory dataset READS and APPENDS should target: the
+    highest COMMITTED version dir, else ``path`` itself (flat legacy
+    layout / fresh path). Resolution happens at plan-build time, so a
+    compaction that commits afterwards never swaps files under a
+    running read."""
+    fs, root, jvm = _fs(spark, path)
+    committed = [name for _, name, ok in _version_dirs(fs, root, jvm) if ok]
+    return f"{path}/{committed[-1]}" if committed else path
+
+
+def begin_version(spark: SparkSession, path: str) -> str:
+    """Start a new (invisible) version: returns ``<path>/v_NNNNNN`` one
+    past the highest existing version number, committed or not — an
+    abandoned uncommitted build is never reused, only vacuumed. Any
+    stale dir at the chosen name is cleared first."""
+    fs, root, jvm = _fs(spark, path)
+    nums = [n for n, _, _ in _version_dirs(fs, root, jvm)]
+    name = f"v_{(max(nums) + 1 if nums else 1):06d}"
+    target = jvm.org.apache.hadoop.fs.Path(root, name)
+    fs.delete(target, True)
+    return f"{path}/{name}"
+
+
+def commit_version(spark: SparkSession, version_dir: str) -> None:
+    """Flip the version visible: create its empty ``_COMMITTED`` marker
+    (one atomic file create — the whole commit protocol)."""
+    fs, vroot, jvm = _fs(spark, version_dir)
+    fs.create(jvm.org.apache.hadoop.fs.Path(vroot, _MARKER), True).close()
+
+
+def vacuum(spark: SparkSession, path: str, keep: int = 2) -> list[str]:
+    """Delete superseded storage under an artifact ``path``: committed
+    versions beyond the newest ``keep`` (default 2 — current plus one
+    grace version for probes that resolved just before the last
+    commit), every uncommitted version older than the newest committed
+    one (abandoned builds), and — once any committed version exists —
+    the flat legacy datasets the first versioned build superseded.
+    Returns the deleted paths. Never deletes the newest committed
+    version; a fresh/flat-only artifact is left untouched."""
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    fs, root, jvm = _fs(spark, path)
+    dirs = _version_dirs(fs, root, jvm)
+    committed = [(n, name) for n, name, ok in dirs if ok]
+    if not committed:
+        return []
+    latest_n = committed[-1][0]
+    drop = {name for n, name in committed[:-keep]}
+    drop |= {name for n, name, ok in dirs if not ok and n < latest_n}
+    deleted = []
+    for name in sorted(drop):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(root, name), True)
+        deleted.append(f"{path}/{name}")
+    # flat legacy datasets are superseded by any committed version
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and not _VERSION_RE.match(name) and not name.startswith(("_", ".")):
+            fs.delete(st.getPath(), True)
+            deleted.append(f"{path}/{name}")
+    return deleted

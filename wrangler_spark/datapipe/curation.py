@@ -1320,7 +1320,10 @@ def report_update_state(
         aggs.append(F.hll_sketch_agg(F.col(lang_col)).alias("lang_sketch"))
     agged = df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
     row = agged.withColumn("batch_id", F.lit(str(batch_id)))
-    row.write.mode("append").parquet(f"{path}/rows")
+    from wrangler_spark.datapipe import _layout
+
+    root = _layout.resolve(df.sparkSession, path)
+    row.write.mode("append").parquet(f"{root}/rows")
 
 
 # the metric/meta columns every report state row carries; anything else
@@ -1344,8 +1347,24 @@ def report_from_state(spark, path: str) -> DataFrame:
     returning one report row per group, keyed by the group column's
     REAL name as written by report_update_state; states written before
     the name was preserved surface as ``__grp``) — never the corpus."""
-    rows = spark.read.parquet(f"{path}/rows")
+    from wrangler_spark.datapipe import _layout
+
+    # mergeSchema: batches written with DIFFERENT group columns must
+    # surface as multiple extra columns (and be rejected below), not be
+    # hidden by the single-footer schema sample a plain read takes
+    rows = spark.read.option("mergeSchema", "true").parquet(
+        f"{_layout.resolve(spark, path)}/rows"
+    )
     extra = [c for c in rows.columns if c not in _REPORT_STATE_COLS]
+    if len(extra) > 1:
+        # a state whose batches were written with DIFFERENT group
+        # columns (or a legacy __grp state appended with a real-name
+        # batch): grouping by an arbitrary one would silently bucket
+        # the other batches under null — refuse instead
+        raise ValueError(
+            f"mixed group columns in report state: {sorted(extra)} — "
+            "all batches of one state must share the same 'by' column"
+        )
     grp_col = extra[0] if extra else None
     grouped = grp_col is not None
     aggs = [

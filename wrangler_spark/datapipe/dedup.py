@@ -167,6 +167,21 @@ def minhash_signature(shingles: Column) -> list[Column]:
     ]
 
 
+def _check_lsh_geometry(bands: int, rows: int) -> None:
+    """Reject unusable LSH geometry BEFORE any work (and, in the index
+    builders, before any write — an invalid geometry must never reach
+    storage): zero/negative values would silently produce an empty band
+    array (every pair op returns zero pairs with no error), and
+    bands*rows is bounded by the bundled permutation count."""
+    if bands < 1 or rows < 1:
+        raise ValueError(f"bands and rows_per_band must be >= 1, got ({bands}, {rows})")
+    if bands * rows > len(MINHASH_A):
+        raise ValueError(
+            f"bands*rows = {bands * rows} exceeds the {len(MINHASH_A)} bundled "
+            "minhash permutations"
+        )
+
+
 def _sig_bands(
     df: DataFrame, id_col: str, text_col: str,
     bands: int = LSH_BANDS, rows: int = LSH_ROWS,
@@ -184,15 +199,7 @@ def _sig_bands(
     the S-curve LEFT (recall up, candidate volume up). bands*rows
     signatures are drawn as a prefix of the 32 bundled permutations, so
     two calls with the same geometry always bucket identically."""
-    if bands < 1 or rows < 1:
-        # zero/negative geometry would silently produce an empty band
-        # array — every pair op would return zero pairs with no error
-        raise ValueError(f"bands and rows_per_band must be >= 1, got ({bands}, {rows})")
-    if bands * rows > len(MINHASH_A):
-        raise ValueError(
-            f"bands*rows = {bands * rows} exceeds the {len(MINHASH_A)} bundled "
-            "minhash permutations"
-        )
+    _check_lsh_geometry(bands, rows)
     base = eager_checkpoint(with_shingles(df, id_col, text_col))
     hashed = base.selectExpr(
         "id", f"transform(shingles, s -> {_HASH28_SQL.format(x='s')}) AS h"
@@ -1313,10 +1320,22 @@ def bloom_write_index(
     This is the terminal form of the incremental-dedup state machine:
     per ingestion batch, probe (bloom_probe_index), then append the
     batch's own keys — O(batch) work and O(bits) state forever, never
-    a rescan of history."""
+    a rescan of history.
+
+    Layout: a fresh build writes a versioned snapshot
+    (``<path>/v_NNNNNN`` + ``_COMMITTED``, see ``_layout``) — a rebuild
+    of a live index becomes visible only at the commit marker, so a
+    crash mid-build leaves the previous version probing correctly, and
+    new-geometry meta can never pair with old words. Appends land in
+    the CURRENT resolved version (log-structured, O(batch))."""
+    from wrangler_spark.datapipe import _layout
+
     spark = df_old.sparkSession
+    if bits < 64 or num_hashes < 1:
+        raise ValueError(f"bloom geometry must be bits>=64, k>=1 — got ({bits}, {num_hashes})")
     if append:
-        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        root = _layout.resolve(spark, path)
+        meta = spark.read.parquet(f"{root}/meta").collect()[0]
         _bloom_check_scheme(meta)
         if (int(meta["bits"]), int(meta["num_hashes"])) != (int(bits), int(num_hashes)):
             raise ValueError(
@@ -1325,13 +1344,16 @@ def bloom_write_index(
             )
     key = F.md5(normalize_text(F.col(text_col)))
     keys = df_old.select(key.alias("__k")).distinct()
-    mode = "append" if append else "overwrite"
-    bloom_words(keys, "__k", bits, num_hashes).write.mode(mode).parquet(f"{path}/words")
-    if not append:
-        spark.createDataFrame(
-            [(int(bits), int(num_hashes), _BLOOM_SCHEME)],
-            "bits long, num_hashes int, scheme int",
-        ).write.mode("overwrite").parquet(f"{path}/meta")
+    if append:
+        bloom_words(keys, "__k", bits, num_hashes).write.mode("append").parquet(f"{root}/words")
+        return
+    vdir = _layout.begin_version(spark, path)
+    bloom_words(keys, "__k", bits, num_hashes).write.parquet(f"{vdir}/words")
+    spark.createDataFrame(
+        [(int(bits), int(num_hashes), _BLOOM_SCHEME)],
+        "bits long, num_hashes int, scheme int",
+    ).write.parquet(f"{vdir}/meta")
+    _layout.commit_version(spark, vdir)
 
 
 # position-derivation version persisted in every index's meta: ANY change
@@ -1362,9 +1384,14 @@ def bloom_probe_index(
     required, verify the flagged rows with exact_dedup_against against
     a recent delta, or accept the FP rate (in dedup, an FP just drops a
     non-duplicate — usually a fine trade at 100 TB). Probe is the same
-    pure-JVM chained broadcast join as the in-memory path."""
+    pure-JVM chained broadcast join as the in-memory path. The index
+    root resolves to the latest committed version (``_layout``), so a
+    probe can run concurrently with a rebuild or compaction."""
+    from wrangler_spark.datapipe import _layout
+
     spark = df_new.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    root = _layout.resolve(spark, path)
+    meta = spark.read.parquet(f"{root}/meta").collect()[0]
     _bloom_check_scheme(meta)
     bits, k = int(meta["bits"]), int(meta["num_hashes"])
     # the OR-merge aggregate feeds k broadcast consumers; aliased
@@ -1372,7 +1399,7 @@ def bloom_probe_index(
     # words parquet without this), so the bounded <= bits/64-row frame
     # is checkpointed once (released by the caller's checkpoint_scope)
     words = eager_checkpoint(
-        spark.read.parquet(f"{path}/words")
+        spark.read.parquet(f"{root}/words")
         .groupBy("__w")
         .agg(F.expr("bit_or(__bits)").alias("__bits"))
     )
@@ -1466,15 +1493,18 @@ def minhash_write_index(
     merge capped lists in place, so there is deliberately no in-place
     bucket append.
 
-    The banding geometry is PINNED in ``<path>/meta`` and the probe
+    The banding geometry is PINNED in the index meta and the probe
     reads it from there — probing buckets built at a different
     (bands, rows) would silently miss true pairs (the bloom-scheme
     hazard), so geometry is an index property, not a probe argument.
-    Meta is written FIRST: a failure mid-build then leaves an index
-    whose missing buckets scan fails LOUDLY at probe time — the
-    reverse order left tuned-geometry buckets without meta, which the
-    probe's pre-meta fallback would silently read at the default
-    geometry (the exact silent-miss hazard meta exists to prevent).
+    Geometry is VALIDATED before anything is written, and the build is
+    a versioned snapshot (``<path>/v_NNNNNN`` + ``_COMMITTED`` marker,
+    see ``_layout``): a rebuild of a live index becomes visible only at
+    the single atomic marker create, so a crash at any point — before,
+    between, or after the dataset writes — leaves probes on the
+    previous committed version, and NEW-geometry meta can never pair
+    with OLD-geometry buckets (the rebuild-in-place hazard the old
+    meta-first ordering only narrowed, never closed).
 
     ``geometry="auto"`` closes the tune-then-pin loop: before building,
     :func:`lsh_sweep` runs on a deterministic ``sample_docs``-row sample
@@ -1487,9 +1517,13 @@ def minhash_write_index(
     ``<path>/sweep`` so the 100 TB operator can audit what the pin was
     based on. The probe path is unchanged — it reads geometry from meta
     exactly as for a hand-pinned index."""
+    from wrangler_spark.datapipe import _layout
+
     spark = df_old.sparkSession
     sweep = None
     if geometry == "auto":
+        for b, r in geometries:
+            _check_lsh_geometry(int(b), int(r))  # validate the whole sweep space up front
         sample = df_old.select(id_col, text_col).orderBy(id_col).limit(int(sample_docs))
         sample = eager_checkpoint(sample)  # feeds truth AND every sweep geometry
         truth = ngram_jaccard_pairs(sample, id_col, text_col, 3, threshold, unit="word")
@@ -1502,20 +1536,24 @@ def minhash_write_index(
         release(sample)
     elif geometry is not None:
         raise ValueError(f"geometry must be 'auto' or None, got {geometry!r}")
+    # validate BEFORE any write — an invalid geometry must never clobber
+    # a live index's meta (it used to, pre-_sig_bands-validation)
+    _check_lsh_geometry(int(bands), int(rows_per_band))
+    vdir = _layout.begin_version(spark, path)
     spark.createDataFrame(
         [(int(bands), int(rows_per_band))], "bands int, rows_per_band int"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.parquet(f"{vdir}/meta")
     if sweep is not None:
-        sweep.write.mode("overwrite").parquet(f"{path}/sweep")
+        sweep.write.parquet(f"{vdir}/sweep")
     base_o, bands_o = _sig_bands(df_old, id_col, text_col, bands, rows_per_band)
     (
         bands_o.groupBy("band", "key")
         .agg(F.expr(f"slice(array_sort(collect_list(id)), 1, {int(max_bucket_size)})").alias("__olds"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/buckets")
+        .write.parquet(f"{vdir}/buckets")
     )
-    base_o.write.mode("overwrite").parquet(f"{path}/shingles")
+    base_o.write.parquet(f"{vdir}/shingles")
     release(base_o)
+    _layout.commit_version(spark, vdir)
 
 
 def minhash_pairs_against_index(
@@ -1529,12 +1567,17 @@ def minhash_pairs_against_index(
     only. The per-batch cost no longer contains the old corpus's
     signature computation at all. Banding geometry comes from the
     index's meta (default geometry assumed for pre-meta indexes), so a
-    tuned index is always probed in its own signature space."""
+    tuned index is always probed in its own signature space. The index
+    root resolves to the latest committed version (``_layout``), so the
+    probe can run concurrently with a rebuild or compaction."""
     from pyspark.errors import AnalysisException
 
+    from wrangler_spark.datapipe import _layout
+
     spark = df_new.sparkSession
+    root = _layout.resolve(spark, path)
     try:
-        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        meta = spark.read.parquet(f"{root}/meta").collect()[0]
         bands, rows = int(meta["bands"]), int(meta["rows_per_band"])
     except AnalysisException as ex:
         # ONLY a missing meta directory means the pre-meta index layout;
@@ -1547,8 +1590,8 @@ def minhash_pairs_against_index(
     base_n, bands_n = _sig_bands(df_new, id_col, text_col, bands, rows)
     return _pairs_against_tail(
         base_n, bands_n,
-        spark.read.parquet(f"{path}/shingles"),
-        spark.read.parquet(f"{path}/buckets"),
+        spark.read.parquet(f"{root}/shingles"),
+        spark.read.parquet(f"{root}/buckets"),
         threshold,
     )
 
@@ -1645,6 +1688,8 @@ def embedding_write_index(
     extra-candidates direction, minhash auto's contract mirrored). The
     winning matrix lands in meta exactly as a hand-picked one would, and
     the sweep table persists at ``<path>/sweep`` for audit."""
+    from wrangler_spark.datapipe import _layout
+
     spark = df_old.sparkSession
     sweep = None
     if isinstance(planes, str):
@@ -1653,7 +1698,15 @@ def embedding_write_index(
         sample = eager_checkpoint(
             df_old.select(id_col, vec_col).orderBy(id_col).limit(int(sample_rows))
         )
-        dim = len(sample.select(vec_col).first()[0])
+        first = sample.select(vec_col).first()
+        if first is None or first[0] is None:
+            release(sample)
+            raise ValueError(
+                "planes='auto' cannot tune on an empty corpus / null vectors — "
+                f"the first sampled {vec_col!r} row is missing; pass an explicit "
+                "plane matrix or fix the input"
+            )
+        dim = len(first[0])
         sweep = embedding_sweep(
             sample, id_col, vec_col,
             n_planes_list=n_planes_list, threshold=threshold, dim=dim,
@@ -1665,24 +1718,30 @@ def embedding_write_index(
         release(sample)
     if planes is None:
         planes = HYPERPLANES
+    if not planes or not planes[0]:
+        raise ValueError("planes must be a non-empty matrix")
+    # versioned snapshot build (see minhash_write_index): nothing is
+    # visible until the commit marker, so a rebuild-in-place crash can
+    # never pair new planes with old buckets
+    vdir = _layout.begin_version(spark, path)
     # one materialization serves both artifact writes (bucket aggregate
     # + vector payloads); released after the writes complete
     sigs_o = eager_checkpoint(_plane_sigs(df_old, id_col, vec_col, planes, broadcast_planes))
     (
         sigs_o.groupBy("sig")
         .agg(F.expr(f"slice(array_sort(collect_list(id)), 1, {int(max_bucket_size)})").alias("__olds"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/buckets")
+        .write.parquet(f"{vdir}/buckets")
     )
     sigs_o.select(
         F.col("id").alias("id_old"), F.col("v").alias("__vo")
-    ).write.mode("overwrite").parquet(f"{path}/vectors")
+    ).write.parquet(f"{vdir}/vectors")
     spark.createDataFrame(
         [([[float(x) for x in p] for p in planes],)], "planes ARRAY<ARRAY<DOUBLE>>"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.parquet(f"{vdir}/meta")
     if sweep is not None:
-        sweep.write.mode("overwrite").parquet(f"{path}/sweep")
+        sweep.write.parquet(f"{vdir}/sweep")
     release(sigs_o)
+    _layout.commit_version(spark, vdir)
 
 
 def embedding_pairs_against_index(
@@ -1693,15 +1752,20 @@ def embedding_pairs_against_index(
     index: identical pairs (planes read from the index meta, same caps
     and exact-cosine verification) but the old side is two parquet scans
     and the per-batch cost no longer contains the old corpus's
-    signature computation at all."""
+    signature computation at all. The index root resolves to the latest
+    committed version (``_layout``), so the probe can run concurrently
+    with a rebuild or compaction."""
+    from wrangler_spark.datapipe import _layout
+
     spark = df_new.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    root = _layout.resolve(spark, path)
+    meta = spark.read.parquet(f"{root}/meta").collect()[0]
     planes = [[float(x) for x in p] for p in meta["planes"]]
     sigs_n = _plane_sigs(df_new, id_col, vec_col, planes, None)
     return _emb_against_tail(
         sigs_n,
-        spark.read.parquet(f"{path}/vectors"),
-        spark.read.parquet(f"{path}/buckets"),
+        spark.read.parquet(f"{root}/vectors"),
+        spark.read.parquet(f"{root}/buckets"),
         threshold,
     )
 

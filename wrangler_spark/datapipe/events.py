@@ -402,7 +402,10 @@ def active_users_from_state(
     ws = sorted(set(int(w) for w in windows))
     if not ws or ws[0] < 1:
         raise ValueError(f"windows must be >= 1 days, got {windows}")
-    pairs = spark.read.parquet(f"{path}/pairs").select("__u", F.col("__b").alias("__d"))
+    from wrangler_spark.datapipe import _layout
+
+    root = _layout.resolve(spark, path)
+    pairs = spark.read.parquet(f"{root}/pairs").select("__u", F.col("__b").alias("__d"))
     return _active_users_from_pairs(pairs, ws)
 
 
@@ -525,16 +528,23 @@ def retention_write_state(
     ``<path>/meta`` pinning period_days and the calendar mode (an update
     with a different bucketing would silently corrupt the state). Same
     materialize-once discipline as bloom_write_index /
-    minhash_write_index / ivf_write_index."""
+    minhash_write_index / ivf_write_index, and the same versioned
+    snapshot build (``_layout``): a rebuild with different bucketing
+    becomes visible only at its commit marker, never as new meta over
+    old pairs."""
+    from wrangler_spark.datapipe import _layout
+
     spark = df.sparkSession
+    vdir = _layout.begin_version(spark, path)
     (
         _activity_pairs(df, user_col, ts_col, period_days, calendar)
-        .write.mode("overwrite").partitionBy("__b").parquet(f"{path}/pairs")
+        .write.partitionBy("__b").parquet(f"{vdir}/pairs")
     )
     spark.createDataFrame(
         [(int(period_days), calendar or "", 2)],
         "period_days int, calendar string, state_version int",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.parquet(f"{vdir}/meta")
+    _layout.commit_version(spark, vdir)
 
 
 def retention_update_state(
@@ -548,16 +558,18 @@ def retention_update_state(
     directories regardless of history size. The anti-join result is
     eagerly checkpointed (and released) before the write so the append
     never reads the directory it is writing."""
+    from wrangler_spark.datapipe import _layout
     from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
 
     spark = batch.sparkSession
+    root = _layout.resolve(spark, path)
     period_days, cal = _read_state_meta(spark, path)
-    stored = spark.read.parquet(f"{path}/pairs").select("__u", "__b")
+    stored = spark.read.parquet(f"{root}/pairs").select("__u", "__b")
     fresh = eager_checkpoint(
         _activity_pairs(batch, user_col, ts_col, period_days, cal)
         .join(stored, ["__u", "__b"], "left_anti")
     )
-    fresh.write.mode("append").partitionBy("__b").parquet(f"{path}/pairs")
+    fresh.write.mode("append").partitionBy("__b").parquet(f"{root}/pairs")
     release(fresh)
 
 
@@ -569,8 +581,10 @@ def retention_grid_from_state(
     the input is the pairs table (users x periods), so the nightly grid
     refresh costs minutes of small-table aggregation, never a 100 TB
     event rescan."""
+    from wrangler_spark.datapipe import _layout
+
     period_days, cal = _read_state_meta(spark, path)
-    b = spark.read.parquet(f"{path}/pairs").select("__u", "__b")
+    b = spark.read.parquet(f"{_layout.resolve(spark, path)}/pairs").select("__u", "__b")
     first = b.groupBy("__u").agg(F.min("__b").alias("__cb"))
     act = (
         b.join(first, "__u")
@@ -653,6 +667,8 @@ def funnel_latencies(
 def _read_state_meta(spark, path: str) -> tuple[int, str | None]:
     """(period_days, calendar) from a state's meta table; v1 states
     (written before the calendar field) read as day-based."""
-    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    from wrangler_spark.datapipe import _layout
+
+    row = spark.read.parquet(f"{_layout.resolve(spark, path)}/meta").collect()[0]
     cal = row["calendar"] if "calendar" in row.__fields__ else ""
     return int(row["period_days"]), (cal or None)

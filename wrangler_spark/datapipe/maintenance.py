@@ -19,12 +19,24 @@ dataset the rewrite also bit_or-merges duplicate word rows, which is
 exactly the merge the probe performs at load time, so it is a pure
 pre-computation). Run it on the same cadence you'd run any compaction —
 after N appends, or when file counts degrade probe latency.
+
+Compaction is PROBE-SAFE: it writes a whole new VERSION of the
+artifact (``_layout``'s snapshot protocol — all datasets plus a
+byte-copied meta under ``<path>/v_NNNNNN``, committed by one atomic
+marker create) and never touches the live one. A probe running
+concurrently reads whichever version it resolved; a crash at any point
+leaves the previous version fully readable. Superseded versions are
+reclaimed by :func:`~wrangler_spark.datapipe._layout.vacuum` (default
+grace: keep the previous committed version for in-flight probes).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+from wrangler_spark.datapipe import _layout
+from wrangler_spark.datapipe._layout import vacuum as vacuum_index  # noqa: F401  (public re-export)
 
 # datasets that get a semantics-preserving ROW merge during compaction,
 # not just a file rewrite: the Bloom sparse bitmap OR-merges duplicate
@@ -70,35 +82,51 @@ def _partition_cols(fs, jpath) -> list[str]:
 
 
 def compact_index(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
-    """Compact every dataset under a persisted index/state ``path`` to
-    O(partitions) files; ``meta`` is preserved byte-untouched. Returns
+    """Compact every dataset of a persisted index/state ``path`` to
+    O(partitions) files; ``meta`` is byte-copied. Returns
     ``{dataset: {files_before, files_after, rows}}``.
 
     Probe contract: results are IDENTICAL before/after — the rewrite
     changes file layout only. The Bloom ``words`` dataset additionally
     bit_or-merges duplicate word rows (exact for a Bloom filter: the
     probe's own load-time merge, precomputed), so a thousand-batch log
-    collapses back to ≤ bits/64 rows.
+    collapses back to ≤ bits/64 rows; vocabulary state rows sum-merge
+    the same way.
 
-    Safety: each dataset is fully rewritten into a hidden temp dir
-    (``.compact_tmp_<name>``, invisible to parquet reads) BEFORE the
-    original is swapped out, so a failure mid-compaction leaves either
-    the old dataset or the new one, never a partial mix. The swap
-    itself (delete + rename) is not atomic across both steps — don't
-    run a probe concurrently with a compaction of the same index."""
-    fs, root, jvm = _hadoop(spark, path)
+    Safety: the compacted artifact is a whole NEW VERSION
+    (``<path>/v_NNNNNN``, see ``_layout``) — the live version is never
+    modified or deleted, the new one becomes visible only at the single
+    atomic ``_COMMITTED`` marker create, probes may run concurrently
+    (they keep reading the version they resolved), and a crash at any
+    point leaves a readable index at the previous version. Superseded
+    versions (and the flat legacy layout, after its first versioned
+    compaction) are reclaimed separately by :func:`vacuum_index` —
+    run it after the longest probe you'd ever have in flight.
+    Single-writer contract: don't race compaction with appends or
+    rebuilds of the same artifact (an append that resolved the old
+    version before the commit would land invisibly)."""
+    fs, _, jvm = _hadoop(spark, path)
+    src_root = _layout.resolve(spark, path)
+    _, src, _ = _hadoop(spark, src_root)
+    vdir = _layout.begin_version(spark, path)
     stats: dict[str, dict[str, int]] = {}
-    for st in fs.listStatus(root):
+    for st in fs.listStatus(src):
         if not st.isDirectory():
             continue
         name = st.getPath().getName()
-        if name == "meta" or name.startswith(("_", ".")):
+        if name.startswith(("_", ".")) or _layout._VERSION_RE.match(name):
             continue
         dpath = st.getPath()
-        dstr = dpath.toString()
+        if name == "meta":
+            # byte-copy: meta pins geometry — never re-encode it
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, dpath, fs, jvm.org.apache.hadoop.fs.Path(f"{vdir}/meta"),
+                False, spark._jsc.hadoopConfiguration(),
+            )
+            continue
         before = _count_files(fs, dpath)
         parts = _partition_cols(fs, dpath)
-        df = spark.read.parquet(dstr)
+        df = spark.read.parquet(dpath.toString())
         if set(df.columns) == _BLOOM_WORDS_COLS:
             df = df.groupBy("__w").agg(F.expr("bit_or(__bits)").alias("__bits"))
         elif set(df.columns) == _VOCAB_STATE_COLS:
@@ -106,8 +134,6 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
                 F.sum("count").cast("long").alias("count"),
                 F.lit("compacted").alias("batch_id"),
             )
-        tmp = jvm.org.apache.hadoop.fs.Path(root, f".compact_tmp_{name}")
-        fs.delete(tmp, True)
         # size-based file target (~128 MB each): a compaction that
         # coalesced a 100 TB vectors dataset to one file would be its
         # own scale bug. With partition cols, hash-repartitioning ON
@@ -118,20 +144,20 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
         writer = (
             df.repartition(tgt, *[F.col(c) for c in parts]) if parts
             else df.repartition(tgt)
-        ).write.mode("overwrite")
+        ).write
         if parts:
             writer = writer.partitionBy(*parts)
-        writer.parquet(tmp.toString())
-        # verification count of the rewrite before the swap; count(*)
+        out = f"{vdir}/{name}"
+        writer.parquet(out)
+        # verification count of the rewrite before the commit; count(*)
         # over parquet projects zero columns, so this is footer-bounded
         # work, not a second data pass
-        rows = spark.read.parquet(tmp.toString()).count()
-        fs.delete(dpath, True)
-        if not fs.rename(tmp, dpath):
-            raise IOError(f"compact_index: rename {tmp} -> {dpath} failed")
+        rows = spark.read.parquet(out).count()
+        _, opath, _ = _hadoop(spark, out)
         stats[name] = {
             "files_before": before,
-            "files_after": _count_files(fs, dpath),
+            "files_after": _count_files(fs, opath),
             "rows": rows,
         }
+    _layout.commit_version(spark, vdir)
     return stats

@@ -508,8 +508,13 @@ def ivf_write_index(
         raise ValueError("quantize and pq_m are mutually exclusive index layouts")
     if pq_m and not dim:
         raise ValueError("pq_m requires an explicit dim")
+    from wrangler_spark.datapipe import _layout
     from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
 
+    # versioned snapshot build (see minhash_write_index): the rebuild
+    # becomes visible only at the commit marker, so probes never see
+    # new centroids over old vector partitions
+    vdir = _layout.begin_version(corpus.sparkSession, path)
     if train_iters > 0:
         cent = kmeans_centroids(corpus, n_centroids, train_iters, id_col, vec_col, dim=dim)
     else:
@@ -536,27 +541,27 @@ def ivf_write_index(
         (
             pq_encode(resid, cb, dim, pq_m, id_col="vec_id", vec_col="rv")
             .select("vec_id", "pq_code", "centroid_id")
-            .write.mode("overwrite")
-            .partitionBy("centroid_id")
-            .parquet(f"{path}/vectors")
+            .write.partitionBy("centroid_id")
+            .parquet(f"{vdir}/vectors")
         )
-        cb.write.mode("overwrite").parquet(f"{path}/codebook")
-        cent.write.mode("overwrite").parquet(f"{path}/centroids")
+        cb.write.parquet(f"{vdir}/codebook")
+        cent.write.parquet(f"{vdir}/centroids")
         release(resid)
         release(cb)
         release(cent)
+        _layout.commit_version(corpus.sparkSession, vdir)
         return
     base = corpus.withColumnRenamed(id_col, "vec_id")
     if quantize:
         base = embedding_quantize(base, vec_col).drop(vec_col)
     (
         base.join(assign, "vec_id")
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(f"{path}/vectors")
+        .write.partitionBy("centroid_id")
+        .parquet(f"{vdir}/vectors")
     )
-    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    cent.write.parquet(f"{vdir}/centroids")
     release(cent)
+    _layout.commit_version(corpus.sparkSession, vdir)
 
 
 def ivf_query_index(
@@ -577,20 +582,25 @@ def ivf_query_index(
     (verify with .explain: PartitionFilters carries the centroid_id
     predicate and the file index reads a subset of partitions). Scoring
     and top-k reduction are exactly ivf_topk's (same bucket equi-join,
-    same two-phase no-Window top-k, same query batching)."""
-    cent = spark.read.parquet(f"{path}/centroids")
+    same two-phase no-Window top-k, same query batching). The index
+    root resolves to the latest committed version (``_layout``), so a
+    query can run concurrently with a rebuild or compaction."""
+    from wrangler_spark.datapipe import _layout
+
+    root = _layout.resolve(spark, path)
+    cent = spark.read.parquet(f"{root}/centroids")
     q_prep = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
     probes = _probe_assign(q_prep, cent, nprobe)
     probed = [r[0] for r in probes.select("centroid_id").distinct().collect()]
-    raw = spark.read.parquet(f"{path}/vectors").filter(F.col("centroid_id").isin(probed))
+    raw = spark.read.parquet(f"{root}/vectors").filter(F.col("centroid_id").isin(probed))
     if "pq_code" in raw.columns:
         # IVF-PQ layout (pq_m at build): ADC-score the pruned code scans
         # against the residual codebook — no float vector is ever read.
         # m and dim come from the codebook itself (one bounded scalar
         # aggregate: ≤ m·k rows), never from sniffing the corpus.
-        cb = spark.read.parquet(f"{path}/codebook")
+        cb = spark.read.parquet(f"{root}/codebook")
         shape = cb.agg(
             (F.max("m") + 1).alias("m"), F.max(F.size("zv")).alias("sub")
         ).collect()[0]
@@ -861,10 +871,15 @@ def ivf_append_index(
     the centroids (retrain, like recluster, is a deliberate rare event
     triggered by an ann_recall regression). Appends use dynamic
     partition append: only the probed centroid_id directories gain
-    files, existing data is never rewritten."""
+    files, existing data is never rewritten. Appends land in the
+    CURRENT resolved version (``_layout``) so they stay visible across
+    compaction cadences."""
+    from wrangler_spark.datapipe import _layout
+
     spark = new_vectors.sparkSession
-    cent = spark.read.parquet(f"{path}/centroids")
-    existing_cols = spark.read.parquet(f"{path}/vectors").schema.fieldNames()
+    root = _layout.resolve(spark, path)
+    cent = spark.read.parquet(f"{root}/centroids")
+    existing_cols = spark.read.parquet(f"{root}/vectors").schema.fieldNames()
     c = new_vectors.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
     )
@@ -872,7 +887,7 @@ def ivf_append_index(
     if "pq_code" in existing_cols:
         from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
 
-        cb = spark.read.parquet(f"{path}/codebook")
+        cb = spark.read.parquet(f"{root}/codebook")
         shape = cb.agg(
             (F.max("m") + 1).alias("m"), F.max(F.size("zv")).alias("sub")
         ).collect()[0]
@@ -893,7 +908,7 @@ def ivf_append_index(
             .select("vec_id", "pq_code", "centroid_id")
             .write.mode("append")
             .partitionBy("centroid_id")
-            .parquet(f"{path}/vectors")
+            .parquet(f"{root}/vectors")
         )
         release(resid)
         return
@@ -906,7 +921,7 @@ def ivf_append_index(
         base.join(assign, "vec_id")
         .write.mode("append")
         .partitionBy("centroid_id")
-        .parquet(f"{path}/vectors")
+        .parquet(f"{root}/vectors")
     )
 
 

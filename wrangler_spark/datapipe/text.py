@@ -1549,7 +1549,12 @@ def vocab_update_state(
     :func:`~wrangler_spark.datapipe.maintenance.compact_index` can
     sum-merge the accumulated rows without changing any read. All
     batches share the normalization contract
-    (lower/trim/whitespace-collapse)."""
+    (lower/trim/whitespace-collapse). Appends land in the CURRENT
+    resolved version of the state (``_layout``), so they stay visible
+    across compaction cadences."""
+    from wrangler_spark.datapipe import _layout
+
+    root = _layout.resolve(df.sparkSession, path)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     (
         df.select(F.explode(F.split(norm, " ")).alias("word"))
@@ -1558,7 +1563,7 @@ def vocab_update_state(
         .agg(F.count("*").cast("long").alias("count"))
         .withColumn("batch_id", F.lit(str(batch_id)))
         .write.mode("append")
-        .parquet(f"{path}/rows")
+        .parquet(f"{root}/rows")
     )
 
 
@@ -1567,8 +1572,10 @@ def vocab_from_state(spark, path: str) -> DataFrame:
     sum-merge aggregate over the state rows (words x batches rows, never
     the corpus). Feed to oov_rate as the vocab side, or cut it with
     vocab_coverage_from_state."""
+    from wrangler_spark.datapipe import _layout
+
     return (
-        spark.read.parquet(f"{path}/rows")
+        spark.read.parquet(f"{_layout.resolve(spark, path)}/rows")
         .groupBy("word")
         .agg(F.sum("count").cast("long").alias("count"))
     )
