@@ -7,6 +7,7 @@ import datetime as dt
 
 import pytest
 
+from wrangler_spark.datapipe import events as events_mod
 from wrangler_spark.datapipe.events import funnel_steps, retention_cohorts
 from wrangler_spark.datapipe._layout import resolve as _ixroot
 
@@ -580,3 +581,81 @@ def test_retention_state_month_calendar_roundtrip(spark, tmp_path_factory):
     got = sorted(map(key, inc.collect()))
     assert got == sorted(map(key, full.collect()))
     assert got[0][0] == "2023-12-01"  # true month boundary, not epoch-day math
+
+
+def test_retention_stream_fold_equals_batch_grid(spark, tmp_path_factory):
+    """The stream edge of the batch/stream/state triangle: folding the
+    event stream through retention_update_stream's foreachBatch sink
+    yields EXACTLY the retention grid (and active-user counts) a batch
+    computation over the same events produces — mirroring the
+    incremental == batch contract of the update-state path. Also proves
+    the fold starts from NOTHING (meta-only init, no pairs dataset) and
+    that re-running the same data is idempotent at the pair level."""
+    import shutil as _sh
+
+    from wrangler_spark.datapipe.events import (
+        active_users, active_users_from_state, retention_cohorts,
+        retention_grid_from_state, retention_update_state, retention_update_stream,
+    )
+
+    rows = [
+        (1, _ts(1), "a"), (2, _ts(2), "a"), (1, _ts(8), "a"),
+        (3, _ts(8), "a"), (1, _ts(8, 3), "a"), (2, _ts(16), "a"),
+        (3, _ts(2), "a"), (1, _ts(22), "a"),
+    ]
+    df = _events(spark, rows)
+    src = str(tmp_path_factory.mktemp("ret_stream_src"))
+    chk = str(tmp_path_factory.mktemp("ret_stream_chk"))
+    path = str(tmp_path_factory.mktemp("ret_stream_state") / "st")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, event_type string").parquet(src)
+    q = retention_update_stream(stream, path, "user_id", "ts", chk, period_days=1)
+    q.awaitTermination(120)
+
+    key = lambda r: (str(r["cohort_start"]), r["period_offset"],  # noqa: E731
+                     r["active_users"], r["retention"])
+    got = sorted(map(key, retention_grid_from_state(spark, path, max_periods=30).collect()))
+    want = sorted(map(key, retention_cohorts(df, "user_id", "ts", 1, 30).collect()))
+    assert got == want and len(got) > 0
+
+    # the day-bucketed state also serves the rolling active-user grid
+    akey = lambda r: (str(r["day"]), r["au_1d"], r["au_7d"])  # noqa: E731
+    got_au = sorted(map(akey, active_users_from_state(spark, path, (1, 7)).collect()))
+    want_au = sorted(map(akey, active_users(df, "user_id", "ts", (1, 7)).collect()))
+    assert got_au == want_au
+
+    # replay idempotence: folding the SAME events again appends nothing
+    n_before = spark.read.parquet(_ixroot(spark, path) + "/pairs").count()
+    retention_update_state(df, path, "user_id", "ts")
+    assert spark.read.parquet(_ixroot(spark, path) + "/pairs").count() == n_before
+    _sh.rmtree(src, ignore_errors=True)
+
+
+def test_active_users_wide_window_guard_and_sketch_path(spark):
+    """sum(windows) past the exact-path explode budget raises with a
+    pointer to approx=True; the sketch path serves (90, 365) dashboards
+    with per-day HLLs (no pair explode) and matches the exact counts at
+    small cohort sizes (HLL is exact in sparse mode)."""
+    import pytest as _pytest
+
+    rows = [(u, _ts(1 + (u * 7 + d) % 28, 3), "a")
+            for u in range(40) for d in range(3)]
+    df = _events(spark, rows)
+    with _pytest.raises(ValueError, match="approx=True"):
+        events_mod.active_users(df, "user_id", "ts", (90, 365))
+
+    # sketch path vs exact path on windows the exact path allows
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    exact = sorted(map(key, events_mod.active_users(df, "user_id", "ts", (1, 7, 30)).collect()))
+    approx = sorted(map(key, events_mod.active_users(
+        df, "user_id", "ts", (1, 7, 30), approx=True).collect()))
+    assert approx == exact  # sparse-mode HLL: exact at this cohort size
+
+    # wide windows run under approx and produce a sane dense grid
+    wide = events_mod.active_users(df, "user_id", "ts", (90,), approx=True).collect()
+    # dense grid: activity days are 1 + (7u+d) % 28 for d in 0..2 ->
+    # residues {0..2, 7..9, 14..16, 21..23}, so the grid spans day 1..24
+    assert len(wide) == 24
+    last = max(wide, key=lambda r: str(r["day"]))
+    assert last["au_90d"] == 40                 # window covers all activity

@@ -348,8 +348,16 @@ def event_paths_topk(
     )
 
 
+# exact active_users explodes each (user, day) pair to sum(windows)
+# contribution rows; past this budget the op demands an explicit choice
+# (approx=True sketches, or narrower windows) instead of silently
+# shuffling a 455x-exploded pair table for a (90, 365) dashboard
+MAX_EXACT_WINDOW_SUM = 64
+
+
 def active_users(
     df: DataFrame, user_col: str, ts_col: str, windows: tuple[int, ...] = (1, 7, 30),
+    approx: bool = False,
 ) -> DataFrame:
     """Rolling active-user counts — DAU/WAU/MAU and friends: one row per
     calendar day from the first to the last event day (dense grid, zeros
@@ -369,21 +377,44 @@ def active_users(
     frame, exploded) left-joins the counts back. No windows over users,
     no per-day self-joins; the explode factor is the window sum — the
     price every sliding-distinct implementation pays somewhere, paid
-    here on the COLLAPSED pair table, not the event log."""
+    here on the COLLAPSED pair table, not the event log.
+
+    WIDE windows: sum(windows) > MAX_EXACT_WINDOW_SUM (64) is rejected
+    unless ``approx=True`` — a (90, 365) dashboard would explode the
+    pair table 455x. The approx path sketches instead: ONE per-day HLL
+    sketch aggregate over the pairs (no pair explode at all), the
+    sum(windows) contribution explode is paid on the DAYS x sketch-bytes
+    table (a few thousand rows regardless of corpus size), per-(day,
+    window) sketches union-merge, and counts are HLL estimates
+    (DataSketches ~2% at the default lgK; exact in sparse mode for
+    small cohorts) — the standard engagement-dashboard trade, and the
+    same sketch family corpus_report already uses."""
     ws = sorted(set(int(w) for w in windows))
     if not ws or ws[0] < 1:
         raise ValueError(f"windows must be >= 1 days, got {windows}")
+    _check_window_budget(ws, approx)
     day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date"))
     pairs = (
         df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
         .select(F.col(user_col).alias("__u"), day.cast("long").alias("__d"))
         .distinct()
     )
-    return _active_users_from_pairs(pairs, ws)
+    return _active_users_from_pairs(pairs, ws, approx)
+
+
+def _check_window_budget(ws: list[int], approx: bool) -> None:
+    if not approx and sum(ws) > MAX_EXACT_WINDOW_SUM:
+        raise ValueError(
+            f"sum(windows) = {sum(ws)} exceeds the exact-path explode budget "
+            f"({MAX_EXACT_WINDOW_SUM}): every (user, day) pair is replicated "
+            "sum(windows) times. Pass approx=True (per-day HLL sketches — no "
+            "pair explode) or narrow the windows"
+        )
 
 
 def active_users_from_state(
     spark, path: str, windows: tuple[int, ...] = (1, 7, 30),
+    approx: bool = False,
 ) -> DataFrame:
     """:func:`active_users` from PERSISTED retention state — the state a
     daily-bucketed ``retention_write_state(period_days=1)`` /
@@ -402,14 +433,17 @@ def active_users_from_state(
     ws = sorted(set(int(w) for w in windows))
     if not ws or ws[0] < 1:
         raise ValueError(f"windows must be >= 1 days, got {windows}")
+    _check_window_budget(ws, approx)
     from wrangler_spark.datapipe import _layout
 
     root = _layout.resolve(spark, path)
     pairs = spark.read.parquet(f"{root}/pairs").select("__u", F.col("__b").alias("__d"))
-    return _active_users_from_pairs(pairs, ws)
+    return _active_users_from_pairs(pairs, ws, approx)
 
 
-def _active_users_from_pairs(pairs: DataFrame, ws: list[int]) -> DataFrame:
+def _active_users_from_pairs(
+    pairs: DataFrame, ws: list[int], approx: bool = False,
+) -> DataFrame:
     """The shared tail: (user, day) pairs -> dense-grid au_{w}d counts.
 
     The pair frame contains a shuffle (the distinct) and feeds TWO
@@ -435,28 +469,43 @@ def _active_users_from_pairs(pairs: DataFrame, ws: list[int]) -> DataFrame:
     def _tag(w: int):
         return lambda t: F.struct(F.lit(w).alias("w"), t.alias("t"))
 
-    tagged = pairs.crossJoin(F.broadcast(bounds)).select(
-        "__u",
-        F.explode(
-            F.flatten(
-                F.array(
-                    *[
-                        F.transform(
-                            F.sequence(
-                                F.col("__d"),
-                                F.least(F.col("__d") + (w - 1), F.col("__hi")),
-                            ),
-                            _tag(w),
-                        )
-                        for w in ws
-                    ]
+    def _contrib(src: DataFrame, carry: str) -> DataFrame:
+        return src.crossJoin(F.broadcast(bounds)).select(
+            carry,
+            F.explode(
+                F.flatten(
+                    F.array(
+                        *[
+                            F.transform(
+                                F.sequence(
+                                    F.col("__d"),
+                                    F.least(F.col("__d") + (w - 1), F.col("__hi")),
+                                ),
+                                _tag(w),
+                            )
+                            for w in ws
+                        ]
+                    )
                 )
-            )
-        ).alias("c"),
-    )
-    counts = tagged.groupBy(F.col("c.t").alias("__t"), F.col("c.w").alias("__w")).agg(
-        F.countDistinct("__u").alias("__au")
-    )
+            ).alias("c"),
+        )
+
+    if approx:
+        # wide-window path: sketch each day ONCE (no pair explode), then
+        # replicate the tiny days x sketch table to its target windows
+        # and union-merge — counts are HLL estimates
+        daily = pairs.groupBy("__d").agg(F.hll_sketch_agg("__u").alias("__sk"))
+        counts = (
+            _contrib(daily, "__sk")
+            .groupBy(F.col("c.t").alias("__t"), F.col("c.w").alias("__w"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("__sk")).cast("long").alias("__au"))
+        )
+    else:
+        counts = (
+            _contrib(pairs, "__u")
+            .groupBy(F.col("c.t").alias("__t"), F.col("c.w").alias("__w"))
+            .agg(F.countDistinct("__u").alias("__au"))
+        )
     pivoted = counts.groupBy("__t").agg(
         *[
             F.coalesce(
@@ -558,19 +607,94 @@ def retention_update_state(
     directories regardless of history size. The anti-join result is
     eagerly checkpointed (and released) before the write so the append
     never reads the directory it is writing."""
+    from pyspark.errors import AnalysisException
+
     from wrangler_spark.datapipe import _layout
     from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
 
     spark = batch.sparkSession
     root = _layout.resolve(spark, path)
     period_days, cal = _read_state_meta(spark, path)
-    stored = spark.read.parquet(f"{root}/pairs").select("__u", "__b")
-    fresh = eager_checkpoint(
-        _activity_pairs(batch, user_col, ts_col, period_days, cal)
-        .join(stored, ["__u", "__b"], "left_anti")
-    )
+    fresh = _activity_pairs(batch, user_col, ts_col, period_days, cal)
+    try:
+        stored = spark.read.parquet(f"{root}/pairs").select("__u", "__b")
+        fresh = fresh.join(stored, ["__u", "__b"], "left_anti")
+    except AnalysisException as ex:
+        # a meta-only state (retention_init_state / first stream batch)
+        # has no pairs dataset yet — everything in the batch is fresh
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+    fresh = eager_checkpoint(fresh)
     fresh.write.mode("append").partitionBy("__b").parquet(f"{root}/pairs")
     release(fresh)
+
+
+def retention_init_state(
+    spark, path: str, period_days: int = 7, calendar: str | None = None,
+) -> None:
+    """Create an EMPTY retention state — a committed meta-only version
+    pinning (period_days, calendar) — so a stream sink can fold
+    micro-batches from nothing without knowing the user column's type
+    up front (the pairs dataset materializes on the first append)."""
+    from wrangler_spark.datapipe import _layout
+
+    vdir = _layout.begin_version(spark, path)
+    spark.createDataFrame(
+        [(int(period_days), calendar or "", 2)],
+        "period_days int, calendar string, state_version int",
+    ).write.parquet(f"{vdir}/meta")
+    _layout.commit_version(spark, vdir)
+
+
+def retention_update_stream(
+    stream: DataFrame, path: str, user_col: str, ts_col: str,
+    checkpoint: str, period_days: int = 7, calendar: str | None = None,
+    trigger: dict | None = None,
+):
+    """Fold a STREAM of events into persisted retention state — the
+    stream edge that closes the events family's batch/stream/state
+    triangle (batch: retention_cohorts; state: retention_write_state /
+    retention_update_state / retention_grid_from_state /
+    active_users_from_state; stream: THIS). Returns the started
+    StreamingQuery; default trigger is availableNow (drain-and-stop —
+    pass e.g. ``trigger={"processingTime": "1 minute"}`` for a
+    long-running fold).
+
+    Each micro-batch runs :func:`retention_update_state`: distinct
+    (user, bucket) pairs anti-join the stored pairs and only NEW pairs
+    append — O(batch) work per micro-batch, never a history rescan, and
+    dynamic partition append touches only the buckets the batch is
+    active in. A fresh ``path`` is initialized with a committed
+    meta-only version pinning (period_days, calendar); an existing
+    state keeps ITS pinned bucketing (the arguments are ignored, same
+    contract as retention_update_state).
+
+    Delivery contract: Structured Streaming's checkpoint gives
+    at-least-once foreachBatch execution; the fold is IDEMPOTENT at the
+    pair level (a replayed batch's already-appended pairs anti-join
+    away, so nothing duplicates) — together: exactly-once state, the
+    same argument the Bloom append path makes. Grid reads
+    (retention_grid_from_state / active_users_from_state) may run
+    concurrently — they read a committed snapshot root; only
+    compact_index/vacuum must not race the running sink (single-writer
+    contract)."""
+    from pyspark.errors import AnalysisException
+
+    spark = stream.sparkSession
+    try:
+        _read_state_meta(spark, path)
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        retention_init_state(spark, path, period_days, calendar)
+    writer = (
+        stream.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda batch, _bid: retention_update_state(batch, path, user_col, ts_col)
+        )
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+    )
+    return writer.start()
 
 
 def retention_grid_from_state(
