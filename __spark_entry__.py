@@ -206,6 +206,21 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embs(spark, sf_dir):
         return _t(spark, sf_dir, "embeddings")
 
+    def _q_vocab_state(spark, sf_dir):
+        # vocabulary state built from 3 batch folds into a fresh temp
+        # state, read back through the coverage cut — the driver grades
+        # it against the ONE-SHOT coverage SQL (exact sum-merge: state
+        # reconstruction must equal the single-pass computation)
+        import tempfile
+
+        d = docs(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="wrspark_vocab_state_") + "/st"
+        for i in range(3):
+            text.vocab_update_state(
+                d.filter(F.col("doc_id") % 3 == i), path, "text", str(i)
+            )
+        return text.vocab_coverage_from_state(spark, path, 0.9)
+
     def _boiler_docs(spark, sf_dir):
         # fixture docs are single-line; append one corpus-wide boilerplate
         # line, a blank line, and a per-doc unique line (mirrored in the
@@ -312,6 +327,10 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_group_terms": lambda s, d: text.group_top_terms(
             docs(s, d), "text", "source", 10
         ),
+        "text_group_terms_weighted": lambda s, d: text.group_top_terms(
+            docs(s, d), "text", "source", 10, weight="logodds"
+        ),
+        "text_vocab_state": _q_vocab_state,
         "text_rep_filter": lambda s, d: text.repetition_filter(
             docs(s, d), "doc_id", "text"
         ).select("doc_id", "repetition_pass"),
@@ -594,6 +613,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_ngram_rep": o.ngram_repetition_sql((2, 3, 4), (5, 10)),
         "text_oov": o.oov_rate_sql(0.9),
         "text_group_terms": o.group_top_terms_sql("source", 10),
+        "text_group_terms_weighted": o.group_top_terms_weighted_sql("source", 10),
+        "text_vocab_state": o.vocab_coverage_sql(0.9),
         "text_rep_filter": o.repetition_filter_sql(),
         "corpus_drift": o.distribution_drift_sql("c_acctbal", 10),
         "num_scale": o.scale_column_sql("c_acctbal", "minmax"),

@@ -3444,3 +3444,40 @@ def test_report_state_mixed_group_columns_raise(spark, tmp_path_factory):
     curation.report_update_state(df, path, by="lang", batch_id="b1")
     with pytest.raises(ValueError, match="mixed group columns"):
         curation.report_from_state(spark, path).collect()
+
+
+def test_group_top_terms_weighting_modes(spark):
+    """weight='logodds' surfaces DISTINGUISHING terms where raw tf
+    surfaces shared stopwords: two groups drowning in 'the of and' but
+    each with its own content word must rank the content word first
+    under logodds (and tfidf), while tf ranks the stopwords. Bad mode
+    rejected; directive surface carries the weight arg."""
+    stop = "the of and " * 30
+    df = spark.createDataFrame(
+        [(i, "a", stop + "spark cluster shuffle") for i in range(5)]
+        + [(i + 10, "b", stop + "genome protein enzyme") for i in range(5)],
+        ["doc_id", "grp", "text"],
+    )
+    tf_top = {r["grp"]: r["term"] for r in
+              text.group_top_terms(df, "text", "grp", 1).collect()}
+    assert set(tf_top.values()) <= {"the", "of", "and"}   # tf = stopwords
+    lo = text.group_top_terms(df, "text", "grp", 3, weight="logodds")
+    lo_rows = lo.collect()
+    assert set(lo.columns) == {"grp", "term", "tf", "score", "rank"}
+    top1 = {r["grp"]: r["term"] for r in lo_rows if r["rank"] == 1}
+    assert set(top1["a"].split()) <= {"spark", "cluster", "shuffle"}
+    assert set(top1["b"].split()) <= {"genome", "protein", "enzyme"}
+    # every group's top-3 under logodds is its own content vocabulary
+    for r in lo_rows:
+        own = {"spark", "cluster", "shuffle"} if r["grp"] == "a" else {"genome", "protein", "enzyme"}
+        assert r["term"] in own, (r["grp"], r["term"])
+    ti = {r["grp"]: r["term"] for r in
+          text.group_top_terms(df, "text", "grp", 1, weight="tfidf").collect()}
+    assert ti == top1                                     # tfidf agrees here
+    with pytest.raises(ValueError, match="weight"):
+        text.group_top_terms(df, "text", "grp", 3, weight="bm25")
+    # directive surface
+    from wrangler_spark import Pipeline
+
+    d = Pipeline.compile("top-terms :text :grp 1 'logodds'").apply(df)
+    assert {r["grp"]: r["term"] for r in d.collect()} == top1

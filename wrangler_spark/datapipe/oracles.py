@@ -1949,6 +1949,46 @@ FROM r WHERE rank <= {int(k)}
 """
 
 
+def group_top_terms_weighted_sql(
+    by: str = "source", k: int = 10, prior_strength: float = 100.0,
+    table: str = "documents",
+) -> str:
+    """Mirror of text.group_top_terms(weight='logodds'): Monroe et al.
+    2008 log-odds ratio vs rest-of-corpus with an informative Dirichlet
+    prior (alpha_w = prior_strength x corpus share), z-scored (graded:
+    group, term, tf, score, rank). Ties score-then-term, like the Spark
+    side's (-score, term) struct sort."""
+    a0 = float(prior_strength)
+    return f"""
+WITH t AS (
+  SELECT {by} AS g, unnest(string_split({_NORM}, ' ')) AS term FROM {table}
+),
+c AS (SELECT g, term, count(*) AS tf FROM t WHERE term <> '' GROUP BY g, term),
+tm AS (SELECT term, sum(tf) AS yw FROM c GROUP BY term),
+gm AS (SELECT g, sum(tf) AS ng FROM c GROUP BY g),
+tot AS (SELECT sum(tf) AS n FROM c),
+s AS (
+  SELECT c.g, c.term, c.tf,
+         round(
+           (ln((c.tf + {a0} * tm.yw / tot.n)
+               / (gm.ng + {a0} - c.tf - {a0} * tm.yw / tot.n))
+            - ln((tm.yw - c.tf + {a0} * tm.yw / tot.n)
+                 / (tot.n - gm.ng + {a0} - (tm.yw - c.tf) - {a0} * tm.yw / tot.n)))
+           / sqrt(1.0 / (c.tf + {a0} * tm.yw / tot.n)
+                  + 1.0 / (tm.yw - c.tf + {a0} * tm.yw / tot.n)),
+           6) AS score
+  FROM c JOIN tm USING (term) JOIN gm USING (g) CROSS JOIN tot
+),
+r AS (
+  SELECT g, term, tf, score,
+         row_number() OVER (PARTITION BY g ORDER BY score DESC, term ASC) AS rank
+  FROM s
+)
+SELECT g AS {by}, term, CAST(tf AS BIGINT) AS tf, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {int(k)}
+"""
+
+
 def char_entropy_sql(table: str = "documents", id_col: str = "doc_id") -> str:
     """Mirror of text.char_entropy: per-character count terms integerized
     to micro-units before the per-doc sum (the shared determinism

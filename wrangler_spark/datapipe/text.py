@@ -1494,32 +1494,91 @@ def _coverage_cut(words: DataFrame, cov: float, checkpoint: bool = True) -> Data
 
 def group_top_terms(
     df: DataFrame, text_col: str, by_col: str, k: int = 10,
+    weight: str = "tf", prior_strength: float = 100.0,
 ) -> DataFrame:
-    """Top-k distinguishing terms per GROUP — the cluster/source labeling
-    step after SemDeDup / k-means / mixture assembly: join any (id ->
-    group) assignment onto the corpus (or point ``by_col`` at an
-    existing source/language column) and read each group's most frequent
-    vocabulary. Returns (group, term, tf, rank), rank 1..k per group,
-    ties broken term-asc — the deterministic contract the per-query ANN
-    rank shares. Null groups form their own group (a null source is a
-    real slice worth inspecting).
+    """Top-k terms per GROUP — the cluster/source labeling step after
+    SemDeDup / k-means / mixture assembly: join any (id -> group)
+    assignment onto the corpus (or point ``by_col`` at an existing
+    source/language column) and read each group's labels. Null groups
+    form their own group (a null source is a real slice worth
+    inspecting). Rank ties break term-asc — the deterministic contract
+    the per-query ANN rank shares.
 
-    Scale shape: token explode -> ONE hash aggregate on (group, term) ->
-    the two-phase per-group slice (partition-local sorted top-k, then a
-    per-group merge of P·k survivors — sample_domain_cap's shape): never
-    a rank window over the (groups x vocabulary) table, which at
-    web scale is exactly the 10^8-row global-sort hazard vocabulary's
-    rewrite removed."""
+    ``weight`` picks what "top" means:
+
+    - ``"tf"`` (default): raw per-group term frequency. Honest but on a
+      real web corpus every group's top-k is the same stopwords — use
+      it for quick looks, not labeling. Returns (group, term, tf, rank).
+    - ``"logodds"``: Monroe, Colaresi & Quinn 2008 ("Fightin' Words")
+      log-odds ratio of group vs REST OF CORPUS with an informative
+      Dirichlet prior (alpha_w = prior_strength x corpus share of w),
+      z-scored by the delta's estimated variance — the public standard
+      for 'which terms DISTINGUISH this group'; stopwords cancel
+      against the prior and the rest-corpus rate. Returns
+      (group, term, tf, score, rank), rank by score desc.
+    - ``"tfidf"``: tf x ln(n_groups / groups-containing-term) — the
+      cheap middle ground (terms present in every group score 0).
+      Same output shape as logodds.
+
+    Scale shape (all modes): token explode -> ONE hash aggregate on
+    (group, term) -> [weighted modes: one vocab-bounded term-marginal
+    aggregate joined back on the term key, group marginals broadcast
+    (G rows), corpus total a broadcast 1-row frame] -> the two-phase
+    per-group slice (partition-local sorted top-k, then a per-group
+    merge of P·k survivors — sample_domain_cap's shape): never a rank
+    window over the (groups x vocabulary) table, which at web scale is
+    exactly the 10^8-row global-sort hazard vocabulary's rewrite
+    removed."""
     kk = int(k)
     if kk < 1:
         raise ValueError("k must be >= 1")
+    if weight not in ("tf", "logodds", "tfidf"):
+        raise ValueError(f"weight must be 'tf', 'logodds', or 'tfidf' — got {weight!r}")
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     toks = (
         df.select(F.col(by_col).alias("__g"), F.explode(F.split(norm, " ")).alias("__t"))
         .filter(F.col("__t") != "")
     )
     counts = toks.groupBy("__g", "__t").agg(F.count(F.lit(1)).cast("long").alias("__tf"))
-    item = F.struct((-F.col("__tf")).alias("ntf"), F.col("__t").alias("t"))
+    if weight != "tf":
+        # marginals: per-term over the corpus (vocab-bounded, rides a
+        # term-keyed join), per-group (G rows, broadcast), corpus total
+        # (1 row, broadcast crossJoin — the sanctioned stats join-back)
+        if not df.isStreaming:
+            counts = eager_checkpoint(counts)  # feeds marginals AND the score join
+        term_m = counts.groupBy("__t").agg(
+            F.sum("__tf").alias("__yw"), F.count(F.lit(1)).alias("__df")
+        )
+        grp_m = counts.groupBy("__g").agg(F.sum("__tf").alias("__ng"))
+        tot = counts.agg(
+            F.sum("__tf").alias("__n"), F.countDistinct("__g").alias("__ngroups")
+        )
+        scored = (
+            counts.join(term_m, "__t")
+            .join(F.broadcast(grp_m), "__g")
+            .crossJoin(F.broadcast(tot))
+        )
+        if weight == "tfidf":
+            score = F.col("__tf") * F.log(
+                F.col("__ngroups").cast("double") / F.col("__df").cast("double")
+            )
+        else:
+            a0 = F.lit(float(prior_strength))
+            aw = a0 * F.col("__yw").cast("double") / F.col("__n").cast("double")
+            ygw = F.col("__tf").cast("double")
+            yrw = (F.col("__yw") - F.col("__tf")).cast("double")
+            ng = F.col("__ng").cast("double")
+            nr = (F.col("__n") - F.col("__ng")).cast("double")
+            delta = F.log((ygw + aw) / (ng + a0 - ygw - aw)) - F.log(
+                (yrw + aw) / (nr + a0 - yrw - aw)
+            )
+            score = delta / F.sqrt(1.0 / (ygw + aw) + 1.0 / (yrw + aw))
+        counts = scored.select("__g", "__t", "__tf", F.round(score, 6).alias("__s"))
+        item = F.struct(
+            (-F.col("__s")).alias("ns"), F.col("__t").alias("t"), F.col("__tf").alias("tf")
+        )
+    else:
+        item = F.struct((-F.col("__tf")).alias("ntf"), F.col("__t").alias("t"))
     part = (
         counts.withColumn("__pid", F.spark_partition_id())
         .groupBy("__pid", "__g")
@@ -1528,10 +1587,19 @@ def group_top_terms(
     top = part.groupBy("__g").agg(
         F.slice(F.array_sort(F.flatten(F.collect_list("__tk"))), 1, kk).alias("__tk")
     )
-    return top.select("__g", F.posexplode("__tk").alias("__pos", "__it")).select(
+    exploded = top.select("__g", F.posexplode("__tk").alias("__pos", "__it"))
+    if weight == "tf":
+        return exploded.select(
+            F.col("__g").alias(by_col),
+            F.col("__it.t").alias("term"),
+            (-F.col("__it.ntf")).cast("long").alias("tf"),
+            (F.col("__pos") + 1).cast("int").alias("rank"),
+        )
+    return exploded.select(
         F.col("__g").alias(by_col),
         F.col("__it.t").alias("term"),
-        (-F.col("__it.ntf")).cast("long").alias("tf"),
+        F.col("__it.tf").cast("long").alias("tf"),
+        (-F.col("__it.ns")).alias("score"),
         (F.col("__pos") + 1).cast("int").alias("rank"),
     )
 

@@ -1026,14 +1026,18 @@ class NgramRepetition(Directive):
 
 @directive
 class GroupTopTerms(Directive):
-    """top-terms :text :by [k] — top-k most frequent terms per group
-    (cluster/source labeling) → (by, term, tf, rank)."""
+    """top-terms :text :by [k] [weight] — top-k terms per group
+    (cluster/source labeling) → (by, term, tf, rank). weight 'tf'
+    (default, raw frequency), 'logodds' (Monroe et al. log-odds vs rest
+    of corpus — distinguishing terms, stopword-proof), or 'tfidf';
+    weighted modes add a score column and rank by it."""
 
     name = "top-terms"
     usage = [
         Arg("text", TokenType.COLUMN),
         Arg("by", TokenType.COLUMN),
         Arg("k", TokenType.NUMERIC, optional=True, default=10),
+        Arg("weight", TokenType.TEXT, optional=True, default="tf"),
     ]
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
@@ -1042,6 +1046,7 @@ class GroupTopTerms(Directive):
         return group_top_terms(
             df, ctx.resolve(df, self.args["text"]),
             ctx.resolve(df, self.args["by"]), int(self.args["k"]),
+            weight=str(self.args["weight"]),
         )
 
 
