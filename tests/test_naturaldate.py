@@ -170,3 +170,29 @@ def test_next_last_with_clock_time():
     assert p("next friday at 25:00") is None        # out-of-range clock
     # the bare forms still anchor at midnight
     assert p("next friday") == datetime(2016, 12, 16, tzinfo=timezone.utc)
+
+
+def test_day_of_relative_month():
+    # NOW = 2016-12-10 (Sat): next month = Jan 2017, last = Nov 2016
+    assert p("the 3rd of next month") == datetime(2017, 1, 3, tzinfo=timezone.utc)
+    assert p("15th of last month") == datetime(2016, 11, 15, tzinfo=timezone.utc)
+    assert p("the 1st of this month") == datetime(2016, 12, 1, tzinfo=timezone.utc)
+    # clock-time composition rides along
+    assert p("the 3rd of next month at 3pm") == datetime(2017, 1, 3, 15, tzinfo=timezone.utc)
+    assert p("the 3rd of next month at noon") == datetime(2017, 1, 3, 12, tzinfo=timezone.utc)
+    # a day the target month doesn't have is unparseable, never clamped
+    assert p("the 31st of last month") is None            # Nov has 30
+    # existing absolute day-of-month grammar is untouched
+    assert p("the 3rd of january") == datetime(2016, 1, 3, tzinfo=timezone.utc)
+
+
+def test_bare_month_anchor():
+    # nearest UPCOMING occurrence: month >= current -> this year
+    assert p("december") == datetime(2016, 12, 1, tzinfo=timezone.utc)
+    assert p("in october") == datetime(2017, 10, 1, tzinfo=timezone.utc)   # past -> next year
+    assert p("March") == datetime(2017, 3, 1, tzinfo=timezone.utc)
+    # month-year stays on natty's explicit-year rule
+    assert p("october 2006") == datetime(2006, 10, 1, tzinfo=timezone.utc)
+    # timezone-aware: the 1st is the LOCAL first-of-month
+    tokyo = p("december", tz="Asia/Tokyo")
+    assert tokyo == datetime(2016, 11, 30, 15, 0, tzinfo=timezone.utc)

@@ -278,3 +278,37 @@ def test_iter_records_resyncs_past_mid_file_corruption():
     forged = warc.build_record({"Content-Length": "10", "WARC-Record-ID": "<f>"}, b"X" * 50)
     (h, block), = warc.iter_records(forged + b"")
     assert len(block) == 50 and h["content-length"] == "50"
+
+
+def test_gzip_corrupt_member_resync_recovers_tail():
+    """Per-record-member archive with a CORRUPTED middle member: the
+    walk resyncs to the next gzip member header and the tail records
+    all survive — one bad member costs one record, never the rest of
+    the file. Holds for header corruption (member never starts) and
+    mid-deflate corruption (member starts, then dies); a corrupt FINAL
+    member just ends the walk."""
+    recs = [warc.build_record({"WARC-Record-ID": f"<r{i}>"}, f"BODY{i}".encode() * 20)
+            for i in range(5)]
+    members = [gzip.compress(r) for r in recs]
+
+    # mid-deflate corruption: flip bytes INSIDE member 2's deflate stream
+    m2 = bytearray(members[2])
+    m2[len(m2) // 2: len(m2) // 2 + 4] = b"\x00\xff\x00\xff"
+    data = b"".join(members[:2]) + bytes(m2) + b"".join(members[3:])
+    got = [h["warc-record-id"] for h, _ in warc.iter_records(data)]
+    assert got[:2] == ["<r0>", "<r1>"] and got[-2:] == ["<r3>", "<r4>"]
+    assert "<r2>" not in got
+
+    # header corruption: member 2's magic destroyed entirely
+    m2h = bytearray(members[2])
+    m2h[0:3] = b"XXX"
+    data = b"".join(members[:2]) + bytes(m2h) + b"".join(members[3:])
+    got = [h["warc-record-id"] for h, _ in warc.iter_records(data)]
+    assert got[:2] == ["<r0>", "<r1>"] and got[-2:] == ["<r3>", "<r4>"]
+
+    # corrupt FINAL member: earlier records unaffected, walk ends clean
+    mlast = bytearray(members[4])
+    mlast[len(mlast) // 2] ^= 0xFF
+    data = b"".join(members[:4]) + bytes(mlast)
+    got = [h["warc-record-id"] for h, _ in warc.iter_records(data)]
+    assert got[:4] == ["<r0>", "<r1>", "<r2>", "<r3>"]

@@ -77,6 +77,17 @@ _RE_RELDAY_TIME = re.compile(
 )
 # bare month-year ("october 2006") → the 1st of that month, natty's rule
 _RE_MY = re.compile(rf"^({_MON})\.?\s+(\d{{4}})$", re.I)
+# day of a RELATIVE month ("the 3rd of next month", "15th of last month",
+# "the 1st of this month"), with natty's free clock-time composition
+_RE_DAY_RELMONTH = re.compile(
+    rf"^(?:the\s+)?(\d{{1,2}}){_ORD}\s+of\s+(next|last|this)\s+month{_TIMEX}$", re.I
+)
+# bare month anchor ("october", "in october") → the 1st of the NEAREST
+# UPCOMING occurrence (current year if not yet past, else next year) —
+# the month analog of "this tuesday"'s nearest-forward rule; a local
+# convention documented against natty's (which anchors within the
+# current year)
+_RE_BARE_MONTH = re.compile(rf"^(?:in\s+)?({_MON})\.?$", re.I)
 
 
 def _hms(m, start: int):
@@ -241,6 +252,34 @@ def parse_natural(s: str | None, now_utc: datetime, tz: str = "UTC") -> datetime
         out = _apply_delta(now_local, n, unit)
         return out.astimezone(_tz.utc) if out else None
 
+    m = _RE_DAY_RELMONTH.match(t)
+    if m:
+        day = int(m.group(1))
+        anchor = _shift_months(
+            midnight, {"next": 1, "last": -1, "this": 0}[m.group(2).lower()]
+        )
+        if m.group(3):  # noon / midnight
+            h, mi, sec = (12 if m.group(3).lower() == "noon" else 0), 0, 0
+        elif m.group(4):
+            h = int(m.group(4))
+            mi = int(m.group(5) or 0)
+            sec = int(m.group(6) or 0)
+            ampm = (m.group(7) or "").lower()
+            if ampm == "pm" and h < 12:
+                h += 12
+            elif ampm == "am" and h == 12:
+                h = 0
+        else:
+            h = mi = sec = 0
+        try:
+            # "the 31st of next month" when next month has 30 days is
+            # unparseable (no clamping: the user named a day that does
+            # not exist), like every other invalid-component branch
+            out = anchor.replace(day=day, hour=h, minute=mi, second=sec, microsecond=0)
+        except ValueError:
+            return None
+        return out.astimezone(_tz.utc)
+
     m = _RE_MY.match(t)
     if m:
         try:
@@ -249,6 +288,12 @@ def parse_natural(s: str | None, now_utc: datetime, tz: str = "UTC") -> datetime
             ).astimezone(_tz.utc)
         except ValueError:
             return None
+
+    m = _RE_BARE_MONTH.match(t)
+    if m:
+        mon = _MONTHS[m.group(1)]
+        year = now_local.year + (1 if mon < now_local.month else 0)
+        return datetime(year, mon, 1, tzinfo=zone).astimezone(_tz.utc)
 
     m = _RE_MDY.match(t)
     if m:

@@ -44,27 +44,47 @@ def maybe_gunzip(data: bytes) -> bytes:
     return data
 
 
+GZIP_MEMBER_MAGIC = b"\x1f\x8b\x08"  # magic + DEFLATE method byte
+
+
 def _gunzip_members(data: bytes) -> Iterator[bytes]:
     """Yield decompressed chunks (each ≤ ``_MAX_CHUNK``) across all gzip
     members of ``data`` without ever holding more than one chunk of
     decompressed output. A truncated final member yields what decoded
     cleanly and stops (the parser then drops the partial tail record —
-    the same contract as a truncated PLAIN file); a corrupt member stops
-    the walk (everything after an undecodable member is unreachable —
-    gzip has no resync marker, unlike the WARC record layer)."""
+    the same contract as a truncated PLAIN file).
+
+    A CORRUPT member does not end the walk: members are independent, so
+    the walk RESYNCS by scanning forward for the next member header
+    (``\\x1f\\x8b\\x08``) and decoding from there — one bad member in a
+    per-record-member Common Crawl archive costs that record, never the
+    rest of the file. A spurious in-deflate magic hit just fails
+    decoding again and resyncs further (false positives are rejected by
+    the member's own integrity checks); partial output decoded before
+    the corruption is yielded and the WARC record layer's resync
+    discards it against the next record boundary."""
     view = memoryview(data)
     pos, n = 0, len(data)
     while pos < n:
         if bytes(view[pos : pos + 2]) != GZIP_MAGIC:
-            return  # trailing garbage after the last member: drop it
+            # inter-member garbage / clobbered member header: resync to
+            # the next member header (none left -> trailing garbage,
+            # drop it)
+            nxt = data.find(GZIP_MEMBER_MAGIC, pos)
+            if nxt < 0:
+                return
+            pos = nxt
+        member_start = pos
         d = zlib.decompressobj(wbits=31)
         buf = view[pos : pos + _FEED]
         pos += len(buf)
+        corrupt = False
         while True:
             try:
                 out = d.decompress(buf, _MAX_CHUNK)
             except zlib.error:
-                return  # corrupt member
+                corrupt = True
+                break
             if out:
                 yield out
             if d.eof:
@@ -79,6 +99,11 @@ def _gunzip_members(data: bytes) -> Iterator[bytes]:
                     return
                 buf = view[pos : pos + _FEED]
                 pos += len(buf)
+        if corrupt:
+            nxt = data.find(GZIP_MEMBER_MAGIC, member_start + 1)
+            if nxt < 0:
+                return  # no further member header: the tail is gone
+            pos = nxt
 
 
 def _records_from_chunks(
