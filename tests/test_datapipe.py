@@ -3481,3 +3481,30 @@ def test_group_top_terms_weighting_modes(spark):
 
     d = Pipeline.compile("top-terms :text :grp 1 'logodds'").apply(df)
     assert {r["grp"]: r["term"] for r in d.collect()} == top1
+
+
+def test_paragraph_repetition_signals(spark):
+    """Gopher's paragraph unit is real, not a line alias: duplicate
+    paragraphs (blank-line-split) are caught even when every LINE
+    inside them differs from its neighbors at the line level is fine;
+    a single-paragraph doc scores 0; the filter enforces the 0.30/0.20
+    paragraph caps."""
+    para = "alpha beta\ngamma delta"
+    spaced = para + "\n\n"
+    df = spark.createDataFrame(
+        [
+            (1, spaced * 5),                    # 5 identical paragraphs
+            (2, "morning coffee tastes good\n\nrivers flow toward oceans\n\n"
+                "quantum chips stay cold\n\nviolins need fresh strings"),
+            (3, "just one paragraph\nwith two lines"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_stats(df, "text").collect()}
+    assert out[1]["dup_para_ratio"] > 0.5       # 4 of 5 paragraphs duplicate
+    assert out[1]["dup_para_char_ratio"] > 0.5
+    assert out[2]["dup_para_ratio"] == 0.0
+    assert out[3]["dup_para_ratio"] == 0.0      # one paragraph = no evidence
+    got = {r["doc_id"]: r["repetition_pass"] for r in
+           text.repetition_filter(df, "doc_id", "text").collect()}
+    assert got == {1: False, 2: True, 3: True}

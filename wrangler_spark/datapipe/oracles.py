@@ -344,14 +344,20 @@ def repetition_stats_sql(table: str = "documents") -> str:
     def chars(arr):
         return f"list_sum(list_transform({arr}, x -> length(x)))"
 
+    paras = r"regexp_split_to_array(text, '\n{2,}')"
     dup_line = f"round(1.0 - {ratio(f'len(list_distinct({_LINES}))', f'len({_LINES})')}, 6)"
     dup_line_char = (
         f"round(1.0 - {ratio(chars(f'list_distinct({_LINES})'), chars(_LINES))}, 6)"
+    )
+    dup_para = f"round(1.0 - {ratio(f'len(list_distinct({paras}))', f'len({paras})')}, 6)"
+    dup_para_char = (
+        f"round(1.0 - {ratio(chars(f'list_distinct({paras})'), chars(paras))}, 6)"
     )
     dup_word = f"round(1.0 - {ratio(f'len(list_distinct({_WORDS}))', f'len({_WORDS})')}, 6)"
     return (
         f"SELECT doc_id, text, lang, source, n_chars, "
         f"{dup_line} AS dup_line_ratio, {dup_line_char} AS dup_line_char_ratio, "
+        f"{dup_para} AS dup_para_ratio, {dup_para_char} AS dup_para_char_ratio, "
         f"{dup_word} AS dup_word_ratio FROM {table}"
     )
 
@@ -1793,8 +1799,9 @@ FROM {table} t LEFT JOIN p ON t.{id_col} = p.{id_col}
 
 def repetition_filter_sql(table: str = "documents", id_col: str = "doc_id") -> str:
     """Mirror of text.repetition_filter: the Gopher A1.1 caps applied to
-    the line ratios + n-gram char fractions (graded: id, pass). Null
-    signals coalesce to 0 on both engines (null text passes)."""
+    the line AND paragraph ratios + n-gram char fractions (graded: id,
+    pass). Null signals coalesce to 0 on both engines (null text
+    passes)."""
     caps = {2: 0.20, 3: 0.18, 4: 0.16, 5: 0.15, 6: 0.14, 7: 0.13,
             8: 0.12, 9: 0.11, 10: 0.10}
     n_list = ", ".join(str(n) for n in caps)
@@ -1805,9 +1812,14 @@ def repetition_filter_sql(table: str = "documents", id_col: str = "doc_id") -> s
     def chars(arr):
         return f"list_sum(list_transform({arr}, x -> length(x)))"
 
+    paras = r"regexp_split_to_array(text, '\n{2,}')"
     dup_line = f"round(1.0 - {ratio(f'len(list_distinct({_LINES}))', f'len({_LINES})')}, 6)"
     dup_line_char = (
         f"round(1.0 - {ratio(chars(f'list_distinct({_LINES})'), chars(_LINES))}, 6)"
+    )
+    dup_para = f"round(1.0 - {ratio(f'len(list_distinct({paras}))', f'len({paras})')}, 6)"
+    dup_para_char = (
+        f"round(1.0 - {ratio(chars(f'list_distinct({paras})'), chars(paras))}, 6)"
     )
     # top/dup char sums computed in the agg CTE, caps applied in the pivot
     tops = " AND ".join(
@@ -1841,7 +1853,9 @@ p AS (SELECT {id_col}, ({tops} AND {dups}) AS gram_ok FROM agg GROUP BY {id_col}
 l AS (
   SELECT {id_col},
          coalesce({dup_line}, 0.0) <= 0.30
-         AND coalesce({dup_line_char}, 0.0) <= 0.20 AS line_ok
+         AND coalesce({dup_line_char}, 0.0) <= 0.20
+         AND coalesce({dup_para}, 0.0) <= 0.30
+         AND coalesce({dup_para_char}, 0.0) <= 0.20 AS line_ok
   FROM {table}
 )
 SELECT t.{id_col},

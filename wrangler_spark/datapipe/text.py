@@ -106,33 +106,50 @@ def _ratio(num: Column, den: Column) -> Column:
     return F.round(num.cast("double") / F.greatest(den, F.lit(1)).cast("double"), 6)
 
 
+_P = "__paras"
+
+
 def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
-    """Within-document repetition ratios (Gopher §A1.1 'repetitious text'):
-    dup_line_ratio / dup_line_char_ratio over newline-split lines, plus
-    dup_word_ratio over normalized words. All native array ops — one
-    projection, no shuffle; lines/words staged once (no CSE in HOF
-    lambdas)."""
+    """Within-document repetition ratios (Gopher §A1.1 'repetitious
+    text'): dup_line_ratio / dup_line_char_ratio over newline-split
+    lines, dup_para_ratio / dup_para_char_ratio over blank-line-split
+    PARAGRAPHS (Gopher's second structural unit — a single-paragraph
+    document scores 0, never 'all duplicate'), plus dup_word_ratio over
+    normalized words. All native array ops — one projection, no
+    shuffle; lines/paras/words staged once (no CSE in HOF lambdas)."""
     c = F.col(text_col)
-    staged = _with_words(df.withColumn(_L, F.split(c, "\n")), text_col)
-    lines, words = F.col(_L), F.col(_W)
+    staged = _with_words(
+        df.withColumn(_L, F.split(c, "\n")).withColumn(_P, F.split(c, r"\n{2,}")),
+        text_col,
+    )
+    lines, paras, words = F.col(_L), F.col(_P), F.col(_W)
     chars = lambda arr: F.aggregate(  # noqa: E731
         arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
-    out = (
-        staged.withColumn(
-            "dup_line_ratio",
-            F.round(1.0 - _ratio(F.size(F.array_distinct(lines)), F.size(lines)), 6),
-        )
-        .withColumn(
-            "dup_line_char_ratio",
-            F.round(1.0 - _ratio(chars(F.array_distinct(lines)), chars(lines)), 6),
-        )
-        .withColumn(
-            "dup_word_ratio",
-            F.round(1.0 - _ratio(F.size(F.array_distinct(words)), F.size(words)), 6),
-        )
+
+    def _dup(arr, unit: str) -> DataFrame:
+        # a one-element split (no separator in the doc) carries no
+        # duplication evidence for that unit: ratio 0 by the distinct
+        # rule already (1 distinct of 1)
+        return {
+            f"dup_{unit}_ratio": F.round(
+                1.0 - _ratio(F.size(F.array_distinct(arr)), F.size(arr)), 6
+            ),
+            f"dup_{unit}_char_ratio": F.round(
+                1.0 - _ratio(chars(F.array_distinct(arr)), chars(arr)), 6
+            ),
+        }
+
+    out = staged.withColumns(
+        {
+            **_dup(lines, "line"),
+            **_dup(paras, "para"),
+            "dup_word_ratio": F.round(
+                1.0 - _ratio(F.size(F.array_distinct(words)), F.size(words)), 6
+            ),
+        }
     )
-    return out.drop(_L, _W)
+    return out.drop(_L, _P, _W)
 
 
 def _runlen_top_dup(sorted_grams):
@@ -273,6 +290,8 @@ def ngram_repetition_stats(
 GOPHER_REP_CAPS = {
     "dup_line_ratio": 0.30,
     "dup_line_char_ratio": 0.20,
+    "dup_para_ratio": 0.30,
+    "dup_para_char_ratio": 0.20,
     "top_2gram_char_frac": 0.20,
     "top_3gram_char_frac": 0.18,
     "top_4gram_char_frac": 0.16,
@@ -295,9 +314,10 @@ def repetition_filter(
     ``repetition_pass`` (true = keep; a doc exceeding ANY cap fails).
     Null/empty documents pass — no text is no repetition evidence (the
     word-count rule in gopher_quality is the filter that drops those).
-    Line-based duplicate ratios stand in for Gopher's line+paragraph
-    pair (documented subset: paragraph splits reduce to lines for
-    single-newline corpora); ``caps`` overrides individual thresholds.
+    Both of Gopher's structural units are enforced: newline-split lines
+    AND blank-line-split paragraphs, each with the published
+    fraction/character caps (0.30/0.20); ``caps`` overrides individual
+    thresholds.
 
     Scale shape: the n-gram half's single tagged explode + aggregates
     (ngram_repetition_stats) plus a scan-side line-ratio projection —
