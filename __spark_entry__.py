@@ -206,6 +206,16 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embs(spark, sf_dir):
         return _t(spark, sf_dir, "embeddings")
 
+    def _q_url_norm(spark, sf_dir):
+        # synthetic raw URLs staged from doc_id (the _boiler_docs
+        # pattern: the oracle builds the IDENTICAL strings in its CTE),
+        # canonicalized scan-side
+        from wrangler_spark.datapipe.oracles import _URL_CASE
+        from wrangler_spark.datapipe.urls import normalize_urls
+
+        staged = docs(spark, sf_dir).select("doc_id", F.expr(_URL_CASE).alias("url"))
+        return normalize_urls(staged, "url")
+
     def _q_vocab_state(spark, sf_dir):
         # vocabulary state built from 3 batch folds into a fresh temp
         # state, read back through the coverage cut — the driver grades
@@ -331,6 +341,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), "text", "source", 10, weight="logodds"
         ),
         "text_vocab_state": _q_vocab_state,
+        "text_url_norm": _q_url_norm,
         "text_rep_filter": lambda s, d: text.repetition_filter(
             docs(s, d), "doc_id", "text"
         ).select("doc_id", "repetition_pass"),
@@ -615,6 +626,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_group_terms": o.group_top_terms_sql("source", 10),
         "text_group_terms_weighted": o.group_top_terms_weighted_sql("source", 10),
         "text_vocab_state": o.vocab_coverage_sql(0.9),
+        "text_url_norm": o.normalize_urls_sql(),
         "text_rep_filter": o.repetition_filter_sql(),
         "corpus_drift": o.distribution_drift_sql("c_acctbal", 10),
         "num_scale": o.scale_column_sql("c_acctbal", "minmax"),

@@ -3508,3 +3508,39 @@ def test_paragraph_repetition_signals(spark):
     got = {r["doc_id"]: r["repetition_pass"] for r in
            text.repetition_filter(df, "doc_id", "text").collect()}
     assert got == {1: False, 2: True, 3: True}
+
+
+def test_url_normalization_dedup_key(spark):
+    """Canonical URL keys: case/www/default-port/fragment/tracking-param
+    variants of the same page collapse to ONE key; distinct pages stay
+    distinct; non-URLs are null (never a key). Composes with exact URL
+    dedup downstream and rides the directive surface."""
+    from wrangler_spark.datapipe.urls import normalize_urls
+
+    variants = [
+        (1, "HTTP://WWW.Example.com:80/a/b/?b=2&utm_source=news&a=1#frag"),
+        (2, "http://example.com/a/b?a=1&b=2"),
+        (3, "http://example.com/a/b/?fbclid=zzz&b=2&a=1"),
+    ]
+    others = [
+        (4, "https://example.com/a/b?a=1&b=2"),   # scheme IS identity
+        (5, "http://example.com/a/b?a=2&b=2"),    # different param value
+        (6, "no url here"), (7, None),
+        (8, "http://example.com:8080/a"),          # non-default port kept
+    ]
+    df = spark.createDataFrame(variants + others, "id int, url string")
+    got = {r["id"]: r["url_norm"] for r in normalize_urls(df, "url").collect()}
+    assert got[1] == got[2] == got[3] == "http://example.com/a/b?a=1&b=2"
+    assert got[4] == "https://example.com/a/b?a=1&b=2" != got[1]
+    assert got[5] != got[1]
+    assert got[6] is None and got[7] is None
+    assert got[8] == "http://example.com:8080/a"
+    # the dedup composition: 8 rows, 5 distinct non-null keys
+    assert normalize_urls(df, "url").filter(
+        F.col("url_norm").isNotNull()
+    ).dropDuplicates(["url_norm"]).count() == 4
+    # directive surface (custom out column)
+    from wrangler_spark import Pipeline
+
+    d = Pipeline.compile("normalize-url :url canon").apply(df)
+    assert {r["id"]: r["canon"] for r in d.collect()} == got

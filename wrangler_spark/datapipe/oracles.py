@@ -1438,11 +1438,11 @@ GROUP BY h.doc_id, k.kw
 
 def shuffle_shards_sql(n_shards: int = 8, seed: str = "", table: str = "documents") -> str:
     """Mirror of curation.shuffle_shards (projection: id, shard, sort_key)."""
-    h = _H.format(s=f"'{seed}:' || CAST(doc_id AS VARCHAR)")
+    h = _H.format(s=f"'{seed}:' || CAST(doc_id AS STRING)")
     return f"""
 SELECT doc_id,
        CAST({h} % {int(n_shards)} AS INT) AS shard,
-       md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS sort_key
+       md5('{seed}:' || CAST(doc_id AS STRING)) AS sort_key
 FROM {table}
 """
 
@@ -2000,6 +2000,62 @@ r AS (
 )
 SELECT g AS {by}, term, CAST(tf AS BIGINT) AS tf, score, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {int(k)}
+"""
+
+
+# the synthetic raw-URL expression shared by the text_url_norm query and
+# its oracle: deterministic per-doc variants exercising casing, www,
+# default/explicit ports, trailing slashes, tracking params, unsorted
+# params, fragments, and a non-URL row
+_URL_CASE = """CASE doc_id % 6
+  WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 40 AS STRING) || '.com:80/Articles/' || CAST(doc_id AS STRING) || '/?utm_source=feed&b=2&a=1#frag'
+  WHEN 1 THEN 'https://site' || CAST(doc_id % 40 AS STRING) || '.com:443/Articles/' || CAST(doc_id AS STRING) || '?b=2&a=1'
+  WHEN 2 THEN 'http://site' || CAST(doc_id % 40 AS STRING) || '.com:8080/x?fbclid=abc&&q=' || CAST(doc_id AS STRING)
+  WHEN 3 THEN 'https://WWW.site' || CAST(doc_id % 40 AS STRING) || '.com'
+  WHEN 4 THEN 'not a url ' || CAST(doc_id AS STRING)
+  ELSE 'http://site' || CAST(doc_id % 40 AS STRING) || '.com/Articles/' || CAST(doc_id AS STRING) || '/'
+END"""
+
+
+def normalize_urls_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """Mirror of urls.normalize_urls over the shared synthetic raw-URL
+    staging (graded: id, url, url_norm) — every canonicalization step
+    re-derived in DuckDB's regex/list dialect."""
+    tracking = "^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid|igshid)(=.*)?$"
+    return rf"""
+WITH u AS (SELECT {id_col}, {_URL_CASE} AS url FROM {table}),
+p AS (
+  -- coalesce: DuckDB regexp_extract is NULL on no match, Spark's is ''
+  SELECT {id_col}, url,
+    coalesce(lower(regexp_extract(url, '^\s*([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
+    coalesce(lower(regexp_extract(url, '^\s*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '') AS auth,
+    coalesce(regexp_extract(url, '^\s*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS pth,
+    coalesce(regexp_extract(url, '^\s*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)', 1), '') AS qry
+  FROM u
+),
+q AS (
+  SELECT {id_col}, url, scheme,
+    regexp_replace(regexp_replace(auth, ':[0-9]+$', ''), '^www\.', '') AS host,
+    coalesce(regexp_extract(auth, ':([0-9]+)$', 1), '') AS port,
+    -- coalesce: DuckDB array_to_string([]) is NULL, Spark's is ''
+    coalesce(array_to_string(
+      list_sort(list_filter(string_split(qry, '&'),
+                x -> x <> '' AND NOT regexp_matches(x, '{tracking}'))),
+      '&'), '') AS qj,
+    CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(pth, '/+$', '') END AS npath
+  FROM p
+)
+SELECT {id_col}, url,
+  CASE WHEN scheme = '' OR host = '' THEN NULL
+       ELSE scheme || '://'
+            || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443')
+                    THEN host ELSE host || ':' || port END
+            || npath
+            || CASE WHEN qj = '' THEN '' ELSE '?' || qj END
+  END AS url_norm
+FROM q
 """
 
 

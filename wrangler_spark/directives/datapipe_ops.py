@@ -1005,6 +1005,27 @@ class VocabCoverage(Directive):
 
 
 @directive
+class NormalizeUrl(Directive):
+    """normalize-url :url [out] — canonical URL dedup key (RFC 3986
+    syntax normalization + www/default-port/fragment/tracking-param
+    stripping + sorted query); non-URLs → null. Scan-side, zero
+    shuffle."""
+
+    name = "normalize-url"
+    usage = [
+        Arg("url", TokenType.COLUMN),
+        Arg("out", TokenType.IDENTIFIER, optional=True, default="url_norm"),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.urls import normalize_urls
+
+        return normalize_urls(
+            df, ctx.resolve(df, self.args["url"]), str(self.args["out"])
+        )
+
+
+@directive
 class NgramRepetition(Directive):
     """ngram-repetition :id :text — Gopher n-gram repetition fractions
     (top_{2,3,4}gram_char_frac + dup_{5..10}gram_char_frac) appended per
