@@ -896,7 +896,7 @@ def _semdedup_oracle_sql(
 # eager_checkpoint conversion, a single shared mechanism still
 # represented by ~10 remaining window entries) for transitions/paths.
 # Everything rotated out stays green in tools/oracle_parity.py.
-_R9_WINDOW = [
+_R10_WINDOW = [
     # sentinels (flagship + historically fragile + broadcast join)
     "cleanse_recipe",
     "dedup_minhash_lsh",
@@ -904,13 +904,20 @@ _R9_WINDOW = [
     "sessionize",
     "json_parse",
     "table_lookup",
-    # the 3 r7 parity-only rows: first driver grade
-    "dedup_cluster_hist",
-    "text_sentences",
+    # r10: dedup_cluster_hist and text_sentences vacated (r9-green,
+    # unchanged; the cc family stays graded via dedup_minhash_cc and the
+    # sentence splitter via the in-window dedup_sentences) for the
+    # log-odds group labeling and the URL dedup key — both new this
+    # round
+    "text_group_terms_weighted",
+    "text_url_norm",
     "dedup_sentences",
-    # new this round
     "entity_match_against",
-    "num_mad",
+    # r10: num_mad vacated (r9-green; the MAD fence and the r8 exact
+    # knob stay graded through the in-window num_mad_by, which executes
+    # the same aggregate plus the group join) for the vocabulary-state
+    # reconstruction — new this round (r9 VERDICT next-round #6)
+    "text_vocab_state",
     # r9: num_qbins vacated (r8-green, unchanged) for the grouped
     # top-fraction pruning — keep_top_frac(by=)
     "sample_top_frac_by",
@@ -922,14 +929,16 @@ _R9_WINDOW = [
     # rewrite / staged norm / plan-shape fixes)
     "entity_match",
     "text_winnow_overlap",
-    # late r8 addition (per-group scaling) — text_winnow vacated (r7-green;
-    # winnow_fingerprints IS the in-window winnow_overlap's subtree)
-    "num_scale_by",
     # late r8 addition (vocab coverage cutoff) — dedup_ngram_word vacated
     # (green r1-r7 incl. post-rewrite r7; its only r8 change is the shared
     # eager_checkpoint mechanism, represented by many remaining entries)
     "text_vocab",
     "dedup_minhash_cc",
+    # r10: num_scale_by vacated (r8-green, unchanged; the grouped numeric
+    # join path stays graded through num_winsorize_by/num_qbins_by/
+    # num_mad_by) for the repetition ratios, whose output GREW the
+    # paragraph columns this round (semantics change -> re-enters)
+    "text_repetition",
     # r9: dedup_embedding_cc vacated (r8-green, unchanged; the cc family
     # stays graded through dedup_minhash_cc) for the Gopher n-gram
     # repetition suite — new this round
@@ -1007,8 +1016,8 @@ _R9_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    assert len(_R9_WINDOW) == 50 and all(n in all_q for n in _R9_WINDOW)
-    ordered = {name: all_q[name] for name in _R9_WINDOW}
+    assert len(_R10_WINDOW) == 50 and all(n in all_q for n in _R10_WINDOW)
+    ordered = {name: all_q[name] for name in _R10_WINDOW}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
     return ordered
 
@@ -1073,7 +1082,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_distance_lev": _recipe_q(
             "customer", "text-distance levenshtein :c_name :c_mktsegment :dist"
         ),
-        # (ordering here is irrelevant — queries() reorders via _R9_WINDOW)
+        # (ordering here is irrelevant — queries() reorders via _R10_WINDOW)
         "parse_as_log": _recipe_q(
             "customer",
             "keep :c_custkey\n"

@@ -75,12 +75,15 @@ EXTRA_QUERIES = [
     "decontam_spans",      # benchmark-contamination span detection
     "dedup_minhash_b16r2", # recall-tilted LSH banding operating point
     # Added round 9
-    "text_ngram_rep",      # Gopher n-gram repetition (tagged gram explode + pivot)
+    "text_ngram_rep",      # Gopher n-gram repetition (r10: scan-side fold, zero exchange)
     "text_oov",            # OOV rate vs the corpus's own coverage vocab
     "events_active_users", # rolling DAU/WAU/MAU (pair explode + pivot)
     "text_vocab",          # coverage vocab (single-scan checkpoint rewrite)
     "text_group_terms",    # per-group top-k terms (two-phase slice)
-    "text_rep_filter",     # Gopher repetition caps (both signal families)
+    "text_rep_filter",     # Gopher repetition caps (line+para+gram, scan-side)
+    # Added round 10
+    "text_group_terms_weighted",  # Fightin' Words log-odds labeling
+    "text_url_norm",       # URL canonicalization (scan-side regex/list chain)
 ]
 
 

@@ -237,7 +237,15 @@ def ngram_repetition_stats(
     Per-row transient memory is the same sum(n)·doc_len bound the old
     explode paid per task, now never serialized. Fold structs are staged
     one column per n so each fold evaluates once (CollapseProject keeps
-    multiply-referenced non-trivial aliases staged)."""
+    multiply-referenced non-trivial aliases staged).
+
+    Measured trade (sf0.1, local[32]): the interpreted sort+fold costs
+    ~1.5-2x the codegen'd explode+hash-aggregate in CPU — and removes
+    the exchange entirely. Embarrassingly parallel CPU scales with
+    executors; a 50x-corpus-bytes shuffle does not. (A hash-the-grams
+    variant — xxhash64 over the word slice, long comparisons — was
+    measured SLOWER than the string fold: the cost is the per-element
+    interpreted evaluation, not the string compares.)"""
     ns = sorted(set(int(n) for n in (*top_ns, *dup_ns)))
     if not ns or ns[0] < 2:
         raise ValueError(f"n-gram sizes must be >= 2, got {(*top_ns, *dup_ns)}")
