@@ -206,16 +206,6 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embs(spark, sf_dir):
         return _t(spark, sf_dir, "embeddings")
 
-    def _q_url_norm(spark, sf_dir):
-        # synthetic raw URLs staged from doc_id (the _boiler_docs
-        # pattern: the oracle builds the IDENTICAL strings in its CTE),
-        # canonicalized scan-side
-        from wrangler_spark.datapipe.oracles import _URL_CASE
-        from wrangler_spark.datapipe.urls import normalize_urls
-
-        staged = docs(spark, sf_dir).select("doc_id", F.expr(_URL_CASE).alias("url"))
-        return normalize_urls(staged, "url")
-
     def _q_vocab_state(spark, sf_dir):
         # vocabulary state built from 3 batch folds into a fresh temp
         # state, read back through the coverage cut — the driver grades
@@ -341,7 +331,6 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), "text", "source", 10, weight="logodds"
         ),
         "text_vocab_state": _q_vocab_state,
-        "text_url_norm": _q_url_norm,
         "text_rep_filter": lambda s, d: text.repetition_filter(
             docs(s, d), "doc_id", "text"
         ).select("doc_id", "repetition_pass"),
@@ -423,6 +412,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), docs(s, d).filter(F.col("doc_id") % 7 == 0), "doc_id", "text", 4096
         ),
         "pack_sequences": lambda s, d: curation.pack_sequences(docs(s, d), "doc_id", "text", 512),
+        "sample_token_budget_by": lambda s, d: curation.sample_token_budget(
+            docs(s, d), "doc_id", "text", 5000, by="source"
+        ).select("doc_id", "source", "n_tokens"),
         "text_chunk": lambda s, d: curation.chunk_documents(docs(s, d), "doc_id", "text", 64, 8),
         "text_bm25_topk": lambda s, d: text.bm25_topk(
             docs(s, d),
@@ -592,6 +584,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_substring_keepfirst": o.substring_dup_sql(8, keep_first=True),
         "text_dsir": o.dsir_sql(4096),
         "pack_sequences": o.pack_sequences_sql(512),
+        "sample_token_budget_by": o.sample_token_budget_sql(5000, by="source"),
         "text_chunk": o.chunk_documents_sql(64, 8),
         "text_bm25": o.bm25_sql(_BM25_QUERIES),
         "text_bm25_topk": o.bm25_topk_sql(_BM25_QUERIES, 10),
@@ -626,7 +619,6 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_group_terms": o.group_top_terms_sql("source", 10),
         "text_group_terms_weighted": o.group_top_terms_weighted_sql("source", 10),
         "text_vocab_state": o.vocab_coverage_sql(0.9),
-        "text_url_norm": o.normalize_urls_sql(),
         "text_rep_filter": o.repetition_filter_sql(),
         "corpus_drift": o.distribution_drift_sql("c_acctbal", 10),
         "num_scale": o.scale_column_sql("c_acctbal", "minmax"),
@@ -907,10 +899,10 @@ _R10_WINDOW = [
     # r10: dedup_cluster_hist and text_sentences vacated (r9-green,
     # unchanged; the cc family stays graded via dedup_minhash_cc and the
     # sentence splitter via the in-window dedup_sentences) for the
-    # log-odds group labeling and the URL dedup key — both new this
-    # round
+    # log-odds group labeling and the token-budget sampler — both new
+    # this round
     "text_group_terms_weighted",
-    "text_url_norm",
+    "sample_token_budget_by",
     "dedup_sentences",
     "entity_match_against",
     # r10: num_mad vacated (r9-green; the MAD fence and the r8 exact

@@ -83,7 +83,6 @@ EXTRA_QUERIES = [
     "text_rep_filter",     # Gopher repetition caps (line+para+gram, scan-side)
     # Added round 10
     "text_group_terms_weighted",  # Fightin' Words log-odds labeling
-    "text_url_norm",       # URL canonicalization (scan-side regex/list chain)
 ]
 
 

@@ -3510,37 +3510,45 @@ def test_paragraph_repetition_signals(spark):
     assert got == {1: False, 2: True, 3: True}
 
 
-def test_url_normalization_dedup_key(spark):
-    """Canonical URL keys: case/www/default-port/fragment/tracking-param
-    variants of the same page collapse to ONE key; distinct pages stay
-    distinct; non-URLs are null (never a key). Composes with exact URL
-    dedup downstream and rides the directive surface."""
-    from wrangler_spark.datapipe.urls import normalize_urls
+def test_sample_token_budget(spark):
+    """Token-budget selection: the kept set's exclusive prefix stays
+    under the budget (straddler kept — overshoot bounded by ONE doc),
+    selection is deterministic per seed and changes with it, budget 0
+    keeps nothing, per-group budgets fill independently, count_col
+    substitutes a real tokenizer's counts, directive surface works."""
+    from wrangler_spark.datapipe.curation import sample_token_budget
 
-    variants = [
-        (1, "HTTP://WWW.Example.com:80/a/b/?b=2&utm_source=news&a=1#frag"),
-        (2, "http://example.com/a/b?a=1&b=2"),
-        (3, "http://example.com/a/b/?fbclid=zzz&b=2&a=1"),
-    ]
-    others = [
-        (4, "https://example.com/a/b?a=1&b=2"),   # scheme IS identity
-        (5, "http://example.com/a/b?a=2&b=2"),    # different param value
-        (6, "no url here"), (7, None),
-        (8, "http://example.com:8080/a"),          # non-default port kept
-    ]
-    df = spark.createDataFrame(variants + others, "id int, url string")
-    got = {r["id"]: r["url_norm"] for r in normalize_urls(df, "url").collect()}
-    assert got[1] == got[2] == got[3] == "http://example.com/a/b?a=1&b=2"
-    assert got[4] == "https://example.com/a/b?a=1&b=2" != got[1]
-    assert got[5] != got[1]
-    assert got[6] is None and got[7] is None
-    assert got[8] == "http://example.com:8080/a"
-    # the dedup composition: 8 rows, 5 distinct non-null keys
-    assert normalize_urls(df, "url").filter(
-        F.col("url_norm").isNotNull()
-    ).dropDuplicates(["url_norm"]).count() == 4
-    # directive surface (custom out column)
+    rows = [(i, "g" if i % 2 else "h", "tok " * (10 + i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "text"])
+
+    out = sample_token_budget(df, "doc_id", "text", 100)
+    got = out.select("doc_id", "n_tokens").collect()
+    total = sum(r["n_tokens"] for r in got)
+    mx = max(r["n_tokens"] for r in got)
+    assert total >= 100 and total - mx < 100      # budget filled, overshoot <= 1 doc
+    # determinism + seed sensitivity
+    again = {r["doc_id"] for r in sample_token_budget(df, "doc_id", "text", 100).collect()}
+    assert again == {r["doc_id"] for r in got}
+    other = {r["doc_id"] for r in
+             sample_token_budget(df, "doc_id", "text", 100, seed="s2").collect()}
+    assert other != again                          # (md5 order reshuffles)
+    assert sample_token_budget(df, "doc_id", "text", 0).count() == 0
+
+    # per-group: each group fills its own budget
+    by = sample_token_budget(df, "doc_id", "text", 60, by="grp")
+    per = {g: sum(r["n_tokens"] for r in rs) for g, rs in
+           __import__("itertools").groupby(
+               sorted(by.collect(), key=lambda r: r["grp"]), key=lambda r: r["grp"])}
+    for g, tot in per.items():
+        assert tot >= 60, (g, tot)
+
+    # count_col: a precomputed (fake-tokenizer) count drives the budget
+    pre = df.withColumn("my_tok", F.lit(7))
+    cc = sample_token_budget(pre, "doc_id", "text", 21, count_col="my_tok")
+    assert cc.count() == 3                         # 7 * 3 = 21; prefix of 4th = 21 not < 21
+
+    # directive surface
     from wrangler_spark import Pipeline
 
-    d = Pipeline.compile("normalize-url :url canon").apply(df)
-    assert {r["id"]: r["canon"] for r in d.collect()} == got
+    d = Pipeline.compile("sample-token-budget :doc_id :text 100").apply(df)
+    assert {r["doc_id"] for r in d.collect()} == again

@@ -597,6 +597,115 @@ def dsir_logratio(
     return raw.join(per_doc, F.col(id_col) == F.col("__id"), "left").drop("__id")
 
 
+def exclusive_prefix_sum(
+    df: DataFrame, order_col: str, value_col: str,
+    range_partitions: int | None = None, by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum of ``value_col`` in
+    ``(by..., order_col)`` order — appended as ``__prefix``. The
+    textbook two-phase scan (Blelloch) in DataFrame ops, shared by
+    pack_sequences and sample_token_budget; a plain
+    ``Window.orderBy(order_col)`` would funnel the whole corpus through
+    ONE reducer for the running total (the scale-killer the ANN top-k
+    rewrite removed):
+
+      1. range-repartition by (by..., order_col) — parallel sort;
+         ascending ranges land in ascending partition ids
+         (repartitionByRange's contract), so groups span partitions in
+         order (no per-group single reducer even for ONE giant group);
+      2. per-(partition, group) running totals via a window PARTITIONED
+         BY the physical partition id — embarrassingly parallel;
+      3. per-(partition, group) totals (one row each) get their
+         exclusive offsets from a per-group window over that P·G-row
+         aggregate — driver-bounded tiny — broadcast-joined back.
+
+    The ranged frame is eagerly checkpointed: it feeds both the local
+    scan and the totals, and an un-pinned RangePartitioner re-executed
+    per consumer would resample its boundaries with a different seed,
+    silently corrupting the prefix (the repo's established
+    multi-consumer idiom). ``order_col`` values must be unique within a
+    group — ties make the prefix ambiguous."""
+    P = int(range_partitions or df.sparkSession.sparkContext.defaultParallelism)
+    cols = [*by, order_col]
+    ranged = eager_checkpoint(
+        df.repartitionByRange(P, *cols).withColumn("__pid", F.spark_partition_id())
+    )
+    local = ranged.withColumn(
+        "__local",
+        F.coalesce(
+            F.sum(value_col).over(
+                Window.partitionBy("__pid", *by)
+                .orderBy(order_col)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    totals = ranged.groupBy("__pid", *by).agg(F.sum(value_col).alias("__tot"))
+    offs = totals.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__tot").over(
+                Window.partitionBy(*by)
+                .orderBy("__pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__pid", *by, "__off")
+    return (
+        local.join(F.broadcast(offs), ["__pid", *by])
+        .withColumn("__prefix", (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )
+
+
+def sample_token_budget(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int,
+    by: str | None = None,
+    seed: str = "",
+    count_col: str | None = None,
+) -> DataFrame:
+    """TOKEN-budget corpus selection — the mixture-assembly primitive
+    when recipes are written in tokens, not documents ("30B tokens of
+    web, 5B of code"): keep documents, in deterministic seeded-hash
+    order, until the running token total reaches ``budget_tokens`` —
+    per ``by`` group when given (each group fills its own budget).
+    A uniform random subset of the right SIZE, stable across runs and
+    engines (the sample_hash ordering contract). The document that
+    STRADDLES the boundary is kept — every doc whose exclusive prefix
+    is under the budget survives, so the selection can overshoot by at
+    most one document (the keep_top_frac boundary convention; dropping
+    the straddler would undershoot instead, and a budget is a floor
+    target). Token counts use the shared TOKEN_RE (text.token_count);
+    ``count_col`` substitutes a precomputed count (e.g. a real
+    tokenizer's). Returns the surviving rows with ``n_tokens``.
+
+    Scale shape: one scan-side count + hash key, then the shared
+    distributed two-phase prefix scan (exclusive_prefix_sum — never a
+    global or per-group single-reducer window), then a scan-side
+    filter. Budget semantics need the prefix, not a sort: no TopK, no
+    collect."""
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    from wrangler_spark.datapipe.text import TOKEN_RE
+
+    n = (
+        F.col(count_col).cast("long")
+        if count_col
+        else F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).cast("long")
+    )
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    staged = df.withColumn("n_tokens", n).withColumn("__k", key)
+    pref = exclusive_prefix_sum(
+        staged, "__k", "n_tokens", by=((by,) if by else ())
+    )
+    return pref.filter(F.col("__prefix") < int(budget_tokens)).drop("__k", "__prefix")
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -618,68 +727,28 @@ def pack_sequences(
     id order, and duplicate ids would make the prefix sum ambiguous.
 
     Scale shape — the whole op is a DISTRIBUTED PREFIX SUM, never a
-    global window: a ``Window.orderBy(id)`` would funnel the entire
-    corpus through ONE reducer for the running total (the same
-    scale-killer the ANN top-k rewrite removed). Instead:
-      1. range-repartition by id (parallel sort; ascending ranges land
-         in ascending partition ids — repartitionByRange's contract);
-      2. per-partition running totals via a window PARTITIONED BY the
-         physical partition id — embarrassingly parallel;
-      3. per-partition totals (one row each) get their exclusive offsets
-         from a window over that P-row aggregate — P is the partition
-         count, driver-bounded tiny — broadcast-joined back.
+    global window: the shared two-phase scan (exclusive_prefix_sum,
+    where the shape is documented) plus scan-side chunk arithmetic.
     Every shuffle is bounded; the only serial state is the P-row offset
-    table. This is the textbook two-phase scan (Blelloch) expressed in
-    DataFrame ops."""
+    table."""
     from wrangler_spark.datapipe.text import TOKEN_RE
 
-    P = int(range_partitions or df.sparkSession.sparkContext.defaultParallelism)
     L = int(seq_len)
     base = df.select(
         F.col(id_col).alias("__id"),
         F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).cast("long").alias("n_tokens"),
     )
-    # eager localCheckpoint PINS the range partitioning: `ranged` feeds
-    # both the per-row local prefix sum and the per-partition totals — if
-    # ReuseExchange ever declined to share the exchange, a re-executed
-    # RangePartitioner would resample its boundaries with a different
-    # seed and the two branches would see DIFFERENT __pid assignments,
-    # silently corrupting start_pos. The checkpoint materializes one
-    # partition assignment both consumers read (the repo's established
-    # idiom for multi-consumer frames).
-    ranged = eager_checkpoint(
-        base.repartitionByRange(P, "__id")
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    local = ranged.withColumn(
-        "__local",
-        F.sum("n_tokens").over(
-            Window.partitionBy("__pid").orderBy("__id").rowsBetween(Window.unboundedPreceding, -1)
-        ),
-    ).withColumn("__local", F.coalesce(F.col("__local"), F.lit(0)))
-    totals = ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("__tot"))
-    offs = totals.withColumn(
-        "__off",
-        F.coalesce(
-            F.sum("__tot").over(
-                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("__pid", "__off")
-    start = F.col("__local") + F.col("__off")
-    return (
-        local.join(F.broadcast(offs), "__pid")
-        .select(
-            F.col("__id").alias(id_col),
-            "n_tokens",
-            start.alias("start_pos"),
-            F.floor(start / L).cast("long").alias("seq_id"),
-            (start % L).cast("long").alias("seq_offset"),
-            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
-                F.floor((start + F.col("n_tokens") - 1) / L) - F.floor(start / L) + 1
-            ).cast("long").alias("n_seqs"),
-        )
+    pref = exclusive_prefix_sum(base, "__id", "n_tokens", range_partitions)
+    start = F.col("__prefix")
+    return pref.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        start.alias("start_pos"),
+        F.floor(start / L).cast("long").alias("seq_id"),
+        (start % L).cast("long").alias("seq_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor((start + F.col("n_tokens") - 1) / L) - F.floor(start / L) + 1
+        ).cast("long").alias("n_seqs"),
     )
 
 

@@ -775,6 +775,33 @@ FROM pre
 """
 
 
+def sample_token_budget_sql(
+    budget: int, by: str | None = None, seed: str = "",
+    table: str = "documents", id_col: str = "doc_id",
+) -> str:
+    """Mirror of curation.sample_token_budget (graded projection: id
+    [, by], n_tokens): exclusive prefix sum of TOKEN_RE token counts in
+    seeded-md5 order (per group with ``by``), keep while the prefix is
+    under the budget. DuckDB's single global/per-group window stands in
+    for the Spark side's distributed two-phase scan."""
+    part = f"PARTITION BY {by} " if by else ""
+    by_sel = f", {by}" if by else ""
+    return f"""
+WITH t AS (
+  SELECT {id_col}{by_sel},
+         len(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT AS n_tokens,
+         md5('{seed}:' || CAST({id_col} AS STRING)) AS k
+  FROM {table}
+),
+p AS (
+  SELECT *, coalesce(sum(n_tokens) OVER ({part}ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM t
+)
+SELECT {id_col}{by_sel}, n_tokens FROM p WHERE pre < {int(budget)}
+"""
+
+
 def bm25_sql(
     queries: list[tuple[int, str]],
     k1: float = 1.2,
@@ -2000,62 +2027,6 @@ r AS (
 )
 SELECT g AS {by}, term, CAST(tf AS BIGINT) AS tf, score, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {int(k)}
-"""
-
-
-# the synthetic raw-URL expression shared by the text_url_norm query and
-# its oracle: deterministic per-doc variants exercising casing, www,
-# default/explicit ports, trailing slashes, tracking params, unsorted
-# params, fragments, and a non-URL row
-_URL_CASE = """CASE doc_id % 6
-  WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 40 AS STRING) || '.com:80/Articles/' || CAST(doc_id AS STRING) || '/?utm_source=feed&b=2&a=1#frag'
-  WHEN 1 THEN 'https://site' || CAST(doc_id % 40 AS STRING) || '.com:443/Articles/' || CAST(doc_id AS STRING) || '?b=2&a=1'
-  WHEN 2 THEN 'http://site' || CAST(doc_id % 40 AS STRING) || '.com:8080/x?fbclid=abc&&q=' || CAST(doc_id AS STRING)
-  WHEN 3 THEN 'https://WWW.site' || CAST(doc_id % 40 AS STRING) || '.com'
-  WHEN 4 THEN 'not a url ' || CAST(doc_id AS STRING)
-  ELSE 'http://site' || CAST(doc_id % 40 AS STRING) || '.com/Articles/' || CAST(doc_id AS STRING) || '/'
-END"""
-
-
-def normalize_urls_sql(table: str = "documents", id_col: str = "doc_id") -> str:
-    """Mirror of urls.normalize_urls over the shared synthetic raw-URL
-    staging (graded: id, url, url_norm) — every canonicalization step
-    re-derived in DuckDB's regex/list dialect."""
-    tracking = "^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid|igshid)(=.*)?$"
-    return rf"""
-WITH u AS (SELECT {id_col}, {_URL_CASE} AS url FROM {table}),
-p AS (
-  -- coalesce: DuckDB regexp_extract is NULL on no match, Spark's is ''
-  SELECT {id_col}, url,
-    coalesce(lower(regexp_extract(url, '^\s*([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
-    coalesce(lower(regexp_extract(url, '^\s*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '') AS auth,
-    coalesce(regexp_extract(url, '^\s*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS pth,
-    coalesce(regexp_extract(url, '^\s*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)', 1), '') AS qry
-  FROM u
-),
-q AS (
-  SELECT {id_col}, url, scheme,
-    regexp_replace(regexp_replace(auth, ':[0-9]+$', ''), '^www\.', '') AS host,
-    coalesce(regexp_extract(auth, ':([0-9]+)$', 1), '') AS port,
-    -- coalesce: DuckDB array_to_string([]) is NULL, Spark's is ''
-    coalesce(array_to_string(
-      list_sort(list_filter(string_split(qry, '&'),
-                x -> x <> '' AND NOT regexp_matches(x, '{tracking}'))),
-      '&'), '') AS qj,
-    CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
-         ELSE regexp_replace(pth, '/+$', '') END AS npath
-  FROM p
-)
-SELECT {id_col}, url,
-  CASE WHEN scheme = '' OR host = '' THEN NULL
-       ELSE scheme || '://'
-            || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-                         OR (scheme = 'https' AND port = '443')
-                    THEN host ELSE host || ':' || port END
-            || npath
-            || CASE WHEN qj = '' THEN '' ELSE '?' || qj END
-  END AS url_norm
-FROM q
 """
 
 

@@ -1005,23 +1005,32 @@ class VocabCoverage(Directive):
 
 
 @directive
-class NormalizeUrl(Directive):
-    """normalize-url :url [out] — canonical URL dedup key (RFC 3986
-    syntax normalization + www/default-port/fragment/tracking-param
-    stripping + sorted query); non-URLs → null. Scan-side, zero
-    shuffle."""
+class SampleTokenBudget(Directive):
+    """sample-token-budget :id :text budget [by] ['seed'] — keep
+    documents in deterministic seeded-hash order until the running
+    TOKEN total reaches the budget (per group with by) — mixture
+    assembly in tokens, not documents; the straddling doc is kept.
+    Adds n_tokens."""
 
-    name = "normalize-url"
+    name = "sample-token-budget"
     usage = [
-        Arg("url", TokenType.COLUMN),
-        Arg("out", TokenType.IDENTIFIER, optional=True, default="url_norm"),
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("budget", TokenType.NUMERIC),
+        Arg("by", TokenType.COLUMN, optional=True, default=None),
+        Arg("seed", TokenType.TEXT, optional=True, default=""),
     ]
 
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
-        from wrangler_spark.datapipe.urls import normalize_urls
+        from wrangler_spark.datapipe.curation import sample_token_budget
 
-        return normalize_urls(
-            df, ctx.resolve(df, self.args["url"]), str(self.args["out"])
+        return sample_token_budget(
+            df,
+            ctx.resolve(df, self.args["id"]),
+            ctx.resolve(df, self.args["text"]),
+            int(self.args["budget"]),
+            by=ctx.resolve(df, self.args["by"]) if self.args["by"] else None,
+            seed=str(self.args["seed"]),
         )
 
 
