@@ -3274,14 +3274,7 @@ def test_vocab_state_updates_from_stream(spark, tmp_path_factory):
     docs_df.select("doc_id", "text").write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
-    q = (
-        stream.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", src + "_chk")
-        .foreachBatch(
-            lambda batch, bid: text.vocab_update_state(batch, state, "text", str(bid))
-        )
-        .start()
-    )
+    q = text.vocab_update_stream(stream, state, "text", src + "_chk")
     q.awaitTermination(120)
     key = lambda r: (r["word"], r["count"], r["share"])  # noqa: E731
     inc = sorted(map(key, text.vocab_coverage_from_state(spark, state, 0.9).collect()))
@@ -3552,3 +3545,33 @@ def test_sample_token_budget(spark):
 
     d = Pipeline.compile("sample-token-budget :doc_id :text 100").apply(df)
     assert {r["doc_id"] for r in d.collect()} == again
+
+
+def test_report_state_updates_from_stream(spark, tmp_path_factory):
+    """The report family's stream edge: report_update_stream folds each
+    micro-batch into the persisted state and report_from_state matches
+    the one-shot corpus_report over everything the stream delivered
+    (exact counts equal; the HLL dup estimate within the sketch bound —
+    the same contract the batch-fold test holds)."""
+    import shutil as _sh
+
+    from wrangler_spark.datapipe import curation
+
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path_factory.mktemp("rep_stream_src"))
+    chk = str(tmp_path_factory.mktemp("rep_stream_chk"))
+    state = str(tmp_path_factory.mktemp("rep_stream_state") / "st")
+    docs_df.select("doc_id", "text", "lang").write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string, lang string").parquet(src)
+    q = curation.report_update_stream(stream, state, chk, lang_col="lang")
+    q.awaitTermination(120)
+
+    got = curation.report_from_state(spark, state).collect()[0]
+    exact = curation.corpus_report(docs_df, "doc_id", "text").collect()[0]
+    for c in ("n_docs", "n_null_text", "n_chars", "n_words"):
+        assert got[c] == exact[c], c
+    assert abs(got["n_exact_dup_docs"] - exact["n_exact_dup_docs"]) <= max(
+        3, 0.05 * exact["n_docs"]
+    )
+    _sh.rmtree(src, ignore_errors=True)

@@ -1395,6 +1395,32 @@ def report_update_state(
     row.write.mode("append").parquet(f"{root}/rows")
 
 
+def report_update_stream(
+    stream: DataFrame, path: str, checkpoint: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    lang_col: str | None = None, by: str | None = None,
+    trigger: dict | None = None,
+):
+    """Fold a document STREAM into persisted corpus-report state — the
+    stream edge of the report family's triangle (batch: corpus_report;
+    state: report_update_state / report_from_state; stream: THIS, the
+    retention_update_stream shape). One state row (or one per group)
+    appends per micro-batch — exact counts + mergeable HLL sketches,
+    O(batch) forever. batch_id carries the micro-batch id for replay
+    forensics. Returns the started StreamingQuery; default trigger
+    availableNow."""
+    writer = (
+        stream.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda batch, bid: report_update_state(
+                batch, path, id_col, text_col, lang_col, str(bid), by
+            )
+        )
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+    )
+    return writer.start()
+
+
 # the metric/meta columns every report state row carries; anything else
 # in a state row's schema is the (single) group column, under its real
 # name — how report_from_state recovers what the grouping was without a

@@ -1663,6 +1663,32 @@ def vocab_update_state(
     )
 
 
+def vocab_update_stream(
+    stream: DataFrame, path: str, text_col: str, checkpoint: str,
+    trigger: dict | None = None,
+):
+    """Fold a document STREAM into persisted vocabulary state — the
+    stream edge of the vocab family's batch/stream/state triangle
+    (batch: vocab_coverage; state: vocab_update_state /
+    vocab_coverage_from_state; stream: THIS — the same shape as
+    retention_update_stream). Each micro-batch appends its (word,
+    count, batch_id) aggregate — O(batch), never a history rescan; the
+    batch_id is the micro-batch id, so a replayed batch is identifiable
+    (word counts are NOT idempotent under replay the way retention
+    pairs are — compaction sum-merges duplicates, so run a
+    dedup-by-batch_id compaction if a failure replays a batch; the
+    checkpoint makes that a crash-window-only event). Returns the
+    started StreamingQuery; default trigger availableNow."""
+    writer = (
+        stream.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda batch, bid: vocab_update_state(batch, path, text_col, str(bid))
+        )
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+    )
+    return writer.start()
+
+
 def vocab_from_state(spark, path: str) -> DataFrame:
     """The accumulated (word, count) table from vocabulary state — one
     sum-merge aggregate over the state rows (words x batches rows, never
