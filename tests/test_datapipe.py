@@ -3575,3 +3575,35 @@ def test_report_state_updates_from_stream(spark, tmp_path_factory):
         3, 0.05 * exact["n_docs"]
     )
     _sh.rmtree(src, ignore_errors=True)
+
+
+def test_ivf_tune_nprobe(spark, tmp_path_factory):
+    """The ANN tune-then-pin loop: recall is monotone non-decreasing in
+    nprobe (top-(n+1) probed centroids contain the top-n set), the
+    smallest nprobe clearing the target wins, an unreachable target
+    falls back to the largest swept value (fail toward recall), and the
+    sweep table carries one audited row per candidate."""
+    from wrangler_spark.datapipe.similarity import ivf_tune_nprobe
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("ivf_tune")) + "/ix"
+    similarity.ivf_write_index(embs, path, n_centroids=8)
+    q = embs.filter(F.col("vec_id") < 10)
+
+    picked, sweep = ivf_tune_nprobe(
+        embs, q, path, k=5, recall_target=0.95, nprobes=(1, 2, 4, 8)
+    )
+    rows = {r["nprobe"]: r["recall"] for r in sweep.collect()}
+    assert sorted(rows) == [1, 2, 4, 8] and all(r["n_queries"] == 10 for r in sweep.collect())
+    recs = [rows[n] for n in (1, 2, 4, 8)]
+    assert recs == sorted(recs)                    # monotone non-decreasing
+    assert rows[8] == 1.0                          # all 8 centroids probed = exact
+    clearing = [n for n in (1, 2, 4, 8) if rows[n] >= 0.95]
+    assert picked == clearing[0]
+    # unreachable target -> largest swept value
+    picked2, _ = ivf_tune_nprobe(embs, q, path, k=5, recall_target=1.1, nprobes=(1, 2))
+    assert picked2 == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nprobes"):
+        ivf_tune_nprobe(embs, q, path, nprobes=(0,))

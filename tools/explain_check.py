@@ -507,6 +507,23 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # weighted group terms: marginals ride a term-keyed join + broadcast
+    # group/total frames; the top-k stays the two-phase slice — no rank
+    # window, no sort-merge join, no Python
+    p = plan_of(qs["text_group_terms_weighted"](spark, SF_DIR))
+    problems += check(
+        "text_group_terms_weighted", p, must=["HashAggregate"],
+        must_not=["Window", "SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"],
+    )
+    # token-budget sampling: the only Window nodes are the two-phase
+    # scan's partition-local and P*G-offset windows (both bounded) — no
+    # Python, no cartesian; the final budget filter is scan-side
+    p = plan_of(qs["sample_token_budget_by"](spark, SF_DIR))
+    problems += check(
+        "sample_token_budget_by", p,
+        must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     # rolling active users: collapsed (user, day) pairs explode to
     # contribution days and hash-aggregate — never a sliding window over
     # users, never a per-day self-join of the event log; the pair

@@ -467,6 +467,54 @@ def ann_recall(
     )
 
 
+def ivf_tune_nprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    recall_target: float = 0.9,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+):
+    """Tune a persisted IVF index's ``nprobe`` on a query sample — the
+    ANN counterpart of lsh_sweep/embedding_sweep's tune-then-pin loop:
+    exact brute-force top-k over ``corpus`` is the ground truth
+    (computed ONCE, checkpointed), each candidate nprobe queries the
+    index and scores mean recall@k via ann_recall, and the SMALLEST
+    nprobe clearing ``recall_target`` wins (cheapest bucket volume at
+    that recall; falls back to the largest swept value — the
+    fail-toward-recall direction every auto-tuner here shares).
+    Returns ``(picked_nprobe, sweep_df)`` with one (nprobe, recall,
+    n_queries) row per candidate — persist the sweep next to the index
+    for audit, exactly as the auto-geometry builders do.
+
+    Recall is MONOTONE non-decreasing in nprobe (the top-(n+1) probed
+    centroid set contains the top-n set), so the smallest-clearing rule
+    is well-defined — property-tested. Scale shape: the driver loop is
+    bounded at len(nprobes) one-row aggregates; the ground truth and
+    each probe run are distributed queries."""
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
+
+    spark = corpus.sparkSession
+    cand = sorted(set(int(n) for n in nprobes))
+    if not cand or cand[0] < 1:
+        raise ValueError(f"nprobes must be >= 1, got {nprobes}")
+    truth = eager_checkpoint(cosine_topk(corpus, queries, id_col, vec_col, k))
+    rows = []
+    for np_ in cand:
+        approx = ivf_query_index(spark, path, queries, id_col, vec_col, k, np_)
+        r = ann_recall(truth, approx, k).agg(
+            F.round(F.avg("recall"), 6).alias("recall"),
+            F.count(F.lit(1)).alias("n_queries"),
+        ).collect()[0]
+        rows.append((np_, float(r["recall"]), int(r["n_queries"])))
+    release(truth)
+    sweep = spark.createDataFrame(rows, "nprobe int, recall double, n_queries long")
+    ok = [n for n, rec, _ in rows if rec >= float(recall_target)]
+    return (ok[0] if ok else cand[-1]), sweep
+
+
 def ivf_write_index(
     corpus: DataFrame,
     path: str,
