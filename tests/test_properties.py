@@ -465,3 +465,76 @@ def test_warc_roundtrip_property(payloads):
     got = list(warc.iter_records(blob))
     assert [b for _, b in got] == payloads
     assert [h["warc-record-id"] for h, _ in got] == [f"<r{i}>" for i in range(len(payloads))]
+
+
+# ---------------------------------------------------------------------------
+# round-10 kernels: the distributed prefix scan and the run-length fold
+# ---------------------------------------------------------------------------
+
+
+@_settings(max_examples=8, deadline=None)
+@_given(
+    _st.lists(_st.integers(min_value=0, max_value=50), min_size=1, max_size=60),
+    _st.integers(min_value=1, max_value=7),
+)
+def test_exclusive_prefix_sum_matches_sequential(spark, values, P):
+    """exclusive_prefix_sum == the sequential cumulative sum (shifted),
+    for ANY partition count — the two-phase scan must be invariant to
+    how ranges split, including P > rows and P = 1."""
+    from wrangler_spark.datapipe.curation import exclusive_prefix_sum
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r["k"]: r["__prefix"] for r in
+           exclusive_prefix_sum(df, "k", "v", range_partitions=P).collect()}
+    run = 0
+    for i, v in enumerate(values):
+        assert got[i] == run, (i, P)
+        run += v
+
+
+@_settings(max_examples=8, deadline=None)
+@_given(
+    _st.lists(
+        _st.tuples(_st.sampled_from(["g", "h", "zzz"]), _st.integers(0, 50)),
+        min_size=1, max_size=60,
+    ),
+    _st.integers(min_value=1, max_value=7),
+)
+def test_exclusive_prefix_sum_grouped_matches_sequential(spark, pairs, P):
+    """The grouped scan: per-group prefixes in key order, independent of
+    the partition count — groups spanning range partitions must chain
+    their offsets correctly."""
+    from wrangler_spark.datapipe.curation import exclusive_prefix_sum
+
+    rows = [(g, i, v) for i, (g, v) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    got = {(r["g"], r["k"]): r["__prefix"] for r in
+           exclusive_prefix_sum(df, "k", "v", range_partitions=P, by=("g",)).collect()}
+    run: dict = {}
+    for g, i, v in rows:  # rows are already in k order
+        assert got[(g, i)] == run.get(g, 0), (g, i, P)
+        run[g] = run.get(g, 0) + v
+
+
+@_settings(max_examples=10, deadline=None)
+@_given(
+    _st.lists(_st.sampled_from(["aa", "b", "ccc", "dd", "e"]), min_size=0, max_size=40)
+)
+def test_runlen_fold_matches_counter(spark, grams):
+    """The scan-side run-length fold == the Counter-based reference for
+    the Gopher statistics: top = max over grams seen >=2 times of
+    count*len, dup = the sum of the same — on ANY multiset, including
+    empty, all-distinct, and all-identical."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.datapipe.text import _runlen_top_dup
+
+    df = spark.createDataFrame([(grams,)], "g array<string>")
+    r = df.select(_runlen_top_dup(F.array_sort(F.col("g"))).alias("f")).collect()[0]["f"]
+    c = Counter(grams)
+    contribs = [n * len(g) for g, n in c.items() if n >= 2]
+    assert r["top"] == (max(contribs) if contribs else 0)
+    assert r["dup"] == sum(contribs)
