@@ -3607,3 +3607,35 @@ def test_ivf_tune_nprobe(spark, tmp_path_factory):
 
     with _pytest.raises(ValueError, match="nprobes"):
         ivf_tune_nprobe(embs, q, path, nprobes=(0,))
+
+
+def test_state_folds_are_replay_idempotent(spark, tmp_path_factory):
+    """A replayed micro-batch (same non-empty batch_id) is a NO-OP for
+    vocab and report state — the crash-recovery contract that turns
+    at-least-once foreachBatch delivery into exactly-once state. An
+    empty batch_id keeps the old append-always behavior."""
+    from wrangler_spark.datapipe import curation
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha delta")], ["doc_id", "text"]
+    )
+
+    vpath = str(tmp_path_factory.mktemp("vstate")) + "/st"
+    text.vocab_update_state(df, vpath, "text", "b0")
+    one = sorted(map(tuple, text.vocab_from_state(spark, vpath).collect()))
+    text.vocab_update_state(df, vpath, "text", "b0")       # replay: no-op
+    assert sorted(map(tuple, text.vocab_from_state(spark, vpath).collect())) == one
+    text.vocab_update_state(df, vpath, "text", "b1")       # new id folds
+    two = {r["word"]: r["count"] for r in text.vocab_from_state(spark, vpath).collect()}
+    assert two["alpha"] == 6                               # 3 per fold
+    text.vocab_update_state(df, vpath, "text")             # empty id: appends
+    assert {r["word"]: r["count"] for r in
+            text.vocab_from_state(spark, vpath).collect()}["alpha"] == 9
+
+    rpath = str(tmp_path_factory.mktemp("rstate")) + "/st"
+    curation.report_update_state(df, rpath, batch_id="b0")
+    n0 = curation.report_from_state(spark, rpath).collect()[0]["n_docs"]
+    curation.report_update_state(df, rpath, batch_id="b0")  # replay: no-op
+    assert curation.report_from_state(spark, rpath).collect()[0]["n_docs"] == n0 == 2
+    curation.report_update_state(df, rpath, batch_id="b1")
+    assert curation.report_from_state(spark, rpath).collect()[0]["n_docs"] == 4

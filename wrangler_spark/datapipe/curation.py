@@ -1367,7 +1367,14 @@ def report_update_state(
     within-group, like the one-shot grouped report. The group column
     keeps its REAL name in the state rows (and in the report output) —
     all batches must agree on it, and it may not collide with the
-    report's own metric names."""
+    report's own metric names.
+
+    Idempotence: a non-empty ``batch_id`` already present in the state
+    makes the fold a NO-OP, so a replayed micro-batch
+    (report_update_stream's crash-recovery path) never double-counts —
+    the vocab_update_state contract."""
+    from pyspark.errors import AnalysisException
+
     from wrangler_spark.datapipe.dedup import normalize_text
 
     if by and by in _REPORT_STATE_COLS:
@@ -1375,6 +1382,23 @@ def report_update_state(
             f"by={by!r} collides with a report state column; rename the "
             "group column before folding it into state"
         )
+    if batch_id:
+        from wrangler_spark.datapipe import _layout
+
+        try:
+            seen = (
+                df.sparkSession.read.parquet(
+                    f"{_layout.resolve(df.sparkSession, path)}/rows"
+                )
+                .filter(F.col("batch_id") == str(batch_id))
+                .limit(1)
+                .count()
+            )
+            if seen:
+                return
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
     key = F.md5(normalize_text(F.col(text_col)))
     words = F.size(F.split(normalize_text(F.col(text_col)), " "))
     aggs = [
@@ -1406,9 +1430,10 @@ def report_update_stream(
     state: report_update_state / report_from_state; stream: THIS, the
     retention_update_stream shape). One state row (or one per group)
     appends per micro-batch — exact counts + mergeable HLL sketches,
-    O(batch) forever. batch_id carries the micro-batch id for replay
-    forensics. Returns the started StreamingQuery; default trigger
-    availableNow."""
+    O(batch) forever. The micro-batch id is the batch_id and
+    report_update_state no-ops on an id already in the state, so
+    at-least-once delivery yields EXACTLY-ONCE state. Returns the
+    started StreamingQuery; default trigger availableNow."""
     writer = (
         stream.writeStream.option("checkpointLocation", checkpoint)
         .foreachBatch(

@@ -1647,10 +1647,34 @@ def vocab_update_state(
     batches share the normalization contract
     (lower/trim/whitespace-collapse). Appends land in the CURRENT
     resolved version of the state (``_layout``), so they stay visible
-    across compaction cadences."""
+    across compaction cadences.
+
+    Idempotence: a non-empty ``batch_id`` already present in the state
+    makes the fold a NO-OP — so a replayed micro-batch (the
+    vocab_update_stream crash-recovery path) never double-counts.
+    Word counts are not naturally replay-safe the way retention pairs
+    are, so the batch id is the dedup key; a compaction rewrites ids to
+    'compacted', which is fine because stream checkpoints confine
+    replays to the crash window, never across a maintenance cadence
+    (single-writer contract)."""
+    from pyspark.errors import AnalysisException
+
     from wrangler_spark.datapipe import _layout
 
     root = _layout.resolve(df.sparkSession, path)
+    if batch_id:
+        try:
+            seen = (
+                df.sparkSession.read.parquet(f"{root}/rows")
+                .filter(F.col("batch_id") == str(batch_id))
+                .limit(1)
+                .count()
+            )
+            if seen:
+                return
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     (
         df.select(F.explode(F.split(norm, " ")).alias("word"))
@@ -1672,13 +1696,12 @@ def vocab_update_stream(
     (batch: vocab_coverage; state: vocab_update_state /
     vocab_coverage_from_state; stream: THIS — the same shape as
     retention_update_stream). Each micro-batch appends its (word,
-    count, batch_id) aggregate — O(batch), never a history rescan; the
-    batch_id is the micro-batch id, so a replayed batch is identifiable
-    (word counts are NOT idempotent under replay the way retention
-    pairs are — compaction sum-merges duplicates, so run a
-    dedup-by-batch_id compaction if a failure replays a batch; the
-    checkpoint makes that a crash-window-only event). Returns the
-    started StreamingQuery; default trigger availableNow."""
+    count, batch_id) aggregate — O(batch), never a history rescan. The
+    micro-batch id is the batch_id, and vocab_update_state no-ops on an
+    id already in the state, so at-least-once foreachBatch delivery
+    yields EXACTLY-ONCE state (the retention sink's contract, realized
+    here through the batch-id dedup instead of pair idempotence).
+    Returns the started StreamingQuery; default trigger availableNow."""
     writer = (
         stream.writeStream.option("checkpointLocation", checkpoint)
         .foreachBatch(
