@@ -54,6 +54,10 @@ QUERIES = [
     # rolling active users)
     "text_vocab", "text_vocabulary", "text_ngram_rep", "text_oov",
     "events_active_users",
+    # round 10 (scan-side repetition filter incl. paragraph caps;
+    # log-odds group labeling — marginal join + two-phase slice;
+    # token-budget sampling — grouped distributed prefix scan)
+    "text_rep_filter", "text_group_terms_weighted", "sample_token_budget_by",
 ]
 
 
