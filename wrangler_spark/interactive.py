@@ -112,6 +112,17 @@ class Workspace:
         """The accumulated recipe text — what ships to the pipeline."""
         return "\n".join(self.directives)
 
+    def plan(self):
+        """Scale audit of the accumulated recipe's PHYSICAL plan
+        (wrangler_spark.plans.audit) — run it at design time, before
+        the recipe ships to a 100 TB pipeline: returns a PlanReport
+        whose warnings are the repo's plan disciplines (Python in the
+        hot path, cartesian joins, global windows, unpushed filters).
+        Lazy — nothing executes."""
+        from wrangler_spark.plans import audit
+
+        return audit(Pipeline.compile(self.recipe()).apply(self._sample))
+
     # --- persistence (the reference's wrangler-storage role: named
     # workspaces survive the session; here JSON + parquet on a local or
     # DFS path instead of a structured-storage service) ---
