@@ -494,6 +494,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), "doc_id", "text", 16
         ).select("doc_id", F.posexplode("embedding").alias("pos", "y")),
         "dedup_semdedup": lambda s, d: similarity.semdedup(embs(s, d), 8, 0.8, train_iters=1, dim=64),
+        "emb_cluster_topics": lambda s, d: curation.cluster_topics(
+            docs(s, d), embs(s, d), 8, 5, train_iters=1, dim=64
+        ),
         "ann_ivf_kmeans_topk": lambda s, d: similarity.ivf_topk(
             embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5,
             train_iters=2, dim=64,
@@ -701,6 +704,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_paths": o.event_paths_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
+        "emb_cluster_topics": _cluster_topics_oracle_sql(8, 5, 1, 64),
         "text_vocabulary": o.vocabulary_sql(200),
         "text_unigram_lp": o.unigram_logprob_sql(2000),
         "text_bigram_lp": o.bigram_logprob_sql(2000),
@@ -863,6 +867,50 @@ def _semdedup_oracle_sql(
     )
 
 
+def _cluster_topics_oracle_sql(
+    n_clusters: int = 8, label_k: int = 5, iters: int = 1, dim: int = 64,
+    prior: float = 100.0,
+) -> str:
+    """Mirror of curation.cluster_topics: unrolled k-means assignment
+    (the shared CTE chain) + the Monroe log-odds labeling of
+    group_top_terms_weighted_sql, with g = the assigned cluster."""
+    from wrangler_spark.datapipe.oracles import _NORM
+
+    a0 = float(prior)
+    ctes = _kmeans_assign_ctes(n_clusters, iters, dim)
+    ctes.append(
+        f"lab AS (SELECT a.centroid_id AS g, unnest(string_split({_NORM}, ' ')) AS term "
+        "FROM documents d JOIN assign a ON d.doc_id = a.vec_id)"
+    )
+    ctes.append("cw AS (SELECT g, term, count(*) AS tf FROM lab WHERE term <> '' GROUP BY g, term)")
+    ctes.append("tmw AS (SELECT term, sum(tf) AS yw FROM cw GROUP BY term)")
+    ctes.append("gmw AS (SELECT g, sum(tf) AS ng FROM cw GROUP BY g)")
+    ctes.append("totw AS (SELECT sum(tf) AS n FROM cw)")
+    ctes.append(
+        f"""sw AS (
+  SELECT cw.g, cw.term, cw.tf,
+         round(
+           (ln((cw.tf + {a0} * tmw.yw / totw.n)
+               / (gmw.ng + {a0} - cw.tf - {a0} * tmw.yw / totw.n))
+            - ln((tmw.yw - cw.tf + {a0} * tmw.yw / totw.n)
+                 / (totw.n - gmw.ng + {a0} - (tmw.yw - cw.tf) - {a0} * tmw.yw / totw.n)))
+           / sqrt(1.0 / (cw.tf + {a0} * tmw.yw / totw.n)
+                  + 1.0 / (tmw.yw - cw.tf + {a0} * tmw.yw / totw.n)),
+           6) AS score
+  FROM cw JOIN tmw USING (term) JOIN gmw USING (g) CROSS JOIN totw
+)"""
+    )
+    ctes.append(
+        "rw AS (SELECT g, term, tf, score, "
+        "row_number() OVER (PARTITION BY g ORDER BY score DESC, term ASC) AS rank FROM sw)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT g AS cluster_id, term, CAST(tf AS BIGINT) AS tf, score, "
+        f"CAST(rank AS INT) AS rank FROM rw WHERE rank <= {int(label_k)}"
+    )
+
+
 # The driver oracle-grades the FIRST 50 queries() entries. Rounds 7 and
 # 8 were 50/50 green. Round 9's window, by the established zero-sum
 # audit (every name in _all_queries() must be in some past CORRECTNESS
@@ -914,7 +962,11 @@ _R10_WINDOW = [
     # top-fraction pruning — keep_top_frac(by=)
     "sample_top_frac_by",
     "text_entropy",
-    "text_top_ngrams",
+    # r10: text_top_ngrams vacated (r9-green, unchanged; the two-phase
+    # top-k family stays graded via text_vocabulary/events_paths) for
+    # the topic-labeling capstone — kmeans clusters + log-odds labels,
+    # new this round
+    "emb_cluster_topics",
     "corpus_drift",
     "dedup_overlap",
     # code paths changed this round (checkpoint lifecycle / blocking

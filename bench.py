@@ -83,6 +83,8 @@ EXTRA_QUERIES = [
     "text_rep_filter",     # Gopher repetition caps (line+para+gram, scan-side)
     # Added round 10
     "text_group_terms_weighted",  # Fightin' Words log-odds labeling
+    "sample_token_budget_by",     # grouped distributed prefix scan
+    "emb_cluster_topics",         # kmeans clusters + log-odds labels (capstone)
 ]
 
 

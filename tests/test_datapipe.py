@@ -3639,3 +3639,35 @@ def test_state_folds_are_replay_idempotent(spark, tmp_path_factory):
     assert curation.report_from_state(spark, rpath).collect()[0]["n_docs"] == n0 == 2
     curation.report_update_state(df, rpath, batch_id="b1")
     assert curation.report_from_state(spark, rpath).collect()[0]["n_docs"] == 4
+
+
+def test_cluster_topics_separable(spark):
+    """Two well-separated embedding directions with disjoint vocabulary:
+    cluster_topics must put each vocabulary at the top of its OWN
+    cluster's labels (log-odds — shared stopwords never label), with
+    cluster sizes preserved through the assignment join."""
+    from wrangler_spark.datapipe.curation import cluster_topics
+
+    stop = "the of and is to " * 10
+    rows_d, rows_e = [], []
+    for i in range(20):
+        tech = i % 2 == 0
+        rows_d.append((i, stop + ("spark shuffle executor" if tech else "violin sonata orchestra")))
+        base = [1.0, 0.0, 0.0, 0.0] if tech else [0.0, 1.0, 0.0, 0.0]
+        rows_e.append((i, [x + 0.01 * (i % 5) for x in base]))
+    docs = spark.createDataFrame(rows_d, ["doc_id", "text"])
+    embs = spark.createDataFrame(rows_e, ["vec_id", "embedding"])
+
+    out = cluster_topics(docs, embs, n_clusters=2, label_k=3, train_iters=2, dim=4)
+    rows = out.collect()
+    assert set(out.columns) == {"cluster_id", "term", "tf", "score", "rank"}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["term"])
+    assert len(by_cluster) == 2
+    vocabs = [set(v) for v in by_cluster.values()]
+    tech_v = {"spark", "shuffle", "executor"}
+    music_v = {"violin", "sonata", "orchestra"}
+    assert (vocabs[0] <= tech_v and vocabs[1] <= music_v) or (
+        vocabs[0] <= music_v and vocabs[1] <= tech_v
+    )

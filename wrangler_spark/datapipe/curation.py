@@ -597,6 +597,61 @@ def dsir_logratio(
     return raw.join(per_doc, F.col(id_col) == F.col("__id"), "left").drop("__id")
 
 
+def cluster_topics(
+    docs: DataFrame,
+    embs: DataFrame,
+    n_clusters: int = 8,
+    label_k: int = 5,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 1,
+    dim: int | None = None,
+    weight: str = "logodds",
+    prior_strength: float = 100.0,
+) -> DataFrame:
+    """Corpus cartography: cluster the corpus in EMBEDDING space
+    (spherical k-means, similarity.kmeans_centroids) and label every
+    cluster with its DISTINGUISHING vocabulary
+    (text.group_top_terms(weight='logodds') — Monroe et al., so the
+    labels survive stopwords). The 'what is actually in my 100 TB
+    corpus' primitive: one call turns (documents, embeddings) into
+    (cluster_id, term, tf, score, rank) — the composition SemDeDup-style
+    cluster curation starts from, reusing the exact ops it would
+    continue with (semdedup shares the k-means; mixtures/caps consume
+    the cluster assignment).
+
+    Scale shape: every stage is an existing scale-shaped op — k-means
+    never collects the corpus (broadcast assignment + map-side mean
+    partials), the assignment join is an equi-join on the id, and the
+    labeling is the marginal-join + two-phase slice. The centroid frame
+    is checkpointed by kmeans' caller contract and released by the
+    surrounding checkpoint_scope."""
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+    from wrangler_spark.datapipe.similarity import (
+        _as_double, _assign_prepared, kmeans_centroids,
+    )
+    from wrangler_spark.datapipe.text import group_top_terms
+
+    cent = eager_checkpoint(
+        kmeans_centroids(embs, n_clusters, train_iters, vec_id_col, vec_col, dim=dim)
+    )
+    c = embs.select(
+        F.col(vec_id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    assign = _assign_prepared(c, cent).select(
+        F.col("vec_id").alias(doc_id_col), F.col("centroid_id").alias("cluster_id")
+    )
+    labeled = docs.select(F.col(doc_id_col), F.col(text_col)).join(
+        assign, doc_id_col
+    )
+    return group_top_terms(
+        labeled, text_col, "cluster_id", label_k,
+        weight=weight, prior_strength=prior_strength,
+    )
+
+
 def exclusive_prefix_sum(
     df: DataFrame, order_col: str, value_col: str,
     range_partitions: int | None = None, by: tuple[str, ...] = (),
