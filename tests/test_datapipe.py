@@ -3671,3 +3671,32 @@ def test_cluster_topics_separable(spark):
     assert (vocabs[0] <= tech_v and vocabs[1] <= music_v) or (
         vocabs[0] <= music_v and vocabs[1] <= tech_v
     )
+
+
+def test_compact_index_twice_and_vacuum_chain(spark, tmp_path_factory):
+    """Compacting an already-versioned index works (v1 -> v2 -> v3, each
+    committed; probes identical throughout), and vacuum keeps the
+    newest committed version(s) only."""
+    from wrangler_spark.datapipe import _layout
+    from wrangler_spark.datapipe.maintenance import compact_index, vacuum_index
+
+    path = str(tmp_path_factory.mktemp("cpt2")) + "/ix"
+    gen = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, f"historical document body {i}") for i in range(lo, hi)], ["doc_id", "text"])
+    dedup.bloom_write_index(gen(0, 150), path, "text", bits=1 << 14, num_hashes=5)
+    dedup.bloom_write_index(gen(150, 200), path, "text", bits=1 << 14, num_hashes=5, append=True)
+    batch = gen(0, 300).withColumn("doc_id", F.col("doc_id") + 1000)
+    base = sorted(map(tuple, dedup.bloom_probe_index(batch, path, "doc_id", "text").collect()))
+
+    compact_index(spark, path)
+    v2 = _layout.resolve(spark, path)
+    compact_index(spark, path)
+    v3 = _layout.resolve(spark, path)
+    assert v2 != v3 and v3.rsplit("/", 1)[-1] > v2.rsplit("/", 1)[-1]
+    assert sorted(map(tuple, dedup.bloom_probe_index(batch, path, "doc_id", "text").collect())) == base
+    vacuum_index(spark, path, keep=1)
+    import os
+
+    left = sorted(d for d in os.listdir(path) if not d.startswith(("_", ".")))
+    assert left == [v3.rsplit("/", 1)[-1]]
+    assert sorted(map(tuple, dedup.bloom_probe_index(batch, path, "doc_id", "text").collect())) == base

@@ -659,3 +659,29 @@ def test_active_users_wide_window_guard_and_sketch_path(spark):
     assert len(wide) == 24
     last = max(wide, key=lambda r: str(r["day"]))
     assert last["au_90d"] == 40                 # window covers all activity
+
+
+def test_active_users_from_state_approx_and_guard(spark, tmp_path_factory):
+    """The state-served grid honors the same wide-window contract as the
+    batch op: the exact path rejects a (90, 365) request, approx serves
+    it from per-day sketches, and approx == exact on narrow windows at
+    small cohort size."""
+    from wrangler_spark.datapipe.events import (
+        active_users, active_users_from_state, retention_write_state,
+    )
+
+    rows = [(u, _ts(1 + (u + d) % 20), "a") for u in range(25) for d in range(3)]
+    df = _events(spark, rows)
+    path = str(tmp_path_factory.mktemp("au_state") / "st")
+    retention_write_state(df, path, "user_id", "ts", period_days=1)
+
+    with pytest.raises(ValueError, match="approx=True"):
+        active_users_from_state(spark, path, (90, 365))
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    exact = sorted(map(key, active_users_from_state(spark, path, (1, 7)).collect()))
+    approx = sorted(map(key, active_users_from_state(spark, path, (1, 7), approx=True).collect()))
+    assert approx == exact
+    wide = active_users_from_state(spark, path, (120,), approx=True)
+    got = sorted(map(key, wide.collect()))
+    want = sorted(map(key, active_users(df, "user_id", "ts", (120,), approx=True).collect()))
+    assert got == want and len(got) > 0
