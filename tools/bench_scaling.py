@@ -58,6 +58,7 @@ QUERIES = [
     # log-odds group labeling — marginal join + two-phase slice;
     # token-budget sampling — grouped distributed prefix scan)
     "text_rep_filter", "text_group_terms_weighted", "sample_token_budget_by",
+    "emb_cluster_topics",
 ]
 
 
