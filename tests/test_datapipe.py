@@ -3700,3 +3700,29 @@ def test_compact_index_twice_and_vacuum_chain(spark, tmp_path_factory):
     left = sorted(d for d in os.listdir(path) if not d.startswith(("_", ".")))
     assert left == [v3.rsplit("/", 1)[-1]]
     assert sorted(map(tuple, dedup.bloom_probe_index(batch, path, "doc_id", "text").collect())) == base
+
+
+def test_cluster_topics_directive_self_contained(spark):
+    """The recipe form needs no external embedding table: lexical hash
+    embeddings cluster disjoint vocabularies apart, and each cluster's
+    log-odds labels come from its own vocabulary."""
+    from wrangler_spark import Pipeline
+
+    stop = "the of and is to " * 8
+    rows = []
+    for i in range(16):
+        tech = i % 2 == 0
+        rows.append((i, stop + ("spark shuffle executor cluster" if tech
+                                else "violin sonata orchestra concerto")))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = Pipeline.compile("cluster-topics :doc_id :text 2 3").apply(df)
+    got = out.collect()
+    assert set(out.columns) == {"cluster_id", "term", "tf", "score", "rank"}
+    by = {}
+    for r in got:
+        by.setdefault(r["cluster_id"], set()).add(r["term"])
+    assert len(by) == 2
+    tech_v = {"spark", "shuffle", "executor", "cluster"}
+    music_v = {"violin", "sonata", "orchestra", "concerto"}
+    vs = list(by.values())
+    assert (vs[0] <= tech_v and vs[1] <= music_v) or (vs[0] <= music_v and vs[1] <= tech_v)

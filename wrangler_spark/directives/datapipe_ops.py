@@ -1005,6 +1005,45 @@ class VocabCoverage(Directive):
 
 
 @directive
+class ClusterTopics(Directive):
+    """cluster-topics :id :text [k] [label_k] [vec] — corpus
+    cartography: k-means clusters in embedding space + log-odds
+    (Fightin' Words) labels per cluster → (cluster_id, term, tf, score,
+    rank). With no vec column the doc's own lexical hash embedding is
+    used (self-contained recipe form); point vec at a real embedding
+    column when one exists."""
+
+    name = "cluster-topics"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("k", TokenType.NUMERIC, optional=True, default=8),
+        Arg("label_k", TokenType.NUMERIC, optional=True, default=5),
+        Arg("vec", TokenType.COLUMN, optional=True, default=None),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import cluster_topics
+        from wrangler_spark.datapipe.text import hash_embedding
+
+        id_col = ctx.resolve(df, self.args["id"])
+        text_col = ctx.resolve(df, self.args["text"])
+        if self.args["vec"]:
+            vec_col = ctx.resolve(df, self.args["vec"])
+            embs = df.select(id_col, vec_col)
+        else:
+            vec_col = "__hemb"
+            embs = hash_embedding(df, id_col, text_col, dim=64, out_col=vec_col).select(
+                id_col, vec_col
+            )
+        return cluster_topics(
+            df, embs, int(self.args["k"]), int(self.args["label_k"]),
+            doc_id_col=id_col, text_col=text_col,
+            vec_id_col=id_col, vec_col=vec_col, dim=64,
+        )
+
+
+@directive
 class SampleTokenBudget(Directive):
     """sample-token-budget :id :text budget [by] ['seed'] — keep
     documents in deterministic seeded-hash order until the running
