@@ -685,3 +685,16 @@ def test_active_users_from_state_approx_and_guard(spark, tmp_path_factory):
     got = sorted(map(key, wide.collect()))
     want = sorted(map(key, active_users(df, "user_id", "ts", (120,), approx=True).collect()))
     assert got == want and len(got) > 0
+
+
+def test_active_users_stickiness(spark):
+    """stickiness = narrowest/widest window count per day (DAU/MAU),
+    NULL-safe on empty wide windows, exact ratio on a hand grid."""
+    df = _events(spark, [(1, _ts(1), "a"), (2, _ts(1), "a"), (1, _ts(2), "a")])
+    out = {str(r["day"]): r for r in events_mod.active_users(
+        df, "user_id", "ts", (1, 7), stickiness=True).collect()}
+    assert out["2024-01-01"]["stickiness"] == 1.0          # 2/2
+    assert out["2024-01-02"]["stickiness"] == 0.5          # 1/2
+    # single-window request: no ratio column
+    one = events_mod.active_users(df, "user_id", "ts", (7,), stickiness=True)
+    assert "stickiness" not in one.columns

@@ -538,3 +538,60 @@ def test_runlen_fold_matches_counter(spark, grams):
     contribs = [n * len(g) for g, n in c.items() if n >= 2]
     assert r["top"] == (max(contribs) if contribs else 0)
     assert r["dup"] == sum(contribs)
+
+
+@_settings(max_examples=20, deadline=None)
+@_given(
+    _st.lists(
+        _st.sampled_from(["build", "abandon", "vacuum", "vacuum1"]),
+        min_size=1, max_size=8,
+    )
+)
+def test_layout_snapshot_state_machine(spark, tmp_path_factory, ops):
+    """The versioned-snapshot protocol under arbitrary operation
+    sequences: resolve always returns the HIGHEST committed version (or
+    the flat root before any commit), an abandoned (uncommitted) build
+    is never resolved, vacuum never deletes the newest committed
+    version nor any build newer than it, and version numbers are
+    strictly increasing."""
+    import os
+
+    from wrangler_spark.datapipe import _layout
+
+    path = str(tmp_path_factory.mktemp("layout_sm")) + "/art"
+    committed: list[str] = []
+    abandoned: list[str] = []
+    last_num = 0
+    for op in ops:
+        if op in ("build", "abandon"):
+            vdir = _layout.begin_version(spark, path)
+            num = int(vdir.rsplit("v_", 1)[-1])
+            assert num > last_num           # strictly increasing, never reused
+            last_num = num
+            os.makedirs(f"{vdir}/data", exist_ok=True)
+            open(f"{vdir}/data/part-0", "w").write("x")
+            if op == "build":
+                _layout.commit_version(spark, vdir)
+                committed.append(vdir.rsplit("/", 1)[-1])
+            else:
+                abandoned.append(vdir.rsplit("/", 1)[-1])
+        else:
+            _layout.vacuum(spark, path, keep=1 if op == "vacuum1" else 2)
+            if committed:
+                keep = 1 if op == "vacuum1" else 2
+                newest_committed_num = int(committed[-1].rsplit("_", 1)[-1])
+                committed = committed[-keep:]
+                # builds newer than the newest committed survive vacuum
+                abandoned = [a for a in abandoned
+                             if int(a.rsplit("_", 1)[-1]) > newest_committed_num]
+        got = _layout.resolve(spark, path)
+        if committed:
+            assert got.rsplit("/", 1)[-1] == committed[-1]
+        else:
+            assert got == path              # flat root before any commit
+        # on-disk truth: every version we believe committed/live exists
+        live = set(os.listdir(path)) if os.path.exists(path) else set()
+        for name in committed:
+            assert name in live
+        if committed:
+            assert committed[-1] in live

@@ -357,7 +357,7 @@ MAX_EXACT_WINDOW_SUM = 64
 
 def active_users(
     df: DataFrame, user_col: str, ts_col: str, windows: tuple[int, ...] = (1, 7, 30),
-    approx: bool = False,
+    approx: bool = False, stickiness: bool = False,
 ) -> DataFrame:
     """Rolling active-user counts — DAU/WAU/MAU and friends: one row per
     calendar day from the first to the last event day (dense grid, zeros
@@ -388,7 +388,12 @@ def active_users(
     window) sketches union-merge, and counts are HLL estimates
     (DataSketches ~2% at the default lgK; exact in sparse mode for
     small cohorts) — the standard engagement-dashboard trade, and the
-    same sketch family corpus_report already uses."""
+    same sketch family corpus_report already uses.
+
+    ``stickiness=True`` appends the classic engagement ratio — the
+    narrowest window's count over the widest's (DAU/MAU for the default
+    windows), NULL on days with a zero wide count — a free scan-side
+    column on the finished grid."""
     ws = sorted(set(int(w) for w in windows))
     if not ws or ws[0] < 1:
         raise ValueError(f"windows must be >= 1 days, got {windows}")
@@ -399,7 +404,20 @@ def active_users(
         .select(F.col(user_col).alias("__u"), day.cast("long").alias("__d"))
         .distinct()
     )
-    return _active_users_from_pairs(pairs, ws, approx)
+    out = _active_users_from_pairs(pairs, ws, approx)
+    if stickiness and len(ws) > 1:
+        out = out.withColumn(
+            "stickiness",
+            F.when(
+                F.col(f"au_{ws[-1]}d") > 0,
+                F.round(
+                    F.col(f"au_{ws[0]}d").cast("double")
+                    / F.col(f"au_{ws[-1]}d").cast("double"),
+                    6,
+                ),
+            ),
+        )
+    return out
 
 
 def _check_window_budget(ws: list[int], approx: bool) -> None:
