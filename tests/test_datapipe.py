@@ -3726,3 +3726,30 @@ def test_cluster_topics_directive_self_contained(spark):
     music_v = {"violin", "sonata", "orchestra", "concerto"}
     vs = list(by.values())
     assert (vs[0] <= tech_v and vs[1] <= music_v) or (vs[0] <= music_v and vs[1] <= tech_v)
+
+
+def test_cluster_summary_map(spark):
+    """One row per cluster: sizes sum to the corpus, shares to 1, and
+    each label is the cluster's own vocabulary in log-odds order."""
+    from wrangler_spark.datapipe.curation import cluster_summary
+
+    stop = "the of and is to " * 10
+    rows_d, rows_e = [], []
+    for i in range(20):
+        tech = i % 4 != 0                     # 15 tech docs, 5 music
+        rows_d.append((i, stop + ("spark shuffle executor" if tech else "violin sonata orchestra")))
+        base = [1.0, 0.0] if tech else [0.0, 1.0]
+        rows_e.append((i, [x + 0.01 * (i % 3) for x in base] + [0.0, 0.0]))
+    docs = spark.createDataFrame(rows_d, ["doc_id", "text"])
+    embs = spark.createDataFrame(rows_e, ["vec_id", "embedding"])
+
+    out = cluster_summary(docs, embs, n_clusters=2, label_k=2, train_iters=2, dim=4)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert sum(r["n_docs"] for r in rows) == 20
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-6
+    big = max(rows, key=lambda r: r["n_docs"])
+    small = min(rows, key=lambda r: r["n_docs"])
+    assert (big["n_docs"], small["n_docs"]) == (15, 5)
+    assert set(big["label"].split()) <= {"spark", "shuffle", "executor"}
+    assert set(small["label"].split()) <= {"violin", "sonata", "orchestra"}

@@ -652,6 +652,81 @@ def cluster_topics(
     )
 
 
+def cluster_summary(
+    docs: DataFrame,
+    embs: DataFrame,
+    n_clusters: int = 8,
+    label_k: int = 3,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 1,
+    dim: int | None = None,
+    prior_strength: float = 100.0,
+) -> DataFrame:
+    """The one-glance corpus map: one row per embedding cluster with its
+    size, corpus share, and a ``label`` of the top ``label_k``
+    distinguishing terms (space-joined, log-odds order) — the table a
+    curation review starts from before deciding which clusters to cap,
+    drop, or upsample. Pure composition of :func:`cluster_topics` (the
+    per-term detail view) folded to one row per cluster, plus one
+    bounded size aggregate over the assignment.
+
+    Scale shape: cluster_topics' shapes, then two aggregates over
+    frames bounded by n_clusters x label_k and n_clusters — nothing new
+    touches the corpus."""
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+    from wrangler_spark.datapipe.similarity import (
+        _as_double, _assign_prepared, kmeans_centroids,
+    )
+    from wrangler_spark.datapipe.text import group_top_terms
+
+    cent = eager_checkpoint(
+        kmeans_centroids(embs, n_clusters, train_iters, vec_id_col, vec_col, dim=dim)
+    )
+    c = embs.select(
+        F.col(vec_id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    assign = _assign_prepared(c, cent).select(
+        F.col("vec_id").alias(doc_id_col), F.col("centroid_id").alias("cluster_id")
+    )
+    # the assignment feeds BOTH the size aggregate and the labeling join
+    labeled = eager_checkpoint(
+        docs.select(F.col(doc_id_col), F.col(text_col)).join(assign, doc_id_col)
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = sizes.agg(F.sum("n_docs").alias("__n"))
+    labels = (
+        group_top_terms(
+            labeled, text_col, "cluster_id", label_k,
+            weight="logodds", prior_strength=prior_strength,
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rank").alias("r"), F.col("term").alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias("label")
+        )
+    )
+    return (
+        sizes.crossJoin(F.broadcast(total))
+        .join(labels, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs").cast("double") / F.col("__n").cast("double"), 6).alias("share"),
+            F.coalesce(F.col("label"), F.lit("")).alias("label"),
+        )
+    )
+
+
 def exclusive_prefix_sum(
     df: DataFrame, order_col: str, value_col: str,
     range_partitions: int | None = None, by: tuple[str, ...] = (),
