@@ -3252,12 +3252,31 @@ def test_vocab_state_incremental_equals_batch(spark, tmp_path_factory):
     ).select("doc_id", "oov_rate").collect()))
     assert via_state == via_batch
 
-    # compaction: rows sum-merge (3 batches -> 1 row per word), reads identical
+    # compaction: rows sum-merge (3 batches -> 1 row per word + one
+    # zero-count batch-id ledger row per original batch), reads identical
     n_rows_before = spark.read.parquet(_ixroot(spark, path) + "/rows").count()
     st = compact_index(spark, path)
     assert st["rows"]["rows"] < n_rows_before          # duplicate words merged
     rows = spark.read.parquet(_ixroot(spark, path) + "/rows")
-    assert rows.count() == rows.select("word").distinct().count()
+    data = rows.filter(F.col("word").isNotNull())
+    assert data.count() == data.select("word").distinct().count()
+    ledger = rows.filter(F.col("word").isNull())
+    assert sorted(r["batch_id"] for r in ledger.collect()) == ["b0", "b1", "b2"]
+    assert ledger.filter(F.col("count") != 0).count() == 0
+    assert sorted(map(key, text.vocab_coverage_from_state(spark, path, 0.9).collect())) == one
+
+    # the ADVICE crash-window scenario: a micro-batch REPLAYED after a
+    # compaction ran (crash before checkpoint commit, maintenance before
+    # the sink restarts) is still a NO-OP -- the ledger preserves the id
+    text.vocab_update_state(
+        docs_df.filter(F.col("doc_id") % 3 == 1), path, "text", batch_id="b1")
+    assert sorted(map(key, text.vocab_coverage_from_state(spark, path, 0.9).collect())) == one
+
+    # a SECOND compaction carries the ledger forward, never drops it
+    compact_index(spark, path)
+    rows2 = spark.read.parquet(_ixroot(spark, path) + "/rows")
+    assert sorted(r["batch_id"] for r in rows2.filter(F.col("word").isNull()).collect()) \
+        == ["b0", "b1", "b2"]
     assert sorted(map(key, text.vocab_coverage_from_state(spark, path, 0.9).collect())) == one
 
 
@@ -3753,3 +3772,55 @@ def test_cluster_summary_map(spark):
     assert (big["n_docs"], small["n_docs"]) == (15, 5)
     assert set(big["label"].split()) <= {"spark", "shuffle", "executor"}
     assert set(small["label"].split()) <= {"violin", "sonata", "orchestra"}
+
+
+def test_layout_writer_lease_enforced(spark, tmp_path_factory):
+    """The single-writer contract is ENFORCED, not prose: while one
+    build holds the lease, a second build, an append-family writer, and
+    a compaction all fail loudly with ConcurrentWriterError; abandon
+    releases without committing; a CRASHED writer's stale lock is
+    stolen once past the TTL; release is idempotent."""
+    import pytest
+
+    from wrangler_spark.datapipe import _layout
+    from wrangler_spark.datapipe.maintenance import compact_index
+
+    path = str(tmp_path_factory.mktemp("lease")) + "/art"
+
+    # build in flight: every other writer fails loudly
+    vdir = _layout.begin_version(spark, path)
+    with pytest.raises(_layout.ConcurrentWriterError, match="lease"):
+        _layout.begin_version(spark, path)
+    with pytest.raises(_layout.ConcurrentWriterError):
+        with _layout.writer_lease(spark, path):
+            pass
+    with pytest.raises(_layout.ConcurrentWriterError):
+        compact_index(spark, path)          # compaction is a writer too
+    spark.createDataFrame([(1,)], "x int").write.parquet(f"{vdir}/data")
+    _layout.commit_version(spark, vdir)
+
+    # committed: the lease is free again, and writer_lease releases on error
+    with pytest.raises(RuntimeError, match="boom"):
+        with _layout.writer_lease(spark, path):
+            raise RuntimeError("boom")
+    with _layout.writer_lease(spark, path):
+        pass
+
+    # abandon: releases the lease, never commits the dir
+    v2 = _layout.begin_version(spark, path)
+    spark.createDataFrame([(2,)], "x int").write.parquet(f"{v2}/data")
+    _layout.abandon_version(spark, v2)
+    assert _layout.resolve(spark, path) == vdir
+    v3 = _layout.begin_version(spark, path)     # lease free after abandon
+    assert v3 != v2                             # abandoned number never reused
+
+    # crashed writer (v3 never commits/abandons): within TTL the lock
+    # blocks; past the TTL the next writer steals it
+    with pytest.raises(_layout.ConcurrentWriterError):
+        _layout.begin_version(spark, path)
+    v4 = _layout.begin_version(spark, path, ttl_sec=0)  # stale -> stolen
+    _layout.commit_version(spark, v4)
+
+    # release is idempotent (no lock to delete)
+    _layout.release_lease(spark, path)
+    _layout.release_lease(spark, path)

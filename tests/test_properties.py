@@ -543,7 +543,7 @@ def test_runlen_fold_matches_counter(spark, grams):
 @_settings(max_examples=20, deadline=None)
 @_given(
     _st.lists(
-        _st.sampled_from(["build", "abandon", "vacuum", "vacuum1"]),
+        _st.sampled_from(["build", "abandon", "race", "vacuum", "vacuum1"]),
         min_size=1, max_size=8,
     )
 )
@@ -552,9 +552,12 @@ def test_layout_snapshot_state_machine(spark, tmp_path_factory, ops):
     sequences: resolve always returns the HIGHEST committed version (or
     the flat root before any commit), an abandoned (uncommitted) build
     is never resolved, vacuum never deletes the newest committed
-    version nor any build newer than it, and version numbers are
-    strictly increasing."""
+    version nor any build newer than it, version numbers are strictly
+    increasing, and a SECOND writer arriving while a build holds the
+    lease fails loudly (the 'race' action) — never interleaves."""
     import os
+
+    import pytest
 
     from wrangler_spark.datapipe import _layout
 
@@ -563,17 +566,26 @@ def test_layout_snapshot_state_machine(spark, tmp_path_factory, ops):
     abandoned: list[str] = []
     last_num = 0
     for op in ops:
-        if op in ("build", "abandon"):
+        if op in ("build", "abandon", "race"):
             vdir = _layout.begin_version(spark, path)
             num = int(vdir.rsplit("v_", 1)[-1])
             assert num > last_num           # strictly increasing, never reused
             last_num = num
             os.makedirs(f"{vdir}/data", exist_ok=True)
             open(f"{vdir}/data/part-0", "w").write("x")
-            if op == "build":
+            if op == "race":
+                # the racing second writer: build AND append must both
+                # fail loudly while the first build holds the lease
+                with pytest.raises(_layout.ConcurrentWriterError):
+                    _layout.begin_version(spark, path)
+                with pytest.raises(_layout.ConcurrentWriterError):
+                    with _layout.writer_lease(spark, path):
+                        pass
+            if op in ("build", "race"):
                 _layout.commit_version(spark, vdir)
                 committed.append(vdir.rsplit("/", 1)[-1])
             else:
+                _layout.abandon_version(spark, vdir)
                 abandoned.append(vdir.rsplit("/", 1)[-1])
         else:
             _layout.vacuum(spark, path, keep=1 if op == "vacuum1" else 2)

@@ -33,19 +33,41 @@ when no committed version exists, and the first compaction migrates the
 artifact into ``v_000001`` without touching the flat datasets (vacuum
 removes them once a committed version supersedes them).
 
-Single-writer contract (documented, not enforced): builds, appends, and
+Single-writer contract (ENFORCED by a lease): builds, appends, and
 compactions of the SAME artifact must not race each other — probes may
-race any of them freely.
+race any of them freely. The enforcement is a create-exclusive
+``<path>/_LOCK`` file: ``begin_version`` (and the append family, via
+:func:`writer_lease`) acquires it, ``commit_version`` /
+``abandon_version`` releases it, and a SECOND writer fails loudly with
+:class:`ConcurrentWriterError` instead of silently interleaving its
+files under the winner's version. A writer that crashed without
+releasing leaves a stale lock; a later acquire steals it once it is
+older than ``ttl_sec`` (default 1 h — longer than any sane build, so a
+steal implies a dead writer, not a slow one). The steal itself is
+best-effort (two stealers of the SAME stale lock can both win, the
+classic lease caveat) — it restores liveness after a crash, while the
+common-case create-exclusive acquire is fully atomic.
 """
 
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 _VERSION_RE = re.compile(r"^v_(\d{6,})$")
 _MARKER = "_COMMITTED"
+_LOCK = "_LOCK"
+
+#: a lock older than this is presumed to belong to a crashed writer and
+#: may be stolen by the next acquire.
+DEFAULT_LEASE_TTL_SEC = 3600
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer (build / append / compaction) tried to acquire an
+    artifact whose lease is held and not yet stale."""
 
 
 def _fs(spark: SparkSession, path: str):
@@ -82,24 +104,95 @@ def resolve(spark: SparkSession, path: str) -> str:
     return f"{path}/{committed[-1]}" if committed else path
 
 
-def begin_version(spark: SparkSession, path: str) -> str:
+def acquire_lease(spark: SparkSession, path: str,
+                  ttl_sec: int = DEFAULT_LEASE_TTL_SEC) -> None:
+    """Take the artifact's writer lease: create-exclusive
+    ``<path>/_LOCK``. Raises :class:`ConcurrentWriterError` when another
+    writer holds a non-stale lock; a lock older than ``ttl_sec`` is
+    stolen (crashed-writer recovery)."""
+    fs, root, jvm = _fs(spark, path)
+    lock = jvm.org.apache.hadoop.fs.Path(root, _LOCK)
+    for attempt in (0, 1):
+        try:
+            fs.create(lock, False).close()      # overwrite=False: atomic
+            return
+        except Exception as e:                  # noqa: BLE001 — py4j wraps the Java type
+            if "AlreadyExists" not in str(e) and "already exists" not in str(e):
+                raise
+        if attempt:
+            break
+        try:
+            age_ms = jvm.java.lang.System.currentTimeMillis() \
+                - fs.getFileStatus(lock).getModificationTime()
+        except Exception:                       # lock released between create and stat
+            continue                            # retry the create once
+        if age_ms < ttl_sec * 1000:
+            raise ConcurrentWriterError(
+                f"writer lease on {path} is held (lock age {age_ms / 1000:.0f}s "
+                f"< ttl {ttl_sec}s) — a build/append/compaction of this artifact "
+                "is in flight; retry after it commits, or raise ttl_sec only if "
+                "you know the holder crashed")
+        fs.delete(lock, False)                  # stale: steal and retry once
+    raise ConcurrentWriterError(f"writer lease on {path}: lost the steal race")
+
+
+def release_lease(spark: SparkSession, path: str) -> None:
+    """Release the artifact's writer lease (idempotent)."""
+    fs, root, jvm = _fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(root, _LOCK), False)
+
+
+@contextmanager
+def writer_lease(spark: SparkSession, path: str,
+                 ttl_sec: int = DEFAULT_LEASE_TTL_SEC):
+    """Hold the writer lease for a non-versioned mutation (the
+    log-structured append family): acquire → body → release, releasing
+    on error too — an append crash leaves only a stale lock, never a
+    half-visible version."""
+    acquire_lease(spark, path, ttl_sec)
+    try:
+        yield
+    finally:
+        release_lease(spark, path)
+
+
+def begin_version(spark: SparkSession, path: str,
+                  ttl_sec: int = DEFAULT_LEASE_TTL_SEC) -> str:
     """Start a new (invisible) version: returns ``<path>/v_NNNNNN`` one
     past the highest existing version number, committed or not — an
     abandoned uncommitted build is never reused, only vacuumed. Any
-    stale dir at the chosen name is cleared first."""
-    fs, root, jvm = _fs(spark, path)
-    nums = [n for n, _, _ in _version_dirs(fs, root, jvm)]
-    name = f"v_{(max(nums) + 1 if nums else 1):06d}"
-    target = jvm.org.apache.hadoop.fs.Path(root, name)
-    fs.delete(target, True)
-    return f"{path}/{name}"
+    stale dir at the chosen name is cleared first. Acquires the writer
+    lease — released by :func:`commit_version` or
+    :func:`abandon_version`; a second concurrent ``begin_version`` on
+    the same artifact raises :class:`ConcurrentWriterError`."""
+    acquire_lease(spark, path, ttl_sec)
+    try:
+        fs, root, jvm = _fs(spark, path)
+        nums = [n for n, _, _ in _version_dirs(fs, root, jvm)]
+        name = f"v_{(max(nums) + 1 if nums else 1):06d}"
+        target = jvm.org.apache.hadoop.fs.Path(root, name)
+        fs.delete(target, True)
+        return f"{path}/{name}"
+    except Exception:
+        release_lease(spark, path)
+        raise
 
 
 def commit_version(spark: SparkSession, version_dir: str) -> None:
     """Flip the version visible: create its empty ``_COMMITTED`` marker
-    (one atomic file create — the whole commit protocol)."""
+    (one atomic file create — the whole commit protocol), then release
+    the writer lease ``begin_version`` took."""
     fs, vroot, jvm = _fs(spark, version_dir)
     fs.create(jvm.org.apache.hadoop.fs.Path(vroot, _MARKER), True).close()
+    release_lease(spark, version_dir.rsplit("/", 1)[0])
+
+
+def abandon_version(spark: SparkSession, version_dir: str) -> None:
+    """Give up an uncommitted build: release the writer lease without
+    creating the marker. The dir itself stays invisible (no marker) and
+    is reclaimed by the next :func:`vacuum` — same end state as a
+    writer crash, but without waiting out the lease TTL."""
+    release_lease(spark, version_dir.rsplit("/", 1)[0])
 
 
 def vacuum(spark: SparkSession, path: str, keep: int = 2) -> list[str]:

@@ -1502,9 +1502,11 @@ def report_update_state(
     Idempotence: a non-empty ``batch_id`` already present in the state
     makes the fold a NO-OP, so a replayed micro-batch
     (report_update_stream's crash-recovery path) never double-counts —
-    the vocab_update_state contract."""
+    the vocab_update_state contract. The check + append hold the
+    ``_layout`` writer lease."""
     from pyspark.errors import AnalysisException
 
+    from wrangler_spark.datapipe import _layout
     from wrangler_spark.datapipe.dedup import normalize_text
 
     if by and by in _REPORT_STATE_COLS:
@@ -1512,41 +1514,38 @@ def report_update_state(
             f"by={by!r} collides with a report state column; rename the "
             "group column before folding it into state"
         )
-    if batch_id:
-        from wrangler_spark.datapipe import _layout
-
-        try:
-            seen = (
-                df.sparkSession.read.parquet(
-                    f"{_layout.resolve(df.sparkSession, path)}/rows"
+    with _layout.writer_lease(df.sparkSession, path):
+        if batch_id:
+            try:
+                seen = (
+                    df.sparkSession.read.parquet(
+                        f"{_layout.resolve(df.sparkSession, path)}/rows"
+                    )
+                    .filter(F.col("batch_id") == str(batch_id))
+                    .limit(1)
+                    .count()
                 )
-                .filter(F.col("batch_id") == str(batch_id))
-                .limit(1)
-                .count()
-            )
-            if seen:
-                return
-        except AnalysisException as ex:
-            if "PATH_NOT_FOUND" not in str(ex):
-                raise
-    key = F.md5(normalize_text(F.col(text_col)))
-    words = F.size(F.split(normalize_text(F.col(text_col)), " "))
-    aggs = [
-        F.count("*").cast("long").alias("n_docs"),
-        F.count(F.when(F.col(text_col).isNull(), 1)).cast("long").alias("n_null_text"),
-        F.coalesce(F.sum(F.length(F.col(text_col))), F.lit(0)).cast("long").alias("n_chars"),
-        F.coalesce(F.sum(words), F.lit(0)).cast("long").alias("n_words"),
-        F.count(text_col).cast("long").alias("n_with_text"),
-        F.hll_sketch_agg(key).alias("content_sketch"),
-    ]
-    if lang_col:
-        aggs.append(F.hll_sketch_agg(F.col(lang_col)).alias("lang_sketch"))
-    agged = df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
-    row = agged.withColumn("batch_id", F.lit(str(batch_id)))
-    from wrangler_spark.datapipe import _layout
-
-    root = _layout.resolve(df.sparkSession, path)
-    row.write.mode("append").parquet(f"{root}/rows")
+                if seen:
+                    return
+            except AnalysisException as ex:
+                if "PATH_NOT_FOUND" not in str(ex):
+                    raise
+        key = F.md5(normalize_text(F.col(text_col)))
+        words = F.size(F.split(normalize_text(F.col(text_col)), " "))
+        aggs = [
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(F.when(F.col(text_col).isNull(), 1)).cast("long").alias("n_null_text"),
+            F.coalesce(F.sum(F.length(F.col(text_col))), F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce(F.sum(words), F.lit(0)).cast("long").alias("n_words"),
+            F.count(text_col).cast("long").alias("n_with_text"),
+            F.hll_sketch_agg(key).alias("content_sketch"),
+        ]
+        if lang_col:
+            aggs.append(F.hll_sketch_agg(F.col(lang_col)).alias("lang_sketch"))
+        agged = df.groupBy(by).agg(*aggs) if by else df.agg(*aggs)
+        row = agged.withColumn("batch_id", F.lit(str(batch_id)))
+        root = _layout.resolve(df.sparkSession, path)
+        row.write.mode("append").parquet(f"{root}/rows")
 
 
 def report_update_stream(

@@ -1345,7 +1345,8 @@ def bloom_write_index(
     key = F.md5(normalize_text(F.col(text_col)))
     keys = df_old.select(key.alias("__k")).distinct()
     if append:
-        bloom_words(keys, "__k", bits, num_hashes).write.mode("append").parquet(f"{root}/words")
+        with _layout.writer_lease(spark, path):
+            bloom_words(keys, "__k", bits, num_hashes).write.mode("append").parquet(f"{root}/words")
         return
     vdir = _layout.begin_version(spark, path)
     bloom_words(keys, "__k", bits, num_hashes).write.parquet(f"{vdir}/words")

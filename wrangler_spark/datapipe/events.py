@@ -624,27 +624,30 @@ def retention_update_state(
     batch is active in, which for a daily ingest is one or two
     directories regardless of history size. The anti-join result is
     eagerly checkpointed (and released) before the write so the append
-    never reads the directory it is writing."""
+    never reads the directory it is writing. The whole fold (anti-join
+    read + append) runs under the ``_layout`` writer lease, so it can
+    never interleave with a compaction of the same state."""
     from pyspark.errors import AnalysisException
 
     from wrangler_spark.datapipe import _layout
     from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
 
     spark = batch.sparkSession
-    root = _layout.resolve(spark, path)
-    period_days, cal = _read_state_meta(spark, path)
-    fresh = _activity_pairs(batch, user_col, ts_col, period_days, cal)
-    try:
-        stored = spark.read.parquet(f"{root}/pairs").select("__u", "__b")
-        fresh = fresh.join(stored, ["__u", "__b"], "left_anti")
-    except AnalysisException as ex:
-        # a meta-only state (retention_init_state / first stream batch)
-        # has no pairs dataset yet — everything in the batch is fresh
-        if "PATH_NOT_FOUND" not in str(ex):
-            raise
-    fresh = eager_checkpoint(fresh)
-    fresh.write.mode("append").partitionBy("__b").parquet(f"{root}/pairs")
-    release(fresh)
+    with _layout.writer_lease(spark, path):
+        root = _layout.resolve(spark, path)
+        period_days, cal = _read_state_meta(spark, path)
+        fresh = _activity_pairs(batch, user_col, ts_col, period_days, cal)
+        try:
+            stored = spark.read.parquet(f"{root}/pairs").select("__u", "__b")
+            fresh = fresh.join(stored, ["__u", "__b"], "left_anti")
+        except AnalysisException as ex:
+            # a meta-only state (retention_init_state / first stream batch)
+            # has no pairs dataset yet — everything in the batch is fresh
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+        fresh = eager_checkpoint(fresh)
+        fresh.write.mode("append").partitionBy("__b").parquet(f"{root}/pairs")
+        release(fresh)
 
 
 def retention_init_state(

@@ -91,7 +91,9 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
     bit_or-merges duplicate word rows (exact for a Bloom filter: the
     probe's own load-time merge, precomputed), so a thousand-batch log
     collapses back to ≤ bits/64 rows; vocabulary state rows sum-merge
-    the same way.
+    the same way, with every original batch id preserved as a
+    zero-count ledger row so the state family's exactly-once replay
+    check survives compaction.
 
     Safety: the compacted artifact is a whole NEW VERSION
     (``<path>/v_NNNNNN``, see ``_layout``) — the live version is never
@@ -102,9 +104,11 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
     versions (and the flat legacy layout, after its first versioned
     compaction) are reclaimed separately by :func:`vacuum_index` —
     run it after the longest probe you'd ever have in flight.
-    Single-writer contract: don't race compaction with appends or
-    rebuilds of the same artifact (an append that resolved the old
-    version before the commit would land invisibly)."""
+    Single-writer contract is ENFORCED: ``begin_version`` takes the
+    artifact's writer lease, so a compaction racing an append or
+    rebuild of the same artifact fails loudly with
+    ``ConcurrentWriterError`` instead of landing an append invisibly
+    in a superseded version."""
     fs, _, jvm = _hadoop(spark, path)
     src_root = _layout.resolve(spark, path)
     _, src, _ = _hadoop(spark, src_root)
@@ -130,9 +134,34 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
         if set(df.columns) == _BLOOM_WORDS_COLS:
             df = df.groupBy("__w").agg(F.expr("bit_or(__bits)").alias("__bits"))
         elif set(df.columns) == _VOCAB_STATE_COLS:
-            df = df.groupBy("word").agg(
-                F.sum("count").cast("long").alias("count"),
-                F.lit("compacted").alias("batch_id"),
+            # sum-merge word counts (the read path's own merge), but
+            # PRESERVE the batch-id dedup ledger: vocab_update_state's
+            # exactly-once replay check keys on batch_id, so compaction
+            # keeps one zero-count ledger row per original batch id
+            # (word NULL — the update path can never produce a null
+            # word, and the state readers filter them out). A replayed
+            # micro-batch therefore stays a NO-OP even when a compaction
+            # ran inside the crash window, before the sink restarted.
+            ledger = (
+                df.filter(
+                    (F.col("batch_id") != "") & (F.col("batch_id") != "compacted")
+                )
+                .select("batch_id")
+                .distinct()
+                .select(
+                    F.lit(None).cast("string").alias("word"),
+                    F.lit(0).cast("long").alias("count"),
+                    "batch_id",
+                )
+            )
+            df = (
+                df.filter(F.col("word").isNotNull())
+                .groupBy("word")
+                .agg(
+                    F.sum("count").cast("long").alias("count"),
+                    F.lit("compacted").alias("batch_id"),
+                )
+                .unionByName(ledger)
             )
         # size-based file target (~128 MB each): a compaction that
         # coalesced a 100 TB vectors dataset to one file would be its

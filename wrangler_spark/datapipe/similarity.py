@@ -921,56 +921,58 @@ def ivf_append_index(
     partition append: only the probed centroid_id directories gain
     files, existing data is never rewritten. Appends land in the
     CURRENT resolved version (``_layout``) so they stay visible across
-    compaction cadences."""
+    compaction cadences, and hold the writer lease so they can never
+    interleave with a rebuild or compaction of the same index."""
     from wrangler_spark.datapipe import _layout
 
     spark = new_vectors.sparkSession
-    root = _layout.resolve(spark, path)
-    cent = spark.read.parquet(f"{root}/centroids")
-    existing_cols = spark.read.parquet(f"{root}/vectors").schema.fieldNames()
-    c = new_vectors.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
-    assign = _assign_prepared(c, cent)
-    if "pq_code" in existing_cols:
-        from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
-
-        cb = spark.read.parquet(f"{root}/codebook")
-        shape = cb.agg(
-            (F.max("m") + 1).alias("m"), F.max(F.size("zv")).alias("sub")
-        ).collect()[0]
-        m = int(shape["m"])
-        # pq_encode reads resid twice (subvectors + code join-back) and
-        # resid contains the assignment shuffle — checkpoint, like the
-        # build path
-        resid = eager_checkpoint(
-            c.join(assign, "vec_id")
-            .join(F.broadcast(cent), "centroid_id")
-            .select(
-                "vec_id", "centroid_id",
-                F.zip_with("cv", "zv", lambda x, y: x - y).alias("rv"),
-            )
+    with _layout.writer_lease(spark, path):
+        root = _layout.resolve(spark, path)
+        cent = spark.read.parquet(f"{root}/centroids")
+        existing_cols = spark.read.parquet(f"{root}/vectors").schema.fieldNames()
+        c = new_vectors.select(
+            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
         )
+        assign = _assign_prepared(c, cent)
+        if "pq_code" in existing_cols:
+            from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
+
+            cb = spark.read.parquet(f"{root}/codebook")
+            shape = cb.agg(
+                (F.max("m") + 1).alias("m"), F.max(F.size("zv")).alias("sub")
+            ).collect()[0]
+            m = int(shape["m"])
+            # pq_encode reads resid twice (subvectors + code join-back) and
+            # resid contains the assignment shuffle — checkpoint, like the
+            # build path
+            resid = eager_checkpoint(
+                c.join(assign, "vec_id")
+                .join(F.broadcast(cent), "centroid_id")
+                .select(
+                    "vec_id", "centroid_id",
+                    F.zip_with("cv", "zv", lambda x, y: x - y).alias("rv"),
+                )
+            )
+            (
+                pq_encode(resid, cb, m * int(shape["sub"]), m, id_col="vec_id", vec_col="rv")
+                .select("vec_id", "pq_code", "centroid_id")
+                .write.mode("append")
+                .partitionBy("centroid_id")
+                .parquet(f"{root}/vectors")
+            )
+            release(resid)
+            return
+        if quantize is None:
+            quantize = "q" in existing_cols and vec_col not in existing_cols
+        base = new_vectors.withColumnRenamed(id_col, "vec_id")
+        if quantize:
+            base = embedding_quantize(base, vec_col).drop(vec_col)
         (
-            pq_encode(resid, cb, m * int(shape["sub"]), m, id_col="vec_id", vec_col="rv")
-            .select("vec_id", "pq_code", "centroid_id")
+            base.join(assign, "vec_id")
             .write.mode("append")
             .partitionBy("centroid_id")
             .parquet(f"{root}/vectors")
         )
-        release(resid)
-        return
-    if quantize is None:
-        quantize = "q" in existing_cols and vec_col not in existing_cols
-    base = new_vectors.withColumnRenamed(id_col, "vec_id")
-    if quantize:
-        base = embedding_quantize(base, vec_col).drop(vec_col)
-    (
-        base.join(assign, "vec_id")
-        .write.mode("append")
-        .partitionBy("centroid_id")
-        .parquet(f"{root}/vectors")
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -1653,38 +1653,41 @@ def vocab_update_state(
     makes the fold a NO-OP — so a replayed micro-batch (the
     vocab_update_stream crash-recovery path) never double-counts.
     Word counts are not naturally replay-safe the way retention pairs
-    are, so the batch id is the dedup key; a compaction rewrites ids to
-    'compacted', which is fine because stream checkpoints confine
-    replays to the crash window, never across a maintenance cadence
-    (single-writer contract)."""
+    are, so the batch id is the dedup key; compaction sum-merges the
+    data rows but PRESERVES every batch id as a zero-count ledger row
+    (word NULL), so the replay check holds even when a compaction ran
+    between the crash and the sink restart. The check + append hold the
+    ``_layout`` writer lease, so the fold can never interleave with a
+    compaction either."""
     from pyspark.errors import AnalysisException
 
     from wrangler_spark.datapipe import _layout
 
-    root = _layout.resolve(df.sparkSession, path)
-    if batch_id:
-        try:
-            seen = (
-                df.sparkSession.read.parquet(f"{root}/rows")
-                .filter(F.col("batch_id") == str(batch_id))
-                .limit(1)
-                .count()
-            )
-            if seen:
-                return
-        except AnalysisException as ex:
-            if "PATH_NOT_FOUND" not in str(ex):
-                raise
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    (
-        df.select(F.explode(F.split(norm, " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("count"))
-        .withColumn("batch_id", F.lit(str(batch_id)))
-        .write.mode("append")
-        .parquet(f"{root}/rows")
-    )
+    with _layout.writer_lease(df.sparkSession, path):
+        root = _layout.resolve(df.sparkSession, path)
+        if batch_id:
+            try:
+                seen = (
+                    df.sparkSession.read.parquet(f"{root}/rows")
+                    .filter(F.col("batch_id") == str(batch_id))
+                    .limit(1)
+                    .count()
+                )
+                if seen:
+                    return
+            except AnalysisException as ex:
+                if "PATH_NOT_FOUND" not in str(ex):
+                    raise
+        norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        (
+            df.select(F.explode(F.split(norm, " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count("*").cast("long").alias("count"))
+            .withColumn("batch_id", F.lit(str(batch_id)))
+            .write.mode("append")
+            .parquet(f"{root}/rows")
+        )
 
 
 def vocab_update_stream(
@@ -1721,6 +1724,8 @@ def vocab_from_state(spark, path: str) -> DataFrame:
 
     return (
         spark.read.parquet(f"{_layout.resolve(spark, path)}/rows")
+        # null words are compaction's batch-id ledger rows, not data
+        .filter(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.sum("count").cast("long").alias("count"))
     )
