@@ -3824,3 +3824,74 @@ def test_layout_writer_lease_enforced(spark, tmp_path_factory):
     # release is idempotent (no lock to delete)
     _layout.release_lease(spark, path)
     _layout.release_lease(spark, path)
+
+
+def test_kmeans_converge_fixed_point_and_equivalence(spark):
+    """kmeans_converge is kmeans_centroids' own iterates under a shift
+    test: with tol=0 it is bit-identical to the blind count (a fixed
+    point reached early cannot move under further rounds), with the
+    default tol it stops at a fixed point on separable data, and the
+    assignment MSE never increases with more rounds (Lloyd's monotone
+    guarantee, extended to the converged composition)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [10.0, 1.0, 0.0] if i % 3 else [1.0, 10.0, 2.0]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    as_map = lambda cent: {r["centroid_id"]: r["zv"] for r in cent.collect()}  # noqa: E731
+    blind3 = as_map(similarity.kmeans_centroids(df, k=2, iters=3, dim=3))
+    conv = similarity.kmeans_converge(df, k=2, dim=3, tol=0.0, max_iters=3)
+    assert as_map(conv) == blind3
+
+    # default tol: converged == a much deeper blind run (fixed point)
+    settled = similarity.kmeans_converge(df, k=2, dim=3)
+    assert as_map(settled) == as_map(similarity.kmeans_centroids(df, k=2, iters=8, dim=3))
+
+    # Lloyd monotonicity through the convergence loop: assignment MSE of
+    # the converged centroids <= the 1-iteration centroids'
+    def assign_mse(cent):
+        c = df.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("cv"))
+        a = similarity._assign_prepared(c, cent)
+        return (
+            c.join(a, "vec_id").join(cent, a["centroid_id"] == cent["centroid_id"])
+            .select(F.aggregate(F.zip_with("cv", "zv", lambda x, y: (x - y) * (x - y)),
+                                F.lit(0.0), lambda s, x: s + x).alias("e"))
+            .agg(F.avg("e")).collect()[0][0]
+        )
+
+    m1 = assign_mse(similarity.kmeans_centroids(df, k=2, iters=1, dim=3))
+    mc = assign_mse(settled)
+    assert mc <= m1 + 1e-6
+
+
+def test_cluster_topics_user_vec_dim_agnostic(spark):
+    """The cluster-topics DIRECTIVE with a USER vec column whose dim is
+    not 64 (regression: dim=64 was passed unconditionally, so non-64
+    embeddings built 64-wide centroids, the mismatched zip_with cosine
+    nulled out, and every doc silently tied to the lowest centroid id):
+    both clusters must be found and labeled with their own vocabulary."""
+    from wrangler_spark import Pipeline
+
+    stop = "the of and is to " * 10
+    rows = []
+    for i in range(20):
+        tech = i % 2 == 0
+        vec = [1.0 + 0.01 * (i % 5), 0.0, 0.0] if tech else [0.0, 1.0 + 0.01 * (i % 5), 0.0]
+        rows.append((i, stop + ("spark shuffle executor" if tech else "violin sonata orchestra"), vec))
+    df = spark.createDataFrame(rows, "doc_id long, text string, emb array<double>")
+
+    out = Pipeline.compile("cluster-topics :doc_id :text 2 3 :emb").apply(df)
+    by_cluster = {}
+    for r in out.collect():
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["term"])
+    assert len(by_cluster) == 2, f"dim-3 user vectors collapsed to {by_cluster}"
+    vocabs = list(by_cluster.values())
+    tech_v = {"spark", "shuffle", "executor"}
+    music_v = {"violin", "sonata", "orchestra"}
+    assert (vocabs[0] <= tech_v and vocabs[1] <= music_v) or (
+        vocabs[0] <= music_v and vocabs[1] <= tech_v
+    )

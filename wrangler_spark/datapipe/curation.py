@@ -606,10 +606,12 @@ def cluster_topics(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
-    train_iters: int = 1,
+    train_iters: int | None = None,
     dim: int | None = None,
     weight: str = "logodds",
     prior_strength: float = 100.0,
+    tol: float = 1e-4,
+    max_train_iters: int = 10,
 ) -> DataFrame:
     """Corpus cartography: cluster the corpus in EMBEDDING space
     (spherical k-means, similarity.kmeans_centroids) and label every
@@ -627,16 +629,29 @@ def cluster_topics(
     partials), the assignment join is an equi-join on the id, and the
     labeling is the marginal-join + two-phase slice. The centroid frame
     is checkpointed by kmeans' caller contract and released by the
-    surrounding checkpoint_scope."""
+    surrounding checkpoint_scope.
+
+    ``train_iters=None`` (the default) trains to a centroid-shift fixed
+    point (similarity.kmeans_converge: stop when the max L2 shift <=
+    ``tol``, bounded by ``max_train_iters``) — the posture a real corpus
+    needs; an explicit integer pins a blind iteration count (the
+    cross-engine-parity form: a fixed count is SQL-unrollable, a
+    convergence test is not)."""
     from wrangler_spark.datapipe._checkpoint import eager_checkpoint
     from wrangler_spark.datapipe.similarity import (
-        _as_double, _assign_prepared, kmeans_centroids,
+        _as_double, _assign_prepared, kmeans_centroids, kmeans_converge,
     )
     from wrangler_spark.datapipe.text import group_top_terms
 
-    cent = eager_checkpoint(
-        kmeans_centroids(embs, n_clusters, train_iters, vec_id_col, vec_col, dim=dim)
-    )
+    if train_iters is None:
+        cent = kmeans_converge(
+            embs, n_clusters, vec_id_col, vec_col, dim=dim,
+            tol=tol, max_iters=max_train_iters,
+        )
+    else:
+        cent = eager_checkpoint(
+            kmeans_centroids(embs, n_clusters, train_iters, vec_id_col, vec_col, dim=dim)
+        )
     c = embs.select(
         F.col(vec_id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
     )
@@ -661,9 +676,11 @@ def cluster_summary(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
-    train_iters: int = 1,
+    train_iters: int | None = None,
     dim: int | None = None,
     prior_strength: float = 100.0,
+    tol: float = 1e-4,
+    max_train_iters: int = 10,
 ) -> DataFrame:
     """The one-glance corpus map: one row per embedding cluster with its
     size, corpus share, and a ``label`` of the top ``label_k``
@@ -675,16 +692,24 @@ def cluster_summary(
 
     Scale shape: cluster_topics' shapes, then two aggregates over
     frames bounded by n_clusters x label_k and n_clusters — nothing new
-    touches the corpus."""
+    touches the corpus. ``train_iters=None`` (default) trains to a
+    centroid-shift fixed point (kmeans_converge, ``tol`` /
+    ``max_train_iters``); an integer pins a blind count."""
     from wrangler_spark.datapipe._checkpoint import eager_checkpoint
     from wrangler_spark.datapipe.similarity import (
-        _as_double, _assign_prepared, kmeans_centroids,
+        _as_double, _assign_prepared, kmeans_centroids, kmeans_converge,
     )
     from wrangler_spark.datapipe.text import group_top_terms
 
-    cent = eager_checkpoint(
-        kmeans_centroids(embs, n_clusters, train_iters, vec_id_col, vec_col, dim=dim)
-    )
+    if train_iters is None:
+        cent = kmeans_converge(
+            embs, n_clusters, vec_id_col, vec_col, dim=dim,
+            tol=tol, max_iters=max_train_iters,
+        )
+    else:
+        cent = eager_checkpoint(
+            kmeans_centroids(embs, n_clusters, train_iters, vec_id_col, vec_col, dim=dim)
+        )
     c = embs.select(
         F.col(vec_id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
     )

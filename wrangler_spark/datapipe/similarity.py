@@ -228,6 +228,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     dim: int | None = None,
     explode_means: bool | None = None,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's) trained entirely with DataFrame ops —
     no collect of the corpus, no UDFs. Per iteration: one broadcast
@@ -257,14 +258,21 @@ def kmeans_centroids(
     ``c.select("cv").first()`` here — a blocking driver job inside a
     library function, paid on every call. Callers that know the dimension
     pass it (and get the unrolled path when it is small); callers that
-    don't get the dim-agnostic exploded path."""
+    don't get the dim-agnostic exploded path.
+
+    ``init`` seeds the loop with an existing (centroid_id, zv) frame
+    instead of the first-k rows — the hook :func:`kmeans_converge` uses
+    to run Lloyd rounds one at a time under a shift test; ``init=None``
+    keeps the deterministic first-k initialization."""
     c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
     if explode_means is None:
         explode_means = dim is None or dim > 128
     if not explode_means and dim is None:
         raise ValueError("explode_means=False requires an explicit dim")
-    cent = c.orderBy("vec_id").limit(k).select(
-        F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
+    cent = init.select("centroid_id", "zv") if init is not None else (
+        c.orderBy("vec_id").limit(k).select(
+            F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
+        )
     )
     for _ in range(iters):
         assign = _assign_prepared(c, cent)
@@ -284,6 +292,78 @@ def kmeans_centroids(
             cent = members.groupBy("centroid_id").agg(
                 F.array(*[F.round(F.avg(F.col("cv")[i]), 6) for i in range(dim)]).alias("zv")
             )
+    return cent
+
+
+def kmeans_converge(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    tol: float = 1e-4,
+    max_iters: int = 10,
+) -> DataFrame:
+    """:func:`kmeans_centroids` run to a FIXED POINT instead of a blind
+    iteration count: Lloyd rounds one at a time, stopping when the max
+    L2 centroid shift drops to ``tol`` (or at ``max_iters``, the runaway
+    bound). One blind iteration on a real corpus yields near-arbitrary
+    clusters; this is the default the cartography compositions
+    (cluster_topics / cluster_summary) train with.
+
+    Scale shape: each round is one kmeans_centroids iteration (broadcast
+    assignment + map-side mean partials, the corpus never collected);
+    the shift test is ONE k-row join + a 1-row max aggregate — the same
+    bounded driver-loop-of-scalar-aggregates posture as pq_train /
+    ivf_tune_nprobe, with per-round eager_checkpoint + release so no
+    lineage or storage accumulates across rounds. Determinism: rounds
+    are kmeans_centroids' own 6dp-rounded updates from the
+    deterministic first-k seed, so ``tol=0.0, max_iters=N`` is
+    bit-identical to ``kmeans_centroids(iters=N)`` (a fixed point
+    reached early is also kmeans' own fixed point — extra blind rounds
+    cannot move it). Shift is measured over SURVIVING centroids (empty
+    clusters drop out, as in classic Lloyd's) — a round that dropped a
+    cluster never stops the loop, since the dropped centroid's members
+    reassign on the NEXT round. Returns a CHECKPOINTED
+    (centroid_id, zv) frame — release it (or let the surrounding
+    checkpoint_scope) when done."""
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
+
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
+    cent = eager_checkpoint(
+        c.orderBy("vec_id").limit(k).select(
+            F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
+        )
+    )
+    n_old = cent.count()
+    for _ in range(max_iters):
+        new = eager_checkpoint(
+            kmeans_centroids(c, k, 1, "vec_id", "cv", dim=dim, init=cent)
+        )
+        row = (
+            new.alias("n")
+            .join(cent.alias("o"), "centroid_id")
+            .select(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with("n.zv", "o.zv", lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("d")
+            )
+            .agg(F.max("d").alias("shift"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        release(cent)
+        cent = new
+        if int(row["n"]) == n_old and (
+            row["shift"] is None or float(row["shift"]) <= float(tol)
+        ):
+            break
+        n_old = int(row["n"])
     return cent
 
 

@@ -1029,17 +1029,25 @@ class ClusterTopics(Directive):
         id_col = ctx.resolve(df, self.args["id"])
         text_col = ctx.resolve(df, self.args["text"])
         if self.args["vec"]:
+            # user-supplied vectors: dim is UNKNOWN at plan time — pass
+            # dim=None so k-means takes the dim-agnostic exploded
+            # recentering (a hard-coded 64 here built 64-wide centroids
+            # for any other dimension, and the zip_with cosine over
+            # mismatched arrays nulled out: every doc tied to the lowest
+            # centroid id — silently garbage assignments)
             vec_col = ctx.resolve(df, self.args["vec"])
             embs = df.select(id_col, vec_col)
+            dim = None
         else:
             vec_col = "__hemb"
             embs = hash_embedding(df, id_col, text_col, dim=64, out_col=vec_col).select(
                 id_col, vec_col
             )
+            dim = 64
         return cluster_topics(
             df, embs, int(self.args["k"]), int(self.args["label_k"]),
             doc_id_col=id_col, text_col=text_col,
-            vec_id_col=id_col, vec_col=vec_col, dim=64,
+            vec_id_col=id_col, vec_col=vec_col, dim=dim,
         )
 
 
