@@ -312,3 +312,58 @@ def test_gzip_corrupt_member_resync_recovers_tail():
     data = b"".join(members[:4]) + bytes(mlast)
     got = [h["warc-record-id"] for h, _ in warc.iter_records(data)]
     assert got[:4] == ["<r0>", "<r1>", "<r2>", "<r3>"]
+
+
+def test_gzip_corruption_after_complete_header_never_splices():
+    """The frankenrecord regression: a LARGE record whose gzip member is
+    corrupted near the END leaves its complete WARC header (and
+    Content-Length) in the partial decoded output. The record layer must
+    NOT trust that header and consume the next member's bytes as body —
+    the corrupted record is dropped and every following record survives
+    intact, with its own correct body."""
+    import zlib as _z
+
+    bodies = {i: (f"BODY{i}-".encode() * 40000) for i in range(4)}  # ~280 KB each
+    recs = [warc.build_record({"WARC-Record-ID": f"<r{i}>"}, bodies[i]) for i in range(4)]
+    members = [gzip.compress(r) for r in recs]
+
+    # corrupt member 1 near its END: the deflate stream dies only after
+    # most of the record (header + much of the body) decoded cleanly
+    m1 = bytearray(members[1])
+    cut = int(len(m1) * 0.9)
+    m1[cut : cut + 4] = b"\x00\xff\x00\xff"
+    data = members[0] + bytes(m1) + members[2] + members[3]
+
+    got = list(warc.iter_records(data))
+    ids = [h["warc-record-id"] for h, _ in got]
+    assert ids == ["<r0>", "<r2>", "<r3>"], ids   # r1 dropped, r2 NOT destroyed
+    for h, block in got:
+        i = int(h["warc-record-id"][2])
+        assert block == bodies[i], f"record {i} body corrupted"
+        assert int(h["content-length"]) == len(block)
+
+    # same shape but the partial output is confirmed to contain r1's
+    # complete header: decode the partial member alone the way the
+    # production walk does (bounded incremental calls, partials kept)
+    d = _z.decompressobj(wbits=31)
+    partial, buf = bytearray(), bytes(m1)
+    try:
+        while buf or d.unconsumed_tail:
+            partial += d.decompress(buf or d.unconsumed_tail, 1 << 16)
+            buf = b""
+            if d.eof or not d.unconsumed_tail:
+                break
+    except _z.error:
+        pass
+    assert b"WARC-Record-ID: <r1>" in bytes(partial[:4096])  # header survived
+    assert b"\r\n\r\n" in bytes(partial[:4096])              # ... completely
+
+    # clobbered-header member between two large records: the gap costs
+    # exactly that record, never a splice of its neighbors
+    m2h = bytearray(members[2])
+    m2h[0:3] = b"XXX"
+    data = members[0] + members[1] + bytes(m2h) + members[3]
+    got = list(warc.iter_records(data))
+    assert [h["warc-record-id"] for h, _ in got] == ["<r0>", "<r1>", "<r3>"]
+    for h, block in got:
+        assert block == bodies[int(h["warc-record-id"][2])]

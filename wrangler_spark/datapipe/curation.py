@@ -772,7 +772,14 @@ def exclusive_prefix_sum(
          BY the physical partition id — embarrassingly parallel;
       3. per-(partition, group) totals (one row each) get their
          exclusive offsets from a per-group window over that P·G-row
-         aggregate — driver-bounded tiny — broadcast-joined back.
+         aggregate, joined back. With no ``by`` the offsets frame is
+         exactly P rows — broadcast unconditionally; with ``by`` it is
+         P·G rows where G is the GROUP CARDINALITY of the caller's
+         column (sample_token_budget(by='domain') on a web corpus makes
+         G millions), so the join-back is a plain equi-join on
+         (__pid, by...) and AQE upgrades it to a broadcast at runtime
+         only when the measured size is actually small — never a forced
+         unbounded driver/broadcast.
 
     The ranged frame is eagerly checkpointed: it feeds both the local
     scan and the totals, and an un-pinned RangePartitioner re-executed
@@ -809,7 +816,7 @@ def exclusive_prefix_sum(
         ),
     ).select("__pid", *by, "__off")
     return (
-        local.join(F.broadcast(offs), ["__pid", *by])
+        local.join(F.broadcast(offs) if not by else offs, ["__pid", *by])
         .withColumn("__prefix", (F.col("__local") + F.col("__off")).cast("long"))
         .drop("__pid", "__local", "__off")
     )

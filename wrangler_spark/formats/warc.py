@@ -46,8 +46,14 @@ def maybe_gunzip(data: bytes) -> bytes:
 
 GZIP_MEMBER_MAGIC = b"\x1f\x8b\x08"  # magic + DEFLATE method byte
 
+# discontinuity sentinel in the chunk stream: everything decoded BEFORE
+# a corrupt member is unreliable record material (the corruption point
+# is mid-record), so the record layer must never frame across it — it
+# drops its pending buffer and starts fresh on the post-resync bytes.
+_RESET = object()
 
-def _gunzip_members(data: bytes) -> Iterator[bytes]:
+
+def _gunzip_members(data: bytes) -> Iterator[bytes | object]:
     """Yield decompressed chunks (each ≤ ``_MAX_CHUNK``) across all gzip
     members of ``data`` without ever holding more than one chunk of
     decompressed output. A truncated final member yields what decoded
@@ -60,17 +66,25 @@ def _gunzip_members(data: bytes) -> Iterator[bytes]:
     per-record-member Common Crawl archive costs that record, never the
     rest of the file. A spurious in-deflate magic hit just fails
     decoding again and resyncs further (false positives are rejected by
-    the member's own integrity checks); partial output decoded before
-    the corruption is yielded and the WARC record layer's resync
-    discards it against the next record boundary."""
+    the member's own integrity checks). Partial output decoded before
+    the corruption has already been yielded, so the corruption point is
+    marked with a ``_RESET`` sentinel in the stream: the record layer
+    discards everything pending and re-frames from the post-resync
+    bytes — without the sentinel, a partial record whose COMPLETE header
+    survived the corruption would trust its Content-Length and swallow
+    the next member's bytes as body (a silent frankenrecord that also
+    destroys the following record)."""
     view = memoryview(data)
     pos, n = 0, len(data)
     while pos < n:
         if bytes(view[pos : pos + 2]) != GZIP_MAGIC:
             # inter-member garbage / clobbered member header: resync to
             # the next member header (none left -> trailing garbage,
-            # drop it)
+            # drop it). No output was produced from the garbage itself,
+            # but the CLOBBERED member's record is gone — reset so a
+            # preceding partial can't frame across the gap.
             nxt = data.find(GZIP_MEMBER_MAGIC, pos)
+            yield _RESET
             if nxt < 0:
                 return
             pos = nxt
@@ -100,6 +114,7 @@ def _gunzip_members(data: bytes) -> Iterator[bytes]:
                 buf = view[pos : pos + _FEED]
                 pos += len(buf)
         if corrupt:
+            yield _RESET  # everything pending precedes the corruption
             nxt = data.find(GZIP_MEMBER_MAGIC, member_start + 1)
             if nxt < 0:
                 return  # no further member header: the tail is gone
@@ -107,13 +122,38 @@ def _gunzip_members(data: bytes) -> Iterator[bytes]:
 
 
 def _records_from_chunks(
+    chunks: Iterator[bytes | object], _watermark: list[int] | None = None
+) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Incremental record parser over a chunk stream that may carry
+    ``_RESET`` discontinuity sentinels (corrupt-member resyncs): the
+    stream is split into SEGMENTS at each sentinel and every segment is
+    framed independently, so a partial record decoded before a corrupt
+    member is dropped at its segment's end (the truncated-tail rule)
+    and can never splice onto post-resync bytes — even when its
+    complete header (and Content-Length) survived the corruption."""
+    it = iter(chunks)
+    eof = [False]
+
+    def segment() -> Iterator[bytes]:
+        for c in it:
+            if c is _RESET:
+                return
+            yield c
+        eof[0] = True
+
+    while not eof[0]:
+        yield from _records_contiguous(segment(), _watermark)
+
+
+def _records_contiguous(
     chunks: Iterator[bytes], _watermark: list[int] | None = None
 ) -> Iterator[tuple[dict[str, str], bytes]]:
-    """Incremental record parser over a chunk stream: the working buffer
-    holds at most one pending record (consumed prefixes are deleted as
-    records complete; junk runs are trimmed during resync), so memory is
-    bounded by the largest record, not the archive. ``_watermark`` is a
-    test hook — a 1-element list updated with the peak buffer size."""
+    """Incremental record parser over a CONTIGUOUS chunk stream: the
+    working buffer holds at most one pending record (consumed prefixes
+    are deleted as records complete; junk runs are trimmed during
+    resync), so memory is bounded by the largest record, not the
+    archive. ``_watermark`` is a test hook — a 1-element list updated
+    with the peak buffer size."""
     buf = bytearray()
     exhausted = False
 
