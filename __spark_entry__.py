@@ -221,6 +221,29 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return text.vocab_coverage_from_state(spark, path, 0.9)
 
+    def _q_funnel_state(spark, sf_dir):
+        # funnel state built from 3 EVENT-TIME-ORDERED folds (the fold's
+        # exactness contract) into a fresh temp state, read back through
+        # funnel_from_state — graded against the ONE-SHOT funnel SQL:
+        # state reconstruction must equal the batch computation, exactly
+        # as text_vocab_state is graded against one-shot coverage
+        import tempfile
+
+        ev = _t(spark, sf_dir, "events")
+        path = tempfile.mkdtemp(prefix="wrspark_funnel_state_") + "/st"
+        events.funnel_init_state(
+            spark, path, ["view", "click", "purchase"], within_minutes=1440
+        )
+        cuts = ["2024-01-11", "2024-01-21"]
+        parts = [
+            ev.filter(F.col("ts") < cuts[0]),
+            ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+            ev.filter(F.col("ts") >= cuts[1]),
+        ]
+        for i, b in enumerate(parts):
+            events.funnel_update_state(b, path, "user_id", "ts", "event_type", f"b{i}")
+        return events.funnel_from_state(spark, path)
+
     def _boiler_docs(spark, sf_dir):
         # fixture docs are single-line; append one corpus-wide boilerplate
         # line, a blank line, and a per-doc unique line (mirrored in the
@@ -474,6 +497,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events"), "user_id", "ts", "event_type",
             ["view", "click", "purchase"], within_minutes=1440,
         ),
+        "events_funnel_state": _q_funnel_state,
         # cohort_start cast to its yyyy-MM-dd string: Spark DATE→datetime.date
         # and DuckDB DATE→datetime64 canonicalize differently in pandas
         "events_retention": lambda s, d: events.retention_cohorts(
@@ -696,6 +720,11 @@ def _datapipe_oracles() -> dict[str, str]:
         "ann_mmr_rerank": _mmr_oracle_sql(),
         "corpus_overlap": o.corpus_overlap_sql(),
         "events_funnel": o.funnel_steps_sql(
+            ["view", "click", "purchase"], within_seconds=86400
+        ),
+        # state reconstruction must equal the one-shot funnel (the
+        # text_vocab_state grading pattern)
+        "events_funnel_state": o.funnel_steps_sql(
             ["view", "click", "purchase"], within_seconds=86400
         ),
         "events_retention": o.retention_cohorts_sql(1, 8),
@@ -936,7 +965,7 @@ def _cluster_topics_oracle_sql(
 # eager_checkpoint conversion, a single shared mechanism still
 # represented by ~10 remaining window entries) for transitions/paths.
 # Everything rotated out stays green in tools/oracle_parity.py.
-_R10_WINDOW = [
+_R11_WINDOW = [
     # sentinels (flagship + historically fragile + broadcast join)
     "cleanse_recipe",
     "dedup_minhash_lsh",
@@ -1048,7 +1077,13 @@ _R10_WINDOW = [
     # FILTER — new this round, the caps applied over both signal families
     "text_rep_filter",
     "events_funnel",
-    "events_retention",
+    # r11: events_retention vacated (green r1-r10; its batch path —
+    # retention_cohorts — is unchanged this round, and the retention
+    # state family's changed edges (lease-wrapped folds) are covered by
+    # the state tests + events_active_users in-window) for the funnel
+    # persisted state — new this round (r10 VERDICT next-round #3):
+    # 3 event-time-ordered folds reconstruct the one-shot funnel
+    "events_funnel_state",
     "events_transitions",
     "events_paths",
     # r9: corpus_report vacated (green r1-r8, unchanged) for
@@ -1060,8 +1095,8 @@ _R10_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    assert len(_R10_WINDOW) == 50 and all(n in all_q for n in _R10_WINDOW)
-    ordered = {name: all_q[name] for name in _R10_WINDOW}
+    assert len(_R11_WINDOW) == 50 and all(n in all_q for n in _R11_WINDOW)
+    ordered = {name: all_q[name] for name in _R11_WINDOW}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
     return ordered
 
@@ -1126,7 +1161,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_distance_lev": _recipe_q(
             "customer", "text-distance levenshtein :c_name :c_mktsegment :dist"
         ),
-        # (ordering here is irrelevant — queries() reorders via _R10_WINDOW)
+        # (ordering here is irrelevant — queries() reorders via _R11_WINDOW)
         "parse_as_log": _recipe_q(
             "customer",
             "keep :c_custkey\n"

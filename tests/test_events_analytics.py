@@ -698,3 +698,128 @@ def test_active_users_stickiness(spark):
     # single-window request: no ratio column
     one = events_mod.active_users(df, "user_id", "ts", (7,), stickiness=True)
     assert "stickiness" not in one.columns
+
+
+def test_funnel_state_incremental_equals_batch(spark, tmp_path_factory):
+    """init + N event-time-ordered folds == funnel_steps over the union
+    (both with and without a within-window): the per-user slot chain is
+    the greedy funnel's sufficient statistic, multi-step advances land
+    in ONE fold (a user can enter at step 1 and reach step 3 in the
+    same batch), a replayed batch_id is a NO-OP, and compaction
+    preserves both the summary and the batch-id ledger."""
+    from wrangler_spark.datapipe.events import (
+        funnel_from_state, funnel_init_state, funnel_steps, funnel_update_state,
+    )
+    from wrangler_spark.datapipe.maintenance import compact_index
+
+    rows1 = [
+        (1, _ts(1, 0), "a"), (1, _ts(1, 1), "b"),                  # u1 -> step 2
+        (2, _ts(1, 2), "a"),                                        # u2 -> step 1
+        (3, _ts(1, 0), "b"),                                        # b before any a: nothing
+        (4, _ts(1, 0), "a"), (4, _ts(1, 1), "b"), (4, _ts(1, 2), "c"),  # u4 all 3 in ONE batch
+    ]
+    rows2 = [
+        (1, _ts(2, 0), "c"),                                        # u1 completes
+        (2, _ts(2, 0), "c"),                                        # c without b: stuck at 1
+        (3, _ts(2, 0), "a"),                                        # u3 enters late
+        (5, _ts(2, 0), "a"), (5, _ts(2, 1), "b"),                   # new user mid-history
+    ]
+    rows3 = [
+        (3, _ts(3, 0), "b"), (3, _ts(3, 1), "c"),                   # u3 finishes
+        (2, _ts(3, 0), "b"),                                        # u2 -> step 2 at last
+    ]
+    batches = [_events(spark, r) for r in (rows1, rows2, rows3)]
+    full = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    key = lambda r: (r["step"], r["event_type"], r["users"], r["conversion"])  # noqa: E731
+
+    for within in (None, 1440.0):
+        path = str(tmp_path_factory.mktemp("fun_state") / "st")
+        funnel_init_state(spark, path, ["a", "b", "c"], within)
+        for i, b in enumerate(batches):
+            funnel_update_state(b, path, "user_id", "ts", "event_type", f"b{i}")
+        inc = sorted(map(key, funnel_from_state(spark, path).collect()))
+        want = sorted(map(key, funnel_steps(
+            full, "user_id", "ts", "event_type", ["a", "b", "c"], within
+        ).collect()))
+        assert inc == want and inc[0][2] > 0, (within, inc, want)
+
+        # replayed batch_id: NO-OP even though the events would re-fold
+        n = spark.read.parquet(_ixroot(spark, path) + "/rows").count()
+        funnel_update_state(batches[1], path, "user_id", "ts", "event_type", "b1")
+        assert spark.read.parquet(_ixroot(spark, path) + "/rows").count() == n
+
+        # compaction: one row per user + ledger; summary identical
+        compact_index(spark, path)
+        assert sorted(map(key, funnel_from_state(spark, path).collect())) == want
+        rows = spark.read.parquet(_ixroot(spark, path) + "/rows")
+        data = rows.filter(rows["__u"].isNotNull())
+        assert data.count() == data.select("__u").distinct().count()
+        ledger_ids = sorted(
+            r["batch_id"] for r in rows.filter(rows["__u"].isNull()).collect()
+        )
+        assert ledger_ids == ["b0", "b1", "b2"]
+        # replay AFTER compaction still a NO-OP (the ledger preserves ids)
+        funnel_update_state(batches[2], path, "user_id", "ts", "event_type", "b2")
+        assert sorted(map(key, funnel_from_state(spark, path).collect())) == want
+
+
+def test_funnel_state_within_window_bounds_chain(spark, tmp_path_factory):
+    """The pinned within-window is enforced across folds: a step-2 event
+    arriving (in a later batch) past anchor+within does NOT advance the
+    chain, matching the batch funnel on the union."""
+    from wrangler_spark.datapipe.events import (
+        funnel_from_state, funnel_init_state, funnel_steps, funnel_update_state,
+    )
+
+    b1 = _events(spark, [(1, _ts(1, 0), "a"), (2, _ts(1, 0), "a")])
+    b2 = _events(spark, [(1, _ts(1, 1), "b"),            # inside 60 min: counts
+                         (2, _ts(3, 0), "b")])           # 2 days later: outside
+    path = str(tmp_path_factory.mktemp("fun_state_w") / "st")
+    funnel_init_state(spark, path, ["a", "b"], within_minutes=60)
+    funnel_update_state(b1, path, "user_id", "ts", "event_type", "b1")
+    funnel_update_state(b2, path, "user_id", "ts", "event_type", "b2")
+    key = lambda r: (r["step"], r["users"], r["conversion"])  # noqa: E731
+    got = sorted(map(key, funnel_from_state(spark, path).collect()))
+    want = sorted(map(key, funnel_steps(
+        b1.unionByName(b2), "user_id", "ts", "event_type", ["a", "b"], 60
+    ).collect()))
+    assert got == want == [(1, 2, 1.0), (2, 1, 0.5)]
+
+
+def test_funnel_stream_fold_equals_batch(spark, tmp_path_factory):
+    """The stream edge: funnel_update_stream's foreachBatch fold over a
+    parquet-source stream reproduces funnel_steps exactly, starting
+    from nothing (meta-only init inside the wrapper)."""
+    import shutil as _sh
+
+    from wrangler_spark.datapipe.events import (
+        funnel_from_state, funnel_steps, funnel_update_stream,
+    )
+
+    rows = [
+        (1, _ts(1, 0), "a"), (1, _ts(1, 1), "b"), (1, _ts(1, 2), "c"),
+        (2, _ts(1, 0), "a"), (2, _ts(1, 1), "b"),
+        (3, _ts(1, 0), "c"), (3, _ts(1, 1), "a"),
+        (4, _ts(2, 0), "a"), (4, _ts(2, 1), "b"), (4, _ts(2, 2), "c"),
+    ]
+    df = _events(spark, rows)
+    src = str(tmp_path_factory.mktemp("fun_stream_src"))
+    chk = str(tmp_path_factory.mktemp("fun_stream_chk"))
+    path = str(tmp_path_factory.mktemp("fun_stream_state") / "st")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    q = funnel_update_stream(
+        stream, path, "user_id", "ts", "event_type", chk,
+        steps=["a", "b", "c"], within_minutes=1440,
+    )
+    q.awaitTermination(120)
+    key = lambda r: (r["step"], r["event_type"], r["users"], r["conversion"])  # noqa: E731
+    got = sorted(map(key, funnel_from_state(spark, path).collect()))
+    want = sorted(map(key, funnel_steps(
+        df, "user_id", "ts", "event_type", ["a", "b", "c"], 1440
+    ).collect()))
+    assert got == want and len(got) == 3
+    _sh.rmtree(src, ignore_errors=True)

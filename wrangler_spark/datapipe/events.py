@@ -817,3 +817,259 @@ def _read_state_meta(spark, path: str) -> tuple[int, str | None]:
     row = spark.read.parquet(f"{_layout.resolve(spark, path)}/meta").collect()[0]
     cal = row["calendar"] if "calendar" in row.__fields__ else ""
     return int(row["period_days"]), (cal or None)
+
+
+# ---------------------------------------------------------------------------
+# Funnel persisted state — the retention-state posture applied to the
+# greedy (anchor='first') funnel, so a funnel dashboard stops rescanning
+# event history. Per-user state is the funnel chain itself: k epoch-micro
+# SLOTS (t1..tk, NULL = step not reached) — the exact sufficient
+# statistic streaming/funnels.py keeps per key, persisted. Slots only
+# FILL (never move), so state rows are monotone and log-structured
+# appends merge by "most-filled row wins".
+# ---------------------------------------------------------------------------
+
+
+def funnel_init_state(
+    spark, path: str, steps: list[str], within_minutes: float | None = None,
+) -> None:
+    """Create an EMPTY funnel state — a committed meta-only version
+    pinning (steps, within_minutes, anchor='first'); the slots dataset
+    materializes on the first fold. An update against an existing state
+    keeps ITS pinned definition (a fold with different steps would
+    silently corrupt the chains — the retention meta contract)."""
+    from wrangler_spark.datapipe import _layout
+
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    vdir = _layout.begin_version(spark, path)
+    spark.createDataFrame(
+        [(list(map(str, steps)),
+          float(within_minutes) if within_minutes is not None else None, 1)],
+        "steps array<string>, within_minutes double, state_version int",
+    ).write.parquet(f"{vdir}/meta")
+    _layout.commit_version(spark, vdir)
+
+
+def _read_funnel_meta(spark, path: str) -> tuple[list[str], float | None]:
+    from wrangler_spark.datapipe import _layout
+
+    row = spark.read.parquet(f"{_layout.resolve(spark, path)}/meta").collect()[0]
+    w = row["within_minutes"]
+    return list(row["steps"]), (float(w) if w is not None else None)
+
+
+def _funnel_slots_current(spark, root: str) -> DataFrame | None:
+    """Latest chain per user from the log-structured slot rows: fills
+    are monotone, so the row with the most non-null slots IS the
+    current state (appends happen only when the fill count grows —
+    lease-serialized, so ties across rows of one user cannot occur).
+    Null-user rows are compaction's batch-id ledger, not data. None
+    when no fold has appended yet."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{root}/rows")
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        return None
+    return (
+        rows.filter(F.col("__u").isNotNull())
+        .groupBy("__u")
+        .agg(
+            F.max_by(
+                "__slots",
+                F.size(F.filter("__slots", lambda x: x.isNotNull())),
+            ).alias("__slots")
+        )
+    )
+
+
+def _funnel_fold(steps: list[str], within_minutes: float | None):
+    """The slot-fill merge for F.aggregate — the EXACT per-event rule
+    streaming/funnels.py applies in pandas state, expressed scan-side:
+    an event fills the FIRST unset slot j (0-based; fills are
+    prefix-contiguous, so j = the count of set slots) iff its type is
+    steps[j], its ts is strictly after slot j-1, and — when a window is
+    pinned — ts <= t1 + within. Events that fit no slot leave the chain
+    unchanged, so folding in event-time order reproduces the batch
+    greedy funnel exactly (the funnel_stream equivalence argument)."""
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    w_us = int(within_minutes * 60 * 1_000_000) if within_minutes is not None else None
+
+    def merge(acc, ev):
+        j = F.size(F.filter(acc, lambda x: x.isNotNull()))
+        fits = (j < F.lit(k)) & (ev["__e"] == F.element_at(steps_arr, j + 1))
+        # j==0 short-circuits via OR-with-null semantics: true OR null = true,
+        # and F.get is 0-indexed + out-of-bounds-null (never an ANSI error)
+        fits = fits & ((j == F.lit(0)) | (ev["__t"] > F.get(acc, j - 1)))
+        if w_us is not None:
+            fits = fits & ((j == F.lit(0)) | (ev["__t"] <= F.get(acc, 0) + F.lit(w_us)))
+        return F.when(
+            fits, F.transform(acc, lambda x, i: F.when(i == j, ev["__t"]).otherwise(x))
+        ).otherwise(acc)
+
+    return merge
+
+
+def funnel_update_state(
+    batch: DataFrame, path: str, user_col: str, ts_col: str, type_col: str,
+    batch_id: str = "",
+) -> None:
+    """Fold one event batch into persisted funnel state: the batch's
+    funnel-type events, sorted per user, fold into each user's slot
+    chain (one hash aggregate + one equi-join against the current
+    state + the scan-side slot fold — O(batch) work, never a history
+    rescan), and only CHANGED chains append. Exact for event-time-
+    ordered ingestion (each batch later than the last — the daily-fold
+    shape; within a batch order doesn't matter, the fold sorts): slots
+    never move once set, so a LATE cross-batch event that belonged
+    before a filled slot is ignored rather than re-chained — the same
+    in-order discipline funnel_stream and sessionize_stream document.
+
+    Idempotence: a non-empty ``batch_id`` already present makes the
+    fold a NO-OP (the vocab_update_state contract; compaction preserves
+    ids as ledger rows), so stream replays never double-fold. The
+    check + append hold the ``_layout`` writer lease."""
+    from pyspark.errors import AnalysisException
+
+    from wrangler_spark.datapipe import _layout
+
+    spark = batch.sparkSession
+    with _layout.writer_lease(spark, path):
+        root = _layout.resolve(spark, path)
+        steps, within = _read_funnel_meta(spark, path)
+        k = len(steps)
+        if batch_id:
+            try:
+                seen = (
+                    spark.read.parquet(f"{root}/rows")
+                    .filter(F.col("batch_id") == str(batch_id))
+                    .limit(1)
+                    .count()
+                )
+                if seen:
+                    return
+            except AnalysisException as ex:
+                if "PATH_NOT_FOUND" not in str(ex):
+                    raise
+        u, t = F.col(user_col), F.col(ts_col)
+        per_user = (
+            batch.filter(F.col(type_col).isin(steps) & u.isNotNull() & t.isNotNull())
+            .select(
+                u.alias("__u"),
+                # explicit cast: parquet TIMESTAMP_NTZ needs it under ANSI
+                # (UTC session, so the instant labeling is unchanged)
+                F.unix_micros(t.cast("timestamp")).alias("__t"),
+                F.col(type_col).alias("__e"),
+            )
+            .groupBy("__u")
+            .agg(F.array_sort(F.collect_list(F.struct("__t", "__e"))).alias("__evs"))
+        )
+        cur = _funnel_slots_current(spark, root)
+        if cur is not None:
+            per_user = per_user.join(cur, "__u", "left")
+        else:
+            per_user = per_user.withColumn(
+                "__slots", F.lit(None).cast("array<long>")
+            )
+        empty = F.array(*[F.lit(None).cast("long") for _ in range(k)])
+        init = F.coalesce(F.col("__slots"), empty)
+        folded = per_user.select(
+            "__u",
+            init.alias("__init"),
+            F.aggregate("__evs", init, _funnel_fold(steps, within)).alias("__slots"),
+        )
+        filled = lambda c: F.size(F.filter(c, lambda x: x.isNotNull()))  # noqa: E731
+        (
+            folded.filter(filled(F.col("__slots")) > filled(F.col("__init")))
+            .select("__u", "__slots", F.lit(str(batch_id)).alias("batch_id"))
+            .write.mode("append")
+            .parquet(f"{root}/rows")
+        )
+
+
+def funnel_from_state(spark, path: str) -> DataFrame:
+    """The funnel summary from persisted state — identical output
+    contract to :func:`funnel_steps` (step, event_type, users,
+    conversion) on the full in-order-ingested event history, but the
+    input is the users x 1 slot table, so a dashboard refresh costs a
+    small-table aggregate, never an event-history rescan (the
+    retention_grid_from_state posture). All-zero rows when nothing has
+    folded yet."""
+    steps, _ = _read_funnel_meta(spark, path)
+    from wrangler_spark.datapipe import _layout
+
+    root = _layout.resolve(spark, path)
+    steps_df = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step long, event_type string"
+    )
+    cur = _funnel_slots_current(spark, root)
+    if cur is None:
+        return steps_df.select(
+            "step", "event_type",
+            F.lit(0).cast("long").alias("users"),
+            F.lit(0.0).alias("conversion"),
+        )
+    counts = (
+        cur.select(F.posexplode("__slots").alias("__i", "__t"))
+        .filter(F.col("__t").isNotNull())
+        .groupBy("__i")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .select((F.col("__i") + 1).cast("long").alias("step"), "users")
+    )
+    summary = eager_checkpoint(
+        steps_df.join(counts, "step", "left")
+        .select("step", "event_type", F.coalesce("users", F.lit(0)).cast("long").alias("users"))
+    )
+    first = summary.filter(F.col("step") == 1).select(F.col("users").alias("__n1"))
+    return (
+        summary.crossJoin(F.broadcast(first))
+        .select(
+            "step", "event_type", "users",
+            F.when(F.col("__n1") > 0, F.round(F.col("users") / F.col("__n1"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("conversion"),
+        )
+        .orderBy("step")
+    )
+
+
+def funnel_update_stream(
+    stream: DataFrame, path: str, user_col: str, ts_col: str, type_col: str,
+    checkpoint: str, steps: list[str] | None = None,
+    within_minutes: float | None = None, trigger: dict | None = None,
+):
+    """Fold an event STREAM into persisted funnel state — the stream
+    edge completing the funnel's batch/state/stream triangle (batch:
+    funnel_steps; state: funnel_update_state / funnel_from_state;
+    stream: THIS — the retention_update_stream shape). A fresh ``path``
+    is initialized with the given ``steps``/``within_minutes``; an
+    existing state keeps ITS pinned definition. Structured Streaming's
+    at-least-once foreachBatch + the batch-id NO-OP = exactly-once
+    folds under replay. Default trigger availableNow (drain-and-stop)."""
+    from pyspark.errors import AnalysisException
+
+    spark = stream.sparkSession
+    try:
+        _read_funnel_meta(spark, path)
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        if steps is None:
+            raise ValueError(
+                "funnel_update_stream on a fresh path needs steps=[...] to pin"
+            ) from ex
+        funnel_init_state(spark, path, steps, within_minutes)
+    writer = (
+        stream.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda b, bid: funnel_update_state(
+                b, path, user_col, ts_col, type_col, str(bid)
+            )
+        )
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+    )
+    return writer.start()

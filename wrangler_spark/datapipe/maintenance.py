@@ -44,6 +44,7 @@ from wrangler_spark.datapipe._layout import vacuum as vacuum_index  # noqa: F401
 # cases the read path's own load-time merge, precomputed
 _BLOOM_WORDS_COLS = {"__w", "__bits"}
 _VOCAB_STATE_COLS = {"word", "count", "batch_id"}
+_FUNNEL_STATE_COLS = {"__u", "__slots", "batch_id"}
 
 
 def _hadoop(spark: SparkSession, path: str):
@@ -159,6 +160,36 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
                 .groupBy("word")
                 .agg(
                     F.sum("count").cast("long").alias("count"),
+                    F.lit("compacted").alias("batch_id"),
+                )
+                .unionByName(ledger)
+            )
+        elif set(df.columns) == _FUNNEL_STATE_COLS:
+            # funnel slot chains merge by most-filled-row-wins (fills are
+            # monotone — the read path's own max_by, precomputed); batch
+            # ids survive as null-user ledger rows, as for vocab state
+            ledger = (
+                df.filter(
+                    (F.col("batch_id") != "") & (F.col("batch_id") != "compacted")
+                )
+                .select("batch_id")
+                .distinct()
+                .select(
+                    # __u's type follows the caller's user column — null
+                    # ledger rows must keep it, not assume string
+                    F.lit(None).cast(df.schema["__u"].dataType).alias("__u"),
+                    F.lit(None).cast("array<long>").alias("__slots"),
+                    "batch_id",
+                )
+            )
+            df = (
+                df.filter(F.col("__u").isNotNull())
+                .groupBy("__u")
+                .agg(
+                    F.max_by(
+                        "__slots",
+                        F.size(F.filter("__slots", lambda x: x.isNotNull())),
+                    ).alias("__slots"),
                     F.lit("compacted").alias("batch_id"),
                 )
                 .unionByName(ledger)
