@@ -399,6 +399,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_overlap": lambda s, d: dedup.overlap_pairs(
             docs(s, d), "doc_id", "text", 3, 0.8
         ),
+        # the pair-volume governor (100 TB posture for output-bound pair
+        # families): per-doc strongest-first budget, oracle-mirrored via
+        # two QUALIFY stages in the same side order
+        "dedup_overlap_capped": lambda s, d: dedup.overlap_pairs(
+            docs(s, d), "doc_id", "text", 3, 0.5, max_pairs_per_doc=2
+        ),
         "dedup_cross_minhash": lambda s, d: dedup.minhash_pairs_against(
             docs(s, d).filter(F.col("doc_id") % 3 != 0),
             docs(s, d).filter(F.col("doc_id") % 3 == 0),
@@ -631,6 +637,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "entity_match": o.entity_match_sql(2),
         "entity_match_against": o.entity_match_against_sql(2),
         "dedup_overlap": o.overlap_pairs_sql(3, 0.8),
+        "dedup_overlap_capped": o.cap_pairs_sql(
+            o.overlap_pairs_sql(3, 0.5), 2, "overlap_coef"
+        ),
         "num_outliers": o.flag_outliers_sql("c_acctbal", "zscore", 2.0),
         "num_mad": o.flag_outliers_sql("c_acctbal", "mad", 3.5),
         "num_mad_by": o.flag_outliers_by_sql("c_acctbal", "mad", 3.5, "c_mktsegment"),
@@ -997,7 +1006,11 @@ _R11_WINDOW = [
     # new this round
     "emb_cluster_topics",
     "corpus_drift",
-    "dedup_overlap",
+    # r11: dedup_overlap vacated (green r1-r10) for dedup_overlap_capped —
+    # the SAME overlap machinery graded through the harder path (plus the
+    # new pair-volume governor, oracle-mirrored QUALIFY top-k) — new this
+    # round (r10 VERDICT next-round #2)
+    "dedup_overlap_capped",
     # code paths changed this round (checkpoint lifecycle / blocking
     # rewrite / staged norm / plan-shape fixes)
     "entity_match",

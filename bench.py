@@ -162,9 +162,7 @@ def main() -> None:
             sf = float(SF_DIR.rstrip("/").split("sf")[-1])
         except ValueError:
             pass
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "total_wall_sec",
                 "value": total,
                 "unit": "sec",
@@ -192,8 +190,18 @@ def main() -> None:
                 "baseline_ref_rows_per_sec": 63000,
                 "errors": errors or None,
             }
-        )
-    )
+    print(json.dumps(payload))
+    # persist the run + regenerate the cross-round median/MAD table so
+    # regressions are judged against medians, not single cold samples
+    # (this box's ~48% cold spread) — file writes only, stdout stays the
+    # one JSON line
+    try:
+        from tools import bench_history
+
+        bench_history.append_local_run(payload)
+        bench_history.regenerate()
+    except Exception:  # noqa: BLE001 — history is best-effort, never fails the bench
+        pass
 
 
 if __name__ == "__main__":

@@ -3895,3 +3895,85 @@ def test_cluster_topics_user_vec_dim_agnostic(spark):
     assert (vocabs[0] <= tech_v and vocabs[1] <= music_v) or (
         vocabs[0] <= music_v and vocabs[1] <= tech_v
     )
+
+
+def test_cap_pairs_per_doc_budget_and_strongest(spark):
+    """The pair-volume governor: after capping, every doc appears in at
+    most k pairs per side (2k total), the kept pairs are each side's
+    STRONGEST (score descending, md5-hash tiebreak — deterministic and
+    partition-invariant), and connected components still link a replica
+    clique through its kept star edges. Recall of the capped set is
+    quantified with pair_eval."""
+    from wrangler_spark.datapipe.dedup import (
+        cap_pairs_per_doc, connected_components, pair_eval,
+    )
+
+    # a 12-replica clique (66 pairs) + isolated weak pairs
+    clique = [(a, b, 1.0 - 0.001 * (a + b)) for a in range(12) for b in range(a + 1, 12)]
+    weak = [(100, 101, 0.5), (102, 103, 0.6)]
+    pairs = spark.createDataFrame(
+        clique + weak, "id_a long, id_b long, score double"
+    )
+
+    for parts in (1, 7):
+        capped = cap_pairs_per_doc(pairs.repartition(parts), 3, "score")
+        rows = sorted(map(tuple, capped.collect()))
+        # deterministic across partitionings
+        if parts == 1:
+            first = rows
+        else:
+            assert rows == first
+        per_a = capped.groupBy("id_a").count().agg(F.max("count")).collect()[0][0]
+        per_b = capped.groupBy("id_b").count().agg(F.max("count")).collect()[0][0]
+        assert per_a <= 3 and per_b <= 3
+        # the isolated pairs are under every budget: untouched
+        assert (100, 101, 0.5) in rows and (102, 103, 0.6) in rows
+
+    # strongest-first: node 0's kept id_a pairs are its top-3 by score
+    kept0 = sorted(
+        r["score"] for r in capped.filter(F.col("id_a") == 0).collect()
+    )
+    want0 = sorted(s for a, b, s in clique if a == 0)[-3:]
+    assert kept0 == want0
+
+    # the clique still collapses to ONE component through star edges
+    cc = connected_components(capped.select("id_a", "id_b"))
+    comp = {r["id"]: r["component"] for r in cc.collect()}
+    assert len({comp[i] for i in range(12)}) == 1
+
+    # recall quantified: capped-vs-uncapped through pair_eval
+    ev = pair_eval(capped, pairs.select("id_a", "id_b")).collect()[0]
+    assert ev["precision"] == 1.0            # capping only drops pairs
+    assert 0.4 < ev["recall"] < 1.0          # 12-clique at k=3: ~half kept
+
+
+def test_pair_cap_wired_into_all_three_ops(spark, docs):
+    """max_pairs_per_doc on overlap_pairs / ngram_jaccard_pairs /
+    winnow_overlap: capped output is a subset of the uncapped output
+    with per-side budgets enforced; default None is bit-identical to
+    the pre-knob behavior."""
+    from wrangler_spark.datapipe.text import winnow_overlap
+
+    # replica-heavy corpus: 4 groups x 6 near-identical docs
+    rows = []
+    for g in range(4):
+        base = f"group {g} shares this exact long sentence body " * 5
+        for i in range(6):
+            rows.append((g * 10 + i, base + f"tail{g}-{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for fn, kw, score in (
+        (dedup.overlap_pairs, {"n": 3, "threshold": 0.5}, "overlap_coef"),
+        (dedup.ngram_jaccard_pairs, {"n": 3, "threshold": 0.3}, "jaccard"),
+        (winnow_overlap, {"k": 3, "w": 4, "min_shared": 1}, "shared_fps"),
+    ):
+        full = fn(df, "doc_id", "text", **kw)
+        capped = fn(df, "doc_id", "text", **kw, max_pairs_per_doc=2)
+        fset = {(r["id_a"], r["id_b"]) for r in full.collect()}
+        cset = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        assert cset and cset <= fset, fn.__name__
+        assert len(cset) < len(fset), fn.__name__        # the clique shrank
+        per_side = (
+            capped.groupBy("id_a").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert per_side <= 2, fn.__name__

@@ -110,8 +110,9 @@ def test_the_nth_of_month_and_weekday_prefix():
     assert p("sat 1st of may 2021 at 9:30 pm") == datetime(
         2021, 5, 1, 21, 30, tzinfo=timezone.utc
     )
-    # weekday alone (no date) is still not a date in this grammar
-    assert p("friday") is None
+    # weekday alone now parses (nearest-upcoming, the r11 tranche) —
+    # see test_bare_weekday_nearest_upcoming; a weekday PREFIX on a full
+    # date stays pure decoration, tested above
 
 
 def test_relative_day_with_time():
@@ -196,3 +197,66 @@ def test_bare_month_anchor():
     # timezone-aware: the 1st is the LOCAL first-of-month
     tokyo = p("december", tz="Asia/Tokyo")
     assert tokyo == datetime(2016, 11, 30, 15, 0, tzinfo=timezone.utc)
+
+
+def test_bare_clock_times():
+    """natty: a bare time resolves to TODAY at that time; a bare number
+    without colon or am/pm stays unparseable."""
+    d = datetime(2016, 12, 10, tzinfo=timezone.utc)
+    assert p("noon") == d.replace(hour=12)
+    assert p("midnight") == d
+    assert p("3pm") == d.replace(hour=15)
+    assert p("3 AM") == d.replace(hour=3)
+    assert p("12am") == d
+    assert p("12 pm") == d.replace(hour=12)
+    assert p("10:30") == d.replace(hour=10, minute=30)
+    assert p("10:30:15 pm") == d.replace(hour=22, minute=30, second=15)
+    assert p("at 10:30") == d.replace(hour=10, minute=30)
+    assert p("3") is None            # ambiguous bare number
+    assert p("25:10") is None        # invalid clock
+
+
+def test_fuzzy_prefixes_are_decoration():
+    assert p("around noon") == p("noon")
+    assert p("about 3pm") == p("3pm")
+    assert p("roughly next tuesday") == p("next tuesday")
+    assert p("approximately 2 days ago") == p("2 days ago")
+    assert p("around nonsense") is None
+
+
+def test_nth_weekday_of_month():
+    # NOW = Sat 2016-12-10
+    assert p("the first monday of june") == datetime(2017, 6, 5, tzinfo=timezone.utc)
+    assert p("first monday of december") == datetime(2016, 12, 5, tzinfo=timezone.utc)
+    assert p("second tuesday of december 2016") == datetime(2016, 12, 13, tzinfo=timezone.utc)
+    assert p("last friday of march 2024") == datetime(2024, 3, 29, tzinfo=timezone.utc)
+    assert p("last wednesday of february 2024") == datetime(2024, 2, 28, tzinfo=timezone.utc)
+    # next month = jan 2017: first sunday = jan 1
+    assert p("the first sunday of next month") == datetime(2017, 1, 1, tzinfo=timezone.utc)
+    assert p("third thursday of this month") == datetime(2016, 12, 15, tzinfo=timezone.utc)
+    # clock-time composition
+    assert p("first monday of june at 3pm") == datetime(2017, 6, 5, 15, tzinfo=timezone.utc)
+    assert p("last friday of march 2024 at noon") == datetime(2024, 3, 29, 12, tzinfo=timezone.utc)
+    # june 2017 has only four mondays
+    assert p("fifth monday of june 2017") is None
+
+
+def test_date_ranges_resolve_to_start():
+    assert p("between march 3 and march 5") == p("march 3")
+    assert p("from december 12 to december 14 2016") == datetime(2016, 12, 12, tzinfo=timezone.utc)
+    assert p("from monday to friday") == p("this monday")
+    assert p("between tomorrow and next friday") == p("tomorrow")
+    # half-ranges are malformed, not dates
+    assert p("between march 3 and nonsense") is None
+    assert p("between nonsense and march 3") is None
+    # "from now" keeps its relative meaning (no false range match)
+    assert p("2 weeks from now") == NOW + timedelta(weeks=2)
+
+
+def test_bare_weekday_nearest_upcoming():
+    # NOW = Sat 2016-12-10: "saturday" is today, "friday" is the 16th
+    assert p("saturday") == datetime(2016, 12, 10, tzinfo=timezone.utc)
+    assert p("friday") == datetime(2016, 12, 16, tzinfo=timezone.utc)
+    assert p("on tuesday") == datetime(2016, 12, 13, tzinfo=timezone.utc)
+    assert p("friday at 3pm") == datetime(2016, 12, 16, 15, tzinfo=timezone.utc)
+    assert p("tue at noon") == datetime(2016, 12, 13, 12, tzinfo=timezone.utc)

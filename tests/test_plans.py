@@ -70,3 +70,95 @@ def test_workspace_plan_surface(spark):
     r = ws.plan()
     assert r.ok, r.warnings                 # the recipe compiles scan-side
     assert r.features["python_evals"] == 0
+
+
+def test_audit_stream_sessionization_and_hazards(spark, tmp_path_factory):
+    """audit_stream on RUNNING StreamingQueries: the repo's own
+    sessionization sink audits clean (stateful op counted, no warnings),
+    an unwatermarked streaming aggregation is flagged as never-expiring
+    state, a per-key-global window inside foreachBatch is caught by the
+    same batch rules, and a not-yet-triggered query reports 'no
+    micro-batch' instead of warning on an empty plan."""
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from wrangler_spark.plans import audit, audit_stream
+    from wrangler_spark.streaming.sessions import sessionize_stream
+
+    src = str(tmp_path_factory.mktemp("aud_stream_src"))
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a"), (1, "2024-01-01 00:01:00", "b"),
+         (2, "2024-01-01 00:00:30", "a")],
+        "user_id long, ts_s string, event_type string",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type") \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(src)
+
+    # (1) the repo's stateful sessionization: clean audit, stateful op seen
+    out1 = str(tmp_path_factory.mktemp("aud_out1"))
+    q1 = (
+        sessionize_stream(stream, "user_id", "ts", gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out1)
+        .option("checkpointLocation", out1 + "_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+    r1 = audit_stream(q1)
+    assert r1.features.get("stateful_ops", 0) >= 1, r1.render()
+    assert not any("EMPTY partition" in w for w in r1.warnings), r1.render()
+
+    # (2) unwatermarked update-mode aggregation: never-expiring state
+    q2 = (
+        stream.groupBy("user_id").count()
+        .writeStream.format("memory").queryName("aud_unwm")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("aud_chk2")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    r2 = audit_stream(q2)
+    assert r2.features["stateful_ops"] >= 1 and r2.features["watermarks"] == 0
+    assert any("never expires" in w for w in r2.warnings), r2.render()
+
+    # (3) watermarked version of the same aggregation: no state warning
+    q3 = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"), "user_id").count()
+        .writeStream.format("memory").queryName("aud_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("aud_chk3")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(120)
+    r3 = audit_stream(q3)
+    assert r3.features["watermarks"] >= 1
+    assert not any("never expires" in w for w in r3.warnings), r3.render()
+
+    # (4) the tree-dialect global-window rule: the batch auditor catches
+    # the same hazard a foreachBatch body would (shared rule engine)
+    batch = spark.read.parquet(src)
+    bad = batch.withColumn("rn", F.row_number().over(Window.orderBy("ts")))
+    assert any("EMPTY partition" in w for w in audit(bad).warnings)
+
+    # (5) a query that has not run a micro-batch yet
+    q5 = (
+        stream.writeStream.format("memory").queryName("aud_idle")
+        .trigger(processingTime="1 hour")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("aud_chk5")))
+        .start()
+    )
+    try:
+        r5 = audit_stream(q5)
+        # either no batch yet (the placeholder report) or the first batch
+        # raced in — both are valid states; the auditor must not crash
+        assert r5.features.get("micro_batches_planned", 1) == 0 or r5.features
+    finally:
+        q5.stop()
+        _time.sleep(0.2)

@@ -59,7 +59,41 @@ QUERIES = [
     # token-budget sampling — grouped distributed prefix scan)
     "text_rep_filter", "text_group_terms_weighted", "sample_token_budget_by",
     "emb_cluster_topics",
+    # round 11 (pair-volume governor: the capped counterparts of the
+    # three output-bound slopes — the r10 VERDICT re-measure; each capped
+    # variant keeps its uncapped row's EXACT arguments + the cap, so the
+    # slope delta isolates the governor. The graded dedup_overlap_capped
+    # query is NOT in this list: it runs threshold 0.5 for oracle
+    # coverage, which would conflate a looser threshold with the cap.)
+    "dedup_overlap_capped8", "dedup_ngram_word_capped", "text_winnow_overlap_capped",
+    "events_funnel_state",
 ]
+
+
+def _extra_queries():
+    """Bench-only capped variants (NOT graded queries — the graded capped
+    representative is dedup_overlap_capped): same arguments as their
+    uncapped QUERIES counterparts plus max_pairs_per_doc, so the slope
+    rows are directly comparable."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from wrangler_spark.datapipe import dedup, text
+
+    def _docs(s, d):
+        return s.read.parquet(f"{d}/documents.parquet")
+
+    return {
+        "dedup_ngram_word_capped": lambda s, d: dedup.ngram_jaccard_pairs(
+            _docs(s, d), "doc_id", "text", 3, 0.5, unit="word",
+            max_pairs_per_doc=5,
+        ),
+        "text_winnow_overlap_capped": lambda s, d: text.winnow_overlap(
+            _docs(s, d), "doc_id", "text", 3, 4, max_pairs_per_doc=5,
+        ),
+        "dedup_overlap_capped8": lambda s, d: dedup.overlap_pairs(
+            _docs(s, d), "doc_id", "text", 3, 0.8, max_pairs_per_doc=5,
+        ),
+    }
 
 
 def build_sf1(spark) -> None:
@@ -126,7 +160,16 @@ def main() -> None:
     spark = get_spark("wrangler_spark_bench_scaling")
     spark.range(1).count()
     build_sf1(spark)
-    qs = entry_mod.queries()
+    qs = dict(entry_mod.queries())
+    qs.update(_extra_queries())
+
+    # subset mode: name args run only those queries and skip the MD
+    # rewrite (targeted slope re-measures without a full sweep)
+    subset = [a for a in sys.argv[1:] if not a.startswith("-")]
+    run_queries = subset or QUERIES
+    for name in run_queries:
+        if name not in qs:
+            raise SystemExit(f"unknown query {name!r}")
 
     results: dict[str, dict[str, float]] = {}
     rows: dict[str, dict[str, int]] = {}
@@ -135,7 +178,7 @@ def main() -> None:
         nr: dict[str, int] = {}
         from wrangler_spark.datapipe import checkpoint_scope
 
-        for name in QUERIES:
+        for name in run_queries:
             # warm pass (JIT, file index, shuffle buffers), then the timed
             # pass — slope needs steady-state per-sf numbers, not whichever
             # sf happened to pay the session's one-time costs. Each pass
@@ -150,6 +193,14 @@ def main() -> None:
         results[str(sf)] = per
         rows[str(sf)] = nr
         print(json.dumps({"sf": sf, "queries": per, "rows": nr}), flush=True)
+
+    if subset:
+        for name in run_queries:
+            a, b, c = (results[k][name] for k in ("0.01", "0.1", "1.0"))
+            slope = round(c / b, 2) if b else float("nan")
+            print(f"{name}: {a} / {b} / {c} s  slope {slope}x  "
+                  f"rows sf1={rows['1.0'][name]}")
+        return
 
     lines = [
         "# BENCH_SCALING — wall-clock vs scale factor (local[32])",

@@ -389,6 +389,7 @@ def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.6,
     max_gram_df: int | float | None = 0.5, unit: str = "word",
     max_gram_group: int | None = None,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dups via an inverted-index equi-join: only
     pairs sharing at least one n-gram are ever scored. ``unit`` picks the
@@ -429,7 +430,13 @@ def ngram_jaccard_pairs(
     plan as a broadcast 1-row aggregate (no driver job, no collected
     scalar); an int is still accepted as an absolute cap and None disables
     pruning. The df-count groupBy and the join back ride the same gram-key
-    partitioning as the self-join."""
+    partitioning as the self-join.
+
+    ``max_pairs_per_doc`` applies :func:`cap_pairs_per_doc` to the
+    qualifying pairs (keep each doc's highest-Jaccard links) — the
+    100 TB posture for replica-heavy corpora where the PAIR SET is the
+    scale bound (measured sf0.1→sf1 slope 20x uncapped on the
+    adversarial replica corpus, pure output growth)."""
     base, staged = _gram_hash_base(df, id_col, text_col, n, unit)
     # the inverted index feeds FOUR consumers (df-count, prune join,
     # per-doc count, both sides of the self-join). Left lazy, every
@@ -585,16 +592,20 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("ka"), F.col("kb"))).cast("double")
     union = F.size(F.array_union(F.col("ka"), F.col("kb"))).cast("double")
     jac = F.round(inter / union, 6)
-    return (
+    out = (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if max_pairs_per_doc is not None:
+        out = cap_pairs_per_doc(out, max_pairs_per_doc, "jaccard")
+    return out
 
 
 def overlap_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8,
     max_gram_df: int | float | None = 0.25, unit: str = "word",
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """Overlap-coefficient near-dup pairs: Szymkiewicz–Simpson
     |A∩B| / min(|A|,|B|) over the distinct n-gram hash sets, reported
@@ -622,7 +633,10 @@ def overlap_pairs(
     (the Jaccard op's symmetric size filter would be UNSOUND here and
     is deliberately absent). Each stage is an equi-join or hash
     aggregate on the gram key; shared frames are checkpointed per the
-    repo rule."""
+    repo rule. ``max_pairs_per_doc`` applies :func:`cap_pairs_per_doc`
+    to the qualifying pairs (keep each doc's strongest links) — the
+    documented 100 TB posture for near-dup-heavy corpora where the
+    pair set itself is the scale bound."""
     base, staged = _gram_hash_base(df, id_col, text_col, n, unit)
     inv = eager_checkpoint(
         base.select("id", F.explode_outer("grams").alias("g"))
@@ -695,7 +709,7 @@ def overlap_pairs(
     )
     inter = F.size(F.array_intersect(F.col("ka"), F.col("kb"))).cast("double")
     coef = F.round(inter / F.least(F.col("na"), F.col("nb")).cast("double"), 6)
-    return (
+    out = (
         pairs.select(
             "id_a",
             "id_b",
@@ -705,6 +719,77 @@ def overlap_pairs(
         )
         .filter(F.col("overlap_coef") >= threshold)
     )
+    if max_pairs_per_doc is not None:
+        out = cap_pairs_per_doc(out, max_pairs_per_doc, "overlap_coef")
+    return out
+
+
+def cap_pairs_per_doc(
+    pairs: DataFrame, max_pairs_per_doc: int, score_col: str | None = None,
+) -> DataFrame:
+    """Per-document pair budget — the 100 TB governor for the
+    output-bound pair family (overlap_pairs, ngram_jaccard_pairs,
+    winnow_overlap): on a near-dup-heavy crawl the qualifying pair set
+    grows ~quadratically in clique size while everything downstream
+    (connected components, dedup decisions, review queues) needs only a
+    bounded sample of each document's links. Keeps, for EACH side in
+    turn (id_a pass, then id_b pass over the survivors), each
+    document's ``max_pairs_per_doc`` best pairs — highest ``score_col``
+    first when given, ties (and the no-score case) broken by the
+    engine-portable md5 pair hash (the sample_hash contract, so a SQL
+    oracle mirrors the cap with two QUALIFY row_number stages in the
+    same side order). After both passes a document appears in at most
+    2·k pairs (k as id_a + k as id_b); a clique of n replicas emits
+    O(n·k) links instead of O(n²) — still plenty for a connected-
+    components pass to find one component (each member keeps its k
+    strongest links).
+
+    Scale shape: two-level SALTED top-k per side (partial top-k within
+    16 hash salts, then top-k of the ≤16·k survivors) — every
+    aggregation buffer is O(k) structs even for a document with
+    millions of qualifying pairs; no rank window, no single hot
+    reducer. Recall effect is measurable with pair_eval (capped vs
+    uncapped pairs as approx vs truth)."""
+    k = int(max_pairs_per_doc)
+    if k < 1:
+        raise ValueError(f"max_pairs_per_doc must be >= 1, got {max_pairs_per_doc}")
+    payload = list(pairs.columns)
+    out = pairs.withColumn(
+        "__h",
+        F.md5(
+            F.concat_ws(
+                "|", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+            )
+        ),
+    )
+    for side in ("id_a", "id_b"):
+        rest = [c for c in payload if c != side]
+        # struct field layout: sort keys first (negated score so the
+        # BEST pair sorts lowest, then the hash tiebreak), payload after
+        # — array_sort orders struct arrays by fields left to right
+        keys = ([(-F.col(score_col)).alias("__negs")] if score_col else []) + [
+            F.col("__h")
+        ]
+        st = F.struct(*keys, *[F.col(c) for c in rest])
+        lvl1 = (
+            out.withColumn("__salt", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(16)))
+            .groupBy(side, "__salt")
+            .agg(F.slice(F.array_sort(F.collect_list(st)), 1, k).alias("__top"))
+        )
+        out = (
+            lvl1.groupBy(side)
+            .agg(
+                F.slice(F.array_sort(F.flatten(F.collect_list("__top"))), 1, k)
+                .alias("__top")
+            )
+            .select(side, F.explode("__top").alias("__p"))
+            .select(
+                side,
+                *[F.col(f"__p.{c}").alias(c) for c in rest],
+                F.col("__p.__h").alias("__h"),
+            )
+        )
+    return out.select(*payload)
 
 
 def simhash_expr(hashes: Column, bits: int = 32) -> Column:

@@ -2322,3 +2322,21 @@ c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
 SELECT path, CAST(n_users AS BIGINT) AS n_users
 FROM c ORDER BY n_users DESC, path ASC LIMIT {k}
 """
+
+
+def cap_pairs_sql(inner: str, k: int, score_col: str) -> str:
+    """Mirror of dedup.cap_pairs_per_doc over an inner pair query: two
+    SEQUENTIAL per-side top-k stages (id_a pass, then id_b pass over
+    the survivors — the same side order as the Spark op), ordered
+    (score DESC, md5(id_a || '|' || id_b)) — the engine-portable hash
+    tiebreak both engines compute identically."""
+    h = "md5(id_a::VARCHAR || '|' || id_b::VARCHAR)"
+    return f"""
+WITH __pairs AS ({inner}),
+__capa AS (
+  SELECT * FROM __pairs
+  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY {score_col} DESC, {h}) <= {int(k)}
+)
+SELECT * FROM __capa
+QUALIFY row_number() OVER (PARTITION BY id_b ORDER BY {score_col} DESC, {h}) <= {int(k)}
+"""

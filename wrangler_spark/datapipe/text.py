@@ -1011,6 +1011,7 @@ def winnow_fingerprints(
 def winnow_overlap(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4,
     min_shared: int = 2, max_fp_df: int | None = 1000,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """Partial-overlap pairs via shared winnowing fingerprints:
     (id_a, id_b, shared_fps) for documents sharing at least ``min_shared``
@@ -1025,7 +1026,10 @@ def winnow_overlap(
     fingerprints appearing in more than that many documents (ubiquitous
     boilerplate — the k²-join-row scale-killer, same argument as the
     ngram stop-gram cap); matching spans that common carry no
-    plagiarism signal anyway."""
+    plagiarism signal anyway. ``max_pairs_per_doc`` applies
+    dedup.cap_pairs_per_doc to the qualifying pairs (keep each doc's
+    most-shared partners) — the 100 TB posture when the pair set
+    itself is the scale bound."""
     # the (id, fp) frame feeds FOUR consumers (the hot-fp aggregate, the
     # cap join-back, and both sides of the self-join) and contains a
     # shuffle (.distinct()) — the repo's checkpoint-when-shared-branch-
@@ -1041,12 +1045,17 @@ def winnow_overlap(
         hot = fps.groupBy("fp").agg(F.countDistinct("id").alias("__df"))
         fps = fps.join(hot.filter(F.col("__df") <= int(max_fp_df)).select("fp"), "fp")
     l, r = fps.alias("l"), fps.alias("r")
-    return (
+    out = (
         l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")))
         .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= int(min_shared))
     )
+    if max_pairs_per_doc is not None:
+        from wrangler_spark.datapipe.dedup import cap_pairs_per_doc
+
+        out = cap_pairs_per_doc(out, max_pairs_per_doc, "shared_fps")
+    return out
 
 
 def bm25_topk(

@@ -6,7 +6,13 @@ through natty (ref: parser/ParseDate.java:103-112, ParseDateTest
 "1485800109") plus the common relative forms natty documents
 ("yesterday", "tomorrow", "next tuesday", "3 days ago", "in 2 weeks",
 "this tuesday", "the day before yesterday", "tomorrow at 3pm",
-"today at noon", "a week ago", "october 2006").
+"today at noon", "a week ago", "october 2006", "the 3rd of next month",
+"the first monday of june", "last friday of march 2024", bare clock
+times like "noon" / "3pm" / "10:30", fuzzy prefixes "around"/"about"
+(decoration, stripped), and ranges "between march 3 and march 5" /
+"from monday to friday" (both endpoints must parse; resolves to the
+START — a documented local convention, since a directive emits one
+timestamp per row where natty returns the whole date group).
 Fresh implementation against natty's published behavior — not a port.
 
 Pure Python, no Spark imports: the directive wraps :func:`parse_natural`
@@ -88,6 +94,42 @@ _RE_DAY_RELMONTH = re.compile(
 # convention documented against natty's (which anchors within the
 # current year)
 _RE_BARE_MONTH = re.compile(rf"^(?:in\s+)?({_MON})\.?$", re.I)
+# fuzzy prefixes natty treats as decoration ("around noon", "about 3pm",
+# "roughly next tuesday") — stripped before matching; the fuzz carries
+# no offset
+_RE_FUZZ = re.compile(r"\b(?:around|about|approximately|roughly)\s+", re.I)
+# bare clock time ("noon", "3pm", "10:30", "10:30:15 pm") → TODAY at that
+# time, natty's rule; a bare number without a colon or am/pm stays
+# unparseable (too ambiguous)
+_RE_BARE_TIME = re.compile(
+    r"^(?:at\s+)?(?:(noon|midnight)|(\d{1,2}):(\d{2})(?::(\d{2}))?\s*(am|pm)?"
+    r"|(\d{1,2})\s*(am|pm))$",
+    re.I,
+)
+# week-of-month anchors: "the first monday of june", "last friday of
+# march 2024", "second tuesday of next month" — with natty's free
+# clock-time composition. A bare month (no year) anchors to its NEAREST
+# UPCOMING occurrence, the _RE_BARE_MONTH convention.
+_NTH = {
+    "first": 1, "1st": 1, "second": 2, "2nd": 2, "third": 3, "3rd": 3,
+    "fourth": 4, "4th": 4, "fifth": 5, "5th": 5, "last": -1,
+}
+_RE_NTH_WD = re.compile(
+    rf"^(?:the\s+)?(first|1st|second|2nd|third|3rd|fourth|4th|fifth|5th|last)\s+"
+    rf"({_WD})\s+(?:of|in)\s+"
+    rf"(?:({_MON})\.?(?:\s+(\d{{4}}))?|(next|last|this)\s+month){_TIMEX}$",
+    re.I,
+)
+# bare weekday ("friday", "on friday", "friday at 3pm") → the NEAREST
+# upcoming occurrence (today included) — natty's "this <weekday>" rule
+_RE_BARE_WD = re.compile(rf"^(?:on\s+)?({_WD})\.?{_TIMEX}$", re.I)
+# date ranges ("between march 3 and march 5", "from monday to friday"):
+# both endpoints must parse under this same grammar; the range resolves
+# to its START — a documented local convention (natty returns the whole
+# date group; a directive produces one timestamp per row)
+_RE_RANGE = re.compile(
+    r"^(?:between|from)\s+(.+?)\s+(?:and|to|until|through)\s+(.+)$", re.I
+)
 
 
 def _hms(m, start: int):
@@ -141,9 +183,18 @@ def parse_natural(s: str | None, now_utc: datetime, tz: str = "UTC") -> datetime
     t = " ".join(s.strip().lower().split())
     if not t:
         return None
+    t = _RE_FUZZ.sub("", t)  # "around noon" -> "noon": fuzz is decoration
     zone = ZoneInfo(tz)
     now_local = now_utc.astimezone(zone)
     midnight = now_local.replace(hour=0, minute=0, second=0, microsecond=0)
+
+    m = _RE_RANGE.match(t)
+    if m:
+        start = parse_natural(m.group(1), now_utc, tz)
+        end = parse_natural(m.group(2), now_utc, tz)
+        # both endpoints must parse (a half-range is a malformed range,
+        # not a date); the range resolves to its start
+        return start if (start is not None and end is not None) else None
 
     if t in ("now", "right now", "just now"):
         return now_utc
@@ -276,6 +327,100 @@ def parse_natural(s: str | None, now_utc: datetime, tz: str = "UTC") -> datetime
             # unparseable (no clamping: the user named a day that does
             # not exist), like every other invalid-component branch
             out = anchor.replace(day=day, hour=h, minute=mi, second=sec, microsecond=0)
+        except ValueError:
+            return None
+        return out.astimezone(_tz.utc)
+
+    m = _RE_BARE_WD.match(t)
+    if m:
+        anchor = midnight + timedelta(
+            days=(_WEEKDAYS[m.group(1).lower()] - midnight.weekday()) % 7
+        )
+        if m.group(2):  # noon / midnight
+            h, mi, sec = (12 if m.group(2).lower() == "noon" else 0), 0, 0
+        elif m.group(3):
+            h = int(m.group(3))
+            mi = int(m.group(4) or 0)
+            sec = int(m.group(5) or 0)
+            ampm = (m.group(6) or "").lower()
+            if ampm == "pm" and h < 12:
+                h += 12
+            elif ampm == "am" and h == 12:
+                h = 0
+        else:
+            h = mi = sec = 0
+        try:
+            out = anchor.replace(hour=h, minute=mi, second=sec)
+        except ValueError:
+            return None
+        return out.astimezone(_tz.utc)
+
+    m = _RE_BARE_TIME.match(t)
+    if m:
+        if m.group(1):  # noon / midnight
+            h, mi, sec = (12 if m.group(1) == "noon" else 0), 0, 0
+        elif m.group(2):  # h:mm[:ss] [am|pm]
+            h = int(m.group(2))
+            mi = int(m.group(3))
+            sec = int(m.group(4) or 0)
+            ampm = (m.group(5) or "").lower()
+            if ampm == "pm" and h < 12:
+                h += 12
+            elif ampm == "am" and h == 12:
+                h = 0
+        else:  # bare hour + am/pm ("3pm")
+            h = int(m.group(6))
+            mi = sec = 0
+            if m.group(7).lower() == "pm" and h < 12:
+                h += 12
+            elif m.group(7).lower() == "am" and h == 12:
+                h = 0
+        try:
+            out = midnight.replace(hour=h, minute=mi, second=sec)
+        except ValueError:
+            return None
+        return out.astimezone(_tz.utc)
+
+    m = _RE_NTH_WD.match(t)
+    if m:
+        nth = _NTH[m.group(1).lower()]
+        wd = _WEEKDAYS[m.group(2).lower()]
+        if m.group(3):  # explicit month [year]
+            mon = _MONTHS[m.group(3)]
+            if m.group(4):
+                year = int(m.group(4))
+            else:
+                # bare month: nearest upcoming, the _RE_BARE_MONTH rule
+                year = now_local.year + (1 if mon < now_local.month else 0)
+            anchor = midnight.replace(year=year, month=mon, day=1)
+        else:  # next/last/this month
+            anchor = _shift_months(
+                midnight, {"next": 1, "last": -1, "this": 0}[m.group(5).lower()]
+            ).replace(day=1)
+        if nth == -1:
+            nxt = _shift_months(anchor, 1)
+            last_day = (nxt - timedelta(days=1)).day
+            day = last_day - (anchor.replace(day=last_day).weekday() - wd) % 7
+        else:
+            day = 1 + (wd - anchor.weekday()) % 7 + 7 * (nth - 1)
+            nxt = _shift_months(anchor, 1)
+            if day > (nxt - timedelta(days=1)).day:
+                return None  # "fifth monday of june" when june has four
+        if m.group(6):  # noon / midnight
+            h, mi, sec = (12 if m.group(6).lower() == "noon" else 0), 0, 0
+        elif m.group(7):
+            h = int(m.group(7))
+            mi = int(m.group(8) or 0)
+            sec = int(m.group(9) or 0)
+            ampm = (m.group(10) or "").lower()
+            if ampm == "pm" and h < 12:
+                h += 12
+            elif ampm == "am" and h == 12:
+                h = 0
+        else:
+            h = mi = sec = 0
+        try:
+            out = anchor.replace(day=day, hour=h, minute=mi, second=sec)
         except ValueError:
             return None
         return out.astimezone(_tz.utc)

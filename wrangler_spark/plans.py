@@ -66,59 +66,76 @@ class PlanReport:
         return "\n".join(lines)
 
 
-# a Window operator line in the formatted plan, e.g.
-#   (12) Window
-# followed later by "Arguments: [<funcs>], [<partition spec>], [<order>]"
-_WINDOW_ARGS = re.compile(
-    r"^\(\d+\) Window\b.*?^Arguments: (\[.*)$", re.M | re.S
-)
+def _top_level_lists(s: str) -> list[str]:
+    """The top-level ``[...]`` lists of an argument string."""
+    lists, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                lists.append(s[start : i + 1])
+    return lists
 
 
 def _global_windows(plan: str) -> int:
-    """Window operators with NO partition spec. A partitioned Window's
-    formatted Arguments render THREE top-level lists — [functions],
+    """Window operators with NO partition spec, in EITHER plan dialect.
+    A partitioned Window renders THREE top-level lists — [functions],
     [partition-exprs], [sort-order] — a global one renders two (the
     partition list is omitted entirely, measured on Spark 4.x), and
-    either shape can also surface an explicitly empty ``[]``."""
+    either shape can also surface an explicitly empty ``[]``. The
+    formatted dialect (.explain('formatted')) puts the lists on an
+    ``Arguments:`` line inside the operator's block; the tree dialect
+    (StreamingQuery.explain / plain .explain()) puts them inline on the
+    ``Window [...]`` node line."""
     n = 0
+    # formatted dialect: per-operator blocks
     for block in plan.split("\n\n"):
         if not re.search(r"^\(\d+\) Window\b", block, re.M):
             continue
         m = re.search(r"^Arguments: (.*)$", block, re.M)
         if not m:
             continue
-        # split the top-level bracketed lists
-        lists, depth, start = [], 0, None
-        for i, ch in enumerate(m.group(1)):
-            if ch == "[":
-                if depth == 0:
-                    start = i
-                depth += 1
-            elif ch == "]":
-                depth -= 1
-                if depth == 0:
-                    lists.append(m.group(1)[start : i + 1])
+        lists = _top_level_lists(m.group(1))
         if len(lists) < 3 or lists[1].strip() == "[]":
             n += 1
+    # tree dialect: inline node lines like "+- Window [fns], [part], [ord]"
+    for line in plan.splitlines():
+        m = re.search(r"(?:^|[\s\-+*(\d)])Window (\[.*)$", line)
+        if m and not line.lstrip().startswith("("):
+            lists = _top_level_lists(m.group(1))
+            if len(lists) < 3 or lists[1].strip() == "[]":
+                n += 1
     return n
 
 
-def audit(df: DataFrame) -> PlanReport:
-    """Audit a DataFrame's physical plan for the scale hazards the
-    package's own operators are gated against. Lazy — inspects the
-    plan, never executes it. ``report.render()`` prints the summary;
-    ``report.ok`` is the boolean gate."""
-    plan = plan_text(df)
+def _audit_plan(plan: str, streaming: bool = False) -> PlanReport:
+    """The shared rule engine over a physical-plan string (either
+    dialect — see :func:`_global_windows`)."""
     feats = {
-        "exchanges": len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)),
+        "exchanges": len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+        or plan.count("Exchange "),
         "broadcast_joins": plan.count("BroadcastHashJoin")
         + plan.count("BroadcastNestedLoopJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
-        "windows": len(re.findall(r"^\(\d+\) Window\b", plan, re.M)),
+        "windows": len(re.findall(r"^\(\d+\) Window\b", plan, re.M))
+        + len(re.findall(r"(?:^|[\s\-+*])Window \[", plan, re.M)),
         "python_evals": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
         "cartesian_products": plan.count("CartesianProduct"),
-        "file_scans": len(re.findall(r"^\(\d+\) Scan\b", plan, re.M)),
+        "file_scans": len(re.findall(r"^\(\d+\) Scan\b", plan, re.M))
+        or len(re.findall(r"FileScan\b", plan)),
     }
+    if streaming:
+        feats["stateful_ops"] = (
+            plan.count("FlatMapGroupsInPandasWithState")
+            + plan.count("FlatMapGroupsWithState")
+            + plan.count("StateStoreSave")
+            + plan.count("SessionWindowStateStore")
+        )
+        feats["watermarks"] = plan.count("EventTimeWatermark")
     warnings = []
     if plan.count("BatchEvalPython"):
         warnings.append(
@@ -145,4 +162,47 @@ def audit(df: DataFrame) -> PlanReport:
             "Filter operators — predicates are not reaching the scan "
             "(non-deterministic expression, or a filter on a derived column)"
         )
+    if streaming and plan.count("StateStoreSave") and not feats["watermarks"]:
+        warnings.append(
+            "streaming aggregation state (StateStoreSave) with NO "
+            "EventTimeWatermark upstream — state never expires and grows "
+            "with the stream's key space (fine only for complete-mode "
+            "dashboards over a bounded key set; add withWatermark otherwise)"
+        )
     return PlanReport(feats, warnings)
+
+
+def audit(df: DataFrame) -> PlanReport:
+    """Audit a DataFrame's physical plan for the scale hazards the
+    package's own operators are gated against. Lazy — inspects the
+    plan, never executes it. ``report.render()`` prints the summary;
+    ``report.ok`` is the boolean gate."""
+    return _audit_plan(plan_text(df))
+
+
+def stream_plan_text(query) -> str:
+    """The last-executed micro-batch's physical plan of a STARTED
+    StreamingQuery — ``query.explain()`` prints client-side, so the
+    capture needs no private APIs. Empty/placeholder until the first
+    micro-batch has run."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        query.explain()
+    return buf.getvalue()
+
+
+def audit_stream(query) -> PlanReport:
+    """:func:`audit` for a running StreamingQuery: inspects the last
+    micro-batch's physical plan (tree dialect), adds the streaming
+    features (stateful operators, watermarks), and applies the same
+    scale warnings — the stateful ops are exactly where an accidental
+    per-key global window or an unwatermarked aggregation hurts most.
+    Before the first micro-batch there is no plan yet; the report says
+    so instead of warning on an empty string."""
+    plan = stream_plan_text(query)
+    if not plan.strip() or "No physical plan" in plan:
+        return PlanReport(
+            {"micro_batches_planned": 0},
+            ["no micro-batch has executed yet — run one trigger, then audit"],
+        )
+    return _audit_plan(plan, streaming=True)
