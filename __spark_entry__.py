@@ -244,6 +244,26 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             events.funnel_update_state(b, path, "user_id", "ts", "event_type", f"b{i}")
         return events.funnel_from_state(spark, path)
 
+    def _q_retention_forget(spark, sf_dir):
+        # retention state built once, a deterministic user subset
+        # tombstoned (forget_ids), grid read back — graded against the
+        # one-shot retention SQL over the RETAINED users only
+        import tempfile
+
+        from wrangler_spark.datapipe.maintenance import forget_ids
+
+        ev = _t(spark, sf_dir, "events")
+        path = tempfile.mkdtemp(prefix="wrspark_ret_forget_") + "/st"
+        events.retention_write_state(ev, path, "user_id", "ts", period_days=1)
+        forget_ids(
+            spark, path,
+            ev.filter(F.col("user_id") % 17 == 3).select("user_id").distinct(),
+            "__u",
+        )
+        return events.retention_grid_from_state(spark, path, 8).withColumn(
+            "cohort_start", F.col("cohort_start").cast("string")
+        )
+
     def _boiler_docs(spark, sf_dir):
         # fixture docs are single-line; append one corpus-wide boilerplate
         # line, a blank line, and a per-doc unique line (mirrored in the
@@ -509,6 +529,10 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": lambda s, d: events.retention_cohorts(
             _t(s, d, "events"), "user_id", "ts", period_days=1, max_periods=8,
         ).withColumn("cohort_start", F.col("cohort_start").cast("string")),
+        # the right-to-be-forgotten flow end to end: state build ->
+        # forget_ids tombstones -> grid read (anti-joined) must equal the
+        # one-shot retention over the RETAINED users
+        "events_retention_forget": _q_retention_forget,
         # day cast to string for the same DATE-canonicalization reason
         "events_active_users": lambda s, d: events.active_users(
             _t(s, d, "events"), "user_id", "ts", windows=(1, 7, 30)
@@ -737,6 +761,9 @@ def _datapipe_oracles() -> dict[str, str]:
             ["view", "click", "purchase"], within_seconds=86400
         ),
         "events_retention": o.retention_cohorts_sql(1, 8),
+        "events_retention_forget": o.retention_cohorts_sql(
+            1, 8, table="(SELECT * FROM events WHERE user_id % 17 <> 3) ev"
+        ),
         "events_active_users": o.active_users_sql((1, 7, 30)),
         "events_transitions": o.event_transitions_sql(),
         "events_paths": o.event_paths_sql(),
@@ -1098,7 +1125,12 @@ _R11_WINDOW = [
     # 3 event-time-ordered folds reconstruct the one-shot funnel
     "events_funnel_state",
     "events_transitions",
-    "events_paths",
+    # r11: events_paths vacated (green r8-r10; its per-user lead-window
+    # path is unchanged this round and stays family-graded via
+    # events_transitions + sessionize) for the right-to-be-forgotten
+    # flow — state build -> forget_ids tombstones -> anti-joined grid
+    # read, new this round
+    "events_retention_forget",
     # r9: corpus_report vacated (green r1-r8, unchanged) for
     # text_vocabulary, whose top-k was rewritten this round (global rank
     # window -> distributed TakeOrdered + posexplode rank)

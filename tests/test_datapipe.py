@@ -3977,3 +3977,109 @@ def test_pair_cap_wired_into_all_three_ops(spark, docs):
             capped.groupBy("id_a").count().agg(F.max("count")).collect()[0][0]
         )
         assert per_side <= 2, fn.__name__
+
+
+def test_forget_ids_retention_funnel_ivf(spark, tmp_path_factory):
+    """The right-to-be-forgotten flow across the three id-addressable
+    families: tombstones hide the ids from every keyed read IMMEDIATELY,
+    compaction erases them PHYSICALLY (and drops the tombstones dataset),
+    ledger rows survive, and a post-compaction re-ingest re-admits the
+    key from a blank slate."""
+    import datetime as dt
+
+    from wrangler_spark.datapipe import _layout, events, similarity
+    from wrangler_spark.datapipe.maintenance import compact_index, forget_ids
+
+    ts = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(u, ts(d), "a") for u in (1, 2, 3, 4) for d in (1, 2, 9)],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+    # --- retention state: grid == batch on the retained users
+    rpath = str(tmp_path_factory.mktemp("forget_ret") / "st")
+    events.retention_write_state(ev, rpath, "user_id", "ts", period_days=1)
+    forget_ids(spark, rpath, [2, 4], "__u")
+    key = lambda r: (str(r["cohort_start"]), r["period_offset"],  # noqa: E731
+                     r["active_users"], r["retention"])
+    got = sorted(map(key, events.retention_grid_from_state(spark, rpath, 30).collect()))
+    want = sorted(map(key, events.retention_cohorts(
+        ev.filter(~F.col("user_id").isin(2, 4)), "user_id", "ts", 1, 30
+    ).collect()))
+    assert got == want and len(got) > 0
+    # active-users read path too
+    au = events.active_users_from_state(spark, rpath, (1,))
+    assert au.agg(F.max("au_1d")).collect()[0][0] == 2
+    # compaction: physical erasure, tombstones gone, reads unchanged
+    compact_index(spark, rpath)
+    root = _layout.resolve(spark, rpath)
+    import os
+
+    assert not os.path.exists(f"{root}/tombstones")
+    pairs_u = {r["__u"] for r in spark.read.parquet(f"{root}/pairs").collect()}
+    assert pairs_u == {1, 3}
+    assert sorted(map(key, events.retention_grid_from_state(spark, rpath, 30).collect())) == want
+    # post-compaction re-ingest re-admits the key
+    events.retention_update_state(
+        spark.createDataFrame([(2, ts(16), "a")], "user_id long, ts timestamp, event_type string"),
+        rpath, "user_id", "ts")
+    assert 2 in {r["__u"] for r in spark.read.parquet(f"{root}/pairs").collect()}
+
+    # --- funnel state: forgotten user leaves the summary; ledger survives
+    fpath = str(tmp_path_factory.mktemp("forget_fun") / "st")
+    events.funnel_init_state(spark, fpath, ["a", "b"])
+    fev = spark.createDataFrame(
+        [(1, ts(1), "a"), (1, ts(2), "b"), (2, ts(1), "a"), (2, ts(2), "b")],
+        "user_id long, ts timestamp, event_type string")
+    events.funnel_update_state(fev, fpath, "user_id", "ts", "event_type", "b0")
+    forget_ids(spark, fpath, [1], "__u")
+    got_f = {r["step"]: r["users"] for r in events.funnel_from_state(spark, fpath).collect()}
+    assert got_f == {1: 1, 2: 1}
+    compact_index(spark, fpath)
+    rows = spark.read.parquet(_layout.resolve(spark, fpath) + "/rows")
+    assert {r["__u"] for r in rows.filter(F.col("__u").isNotNull()).collect()} == {2}
+    assert [r["batch_id"] for r in rows.filter(F.col("__u").isNull()).collect()] == ["b0"]
+
+    # --- IVF index: forgotten vector never surfaces in queries
+    ipath = str(tmp_path_factory.mktemp("forget_ivf") / "ix")
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4 == j) + 0.01 * i for j in range(4)]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    similarity.ivf_write_index(vecs, ipath, n_centroids=4, train_iters=1, dim=4)
+    q = vecs.filter(F.col("vec_id") == 0)
+    before = {r["vec_id"] for r in similarity.ivf_query_index(
+        spark, ipath, q, "vec_id", "embedding", k=5, nprobe=4).collect()}
+    victim = sorted(before - {0})[0]
+    forget_ids(spark, ipath, [victim], "vec_id")
+    after = {r["vec_id"] for r in similarity.ivf_query_index(
+        spark, ipath, q, "vec_id", "embedding", k=5, nprobe=4).collect()}
+    assert victim not in after and len(after) == 5   # k refills from survivors
+    compact_index(spark, ipath)
+    vrows = spark.read.parquet(_layout.resolve(spark, ipath) + "/vectors")
+    assert victim not in {r["vec_id"] for r in vrows.collect()}
+    still = {r["vec_id"] for r in similarity.ivf_query_index(
+        spark, ipath, q, "vec_id", "embedding", k=5, nprobe=4).collect()}
+    assert still == after
+
+
+def test_forget_ids_refusals(spark, tmp_path_factory, docs):
+    """Artifacts that cannot honor a delete refuse LOUDLY: Bloom bitmaps
+    (shared bits) and vocabulary state (unattributable counts); unknown
+    keys and key-less artifacts are errors, not silent no-ops."""
+    import pytest
+
+    from wrangler_spark.datapipe import text
+    from wrangler_spark.datapipe.maintenance import forget_ids
+
+    bpath = str(tmp_path_factory.mktemp("forget_bloom") / "ix")
+    dedup.bloom_write_index(docs, bpath, "text", bits=1 << 10, num_hashes=3)
+    with pytest.raises(ValueError, match="Bloom"):
+        forget_ids(spark, bpath, [1], "id")
+
+    vpath = str(tmp_path_factory.mktemp("forget_vocab") / "st")
+    text.vocab_update_state(docs, vpath, "text", "b0")
+    with pytest.raises(ValueError, match="vocabulary"):
+        forget_ids(spark, vpath, [1], "id")
+
+    with pytest.raises(ValueError, match="key must be one of"):
+        forget_ids(spark, vpath, [1], "doc_id")

@@ -454,8 +454,12 @@ def active_users_from_state(
     _check_window_budget(ws, approx)
     from wrangler_spark.datapipe import _layout
 
+    from wrangler_spark.datapipe.maintenance import read_forgetting
+
     root = _layout.resolve(spark, path)
-    pairs = spark.read.parquet(f"{root}/pairs").select("__u", F.col("__b").alias("__d"))
+    pairs = read_forgetting(spark, root, "pairs", "__u").select(
+        "__u", F.col("__b").alias("__d")
+    )
     return _active_users_from_pairs(pairs, ws, approx)
 
 
@@ -728,8 +732,12 @@ def retention_grid_from_state(
     event rescan."""
     from wrangler_spark.datapipe import _layout
 
+    from wrangler_spark.datapipe.maintenance import read_forgetting
+
     period_days, cal = _read_state_meta(spark, path)
-    b = spark.read.parquet(f"{_layout.resolve(spark, path)}/pairs").select("__u", "__b")
+    b = read_forgetting(
+        spark, _layout.resolve(spark, path), "pairs", "__u"
+    ).select("__u", "__b")
     first = b.groupBy("__u").agg(F.min("__b").alias("__cb"))
     act = (
         b.join(first, "__u")
@@ -865,11 +873,14 @@ def _funnel_slots_current(spark, root: str) -> DataFrame | None:
     current state (appends happen only when the fill count grows —
     lease-serialized, so ties across rows of one user cannot occur).
     Null-user rows are compaction's batch-id ledger, not data. None
-    when no fold has appended yet."""
+    when no fold has appended yet. Tombstoned users (forget_ids) are
+    anti-joined out."""
     from pyspark.errors import AnalysisException
 
+    from wrangler_spark.datapipe.maintenance import read_forgetting
+
     try:
-        rows = spark.read.parquet(f"{root}/rows")
+        rows = read_forgetting(spark, root, "rows", "__u")
     except AnalysisException as ex:
         if "PATH_NOT_FOUND" not in str(ex):
             raise

@@ -46,6 +46,13 @@ _BLOOM_WORDS_COLS = {"__w", "__bits"}
 _VOCAB_STATE_COLS = {"word", "count", "batch_id"}
 _FUNNEL_STATE_COLS = {"__u", "__slots", "batch_id"}
 
+# key columns tombstones can address, per dataset schema: the user key
+# of the retention/funnel state families and the vector id of the
+# IVF/embedding index families. A dataset with none of these is not
+# id-addressable (vocab word counts, bloom bitmaps) and is left intact
+# by compaction's tombstone application.
+_FORGET_KEYS = ("__u", "vec_id", "id", "id_old")
+
 
 def _hadoop(spark: SparkSession, path: str):
     jvm = spark._jvm
@@ -110,9 +117,27 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
     rebuild of the same artifact fails loudly with
     ``ConcurrentWriterError`` instead of landing an append invisibly
     in a superseded version."""
+    from pyspark.errors import AnalysisException
+
     fs, _, jvm = _hadoop(spark, path)
     src_root = _layout.resolve(spark, path)
     _, src, _ = _hadoop(spark, src_root)
+    # tombstones (forget_ids) are APPLIED by this compaction: keyed rows
+    # dropped, bucket-membership arrays scrubbed, and the tombstones
+    # dataset itself not carried into the new version — the physical
+    # erasure point of the right-to-be-forgotten flow. Forget lists are
+    # request-sized by contract, so collecting them for the array scrub
+    # is bounded work.
+    try:
+        forget = {
+            r["__forget"]
+            for r in spark.read.parquet(f"{src_root}/tombstones").collect()
+        }
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        forget = set()
+    forget_arr = F.array(*[F.lit(v) for v in sorted(forget)]) if forget else None
     vdir = _layout.begin_version(spark, path)
     stats: dict[str, dict[str, int]] = {}
     for st in fs.listStatus(src):
@@ -121,6 +146,8 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
         name = st.getPath().getName()
         if name.startswith(("_", ".")) or _layout._VERSION_RE.match(name):
             continue
+        if name == "tombstones":
+            continue  # applied below, never carried forward
         dpath = st.getPath()
         if name == "meta":
             # byte-copy: meta pins geometry — never re-encode it
@@ -132,6 +159,26 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
         before = _count_files(fs, dpath)
         parts = _partition_cols(fs, dpath)
         df = spark.read.parquet(dpath.toString())
+        if forget:
+            keyed = [k for k in _FORGET_KEYS if k in df.columns]
+            if keyed:
+                # null keys are the state families' batch-id LEDGER rows,
+                # not data — isin's null semantics would silently drop them
+                df = df.filter(
+                    F.col(keyed[0]).isNull()
+                    | ~F.col(keyed[0]).cast("string").isin(*sorted(forget))
+                )
+            if "__olds" in df.columns:
+                # scrub bucket-membership arrays too (minhash/embedding
+                # index buckets): the keyed payload row is already gone,
+                # so this is reference erasure, not correctness
+                df = df.withColumn(
+                    "__olds",
+                    F.filter(
+                        "__olds",
+                        lambda x: ~F.array_contains(forget_arr, x.cast("string")),
+                    ),
+                ).filter(F.size("__olds") > 0)
         if set(df.columns) == _BLOOM_WORDS_COLS:
             df = df.groupBy("__w").agg(F.expr("bit_or(__bits)").alias("__bits"))
         elif set(df.columns) == _VOCAB_STATE_COLS:
@@ -221,3 +268,102 @@ def compact_index(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
         }
     _layout.commit_version(spark, vdir)
     return stats
+
+
+def forget_ids(spark: SparkSession, path: str, values, key: str) -> None:
+    """Tombstone-delete ids from a persisted artifact — the
+    right-to-be-forgotten operator at 100 TB, where physically
+    rewriting a petabyte-scale index per deletion request is never an
+    option: appends the ids to ``<path>/tombstones`` (O(request) work,
+    under the writer lease); the keyed read paths anti-join them out
+    immediately (retention grid, active users, funnel state, IVF
+    queries — via :func:`read_forgetting`; the minhash/embedding
+    *_against probes apply at the next compaction instead, since their
+    candidate arrays are not row-keyed), and the next
+    :func:`compact_index` applies them PHYSICALLY everywhere (keyed
+    rows dropped, bucket-membership arrays scrubbed, tombstones dataset
+    itself not carried into the new version — the erasure point;
+    ``vacuum_index`` then reclaims the old bytes).
+
+    ``key`` names the artifact's id column and must be one of the
+    package's addressable keys: ``__u`` (retention pairs / funnel slot
+    chains — "forget user X"), ``vec_id`` / ``id`` / ``id_old`` (the
+    IVF / minhash / embedding index payloads — "remove document Y").
+    Artifacts with no keyed dataset refuse loudly: a Bloom index is a
+    bitmap (bits are shared — removal is mathematically impossible;
+    rebuild without the docs), and vocabulary state stores word counts
+    that cannot be attributed back to documents.
+
+    Semantics: a tombstone hides the id from every read — INCLUDING
+    rows appended after the tombstone — until a compaction erases both
+    the data and the tombstone; re-admitting the key starts from the
+    post-compaction blank slate. ``values`` is a Python list or a
+    1-column DataFrame; tombstones are stored as strings (the anti-join
+    casts the key side, so typed keys round-trip). Forget lists are
+    request-sized (thousands, not millions) — reads broadcast them and
+    compaction materializes them as a literal array for the
+    bucket-array scrub; both are documented bounds, not hidden ones."""
+    from pyspark.sql import DataFrame as _DF
+
+    if key not in _FORGET_KEYS:
+        raise ValueError(
+            f"key must be one of {_FORGET_KEYS}, got {key!r} — the package's "
+            "id-addressable artifact keys"
+        )
+    with _layout.writer_lease(spark, path):
+        root = _layout.resolve(spark, path)
+        fs, src, _ = _hadoop(spark, root)
+        keyed = []
+        for st in fs.listStatus(src):
+            name = st.getPath().getName()
+            if not st.isDirectory() or name.startswith(("_", ".")):
+                continue
+            if name == "tombstones":
+                continue
+            cols = set(spark.read.parquet(st.getPath().toString()).columns)
+            if key in cols:
+                keyed.append(name)
+            if cols == _BLOOM_WORDS_COLS:
+                raise ValueError(
+                    "cannot forget ids from a Bloom index: the bitmap's bits "
+                    "are shared across keys — rebuild the index without the "
+                    "forgotten documents instead"
+                )
+            if cols == _VOCAB_STATE_COLS:
+                raise ValueError(
+                    "cannot forget ids from vocabulary state: word counts "
+                    "cannot be attributed back to documents — rebuild from "
+                    "the retained corpus instead"
+                )
+        if not keyed:
+            raise ValueError(
+                f"no dataset under {path} carries the key column {key!r} — "
+                "nothing is id-addressable here"
+            )
+        if isinstance(values, _DF):
+            tomb = values.select(F.col(values.columns[0]).cast("string").alias("__forget"))
+        else:
+            tomb = spark.createDataFrame(
+                [(str(v),) for v in values], "__forget string"
+            )
+        tomb.distinct().write.mode("append").parquet(f"{root}/tombstones")
+
+
+def read_forgetting(spark: SparkSession, root: str, dataset: str, key: str) -> "DataFrame":
+    """Read ``<root>/<dataset>`` with the artifact's tombstones applied:
+    a broadcast anti-join on ``cast(key as string)`` — the shared read
+    path of every forget-aware probe (retention grid, active users,
+    funnel state, IVF query). No tombstones → the plain read, zero
+    added plan."""
+    from pyspark.errors import AnalysisException
+
+    df = spark.read.parquet(f"{root}/{dataset}")
+    try:
+        tomb = spark.read.parquet(f"{root}/tombstones").select("__forget").distinct()
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        return df
+    return df.join(
+        F.broadcast(tomb), df[key].cast("string") == tomb["__forget"], "left_anti"
+    )

@@ -722,7 +722,15 @@ def ivf_query_index(
     )
     probes = _probe_assign(q_prep, cent, nprobe)
     probed = [r[0] for r in probes.select("centroid_id").distinct().collect()]
-    raw = spark.read.parquet(f"{root}/vectors").filter(F.col("centroid_id").isin(probed))
+    # tombstoned vec_ids (maintenance.forget_ids) anti-join out here, so
+    # a forgotten vector never surfaces in a query between the forget
+    # request and the compaction that erases it; the centroid_id filter
+    # pushes through the anti-join to the scan, so pruning is unchanged
+    from wrangler_spark.datapipe.maintenance import read_forgetting
+
+    raw = read_forgetting(spark, root, "vectors", "vec_id").filter(
+        F.col("centroid_id").isin(probed)
+    )
     if "pq_code" in raw.columns:
         # IVF-PQ layout (pq_m at build): ADC-score the pruned code scans
         # against the residual codebook — no float vector is ever read.
