@@ -197,7 +197,7 @@ _TAG_KEYWORDS = ["spark", "hash join", "table scan", "quantum"]
 
 def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from wrangler_spark.datapipe import (
-        bpe, curation, dedup, events, numeric, similarity, text,
+        bpe, curation, dedup, events, graph, numeric, similarity, text,
     )
 
     def docs(spark, sf_dir):
@@ -544,6 +544,15 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events"), "user_id", "ts", "event_type",
             k=10, max_len=5, tie_col="event_id",
         ),
+        # crawl-frontier ranking primitive: PageRank over the sessionized
+        # event-type transition graph (weights = transition counts)
+        "events_pagerank": lambda s, d: graph.graph_pagerank(
+            events.event_transitions(
+                _t(s, d, "events"), "user_id", "ts", "event_type",
+                tie_col="event_id",
+            ),
+            "from_type", "to_type", weight_col="n", damping=0.85, iters=5,
+        ),
         "text_hash_emb": lambda s, d: text.hash_embedding(
             docs(s, d), "doc_id", "text", 16
         ).select("doc_id", F.posexplode("embedding").alias("pos", "y")),
@@ -767,6 +776,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_active_users": o.active_users_sql((1, 7, 30)),
         "events_transitions": o.event_transitions_sql(),
         "events_paths": o.event_paths_sql(),
+        "events_pagerank": o.events_pagerank_sql(0.85, 5),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "emb_cluster_topics": _cluster_topics_oracle_sql(8, 5, 1, 64),

@@ -1,0 +1,114 @@
+"""graph_pagerank: hand-checkable fixtures + a pure-Python power-iteration
+reference (same formulation: out-normalized weights, uniform start,
+dangling mass redistributed uniformly, fixed iterations, terminal 6dp)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangler_spark.datapipe.graph import graph_pagerank
+
+
+def _ref_pagerank(edges, damping=0.85, iters=5):
+    """edges: list of (src, dst, w). Returns {node: round(rank, 6)}."""
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += r[s] * (w / outw[s])
+        dang = sum(r[v] for v in nodes if v not in outw)
+        r = {
+            v: (1 - damping) / n + damping * (contrib[v] + dang / n)
+            for v in nodes
+        }
+    return {v: round(x, 6) for v, x in r.items()}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["s", "d", "w"])
+    out = graph_pagerank(df, "s", "d", weight_col="w", **kw)
+    return {row["node"]: row["pagerank"] for row in out.collect()}
+
+
+def test_two_node_cycle_is_uniform(spark):
+    # symmetric cycle: stationary distribution is exactly 0.5/0.5 from
+    # the uniform start at every iteration
+    got = _run(spark, [("a", "b", 1.0), ("b", "a", 1.0)])
+    assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_matches_python_reference_on_mixed_graph(spark):
+    # hub, spokes, a dangling sink, and weighted multi-edges
+    edges = [
+        ("hub", "a", 2.0), ("hub", "b", 1.0), ("hub", "c", 1.0),
+        ("a", "hub", 1.0), ("b", "hub", 3.0), ("c", "sink", 1.0),
+        ("a", "b", 0.5),
+    ]
+    got = _run(spark, edges)
+    want = _ref_pagerank(edges)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6), v
+
+
+def test_unweighted_default_and_iter_knob(spark):
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0), ("a", "c", 1.0)]
+    df = spark.createDataFrame(edges, ["s", "d", "w"])
+    got = {
+        r["node"]: r["pagerank"]
+        for r in graph_pagerank(df, "s", "d", iters=3).collect()
+    }
+    want = _ref_pagerank(edges, iters=3)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6), v
+
+
+def test_total_rank_conserved(spark):
+    edges = [("a", "b", 1.0), ("b", "sink", 2.0), ("c", "a", 1.0)]
+    got = _run(spark, edges, iters=7)
+    # dangling redistribution keeps the distribution normalized
+    assert sum(got.values()) == pytest.approx(1.0, abs=5e-6)
+
+
+def test_null_endpoints_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), (None, "b", 1.0), ("b", None, 1.0)], ["s", "d", "w"]
+    )
+    got = {r["node"]: r["pagerank"] for r in graph_pagerank(df, "s", "d").collect()}
+    assert set(got) == {"a", "b"}
+
+
+def test_bad_weights_raise(spark):
+    df = spark.createDataFrame([("a", "b", 0.0)], ["s", "d", "w"])
+    with pytest.raises(ValueError, match="non-positive"):
+        graph_pagerank(df, "s", "d", weight_col="w")
+    with pytest.raises(ValueError, match="damping"):
+        graph_pagerank(df, "s", "d", damping=1.0)
+    with pytest.raises(ValueError, match="iters"):
+        graph_pagerank(df, "s", "d", iters=0)
+
+
+def test_no_cartesian_no_python_in_plan(spark):
+    df = spark.createDataFrame([("a", "b", 1.0), ("b", "a", 1.0)], ["s", "d", "w"])
+    plan = graph_pagerank(df, "s", "d", weight_col="w", iters=2)._jdf.queryExecution().executedPlan().toString()
+    # the only nested-loop join is the sanctioned 1-row dangling-mass
+    # broadcast; no Python evaluation anywhere
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_page_rank_directive(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "a", 1.0), ("a", "c", 1.0)], ["s", "d", "w"]
+    )
+    out = Pipeline.compile("page-rank :s :d :w 0.85 4").apply(df)
+    got = {r["node"]: r["pagerank"] for r in out.collect()}
+    want = _ref_pagerank([("a", "b", 2.0), ("b", "a", 1.0), ("a", "c", 1.0)], iters=4)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6), v

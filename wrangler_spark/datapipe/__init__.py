@@ -13,7 +13,7 @@ the algorithm requires it (LSH band joins, inverted-index joins); the only
 Python-per-row paths are clearly-marked multimodal decode stubs.
 """
 
-from wrangler_spark.datapipe import dedup, events, maintenance, similarity, text  # noqa: F401
+from wrangler_spark.datapipe import dedup, events, graph, maintenance, similarity, text  # noqa: F401
 from wrangler_spark.datapipe.maintenance import compact_index  # noqa: F401
 from wrangler_spark.datapipe._checkpoint import (  # noqa: F401
     checkpoint_scope,

@@ -1,0 +1,154 @@
+"""Graph ranking over edge lists — crawl-frontier prioritization.
+
+The 100 TB use case is Common-Crawl-style crawl ordering: rank domains
+(or URLs, or event types) by the stationary visit probability of a
+random surfer over the observed link/transition graph, then feed the
+ranking into crawl budgets and mixture weights. PageRank (Page et al.
+1999, "The PageRank Citation Ranking") is the public-knowledge baseline;
+Common Crawl publishes exactly this kind of host-level ranking.
+
+Scale shape — the edge list is the 100 TB side, the rank vector is
+node-sized:
+
+- edge weights are normalized to out-probabilities ONCE, then the edge
+  frame is hash-partitioned on the source key and checkpointed: every
+  iteration's join re-uses that partitioning (the ranks side is the
+  small, freshly-shuffled side each round — AQE broadcasts it when the
+  node universe fits);
+- each iteration is one join + one groupBy(dst) — both bounded by the
+  edge count, never quadratic; no windows anywhere;
+- dangling mass (nodes with no out-edges) is a 1-row aggregate
+  cross-joined back (the sanctioned broadcast-nested-loop shape);
+- per-iteration ``eager_checkpoint`` with release of the superseded
+  round's blocks — the connected_components / pq_train loop lifecycle.
+
+No reference analog (the reference has no graph operators); this is
+part of the repo's LLM-data-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ._checkpoint import eager_checkpoint, release
+
+__all__ = ["graph_pagerank"]
+
+
+def graph_pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """PageRank over a weighted directed edge list.
+
+    Returns one row per node: (node, pagerank) with pagerank rounded to
+    6dp at the END (intermediate iterations keep full precision; the
+    single terminal rounding is the repo's determinism contract for
+    float aggregates whose partial-sum order varies across partitionings).
+
+    Semantics (the standard formulation):
+
+    - edge weights (default 1.0) are normalized per source node to
+      transition probabilities w/sum(w over src);
+    - rank starts uniform at 1/N over the node universe (any endpoint of
+      any edge);
+    - each iteration:
+      ``r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)·p(u,v) + dangling/N)``
+      where ``dangling = Σ r(u)`` over nodes with no out-edges — their
+      mass teleports uniformly, so total rank stays 1.0 every round;
+    - ``iters`` fixed iterations (deterministic, oracle-mirrorable) —
+      PageRank converges geometrically at rate ``damping``, so 5–20
+      rounds is the practical range; no early-exit tolerance knob keeps
+      the result independent of float comparison order.
+
+    Null src/dst rows are dropped; non-positive edge weights raise (a
+    zero row would silently vanish from the normalizer, a negative one
+    breaks the probabilistic reading).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(
+            F.col(src).cast("string").alias("__s"),
+            F.col(dst).cast("string").alias("__d"),
+            w.alias("__w"),
+        )
+    )
+    if weight_col is not None:
+        bad = e.filter((F.col("__w").isNull()) | (F.col("__w") <= 0)).limit(1).count()
+        if bad:
+            raise ValueError(f"edge weight column {weight_col!r} has null or non-positive values")
+
+    # out-probability normalization, once — the only pass that touches
+    # raw weights
+    outw = e.groupBy("__s").agg(F.sum("__w").alias("__ow"))
+    e = e.join(outw, "__s").select(
+        "__s", "__d", (F.col("__w") / F.col("__ow")).alias("__p")
+    )
+    # pin the per-source partitioning so all `iters` joins reuse it
+    e = eager_checkpoint(e.repartition("__s"))
+
+    # node universe + dangling flag (no out-edges ⇒ appears only as dst)
+    nodes = (
+        e.select(F.col("__s").alias("__n"))
+        .union(e.select(F.col("__d").alias("__n")))
+        .distinct()
+        .join(
+            e.select(F.col("__s").alias("__n")).distinct().withColumn("__has_out", F.lit(True)),
+            "__n",
+            "left",
+        )
+        .select("__n", F.coalesce("__has_out", F.lit(False)).alias("__has_out"))
+    )
+    nodes = eager_checkpoint(nodes)
+    n_nodes = nodes.count()  # driver scalar over a checkpointed frame
+    if n_nodes == 0:
+        return nodes.select(
+            F.col("__n").alias("node"), F.lit(0.0).alias("pagerank")
+        )
+
+    ranks = eager_checkpoint(
+        nodes.select("__n", "__has_out", F.lit(1.0 / n_nodes).alias("__r"))
+    )
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contrib = (
+            ranks.join(e, ranks["__n"] == e["__s"])
+            .groupBy("__d")
+            .agg(F.sum(F.col("__r") * F.col("__p")).alias("__c"))
+            .select(F.col("__d").alias("__n2"), "__c")
+        )
+        dang = ranks.filter(~F.col("__has_out")).agg(
+            F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dm")
+        )
+        new_ranks = eager_checkpoint(
+            nodes.join(contrib, nodes["__n"] == contrib["__n2"], "left")
+            .crossJoin(F.broadcast(dang))  # 1-row stats frame
+            .select(
+                "__n",
+                "__has_out",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.col("__dm") / n_nodes)
+                ).alias("__r"),
+            )
+        )
+        release(ranks)
+        ranks = new_ranks
+    # the result reads only the final ranks checkpoint — the edge and
+    # node frames are provably out of its lineage now
+    release(e)
+    release(nodes)
+    return ranks.select(
+        F.col("__n").alias("node"), F.round("__r", 6).alias("pagerank")
+    )

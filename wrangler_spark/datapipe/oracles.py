@@ -2304,6 +2304,44 @@ FROM c JOIN tot ON c.f = tot.f
 """
 
 
+def events_pagerank_sql(
+    damping: float = 0.85, iters: int = 5,
+    tie: str | None = "event_id", table: str = "events",
+) -> str:
+    """Mirror of graph.graph_pagerank over the event_transitions edge
+    list: the power iteration unrolled to ``iters`` CTE rounds (r0 =
+    uniform 1/N; each round = damped contributions + uniformly
+    redistributed dangling mass + teleport), terminal round(6)."""
+    order = "ts" + (f", {tie}" if tie else "")
+    head = f"""
+WITH p AS (SELECT event_type AS f,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY {order}) AS t
+           FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT f AS s, t AS d, CAST(count(*) AS DOUBLE) AS w
+      FROM p WHERE t IS NOT NULL GROUP BY f, t),
+outw AS (SELECT s, sum(w) AS ow FROM c GROUP BY s),
+e AS (SELECT c.s, c.d, c.w / outw.ow AS pr FROM c JOIN outw USING (s)),
+nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM c UNION ALL SELECT d FROM c)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+r0 AS (SELECT n, 1.0 / (SELECT cnt FROM nn) AS r FROM nodes)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        rounds.append(f""",
+g{i} AS (SELECT COALESCE(sum(r), 0) AS dm FROM {prev}
+         WHERE n NOT IN (SELECT s FROM outw)),
+a{i} AS (SELECT e.d AS n, sum({prev}.r * e.pr) AS contrib
+         FROM {prev} JOIN e ON {prev}.n = e.s GROUP BY e.d),
+r{i} AS (SELECT nodes.n,
+                (1 - {damping}) / (SELECT cnt FROM nn)
+                + {damping} * (COALESCE(a{i}.contrib, 0)
+                               + (SELECT dm FROM g{i}) / (SELECT cnt FROM nn)) AS r
+         FROM nodes LEFT JOIN a{i} ON nodes.n = a{i}.n)""")
+    return head + "".join(rounds) + f"""
+SELECT n AS node, round(r, 6) AS pagerank FROM r{iters}
+"""
+
+
 def event_paths_sql(
     k: int = 10, max_len: int = 5, tie: str | None = "event_id",
     sep: str = ">", table: str = "events",

@@ -1409,3 +1409,35 @@ class FunnelLatency(Directive):
             steps,
             None if within is None else float(within),
         )
+
+
+@directive
+class PageRank(Directive):
+    """page-rank :src :dst [weight] [damping] [iters] — rank nodes of the
+    edge list held in the current frame (crawl-frontier prioritization:
+    rank domains/URLs by random-surfer visit probability, then feed the
+    ranking into crawl budgets and mixture weights). Yields one row per
+    node: (node, pagerank), pagerank rounded to 6dp."""
+
+    name = "page-rank"
+    usage = [
+        Arg("src", TokenType.COLUMN),
+        Arg("dst", TokenType.COLUMN),
+        Arg("weight", TokenType.COLUMN, optional=True, default=None),
+        Arg("damping", TokenType.NUMERIC, optional=True, default=0.85),
+        Arg("iters", TokenType.NUMERIC, optional=True, default=5),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.graph import graph_pagerank
+
+        return graph_pagerank(
+            df,
+            ctx.resolve(df, self.args["src"]),
+            ctx.resolve(df, self.args["dst"]),
+            weight_col=(
+                ctx.resolve(df, self.args["weight"]) if self.args["weight"] else None
+            ),
+            damping=float(self.args["damping"]),
+            iters=int(self.args["iters"]),
+        )
