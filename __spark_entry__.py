@@ -1134,7 +1134,11 @@ _R11_WINDOW = [
     # persisted state — new this round (r10 VERDICT next-round #3):
     # 3 event-time-ordered folds reconstruct the one-shot funnel
     "events_funnel_state",
-    "events_transitions",
+    # r11: events_transitions vacated (green r8-r10, unchanged) for the
+    # PageRank capstone — new this round — which COMPOSES
+    # event_transitions as its edge builder, so the vacated query's full
+    # code path still executes inside the replacing one
+    "events_pagerank",
     # r11: events_paths vacated (green r8-r10; its per-user lead-window
     # path is unchanged this round and stays family-graded via
     # events_transitions + sessionize) for the right-to-be-forgotten

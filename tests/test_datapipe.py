@@ -4083,3 +4083,76 @@ def test_forget_ids_refusals(spark, tmp_path_factory, docs):
 
     with pytest.raises(ValueError, match="key must be one of"):
         forget_ids(spark, vpath, [1], "doc_id")
+
+
+def test_snapshot_time_travel(spark, tmp_path_factory):
+    """Version-pinned reads: each compaction commits a new snapshot, and
+    resolve(version=)/vocab_from_state(version=) reads the state AS OF
+    that snapshot; snapshots() lists them; a vacuumed or never-committed
+    pin raises instead of silently serving latest."""
+    import pytest as _pytest
+
+    from wrangler_spark.datapipe import _layout, maintenance
+
+    df1 = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    df2 = spark.createDataFrame([(2, "alpha gamma")], ["doc_id", "text"])
+
+    # appends land in the CURRENT version, so v_N freezes when v_{N+1}
+    # is created: pin v_N == state as of the NEXT compaction. Cadence:
+    # fold b0 -> compact(v1) -> fold b1 (appends into v1) -> compact(v2,
+    # = b0+b1, and v1 is now frozen at b0+b1 too) -> fold b2 (appends
+    # into v2). Pin v1 must see b0+b1 and NOT b2.
+    path = str(tmp_path_factory.mktemp("tt")) + "/st"
+    text.vocab_update_state(df1, path, "text", "b0")
+    maintenance.compact_index(spark, path)
+    v1 = [s["version"] for s in maintenance.snapshots(spark, path) if s["committed"]][-1]
+    text.vocab_update_state(df1, path, "text", "b1")
+    maintenance.compact_index(spark, path)
+    v2 = [s["version"] for s in maintenance.snapshots(spark, path) if s["committed"]][-1]
+    assert v2 > v1
+    text.vocab_update_state(df2, path, "text", "b2")  # post-seal append
+
+    now = {r["word"]: r["count"] for r in text.vocab_from_state(spark, path).collect()}
+    old = {r["word"]: r["count"] for r in text.vocab_from_state(spark, path, version=v1).collect()}
+    assert now["alpha"] == 3 and old["alpha"] == 2
+    assert "gamma" in now and "gamma" not in old
+
+    with _pytest.raises(ValueError, match="no committed version"):
+        _layout.resolve(spark, path, version=99)
+    # vacuum with keep=1 reclaims v1 -> the pin must now fail loudly
+    _layout.vacuum(spark, path, keep=1)
+    with _pytest.raises(ValueError, match="no committed version"):
+        text.vocab_from_state(spark, path, version=v1).collect()
+    # and the unpinned read still serves the live state
+    assert {r["word"]: r["count"] for r in
+            text.vocab_from_state(spark, path).collect()}["alpha"] == 3
+
+
+def test_retention_grid_time_travel(spark, tmp_path_factory):
+    """The dashboard form: the grid pinned at the pre-fold snapshot
+    shows only the first batch's users."""
+    from wrangler_spark.datapipe import events, maintenance
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-02 00:00:00"),
+         (2, "2024-01-01 12:00:00")],
+        ["user_id", "ts"],
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 06:00:00"), (3, "2024-01-03 00:00:00")],
+        ["user_id", "ts"],
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+
+    path = str(tmp_path_factory.mktemp("rg")) + "/st"
+    events.retention_write_state(ev, path, "user_id", "ts", period_days=1)
+    v1 = [s["version"] for s in maintenance.snapshots(spark, path) if s["committed"]][-1]
+    maintenance.compact_index(spark, path)   # freezes v1 at the ev-only state
+    events.retention_update_state(late, path, "user_id", "ts")
+
+    cur = events.retention_grid_from_state(spark, path, max_periods=8)
+    oldg = events.retention_grid_from_state(spark, path, max_periods=8, version=v1)
+    day0 = {r["period_offset"]: r["active_users"] for r in cur.collect()
+            if str(r["cohort_start"]).startswith("2024-01-01")}
+    day0_old = {r["period_offset"]: r["active_users"] for r in oldg.collect()
+                if str(r["cohort_start"]).startswith("2024-01-01")}
+    assert day0[0] == 3 and day0_old[0] == 2   # user 3 folded after the pin

@@ -93,15 +93,48 @@ def _version_dirs(fs, root, jvm) -> list[tuple[int, str, bool]]:
     return sorted(out)
 
 
-def resolve(spark: SparkSession, path: str) -> str:
+def resolve(spark: SparkSession, path: str, version: int | None = None) -> str:
     """The root directory dataset READS and APPENDS should target: the
     highest COMMITTED version dir, else ``path`` itself (flat legacy
     layout / fresh path). Resolution happens at plan-build time, so a
     compaction that commits afterwards never swaps files under a
-    running read."""
+    running read.
+
+    ``version`` pins the read to a specific committed snapshot (time
+    travel): versions survive until :func:`vacuum` reclaims them, so
+    "what did this state say before yesterday's compaction" is a normal
+    read, not a restore. Append semantics set the snapshot granularity:
+    appends land in the CURRENT version dir, so a version's content
+    freezes when the NEXT version is created — pin ``v_N`` and you read
+    the artifact as of the creation of ``v_{N+1}`` (with a
+    compact-per-night cadence, ``latest - 1`` IS last night's state).
+    A pinned version that was never committed or was vacuumed raises
+    loudly — silently falling back to latest would answer a different
+    question than the caller asked."""
     fs, root, jvm = _fs(spark, path)
-    committed = [name for _, name, ok in _version_dirs(fs, root, jvm) if ok]
-    return f"{path}/{committed[-1]}" if committed else path
+    committed = [(n, name) for n, name, ok in _version_dirs(fs, root, jvm) if ok]
+    if version is not None:
+        match = [name for n, name in committed if n == version]
+        if not match:
+            have = [n for n, _ in committed]
+            raise ValueError(
+                f"no committed version {version} under {path} "
+                f"(committed versions: {have or 'none'}) — it was never "
+                "committed, or vacuum reclaimed it")
+        return f"{path}/{match[0]}"
+    return f"{path}/{committed[-1][1]}" if committed else path
+
+
+def snapshots(spark: SparkSession, path: str) -> list[dict]:
+    """Every version dir under an artifact, ascending: ``{"version",
+    "path", "committed"}`` per entry. Committed entries are readable via
+    ``resolve(spark, path, version=...)``; uncommitted ones are
+    abandoned/in-flight builds awaiting vacuum or commit."""
+    fs, root, jvm = _fs(spark, path)
+    return [
+        {"version": n, "path": f"{path}/{name}", "committed": ok}
+        for n, name, ok in _version_dirs(fs, root, jvm)
+    ]
 
 
 def acquire_lease(spark: SparkSession, path: str,

@@ -1617,7 +1617,7 @@ _REPORT_STATE_COLS = frozenset(
 )
 
 
-def report_from_state(spark, path: str) -> DataFrame:
+def report_from_state(spark, path: str, version: int | None = None) -> DataFrame:
     """Whole-corpus health report from the accumulated batch rows: sums
     are exact, distinct counts come from the UNION of the per-batch HLL
     sketches (within the same ~2% guarantee as a one-pass sketch).
@@ -1634,7 +1634,7 @@ def report_from_state(spark, path: str) -> DataFrame:
     # surface as multiple extra columns (and be rejected below), not be
     # hidden by the single-footer schema sample a plain read takes
     rows = spark.read.option("mergeSchema", "true").parquet(
-        f"{_layout.resolve(spark, path)}/rows"
+        f"{_layout.resolve(spark, path, version)}/rows"
     )
     extra = [c for c in rows.columns if c not in _REPORT_STATE_COLS]
     if len(extra) > 1:

@@ -723,20 +723,29 @@ def retention_update_stream(
 
 
 def retention_grid_from_state(
-    spark, path: str, max_periods: int = 8,
+    spark, path: str, max_periods: int = 8, version: int | None = None,
 ) -> DataFrame:
     """The retention grid from persisted state — identical output
     contract to :func:`retention_cohorts` on the full event history, but
     the input is the pairs table (users x periods), so the nightly grid
     refresh costs minutes of small-table aggregation, never a 100 TB
-    event rescan."""
+    event rescan.
+
+    ``version`` pins the read to an older committed snapshot ("what did
+    the dashboard say last week"). Appends land in the CURRENT version,
+    so a pinned ``v_N`` reads the state as of the creation of
+    ``v_{N+1}`` — compaction cadence IS the snapshot cadence (nightly
+    compaction ⇒ ``latest - 1`` is last night's grid). NOTE: a pinned
+    pre-forget snapshot also predates that version's tombstones — run
+    ``vacuum_index`` after a forget if old snapshots must stop serving
+    the forgotten ids."""
     from wrangler_spark.datapipe import _layout
 
     from wrangler_spark.datapipe.maintenance import read_forgetting
 
-    period_days, cal = _read_state_meta(spark, path)
+    period_days, cal = _read_state_meta(spark, path, version)
     b = read_forgetting(
-        spark, _layout.resolve(spark, path), "pairs", "__u"
+        spark, _layout.resolve(spark, path, version), "pairs", "__u"
     ).select("__u", "__b")
     first = b.groupBy("__u").agg(F.min("__b").alias("__cb"))
     act = (
@@ -817,12 +826,12 @@ def funnel_latencies(
     return reduce(DataFrame.unionByName, rows)
 
 
-def _read_state_meta(spark, path: str) -> tuple[int, str | None]:
+def _read_state_meta(spark, path: str, version: int | None = None) -> tuple[int, str | None]:
     """(period_days, calendar) from a state's meta table; v1 states
     (written before the calendar field) read as day-based."""
     from wrangler_spark.datapipe import _layout
 
-    row = spark.read.parquet(f"{_layout.resolve(spark, path)}/meta").collect()[0]
+    row = spark.read.parquet(f"{_layout.resolve(spark, path, version)}/meta").collect()[0]
     cal = row["calendar"] if "calendar" in row.__fields__ else ""
     return int(row["period_days"]), (cal or None)
 
@@ -859,10 +868,10 @@ def funnel_init_state(
     _layout.commit_version(spark, vdir)
 
 
-def _read_funnel_meta(spark, path: str) -> tuple[list[str], float | None]:
+def _read_funnel_meta(spark, path: str, version: int | None = None) -> tuple[list[str], float | None]:
     from wrangler_spark.datapipe import _layout
 
-    row = spark.read.parquet(f"{_layout.resolve(spark, path)}/meta").collect()[0]
+    row = spark.read.parquet(f"{_layout.resolve(spark, path, version)}/meta").collect()[0]
     w = row["within_minutes"]
     return list(row["steps"]), (float(w) if w is not None else None)
 
@@ -1002,7 +1011,7 @@ def funnel_update_state(
         )
 
 
-def funnel_from_state(spark, path: str) -> DataFrame:
+def funnel_from_state(spark, path: str, version: int | None = None) -> DataFrame:
     """The funnel summary from persisted state — identical output
     contract to :func:`funnel_steps` (step, event_type, users,
     conversion) on the full in-order-ingested event history, but the
@@ -1010,10 +1019,10 @@ def funnel_from_state(spark, path: str) -> DataFrame:
     small-table aggregate, never an event-history rescan (the
     retention_grid_from_state posture). All-zero rows when nothing has
     folded yet."""
-    steps, _ = _read_funnel_meta(spark, path)
+    steps, _ = _read_funnel_meta(spark, path, version)
     from wrangler_spark.datapipe import _layout
 
-    root = _layout.resolve(spark, path)
+    root = _layout.resolve(spark, path, version)
     steps_df = spark.createDataFrame(
         [(i + 1, s) for i, s in enumerate(steps)], "step long, event_type string"
     )

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from wrangler_spark.datapipe import _layout
 from wrangler_spark.datapipe._layout import vacuum as vacuum_index  # noqa: F401  (public re-export)
+from wrangler_spark.datapipe._layout import snapshots  # noqa: F401  (public re-export: time-travel listing)
 
 # datasets that get a semantics-preserving ROW merge during compaction,
 # not just a file rewrite: the Bloom sparse bitmap OR-merges duplicate

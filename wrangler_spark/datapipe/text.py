@@ -1724,15 +1724,18 @@ def vocab_update_stream(
     return writer.start()
 
 
-def vocab_from_state(spark, path: str) -> DataFrame:
+def vocab_from_state(spark, path: str, version: int | None = None) -> DataFrame:
     """The accumulated (word, count) table from vocabulary state — one
     sum-merge aggregate over the state rows (words x batches rows, never
     the corpus). Feed to oov_rate as the vocab side, or cut it with
-    vocab_coverage_from_state."""
+    vocab_coverage_from_state. ``version`` pins an older committed
+    snapshot — appends land in the current version, so pinned ``v_N``
+    reads the vocab as of ``v_{N+1}``'s creation (compaction cadence =
+    snapshot cadence)."""
     from wrangler_spark.datapipe import _layout
 
     return (
-        spark.read.parquet(f"{_layout.resolve(spark, path)}/rows")
+        spark.read.parquet(f"{_layout.resolve(spark, path, version)}/rows")
         # null words are compaction's batch-id ledger rows, not data
         .filter(F.col("word").isNotNull())
         .groupBy("word")
