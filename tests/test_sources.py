@@ -227,3 +227,88 @@ def test_keep_top_frac_grouped(spark):
     # a GLOBAL 10% would have dropped everything in group b
     global_ids = {r["id"] for r in keep_top_frac(df, "score", 0.1).collect()}
     assert 1010 not in global_ids
+
+
+def _files_overlapping_box(path, boxes):
+    """Count parquet files whose column min/max stats overlap EVERY
+    (col, lo, hi) range in ``boxes`` — exactly the skip decision a
+    zone-map reader makes."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        hit = True
+        for col, lo, hi in boxes:
+            ci = names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if max(maxs) < lo or min(mins) > hi:
+                hit = False
+                break
+        if hit:
+            n += 1
+    return n
+
+
+def test_write_corpus_zorder_prunes_box_queries(spark, tmp_path_factory):
+    """cluster_by=[x, y] z-orders the layout: a box query on BOTH
+    columns overlaps far fewer files than the unclustered write, and a
+    range on EITHER single column still prunes — the multi-column
+    zone-map property a leading-column sort cannot give."""
+    from wrangler_spark.sources import write_corpus
+
+    base = str(tmp_path_factory.mktemp("zorder"))
+    df = spark.range(0, 65536).select(
+        (F.col("id") % 256).cast("double").alias("x"),
+        F.floor(F.col("id") / 256).cast("double").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    # compression_ratio is the bytes-per-row estimate knob: inflate it to
+    # force ~64 small files out of 64k rows
+    kw = dict(target_file_mb=1, compression_ratio=30.0, mode="overwrite")
+    write_corpus(df.repartition(8), f"{base}/plain", coalesce=True, **kw)
+    write_corpus(df, f"{base}/zorder", cluster_by=["x", "y"], **kw)
+
+    box = [("x", 0.0, 31.0), ("y", 0.0, 31.0)]
+    plain_total = _files_overlapping_box(f"{base}/plain", [])
+    z_total = _files_overlapping_box(f"{base}/zorder", [])
+    plain_hit = _files_overlapping_box(f"{base}/plain", box)
+    z_hit = _files_overlapping_box(f"{base}/zorder", box)
+    assert plain_total >= 16 and z_total >= 16          # the layouts really split
+    assert plain_hit == plain_total                     # random layout: no pruning
+    assert z_hit * 4 <= z_total                         # z-order: >=75% skipped
+    # single-column range prunes too (not just the full box)
+    assert _files_overlapping_box(f"{base}/zorder", [("y", 0.0, 15.0)]) * 2 <= z_total
+    # and the data round-trips intact
+    back = spark.read.parquet(f"{base}/zorder")
+    assert back.count() == 65536 and set(back.columns) == {"x", "y", "payload"}
+    assert back.agg(F.sum("payload")).collect()[0][0] == 65536 * 65535 // 2
+
+
+def test_write_corpus_zorder_guards(spark, tmp_path_factory):
+    from wrangler_spark.sources import write_corpus
+    from wrangler_spark.sources import _zorder_column
+
+    base = str(tmp_path_factory.mktemp("zguard"))
+    df = spark.range(10).select(
+        F.col("id").cast("double").alias("x"), F.lit("s").alias("name")
+    )
+    with pytest.raises(ValueError, match="z-order needs a numeric"):
+        write_corpus(df, f"{base}/a", cluster_by=["name"])
+    with pytest.raises(ValueError, match="not in frame"):
+        write_corpus(df, f"{base}/b", cluster_by=["nope"])
+    with pytest.raises(ValueError, match="drop sort_by"):
+        write_corpus(df, f"{base}/c", cluster_by=["x"], sort_by=["x"])
+    with pytest.raises(ValueError, match="cluster_bits"):
+        _zorder_column(df, ["x"], bits=0)
+    # nulls land in bucket 0 instead of raising
+    dfn = spark.createDataFrame([(None,), (1.0,), (2.0,)], "x double")
+    zs = _zorder_column(dfn, ["x"], bits=2).select("__z").collect()
+    assert len(zs) == 3

@@ -58,7 +58,11 @@ def main(names: list[str] | None = None) -> int:
     spark = get_spark("oracle_parity", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        # /root/testdata ships single parquet FILES; Spark-synthesized
+        # replicas (testdata_sf1) are DIRECTORIES of part files
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()

@@ -239,11 +239,73 @@ def write(df: DataFrame, path: str, fmt: str | None = None, mode: str = "error",
         writer.format(fmt).save(path)
 
 
+def _zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
+    """Bit-interleaved z-value over ``cols`` — the multi-dimensional
+    clustering key (Morton order; the technique behind Delta/Iceberg
+    OPTIMIZE ZORDER). Built entirely scan-side:
+
+    - each column is rank-bucketed into ``2**bits`` quantile buckets —
+      cutpoints come from ONE ``approxQuantile`` pass (bounded driver
+      data: cols × 2**bits doubles; rank buckets, not equal-width, so a
+      skewed column still spreads across the full bit range);
+    - per row, bucket id = a fold over the literal cutpoint array
+      (2**bits comparisons per column — whole-stage-codegen arithmetic,
+      no UDF, no shuffle);
+    - the z-value interleaves the bucket bits (bit i of column j lands
+      at position i*k + j), so a RANGE on ANY clustered column maps to
+      a bounded set of z-ranges — after a range-partitioned, z-sorted
+      write, parquet row-group min/max statistics prune multi-column
+      box queries, not just the leading sort column.
+
+    Numeric, date, and timestamp columns only: z-order is a locality
+    transform, and hashing strings would destroy the locality that
+    makes the zone maps selective (partition_by or bucket strings
+    instead). Nulls land in bucket 0 (first files)."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= bits <= 12:
+        raise ValueError(f"cluster_bits must be in [1, 12], got {bits}")
+    casted = {}
+    for i, c in enumerate(cols):
+        dt = dict(df.dtypes).get(c)
+        if dt is None:
+            raise ValueError(f"cluster_by column {c!r} not in frame")
+        if dt in ("date", "timestamp", "timestamp_ntz"):
+            casted[f"__zc{i}"] = F.col(c).cast("timestamp").cast("double")
+        elif dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith("decimal"):
+            casted[f"__zc{i}"] = F.col(c).cast("double")
+        else:
+            raise ValueError(
+                f"cluster_by column {c!r} has type {dt}: z-order needs a "
+                "numeric/date/timestamp column (hashing a string would "
+                "destroy the locality zone maps prune on — use "
+                "partition_by or write_bucketed for strings)")
+    zdf = df.withColumns(casted)
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = zdf.stat.approxQuantile(list(casted), probs, 1.0 / (4 * n_buckets))
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for j, name in enumerate(casted):
+        arr = F.array([F.lit(float(x)) for x in cuts[j]])
+        bucket = F.when(F.col(name).isNull(), F.lit(0)).otherwise(
+            F.aggregate(
+                arr, F.lit(0),
+                lambda acc, cut: acc + F.when(F.col(name) >= cut, 1).otherwise(0),
+            )
+        ).cast("long")
+        for bit in range(bits):
+            bitval = F.shiftright(bucket, bit).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bitval, bit * k + j))
+    return zdf.withColumn("__z", z).drop(*casted)
+
+
 def write_corpus(
     df: DataFrame, path: str, partition_by: list[str] | None = None,
     target_file_mb: int = 256, mode: str = "error", fmt: str = "parquet",
     compression_ratio: float = 0.3, coalesce: bool = False,
-    sort_by: list[str] | None = None, **options,
+    sort_by: list[str] | None = None, cluster_by: list[str] | None = None,
+    cluster_bits: int = 8, **options,
 ) -> int:
     """Size-targeted corpus writer: aims every output file at
     ``target_file_mb`` on disk — the file-sizing discipline that decides
@@ -270,6 +332,16 @@ def write_corpus(
     later range queries (timestamps, quality scores, hosts) belong
     here; it is task-local (sortWithinPartitions — no extra shuffle).
 
+    ``cluster_by`` z-orders the layout across SEVERAL columns (see
+    :func:`_zorder_column`): rows are range-partitioned and sorted by
+    the interleaved z-value, so box queries filtering on ANY subset of
+    the clustered columns prune files/row-groups via parquet min/max
+    stats — where ``sort_by`` only prunes on its leading column. Costs
+    one approxQuantile pass, one count, and one range shuffle at the
+    sink (the write-once/scan-many trade). Mutually exclusive with
+    ``sort_by``/``coalesce`` (clustering dictates both the partitioning
+    and the order).
+
     Returns the rows-per-file setting used."""
     from pyspark.sql import functions as F
 
@@ -279,6 +351,18 @@ def write_corpus(
     disk_bytes_per_row = max(1.0, float(sample or 1.0) * compression_ratio)
     rows_per_file = max(1, int(target_file_mb * (1 << 20) / disk_bytes_per_row))
     out = df
+    if cluster_by:
+        if sort_by or coalesce:
+            raise ValueError(
+                "cluster_by dictates partitioning and order — drop sort_by/coalesce")
+        total = df.count()
+        n_files = max(1, -(-total // rows_per_file))
+        out = (
+            _zorder_column(df, cluster_by, cluster_bits)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
     if coalesce:
         total = df.count()
         n_files = max(1, -(-total // rows_per_file))
