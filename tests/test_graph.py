@@ -112,3 +112,73 @@ def test_page_rank_directive(spark):
     want = _ref_pagerank([("a", "b", 2.0), ("b", "a", 1.0), ("a", "c", 1.0)], iters=4)
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=2e-6), v
+
+
+def _ref_lpa(edges, iters=5, directed=False):
+    """Pure-python synchronous LPA with (max weight, min label) votes."""
+    if not directed:
+        edges = edges + [(d, s, w) for s, d, w in edges]
+    agg = {}
+    for s, d, w in edges:
+        agg[(s, d)] = agg.get((s, d), 0.0) + w
+    nodes = sorted({s for s, _ in agg} | {d for _, d in agg})
+    lab = {v: v for v in nodes}
+    for _ in range(iters):
+        votes = {}
+        for (s, d), w in agg.items():
+            votes.setdefault(d, {})
+            votes[d][lab[s]] = votes[d].get(lab[s], 0.0) + w
+        lab = {
+            v: (min((l for l, vw in votes[v].items()
+                     if vw == max(votes[v].values())))
+                if v in votes else lab[v])
+            for v in nodes
+        }
+    return lab
+
+
+def test_lpa_two_triangles(spark):
+    edges = [
+        ("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0),
+        ("d", "e", 1.0), ("e", "f", 1.0), ("d", "f", 1.0),
+        ("c", "d", 0.2),   # weak bridge
+    ]
+    from wrangler_spark.datapipe.graph import graph_label_propagation
+
+    df = spark.createDataFrame(edges, ["s", "d", "w"])
+    got = {r["node"]: r["community"] for r in
+           graph_label_propagation(df, "s", "d", weight_col="w", iters=6).collect()}
+    want = _ref_lpa(edges, iters=6)
+    assert got == want
+    # the two triangles really are distinct communities
+    assert len({got["a"], got["b"], got["c"]}) == 1
+    assert len({got["d"], got["e"], got["f"]}) == 1
+    assert got["a"] != got["d"]
+
+
+def test_lpa_matches_reference_directed_and_unweighted(spark):
+    from wrangler_spark.datapipe.graph import graph_label_propagation
+
+    edges = [
+        ("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0),
+        ("c", "d", 3.0), ("d", "b", 1.0), ("e", "d", 1.0),
+    ]
+    df = spark.createDataFrame(edges, ["s", "d", "w"])
+    for directed in (False, True):
+        got = {r["node"]: r["community"] for r in graph_label_propagation(
+            df, "s", "d", weight_col="w", iters=4, directed=directed).collect()}
+        assert got == _ref_lpa(edges, iters=4, directed=directed), directed
+    # unweighted: every edge votes 1.0
+    got = {r["node"]: r["community"] for r in
+           graph_label_propagation(df, "s", "d", iters=3).collect()}
+    assert got == _ref_lpa([(s, d, 1.0) for s, d, _ in edges], iters=3)
+
+
+def test_label_propagation_directive(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0), ("d", "c", 0.1)]
+    df = spark.createDataFrame(edges, ["s", "d", "w"])
+    out = Pipeline.compile("label-propagation :s :d :w 4").apply(df)
+    got = {r["node"]: r["community"] for r in out.collect()}
+    assert got == _ref_lpa(edges, iters=4)
