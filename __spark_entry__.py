@@ -553,6 +553,15 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "from_type", "to_type", weight_col="n", damping=0.85, iters=5,
         ),
+        # community detection (deterministic synchronous LPA) over the
+        # same transition graph — the near-dup-cluster-labeling primitive
+        "events_communities": lambda s, d: graph.graph_label_propagation(
+            events.event_transitions(
+                _t(s, d, "events"), "user_id", "ts", "event_type",
+                tie_col="event_id",
+            ),
+            "from_type", "to_type", weight_col="n", iters=5,
+        ),
         "text_hash_emb": lambda s, d: text.hash_embedding(
             docs(s, d), "doc_id", "text", 16
         ).select("doc_id", F.posexplode("embedding").alias("pos", "y")),
@@ -777,6 +786,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_transitions": o.event_transitions_sql(),
         "events_paths": o.event_paths_sql(),
         "events_pagerank": o.events_pagerank_sql(0.85, 5),
+        "events_communities": o.events_communities_sql(5),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "emb_cluster_topics": _cluster_topics_oracle_sql(8, 5, 1, 64),
@@ -1145,10 +1155,12 @@ _R11_WINDOW = [
     # flow — state build -> forget_ids tombstones -> anti-joined grid
     # read, new this round
     "events_retention_forget",
-    # r9: corpus_report vacated (green r1-r8, unchanged) for
-    # text_vocabulary, whose top-k was rewritten this round (global rank
-    # window -> distributed TakeOrdered + posexplode rank)
-    "text_vocabulary",
+    # r11: text_vocabulary vacated (green r9-r10; its rewritten top-k is
+    # unchanged this round and stays family-graded via the in-window
+    # text_vocab + text_vocab_state + events_paths two-phase-top-k
+    # entries) for the LPA community detection — new this round, the
+    # second op of the graph family
+    "events_communities",
 ]
 
 

@@ -85,6 +85,9 @@ EXTRA_QUERIES = [
     "text_group_terms_weighted",  # Fightin' Words log-odds labeling
     "sample_token_budget_by",     # grouped distributed prefix scan
     "emb_cluster_topics",         # kmeans clusters + log-odds labels (capstone)
+    # Added round 11
+    "events_pagerank",            # iterative join+agg power iteration (graph family)
+    "events_communities",         # synchronous LPA community detection
 ]
 
 

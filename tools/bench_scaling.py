@@ -67,6 +67,9 @@ QUERIES = [
     # coverage, which would conflate a looser threshold with the cap.)
     "dedup_overlap_capped8", "dedup_ngram_word_capped", "text_winnow_overlap_capped",
     "events_funnel_state",
+    # round 11, second batch (graph family: iterative join+agg loops —
+    # sf1's user-id-shifted events give 10x transition edges)
+    "events_pagerank", "events_communities",
 ]
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ._checkpoint import eager_checkpoint, release
 
-__all__ = ["graph_pagerank"]
+__all__ = ["graph_pagerank", "graph_label_propagation"]
 
 
 def graph_pagerank(
@@ -152,3 +152,83 @@ def graph_pagerank(
     return ranks.select(
         F.col("__n").alias("node"), F.round("__r", 6).alias("pagerank")
     )
+
+
+def graph_label_propagation(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight_col: str | None = None,
+    iters: int = 5,
+    directed: bool = False,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007): every node starts in its own community (label
+    = its own id), then for ``iters`` rounds each node adopts the label
+    carrying the largest incoming edge-weight sum among its neighbors'
+    CURRENT labels — ties break to the smallest label, so the result is
+    fully deterministic (the published algorithm breaks ties randomly;
+    the deterministic variant is the oracle-mirrorable one). Returns one
+    row per node: (node, community).
+
+    By default the graph is treated as UNDIRECTED (edges are
+    symmetrized — the natural reading for near-dup pair lists and
+    co-occurrence graphs); pass ``directed=True`` to propagate along
+    edge direction only, in which case source-only nodes keep their own
+    label (they receive no votes).
+
+    Scale shape — identical to :func:`graph_pagerank`: edges
+    hash-partitioned on the vote-receiving key once and checkpointed,
+    each round is one join + two bounded aggregations (groupBy
+    (node, label) then per-node argmax via a min-struct — no rank
+    window), superseded label frames released per round. Synchronous
+    updates can oscillate between two labelings on bipartite-ish
+    structures; a fixed ``iters`` keeps that deterministic rather than
+    non-terminating."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(
+            F.col(src).cast("string").alias("__s"),
+            F.col(dst).cast("string").alias("__d"),
+            w.alias("__w"),
+        )
+    )
+    if not directed:
+        e = e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"), "__w"))
+    # merge parallel edges once so every round's vote aggregation sees
+    # one (src, dst) row; partition on the vote SOURCE for join reuse
+    e = eager_checkpoint(
+        e.groupBy("__s", "__d").agg(F.sum("__w").alias("__w")).repartition("__s")
+    )
+    nodes = eager_checkpoint(
+        e.select(F.col("__s").alias("__n"))
+        .union(e.select(F.col("__d").alias("__n")))
+        .distinct()
+    )
+    labels = eager_checkpoint(nodes.select("__n", F.col("__n").alias("__l")))
+    for _ in range(iters):
+        votes = (
+            labels.join(e, labels["__n"] == e["__s"])
+            .groupBy("__d", "__l")
+            .agg(F.sum("__w").alias("__vw"))
+            .groupBy("__d")
+            .agg(
+                F.min(F.struct((-F.col("__vw")).alias("nw"), F.col("__l").alias("l")))
+                .alias("__top")
+            )
+            .select(F.col("__d").alias("__n2"), F.col("__top.l").alias("__nl"))
+        )
+        new_labels = eager_checkpoint(
+            nodes.join(votes, nodes["__n"] == votes["__n2"], "left")
+            .join(labels.select(F.col("__n").alias("__n3"), F.col("__l").alias("__ol")),
+                  nodes["__n"] == F.col("__n3"))
+            .select("__n", F.coalesce("__nl", "__ol").alias("__l"))
+        )
+        release(labels)
+        labels = new_labels
+    release(e)
+    release(nodes)
+    return labels.select(F.col("__n").alias("node"), F.col("__l").alias("community"))

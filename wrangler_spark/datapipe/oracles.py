@@ -2342,6 +2342,42 @@ SELECT n AS node, round(r, 6) AS pagerank FROM r{iters}
 """
 
 
+def events_communities_sql(
+    iters: int = 5, tie: str | None = "event_id", table: str = "events",
+) -> str:
+    """Mirror of graph.graph_label_propagation (undirected) over the
+    event_transitions edge list: synchronous LPA unrolled to ``iters``
+    CTE rounds; per-node winner = (max vote weight, min label) via a
+    row_number tie-break."""
+    order = "ts" + (f", {tie}" if tie else "")
+    head = f"""
+WITH p AS (SELECT event_type AS f,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY {order}) AS t
+           FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT f AS s, t AS d, CAST(count(*) AS DOUBLE) AS w
+      FROM p WHERE t IS NOT NULL GROUP BY f, t),
+e AS (SELECT s, d, sum(w) AS w FROM
+        (SELECT s, d, w FROM c UNION ALL SELECT d AS s, s AS d, w FROM c)
+      GROUP BY s, d),
+nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+l0 AS (SELECT n, n AS l FROM nodes)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        prev = f"l{i - 1}"
+        rounds.append(f""",
+v{i} AS (SELECT e.d AS n, {prev}.l, sum(e.w) AS vw
+         FROM {prev} JOIN e ON {prev}.n = e.s GROUP BY e.d, {prev}.l),
+w{i} AS (SELECT n, l FROM (SELECT n, l,
+                row_number() OVER (PARTITION BY n ORDER BY vw DESC, l ASC) AS rn
+              FROM v{i}) WHERE rn = 1),
+l{i} AS (SELECT nodes.n, COALESCE(w{i}.l, {prev}.l) AS l
+         FROM nodes LEFT JOIN w{i} ON nodes.n = w{i}.n
+         JOIN {prev} ON nodes.n = {prev}.n)""")
+    return head + "".join(rounds) + f"""
+SELECT n AS node, l AS community FROM l{iters}
+"""
+
+
 def event_paths_sql(
     k: int = 10, max_len: int = 5, tie: str | None = "event_id",
     sep: str = ">", table: str = "events",

@@ -1441,3 +1441,33 @@ class PageRank(Directive):
             damping=float(self.args["damping"]),
             iters=int(self.args["iters"]),
         )
+
+
+@directive
+class LabelPropagation(Directive):
+    """label-propagation :src :dst [weight] [iters] — community detection
+    over the edge list held in the current frame (deterministic
+    synchronous LPA, undirected): label near-dup pair lists or
+    co-occurrence graphs into communities. Yields one row per node:
+    (node, community)."""
+
+    name = "label-propagation"
+    usage = [
+        Arg("src", TokenType.COLUMN),
+        Arg("dst", TokenType.COLUMN),
+        Arg("weight", TokenType.COLUMN, optional=True, default=None),
+        Arg("iters", TokenType.NUMERIC, optional=True, default=5),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.graph import graph_label_propagation
+
+        return graph_label_propagation(
+            df,
+            ctx.resolve(df, self.args["src"]),
+            ctx.resolve(df, self.args["dst"]),
+            weight_col=(
+                ctx.resolve(df, self.args["weight"]) if self.args["weight"] else None
+            ),
+            iters=int(self.args["iters"]),
+        )
