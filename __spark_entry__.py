@@ -221,6 +221,22 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return text.vocab_coverage_from_state(spark, path, 0.9)
 
+    def _q_quantiles_state(spark, sf_dir):
+        # quantile state built from 3 batch folds into a fresh temp
+        # state, read back through the nearest-rank selection — graded
+        # against the ONE-SHOT sketch SQL (bin counts merge exactly by
+        # summation: state reconstruction must equal the single pass)
+        import tempfile
+
+        li = _t(spark, sf_dir, "lineitem")
+        path = tempfile.mkdtemp(prefix="wrspark_quant_state_") + "/st"
+        for i in range(3):
+            numeric.hist_update_state(
+                li.filter(F.col("l_orderkey") % 3 == i),
+                path, "l_extendedprice", batch_id=str(i),
+            )
+        return numeric.quantiles_from_state(spark, path)
+
     def _q_funnel_state(spark, sf_dir):
         # funnel state built from 3 EVENT-TIME-ORDERED folds (the fold's
         # exactness contract) into a fresh temp state, read back through
@@ -555,6 +571,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # community detection (deterministic synchronous LPA) over the
         # same transition graph — the near-dup-cluster-labeling primitive
+        # mergeable log-bin quantile sketch: deterministic (unlike
+        # t-digest), exactly batch-mergeable, bounded relative error
+        "num_quantiles_sketch": lambda s, d: numeric.quantiles_sketched(
+            _t(s, d, "lineitem"), "l_extendedprice"
+        ),
+        "num_quantiles_state": _q_quantiles_state,
         "events_communities": lambda s, d: graph.graph_label_propagation(
             events.event_transitions(
                 _t(s, d, "events"), "user_id", "ts", "event_type",
@@ -787,6 +809,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_paths": o.event_paths_sql(),
         "events_pagerank": o.events_pagerank_sql(0.85, 5),
         "events_communities": o.events_communities_sql(5),
+        "num_quantiles_sketch": o.quantiles_sketch_sql(),
+        "num_quantiles_state": o.quantiles_sketch_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "emb_cluster_topics": _cluster_topics_oracle_sql(8, 5, 1, 64),
@@ -1115,8 +1139,16 @@ _R11_WINDOW = [
     # late r8 addition (top-fraction pruning) — dedup_cross_exact vacated
     # (r7-green; its plain branch is unchanged and dedup_cross_bloom
     # grades the identical oracle through the harder code path)
-    "sample_top_frac",
-    "dedup_cross_minhash",
+    # r11: sample_top_frac vacated (green r8-r10, unchanged; its exact
+    # code path plus the group join stays graded via the in-window
+    # sample_top_frac_by) for the mergeable log-bin quantile sketch —
+    # new this round
+    "num_quantiles_sketch",
+    # r11: dedup_cross_minhash vacated (green r7-r10, unchanged; the
+    # cross-corpus family stays graded via the in-window
+    # dedup_cross_embedding + dedup_cross_bloom) for the quantile-state
+    # reconstruction — new this round (state folds == one-shot sketch)
+    "num_quantiles_state",
     "dedup_substring_keepfirst",
     # late r8 addition (parameterized LSH banding) — dedup_template
     # vacated (r7-green; its one-shuffle exact-dedup shape stays graded

@@ -1,0 +1,96 @@
+"""Mergeable log-bin quantile sketch: bounded relative error vs exact
+quantiles, partition-order determinism, exact batch merge (state folds ==
+one-shot), replay idempotence, and the stream edge."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangler_spark.datapipe import numeric
+
+
+def _exact_nearest_rank(vals, q):
+    import math
+
+    s = sorted(vals)
+    return s[max(0, math.ceil(q * len(s)) - 1)]
+
+
+def test_quantiles_within_relative_error(spark):
+    # log-uniform-ish positive values + zeros
+    df = spark.range(1, 5001).select(
+        (F.pow(F.lit(10.0), (F.col("id") % 97).cast("double") / 24.0)).alias("x")
+    ).union(spark.range(50).select(F.lit(0.0).alias("x")))
+    vals = [r["x"] for r in df.collect()]
+    got = {r["prob"]: r["value"] for r in
+           numeric.quantiles_sketched(df, "x", (0.5, 0.9, 0.99), rel_err=0.05).collect()}
+    for q in (0.5, 0.9, 0.99):
+        exact = _exact_nearest_rank(vals, q)
+        assert abs(got[q] - exact) <= 0.051 * exact, (q, got[q], exact)
+
+
+def test_partitioning_invariance_and_merge(spark):
+    df = spark.range(1, 2001).select((F.col("id") * 37 % 1999 + 1).cast("double").alias("x"))
+    a = sorted(map(tuple, numeric.quantiles_sketched(df.repartition(1), "x").collect()))
+    b = sorted(map(tuple, numeric.quantiles_sketched(df.repartition(17), "x").collect()))
+    assert a == b
+    # histogram of union == sum-merge of split histograms
+    h_all = {r["bin"]: r["count"] for r in numeric.log_histogram(df, "x").collect()}
+    h0 = numeric.log_histogram(df.filter(F.col("id") % 2 == 0), "x")
+    h1 = numeric.log_histogram(df.filter(F.col("id") % 2 == 1), "x")
+    merged = {
+        r["bin"]: r["count"]
+        for r in h0.union(h1).groupBy("bin").agg(F.sum("count").alias("count")).collect()
+    }
+    assert merged == h_all
+
+
+def test_guards(spark):
+    df = spark.createDataFrame([(-1.0,), (2.0,)], "x double")
+    with pytest.raises(ValueError, match="negative"):
+        numeric.log_histogram(df, "x")
+    with pytest.raises(ValueError, match="rel_err"):
+        numeric.log_histogram(df.filter("x > 0"), "x", rel_err=0.0)
+    with pytest.raises(ValueError, match="probs"):
+        numeric.quantiles_from_histogram(
+            numeric.log_histogram(df.filter("x > 0"), "x"), probs=(1.5,))
+    # all-zero column: every quantile is the zero bin
+    z = spark.createDataFrame([(0.0,)] * 5, "x double")
+    got = {r["prob"]: r["value"] for r in numeric.quantiles_sketched(z, "x").collect()}
+    assert set(got.values()) == {0.0}
+
+
+def test_state_folds_equal_one_shot_and_replay(spark, tmp_path_factory):
+    df = spark.range(1, 1001).select((F.col("id") % 251 + 1).cast("double").alias("x"))
+    path = str(tmp_path_factory.mktemp("qstate")) + "/st"
+    for k in range(3):
+        numeric.hist_update_state(
+            df.filter(F.col("x") % 3 == k), path, "x", batch_id=f"b{k}")
+    one = sorted(map(tuple, numeric.quantiles_sketched(df, "x").collect()))
+    rec = sorted(map(tuple, numeric.quantiles_from_state(spark, path).collect()))
+    assert rec == one
+    # replay: same batch id is a NO-OP
+    numeric.hist_update_state(df.filter(F.col("x") % 3 == 0), path, "x", batch_id="b0")
+    assert sorted(map(tuple, numeric.quantiles_from_state(spark, path).collect())) == one
+    # a different rel_err refuses: the bin space is pinned by the state
+    with pytest.raises(ValueError, match="incompatible"):
+        numeric.hist_update_state(df, path, "x", rel_err=0.01, batch_id="b9")
+    with pytest.raises(ValueError, match="empty"):
+        numeric.quantiles_from_state(
+            spark, str(tmp_path_factory.mktemp("qempty")) + "/st")
+
+
+def test_quantile_stream_edge(spark, tmp_path_factory):
+    import shutil as _sh
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        F.col("l_extendedprice").cast("double").alias("x"))
+    src = str(tmp_path_factory.mktemp("qstream_src"))
+    state = str(tmp_path_factory.mktemp("qstream_state") / "st")
+    li.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("x double").parquet(src)
+    q = numeric.hist_update_stream(stream, state, "x", src + "_chk")
+    q.awaitTermination(120)
+    inc = sorted(map(tuple, numeric.quantiles_from_state(spark, state).collect()))
+    one = sorted(map(tuple, numeric.quantiles_sketched(li, "x").collect()))
+    assert inc == one and len(inc) == 3
+    _sh.rmtree(src, ignore_errors=True)

@@ -245,3 +245,242 @@ def quantile_bins(
         return join_group_stats(df, st, by).withColumn(out_col, bin_expr).drop("__bounds")
     stats = df.agg(bounds.alias("__bounds"))
     return df.crossJoin(F.broadcast(stats)).withColumn(out_col, bin_expr).drop("__bounds")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable log-bin quantile sketch.
+#
+# exact percentiles buffer every value (driver OOM at 100 TB) and
+# approx_percentile's t-digest is neither deterministic across partial
+# -merge orders nor mergeable across persisted batches. The log-spaced
+# histogram is both: bin(v) = floor(log(v)/log(base)) is a pure scan
+# expression, (bin, count) rows merge by summation — across partitions,
+# across batches, across engines — and the quantile read is a selection
+# over a few hundred bin rows. Guaranteed RELATIVE error: with
+# base = (1+rel_err)^2 the reported geometric bin midpoint is within
+# rel_err of any value in the bin. The cost structure every metrics
+# system (Prometheus histograms, HDRHistogram, DDSketch — Masson et al.
+# VLDB'19) settles on.
+# ---------------------------------------------------------------------------
+
+#: the zero bin — encoded as a sentinel long (not NULL) so bin ordering
+#: is engine-portable without null-ordering conventions
+ZERO_BIN = -(1 << 31)
+
+
+def _log_bin(col, base: float):
+    """floor(log(v)/log(base)) with a 9dp pre-round on the ratio so the
+    last-ulp difference between engines' ln() can't flip a value sitting
+    exactly on a bin edge into the neighboring bin (v=1 → ratio 0.0
+    exactly; decimals are never exactly base^k for irrational-log
+    bases). Zero gets its own sentinel bin; negatives are the caller's
+    ValueError."""
+    import math
+
+    ratio = F.round(F.log(col.cast("double")) / F.lit(math.log(base)), 9)
+    return F.when(col == 0, F.lit(ZERO_BIN)).otherwise(
+        F.floor(ratio)
+    ).cast("long")
+
+
+def log_histogram(df: DataFrame, col: str, rel_err: float = 0.05) -> DataFrame:
+    """(bin, count) log-spaced histogram of a non-negative column —
+    the mergeable quantile state. One scan, one bounded aggregate
+    (bin cardinality ≈ log(max/min)/log(base): ~600 bins cover 1e-9 to
+    1e9 at 5%); nulls drop, negatives raise (sign-split the column
+    yourself if you really have signed data)."""
+    base = _hist_base(rel_err)
+    c = F.col(col)
+    neg = df.filter(c < 0).limit(1).count()
+    if neg:
+        raise ValueError(
+            f"log_histogram({col!r}): negative values present — the "
+            "log-bin sketch covers non-negative data")
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(_log_bin(c, base).alias("bin"))
+        .agg(F.count("*").cast("long").alias("count"))
+    )
+
+
+def _hist_base(rel_err: float) -> float:
+    if not 0.0 < rel_err < 1.0:
+        raise ValueError(f"rel_err must be in (0, 1), got {rel_err}")
+    return (1.0 + float(rel_err)) ** 2
+
+
+def quantiles_from_histogram(
+    hist: DataFrame, probs=(0.5, 0.9, 0.99), rel_err: float = 0.05,
+) -> DataFrame:
+    """Nearest-rank quantiles from a (bin, count) histogram: for each
+    prob q, the smallest bin whose cumulative count reaches
+    ceil(q * total), reported as the geometric bin midpoint
+    base^(bin+0.5) rounded to 6dp (the zero bin reports 0.0). Returns
+    (prob, value) rows.
+
+    No window anywhere: the histogram aggregates to ONE row holding the
+    sorted (bin, count) array — bounded state (~600 structs covers
+    1e-9..1e9), the collect_list-over-an-aggregate shape, not a
+    corpus collect — and the cumulative selection is a scan-side
+    ``aggregate()`` fold over that array per prob row."""
+    base = _hist_base(rel_err)
+    for q in probs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"probs must be in (0, 1], got {q}")
+    h = hist.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bin"), F.col("count")))
+        ).alias("__h"),
+        F.coalesce(F.sum("count"), F.lit(0)).alias("__tot"),
+    )
+    pf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in probs], "prob double"
+    )
+    rank = F.ceil(F.col("prob") * F.col("__tot"))
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"), F.lit(None).cast("long").alias("b")
+    )
+    picked = F.aggregate(
+        F.col("__h"),
+        init,
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["count"]).alias("cum"),
+            F.coalesce(
+                acc["b"],
+                F.when(acc["cum"] + x["count"] >= rank, x["bin"]),
+            ).alias("b"),
+        ),
+    )["b"]
+    value = F.when(picked == ZERO_BIN, F.lit(0.0)).otherwise(
+        F.pow(F.lit(base), picked + F.lit(0.5))
+    )
+    return (
+        pf.crossJoin(F.broadcast(h))  # 1-row stats frame
+        .select("prob", F.round(value, 6).alias("value"))
+        .filter(F.col("value").isNotNull())
+    )
+
+
+def quantiles_sketched(
+    df: DataFrame, col: str, probs=(0.5, 0.9, 0.99), rel_err: float = 0.05,
+) -> DataFrame:
+    """One-call mergeable-sketch quantiles: :func:`log_histogram` +
+    :func:`quantiles_from_histogram`. (prob, value) rows; value within
+    rel_err of the exact nearest-rank quantile, deterministically —
+    independent of partitioning, partial-agg order, and engine."""
+    return quantiles_from_histogram(
+        log_histogram(df, col, rel_err), probs, rel_err
+    )
+
+
+def hist_update_state(
+    df: DataFrame, path: str, col: str, rel_err: float = 0.05,
+    batch_id: str = "",
+) -> None:
+    """Fold one batch's log-bin histogram into LOG-STRUCTURED quantile
+    state: appends (bin, count, batch_id, rel_err) rows — O(batch)
+    work, bins x batches state, never a history rescan (the
+    vocab_update_state posture applied to numeric distributions: the
+    nightly "p99 doc length" dashboard read stops rescanning the
+    corpus). Bin counts merge exactly by summation, so
+    :func:`quantiles_from_state` equals the one-shot
+    :func:`quantiles_sketched` over the union of all batches — no
+    additional merge error, ever.
+
+    All batches must agree on ``rel_err`` (it defines the bin space —
+    mixing bases would merge incompatible bins; checked against the
+    state's stored value, loudly). Idempotence: a non-empty
+    ``batch_id`` already present makes the fold a NO-OP (the
+    exactly-once replay contract). Check + append hold the writer
+    lease."""
+    from pyspark.errors import AnalysisException
+
+    from wrangler_spark.datapipe import _layout
+
+    _hist_base(rel_err)  # validates rel_err before any write
+    spark = df.sparkSession
+    with _layout.writer_lease(spark, path):
+        root = _layout.resolve(spark, path)
+        try:
+            rows = spark.read.parquet(f"{root}/rows")
+            stored = rows.select("rel_err").limit(1).collect()
+            if stored and abs(stored[0]["rel_err"] - float(rel_err)) > 1e-12:
+                raise ValueError(
+                    f"state at {path} was built with rel_err="
+                    f"{stored[0]['rel_err']}, fold offered {rel_err} — "
+                    "bin spaces are incompatible; use the stored value")
+            if batch_id and rows.filter(
+                F.col("batch_id") == str(batch_id)
+            ).limit(1).count():
+                return
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+        (
+            log_histogram(df, col, rel_err)
+            .withColumn("batch_id", F.lit(str(batch_id)))
+            .withColumn("rel_err", F.lit(float(rel_err)))
+            .write.mode("append")
+            .parquet(f"{root}/rows")
+        )
+
+
+def hist_update_stream(
+    stream: DataFrame, path: str, col: str, checkpoint: str,
+    rel_err: float = 0.05, trigger: dict | None = None,
+):
+    """Fold a numeric STREAM into persisted quantile state — the stream
+    edge of the quantile family's batch/state/stream triangle (the
+    vocab_update_stream shape): micro-batch id = batch_id, so
+    at-least-once foreachBatch replay yields exactly-once state."""
+    writer = (
+        stream.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda batch, bid: hist_update_state(
+                batch, path, col, rel_err, str(bid))
+        )
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+    )
+    return writer.start()
+
+
+def hist_from_state(spark, path: str, version: int | None = None) -> DataFrame:
+    """The merged (bin, count) histogram from quantile state — one
+    sum-merge over bins x batches rows. ``version`` pins an older
+    committed snapshot (compaction cadence = snapshot cadence)."""
+    from wrangler_spark.datapipe import _layout
+
+    return (
+        spark.read.parquet(f"{_layout.resolve(spark, path, version)}/rows")
+        # null bins would be a compaction batch-id ledger, not data
+        .filter(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.sum("count").cast("long").alias("count"))
+    )
+
+
+def quantiles_from_state(
+    spark, path: str, probs=(0.5, 0.9, 0.99), version: int | None = None,
+) -> DataFrame:
+    """Quantiles reconstructed from persisted state: EXACTLY the
+    one-shot :func:`quantiles_sketched` on the union of all ingested
+    batches (bin counts merge by summation — no merge error), reading
+    only the state rows."""
+    from pyspark.errors import AnalysisException
+
+    from wrangler_spark.datapipe import _layout
+
+    try:
+        rel_err = (
+            spark.read.parquet(f"{_layout.resolve(spark, path, version)}/rows")
+            .select("rel_err").limit(1).collect()
+        )
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        rel_err = []
+    if not rel_err:
+        raise ValueError(f"quantile state at {path} is empty")
+    return quantiles_from_histogram(
+        hist_from_state(spark, path, version), probs, rel_err[0]["rel_err"]
+    )

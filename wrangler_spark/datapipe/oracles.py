@@ -2304,6 +2304,39 @@ FROM c JOIN tot ON c.f = tot.f
 """
 
 
+def quantiles_sketch_sql(
+    col: str = "l_extendedprice", table: str = "lineitem",
+    probs=(0.5, 0.9, 0.99), rel_err: float = 0.05,
+) -> str:
+    """Mirror of numeric.quantiles_sketched: log-bin histogram (9dp
+    pre-rounded ratio against the PRECOMPUTED ln(base) constant — both
+    engines divide by the identical double, so only ln(x) itself is
+    engine math), nearest-rank bin selection, geometric-midpoint value
+    rounded 6dp."""
+    import math
+
+    base = (1.0 + float(rel_err)) ** 2
+    lnbase = math.log(base)
+    zero = -(1 << 31)
+    probs_vals = ", ".join(f"(CAST({q} AS DOUBLE))" for q in probs)
+    return f"""
+WITH v AS (SELECT CAST({col} AS DOUBLE) AS x FROM {table} WHERE {col} IS NOT NULL),
+h AS (SELECT CASE WHEN x = 0 THEN CAST({zero} AS BIGINT)
+                  ELSE CAST(floor(round(ln(x) / {lnbase!r}, 9)) AS BIGINT) END AS bin,
+             count(*) AS n
+      FROM v GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM h),
+c AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS cum FROM h),
+p AS (SELECT * FROM (VALUES {probs_vals}) AS p(q)),
+sel AS (SELECT p.q, min(c.bin) AS b
+        FROM p JOIN c ON CAST(c.cum AS DOUBLE) >= ceil(p.q * (SELECT tot FROM t))
+        GROUP BY p.q)
+SELECT q AS prob,
+       round(CASE WHEN b = {zero} THEN 0.0 ELSE power({base!r}, b + 0.5) END, 6) AS value
+FROM sel
+"""
+
+
 def events_pagerank_sql(
     damping: float = 0.85, iters: int = 5,
     tie: str | None = "event_id", table: str = "events",
