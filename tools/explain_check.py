@@ -536,6 +536,29 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # round 11 — graph family: the returned plan reads the final ranks/
+    # labels checkpoint (iterations already executed), so the residual
+    # plan must be trivially scan-free and Python-free; the iteration
+    # plans themselves are join+hash-aggregate by construction
+    for gq in ("events_pagerank", "events_communities"):
+        p = plan_of(qs[gq](spark, SF_DIR))
+        problems += check(
+            gq, p,
+            must_not=["FileScan", "CartesianProduct",
+                      "BatchEvalPython", "ArrowEvalPython"],
+        )
+
+    # quantile sketch: one hash aggregate to the 1-row bin array, the
+    # nearest-rank pick is a scan-side fold — NO window ever (this is
+    # the whole point vs a naive cumulative-window selection), the only
+    # nested-loop join is the sanctioned 1-row stats broadcast
+    p = plan_of(qs["num_quantiles_sketch"](spark, SF_DIR))
+    problems += check(
+        "num_quantiles_sketch", p, must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct", "SortMergeJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:
