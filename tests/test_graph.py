@@ -182,3 +182,11 @@ def test_label_propagation_directive(spark):
     out = Pipeline.compile("label-propagation :s :d :w 4").apply(df)
     got = {r["node"]: r["community"] for r in out.collect()}
     assert got == _ref_lpa(edges, iters=4)
+
+
+def test_graph_components_front_door(spark):
+    from wrangler_spark.datapipe.graph import graph_components
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")], ["s", "d"])
+    got = sorted(map(tuple, graph_components(df, "s", "d").collect()))
+    assert got == [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")]

@@ -232,3 +232,23 @@ def graph_label_propagation(
     release(e)
     release(nodes)
     return labels.select(F.col("__n").alias("node"), F.col("__l").alias("community"))
+
+
+def graph_components(
+    edges: DataFrame, src: str, dst: str, max_rounds: int = 25,
+) -> DataFrame:
+    """Weakly-connected components over an edge list — (node, component)
+    with component = the minimum node id reachable. A naming-consistent
+    front door: the implementation is
+    :func:`wrangler_spark.datapipe.dedup.connected_components` (the
+    alternating large-star/small-star closure dedup clustering already
+    uses — Kiveris et al. 2014 shape), re-exposed here so the graph
+    family covers ranking (:func:`graph_pagerank`), communities
+    (:func:`graph_label_propagation`), and components without the
+    caller knowing which module grew each."""
+    from wrangler_spark.datapipe.dedup import connected_components
+
+    return connected_components(
+        edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b")),
+        max_rounds=max_rounds,
+    ).select(F.col("id").alias("node"), F.col("component"))
