@@ -571,6 +571,14 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # community detection (deterministic synchronous LPA) over the
         # same transition graph — the near-dup-cluster-labeling primitive
+        # join/groupBy-key skew diagnostics: the pre-flight that decides
+        # salting and AQE skew thresholds before a 100 TB join ships
+        "events_key_skew": lambda s, d: curation.key_skew(
+            _t(s, d, "events"), "user_id", k=20
+        ),
+        "events_key_skew_summary": lambda s, d: curation.key_skew_summary(
+            _t(s, d, "events"), "user_id"
+        ),
         # mergeable log-bin quantile sketch: deterministic (unlike
         # t-digest), exactly batch-mergeable, bounded relative error
         "num_quantiles_sketch": lambda s, d: numeric.quantiles_sketched(
@@ -811,6 +819,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_communities": o.events_communities_sql(5),
         "num_quantiles_sketch": o.quantiles_sketch_sql(),
         "num_quantiles_state": o.quantiles_sketch_sql(),
+        "events_key_skew": o.key_skew_sql("user_id", "events", 20),
+        "events_key_skew_summary": o.key_skew_summary_sql("user_id", "events"),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "emb_cluster_topics": _cluster_topics_oracle_sql(8, 5, 1, 64),
@@ -1135,7 +1145,10 @@ _R11_WINDOW = [
     # graded ann/emb family) for per-group top terms — new this round,
     # the group-labeling counterpart of the rewritten vocabulary
     "text_group_terms",
-    "ann_recall",
+    # r11: ann_recall vacated (green r8-r10, unchanged; the ANN family
+    # stays graded via the in-window ann_pq_topk / ann_ivf_pq_topk /
+    # ann_mmr_rerank) for the one-row skew scorecard — new this round
+    "events_key_skew_summary",
     # late r8 addition (top-fraction pruning) — dedup_cross_exact vacated
     # (r7-green; its plain branch is unchanged and dedup_cross_bloom
     # grades the identical oracle through the harder code path)
@@ -1149,7 +1162,10 @@ _R11_WINDOW = [
     # dedup_cross_embedding + dedup_cross_bloom) for the quantile-state
     # reconstruction — new this round (state folds == one-shot sketch)
     "num_quantiles_state",
-    "dedup_substring_keepfirst",
+    # r11: dedup_substring_keepfirst vacated (green r7-r10, unchanged;
+    # the rolling-window-hash machinery stays graded via the in-window
+    # decontam_spans) for the key-skew top-k diagnostic — new this round
+    "events_key_skew",
     # late r8 addition (parameterized LSH banding) — dedup_template
     # vacated (r7-green; its one-shuffle exact-dedup shape stays graded
     # through dedup_cross_exact and the checkpoint-mechanism entries)

@@ -4156,3 +4156,24 @@ def test_retention_grid_time_travel(spark, tmp_path_factory):
     day0_old = {r["period_offset"]: r["active_users"] for r in oldg.collect()
                 if str(r["cohort_start"]).startswith("2024-01-01")}
     assert day0[0] == 3 and day0_old[0] == 2   # user 3 folded after the pin
+
+
+def test_key_skew_and_summary(spark):
+    from wrangler_spark.datapipe import curation
+
+    # key "a" x5, "b" x3, "c" x3, null x1 — boundary tie at k=2 resolves
+    # by key asc; null is a REAL group (the silent join-skew case)
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [(None,)]
+    df = spark.createDataFrame(rows, "k string")
+    top = [tuple(r) for r in curation.key_skew(df, "k", k=2).collect()]
+    assert top[0] == ("a", 5, round(5 / 12, 6))
+    assert top[1] == ("b", 3, round(3 / 12, 6))   # tie b/c -> key asc
+    s = curation.key_skew_summary(df, "k").collect()[0]
+    assert (s["n_rows"], s["n_keys"]) == (12, 4)
+    assert s["max_share"] == round(5 / 12, 6)
+    assert s["skew_ratio"] == round(5 / 3.0, 6)
+    import pytest as _pytest
+
+    assert s["hhi"] == _pytest.approx((25 + 9 + 9 + 1) / 144, abs=1e-6)
+    with _pytest.raises(ValueError, match="k must be"):
+        curation.key_skew(df, "k", k=0)

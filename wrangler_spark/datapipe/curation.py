@@ -1956,3 +1956,65 @@ def corpus_overlap(
           round(ni / nu, 6) if nu else 0.0)],
         "n_a long, n_b long, n_union long, n_intersect long, jaccard double",
     )
+
+
+def key_skew(df: DataFrame, col: str, k: int = 20) -> DataFrame:
+    """Top-k hottest keys of a column with their corpus share — the
+    pre-flight check for every join/groupBy key at 100 TB: a key holding
+    5% of a 100 TB table is a 5 TB reducer partition, and THIS table is
+    what decides whether that key needs salting (or an AQE skew-join
+    threshold bump) before the nightly join ships.
+
+    (key, n, share) rows, share rounded 6dp, ordered (n DESC, key ASC —
+    deterministic tie-break). One shuffle (groupBy key), then a
+    distributed TakeOrdered over the key counts — each partition keeps
+    k, only P*k rows reach the driver-side sort, never the key universe.
+    Null keys count as a real group (they hash to ONE partition in a
+    join — the classic silent skew)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = df.groupBy(F.col(col).cast("string").alias("key")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    counts = eager_checkpoint(counts)
+    total = counts.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("__tot"))
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(int(k))
+        .crossJoin(F.broadcast(total))  # 1-row stats frame
+        .select(
+            "key", "n",
+            F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
+        )
+    )
+
+
+def key_skew_summary(df: DataFrame, col: str) -> DataFrame:
+    """One-row skew scorecard for a key column: (n_rows, n_keys,
+    max_share, skew_ratio, hhi). ``skew_ratio`` = hottest key count over
+    the uniform expectation (total/n_keys) — 1.0 is perfectly even, the
+    number of straggler-multiples otherwise; ``hhi`` is the Herfindahl
+    index Σ share² (the effective number of keys is 1/hhi). Two bounded
+    aggregates over the key-count frame; shares rounded 6dp."""
+    counts = df.groupBy(F.col(col).cast("string").alias("key")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return counts.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.round(
+            F.max("n") / F.coalesce(F.sum("n"), F.lit(0)), 6
+        ).alias("max_share"),
+        F.round(
+            F.max("n") / (F.coalesce(F.sum("n"), F.lit(0)) / F.count("*")), 6
+        ).alias("skew_ratio"),
+        # n² in DOUBLE: a 1e12-row key squared overflows long at scale
+        F.round(
+            F.sum(F.col("n").cast("double") * F.col("n").cast("double"))
+            / (
+                F.coalesce(F.sum("n"), F.lit(0)).cast("double")
+                * F.coalesce(F.sum("n"), F.lit(0)).cast("double")
+            ),
+            6,
+        ).alias("hhi"),
+    )

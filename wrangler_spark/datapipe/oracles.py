@@ -2304,6 +2304,35 @@ FROM c JOIN tot ON c.f = tot.f
 """
 
 
+def key_skew_sql(col: str = "user_id", table: str = "events", k: int = 20) -> str:
+    """Mirror of curation.key_skew: per-key counts, top-k by
+    (n DESC, key ASC), share = n/total rounded 6dp."""
+    return f"""
+WITH c AS (SELECT CAST({col} AS VARCHAR) AS key, count(*) AS n
+           FROM {table} GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+SELECT key, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / (SELECT tot FROM t), 6) AS share
+FROM c ORDER BY n DESC, key ASC LIMIT {int(k)}
+"""
+
+
+def key_skew_summary_sql(col: str = "user_id", table: str = "events") -> str:
+    """Mirror of curation.key_skew_summary: one-row scorecard
+    (n_rows, n_keys, max_share, skew_ratio, hhi), 6dp."""
+    return f"""
+WITH c AS (SELECT CAST({col} AS VARCHAR) AS key, count(*) AS n
+           FROM {table} GROUP BY 1)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS max_share,
+       round(CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) AS skew_ratio,
+       round(sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 6) AS hhi
+FROM c
+"""
+
+
 def quantiles_sketch_sql(
     col: str = "l_extendedprice", table: str = "lineitem",
     probs=(0.5, 0.9, 0.99), rel_err: float = 0.05,
