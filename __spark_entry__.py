@@ -1411,6 +1411,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ext_asof_join": _q_ext_asof,
         "ext_range_join": _q_ext_range,
+        # salted equi-join must equal the plain join: graded through an
+        # aggregate over the joined fact (quantities are integral in
+        # this data, so the double sum is exact)
+        "ext_salted_join": _q_ext_salted,
         "ext_union": _q_ext_union,
         "flatten_zip": _recipe_q(
             "part",
@@ -1860,6 +1864,25 @@ def _q_ext_asof(spark, sf_dir):
     return asof_join(ev, marks, "user_id", "ts")
 
 
+def _q_ext_salted(spark, sf_dir):
+    from wrangler_spark.directives.extensions import salted_join
+
+    return (
+        salted_join(
+            _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity"),
+            _t(spark, sf_dir, "part").select(
+                F.col("p_partkey").alias("l_partkey"), "p_name"
+            ),
+            "l_partkey", how="inner", salt=8,
+        )
+        .groupBy("p_name")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
 def _q_ext_join(spark, sf_dir):
     from wrangler_spark.directives.lookups import register_lookup
 
@@ -2161,6 +2184,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ext_union": (
             "SELECT * FROM nation UNION ALL SELECT * FROM nation"
+        ),
+        "ext_salted_join": (
+            "SELECT p.p_name, round(sum(l.l_quantity), 6) AS sum_qty, "
+            "count(*) AS n FROM lineitem l JOIN part p "
+            "ON l.l_partkey = p.p_partkey GROUP BY p.p_name"
         ),
         "ext_range_join": (
             "SELECT e.event_id, e.value, b.band_id, b.lo, b.hi "

@@ -117,3 +117,39 @@ def test_asof_join_tolerance(spark):
     assert got is None
     got2 = asof_join(conv_n, touch_n, "user", "ts", tolerance=15).collect()[0]["v"]
     assert got2 == "x"
+
+
+def test_salted_join_equals_plain_join(spark):
+    from wrangler_spark.directives.extensions import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(5)],
+        ["k", "v"],
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("nomatch", "N")], ["k", "tag"]
+    )
+    for how, skewed in (("inner", "left"), ("left", "left"), ("inner", "right")):
+        l, r = (left, right) if skewed == "left" else (right, left)
+        got = sorted(map(tuple, salted_join(l, r, "k", how=how, salt=8, skewed=skewed).collect()))
+        want = sorted(map(tuple, l.join(r, "k", how).collect()))
+        assert got == want, (how, skewed)
+    # unmatched LEFT rows survive a left-outer exactly once
+    lo = salted_join(left.union(spark.createDataFrame([("alone", 1)], ["k", "v"])),
+                     right, "k", how="left", salt=4)
+    assert lo.filter("k = 'alone'").count() == 1
+
+
+def test_salted_join_guards(spark):
+    import pytest as _pytest
+
+    from wrangler_spark.directives.extensions import salted_join
+
+    l = spark.createDataFrame([("a", 1)], ["k", "v"])
+    r = spark.createDataFrame([("a", 2)], ["k", "w"])
+    with _pytest.raises(ValueError, match="unmatched rows"):
+        salted_join(l, r, "k", how="right", skewed="left")
+    with _pytest.raises(ValueError, match="salt must be"):
+        salted_join(l, r, "k", salt=1)
+    with _pytest.raises(ValueError, match="skewed must be"):
+        salted_join(l, r, "k", skewed="both")

@@ -420,3 +420,54 @@ class CubeBy(Directive):
             raise DirectiveApplyError("cube-by needs at least one aggregate in prop:{}")
         exprs = [F.expr(str(sql)).alias(name) for name, sql in aggs.items()]
         return df.cube(*keys).agg(*exprs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt: int = 8,
+    skewed: str = "left",
+) -> DataFrame:
+    """Equi-join with the textbook hot-key mitigation: the SKEWED side
+    gets a deterministic salt in [0, salt) (xxhash64 of the whole row —
+    no rand(), so recomputation under task retry lands the same bucket),
+    the other side is replicated ``salt`` times, and the join runs on
+    (keys + salt) — a key holding 5% of the table now spreads over
+    ``salt`` reducer partitions instead of one straggler. Result rows
+    are identical to the plain join (each replica matches exactly its
+    salt bucket). Use :func:`~wrangler_spark.datapipe.curation.key_skew`
+    to decide whether (and how much) to salt; prefer AQE's skew-join
+    split when it triggers — this is for the cases it can't reach
+    (e.g. a skewed LEFT OUTER whose hot key exceeds every split
+    threshold, or deliberate pre-partitioned layouts).
+
+    ``how`` must keep the REPLICATED side non-null-preserved ("inner",
+    or the outer join toward the skewed side) — an outer join toward the
+    replicated side would emit its unmatched rows once per replica.
+    Replication multiplies the small side ``salt``× — keep salt modest
+    (8–64) and the replicated side the genuinely smaller one."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if salt < 2:
+        raise ValueError(f"salt must be >= 2, got {salt}")
+    if skewed not in ("left", "right"):
+        raise ValueError(f"skewed must be 'left' or 'right', got {skewed!r}")
+    allowed = {"left": ("inner", "left", "leftouter", "left_outer"),
+               "right": ("inner", "right", "rightouter", "right_outer")}[skewed]
+    if how not in allowed:
+        raise ValueError(
+            f"how={how!r} with skewed={skewed!r} would emit the replicated "
+            f"side's unmatched rows {salt} times; allowed: {allowed}")
+    big, small = (left, right) if skewed == "left" else (right, left)
+    clash = "__salt"
+    if clash in left.columns or clash in right.columns:
+        raise ValueError("a __salt column already exists; rename it first")
+    big = big.withColumn(
+        clash, F.pmod(F.xxhash64(F.struct(*big.columns)), F.lit(salt)).cast("int")
+    )
+    small = small.withColumn(
+        clash, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    l2, r2 = (big, small) if skewed == "left" else (small, big)
+    return l2.join(r2, keys + [clash], how).drop(clash)
