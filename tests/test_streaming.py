@@ -527,3 +527,60 @@ def test_read_warc_streaming(spark, tmp_path_factory):
     q.stop()
     shutil.rmtree(d, ignore_errors=True)
     assert got == {"http://x/1": True, "http://x/2": False}
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path_factory):
+    """Watermarked stream-stream interval join (click attribution):
+    inner-join results equal the identical-condition batch join."""
+    import shutil as _sh
+
+    from wrangler_spark.streaming import interval_join_stream
+
+    imp_rows = [
+        (1, "u1", "2024-01-01 10:00:00"),
+        (2, "u1", "2024-01-01 10:40:00"),
+        (3, "u2", "2024-01-01 09:00:00"),
+        (4, "u3", "2024-01-01 12:00:00"),
+    ]
+    clk_rows = [
+        (101, "u1", "2024-01-01 10:30:00"),  # attributes to imp 1 (30m) only
+        (102, "u2", "2024-01-01 09:59:00"),  # attributes to imp 3 (59m)
+        (103, "u3", "2024-01-01 13:30:00"),  # outside 1h of imp 4 -> no match
+    ]
+    di = str(tmp_path_factory.mktemp("imp"))
+    dc = str(tmp_path_factory.mktemp("clk"))
+    imp = spark.createDataFrame(imp_rows, ["imp_id", "user", "imp_ts"]).select(
+        "imp_id", "user", F.col("imp_ts").cast("timestamp").alias("imp_ts"))
+    clk = spark.createDataFrame(clk_rows, ["click_id", "user", "click_ts"]).select(
+        "click_id", "user", F.col("click_ts").cast("timestamp").alias("click_ts"))
+    imp.coalesce(1).write.mode("overwrite").parquet(di)
+    clk.coalesce(1).write.mode("overwrite").parquet(dc)
+    try:
+        si = spark.readStream.schema(imp.schema).parquet(di)
+        sc = spark.readStream.schema(clk.schema).parquet(dc)
+        joined = interval_join_stream(
+            si, sc, "user", "imp_ts", "click_ts", upper="1 hour",
+        ).select("imp_id", "click_id")
+        q = run_to_memory(joined, "attrib_out")
+        got = sorted(map(tuple, spark.sql("SELECT imp_id, click_id FROM attrib_out").collect()))
+        q.stop()
+        want = sorted(map(tuple, imp.alias("l").join(
+            clk.alias("r"),
+            (F.col("l.user") == F.col("r.user"))
+            & (F.col("l.imp_ts") >= F.expr("r.click_ts - INTERVAL 1 hour"))
+            & (F.col("l.imp_ts") <= F.expr("r.click_ts - INTERVAL 0 seconds")),
+        ).select("imp_id", "click_id").collect()))
+        assert got == want == [(1, 101), (3, 102)]
+    finally:
+        _sh.rmtree(di, ignore_errors=True)
+        _sh.rmtree(dc, ignore_errors=True)
+
+
+def test_interval_join_stream_guards(spark):
+    import pytest as _pytest
+
+    from wrangler_spark.streaming import interval_join_stream
+
+    static = spark.createDataFrame([(1, "u", "2024-01-01")], ["i", "user", "ts"])
+    with _pytest.raises(ValueError, match="STREAMING"):
+        interval_join_stream(static, static, "user", "ts", "ts")

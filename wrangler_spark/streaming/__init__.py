@@ -231,3 +231,50 @@ def ingest_monitor(
         "n_dups",
         F.round(F.col("n_dups") / F.greatest(F.col("n_docs"), F.lit(1)), 6).alias("dup_rate"),
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "1 hour",
+    lower: str = "0 seconds",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM equi-join with a time-interval bound —
+    the click-attribution shape: each right-side row (click) joins
+    left-side rows (impressions) with the same ``on`` key whose
+    ``left_ts`` lies in ``[right_ts - upper, right_ts - lower]``.
+
+    The interval condition is what makes unbounded stream-stream state
+    finite: with both sides watermarked, Spark can expire an impression
+    once the watermark passes ``left_ts + upper`` — without it the join
+    would buffer both streams forever (and Spark rejects it). State per
+    key ≈ rows inside one interval window, independent of stream age —
+    the property that survives a month-long run at production rates.
+
+    ``how``: "inner", or "leftOuter"/"rightOuter" toward the side whose
+    unmatched rows you need (emitted only when the watermark CLOSES the
+    interval — a one-shot availableNow run that ends before the
+    watermark advances may hold them back; that is Structured
+    Streaming's documented outer-join semantics, not row loss). Both
+    inputs must be streaming frames; use a plain join (or asof_join)
+    when one side is static."""
+    allowed = ("inner", "leftOuter", "left_outer", "rightOuter", "right_outer")
+    if how not in allowed:
+        raise ValueError(f"how must be one of {allowed}, got {how!r}")
+    if not (left.isStreaming and right.isStreaming):
+        raise ValueError(
+            "interval_join_stream needs two STREAMING frames — with a "
+            "static side use a plain broadcast join (no state to bound)")
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"l.{left_ts}") >= F.expr(f"r.{right_ts} - INTERVAL {upper}"))
+        & (F.col(f"l.{left_ts}") <= F.expr(f"r.{right_ts} - INTERVAL {lower}"))
+    )
+    return lw.join(rw, cond, how)
