@@ -312,3 +312,39 @@ def test_write_corpus_zorder_guards(spark, tmp_path_factory):
     dfn = spark.createDataFrame([(None,), (1.0,), (2.0,)], "x double")
     zs = _zorder_column(dfn, ["x"], bits=2).select("__z").collect()
     assert len(zs) == 3
+
+
+def test_manifest_write_verify_and_total_invariance(spark, tmp_path_factory):
+    from wrangler_spark.sources import verify_manifest, write_manifest
+
+    base = str(tmp_path_factory.mktemp("manifest"))
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), F.sha1(F.col("id").cast("string")).alias("s")
+    )
+    df.repartition(4).write.parquet(f"{base}/a")
+    m = write_manifest(spark, f"{base}/a")
+    rows = {r["file"]: r for r in m.collect()}
+    assert "__TOTAL__" in rows and rows["__TOTAL__"]["n_rows"] == 1000
+    assert verify_manifest(spark, f"{base}/a")["ok"]
+
+    # same logical data, different parallelism: files differ, TOTAL matches
+    df.repartition(9).write.parquet(f"{base}/b")
+    write_manifest(spark, f"{base}/b")
+    ta = {r["file"]: r["content_hash"] for r in m.collect()}["__TOTAL__"]
+    tb = {r["file"]: r["content_hash"]
+          for r in spark.read.json(f"{base}/b/_MANIFEST").collect()}["__TOTAL__"]
+    assert ta == tb
+
+    # a foreign file shows up as extra; removing one as missing
+    import glob
+    import os
+    import shutil
+
+    some = sorted(glob.glob(f"{base}/a/part-*.parquet"))
+    shutil.copy(some[0], f"{base}/a/part-zzzz-foreign.parquet")
+    v = verify_manifest(spark, f"{base}/a")
+    assert not v["ok"] and v["extra"] == ["part-zzzz-foreign.parquet"] and not v["total_ok"]
+    os.remove(f"{base}/a/part-zzzz-foreign.parquet")
+    os.remove(some[1])
+    v = verify_manifest(spark, f"{base}/a")
+    assert not v["ok"] and os.path.basename(some[1]) in v["missing"]

@@ -416,3 +416,95 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     the scan carries the table's bucket spec, so Catalyst plans
     bucket-key joins/aggs without an Exchange."""
     return spark.table(table)
+
+
+def write_manifest(spark: SparkSession, path: str, fmt: str = "parquet") -> "DataFrame":
+    """Content manifest for a written dataset — the integrity artifact a
+    reproducible data release ships next to its files: one row per data
+    file with (file, n_rows, content_hash), plus a final TOTAL row
+    whose hash is the order-insensitive combination of all rows.
+    Written to ``<path>/_MANIFEST`` (underscore-prefixed: Spark and
+    parquet readers skip it) and returned.
+
+    content_hash = sum of per-row xxhash64 over every column
+    canonicalized to string — order-insensitive by construction, so the
+    hash is stable however Spark ordered rows into the file, and two
+    writes of the same logical data with different parallelism produce
+    the SAME total hash (files differ, totals match — the property a
+    release verification wants). One scan, one aggregate keyed by
+    input_file_name(): the manifest of a 100 TB corpus costs exactly
+    one pass. Verify later with :func:`verify_manifest`."""
+    manifest = _manifest_frame(spark, path, fmt)
+    manifest.coalesce(1).write.mode("overwrite").json(f"{path}/_MANIFEST")
+    return manifest
+
+
+_MOD64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"  # 2^64
+
+
+def _manifest_frame(spark: SparkSession, path: str, fmt: str) -> "DataFrame":
+    """(file, n_rows, content_hash) per data file + a __TOTAL__ row.
+    Hash sums run in DECIMAL(38,0) mod 2^64 — a plain long sum of
+    xxhash64 values overflows, which wraps silently in a non-ANSI
+    session and RAISES in an ANSI one; the modular decimal is exact,
+    engine-mode-independent, and stored as a string (JSON longs cap at
+    2^53 in some readers)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.format(fmt).load(path)
+    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    # xxhash64 is signed; lift into [0, 2^64) before the modular sum
+    h = F.pmod(row_hash.cast("decimal(38,0)"), F.expr(_MOD64))
+    per_file = (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.pmod(F.sum(h), F.expr(_MOD64)).alias("__h"),
+        )
+        # store paths relative to the dataset root: a release moves hosts
+        .withColumn("file", F.element_at(F.split("file", "/"), -1))
+    )
+    total = per_file.agg(
+        F.lit("__TOTAL__").alias("file"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+        F.pmod(F.coalesce(F.sum("__h"), F.lit(0)), F.expr(_MOD64)).alias("__h"),
+    )
+    return per_file.unionByName(total).select(
+        "file", "n_rows", F.col("__h").cast("decimal(38,0)").cast("string").alias("content_hash")
+    )
+
+
+def verify_manifest(spark: SparkSession, path: str, fmt: str = "parquet") -> dict:
+    """Re-scan a dataset and compare against its stored ``_MANIFEST``:
+    returns {"ok": bool, "missing": [...], "extra": [...],
+    "mismatched": [...], "total_ok": bool}. ``missing`` = files the
+    manifest lists that no longer hash the same or are gone; ``extra`` =
+    data files on disk the manifest never saw (a torn or foreign write).
+    The TOTAL row is compared order-insensitively, so a verify after a
+    same-data rewrite with different file splits reports total_ok=True
+    with per-file differences — exactly the distinction you want between
+    "bytes moved" and "data changed"."""
+    stored = {
+        r["file"]: (int(r["n_rows"]), int(r["content_hash"]))
+        for r in spark.read.json(f"{path}/_MANIFEST").collect()
+    }
+    stored_total = stored.pop("__TOTAL__", None)
+    # recompute WITHOUT rewriting the stored manifest
+    current = {
+        r["file"]: (int(r["n_rows"]), int(r["content_hash"]))
+        for r in _manifest_frame(spark, path, fmt).collect()
+        if r["file"] != "__TOTAL__"
+    }
+    cur_total = (
+        sum(v[0] for v in current.values()),
+        sum(v[1] for v in current.values()) % (1 << 64),
+    )
+    missing = sorted(f for f in stored if f not in current)
+    extra = sorted(f for f in current if f not in stored)
+    mismatched = sorted(
+        f for f in stored if f in current and current[f] != stored[f]
+    )
+    total_ok = stored_total is not None and cur_total == stored_total
+    ok = not missing and not extra and not mismatched and total_ok
+    return {"ok": ok, "missing": missing, "extra": extra,
+            "mismatched": mismatched, "total_ok": total_ok}
