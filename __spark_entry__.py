@@ -630,6 +630,10 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": lambda s, d: Pipeline.compile("repetition-stats :text").apply(docs(s, d)),
         "text_gopher_quality": lambda s, d: Pipeline.compile("gopher-quality :text").apply(docs(s, d)),
         "pii_redact": lambda s, d: Pipeline.compile("pii-redact :text").apply(docs(s, d)),
+        # Luhn-gated cc category: checksum-failing digit runs survive
+        "pii_redact_luhn": lambda s, d: curation.pii_redact(
+            docs(s, d), "text", luhn_check=True
+        ),
         "dedup_paragraphs": lambda s, d: Pipeline.compile("dedup-paragraphs :doc_id :text").apply(docs(s, d)),
         "decontaminate": _q_decontaminate,
         "source_filter": lambda s, d: Pipeline.compile(
@@ -775,6 +779,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_repetition": o.repetition_stats_sql(),
         "text_gopher_quality": o.gopher_quality_sql(),
         "pii_redact": o.pii_redact_sql(),
+        "pii_redact_luhn": o.pii_redact_luhn_sql(),
         "dedup_paragraphs": o.paragraph_dedup_sql(),
         "decontaminate": o.decontaminate_sql(8, 0.1),
         "source_filter": o.source_filter_sql(["src3", "src7", "src11"]),

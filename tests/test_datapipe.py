@@ -4177,3 +4177,44 @@ def test_key_skew_and_summary(spark):
     assert s["hhi"] == _pytest.approx((25 + 9 + 9 + 1) / 144, abs=1e-6)
     with _pytest.raises(ValueError, match="k must be"):
         curation.key_skew(df, "k", k=0)
+
+
+def test_luhn_gated_pii_redaction(spark):
+    from wrangler_spark.datapipe import curation
+
+    valid = "4111111111111111"        # classic Luhn-valid test number
+    invalid = "4111111111111112"      # same shape, checksum fails
+    rows = [
+        (1, f"card {valid} ok"),
+        (2, f"order {invalid} id"),
+        (3, f"both {valid} and {invalid} here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # plain mode redacts both shapes (the recall-first default)
+    plain = {r["doc_id"]: r for r in curation.pii_redact(df, "text").collect()}
+    assert "<CC>" in plain[1]["text"] and "<CC>" in plain[2]["text"]
+
+    # luhn mode redacts only the checksum-passing run
+    got = {r["doc_id"]: r for r in
+           curation.pii_redact(df, "text", luhn_check=True).collect()}
+    assert got[1]["text"] == "card <CC> ok" and got[1]["n_pii_cc"] == 1
+    assert got[2]["text"] == f"order {invalid} id" and got[2]["n_pii_cc"] == 0
+    assert got[3]["text"] == f"both <CC> and {invalid} here"
+    assert got[3]["n_pii_cc"] == 1
+
+    # the checksum itself, against the python reference
+    def luhn_py(s):
+        ds = [int(x) for x in s if x.isdigit()][::-1]
+        if not 13 <= len(ds) <= 19:
+            return False
+        return sum(d if i % 2 == 0 else (d * 2 - 9 if d * 2 > 9 else d * 2)
+                   for i, d in enumerate(ds)) % 10 == 0
+
+    cands = [valid, invalid, "1234 5678 1234 5678", "5500-0000-0000-0004",
+             "378282246310005", "12345", "4111111111111111111111"]
+    cdf = spark.createDataFrame([(x,) for x in cands], "s string")
+    got_l = {r["s"]: r["ok"] for r in
+             cdf.select("s", curation.luhn_valid(F.col("s")).alias("ok")).collect()}
+    for x in cands:
+        assert got_l[x] == luhn_py(x), x

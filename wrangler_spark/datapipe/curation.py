@@ -37,17 +37,74 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
-def pii_redact(df: DataFrame, text_col: str) -> DataFrame:
+def luhn_valid(c: Column) -> Column:
+    """Scan-side Luhn (mod-10) checksum over the digits of a string —
+    the public check every real card number passes (ISO/IEC 7812),
+    which random 13-19 digit runs fail ~90% of the time. Non-digits
+    are stripped first; true when 13-19 digits remain and the checksum
+    holds. Pure HOF arithmetic (split + indexed transform + aggregate
+    fold) — no UDF, stays in codegen."""
+    digits = F.regexp_replace(c, r"[^0-9]", "")
+    rev = F.split(F.reverse(digits), "")
+    # from the rightmost digit: double every SECOND digit, subtract 9
+    # when the double exceeds 9 (the digit-sum shortcut), sum all
+    terms = F.transform(
+        rev,
+        lambda x, i: F.when(
+            i % 2 == 1,
+            F.when(x.cast("int") * 2 > 9, x.cast("int") * 2 - 9)
+            .otherwise(x.cast("int") * 2),
+        ).otherwise(x.cast("int")),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + F.coalesce(x, F.lit(0)))
+    n = F.length(digits)
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def pii_redact(df: DataFrame, text_col: str, luhn_check: bool = False) -> DataFrame:
     """Redact PII spans in-place and report per-category counts
     (n_pii_email, n_pii_ip, n_pii_ssn, n_pii_cc, n_pii_phone, n_pii).
     Counts are measured on the original text; redaction applies the
     patterns sequentially in PII_PATTERNS order. Pure scan-side
-    regexp_replace chain — no shuffle, stays in codegen."""
+    regexp_replace chain — no shuffle, stays in codegen.
+
+    ``luhn_check=True`` gates the credit-card category through
+    :func:`luhn_valid`: card-shaped digit runs that fail the mod-10
+    checksum (order ids, timestamps, serials — ~90% of random runs)
+    are neither counted nor redacted. The selective redaction is an
+    extract → filter-valid → literal-replace fold over the row's
+    candidates — still scan-side, bounded by matches per row."""
     c = F.col(text_col)
     counts = {f"n_pii_{tag}": F.regexp_count(c, F.lit(pat)).cast("long") for tag, pat, _ in PII_PATTERNS}
     red = c
-    for _, pat, tok in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, tok)
+    cc_pat = next(p for t, p, _ in PII_PATTERNS if t == "cc")
+    cc_tok = next(tok for t, _, tok in PII_PATTERNS if t == "cc")
+    if luhn_check:
+        # distinct candidates, longest-first (a shorter candidate that is
+        # a substring of a longer one must replace AFTER it), ties by
+        # value — a fully deterministic, oracle-mirrorable fold order
+        valid_cands = F.transform(
+            F.array_sort(
+                F.transform(
+                    F.filter(
+                        F.array_distinct(F.regexp_extract_all(c, F.lit(cc_pat), 0)),
+                        luhn_valid,
+                    ),
+                    lambda x: F.struct((-F.length(x)).alias("nl"), x.alias("c")),
+                )
+            ),
+            lambda s: s["c"],
+        )
+        counts["n_pii_cc"] = F.size(
+            F.filter(F.regexp_extract_all(c, F.lit(cc_pat), 0), luhn_valid)
+        ).cast("long")
+    for tag, pat, tok in PII_PATTERNS:
+        if luhn_check and tag == "cc":
+            red = F.aggregate(
+                valid_cands, red, lambda acc, cand: F.replace(acc, cand, F.lit(cc_tok))
+            )
+        else:
+            red = F.regexp_replace(red, pat, tok)
     out = df.withColumns(counts)
     total = None
     for k in counts:

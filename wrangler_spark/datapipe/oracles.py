@@ -425,6 +425,51 @@ def pii_redact_sql(table: str = "documents") -> str:
     )
 
 
+def pii_redact_luhn_sql(table: str = "documents") -> str:
+    """Mirror of curation.pii_redact(luhn_check=True): cc-shaped
+    candidates pass through the Luhn mod-10 fold; only checksum-valid
+    runs are counted and replaced (distinct, longest-first literal
+    replace fold — same order contract as the Spark side)."""
+    cc_pat = next(p for t, p, _ in PII_PATTERNS if t == "cc")
+
+    def luhn(x: str) -> str:
+        ds = f"list_transform(regexp_extract_all(reverse({x}), '[0-9]'), y -> CAST(y AS INT))"
+        return (
+            f"(len({ds}) BETWEEN 13 AND 19 AND "
+            f"list_sum(list_transform(list_zip({ds}, range(0, len({ds}))), "
+            f"z -> CASE WHEN z[2] % 2 = 1 THEN CASE WHEN z[1]*2 > 9 "
+            f"THEN z[1]*2 - 9 ELSE z[1]*2 END ELSE z[1] END)) % 10 = 0)"
+        )
+
+    vc = (
+        f"list_filter(list_distinct(regexp_extract_all(text, '{cc_pat}')), x -> {luhn('x')})"
+    )
+    vc_sorted = (
+        f"list_transform(list_sort(list_transform({vc}, "
+        "x -> {'nl': -len(x), 'c': x})), st -> st.c)"
+    )
+    red = "text"
+    for tag, pat, tok in PII_PATTERNS:
+        if tag == "cc":
+            red = f"list_reduce(list_prepend({red}, {vc_sorted}), (a, x) -> replace(a, x, '{tok}'))"
+        else:
+            red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    counts = {
+        f"n_pii_{tag}": (
+            f"len(list_filter(regexp_extract_all(text, '{pat}'), x -> {luhn('x')}))::BIGINT"
+            if tag == "cc"
+            else f"len(regexp_extract_all(text, '{pat}'))::BIGINT"
+        )
+        for tag, pat, _ in PII_PATTERNS
+    }
+    cols = ", ".join(f"{v} AS {k}" for k, v in counts.items())
+    total = " + ".join(counts.values())
+    return (
+        f"SELECT doc_id, {red} AS text, lang, source, n_chars, {cols}, "
+        f"({total})::BIGINT AS n_pii FROM {table}"
+    )
+
+
 def paragraph_dedup_sql(table: str = "documents") -> str:
     norm_p = r"md5(regexp_replace(lower(trim(para)), '\s+', ' ', 'g'))"
     return f"""
