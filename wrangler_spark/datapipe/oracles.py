@@ -236,15 +236,18 @@ WHERE round({cos}, 6) >= {threshold}
 
 def embedding_cross_sql(
     threshold: float = 0.9, mod: int = 5, n_planes: int | None = None,
-    table: str = "embeddings",
+    table: str = "embeddings", cap: int = 100,
 ) -> str:
     """Cross-corpus hyperplane-LSH pairs: the asymmetric (new vs old)
-    form of embedding_pairs_sql, split by ``id % mod``. Assumes the
-    Spark side's max_bucket_size does not bind at oracle scale (same
-    contract as minhash_cross_sql's cap; measured max bucket = 20 at
-    sf0.1 with the driver query's 8 planes, cap 100). ``n_planes``
-    prefixes HYPERPLANES — the driver query uses 8 so the mod-5 split
-    still collides (16 planes yield zero cross pairs on the fixtures)."""
+    form of embedding_pairs_sql, split by ``id % mod``. Mirrors the
+    Spark side's max_bucket_size cap EXACTLY (the capped bucket keeps
+    the ``cap`` smallest old ids per signature — slice(array_sort(...))
+    there, a row_number qualify here), so parity holds even on corpora
+    dense enough for the cap to bind — the sf1 replica's 10x-denser
+    buckets proved the earlier "cap never binds at oracle scale"
+    assumption wrong. ``n_planes`` prefixes HYPERPLANES — the driver
+    query uses 8 so the mod-5 split still collides (16 planes yield
+    zero cross pairs on the fixtures)."""
     plane_sig_parts = []
     for plane in HYPERPLANES[: n_planes or len(HYPERPLANES)]:
         lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
@@ -258,7 +261,9 @@ WITH base AS (
 ),
 sigs AS (SELECT id, v, {sig} AS sig FROM base),
 n AS (SELECT * FROM sigs WHERE id % {mod} = 0),
-o AS (SELECT * FROM sigs WHERE id % {mod} <> 0)
+o AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY sig ORDER BY id) AS rn
+        FROM sigs WHERE id % {mod} <> 0) WHERE rn <= {int(cap)})
 SELECT n.id AS id_new, o.id AS id_old, round({cos}, 6) AS cosine
 FROM n JOIN o ON n.sig = o.sig
 WHERE round({cos}, 6) >= {threshold}
@@ -1368,13 +1373,16 @@ FROM nw LEFT JOIN od USING (k)
 
 
 def minhash_cross_sql(
-    threshold: float = 0.5, split_mod: int = 3, table: str = "documents"
+    threshold: float = 0.5, split_mod: int = 3, table: str = "documents",
+    cap: int = 100,
 ) -> str:
     """Mirror of dedup.minhash_pairs_against on the same split: bands are
     computed once over the whole table, then the candidate join pairs NEW
-    ids (doc_id % split_mod != 0) with OLD ids only. Uncapped buckets —
-    parity holds while no (band, key) bucket exceeds the Spark cap, the
-    same precondition the self-join oracle already relies on."""
+    ids (doc_id % split_mod != 0) with OLD ids only. The old side's
+    per-(band, key) bucket cap is mirrored exactly (smallest ``cap``
+    ids — slice(array_sort) there, a row_number qualify here), so
+    parity holds even on near-dup-dense corpora where the cap binds
+    (the embedding_cross_sql lesson from the sf1 replica)."""
     h = _H.format(s="s")
     sig_exprs = ", ".join(
         f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MINHASH_P})) AS mh{j}"
@@ -1391,11 +1399,16 @@ WITH {_shingles_cte(table)},
 hsh AS (SELECT id, shingles, list_transform(shingles, s -> {h}) AS h FROM sh),
 sig AS (SELECT id, shingles, {sig_exprs} FROM hsh),
 bands AS ({band_selects}),
+old_b AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, key ORDER BY id) AS rn
+    FROM bands WHERE id % {split_mod} = 0) WHERE rn <= {int(cap)}
+),
 cand AS (
   SELECT DISTINCT l.id AS id_new, r.id AS id_old, l.shingles AS sa, r.shingles AS sb
-  FROM bands l JOIN bands r
+  FROM bands l JOIN old_b r
     ON l.band = r.band AND l.key = r.key
-   AND l.id % {split_mod} <> 0 AND r.id % {split_mod} = 0
+   AND l.id % {split_mod} <> 0
 )
 SELECT id_new, id_old,
   round(len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(list_concat(sa, sb)))::DOUBLE, 6) AS jaccard
@@ -1582,11 +1595,20 @@ SELECT query_id, vec_id, bm25, rank FROM r WHERE rank <= {int(k)}
 """
 
 
-def entity_match_sql(max_dist: int = 2, table: str = "customer") -> str:
+def entity_match_sql(
+    max_dist: int = 2, table: str = "customer", cap: int = 1000,
+) -> str:
     """Mirror of dedup.entity_match_pairs on the graded parameters:
-    block on (c_nationkey, c_mktsegment), verify c_name levenshtein."""
+    block on (c_nationkey, c_mktsegment), verify c_name levenshtein.
+    The block-membership cap (smallest ``cap`` ids per block) is
+    mirrored with a row_number qualify on BOTH sides — same lesson as
+    embedding_cross_sql: never assume a capacity governor won't bind."""
     return f"""
-WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_name FROM {table})
+WITH c0 AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_name FROM {table}),
+c AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+                                     ORDER BY c_custkey) AS rn
+        FROM c0) WHERE rn <= {int(cap)})
 SELECT l.c_custkey AS id_a, r.c_custkey AS id_b,
        levenshtein(l.c_name, r.c_name) AS c_name_dist
 FROM c l JOIN c r
@@ -1596,16 +1618,22 @@ WHERE levenshtein(l.c_name, r.c_name) <= {int(max_dist)}
 """
 
 
-def entity_match_against_sql(max_dist: int = 2, table: str = "customer") -> str:
+def entity_match_against_sql(
+    max_dist: int = 2, table: str = "customer", cap: int = 1000,
+) -> str:
     """Mirror of dedup.entity_match_against on the graded parameters:
     new = c_custkey % 3 = 0, old = the rest; block on (c_nationkey,
     c_mktsegment), verify c_name levenshtein. Asymmetric new-old pairs
-    only — strict join equality, so NULL keys match nothing."""
+    only — strict join equality, so NULL keys match nothing. The OLD
+    side's per-block cap is mirrored exactly (smallest ``cap`` ids)."""
     return f"""
 WITH n AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_name FROM {table}
            WHERE c_custkey % 3 = 0),
-o AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_name FROM {table}
-      WHERE c_custkey % 3 <> 0)
+o AS (SELECT * FROM (
+        SELECT c_custkey, c_nationkey, c_mktsegment, c_name,
+               row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+                                  ORDER BY c_custkey) AS rn
+        FROM {table} WHERE c_custkey % 3 <> 0) WHERE rn <= {int(cap)})
 SELECT n.c_custkey AS id_new, o.c_custkey AS id_old,
        levenshtein(n.c_name, o.c_name) AS c_name_dist
 FROM n JOIN o
