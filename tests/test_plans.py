@@ -162,3 +162,18 @@ def test_audit_stream_sessionization_and_hazards(spark, tmp_path_factory):
     finally:
         q5.stop()
         _time.sleep(0.2)
+
+
+def test_estimate_reports_catalyst_stats(spark):
+    from wrangler_spark import plans
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    base = plans.estimate(df)
+    assert base["size_bytes"] > 0
+    # projection shrinks the estimate (column pruning reaches the scan)
+    proj = plans.estimate(df.select("l_orderkey"))
+    assert proj["size_bytes"] < base["size_bytes"]
+    # an un-keyed join's estimate explodes by orders of magnitude —
+    # the pre-flight red flag estimate() exists to surface
+    j = plans.estimate(df.crossJoin(df.selectExpr("l_orderkey AS k")))
+    assert j["size_bytes"] > 1000 * base["size_bytes"]

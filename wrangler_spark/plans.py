@@ -206,3 +206,22 @@ def audit_stream(query) -> PlanReport:
             ["no micro-batch has executed yet — run one trigger, then audit"],
         )
     return _audit_plan(plan, streaming=True)
+
+
+def estimate(df: DataFrame) -> dict:
+    """Catalyst's OWN cost estimate for a frame, before anything runs:
+    {"size_bytes": int | None, "rows": int | None} from the optimized
+    logical plan's statistics (file sizes × filter/project selectivity
+    heuristics; ``rows`` is present when the sources carry row counts —
+    parquet footers, CBO-analyzed tables — else None).
+
+    The pre-flight companion to :func:`audit`: audit says whether the
+    SHAPE survives scale, estimate says what Catalyst thinks the size
+    is — a join whose estimate comes back orders of magnitude above the
+    inputs is the un-keyed-join bug before it runs. Estimates are
+    heuristics, not measurements; trust them for orders of magnitude."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    size = int(str(stats.sizeInBytes()))
+    rc = stats.rowCount()
+    rows = int(str(rc.get())) if rc is not None and rc.isDefined() else None
+    return {"size_bytes": size, "rows": rows}
