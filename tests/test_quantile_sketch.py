@@ -94,3 +94,14 @@ def test_quantile_stream_edge(spark, tmp_path_factory):
     one = sorted(map(tuple, numeric.quantiles_sketched(li, "x").collect()))
     assert inc == one and len(inc) == 3
     _sh.rmtree(src, ignore_errors=True)
+
+
+def test_directive_forms(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    df = spark.range(1, 101).select((F.col("id") % 10 + 1).cast("double").alias("x"))
+    q = Pipeline.compile("quantiles-sketched :x '0.5,0.9' 0.05").apply(df)
+    got = {r["prob"]: r["value"] for r in q.collect()}
+    assert set(got) == {0.5, 0.9} and all(v > 0 for v in got.values())
+    s = Pipeline.compile("key-skew :x 3").apply(df)
+    assert s.count() == 3 and s.columns == ["key", "n", "share"]

@@ -1471,3 +1471,48 @@ class LabelPropagation(Directive):
             ),
             iters=int(self.args["iters"]),
         )
+
+
+@directive
+class QuantilesSketched(Directive):
+    """quantiles-sketched :col [probs] [rel_err] — mergeable log-bin
+    quantile sketch over a non-negative numeric column: (prob, value)
+    rows within rel_err of the exact nearest-rank quantiles,
+    deterministic across partitionings. probs is a comma list, default
+    '0.5,0.9,0.99'."""
+
+    name = "quantiles-sketched"
+    usage = [
+        Arg("col", TokenType.COLUMN),
+        Arg("probs", TokenType.TEXT, optional=True, default="0.5,0.9,0.99"),
+        Arg("rel_err", TokenType.NUMERIC, optional=True, default=0.05),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.numeric import quantiles_sketched
+
+        probs = tuple(
+            float(p) for p in str(self.args["probs"]).split(",") if p.strip()
+        )
+        return quantiles_sketched(
+            df, ctx.resolve(df, self.args["col"]), probs,
+            float(self.args["rel_err"]),
+        )
+
+
+@directive
+class KeySkew(Directive):
+    """key-skew :col [k] — top-k hottest keys with corpus share: the
+    pre-flight for every join/groupBy key (a 5% key is a 5 TB reducer
+    partition at 100 TB — salt it or bump the AQE skew threshold)."""
+
+    name = "key-skew"
+    usage = [
+        Arg("col", TokenType.COLUMN),
+        Arg("k", TokenType.NUMERIC, optional=True, default=20),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import key_skew
+
+        return key_skew(df, ctx.resolve(df, self.args["col"]), int(self.args["k"]))
