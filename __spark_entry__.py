@@ -304,6 +304,11 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup-minhash :doc_id :text 0.5"
         ).apply(docs(s, d)),
         "dedup_minhash_cc": lambda s, d: dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5),
+        # soft dedup: keep every cluster member, weight 1/cluster_size
+        "dedup_cluster_weights": lambda s, d: dedup.cluster_weights(
+            dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5),
+            id_col="doc_id",
+        ),
         "dedup_survivors": lambda s, d: dedup.cluster_survivors(
             dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5),
             docs(s, d), "doc_id", "component", "n_chars",
@@ -688,6 +693,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_minhash_b16r2": o.minhash_lsh_sql(0.3, bands=16, rows=2),
         "dedup_minhash_flag": o.minhash_dedup_sql(0.5),
         "dedup_minhash_cc": o.minhash_components_sql(0.5),
+        "dedup_cluster_weights": o.cluster_weights_sql(0.5),
         "dedup_substring": o.substring_dup_sql(8),
         "decontam_spans": o.substring_against_sql(8),
         "dedup_substring_keepfirst": o.substring_dup_sql(8, keep_first=True),

@@ -175,3 +175,19 @@ def test_embedding_components_chain(spark):
     assert out[2][0] in (1, 2)
     if out[3][1]:
         assert out[3][0] == 1
+
+
+def test_cluster_weights_soft_dedup(spark):
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.datapipe import dedup
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)], ["id", "component"]
+    )
+    got = {r["id"]: r for r in dedup.cluster_weights(comp).collect()}
+    assert got[1]["cluster_size"] == 3 and got[1]["weight"] == round(1 / 3, 6)
+    assert got[4]["weight"] == 1.0 and got[5]["weight"] == 1.0
+    # total training mass = number of distinct contents (one per cluster)
+    total = dedup.cluster_weights(comp).agg(F.sum("weight")).collect()[0][0]
+    assert abs(total - 3.0) < 1e-5

@@ -2042,3 +2042,31 @@ def cluster_histogram(components: DataFrame, comp_col: str = "component") -> Dat
         .agg(F.count("*").cast("long").alias("n_clusters"))
         .withColumn("n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long"))
     )
+
+
+def cluster_weights(components: DataFrame, id_col: str = "id",
+                    comp_col: str = "component") -> DataFrame:
+    """Soft dedup: cluster-size-inverse sampling weights instead of
+    deletions — every member of a near-dup cluster survives with weight
+    1/cluster_size, so a 40x-mirrored page contributes ONE page's worth
+    of training mass while singletons keep weight 1.0 (the
+    keep-all-reweight alternative to keep-one-per-component that
+    preserves paraphrase diversity inside clusters; cf. the soft-dedup
+    discussion in public LLM data-curation writeups). Input is any
+    (id, component) frame (minhash_components, embedding_components,
+    graph_components); output (id, component, cluster_size, weight),
+    weight rounded 6dp.
+
+    One hash aggregate to component sizes + one equi-join back on the
+    component key (the sizes frame is cluster-count-sized — broadcast
+    when small, hash-join co-partitioned with the aggregate otherwise;
+    AQE decides)."""
+    sizes = components.groupBy(comp_col).agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return components.join(sizes, comp_col).select(
+        F.col(id_col).alias("id"),
+        F.col(comp_col).alias("component"),
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )

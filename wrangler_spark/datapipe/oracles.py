@@ -685,6 +685,19 @@ FROM {table} t LEFT JOIN comp c ON t.doc_id = c.u
 """
 
 
+def cluster_weights_sql(threshold: float = 0.5, table: str = "documents") -> str:
+    """Mirror of dedup.cluster_weights over minhash_components: weight =
+    1/cluster_size rounded 6dp, every doc kept."""
+    return f"""
+WITH comp AS (SELECT doc_id, component FROM ({minhash_components_sql(threshold, table)})),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT comp.doc_id AS id, comp.component,
+       CAST(sizes.cluster_size AS BIGINT) AS cluster_size,
+       round(CAST(1.0 AS DOUBLE) / CAST(sizes.cluster_size AS DOUBLE), 6) AS weight
+FROM comp JOIN sizes USING (component)
+"""
+
+
 def substring_dup_sql(
     window: int = 20, table: str = "documents", keep_first: bool = False
 ) -> str:
