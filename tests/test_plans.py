@@ -70,6 +70,8 @@ def test_workspace_plan_surface(spark):
     r = ws.plan()
     assert r.ok, r.warnings                 # the recipe compiles scan-side
     assert r.features["python_evals"] == 0
+    est = ws.estimate()
+    assert est["size_bytes"] > 0            # the magnitude pre-flight
 
 
 def test_audit_stream_sessionization_and_hazards(spark, tmp_path_factory):

@@ -123,6 +123,16 @@ class Workspace:
 
         return audit(Pipeline.compile(self.recipe()).apply(self._sample))
 
+    def estimate(self):
+        """Catalyst's size/row estimate for the accumulated recipe
+        (wrangler_spark.plans.estimate) — the magnitude pre-flight next
+        to :meth:`plan`'s shape pre-flight: an estimate orders of
+        magnitude above the input is the un-keyed-join bug caught
+        before anything runs. Lazy — nothing executes."""
+        from wrangler_spark.plans import estimate
+
+        return estimate(Pipeline.compile(self.recipe()).apply(self._sample))
+
     # --- persistence (the reference's wrangler-storage role: named
     # workspaces survive the session; here JSON + parquet on a local or
     # DFS path instead of a structured-storage service) ---
