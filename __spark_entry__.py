@@ -590,6 +590,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "lineitem"), "l_extendedprice"
         ),
         "num_quantiles_state": _q_quantiles_state,
+        "num_quantiles_by": lambda s, d: numeric.quantiles_sketched_by(
+            _t(s, d, "lineitem"), "l_extendedprice", "l_returnflag"
+        ),
         "events_communities": lambda s, d: graph.graph_label_propagation(
             events.event_transitions(
                 _t(s, d, "events"), "user_id", "ts", "event_type",
@@ -830,6 +833,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_communities": o.events_communities_sql(5),
         "num_quantiles_sketch": o.quantiles_sketch_sql(),
         "num_quantiles_state": o.quantiles_sketch_sql(),
+        "num_quantiles_by": o.quantiles_sketch_by_sql(),
         "events_key_skew": o.key_skew_sql("user_id", "events", 20),
         "events_key_skew_summary": o.key_skew_summary_sql("user_id", "events"),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),

@@ -105,3 +105,25 @@ def test_directive_forms(spark):
     assert set(got) == {0.5, 0.9} and all(v > 0 for v in got.values())
     s = Pipeline.compile("key-skew :x 3").apply(df)
     assert s.count() == 3 and s.columns == ["key", "n", "share"]
+
+
+def test_grouped_quantiles(spark):
+    # two groups with different scales; per-group values within rel_err
+    df = spark.range(1, 1001).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 100 + 1).cast("double"))
+        .otherwise((F.col("id") % 100 + 1).cast("double") * 1000.0).alias("x"),
+    )
+    got = {(r["g"], r["prob"]): r["value"] for r in
+           numeric.quantiles_sketched_by(df, "x", "g", (0.5,), 0.05).collect()}
+    va = [r["x"] for r in df.filter("g = 'a'").collect()]
+    vb = [r["x"] for r in df.filter("g = 'b'").collect()]
+    ea, eb = _exact_nearest_rank(va, 0.5), _exact_nearest_rank(vb, 0.5)
+    assert abs(got[("a", 0.5)] - ea) <= 0.051 * ea
+    assert abs(got[("b", 0.5)] - eb) <= 0.051 * eb
+    # null group rows drop; negatives raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="negative"):
+        numeric.quantiles_sketched_by(
+            spark.createDataFrame([("a", -1.0)], "g string, x double"), "x", "g")

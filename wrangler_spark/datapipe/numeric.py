@@ -484,3 +484,63 @@ def quantiles_from_state(
     return quantiles_from_histogram(
         hist_from_state(spark, path, version), probs, rel_err[0]["rel_err"]
     )
+
+
+def quantiles_sketched_by(
+    df: DataFrame, col: str, by: str,
+    probs=(0.5, 0.9, 0.99), rel_err: float = 0.05,
+) -> DataFrame:
+    """Per-group mergeable-sketch quantiles — "p99 doc length per
+    source" in one pass: (by, prob, value) rows, same bin space and
+    nearest-rank contract as :func:`quantiles_sketched`. One hash
+    aggregate to (group, bin) counts, one more to a per-group sorted
+    bin array (bounded: ~600 structs per group — never the group's
+    rows), then the same scan-side selection fold per (group, prob).
+    No windows; group count is the only cardinality that matters."""
+    base = _hist_base(rel_err)
+    for q in probs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"probs must be in (0, 1], got {q}")
+    c = F.col(col)
+    neg = df.filter(c < 0).limit(1).count()
+    if neg:
+        raise ValueError(
+            f"quantiles_sketched_by({col!r}): negative values present — "
+            "the log-bin sketch covers non-negative data")
+    hist = (
+        df.filter(c.isNotNull() & F.col(by).isNotNull())
+        .groupBy(F.col(by).alias("__g"), _log_bin(c, base).alias("bin"))
+        .agg(F.count("*").cast("long").alias("count"))
+    )
+    h = hist.groupBy("__g").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bin"), F.col("count")))
+        ).alias("__h"),
+        F.sum("count").alias("__tot"),
+    )
+    pf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in probs], "prob double"
+    )
+    rank = F.ceil(F.col("prob") * F.col("__tot"))
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"), F.lit(None).cast("long").alias("b")
+    )
+    picked = F.aggregate(
+        F.col("__h"),
+        init,
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["count"]).alias("cum"),
+            F.coalesce(
+                acc["b"],
+                F.when(acc["cum"] + x["count"] >= rank, x["bin"]),
+            ).alias("b"),
+        ),
+    )["b"]
+    value = F.when(picked == ZERO_BIN, F.lit(0.0)).otherwise(
+        F.pow(F.lit(base), picked + F.lit(0.5))
+    )
+    return (
+        h.join(F.broadcast(pf))  # groups x probs — probs is a tiny literal frame
+        .select(F.col("__g").alias(by), "prob", F.round(value, 6).alias("value"))
+        .filter(F.col("value").isNotNull())
+    )

@@ -2452,6 +2452,39 @@ FROM sel
 """
 
 
+def quantiles_sketch_by_sql(
+    col: str = "l_extendedprice", by: str = "l_returnflag",
+    table: str = "lineitem", probs=(0.5, 0.9, 0.99), rel_err: float = 0.05,
+) -> str:
+    """Mirror of numeric.quantiles_sketched_by: the grouped form —
+    per-group log-bin histogram + nearest-rank selection."""
+    import math
+
+    base = (1.0 + float(rel_err)) ** 2
+    lnbase = math.log(base)
+    zero = -(1 << 31)
+    probs_vals = ", ".join(f"(CAST({q} AS DOUBLE))" for q in probs)
+    return f"""
+WITH v AS (SELECT {by} AS g, CAST({col} AS DOUBLE) AS x FROM {table}
+           WHERE {col} IS NOT NULL AND {by} IS NOT NULL),
+h AS (SELECT g,
+             CASE WHEN x = 0 THEN CAST({zero} AS BIGINT)
+                  ELSE CAST(floor(round(ln(x) / {lnbase!r}, 9)) AS BIGINT) END AS bin,
+             count(*) AS n
+      FROM v GROUP BY 1, 2),
+t AS (SELECT g, CAST(sum(n) AS DOUBLE) AS tot FROM h GROUP BY g),
+c AS (SELECT g, bin, sum(n) OVER (PARTITION BY g ORDER BY bin) AS cum FROM h),
+p AS (SELECT * FROM (VALUES {probs_vals}) AS p(q)),
+sel AS (SELECT c.g, p.q, min(c.bin) AS b
+        FROM p JOIN c ON TRUE JOIN t ON c.g = t.g
+        WHERE CAST(c.cum AS DOUBLE) >= ceil(p.q * t.tot)
+        GROUP BY c.g, p.q)
+SELECT g AS {by}, q AS prob,
+       round(CASE WHEN b = {zero} THEN 0.0 ELSE power({base!r}, b + 0.5) END, 6) AS value
+FROM sel
+"""
+
+
 def events_pagerank_sql(
     damping: float = 0.85, iters: int = 5,
     tie: str | None = "event_id", table: str = "events",
