@@ -447,7 +447,11 @@ def salted_join(
     or the outer join toward the skewed side) — an outer join toward the
     replicated side would emit its unmatched rows once per replica.
     Replication multiplies the small side ``salt``× — keep salt modest
-    (8–64) and the replicated side the genuinely smaller one."""
+    (8–64) and the replicated side the genuinely smaller one. Caveat of
+    the whole-row hash: byte-identical duplicate rows land in ONE salt
+    bucket (they hash alike), so a hot key made of verbatim duplicates
+    won't spread — exact-dedup those first (they contribute identical
+    join output anyway)."""
     keys = [on] if isinstance(on, str) else list(on)
     if salt < 2:
         raise ValueError(f"salt must be >= 2, got {salt}")
