@@ -593,6 +593,10 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "num_quantiles_by": lambda s, d: numeric.quantiles_sketched_by(
             _t(s, d, "lineitem"), "l_extendedprice", "l_returnflag"
         ),
+        # PMI collocations: phrase mining / tokenizer-merge candidates
+        "text_collocations": lambda s, d: text.collocations(
+            docs(s, d), "text", k=50, min_count=5
+        ),
         "events_communities": lambda s, d: graph.graph_label_propagation(
             events.event_transitions(
                 _t(s, d, "events"), "user_id", "ts", "event_type",
@@ -834,6 +838,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_quantiles_sketch": o.quantiles_sketch_sql(),
         "num_quantiles_state": o.quantiles_sketch_sql(),
         "num_quantiles_by": o.quantiles_sketch_by_sql(),
+        "text_collocations": o.collocations_sql(50, 5),
         "events_key_skew": o.key_skew_sql("user_id", "events", 20),
         "events_key_skew_summary": o.key_skew_summary_sql("user_id", "events"),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),

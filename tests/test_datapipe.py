@@ -4218,3 +4218,26 @@ def test_luhn_gated_pii_redaction(spark):
              cdf.select("s", curation.luhn_valid(F.col("s")).alias("ok")).collect()}
     for x in cands:
         assert got_l[x] == luhn_py(x), x
+
+
+def test_collocations_pmi(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "new york is big and new york is old"),
+         (2, "i love new york and old york")],
+        ["doc_id", "text"],
+    )
+    got = [tuple(r) for r in text.collocations(df, "text", k=5, min_count=2).collect()]
+    # "new york" occurs 3x; hand-compute PMI over T=16 tokens, B=14 pairs
+    toks = "new york is big and new york is old i love new york and old york".split()
+    T = len(toks)
+    c = {w: toks.count(w) for w in set(toks)}
+    pmi_ny = round(math.log2((3 / 14) / ((c["new"] / T) * (c["york"] / T))), 6)
+    assert got[0][:3] == ("new", "york", 3) and abs(got[0][3] - pmi_ny) < 2e-6
+    # min_count floor drops 1-count pairs entirely
+    assert all(n >= 2 for _, _, n, _ in got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_count"):
+        text.collocations(df, "text", k=0)

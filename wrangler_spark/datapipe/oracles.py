@@ -2452,6 +2452,33 @@ FROM sel
 """
 
 
+def collocations_sql(
+    k: int = 50, min_count: int = 5, table: str = "documents",
+) -> str:
+    """Mirror of text.collocations: adjacent-pair PMI over the
+    normalized token stream, min_count floor, top-k by (rounded pmi
+    DESC, w1, w2)."""
+    return f"""
+WITH fil AS (SELECT list_filter(string_split({_NORM}, ' '), x -> x <> '') AS wl
+             FROM {table}),
+uni AS (SELECT unnest(wl) AS w FROM fil),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uc),
+pr AS (SELECT unnest([{{'w1': wl[i], 'w2': wl[i + 1]}} FOR i IN range(1, len(wl))],
+                     recursive := true)
+       FROM fil),
+bt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM pr),
+bc AS (SELECT w1, w2, count(*) AS n FROM pr GROUP BY w1, w2
+       HAVING count(*) >= {int(min_count)})
+SELECT bc.w1, bc.w2, CAST(bc.n AS BIGINT) AS n,
+       round(log2((CAST(bc.n AS DOUBLE) / (SELECT b FROM bt))
+                  / ((CAST(u1.c AS DOUBLE) / (SELECT t FROM tt))
+                     * (CAST(u2.c AS DOUBLE) / (SELECT t FROM tt)))), 6) AS pmi
+FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+ORDER BY pmi DESC, bc.w1 ASC, bc.w2 ASC LIMIT {int(k)}
+"""
+
+
 def quantiles_sketch_by_sql(
     col: str = "l_extendedprice", by: str = "l_returnflag",
     table: str = "lineitem", probs=(0.5, 0.9, 0.99), rel_err: float = 0.05,

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
 from wrangler_spark.datapipe.constants import EN_STOPWORDS
 
 # GPT-2-ish pre-tokenizer approximation: letter runs, digit runs,
@@ -1798,3 +1798,78 @@ def oov_rate(
         )
     )
     return df.join(rates, F.col(id_col) == F.col("__id"), "left").drop("__id")
+
+
+def collocations(
+    df: DataFrame, text_col: str, k: int = 50, min_count: int = 5,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990): adjacent word pairs whose co-occurrence beats the
+    independence expectation — "los angeles", "prime minister" — the
+    corpus-analysis readout for phrase mining, tokenizer-merge
+    candidates, and boilerplate phrase discovery. Returns (w1, w2, n,
+    pmi) ordered (pmi DESC, w1, w2), pmi = log2((c12/B) / ((c1/T)·
+    (c2/T))) rounded 6dp, pairs below ``min_count`` dropped (PMI's
+    known low-count pathology: a 1-count pair of two hapaxes maxes the
+    score — the standard mitigation is exactly this floor).
+
+    Scale shape: the pair stream is scan-side (the bigram_logprob
+    transform — no window/lag), one hash aggregate each for unigram and
+    bigram counts, min_count pruning BEFORE the two count joins, totals
+    as 1-row broadcasts, top-k as a distributed TakeOrdered on the
+    ROUNDED score (ties broken lexicographically — the deterministic
+    cross-engine contract)."""
+    if k < 1 or min_count < 1:
+        raise ValueError(f"k and min_count must be >= 1, got k={k} min_count={min_count}")
+    staged = _with_words(df, text_col)
+    base = staged.select(F.filter(F.col(_W), lambda x: x != "").alias("__wl"))
+    wl = F.col("__wl")
+    pairs = F.when(
+        F.size(wl) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(wl)),
+            lambda i: F.struct(
+                F.element_at(wl, i - 1).alias("w1"), F.element_at(wl, i).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    toks = eager_checkpoint(
+        base.select(F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p.w2").isNotNull())
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    # unigram counts over the SAME token stream the pairs see: every
+    # token appears as w2 except each doc's first, which appears only as
+    # w1 — count token occurrences as w2 plus the per-doc first tokens,
+    # i.e. simply count over the original token arrays (exact, one agg)
+    uni = eager_checkpoint(
+        staged.select(F.explode(F.filter(F.col(_W), lambda x: x != "")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    t_total = uni.agg(F.sum("c")).collect()[0][0] or 0
+    big = (
+        toks.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= int(min_count))
+    )
+    big = eager_checkpoint(big)
+    b_total = toks.count()
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("__c2"))
+    pmi = F.round(
+        F.log2(
+            (F.col("n") / F.lit(float(b_total)))
+            / ((F.col("__c1") / F.lit(float(t_total))) * (F.col("__c2") / F.lit(float(t_total))))
+        ),
+        6,
+    )
+    out = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .select("w1", "w2", "n", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(int(k))
+    )
+    release(toks)
+    return out
