@@ -221,6 +221,22 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return text.vocab_coverage_from_state(spark, path, 0.9)
 
+    def _q_dedup_pagerank(spark, sf_dir):
+        # centrality-based canonical selection: PageRank over the
+        # SYMMETRIZED near-dup pair graph (weights = jaccard) — the
+        # highest-ranked cluster member is its most-connected
+        # representative (vs the min-id convention)
+        from wrangler_spark.datapipe import dedup as _dd, graph as _g
+
+        p = _dd.minhash_lsh_pairs(docs(spark, sf_dir), "doc_id", "text", 0.5)
+        edges = p.select(
+            F.col("id_a").alias("s"), F.col("id_b").alias("d"),
+            F.col("jaccard").alias("w"),
+        ).union(
+            p.select(F.col("id_b"), F.col("id_a"), F.col("jaccard"))
+        )
+        return _g.graph_pagerank(edges, "s", "d", weight_col="w")
+
     def _q_quantiles_state(spark, sf_dir):
         # quantile state built from 3 batch folds into a fresh temp
         # state, read back through the nearest-rank selection — graded
@@ -597,6 +613,7 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": lambda s, d: text.collocations(
             docs(s, d), "text", k=50, min_count=5
         ),
+        "dedup_pagerank": _q_dedup_pagerank,
         "events_communities": lambda s, d: graph.graph_label_propagation(
             events.event_transitions(
                 _t(s, d, "events"), "user_id", "ts", "event_type",
@@ -839,6 +856,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_quantiles_state": o.quantiles_sketch_sql(),
         "num_quantiles_by": o.quantiles_sketch_by_sql(),
         "text_collocations": o.collocations_sql(50, 5),
+        "dedup_pagerank": o.dedup_pagerank_sql(0.5),
         "events_key_skew": o.key_skew_sql("user_id", "events", 20),
         "events_key_skew_summary": o.key_skew_summary_sql("user_id", "events"),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),

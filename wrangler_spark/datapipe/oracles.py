@@ -2512,21 +2512,16 @@ FROM sel
 """
 
 
-def events_pagerank_sql(
-    damping: float = 0.85, iters: int = 5,
-    tie: str | None = "event_id", table: str = "events",
+def pagerank_over_sql(
+    edges_cte: str, damping: float = 0.85, iters: int = 5,
 ) -> str:
-    """Mirror of graph.graph_pagerank over the event_transitions edge
-    list: the power iteration unrolled to ``iters`` CTE rounds (r0 =
-    uniform 1/N; each round = damped contributions + uniformly
-    redistributed dangling mass + teleport), terminal round(6)."""
-    order = "ts" + (f", {tie}" if tie else "")
+    """graph.graph_pagerank unrolled to ``iters`` CTE rounds over ANY
+    edge source: ``edges_cte`` must be CTE bodies ending in a ``c``
+    relation of (s VARCHAR, d VARCHAR, w DOUBLE) positive-weight edges.
+    r0 = uniform 1/N; each round = damped contributions + uniformly
+    redistributed dangling mass + teleport; terminal round(6)."""
     head = f"""
-WITH p AS (SELECT event_type AS f,
-                  lead(event_type) OVER (PARTITION BY user_id ORDER BY {order}) AS t
-           FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-c AS (SELECT f AS s, t AS d, CAST(count(*) AS DOUBLE) AS w
-      FROM p WHERE t IS NOT NULL GROUP BY f, t),
+WITH {edges_cte},
 outw AS (SELECT s, sum(w) AS ow FROM c GROUP BY s),
 e AS (SELECT c.s, c.d, c.w / outw.ow AS pr FROM c JOIN outw USING (s)),
 nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM c UNION ALL SELECT d FROM c)),
@@ -2548,6 +2543,39 @@ r{i} AS (SELECT nodes.n,
     return head + "".join(rounds) + f"""
 SELECT n AS node, round(r, 6) AS pagerank FROM r{iters}
 """
+
+
+def events_pagerank_sql(
+    damping: float = 0.85, iters: int = 5,
+    tie: str | None = "event_id", table: str = "events",
+) -> str:
+    """Mirror of graph.graph_pagerank over the event_transitions edge
+    list (see :func:`pagerank_over_sql` for the power iteration)."""
+    order = "ts" + (f", {tie}" if tie else "")
+    edges = f"""p AS (SELECT event_type AS f,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY {order}) AS t
+           FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT f AS s, t AS d, CAST(count(*) AS DOUBLE) AS w
+      FROM p WHERE t IS NOT NULL GROUP BY f, t)"""
+    return pagerank_over_sql(edges, damping, iters)
+
+
+def dedup_pagerank_sql(
+    threshold: float = 0.5, damping: float = 0.85, iters: int = 5,
+    table: str = "documents",
+) -> str:
+    """Mirror of graph.graph_pagerank over the SYMMETRIZED minhash
+    near-dup pair graph (weights = jaccard): centrality-based canonical
+    selection — the highest-ranked member of each near-dup cluster is
+    its most-connected representative. Node ids are stringified doc
+    ids (the Spark op casts node keys to string)."""
+    edges = f"""pairs AS ({minhash_lsh_sql(threshold, table)}),
+c AS (SELECT CAST(id_a AS VARCHAR) AS s, CAST(id_b AS VARCHAR) AS d,
+             CAST(jaccard AS DOUBLE) AS w FROM pairs
+      UNION ALL
+      SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR),
+             CAST(jaccard AS DOUBLE) FROM pairs)"""
+    return pagerank_over_sql(edges, damping, iters)
 
 
 def events_communities_sql(
