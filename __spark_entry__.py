@@ -590,6 +590,16 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "from_type", "to_type", weight_col="n", damping=0.85, iters=5,
         ),
+        # personalized form (TrustRank shape): teleport only to the seed
+        # set — scores become closeness-to-trusted
+        "events_pagerank_seeded": lambda s, d: graph.graph_pagerank(
+            events.event_transitions(
+                _t(s, d, "events"), "user_id", "ts", "event_type",
+                tie_col="event_id",
+            ),
+            "from_type", "to_type", weight_col="n", damping=0.85, iters=5,
+            seeds=["signup", "purchase"],
+        ),
         # community detection (deterministic synchronous LPA) over the
         # same transition graph — the near-dup-cluster-labeling primitive
         # join/groupBy-key skew diagnostics: the pre-flight that decides
@@ -851,6 +861,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_transitions": o.event_transitions_sql(),
         "events_paths": o.event_paths_sql(),
         "events_pagerank": o.events_pagerank_sql(0.85, 5),
+        "events_pagerank_seeded": o.events_pagerank_sql(
+            0.85, 5, seeds=["signup", "purchase"]
+        ),
         "events_communities": o.events_communities_sql(5),
         "num_quantiles_sketch": o.quantiles_sketch_sql(),
         "num_quantiles_state": o.quantiles_sketch_sql(),

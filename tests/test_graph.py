@@ -190,3 +190,41 @@ def test_graph_components_front_door(spark):
     df = spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")], ["s", "d"])
     got = sorted(map(tuple, graph_components(df, "s", "d").collect()))
     assert got == [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")]
+
+
+def _ref_ppr(edges, seeds, damping=0.85, iters=5):
+    """Personalized PageRank reference: teleport vector on the seeds."""
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    present = [v for v in nodes if v in set(seeds)]
+    t = {v: (1.0 / len(present) if v in present else 0.0) for v in nodes}
+    r = dict(t)
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += r[s] * (w / outw[s])
+        dang = sum(r[v] for v in nodes if v not in outw)
+        r = {v: (1 - damping) * t[v] + damping * (contrib[v] + dang * t[v])
+             for v in nodes}
+    return {v: round(x, 6) for v, x in r.items()}
+
+
+def test_personalized_pagerank_seeds(spark):
+    edges = [
+        ("seed", "a", 1.0), ("a", "b", 1.0), ("b", "seed", 1.0),
+        ("farm1", "farm2", 5.0), ("farm2", "farm1", 5.0),  # no inbound path
+        ("a", "sink", 1.0),
+    ]
+    df = spark.createDataFrame(edges, ["s", "d", "w"])
+    got = _run(spark, edges, seeds=["seed"], iters=6)
+    want = _ref_ppr(edges, ["seed"], iters=6)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6), v
+    # the link farm has no inbound path from the seed: its rank decays
+    # toward zero while the seed's neighborhood holds the mass
+    assert got["farm1"] < 0.01 < got["seed"]
+    # seeds absent from the graph refuse loudly
+    with pytest.raises(ValueError, match="seeds appear"):
+        _run(spark, edges, seeds=["nope"])

@@ -43,6 +43,7 @@ def graph_pagerank(
     weight_col: str | None = None,
     damping: float = 0.85,
     iters: int = 5,
+    seeds: list | None = None,
 ) -> DataFrame:
     """PageRank over a weighted directed edge list.
 
@@ -69,6 +70,15 @@ def graph_pagerank(
     Null src/dst rows are dropped; non-positive edge weights raise (a
     zero row would silently vanish from the normalizer, a negative one
     breaks the probabilistic reading).
+
+    ``seeds`` switches to PERSONALIZED PageRank (Haveliwala 2002; the
+    TrustRank crawl-spam-demotion form, Gyöngyi et al. 2004): teleport
+    and dangling mass return only to the seed set (uniformly across the
+    seeds present in the graph), and rank starts on the seeds — scores
+    become "closeness to the trusted set", so link-farm clusters with
+    no inbound path from the seeds decay toward zero. Seed lists are
+    request-sized (the forget_ids bound): membership tests compile to a
+    broadcast literal set. Raises when no seed appears in the graph.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
@@ -116,10 +126,26 @@ def graph_pagerank(
             F.col("__n").alias("node"), F.lit(0.0).alias("pagerank")
         )
 
+    # teleport vector: uniform 1/N, or 1/|seeds∩nodes| on the seed set
+    # (personalized form — teleport, dangling mass, and the start vector
+    # all follow it, so total rank stays 1.0 either way)
+    if seeds is not None:
+        seed_strs = [str(s) for s in seeds]
+        n_seeds = nodes.filter(F.col("__n").isin(seed_strs)).count()
+        if n_seeds == 0:
+            raise ValueError(
+                f"none of the {len(seed_strs)} seeds appear in the graph's "
+                "node set — personalized PageRank needs at least one")
+        tele = F.when(
+            F.col("__n").isin(seed_strs), F.lit(1.0 / n_seeds)
+        ).otherwise(F.lit(0.0))
+    else:
+        tele = F.lit(1.0 / n_nodes)
+    nodes = nodes.withColumn("__t", tele)
+
     ranks = eager_checkpoint(
-        nodes.select("__n", "__has_out", F.lit(1.0 / n_nodes).alias("__r"))
+        nodes.select("__n", "__has_out", F.col("__t").alias("__r"))
     )
-    teleport = (1.0 - damping) / n_nodes
     for _ in range(iters):
         contrib = (
             ranks.join(e, ranks["__n"] == e["__s"])
@@ -137,9 +163,12 @@ def graph_pagerank(
                 "__n",
                 "__has_out",
                 (
-                    F.lit(teleport)
+                    F.lit(1.0 - damping) * F.col("__t")
                     + F.lit(damping)
-                    * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.col("__dm") / n_nodes)
+                    * (
+                        F.coalesce(F.col("__c"), F.lit(0.0))
+                        + F.col("__dm") * F.col("__t")
+                    )
                 ).alias("__r"),
             )
         )

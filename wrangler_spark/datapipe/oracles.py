@@ -2514,19 +2514,32 @@ FROM sel
 
 def pagerank_over_sql(
     edges_cte: str, damping: float = 0.85, iters: int = 5,
+    seeds: list | None = None,
 ) -> str:
     """graph.graph_pagerank unrolled to ``iters`` CTE rounds over ANY
     edge source: ``edges_cte`` must be CTE bodies ending in a ``c``
     relation of (s VARCHAR, d VARCHAR, w DOUBLE) positive-weight edges.
-    r0 = uniform 1/N; each round = damped contributions + uniformly
-    redistributed dangling mass + teleport; terminal round(6)."""
+    Mirrors the Spark op's teleport-VECTOR formulation exactly (t =
+    uniform 1/N, or 1/|seeds∩nodes| on the seed set for the
+    personalized form): r0 = t; each round = (1-d)·t + d·(contrib +
+    dangling·t) — the same IEEE operation order, so 6dp-boundary values
+    can't flip between engines. Terminal round(6)."""
+    if seeds is not None:
+        lits = ", ".join("'" + str(s).replace("'", "''") + "'" for s in seeds)
+        tv = f"""
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes WHERE n IN ({lits})),
+tv AS (SELECT n, CASE WHEN n IN ({lits}) THEN 1.0 / (SELECT cnt FROM ns)
+                      ELSE 0.0 END AS t FROM nodes)"""
+    else:
+        tv = """
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+tv AS (SELECT n, 1.0 / (SELECT cnt FROM nn) AS t FROM nodes)"""
     head = f"""
 WITH {edges_cte},
 outw AS (SELECT s, sum(w) AS ow FROM c GROUP BY s),
 e AS (SELECT c.s, c.d, c.w / outw.ow AS pr FROM c JOIN outw USING (s)),
-nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM c UNION ALL SELECT d FROM c)),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
-r0 AS (SELECT n, 1.0 / (SELECT cnt FROM nn) AS r FROM nodes)"""
+nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM c UNION ALL SELECT d FROM c)),{tv},
+r0 AS (SELECT n, t AS r FROM tv)"""
     rounds = []
     for i in range(1, iters + 1):
         prev = f"r{i - 1}"
@@ -2535,11 +2548,11 @@ g{i} AS (SELECT COALESCE(sum(r), 0) AS dm FROM {prev}
          WHERE n NOT IN (SELECT s FROM outw)),
 a{i} AS (SELECT e.d AS n, sum({prev}.r * e.pr) AS contrib
          FROM {prev} JOIN e ON {prev}.n = e.s GROUP BY e.d),
-r{i} AS (SELECT nodes.n,
-                (1 - {damping}) / (SELECT cnt FROM nn)
+r{i} AS (SELECT tv.n,
+                (1 - {damping}) * tv.t
                 + {damping} * (COALESCE(a{i}.contrib, 0)
-                               + (SELECT dm FROM g{i}) / (SELECT cnt FROM nn)) AS r
-         FROM nodes LEFT JOIN a{i} ON nodes.n = a{i}.n)""")
+                               + (SELECT dm FROM g{i}) * tv.t) AS r
+         FROM tv LEFT JOIN a{i} ON tv.n = a{i}.n)""")
     return head + "".join(rounds) + f"""
 SELECT n AS node, round(r, 6) AS pagerank FROM r{iters}
 """
@@ -2548,6 +2561,7 @@ SELECT n AS node, round(r, 6) AS pagerank FROM r{iters}
 def events_pagerank_sql(
     damping: float = 0.85, iters: int = 5,
     tie: str | None = "event_id", table: str = "events",
+    seeds: list | None = None,
 ) -> str:
     """Mirror of graph.graph_pagerank over the event_transitions edge
     list (see :func:`pagerank_over_sql` for the power iteration)."""
@@ -2557,7 +2571,7 @@ def events_pagerank_sql(
            FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 c AS (SELECT f AS s, t AS d, CAST(count(*) AS DOUBLE) AS w
       FROM p WHERE t IS NOT NULL GROUP BY f, t)"""
-    return pagerank_over_sql(edges, damping, iters)
+    return pagerank_over_sql(edges, damping, iters, seeds=seeds)
 
 
 def dedup_pagerank_sql(
