@@ -581,6 +581,11 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events"), "user_id", "ts", "event_type",
             k=10, max_len=5, tie_col="event_id",
         ),
+        # step-to-step conversion timing for the greedy funnel
+        "events_funnel_latency": lambda s, d: events.funnel_latencies(
+            _t(s, d, "events"), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], within_minutes=1440,
+        ),
         # crawl-frontier ranking primitive: PageRank over the sessionized
         # event-type transition graph (weights = transition counts)
         "events_pagerank": lambda s, d: graph.graph_pagerank(
@@ -860,6 +865,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_active_users": o.active_users_sql((1, 7, 30)),
         "events_transitions": o.event_transitions_sql(),
         "events_paths": o.event_paths_sql(),
+        "events_funnel_latency": o.funnel_latency_sql(
+            ["view", "click", "purchase"], within_seconds=86400
+        ),
         "events_pagerank": o.events_pagerank_sql(0.85, 5),
         "events_pagerank_seeded": o.events_pagerank_sql(
             0.85, 5, seeds=["signup", "purchase"]

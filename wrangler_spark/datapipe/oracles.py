@@ -2326,6 +2326,47 @@ def funnel_steps_sql(
     )
 
 
+def funnel_latency_sql(
+    steps: list[str], within_seconds: int | None = None, table: str = "events",
+) -> str:
+    """Mirror of events.funnel_latencies (exact path): the greedy
+    funnel chain (funnel_steps_sql's CTEs), then per step i >= 2 the
+    user-joined completion-time deltas in seconds (micros diff / 1e6 —
+    the Spark op's exact arithmetic), avg + interpolated median
+    (quantile_cont == Spark's percentile), 6dp."""
+    ctes = [
+        f"ev AS (SELECT user_id, ts, event_type FROM {table} "
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL)",
+        f"s1 AS (SELECT user_id, min(ts) AS t1, min(ts) AS tprev FROM ev "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)",
+    ]
+    for i, st in enumerate(steps[1:], start=2):
+        bound = (
+            f" AND e.ts <= s{i-1}.t1 + INTERVAL {within_seconds} SECOND"
+            if within_seconds is not None
+            else ""
+        )
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(s{i-1}.t1) AS t1, min(e.ts) AS tprev "
+            f"FROM ev e JOIN s{i-1} ON e.user_id = s{i-1}.user_id "
+            f"WHERE e.event_type = '{st}' AND e.ts > s{i-1}.tprev{bound} "
+            "GROUP BY e.user_id)"
+        )
+    selects = []
+    for i, st in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"l{i} AS (SELECT CAST(epoch_us(s{i}.tprev) - epoch_us(s{i-1}.tprev) "
+            f"AS DOUBLE) / 1000000.0 AS lat "
+            f"FROM s{i} JOIN s{i-1} ON s{i}.user_id = s{i-1}.user_id)"
+        )
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS step, '{st}' AS event_type, "
+            f"CAST(count(*) AS BIGINT) AS users, round(avg(lat), 6) AS avg_sec, "
+            f"round(quantile_cont(lat, 0.5), 6) AS p50_sec FROM l{i}"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
 def retention_cohorts_sql(
     period_days: int = 7, max_periods: int = 8, table: str = "events",
 ) -> str:
