@@ -325,6 +325,15 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5),
             id_col="doc_id",
         ),
+        # ...and CONSUME the weights: weight-proportional deterministic
+        # sampling (a 40x cluster keeps ~rate docs total)
+        "sample_soft_dedup": lambda s, d: curation.sample_weighted(
+            dedup.cluster_weights(
+                dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5),
+                id_col="doc_id",
+            ),
+            "id", "weight", rate=0.9,
+        ).select(F.col("id").alias("doc_id"), "weight"),
         "dedup_survivors": lambda s, d: dedup.cluster_survivors(
             dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5),
             docs(s, d), "doc_id", "component", "n_chars",
@@ -733,6 +742,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_minhash_flag": o.minhash_dedup_sql(0.5),
         "dedup_minhash_cc": o.minhash_components_sql(0.5),
         "dedup_cluster_weights": o.cluster_weights_sql(0.5),
+        "sample_soft_dedup": o.sample_soft_dedup_sql(0.5, 0.9),
         "dedup_substring": o.substring_dup_sql(8),
         "decontam_spans": o.substring_against_sql(8),
         "dedup_substring_keepfirst": o.substring_dup_sql(8, keep_first=True),

@@ -4241,3 +4241,27 @@ def test_collocations_pmi(spark):
 
     with _pytest.raises(ValueError, match="min_count"):
         text.collocations(df, "text", k=0)
+
+
+def test_sample_weighted_proportions_and_determinism(spark):
+    from wrangler_spark.datapipe import curation
+
+    df = spark.range(20000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 1.0).otherwise(0.25).alias("w"),
+    )
+    kept = curation.sample_weighted(df, "id", "w", rate=1.0)
+    n_full = kept.filter("w = 1.0").count()
+    n_quarter = kept.filter("w = 0.25").count()
+    assert n_full == 10000                       # p=1 keeps everything
+    assert abs(n_quarter - 2500) < 250           # p=0.25 ± noise
+    # byte-identical replay; salt reshuffles the winners
+    again = curation.sample_weighted(df, "id", "w", rate=1.0)
+    assert kept.exceptAll(again).count() == 0 and again.exceptAll(kept).count() == 0
+    other = curation.sample_weighted(df, "id", "w", rate=1.0, salt="s2")
+    assert other.filter("w = 0.25").count() != n_quarter or \
+        other.exceptAll(kept).count() > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rate"):
+        curation.sample_weighted(df, "id", "w", rate=-0.1)

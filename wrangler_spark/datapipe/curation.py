@@ -2075,3 +2075,28 @@ def key_skew_summary(df: DataFrame, col: str) -> DataFrame:
             6,
         ).alias("hhi"),
     )
+
+
+def sample_weighted(
+    df: DataFrame, key_col: str, weight_col: str, rate: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weight-proportional sampling: keep each row with
+    probability min(1, rate·weight) — the consumer of
+    :func:`~wrangler_spark.datapipe.dedup.cluster_weights` (soft-dedup
+    weights become soft-dedup SAMPLING: a 40x cluster keeps ~rate docs
+    total, singletons keep at ~rate each) and of any importance/DSIR
+    weight column. Same engine-portable md5-prefix coin as
+    :func:`sample_hash` (no RNG state; same rows survive in the DuckDB
+    oracle and on every retry), with a PER-ROW threshold: the row's
+    16-bit hash coin is compared against floor(p·65536) rendered as a
+    4-hex threshold — pure scan-side string/arithmetic expressions.
+    ``salt`` reshuffles which rows win; same salt replays identically."""
+    if rate < 0:
+        raise ValueError(f"rate must be >= 0, got {rate}")
+    p = F.least(F.lit(1.0), F.lit(float(rate)) * F.col(weight_col).cast("double"))
+    n = F.floor(p * F.lit(65536)).cast("long")
+    coin = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4
+    )
+    return df.filter((n >= 65536) | (coin < F.format_string("%04x", n)))

@@ -698,6 +698,22 @@ FROM comp JOIN sizes USING (component)
 """
 
 
+def sample_soft_dedup_sql(
+    threshold: float = 0.5, rate: float = 0.9, salt: str = "",
+    table: str = "documents",
+) -> str:
+    """Mirror of curation.sample_weighted over cluster_weights: the
+    per-row 16-bit md5 coin vs floor(min(1, rate·weight)·65536) as a
+    4-hex threshold."""
+    n = f"CAST(floor(least(1.0, {rate} * weight) * 65536) AS BIGINT)"
+    coin = f"substring(md5('{salt}' || CAST(id AS VARCHAR)), 1, 4)"
+    return f"""
+WITH cw AS ({cluster_weights_sql(threshold, table)})
+SELECT id AS doc_id, weight FROM cw
+WHERE {n} >= 65536 OR {coin} < printf('%04x', {n})
+"""
+
+
 def substring_dup_sql(
     window: int = 20, table: str = "documents", keep_first: bool = False
 ) -> str:
