@@ -624,6 +624,22 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew_summary": lambda s, d: curation.key_skew_summary(
             _t(s, d, "events"), "user_id"
         ),
+        # Deequ-posture declarative data-quality gate: every metric the
+        # rule list needs in ONE aggregation pass (Schelter et al. VLDB'18)
+        "dq_constraints": lambda s, d: curation.check_constraints(
+            _t(s, d, "orders"),
+            [
+                {"rule": "not_null", "col": "o_custkey"},
+                {"rule": "unique", "col": "o_orderkey"},
+                {"rule": "range", "col": "o_totalprice", "min": 0,
+                 "max": 600000},
+                {"rule": "matches", "col": "o_orderpriority",
+                 "pattern": "[1-5]-[A-Z ]+"},
+                {"rule": "in_set", "col": "o_orderstatus",
+                 "values": ["O", "F", "P"]},
+                {"rule": "min_rows", "n": 1000},
+            ],
+        ),
         # mergeable log-bin quantile sketch: deterministic (unlike
         # t-digest), exactly batch-mergeable, bounded relative error
         "num_quantiles_sketch": lambda s, d: numeric.quantiles_sketched(
@@ -890,6 +906,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_pagerank": o.dedup_pagerank_sql(0.5),
         "events_key_skew": o.key_skew_sql("user_id", "events", 20),
         "events_key_skew_summary": o.key_skew_summary_sql("user_id", "events"),
+        "dq_constraints": o.check_constraints_sql(),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "emb_cluster_topics": _cluster_topics_oracle_sql(8, 5, 1, 64),

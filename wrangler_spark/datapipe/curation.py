@@ -2100,3 +2100,139 @@ def sample_weighted(
         F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 4
     )
     return df.filter((n >= 65536) | (coin < F.format_string("%04x", n)))
+
+
+# --- declarative data-quality constraints (the Deequ posture:
+# Schelter et al., "Automating Large-Scale Data Quality Verification",
+# VLDB 2018 — declare constraints, compute EVERY required metric in one
+# aggregation pass over the table, grade each rule against its
+# threshold; no reference analog beyond validate-standard's
+# one-schema-per-row shape)
+
+_DQ_RULES = ("not_null", "unique", "range", "matches", "in_set", "min_rows")
+
+
+def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative table-quality verification: grade a rule list against
+    the data in ONE aggregation job and return a per-rule report —
+    (rule, column, metric, value, threshold, passed) rows. The
+    ingestion gate for a 100 TB pipeline: every metric any rule needs
+    folds into a single partial-aggregating scan (conditional sums),
+    so checking 40 constraints costs the same I/O as checking one;
+    ``unique`` rules add exact ``count_distinct`` aggregates (an Expand
+    over the distinct columns — still one scan, and the only rule worth
+    that price: swap in HLL via corpus_report if a bound suffices).
+
+    Rules (each a dict; ``max_frac`` defaults to 0.0 and is the graded
+    threshold on the violation fraction):
+
+    - ``{"rule": "not_null", "col": c}`` — fraction of NULL values;
+    - ``{"rule": "unique", "col": c}`` — fraction of rows beyond the
+      first per value (NULLs count as one shared value, like SQL
+      ``GROUP BY``);
+    - ``{"rule": "range", "col": c, "min": lo, "max": hi}`` — fraction
+      outside [lo, hi] (either bound may be None; NULLs don't violate —
+      pair with not_null to forbid them);
+    - ``{"rule": "matches", "col": c, "pattern": p}`` — fraction of
+      non-NULL values NOT fully matching the (Java∩RE2) regex;
+    - ``{"rule": "in_set", "col": c, "values": [...]}`` — fraction of
+      non-NULL values outside the set;
+    - ``{"rule": "min_rows", "n": k}`` — table has at least k rows
+      (metric = row count, threshold = k, passed = n_rows >= k).
+
+    Violation fractions are integer/integer rounded 6dp (the
+    cross-engine determinism contract); an empty table yields 0.0
+    fractions (nothing violates). ``passed`` is value <= threshold
+    (>= for min_rows)."""
+    if not rules:
+        raise ValueError("check_constraints: empty rule list")
+    aggs = [F.count("*").cast("long").alias("__n")]
+    meta: list[dict] = []  # (rule, col, metric, threshold, agg aliases)
+    for i, r in enumerate(rules):
+        kind = r.get("rule")
+        if kind not in _DQ_RULES:
+            raise ValueError(
+                f"check_constraints: unknown rule {kind!r} "
+                f"(expected one of {_DQ_RULES})")
+        a = f"__m{i}"
+        if kind == "min_rows":
+            meta.append({"rule": kind, "col": None, "metric": "n_rows",
+                         "thr": float(r["n"]), "alias": None})
+            continue
+        c = F.col(r["col"])
+        if kind == "not_null":
+            viol = c.isNull()
+            metric = "null_frac"
+        elif kind == "unique":
+            aggs.append(F.count_distinct(c).cast("long").alias(a))
+            # NULLs vanish from count_distinct but occupy rows: one
+            # NULL group is allowed its first row, like GROUP BY
+            aggs.append(
+                F.max(F.when(c.isNull(), 1).otherwise(0)).alias(a + "_hasnull")
+            )
+            meta.append({"rule": kind, "col": r["col"],
+                         "metric": "dup_frac",
+                         "thr": float(r.get("max_frac", 0.0)), "alias": a})
+            continue
+        elif kind == "range":
+            lo, hi = r.get("min"), r.get("max")
+            if lo is None and hi is None:
+                raise ValueError(
+                    f"check_constraints: range rule on {r['col']!r} "
+                    "needs min and/or max")
+            viol = F.lit(False)
+            if lo is not None:
+                viol = viol | (c < F.lit(lo))
+            if hi is not None:
+                viol = viol | (c > F.lit(hi))
+            metric = "oob_frac"
+        elif kind == "matches":
+            viol = c.isNotNull() & ~c.cast("string").rlike(
+                "^(?:" + r["pattern"] + ")$")
+            metric = "mismatch_frac"
+        else:  # in_set
+            vals = list(r["values"])
+            if not vals:
+                raise ValueError(
+                    f"check_constraints: in_set rule on {r['col']!r} "
+                    "needs a non-empty value set")
+            viol = c.isNotNull() & ~c.cast("string").isin(
+                [str(v) for v in vals])
+            metric = "oos_frac"
+        aggs.append(
+            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias(a)
+        )
+        meta.append({"rule": kind, "col": r["col"], "metric": metric,
+                     "thr": float(r.get("max_frac", 0.0)), "alias": a})
+    one = df.agg(*aggs)
+    n = F.coalesce(F.col("__n"), F.lit(0))
+    reports = []
+    for m in meta:
+        if m["rule"] == "min_rows":
+            value = n.cast("double")
+            passed = n >= F.lit(int(m["thr"]))
+        elif m["rule"] == "unique":
+            distinct = F.col(m["alias"]) + F.col(m["alias"] + "_hasnull")
+            value = F.round(
+                F.when(n == 0, F.lit(0.0)).otherwise((n - distinct) / n), 6
+            )
+            passed = value <= F.lit(m["thr"])
+        else:
+            value = F.round(
+                F.when(n == 0, F.lit(0.0)).otherwise(F.col(m["alias"]) / n), 6
+            )
+            passed = value <= F.lit(m["thr"])
+        reports.append(F.struct(
+            F.lit(m["rule"]).alias("rule"),
+            F.lit(m["col"]).cast("string").alias("column"),
+            F.lit(m["metric"]).alias("metric"),
+            value.cast("double").alias("value"),
+            F.lit(m["thr"]).cast("double").alias("threshold"),
+            passed.alias("passed"),
+        ))
+    # one report row per rule, exploded from the single aggregate row —
+    # report size = rule count, never data-sized
+    return one.select(
+        F.explode(F.array(*reports)).alias("__r")
+    ).select("__r.rule", "__r.column", "__r.metric", "__r.value",
+             "__r.threshold", "__r.passed")

@@ -2721,3 +2721,55 @@ __capa AS (
 SELECT * FROM __capa
 QUALIFY row_number() OVER (PARTITION BY id_b ORDER BY {score_col} DESC, {h}) <= {int(k)}
 """
+
+
+def check_constraints_sql(table: str = "orders") -> str:
+    """Mirror of curation.check_constraints over the graded rule set:
+    one conditional-count aggregate + a UNION ALL report row per rule
+    (fractions integer/integer rounded 6dp; unique counts the NULL
+    group's first row like GROUP BY)."""
+    return f"""
+WITH a AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_clerk,
+         count(DISTINCT o_orderkey)
+           + max(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS dist_key,
+         sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 600000
+                  THEN 1 ELSE 0 END) AS oob_price,
+         sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT
+                  regexp_full_match(CAST(o_orderpriority AS VARCHAR), '[1-5]-[A-Z ]+')
+                  THEN 1 ELSE 0 END) AS bad_prio,
+         sum(CASE WHEN o_orderstatus IS NOT NULL AND
+                  CAST(o_orderstatus AS VARCHAR) NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS oos_status
+  FROM {table})
+SELECT 'not_null' AS rule, 'o_custkey' AS "column", 'null_frac' AS metric,
+       round(CAST(null_clerk AS DOUBLE) / n, 6) AS value,
+       CAST(0.0 AS DOUBLE) AS threshold,
+       round(CAST(null_clerk AS DOUBLE) / n, 6) <= 0.0 AS passed
+FROM a
+UNION ALL
+SELECT 'unique', 'o_orderkey', 'dup_frac',
+       round(CAST(n - dist_key AS DOUBLE) / n, 6), CAST(0.0 AS DOUBLE),
+       round(CAST(n - dist_key AS DOUBLE) / n, 6) <= 0.0
+FROM a
+UNION ALL
+SELECT 'range', 'o_totalprice', 'oob_frac',
+       round(CAST(oob_price AS DOUBLE) / n, 6), CAST(0.0 AS DOUBLE),
+       round(CAST(oob_price AS DOUBLE) / n, 6) <= 0.0
+FROM a
+UNION ALL
+SELECT 'matches', 'o_orderpriority', 'mismatch_frac',
+       round(CAST(bad_prio AS DOUBLE) / n, 6), CAST(0.0 AS DOUBLE),
+       round(CAST(bad_prio AS DOUBLE) / n, 6) <= 0.0
+FROM a
+UNION ALL
+SELECT 'in_set', 'o_orderstatus', 'oos_frac',
+       round(CAST(oos_status AS DOUBLE) / n, 6), CAST(0.0 AS DOUBLE),
+       round(CAST(oos_status AS DOUBLE) / n, 6) <= 0.0
+FROM a
+UNION ALL
+SELECT 'min_rows', NULL, 'n_rows',
+       CAST(n AS DOUBLE), CAST(1000.0 AS DOUBLE), n >= 1000
+FROM a
+"""

@@ -1516,3 +1516,54 @@ class KeySkew(Directive):
         from wrangler_spark.datapipe.curation import key_skew
 
         return key_skew(df, ctx.resolve(df, self.args["col"]), int(self.args["k"]))
+
+
+@directive
+class CheckConstraints(Directive):
+    """check-constraints 'rules' — Deequ-posture declarative quality
+    gate: grade a semicolon-separated rule list in ONE aggregation pass
+    and return the (rule, column, metric, value, threshold, passed)
+    report. Rule forms: ``not_null:col`` · ``unique:col`` ·
+    ``range:col:min:max`` (either bound may be empty) ·
+    ``matches:col:regex`` (regex may contain colons) ·
+    ``in_set:col:a|b|c`` · ``min_rows:n``. Thresholds default to 0.0
+    violations; per-rule thresholds use the library call
+    (curation.check_constraints)."""
+
+    name = "check-constraints"
+    usage = [Arg("rules", TokenType.TEXT)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import check_constraints
+
+        rules = []
+        for part in str(self.args["rules"]).split(";"):
+            part = part.strip()
+            if not part:
+                continue
+            kind, _, rest = part.partition(":")
+            kind = kind.strip()
+            if kind == "min_rows":
+                rules.append({"rule": kind, "n": int(rest)})
+            elif kind in ("not_null", "unique"):
+                rules.append({"rule": kind, "col": rest.strip()})
+            elif kind == "range":
+                col, lo, hi = (rest.split(":") + ["", ""])[:3]
+                rules.append({
+                    "rule": kind, "col": col.strip(),
+                    "min": float(lo) if lo.strip() else None,
+                    "max": float(hi) if hi.strip() else None,
+                })
+            elif kind == "matches":
+                col, _, pat = rest.partition(":")
+                rules.append({"rule": kind, "col": col.strip(), "pattern": pat})
+            elif kind == "in_set":
+                col, _, vals = rest.partition(":")
+                rules.append({
+                    "rule": kind, "col": col.strip(),
+                    "values": [v for v in vals.split("|") if v != ""],
+                })
+            else:
+                raise ValueError(
+                    f"check-constraints: unknown rule {kind!r} in {part!r}")
+        return check_constraints(df, rules)
