@@ -624,6 +624,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew_summary": lambda s, d: curation.key_skew_summary(
             _t(s, d, "events"), "user_id"
         ),
+        # count-min sketch point estimates: bounded-state key counts
+        # (Cormode & Muthukrishnan 2005) — est >= true, exact-merge state
+        "events_cms_counts": _q_cms_counts,
         # Deequ-posture declarative data-quality gate: every metric the
         # rule list needs in ONE aggregation pass (Schelter et al. VLDB'18)
         "dq_constraints": lambda s, d: curation.check_constraints(
@@ -715,6 +718,20 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _SAMPLE_RATES = {"high": 1.0, "mid": 0.5, "low": 0.1}
 _QUALITY_HI, _QUALITY_MID = 0.65, 0.5
+
+
+def _q_cms_counts(spark, sf_dir):
+    """CMS over events.user_id (4x512 grid), point-queried for keys
+    '0'..'19' plus a never-seen 'ghost' (est 0 unless all 4 slots
+    collide — the oracle mirrors whatever the hash says)."""
+    from wrangler_spark.datapipe import curation
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = curation.cms_sketch(ev, "user_id", depth=4, width=512)
+    probes = spark.range(20).select(
+        F.col("id").cast("string").alias("user_id")
+    ).union(spark.createDataFrame([("ghost",)], "user_id string"))
+    return curation.cms_estimate(sketch, probes, "user_id", depth=4, width=512)
 
 
 def _q_decontaminate(spark, sf_dir):
@@ -907,6 +924,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_key_skew": o.key_skew_sql("user_id", "events", 20),
         "events_key_skew_summary": o.key_skew_summary_sql("user_id", "events"),
         "dq_constraints": o.check_constraints_sql(),
+        "events_cms_counts": o.cms_counts_sql("user_id", "events", 4, 512, 20),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "emb_cluster_topics": _cluster_topics_oracle_sql(8, 5, 1, 64),

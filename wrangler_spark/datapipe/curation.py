@@ -2236,3 +2236,181 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
         F.explode(F.array(*reports)).alias("__r")
     ).select("__r.rule", "__r.column", "__r.metric", "__r.value",
              "__r.threshold", "__r.passed")
+
+
+# --- count-min sketch key-frequency family (Cormode & Muthukrishnan,
+# J. Algorithms 2005): a depth x width counter grid where every key
+# increments one slot per row; estimates are the min over rows --
+# always >= the true count, within eps*N with probability 1-delta for
+# width=ceil(e/eps), depth=ceil(ln 1/delta). The grid merges EXACTLY by
+# element-wise addition, which is what makes it a persisted-state
+# citizen: fold batches forever in O(depth*width) state, never rescan
+# history. Hashing is the engine-portable md5 prefix (the dedup 28-bit
+# convention) with the row index as salt, so the DuckDB oracle and any
+# retry land every key in the same slot.
+
+_CMS_NULL = "\x00"  # sentinel so NULL keys are a real (countable) key
+
+
+def _cms_slot(c: Column, d: int, width: int) -> Column:
+    key = F.coalesce(c.cast("string"), F.lit(_CMS_NULL))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{d}:"), key)), 1, 7), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(int(width)))
+
+
+def _cms_geometry(depth: int, width: int) -> None:
+    if not 1 <= depth <= 16:
+        raise ValueError(f"cms depth must be in [1, 16], got {depth}")
+    if width < 16:
+        raise ValueError(f"cms width must be >= 16, got {width}")
+
+
+def cms_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024,
+) -> DataFrame:
+    """(d, slot, count) count-min sketch of a key column — the
+    bounded-state answer to "how often does ANY key occur" when the key
+    universe itself doesn't fit anywhere (key_skew's top-k shows the
+    head; the sketch answers point queries over the whole tail). One
+    scan, one hash aggregate on (d, slot) — output depth*width rows
+    regardless of data size, partial-agg combinable, no windows. NULL
+    keys count under a sentinel slot (the join-skew view of NULL as a
+    real key)."""
+    _cms_geometry(depth, width)
+    c = F.col(col)
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"), _cms_slot(c, d, width).alias("slot"))
+        for d in range(depth)
+    ])).alias("__cell")
+    return (
+        df.select(rows)
+        .groupBy(F.col("__cell.d").alias("d"), F.col("__cell.slot").alias("slot"))
+        .agg(F.count("*").cast("long").alias("count"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, col: str,
+    depth: int = 4, width: int = 1024,
+) -> DataFrame:
+    """Point-query a count-min sketch: (key, est) with est = min over
+    the depth rows of the key's slot counts (0 for never-seen slots) —
+    an upper bound on the true count, within eps*N w.h.p. ``keys`` is a
+    frame of keys to look up (distinct-ified); the SKETCH side of the
+    join is depth*width bounded, so it broadcasts — the key frame
+    streams through scan-side. Geometry must match the build (the
+    persisted form pins it in meta and checks)."""
+    _cms_geometry(depth, width)
+    c = F.col(col)
+    probes = keys.select(
+        F.coalesce(c.cast("string"), F.lit(_CMS_NULL)).alias("key")
+    ).distinct().select(
+        "key",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                _cms_slot(F.col("key"), d, width).alias("slot"),
+            )
+            for d in range(depth)
+        ])).alias("__cell"),
+    ).select("key", "__cell.d", "__cell.slot")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "slot"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def cms_update_state(
+    df: DataFrame, path: str, col: str, depth: int = 4, width: int = 1024,
+    batch_id: str = "",
+) -> None:
+    """Fold one batch's count-min sketch into log-structured persisted
+    state: appends (d, slot, count, batch_id) rows — O(batch) work,
+    depth*width*batches state, never a history rescan; slot counts
+    merge EXACTLY by summation (the CMS merge theorem), so the
+    state-reconstructed estimate equals the one-shot sketch over the
+    union of all batches. Geometry is pinned in the state rows and
+    checked on every fold (probing a different grid would silently
+    misestimate — the bloom/minhash pinned-geometry discipline). A
+    non-empty ``batch_id`` already present makes the fold a NO-OP
+    (exactly-once under at-least-once replay)."""
+    from pyspark.errors import AnalysisException
+
+    from wrangler_spark.datapipe import _layout
+
+    _cms_geometry(depth, width)
+    spark = df.sparkSession
+    with _layout.writer_lease(spark, path):
+        root = _layout.resolve(spark, path)
+        try:
+            rows = spark.read.parquet(f"{root}/rows")
+            stored = rows.select("depth", "width").limit(1).collect()
+            if stored and (stored[0]["depth"] != int(depth)
+                           or stored[0]["width"] != int(width)):
+                raise ValueError(
+                    f"cms state at {path} was built depth="
+                    f"{stored[0]['depth']} width={stored[0]['width']}, fold "
+                    f"offered ({depth}, {width}) — grids are incompatible")
+            if batch_id and rows.filter(
+                F.col("batch_id") == str(batch_id)
+            ).limit(1).count():
+                return
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+        (
+            cms_sketch(df, col, depth, width)
+            .withColumn("batch_id", F.lit(str(batch_id)))
+            .withColumn("depth", F.lit(int(depth)))
+            .withColumn("width", F.lit(int(width)))
+            .write.mode("append")
+            .parquet(f"{root}/rows")
+        )
+
+
+def cms_update_stream(
+    stream: DataFrame, path: str, col: str, checkpoint: str,
+    depth: int = 4, width: int = 1024, trigger: dict | None = None,
+):
+    """Fold a key STREAM into persisted count-min state — the stream
+    edge of the CMS batch/state/stream triangle (the hist_update_stream
+    shape): micro-batch id = batch_id, so at-least-once foreachBatch
+    replay yields exactly-once state."""
+    writer = (
+        stream.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda batch, bid: cms_update_state(
+                batch, path, col, depth, width, str(bid))
+        )
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+    )
+    return writer.start()
+
+
+def cms_from_state(spark, path: str, version: int | None = None):
+    """The merged (d, slot, count) sketch from persisted CMS state plus
+    its pinned (depth, width): one sum-merge over the state rows.
+    ``version`` pins an older committed snapshot (compaction cadence =
+    snapshot cadence). Returns (sketch, depth, width)."""
+    from pyspark.errors import AnalysisException
+
+    from wrangler_spark.datapipe import _layout
+
+    try:
+        rows = spark.read.parquet(f"{_layout.resolve(spark, path, version)}/rows")
+        geo = rows.select("depth", "width").limit(1).collect()
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        geo = []
+    if not geo:
+        raise ValueError(f"cms state at {path} is empty")
+    sketch = (
+        rows.filter(F.col("slot").isNotNull())
+        .groupBy("d", "slot")
+        .agg(F.sum("count").cast("long").alias("count"))
+    )
+    return sketch, int(geo[0]["depth"]), int(geo[0]["width"])

@@ -2773,3 +2773,33 @@ SELECT 'min_rows', NULL, 'n_rows',
        CAST(n AS DOUBLE), CAST(1000.0 AS DOUBLE), n >= 1000
 FROM a
 """
+
+
+def cms_counts_sql(
+    col: str = "user_id", table: str = "events",
+    depth: int = 4, width: int = 512, n_probe: int = 20,
+) -> str:
+    """Mirror of curation.cms_sketch + cms_estimate: the same md5-prefix
+    slot hashing (Spark conv(substring(md5,1,7),16,10) == DuckDB
+    ('0x'||substr(md5,1,7))::BIGINT), depth x width grid counts, probe
+    keys '0'..'{n_probe-1}' plus a never-seen 'ghost', est = min over
+    the depth rows."""
+    return f"""
+WITH ks AS (SELECT CAST({col} AS VARCHAR) AS k FROM {table}),
+ds AS (SELECT unnest(range({int(depth)})) AS d),
+cells AS (
+  SELECT ds.d,
+         ('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':' || ks.k), 1, 7))::BIGINT
+           % {int(width)} AS slot,
+         count(*) AS cnt
+  FROM ks CROSS JOIN ds GROUP BY 1, 2),
+probes AS (SELECT CAST(i AS VARCHAR) AS key FROM range({int(n_probe)}) t(i)
+           UNION ALL SELECT 'ghost'),
+pc AS (SELECT p.key, ds.d,
+              ('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':' || p.key), 1, 7))::BIGINT
+                % {int(width)} AS slot
+       FROM probes p CROSS JOIN ds)
+SELECT pc.key, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+FROM pc LEFT JOIN cells ON pc.d = cells.d AND pc.slot = cells.slot
+GROUP BY pc.key
+"""
