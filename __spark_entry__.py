@@ -624,6 +624,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew_summary": lambda s, d: curation.key_skew_summary(
             _t(s, d, "events"), "user_id"
         ),
+        # per-key time-series resample: dense hourly grid with zero-fill
+        # (the grid a moving average is wrong without)
+        "events_resample": lambda s, d: events.resample(
+            _t(s, d, "events"), "event_type", "ts", "value",
+            every_minutes=60, agg="sum", fill="zero",
+        ).drop("bucket_ts"),
         # count-min sketch point estimates: bounded-state key counts
         # (Cormode & Muthukrishnan 2005) — est >= true, exact-merge state
         "events_cms_counts": _q_cms_counts,
@@ -925,6 +931,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_key_skew_summary": o.key_skew_summary_sql("user_id", "events"),
         "dq_constraints": o.check_constraints_sql(),
         "events_cms_counts": o.cms_counts_sql("user_id", "events", 4, 512, 20),
+        "events_resample": o.resample_sql("event_type", "ts", "value", "events", 60),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "emb_cluster_topics": _cluster_topics_oracle_sql(8, 5, 1, 64),

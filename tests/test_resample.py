@@ -1,0 +1,99 @@
+"""Per-key time-series resample with gap-fill: dense grids, fill
+semantics (zero / none / ffill with leading-gap NULLs), micro-unit agg
+determinism, the max_periods guard, and the directive form."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrangler_spark.datapipe import events
+from wrangler_spark.pipeline import Pipeline
+
+
+@pytest.fixture()
+def ts_frame(spark):
+    # key "a": buckets 0, 2 (gap at 1); key "b": single bucket
+    return spark.createDataFrame(
+        [
+            ("a", "1970-01-01 00:10:00", 1.0),
+            ("a", "1970-01-01 00:20:00", 2.0),
+            ("a", "1970-01-01 02:30:00", 10.0),
+            ("b", "1970-01-01 05:00:00", 7.0),
+            (None, "1970-01-01 00:00:00", 99.0),
+            ("c", None, 99.0),
+        ],
+        "k string, t string, v double",
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "v")
+
+
+def _grid(df, **kw):
+    out = events.resample(df, "k", "t", "v", every_minutes=60, **kw)
+    return {(r["k"], r["bucket"]): r["value"] for r in out.collect()}
+
+
+def test_zero_fill_and_sum(ts_frame):
+    g = _grid(ts_frame, agg="sum", fill="zero")
+    # null key and null ts rows drop; "a" spans buckets 0..2 densely
+    assert g == {("a", 0): 3.0, ("a", 1): 0.0, ("a", 2): 10.0, ("b", 5): 7.0}
+
+
+def test_ffill_and_none(ts_frame):
+    g = _grid(ts_frame, agg="sum", fill="ffill")
+    assert g[("a", 1)] == 3.0  # forward-filled from bucket 0
+    g = _grid(ts_frame, agg="sum", fill="none")
+    assert g[("a", 1)] is None
+
+
+def test_null_value_rows_drop_and_grid_starts_at_first_cell(spark):
+    # a null-value row contributes no cell under agg=min, so the key's
+    # grid starts at its first REAL cell — ffill therefore always has a
+    # value to fill from (no leading-gap NULLs by construction)
+    df = spark.createDataFrame(
+        [("a", "1970-01-01 00:00:00", None),
+         ("a", "1970-01-01 02:00:00", 5.0),
+         ("a", "1970-01-01 04:00:00", 6.0)],
+        "k string, t string, v double",
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "v")
+    g = _grid(df, agg="min", fill="ffill")
+    assert g == {("a", 2): 5.0, ("a", 3): 5.0, ("a", 4): 6.0}
+
+
+def test_count_avg_min_max(ts_frame):
+    g = _grid(ts_frame, agg="count", fill="zero")
+    assert g[("a", 0)] == 2.0 and g[("a", 1)] == 0.0
+    g = _grid(ts_frame, agg="avg", fill="none")
+    assert g[("a", 0)] == 1.5
+    g = _grid(ts_frame, agg="max", fill="none")
+    assert g[("a", 0)] == 2.0
+    g = _grid(ts_frame, agg="min", fill="none")
+    assert g[("a", 0)] == 1.0
+
+
+def test_bucket_ts_and_invariance(ts_frame):
+    out = events.resample(ts_frame, "k", "t", "v", every_minutes=60)
+    row = {r["bucket"]: r for r in out.filter("k = 'a'").collect()}
+    assert str(row[1]["bucket_ts"]).startswith("1970-01-01 01:00")
+    a = sorted(map(tuple, events.resample(
+        ts_frame.repartition(1), "k", "t", "v", agg="sum").drop("bucket_ts").collect()))
+    b = sorted(map(tuple, events.resample(
+        ts_frame.repartition(9), "k", "t", "v", agg="sum").drop("bucket_ts").collect()))
+    assert a == b
+
+
+def test_guards(ts_frame):
+    with pytest.raises(ValueError, match="spans"):
+        events.resample(ts_frame, "k", "t", "v", every_minutes=1,
+                        max_periods=10)
+    with pytest.raises(ValueError, match="unknown agg"):
+        events.resample(ts_frame, "k", "t", "v", agg="median")
+    with pytest.raises(ValueError, match="unknown fill"):
+        events.resample(ts_frame, "k", "t", "v", fill="interp")
+    with pytest.raises(ValueError, match="needs value_col"):
+        events.resample(ts_frame, "k", "t", agg="sum")
+    with pytest.raises(ValueError, match="every_minutes"):
+        events.resample(ts_frame, "k", "t", "v", every_minutes=0)
+
+
+def test_directive(ts_frame):
+    out = Pipeline.compile("resample :k :t :v 60 sum ffill").apply(ts_frame)
+    g = {(r["k"], r["bucket"]): r["value"] for r in out.collect()}
+    assert g[("a", 1)] == 3.0

@@ -1093,3 +1093,123 @@ def funnel_update_stream(
         .trigger(**(trigger if trigger is not None else {"availableNow": True}))
     )
     return writer.start()
+
+
+def resample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str | None = None,
+    every_minutes: int = 60,
+    agg: str = "count",
+    fill: str = "zero",
+    max_periods: int = 100_000,
+) -> DataFrame:
+    """Per-key time-series resampling with gap-fill — the dense
+    (key, bucket, value) grid every monitoring/feature pipeline wants
+    from a raw event log: bucket events into fixed windows, aggregate,
+    then FILL the buckets where nothing happened (a raw groupBy
+    silently skips them, and a downstream moving average over a sparse
+    frame is simply wrong). ``agg``: count | sum | min | max | avg
+    (sum/avg integerize to micro-units before summing — the
+    cross-engine determinism contract; min/max are order-free).
+    ``fill``: zero | none (NULL) | ffill (forward-fill from the key's
+    last seen bucket; the grid starts at the key's first REAL cell, so
+    ffill always has a source value).
+
+    Returns (key, bucket, bucket_ts, value): ``bucket`` is
+    floor(epoch_seconds / step) integer arithmetic (the retention
+    family's engine-convention-free bucketing), ``bucket_ts`` its start
+    timestamp.
+
+    Scale shape: one hash aggregate on (key, bucket) — the only
+    event-volume shuffle — then one more on key collecting the key's
+    (bucket, value) entries; the dense grid and the fill both happen
+    SCAN-SIDE as an ``aggregate()`` fold over sequence(min_b, max_b)
+    per key (the ngram run-length posture: per-key state is bounded by
+    the key's PERIOD SPAN, never its event count, and there is no
+    window function anywhere). Grid rows = keys x periods — the
+    retention-grid posture. A key spanning more than ``max_periods``
+    buckets raises (one bounded pre-flight aggregate): at 10-second
+    buckets over three years that's a 9.5M-element array per key — pick
+    a coarser grain or split the range instead of letting one key OOM
+    an executor."""
+    if every_minutes < 1:
+        raise ValueError(f"every_minutes must be >= 1, got {every_minutes}")
+    if agg not in ("count", "sum", "min", "max", "avg"):
+        raise ValueError(f"unknown agg {agg!r}")
+    if fill not in ("zero", "none", "ffill"):
+        raise ValueError(f"unknown fill {fill!r}")
+    if agg != "count" and value_col is None:
+        raise ValueError(f"agg={agg!r} needs value_col")
+    step = int(every_minutes) * 60
+    k, t = F.col(key_col), F.col(ts_col)
+    base = df.filter(k.isNotNull() & t.isNotNull())
+    b = F.floor(F.unix_timestamp(t) / F.lit(step)).cast("long").alias("__b")
+    if agg == "count":
+        cells = base.groupBy(k.alias("__k"), b).agg(
+            F.count("*").cast("double").alias("__v"))
+    else:
+        v = F.col(value_col).cast("double")
+        micro = F.round(v * F.lit(1e6)).cast("long")
+        grp = base.filter(v.isNotNull()).groupBy(k.alias("__k"), b)
+        if agg == "sum":
+            cells = grp.agg(
+                F.round(F.sum(micro) / F.lit(1e6), 6).alias("__v"))
+        elif agg == "avg":
+            cells = grp.agg(F.round(
+                (F.sum(micro) / F.count("*")) / F.lit(1e6), 6).alias("__v"))
+        else:
+            fn = F.min if agg == "min" else F.max
+            cells = grp.agg(fn(v).alias("__v"))
+    per_key = cells.groupBy("__k").agg(
+        F.min("__b").alias("__b0"),
+        F.max("__b").alias("__b1"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b"), F.col("__v")))
+        ).alias("__m"),
+    )
+    # bounded pre-flight: the widest key decides whether the per-key
+    # fold array is safe to build at all (one scalar over an aggregate)
+    worst = per_key.agg(
+        F.max(F.col("__b1") - F.col("__b0") + 1).alias("s")).collect()
+    span = worst[0]["s"] if worst and worst[0]["s"] is not None else 0
+    if span > max_periods:
+        raise ValueError(
+            f"resample: a key spans {span} buckets at every_minutes="
+            f"{every_minutes} (max_periods={max_periods}) — use a coarser "
+            "grain, filter the time range, or raise max_periods explicitly")
+    m = F.col("__m")
+    if fill == "zero":
+        cell = lambda bb, last: F.coalesce(  # noqa: E731
+            F.element_at(m, bb), F.lit(0.0))
+    elif fill == "none":
+        cell = lambda bb, last: F.element_at(m, bb)  # noqa: E731
+    else:  # ffill
+        cell = lambda bb, last: F.coalesce(F.element_at(m, bb), last)  # noqa: E731
+    init = F.struct(
+        F.array().cast("array<struct<b:long,v:double>>").alias("out"),
+        F.lit(None).cast("double").alias("last"),
+    )
+    filled = F.aggregate(
+        F.sequence(F.col("__b0"), F.col("__b1")),
+        init,
+        lambda acc, bb: F.struct(
+            F.concat(
+                acc["out"],
+                F.array(F.struct(
+                    bb.alias("b"), cell(bb, acc["last"]).alias("v"))),
+            ).alias("out"),
+            F.coalesce(F.element_at(m, bb), acc["last"]).alias("last"),
+        ),
+    )["out"]
+    return (
+        per_key.select(F.col("__k").alias(key_col),
+                       F.explode(filled).alias("__c"))
+        .select(
+            key_col,
+            F.col("__c.b").alias("bucket"),
+            F.timestamp_seconds(F.col("__c.b") * F.lit(step)).alias("bucket_ts"),
+            F.col("__c.v").alias("value"),
+        )
+    )

@@ -2803,3 +2803,27 @@ SELECT pc.key, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
 FROM pc LEFT JOIN cells ON pc.d = cells.d AND pc.slot = cells.slot
 GROUP BY pc.key
 """
+
+
+def resample_sql(
+    key: str = "event_type", ts: str = "ts", value: str = "value",
+    table: str = "events", every_minutes: int = 60,
+) -> str:
+    """Mirror of events.resample(agg='sum', fill='zero'): integer epoch
+    bucketing floor(epoch/step), micro-unit sums rounded 6dp, per-key
+    dense range(min_b, max_b) grid, gaps coalesce to 0.0."""
+    step = int(every_minutes) * 60
+    return f"""
+WITH e AS (SELECT {key} AS k,
+                  CAST(floor(epoch({ts}) / {step}) AS BIGINT) AS b,
+                  CAST(round(CAST({value} AS DOUBLE) * 1000000, 0) AS BIGINT) AS mv
+           FROM {table}
+           WHERE {key} IS NOT NULL AND {ts} IS NOT NULL AND {value} IS NOT NULL),
+a AS (SELECT k, b, round(CAST(sum(mv) AS DOUBLE) / 1000000.0, 6) AS v
+      FROM e GROUP BY 1, 2),
+r AS (SELECT k, min(b) AS b0, max(b) AS b1 FROM a GROUP BY k),
+g AS (SELECT k, unnest(range(b0, b1 + 1)) AS b FROM r)
+SELECT g.k AS {key}, CAST(g.b AS BIGINT) AS bucket,
+       coalesce(a.v, 0.0) AS value
+FROM g LEFT JOIN a ON g.k = a.k AND g.b = a.b
+"""

@@ -1567,3 +1567,35 @@ class CheckConstraints(Directive):
                 raise ValueError(
                     f"check-constraints: unknown rule {kind!r} in {part!r}")
         return check_constraints(df, rules)
+
+
+@directive
+class Resample(Directive):
+    """resample :key :ts [value] [every_minutes] [agg] [fill] — per-key
+    time-series resampling with gap-fill: dense (key, bucket, bucket_ts,
+    value) grid at a fixed grain; agg = count|sum|min|max|avg, fill =
+    zero|none|ffill. The grid a moving average or anomaly rule is
+    silently wrong without."""
+
+    name = "resample"
+    usage = [
+        Arg("key", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+        Arg("value", TokenType.COLUMN, optional=True, default=None),
+        Arg("every", TokenType.NUMERIC, optional=True, default=60),
+        Arg("agg", TokenType.TEXT, optional=True, default="count"),
+        Arg("fill", TokenType.TEXT, optional=True, default="zero"),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import resample
+
+        return resample(
+            df,
+            ctx.resolve(df, self.args["key"]),
+            ctx.resolve(df, self.args["ts"]),
+            ctx.resolve(df, self.args["value"]) if self.args["value"] else None,
+            every_minutes=int(self.args["every"]),
+            agg=str(self.args["agg"]),
+            fill=str(self.args["fill"]),
+        )
