@@ -97,3 +97,52 @@ def test_directive(ts_frame):
     out = Pipeline.compile("resample :k :t :v 60 sum ffill").apply(ts_frame)
     g = {(r["k"], r["bucket"]): r["value"] for r in out.collect()}
     assert g[("a", 1)] == 3.0
+
+
+def test_rolling_stats_vs_python_reference(spark):
+    import math
+
+    vals = [3.0, 1.5, 4.25, 4.25, 7.125, 2.0, 9.5, 0.25]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], "k string, b long, v double")
+    got = {r["bucket"]: r for r in
+           events.rolling_stats(df, "k", "b", "v", window=3).collect()}
+    for i, v in enumerate(vals):
+        win = vals[max(0, i - 2):i + 1]
+        mean = round(sum(win) / len(win), 6)
+        var = sum(x * x for x in win) / len(win) - (sum(win) / len(win)) ** 2
+        std = round(math.sqrt(max(var, 0.0)), 6)
+        r = got[i]
+        assert r["roll_mean"] == pytest.approx(mean, abs=2e-6)
+        assert r["roll_std"] == pytest.approx(std, abs=2e-6)
+        if std > 0:
+            assert r["zscore"] == pytest.approx(
+                round((v - r["roll_mean"]) / r["roll_std"], 6), abs=2e-6)
+        else:
+            assert r["zscore"] is None
+
+
+def test_rolling_stats_invariance_and_guard(spark):
+    df = spark.range(200).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") / 3).cast("long").alias("b"),
+        ((F.col("id") * 37 % 101) / 7.0).alias("v"),
+    )
+    a = sorted(map(tuple, events.rolling_stats(
+        df.repartition(1), "k", "b", "v", 7).collect()))
+    b = sorted(map(tuple, events.rolling_stats(
+        df.repartition(13), "k", "b", "v", 7).collect()))
+    assert a == b and len(a) == 200
+    with pytest.raises(ValueError, match="window"):
+        events.rolling_stats(df, "k", "b", "v", window=0)
+
+
+def test_rolling_anomaly_spike_detected(spark):
+    # flat series with one spike: the spike's z-score dominates
+    rows = [("a", i, 10.0) for i in range(20)] + [("a", 20, 100.0)]
+    df = spark.createDataFrame(rows, "k string, b long, v double")
+    out = events.rolling_stats(df, "k", "b", "v", window=7).collect()
+    spike = [r for r in out if r["bucket"] == 20][0]
+    rest = [r["zscore"] for r in out if r["bucket"] != 20]
+    assert spike["zscore"] > 2.0
+    assert all(z is None or abs(z) < 2.0 for z in rest)

@@ -1213,3 +1213,83 @@ def resample(
             F.col("__c.v").alias("value"),
         )
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    window: int = 7,
+) -> DataFrame:
+    """Trailing-window statistics + anomaly z-score over a per-key
+    bucketed series (the :func:`resample` grid is the intended input):
+    for each (key, bucket), the mean/std of the last ``window`` buckets
+    PRESENT for that key (partial head windows use what exists) and
+    zscore = (value - mean) / std — the monitoring rule that pages when
+    an ingestion source's hourly volume leaves its own recent band.
+
+    Determinism contract (cross-engine): values integerize to
+    micro-units; window sums of micro and micro² are EXACT integer
+    arithmetic (micro² sums in decimal(38,0) — a window of a billion
+    1e6-magnitude values stays within 38 digits), so
+    var = (n·SS - S²) / n² is one double division off identical
+    integers; mean/std/zscore round 6dp terminally. std of a constant
+    window is 0 and its zscore NULL.
+
+    Scale shape: ONE hash aggregate on key collects the key's sorted
+    cells (bounded by the series span — resample's max_periods guard
+    upstream), then everything is a scan-side indexed transform with a
+    per-index window slice: O(span · window) work per key, no window
+    functions, no second shuffle."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    k, b, v = F.col(key_col), F.col(bucket_col), F.col(value_col)
+    cells = (
+        df.filter(k.isNotNull() & b.isNotNull())
+        .groupBy(k.alias("__k"))
+        .agg(F.sort_array(F.collect_list(F.struct(
+            b.cast("long").alias("b"),
+            F.round(v.cast("double") * F.lit(1e6)).cast("long").alias("mv"),
+            v.cast("double").alias("v"),
+        ))).alias("__cells"))
+    )
+    arr = F.col("__cells")
+    w = F.lit(int(window))
+
+    def stats(c, i):
+        # 1-based slice over the trailing window ending at index i
+        start = F.greatest(F.lit(1), i + 2 - w)
+        win = F.slice(arr, start, F.least(w, i + 1))
+        n = F.size(win).cast("long")
+        s = F.aggregate(
+            win, F.lit(0).cast("long"), lambda acc, x: acc + x["mv"])
+        ss = F.aggregate(
+            win, F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc
+            + (x["mv"].cast("decimal(19,0)") * x["mv"].cast("decimal(19,0)"))
+            .cast("decimal(38,0)"))
+        mean = F.round(s / (n * F.lit(1e6)), 6)
+        # n·SS - S² >= 0 exactly (integer arithmetic); one double division
+        var = (
+            (n.cast("decimal(38,0)") * ss
+             - (s.cast("decimal(38,0)") * s.cast("decimal(38,0)")))
+            .cast("double")
+            / (n * n).cast("double") / F.lit(1e12)
+        )
+        std = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+        z = F.when(std > 0, F.round((c["v"] - mean) / std, 6))
+        return F.struct(
+            c["b"].alias("bucket"), c["v"].alias("value"),
+            mean.alias("roll_mean"), std.alias("roll_std"),
+            z.alias("zscore"),
+        )
+
+    return (
+        cells.select(
+            F.col("__k").alias(key_col),
+            F.explode(F.transform(arr, stats)).alias("__s"),
+        )
+        .select(key_col, "__s.bucket", "__s.value", "__s.roll_mean",
+                "__s.roll_std", "__s.zscore")
+    )

@@ -2827,3 +2827,39 @@ SELECT g.k AS {key}, CAST(g.b AS BIGINT) AS bucket,
        coalesce(a.v, 0.0) AS value
 FROM g LEFT JOIN a ON g.k = a.k AND g.b = a.b
 """
+
+
+def rolling_stats_sql(window: int = 24, every_minutes: int = 60) -> str:
+    """Mirror of events.rolling_stats over the events_resample grid:
+    trailing-window micro-unit sums (exact integers; micro-squared in
+    HUGEINT like Spark's decimal(38,0)), then the IDENTICAL double
+    operation order — var = CAST(n*SS - S*S AS DOUBLE) / (n*n) / 1e12,
+    mean = S / (n*1e6) — rounded 6dp."""
+    grid = resample_sql("event_type", "ts", "value", "events", every_minutes)
+    p = int(window) - 1
+    return f"""
+WITH m AS (SELECT event_type AS k, bucket AS b, value AS v,
+                  CAST(round(value * 1000000, 0) AS BIGINT) AS mv
+           FROM ({grid}) grid),
+w AS (SELECT k, b, v,
+             count(*) OVER tw AS n,
+             sum(mv) OVER tw AS s,
+             sum(CAST(mv AS HUGEINT) * mv) OVER tw AS ss
+      FROM m
+      WINDOW tw AS (PARTITION BY k ORDER BY b
+                    ROWS BETWEEN {p} PRECEDING AND CURRENT ROW))
+SELECT k AS event_type, CAST(b AS BIGINT) AS bucket, v AS value,
+       round(CAST(s AS DOUBLE) / (n * 1000000.0), 6) AS roll_mean,
+       round(sqrt(greatest(
+         CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+           / CAST(n * n AS DOUBLE) / 1000000000000.0, 0.0)), 6) AS roll_std,
+       CASE WHEN round(sqrt(greatest(
+              CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                / CAST(n * n AS DOUBLE) / 1000000000000.0, 0.0)), 6) > 0
+            THEN round((v - round(CAST(s AS DOUBLE) / (n * 1000000.0), 6))
+                       / round(sqrt(greatest(
+                           CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                             / CAST(n * n AS DOUBLE) / 1000000000000.0, 0.0)), 6), 6)
+       END AS zscore
+FROM w
+"""

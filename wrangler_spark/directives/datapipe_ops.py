@@ -1599,3 +1599,31 @@ class Resample(Directive):
             agg=str(self.args["agg"]),
             fill=str(self.args["fill"]),
         )
+
+
+@directive
+class RollingStats(Directive):
+    """rolling-stats :key :bucket :value [window] — trailing-window
+    mean/std + anomaly z-score over a per-key bucketed series (feed it
+    the resample grid): the volume monitor that flags a bucket leaving
+    its key's own recent band. Exact integer micro-unit window sums —
+    deterministic across partitionings and engines."""
+
+    name = "rolling-stats"
+    usage = [
+        Arg("key", TokenType.COLUMN),
+        Arg("bucket", TokenType.COLUMN),
+        Arg("value", TokenType.COLUMN),
+        Arg("window", TokenType.NUMERIC, optional=True, default=7),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import rolling_stats
+
+        return rolling_stats(
+            df,
+            ctx.resolve(df, self.args["key"]),
+            ctx.resolve(df, self.args["bucket"]),
+            ctx.resolve(df, self.args["value"]),
+            window=int(self.args["window"]),
+        )
