@@ -630,6 +630,11 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events"), "event_type", "ts", "value",
             every_minutes=60, agg="sum", fill="zero",
         ).drop("bucket_ts"),
+        # interp fill: gaps linearly interpolated between the real cells
+        "events_resample_interp": lambda s, d: events.resample(
+            _t(s, d, "events"), "event_type", "ts", "value",
+            every_minutes=60, agg="avg", fill="interp",
+        ).drop("bucket_ts"),
         # rolling anomaly band over the resampled grid: trailing-window
         # mean/std (exact integer micro sums) + z-score — the volume
         # monitor that pages when a source leaves its own recent band
@@ -943,6 +948,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_cms_counts": o.cms_counts_sql("user_id", "events", 4, 512, 20),
         "events_resample": o.resample_sql("event_type", "ts", "value", "events", 60),
         "events_rolling": o.rolling_stats_sql(24, 60),
+        "events_resample_interp": o.resample_interp_sql(
+            "event_type", "ts", "value", "events", 60),
         "ann_ivf_kmeans_topk": _ivf_kmeans_oracle_sql(),
         "dedup_semdedup": _semdedup_oracle_sql(8, 0.8, 1),
         "emb_cluster_topics": _cluster_topics_oracle_sql(8, 5, 1, 64),

@@ -86,7 +86,7 @@ def test_guards(ts_frame):
     with pytest.raises(ValueError, match="unknown agg"):
         events.resample(ts_frame, "k", "t", "v", agg="median")
     with pytest.raises(ValueError, match="unknown fill"):
-        events.resample(ts_frame, "k", "t", "v", fill="interp")
+        events.resample(ts_frame, "k", "t", "v", fill="bfill")
     with pytest.raises(ValueError, match="needs value_col"):
         events.resample(ts_frame, "k", "t", agg="sum")
     with pytest.raises(ValueError, match="every_minutes"):
@@ -146,3 +146,24 @@ def test_rolling_anomaly_spike_detected(spark):
     rest = [r["zscore"] for r in out if r["bucket"] != 20]
     assert spike["zscore"] > 2.0
     assert all(z is None or abs(z) < 2.0 for z in rest)
+
+
+def test_interp_fill(spark):
+    df = spark.createDataFrame(
+        [("a", "1970-01-01 00:00:00", 1.0),
+         ("a", "1970-01-01 03:00:00", 7.0),
+         ("a", "1970-01-01 04:00:00", 4.0),
+         ("b", "1970-01-01 00:00:00", 2.0)],
+        "k string, t string, v double",
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "v")
+    g = _grid(df, agg="sum", fill="interp")
+    assert g == {("a", 0): 1.0, ("a", 1): 3.0, ("a", 2): 5.0,
+                 ("a", 3): 7.0, ("a", 4): 4.0, ("b", 0): 2.0}
+    # non-integer slope rounds 6dp
+    df2 = spark.createDataFrame(
+        [("a", "1970-01-01 00:00:00", 0.0),
+         ("a", "1970-01-01 03:00:00", 1.0)],
+        "k string, t string, v double",
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "v")
+    g2 = _grid(df2, agg="sum", fill="interp")
+    assert g2[("a", 1)] == 0.333333 and g2[("a", 2)] == 0.666667

@@ -1115,7 +1115,11 @@ def resample(
     cross-engine determinism contract; min/max are order-free).
     ``fill``: zero | none (NULL) | ffill (forward-fill from the key's
     last seen bucket; the grid starts at the key's first REAL cell, so
-    ffill always has a source value).
+    ffill always has a source value) | interp (linear interpolation
+    between the surrounding real cells — the grid's ends ARE cells, so
+    every gap has both neighbors; interpolated values round 6dp with a
+    fixed operation order, pv + (nv-pv)·((b-pb)/(nb-pb)), shared with
+    the DuckDB oracle).
 
     Returns (key, bucket, bucket_ts, value): ``bucket`` is
     floor(epoch_seconds / step) integer arithmetic (the retention
@@ -1138,7 +1142,7 @@ def resample(
         raise ValueError(f"every_minutes must be >= 1, got {every_minutes}")
     if agg not in ("count", "sum", "min", "max", "avg"):
         raise ValueError(f"unknown agg {agg!r}")
-    if fill not in ("zero", "none", "ffill"):
+    if fill not in ("zero", "none", "ffill", "interp"):
         raise ValueError(f"unknown fill {fill!r}")
     if agg != "count" and value_col is None:
         raise ValueError(f"agg={agg!r} needs value_col")
@@ -1168,6 +1172,10 @@ def resample(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("__b"), F.col("__v")))
         ).alias("__m"),
+        # interp walks the key's cells in bucket order with a cursor
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__b").alias("b"), F.col("__v").alias("v")))
+        ).alias("__arr"),
     )
     # bounded pre-flight: the widest key decides whether the per-key
     # fold array is safe to build at all (one scalar over an aggregate)
@@ -1180,29 +1188,62 @@ def resample(
             f"{every_minutes} (max_periods={max_periods}) — use a coarser "
             "grain, filter the time range, or raise max_periods explicitly")
     m = F.col("__m")
-    if fill == "zero":
-        cell = lambda bb, last: F.coalesce(  # noqa: E731
-            F.element_at(m, bb), F.lit(0.0))
-    elif fill == "none":
-        cell = lambda bb, last: F.element_at(m, bb)  # noqa: E731
-    else:  # ffill
-        cell = lambda bb, last: F.coalesce(F.element_at(m, bb), last)  # noqa: E731
-    init = F.struct(
-        F.array().cast("array<struct<b:long,v:double>>").alias("out"),
-        F.lit(None).cast("double").alias("last"),
-    )
-    filled = F.aggregate(
-        F.sequence(F.col("__b0"), F.col("__b1")),
-        init,
-        lambda acc, bb: F.struct(
-            F.concat(
-                acc["out"],
-                F.array(F.struct(
-                    bb.alias("b"), cell(bb, acc["last"]).alias("v"))),
-            ).alias("out"),
-            F.coalesce(F.element_at(m, bb), acc["last"]).alias("last"),
-        ),
-    )["out"]
+    if fill == "interp":
+        # cursor fold over the sorted cell array: `ci` (1-based) always
+        # points at the next cell with b >= current bucket, so a gap
+        # bucket interpolates between arr[ci-1] and arr[ci] directly —
+        # no look-ahead pass, still one scan-side fold per key
+        arr = F.col("__arr")
+        init = F.struct(
+            F.array().cast("array<struct<b:long,v:double>>").alias("out"),
+            F.lit(1).cast("int").alias("ci"),
+        )
+
+        def interp_step(acc, bb):
+            nxt = F.element_at(arr, acc["ci"])
+            prv = F.element_at(arr, acc["ci"] - 1)
+            is_cell = nxt["b"] == bb
+            v = F.when(is_cell, nxt["v"]).otherwise(F.round(
+                prv["v"]
+                + (nxt["v"] - prv["v"])
+                * ((bb - prv["b"]) / (nxt["b"] - prv["b"])),
+                6,
+            ))
+            return F.struct(
+                F.concat(
+                    acc["out"],
+                    F.array(F.struct(bb.alias("b"), v.alias("v"))),
+                ).alias("out"),
+                F.when(is_cell, acc["ci"] + 1).otherwise(acc["ci"]).alias("ci"),
+            )
+
+        filled = F.aggregate(
+            F.sequence(F.col("__b0"), F.col("__b1")), init, interp_step
+        )["out"]
+    else:
+        if fill == "zero":
+            cell = lambda bb, last: F.coalesce(  # noqa: E731
+                F.element_at(m, bb), F.lit(0.0))
+        elif fill == "none":
+            cell = lambda bb, last: F.element_at(m, bb)  # noqa: E731
+        else:  # ffill
+            cell = lambda bb, last: F.coalesce(F.element_at(m, bb), last)  # noqa: E731
+        init = F.struct(
+            F.array().cast("array<struct<b:long,v:double>>").alias("out"),
+            F.lit(None).cast("double").alias("last"),
+        )
+        filled = F.aggregate(
+            F.sequence(F.col("__b0"), F.col("__b1")),
+            init,
+            lambda acc, bb: F.struct(
+                F.concat(
+                    acc["out"],
+                    F.array(F.struct(
+                        bb.alias("b"), cell(bb, acc["last"]).alias("v"))),
+                ).alias("out"),
+                F.coalesce(F.element_at(m, bb), acc["last"]).alias("last"),
+            ),
+        )["out"]
     return (
         per_key.select(F.col("__k").alias(key_col),
                        F.explode(filled).alias("__c"))

@@ -2863,3 +2863,47 @@ SELECT k AS event_type, CAST(b AS BIGINT) AS bucket, v AS value,
        END AS zscore
 FROM w
 """
+
+
+def resample_interp_sql(
+    key: str = "event_type", ts: str = "ts", value: str = "value",
+    table: str = "events", every_minutes: int = 60,
+) -> str:
+    """Mirror of events.resample(agg='avg', fill='interp'): micro-unit
+    averages, dense per-key grid, gaps linearly interpolated between
+    the surrounding real cells with the IDENTICAL operation order
+    pv + (nv - pv) * ((b - pb) / (nb - pb)), rounded 6dp."""
+    step = int(every_minutes) * 60
+    return f"""
+WITH e AS (SELECT {key} AS k,
+                  CAST(floor(epoch({ts}) / {step}) AS BIGINT) AS b,
+                  CAST(round(CAST({value} AS DOUBLE) * 1000000, 0) AS BIGINT) AS mv
+           FROM {table}
+           WHERE {key} IS NOT NULL AND {ts} IS NOT NULL AND {value} IS NOT NULL),
+a AS (SELECT k, b,
+             round((CAST(sum(mv) AS DOUBLE) / count(*)) / 1000000.0, 6) AS v
+      FROM e GROUP BY 1, 2),
+r AS (SELECT k, min(b) AS b0, max(b) AS b1 FROM a GROUP BY k),
+g AS (SELECT k, unnest(range(b0, b1 + 1)) AS b FROM r),
+j AS (SELECT g.k, g.b, a.v FROM g LEFT JOIN a ON g.k = a.k AND g.b = a.b),
+w AS (SELECT k, b, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j)
+SELECT k AS {key}, CAST(b AS BIGINT) AS bucket,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE round(pv + (nv - pv)
+                       * (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)), 6)
+       END AS value
+FROM w
+"""
