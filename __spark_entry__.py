@@ -253,6 +253,30 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return numeric.quantiles_from_state(spark, path)
 
+    def _q_dq_state(spark, sf_dir):
+        # constraints state built from 3 batch folds into a fresh temp
+        # state, merged back through constraints_from_state — graded
+        # against the one-shot report SQL (fractions re-derive from
+        # summed viol/n integers; unique is per-batch only and excluded)
+        import tempfile
+
+        od = _t(spark, sf_dir, "orders")
+        rules = [
+            {"rule": "not_null", "col": "o_custkey"},
+            {"rule": "range", "col": "o_totalprice", "min": 0,
+             "max": 600000},
+            {"rule": "in_set", "col": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"rule": "min_rows", "n": 1000},
+        ]
+        path = tempfile.mkdtemp(prefix="wrspark_dq_state_") + "/st"
+        for i in range(3):
+            curation.constraints_update_state(
+                od.filter(F.col("o_orderkey") % 3 == i), path, rules,
+                batch_id=str(i),
+            )
+        return curation.constraints_from_state(spark, path)
+
     def _q_funnel_state(spark, sf_dir):
         # funnel state built from 3 EVENT-TIME-ORDERED folds (the fold's
         # exactness contract) into a fresh temp state, read back through
@@ -650,6 +674,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_counts": _q_cms_counts,
         # Deequ-posture declarative data-quality gate: every metric the
         # rule list needs in ONE aggregation pass (Schelter et al. VLDB'18)
+        # state reconstruction must equal the one-shot report (the
+        # text_vocab_state grading pattern; unique is per-batch only)
+        "dq_constraints_state": _q_dq_state,
         "dq_constraints": lambda s, d: curation.check_constraints(
             _t(s, d, "orders"),
             [
@@ -945,6 +972,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_key_skew": o.key_skew_sql("user_id", "events", 20),
         "events_key_skew_summary": o.key_skew_summary_sql("user_id", "events"),
         "dq_constraints": o.check_constraints_sql(),
+        "dq_constraints_state": o.check_constraints_state_sql(),
         "events_cms_counts": o.cms_counts_sql("user_id", "events", 4, 512, 20),
         "events_resample": o.resample_sql("event_type", "ts", "value", "events", 60),
         "events_rolling": o.rolling_stats_sql(24, 60),

@@ -120,3 +120,72 @@ def test_directive_dsl(spark, frame):
         "check-constraints 'matches:s:[ab:]{1,2}'"
     ).apply(frame)
     assert out2.collect()[0]["metric"] == "mismatch_frac"
+
+
+def test_constraints_state_folds_and_replay(spark, tmp_path_factory):
+    from wrangler_spark.datapipe import curation
+
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("x"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    rules = [
+        {"rule": "not_null", "col": "x", "max_frac": 0.05},
+        {"rule": "range", "col": "v", "min": 0, "max": 5},
+        {"rule": "min_rows", "n": 50},
+    ]
+    path = str(tmp_path_factory.mktemp("dqstate")) + "/st"
+    for i in range(3):
+        curation.constraints_update_state(
+            df.filter(F.col("v") % 3 == i), path, rules, batch_id=f"b{i}")
+    # history = the per-batch time series: 3 batches x 3 rules
+    hist = curation.constraints_history(spark, path)
+    assert hist.count() == 9
+    assert hist.select("batch_id").distinct().count() == 3
+    # merged report == one-shot over the union
+    merged = {(r["rule"], r["column"]): (r["value"], r["passed"])
+              for r in curation.constraints_from_state(spark, path).collect()}
+    one = {(r["rule"], r["column"]): (r["value"], r["passed"])
+           for r in curation.check_constraints(df, rules).collect()}
+    assert merged == one
+    # replay NO-OP
+    curation.constraints_update_state(
+        df.filter(F.col("v") % 3 == 0), path, rules, batch_id="b0")
+    assert curation.constraints_history(spark, path).count() == 9
+    # unique rules are per-batch only: excluded from the merged view
+    curation.constraints_update_state(
+        df, path, [{"rule": "unique", "col": "x"}], batch_id="b3")
+    assert curation.constraints_from_state(spark, path).filter(
+        "rule = 'unique'").count() == 0
+    assert curation.constraints_history(spark, path).filter(
+        "rule = 'unique'").count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        curation.constraints_from_state(
+            spark, str(tmp_path_factory.mktemp("dqempty")) + "/st")
+
+
+def test_constraints_stream_monitor(spark, tmp_path_factory):
+    import shutil as _sh
+
+    from wrangler_spark.datapipe import curation
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "value")
+    src = str(tmp_path_factory.mktemp("dq_src"))
+    state = str(tmp_path_factory.mktemp("dq_state") / "st")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user_id long, value double").parquet(src)
+    rules = [{"rule": "not_null", "col": "user_id"},
+             {"rule": "range", "col": "value", "min": 0, "max": 1e9}]
+    q = curation.constraints_update_stream(stream, state, rules, src + "_chk")
+    q.awaitTermination(120)
+    merged = {r["rule"]: r for r in
+              curation.constraints_from_state(spark, state).collect()}
+    one = {r["rule"]: r for r in
+           curation.check_constraints(ev, rules).collect()}
+    for k in one:
+        assert merged[k]["value"] == one[k]["value"]
+        assert merged[k]["passed"] == one[k]["passed"]
+    _sh.rmtree(src, ignore_errors=True)

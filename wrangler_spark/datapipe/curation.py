@@ -2112,7 +2112,9 @@ def sample_weighted(
 _DQ_RULES = ("not_null", "unique", "range", "matches", "in_set", "min_rows")
 
 
-def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
+def check_constraints(
+    df: DataFrame, rules: list[dict], include_counts: bool = False,
+) -> DataFrame:
     """Declarative table-quality verification: grade a rule list against
     the data in ONE aggregation job and return a per-rule report —
     (rule, column, metric, value, threshold, passed) rows. The
@@ -2143,7 +2145,12 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
     Violation fractions are integer/integer rounded 6dp (the
     cross-engine determinism contract); an empty table yields 0.0
     fractions (nothing violates). ``passed`` is value <= threshold
-    (>= for min_rows)."""
+    (>= for min_rows).
+
+    ``include_counts=True`` appends the raw (viol, n) integers behind
+    each fraction — what :func:`constraints_update_state` persists so
+    cross-batch reports merge EXACTLY by summation (``unique``'s
+    distinct count is not summable; its viol is per-table only)."""
     if not rules:
         raise ValueError("check_constraints: empty rule list")
     aggs = [F.count("*").cast("long").alias("__n")]
@@ -2211,17 +2218,20 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
         if m["rule"] == "min_rows":
             value = n.cast("double")
             passed = n >= F.lit(int(m["thr"]))
+            viol = F.lit(None).cast("long")
         elif m["rule"] == "unique":
             distinct = F.col(m["alias"]) + F.col(m["alias"] + "_hasnull")
             value = F.round(
                 F.when(n == 0, F.lit(0.0)).otherwise((n - distinct) / n), 6
             )
             passed = value <= F.lit(m["thr"])
+            viol = F.when(n == 0, F.lit(0)).otherwise(n - distinct)
         else:
             value = F.round(
                 F.when(n == 0, F.lit(0.0)).otherwise(F.col(m["alias"]) / n), 6
             )
             passed = value <= F.lit(m["thr"])
+            viol = F.coalesce(F.col(m["alias"]), F.lit(0))
         reports.append(F.struct(
             F.lit(m["rule"]).alias("rule"),
             F.lit(m["col"]).cast("string").alias("column"),
@@ -2229,13 +2239,18 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
             value.cast("double").alias("value"),
             F.lit(m["thr"]).cast("double").alias("threshold"),
             passed.alias("passed"),
+            viol.cast("long").alias("viol"),
+            n.cast("long").alias("n"),
         ))
     # one report row per rule, exploded from the single aggregate row —
     # report size = rule count, never data-sized
+    cols = ["__r.rule", "__r.column", "__r.metric", "__r.value",
+            "__r.threshold", "__r.passed"]
+    if include_counts:
+        cols += ["__r.viol", "__r.n"]
     return one.select(
         F.explode(F.array(*reports)).alias("__r")
-    ).select("__r.rule", "__r.column", "__r.metric", "__r.value",
-             "__r.threshold", "__r.passed")
+    ).select(*cols)
 
 
 # --- count-min sketch key-frequency family (Cormode & Muthukrishnan,
@@ -2414,3 +2429,116 @@ def cms_from_state(spark, path: str, version: int | None = None):
         .agg(F.sum("count").cast("long").alias("count"))
     )
     return sketch, int(geo[0]["depth"]), int(geo[0]["width"])
+
+
+def constraints_update_state(
+    df: DataFrame, path: str, rules: list[dict], batch_id: str = "",
+) -> None:
+    """Fold one ingestion batch's data-quality report into
+    log-structured persisted state: appends the batch's
+    (rule, column, metric, value, threshold, passed, viol, n,
+    batch_id) rows — the quality TIME SERIES a pipeline dashboard
+    reads ("null_frac by ingestion batch") without ever rescanning
+    history; O(batch) work, rules x batches state. Raw (viol, n)
+    integers ride along so :func:`constraints_from_state` can rebuild
+    the exact across-all-batches report by summation. A non-empty
+    ``batch_id`` already present makes the fold a NO-OP (the
+    exactly-once replay contract); check + append hold the writer
+    lease."""
+    from pyspark.errors import AnalysisException
+
+    from wrangler_spark.datapipe import _layout
+
+    spark = df.sparkSession
+    report = check_constraints(df, rules, include_counts=True)
+    with _layout.writer_lease(spark, path):
+        root = _layout.resolve(spark, path)
+        try:
+            rows = spark.read.parquet(f"{root}/rows")
+            if batch_id and rows.filter(
+                F.col("batch_id") == str(batch_id)
+            ).limit(1).count():
+                return
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+        (
+            report.withColumn("batch_id", F.lit(str(batch_id)))
+            .write.mode("append")
+            .parquet(f"{root}/rows")
+        )
+
+
+def constraints_update_stream(
+    stream: DataFrame, path: str, rules: list[dict], checkpoint: str,
+    trigger: dict | None = None,
+):
+    """Grade a STREAM's micro-batches against a rule list and fold each
+    report into persisted state — the live data-quality monitor (the
+    report_update_stream posture): micro-batch id = batch_id, so
+    at-least-once foreachBatch replay yields exactly-once state."""
+    writer = (
+        stream.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda batch, bid: constraints_update_state(
+                batch, path, rules, str(bid))
+        )
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+    )
+    return writer.start()
+
+
+def constraints_history(spark, path: str, version: int | None = None) -> DataFrame:
+    """The per-batch quality time series from constraints state —
+    exactly the rows each fold graded, batch_id attached. Feed it to
+    :func:`~wrangler_spark.datapipe.events.rolling_stats` keyed on
+    (rule, column) to alarm on drifting violation fractions.
+    ``version`` pins an older committed snapshot."""
+    from wrangler_spark.datapipe import _layout
+
+    return spark.read.parquet(f"{_layout.resolve(spark, path, version)}/rows")
+
+
+def constraints_from_state(
+    spark, path: str, version: int | None = None,
+) -> DataFrame:
+    """The exact across-all-batches report reconstructed from
+    constraints state: fractions re-derive from summed (viol, n)
+    integers — identical to running :func:`check_constraints` over the
+    union of every ingested batch — and min_rows grades the summed row
+    count. ``unique`` rules are inherently per-batch (distinct counts
+    don't sum: the same key in two batches is one duplicate the sums
+    can't see) and are EXCLUDED here — read them from
+    :func:`constraints_history`."""
+    from pyspark.errors import AnalysisException
+
+    from wrangler_spark.datapipe import _layout
+
+    try:
+        rows = spark.read.parquet(f"{_layout.resolve(spark, path, version)}/rows")
+        has = rows.limit(1).count()
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        has = 0
+    if not has:
+        raise ValueError(f"constraints state at {path} is empty")
+    agg = (
+        rows.filter(F.col("rule") != "unique")
+        .groupBy("rule", "column", "metric", "threshold")
+        .agg(F.sum("viol").cast("long").alias("viol"),
+             F.sum("n").cast("long").alias("n"))
+    )
+    n = F.col("n")
+    is_rows = F.col("rule") == "min_rows"
+    value = F.when(is_rows, n.cast("double")).otherwise(
+        F.round(F.when(n == 0, F.lit(0.0)).otherwise(F.col("viol") / n), 6)
+    )
+    return agg.select(
+        "rule", "column", "metric",
+        value.cast("double").alias("value"),
+        "threshold",
+        F.when(is_rows, n >= F.col("threshold"))
+        .otherwise(value <= F.col("threshold")).alias("passed"),
+        "viol", "n",
+    )

@@ -2907,3 +2907,45 @@ SELECT k AS {key}, CAST(b AS BIGINT) AS bucket,
        END AS value
 FROM w
 """
+
+
+def check_constraints_state_sql(table: str = "orders") -> str:
+    """Mirror of constraints_from_state over 3 batch folds of the
+    graded rule set (minus unique — per-batch only): the merged report
+    re-derives fractions from summed (viol, n) integers, which equals
+    the one-shot report over the union, so the oracle is just
+    check_constraints_sql's non-unique rows with the raw counts."""
+    return f"""
+WITH a AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_c,
+         sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 600000
+                  THEN 1 ELSE 0 END) AS oob_p,
+         sum(CASE WHEN o_orderstatus IS NOT NULL AND
+                  CAST(o_orderstatus AS VARCHAR) NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS oos_s
+  FROM {table})
+SELECT 'not_null' AS rule, 'o_custkey' AS "column", 'null_frac' AS metric,
+       round(CAST(null_c AS DOUBLE) / n, 6) AS value,
+       CAST(0.0 AS DOUBLE) AS threshold,
+       round(CAST(null_c AS DOUBLE) / n, 6) <= 0.0 AS passed,
+       CAST(null_c AS BIGINT) AS viol, CAST(n AS BIGINT) AS n
+FROM a
+UNION ALL
+SELECT 'range', 'o_totalprice', 'oob_frac',
+       round(CAST(oob_p AS DOUBLE) / n, 6), CAST(0.0 AS DOUBLE),
+       round(CAST(oob_p AS DOUBLE) / n, 6) <= 0.0,
+       CAST(oob_p AS BIGINT), CAST(n AS BIGINT)
+FROM a
+UNION ALL
+SELECT 'in_set', 'o_orderstatus', 'oos_frac',
+       round(CAST(oos_s AS DOUBLE) / n, 6), CAST(0.0 AS DOUBLE),
+       round(CAST(oos_s AS DOUBLE) / n, 6) <= 0.0,
+       CAST(oos_s AS BIGINT), CAST(n AS BIGINT)
+FROM a
+UNION ALL
+SELECT 'min_rows', NULL, 'n_rows',
+       CAST(n AS DOUBLE), CAST(1000.0 AS DOUBLE), n >= 1000,
+       NULL, CAST(n AS BIGINT)
+FROM a
+"""
