@@ -1237,7 +1237,16 @@ _R11_WINDOW = [
     # r9: num_qbins vacated (r8-green, unchanged) for the grouped
     # top-fraction pruning — keep_top_frac(by=)
     "sample_top_frac_by",
-    "text_entropy",
+    # r11 session 2: text_entropy vacated (green r7-r10, unchanged; the
+    # scan-side text-stats family stays graded via the in-window
+    # text_repetition / text_ngram_rep / text_rep_filter) for the
+    # Deequ-posture one-pass data-quality gate — new this round
+    "dq_constraints",
+    # r11 session 2: num_winsorize_by vacated (r9-green, unchanged; the
+    # grouped numeric join path stays graded via num_mad_by +
+    # num_qbins_by in-window) for the constraints-state reconstruction —
+    # merged report == one-shot over the union, new this round
+    "dq_constraints_state",
     # r10: text_top_ngrams vacated (r9-green, unchanged; the two-phase
     # top-k family stays graded via text_vocabulary/events_paths) for
     # the topic-labeling capstone — kmeans clusters + log-odds labels,
@@ -1278,8 +1287,23 @@ _R11_WINDOW = [
     # r8 change was the shared checkpoint mechanism, still represented by
     # several remaining entries) for the grouped winsorize/qbins — the
     # grouped numeric family is now fully driver-graded
-    "num_winsorize_by",
     "num_qbins_by",
+    # r11 session 2: text_oov vacated (r9-green, unchanged; the vocab
+    # family stays graded via text_vocab + text_vocab_state in-window)
+    # for the count-min sketch point estimates — new this round
+    "events_cms_counts",
+    # r11 session 2: ann_ivf_pq_topk vacated (r8-green, unchanged; the
+    # PQ family stays graded via ann_pq_topk in-window) for the
+    # time-series resample grid — new this round
+    "events_resample",
+    # r11 session 2: dedup_cross_bloom vacated (r8-green, unchanged; the
+    # cross-corpus dedup family stays graded via dedup_cross_embedding +
+    # dedup_minhash_b16r2 in-window) for the interpolated fill — new
+    "events_resample_interp",
+    # r11 session 2: text_group_terms vacated (r9-green, unchanged; the
+    # same machinery runs weighted inside the in-window
+    # text_group_terms_weighted) for the rolling anomaly band — new
+    "events_rolling",
     # late r8 addition (benchmark-contamination spans) — num_outliers
     # vacated this slot (flag_outliers stays graded through num_mad,
     # which exercises the same r8 exact-knob path)
@@ -1294,14 +1318,6 @@ _R11_WINDOW = [
     # the embedding family stays graded via ann_recall/emb_project/
     # emb_outliers)
     "text_langid_multi",
-    # r9: emb_project vacated (r8-green, unchanged; embedding family
-    # graded via ann_recall/emb_outliers) for the per-doc OOV rate —
-    # new this round, composes the rewritten vocab_coverage
-    "text_oov",
-    # r9: text_hash_emb vacated (r8-green, unchanged; it still feeds the
-    # graded ann/emb family) for per-group top terms — new this round,
-    # the group-labeling counterpart of the rewritten vocabulary
-    "text_group_terms",
     # r11: ann_recall vacated (green r8-r10, unchanged; the ANN family
     # stays graded via the in-window ann_pq_topk / ann_ivf_pq_topk /
     # ann_mmr_rerank) for the one-row skew scorecard — new this round
@@ -1333,8 +1349,6 @@ _R11_WINDOW = [
     # graded through ann_pq_topk + ann_ivf_pq_topk) for the rolling
     # DAU/WAU/MAU counts — new this round
     "events_active_users",
-    "ann_ivf_pq_topk",
-    "dedup_cross_bloom",
     "emb_outliers",
     "text_nfc",
     # r9: corpus_overlap vacated (r8-green, unchanged; the corpus-summary

@@ -88,6 +88,11 @@ EXTRA_QUERIES = [
     # Added round 11
     "events_pagerank",            # iterative join+agg power iteration (graph family)
     "events_communities",         # synchronous LPA community detection
+    # Added round 11, session 2
+    "dq_constraints",             # one-pass declarative quality gate (Deequ posture)
+    "events_resample",            # dense time grid: scan-side fold fill
+    "events_rolling",             # trailing-window anomaly band over the grid
+    "events_cms_counts",          # count-min sketch point estimates
 ]
 
 

@@ -70,6 +70,9 @@ QUERIES = [
     # round 11, second batch (graph family: iterative join+agg loops —
     # sf1's user-id-shifted events give 10x transition edges)
     "events_pagerank", "events_communities",
+    # round 11, session 2 (quality gate = one aggregation pass; resample/
+    # rolling = per-key bounded folds; cms = grid-bounded aggregate)
+    "dq_constraints", "events_resample", "events_rolling", "events_cms_counts",
 ]
 
 

@@ -559,6 +559,41 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # round 11 session 2 — quality gate: the whole rule list is ONE
+    # aggregation job (conditional sums; the unique rule's distinct adds
+    # an Expand, never a second scan), report exploded from 1 row
+    p = plan_of(qs["dq_constraints"](spark, SF_DIR))
+    problems += check(
+        "dq_constraints", p, must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+    import re as _re
+
+    n_scans = len(_re.findall(r"^\(\d+\) Scan parquet", p, _re.M))
+    if n_scans > 1:
+        problems.append(f"dq_constraints: {n_scans} scans (must be 1)")
+
+    # resample + rolling band: grid and fills are scan-side folds over
+    # per-key bounded arrays — no window functions anywhere
+    for gq in ("events_resample", "events_rolling"):
+        p = plan_of(qs[gq](spark, SF_DIR))
+        problems += check(
+            gq, p, must=["HashAggregate"],
+            must_not=["Window", "CartesianProduct",
+                      "BatchEvalPython", "ArrowEvalPython"],
+        )
+
+    # count-min estimate: the depth x width sketch side BROADCASTS; the
+    # probe side never sort-merge-joins
+    p = plan_of(qs["events_cms_counts"](spark, SF_DIR))
+    problems += check(
+        "events_cms_counts", p,
+        must=["HashAggregate", "BroadcastHashJoin"],
+        must_not=["Window", "CartesianProduct", "SortMergeJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:
