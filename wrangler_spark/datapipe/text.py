@@ -1873,3 +1873,75 @@ def collocations(
     )
     release(toks)
     return out
+
+
+def extract_links(
+    df: DataFrame,
+    id_col: str,
+    html_col: str,
+    base_col: str | None = None,
+    hosts: bool = False,
+) -> DataFrame:
+    """(src, url) outlink edges from an HTML column — the step between
+    WARC ingestion (sources.read_warc -> the raw payload) and the graph
+    family (graph_pagerank over the host graph IS crawl-frontier
+    ranking). Pure scan-side JVM regex extraction (regexp_extract_all
+    over href attributes, single- or double-quoted), zero shuffle, no
+    Python — a structural extractor like html_to_text, not a browser:
+    javascript:/mailto:/fragment-only links drop, entities in URLs are
+    left as written.
+
+    ``base_col`` names a column holding the page's own URL: relative
+    links then resolve against its scheme://host (path-relative
+    resolution is deliberately host-grained — frontier ranking is a
+    host-graph decision). Without it, relative links drop.
+    ``hosts=True`` reduces edges to (src, dst_host) and drops
+    self-host edges — the dedup'd host graph feeds
+    :func:`~wrangler_spark.datapipe.graph.graph_pagerank` directly."""
+    from wrangler_spark.datapipe.curation import _HOST_RE
+
+    c = F.col(html_col)
+    body = F.when(
+        c.isNotNull(),
+        # binary WARC payloads decode best-effort like html_to_text
+        c.cast("string"),
+    )
+    hrefs = F.concat(
+        F.regexp_extract_all(body, F.lit(r'(?i)href\s*=\s*"([^"]+)"'), F.lit(1)),
+        F.regexp_extract_all(body, F.lit(r"(?i)href\s*=\s*'([^']+)'"), F.lit(1)),
+    )
+    out = (
+        df.select(F.col(id_col).alias("src"),
+                  (F.col(base_col) if base_col else F.lit(None).cast("string")).alias("__base"),
+                  F.explode(hrefs).alias("__u"))
+        .withColumn("__u", F.trim(F.col("__u")))
+        # strip the fragment; drop empties and non-navigational schemes
+        .withColumn("__u", F.regexp_replace(F.col("__u"), r"#.*$", ""))
+        .filter(
+            (F.col("__u") != "")
+            & ~F.lower(F.col("__u")).rlike(r"^(javascript|mailto|tel|data):")
+        )
+    )
+    is_abs = F.col("__u").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    base_origin = F.regexp_extract(
+        F.col("__base"), r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)
+    resolved = F.when(is_abs, F.col("__u")).otherwise(
+        F.when(
+            (base_origin != "") & F.col("__u").startswith("/"),
+            F.concat(base_origin, F.col("__u")),
+        ).when(
+            base_origin != "",
+            F.concat(base_origin, F.lit("/"), F.col("__u")),
+        )
+    )
+    out = out.withColumn("url", resolved).filter(F.col("url").isNotNull())
+    if not hosts:
+        return out.select("src", "url")
+    dst = F.lower(F.regexp_extract(F.col("url"), _HOST_RE, 1))
+    src_host = F.lower(F.regexp_extract(F.col("__base"), _HOST_RE, 1))
+    return (
+        out.select("src", src_host.alias("src_host"), dst.alias("dst_host"))
+        .filter((F.col("dst_host") != "")
+                & (F.col("dst_host") != F.col("src_host")))
+        .distinct()
+    )

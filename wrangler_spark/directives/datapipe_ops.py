@@ -1627,3 +1627,33 @@ class RollingStats(Directive):
             ctx.resolve(df, self.args["value"]),
             window=int(self.args["window"]),
         )
+
+
+@directive
+class ExtractLinks(Directive):
+    """extract-links :id :html [base] [hosts] — (src, url) outlink
+    edges from an HTML column (scan-side JVM regex over href
+    attributes); base names the page-URL column for relative-link
+    resolution, hosts=true reduces to the deduped cross-host edge list
+    graph_pagerank consumes (crawl-frontier ranking)."""
+
+    name = "extract-links"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("html", TokenType.COLUMN),
+        Arg("base", TokenType.COLUMN, optional=True, default=None),
+        Arg("hosts", TokenType.BOOL, optional=True, default=False),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import extract_links
+
+        return extract_links(
+            df,
+            ctx.resolve(df, self.args["id"]),
+            ctx.resolve(df, self.args["html"]),
+            base_col=(
+                ctx.resolve(df, self.args["base"]) if self.args["base"] else None
+            ),
+            hosts=bool(self.args["hosts"]),
+        )
