@@ -696,6 +696,14 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "num_quantiles_sketch": lambda s, d: numeric.quantiles_sketched(
             _t(s, d, "lineitem"), "l_extendedprice"
         ),
+        # two-sample KS drift off the same log-bin space — the
+        # nonparametric one-number companion to the PSI bins; runs on
+        # histograms, so it also compares TIME-TRAVELED state snapshots
+        "num_ks_drift": lambda s, d: numeric.ks_drift(
+            _t(s, d, "lineitem").filter(F.col("l_orderkey") % 2 == 0),
+            _t(s, d, "lineitem").filter(F.col("l_orderkey") % 2 == 1),
+            "l_extendedprice",
+        ),
         "num_quantiles_state": _q_quantiles_state,
         "num_quantiles_by": lambda s, d: numeric.quantiles_sketched_by(
             _t(s, d, "lineitem"), "l_extendedprice", "l_returnflag"
@@ -967,6 +975,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_quantiles_sketch": o.quantiles_sketch_sql(),
         "num_quantiles_state": o.quantiles_sketch_sql(),
         "num_quantiles_by": o.quantiles_sketch_by_sql(),
+        "num_ks_drift": o.ks_drift_sql(),
         "text_collocations": o.collocations_sql(50, 5),
         "dedup_pagerank": o.dedup_pagerank_sql(0.5),
         "events_key_skew": o.key_skew_sql("user_id", "events", 20),

@@ -127,3 +127,60 @@ def test_grouped_quantiles(spark):
     with _pytest.raises(ValueError, match="negative"):
         numeric.quantiles_sketched_by(
             spark.createDataFrame([("a", -1.0)], "g string, x double"), "x", "g")
+
+
+def test_ks_drift_identical_and_shifted(spark):
+    a = spark.range(1, 2001).select((F.col("id") % 100 + 1).cast("double").alias("x"))
+    b = spark.range(1, 2001).select((F.col("id") % 100 + 1).cast("double").alias("x"))
+    same = numeric.ks_drift(a, b, "x").collect()[0]
+    assert same["ks"] == 0.0 and not same["drifted"]
+    c = spark.range(1, 2001).select(((F.col("id") % 100 + 1) * 3.0).alias("x"))
+    diff = numeric.ks_drift(a, c, "x").collect()[0]
+    assert diff["ks"] > diff["ks_critical"] and diff["drifted"]
+    # vs python reference on the SAME binning (scipy-free: exact fold)
+    import math
+
+    base = 1.05 ** 2
+
+    def bins(vals):
+        out = {}
+        for v in vals:
+            bn = -(1 << 31) if v == 0 else math.floor(round(math.log(v) / math.log(base), 9))
+            out[bn] = out.get(bn, 0) + 1
+        return out
+
+    va = [float(r["x"]) for r in a.collect()]
+    vc = [float(r["x"]) for r in c.collect()]
+    ha, hc = bins(va), bins(vc)
+    ca = cb = 0
+    mx = 0.0
+    for bn in sorted(set(ha) | set(hc)):
+        ca += ha.get(bn, 0)
+        cb += hc.get(bn, 0)
+        mx = max(mx, abs(ca / len(va) - cb / len(vc)))
+    assert diff["ks"] == round(mx, 6)
+
+
+def test_ks_from_state_snapshots(spark, tmp_path_factory):
+    # drift between a TIME-TRAVELED snapshot of one quantile state and
+    # its latest read: compaction cadence IS snapshot cadence, so pin
+    # the pre-compaction version (= batch 0 only), append the shifted
+    # batch into the compacted version, and KS the two reads
+    from wrangler_spark.datapipe import _layout, maintenance
+
+    df1 = spark.range(1, 1001).select((F.col("id") % 50 + 1).cast("double").alias("x"))
+    df2 = spark.range(1, 1001).select(((F.col("id") % 50 + 1) * 10.0).alias("x"))
+    path = str(tmp_path_factory.mktemp("ksstate")) + "/st"
+    numeric.hist_update_state(df1, path, "x", batch_id="b0")
+    # v1 = batch 0; the second compaction freezes it (a version's
+    # content grows until the NEXT version exists), so b1's append
+    # lands in v2 and the v1 pin reads batch 0 alone
+    maintenance.compact_index(spark, path)
+    v0 = max(sn["version"] for sn in _layout.snapshots(spark, path)
+             if sn["committed"])
+    maintenance.compact_index(spark, path)
+    numeric.hist_update_state(df2, path, "x", batch_id="b1")
+    ha = numeric.hist_from_state(spark, path, version=v0)
+    hb = numeric.hist_from_state(spark, path)
+    r = numeric.ks_from_histograms(ha, hb).collect()[0]
+    assert r["n_a"] == 1000 and r["n_b"] == 2000 and r["ks"] > 0.4

@@ -544,3 +544,80 @@ def quantiles_sketched_by(
         .select(F.col("__g").alias(by), "prob", F.round(value, 6).alias("value"))
         .filter(F.col("value").isNotNull())
     )
+
+
+def ks_from_histograms(ha: DataFrame, hb: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic from two (bin, count)
+    histograms sharing a bin space: sup over bin boundaries of
+    |CDF_a - CDF_b| (exact at bin granularity — the log-bin space makes
+    that a relative-error granularity on the value axis). One row:
+    (ks, n_a, n_b, ks_critical, drifted) with ks_critical the
+    large-sample alpha=0.05 rejection bound
+    1.358 * sqrt((n_a + n_b) / (n_a * n_b)) (Smirnov's asymptotic
+    table) and drifted = ks > ks_critical.
+
+    Scale shape: both inputs are already bounded bin frames (~600 rows
+    for 1e-9..1e9 at 5%); a full-outer bin join, ONE one-row aggregate
+    collecting the sorted merged bins, and a scan-side fold tracking
+    (cum_a, cum_b, max |diff|). Cumulative counts are exact integers;
+    each CDF difference is two integer/integer divisions — IEEE
+    identical across engines — and the max is order-free, rounded 6dp
+    once."""
+    a = ha.select(F.col("bin"), F.col("count").alias("ca"))
+    b = hb.select(F.col("bin"), F.col("count").alias("cb"))
+    j = a.join(b, "bin", "full").select(
+        "bin",
+        F.coalesce(F.col("ca"), F.lit(0)).cast("long").alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("cb"),
+    )
+    one = j.agg(
+        F.sort_array(F.collect_list(F.struct("bin", "ca", "cb"))).alias("__m"),
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("ca"),
+        F.lit(0).cast("long").alias("cb"),
+        F.lit(0.0).alias("mx"),
+    )
+    folded = F.aggregate(
+        F.col("__m"),
+        init,
+        lambda acc, x: F.struct(
+            (acc["ca"] + x["ca"]).alias("ca"),
+            (acc["cb"] + x["cb"]).alias("cb"),
+            F.greatest(
+                acc["mx"],
+                F.abs(
+                    (acc["ca"] + x["ca"]) / F.col("n_a")
+                    - (acc["cb"] + x["cb"]) / F.col("n_b")
+                ),
+            ).alias("mx"),
+        ),
+    )["mx"]
+    ks = F.round(folded, 6)
+    crit = F.round(
+        F.lit(1.358)
+        * F.sqrt((F.col("n_a") + F.col("n_b"))
+                 / (F.col("n_a").cast("double") * F.col("n_b"))),
+        6,
+    )
+    return one.select(
+        ks.alias("ks"), "n_a", "n_b", crit.alias("ks_critical"),
+        (ks > crit).alias("drifted"),
+    )
+
+
+def ks_drift(
+    a: DataFrame, b: DataFrame, col: str, rel_err: float = 0.05,
+) -> DataFrame:
+    """Two-sample KS drift between two corpora over a non-negative
+    numeric column — the nonparametric companion to
+    curation.distribution_drift's PSI (PSI needs the 10-bin occupancy
+    story; KS gives one defensible number with a rejection bound). Built
+    on :func:`log_histogram`, so it also runs between two TIME-TRAVELED
+    snapshots of persisted quantile state (hist_from_state(version=v1)
+    vs v2) without touching either corpus."""
+    return ks_from_histograms(
+        log_histogram(a, col, rel_err), log_histogram(b, col, rel_err)
+    )

@@ -2949,3 +2949,48 @@ SELECT 'min_rows', NULL, 'n_rows',
        NULL, CAST(n AS BIGINT)
 FROM a
 """
+
+
+def ks_drift_sql(
+    col: str = "l_extendedprice", table: str = "lineitem",
+    rel_err: float = 0.05,
+) -> str:
+    """Mirror of numeric.ks_drift between the even/odd l_orderkey
+    halves: shared log-bin space, full-outer bin join, cumulative
+    integer counts, sup |CDF_a - CDF_b| rounded 6dp, Smirnov
+    alpha=0.05 critical bound."""
+    import math
+
+    base = (1.0 + float(rel_err)) ** 2
+    lnbase = math.log(base)
+    zero = -(1 << 31)
+    binexpr = (
+        f"CASE WHEN x = 0 THEN CAST({zero} AS BIGINT) "
+        f"ELSE CAST(floor(round(ln(x) / {lnbase!r}, 9)) AS BIGINT) END"
+    )
+    return f"""
+WITH va AS (SELECT CAST({col} AS DOUBLE) AS x FROM {table}
+            WHERE l_orderkey % 2 = 0 AND {col} IS NOT NULL),
+vb AS (SELECT CAST({col} AS DOUBLE) AS x FROM {table}
+       WHERE l_orderkey % 2 = 1 AND {col} IS NOT NULL),
+ha AS (SELECT {binexpr} AS bin, count(*) AS ca FROM va GROUP BY 1),
+hb AS (SELECT {binexpr} AS bin, count(*) AS cb FROM vb GROUP BY 1),
+m AS (SELECT coalesce(ha.bin, hb.bin) AS bin,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM ha FULL JOIN hb ON ha.bin = hb.bin),
+t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM m),
+c AS (SELECT bin, sum(ca) OVER (ORDER BY bin) AS cca,
+             sum(cb) OVER (ORDER BY bin) AS ccb
+      FROM m)
+SELECT round(max(abs(CAST(cca AS DOUBLE) / t.na
+                     - CAST(ccb AS DOUBLE) / t.nb)), 6) AS ks,
+       t.na AS n_a, t.nb AS n_b,
+       round(1.358 * sqrt((t.na + t.nb) / (CAST(t.na AS DOUBLE) * t.nb)), 6)
+         AS ks_critical,
+       round(max(abs(CAST(cca AS DOUBLE) / t.na
+                     - CAST(ccb AS DOUBLE) / t.nb)), 6)
+         > round(1.358 * sqrt((t.na + t.nb)
+                              / (CAST(t.na AS DOUBLE) * t.nb)), 6) AS drifted
+FROM c CROSS JOIN t GROUP BY t.na, t.nb
+"""
