@@ -672,6 +672,11 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count-min sketch point estimates: bounded-state key counts
         # (Cormode & Muthukrishnan 2005) — est >= true, exact-merge state
         "events_cms_counts": _q_cms_counts,
+        # the Deequ discovery step: per-column profile in one pass
+        # (profile -> suggest_constraints -> check_constraints loop)
+        "dq_profile": lambda s, d: curation.profile_table(
+            _t(s, d, "orders"), exact=True
+        ),
         # Deequ-posture declarative data-quality gate: every metric the
         # rule list needs in ONE aggregation pass (Schelter et al. VLDB'18)
         # state reconstruction must equal the one-shot report (the
@@ -982,6 +987,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_key_skew_summary": o.key_skew_summary_sql("user_id", "events"),
         "dq_constraints": o.check_constraints_sql(),
         "dq_constraints_state": o.check_constraints_state_sql(),
+        "dq_profile": o.profile_sql(),
         "events_cms_counts": o.cms_counts_sql("user_id", "events", 4, 512, 20),
         "events_resample": o.resample_sql("event_type", "ts", "value", "events", 60),
         "events_rolling": o.rolling_stats_sql(24, 60),

@@ -189,3 +189,41 @@ def test_constraints_stream_monitor(spark, tmp_path_factory):
         assert merged[k]["value"] == one[k]["value"]
         assert merged[k]["passed"] == one[k]["passed"]
     _sh.rmtree(src, ignore_errors=True)
+
+
+def test_profile_and_suggest_loop(spark):
+    from wrangler_spark.datapipe.curation import (
+        check_constraints as _check,
+        profile_table,
+        suggest_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 9.5), (3, None, 1.0)],
+        "id long, s string, v double")
+    prof = {r["column"]: r for r in profile_table(df, exact=True).collect()}
+    assert prof["id"]["n_distinct"] == 3 and prof["id"]["n_null"] == 0
+    assert prof["s"]["null_frac"] == 0.333333
+    assert prof["s"]["n_distinct"] == 3  # a, b, and the NULL group
+    assert prof["v"]["min"] == "1.0" and prof["v"]["max"] == "9.5"
+    rules = suggest_constraints(profile_table(df, exact=True))
+    kinds = {(r["rule"], r.get("col")) for r in rules}
+    # id: complete + unique + numeric range; s is nullable -> no not_null
+    assert ("not_null", "id") in kinds and ("unique", "id") in kinds
+    assert ("range", "v") in kinds and ("not_null", "s") not in kinds
+    assert ("min_rows", None) in kinds
+    # the loop closes: suggested rules PASS on the data they came from
+    rep = _check(df, rules)
+    assert all(r["passed"] for r in rep.collect())
+    # column selection + unknown column
+    assert profile_table(df, cols=["id"], exact=True).count() == 1
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, cols=["nope"])
+
+
+def test_profile_single_scan(spark):
+    from wrangler_spark.datapipe.curation import profile_table
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 1, plan

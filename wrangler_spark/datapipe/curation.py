@@ -2542,3 +2542,91 @@ def constraints_from_state(
         .otherwise(value <= F.col("threshold")).alias("passed"),
         "viol", "n",
     )
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, exact: bool = False,
+) -> DataFrame:
+    """Per-column profile in ONE aggregation pass — the discovery step
+    in the Deequ loop (profile -> :func:`suggest_constraints` ->
+    :func:`check_constraints`): (column, dtype, n_rows, n_null,
+    null_frac, n_distinct, min, max) rows, one per profiled column.
+    min/max render as strings (columns differ in type; numeric columns
+    keep their natural ordering, strings are lexicographic — exactly
+    the source ordering). ``exact=False`` (the 100 TB default) uses
+    HLL approx_count_distinct for n_distinct — every other metric is
+    exact conditional-sum arithmetic; ``exact=True`` swaps in true
+    count_distinct (one Expand, still one scan — the corpus_report
+    knob). null_frac is integer/integer rounded 6dp."""
+    names = list(cols) if cols else [f.name for f in df.schema.fields]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = [c for c in names if c not in types]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    if not names:
+        raise ValueError("profile_table: no columns to profile")
+    aggs = [F.count("*").cast("long").alias("__n")]
+    for i, cname in enumerate(names):
+        c = F.col(cname)
+        aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0))
+                    .cast("long").alias(f"__null{i}"))
+        dc = (F.count_distinct(c) if exact
+              else F.approx_count_distinct(c))
+        aggs.append(dc.cast("long").alias(f"__d{i}"))
+        aggs.append(F.max(F.when(c.isNull(), 1).otherwise(0))
+                    .alias(f"__hn{i}"))
+        aggs.append(F.min(c).cast("string").alias(f"__min{i}"))
+        aggs.append(F.max(c).cast("string").alias(f"__max{i}"))
+    one = df.agg(*aggs)
+    n = F.coalesce(F.col("__n"), F.lit(0))
+    rows = []
+    for i, cname in enumerate(names):
+        null_frac = F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(F.col(f"__null{i}") / n), 6)
+        # a NULL group is one distinct value, like GROUP BY
+        distinct = F.col(f"__d{i}") + F.col(f"__hn{i}")
+        rows.append(F.struct(
+            F.lit(cname).alias("column"),
+            F.lit(types[cname]).alias("dtype"),
+            n.alias("n_rows"),
+            F.col(f"__null{i}").alias("n_null"),
+            null_frac.cast("double").alias("null_frac"),
+            distinct.cast("long").alias("n_distinct"),
+            F.col(f"__min{i}").alias("min"),
+            F.col(f"__max{i}").alias("max"),
+        ))
+    return one.select(F.explode(F.array(*rows)).alias("__p")).select(
+        "__p.column", "__p.dtype", "__p.n_rows", "__p.n_null",
+        "__p.null_frac", "__p.n_distinct", "__p.min", "__p.max")
+
+
+def suggest_constraints(profile_df: DataFrame) -> list[dict]:
+    """Turn a :func:`profile_table` result into a
+    :func:`check_constraints` rule list — the Deequ suggestion step:
+    ``not_null`` where no value is missing, ``unique`` where every row
+    is distinct (only trustworthy from an ``exact=True`` profile — HLL
+    distincts suggest, they don't prove), ``range`` with the observed
+    [min, max] for numeric columns, and a table-level ``min_rows`` at
+    half the observed count (the re-ingestion sanity floor). The
+    profile is one row per COLUMN, so collecting it is a bounded
+    driver read, not a data read."""
+    numeric_types = {"tinyint", "smallint", "int", "bigint",
+                     "float", "double"}
+    rules: list[dict] = []
+    prof = profile_df.collect()
+    for r in prof:
+        if r["n_rows"] == 0:
+            continue
+        if r["n_null"] == 0:
+            rules.append({"rule": "not_null", "col": r["column"]})
+        if r["n_distinct"] == r["n_rows"]:
+            rules.append({"rule": "unique", "col": r["column"]})
+        base = r["dtype"].split("(")[0]
+        if base in numeric_types and r["min"] is not None:
+            rules.append({
+                "rule": "range", "col": r["column"],
+                "min": float(r["min"]), "max": float(r["max"]),
+            })
+    if prof:
+        rules.append({"rule": "min_rows", "n": max(1, prof[0]["n_rows"] // 2)})
+    return rules

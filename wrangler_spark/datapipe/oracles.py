@@ -2994,3 +2994,32 @@ SELECT round(max(abs(CAST(cca AS DOUBLE) / t.na
                               / (CAST(t.na AS DOUBLE) * t.nb)), 6) AS drifted
 FROM c CROSS JOIN t GROUP BY t.na, t.nb
 """
+
+
+def profile_sql(table: str = "orders") -> str:
+    """Mirror of curation.profile_table(exact=True) over the orders
+    table: one conditional-count aggregate, a UNION ALL row per column
+    (dtype literals = Spark's simpleString names; min/max cast to
+    VARCHAR; the NULL group counts as one distinct value)."""
+    cols = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderpriority", "string"),
+    ]
+    parts = []
+    for c, t in cols:
+        parts.append(f"""
+SELECT '{c}' AS "column", '{t}' AS dtype,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       round(CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS null_frac,
+       CAST(count(DISTINCT {c})
+            + max(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min, CAST(max({c}) AS VARCHAR) AS max
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)

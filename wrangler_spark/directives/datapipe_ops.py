@@ -1657,3 +1657,24 @@ class ExtractLinks(Directive):
             ),
             hosts=bool(self.args["hosts"]),
         )
+
+
+@directive
+class ProfileTable(Directive):
+    """profile [cols] [exact] — per-column profile in one aggregation
+    pass (column, dtype, n_rows, n_null, null_frac, n_distinct, min,
+    max): the Deequ discovery step that feeds suggest_constraints ->
+    check-constraints. cols is a comma list (default: all); exact=true
+    swaps HLL distincts for true count_distinct."""
+
+    name = "profile"
+    usage = [
+        Arg("cols", TokenType.TEXT, optional=True, default=""),
+        Arg("exact", TokenType.BOOL, optional=True, default=False),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import profile_table
+
+        cols = [c.strip() for c in str(self.args["cols"]).split(",") if c.strip()]
+        return profile_table(df, cols or None, exact=bool(self.args["exact"]))
