@@ -1326,7 +1326,10 @@ _R11_WINDOW = [
     # r9: num_winsorize vacated (r8-green, unchanged) for the grouped
     # MAD fence — flag_outliers(by=) through the shared join_group_stats
     "num_mad_by",
-    "ann_mmr_rerank",
+    # r11 session 2: ann_mmr_rerank vacated (r8-green, unchanged; the
+    # ANN family stays graded via ann_pq_topk + emb_cluster_topics
+    # in-window) for the column profiler — the Deequ discovery step
+    "dq_profile",
     # late r8 change (langid_multi grew nl/sv/pl/id profiles — its output
     # semantics changed, so it re-enters the window); emb_quantize vacated
     # (r7-green; its own __ma staging predates the staged-norm fix, and
@@ -1364,7 +1367,10 @@ _R11_WINDOW = [
     # graded through ann_pq_topk + ann_ivf_pq_topk) for the rolling
     # DAU/WAU/MAU counts — new this round
     "events_active_users",
-    "emb_outliers",
+    # r11 session 2: emb_outliers vacated (r8-green, unchanged; the
+    # embedding family stays graded via dedup_cross_embedding +
+    # emb_cluster_topics in-window) for the two-sample KS drift — new
+    "num_ks_drift",
     "text_nfc",
     # r9: corpus_overlap vacated (r8-green, unchanged; the corpus-summary
     # family stays graded via corpus_drift) for the Gopher repetition
