@@ -701,6 +701,16 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "num_quantiles_sketch": lambda s, d: numeric.quantiles_sketched(
             _t(s, d, "lineitem"), "l_extendedprice"
         ),
+        # numeric NULL imputation: per-group mean (micro-unit contract) —
+        # the numeric completion of fill-null-or-empty
+        "num_impute": lambda s, d: numeric.impute_column(
+            _t(s, d, "events").select(
+                "event_id", "event_type",
+                F.when(F.col("event_id") % 7 == 0, None)
+                .otherwise(F.col("value")).cast("double").alias("v"),
+            ),
+            "v", "mean", by=["event_type"],
+        ).select("event_id", "event_type", "v"),
         # two-sample KS drift off the same log-bin space — the
         # nonparametric one-number companion to the PSI bins; runs on
         # histograms, so it also compares TIME-TRAVELED state snapshots
@@ -981,6 +991,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_quantiles_state": o.quantiles_sketch_sql(),
         "num_quantiles_by": o.quantiles_sketch_by_sql(),
         "num_ks_drift": o.ks_drift_sql(),
+        "num_impute": o.impute_sql(),
         "text_collocations": o.collocations_sql(50, 5),
         "dedup_pagerank": o.dedup_pagerank_sql(0.5),
         "events_key_skew": o.key_skew_sql("user_id", "events", 20),

@@ -184,3 +184,40 @@ def test_ks_from_state_snapshots(spark, tmp_path_factory):
     hb = numeric.hist_from_state(spark, path)
     r = numeric.ks_from_histograms(ha, hb).collect()[0]
     assert r["n_a"] == 1000 and r["n_b"] == 2000 and r["ks"] > 0.4
+
+
+def test_impute_strategies(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0), ("b", None),
+         ("c", None)],
+        "g string, v double")
+    by_mean = {(r["g"], i): r["vi"] for i, r in enumerate(
+        numeric.impute_column(df, "v", "mean", by=["g"], out_col="vi")
+        .orderBy("g", "v").collect())}
+    assert by_mean[("a", 0)] == 2.0       # a's NULL <- mean(1, 3)
+    assert by_mean[("b", 3)] == 10.0
+    assert by_mean[("c", 5)] is None      # all-NULL group stays NULL
+    glob = sorted(r["v"] for r in numeric.impute_column(df, "v", "mean").collect())
+    assert glob.count(4.666667) == 3      # micro-unit mean of 1, 3, 10
+    med = numeric.impute_column(df, "v", "median", by=["g"]).orderBy("g", "v").collect()
+    assert [r["v"] for r in med[:3]] == [1.0, 2.0, 3.0]  # NULL <- median(1,3)
+    mode = numeric.impute_column(
+        spark.createDataFrame([(5.0,), (5.0,), (2.0,), (2.0,), (None,)], "v double"),
+        "v", "mode").collect()
+    assert sorted(r["v"] for r in mode)[0] == 2.0  # tie -> smallest value
+    const = numeric.impute_column(df, "v", 0.5)
+    assert const.filter("v = 0.5").count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown strategy"):
+        numeric.impute_column(df, "v", "zero")
+
+
+def test_impute_directive(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame([("a", 1.0), ("a", None)], "g string, v double")
+    out = Pipeline.compile("impute :v mean g").apply(df)
+    assert sorted(r["v"] for r in out.collect()) == [1.0, 1.0]
+    out2 = Pipeline.compile("impute :v 9.5").apply(df)
+    assert sorted(r["v"] for r in out2.collect()) == [1.0, 9.5]

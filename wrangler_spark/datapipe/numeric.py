@@ -621,3 +621,76 @@ def ks_drift(
     return ks_from_histograms(
         log_histogram(a, col, rel_err), log_histogram(b, col, rel_err)
     )
+
+
+def impute_column(
+    df: DataFrame, col: str, strategy: str = "mean",
+    by: list[str] | None = None, out_col: str | None = None,
+    exact: bool = True, accuracy: int = 10000,
+) -> DataFrame:
+    """Fill a numeric column's NULLs from the data itself — mean /
+    median / mode / a constant — optionally PER GROUP (impute a missing
+    doc-quality score from its own source's distribution, not the
+    corpus's). The numeric completion of fill-null-or-empty's
+    constant-only semantics (ref: FillNullOrEmpty.java handles strings).
+
+    Strategies: ``mean`` (micro-unit integer sum / count, the
+    determinism contract), ``median`` (exact type-7 percentile, or the
+    percentile_approx sketch with ``exact=False`` at scale), ``mode``
+    (most frequent non-null value; count desc then value asc — the
+    deterministic tie), or any float (a constant — scan-side, no
+    aggregate at all). Imputed values round 6dp.
+
+    Scale shape: one aggregate for the fill value (per group with
+    ``by`` — the join_group_stats null-safe join-back, AQE-broadcast),
+    then a scan-side coalesce. Groups whose every value is NULL stay
+    NULL (nothing to impute from). All-NULL ungrouped columns likewise.
+    ``out_col`` writes beside instead of replacing."""
+    c = F.col(col)
+    out = out_col or col
+    if isinstance(strategy, (int, float)) and not isinstance(strategy, bool):
+        return df.withColumn(
+            out, F.coalesce(c, F.lit(float(strategy))).cast("double"))
+    if strategy == "mean":
+        fill = F.round(
+            F.sum(F.round(c.cast("double") * F.lit(1e6)).cast("long"))
+            / (F.count(c) * F.lit(1e6)),
+            6,
+        ).alias("__fill")
+        stats = (df.groupBy(*by) if by else df).agg(fill)
+    elif strategy == "median":
+        v = c.cast("double")
+        if exact:
+            fill = F.expr(f"percentile({col}, 0.5)")
+        else:
+            fill = F.percentile_approx(v, F.lit(0.5), F.lit(accuracy))
+        stats = (df.groupBy(*by) if by else df).agg(
+            F.round(fill, 6).alias("__fill"))
+    elif strategy == "mode":
+        counts = (
+            df.filter(c.isNotNull())
+            .groupBy(*(by or []), c.alias("__v"))
+            .agg(F.count("*").alias("__n"))
+        )
+        best = counts.groupBy(*(by or [])).agg(
+            F.max_by(
+                F.col("__v"),
+                F.struct(
+                    F.col("__n").alias("n"),
+                    # count desc, then SMALLEST value: negate for max_by
+                    (-F.col("__v").cast("double")).alias("tie"),
+                ),
+            ).cast("double").alias("__fill")
+        )
+        stats = best
+    else:
+        raise ValueError(
+            f"impute_column: unknown strategy {strategy!r} "
+            "(mean | median | mode | a numeric constant)")
+    if by:
+        joined = join_group_stats(df, stats, list(by))
+    else:
+        joined = df.crossJoin(F.broadcast(stats))  # 1-row stats frame
+    return joined.withColumn(
+        out, F.coalesce(c.cast("double"), F.col("__fill"))
+    ).drop("__fill")

@@ -3023,3 +3023,21 @@ SELECT '{c}' AS "column", '{t}' AS dtype,
        CAST(min({c}) AS VARCHAR) AS min, CAST(max({c}) AS VARCHAR) AS max
 FROM {table}""")
     return "\nUNION ALL\n".join(parts)
+
+
+def impute_sql(table: str = "events") -> str:
+    """Mirror of numeric.impute_column(strategy='mean', by=[type]) over
+    events with value nulled on event_id % 7 == 0: per-group micro-unit
+    mean joined back, NULLs coalesced; all-NULL groups stay NULL."""
+    return f"""
+WITH e AS (SELECT event_id, event_type,
+                  CASE WHEN event_id % 7 = 0 THEN NULL
+                       ELSE CAST(value AS DOUBLE) END AS v
+           FROM {table}),
+s AS (SELECT event_type,
+             round(CAST(sum(CAST(round(v * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                   / (count(v) * 1000000.0), 6) AS fill
+      FROM e WHERE v IS NOT NULL GROUP BY event_type)
+SELECT e.event_id, e.event_type, coalesce(e.v, s.fill) AS v
+FROM e LEFT JOIN s USING (event_type)
+"""

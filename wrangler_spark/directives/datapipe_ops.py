@@ -1678,3 +1678,31 @@ class ProfileTable(Directive):
 
         cols = [c.strip() for c in str(self.args["cols"]).split(",") if c.strip()]
         return profile_table(df, cols or None, exact=bool(self.args["exact"]))
+
+
+@directive
+class ImputeColumn(Directive):
+    """impute :col [strategy] [by] — fill a numeric column's NULLs from
+    the data: mean | median | mode | a numeric constant, optionally per
+    group (comma list). Mean uses the micro-unit integer contract;
+    median has the exact/approx knob in the library call; mode breaks
+    ties deterministically (count desc, value asc)."""
+
+    name = "impute"
+    usage = [
+        Arg("col", TokenType.COLUMN),
+        Arg("strategy", TokenType.TEXT, optional=True, default="mean"),
+        Arg("by", TokenType.TEXT, optional=True, default=""),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.numeric import impute_column
+
+        strat = str(self.args["strategy"])
+        try:
+            strat = float(strat)
+        except ValueError:
+            pass
+        by = [b.strip() for b in str(self.args["by"]).split(",") if b.strip()]
+        return impute_column(
+            df, ctx.resolve(df, self.args["col"]), strat, by=by or None)
