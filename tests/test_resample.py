@@ -167,3 +167,59 @@ def test_interp_fill(spark):
     ).select("k", F.col("t").cast("timestamp").alias("t"), "v")
     g2 = _grid(df2, agg="sum", fill="interp")
     assert g2[("a", 1)] == 0.333333 and g2[("a", 2)] == 0.666667
+
+
+def test_resample_state_folds_equal_one_shot(spark, tmp_path_factory):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path_factory.mktemp("rsstate")) + "/st"
+    for i in range(3):
+        events.resample_update_state(
+            ev.filter(F.col("event_id") % 3 == i), path,
+            "event_type", "ts", "value", every_minutes=60, batch_id=f"b{i}")
+    for agg in ("count", "sum", "avg", "min", "max"):
+        rec = sorted(map(tuple, events.resample_from_state(
+            spark, path, agg=agg, fill="zero").drop("bucket_ts").collect()))
+        one = sorted(map(tuple, events.resample(
+            ev, "event_type", "ts", "value", 60, agg=agg, fill="zero")
+            .drop("bucket_ts")
+            .select(F.col("event_type").cast("string"), "bucket", "value")
+            .collect()))
+        assert rec == one, agg
+    # replay NO-OP + pinned grain
+    events.resample_update_state(
+        ev.filter(F.col("event_id") % 3 == 0), path,
+        "event_type", "ts", "value", 60, batch_id="b0")
+    rec2 = events.resample_from_state(spark, path, agg="count").count()
+    assert rec2 == events.resample(ev, "event_type", "ts", None, 60).count()
+    with pytest.raises(ValueError, match="incompatible"):
+        events.resample_update_state(
+            ev, path, "event_type", "ts", "value", 30, batch_id="b9")
+    with pytest.raises(ValueError, match="empty"):
+        events.resample_from_state(
+            spark, str(tmp_path_factory.mktemp("rsempty")) + "/st")
+
+
+def test_resample_stream_monitor(spark, tmp_path_factory):
+    import shutil as _sh
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "ts", "value")
+    src = str(tmp_path_factory.mktemp("rs_src"))
+    state = str(tmp_path_factory.mktemp("rs_state") / "st")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, value double").parquet(src)
+    q = events.resample_update_stream(
+        stream, state, "event_type", "ts", src + "_chk", "value", 60)
+    q.awaitTermination(120)
+    # the dashboard read: state grid + rolling band, event log untouched
+    grid = events.resample_from_state(spark, state, agg="sum", fill="zero")
+    band = events.rolling_stats(
+        grid.drop("bucket_ts"), "key", "bucket", "value", window=24)
+    assert band.count() == grid.count() > 0
+    one = sorted(map(tuple, events.resample(
+        ev, "event_type", "ts", "value", 60, agg="sum", fill="zero")
+        .drop("bucket_ts").collect()))
+    rec = sorted(map(tuple, grid.drop("bucket_ts").collect()))
+    assert rec == one
+    _sh.rmtree(src, ignore_errors=True)

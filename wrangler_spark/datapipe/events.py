@@ -1166,6 +1166,15 @@ def resample(
         else:
             fn = F.min if agg == "min" else F.max
             cells = grp.agg(fn(v).alias("__v"))
+    return _fill_grid(cells, key_col, step, fill, max_periods)
+
+
+def _fill_grid(
+    cells: DataFrame, key_col: str, step: int, fill: str, max_periods: int,
+) -> DataFrame:
+    """The shared grid-and-fill tail of :func:`resample` and
+    :func:`resample_from_state`: cells (__k, __b, __v) -> the dense
+    (key, bucket, bucket_ts, value) grid, fill applied scan-side."""
     per_key = cells.groupBy("__k").agg(
         F.min("__b").alias("__b0"),
         F.max("__b").alias("__b1"),
@@ -1184,9 +1193,9 @@ def resample(
     span = worst[0]["s"] if worst and worst[0]["s"] is not None else 0
     if span > max_periods:
         raise ValueError(
-            f"resample: a key spans {span} buckets at every_minutes="
-            f"{every_minutes} (max_periods={max_periods}) — use a coarser "
-            "grain, filter the time range, or raise max_periods explicitly")
+            f"resample: a key spans {span} buckets at a {step}s grain "
+            f"(max_periods={max_periods}) — use a coarser grain, filter "
+            "the time range, or raise max_periods explicitly")
     m = F.col("__m")
     if fill == "interp":
         # cursor fold over the sorted cell array: `ci` (1-based) always
@@ -1334,3 +1343,147 @@ def rolling_stats(
         .select(key_col, "__s.bucket", "__s.value", "__s.roll_mean",
                 "__s.roll_std", "__s.zscore")
     )
+
+
+def resample_update_state(
+    df: DataFrame, path: str, key_col: str, ts_col: str,
+    value_col: str | None = None, every_minutes: int = 60,
+    batch_id: str = "",
+) -> None:
+    """Fold one event batch's (key, bucket) cells into log-structured
+    time-series state: appends (key, bucket, n, msum, mn, mx,
+    batch_id) rows — every sufficient statistic the resample aggs need,
+    ALL exactly mergeable (counts and micro-sums by addition, min/max
+    by min/max), so :func:`resample_from_state` reproduces the one-shot
+    :func:`resample` for count/sum/avg/min/max over the union of all
+    batches without ever rescanning the event log (the retention-pairs
+    posture applied to the volume-monitor grid: O(batch) fold work,
+    state bounded by keys x buckets-touched x batches until
+    compaction sum-merges it). The bucket grain is pinned in the state
+    rows and checked on every fold; a non-empty ``batch_id`` already
+    present makes the fold a NO-OP (exactly-once under replay)."""
+    from pyspark.errors import AnalysisException
+
+    from wrangler_spark.datapipe import _layout
+
+    if every_minutes < 1:
+        raise ValueError(f"every_minutes must be >= 1, got {every_minutes}")
+    step = int(every_minutes) * 60
+    k, t = F.col(key_col), F.col(ts_col)
+    base = df.filter(k.isNotNull() & t.isNotNull())
+    v = (F.col(value_col).cast("double") if value_col
+         else F.lit(None).cast("double"))
+    cells = (
+        base.select(
+            k.cast("string").alias("key"),
+            F.floor(F.unix_timestamp(t) / F.lit(step)).cast("long").alias("bucket"),
+            v.alias("__v"),
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("__v") * F.lit(1e6)).cast("long")).alias("msum"),
+            F.count("__v").cast("long").alias("nv"),
+            F.min("__v").alias("mn"),
+            F.max("__v").alias("mx"),
+        )
+    )
+    spark = df.sparkSession
+    with _layout.writer_lease(spark, path):
+        root = _layout.resolve(spark, path)
+        try:
+            rows = spark.read.parquet(f"{root}/rows")
+            stored = rows.select("step").limit(1).collect()
+            if stored and stored[0]["step"] != step:
+                raise ValueError(
+                    f"resample state at {path} was built with a "
+                    f"{stored[0]['step']}s bucket, fold offered {step}s — "
+                    "grains are incompatible")
+            if batch_id and rows.filter(
+                F.col("batch_id") == str(batch_id)
+            ).limit(1).count():
+                return
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+        (
+            cells.withColumn("batch_id", F.lit(str(batch_id)))
+            .withColumn("step", F.lit(step))
+            .write.mode("append")
+            .parquet(f"{root}/rows")
+        )
+
+
+def resample_update_stream(
+    stream: DataFrame, path: str, key_col: str, ts_col: str,
+    checkpoint: str, value_col: str | None = None,
+    every_minutes: int = 60, trigger: dict | None = None,
+):
+    """Fold an event STREAM into persisted time-series state — the
+    stream edge of the resample triangle: micro-batch id = batch_id,
+    at-least-once replay folds exactly once. The live volume monitor:
+    resample_from_state + rolling_stats off the state is the dashboard
+    read, O(keys x buckets), never the event log."""
+    writer = (
+        stream.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda b, bid: resample_update_state(
+                b, path, key_col, ts_col, value_col, every_minutes, str(bid))
+        )
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+    )
+    return writer.start()
+
+
+def resample_from_state(
+    spark, path: str, agg: str = "count", fill: str = "zero",
+    version: int | None = None, max_periods: int = 100_000,
+) -> DataFrame:
+    """The dense (key, bucket, bucket_ts, value) grid reconstructed
+    from persisted time-series state — EXACTLY the one-shot
+    :func:`resample` over the union of every ingested batch: cells
+    sum/min/max-merge first (exact), then the same per-key scan-side
+    grid-and-fill fold runs over the merged cells. ``version`` pins an
+    older committed snapshot (compaction cadence = snapshot cadence)."""
+    from pyspark.errors import AnalysisException
+
+    from wrangler_spark.datapipe import _layout
+
+    if agg not in ("count", "sum", "min", "max", "avg"):
+        raise ValueError(f"unknown agg {agg!r}")
+    try:
+        rows = spark.read.parquet(f"{_layout.resolve(spark, path, version)}/rows")
+        stored = rows.select("step").limit(1).collect()
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        stored = []
+    if not stored:
+        raise ValueError(f"resample state at {path} is empty")
+    step = stored[0]["step"]
+    merged = (
+        rows.filter(F.col("bucket").isNotNull())
+        .groupBy("key", "bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("msum").alias("msum"),
+            F.sum("nv").cast("long").alias("nv"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    if agg == "count":
+        val = merged.withColumn("__v", F.col("n").cast("double"))
+    elif agg == "sum":
+        val = merged.filter(F.col("nv") > 0).withColumn(
+            "__v", F.round(F.col("msum") / F.lit(1e6), 6))
+    elif agg == "avg":
+        val = merged.filter(F.col("nv") > 0).withColumn(
+            "__v", F.round((F.col("msum") / F.col("nv")) / F.lit(1e6), 6))
+    elif agg == "min":
+        val = merged.filter(F.col("nv") > 0).withColumn("__v", F.col("mn"))
+    else:
+        val = merged.filter(F.col("nv") > 0).withColumn("__v", F.col("mx"))
+    cells = val.select(
+        F.col("key").alias("__k"), F.col("bucket").alias("__b"), "__v")
+    return _fill_grid(cells, "key", step, fill, max_periods)
