@@ -227,3 +227,21 @@ def test_profile_single_scan(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") <= 1, plan
+
+
+def test_enforce_constraints_error_channel(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 50.0), (3, "zz", 150.0), (4, "b", -1.0)],
+        "id long, s string, v double")
+    res = Pipeline.compile(
+        "enforce-constraints 'not_null:s;range:v:0:100;in_set:s:a|b'"
+    ).transform(df)
+    assert [r["id"] for r in res.df.orderBy("id").collect()] == [1]
+    errs = {e["message"] for e in res.errors().collect()}
+    # each row leaves at its FIRST failing rule
+    assert errs == {"not_null:s", "range:v", "in_set:s"}
+    assert res.errors().count() == 3
+    with pytest.raises(Exception, match="table-level"):
+        Pipeline.compile("enforce-constraints 'unique:id'").transform(df)
+    with pytest.raises(Exception, match="unknown rule"):
+        Pipeline.compile("enforce-constraints 'bogus:x'").transform(df)

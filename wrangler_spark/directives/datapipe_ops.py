@@ -1518,6 +1518,44 @@ class KeySkew(Directive):
         return key_skew(df, ctx.resolve(df, self.args["col"]), int(self.args["k"]))
 
 
+def _parse_dq_rules(spec: str, who: str) -> list[dict]:
+    """The compact rule DSL shared by check-constraints and
+    enforce-constraints: semicolon-separated ``not_null:col`` ·
+    ``unique:col`` · ``range:col:min:max`` (either bound may be empty) ·
+    ``matches:col:regex`` (regex may contain colons) ·
+    ``in_set:col:a|b|c`` · ``min_rows:n``."""
+    rules: list[dict] = []
+    for part in str(spec).split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        kind, _, rest = part.partition(":")
+        kind = kind.strip()
+        if kind == "min_rows":
+            rules.append({"rule": kind, "n": int(rest)})
+        elif kind in ("not_null", "unique"):
+            rules.append({"rule": kind, "col": rest.strip()})
+        elif kind == "range":
+            col, lo, hi = (rest.split(":") + ["", ""])[:3]
+            rules.append({
+                "rule": kind, "col": col.strip(),
+                "min": float(lo) if lo.strip() else None,
+                "max": float(hi) if hi.strip() else None,
+            })
+        elif kind == "matches":
+            col, _, pat = rest.partition(":")
+            rules.append({"rule": kind, "col": col.strip(), "pattern": pat})
+        elif kind == "in_set":
+            col, _, vals = rest.partition(":")
+            rules.append({
+                "rule": kind, "col": col.strip(),
+                "values": [v for v in vals.split("|") if v != ""],
+            })
+        else:
+            raise ValueError(f"{who}: unknown rule {kind!r} in {part!r}")
+    return rules
+
+
 @directive
 class CheckConstraints(Directive):
     """check-constraints 'rules' — Deequ-posture declarative quality
@@ -1536,37 +1574,55 @@ class CheckConstraints(Directive):
     def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
         from wrangler_spark.datapipe.curation import check_constraints
 
-        rules = []
-        for part in str(self.args["rules"]).split(";"):
-            part = part.strip()
-            if not part:
-                continue
-            kind, _, rest = part.partition(":")
-            kind = kind.strip()
-            if kind == "min_rows":
-                rules.append({"rule": kind, "n": int(rest)})
-            elif kind in ("not_null", "unique"):
-                rules.append({"rule": kind, "col": rest.strip()})
-            elif kind == "range":
-                col, lo, hi = (rest.split(":") + ["", ""])[:3]
-                rules.append({
-                    "rule": kind, "col": col.strip(),
-                    "min": float(lo) if lo.strip() else None,
-                    "max": float(hi) if hi.strip() else None,
-                })
-            elif kind == "matches":
-                col, _, pat = rest.partition(":")
-                rules.append({"rule": kind, "col": col.strip(), "pattern": pat})
-            elif kind == "in_set":
-                col, _, vals = rest.partition(":")
-                rules.append({
-                    "rule": kind, "col": col.strip(),
-                    "values": [v for v in vals.split("|") if v != ""],
-                })
-            else:
+        return check_constraints(
+            df, _parse_dq_rules(self.args["rules"], self.name))
+
+
+@directive
+class EnforceConstraints(Directive):
+    """enforce-constraints 'rules' — the ROW-level edge of the
+    data-quality family: rows violating any rule leave the clean flow
+    for the error channel (result.errors()), tagged with the rule that
+    caught them — check-constraints grades the table, this one
+    quarantines the rows. Same DSL; only the row-expressible rules
+    apply (not_null / range / matches / in_set — unique and min_rows
+    are table-level facts a row can't violate alone, and raise here).
+    Pure scan-side plan splits, one per rule (the send-to-error
+    mechanism), no aggregation at all."""
+
+    name = "enforce-constraints"
+    is_filter = True
+    usage = [Arg("rules", TokenType.TEXT)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        rules = _parse_dq_rules(self.args["rules"], self.name)
+        if not rules:
+            raise ValueError("enforce-constraints: empty rule list")
+        for r in rules:
+            if r["rule"] in ("unique", "min_rows"):
                 raise ValueError(
-                    f"check-constraints: unknown rule {kind!r} in {part!r}")
-        return check_constraints(df, rules)
+                    f"enforce-constraints: {r['rule']} is table-level — "
+                    "grade it with check-constraints instead")
+            c = F.col(r["col"])
+            if r["rule"] == "not_null":
+                viol = c.isNull()
+            elif r["rule"] == "range":
+                viol = F.lit(False)
+                if r["min"] is not None:
+                    viol = viol | (c < F.lit(r["min"]))
+                if r["max"] is not None:
+                    viol = viol | (c > F.lit(r["max"]))
+            elif r["rule"] == "matches":
+                viol = c.isNotNull() & ~c.cast("string").rlike(
+                    "^(?:" + r["pattern"] + ")$")
+            else:  # in_set
+                viol = c.isNotNull() & ~c.cast("string").isin(
+                    [str(v) for v in r["values"]])
+            df = ctx.route_errors(
+                df, viol, self.name, f"{r['rule']}:{r['col']}")
+        return df
 
 
 @directive
