@@ -238,9 +238,13 @@ def test_enforce_constraints_error_channel(spark):
     ).transform(df)
     assert [r["id"] for r in res.df.orderBy("id").collect()] == [1]
     errs = {e["message"] for e in res.errors().collect()}
-    # each row leaves at its FIRST failing rule
-    assert errs == {"not_null:s", "range:v", "in_set:s"}
+    # each row leaves at its FIRST failing rule: 2 at not_null, 3 and 4
+    # at range (3's "zz" never reaches in_set)
+    assert errs == {"not_null:s", "range:v"}
     assert res.errors().count() == 3
+    res2 = Pipeline.compile(
+        "enforce-constraints 'in_set:s:a|b'").transform(df)
+    assert {e["message"] for e in res2.errors().collect()} == {"in_set:s"}
     with pytest.raises(Exception, match="table-level"):
         Pipeline.compile("enforce-constraints 'unique:id'").transform(df)
     with pytest.raises(Exception, match="unknown rule"):
