@@ -574,15 +574,22 @@ def main() -> int:
     if n_scans > 1:
         problems.append(f"dq_constraints: {n_scans} scans (must be 1)")
 
-    # resample + rolling band: grid and fills are scan-side folds over
-    # per-key bounded arrays — no window functions anywhere
-    for gq in ("events_resample", "events_rolling"):
-        p = plan_of(qs[gq](spark, SF_DIR))
-        problems += check(
-            gq, p, must=["HashAggregate"],
-            must_not=["Window", "CartesianProduct",
-                      "BatchEvalPython", "ArrowEvalPython"],
-        )
+    # resample: the per-key cell aggregate is checkpointed (the guard's
+    # collect already executed it — shared-shuffle-branch rule), so the
+    # returned plan is a scan-free fold+explode; rolling adds its own
+    # hash aggregate over the grid. No window functions anywhere.
+    p = plan_of(qs["events_resample"](spark, SF_DIR))
+    problems += check(
+        "events_resample", p,
+        must_not=["FileScan", "Window", "CartesianProduct",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+    p = plan_of(qs["events_rolling"](spark, SF_DIR))
+    problems += check(
+        "events_rolling", p, must=["HashAggregate"],
+        must_not=["FileScan", "Window", "CartesianProduct",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
 
     # count-min estimate: the depth x width sketch side BROADCASTS; the
     # probe side never sort-merge-joins

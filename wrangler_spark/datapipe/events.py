@@ -1186,6 +1186,10 @@ def _fill_grid(
             F.collect_list(F.struct(F.col("__b").alias("b"), F.col("__v").alias("v")))
         ).alias("__arr"),
     )
+    # the guard's collect EXECUTES the aggregation — checkpoint it so
+    # the returned plan reads the one-row-per-key result instead of
+    # rescanning the event table (the shared-shuffle-branch rule)
+    per_key = eager_checkpoint(per_key)
     # bounded pre-flight: the widest key decides whether the per-key
     # fold array is safe to build at all (one scalar over an aggregate)
     worst = per_key.agg(
