@@ -735,6 +735,14 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "from_type", "to_type", weight_col="n", iters=5,
         ),
+        # Jensen-Shannon divergence between corpus halves: TEXT drift
+        # (the language itself, not a numeric column) over hashed
+        # unigram distributions — bounded state at any vocabulary size
+        "text_js_drift": lambda s, d: text.js_divergence(
+            docs(s, d).filter(F.col("doc_id") % 2 == 0),
+            docs(s, d).filter(F.col("doc_id") % 2 == 1),
+            "text",
+        ),
         "text_hash_emb": lambda s, d: text.hash_embedding(
             docs(s, d), "doc_id", "text", 16
         ).select("doc_id", F.posexplode("embedding").alias("pos", "y")),
@@ -992,6 +1000,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_quantiles_by": o.quantiles_sketch_by_sql(),
         "num_ks_drift": o.ks_drift_sql(),
         "num_impute": o.impute_sql(),
+        "text_js_drift": o.js_divergence_sql(),
         "text_collocations": o.collocations_sql(50, 5),
         "dedup_pagerank": o.dedup_pagerank_sql(0.5),
         "events_key_skew": o.key_skew_sql("user_id", "events", 20),

@@ -3041,3 +3041,37 @@ s AS (SELECT event_type,
 SELECT e.event_id, e.event_type, coalesce(e.v, s.fill) AS v
 FROM e LEFT JOIN s USING (event_type)
 """
+
+
+def js_divergence_sql(buckets: int = 65536, table: str = "documents") -> str:
+    """Mirror of text.js_divergence between the even/odd doc_id halves:
+    md5-prefix bucket hashing mod ``buckets``, identical double
+    operation order per term, nano-unit integer sum."""
+    tok = (f"SELECT unnest(list_filter(string_split({_NORM}, ' '), "
+           "x -> x <> '')) AS token FROM {t}")
+    hsh = f"('0x' || substr(md5(token), 1, 7))::BIGINT % {int(buckets)}"
+    return f"""
+WITH ta AS ({tok.format(t=f"(SELECT * FROM {table} WHERE doc_id % 2 = 0)")}),
+tb AS ({tok.format(t=f"(SELECT * FROM {table} WHERE doc_id % 2 = 1)")}),
+ha AS (SELECT {hsh} AS bucket, count(*) AS ca FROM ta GROUP BY 1),
+hb AS (SELECT {hsh} AS bucket, count(*) AS cb FROM tb GROUP BY 1),
+m AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM ha FULL JOIN hb ON ha.bucket = hb.bucket),
+t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM m),
+terms AS (
+  SELECT CAST(round((
+           CASE WHEN ca > 0
+                THEN 0.5 * (ca / t.na)
+                     * log2(2 * (ca / t.na) / ((ca / t.na) + (cb / t.nb)))
+                ELSE 0.0 END
+           + CASE WHEN cb > 0
+                  THEN 0.5 * (cb / t.nb)
+                       * log2(2 * (cb / t.nb) / ((ca / t.na) + (cb / t.nb)))
+                  ELSE 0.0 END) * 1000000000, 0) AS BIGINT) AS nano,
+         t.na, t.nb
+  FROM m CROSS JOIN t)
+SELECT round(CAST(sum(nano) AS DOUBLE) / 1000000000.0, 6) AS js,
+       na AS n_a, nb AS n_b
+FROM terms GROUP BY na, nb
+"""

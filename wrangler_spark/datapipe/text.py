@@ -1945,3 +1945,76 @@ def extract_links(
                 & (F.col("dst_host") != F.col("src_host")))
         .distinct()
     )
+
+
+def js_divergence(
+    a: DataFrame, b: DataFrame, text_col: str = "text",
+    buckets: int = 65536,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's unigram
+    distributions — TEXT drift (distribution_drift's PSI watches a
+    numeric column; this watches the language itself: a crawl snapshot
+    whose vocabulary shifted gets caught here before it pollutes a
+    mixture). Tokens hash into a fixed bucket space (the md5-prefix
+    convention mod ``buckets``), so the histogram is BOUNDED regardless
+    of vocabulary size and the divergence is exact at bucket
+    granularity (hash collisions only ever blur distributions toward
+    each other — the reported JS is a lower bound that tightens as
+    ``buckets`` grows). One row: (js, n_a, n_b); js in [0, 1] bits,
+    0 = identical, log2-base, symmetric.
+
+    Determinism contract: bucket counts are exact integers; p, q and
+    each bucket's 0.5·p·log2(2p/(p+q)) + 0.5·q·log2(2q/(p+q)) term are
+    the IDENTICAL double operation order in the DuckDB oracle; terms
+    integerize to NANO-units (round(term·1e9)) before the final sum, so
+    partial-agg order cannot drift — the unigram_logprob micro-unit
+    contract at one more digit (JS terms are tiny: ~1e-5 per bucket).
+
+    Scale shape: one explode + hash aggregate per side (map-side
+    partials, output bounded by ``buckets``), a full-outer bucket join
+    of two bounded frames, 1-row totals broadcast back, one sum. No
+    windows, no driver loops."""
+    if buckets < 16:
+        raise ValueError(f"buckets must be >= 16, got {buckets}")
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        staged = _with_words(df, text_col)
+        tok = staged.select(F.explode(F.col(_W)).alias("token")).filter(
+            F.col("token") != "")
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("token")), 1, 7), 16, 10)
+            .cast("long"),
+            F.lit(int(buckets)),
+        )
+        return tok.groupBy(bucket.alias("bucket")).agg(
+            F.count("*").cast("long").alias(name))
+
+    ha, hb = hist(a, "ca"), hist(b, "cb")
+    j = ha.join(hb, "bucket", "full").select(
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+    )
+    totals = j.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    w = j.crossJoin(F.broadcast(totals))  # 1-row stats frame
+    p = F.col("ca") / F.col("n_a")
+    q = F.col("cb") / F.col("n_b")
+    tp = F.when(
+        F.col("ca") > 0,
+        F.lit(0.5) * p * F.log2(F.lit(2) * p / (p + q)),
+    ).otherwise(F.lit(0.0))
+    tq = F.when(
+        F.col("cb") > 0,
+        F.lit(0.5) * q * F.log2(F.lit(2) * q / (p + q)),
+    ).otherwise(F.lit(0.0))
+    nano = F.round((tp + tq) * F.lit(1e9)).cast("long")
+    return (
+        w.groupBy("n_a", "n_b")
+        .agg(F.sum(nano).alias("__s"))
+        .select(
+            F.round(F.col("__s") / F.lit(1e9), 6).alias("js"),
+            "n_a", "n_b",
+        )
+    )
