@@ -1287,7 +1287,11 @@ _R11_WINDOW = [
     # the topic-labeling capstone — kmeans clusters + log-odds labels,
     # new this round
     "emb_cluster_topics",
-    "corpus_drift",
+    # r11 session 2: corpus_drift vacated (green r8-r10, unchanged; the
+    # drift family is now graded via the in-window num_ks_drift +
+    # text_js_drift, which cover the numeric and text axes) for the
+    # Jensen-Shannon text drift — new this session
+    "text_js_drift",
     # r11: dedup_overlap vacated (green r1-r10) for dedup_overlap_capped —
     # the SAME overlap machinery graded through the harder path (plus the
     # new pair-volume governor, oracle-mirrored QUALIFY top-k) — new this
@@ -1343,9 +1347,10 @@ _R11_WINDOW = [
     # vacated this slot (flag_outliers stays graded through num_mad,
     # which exercises the same r8 exact-knob path)
     "decontam_spans",
-    # r9: num_winsorize vacated (r8-green, unchanged) for the grouped
-    # MAD fence — flag_outliers(by=) through the shared join_group_stats
-    "num_mad_by",
+    # r11 session 2: num_mad_by vacated (r9-green, unchanged; the
+    # grouped join_group_stats path stays graded via num_qbins_by AND
+    # runs inside the replacing query) for numeric NULL imputation
+    "num_impute",
     # r11 session 2: ann_mmr_rerank vacated (r8-green, unchanged; the
     # ANN family stays graded via ann_pq_topk + emb_cluster_topics
     # in-window) for the column profiler — the Deequ discovery step
