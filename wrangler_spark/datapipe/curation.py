@@ -2280,6 +2280,13 @@ def _cms_geometry(depth: int, width: int) -> None:
         raise ValueError(f"cms depth must be in [1, 16], got {depth}")
     if width < 16:
         raise ValueError(f"cms width must be >= 16, got {width}")
+    # the estimate side BROADCASTS the grid: depth*width rows at ~24 B.
+    # 2^24 * 16 deep would be a 6 GB broadcast — past any sane eps this
+    # sketch is the wrong tool (use key_skew / an exact groupBy)
+    if depth * width > (1 << 24):
+        raise ValueError(
+            f"cms grid depth*width = {depth * width} exceeds 2^24 — the "
+            "probe broadcast would be GBs; lower eps needs an exact count")
 
 
 def cms_sketch(
