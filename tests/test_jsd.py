@@ -66,3 +66,24 @@ def test_python_reference(spark):
     expect = round(s / 1e9, 6)
     got = js_divergence(a, b).collect()[0]["js"]
     assert got == expect
+
+
+def test_js_from_vocab_states(spark, tmp_path_factory):
+    from wrangler_spark.datapipe.text import js_from_vocab_states, vocab_update_state
+
+    a = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(i, "the dog ran far away now") for i in range(20)], "doc_id long, text string")
+    pa = str(tmp_path_factory.mktemp("jsva")) + "/st"
+    pb = str(tmp_path_factory.mktemp("jsvb")) + "/st"
+    vocab_update_state(a, pa, "text", batch_id="b0")
+    vocab_update_state(b, pb, "text", batch_id="b0")
+    from_state = js_from_vocab_states(spark, pa, pb).collect()[0]
+    direct = js_divergence(a, b).collect()[0]
+    # state path == direct corpus path, bit for bit
+    assert (from_state["js"], from_state["n_a"], from_state["n_b"]) == (
+        direct["js"], direct["n_a"], direct["n_b"])
+    # one state against itself (latest vs latest) is zero drift
+    same = js_from_vocab_states(spark, pa).collect()[0]
+    assert same["js"] == 0.0

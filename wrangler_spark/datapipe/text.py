@@ -1989,7 +1989,13 @@ def js_divergence(
         return tok.groupBy(bucket.alias("bucket")).agg(
             F.count("*").cast("long").alias(name))
 
-    ha, hb = hist(a, "ca"), hist(b, "cb")
+    return _js_from_bucket_counts(hist(a, "ca"), hist(b, "cb"))
+
+
+def _js_from_bucket_counts(ha: DataFrame, hb: DataFrame) -> DataFrame:
+    """The JS tail shared by :func:`js_divergence` and
+    :func:`js_from_vocab_states`: two (bucket, count) frames -> the
+    one-row (js, n_a, n_b)."""
     j = ha.join(hb, "bucket", "full").select(
         F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
         F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
@@ -2017,4 +2023,36 @@ def js_divergence(
             F.round(F.col("__s") / F.lit(1e9), 6).alias("js"),
             "n_a", "n_b",
         )
+    )
+
+
+def js_from_vocab_states(
+    spark, path_a: str, path_b: str | None = None,
+    version_a: int | None = None, version_b: int | None = None,
+    buckets: int = 65536,
+) -> DataFrame:
+    """JS text drift straight off persisted vocabulary state — NO
+    corpus scan: the accumulated (word, count) tables (vocab_from_state
+    sum-merges are exact) hash into the same bucket space
+    :func:`js_divergence` uses, so two nightly crawl snapshots — or two
+    TIME-TRAVELED versions of ONE state (``path_b=None`` compares
+    ``version_a`` against ``version_b``/latest of ``path_a``) — compare
+    in O(vocab) work. The language-shift alarm a vocab-state pipeline
+    gets for free."""
+    if buckets < 16:
+        raise ValueError(f"buckets must be >= 16, got {buckets}")
+
+    def hist(path, version, name):
+        words = vocab_from_state(spark, path, version)
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("word")), 1, 7), 16, 10)
+            .cast("long"),
+            F.lit(int(buckets)),
+        )
+        return words.groupBy(bucket.alias("bucket")).agg(
+            F.sum("count").cast("long").alias(name))
+
+    return _js_from_bucket_counts(
+        hist(path_a, version_a, "ca"),
+        hist(path_b if path_b is not None else path_a, version_b, "cb"),
     )
