@@ -654,6 +654,11 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events"), "event_type", "ts", "value",
             every_minutes=60, agg="sum", fill="zero",
         ).drop("bucket_ts"),
+        # hour-of-week load profile: integer epoch weekday arithmetic,
+        # the capacity/anomaly baseline next to the resample grid
+        "events_seasonality": lambda s, d: events.seasonality(
+            _t(s, d, "events"), "event_type", "ts"
+        ),
         # interp fill: gaps linearly interpolated between the real cells
         "events_resample_interp": lambda s, d: events.resample(
             _t(s, d, "events"), "event_type", "ts", "value",
@@ -1001,6 +1006,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_ks_drift": o.ks_drift_sql(),
         "num_impute": o.impute_sql(),
         "text_js_drift": o.js_divergence_sql(),
+        "events_seasonality": o.seasonality_sql(),
         "text_collocations": o.collocations_sql(50, 5),
         "dedup_pagerank": o.dedup_pagerank_sql(0.5),
         "events_key_skew": o.key_skew_sql("user_id", "events", 20),

@@ -223,3 +223,20 @@ def test_resample_stream_monitor(spark, tmp_path_factory):
     rec = sorted(map(tuple, grid.drop("bucket_ts").collect()))
     assert rec == one
     _sh.rmtree(src, ignore_errors=True)
+
+
+def test_seasonality(spark):
+    # 1970-01-01 was a Thursday (ISO 4); hours are UTC epoch arithmetic
+    df = spark.createDataFrame(
+        [("a", "1970-01-01 00:30:00"),   # Thu 0h
+         ("a", "1970-01-01 23:10:00"),   # Thu 23h
+         ("a", "1970-01-05 12:00:00"),   # Mon 12h
+         ("b", "1970-01-04 06:00:00")],  # Sun 6h
+        "k string, t string",
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    got = {(r["k"], r["dow"], r["hour"]): (r["n"], r["share"])
+           for r in events.seasonality(df, "k", "t").collect()}
+    assert got[("a", 4, 0)] == (1, 0.333333)
+    assert got[("a", 4, 23)] == (1, 0.333333)
+    assert got[("a", 1, 12)] == (1, 0.333333)
+    assert got[("b", 7, 6)] == (1, 1.0)

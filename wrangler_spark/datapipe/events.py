@@ -1491,3 +1491,42 @@ def resample_from_state(
     cells = val.select(
         F.col("key").alias("__k"), F.col("bucket").alias("__b"), "__v")
     return _fill_grid(cells, "key", step, fill, max_periods)
+
+
+def seasonality(
+    df: DataFrame, key_col: str, ts_col: str,
+) -> DataFrame:
+    """Hour-of-week load profile per key: (key, dow, hour, n, share)
+    with dow 1=Monday..7=Sunday (ISO, engine-portable via epoch-day
+    arithmetic — day 0 = Thursday 1970-01-01), hour 0..23 UTC, and
+    share = the cell's fraction of the key's events rounded 6dp. The
+    capacity-planning/anomaly-baseline readout next to resample's time
+    grid: "is Tuesday 14:00 usually like this?". One hash aggregate on
+    (key, dow, hour) — output bounded at keys x 168 — plus a per-key
+    total joined back broadcast-sized. Integer epoch arithmetic end to
+    end: no timezone/locale conventions anywhere."""
+    k, t = F.col(key_col), F.col(ts_col)
+    epoch = F.unix_timestamp(t)
+    # epoch day 0 (1970-01-01) was a Thursday = ISO 4
+    dow = F.pmod(F.floor(epoch / F.lit(86400)) + F.lit(3), F.lit(7)) + F.lit(1)
+    hour = F.floor(F.pmod(epoch, F.lit(86400)) / F.lit(3600))
+    cells = (
+        df.filter(k.isNotNull() & t.isNotNull())
+        .groupBy(
+            k.alias(key_col),
+            dow.cast("int").alias("dow"),
+            hour.cast("int").alias("hour"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = cells.groupBy(F.col(key_col).alias("__k2")).agg(
+        F.sum("n").cast("long").alias("__tot"))
+    return (
+        cells.join(
+            F.broadcast(totals), cells[key_col] == F.col("__k2"), "inner"
+        )
+        .select(
+            key_col, "dow", "hour", "n",
+            F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
+        )
+    )

@@ -3075,3 +3075,23 @@ SELECT round(CAST(sum(nano) AS DOUBLE) / 1000000000.0, 6) AS js,
        na AS n_a, nb AS n_b
 FROM terms GROUP BY na, nb
 """
+
+
+def seasonality_sql(
+    key: str = "event_type", ts: str = "ts", table: str = "events",
+) -> str:
+    """Mirror of events.seasonality: epoch-day ISO weekday arithmetic
+    (day 0 = Thursday), UTC hour, per-key share rounded 6dp."""
+    return f"""
+WITH c AS (
+  SELECT {key} AS k,
+         CAST((CAST(floor(epoch({ts}) / 86400) AS BIGINT) + 3) % 7 + 1 AS INT) AS dow,
+         CAST(floor((epoch({ts}) % 86400) / 3600) AS INT) AS hour,
+         count(*) AS n
+  FROM {table} WHERE {key} IS NOT NULL AND {ts} IS NOT NULL
+  GROUP BY 1, 2, 3),
+t AS (SELECT k, sum(n) AS tot FROM c GROUP BY k)
+SELECT c.k AS {key}, c.dow, c.hour, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / t.tot, 6) AS share
+FROM c JOIN t ON c.k = t.k
+"""
