@@ -654,6 +654,15 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events"), "event_type", "ts", "value",
             every_minutes=60, agg="sum", fill="zero",
         ).drop("bucket_ts"),
+        # CUSUM change-point detection over the hourly count grid: the
+        # small-persistent-shift alarm the 3-sigma band never trips
+        "events_cusum": lambda s, d: events.cusum(
+            events.resample(
+                _t(s, d, "events"), "event_type", "ts", None,
+                every_minutes=60, agg="count", fill="zero",
+            ).drop("bucket_ts"),
+            "event_type", "bucket", "value", k=0.5, h=5.0,
+        ),
         # hour-of-week load profile: integer epoch weekday arithmetic,
         # the capacity/anomaly baseline next to the resample grid
         "events_seasonality": lambda s, d: events.seasonality(
@@ -1007,6 +1016,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_impute": o.impute_sql(),
         "text_js_drift": o.js_divergence_sql(),
         "events_seasonality": o.seasonality_sql(),
+        "events_cusum": o.cusum_sql(0.5, 5.0, 60),
         "text_collocations": o.collocations_sql(50, 5),
         "dedup_pagerank": o.dedup_pagerank_sql(0.5),
         "events_key_skew": o.key_skew_sql("user_id", "events", 20),

@@ -240,3 +240,40 @@ def test_seasonality(spark):
     assert got[("a", 4, 23)] == (1, 0.333333)
     assert got[("a", 1, 12)] == (1, 0.333333)
     assert got[("b", 7, 6)] == (1, 1.0)
+
+
+def test_cusum_shift_detection_and_reference(spark):
+    # flat first half, +1.5 shift second half: the whole-series mean
+    # splits them, so BOTH sides walk up and alarm — while a per-bucket
+    # 3-sigma rule (rolling band) sees no single spike anywhere
+    rows = [("a", i, 10.0 + (i % 2) * 0.5) for i in range(10)]
+    rows += [("a", i, 11.5 + (i % 2) * 0.5) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "k string, b long, v double")
+    got = {r["bucket"]: r for r in
+           events.cusum(df, "k", "b", "v", k=0.5, h=3.0).collect()}
+    assert got[9]["alarm"] and got[19]["alarm"]
+    assert not got[0]["alarm"] and not got[13]["alarm"]
+    # python reference with identical arithmetic
+    import math
+
+    vals = [v for _, _, v in rows]
+    mvals = [round(v * 1e6) for v in vals]
+    n, s, ss = len(mvals), sum(mvals), sum(m * m for m in mvals)
+    mu = round(s / (n * 1e6), 6)
+    sd = round(math.sqrt(max((n * ss - s * s) / (n * n) / 1e12, 0.0)), 6)
+    sp = sn = 0.0
+    for i, v in enumerate(vals):
+        z = (v - mu) / sd
+        sp = max(0.0, sp + z - 0.5)
+        sn = max(0.0, sn - z - 0.5)
+        assert got[i]["cusum_pos"] == round(sp, 6), i
+        assert got[i]["cusum_neg"] == round(sn, 6), i
+
+
+def test_cusum_constant_series_and_guards(spark):
+    df = spark.createDataFrame(
+        [("a", i, 5.0) for i in range(5)], "k string, b long, v double")
+    rows = events.cusum(df, "k", "b", "v").collect()
+    assert all(r["cusum_pos"] is None and r["alarm"] is None for r in rows)
+    with pytest.raises(ValueError, match="k >= 0 and h > 0"):
+        events.cusum(df, "k", "b", "v", k=-1)

@@ -1530,3 +1530,108 @@ def seasonality(
             F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
         )
     )
+
+
+def cusum(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection over a per-key bucketed
+    series (Page, Biometrika 1954; feed it the :func:`resample` grid):
+    values standardize against the key's own mean/std, then the classic
+    recursions s+ = max(0, s+ + z - k) and s- = max(0, s- - z - k)
+    accumulate; ``alarm`` fires when either side exceeds ``h``. The
+    complement of :func:`rolling_stats`: the z-score band catches
+    SPIKES, CUSUM catches small persistent SHIFTS (a source whose
+    volume drifts +0.8 sigma forever never trips a 3-sigma rule but
+    walks the CUSUM straight up). k = half the shift (in sigmas) worth
+    detecting; h = the decision interval (published defaults 0.5/5).
+
+    Returns (key, bucket, value, cusum_pos, cusum_neg, alarm) —
+    cusums rounded 6dp terminally, the recursion runs unrounded.
+
+    Determinism: mean/std come from exact integer micro-sums (the
+    rolling_stats contract); z and both recursions are the IDENTICAL
+    double operation order as the DuckDB recursive-CTE oracle. Scale
+    shape: one hash aggregate per key collecting the sorted cells
+    (bounded by the series span), stats from the same exact sums, then
+    ONE scan-side fold per key — no window functions, no iteration
+    jobs. Constant series (std 0) yield NULL cusums (no shift scale to
+    measure against)."""
+    if h <= 0 or k < 0:
+        raise ValueError(f"need k >= 0 and h > 0, got k={k}, h={h}")
+    kk, hh = float(k), float(h)
+    key, b, v = F.col(key_col), F.col(bucket_col), F.col(value_col)
+    per_key = (
+        df.filter(key.isNotNull() & b.isNotNull() & v.isNotNull())
+        .groupBy(key.alias("__k"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct(
+                b.cast("long").alias("b"),
+                v.cast("double").alias("v"),
+            ))).alias("__cells"),
+            F.count("*").cast("long").alias("__n"),
+            F.sum(F.round(v.cast("double") * F.lit(1e6)).cast("long"))
+            .alias("__s"),
+            F.sum(
+                (F.round(v.cast("double") * F.lit(1e6)).cast("long")
+                 .cast("decimal(19,0)")
+                 * F.round(v.cast("double") * F.lit(1e6)).cast("long")
+                 .cast("decimal(19,0)")).cast("decimal(38,0)")
+            ).alias("__ss"),
+        )
+    )
+    n = F.col("__n")
+    mean = F.round(F.col("__s") / (n * F.lit(1e6)), 6)
+    var = (
+        (n.cast("decimal(38,0)") * F.col("__ss")
+         - (F.col("__s").cast("decimal(38,0)")
+            * F.col("__s").cast("decimal(38,0)")))
+        .cast("double")
+        / (n * n).cast("double") / F.lit(1e12)
+    )
+    std = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+    staged = per_key.select(
+        "__k", "__cells", mean.alias("__mu"), std.alias("__sd"))
+
+    def step(acc, c):
+        # try_divide: a constant key (sd 0) must survive ANSI sessions —
+        # its cusums are NULLed in the output anyway
+        z = F.try_divide(c["v"] - F.col("__mu"), F.col("__sd"))
+        sp = F.greatest(F.lit(0.0), acc["sp"] + z - F.lit(kk))
+        sn = F.greatest(F.lit(0.0), acc["sn"] - z - F.lit(kk))
+        return F.struct(
+            F.concat(
+                acc["out"],
+                F.array(F.struct(
+                    c["b"].alias("b"), c["v"].alias("v"),
+                    sp.alias("sp"), sn.alias("sn"),
+                )),
+            ).alias("out"),
+            sp.alias("sp"), sn.alias("sn"),
+        )
+
+    init = F.struct(
+        F.array().cast(
+            "array<struct<b:long,v:double,sp:double,sn:double>>"
+        ).alias("out"),
+        F.lit(0.0).alias("sp"), F.lit(0.0).alias("sn"),
+    )
+    folded = F.aggregate(F.col("__cells"), init, step)["out"]
+    out = staged.select(
+        "__k", "__sd", F.explode(folded).alias("__c"),
+    )
+    sd_ok = F.col("__sd") > 0
+    sp, sn = F.col("__c.sp"), F.col("__c.sn")
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__c.b").alias("bucket"),
+        F.col("__c.v").alias("value"),
+        F.when(sd_ok, F.round(sp, 6)).alias("cusum_pos"),
+        F.when(sd_ok, F.round(sn, 6)).alias("cusum_neg"),
+        F.when(sd_ok, (sp > F.lit(hh)) | (sn > F.lit(hh))).alias("alarm"),
+    )

@@ -3095,3 +3095,57 @@ SELECT c.k AS {key}, c.dow, c.hour, CAST(c.n AS BIGINT) AS n,
        round(CAST(c.n AS DOUBLE) / t.tot, 6) AS share
 FROM c JOIN t ON c.k = t.k
 """
+
+
+def cusum_sql(
+    k: float = 0.5, h: float = 5.0, every_minutes: int = 60,
+    table: str = "events",
+) -> str:
+    """Mirror of events.cusum over the hourly count grid (resample
+    agg='count', fill='zero'): per-key micro-unit mean/std, then the
+    Page recursions via a recursive CTE in the IDENTICAL double
+    operation order; constant keys (sd = 0) emit NULL cusums."""
+    step = int(every_minutes) * 60
+    kk, hh = float(k), float(h)
+    return f"""
+WITH RECURSIVE
+e AS (SELECT event_type AS gk,
+             CAST(floor(epoch(ts) / {step}) AS BIGINT) AS b
+      FROM {table} WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+a AS (SELECT gk, b, CAST(count(*) AS DOUBLE) AS v FROM e GROUP BY 1, 2),
+r0 AS (SELECT gk, min(b) AS b0, max(b) AS b1 FROM a GROUP BY gk),
+g AS (SELECT gk, unnest(range(b0, b1 + 1)) AS b FROM r0),
+m AS (SELECT g.gk, g.b, coalesce(a.v, 0.0) AS v
+      FROM g LEFT JOIN a ON g.gk = a.gk AND g.b = a.b),
+st AS (SELECT gk, count(*) AS n,
+              sum(CAST(round(v * 1000000, 0) AS BIGINT)) AS s,
+              sum(CAST(CAST(round(v * 1000000, 0) AS BIGINT) AS HUGEINT)
+                  * CAST(round(v * 1000000, 0) AS BIGINT)) AS ss
+       FROM m GROUP BY gk),
+stats AS (SELECT gk,
+                 round(CAST(s AS DOUBLE) / (n * 1000000.0), 6) AS mu,
+                 round(sqrt(greatest(
+                   CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                     / CAST(n * n AS DOUBLE) / 1000000000000.0, 0.0)), 6) AS sd
+          FROM st),
+idx AS (SELECT m.gk, m.b, m.v, stats.mu, stats.sd,
+               row_number() OVER (PARTITION BY m.gk ORDER BY m.b) AS i
+        FROM m JOIN stats ON m.gk = stats.gk WHERE stats.sd > 0),
+rec AS (
+  SELECT gk, i, b, v, mu, sd,
+         greatest(0.0, 0.0 + (v - mu) / sd - {kk!r}) AS sp,
+         greatest(0.0, 0.0 - (v - mu) / sd - {kk!r}) AS sn
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT c.gk, c.i, c.b, c.v, c.mu, c.sd,
+         greatest(0.0, rec.sp + (c.v - c.mu) / c.sd - {kk!r}),
+         greatest(0.0, rec.sn - (c.v - c.mu) / c.sd - {kk!r})
+  FROM idx c JOIN rec ON c.gk = rec.gk AND c.i = rec.i + 1)
+SELECT gk AS event_type, CAST(b AS BIGINT) AS bucket, v AS value,
+       round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg,
+       (sp > {hh!r} OR sn > {hh!r}) AS alarm
+FROM rec
+UNION ALL
+SELECT m.gk, CAST(m.b AS BIGINT), m.v, NULL, NULL, NULL
+FROM m JOIN stats ON m.gk = stats.gk WHERE stats.sd = 0
+"""

@@ -1762,3 +1762,32 @@ class ImputeColumn(Directive):
         by = [b.strip() for b in str(self.args["by"]).split(",") if b.strip()]
         return impute_column(
             df, ctx.resolve(df, self.args["col"]), strat, by=by or None)
+
+
+@directive
+class Cusum(Directive):
+    """cusum :key :bucket :value [k] [h] — two-sided CUSUM change-point
+    detection over a per-key bucketed series (feed the resample grid):
+    the small-persistent-shift alarm a 3-sigma band never trips. k =
+    half the shift worth detecting (sigmas), h = decision interval
+    (published defaults 0.5 / 5)."""
+
+    name = "cusum"
+    usage = [
+        Arg("key", TokenType.COLUMN),
+        Arg("bucket", TokenType.COLUMN),
+        Arg("value", TokenType.COLUMN),
+        Arg("k", TokenType.NUMERIC, optional=True, default=0.5),
+        Arg("h", TokenType.NUMERIC, optional=True, default=5.0),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import cusum
+
+        return cusum(
+            df,
+            ctx.resolve(df, self.args["key"]),
+            ctx.resolve(df, self.args["bucket"]),
+            ctx.resolve(df, self.args["value"]),
+            k=float(self.args["k"]), h=float(self.args["h"]),
+        )
