@@ -654,6 +654,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events"), "event_type", "ts", "value",
             every_minutes=60, agg="sum", fill="zero",
         ).drop("bucket_ts"),
+        # Kaplan-Meier churn curve: user lifetimes with right-censoring
+        # at the observation end (the bias a plain lifetime CDF has)
+        "events_survival": lambda s, d: events.survival(
+            _t(s, d, "events"), "user_id", "ts",
+            period_days=7, horizon_periods=1,
+        ),
         # CUSUM change-point detection over the hourly count grid: the
         # small-persistent-shift alarm the 3-sigma band never trips
         "events_cusum": lambda s, d: events.cusum(
@@ -1017,6 +1023,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_js_drift": o.js_divergence_sql(),
         "events_seasonality": o.seasonality_sql(),
         "events_cusum": o.cusum_sql(0.5, 5.0, 60),
+        "events_survival": o.survival_sql(7, 1),
         "text_collocations": o.collocations_sql(50, 5),
         "dedup_pagerank": o.dedup_pagerank_sql(0.5),
         "events_key_skew": o.key_skew_sql("user_id", "events", 20),

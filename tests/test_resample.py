@@ -277,3 +277,34 @@ def test_cusum_constant_series_and_guards(spark):
     assert all(r["cusum_pos"] is None and r["alarm"] is None for r in rows)
     with pytest.raises(ValueError, match="k >= 0 and h > 0"):
         events.cusum(df, "k", "b", "v", k=-1)
+
+
+def test_survival_km_reference(spark):
+    # lifetimes 0, 1, 1, 2, 3 weeks; the 2- and 3-week users end within
+    # one period of the corpus end -> right-censored, not churned
+    def ts(day):
+        return f"1970-01-{day:02d} 00:00:00"
+
+    rows = [("u1", ts(1)), ("u1", ts(2)),
+            ("u2", ts(1)), ("u2", ts(8)),
+            ("u3", ts(2)), ("u3", ts(9)),
+            ("u4", ts(1)), ("u4", ts(16)),
+            ("u5", ts(1)), ("u5", ts(22))]
+    df = spark.createDataFrame(rows, "u string, t string").select(
+        "u", F.col("t").cast("timestamp").alias("t"))
+    got = {r["period"]: r for r in
+           events.survival(df, "u", "t", period_days=7,
+                           horizon_periods=1).collect()}
+    assert (got[0]["at_risk"], got[0]["churned"], got[0]["survival"]) == (5, 1, 0.8)
+    assert (got[1]["at_risk"], got[1]["churned"], got[1]["survival"]) == (4, 2, 0.4)
+    # censored-only periods hold S and shrink the risk set
+    assert (got[2]["censored"], got[2]["survival"]) == (1, 0.4)
+    assert (got[3]["at_risk"], got[3]["survival"]) == (1, 0.4)
+    # partition invariance
+    a = sorted(map(tuple, events.survival(df.repartition(1), "u", "t", 7, 1).collect()))
+    b = sorted(map(tuple, events.survival(df.repartition(9), "u", "t", 7, 1).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="period_days"):
+        events.survival(df, "u", "t", period_days=0)
+    with pytest.raises(ValueError, match="span"):
+        events.survival(df, "u", "t", period_days=1, max_periods=5)

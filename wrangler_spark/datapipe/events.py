@@ -1635,3 +1635,112 @@ def cusum(
         F.when(sd_ok, F.round(sn, 6)).alias("cusum_neg"),
         F.when(sd_ok, (sp > F.lit(hh)) | (sn > F.lit(hh))).alias("alarm"),
     )
+
+
+def survival(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_days: int = 7,
+    horizon_periods: int = 1,
+    max_periods: int = 10_000,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes (Kaplan & Meier,
+    JASA 1958) — the churn readout retention grids only imply: lifetime
+    = last event - first event in ``period_days`` buckets; a user whose
+    last event falls within ``horizon_periods`` of the corpus's end is
+    RIGHT-CENSORED (still alive when observation stopped — counting
+    them as churned is the classic bias KM exists to fix). Returns one
+    row per lifetime bucket: (period, at_risk, churned, censored,
+    survival) with S(t) = prod over s <= t of (1 - d_s / n_s), rounded
+    6dp terminally.
+
+    Scale shape: one (user, first, last) hash aggregate — the only
+    event-volume shuffle — a 1-row observation-end broadcast, a
+    per-bucket count aggregate (bounded by the lifetime span), ONE
+    one-row collect_list over those buckets, and a scan-side fold
+    carrying (at-risk, product). The product multiplies in bucket order
+    inside the fold, so it is partition-invariant and mirrored exactly
+    by a recursive-CTE oracle. Spans beyond ``max_periods`` raise (the
+    resample guard posture)."""
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    if horizon_periods < 0:
+        raise ValueError(
+            f"horizon_periods must be >= 0, got {horizon_periods}")
+    step = int(period_days) * 86400
+    u, t = F.col(user_col), F.col(ts_col)
+    spans = (
+        df.filter(u.isNotNull() & t.isNotNull())
+        .groupBy(u.alias("__u"))
+        .agg(
+            F.min(F.unix_timestamp(t)).alias("__first"),
+            F.max(F.unix_timestamp(t)).alias("__last"),
+        )
+    )
+    end = spans.agg(F.max("__last").alias("__end"))
+    marked = spans.crossJoin(F.broadcast(end)).select(
+        F.floor((F.col("__last") - F.col("__first")) / F.lit(step))
+        .cast("long").alias("period"),
+        (
+            F.col("__last")
+            >= F.col("__end") - F.lit(int(horizon_periods) * step)
+        ).alias("__censored"),
+    )
+    buckets = marked.groupBy("period").agg(
+        F.sum(F.when(~F.col("__censored"), 1).otherwise(0))
+        .cast("long").alias("churned"),
+        F.sum(F.when(F.col("__censored"), 1).otherwise(0))
+        .cast("long").alias("censored"),
+    )
+    one = buckets.agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("period"), F.col("churned"), F.col("censored")
+        ))).alias("__b"),
+        F.coalesce(F.sum(F.col("churned") + F.col("censored")), F.lit(0))
+        .cast("long").alias("__total"),
+        F.max("period").alias("__span"),
+    )
+    worst = one.select("__span").collect()
+    span = worst[0]["__span"] if worst and worst[0]["__span"] is not None else 0
+    if span > max_periods:
+        raise ValueError(
+            f"survival: lifetimes span {span} periods at period_days="
+            f"{period_days} (max_periods={max_periods}) — coarsen the "
+            "period or raise max_periods explicitly")
+
+    def step_fn(acc, x):
+        # KM: at time x, n at-risk users remain; churn events shrink S
+        factor = F.lit(1.0) - x["churned"] / acc["n"]
+        s = acc["s"] * factor
+        return F.struct(
+            F.concat(
+                acc["out"],
+                F.array(F.struct(
+                    x["period"].alias("period"),
+                    acc["n"].alias("at_risk"),
+                    x["churned"].alias("churned"),
+                    x["censored"].alias("censored"),
+                    s.alias("survival"),
+                )),
+            ).alias("out"),
+            (acc["n"] - x["churned"] - x["censored"]).alias("n"),
+            s.alias("s"),
+        )
+
+    init = F.struct(
+        F.array().cast(
+            "array<struct<period:long,at_risk:bigint,churned:bigint,"
+            "censored:bigint,survival:double>>"
+        ).alias("out"),
+        F.col("__total").alias("n"),
+        F.lit(1.0).alias("s"),
+    )
+    folded = F.aggregate(F.col("__b"), init, step_fn)["out"]
+    return (
+        one.select(F.explode(folded).alias("__r"))
+        .select(
+            "__r.period", "__r.at_risk", "__r.churned", "__r.censored",
+            F.round(F.col("__r.survival"), 6).alias("survival"),
+        )
+    )

@@ -3149,3 +3149,44 @@ UNION ALL
 SELECT m.gk, CAST(m.b AS BIGINT), m.v, NULL, NULL, NULL
 FROM m JOIN stats ON m.gk = stats.gk WHERE stats.sd = 0
 """
+
+
+def survival_sql(
+    period_days: int = 7, horizon_periods: int = 1, table: str = "events",
+) -> str:
+    """Mirror of events.survival: per-user lifetime buckets, right-
+    censoring inside the horizon of the observation end, and the
+    Kaplan-Meier product via a recursive CTE in the same sequential
+    order as Spark's fold."""
+    step = int(period_days) * 86400
+    hz = int(horizon_periods) * step
+    return f"""
+WITH RECURSIVE
+sp AS (SELECT user_id AS u,
+              CAST(min(epoch(ts)) AS BIGINT) AS f,
+              CAST(max(epoch(ts)) AS BIGINT) AS l
+       FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       GROUP BY 1),
+en AS (SELECT max(l) AS endt FROM sp),
+m AS (SELECT CAST(floor((l - f) / {step}) AS BIGINT) AS period,
+             (l >= (SELECT endt FROM en) - {hz}) AS cen
+      FROM sp),
+b AS (SELECT period,
+             CAST(sum(CASE WHEN cen THEN 0 ELSE 1 END) AS BIGINT) AS churned,
+             CAST(sum(CASE WHEN cen THEN 1 ELSE 0 END) AS BIGINT) AS censored
+      FROM m GROUP BY period),
+tot AS (SELECT CAST(sum(churned + censored) AS BIGINT) AS n0 FROM b),
+idx AS (SELECT b.*, row_number() OVER (ORDER BY period) AS i FROM b),
+rec AS (
+  SELECT i, period, (SELECT n0 FROM tot) AS at_risk, churned, censored,
+         1.0 * (1 - churned / (SELECT n0 FROM tot)) AS s,
+         (SELECT n0 FROM tot) - churned - censored AS n_next
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT c.i, c.period, rec.n_next, c.churned, c.censored,
+         rec.s * (1 - c.churned / rec.n_next),
+         rec.n_next - c.churned - c.censored
+  FROM idx c JOIN rec ON c.i = rec.i + 1)
+SELECT period, at_risk, churned, censored, round(s, 6) AS survival
+FROM rec
+"""
