@@ -1408,13 +1408,21 @@ _R11_WINDOW = [
     # late r8 addition (parameterized LSH banding) — dedup_template
     # vacated (r7-green; its one-shuffle exact-dedup shape stays graded
     # through dedup_cross_exact and the checkpoint-mechanism entries)
-    "dedup_minhash_b16r2",
+    # r11 session 2: dedup_minhash_b16r2 vacated (green r8-r11,
+    # unchanged; the banding machinery runs inside the in-window
+    # dedup_minhash_lsh/dedup_minhash_cc via the shared _sig_bands) for
+    # the hour-of-week seasonality profile — new
+    "events_seasonality",
     # new in r8: PQ / IVF-PQ ANN family + Bloom-prefiltered dedup
     "ann_pq_topk",
     # r9: ann_pq_recall vacated (r8-green, unchanged; the PQ family stays
     # graded through ann_pq_topk + ann_ivf_pq_topk) for the rolling
     # DAU/WAU/MAU counts — new this round
-    "events_active_users",
+    # r11 session 2: events_active_users vacated (green r9-r11; the
+    # events pair/grid family stays graded via events_retention_forget +
+    # the new events_resample/events_rolling in-window) for CUSUM
+    # change-point detection — new
+    "events_cusum",
     # r11 session 2: emb_outliers vacated (r8-green, unchanged; the
     # embedding family stays graded via dedup_cross_embedding +
     # emb_cluster_topics in-window) for the two-sample KS drift — new
@@ -1424,7 +1432,10 @@ _R11_WINDOW = [
     # family stays graded via corpus_drift) for the Gopher repetition
     # FILTER — new this round, the caps applied over both signal families
     "text_rep_filter",
-    "events_funnel",
+    # r11 session 2: events_funnel vacated (green r8-r11; the whole
+    # funnel stage chain executes INSIDE the in-window
+    # events_funnel_state fold) for the Kaplan-Meier churn curve — new
+    "events_survival",
     # r11: events_retention vacated (green r1-r10; its batch path —
     # retention_cohorts — is unchanged this round, and the retention
     # state family's changed edges (lease-wrapped folds) are covered by
