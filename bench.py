@@ -93,6 +93,9 @@ EXTRA_QUERIES = [
     "events_resample",            # dense time grid: scan-side fold fill
     "events_rolling",             # trailing-window anomaly band over the grid
     "events_cms_counts",          # count-min sketch point estimates
+    "events_cusum",               # change-point recursions over the grid
+    "events_survival",            # Kaplan-Meier churn curve
+    "text_js_drift",              # JS text drift over hashed unigrams
 ]
 
 

@@ -73,6 +73,8 @@ QUERIES = [
     # round 11, session 2 (quality gate = one aggregation pass; resample/
     # rolling = per-key bounded folds; cms = grid-bounded aggregate)
     "dq_constraints", "events_resample", "events_rolling", "events_cms_counts",
+    "events_cusum", "events_survival", "text_js_drift", "events_seasonality",
+    "num_ks_drift", "num_impute",
 ]
 
 

@@ -591,6 +591,18 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # session-2 fold family: cusum/survival run their recursions as
+    # scan-side folds — no Window, no Python, no cartesian anywhere;
+    # js drift is two bounded hash aggregates + a broadcast total
+    for gq in ("events_cusum", "events_survival", "text_js_drift",
+               "events_seasonality"):
+        p = plan_of(qs[gq](spark, SF_DIR))
+        problems += check(
+            gq, p,
+            must_not=["Window", "CartesianProduct",
+                      "BatchEvalPython", "ArrowEvalPython"],
+        )
+
     # count-min estimate: the depth x width sketch side BROADCASTS; the
     # probe side never sort-merge-joins
     p = plan_of(qs["events_cms_counts"](spark, SF_DIR))
