@@ -654,6 +654,11 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events"), "event_type", "ts", "value",
             every_minutes=60, agg="sum", fill="zero",
         ).drop("bucket_ts"),
+        # per-group KM: does churn differ by the user's entry event type
+        "events_survival_by": lambda s, d: events.survival_by(
+            _t(s, d, "events"), "user_id", "ts", "event_type",
+            period_days=7, horizon_periods=1,
+        ),
         # Kaplan-Meier churn curve: user lifetimes with right-censoring
         # at the observation end (the bias a plain lifetime CDF has)
         "events_survival": lambda s, d: events.survival(
@@ -1024,6 +1029,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_seasonality": o.seasonality_sql(),
         "events_cusum": o.cusum_sql(0.5, 5.0, 60),
         "events_survival": o.survival_sql(7, 1),
+        "events_survival_by": o.survival_by_sql("event_type", 7, 1),
         "text_collocations": o.collocations_sql(50, 5),
         "dedup_pagerank": o.dedup_pagerank_sql(0.5),
         "events_key_skew": o.key_skew_sql("user_id", "events", 20),

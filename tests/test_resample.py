@@ -308,3 +308,26 @@ def test_survival_km_reference(spark):
         events.survival(df, "u", "t", period_days=0)
     with pytest.raises(ValueError, match="span"):
         events.survival(df, "u", "t", period_days=1, max_periods=5)
+
+
+def test_survival_by_groups(spark):
+    def ts(day):
+        return f"1970-01-{day:02d} 00:00:00"
+
+    rows = [("u1", ts(1), "ads"), ("u1", ts(2), "organic"),
+            ("u2", ts(1), "ads"), ("u2", ts(8), "ads"),
+            ("u3", ts(1), "organic"), ("u3", ts(16), "organic"),
+            ("u4", ts(1), "organic"), ("u4", ts(22), "organic"),
+            ("u5", ts(1), None)]  # null group drops before attribution
+    df = spark.createDataFrame(rows, "u string, t string, g string").select(
+        "u", F.col("t").cast("timestamp").alias("t"), "g")
+    got = {(r["g"], r["period"]): r for r in
+           events.survival_by(df, "u", "t", "g", period_days=7,
+                              horizon_periods=1).collect()}
+    # u1's first event is "ads" (attribution = entry channel)
+    assert got[("ads", 0)]["survival"] == 0.5
+    assert got[("ads", 1)]["survival"] == 0.0
+    # organic users are censored (their lifetimes reach the corpus end)
+    assert got[("organic", 2)]["censored"] == 1
+    assert got[("organic", 2)]["survival"] == 1.0
+    assert ("None", 0) not in got and (None, 0) not in got

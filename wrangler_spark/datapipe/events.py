@@ -1744,3 +1744,116 @@ def survival(
             F.round(F.col("__r.survival"), 6).alias("survival"),
         )
     )
+
+
+def survival_by(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    by: str,
+    period_days: int = 7,
+    horizon_periods: int = 1,
+    max_periods: int = 10_000,
+) -> DataFrame:
+    """Per-group Kaplan-Meier curves — "does churn differ by
+    acquisition source / plan / geography": the :func:`survival`
+    machinery with a group key carried through, one curve per group.
+    A user's group is taken from their FIRST event (min ts, ties by
+    smallest group value — deterministic); the censoring clock is the
+    corpus-wide observation end (groups are compared against the same
+    calendar, not each their own). Returns (group, period, at_risk,
+    churned, censored, survival).
+
+    Scale shape unchanged: the (user, first, last, group) aggregate is
+    the only event-volume shuffle; per-group bucket arrays are bounded
+    by each group's lifetime span and fold scan-side."""
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    if horizon_periods < 0:
+        raise ValueError(
+            f"horizon_periods must be >= 0, got {horizon_periods}")
+    step = int(period_days) * 86400
+    u, t, g = F.col(user_col), F.col(ts_col), F.col(by)
+    spans = (
+        # null groups drop BEFORE attribution: a null-group event
+        # must not become a user's "first" channel
+        df.filter(u.isNotNull() & t.isNotNull() & g.isNotNull())
+        .groupBy(u.alias("__u"))
+        .agg(
+            F.min(F.unix_timestamp(t)).alias("__first"),
+            F.max(F.unix_timestamp(t)).alias("__last"),
+            F.min_by(
+                g.cast("string"),
+                F.struct(F.unix_timestamp(t).alias("t"),
+                         g.cast("string").alias("g")),
+            ).alias("__g"),
+        )
+    )
+    end = spans.agg(F.max("__last").alias("__end"))
+    marked = spans.crossJoin(F.broadcast(end)).select(
+        F.col("__g"),
+        F.floor((F.col("__last") - F.col("__first")) / F.lit(step))
+        .cast("long").alias("period"),
+        (
+            F.col("__last")
+            >= F.col("__end") - F.lit(int(horizon_periods) * step)
+        ).alias("__censored"),
+    )
+    buckets = marked.groupBy("__g", "period").agg(
+        F.sum(F.when(~F.col("__censored"), 1).otherwise(0))
+        .cast("long").alias("churned"),
+        F.sum(F.when(F.col("__censored"), 1).otherwise(0))
+        .cast("long").alias("censored"),
+    )
+    per_group = buckets.groupBy("__g").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("period"), F.col("churned"), F.col("censored")
+        ))).alias("__b"),
+        F.coalesce(F.sum(F.col("churned") + F.col("censored")), F.lit(0))
+        .cast("long").alias("__total"),
+        F.max("period").alias("__span"),
+    )
+    per_group = eager_checkpoint(per_group)
+    worst = per_group.agg(F.max("__span").alias("s")).collect()
+    span = worst[0]["s"] if worst and worst[0]["s"] is not None else 0
+    if span > max_periods:
+        raise ValueError(
+            f"survival_by: lifetimes span {span} periods at period_days="
+            f"{period_days} (max_periods={max_periods}) — coarsen the "
+            "period or raise max_periods explicitly")
+
+    def step_fn(acc, x):
+        factor = F.lit(1.0) - x["churned"] / acc["n"]
+        s = acc["s"] * factor
+        return F.struct(
+            F.concat(
+                acc["out"],
+                F.array(F.struct(
+                    x["period"].alias("period"),
+                    acc["n"].alias("at_risk"),
+                    x["churned"].alias("churned"),
+                    x["censored"].alias("censored"),
+                    s.alias("survival"),
+                )),
+            ).alias("out"),
+            (acc["n"] - x["churned"] - x["censored"]).alias("n"),
+            s.alias("s"),
+        )
+
+    init = F.struct(
+        F.array().cast(
+            "array<struct<period:long,at_risk:bigint,churned:bigint,"
+            "censored:bigint,survival:double>>"
+        ).alias("out"),
+        F.col("__total").alias("n"),
+        F.lit(1.0).alias("s"),
+    )
+    folded = F.aggregate(F.col("__b"), init, step_fn)["out"]
+    return (
+        per_group.select(F.col("__g").alias(by),
+                         F.explode(folded).alias("__r"))
+        .select(
+            by, "__r.period", "__r.at_risk", "__r.churned", "__r.censored",
+            F.round(F.col("__r.survival"), 6).alias("survival"),
+        )
+    )

@@ -3190,3 +3190,51 @@ rec AS (
 SELECT period, at_risk, churned, censored, round(s, 6) AS survival
 FROM rec
 """
+
+
+def survival_by_sql(
+    by: str = "event_type", period_days: int = 7, horizon_periods: int = 1,
+    table: str = "events",
+) -> str:
+    """Mirror of events.survival_by: group = the user's first-event
+    value (min over the (epoch, group) struct — Spark's min(struct)
+    lexicographic order), corpus-wide censoring clock, per-group KM
+    recursion."""
+    step = int(period_days) * 86400
+    hz = int(horizon_periods) * step
+    return f"""
+WITH RECURSIVE
+sp AS (SELECT user_id AS u,
+              CAST(min(epoch(ts)) AS BIGINT) AS f,
+              CAST(max(epoch(ts)) AS BIGINT) AS l,
+              (min({{'t': CAST(epoch(ts) AS BIGINT),
+                    'g': CAST({by} AS VARCHAR)}})).g AS g
+       FROM {table}
+       WHERE user_id IS NOT NULL AND ts IS NOT NULL AND {by} IS NOT NULL
+       GROUP BY 1),
+en AS (SELECT max(l) AS endt FROM sp),
+m AS (SELECT g, CAST(floor((l - f) / {step}) AS BIGINT) AS period,
+             (l >= (SELECT endt FROM en) - {hz}) AS cen
+      FROM sp),
+b AS (SELECT g, period,
+             CAST(sum(CASE WHEN cen THEN 0 ELSE 1 END) AS BIGINT) AS churned,
+             CAST(sum(CASE WHEN cen THEN 1 ELSE 0 END) AS BIGINT) AS censored
+      FROM m GROUP BY g, period),
+tot AS (SELECT g, CAST(sum(churned + censored) AS BIGINT) AS n0
+        FROM b GROUP BY g),
+idx AS (SELECT b.*, row_number() OVER (PARTITION BY b.g ORDER BY period) AS i
+        FROM b),
+rec AS (
+  SELECT idx.g, i, period, tot.n0 AS at_risk, churned, censored,
+         1.0 * (1 - churned / tot.n0) AS s,
+         tot.n0 - churned - censored AS n_next
+  FROM idx JOIN tot ON idx.g = tot.g WHERE i = 1
+  UNION ALL
+  SELECT c.g, c.i, c.period, rec.n_next, c.churned, c.censored,
+         rec.s * (1 - c.churned / rec.n_next),
+         rec.n_next - c.churned - c.censored
+  FROM idx c JOIN rec ON c.g = rec.g AND c.i = rec.i + 1)
+SELECT g AS {by}, period, at_risk, churned, censored,
+       round(s, 6) AS survival
+FROM rec
+"""
