@@ -1791,3 +1791,51 @@ class Cusum(Directive):
             ctx.resolve(df, self.args["value"]),
             k=float(self.args["k"]), h=float(self.args["h"]),
         )
+
+
+@directive
+class Survival(Directive):
+    """survival :user :ts [period_days] [horizon_periods] [by] —
+    Kaplan-Meier churn curve over user lifetimes with right-censoring
+    near the observation end; by groups curves by the user's FIRST
+    event value (entry-channel attribution)."""
+
+    name = "survival"
+    usage = [
+        Arg("user", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+        Arg("period_days", TokenType.NUMERIC, optional=True, default=7),
+        Arg("horizon", TokenType.NUMERIC, optional=True, default=1),
+        Arg("by", TokenType.COLUMN, optional=True, default=None),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import survival, survival_by
+
+        u = ctx.resolve(df, self.args["user"])
+        t = ctx.resolve(df, self.args["ts"])
+        pd_, hz = int(self.args["period_days"]), int(self.args["horizon"])
+        if self.args["by"]:
+            return survival_by(
+                df, u, t, ctx.resolve(df, self.args["by"]), pd_, hz)
+        return survival(df, u, t, pd_, hz)
+
+
+@directive
+class Seasonality(Directive):
+    """seasonality :key :ts — hour-of-week load profile per key
+    (key, dow, hour, n, share): the capacity/anomaly baseline, pure
+    integer epoch arithmetic."""
+
+    name = "seasonality"
+    usage = [
+        Arg("key", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import seasonality
+
+        return seasonality(
+            df, ctx.resolve(df, self.args["key"]),
+            ctx.resolve(df, self.args["ts"]))
