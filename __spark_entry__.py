@@ -736,6 +736,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "v", "mean", by=["event_type"],
         ).select("event_id", "event_type", "v"),
+        # one-pass Pearson matrix: exact integer moments — the signal-
+        # redundancy check across quality scores
+        "num_corr_matrix": lambda s, d: numeric.corr_matrix(
+            _t(s, d, "lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
         # two-sample KS drift off the same log-bin space — the
         # nonparametric one-number companion to the PSI bins; runs on
         # histograms, so it also compares TIME-TRAVELED state snapshots
@@ -1025,6 +1031,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_quantiles_by": o.quantiles_sketch_by_sql(),
         "num_ks_drift": o.ks_drift_sql(),
         "num_impute": o.impute_sql(),
+        "num_corr_matrix": o.corr_matrix_sql(),
         "text_js_drift": o.js_divergence_sql(),
         "events_seasonality": o.seasonality_sql(),
         "events_cusum": o.cusum_sql(0.5, 5.0, 60),

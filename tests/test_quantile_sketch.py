@@ -221,3 +221,31 @@ def test_impute_directive(spark):
     assert sorted(r["v"] for r in out.collect()) == [1.0, 1.0]
     out2 = Pipeline.compile("impute :v 9.5").apply(df)
     assert sorted(r["v"] for r in out2.collect()) == [1.0, 9.5]
+
+
+def test_corr_matrix(spark):
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2 + 1).cast("double").alias("y"),
+        (-F.col("id").cast("double")).alias("z"),
+        F.lit(5.0).alias("c"),
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise(F.col("id").cast("double")).alias("p"),
+    )
+    got = {(r["col_a"], r["col_b"]): r for r in
+           numeric.corr_matrix(df, ["x", "y", "z", "c", "p"]).collect()}
+    assert got[("x", "y")]["corr"] == 1.0
+    assert got[("x", "z")]["corr"] == -1.0
+    assert got[("x", "c")]["corr"] is None       # zero variance
+    assert got[("x", "p")]["n"] == 75            # pairwise deletion
+    assert got[("x", "p")]["corr"] == 1.0
+    # partition invariance (exact integer moments)
+    a = sorted(map(tuple, numeric.corr_matrix(df.repartition(1), ["x", "y", "p"]).collect()))
+    b = sorted(map(tuple, numeric.corr_matrix(df.repartition(13), ["x", "y", "p"]).collect()))
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="two columns"):
+        numeric.corr_matrix(df, ["x"])
+    with _pytest.raises(ValueError, match="duplicate"):
+        numeric.corr_matrix(df, ["x", "x"])

@@ -694,3 +694,66 @@ def impute_column(
     return joined.withColumn(
         out, F.coalesce(c.cast("double"), F.col("__fill"))
     ).drop("__fill")
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation matrix over a numeric column list in ONE
+    aggregation pass — the redundancy check over quality signals
+    (a 0.98-correlated pair of scores is one signal paid for twice).
+    Returns (col_a, col_b, corr, n) for every unordered pair
+    (col_a < col_b), corr rounded 6dp, n = rows where BOTH are
+    non-null. Pairs constant on their common rows (zero variance)
+    yield NULL.
+
+    Determinism contract: every moment (sum, sum of squares, sum of
+    products) accumulates as micro-unit integers in decimal(38,0) —
+    pairwise-deletion means each PAIR carries its own moments — and
+    corr = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²) · (n·Syy − Sy²)) is
+    computed from those exact integers with one fixed double operation
+    order. O(k²) aggregate expressions for k columns, still one scan —
+    keep the list to the dozens, not thousands."""
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError("corr_matrix: duplicate columns")
+    micro = {
+        c: F.round(F.col(c).cast("double") * F.lit(1e6)).cast("long")
+        for c in cols
+    }
+    aggs = []
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    for i, (a, b) in enumerate(pairs):
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        ma = F.when(both, micro[a])
+        mb = F.when(both, micro[b])
+        dec = lambda x: x.cast("decimal(19,0)")  # noqa: E731
+        aggs += [
+            F.count(F.when(both, F.lit(1))).cast("long").alias(f"__n{i}"),
+            F.sum(ma).cast("decimal(38,0)").alias(f"__sa{i}"),
+            F.sum(mb).cast("decimal(38,0)").alias(f"__sb{i}"),
+            F.sum((dec(ma) * dec(ma)).cast("decimal(38,0)")).alias(f"__saa{i}"),
+            F.sum((dec(mb) * dec(mb)).cast("decimal(38,0)")).alias(f"__sbb{i}"),
+            F.sum((dec(ma) * dec(mb)).cast("decimal(38,0)")).alias(f"__sab{i}"),
+        ]
+    one = df.agg(*aggs)
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        n = F.col(f"__n{i}").cast("decimal(38,0)")
+        sa, sb = F.col(f"__sa{i}"), F.col(f"__sb{i}")
+        saa, sbb, sab = F.col(f"__saa{i}"), F.col(f"__sbb{i}"), F.col(f"__sab{i}")
+        cov = (n * sab - sa * sb).cast("double")
+        va = (n * saa - sa * sa).cast("double")
+        vb = (n * sbb - sb * sb).cast("double")
+        corr = F.when(
+            (va > 0) & (vb > 0),
+            F.round(cov / F.sqrt(va * vb), 6),
+        )
+        rows.append(F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            corr.cast("double").alias("corr"),
+            F.col(f"__n{i}").cast("long").alias("n"),
+        ))
+    return one.select(F.explode(F.array(*rows)).alias("__r")).select(
+        "__r.col_a", "__r.col_b", "__r.corr", "__r.n")

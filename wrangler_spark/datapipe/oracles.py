@@ -3238,3 +3238,45 @@ SELECT g AS {by}, period, at_risk, churned, censored,
        round(s, 6) AS survival
 FROM rec
 """
+
+
+def corr_matrix_sql(
+    cols=("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    table: str = "lineitem",
+) -> str:
+    """Mirror of numeric.corr_matrix: micro-unit HUGEINT moments with
+    pairwise deletion, corr from exact integers with the identical
+    double operation order, 6dp."""
+    cols = list(cols)
+    parts = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            both = f"({a} IS NOT NULL AND {b} IS NOT NULL)"
+            ma = f"CASE WHEN {both} THEN CAST(round(CAST({a} AS DOUBLE) * 1000000, 0) AS BIGINT) END"
+            mb = f"CASE WHEN {both} THEN CAST(round(CAST({b} AS DOUBLE) * 1000000, 0) AS BIGINT) END"
+            parts.append(f"""
+SELECT '{a}' AS col_a, '{b}' AS col_b,
+       CASE WHEN (CAST(count(CASE WHEN {both} THEN 1 END) AS HUGEINT)
+                    * sum(CAST({ma} AS HUGEINT) * ({ma}))
+                  - sum(CAST({ma} AS HUGEINT)) * sum(CAST({ma} AS HUGEINT))) > 0
+             AND (CAST(count(CASE WHEN {both} THEN 1 END) AS HUGEINT)
+                    * sum(CAST({mb} AS HUGEINT) * ({mb}))
+                  - sum(CAST({mb} AS HUGEINT)) * sum(CAST({mb} AS HUGEINT))) > 0
+            THEN round(
+              CAST(CAST(count(CASE WHEN {both} THEN 1 END) AS HUGEINT)
+                     * sum(CAST({ma} AS HUGEINT) * ({mb}))
+                   - sum(CAST({ma} AS HUGEINT)) * sum(CAST({mb} AS HUGEINT))
+                   AS DOUBLE)
+              / sqrt(
+                  CAST(CAST(count(CASE WHEN {both} THEN 1 END) AS HUGEINT)
+                         * sum(CAST({ma} AS HUGEINT) * ({ma}))
+                       - sum(CAST({ma} AS HUGEINT)) * sum(CAST({ma} AS HUGEINT))
+                       AS DOUBLE)
+                  * CAST(CAST(count(CASE WHEN {both} THEN 1 END) AS HUGEINT)
+                           * sum(CAST({mb} AS HUGEINT) * ({mb}))
+                         - sum(CAST({mb} AS HUGEINT)) * sum(CAST({mb} AS HUGEINT))
+                         AS DOUBLE)), 6)
+       END AS corr,
+       CAST(count(CASE WHEN {both} THEN 1 END) AS BIGINT) AS n
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)
