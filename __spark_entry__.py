@@ -654,6 +654,11 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events"), "event_type", "ts", "value",
             every_minutes=60, agg="sum", fill="zero",
         ).drop("bucket_ts"),
+        # one-row engagement scorecard over the sessionizer (bounce rate,
+        # avg/median session duration in exact integer micros)
+        "events_session_stats": lambda s, d: __import__(
+            "wrangler_spark.streaming.sessions", fromlist=["session_stats"]
+        ).session_stats(_t(s, d, "events"), "user_id", "ts", 30.0),
         # per-group KM: does churn differ by the user's entry event type
         "events_survival_by": lambda s, d: events.survival_by(
             _t(s, d, "events"), "user_id", "ts", "event_type",
@@ -2490,6 +2495,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
             "min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        "events_session_stats": (
+            "WITH numbered AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, sum(is_new) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM numbered), "
+            "g AS (SELECT user_id, session_id, count(*) AS ev, "
+            "epoch_us(max(ts)) - epoch_us(min(ts)) AS dur FROM s GROUP BY user_id, session_id) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "round(CAST(sum(ev) AS DOUBLE) / count(*), 6) AS avg_events, "
+            "round(CAST(sum(dur) AS DOUBLE) / (count(*) * 1000000.0), 6) AS avg_duration_sec, "
+            "round(quantile_cont(dur, 0.5) / 1000000.0, 6) AS p50_duration_sec, "
+            "round(CAST(sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS bounce_rate "
+            "FROM g"
         ),
         "data_model_map": (
             "SELECT o_orderkey, o_custkey, o_orderstatus AS order_status, "

@@ -584,3 +584,22 @@ def test_interval_join_stream_guards(spark):
     static = spark.createDataFrame([(1, "u", "2024-01-01")], ["i", "user", "ts"])
     with _pytest.raises(ValueError, match="STREAMING"):
         interval_join_stream(static, static, "user", "ts", "ts")
+
+
+def test_session_stats(spark):
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.streaming.sessions import session_stats
+
+    # u1: one 2-event session (10 min) + one bounce; u2: one bounce
+    df = spark.createDataFrame(
+        [("u1", "1970-01-01 00:00:00"), ("u1", "1970-01-01 00:10:00"),
+         ("u1", "1970-01-01 02:00:00"), ("u2", "1970-01-01 05:00:00")],
+        "user_id string, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    r = session_stats(df, "user_id", "ts", 30.0).collect()[0]
+    assert r["n_sessions"] == 3 and r["n_users"] == 2
+    assert r["avg_events"] == 1.333333
+    assert r["avg_duration_sec"] == 200.0    # (600 + 0 + 0) / 3
+    assert r["p50_duration_sec"] == 0.0
+    assert r["bounce_rate"] == 0.666667

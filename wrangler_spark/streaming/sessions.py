@@ -160,3 +160,44 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def session_stats(
+    df: DataFrame, key_col: str, ts_col: str, gap_minutes: float = 30.0
+) -> DataFrame:
+    """One-row engagement scorecard over :func:`sessionize` output —
+    the numbers a product dashboard opens with: (n_sessions, n_users,
+    avg_events, avg_duration_sec, p50_duration_sec, bounce_rate) where
+    bounce_rate = single-event sessions / all sessions (the classic
+    definition) and durations are last-minus-first event per session.
+
+    Determinism: durations are integer MICROSECONDS (unix_micros
+    diffs); averages and the bounce fraction are integer/integer
+    divisions rounded 6dp; the median is the exact interpolated
+    percentile over those integers (quantile_cont arithmetic shared
+    with the oracle — the funnel_latencies contract). One aggregate
+    over the session frame (itself one per-key window + hash
+    aggregate); everything after sessionize is session-count-sized."""
+    s = sessionize(df, key_col, ts_col, gap_minutes)
+    dur = (
+        F.unix_micros(F.col("session_end"))
+        - F.unix_micros(F.col("session_start"))
+    )
+    staged = s.select(
+        F.col(key_col).alias("__k"),
+        F.col("n_events").alias("__ev"),
+        dur.alias("__dur"),
+    )
+    n = F.count("*")
+    return staged.agg(
+        n.cast("long").alias("n_sessions"),
+        F.count_distinct(F.col("__k")).cast("long").alias("n_users"),
+        F.round(F.sum("__ev") / n, 6).alias("avg_events"),
+        F.round(F.sum("__dur") / (n * F.lit(1e6)), 6).alias("avg_duration_sec"),
+        F.round(
+            F.expr("percentile(__dur, 0.5)") / F.lit(1e6), 6
+        ).alias("p50_duration_sec"),
+        F.round(
+            F.sum(F.when(F.col("__ev") == 1, 1).otherwise(0)) / n, 6
+        ).alias("bounce_rate"),
+    )
