@@ -823,3 +823,38 @@ def test_funnel_stream_fold_equals_batch(spark, tmp_path_factory):
     ).collect()))
     assert got == want and len(got) == 3
     _sh.rmtree(src, ignore_errors=True)
+
+
+def test_funnel_steps_by_arms(spark):
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.datapipe.events import funnel_steps, funnel_steps_by
+
+    def ts(m):
+        return f"1970-01-01 00:{m:02d}:00"
+
+    rows = [
+        ("u1", ts(1), "view", "A"), ("u1", ts(2), "click", "A"),
+        ("u2", ts(1), "view", "A"),
+        ("u3", ts(1), "view", "B"), ("u3", ts(3), "click", "B"),
+        # u4's FIRST view carries a null arm -> attributed from the
+        # later labeled view
+        ("u4", ts(1), "view", None), ("u4", ts(2), "view", "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u string, t string, e string, arm string"
+    ).select("u", F.col("t").cast("timestamp").alias("t"), "e", "arm")
+    got = {(r["arm"], r["step"]): r for r in
+           funnel_steps_by(df, "u", "t", "e", ["view", "click"], "arm").collect()}
+    assert (got[("A", 1)]["users"], got[("A", 2)]["users"]) == (2, 1)
+    assert got[("A", 2)]["conversion"] == 0.5
+    assert got[("B", 2)]["conversion"] == 0.5  # u3 converts, u4 doesn't
+    assert got[("B", 1)]["users"] == 2
+    # arm totals == the ungrouped funnel (attribution never drops a
+    # labeled user)
+    total = {r["step"]: r["users"] for r in
+             funnel_steps(df, "u", "t", "e", ["view", "click"]).collect()}
+    by_total = {}
+    for (arm, step), r in got.items():
+        by_total[step] = by_total.get(step, 0) + r["users"]
+    assert by_total == total

@@ -1857,3 +1857,76 @@ def survival_by(
             F.round(F.col("__r.survival"), 6).alias("survival"),
         )
     )
+
+
+def funnel_steps_by(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    by: str,
+    within_minutes: float | None = None,
+) -> DataFrame:
+    """Per-group funnel — "did the experiment arm convert better": the
+    greedy earliest-anchor funnel (anchor='first' semantics, the same
+    stage chain as :func:`funnel_steps`) with each user attributed to
+    the ``by`` value carried by their ANCHOR event (min (ts, value)
+    struct over their step-1 events — deterministic; step-1 events with
+    a NULL value don't attribute, so a user labels from their earliest
+    labeled anchor). Returns (group, step, event_type, users,
+    conversion) with conversion = users_i / that GROUP's step-1 users,
+    rounded 6dp.
+
+    Scale shape: the stage chain is unchanged (k-1 co-partitioned
+    user-key joins); attribution is one more hash aggregate on the
+    user key and each stage count joins it on that same key — no new
+    exchange on the already-partitioned side; per-group step-1 sizes
+    join back broadcast (rows = groups x steps, never users)."""
+    stages = _funnel_stages(
+        df, user_col, ts_col, type_col, steps, within_minutes, "first"
+    )
+    u, t, g = F.col(user_col), F.col(ts_col), F.col(by)
+    attr = (
+        df.filter(
+            (F.col(type_col) == steps[0])
+            & u.isNotNull() & t.isNotNull() & g.isNotNull()
+        )
+        .groupBy(u.alias("__u"))
+        .agg(F.min(F.struct(
+            F.unix_micros(t).alias("t"), g.cast("string").alias("g")
+        ))["g"].alias("__g"))
+    )
+    counts = [
+        s.join(attr, "__u")
+        .groupBy("__g")
+        .agg(F.count("*").cast("long").alias("users"))
+        .select(
+            F.col("__g"),
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(steps[i]).alias("event_type"),
+            "users",
+        )
+        for i, s in enumerate(stages)
+    ]
+    summary = reduce(DataFrame.unionByName, counts)
+    # k x groups rows feed two consumers (rows + per-group denominator):
+    # checkpoint once, read twice (the funnel_steps discipline)
+    summary = eager_checkpoint(summary)
+    first = summary.filter(F.col("step") == 1).select(
+        F.col("__g").alias("__g1"), F.col("users").alias("__n1")
+    )
+    return (
+        summary.join(
+            F.broadcast(first), summary["__g"] == F.col("__g1"), "inner"
+        )
+        .select(
+            F.col("__g").alias(by),
+            "step",
+            "event_type",
+            "users",
+            F.when(F.col("__n1") > 0,
+                   F.round(F.col("users") / F.col("__n1"), 6))
+            .otherwise(F.lit(0.0)).alias("conversion"),
+        )
+    )

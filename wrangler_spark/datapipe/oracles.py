@@ -3280,3 +3280,52 @@ SELECT '{a}' AS col_a, '{b}' AS col_b,
        CAST(count(CASE WHEN {both} THEN 1 END) AS BIGINT) AS n
 FROM {table}""")
     return "\nUNION ALL\n".join(parts)
+
+
+def funnel_steps_by_sql(
+    steps: list[str], within_seconds: int | None = None,
+    table: str = "events",
+) -> str:
+    """Mirror of events.funnel_steps_by over arm = user_id % 2: the
+    greedy CTE chain of funnel_steps_sql plus anchor-event group
+    attribution (min (epoch, value) struct over step-1 events) and
+    per-group conversion."""
+    ctes = [
+        f"ev AS (SELECT user_id, ts, CAST(user_id % 2 AS VARCHAR) AS arm, "
+        f"event_type FROM {table} "
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL)",
+        f"s1 AS (SELECT user_id, min(ts) AS t1, min(ts) AS tprev FROM ev "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)",
+        f"attr AS (SELECT user_id, "
+        "(min({'t': epoch_us(ts), 'g': arm})).g AS g FROM ev "
+        f"WHERE event_type = '{steps[0]}' AND arm IS NOT NULL "
+        "GROUP BY user_id)",
+    ]
+    for i, st in enumerate(steps[1:], start=2):
+        bound = (
+            f" AND e.ts <= s{i-1}.t1 + INTERVAL {within_seconds} SECOND"
+            if within_seconds is not None
+            else ""
+        )
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(s{i-1}.t1) AS t1, min(e.ts) AS tprev "
+            f"FROM ev e JOIN s{i-1} ON e.user_id = s{i-1}.user_id "
+            f"WHERE e.event_type = '{st}' AND e.ts > s{i-1}.tprev{bound} "
+            "GROUP BY e.user_id)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT attr.g, {i + 1} AS step, '{st}' AS event_type, "
+        f"count(*) AS users FROM s{i + 1} JOIN attr USING (user_id) "
+        "GROUP BY attr.g"
+        for i, st in enumerate(steps)
+    )
+    ctes.append(f"c AS ({unions})")
+    ctes.append("f AS (SELECT g, users AS n1 FROM c WHERE step = 1)")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT c.g AS arm, CAST(step AS BIGINT) AS step, event_type, "
+        "CAST(users AS BIGINT) AS users, "
+        "CASE WHEN f.n1 > 0 THEN round(CAST(users AS DOUBLE) / f.n1, 6) "
+        "ELSE 0.0 END AS conversion "
+        "FROM c JOIN f ON c.g = f.g"
+    )
