@@ -654,6 +654,17 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events"), "event_type", "ts", "value",
             every_minutes=60, agg="sum", fill="zero",
         ).drop("bucket_ts"),
+        # two-proportion z per step between the arms: the experimenter's
+        # actual readout off the grouped funnel
+        "events_funnel_ab": lambda s, d: events.funnel_ab_test(
+            events.funnel_steps_by(
+                _t(s, d, "events").withColumn(
+                    "arm", F.pmod(F.col("user_id"), 2).cast("string")),
+                "user_id", "ts", "event_type",
+                ["view", "click", "purchase"], "arm", within_minutes=1440,
+            ),
+            "arm", "0", "1",
+        ),
         # per-arm funnel: the A/B conversion comparison (arm attributed
         # from the anchor event; here the deterministic user_id parity)
         "events_funnel_by": lambda s, d: events.funnel_steps_by(
@@ -1032,6 +1043,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_transitions": o.event_transitions_sql(),
         "events_paths": o.event_paths_sql(),
         "events_funnel_by": o.funnel_steps_by_sql(
+            ["view", "click", "purchase"], within_seconds=86400
+        ),
+        "events_funnel_ab": o.funnel_ab_sql(
             ["view", "click", "purchase"], within_seconds=86400
         ),
         "events_funnel_latency": o.funnel_latency_sql(

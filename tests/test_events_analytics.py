@@ -858,3 +858,40 @@ def test_funnel_steps_by_arms(spark):
     for (arm, step), r in got.items():
         by_total[step] = by_total.get(step, 0) + r["users"]
     assert by_total == total
+
+
+def test_funnel_ab_test(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.datapipe.events import funnel_ab_test, funnel_steps_by
+
+    def ts(m):
+        return f"1970-01-01 {m // 60:02d}:{m % 60:02d}:00"
+
+    rows = []
+    for i in range(100):
+        rows.append((f"a{i}", ts(i), "view", "A"))
+        if i < 60:
+            rows.append((f"a{i}", ts(i + 1), "click", "A"))
+    for i in range(100):
+        rows.append((f"b{i}", ts(i), "view", "B"))
+        if i < 30:
+            rows.append((f"b{i}", ts(i + 1), "click", "B"))
+    df = spark.createDataFrame(
+        rows, "u string, t string, e string, arm string"
+    ).select("u", F.col("t").cast("timestamp").alias("t"), "e", "arm")
+    g = funnel_steps_by(df, "u", "t", "e", ["view", "click"], "arm")
+    r = funnel_ab_test(g, "arm", "A", "B").collect()[0]
+    pool = 90 / 200
+    se = math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert r["z"] == round((0.6 - 0.3) / se, 6)
+    assert r["significant"] and r["conv_a"] == 0.6 and r["conv_b"] == 0.3
+    # equal arms: z ~ 0, not significant
+    g2 = funnel_steps_by(
+        df.withColumn("arm", F.lit("A")), "u", "t", "e",
+        ["view", "click"], "arm")
+    both = g2.withColumn("arm", F.lit("B")).unionByName(g2)
+    r2 = funnel_ab_test(both, "arm", "A", "B").collect()[0]
+    assert r2["z"] == 0.0 and not r2["significant"]

@@ -1930,3 +1930,44 @@ def funnel_steps_by(
             .otherwise(F.lit(0.0)).alias("conversion"),
         )
     )
+
+
+def funnel_ab_test(grouped: DataFrame, by: str, arm_a: str, arm_b: str) -> DataFrame:
+    """Two-proportion z-test per funnel step between two arms of a
+    :func:`funnel_steps_by` result — the readout an experimenter
+    actually needs: is B's step-i conversion different from A's beyond
+    noise? Per step i >= 2: p = pooled conversion, z = (pA - pB) /
+    sqrt(p(1-p)(1/nA + 1/nB)) against each arm's own step-1 denominator
+    (the standard two-sample proportion test), significant at
+    |z| > 1.96 (alpha = 0.05 two-sided). Returns (step, event_type,
+    users_a, users_b, conv_a, conv_b, z, significant).
+
+    All inputs are the grouped funnel's integer counts, so every
+    fraction is integer/integer and the z arithmetic is one fixed
+    double order; z rounds 6dp. The frame is steps x arms — driver-free
+    but trivially small; a zero pooled variance (both arms 0% or 100%)
+    yields NULL z."""
+    a = grouped.filter(F.col(by) == arm_a).select(
+        "step", "event_type", F.col("users").alias("ua"))
+    b = grouped.filter(F.col(by) == arm_b).select(
+        F.col("step").alias("sb"), F.col("users").alias("ub"))
+    j = a.join(b, a["step"] == F.col("sb"), "inner").drop("sb")
+    n1 = j.filter(F.col("step") == 1).select(
+        F.col("ua").alias("na"), F.col("ub").alias("nb"))
+    w = j.crossJoin(F.broadcast(n1))  # 1-row denominators
+    pa = F.col("ua") / F.col("na")
+    pb = F.col("ub") / F.col("nb")
+    pool = (F.col("ua") + F.col("ub")) / (F.col("na") + F.col("nb"))
+    se = F.sqrt(pool * (F.lit(1.0) - pool)
+                * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb")))
+    z = F.when(se > 0, F.round((pa - pb) / se, 6))
+    return (
+        w.filter(F.col("step") > 1)
+        .select(
+            "step", "event_type",
+            F.col("ua").alias("users_a"), F.col("ub").alias("users_b"),
+            F.round(pa, 6).alias("conv_a"), F.round(pb, 6).alias("conv_b"),
+            z.cast("double").alias("z"),
+            F.when(z.isNotNull(), F.abs(z) > F.lit(1.96)).alias("significant"),
+        )
+    )

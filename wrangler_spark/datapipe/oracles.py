@@ -3329,3 +3329,41 @@ def funnel_steps_by_sql(
         "ELSE 0.0 END AS conversion "
         "FROM c JOIN f ON c.g = f.g"
     )
+
+
+def funnel_ab_sql(
+    steps: list[str], within_seconds: int | None = None,
+    table: str = "events",
+) -> str:
+    """Mirror of events.funnel_ab_test over the user-parity arms '0'
+    vs '1': the grouped funnel as a subquery, then the two-proportion
+    z per step in the identical double order."""
+    gfun = funnel_steps_by_sql(steps, within_seconds, table)
+    return f"""
+WITH j AS (
+  SELECT a.step, a.event_type, a.users AS ua, b.users AS ub
+  FROM ({gfun}) a JOIN ({gfun}) b ON a.step = b.step
+  WHERE a.arm = '0' AND b.arm = '1'),
+n1 AS (SELECT ua AS na, ub AS nb FROM j WHERE step = 1)
+SELECT j.step, j.event_type,
+       CAST(ua AS BIGINT) AS users_a, CAST(ub AS BIGINT) AS users_b,
+       round(CAST(ua AS DOUBLE) / na, 6) AS conv_a,
+       round(CAST(ub AS DOUBLE) / nb, 6) AS conv_b,
+       CASE WHEN sqrt(((ua + ub) / CAST(na + nb AS DOUBLE))
+                      * (1.0 - (ua + ub) / CAST(na + nb AS DOUBLE))
+                      * (1.0 / na + 1.0 / nb)) > 0
+            THEN round((CAST(ua AS DOUBLE) / na - CAST(ub AS DOUBLE) / nb)
+                       / sqrt(((ua + ub) / CAST(na + nb AS DOUBLE))
+                              * (1.0 - (ua + ub) / CAST(na + nb AS DOUBLE))
+                              * (1.0 / na + 1.0 / nb)), 6)
+       END AS z,
+       CASE WHEN sqrt(((ua + ub) / CAST(na + nb AS DOUBLE))
+                      * (1.0 - (ua + ub) / CAST(na + nb AS DOUBLE))
+                      * (1.0 / na + 1.0 / nb)) > 0
+            THEN abs(round((CAST(ua AS DOUBLE) / na - CAST(ub AS DOUBLE) / nb)
+                           / sqrt(((ua + ub) / CAST(na + nb AS DOUBLE))
+                                  * (1.0 - (ua + ub) / CAST(na + nb AS DOUBLE))
+                                  * (1.0 / na + 1.0 / nb)), 6)) > 1.96
+       END AS significant
+FROM j CROSS JOIN n1 WHERE j.step > 1
+"""
