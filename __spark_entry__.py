@@ -1335,9 +1335,10 @@ _R11_WINDOW = [
     # the same aggregate plus the group join) for the vocabulary-state
     # reconstruction — new this round (r9 VERDICT next-round #6)
     "text_vocab_state",
-    # r9: num_qbins vacated (r8-green, unchanged) for the grouped
-    # top-fraction pruning — keep_top_frac(by=)
-    "sample_top_frac_by",
+    # r11 session 2: sample_top_frac_by vacated (r9-green, unchanged;
+    # the grouped join_group_stats path stays graded via num_qbins_by +
+    # num_impute in-window) for the funnel A/B z-test — new
+    "events_funnel_ab",
     # r11 session 2: text_entropy vacated (green r7-r10, unchanged; the
     # scan-side text-stats family stays graded via the in-window
     # text_repetition / text_ngram_rep / text_rep_filter) for the
@@ -1363,10 +1364,16 @@ _R11_WINDOW = [
     # new pair-volume governor, oracle-mirrored QUALIFY top-k) — new this
     # round (r10 VERDICT next-round #2)
     "dedup_overlap_capped",
-    # code paths changed this round (checkpoint lifecycle / blocking
-    # rewrite / staged norm / plan-shape fixes)
-    "entity_match",
-    "text_winnow_overlap",
+    # r11 session 2: entity_match vacated (long-green; the blocked-
+    # linkage family stays graded via the in-window entity_match_against,
+    # which runs the same per-column blocking + candidate verify) for
+    # the session engagement scorecard — new
+    "events_session_stats",
+    # r11 session 2: text_winnow_overlap vacated (long-green; the
+    # output-bound pair family stays graded via the in-window
+    # dedup_overlap_capped, which carries the r11 governor) for the
+    # per-arm funnel — new
+    "events_funnel_by",
     # late r8 addition (vocab coverage cutoff) — dedup_ngram_word vacated
     # (green r1-r7 incl. post-rewrite r7; its only r8 change is the shared
     # eager_checkpoint mechanism, represented by many remaining entries)
@@ -1392,7 +1399,10 @@ _R11_WINDOW = [
     # r8 change was the shared checkpoint mechanism, still represented by
     # several remaining entries) for the grouped winsorize/qbins — the
     # grouped numeric family is now fully driver-graded
-    "num_qbins_by",
+    # r11 session 2: num_qbins_by vacated (r9-green, unchanged; the
+    # grouped boundary-grid path shares join_group_stats with the
+    # in-window num_impute) for the one-pass Pearson matrix — new
+    "num_corr_matrix",
     # r11 session 2: text_oov vacated (r9-green, unchanged; the vocab
     # family stays graded via text_vocab + text_vocab_state in-window)
     # for the count-min sketch point estimates — new this round
