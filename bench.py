@@ -96,6 +96,9 @@ EXTRA_QUERIES = [
     "events_cusum",               # change-point recursions over the grid
     "events_survival",            # Kaplan-Meier churn curve
     "text_js_drift",              # JS text drift over hashed unigrams
+    "events_session_stats",       # sessionize + engagement scorecard
+    "events_funnel_by",           # per-arm funnel (A/B conversion)
+    "num_corr_matrix",            # one-pass Pearson matrix (integer moments)
 ]
 
 

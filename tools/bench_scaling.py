@@ -75,6 +75,7 @@ QUERIES = [
     "dq_constraints", "events_resample", "events_rolling", "events_cms_counts",
     "events_cusum", "events_survival", "text_js_drift", "events_seasonality",
     "num_ks_drift", "num_impute",
+    "events_session_stats", "events_funnel_by", "num_corr_matrix",
 ]
 
 
