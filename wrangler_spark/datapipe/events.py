@@ -1701,6 +1701,9 @@ def survival(
         .cast("long").alias("__total"),
         F.max("period").alias("__span"),
     )
+    # the guard's collect executes the event-volume aggregate —
+    # checkpoint the 1-row result so the returned plan reads it
+    one = eager_checkpoint(one)
     worst = one.select("__span").collect()
     span = worst[0]["__span"] if worst and worst[0]["__span"] is not None else 0
     if span > max_periods:
