@@ -798,6 +798,11 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d).filter(F.col("doc_id") % 2 == 1),
             "text",
         ),
+        # per-DOC TF-IDF keywords: the group-top-terms machinery at
+        # document cardinality (groups = docs) — document tagging
+        "text_doc_keywords": lambda s, d: text.group_top_terms(
+            docs(s, d), "text", "doc_id", 5, weight="tfidf"
+        ),
         "text_hash_emb": lambda s, d: text.hash_embedding(
             docs(s, d), "doc_id", "text", 16
         ).select("doc_id", F.posexplode("embedding").alias("pos", "y")),
@@ -952,6 +957,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_oov": o.oov_rate_sql(0.9),
         "text_group_terms": o.group_top_terms_sql("source", 10),
         "text_group_terms_weighted": o.group_top_terms_weighted_sql("source", 10),
+        "text_doc_keywords": o.doc_keywords_sql(5),
         "text_vocab_state": o.vocab_coverage_sql(0.9),
         "text_rep_filter": o.repetition_filter_sql(),
         "corpus_drift": o.distribution_drift_sql("c_acctbal", 10),

@@ -3367,3 +3367,30 @@ SELECT j.step, j.event_type,
        END AS significant
 FROM j CROSS JOIN n1 WHERE j.step > 1
 """
+
+
+def doc_keywords_sql(k: int = 5, table: str = "documents") -> str:
+    """Mirror of text.group_top_terms(by=doc_id, weight='tfidf') at
+    per-document cardinality — classic TF-IDF keyword extraction:
+    score = tf * ln(n_docs / df), rank per doc by (rounded score desc,
+    term asc)."""
+    return f"""
+WITH toks AS (SELECT doc_id AS g,
+                     unnest(list_filter(string_split({_NORM}, ' '),
+                            x -> x <> '')) AS t
+              FROM {table}),
+c AS (SELECT g, t, count(*) AS tf FROM toks GROUP BY g, t),
+tm AS (SELECT t, count(*) AS df FROM c GROUP BY t),
+ng AS (SELECT count(DISTINCT g) AS n FROM c),
+s AS (SELECT c.g, c.t, c.tf,
+             round(c.tf * ln(CAST((SELECT n FROM ng) AS DOUBLE)
+                             / CAST(tm.df AS DOUBLE)), 6) AS score
+      FROM c JOIN tm USING (t)),
+r AS (SELECT g, t, tf, score,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY score DESC, t ASC) AS rank
+      FROM s)
+SELECT g AS doc_id, t AS term, CAST(tf AS BIGINT) AS tf, score,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {int(k)}
+"""
