@@ -665,6 +665,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "arm", "0", "1",
         ),
+        # per-arm retention grid: the A/B family's second leg
+        "events_retention_by": lambda s, d: events.retention_cohorts_by(
+            _t(s, d, "events").withColumn(
+                "arm", F.pmod(F.col("user_id"), 2).cast("string")),
+            "user_id", "ts", "arm", period_days=1, max_periods=8,
+        ),
         # per-arm funnel: the A/B conversion comparison (arm attributed
         # from the anchor event; here the deterministic user_id parity)
         "events_funnel_by": lambda s, d: events.funnel_steps_by(
@@ -1042,6 +1048,7 @@ def _datapipe_oracles() -> dict[str, str]:
             ["view", "click", "purchase"], within_seconds=86400
         ),
         "events_retention": o.retention_cohorts_sql(1, 8),
+        "events_retention_by": o.retention_cohorts_by_sql(1, 8),
         "events_retention_forget": o.retention_cohorts_sql(
             1, 8, table="(SELECT * FROM events WHERE user_id % 17 <> 3) ev"
         ),

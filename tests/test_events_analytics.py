@@ -895,3 +895,36 @@ def test_funnel_ab_test(spark):
     both = g2.withColumn("arm", F.lit("B")).unionByName(g2)
     r2 = funnel_ab_test(both, "arm", "A", "B").collect()[0]
     assert r2["z"] == 0.0 and not r2["significant"]
+
+
+def test_retention_cohorts_by_arms(spark):
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.datapipe.events import (
+        retention_cohorts,
+        retention_cohorts_by,
+    )
+
+    rows = [
+        # arm X: u1 active days 0 and 1; u2 day 0 only
+        ("u1", "1970-01-01 01:00:00", "X"), ("u1", "1970-01-02 01:00:00", "X"),
+        ("u2", "1970-01-01 02:00:00", "X"),
+        # arm Y: u3 active days 0, 1, 2
+        ("u3", "1970-01-01 03:00:00", "Y"), ("u3", "1970-01-02 03:00:00", "Y"),
+        ("u3", "1970-01-03 03:00:00", "Y"),
+    ]
+    df = spark.createDataFrame(rows, "u string, t string, g string").select(
+        "u", F.col("t").cast("timestamp").alias("t"), "g")
+    got = {(r["g"], r["cohort_start"], r["period_offset"]): r for r in
+           retention_cohorts_by(df, "u", "t", "g", period_days=1,
+                                max_periods=8).collect()}
+    assert got[("X", "1970-01-01", 0)]["active_users"] == 2
+    assert got[("X", "1970-01-01", 1)]["retention"] == 0.5
+    assert got[("Y", "1970-01-01", 2)]["retention"] == 1.0
+    # arm totals == the ungrouped grid
+    base = {(r["cohort_start"].__str__(), r["period_offset"]): r["active_users"]
+            for r in retention_cohorts(df, "u", "t", period_days=1).collect()}
+    agg = {}
+    for (g, cs, off), r in got.items():
+        agg[(cs, off)] = agg.get((cs, off), 0) + r["active_users"]
+    assert agg == {(str(k[0]), k[1]): v for k, v in base.items()} or agg == base

@@ -1974,3 +1974,74 @@ def funnel_ab_test(grouped: DataFrame, by: str, arm_a: str, arm_b: str) -> DataF
             F.when(z.isNotNull(), F.abs(z) > F.lit(1.96)).alias("significant"),
         )
     )
+
+
+def retention_cohorts_by(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    by: str,
+    period_days: int = 7,
+    max_periods: int = 8,
+    calendar: str | None = None,
+) -> DataFrame:
+    """Per-group cohort retention — "does the experiment arm retain
+    better": the retention grid with each user attributed to the ``by``
+    value on their FIRST event (min (epoch, value) struct — the
+    funnel_steps_by / survival_by attribution contract; NULL values
+    never attribute). One grid per group, each cohort's denominator its
+    own group's offset-0 count. Returns (group, cohort_start,
+    period_offset, active_users, retention).
+
+    Scale shape: the (user, bucket) distinct and the attribution
+    aggregate are the two event-volume shuffles, both keyed on the
+    user column — the first-bucket join and the attribution join then
+    reuse that partitioning; grid rows = groups x cohorts x offsets,
+    sizes join back broadcast."""
+    b = _activity_pairs(df, user_col, ts_col, period_days, calendar)
+    u, t, g = F.col(user_col), F.col(ts_col), F.col(by)
+    attr = (
+        df.filter(u.isNotNull() & t.isNotNull() & g.isNotNull())
+        .groupBy(u.alias("__u"))
+        .agg(F.min(F.struct(
+            F.unix_micros(t).alias("t"), g.cast("string").alias("g")
+        ))["g"].alias("__g"))
+    )
+    first = b.groupBy("__u").agg(F.min("__b").alias("__cb"))
+    act = (
+        b.join(first, "__u")
+        .join(attr, "__u")
+        .select("__g", "__cb", (F.col("__b") - F.col("__cb")).alias("period_offset"))
+        .filter(F.col("period_offset") < max_periods)
+        .groupBy("__g", "__cb", "period_offset")
+        .agg(F.count("*").cast("long").alias("active_users"))
+    )
+    act = eager_checkpoint(act)
+    sizes = act.filter(F.col("period_offset") == 0).select(
+        F.col("__g").alias("__g2"), F.col("__cb").alias("__cb2"),
+        F.col("active_users").alias("__size"),
+    )
+    if calendar == "month":
+        start = F.format_string(
+            "%04d-%02d",
+            (F.col("__cb") / 12).cast("int") + 1970,
+            F.pmod(F.col("__cb"), F.lit(12)).cast("int") + 1,
+        )
+    else:
+        start = F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            (F.col("__cb") * period_days).cast("int"),
+        ).cast("string")
+    return (
+        act.join(
+            F.broadcast(sizes),
+            (act["__g"] == F.col("__g2")) & (act["__cb"] == F.col("__cb2")),
+        )
+        .select(
+            F.col("__g").alias(by),
+            start.alias("cohort_start"),
+            "period_offset",
+            "active_users",
+            F.round(F.col("active_users") / F.col("__size"), 6).alias("retention"),
+        )
+    )

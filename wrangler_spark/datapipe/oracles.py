@@ -3394,3 +3394,33 @@ SELECT g AS doc_id, t AS term, CAST(tf AS BIGINT) AS tf, score,
        CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {int(k)}
 """
+
+
+def retention_cohorts_by_sql(
+    period_days: int = 7, max_periods: int = 8, table: str = "events",
+) -> str:
+    """Mirror of events.retention_cohorts_by over arm = user_id % 2:
+    retention_cohorts_sql plus first-event struct-min attribution and
+    per-(arm, cohort) denominators."""
+    return f"""
+WITH ev AS (SELECT user_id AS u, ts, CAST(user_id % 2 AS VARCHAR) AS arm
+            FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+b AS (SELECT DISTINCT u,
+             CAST(floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        / {period_days}.0) AS BIGINT) AS bk
+      FROM ev),
+attr AS (SELECT u, (min({{'t': epoch_us(ts), 'g': arm}})).g AS g
+         FROM ev WHERE arm IS NOT NULL GROUP BY u),
+f AS (SELECT u, min(bk) AS cb FROM b GROUP BY u),
+a AS (SELECT attr.g, f.cb, b.bk - f.cb AS off, count(*) AS n
+      FROM b JOIN f USING (u) JOIN attr USING (u)
+      WHERE b.bk - f.cb < {max_periods} GROUP BY attr.g, f.cb, b.bk - f.cb),
+s AS (SELECT g, cb, n AS sz FROM a WHERE off = 0)
+SELECT a.g AS arm,
+       CAST(DATE '1970-01-01' + CAST(a.cb * {period_days} AS INT) AS VARCHAR)
+         AS cohort_start,
+       CAST(a.off AS BIGINT) AS period_offset,
+       CAST(a.n AS BIGINT) AS active_users,
+       round(CAST(a.n AS DOUBLE) / s.sz, 6) AS retention
+FROM a JOIN s ON a.g = s.g AND a.cb = s.cb
+"""
