@@ -1366,7 +1366,12 @@ _R11_WINDOW = [
     # top-k family stays graded via text_vocabulary/events_paths) for
     # the topic-labeling capstone — kmeans clusters + log-odds labels,
     # new this round
-    "emb_cluster_topics",
+    # r11 session 2: emb_cluster_topics vacated (r10/r11-green; its two
+    # halves stay graded in-window — k-means via dedup_semdedup, the
+    # log-odds labeler via text_group_terms_weighted) for per-doc
+    # TF-IDF keywords — the same slice machinery at corpus-cardinality
+    # groups, new
+    "text_doc_keywords",
     # r11 session 2: corpus_drift vacated (green r8-r10, unchanged; the
     # drift family is now graded via the in-window num_ks_drift +
     # text_js_drift, which cover the numeric and text axes) for the
@@ -1390,7 +1395,11 @@ _R11_WINDOW = [
     # late r8 addition (vocab coverage cutoff) — dedup_ngram_word vacated
     # (green r1-r7 incl. post-rewrite r7; its only r8 change is the shared
     # eager_checkpoint mechanism, represented by many remaining entries)
-    "text_vocab",
+    # r11 session 2: text_vocab vacated (green r8-r11, unchanged; the
+    # coverage-vocab path stays graded via the in-window
+    # text_vocab_state, whose reconstruction equals the one-shot) for
+    # the per-arm retention grid — new
+    "events_retention_by",
     "dedup_minhash_cc",
     # r10: num_scale_by vacated (r8-green, unchanged; the grouped numeric
     # join path stays graded through num_winsorize_by/num_qbins_by/
