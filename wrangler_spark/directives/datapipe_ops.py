@@ -1839,3 +1839,87 @@ class Seasonality(Directive):
         return seasonality(
             df, ctx.resolve(df, self.args["key"]),
             ctx.resolve(df, self.args["ts"]))
+
+
+@directive
+class FunnelBy(Directive):
+    """funnel-by :user :ts :type 'step1,step2,...' :arm [within_minutes]
+    — per-arm funnel: the greedy chain with users attributed to their
+    anchor event's arm value; conversion against each arm's own step-1
+    count (the A/B comparison readout)."""
+
+    name = "funnel-by"
+    usage = [
+        Arg("user", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+        Arg("type", TokenType.COLUMN),
+        Arg("steps", TokenType.TEXT),
+        Arg("arm", TokenType.COLUMN),
+        Arg("within_minutes", TokenType.NUMERIC, optional=True),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import funnel_steps_by
+
+        steps = [s.strip() for s in str(self.args["steps"]).split(",") if s.strip()]
+        within = self.args.value("within_minutes")
+        return funnel_steps_by(
+            df,
+            ctx.resolve(df, self.args["user"]),
+            ctx.resolve(df, self.args["ts"]),
+            ctx.resolve(df, self.args["type"]),
+            steps,
+            ctx.resolve(df, self.args["arm"]),
+            None if within is None else float(within),
+        )
+
+
+@directive
+class RetentionBy(Directive):
+    """retention-by :user :ts :arm [period_days] [max_periods] —
+    per-arm cohort retention grid (first-event arm attribution)."""
+
+    name = "retention-by"
+    usage = [
+        Arg("user", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+        Arg("arm", TokenType.COLUMN),
+        Arg("period_days", TokenType.NUMERIC, optional=True, default=7),
+        Arg("max_periods", TokenType.NUMERIC, optional=True, default=8),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import retention_cohorts_by
+
+        return retention_cohorts_by(
+            df,
+            ctx.resolve(df, self.args["user"]),
+            ctx.resolve(df, self.args["ts"]),
+            ctx.resolve(df, self.args["arm"]),
+            int(self.args["period_days"]),
+            int(self.args["max_periods"]),
+        )
+
+
+@directive
+class SessionStats(Directive):
+    """session-stats :user :ts [gap_minutes] — one-row engagement
+    scorecard (sessions, users, avg events, avg/median duration,
+    bounce rate)."""
+
+    name = "session-stats"
+    usage = [
+        Arg("user", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+        Arg("gap", TokenType.NUMERIC, optional=True, default=30.0),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.streaming.sessions import session_stats
+
+        return session_stats(
+            df,
+            ctx.resolve(df, self.args["user"]),
+            ctx.resolve(df, self.args["ts"]),
+            float(self.args["gap"]),
+        )
