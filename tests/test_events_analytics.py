@@ -928,3 +928,23 @@ def test_retention_cohorts_by_arms(spark):
     for (g, cs, off), r in got.items():
         agg[(cs, off)] = agg.get((cs, off), 0) + r["active_users"]
     assert agg == {(str(k[0]), k[1]): v for k, v in base.items()} or agg == base
+
+
+def test_ab_family_directives(spark):
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("u1", "1970-01-01 00:00:00", "view", "A"),
+         ("u1", "1970-01-01 00:01:00", "click", "A"),
+         ("u2", "1970-01-01 00:00:00", "view", "B")],
+        "u string, t string, e string, arm string").select(
+        "u", F.col("t").cast("timestamp").alias("t"), "e", "arm")
+    fb = Pipeline.compile("funnel-by :u :t :e 'view,click' :arm").apply(df)
+    got = {(r["arm"], r["step"]): r["users"] for r in fb.collect()}
+    assert got[("A", 2)] == 1 and got[("B", 1)] == 1
+    rb = Pipeline.compile("retention-by :u :t :arm 1 4").apply(df)
+    assert rb.filter("arm = 'A'").count() == 1
+    ss = Pipeline.compile("session-stats :u :t 30").apply(df).collect()[0]
+    assert ss["n_sessions"] == 2 and ss["bounce_rate"] == 0.5
