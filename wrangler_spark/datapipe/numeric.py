@@ -716,18 +716,24 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         raise ValueError("corr_matrix needs at least two columns")
     if len(set(cols)) != len(cols):
         raise ValueError("corr_matrix: duplicate columns")
-    micro = {
-        c: F.round(F.col(c).cast("double") * F.lit(1e6)).cast("long")
-        for c in cols
-    }
+    # project each column's micro conversion ONCE (the k² aggregates
+    # below would otherwise each re-evaluate round(cast·1e6) — measured
+    # meaningful at 6 decimal sums per pair)
+    staged = df.select(*[
+        F.round(F.col(c).cast("double") * F.lit(1e6)).cast("long")
+        .alias(f"__c{j}")
+        for j, c in enumerate(cols)
+    ])
+    midx = {c: f"__c{j}" for j, c in enumerate(cols)}
     aggs = []
     pairs = [
         (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
     ]
     for i, (a, b) in enumerate(pairs):
-        both = F.col(a).isNotNull() & F.col(b).isNotNull()
-        ma = F.when(both, micro[a])
-        mb = F.when(both, micro[b])
+        ca, cb = F.col(midx[a]), F.col(midx[b])
+        both = ca.isNotNull() & cb.isNotNull()
+        ma = F.when(both, ca)
+        mb = F.when(both, cb)
         dec = lambda x: x.cast("decimal(19,0)")  # noqa: E731
         aggs += [
             F.count(F.when(both, F.lit(1))).cast("long").alias(f"__n{i}"),
@@ -737,7 +743,7 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
             F.sum((dec(mb) * dec(mb)).cast("decimal(38,0)")).alias(f"__sbb{i}"),
             F.sum((dec(ma) * dec(mb)).cast("decimal(38,0)")).alias(f"__sab{i}"),
         ]
-    one = df.agg(*aggs)
+    one = staged.agg(*aggs)
     rows = []
     for i, (a, b) in enumerate(pairs):
         n = F.col(f"__n{i}").cast("decimal(38,0)")
