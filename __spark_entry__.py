@@ -666,11 +666,14 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "arm", "0", "1",
         ),
         # per-arm retention grid: the A/B family's second leg
+        # cohort_start cast to string for the canonicalizer (the
+        # events_retention convention; the library returns a DATE in
+        # BOTH grids since the r12 contract unification)
         "events_retention_by": lambda s, d: events.retention_cohorts_by(
             _t(s, d, "events").withColumn(
                 "arm", F.pmod(F.col("user_id"), 2).cast("string")),
             "user_id", "ts", "arm", period_days=1, max_periods=8,
-        ),
+        ).withColumn("cohort_start", F.col("cohort_start").cast("string")),
         # per-arm funnel: the A/B conversion comparison (arm attributed
         # from the anchor event; here the deterministic user_id parity)
         "events_funnel_by": lambda s, d: events.funnel_steps_by(

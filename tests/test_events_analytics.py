@@ -897,6 +897,37 @@ def test_funnel_ab_test(spark):
     assert r2["z"] == 0.0 and not r2["significant"]
 
 
+def test_funnel_by_zero_step_rows(spark):
+    # an arm whose users ALL stall before step i still reports its
+    # (arm, step i) row with users=0 / conversion=0 — funnel_ab_test's
+    # per-step join must see the arm that converted nobody (the most
+    # decisive A/B outcome), not drop the row
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.datapipe.events import funnel_ab_test, funnel_steps_by
+
+    rows = [
+        ("a1", "1970-01-01 00:00:00", "view", "A"),
+        ("a1", "1970-01-01 00:01:00", "click", "A"),
+        ("a2", "1970-01-01 00:00:00", "view", "A"),
+        # arm B: views only, zero clicks
+        ("b1", "1970-01-01 00:00:00", "view", "B"),
+        ("b2", "1970-01-01 00:00:00", "view", "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u string, t string, e string, arm string"
+    ).select("u", F.col("t").cast("timestamp").alias("t"), "e", "arm")
+    g = funnel_steps_by(df, "u", "t", "e", ["view", "click"], "arm")
+    got = {(r["arm"], r["step"]): r for r in g.collect()}
+    assert len(got) == 4                       # full 2x2 grid
+    assert got[("B", 2)]["users"] == 0
+    assert got[("B", 2)]["conversion"] == 0.0
+    r = funnel_ab_test(g, "arm", "A", "B").collect()
+    assert len(r) == 1                         # the step-2 row survives
+    assert r[0]["users_b"] == 0 and r[0]["conv_b"] == 0.0
+    assert r[0]["users_a"] == 1 and r[0]["conv_a"] == 0.5
+
+
 def test_retention_cohorts_by_arms(spark):
     from pyspark.sql import functions as F
 
@@ -915,19 +946,25 @@ def test_retention_cohorts_by_arms(spark):
     ]
     df = spark.createDataFrame(rows, "u string, t string, g string").select(
         "u", F.col("t").cast("timestamp").alias("t"), "g")
-    got = {(r["g"], r["cohort_start"], r["period_offset"]): r for r in
+    got = {(r["g"], str(r["cohort_start"]), r["period_offset"]): r for r in
            retention_cohorts_by(df, "u", "t", "g", period_days=1,
                                 max_periods=8).collect()}
     assert got[("X", "1970-01-01", 0)]["active_users"] == 2
     assert got[("X", "1970-01-01", 1)]["retention"] == 0.5
     assert got[("Y", "1970-01-01", 2)]["retention"] == 1.0
+    # the grouped grid shares retention_cohorts' output contract:
+    # cohort_start is a DATE in both
+    import datetime
+    assert all(isinstance(r["cohort_start"], datetime.date) for r in
+               retention_cohorts_by(df, "u", "t", "g", period_days=1,
+                                    max_periods=8).collect())
     # arm totals == the ungrouped grid
-    base = {(r["cohort_start"].__str__(), r["period_offset"]): r["active_users"]
+    base = {(str(r["cohort_start"]), r["period_offset"]): r["active_users"]
             for r in retention_cohorts(df, "u", "t", period_days=1).collect()}
     agg = {}
     for (g, cs, off), r in got.items():
         agg[(cs, off)] = agg.get((cs, off), 0) + r["active_users"]
-    assert agg == {(str(k[0]), k[1]): v for k, v in base.items()} or agg == base
+    assert agg == base
 
 
 def test_ab_family_directives(spark):

@@ -44,6 +44,26 @@ def test_relative_resolution_and_hosts(spark):
     assert hosts == {("me.io", "x.com")}
 
 
+def test_protocol_relative_resolution(spark):
+    # '//other.com/path' is a network-path reference (RFC 3986): it
+    # keeps its OWN host and takes only the scheme from the base —
+    # never '<origin>//other.com/path' (a cross-host link mis-filed
+    # under the base host would bias the frontier host graph)
+    df = spark.createDataFrame(
+        [(1, _page(["//cdn.other.com/lib.js", "/local"]),
+          "https://me.io/dir/page"),
+         (2, _page(["//nohost.example/x"]), None)],
+        "id long, h string, base string")
+    got = {(r["src"], r["url"]) for r in
+           extract_links(df, "id", "h", base_col="base").collect()}
+    assert got == {(1, "https://cdn.other.com/lib.js"),
+                   (1, "https://me.io/local")}
+    hosts = {(r["src_host"], r["dst_host"]) for r in
+             extract_links(df, "id", "h", base_col="base",
+                           hosts=True).collect()}
+    assert hosts == {("me.io", "cdn.other.com")}
+
+
 def test_null_and_empty_html(spark):
     df = spark.createDataFrame(
         [(1, None), (2, ""), (3, "plain text no links")],

@@ -249,3 +249,18 @@ def test_corr_matrix(spark):
         numeric.corr_matrix(df, ["x"])
     with _pytest.raises(ValueError, match="duplicate"):
         numeric.corr_matrix(df, ["x", "x"])
+
+
+def test_corr_matrix_large_magnitude_sums(spark):
+    # the plain sums must accumulate as decimal(38,0), not int64: 2M
+    # rows of ~4.7e6-valued columns put the micro-unit sum at ~9.4e18 —
+    # past LongType's 9.22e18, where an int64 sum wraps silently
+    # (non-ANSI) or errors (ANSI) — while Sx^2 ~ 8.8e37 still fits the
+    # documented decimal(38,0) bound
+    df = spark.range(2_000_000).select(
+        (F.col("id") + 3_700_000).cast("double").alias("x"),
+        (F.col("id") + 3_700_001).cast("double").alias("y"),
+    )
+    got = numeric.corr_matrix(df, ["x", "y"]).collect()[0]
+    assert got["n"] == 2_000_000
+    assert got["corr"] == 1.0

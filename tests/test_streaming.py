@@ -603,3 +603,8 @@ def test_session_stats(spark):
     assert r["avg_duration_sec"] == 200.0    # (600 + 0 + 0) / 3
     assert r["p50_duration_sec"] == 0.0
     assert r["bounce_rate"] == 0.666667
+    # exact=False: bounded-memory approx median (the funnel_latencies
+    # knob) — on 3 values the sketch is exact, everything else equal
+    ra = session_stats(df, "user_id", "ts", 30.0, exact=False).collect()[0]
+    assert ra["p50_duration_sec"] == 0.0
+    assert ra["n_sessions"] == 3 and ra["avg_duration_sec"] == 200.0

@@ -577,9 +577,12 @@ def _activity_pairs(
 def _cohort_start(period_days: int, calendar: str | None):
     """Bucket index → the bucket's first day, as a Column over __cb."""
     if calendar == "month":
+        # floor + pmod (NOT truncating / and %): a pre-1970 month index
+        # is negative, and truncation would pick the wrong year while a
+        # signed remainder yields month 0 (NULL/error from make_date)
         return F.make_date(
             F.lit(1970) + F.floor(F.col("__cb") / 12).cast("int"),
-            (F.col("__cb") % 12 + 1).cast("int"),
+            (F.pmod(F.col("__cb"), F.lit(12)) + 1).cast("int"),
             F.lit(1),
         )
     return F.date_add(
@@ -1916,20 +1919,38 @@ def funnel_steps_by(
     # k x groups rows feed two consumers (rows + per-group denominator):
     # checkpoint once, read twice (the funnel_steps discipline)
     summary = eager_checkpoint(summary)
+    # emit the FULL (group x step) grid, not just the steps somebody
+    # reached: a group whose users all stall before step i still gets
+    # its (group, step i) row with users=0 / conversion=0 — otherwise
+    # funnel_ab_test's per-step join silently drops the report row
+    # exactly when one arm converted nobody, the most decisive A/B
+    # outcome. The group universe == the step-1 groups (attribution
+    # requires a step-1 event), so the grid explodes off the step-1
+    # frame — groups x k rows, no new shuffle, __n1 carried along.
     first = summary.filter(F.col("step") == 1).select(
-        F.col("__g").alias("__g1"), F.col("users").alias("__n1")
+        F.col("__g"), F.col("users").alias("__n1")
     )
+    step_lits = F.array(*[
+        F.struct(F.lit(i + 1).cast("long").alias("step"),
+                 F.lit(st).alias("event_type"))
+        for i, st in enumerate(steps)
+    ])
+    grid = (
+        first.select("__g", "__n1", F.explode(step_lits).alias("__s"))
+        .select("__g", "__n1",
+                F.col("__s.step").alias("step"),
+                F.col("__s.event_type").alias("event_type"))
+    )
+    users0 = F.coalesce(F.col("users"), F.lit(0))
     return (
-        summary.join(
-            F.broadcast(first), summary["__g"] == F.col("__g1"), "inner"
-        )
+        grid.join(summary, ["__g", "step", "event_type"], "left")
         .select(
             F.col("__g").alias(by),
             "step",
             "event_type",
-            "users",
+            users0.cast("long").alias("users"),
             F.when(F.col("__n1") > 0,
-                   F.round(F.col("users") / F.col("__n1"), 6))
+                   F.round(users0 / F.col("__n1"), 6))
             .otherwise(F.lit(0.0)).alias("conversion"),
         )
     )
@@ -2021,17 +2042,10 @@ def retention_cohorts_by(
         F.col("__g").alias("__g2"), F.col("__cb").alias("__cb2"),
         F.col("active_users").alias("__size"),
     )
-    if calendar == "month":
-        start = F.format_string(
-            "%04d-%02d",
-            (F.col("__cb") / 12).cast("int") + 1970,
-            F.pmod(F.col("__cb"), F.lit(12)).cast("int") + 1,
-        )
-    else:
-        start = F.date_add(
-            F.lit("1970-01-01").cast("date"),
-            (F.col("__cb") * period_days).cast("int"),
-        ).cast("string")
+    # same bucket→date mapping (and output TYPE) as retention_cohorts:
+    # floor division for pre-1970 indexes, cohort_start as a DATE — the
+    # grouped and ungrouped grids share one output contract
+    start = _cohort_start(period_days, calendar)
     return (
         act.join(
             F.broadcast(sizes),

@@ -711,7 +711,14 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     corr = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²) · (n·Syy − Sy²)) is
     computed from those exact integers with one fixed double operation
     order. O(k²) aggregate expressions for k columns, still one scan —
-    keep the list to the dozens, not thousands."""
+    keep the list to the dozens, not thousands.
+
+    Magnitude bound: every moment accumulates in decimal(38,0) (the
+    plain sums too — an int64 sum wraps at ~9.2e18 micro-units, i.e.
+    billions of rows of million-scale values), and the final n·Sxx −
+    Sx² terms must themselves fit 38 digits: |Sx| (the column's total
+    micro-unit mass) must stay below ~1e19. Past that, ANSI errors
+    and non-ANSI nulls the pair — never a silently wrong corr."""
     if len(cols) < 2:
         raise ValueError("corr_matrix needs at least two columns")
     if len(set(cols)) != len(cols):
@@ -735,10 +742,15 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         ma = F.when(both, ca)
         mb = F.when(both, cb)
         dec = lambda x: x.cast("decimal(19,0)")  # noqa: E731
+        # plain sums accumulate as decimal(38,0) too (NOT long): at
+        # ~1e12 micro-units x billions of rows an int64 sum wraps
+        # silently (non-ANSI) or errors (ANSI); decimal(38,0) holds
+        # ~1e38, so Sx is safe to ~1e26 rows at 1e12 micro-units and
+        # the n·Sxx / Sx² terms to ~1e19-row pairs — document bound
         aggs += [
             F.count(F.when(both, F.lit(1))).cast("long").alias(f"__n{i}"),
-            F.sum(ma).cast("decimal(38,0)").alias(f"__sa{i}"),
-            F.sum(mb).cast("decimal(38,0)").alias(f"__sb{i}"),
+            F.sum(ma.cast("decimal(38,0)")).cast("decimal(38,0)").alias(f"__sa{i}"),
+            F.sum(mb.cast("decimal(38,0)")).cast("decimal(38,0)").alias(f"__sb{i}"),
             F.sum((dec(ma) * dec(ma)).cast("decimal(38,0)")).alias(f"__saa{i}"),
             F.sum((dec(mb) * dec(mb)).cast("decimal(38,0)")).alias(f"__sbb{i}"),
             F.sum((dec(ma) * dec(mb)).cast("decimal(38,0)")).alias(f"__sab{i}"),

@@ -3321,13 +3321,23 @@ def funnel_steps_by_sql(
     )
     ctes.append(f"c AS ({unions})")
     ctes.append("f AS (SELECT g, users AS n1 FROM c WHERE step = 1)")
+    # full (group x step) grid with users=0 rows, mirroring the Spark
+    # side: a group that converted nobody at step i still reports
+    steplist = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, '{st}' AS event_type"
+        for i, st in enumerate(steps)
+    )
+    ctes.append(f"sl AS ({steplist})")
     return (
         "WITH " + ", ".join(ctes) + " "
-        "SELECT c.g AS arm, CAST(step AS BIGINT) AS step, event_type, "
-        "CAST(users AS BIGINT) AS users, "
-        "CASE WHEN f.n1 > 0 THEN round(CAST(users AS DOUBLE) / f.n1, 6) "
+        "SELECT f.g AS arm, CAST(sl.step AS BIGINT) AS step, "
+        "sl.event_type, "
+        "CAST(coalesce(c.users, 0) AS BIGINT) AS users, "
+        "CASE WHEN f.n1 > 0 "
+        "THEN round(CAST(coalesce(c.users, 0) AS DOUBLE) / f.n1, 6) "
         "ELSE 0.0 END AS conversion "
-        "FROM c JOIN f ON c.g = f.g"
+        "FROM f CROSS JOIN sl "
+        "LEFT JOIN c ON c.g = f.g AND c.step = sl.step"
     )
 
 

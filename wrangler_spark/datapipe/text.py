@@ -1925,8 +1925,17 @@ def extract_links(
     is_abs = F.col("__u").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
     base_origin = F.regexp_extract(
         F.col("__base"), r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)
+    base_scheme = F.regexp_extract(
+        F.col("__base"), r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     resolved = F.when(is_abs, F.col("__u")).otherwise(
         F.when(
+            # protocol-relative '//other.com/path' keeps ITS OWN host
+            # (RFC 3986 network-path reference) — only the scheme comes
+            # from the base; falling through to the '/'-prefix branch
+            # would mis-attribute a cross-host link to the base host
+            (base_scheme != "") & F.col("__u").startswith("//"),
+            F.concat(base_scheme, F.lit(":"), F.col("__u")),
+        ).when(
             (base_origin != "") & F.col("__u").startswith("/"),
             F.concat(base_origin, F.col("__u")),
         ).when(

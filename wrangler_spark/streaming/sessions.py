@@ -163,7 +163,8 @@ def sessionize_stream(
 
 
 def session_stats(
-    df: DataFrame, key_col: str, ts_col: str, gap_minutes: float = 30.0
+    df: DataFrame, key_col: str, ts_col: str, gap_minutes: float = 30.0,
+    exact: bool = True, accuracy: int = 10000,
 ) -> DataFrame:
     """One-row engagement scorecard over :func:`sessionize` output —
     the numbers a product dashboard opens with: (n_sessions, n_users,
@@ -177,7 +178,13 @@ def session_stats(
     percentile over those integers (quantile_cont arithmetic shared
     with the oracle — the funnel_latencies contract). One aggregate
     over the session frame (itself one per-key window + hash
-    aggregate); everything after sessionize is session-count-sized."""
+    aggregate); everything after sessionize is session-count-sized.
+
+    ``exact=False`` switches the median to ``percentile_approx`` with
+    ``accuracy`` (the funnel_latencies knob): the exact percentile
+    buffers EVERY session's duration in one aggregation buffer — fine
+    for a dashboard scorecard over millions of sessions, an OOM hazard
+    at billions; the approx sketch is bounded-memory mergeable."""
     s = sessionize(df, key_col, ts_col, gap_minutes)
     dur = (
         F.unix_micros(F.col("session_end"))
@@ -195,7 +202,9 @@ def session_stats(
         F.round(F.sum("__ev") / n, 6).alias("avg_events"),
         F.round(F.sum("__dur") / (n * F.lit(1e6)), 6).alias("avg_duration_sec"),
         F.round(
-            F.expr("percentile(__dur, 0.5)") / F.lit(1e6), 6
+            (F.expr("percentile(__dur, 0.5)") if exact
+             else F.expr(f"percentile_approx(__dur, 0.5, {int(accuracy)})"))
+            / F.lit(1e6), 6
         ).alias("p50_duration_sec"),
         F.round(
             F.sum(F.when(F.col("__ev") == 1, 1).otherwise(0)) / n, 6
