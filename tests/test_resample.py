@@ -93,6 +93,34 @@ def test_guards(ts_frame):
         events.resample(ts_frame, "k", "t", "v", every_minutes=0)
 
 
+def test_wide_span_stateless_fill_is_linear(spark):
+    # the zero/none fills run as a LINEAR F.transform over the bucket
+    # sequence, not the ffill fold (which re-copies the accumulated
+    # output array every step — O(span²) element copies: a 50k-bucket
+    # key would pay ~1.25e9 copies in one task). One key spanning 50k
+    # minute-buckets with two real cells must fill densely and fast.
+    span = 50_000
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", (span - 1) * 60, 2.0)],
+        "k string, sec long, v double",
+    ).select("k", F.timestamp_seconds(F.col("sec")).alias("t"), "v")
+    import time
+    t0 = time.monotonic()
+    out = events.resample(df, "k", "t", "v", every_minutes=1, agg="sum",
+                          fill="zero")
+    n = out.count()
+    zeros = out.filter("value = 0.0").count()
+    elapsed = time.monotonic() - t0
+    assert n == span and zeros == span - 2
+    # linear path: well under a second of fill work; the quadratic
+    # fold takes minutes at this span (generous bound for slow boxes)
+    assert elapsed < 30, f"wide-span fill took {elapsed:.1f}s — quadratic?"
+    # none-fill uses the same linear path
+    g = events.resample(df, "k", "t", "v", every_minutes=1, agg="sum",
+                        fill="none")
+    assert g.filter("value IS NULL").count() == span - 2
+
+
 def test_directive(ts_frame):
     out = Pipeline.compile("resample :k :t :v 60 sum ffill").apply(ts_frame)
     g = {(r["k"], r["bucket"]): r["value"] for r in out.collect()}
@@ -277,6 +305,24 @@ def test_cusum_constant_series_and_guards(spark):
     assert all(r["cusum_pos"] is None and r["alarm"] is None for r in rows)
     with pytest.raises(ValueError, match="k >= 0 and h > 0"):
         events.cusum(df, "k", "b", "v", k=-1)
+
+
+def test_grid_consumers_max_cells_guard(spark):
+    # rolling_stats and cusum collect_list per key: a raw event table
+    # fed directly (instead of a resample grid) must RAISE the same
+    # bounded pre-flight resample's max_periods does, not build an
+    # unbounded per-key array inside one task
+    df = spark.createDataFrame(
+        [("a", i, float(i % 7)) for i in range(50)],
+        "k string, b long, v double")
+    with pytest.raises(ValueError, match="rolling_stats: a key holds 50"):
+        events.rolling_stats(df, "k", "b", "v", window=3, max_cells=10)
+    with pytest.raises(ValueError, match="cusum: a key holds 50"):
+        events.cusum(df, "k", "b", "v", max_cells=10)
+    # inside the bound both still work
+    assert events.rolling_stats(df, "k", "b", "v", window=3,
+                                max_cells=50).count() == 50
+    assert events.cusum(df, "k", "b", "v", max_cells=50).count() == 50
 
 
 def test_survival_km_reference(spark):

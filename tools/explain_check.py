@@ -584,9 +584,12 @@ def main() -> int:
         must_not=["FileScan", "Window", "CartesianProduct",
                   "BatchEvalPython", "ArrowEvalPython"],
     )
+    # rolling's own hash aggregate now executes during the max_cells
+    # pre-flight (guard collect + checkpoint — the resample rule), so
+    # the returned plan is a scan-free transform+explode like resample
     p = plan_of(qs["events_rolling"](spark, SF_DIR))
     problems += check(
-        "events_rolling", p, must=["HashAggregate"],
+        "events_rolling", p,
         must_not=["FileScan", "Window", "CartesianProduct",
                   "BatchEvalPython", "ArrowEvalPython"],
     )

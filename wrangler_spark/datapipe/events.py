@@ -1236,14 +1236,19 @@ def _fill_grid(
         filled = F.aggregate(
             F.sequence(F.col("__b0"), F.col("__b1")), init, interp_step
         )["out"]
-    else:
-        if fill == "zero":
-            cell = lambda bb, last: F.coalesce(  # noqa: E731
-                F.element_at(m, bb), F.lit(0.0))
-        elif fill == "none":
-            cell = lambda bb, last: F.element_at(m, bb)  # noqa: E731
-        else:  # ffill
-            cell = lambda bb, last: F.coalesce(F.element_at(m, bb), last)  # noqa: E731
+    elif fill in ("zero", "none"):
+        # stateless fills are a LINEAR transform over the sequence —
+        # the fold used for ffill below would re-copy the accumulated
+        # output array at every step (a 50k-bucket key pays ~1.25e9
+        # element copies inside one task: O(span²), all dead work
+        # since the accumulator is never read for these fills)
+        val = (lambda bb: F.coalesce(F.element_at(m, bb), F.lit(0.0))) \
+            if fill == "zero" else (lambda bb: F.element_at(m, bb))
+        filled = F.transform(
+            F.sequence(F.col("__b0"), F.col("__b1")),
+            lambda bb: F.struct(bb.alias("b"), val(bb).alias("v")),
+        )
+    else:  # ffill — inherently sequential: keep the fold
         init = F.struct(
             F.array().cast("array<struct<b:long,v:double>>").alias("out"),
             F.lit(None).cast("double").alias("last"),
@@ -1255,7 +1260,9 @@ def _fill_grid(
                 F.concat(
                     acc["out"],
                     F.array(F.struct(
-                        bb.alias("b"), cell(bb, acc["last"]).alias("v"))),
+                        bb.alias("b"),
+                        F.coalesce(F.element_at(m, bb), acc["last"])
+                        .alias("v"))),
                 ).alias("out"),
                 F.coalesce(F.element_at(m, bb), acc["last"]).alias("last"),
             ),
@@ -1272,12 +1279,36 @@ def _fill_grid(
     )
 
 
+def _guard_cells(
+    per_key: DataFrame, size_col, max_cells: int, who: str,
+) -> DataFrame:
+    """Bounded pre-flight shared by the grid CONSUMERS (rolling_stats,
+    cusum — the resample/survival guard posture): checkpoint the
+    per-key aggregate first (the guard's collect EXECUTES it — the
+    shared-shuffle-branch rule, so the returned plan reads the
+    one-row-per-key result instead of rescanning the input), then
+    raise if the widest key's collected cell array exceeds
+    ``max_cells``. Safe fed from resample (whose max_periods bounds
+    the span); a raw event table fed directly raises here instead of
+    building an unbounded per-key array inside one task."""
+    per_key = eager_checkpoint(per_key)
+    worst = per_key.agg(F.max(size_col).alias("s")).collect()
+    n = worst[0]["s"] if worst and worst[0]["s"] is not None else 0
+    if n > max_cells:
+        raise ValueError(
+            f"{who}: a key holds {n} cells (max_cells={max_cells}) — "
+            "feed a bucketed grid (resample output), filter the range, "
+            "or raise max_cells explicitly")
+    return per_key
+
+
 def rolling_stats(
     df: DataFrame,
     key_col: str,
     bucket_col: str,
     value_col: str,
     window: int = 7,
+    max_cells: int = 100_000,
 ) -> DataFrame:
     """Trailing-window statistics + anomaly z-score over a per-key
     bucketed series (the :func:`resample` grid is the intended input):
@@ -1298,7 +1329,11 @@ def rolling_stats(
     cells (bounded by the series span — resample's max_periods guard
     upstream), then everything is a scan-side indexed transform with a
     per-index window slice: O(span · window) work per key, no window
-    functions, no second shuffle."""
+    functions, no second shuffle. ``max_cells`` guards the per-key
+    array the same way resample's max_periods does: a RAW event table
+    fed here by mistake (instead of a bucketed grid) raises with the
+    widest key's cell count instead of building an unbounded array in
+    one task."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     k, b, v = F.col(key_col), F.col(bucket_col), F.col(value_col)
@@ -1311,6 +1346,8 @@ def rolling_stats(
             v.cast("double").alias("v"),
         ))).alias("__cells"))
     )
+    cells = _guard_cells(
+        cells, F.size(F.col("__cells")), max_cells, "rolling_stats")
     arr = F.col("__cells")
     w = F.lit(int(window))
 
@@ -1542,6 +1579,7 @@ def cusum(
     value_col: str,
     k: float = 0.5,
     h: float = 5.0,
+    max_cells: int = 100_000,
 ) -> DataFrame:
     """Two-sided CUSUM change-point detection over a per-key bucketed
     series (Page, Biometrika 1954; feed it the :func:`resample` grid):
@@ -1564,7 +1602,9 @@ def cusum(
     (bounded by the series span), stats from the same exact sums, then
     ONE scan-side fold per key — no window functions, no iteration
     jobs. Constant series (std 0) yield NULL cusums (no shift scale to
-    measure against)."""
+    measure against). ``max_cells`` is the rolling_stats guard: a raw
+    event table fed here instead of a bucketed grid raises instead of
+    folding an unbounded per-key array."""
     if h <= 0 or k < 0:
         raise ValueError(f"need k >= 0 and h > 0, got k={k}, h={h}")
     kk, hh = float(k), float(h)
@@ -1588,6 +1628,7 @@ def cusum(
             ).alias("__ss"),
         )
     )
+    per_key = _guard_cells(per_key, F.col("__n"), max_cells, "cusum")
     n = F.col("__n")
     mean = F.round(F.col("__s") / (n * F.lit(1e6)), 6)
     var = (
