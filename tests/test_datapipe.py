@@ -3826,6 +3826,54 @@ def test_layout_writer_lease_enforced(spark, tmp_path_factory):
     _layout.release_lease(spark, path)
 
 
+def test_layout_lease_fencing_double_steal(spark, tmp_path_factory):
+    """The double-steal window is FENCED at commit: writer A steals a
+    stale lock, a second recovery writer B steals it again (emulated by
+    rewriting the lock with a foreign token — what B's delete+create
+    does from another process), and A's commit_version must raise
+    ConcurrentWriterError WITHOUT creating the _COMMITTED marker — A's
+    files stay invisible and vacuumable, B's lock stays in place."""
+    import pytest
+
+    from wrangler_spark.datapipe import _layout
+
+    path = str(tmp_path_factory.mktemp("fence")) + "/art"
+
+    # a committed v1 so resolve has a baseline
+    v1 = _layout.begin_version(spark, path)
+    spark.createDataFrame([(1,)], "x int").write.parquet(f"{v1}/data")
+    _layout.commit_version(spark, v1)
+
+    # crashed writer leaves a stale lock; writer A steals it
+    _layout.begin_version(spark, path)          # "crashes" (no release)
+    v_a = _layout.begin_version(spark, path, ttl_sec=0)
+    spark.createDataFrame([(2,)], "x int").write.parquet(f"{v_a}/data")
+
+    # writer B (another process) re-steals: delete + create with ITS token
+    fs, root, jvm = _layout._fs(spark, path)
+    lock = jvm.org.apache.hadoop.fs.Path(root, _layout._LOCK)
+    fs.delete(lock, False)
+    out = fs.create(lock, False)
+    out.write(bytearray(b"b" * 32))
+    out.close()
+
+    # A's commit is fenced out; its version never becomes visible
+    with pytest.raises(_layout.ConcurrentWriterError, match="fenced"):
+        _layout.commit_version(spark, v_a)
+    assert _layout.resolve(spark, path) == v1
+    # B's lock survives A's failed commit AND a further release by A
+    _layout.release_lease(spark, path)
+    assert _layout._read_lock_token(fs, lock) == "b" * 32
+
+    # B finishes its own build normally after writing its lease through
+    # the real API: clear B's emulated lock and run a full cycle
+    fs.delete(lock, False)
+    v_b = _layout.begin_version(spark, path)
+    spark.createDataFrame([(3,)], "x int").write.parquet(f"{v_b}/data")
+    _layout.commit_version(spark, v_b)
+    assert _layout.resolve(spark, path) == v_b
+
+
 def test_kmeans_converge_fixed_point_and_equivalence(spark):
     """kmeans_converge is kmeans_centroids' own iterates under a shift
     test: with tol=0 it is bit-identical to the blind count (a fixed

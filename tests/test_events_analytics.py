@@ -888,6 +888,28 @@ def test_funnel_ab_test(spark):
     se = math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
     assert r["z"] == round((0.6 - 0.3) / se, 6)
     assert r["significant"] and r["conv_a"] == 0.6 and r["conv_b"] == 0.3
+
+    # hand-computed Wilson CIs (z=1.96) + Newcombe difference interval
+    def wilson(p, n):
+        z2 = 1.96 * 1.96
+        denom = 1.0 + z2 / n
+        center = p + z2 / (2.0 * n)
+        half = 1.96 * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        return (center - half) / denom, (center + half) / denom
+
+    la, ha = wilson(0.6, 100)
+    lb, hb = wilson(0.3, 100)
+    assert r["conv_a_lo"] == round(la, 6) and r["conv_a_hi"] == round(ha, 6)
+    assert r["conv_b_lo"] == round(lb, 6) and r["conv_b_hi"] == round(hb, 6)
+    assert r["diff"] == round(0.6 - 0.3, 6)
+    assert r["diff_lo"] == round(
+        0.3 - math.sqrt((0.6 - la) ** 2 + (hb - 0.3) ** 2), 6)
+    assert r["diff_hi"] == round(
+        0.3 + math.sqrt((ha - 0.6) ** 2 + (0.3 - lb) ** 2), 6)
+    # a significant difference has a CI excluding zero (and vice versa)
+    assert r["diff_lo"] > 0.0
+    # Wilson sanity at the extremes: contained in [0,1]
+    assert 0.0 <= r["conv_b_lo"] < 0.3 < r["conv_b_hi"] <= 1.0
     # equal arms: z ~ 0, not significant
     g2 = funnel_steps_by(
         df.withColumn("arm", F.lit("A")), "u", "t", "e",

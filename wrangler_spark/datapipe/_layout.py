@@ -43,15 +43,26 @@ race any of them freely. The enforcement is a create-exclusive
 files under the winner's version. A writer that crashed without
 releasing leaves a stale lock; a later acquire steals it once it is
 older than ``ttl_sec`` (default 1 h — longer than any sane build, so a
-steal implies a dead writer, not a slow one). The steal itself is
-best-effort (two stealers of the SAME stale lock can both win, the
-classic lease caveat) — it restores liveness after a crash, while the
-common-case create-exclusive acquire is fully atomic.
+steal implies a dead writer, not a slow one).
+
+The steal is fenced by a TOKEN: every acquire writes a fresh random
+writer id into ``_LOCK`` and remembers it; ``commit_version`` re-reads
+the lock immediately before creating the ``_COMMITTED`` marker and
+raises :class:`ConcurrentWriterError` when the content is no longer its
+own token. Two stealers of the same stale lock can still both believe
+they acquired (stealer B's delete can remove stealer A's fresh lock —
+the classic lease caveat), but only the writer whose token survives in
+the lock can COMMIT; the loser fails loudly before its marker create,
+so a double-steal can no longer publish interleaved files. Releases are
+token-checked too: a fenced-out writer's release never deletes the
+usurper's lock.
 """
 
 from __future__ import annotations
 
 import re
+import threading
+import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -59,6 +70,12 @@ from pyspark.sql import SparkSession
 _VERSION_RE = re.compile(r"^v_(\d{6,})$")
 _MARKER = "_COMMITTED"
 _LOCK = "_LOCK"
+
+# fencing tokens for leases held by THIS process, keyed by artifact
+# path: acquire writes the token into _LOCK, commit re-verifies it on
+# disk before creating the marker (call sites stay token-free)
+_HELD: dict[str, str] = {}
+_HELD_MU = threading.Lock()
 
 #: a lock older than this is presumed to belong to a crashed writer and
 #: may be stolen by the next acquire.
@@ -137,18 +154,45 @@ def snapshots(spark: SparkSession, path: str) -> list[dict]:
     ]
 
 
+def _read_lock_token(fs, lock) -> str | None:
+    """The writer token currently inside ``_LOCK``, None when the lock
+    doesn't exist. Tokens are 32 hex chars; a pre-token empty lock reads
+    as ''."""
+    try:
+        stream = fs.open(lock)
+    except Exception:
+        return None
+    try:
+        data = []
+        while len(data) < 64:
+            b = stream.read()
+            if b == -1:
+                break
+            data.append(b)
+        return bytes(data).decode("ascii", "replace")
+    finally:
+        stream.close()
+
+
 def acquire_lease(spark: SparkSession, path: str,
-                  ttl_sec: int = DEFAULT_LEASE_TTL_SEC) -> None:
+                  ttl_sec: int = DEFAULT_LEASE_TTL_SEC) -> str:
     """Take the artifact's writer lease: create-exclusive
-    ``<path>/_LOCK``. Raises :class:`ConcurrentWriterError` when another
-    writer holds a non-stale lock; a lock older than ``ttl_sec`` is
-    stolen (crashed-writer recovery)."""
+    ``<path>/_LOCK`` containing a fresh random writer token (the fencing
+    id :func:`commit_version` re-verifies). Returns the token and
+    records it for this process. Raises :class:`ConcurrentWriterError`
+    when another writer holds a non-stale lock; a lock older than
+    ``ttl_sec`` is stolen (crashed-writer recovery)."""
     fs, root, jvm = _fs(spark, path)
     lock = jvm.org.apache.hadoop.fs.Path(root, _LOCK)
+    token = uuid.uuid4().hex
     for attempt in (0, 1):
         try:
-            fs.create(lock, False).close()      # overwrite=False: atomic
-            return
+            out = fs.create(lock, False)        # overwrite=False: atomic
+            out.write(bytearray(token.encode("ascii")))
+            out.close()
+            with _HELD_MU:
+                _HELD[path] = token
+            return token
         except Exception as e:                  # noqa: BLE001 — py4j wraps the Java type
             if "AlreadyExists" not in str(e) and "already exists" not in str(e):
                 raise
@@ -170,9 +214,19 @@ def acquire_lease(spark: SparkSession, path: str,
 
 
 def release_lease(spark: SparkSession, path: str) -> None:
-    """Release the artifact's writer lease (idempotent)."""
+    """Release the artifact's writer lease (idempotent). When this
+    process recorded a token for the lease, the lock is deleted only if
+    it still holds OUR token — a fenced-out writer's release must not
+    remove the usurper's lock."""
     fs, root, jvm = _fs(spark, path)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(root, _LOCK), False)
+    lock = jvm.org.apache.hadoop.fs.Path(root, _LOCK)
+    with _HELD_MU:
+        token = _HELD.pop(path, None)
+    if token is not None:
+        on_disk = _read_lock_token(fs, lock)
+        if on_disk is not None and on_disk != token:
+            return                              # stolen: leave the usurper's lock
+    fs.delete(lock, False)
 
 
 @contextmanager
@@ -214,10 +268,33 @@ def begin_version(spark: SparkSession, path: str,
 def commit_version(spark: SparkSession, version_dir: str) -> None:
     """Flip the version visible: create its empty ``_COMMITTED`` marker
     (one atomic file create — the whole commit protocol), then release
-    the writer lease ``begin_version`` took."""
+    the writer lease ``begin_version`` took.
+
+    FENCED: immediately before the marker create, the lock is re-read
+    and must still contain this process's acquire token. A writer whose
+    stale lock was stolen (and possibly re-stolen — the double-steal
+    window) finds a foreign token here and raises
+    :class:`ConcurrentWriterError` WITHOUT publishing its version: the
+    files it wrote stay invisible (no marker) and are vacuumed like any
+    abandoned build."""
+    path = version_dir.rsplit("/", 1)[0]
     fs, vroot, jvm = _fs(spark, version_dir)
+    with _HELD_MU:
+        token = _HELD.get(path)
+    if token is not None:
+        lock = jvm.org.apache.hadoop.fs.Path(
+            jvm.org.apache.hadoop.fs.Path(path), _LOCK)
+        on_disk = _read_lock_token(fs, lock)
+        if on_disk != token:
+            # keep the held token: a later release_lease must still
+            # compare against it and decline to delete the usurper's lock
+            raise ConcurrentWriterError(
+                f"commit of {version_dir} fenced out: the writer lease "
+                f"on {path} is {'gone' if on_disk is None else 'held by another writer'} "
+                "— this writer's lock was stolen after going stale; the "
+                "version stays uncommitted (vacuum will reclaim it)")
     fs.create(jvm.org.apache.hadoop.fs.Path(vroot, _MARKER), True).close()
-    release_lease(spark, version_dir.rsplit("/", 1)[0])
+    release_lease(spark, path)
 
 
 def abandon_version(spark: SparkSession, version_dir: str) -> None:

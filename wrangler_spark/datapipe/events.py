@@ -2005,13 +2005,20 @@ def funnel_ab_test(grouped: DataFrame, by: str, arm_a: str, arm_b: str) -> DataF
     sqrt(p(1-p)(1/nA + 1/nB)) against each arm's own step-1 denominator
     (the standard two-sample proportion test), significant at
     |z| > 1.96 (alpha = 0.05 two-sided). Returns (step, event_type,
-    users_a, users_b, conv_a, conv_b, z, significant).
+    users_a, users_b, conv_a, conv_b, conv_a_lo, conv_a_hi, conv_b_lo,
+    conv_b_hi, diff, diff_lo, diff_hi, z, significant): each arm's 95%
+    WILSON score interval (Wilson, JASA 1927 — well-behaved at 0% and
+    100% where the Wald interval collapses) and the Newcombe hybrid
+    score interval for the difference (Newcombe, Stat. Med. 1998:
+    diff ∓ sqrt of the squared one-sided Wilson margins) — the numbers
+    an experimenter quotes alongside z.
 
     All inputs are the grouped funnel's integer counts, so every
-    fraction is integer/integer and the z arithmetic is one fixed
-    double order; z rounds 6dp. The frame is steps x arms — driver-free
-    but trivially small; a zero pooled variance (both arms 0% or 100%)
-    yields NULL z."""
+    fraction is integer/integer and the z/CI arithmetic is one fixed
+    double order; everything rounds 6dp terminally. The frame is
+    steps x arms — driver-free but trivially small; a zero pooled
+    variance (both arms 0% or 100%) yields NULL z (the Wilson CIs
+    still exist there — that is their point)."""
     a = grouped.filter(F.col(by) == arm_a).select(
         "step", "event_type", F.col("users").alias("ua"))
     b = grouped.filter(F.col(by) == arm_b).select(
@@ -2026,12 +2033,33 @@ def funnel_ab_test(grouped: DataFrame, by: str, arm_a: str, arm_b: str) -> DataF
     se = F.sqrt(pool * (F.lit(1.0) - pool)
                 * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb")))
     z = F.when(se > 0, F.round((pa - pb) / se, 6))
+    zc = F.lit(1.96)
+
+    def wilson(p, nn):
+        # Wilson score interval at z=1.96; one fixed operation order
+        # shared verbatim with the DuckDB oracle
+        denom = F.lit(1.0) + zc * zc / nn
+        center = p + zc * zc / (F.lit(2.0) * nn)
+        half = zc * F.sqrt(
+            p * (F.lit(1.0) - p) / nn + zc * zc / (F.lit(4.0) * nn * nn))
+        return (center - half) / denom, (center + half) / denom
+
+    la, ha = wilson(pa, F.col("na"))
+    lb, hb = wilson(pb, F.col("nb"))
+    diff = pa - pb
+    # Newcombe hybrid score interval for pA - pB
+    dlo = diff - F.sqrt((pa - la) * (pa - la) + (hb - pb) * (hb - pb))
+    dhi = diff + F.sqrt((ha - pa) * (ha - pa) + (pb - lb) * (pb - lb))
     return (
         w.filter(F.col("step") > 1)
         .select(
             "step", "event_type",
             F.col("ua").alias("users_a"), F.col("ub").alias("users_b"),
             F.round(pa, 6).alias("conv_a"), F.round(pb, 6).alias("conv_b"),
+            F.round(la, 6).alias("conv_a_lo"), F.round(ha, 6).alias("conv_a_hi"),
+            F.round(lb, 6).alias("conv_b_lo"), F.round(hb, 6).alias("conv_b_hi"),
+            F.round(diff, 6).alias("diff"),
+            F.round(dlo, 6).alias("diff_lo"), F.round(dhi, 6).alias("diff_hi"),
             z.cast("double").alias("z"),
             F.when(z.isNotNull(), F.abs(z) > F.lit(1.96)).alias("significant"),
         )

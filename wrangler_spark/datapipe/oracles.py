@@ -3349,33 +3349,51 @@ def funnel_ab_sql(
     vs '1': the grouped funnel as a subquery, then the two-proportion
     z per step in the identical double order."""
     gfun = funnel_steps_by_sql(steps, within_seconds, table)
+    # Wilson interval pieces in the IDENTICAL double operation order as
+    # the Spark side: center = p + z²/(2n), half = z·sqrt(p(1-p)/n +
+    # z²/(4n·n)), bound = (center ∓ half)/(1 + z²/n); Newcombe hybrid
+    # for the difference
     return f"""
 WITH j AS (
   SELECT a.step, a.event_type, a.users AS ua, b.users AS ub
   FROM ({gfun}) a JOIN ({gfun}) b ON a.step = b.step
   WHERE a.arm = '0' AND b.arm = '1'),
-n1 AS (SELECT ua AS na, ub AS nb FROM j WHERE step = 1)
-SELECT j.step, j.event_type,
+n1 AS (SELECT ua AS na, ub AS nb FROM j WHERE step = 1),
+p AS (
+  SELECT j.step, j.event_type, ua, ub, na, nb,
+         CAST(ua AS DOUBLE) / na AS pa,
+         CAST(ub AS DOUBLE) / nb AS pb,
+         sqrt(((ua + ub) / CAST(na + nb AS DOUBLE))
+              * (1.0 - (ua + ub) / CAST(na + nb AS DOUBLE))
+              * (1.0 / na + 1.0 / nb)) AS se
+  FROM j CROSS JOIN n1 WHERE j.step > 1),
+wls AS (
+  SELECT *,
+         (pa + 1.96*1.96/(2.0*na)
+            - 1.96*sqrt(pa*(1.0-pa)/na + 1.96*1.96/(4.0*na*na)))
+           / (1.0 + 1.96*1.96/na) AS la,
+         (pa + 1.96*1.96/(2.0*na)
+            + 1.96*sqrt(pa*(1.0-pa)/na + 1.96*1.96/(4.0*na*na)))
+           / (1.0 + 1.96*1.96/na) AS ha,
+         (pb + 1.96*1.96/(2.0*nb)
+            - 1.96*sqrt(pb*(1.0-pb)/nb + 1.96*1.96/(4.0*nb*nb)))
+           / (1.0 + 1.96*1.96/nb) AS lb,
+         (pb + 1.96*1.96/(2.0*nb)
+            + 1.96*sqrt(pb*(1.0-pb)/nb + 1.96*1.96/(4.0*nb*nb)))
+           / (1.0 + 1.96*1.96/nb) AS hb
+  FROM p)
+SELECT step, event_type,
        CAST(ua AS BIGINT) AS users_a, CAST(ub AS BIGINT) AS users_b,
-       round(CAST(ua AS DOUBLE) / na, 6) AS conv_a,
-       round(CAST(ub AS DOUBLE) / nb, 6) AS conv_b,
-       CASE WHEN sqrt(((ua + ub) / CAST(na + nb AS DOUBLE))
-                      * (1.0 - (ua + ub) / CAST(na + nb AS DOUBLE))
-                      * (1.0 / na + 1.0 / nb)) > 0
-            THEN round((CAST(ua AS DOUBLE) / na - CAST(ub AS DOUBLE) / nb)
-                       / sqrt(((ua + ub) / CAST(na + nb AS DOUBLE))
-                              * (1.0 - (ua + ub) / CAST(na + nb AS DOUBLE))
-                              * (1.0 / na + 1.0 / nb)), 6)
-       END AS z,
-       CASE WHEN sqrt(((ua + ub) / CAST(na + nb AS DOUBLE))
-                      * (1.0 - (ua + ub) / CAST(na + nb AS DOUBLE))
-                      * (1.0 / na + 1.0 / nb)) > 0
-            THEN abs(round((CAST(ua AS DOUBLE) / na - CAST(ub AS DOUBLE) / nb)
-                           / sqrt(((ua + ub) / CAST(na + nb AS DOUBLE))
-                                  * (1.0 - (ua + ub) / CAST(na + nb AS DOUBLE))
-                                  * (1.0 / na + 1.0 / nb)), 6)) > 1.96
-       END AS significant
-FROM j CROSS JOIN n1 WHERE j.step > 1
+       round(pa, 6) AS conv_a, round(pb, 6) AS conv_b,
+       round(la, 6) AS conv_a_lo, round(ha, 6) AS conv_a_hi,
+       round(lb, 6) AS conv_b_lo, round(hb, 6) AS conv_b_hi,
+       round(pa - pb, 6) AS diff,
+       round(pa - pb - sqrt((pa-la)*(pa-la) + (hb-pb)*(hb-pb)), 6) AS diff_lo,
+       round(pa - pb + sqrt((ha-pa)*(ha-pa) + (pb-lb)*(pb-lb)), 6) AS diff_hi,
+       CASE WHEN se > 0 THEN round((pa - pb) / se, 6) END AS z,
+       CASE WHEN se > 0
+            THEN abs(round((pa - pb) / se, 6)) > 1.96 END AS significant
+FROM wls
 """
 
 
