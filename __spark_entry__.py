@@ -495,6 +495,13 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_overlap_capped": lambda s, d: dedup.overlap_pairs(
             docs(s, d), "doc_id", "text", 3, 0.5, max_pairs_per_doc=2
         ),
+        # the r12 PRE-SCORE candidate budget: each doc's top-k
+        # candidates by shared-prefix-gram count are the only pairs
+        # that pay verification (the r11 governor capped pairs AFTER
+        # full scoring); oracle mirrors the exact prefix + budget
+        "dedup_overlap_budget": lambda s, d: dedup.overlap_pairs(
+            docs(s, d), "doc_id", "text", 3, 0.5, max_candidates_per_doc=3
+        ),
         "dedup_cross_minhash": lambda s, d: dedup.minhash_pairs_against(
             docs(s, d).filter(F.col("doc_id") % 3 != 0),
             docs(s, d).filter(F.col("doc_id") % 3 == 0),
@@ -519,6 +526,13 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_ngram_word": lambda s, d: dedup.ngram_jaccard_pairs(
             docs(s, d), "doc_id", "text", 3, 0.5, unit="word"
+        ),
+        # r12 pre-score candidate budget on the jaccard op (see
+        # dedup_overlap_budget): verify only each doc's top-k
+        # most-gram-sharing candidates
+        "dedup_ngram_budget": lambda s, d: dedup.ngram_jaccard_pairs(
+            docs(s, d), "doc_id", "text", 3, 0.5, unit="word",
+            max_candidates_per_doc=3,
         ),
         "dedup_substring": lambda s, d: curation.substring_dup_spans(docs(s, d), "doc_id", "text", 8),
         "decontam_spans": lambda s, d: curation.substring_spans_against(
@@ -735,6 +749,16 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_profile": lambda s, d: curation.profile_table(
             _t(s, d, "orders"), exact=True
         ),
+        # the CLOSED Deequ loop graded end to end: profile -> suggested
+        # rule list -> check report; the oracle re-derives the same
+        # data-dependent rule list in SQL (suggested rules pass on
+        # their own data by construction — the grade is WHICH rows
+        # exist plus the min_rows arithmetic)
+        "dq_suggest": lambda s, d: curation.check_constraints(
+            _t(s, d, "orders"),
+            curation.suggest_constraints(
+                curation.profile_table(_t(s, d, "orders"), exact=True)),
+        ),
         # Deequ-posture declarative data-quality gate: every metric the
         # rule list needs in ONE aggregation pass (Schelter et al. VLDB'18)
         # state reconstruction must equal the one-shot report (the
@@ -935,6 +959,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_bm25_topk": o.bm25_topk_sql(_BM25_QUERIES, 10),
         "dedup_ngram_jaccard": o.ngram_jaccard_sql(5, 0.6, unit="char"),
         "dedup_ngram_word": o.ngram_jaccard_sql(3, 0.5, unit="word"),
+        "dedup_ngram_budget": o.ngram_budget_sql(3, 0.5, 0.5, 3),
         "dedup_simhash": o.simhash_sql(32),
         "dedup_embedding": o.embedding_pairs_sql(0.0),
         "dedup_embedding_cc": o.embedding_components_sql(0.0),
@@ -952,6 +977,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_overlap_capped": o.cap_pairs_sql(
             o.overlap_pairs_sql(3, 0.5), 2, "overlap_coef"
         ),
+        "dedup_overlap_budget": o.overlap_budget_sql(3, 0.5, 0.25, 3),
         "num_outliers": o.flag_outliers_sql("c_acctbal", "zscore", 2.0),
         "num_mad": o.flag_outliers_sql("c_acctbal", "mad", 3.5),
         "num_mad_by": o.flag_outliers_by_sql("c_acctbal", "mad", 3.5, "c_mktsegment"),
@@ -1090,6 +1116,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dq_constraints": o.check_constraints_sql(),
         "dq_constraints_state": o.check_constraints_state_sql(),
         "dq_profile": o.profile_sql(),
+        "dq_suggest": o.dq_suggest_sql(),
         "events_cms_counts": o.cms_counts_sql("user_id", "events", 4, 512, 20),
         "events_resample": o.resample_sql("event_type", "ts", "value", "events", 60),
         "events_rolling": o.rolling_stats_sql(24, 60),

@@ -4027,6 +4027,70 @@ def test_pair_cap_wired_into_all_three_ops(spark, docs):
         assert per_side <= 2, fn.__name__
 
 
+def test_candidate_budget_pre_verify(spark):
+    """max_candidates_per_doc on overlap_pairs / ngram_jaccard_pairs:
+    the r12 PRE-SCORE budget — candidates are ranked by shared-prefix-
+    gram count and only each doc's top-k pay verification. Budgeted
+    output is a subset of the unbudgeted output with per-side budgets
+    enforced, deterministic across partitionings, a replica clique
+    stays ONE connected component through the kept links, and recall
+    is quantified with pair_eval."""
+    from wrangler_spark.datapipe.dedup import connected_components, pair_eval
+
+    # one 8-replica clique + two isolated true pairs
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    for i in range(8):
+        rows.append((i, base + f"tail{i}"))
+    rows += [(100, "completely different text about maritime law and ships sailing"),
+             (101, "completely different text about maritime law and ships sailing here"),
+             (200, "unrelated quarterly financial report with revenue tables inside"),
+             (201, "unrelated quarterly financial report with revenue tables inside too")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # max_gram_df=None: the corpus-relative stop-gram cap would prune
+    # the 8-replica clique's shared grams (df 8 > ceil(0.25 * 12)) and
+    # leave nothing to budget — this test isolates the budget itself
+    for fn, kw in (
+        (dedup.overlap_pairs, {"n": 3, "threshold": 0.5, "max_gram_df": None}),
+        (dedup.ngram_jaccard_pairs,
+         {"n": 3, "threshold": 0.3, "max_gram_df": None}),
+    ):
+        full = fn(df, "doc_id", "text", **kw)
+        fset = {(r["id_a"], r["id_b"]) for r in full.collect()}
+        first = None
+        for parts in (1, 7):
+            budg = fn(df.repartition(parts), "doc_id", "text", **kw,
+                      max_candidates_per_doc=2)
+            bset = sorted((r["id_a"], r["id_b"]) for r in budg.collect())
+            if first is None:
+                first = bset
+            else:
+                assert bset == first, fn.__name__       # partition-invariant
+        assert set(first) <= fset and first, fn.__name__
+        assert len(first) < len(fset), fn.__name__      # the clique shrank
+        budg = fn(df, "doc_id", "text", **kw, max_candidates_per_doc=2)
+        per_a = budg.groupBy("id_a").count().agg(F.max("count")).collect()[0][0]
+        per_b = budg.groupBy("id_b").count().agg(F.max("count")).collect()[0][0]
+        assert per_a <= 2 and per_b <= 2, fn.__name__
+        # the isolated true pairs survive any budget >= 1
+        assert (100, 101) in set(first) and (200, 201) in set(first), fn.__name__
+        # clique connectivity through the kept links
+        cc = connected_components(budg.select("id_a", "id_b"))
+        comp = {r["id"]: r["component"] for r in cc.collect()}
+        assert len({comp[i] for i in range(8)}) == 1, fn.__name__
+        # recall quantified: budget-vs-full through pair_eval
+        ev = pair_eval(budg.select("id_a", "id_b"),
+                       full.select("id_a", "id_b")).collect()[0]
+        assert ev["precision"] == 1.0, fn.__name__      # budget only drops
+        assert ev["recall"] > 0.3, fn.__name__
+        # composes with the post-score pair cap (budget >= cap)
+        both = fn(df, "doc_id", "text", **kw, max_candidates_per_doc=3,
+                  max_pairs_per_doc=1)
+        per_a2 = both.groupBy("id_a").count().agg(F.max("count")).collect()[0][0]
+        assert per_a2 <= 1, fn.__name__
+
+
 def test_forget_ids_retention_funnel_ivf(spark, tmp_path_factory):
     """The right-to-be-forgotten flow across the three id-addressable
     families: tombstones hide the ids from every keyed read IMMEDIATELY,

@@ -260,3 +260,55 @@ def test_bare_weekday_nearest_upcoming():
     assert p("on tuesday") == datetime(2016, 12, 13, tzinfo=timezone.utc)
     assert p("friday at 3pm") == datetime(2016, 12, 16, 15, tzinfo=timezone.utc)
     assert p("tue at noon") == datetime(2016, 12, 13, 12, tzinfo=timezone.utc)
+
+
+def test_relative_to_anchor_composition():
+    # NOW = Sat 2016-12-10 06:45 UTC
+    assert p("a week from tomorrow") == NOW + timedelta(days=8)
+    assert p("2 days after next friday") == datetime(
+        2016, 12, 18, tzinfo=timezone.utc)   # next fri = 12/16 00:00 + 2d
+    assert p("3 days before christmas") == datetime(
+        2016, 12, 22, tzinfo=timezone.utc)
+    assert p("an hour from now") == NOW + timedelta(hours=1)
+    # anchor must itself parse; unknown units stay unparseable
+    assert p("2 days after nonsense") is None
+    assert p("2 blargs from tomorrow") is None
+    # "3 days from now" keeps its _RE_IN meaning (regression guard)
+    assert p("3 days from now") == NOW + timedelta(days=3)
+
+
+def test_period_edges():
+    # NOW = Sat 2016-12-10; ISO week starts Monday 12/05
+    assert p("beginning of the week") == datetime(2016, 12, 5, tzinfo=timezone.utc)
+    assert p("end of the week") == datetime(2016, 12, 11, tzinfo=timezone.utc)
+    assert p("start of next week") == datetime(2016, 12, 12, tzinfo=timezone.utc)
+    assert p("end of the month") == datetime(2016, 12, 31, tzinfo=timezone.utc)
+    assert p("beginning of next month") == datetime(2017, 1, 1, tzinfo=timezone.utc)
+    assert p("end of last month") == datetime(2016, 11, 30, tzinfo=timezone.utc)
+    assert p("end of the year") == datetime(2016, 12, 31, tzinfo=timezone.utc)
+    assert p("beginning of next year") == datetime(2017, 1, 1, tzinfo=timezone.utc)
+    # composes with clock times
+    assert p("end of the month at 5pm") == datetime(
+        2016, 12, 31, 17, tzinfo=timezone.utc)
+
+
+def test_holidays():
+    # bare holiday: nearest upcoming (NOW is 2016-12-10)
+    assert p("christmas") == datetime(2016, 12, 25, tzinfo=timezone.utc)
+    assert p("christmas eve") == datetime(2016, 12, 24, tzinfo=timezone.utc)
+    assert p("halloween") == datetime(2017, 10, 31, tzinfo=timezone.utc)  # past
+    assert p("new year's day") == datetime(2017, 1, 1, tzinfo=timezone.utc)
+    # explicit year wins
+    assert p("christmas 2020") == datetime(2020, 12, 25, tzinfo=timezone.utc)
+    # next/last are strict
+    assert p("last christmas") == datetime(2015, 12, 25, tzinfo=timezone.utc)
+    assert p("next halloween") == datetime(2017, 10, 31, tzinfo=timezone.utc)
+    # thanksgiving floats: 4th Thursday of November
+    assert p("thanksgiving 2016") == datetime(2016, 11, 24, tzinfo=timezone.utc)
+    assert p("thanksgiving") == datetime(2017, 11, 23, tzinfo=timezone.utc)
+    # clock-time composition + range/anchor composition through recursion
+    assert p("christmas at noon") == datetime(2016, 12, 25, 12, tzinfo=timezone.utc)
+    assert p("a week before christmas") == datetime(2016, 12, 18, tzinfo=timezone.utc)
+    # "july 4th" stays the MDY branch's current-year form (documented)
+    assert p("july 4th") == datetime(2016, 7, 4, tzinfo=timezone.utc)
+    assert p("fourth of july") == datetime(2017, 7, 4, tzinfo=timezone.utc)

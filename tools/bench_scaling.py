@@ -67,6 +67,10 @@ QUERIES = [
     # coverage, which would conflate a looser threshold with the cap.)
     "dedup_overlap_capped8", "dedup_ngram_word_capped", "text_winnow_overlap_capped",
     "events_funnel_state",
+    # round 12 (pre-score candidate budget: same args as the r11 capped
+    # rows PLUS max_candidates_per_doc, so the slope delta isolates
+    # "verify only budgeted candidates" vs "score everything, cap after")
+    "dedup_ngram_word_budget", "dedup_overlap_budget8",
     # round 11, second batch (graph family: iterative join+agg loops —
     # sf1's user-id-shifted events give 10x transition edges)
     "events_pagerank", "events_communities",
@@ -101,6 +105,16 @@ def _extra_queries():
         ),
         "dedup_overlap_capped8": lambda s, d: dedup.overlap_pairs(
             _docs(s, d), "doc_id", "text", 3, 0.8, max_pairs_per_doc=5,
+        ),
+        # r12: the capped rows' exact args + the pre-score candidate
+        # budget (budget > cap so the post-score cap still has choice)
+        "dedup_ngram_word_budget": lambda s, d: dedup.ngram_jaccard_pairs(
+            _docs(s, d), "doc_id", "text", 3, 0.5, unit="word",
+            max_pairs_per_doc=5, max_candidates_per_doc=8,
+        ),
+        "dedup_overlap_budget8": lambda s, d: dedup.overlap_pairs(
+            _docs(s, d), "doc_id", "text", 3, 0.8, max_pairs_per_doc=5,
+            max_candidates_per_doc=8,
         ),
     }
 

@@ -390,6 +390,7 @@ def ngram_jaccard_pairs(
     max_gram_df: int | float | None = 0.5, unit: str = "word",
     max_gram_group: int | None = None,
     max_pairs_per_doc: int | None = None,
+    max_candidates_per_doc: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dups via an inverted-index equi-join: only
     pairs sharing at least one n-gram are ever scored. ``unit`` picks the
@@ -436,7 +437,19 @@ def ngram_jaccard_pairs(
     qualifying pairs (keep each doc's highest-Jaccard links) — the
     100 TB posture for replica-heavy corpora where the PAIR SET is the
     scale bound (measured sf0.1→sf1 slope 20x uncapped on the
-    adversarial replica corpus, pure output growth)."""
+    adversarial replica corpus, pure output growth).
+
+    ``max_candidates_per_doc`` budgets the candidates BEFORE the
+    verification join (the r11 governor capped pairs after full
+    scoring, so a 100-replica clique's verify join stayed quadratic):
+    candidate multiplicity — how many prefix grams a pair shares — is
+    a free by-product of the candidate aggregate, so each doc keeps
+    its ``max_candidates_per_doc`` most-gram-sharing candidates
+    (ties by the engine-portable md5 pair hash) and ONLY those pay
+    the array_intersect verification. Recall: a clique member still
+    keeps its k strongest links, so connected components stay
+    connected (quantify per-corpus with pair_eval); pairs cut here
+    were each doc's WEAKEST-evidence candidates."""
     base, staged = _gram_hash_base(df, id_col, text_col, n, unit)
     # the inverted index feeds FOUR consumers (df-count, prune join,
     # per-doc count, both sides of the self-join). Left lazy, every
@@ -551,8 +564,18 @@ def ngram_jaccard_pairs(
                 ),
             )
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-            .distinct()
         )
+        if max_candidates_per_doc is None:
+            cand = cand.distinct()
+        else:
+            # the join's pre-distinct multiplicity IS the shared-prefix-
+            # gram count — the candidate-strength signal the budget
+            # ranks on; same shuffle as the distinct
+            cand = cand.groupBy("id_a", "id_b").agg(
+                F.count("*").cast("long").alias("__shared"))
+            cand = cap_pairs_per_doc(
+                cand, max_candidates_per_doc, "__shared"
+            ).select("id_a", "id_b")
     else:
         # REPLICA-CORPUS mode (max_gram_group set): single-aggregation
         # candidate generation, the minhash hot-bucket shape — per gram
@@ -583,8 +606,15 @@ def ngram_jaccard_pairs(
             .selectExpr(pair_expr)
             .selectExpr("inline(prs)")
             .filter(F.col("id_a") != F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
         )
+        if max_candidates_per_doc is None:
+            cand = cand.dropDuplicates(["id_a", "id_b"])
+        else:
+            cand = cand.groupBy("id_a", "id_b").agg(
+                F.count("*").cast("long").alias("__shared"))
+            cand = cap_pairs_per_doc(
+                cand, max_candidates_per_doc, "__shared"
+            ).select("id_a", "id_b")
     pairs = (
         cand.join(per_doc.select(F.col("id").alias("id_a"), F.col("kept_h").alias("ka")), "id_a")
         .join(per_doc.select(F.col("id").alias("id_b"), F.col("kept_h").alias("kb")), "id_b")
@@ -606,6 +636,7 @@ def overlap_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8,
     max_gram_df: int | float | None = 0.25, unit: str = "word",
     max_pairs_per_doc: int | None = None,
+    max_candidates_per_doc: int | None = None,
 ) -> DataFrame:
     """Overlap-coefficient near-dup pairs: Szymkiewicz–Simpson
     |A∩B| / min(|A|,|B|) over the distinct n-gram hash sets, reported
@@ -636,7 +667,16 @@ def overlap_pairs(
     repo rule. ``max_pairs_per_doc`` applies :func:`cap_pairs_per_doc`
     to the qualifying pairs (keep each doc's strongest links) — the
     documented 100 TB posture for near-dup-heavy corpora where the
-    pair set itself is the scale bound."""
+    pair set itself is the scale bound.
+
+    ``max_candidates_per_doc`` budgets candidates BEFORE the
+    verification join: the candidate aggregate's multiplicity (how
+    many of the smaller doc's prefix grams land in the larger doc's
+    kept set) ranks each doc's candidates, the budget keeps the top
+    ``max_candidates_per_doc`` per doc (md5 pair-hash ties), and only
+    survivors pay array_intersect scoring — the fix for replica-heavy
+    corpora where the r11 pair governor still scored the full
+    quadratic candidate set."""
     base, staged = _gram_hash_base(df, id_col, text_col, n, unit)
     inv = eager_checkpoint(
         base.select("id", F.explode_outer("grams").alias("g"))
@@ -691,8 +731,18 @@ def overlap_pairs(
             F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
             F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
         )
-        .distinct()
     )
+    if max_candidates_per_doc is None:
+        cand = cand.distinct()
+    else:
+        # pre-distinct multiplicity = shared prefix-gram count (the
+        # smaller doc's prefix hits in the larger's kept set) — rank
+        # candidates on it, verify only each doc's budgeted top-k
+        cand = cand.groupBy("id_a", "id_b").agg(
+            F.count("*").cast("long").alias("__shared"))
+        cand = cap_pairs_per_doc(
+            cand, max_candidates_per_doc, "__shared"
+        ).select("id_a", "id_b")
     pairs = (
         cand.join(
             per_doc.select(

@@ -187,6 +187,117 @@ WHERE round(inter / least(la, lb), 6) >= {threshold}
 """
 
 
+def ngram_budget_sql(
+    n: int = 3,
+    threshold: float = 0.5,
+    max_gram_df: int | float | None = 0.5,
+    cand_k: int = 3,
+    table: str = "documents",
+    unit: str = "word",
+) -> str:
+    """Mirror of dedup.ngram_jaccard_pairs(max_candidates_per_doc=
+    cand_k) in exact mode: the symmetric both-prefix PPJoin candidates
+    WITH their shared-prefix-gram multiplicity, the two-stage QUALIFY
+    budget on (__shared DESC, md5 pair hash), then Jaccard scoring of
+    the survivors only. The candidate set is part of the semantics
+    here (see overlap_budget_sql), so the prefix + size filter are
+    replicated exactly."""
+    h = "md5(id_a::VARCHAR || '|' || id_b::VARCHAR)"
+    return f"""
+WITH {_gram_hash_ctes(n, max_gram_df, table, unit)},
+gdf2 AS (SELECT g, count(DISTINCT id) AS df FROM inv0 GROUP BY g),
+sized AS (
+  SELECT id, list(g ORDER BY df ASC, g ASC) AS hs, count(*) AS ng
+  FROM {"inv1" if max_gram_df is not None else "inv0"} JOIN gdf2 USING (g)
+  GROUP BY id),
+pref AS (SELECT id, ng,
+                unnest(list_slice(hs, 1,
+                       CAST(ng - ceil({threshold} * ng) + 1 AS INT))) AS g
+         FROM sized),
+candc AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS __shared
+  FROM pref l JOIN pref r
+    ON l.g = r.g AND l.id < r.id
+   AND least(l.ng, r.ng)::DOUBLE >= {threshold} * greatest(l.ng, r.ng)::DOUBLE
+  GROUP BY 1, 2),
+capa AS (
+  SELECT * FROM candc
+  QUALIFY row_number() OVER (PARTITION BY id_a
+                             ORDER BY __shared DESC, {h}) <= {int(cand_k)}),
+capb AS (
+  SELECT * FROM capa
+  QUALIFY row_number() OVER (PARTITION BY id_b
+                             ORDER BY __shared DESC, {h}) <= {int(cand_k)}),
+scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(a.hs, b.hs))::DOUBLE AS inter,
+         len(list_distinct(list_concat(a.hs, b.hs)))::DOUBLE AS un
+  FROM capb JOIN sized a ON capb.id_a = a.id JOIN sized b ON capb.id_b = b.id)
+SELECT id_a, id_b, round(inter / un, 6) AS jaccard
+FROM scored WHERE round(inter / un, 6) >= {threshold}
+"""
+
+
+def overlap_budget_sql(
+    n: int = 3,
+    threshold: float = 0.8,
+    max_gram_df: int | float | None = 0.25,
+    cand_k: int = 3,
+    table: str = "documents",
+    unit: str = "word",
+) -> str:
+    """Mirror of dedup.overlap_pairs(max_candidates_per_doc=cand_k):
+    unlike overlap_pairs_sql (whose any-shared-hash candidates are a
+    harmless SUPERSET — verification filters), the candidate BUDGET
+    makes the candidate set part of the semantics, so this mirror
+    replicates the Spark plan exactly: per-doc kept hashes sorted
+    rarest-first (full-corpus df asc, hash asc), the smaller-side
+    prefix (ng - ceil(t*ng) + 1) joined against full kept sets of
+    same-or-larger docs, candidate multiplicity = shared prefix-gram
+    count, two QUALIFY top-k stages on (__shared DESC, md5 pair hash)
+    in id_a-then-id_b order, and overlap scoring on the survivors
+    only."""
+    h = "md5(id_a::VARCHAR || '|' || id_b::VARCHAR)"
+    return f"""
+WITH {_gram_hash_ctes(n, max_gram_df, table, unit)},
+gdf2 AS (SELECT g, count(DISTINCT id) AS df FROM inv0 GROUP BY g),
+sized AS (
+  SELECT id, list(g ORDER BY df ASC, g ASC) AS hs, count(*) AS ng
+  FROM {"inv1" if max_gram_df is not None else "inv0"} JOIN gdf2 USING (g)
+  GROUP BY id),
+pref AS (SELECT id, ng,
+                unnest(list_slice(hs, 1,
+                       CAST(ng - ceil({threshold} * ng) + 1 AS INT))) AS g
+         FROM sized),
+flat AS (SELECT id, ng, unnest(hs) AS g FROM sized),
+candc AS (
+  SELECT least(l.id, r.id) AS id_a, greatest(l.id, r.id) AS id_b,
+         count(*) AS __shared
+  FROM pref l JOIN flat r
+    ON l.g = r.g AND (l.ng < r.ng OR (l.ng = r.ng AND l.id < r.id))
+  GROUP BY 1, 2),
+capa AS (
+  SELECT * FROM candc
+  QUALIFY row_number() OVER (PARTITION BY id_a
+                             ORDER BY __shared DESC, {h}) <= {int(cand_k)}),
+capb AS (
+  SELECT * FROM capa
+  QUALIFY row_number() OVER (PARTITION BY id_b
+                             ORDER BY __shared DESC, {h}) <= {int(cand_k)}),
+scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(a.hs, b.hs))::DOUBLE AS inter,
+         a.ng::DOUBLE AS la, b.ng::DOUBLE AS lb
+  FROM capb JOIN sized a ON capb.id_a = a.id JOIN sized b ON capb.id_b = b.id)
+SELECT id_a, id_b,
+       round(inter / least(la, lb), 6) AS overlap_coef,
+       round(inter / la, 6) AS containment_a,
+       round(inter / lb, 6) AS containment_b
+FROM scored
+WHERE round(inter / least(la, lb), 6) >= {threshold}
+"""
+
+
 def simhash_sql(bits: int = 32, table: str = "documents") -> str:
     h = _H.format(s="s")
     terms = []
@@ -3023,6 +3134,50 @@ SELECT '{c}' AS "column", '{t}' AS dtype,
        CAST(min({c}) AS VARCHAR) AS min, CAST(max({c}) AS VARCHAR) AS max
 FROM {table}""")
     return "\nUNION ALL\n".join(parts)
+
+
+def dq_suggest_sql(table: str = "orders") -> str:
+    """Mirror of the CLOSED Deequ loop profile_table(exact=True) ->
+    suggest_constraints -> check_constraints over orders: the rule list
+    is re-derived from the same profile IN SQL (not_null where nothing
+    is missing, unique where the exact distinct count equals the row
+    count, range on numeric columns with the observed [min, max], plus
+    a table-level min_rows at half the observed count). Every rule is
+    fitted to its own data, so the report is all-pass with zero
+    violation fractions BY CONSTRUCTION — what the oracle checks is
+    WHICH rows exist (data-dependent: a column with one duplicate at
+    this SF emits no unique row) and the min_rows arithmetic."""
+    cols = [("o_orderkey", True), ("o_custkey", True),
+            ("o_orderstatus", False), ("o_totalprice", True),
+            ("o_orderdate", False), ("o_orderpriority", False)]
+    p_aggs = ["count(*) AS n"]
+    for i, (c, _) in enumerate(cols):
+        p_aggs.append(
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nl{i}")
+        p_aggs.append(
+            f"count(DISTINCT {c}) "
+            f"+ max(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS d{i}")
+    parts = []
+    for i, (c, numeric) in enumerate(cols):
+        parts.append(
+            f"SELECT 'not_null' AS rule, '{c}' AS \"column\", "
+            "'null_frac' AS metric, 0.0 AS value, 0.0 AS threshold, "
+            f"TRUE AS passed FROM p WHERE n > 0 AND nl{i} = 0")
+        parts.append(
+            f"SELECT 'unique', '{c}', 'dup_frac', 0.0, 0.0, TRUE "
+            f"FROM p WHERE n > 0 AND d{i} = n")
+        if numeric:
+            # range is suggested when the profile min exists (some
+            # non-null value) and always passes on its own data
+            parts.append(
+                f"SELECT 'range', '{c}', 'oob_frac', 0.0, 0.0, TRUE "
+                f"FROM p WHERE n > 0 AND nl{i} < n")
+    parts.append(
+        "SELECT 'min_rows', NULL, 'n_rows', CAST(n AS DOUBLE), "
+        "CAST(greatest(1, n // 2) AS DOUBLE), n >= greatest(1, n // 2) "
+        "FROM p")
+    return (f"WITH p AS (SELECT {', '.join(p_aggs)} FROM {table})\n"
+            + "\nUNION ALL\n".join(parts))
 
 
 def impute_sql(table: str = "events") -> str:

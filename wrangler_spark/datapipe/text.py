@@ -1029,7 +1029,14 @@ def winnow_overlap(
     plagiarism signal anyway. ``max_pairs_per_doc`` applies
     dedup.cap_pairs_per_doc to the qualifying pairs (keep each doc's
     most-shared partners) — the 100 TB posture when the pair set
-    itself is the scale bound."""
+    itself is the scale bound.
+
+    There is deliberately no ``max_candidates_per_doc`` here (unlike
+    overlap_pairs / ngram_jaccard_pairs): this op's score, shared_fps,
+    IS the candidate aggregate's count — there is no separate
+    verification join a pre-score budget could skip; ``max_fp_df``
+    bounds the join expansion and ``max_pairs_per_doc`` bounds the
+    output, which together are the whole governor."""
     # the (id, fp) frame feeds FOUR consumers (the hot-fp aggregate, the
     # cap join-back, and both sides of the self-join) and contains a
     # shuffle (.distinct()) — the repo's checkpoint-when-shared-branch-

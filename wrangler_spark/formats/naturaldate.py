@@ -9,10 +9,18 @@ through natty (ref: parser/ParseDate.java:103-112, ParseDateTest
 "today at noon", "a week ago", "october 2006", "the 3rd of next month",
 "the first monday of june", "last friday of march 2024", bare clock
 times like "noon" / "3pm" / "10:30", fuzzy prefixes "around"/"about"
-(decoration, stripped), and ranges "between march 3 and march 5" /
+(decoration, stripped), ranges "between march 3 and march 5" /
 "from monday to friday" (both endpoints must parse; resolves to the
 START — a documented local convention, since a directive emits one
-timestamp per row where natty returns the whole date group).
+timestamp per row where natty returns the whole date group),
+relative-to-anchor composition "a week from tomorrow" / "2 days after
+next friday" / "3 days before christmas" (the anchor recurses through
+the whole grammar), period edges "end of the month" / "beginning of
+next year" / "start of last week" (start = first day 00:00, end =
+LAST day 00:00; ISO Monday weeks), and natty's US holiday set
+(christmas/eve, new year's day/eve, halloween, valentine's,
+independence day / fourth of july, floating thanksgiving) with
+next/last/this, explicit years, and the nearest-upcoming bare form.
 Fresh implementation against natty's published behavior — not a port.
 
 Pure Python, no Spark imports: the directive wraps :func:`parse_natural`
@@ -130,6 +138,72 @@ _RE_BARE_WD = re.compile(rf"^(?:on\s+)?({_WD})\.?{_TIMEX}$", re.I)
 _RE_RANGE = re.compile(
     r"^(?:between|from)\s+(.+?)\s+(?:and|to|until|through)\s+(.+)$", re.I
 )
+# relative-to-anchor composition ("a week from tomorrow", "2 days
+# after next friday", "3 weeks before christmas"): the anchor clause
+# recurses through THIS grammar, so every anchor form composes; natty
+# documents the from/after/before family
+_RE_FROM = re.compile(
+    r"^(\d+|an?)\s+(\w+?)s?\s+(from|after|before)\s+(.+)$", re.I)
+# period edges ("end of the month", "beginning of next year", "start
+# of last week"): start = the period's first day 00:00, end = its LAST
+# day 00:00 (a date, not an instant — the local convention, documented;
+# weeks are ISO Monday-start like the rest of the repo)
+_RE_EDGE = re.compile(
+    rf"^(?:the\s+)?(end|beginning|start)\s+of\s+(?:the\s+)?"
+    rf"(?:(this|next|last)\s+)?(week|month|year){_TIMEX}$", re.I)
+# holidays (natty's US set, public-domain fixed dates + the floating
+# thanksgiving): optional next/last/this and explicit year; a bare
+# holiday resolves to its NEAREST UPCOMING occurrence (today counts) —
+# the bare-month convention
+_HOLIDAY_FIXED = {
+    "christmas": (12, 25), "christmas day": (12, 25),
+    "christmas eve": (12, 24),
+    "new year's day": (1, 1), "new years day": (1, 1),
+    "new year's eve": (12, 31), "new years eve": (12, 31),
+    "halloween": (10, 31),
+    "valentine's day": (2, 14), "valentines day": (2, 14),
+    # NOTE "july 4th" is absent: it already parses via the MDY branch
+    # (current-year convention) — listing it here would change that
+    "independence day": (7, 4), "fourth of july": (7, 4),
+}
+_HOL = "|".join(
+    re.escape(h)
+    for h in sorted(list(_HOLIDAY_FIXED) + ["thanksgiving"],
+                    key=len, reverse=True)
+)
+_RE_HOLIDAY = re.compile(
+    rf"^(?:(next|last|this)\s+)?(?:the\s+)?({_HOL})(?:\s+(\d{{4}}))?{_TIMEX}$",
+    re.I,
+)
+
+
+def _holiday_md(name: str, year: int) -> tuple[int, int]:
+    """(month, day) of a holiday in ``year`` — thanksgiving is the 4th
+    Thursday of November (3 = Thursday in weekday numbering)."""
+    if name == "thanksgiving":
+        first_wd = datetime(year, 11, 1).weekday()
+        return 11, 1 + (3 - first_wd) % 7 + 21
+    return _HOLIDAY_FIXED[name]
+
+
+def _timex(m, start: int) -> tuple[int, int, int]:
+    """(hour, minute, second) from a ``_TIMEX`` tail whose five groups
+    (noon|midnight, h, mm, ss, am/pm) start at ``start``; (0, 0, 0)
+    when absent. Out-of-range values surface as ValueError at the
+    caller's replace(), which every branch catches as unparseable."""
+    if m.group(start):  # noon / midnight
+        return (12 if m.group(start).lower() == "noon" else 0), 0, 0
+    if m.group(start + 1) is None:
+        return 0, 0, 0
+    h = int(m.group(start + 1))
+    mi = int(m.group(start + 2) or 0)
+    sec = int(m.group(start + 3) or 0)
+    ampm = (m.group(start + 4) or "").lower()
+    if ampm == "pm" and h < 12:
+        h += 12
+    elif ampm == "am" and h == 12:
+        h = 0
+    return h, mi, sec
 
 
 def _hms(m, start: int):
@@ -303,6 +377,18 @@ def parse_natural(s: str | None, now_utc: datetime, tz: str = "UTC") -> datetime
         out = _apply_delta(now_local, n, unit)
         return out.astimezone(_tz.utc) if out else None
 
+    m = _RE_FROM.match(t)
+    if m:
+        # relative-to-anchor: "a week from tomorrow", "2 days after
+        # next friday" — the anchor recurses through the whole grammar
+        anchor = parse_natural(m.group(4), now_utc, tz)
+        if anchor is None:
+            return None
+        sign = -1 if m.group(3).lower() == "before" else 1
+        out = _apply_delta(
+            anchor.astimezone(zone), sign * _count(m.group(1)), m.group(2))
+        return out.astimezone(_tz.utc) if out else None
+
     m = _RE_DAY_RELMONTH.match(t)
     if m:
         day = int(m.group(1))
@@ -377,6 +463,56 @@ def parse_natural(s: str | None, now_utc: datetime, tz: str = "UTC") -> datetime
                 h = 0
         try:
             out = midnight.replace(hour=h, minute=mi, second=sec)
+        except ValueError:
+            return None
+        return out.astimezone(_tz.utc)
+
+    m = _RE_EDGE.match(t)
+    if m:
+        qual = (m.group(2) or "this").lower()
+        period = m.group(3).lower()
+        shift = {"this": 0, "next": 1, "last": -1}[qual]
+        if period == "week":
+            start = (midnight - timedelta(days=midnight.weekday())
+                     + timedelta(weeks=shift))
+            nxt = start + timedelta(weeks=1)
+        elif period == "month":
+            start = _shift_months(midnight.replace(day=1), shift)
+            nxt = _shift_months(start, 1)
+        else:  # year
+            start = _shift_months(midnight.replace(month=1, day=1), 12 * shift)
+            nxt = _shift_months(start, 12)
+        anchor = (start if m.group(1).lower() in ("beginning", "start")
+                  else nxt - timedelta(days=1))
+        h, mi, sec = _timex(m, 4)
+        try:
+            out = anchor.replace(hour=h, minute=mi, second=sec, microsecond=0)
+        except ValueError:
+            return None
+        return out.astimezone(_tz.utc)
+
+    m = _RE_HOLIDAY.match(t)
+    if m:
+        qual = (m.group(1) or "").lower()
+        name = " ".join(m.group(2).lower().split())
+        if m.group(3):
+            year = int(m.group(3))
+        else:
+            y = now_local.year
+            mon, day = _holiday_md(name, y)
+            cand = midnight.replace(year=y, month=mon, day=day)
+            if qual == "next":       # strictly after today
+                year = y + 1 if cand <= midnight else y
+            elif qual == "last":     # strictly before today
+                year = y - 1 if cand >= midnight else y
+            else:                    # bare / "this": nearest upcoming
+                year = y + 1 if cand < midnight else y
+        mon, day = _holiday_md(name, year)
+        h, mi, sec = _timex(m, 4)
+        try:
+            out = midnight.replace(year=year, month=mon, day=day,
+                                   hour=h, minute=mi, second=sec,
+                                   microsecond=0)
         except ValueError:
             return None
         return out.astimezone(_tz.utc)
