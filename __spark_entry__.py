@@ -701,6 +701,16 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_stats": lambda s, d: __import__(
             "wrangler_spark.streaming.sessions", fromlist=["session_stats"]
         ).session_stats(_t(s, d, "events"), "user_id", "ts", 30.0),
+        # per-arm engagement scorecard: the A/B family's third leg
+        # (conversion = funnel_by, stickiness = retention_by, this =
+        # engagement), anchor-event attribution like the other two
+        "events_session_stats_by": lambda s, d: __import__(
+            "wrangler_spark.streaming.sessions", fromlist=["session_stats_by"]
+        ).session_stats_by(
+            _t(s, d, "events").withColumn(
+                "arm", F.pmod(F.col("user_id"), 2).cast("string")),
+            "user_id", "ts", "arm", 30.0,
+        ),
         # per-group KM: does churn differ by the user's entry event type
         "events_survival_by": lambda s, d: events.survival_by(
             _t(s, d, "events"), "user_id", "ts", "event_type",
@@ -757,7 +767,9 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_suggest": lambda s, d: curation.check_constraints(
             _t(s, d, "orders"),
             curation.suggest_constraints(
-                curation.profile_table(_t(s, d, "orders"), exact=True)),
+                curation.profile_table(_t(s, d, "orders"), exact=True),
+                df=_t(s, d, "orders"),
+            ),
         ),
         # Deequ-posture declarative data-quality gate: every metric the
         # rule list needs in ONE aggregation pass (Schelter et al. VLDB'18)
@@ -1356,7 +1368,7 @@ def _cluster_topics_oracle_sql(
 # eager_checkpoint conversion, a single shared mechanism still
 # represented by ~10 remaining window entries) for transitions/paths.
 # Everything rotated out stays green in tools/oracle_parity.py.
-_R11_WINDOW = [
+_R12_WINDOW = [
     # sentinels (flagship + historically fragile + broadcast join)
     "cleanse_recipe",
     "dedup_minhash_lsh",
@@ -1371,7 +1383,12 @@ _R11_WINDOW = [
     # this round
     "text_group_terms_weighted",
     "sample_token_budget_by",
-    "dedup_sentences",
+    # r12: dedup_sentences vacated (green r9-r11, unchanged; the
+    # sentence splitter stays family-graded via dedup_paragraphs in
+    # parity and the in-window text family) for the CLOSED Deequ loop
+    # (profile -> suggested rules -> all-pass check) — new this round
+    # (r11 VERDICT next-round #6)
+    "dq_suggest",
     "entity_match_against",
     # r10: num_mad vacated (r9-green; the MAD fence and the r8 exact
     # knob stay graded through the in-window num_mad_by, which executes
@@ -1445,7 +1462,11 @@ _R11_WINDOW = [
     # these slots (r7-green; their only r8 change is the shared
     # eager_checkpoint mechanism, still represented by ~10 entries here)
     "dedup_cross_embedding",
-    "strip_boilerplate",
+    # r12: strip_boilerplate vacated (green r8-r11, unchanged; the
+    # corpus-frequency line family stays parity-covered) for the
+    # per-arm engagement scorecard — the A/B family's third leg, new
+    # this round (conversion/stickiness/engagement now all arm-split)
+    "events_session_stats_by",
     "text_clf_score",
     # r9: text_lp_buckets and text_bigram_lp vacated (r8-green; their only
     # r8 change was the shared checkpoint mechanism, still represented by
@@ -1471,10 +1492,11 @@ _R11_WINDOW = [
     # same machinery runs weighted inside the in-window
     # text_group_terms_weighted) for the rolling anomaly band — new
     "events_rolling",
-    # late r8 addition (benchmark-contamination spans) — num_outliers
-    # vacated this slot (flag_outliers stays graded through num_mad,
-    # which exercises the same r8 exact-knob path)
-    "decontam_spans",
+    # r12: decontam_spans vacated (green r8-r11, unchanged; the
+    # contamination family stays graded via tools/oracle_parity.py and
+    # the in-window dedup family) for the pre-score candidate budget on
+    # the overlap op — new this round (r11 VERDICT next-round #1)
+    "dedup_overlap_budget",
     # r11 session 2: num_mad_by vacated (r9-green, unchanged; the
     # grouped join_group_stats path stays graded via num_qbins_by AND
     # runs inside the replacing query) for numeric NULL imputation
@@ -1488,7 +1510,11 @@ _R11_WINDOW = [
     # (r7-green; its own __ma staging predates the staged-norm fix, and
     # the embedding family stays graded via ann_recall/emb_project/
     # emb_outliers)
-    "text_langid_multi",
+    # r12: text_langid_multi vacated (green r8-r11, unchanged since its
+    # r8 profile growth; the langid family stays parity-covered) for the
+    # same candidate budget graded through the jaccard op's symmetric
+    # prefix — new this round
+    "dedup_ngram_budget",
     # r11: ann_recall vacated (green r8-r10, unchanged; the ANN family
     # stays graded via the in-window ann_pq_topk / ann_ivf_pq_topk /
     # ann_mmr_rerank) for the one-row skew scorecard — new this round
@@ -1570,8 +1596,8 @@ _R11_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    assert len(_R11_WINDOW) == 50 and all(n in all_q for n in _R11_WINDOW)
-    ordered = {name: all_q[name] for name in _R11_WINDOW}
+    assert len(_R12_WINDOW) == 50 and all(n in all_q for n in _R12_WINDOW)
+    ordered = {name: all_q[name] for name in _R12_WINDOW}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
     return ordered
 
@@ -1636,7 +1662,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_distance_lev": _recipe_q(
             "customer", "text-distance levenshtein :c_name :c_mktsegment :dist"
         ),
-        # (ordering here is irrelevant — queries() reorders via _R11_WINDOW)
+        # (ordering here is irrelevant — queries() reorders via _R12_WINDOW)
         "parse_as_log": _recipe_q(
             "customer",
             "keep :c_custkey\n"
@@ -2599,6 +2625,26 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(dur, 0.5) / 1000000.0, 6) AS p50_duration_sec, "
             "round(CAST(sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS bounce_rate "
             "FROM g"
+        ),
+        "events_session_stats_by": (
+            "WITH numbered AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, sum(is_new) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM numbered), "
+            "g AS (SELECT user_id, session_id, count(*) AS ev, "
+            "epoch_us(max(ts)) - epoch_us(min(ts)) AS dur FROM s GROUP BY user_id, session_id), "
+            "attr AS (SELECT user_id, "
+            "(min({'t': epoch_us(ts), 'g': CAST(user_id % 2 AS VARCHAR)})).g AS arm "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id) "
+            "SELECT attr.arm, CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(count(DISTINCT g.user_id) AS BIGINT) AS n_users, "
+            "round(CAST(sum(ev) AS DOUBLE) / count(*), 6) AS avg_events, "
+            "round(CAST(sum(dur) AS DOUBLE) / (count(*) * 1000000.0), 6) AS avg_duration_sec, "
+            "round(quantile_cont(dur, 0.5) / 1000000.0, 6) AS p50_duration_sec, "
+            "round(CAST(sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS bounce_rate "
+            "FROM g JOIN attr USING (user_id) GROUP BY attr.arm"
         ),
         "data_model_map": (
             "SELECT o_orderkey, o_custkey, o_orderstatus AS order_status, "

@@ -99,6 +99,10 @@ EXTRA_QUERIES = [
     "events_session_stats",       # sessionize + engagement scorecard
     "events_funnel_by",           # per-arm funnel (A/B conversion)
     "num_corr_matrix",            # one-pass Pearson matrix (integer moments)
+    # Added round 12
+    "dedup_overlap_budget",       # pre-score candidate budget (verify top-k only)
+    "dedup_ngram_budget",         # same budget on the jaccard op
+    "dq_suggest",                 # closed Deequ loop: profile -> rules -> check
 ]
 
 

@@ -215,6 +215,19 @@ def test_profile_and_suggest_loop(spark):
     # the loop closes: suggested rules PASS on the data they came from
     rep = _check(df, rules)
     assert all(r["passed"] for r in rep.collect())
+    # with the table handle: low-cardinality string columns suggest
+    # in_set with the observed (sorted, non-null) value set — and the
+    # loop STILL closes
+    rules2 = suggest_constraints(profile_table(df, exact=True), df=df)
+    in_sets = {r["col"]: r["values"] for r in rules2 if r["rule"] == "in_set"}
+    assert in_sets == {"s": ["a", "b"]}      # id/v not strings; s has 2 vals
+    assert all(r["passed"] for r in _check(df, rules2).collect())
+    # a high-cardinality string column is NOT in_set-suggested
+    wide = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("s"))
+    r3 = suggest_constraints(profile_table(wide, exact=True), df=wide,
+                             in_set_max_distinct=20)
+    assert not [r for r in r3 if r["rule"] == "in_set"]
     # column selection + unknown column
     assert profile_table(df, cols=["id"], exact=True).count() == 1
     with pytest.raises(ValueError, match="unknown columns"):

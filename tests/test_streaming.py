@@ -608,3 +608,61 @@ def test_session_stats(spark):
     ra = session_stats(df, "user_id", "ts", 30.0, exact=False).collect()[0]
     assert ra["p50_duration_sec"] == 0.0
     assert ra["n_sessions"] == 3 and ra["avg_duration_sec"] == 200.0
+
+
+def test_session_stats_by_arms(spark):
+    # per-arm scorecard: anchor-event attribution, per-group rows;
+    # arm totals == the ungrouped scorecard's session count
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.streaming.sessions import session_stats, session_stats_by
+
+    rows = [
+        # arm A: u1 has a 2-event session + a bounce
+        ("u1", "1970-01-01 00:00:00", "A"), ("u1", "1970-01-01 00:10:00", "A"),
+        ("u1", "1970-01-01 02:00:00", "A"),
+        # arm B: u2 one bounce; u3 one 2-event session
+        ("u2", "1970-01-01 05:00:00", "B"),
+        ("u3", "1970-01-01 06:00:00", "B"), ("u3", "1970-01-01 06:05:00", "B"),
+        # unlabeled user: drops (NULL never attributes)
+        ("u4", "1970-01-01 07:00:00", None),
+    ]
+    df = spark.createDataFrame(rows, "u string, t string, g string").select(
+        "u", F.col("t").cast("timestamp").alias("t"), "g")
+    got = {r["g"]: r for r in session_stats_by(df, "u", "t", "g").collect()}
+    assert set(got) == {"A", "B"}
+    assert got["A"]["n_sessions"] == 2 and got["A"]["n_users"] == 1
+    assert got["A"]["bounce_rate"] == 0.5
+    assert got["B"]["n_sessions"] == 2 and got["B"]["n_users"] == 2
+    assert got["B"]["avg_duration_sec"] == 150.0     # (0 + 300) / 2
+    total = session_stats(
+        df.filter(F.col("g").isNotNull()), "u", "t").collect()[0]
+    assert got["A"]["n_sessions"] + got["B"]["n_sessions"] == total["n_sessions"]
+    # directive form
+    from wrangler_spark.pipeline import Pipeline
+
+    d = Pipeline.compile("session-stats-by :u :t :g").apply(df)
+    assert {r["g"]: r["n_sessions"] for r in d.collect()} == {"A": 2, "B": 2}
+
+
+def test_session_family_timestamp_ntz(spark):
+    # parquet commonly surfaces TIMESTAMP_NTZ; unix_micros rejects it
+    # with a type error while every other time function coerces — the
+    # session/funnel family must accept NTZ columns directly (the
+    # _umicros cast), with identical results to the tz-aware form
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.streaming.sessions import session_stats, sessionize
+
+    rows = [("u1", "1970-01-01 00:00:00"), ("u1", "1970-01-01 00:10:00"),
+            ("u1", "1970-01-01 02:00:00"), ("u2", "1970-01-01 05:00:00")]
+    base = spark.createDataFrame(rows, "user_id string, ts string")
+    tz = base.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    ntz = base.select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    key = lambda r: (r["user_id"], r["session_id"], str(r["session_start"]),  # noqa: E731
+                     str(r["session_end"]), r["n_events"])
+    assert sorted(map(key, sessionize(ntz, "user_id", "ts").collect())) == \
+        sorted(map(key, sessionize(tz, "user_id", "ts").collect()))
+    a = session_stats(ntz, "user_id", "ts").collect()[0]
+    b = session_stats(tz, "user_id", "ts").collect()[0]
+    assert a.asDict() == b.asDict()

@@ -2607,7 +2607,10 @@ def profile_table(
         "__p.null_frac", "__p.n_distinct", "__p.min", "__p.max")
 
 
-def suggest_constraints(profile_df: DataFrame) -> list[dict]:
+def suggest_constraints(
+    profile_df: DataFrame, df: DataFrame | None = None,
+    in_set_max_distinct: int = 20,
+) -> list[dict]:
     """Turn a :func:`profile_table` result into a
     :func:`check_constraints` rule list — the Deequ suggestion step:
     ``not_null`` where no value is missing, ``unique`` where every row
@@ -2616,11 +2619,21 @@ def suggest_constraints(profile_df: DataFrame) -> list[dict]:
     [min, max] for numeric columns, and a table-level ``min_rows`` at
     half the observed count (the re-ingestion sanity floor). The
     profile is one row per COLUMN, so collecting it is a bounded
-    driver read, not a data read."""
+    driver read, not a data read.
+
+    Passing the profiled ``df`` additionally suggests ``in_set`` for
+    LOW-CARDINALITY string columns (Deequ's isContainedIn posture —
+    the status/enum columns a schema never encodes): a string column
+    with 1 < n_distinct <= ``in_set_max_distinct`` gets its observed
+    value set as the allowed set. The value collection is ONE extra
+    aggregate with a collect_set per eligible column — eligibility is
+    already profile-proven, so every buffer is bounded by
+    ``in_set_max_distinct`` values."""
     numeric_types = {"tinyint", "smallint", "int", "bigint",
                      "float", "double"}
     rules: list[dict] = []
     prof = profile_df.collect()
+    in_set_cols: list[str] = []
     for r in prof:
         if r["n_rows"] == 0:
             continue
@@ -2634,6 +2647,17 @@ def suggest_constraints(profile_df: DataFrame) -> list[dict]:
                 "rule": "range", "col": r["column"],
                 "min": float(r["min"]), "max": float(r["max"]),
             })
+        if (df is not None and base == "string"
+                and 1 < r["n_distinct"] <= in_set_max_distinct):
+            in_set_cols.append(r["column"])
+    if in_set_cols:
+        vals = df.agg(*[
+            F.sort_array(F.collect_set(F.col(c).cast("string")))
+            .alias(c) for c in in_set_cols
+        ]).collect()[0]
+        for c in in_set_cols:
+            rules.append({"rule": "in_set", "col": c,
+                          "values": list(vals[c])})
     if prof:
         rules.append({"rule": "min_rows", "n": max(1, prof[0]["n_rows"] // 2)})
     return rules

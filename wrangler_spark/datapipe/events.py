@@ -49,6 +49,15 @@ from pyspark.sql import functions as F
 from wrangler_spark.datapipe._checkpoint import eager_checkpoint
 
 
+def _umicros(c):
+    """unix_micros tolerant of TIMESTAMP_NTZ columns (common straight
+    off parquet): unix_micros rejects NTZ with a type error while every
+    other time function coerces — the cast is a no-op for TIMESTAMP and
+    interprets NTZ in the session zone (UTC per get_spark), exactly
+    what unix_timestamp already does for the bucket arithmetic."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def _funnel_stages(
     df: DataFrame,
     user_col: str,
@@ -808,7 +817,7 @@ def funnel_latencies(
             stages[i].select("__u", F.col("__prev").alias("__ti"))
             .join(stages[i - 1].select("__u", F.col("__prev").alias("__tp")), "__u")
             .select(
-                (F.unix_micros(F.col("__ti")) - F.unix_micros(F.col("__tp")))
+                (_umicros(F.col("__ti")) - _umicros(F.col("__tp")))
                 .cast("double").alias("__lat")
             )
             .select((F.col("__lat") / 1e6).alias("__lat"))
@@ -1941,7 +1950,7 @@ def funnel_steps_by(
         )
         .groupBy(u.alias("__u"))
         .agg(F.min(F.struct(
-            F.unix_micros(t).alias("t"), g.cast("string").alias("g")
+            _umicros(t).alias("t"), g.cast("string").alias("g")
         ))["g"].alias("__g"))
     )
     counts = [
@@ -2094,7 +2103,7 @@ def retention_cohorts_by(
         df.filter(u.isNotNull() & t.isNotNull() & g.isNotNull())
         .groupBy(u.alias("__u"))
         .agg(F.min(F.struct(
-            F.unix_micros(t).alias("t"), g.cast("string").alias("g")
+            _umicros(t).alias("t"), g.cast("string").alias("g")
         ))["g"].alias("__g"))
     )
     first = b.groupBy("__u").agg(F.min("__b").alias("__cb"))

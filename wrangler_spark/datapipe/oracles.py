@@ -3147,9 +3147,9 @@ def dq_suggest_sql(table: str = "orders") -> str:
     violation fractions BY CONSTRUCTION — what the oracle checks is
     WHICH rows exist (data-dependent: a column with one duplicate at
     this SF emits no unique row) and the min_rows arithmetic."""
-    cols = [("o_orderkey", True), ("o_custkey", True),
-            ("o_orderstatus", False), ("o_totalprice", True),
-            ("o_orderdate", False), ("o_orderpriority", False)]
+    cols = [("o_orderkey", "num"), ("o_custkey", "num"),
+            ("o_orderstatus", "str"), ("o_totalprice", "num"),
+            ("o_orderdate", "other"), ("o_orderpriority", "str")]
     p_aggs = ["count(*) AS n"]
     for i, (c, _) in enumerate(cols):
         p_aggs.append(
@@ -3158,7 +3158,7 @@ def dq_suggest_sql(table: str = "orders") -> str:
             f"count(DISTINCT {c}) "
             f"+ max(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS d{i}")
     parts = []
-    for i, (c, numeric) in enumerate(cols):
+    for i, (c, kind) in enumerate(cols):
         parts.append(
             f"SELECT 'not_null' AS rule, '{c}' AS \"column\", "
             "'null_frac' AS metric, 0.0 AS value, 0.0 AS threshold, "
@@ -3166,12 +3166,19 @@ def dq_suggest_sql(table: str = "orders") -> str:
         parts.append(
             f"SELECT 'unique', '{c}', 'dup_frac', 0.0, 0.0, TRUE "
             f"FROM p WHERE n > 0 AND d{i} = n")
-        if numeric:
+        if kind == "num":
             # range is suggested when the profile min exists (some
             # non-null value) and always passes on its own data
             parts.append(
                 f"SELECT 'range', '{c}', 'oob_frac', 0.0, 0.0, TRUE "
                 f"FROM p WHERE n > 0 AND nl{i} < n")
+        if kind == "str":
+            # in_set for low-cardinality string columns (the observed
+            # value set passes on its own data; n_distinct counts the
+            # NULL group like the Spark profile)
+            parts.append(
+                f"SELECT 'in_set', '{c}', 'oos_frac', 0.0, 0.0, TRUE "
+                f"FROM p WHERE n > 0 AND d{i} > 1 AND d{i} <= 20")
     parts.append(
         "SELECT 'min_rows', NULL, 'n_rows', CAST(n AS DOUBLE), "
         "CAST(greatest(1, n // 2) AS DOUBLE), n >= greatest(1, n // 2) "

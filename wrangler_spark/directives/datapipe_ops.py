@@ -1923,3 +1923,29 @@ class SessionStats(Directive):
             ctx.resolve(df, self.args["ts"]),
             float(self.args["gap"]),
         )
+
+
+@directive
+class SessionStatsBy(Directive):
+    """session-stats-by :user :ts :arm [gap_minutes] — per-group
+    engagement scorecard (the A/B family's engagement leg; users
+    attributed to the arm on their first event)."""
+
+    name = "session-stats-by"
+    usage = [
+        Arg("user", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+        Arg("arm", TokenType.COLUMN),
+        Arg("gap", TokenType.NUMERIC, optional=True, default=30.0),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.streaming.sessions import session_stats_by
+
+        return session_stats_by(
+            df,
+            ctx.resolve(df, self.args["user"]),
+            ctx.resolve(df, self.args["ts"]),
+            ctx.resolve(df, self.args["arm"]),
+            float(self.args["gap"]),
+        )

@@ -28,6 +28,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from wrangler_spark.datapipe.events import _umicros  # NTZ-tolerant micros
+
 
 def sessionize(
     df: DataFrame, key_col: str, ts_col: str, gap_minutes: float = 30.0
@@ -44,7 +46,7 @@ def sessionize(
     prev = F.lag(F.col(ts_col)).over(w)
     is_new = F.when(
         prev.isNull()
-        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us),
+        | (_umicros(F.col(ts_col)) - _umicros(prev) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     numbered = df.select(
@@ -187,16 +189,23 @@ def session_stats(
     at billions; the approx sketch is bounded-memory mergeable."""
     s = sessionize(df, key_col, ts_col, gap_minutes)
     dur = (
-        F.unix_micros(F.col("session_end"))
-        - F.unix_micros(F.col("session_start"))
+        _umicros(F.col("session_end"))
+        - _umicros(F.col("session_start"))
     )
     staged = s.select(
         F.col(key_col).alias("__k"),
         F.col("n_events").alias("__ev"),
         dur.alias("__dur"),
     )
+    return _session_scorecard(staged, exact, accuracy)
+
+
+def _session_scorecard(staged: DataFrame, exact: bool, accuracy: int,
+                       by: str | None = None) -> DataFrame:
+    """The shared aggregate tail of session_stats / session_stats_by
+    over a staged (__k, __ev, __dur [, __g]) session frame."""
     n = F.count("*")
-    return staged.agg(
+    aggs = [
         n.cast("long").alias("n_sessions"),
         F.count_distinct(F.col("__k")).cast("long").alias("n_users"),
         F.round(F.sum("__ev") / n, 6).alias("avg_events"),
@@ -209,4 +218,47 @@ def session_stats(
         F.round(
             F.sum(F.when(F.col("__ev") == 1, 1).otherwise(0)) / n, 6
         ).alias("bounce_rate"),
+    ]
+    if by is None:
+        return staged.agg(*aggs)
+    return staged.groupBy(F.col("__g").alias(by)).agg(*aggs)
+
+
+def session_stats_by(
+    df: DataFrame, key_col: str, ts_col: str, by: str,
+    gap_minutes: float = 30.0, exact: bool = True, accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group engagement scorecard — the A/B family's third leg
+    (funnel_steps_by compares conversion, retention_cohorts_by compares
+    stickiness, this compares ENGAGEMENT): one :func:`session_stats`
+    row per ``by`` value, each user attributed to the value carried by
+    their FIRST event (min (epoch-micros, value) struct — the
+    funnel_steps_by / retention_cohorts_by attribution contract; NULL
+    values never attribute, so an unlabeled user's sessions drop).
+    Returns (group, n_sessions, n_users, avg_events, avg_duration_sec,
+    p50_duration_sec, bounce_rate).
+
+    Scale shape: the sessionizer's per-key window is the event-volume
+    shuffle; attribution is one more user-keyed hash aggregate and the
+    join back rides the same key, so the grouped variant adds no new
+    event-volume exchange — the final aggregate is groups-sized. The
+    ``exact`` knob follows session_stats (exact percentile buffers a
+    GROUP's durations in one buffer; use exact=False at billions)."""
+    s = sessionize(df, key_col, ts_col, gap_minutes)
+    u, t, g = F.col(key_col), F.col(ts_col), F.col(by)
+    attr = (
+        df.filter(u.isNotNull() & t.isNotNull() & g.isNotNull())
+        .groupBy(u.alias("__u"))
+        .agg(F.min(F.struct(
+            _umicros(t).alias("t"), g.cast("string").alias("g")
+        ))["g"].alias("__g"))
     )
+    dur = _umicros(F.col("session_end")) - _umicros(F.col("session_start"))
+    staged = (
+        s.join(attr, s[key_col] == attr["__u"])
+        .select("__g",
+                F.col(key_col).alias("__k"),
+                F.col("n_events").alias("__ev"),
+                dur.alias("__dur"))
+    )
+    return _session_scorecard(staged, exact, accuracy, by=by)
