@@ -754,6 +754,13 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count-min sketch point estimates: bounded-state key counts
         # (Cormode & Muthukrishnan 2005) — est >= true, exact-merge state
         "events_cms_counts": _q_cms_counts,
+        # mergeable HLL distinct counts (Spark-native DataSketches):
+        # rows-only graded — the estimate is sketch-impl-specific, so
+        # the strong invariant (state merge == one-shot EXACTLY, exact
+        # at low cardinality) is asserted in tests/test_cms.py instead
+        "events_distinct_hll": lambda s, d: curation.distinct_sketch(
+            _t(s, d, "events"), ["user_id", "event_type"], by=None
+        ).select("column", "estimate"),
         # the Deequ discovery step: per-column profile in one pass
         # (profile -> suggest_constraints -> check_constraints loop)
         "dq_profile": lambda s, d: curation.profile_table(

@@ -95,3 +95,87 @@ def test_cms_stream_edge(spark, tmp_path_factory):
     one = sorted(map(tuple, curation.cms_sketch(ev, "k", 4, 256).collect()))
     assert sorted(map(tuple, merged.collect())) == one
     _sh.rmtree(src, ignore_errors=True)
+
+
+def test_distinct_sketch_and_state_triangle(spark, tmp_path_factory):
+    """HLL distinct-count family: exact at low cardinality, grouped
+    form, NULLs excluded, and the state triangle's strong invariant —
+    register max-merge is LOSSLESS, so the reconstructed estimate
+    EQUALS the one-shot estimate over the union of all batches."""
+    df = spark.range(10_000).select(
+        (F.col("id") % 137).alias("u"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.col("id") % 911).alias("d"),
+    )
+    est = {r["column"]: r["estimate"] for r in
+           curation.distinct_sketch(df, ["u", "d"]).collect()}
+    assert est["u"] == 137                    # exact at low cardinality
+    assert abs(est["d"] - 911) <= 30          # ~1.6% rel err at lgk=12
+    grouped = {(r["g"], r["column"]): r["estimate"] for r in
+               curation.distinct_sketch(df, ["u"], by="g").collect()}
+    assert all(v == 137 for v in grouped.values()) and len(grouped) == 3
+    with pytest.raises(ValueError, match="unknown columns"):
+        curation.distinct_sketch(df, ["nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        curation.distinct_sketch(df, [])
+
+    path = str(tmp_path_factory.mktemp("hll") / "st")
+    for i in range(3):
+        curation.distinct_update_state(
+            df.filter(F.col("id") % 3 == i), path, ["u", "d"],
+            batch_id=f"b{i}")
+    merged = {r["column"]: r["estimate"] for r in
+              curation.distinct_from_state(spark, path).collect()}
+    assert merged == est                      # lossless register merge
+    # replay NO-OP
+    curation.distinct_update_state(
+        df.filter(F.col("id") % 3 == 0), path, ["u", "d"], batch_id="b0")
+    merged2 = {r["column"]: r["estimate"] for r in
+               curation.distinct_from_state(spark, path).collect()}
+    assert merged2 == est
+    # register width pinned
+    with pytest.raises(ValueError, match="incompatible"):
+        curation.distinct_update_state(df, path, ["u"], lgk=10,
+                                       batch_id="b9")
+    with pytest.raises(ValueError, match="empty"):
+        curation.distinct_from_state(
+            spark, str(tmp_path_factory.mktemp("hllempty")) + "/st")
+    # grouped state
+    gpath = str(tmp_path_factory.mktemp("hllg") / "st")
+    curation.distinct_update_state(df, gpath, ["u"], by="g", batch_id="b0")
+    gm = {(r["g"], r["column"]): r["estimate"] for r in
+          curation.distinct_from_state(spark, gpath).collect()}
+    assert gm == {("0", "u"): 137, ("1", "u"): 137, ("2", "u"): 137}
+
+
+def test_distinct_stream_edge(spark, tmp_path_factory):
+    import shutil as _sh
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("user_id").cast("string").alias("k"))
+    src = str(tmp_path_factory.mktemp("hll_src"))
+    state = str(tmp_path_factory.mktemp("hll_state") / "st")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("k string").parquet(src)
+    q = curation.distinct_update_stream(stream, state, ["k"], src + "_chk")
+    q.awaitTermination(120)
+    merged = {r["column"]: r["estimate"] for r in
+              curation.distinct_from_state(spark, state).collect()}
+    one = {r["column"]: r["estimate"] for r in
+           curation.distinct_sketch(ev, ["k"]).collect()}
+    assert merged == one
+    _sh.rmtree(src, ignore_errors=True)
+
+
+def test_distinct_sketch_directive(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") % 2).cast("string").alias("a"))
+    assert Pipeline.compile("distinct-sketch :k").apply(df).collect()[0][
+        "estimate"] == 7
+    got = sorted(map(tuple,
+                     Pipeline.compile("distinct-sketch :k :a").apply(df).collect()))
+    assert got == [("0", "k", 7), ("1", "k", 7)]

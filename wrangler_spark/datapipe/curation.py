@@ -2438,6 +2438,147 @@ def cms_from_state(spark, path: str, version: int | None = None):
     return sketch, int(geo[0]["depth"]), int(geo[0]["width"])
 
 
+def distinct_sketch(
+    df: DataFrame, cols: list[str], by: str | None = None, lgk: int = 12,
+) -> DataFrame:
+    """Mergeable HLL distinct-count sketches (Spark's native Apache
+    DataSketches HllSketch — hll_sketch_agg) — the bounded-state answer
+    to "how many distinct users/domains/docs" that exact
+    count_distinct can't give at 100 TB (its Expand carries the full
+    key universe through the shuffle; the sketch is 2^lgk registers
+    regardless of cardinality, and register MAX-merge is lossless, so
+    cross-batch unions reproduce the one-shot estimate exactly).
+
+    One aggregation pass over ``cols`` (optionally per ``by`` group):
+    (group?, column, sketch, estimate) rows; values are hashed as
+    their STRING form (type-stable across batches — a long column
+    folded today and read as string tomorrow still unions correctly);
+    NULLs don't count (the approx_count_distinct convention).
+    ``lgk`` = log2 registers (12 → 4 KiB, ~1.6% rel. err).
+
+    No DuckDB oracle: the estimate is DataSketches-specific, so the
+    graded form is rows-only + the state-reconstruction==one-shot
+    equality asserted in tests (the strong invariant sum-merge
+    families get from their oracles)."""
+    if not cols:
+        raise ValueError("distinct_sketch: no columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"distinct_sketch: unknown columns {missing}")
+    aggs = [
+        F.hll_sketch_agg(F.col(c).cast("string"), F.lit(int(lgk)))
+        .alias(f"__s{i}")
+        for i, c in enumerate(cols)
+    ]
+    one = df.groupBy(F.col(by).alias("__g")).agg(*aggs) if by \
+        else df.agg(*aggs)
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"), F.col(f"__s{i}").alias("sketch"))
+        for i, c in enumerate(cols)
+    ])).alias("__r")
+    keep = ([F.col("__g").alias(by)] if by else []) + [
+        F.col("__r.column").alias("column"),
+        F.col("__r.sketch").alias("sketch"),
+        F.hll_sketch_estimate(F.col("__r.sketch")).cast("long")
+        .alias("estimate"),
+    ]
+    return one.select(rows, *([F.col("__g")] if by else [])).select(*keep)
+
+
+def distinct_update_state(
+    df: DataFrame, path: str, cols: list[str], by: str | None = None,
+    lgk: int = 12, batch_id: str = "",
+) -> None:
+    """Fold one batch's HLL distinct sketches into log-structured
+    persisted state: appends (group?, column, sketch, lgk, batch_id)
+    rows — O(batch) work, (groups x cols x batches) sketch rows until
+    compaction, never a history rescan. HLL registers merge by MAX
+    (hll_union_agg), which is LOSSLESS at the sketch level, so
+    :func:`distinct_from_state` reproduces the one-shot estimate over
+    the union of all batches exactly. ``lgk`` is pinned in the rows
+    and checked on every fold; a non-empty ``batch_id`` already
+    present makes the fold a NO-OP (exactly-once under replay);
+    check + append hold the writer lease."""
+    from pyspark.errors import AnalysisException
+
+    from wrangler_spark.datapipe import _layout
+
+    spark = df.sparkSession
+    batch = distinct_sketch(df, cols, by, lgk).select(
+        (F.col(by).cast("string") if by else F.lit(None).cast("string"))
+        .alias("g"),
+        "column", "sketch",
+        F.lit(int(lgk)).alias("lgk"),
+        F.lit(str(batch_id)).alias("batch_id"),
+    )
+    with _layout.writer_lease(spark, path):
+        root = _layout.resolve(spark, path)
+        try:
+            rows = spark.read.parquet(f"{root}/rows")
+            stored = rows.select("lgk").limit(1).collect()
+            if stored and stored[0]["lgk"] != int(lgk):
+                raise ValueError(
+                    f"distinct state at {path} was built lgk="
+                    f"{stored[0]['lgk']}, fold offered {lgk} — registers "
+                    "are incompatible")
+            if batch_id and rows.filter(
+                F.col("batch_id") == str(batch_id)
+            ).limit(1).count():
+                return
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+        batch.write.mode("append").parquet(f"{root}/rows")
+
+
+def distinct_from_state(
+    spark, path: str, version: int | None = None,
+) -> DataFrame:
+    """The merged distinct-count estimates from persisted HLL state:
+    one hll_union_agg per (group, column) over the state rows —
+    (group, column, estimate). ``version`` pins an older committed
+    snapshot (time travel, the resample/cms convention)."""
+    from pyspark.errors import AnalysisException
+
+    from wrangler_spark.datapipe import _layout
+
+    try:
+        rows = spark.read.parquet(
+            f"{_layout.resolve(spark, path, version)}/rows")
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        raise ValueError(f"distinct state at {path} is empty") from ex
+    return (
+        rows.groupBy("g", "column")
+        .agg(F.hll_union_agg("sketch").alias("__u"))
+        .select(
+            F.col("g"), F.col("column"),
+            F.hll_sketch_estimate(F.col("__u")).cast("long")
+            .alias("estimate"),
+        )
+    )
+
+
+def distinct_update_stream(
+    stream: DataFrame, path: str, cols: list[str], checkpoint: str,
+    by: str | None = None, lgk: int = 12, trigger: dict | None = None,
+):
+    """Fold a STREAM into persisted HLL distinct state — the stream
+    edge of the distinct batch/state/stream triangle (the
+    cms_update_stream shape): micro-batch id = batch_id, so
+    at-least-once foreachBatch replay yields exactly-once state."""
+    writer = (
+        stream.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda batch, bid: distinct_update_state(
+                batch, path, cols, by, lgk, str(bid))
+        )
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+    )
+    return writer.start()
+
+
 def constraints_update_state(
     df: DataFrame, path: str, rules: list[dict], batch_id: str = "",
 ) -> None:

@@ -1926,6 +1926,31 @@ class SessionStats(Directive):
 
 
 @directive
+class DistinctSketch(Directive):
+    """distinct-sketch :col [arm] [lgk] — mergeable HLL distinct-count
+    estimate per column (grouped when arm given); the bounded-state
+    count_distinct for key universes that don't fit anywhere."""
+
+    name = "distinct-sketch"
+    usage = [
+        Arg("col", TokenType.COLUMN),
+        Arg("arm", TokenType.COLUMN, optional=True, default=None),
+        Arg("lgk", TokenType.NUMERIC, optional=True, default=12),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.curation import distinct_sketch
+
+        by = self.args.value("arm")
+        return distinct_sketch(
+            df,
+            [ctx.resolve(df, self.args["col"])],
+            by=ctx.resolve(df, by) if by else None,
+            lgk=int(self.args["lgk"]),
+        ).drop("sketch")
+
+
+@directive
 class SessionStatsBy(Directive):
     """session-stats-by :user :ts :arm [gap_minutes] — per-group
     engagement scorecard (the A/B family's engagement leg; users
