@@ -761,6 +761,13 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_hll": lambda s, d: curation.distinct_sketch(
             _t(s, d, "events"), ["user_id", "event_type"], by=None
         ).select("column", "estimate"),
+        # distinct-user overlap across the event-id-parity snapshot
+        # split (rows-only, like the family)
+        "events_distinct_overlap": lambda s, d: curation.distinct_overlap(
+            _t(s, d, "events").filter(F.pmod(F.col("event_id"), 2) == 0),
+            _t(s, d, "events").filter(F.pmod(F.col("event_id"), 2) == 1),
+            "user_id",
+        ),
         # the Deequ discovery step: per-column profile in one pass
         # (profile -> suggest_constraints -> check_constraints loop)
         "dq_profile": lambda s, d: curation.profile_table(

@@ -179,3 +179,20 @@ def test_distinct_sketch_directive(spark):
     got = sorted(map(tuple,
                      Pipeline.compile("distinct-sketch :k :a").apply(df).collect()))
     assert got == [("0", "k", 7), ("1", "k", 7)]
+
+
+def test_distinct_overlap_inclusion_exclusion(spark):
+    # A = 0..999, B = 500..1499: exact at these cardinalities, so the
+    # inclusion-exclusion recovers the true intersection
+    a = spark.range(0, 1000).select(F.col("id").alias("k"))
+    b = spark.range(500, 1500).select(F.col("id").alias("k"))
+    r = curation.distinct_overlap(a, b, "k").collect()[0]
+    assert abs(r["est_a"] - 1000) <= 30 and abs(r["est_b"] - 1000) <= 30
+    assert abs(r["est_union"] - 1500) <= 40       # ~1.6% rel err regime
+    assert abs(r["est_intersection"] - 500) <= 80
+    assert 0.25 <= r["jaccard_distinct"] <= 0.42  # true 1/3
+    # disjoint sets: clamped at 0, never negative
+    c = spark.range(5000, 6000).select(F.col("id").alias("k"))
+    r2 = curation.distinct_overlap(a, c, "k").collect()[0]
+    assert r2["est_intersection"] >= 0
+    assert r2["est_intersection"] <= 60           # ~error bar of 0

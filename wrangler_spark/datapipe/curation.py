@@ -2485,6 +2485,48 @@ def distinct_sketch(
     return one.select(rows, *([F.col("__g")] if by else [])).select(*keep)
 
 
+def distinct_overlap(
+    a: DataFrame, b: DataFrame, col: str, lgk: int = 12,
+) -> DataFrame:
+    """Approximate distinct-set overlap between two frames via HLL
+    inclusion–exclusion — "how many distinct users/doc-ids appear in
+    BOTH snapshots" without materializing either key set (the
+    corpus_overlap question asked of KEYS instead of content): one
+    sketch per side, registers max-merged for the union, then
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), clamped at 0 (the estimator
+    can go slightly negative for near-disjoint sets — that IS the
+    error bar). Returns one row (est_a, est_b, est_union,
+    est_intersection, jaccard_distinct with jaccard = inter/union
+    rounded 6dp, NULL on an empty union).
+
+    Scale shape: one aggregation scan per side producing a 1-row
+    sketch; everything after is 1-row broadcast arithmetic. The
+    intersection error compounds three estimates (~3x a single
+    sketch's relative error at small overlaps) — raise lgk when the
+    overlap being measured is a small fraction of either side."""
+    sk = lambda d: d.agg(  # noqa: E731
+        F.hll_sketch_agg(F.col(col).cast("string"), F.lit(int(lgk)))
+        .alias("sk"))
+    sa, sb = sk(a), sk(b)
+    est = lambda c: F.hll_sketch_estimate(c).cast("long")  # noqa: E731
+    u = sa.unionByName(sb).agg(F.hll_union_agg("sk").alias("us"))
+    inter = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("est_a") + F.col("est_b") - F.col("est_union"))
+    return (
+        u.select(est(F.col("us")).alias("est_union"))
+        .crossJoin(F.broadcast(sa.select(est(F.col("sk")).alias("est_a"))))
+        .crossJoin(F.broadcast(sb.select(est(F.col("sk")).alias("est_b"))))
+        .select(
+            "est_a", "est_b", "est_union",
+            inter.alias("est_intersection"),
+            F.when(F.col("est_union") > 0,
+                   F.round(inter / F.col("est_union"), 6))
+            .alias("jaccard_distinct"),
+        )
+    )
+
+
 def distinct_update_state(
     df: DataFrame, path: str, cols: list[str], by: str | None = None,
     lgk: int = 12, batch_id: str = "",
