@@ -688,6 +688,17 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "arm", F.pmod(F.col("user_id"), 2).cast("string")),
             "user_id", "ts", "arm", period_days=1, max_periods=8,
         ).withColumn("cohort_start", F.col("cohort_start").cast("string")),
+        # retention A/B: pooled per-offset two-proportion z + Wilson/
+        # Newcombe intervals between the parity arms — the stickiness
+        # readout pairing funnel_ab's conversion readout
+        "events_retention_ab": lambda s, d: events.retention_ab_test(
+            events.retention_cohorts_by(
+                _t(s, d, "events").withColumn(
+                    "arm", F.pmod(F.col("user_id"), 2).cast("string")),
+                "user_id", "ts", "arm", period_days=1, max_periods=8,
+            ),
+            "arm", "0", "1",
+        ),
         # per-arm funnel: the A/B conversion comparison (arm attributed
         # from the anchor event; here the deterministic user_id parity)
         "events_funnel_by": lambda s, d: events.funnel_steps_by(
@@ -1104,6 +1115,7 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "events_retention": o.retention_cohorts_sql(1, 8),
         "events_retention_by": o.retention_cohorts_by_sql(1, 8),
+        "events_retention_ab": o.retention_ab_sql(1, 8),
         "events_retention_forget": o.retention_cohorts_sql(
             1, 8, table="(SELECT * FROM events WHERE user_id % 17 <> 3) ev"
         ),

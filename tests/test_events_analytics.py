@@ -919,6 +919,50 @@ def test_funnel_ab_test(spark):
     assert r2["z"] == 0.0 and not r2["significant"]
 
 
+def test_retention_ab_test(spark):
+    # arm X: 4 users day 0, 2 return day 1 (50%); arm Y: 4 users day
+    # 0, 1 returns day 1 (25%); day 2: only X retains anyone — the
+    # zero-arm offset must still report (funnel grid rule)
+    import math
+
+    from pyspark.sql import functions as F
+
+    from wrangler_spark.datapipe.events import (
+        retention_ab_test,
+        retention_cohorts_by,
+    )
+
+    def d(day):
+        return f"1970-01-0{day} 00:00:00"
+
+    rows = []
+    for i in range(4):
+        rows.append((f"x{i}", d(1), "X"))
+        rows.append((f"y{i}", d(1), "Y"))
+    rows += [("x0", d(2), "X"), ("x1", d(2), "X"), ("y0", d(2), "Y"),
+             ("x0", d(3), "X")]
+    df = spark.createDataFrame(rows, "u string, t string, g string").select(
+        "u", F.col("t").cast("timestamp").alias("t"), "g")
+    grid = retention_cohorts_by(df, "u", "t", "g", period_days=1)
+    got = {r["period_offset"]: r for r in
+           retention_ab_test(grid, "g", "X", "Y").collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1["users_a"], r1["users_b"]) == (2, 1)
+    assert r1["conv_a"] == 0.5 and r1["conv_b"] == 0.25
+    pool = 3 / 8
+    se = math.sqrt(pool * (1 - pool) * (1 / 4 + 1 / 4))
+    assert r1["z"] == round((0.5 - 0.25) / se, 6)
+    assert not r1["significant"]              # n=4 per arm: noise
+    # offset 2: Y retained nobody — the row exists with users_b=0
+    assert (got[2]["users_a"], got[2]["users_b"]) == (1, 0)
+    assert got[2]["conv_b"] == 0.0
+    # Wilson bounds are proper intervals inside [0, 1]
+    for r in got.values():
+        assert 0.0 <= r["conv_a_lo"] <= r["conv_a"] <= r["conv_a_hi"] <= 1.0
+        assert 0.0 <= r["conv_b_lo"] <= r["conv_b"] <= r["conv_b_hi"] <= 1.0
+
+
 def test_funnel_by_zero_step_rows(spark):
     # an arm whose users ALL stall before step i still reports its
     # (arm, step i) row with users=0 / conversion=0 — funnel_ab_test's
@@ -1007,3 +1051,10 @@ def test_ab_family_directives(spark):
     assert rb.filter("arm = 'A'").count() == 1
     ss = Pipeline.compile("session-stats :u :t 30").apply(df).collect()[0]
     assert ss["n_sessions"] == 2 and ss["bounce_rate"] == 0.5
+    # the composed A/B readout directives
+    fab = Pipeline.compile(
+        "funnel-ab :u :t :e 'view,click' :arm 'A' 'B'").apply(df).collect()
+    assert len(fab) == 1 and fab[0]["users_a"] == 1 and fab[0]["users_b"] == 0
+    rab = Pipeline.compile(
+        "retention-ab :u :t :arm 'A' 'B' 1 4").apply(df)
+    assert rab.count() == 0        # single-day fixture: no offset >= 1

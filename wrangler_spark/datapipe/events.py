@@ -2036,6 +2036,16 @@ def funnel_ab_test(grouped: DataFrame, by: str, arm_a: str, arm_b: str) -> DataF
     n1 = j.filter(F.col("step") == 1).select(
         F.col("ua").alias("na"), F.col("ub").alias("nb"))
     w = j.crossJoin(F.broadcast(n1))  # 1-row denominators
+    return w.filter(F.col("step") > 1).select(
+        "step", "event_type", *_two_proportion_cols())
+
+
+def _two_proportion_cols() -> list:
+    """The shared A/B readout columns over a frame carrying integer
+    (ua, ub, na, nb): pooled two-proportion z, per-arm 95% Wilson
+    score intervals, and the Newcombe hybrid interval for the
+    difference — one fixed double operation order shared verbatim
+    with the DuckDB oracles (funnel_ab_sql / retention_ab_sql)."""
     pa = F.col("ua") / F.col("na")
     pb = F.col("ub") / F.col("nb")
     pool = (F.col("ua") + F.col("ub")) / (F.col("na") + F.col("nb"))
@@ -2045,8 +2055,6 @@ def funnel_ab_test(grouped: DataFrame, by: str, arm_a: str, arm_b: str) -> DataF
     zc = F.lit(1.96)
 
     def wilson(p, nn):
-        # Wilson score interval at z=1.96; one fixed operation order
-        # shared verbatim with the DuckDB oracle
         denom = F.lit(1.0) + zc * zc / nn
         center = p + zc * zc / (F.lit(2.0) * nn)
         half = zc * F.sqrt(
@@ -2059,20 +2067,16 @@ def funnel_ab_test(grouped: DataFrame, by: str, arm_a: str, arm_b: str) -> DataF
     # Newcombe hybrid score interval for pA - pB
     dlo = diff - F.sqrt((pa - la) * (pa - la) + (hb - pb) * (hb - pb))
     dhi = diff + F.sqrt((ha - pa) * (ha - pa) + (pb - lb) * (pb - lb))
-    return (
-        w.filter(F.col("step") > 1)
-        .select(
-            "step", "event_type",
-            F.col("ua").alias("users_a"), F.col("ub").alias("users_b"),
-            F.round(pa, 6).alias("conv_a"), F.round(pb, 6).alias("conv_b"),
-            F.round(la, 6).alias("conv_a_lo"), F.round(ha, 6).alias("conv_a_hi"),
-            F.round(lb, 6).alias("conv_b_lo"), F.round(hb, 6).alias("conv_b_hi"),
-            F.round(diff, 6).alias("diff"),
-            F.round(dlo, 6).alias("diff_lo"), F.round(dhi, 6).alias("diff_hi"),
-            z.cast("double").alias("z"),
-            F.when(z.isNotNull(), F.abs(z) > F.lit(1.96)).alias("significant"),
-        )
-    )
+    return [
+        F.col("ua").alias("users_a"), F.col("ub").alias("users_b"),
+        F.round(pa, 6).alias("conv_a"), F.round(pb, 6).alias("conv_b"),
+        F.round(la, 6).alias("conv_a_lo"), F.round(ha, 6).alias("conv_a_hi"),
+        F.round(lb, 6).alias("conv_b_lo"), F.round(hb, 6).alias("conv_b_hi"),
+        F.round(diff, 6).alias("diff"),
+        F.round(dlo, 6).alias("diff_lo"), F.round(dhi, 6).alias("diff_hi"),
+        z.cast("double").alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(1.96)).alias("significant"),
+    ]
 
 
 def retention_cohorts_by(
@@ -2137,3 +2141,50 @@ def retention_cohorts_by(
             F.round(F.col("active_users") / F.col("__size"), 6).alias("retention"),
         )
     )
+
+
+def retention_ab_test(
+    grouped: DataFrame, by: str, arm_a: str, arm_b: str,
+) -> DataFrame:
+    """Two-proportion z-test + Wilson/Newcombe intervals per retention
+    offset between two arms of a :func:`retention_cohorts_by` grid —
+    the stickiness readout that pairs with :func:`funnel_ab_test`'s
+    conversion readout: does arm B retain users differently at offset
+    k beyond noise? Cohorts pool per arm (numerator = the arm's
+    offset-k actives summed across cohorts, denominator = its offset-0
+    total — the standard pooled retention curve; cohorts too young to
+    reach offset k contribute only to the denominator, the usual
+    pooled-curve caveat, so compare arms only over offsets both have
+    fully observed). Returns one row per offset >= 1: (period_offset,
+    users_a, users_b, conv_a, conv_b, the four Wilson bounds, diff,
+    diff_lo, diff_hi, z, significant) — the
+    :func:`funnel_ab_test` column contract with retention rates in
+    the conv columns.
+
+    Zero-arm offsets survive: the offset universe is the UNION of both
+    arms' observed offsets with absent counts as 0 (the funnel grid
+    rule — the offset where one arm retained nobody is the decisive
+    readout, not a dropped row). All inputs are the grid's integer
+    counts; the z/CI arithmetic is the shared fixed double order."""
+    agg = (
+        grouped.groupBy(F.col(by).alias("__arm"), "period_offset")
+        .agg(F.sum("active_users").cast("long").alias("users"))
+    )
+    a = agg.filter(F.col("__arm") == arm_a).select(
+        "period_offset", F.col("users").alias("ua"))
+    b = agg.filter(F.col("__arm") == arm_b).select(
+        F.col("period_offset").alias("ob"), F.col("users").alias("ub"))
+    j = (
+        a.join(b, a["period_offset"].eqNullSafe(F.col("ob")), "full_outer")
+        .select(
+            F.coalesce(F.col("period_offset"), F.col("ob"))
+            .alias("period_offset"),
+            F.coalesce(F.col("ua"), F.lit(0)).alias("ua"),
+            F.coalesce(F.col("ub"), F.lit(0)).alias("ub"),
+        )
+    )
+    n1 = j.filter(F.col("period_offset") == 0).select(
+        F.col("ua").alias("na"), F.col("ub").alias("nb"))
+    w = j.crossJoin(F.broadcast(n1))  # 1-row denominators
+    return w.filter(F.col("period_offset") > 0).select(
+        "period_offset", *_two_proportion_cols())

@@ -3511,24 +3511,33 @@ def funnel_ab_sql(
     vs '1': the grouped funnel as a subquery, then the two-proportion
     z per step in the identical double order."""
     gfun = funnel_steps_by_sql(steps, within_seconds, table)
-    # Wilson interval pieces in the IDENTICAL double operation order as
-    # the Spark side: center = p + z²/(2n), half = z·sqrt(p(1-p)/n +
-    # z²/(4n·n)), bound = (center ∓ half)/(1 + z²/n); Newcombe hybrid
-    # for the difference
     return f"""
 WITH j AS (
   SELECT a.step, a.event_type, a.users AS ua, b.users AS ub
   FROM ({gfun}) a JOIN ({gfun}) b ON a.step = b.step
   WHERE a.arm = '0' AND b.arm = '1'),
 n1 AS (SELECT ua AS na, ub AS nb FROM j WHERE step = 1),
-p AS (
-  SELECT j.step, j.event_type, ua, ub, na, nb,
+{_ab_tail_sql(["step", "event_type"], "j.step > 1")}
+"""
+
+
+def _ab_tail_sql(labels: list[str], where: str) -> str:
+    """The shared A/B readout tail over a CTE ``j`` carrying
+    (labels..., ua, ub) and a 1-row ``n1`` (na, nb) — Wilson interval
+    pieces in the IDENTICAL double operation order as the Spark side
+    (_two_proportion_cols): center = p + z²/(2n), half = z·sqrt(
+    p(1-p)/n + z²/(4n·n)), bound = (center ∓ half)/(1 + z²/n);
+    Newcombe hybrid for the difference."""
+    jlab = ", ".join(f"j.{c}" for c in labels)
+    lab = ", ".join(labels)
+    return f"""p AS (
+  SELECT {jlab}, ua, ub, na, nb,
          CAST(ua AS DOUBLE) / na AS pa,
          CAST(ub AS DOUBLE) / nb AS pb,
          sqrt(((ua + ub) / CAST(na + nb AS DOUBLE))
               * (1.0 - (ua + ub) / CAST(na + nb AS DOUBLE))
               * (1.0 / na + 1.0 / nb)) AS se
-  FROM j CROSS JOIN n1 WHERE j.step > 1),
+  FROM j CROSS JOIN n1 WHERE {where}),
 wls AS (
   SELECT *,
          (pa + 1.96*1.96/(2.0*na)
@@ -3544,7 +3553,7 @@ wls AS (
             + 1.96*sqrt(pb*(1.0-pb)/nb + 1.96*1.96/(4.0*nb*nb)))
            / (1.0 + 1.96*1.96/nb) AS hb
   FROM p)
-SELECT step, event_type,
+SELECT {lab},
        CAST(ua AS BIGINT) AS users_a, CAST(ub AS BIGINT) AS users_b,
        round(pa, 6) AS conv_a, round(pb, 6) AS conv_b,
        round(la, 6) AS conv_a_lo, round(ha, 6) AS conv_a_hi,
@@ -3555,7 +3564,28 @@ SELECT step, event_type,
        CASE WHEN se > 0 THEN round((pa - pb) / se, 6) END AS z,
        CASE WHEN se > 0
             THEN abs(round((pa - pb) / se, 6)) > 1.96 END AS significant
-FROM wls
+FROM wls"""
+
+
+def retention_ab_sql(
+    period_days: int = 7, max_periods: int = 8, table: str = "events",
+) -> str:
+    """Mirror of events.retention_ab_test over the user-parity arms
+    '0' vs '1': the grouped retention grid as a subquery, cohorts
+    pooled per (arm, offset), a FULL OUTER offset join with absent
+    counts as 0, then the shared two-proportion/Wilson tail."""
+    grid = retention_cohorts_by_sql(period_days, max_periods, table)
+    return f"""
+WITH grid AS ({grid}),
+agg AS (SELECT arm, period_offset, CAST(sum(active_users) AS BIGINT) AS users
+        FROM grid GROUP BY arm, period_offset),
+aa AS (SELECT period_offset, users AS ua FROM agg WHERE arm = '0'),
+bb AS (SELECT period_offset AS ob, users AS ub FROM agg WHERE arm = '1'),
+j AS (SELECT coalesce(aa.period_offset, bb.ob) AS period_offset,
+             coalesce(ua, 0) AS ua, coalesce(ub, 0) AS ub
+      FROM aa FULL OUTER JOIN bb ON aa.period_offset = bb.ob),
+n1 AS (SELECT ua AS na, ub AS nb FROM j WHERE period_offset = 0),
+{_ab_tail_sql(["period_offset"], "j.period_offset > 0")}
 """
 
 

@@ -1875,6 +1875,80 @@ class FunnelBy(Directive):
 
 
 @directive
+class FunnelAb(Directive):
+    """funnel-ab :user :ts :type 'step1,step2,...' :arm 'a' 'b'
+    [within_minutes] — the per-step conversion A/B readout: grouped
+    funnel then two-proportion z + Wilson/Newcombe intervals between
+    arms a and b."""
+
+    name = "funnel-ab"
+    usage = [
+        Arg("user", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+        Arg("type", TokenType.COLUMN),
+        Arg("steps", TokenType.TEXT),
+        Arg("arm", TokenType.COLUMN),
+        Arg("a", TokenType.TEXT),
+        Arg("b", TokenType.TEXT),
+        Arg("within_minutes", TokenType.NUMERIC, optional=True),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import funnel_ab_test, funnel_steps_by
+
+        steps = [s.strip() for s in str(self.args["steps"]).split(",") if s.strip()]
+        within = self.args.value("within_minutes")
+        arm = ctx.resolve(df, self.args["arm"])
+        grouped = funnel_steps_by(
+            df,
+            ctx.resolve(df, self.args["user"]),
+            ctx.resolve(df, self.args["ts"]),
+            ctx.resolve(df, self.args["type"]),
+            steps,
+            arm,
+            None if within is None else float(within),
+        )
+        return funnel_ab_test(
+            grouped, arm, str(self.args["a"]), str(self.args["b"]))
+
+
+@directive
+class RetentionAb(Directive):
+    """retention-ab :user :ts :arm 'a' 'b' [period_days] [max_periods]
+    — the per-offset stickiness A/B readout: grouped retention grid
+    then two-proportion z + Wilson/Newcombe intervals between arms."""
+
+    name = "retention-ab"
+    usage = [
+        Arg("user", TokenType.COLUMN),
+        Arg("ts", TokenType.COLUMN),
+        Arg("arm", TokenType.COLUMN),
+        Arg("a", TokenType.TEXT),
+        Arg("b", TokenType.TEXT),
+        Arg("period_days", TokenType.NUMERIC, optional=True, default=7),
+        Arg("max_periods", TokenType.NUMERIC, optional=True, default=8),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import (
+            retention_ab_test,
+            retention_cohorts_by,
+        )
+
+        arm = ctx.resolve(df, self.args["arm"])
+        grid = retention_cohorts_by(
+            df,
+            ctx.resolve(df, self.args["user"]),
+            ctx.resolve(df, self.args["ts"]),
+            arm,
+            int(self.args["period_days"]),
+            int(self.args["max_periods"]),
+        )
+        return retention_ab_test(
+            grid, arm, str(self.args["a"]), str(self.args["b"]))
+
+
+@directive
 class RetentionBy(Directive):
     """retention-by :user :ts :arm [period_days] [max_periods] —
     per-arm cohort retention grid (first-event arm attribution)."""
