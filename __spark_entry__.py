@@ -853,6 +853,30 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), "text", k=50, min_count=5
         ),
         "dedup_pagerank": _q_dedup_pagerank,
+        # near-dup cluster DENSITY probe: per-doc degree / triangles /
+        # local clustering over the minhash pair graph — a near-clique
+        # (clustering→1) is one replicated doc, a low-clustering hub is
+        # a boilerplate template chaining UNLIKE documents
+        "dedup_triangles": lambda s, d: graph.graph_triangles(
+            dedup.minhash_lsh_pairs(docs(s, d), "doc_id", "text", 0.5),
+            "id_a", "id_b",
+        ),
+        # contamination quarantine list: every doc within 2 near-dup
+        # hops of the seed documents (one seed deliberately absent from
+        # the pair graph — it still reports hop 0: a node reaches itself)
+        "dedup_khop": lambda s, d: graph.graph_khop(
+            dedup.minhash_lsh_pairs(docs(s, d), "doc_id", "text", 0.5),
+            "id_a", "id_b", seeds=[8, 26, 31, 999999], k=2,
+        ),
+        # crawl-frontier reach: event types reachable within 2 observed
+        # transitions of signup, following edge direction
+        "events_khop": lambda s, d: graph.graph_khop(
+            events.event_transitions(
+                _t(s, d, "events"), "user_id", "ts", "event_type",
+                tie_col="event_id",
+            ),
+            "from_type", "to_type", seeds=["signup"], k=2, directed=True,
+        ),
         "events_communities": lambda s, d: graph.graph_label_propagation(
             events.event_transitions(
                 _t(s, d, "events"), "user_id", "ts", "event_type",
@@ -1136,6 +1160,9 @@ def _datapipe_oracles() -> dict[str, str]:
             0.85, 5, seeds=["signup", "purchase"]
         ),
         "events_communities": o.events_communities_sql(5),
+        "dedup_triangles": o.dedup_triangles_sql(0.5),
+        "dedup_khop": o.dedup_khop_sql([8, 26, 31, 999999], 2, 0.5),
+        "events_khop": o.events_khop_sql(["signup"], 2),
         "num_quantiles_sketch": o.quantiles_sketch_sql(),
         "num_quantiles_state": o.quantiles_sketch_sql(),
         "num_quantiles_by": o.quantiles_sketch_by_sql(),

@@ -228,3 +228,132 @@ def test_personalized_pagerank_seeds(spark):
     # seeds absent from the graph refuse loudly
     with pytest.raises(ValueError, match="seeds appear"):
         _run(spark, edges, seeds=["nope"])
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _ref_triangles(edges):
+    """edges: (s, d) pairs. Brute-force per-node triangle count +
+    clustering over the undirected simple graph."""
+    adj = {}
+    for s, d in edges:
+        if s == d or s is None or d is None:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    out = {}
+    for n, nbrs in adj.items():
+        deg = len(nbrs)
+        t = sum(
+            1
+            for i, a in enumerate(sorted(nbrs))
+            for b in sorted(nbrs)[i + 1:]
+            if b in adj.get(a, set())
+        )
+        clus = round(2.0 * t / (deg * (deg - 1.0)), 6) if deg >= 2 else None
+        out[n] = (deg, t, clus)
+    return out
+
+
+def _run_tri(spark, edges):
+    from wrangler_spark.datapipe.graph import graph_triangles
+
+    df = spark.createDataFrame(edges, ["s", "d"])
+    return {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in graph_triangles(df, "s", "d").collect()
+    }
+
+
+def test_triangles_clique_and_path(spark):
+    # K4 (every node: deg 3, 3 triangles, clustering 1.0) plus a
+    # 3-node path (middle deg 2, 0 triangles, clustering 0.0)
+    k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    path = [("x", "y"), ("y", "z")]
+    got = _run_tri(spark, k4 + path)
+    for n in "abcd":
+        assert got[n] == (3, 3, 1.0)
+    assert got["y"] == (2, 0, 0.0)
+    assert got["x"] == (1, 0, None)
+
+
+def test_triangles_direction_multiplicity_selfloops_collapse(spark):
+    # duplicate edges, both directions, and self-loops must not change
+    # the simple-graph answer
+    base = [("a", "b"), ("b", "c"), ("a", "c")]
+    noisy = base + [("b", "a"), ("a", "b"), ("c", "c")]
+    assert _run_tri(spark, noisy) == _run_tri(spark, base)
+    assert _run_tri(spark, base)["a"] == (2, 1, 1.0)
+
+
+def test_triangles_matches_reference_on_mixed_graph(spark):
+    edges = [
+        ("hub", x) for x in "abcdef"
+    ] + [("a", "b"), ("c", "d"), ("d", "e"), ("q", "r")]
+    got = _run_tri(spark, edges)
+    want = _ref_triangles(edges)
+    assert got == want
+
+
+def test_triangles_no_cartesian_no_python_in_plan(spark):
+    from wrangler_spark.datapipe.graph import graph_triangles
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], ["s", "d"])
+    plan = graph_triangles(df, "s", "d")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------------------- k-hop
+
+
+def _run_khop(spark, edges, seeds, k, directed=False):
+    from wrangler_spark.datapipe.graph import graph_khop
+
+    df = spark.createDataFrame(edges, ["s", "d"])
+    return {
+        r["node"]: r["hop"]
+        for r in graph_khop(df, "s", "d", seeds, k=k, directed=directed).collect()
+    }
+
+
+def test_khop_chain_min_hops(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    got = _run_khop(spark, edges, ["a"], k=3, directed=True)
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # undirected from the middle: both directions, min hop wins
+    got = _run_khop(spark, edges, ["c"], k=2)
+    assert got == {"c": 0, "b": 1, "d": 1, "a": 2, "e": 2}
+
+
+def test_khop_absent_seed_and_multi_seed_min(spark):
+    edges = [("a", "b"), ("b", "c")]
+    # an absent seed still appears at hop 0 (a node reaches itself);
+    # with two seeds every node takes its MINIMUM distance
+    got = _run_khop(spark, edges, ["ghost", "a", "c"], k=2)
+    assert got == {"ghost": 0, "a": 0, "c": 0, "b": 1}
+
+
+def test_khop_early_exit_and_k_zero(spark):
+    edges = [("a", "b")]
+    # frontier empties after round 1 — extra rounds are a no-op
+    assert _run_khop(spark, edges, ["a"], k=10) == {"a": 0, "b": 1}
+    from wrangler_spark.datapipe.graph import graph_khop
+
+    df = spark.createDataFrame(edges, ["s", "d"])
+    got = {
+        r["node"]: r["hop"]
+        for r in graph_khop(df, "s", "d", ["a"], k=0).collect()
+    }
+    assert got == {"a": 0}
+
+
+def test_khop_validates_inputs(spark):
+    from wrangler_spark.datapipe.graph import graph_khop
+
+    df = spark.createDataFrame([("a", "b")], ["s", "d"])
+    with pytest.raises(ValueError, match="non-empty seed"):
+        graph_khop(df, "s", "d", [], k=2)
+    with pytest.raises(ValueError, match="k must be"):
+        graph_khop(df, "s", "d", ["a"], k=-1)

@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 
 from ._checkpoint import eager_checkpoint, release
 
-__all__ = ["graph_pagerank", "graph_label_propagation"]
+__all__ = [
+    "graph_pagerank", "graph_label_propagation", "graph_triangles",
+    "graph_khop",
+]
 
 
 def graph_pagerank(
@@ -261,6 +264,182 @@ def graph_label_propagation(
     release(e)
     release(nodes)
     return labels.select(F.col("__n").alias("node"), F.col("__l").alias("community"))
+
+
+def graph_triangles(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    the UNDIRECTED simple graph induced by the edge list (direction and
+    multiplicity collapse; self-loops drop). Returns one row per node:
+    (node, degree, triangles, clustering) with clustering =
+    2·T / (deg·(deg−1)) rounded 6dp, NULL when degree < 2.
+
+    The near-dup-cluster density probe: a cluster whose members form a
+    near-clique (clustering → 1) is one document replicated, safe to
+    collapse to a canonical; a low-clustering hub is a template chaining
+    UNLIKE documents through shared boilerplate — collapsing it merges
+    distinct content. Same diagnostic for crawl host graphs.
+
+    Scale shape — the degree-ordered wedge join (the compact-forward
+    algorithm; Schank & Wagner 2005, Latapy 2008): every edge is
+    oriented from its lower (degree, node) endpoint to its higher, so
+    each triangle is generated exactly once and the wedge join's
+    fan-out per node is bounded by its ORIENTED out-degree ≤ O(√m) —
+    total wedge work O(m^1.5) worst case, not Σ deg², which is the
+    difference between a skewed hub exploding the join and not. Three
+    bounded joins + one explode + one groupBy; no windows; the oriented
+    edge frame is checkpointed and hash-partitioned once and reused by
+    both sides of the wedge join and the closure probe."""
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(
+            F.col(src).cast("string").alias("__x"),
+            F.col(dst).cast("string").alias("__y"),
+        )
+    )
+    ce = (
+        e.select(
+            F.least("__x", "__y").alias("__a"),
+            F.greatest("__x", "__y").alias("__b"),
+        )
+        .filter(F.col("__a") != F.col("__b"))
+        .distinct()
+    )
+    ce = eager_checkpoint(ce)
+    deg = (
+        ce.select(F.col("__a").alias("__n"))
+        .union(ce.select(F.col("__b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    deg = eager_checkpoint(deg)
+    # orient each edge low→high in the total order (degree, node id) —
+    # struct comparison gives the same lexicographic order both here
+    # and in the DuckDB row-value mirror
+    da = deg.select(F.col("__n").alias("__a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("__n").alias("__b"), F.col("degree").alias("__db"))
+    ka = F.struct(F.col("__da").alias("k1"), F.col("__a").alias("k2"))
+    kb = F.struct(F.col("__db").alias("k1"), F.col("__b").alias("k2"))
+    o = (
+        ce.join(da, "__a").join(db, "__b")
+        .select(
+            F.when(ka < kb, F.col("__a")).otherwise(F.col("__b")).alias("__u"),
+            F.when(ka < kb, F.col("__b")).otherwise(F.col("__a")).alias("__v"),
+        )
+    )
+    o = eager_checkpoint(o.repartition("__u"))
+    # wedges u→v→w (u<v<w in the orientation order, so u≠w for free),
+    # closed by the oriented edge u→w
+    o2 = o.select(F.col("__u").alias("__v2"), F.col("__v").alias("__w"))
+    o3 = o.select(F.col("__u").alias("__u3"), F.col("__v").alias("__w3"))
+    tri = (
+        o.join(o2, o["__v"] == o2["__v2"])
+        .join(
+            o3,
+            (F.col("__u") == F.col("__u3")) & (F.col("__w") == F.col("__w3")),
+            "left_semi",
+        )
+        .select("__u", "__v", "__w")
+    )
+    tn = (
+        tri.select(
+            F.explode(F.array("__u", "__v", "__w")).alias("__n")
+        )
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).alias("__t"))
+    )
+    out = (
+        deg.join(tn, "__n", "left")
+        .select(
+            F.col("__n").alias("node"),
+            "degree",
+            F.coalesce("__t", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0) * F.coalesce("__t", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - F.lit(1.0))),
+                    6,
+                ),
+            ).alias("clustering"),
+        )
+    )
+    release(ce)
+    return out
+
+
+def graph_khop(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    seeds: list,
+    k: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """Bounded breadth-first reachability: every node within ``k`` hops
+    of the seed set, with its MINIMUM hop distance. Returns (node, hop);
+    seeds are hop 0 (a node always reaches itself, so seeds absent from
+    the edge list still appear — the query stays total when a seed's
+    document was deduplicated away upstream).
+
+    The contamination-propagation primitive: seed with known-bad
+    documents (benchmark leaks, spam clusters) and the 2-hop closure
+    over the near-dup pair graph is the quarantine list — or seed with
+    trusted hosts and the k-hop frontier is the crawl whitelist
+    (directed=True follows link direction).
+
+    Scale shape — ``k`` rounds, each ONE join (frontier ⋈ edges) + one
+    anti-join against the reached set; both sides bounded by the edge
+    count, never the node universe squared. The edge frame is
+    deduplicated, hash-partitioned on the traversal key once, and
+    checkpointed so every round reuses the partitioning; frontiers are
+    checkpointed per round and released when superseded. Early-exits
+    when a frontier empties (a count over a checkpointed frame)."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if not seeds:
+        raise ValueError("graph_khop needs a non-empty seed list")
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(
+            F.col(src).cast("string").alias("__s"),
+            F.col(dst).cast("string").alias("__d"),
+        )
+    )
+    if not directed:
+        e = e.union(
+            e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+        )
+    e = eager_checkpoint(e.distinct().repartition("__s"))
+    spark = edges.sparkSession
+    seed_df = spark.createDataFrame(
+        [(str(s),) for s in sorted({str(s) for s in seeds})], "__n string"
+    )
+    reached = eager_checkpoint(
+        seed_df.select("__n", F.lit(0).cast("int").alias("__h"))
+    )
+    frontier = reached
+    for i in range(1, k + 1):
+        nxt = eager_checkpoint(
+            frontier.join(e, frontier["__n"] == e["__s"])
+            .select(F.col("__d").alias("__n"))
+            .distinct()
+            .join(reached.select("__n"), "__n", "left_anti")
+            .select("__n", F.lit(i).cast("int").alias("__h"))
+        )
+        if frontier is not reached:
+            release(frontier)
+        if nxt.count() == 0:  # driver scalar over a checkpointed frame
+            release(nxt)
+            frontier = reached
+            break
+        new_reached = eager_checkpoint(reached.union(nxt))
+        release(reached)
+        reached = new_reached
+        frontier = nxt
+    if frontier is not reached:
+        release(frontier)
+    release(e)
+    return reached.select(F.col("__n").alias("node"), F.col("__h").alias("hop"))
 
 
 def graph_components(

@@ -2760,6 +2760,112 @@ c AS (SELECT CAST(id_a AS VARCHAR) AS s, CAST(id_b AS VARCHAR) AS d,
     return pagerank_over_sql(edges, damping, iters)
 
 
+def triangles_over_sql(edges_cte: str) -> str:
+    """graph.graph_triangles mirrored over ANY edge source: ``edges_cte``
+    must be CTE bodies ending in a ``c`` relation of (s, d) edges.
+    Same degree-ordered orientation (row-value comparison on
+    (degree, node) = the Spark struct comparison), same wedge + closure
+    joins, same 2·T/(deg·(deg−1)) operation order before round(6)."""
+    return f"""
+WITH {edges_cte},
+ce AS (SELECT DISTINCT least(CAST(s AS VARCHAR), CAST(d AS VARCHAR)) AS a,
+                       greatest(CAST(s AS VARCHAR), CAST(d AS VARCHAR)) AS b
+       FROM c WHERE s IS NOT NULL AND d IS NOT NULL
+         AND CAST(s AS VARCHAR) <> CAST(d AS VARCHAR)),
+deg AS (SELECT n, count(*) AS degree
+        FROM (SELECT a AS n FROM ce UNION ALL SELECT b FROM ce) GROUP BY n),
+o AS (SELECT CASE WHEN (da.degree, ce.a) < (db.degree, ce.b)
+                  THEN ce.a ELSE ce.b END AS u,
+             CASE WHEN (da.degree, ce.a) < (db.degree, ce.b)
+                  THEN ce.b ELSE ce.a END AS v
+      FROM ce JOIN deg da ON ce.a = da.n JOIN deg db ON ce.b = db.n),
+tri AS (SELECT o1.u, o1.v, o2.v AS w
+        FROM o o1 JOIN o o2 ON o1.v = o2.u
+        WHERE EXISTS (SELECT 1 FROM o o3 WHERE o3.u = o1.u AND o3.v = o2.v)),
+tn AS (SELECT n, count(*) AS t
+       FROM (SELECT u AS n FROM tri UNION ALL SELECT v FROM tri
+             UNION ALL SELECT w FROM tri) GROUP BY n)
+SELECT deg.n AS node, CAST(degree AS BIGINT) AS degree,
+       CAST(COALESCE(tn.t, 0) AS BIGINT) AS triangles,
+       CASE WHEN degree >= 2
+            THEN round((2.0 * COALESCE(tn.t, 0)) / (degree * (degree - 1.0)), 6)
+       END AS clustering
+FROM deg LEFT JOIN tn ON deg.n = tn.n
+"""
+
+
+def khop_over_sql(
+    edges_cte: str, seeds: list, k: int, directed: bool = False,
+) -> str:
+    """graph.graph_khop unrolled to ``k`` CTE rounds over ANY edge
+    source (``edges_cte`` ends in a ``c`` relation of (s, d)): hop 0 =
+    the seed set (absent seeds included — a node reaches itself), each
+    round extends the reached set with min-hop semantics."""
+    lits = ", ".join(
+        "('" + str(s).replace("'", "''") + "')"
+        for s in sorted({str(s) for s in seeds})
+    )
+    sym = "" if directed else (
+        " UNION ALL SELECT CAST(d AS VARCHAR), CAST(s AS VARCHAR) FROM c"
+    )
+    head = f"""
+WITH {edges_cte},
+e AS (SELECT DISTINCT s, d FROM
+        (SELECT CAST(s AS VARCHAR) AS s, CAST(d AS VARCHAR) AS d FROM c{sym})
+      WHERE s IS NOT NULL AND d IS NOT NULL),
+h0 AS (SELECT n, 0 AS hop FROM (VALUES {lits}) AS t(n))"""
+    rounds = []
+    for i in range(1, k + 1):
+        prev = f"h{i - 1}"
+        rounds.append(f""",
+n{i} AS (SELECT DISTINCT e.d AS n FROM {prev} JOIN e ON {prev}.n = e.s),
+h{i} AS (SELECT n, min(hop) AS hop FROM
+           (SELECT n, hop FROM {prev} UNION ALL SELECT n, {i} FROM n{i})
+         GROUP BY n)""")
+    return head + "".join(rounds) + f"""
+SELECT n AS node, CAST(hop AS INTEGER) AS hop FROM h{k}
+"""
+
+
+def dedup_triangles_sql(
+    threshold: float = 0.5, table: str = "documents",
+) -> str:
+    """Mirror of graph.graph_triangles over the minhash near-dup pair
+    graph: per-doc degree / triangle count / clustering — the
+    cluster-density probe (near-clique = replicated doc, low-clustering
+    hub = boilerplate template chaining unlike docs)."""
+    edges = f"""pairs AS ({minhash_lsh_sql(threshold, table)}),
+c AS (SELECT CAST(id_a AS VARCHAR) AS s, CAST(id_b AS VARCHAR) AS d FROM pairs)"""
+    return triangles_over_sql(edges)
+
+
+def dedup_khop_sql(
+    seeds: list, k: int = 2, threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """Mirror of graph.graph_khop (undirected) over the minhash
+    near-dup pair graph: the contamination quarantine list — everything
+    within ``k`` near-dup hops of the seed documents."""
+    edges = f"""pairs AS ({minhash_lsh_sql(threshold, table)}),
+c AS (SELECT CAST(id_a AS VARCHAR) AS s, CAST(id_b AS VARCHAR) AS d FROM pairs)"""
+    return khop_over_sql(edges, seeds, k, directed=False)
+
+
+def events_khop_sql(
+    seeds: list, k: int = 2, tie: str | None = "event_id",
+    table: str = "events",
+) -> str:
+    """Mirror of graph.graph_khop (directed) over the event_transitions
+    edge list: event types reachable within ``k`` observed transitions
+    of the seed types."""
+    order = "ts" + (f", {tie}" if tie else "")
+    edges = f"""p AS (SELECT event_type AS f,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY {order}) AS t
+           FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT f AS s, t AS d FROM p WHERE t IS NOT NULL GROUP BY f, t)"""
+    return khop_over_sql(edges, seeds, k, directed=True)
+
+
 def events_communities_sql(
     iters: int = 5, tie: str | None = "event_id", table: str = "events",
 ) -> str:
