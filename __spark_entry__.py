@@ -897,6 +897,11 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_keywords": lambda s, d: text.group_top_terms(
             docs(s, d), "text", "doc_id", 5, weight="tfidf"
         ),
+        # RAG-ingestion splitter: overlapping 64-token windows with a
+        # 16-token overlap — map-side only (split + sequence + explode)
+        "text_chunks": lambda s, d: text.chunk_documents(
+            docs(s, d), "doc_id", "text", chunk_tokens=64, overlap=16
+        ),
         "text_hash_emb": lambda s, d: text.hash_embedding(
             docs(s, d), "doc_id", "text", 16
         ).select("doc_id", F.posexplode("embedding").alias("pos", "y")),
@@ -1054,6 +1059,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_group_terms": o.group_top_terms_sql("source", 10),
         "text_group_terms_weighted": o.group_top_terms_weighted_sql("source", 10),
         "text_doc_keywords": o.doc_keywords_sql(5),
+        "text_chunks": o.chunk_sql(64, 16),
         "text_vocab_state": o.vocab_coverage_sql(0.9),
         "text_rep_filter": o.repetition_filter_sql(),
         "corpus_drift": o.distribution_drift_sql("c_acctbal", 10),

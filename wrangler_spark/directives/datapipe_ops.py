@@ -2048,3 +2048,76 @@ class SessionStatsBy(Directive):
             ctx.resolve(df, self.args["arm"]),
             float(self.args["gap"]),
         )
+
+
+@directive
+class ChunkDocs(Directive):
+    """chunk-docs :id :text [chunk_tokens] [overlap] — sliding-window
+    document chunking (RAG ingestion / long-doc prep): overlapping
+    windows of whitespace tokens, one row per chunk."""
+
+    name = "chunk-docs"
+    usage = [
+        Arg("id", TokenType.COLUMN),
+        Arg("text", TokenType.COLUMN),
+        Arg("chunk", TokenType.NUMERIC, optional=True, default=256),
+        Arg("overlap", TokenType.NUMERIC, optional=True, default=32),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import chunk_documents
+
+        return chunk_documents(
+            df,
+            ctx.resolve(df, self.args["id"]),
+            ctx.resolve(df, self.args["text"]),
+            chunk_tokens=int(self.args["chunk"]),
+            overlap=int(self.args["overlap"]),
+        )
+
+
+@directive
+class GraphTriangles(Directive):
+    """graph-triangles :src :dst — per-node degree, triangle count, and
+    local clustering coefficient over the undirected simple graph."""
+
+    name = "graph-triangles"
+    usage = [
+        Arg("src", TokenType.COLUMN),
+        Arg("dst", TokenType.COLUMN),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.graph import graph_triangles
+
+        return graph_triangles(
+            df, ctx.resolve(df, self.args["src"]),
+            ctx.resolve(df, self.args["dst"]),
+        )
+
+
+@directive
+class GraphKhop(Directive):
+    """graph-khop :src :dst 'seed1,seed2' [k] [directed] — nodes within
+    k hops of the seed set with min hop distance (quarantine list /
+    crawl whitelist)."""
+
+    name = "graph-khop"
+    usage = [
+        Arg("src", TokenType.COLUMN),
+        Arg("dst", TokenType.COLUMN),
+        Arg("seeds", TokenType.TEXT),
+        Arg("k", TokenType.NUMERIC, optional=True, default=3),
+        Arg("directed", TokenType.BOOL, optional=True, default=False),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.graph import graph_khop
+
+        seeds = [s.strip() for s in str(self.args["seeds"]).split(",") if s.strip()]
+        return graph_khop(
+            df, ctx.resolve(df, self.args["src"]),
+            ctx.resolve(df, self.args["dst"]),
+            seeds, k=int(self.args["k"]),
+            directed=bool(self.args["directed"]),
+        )
