@@ -930,6 +930,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), "doc_id", "source", 0.5
         ),
         "text_clf_score": _q_clf_score,
+        # reliability diagram for the same classifier: per-bin
+        # (mean_score, frac_pos) against the training label — the
+        # read-before-you-threshold check, one aggregation pass
+        "text_clf_calibration": _q_clf_calibration,
+        # one-row scorecard: ECE + Brier off the same single scan
+        "text_clf_calibration_summary": _q_clf_calibration_summary,
         "sample_budget": lambda s, d: curation.sample_to_budget(
             text.token_count(docs(s, d), "text").drop("n_tokens_ws"),
             "doc_id", "source", "n_tokens",
@@ -1101,6 +1107,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_lp_buckets": o.perplexity_buckets_sql(2000, "lang"),
         "sample_mixture": o.mixture_sample_sql(0.5, "source", "doc_id"),
         "text_clf_score": o.quality_classifier_sql(512, 3),
+        "text_clf_calibration": o.clf_calibration_sql(512, 3, 10),
+        "text_clf_calibration_summary": o.clf_calibration_summary_sql(512, 3, 10),
         "sample_budget": o.sample_to_budget_sql(
             {"src1": 0.5, "src2": 0.3, "src3": 0.2}, 5000, "source", "doc_id"
         ),
@@ -1890,6 +1898,41 @@ def _q_clf_score(spark, sf_dir):
     w = curation.train_quality_classifier(pos, neg, "doc_id", "text", 512, 3)
     return curation.quality_classifier_score(d, w, "doc_id", "text", 512).select(
         "doc_id", "clf_score"
+    )
+
+
+def _q_clf_scored_labeled(spark, sf_dir):
+    """(clf_score, y) for the demo classifier — shared staging for the
+    calibration readouts (same pipeline as _q_clf_score, joined back to
+    its own training label doc_id % 7 == 0)."""
+    from wrangler_spark.datapipe import curation
+
+    d = _t(spark, sf_dir, "documents")
+    pos = d.filter(F.col("doc_id") % 7 == 0)
+    neg = d.filter(F.col("doc_id") % 7 != 0)
+    w = curation.train_quality_classifier(pos, neg, "doc_id", "text", 512, 3)
+    return curation.quality_classifier_score(d, w, "doc_id", "text", 512).select(
+        "clf_score", (F.col("doc_id") % 7 == 0).cast("int").alias("y")
+    )
+
+
+def _q_clf_calibration(spark, sf_dir):
+    """Reliability-diagram bins for the demo classifier: a calibrated
+    score has frac_pos ~ mean_score per bin — the check you read before
+    trusting its threshold to cut a corpus."""
+    from wrangler_spark.datapipe import numeric
+
+    return numeric.calibration_bins(
+        _q_clf_scored_labeled(spark, sf_dir), "clf_score", "y", 10
+    )
+
+
+def _q_clf_calibration_summary(spark, sf_dir):
+    """One-row ECE + Brier scorecard off the same scored frame."""
+    from wrangler_spark.datapipe import numeric
+
+    return numeric.calibration_summary(
+        _q_clf_scored_labeled(spark, sf_dir), "clf_score", "y", 10
     )
 
 

@@ -4464,3 +4464,67 @@ def test_graph_directives(spark):
     assert {(row["node"], row["hop"]) for row in r2.df.collect()} == {
         ("a", 0), ("b", 1), ("c", 1),
     }
+
+
+# --------------------------------------------------------- calibration bins
+
+
+def _cal_df(spark):
+    # 8 rows, bins=4: bin 0 gets (0.1,0), (0.2,1); bin 1 gets (0.3,0);
+    # bin 3 gets (0.8,1), (0.9,1), (1.0,1) — score 1.0 clamps into the
+    # last bin; nulls drop
+    rows = [
+        (0.1, 0), (0.2, 1), (0.3, 0), (0.8, 1), (0.9, 1), (1.0, 1),
+        (None, 1), (0.5, None),
+    ]
+    return spark.createDataFrame(rows, "score double, y int")
+
+
+def test_calibration_bins_hand_computed(spark):
+    from wrangler_spark.datapipe.numeric import calibration_bins
+
+    got = {
+        r["bin"]: (r["n"], r["mean_score"], r["frac_pos"])
+        for r in calibration_bins(_cal_df(spark), "score", "y", 4).collect()
+    }
+    assert got == {
+        0: (2, 0.15, 0.5),
+        1: (1, 0.3, 0.0),
+        3: (3, 0.9, 1.0),
+    }
+
+
+def test_calibration_summary_hand_computed(spark):
+    from wrangler_spark.datapipe.numeric import calibration_summary
+
+    row = calibration_summary(_cal_df(spark), "score", "y", 4).collect()[0]
+    # ECE = (2*|0.5-0.15| + 1*|0-0.3| + 3*|1-0.9|) / 6 = 1.3/6
+    assert row["n"] == 6
+    assert row["ece"] == pytest.approx(round(1.3 / 6, 6), abs=2e-6)
+    # Brier = mean of (s-y)^2 = (0.01+0.64+0.09+0.04+0.01+0.0)/6
+    assert row["brier"] == pytest.approx(round(0.79 / 6, 6), abs=2e-6)
+
+
+def test_calibration_bins_validates(spark):
+    from wrangler_spark.datapipe.numeric import calibration_bins
+
+    bad_score = spark.createDataFrame([(1.5, 1)], "score double, y int")
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        calibration_bins(bad_score, "score", "y")
+    bad_label = spark.createDataFrame([(0.5, 2)], "score double, y int")
+    with pytest.raises(ValueError, match=r"\{0, 1\}"):
+        calibration_bins(bad_label, "score", "y")
+    df = spark.createDataFrame([(0.5, 1)], "score double, y int")
+    with pytest.raises(ValueError, match="bins"):
+        calibration_bins(df, "score", "y", 1)
+
+
+def test_calibration_bins_boolean_labels_and_directive(spark):
+    from wrangler_spark import Pipeline
+
+    df = spark.createDataFrame(
+        [(0.2, True), (0.2, False), (0.9, True)], "score double, y boolean"
+    )
+    r = Pipeline.compile("calibration-bins :score :y 5").transform(df)
+    got = {row["bin"]: row["frac_pos"] for row in r.df.collect()}
+    assert got == {1: 0.5, 4: 1.0}

@@ -775,3 +775,117 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         ))
     return one.select(F.explode(F.array(*rows)).alias("__r")).select(
         "__r.col_a", "__r.col_b", "__r.corr", "__r.n")
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: scores
+    in [0, 1] bucketed into ``bins`` equal-width bins, each reporting
+    (bin, n, mean_score, frac_pos). A calibrated quality classifier has
+    frac_pos ≈ mean_score per bin; the divergence is what you read
+    before trusting the classifier's threshold to cut a 100 TB corpus
+    (a score of "0.9" that is empirically right 60% of the time keeps
+    2× the junk you budgeted for).
+
+    Labels must be 0/1 (booleans cast); null score or label rows drop;
+    out-of-range scores or labels raise (a clamped point would silently
+    poison exactly the edge bins the decision reads). ONE aggregation
+    pass; mean_score accumulates micro-unit integers in decimal(38,0)
+    (the corr_matrix overflow posture) so engine aggregation order
+    cannot drift; terminal round(6)."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    bad = base.filter(
+        (s < 0) | (s > 1) | ~y.isin(0, 1)
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"calibration_bins: {score_col} must lie in [0, 1] and "
+            f"{label_col} in {{0, 1}}")
+    b = F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
+    micro = F.round(s * F.lit(1e6)).cast("decimal(38,0)")
+    return (
+        base.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(micro).alias("__sm"),
+            F.sum(y.cast("long")).cast("long").alias("__np"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round(
+                F.col("__sm").cast("double")
+                / (F.col("n").cast("double") * F.lit(1e6)),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.col("__np").cast("double") / F.col("n").cast("double"), 6
+            ).alias("frac_pos"),
+        )
+    )
+
+
+def calibration_summary(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """One-row calibration scorecard: (n, ece, brier). ECE = the
+    bin-weighted mean |frac_pos − mean_score| over the
+    :func:`calibration_bins` grid (Naeini et al. 2015's expected
+    calibration error); Brier = mean squared (score − label). Both
+    reduce over exact integers before ONE terminal float division:
+    ECE folds per-bin |Δ|·n micro-units into a long sum over a
+    bins-sized frame; Brier accumulates (score_micro − y·1e6)² in
+    decimal(38,0) alongside the bin aggregate — so the whole scorecard
+    is the same single scan :func:`calibration_bins` pays, plus a
+    bins-sized reduction."""
+    grid = calibration_bins(df, score_col, label_col, bins)
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    sq = (
+        F.round(s * F.lit(1e6)).cast("decimal(38,0)")
+        - (y.cast("decimal(38,0)") * F.lit(1000000).cast("decimal(38,0)"))
+    )
+    brier = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((sq * sq).cast("decimal(38,0)")).alias("__sq"),
+    )
+    # per-bin |Δ|·n in micro-units as LONG (bins-sized frame; |Δ| ≤ 1 so
+    # the term is ≤ n·1e6 — overflow would need 9e12 rows in one bin,
+    # at which point the Brier decimal path is the binding contract)
+    ece = grid.agg(
+        F.sum(
+            F.round(
+                F.abs(F.col("frac_pos") - F.col("mean_score"))
+                * F.col("n").cast("double") * F.lit(1e6)
+            ).cast("long")
+        ).alias("__e"),
+        F.sum("n").cast("long").alias("__gn"),
+    )
+    return (
+        brier.crossJoin(F.broadcast(ece))  # two 1-row stats frames
+        .select(
+            "n",
+            F.round(
+                F.col("__e").cast("double")
+                / (F.col("__gn").cast("double") * F.lit(1e6)),
+                6,
+            ).alias("ece"),
+            F.round(
+                F.col("__sq").cast("double")
+                / (F.col("n").cast("double") * F.lit(1e12)),
+                6,
+            ).alias("brier"),
+        )
+    )

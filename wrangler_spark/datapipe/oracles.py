@@ -2760,6 +2760,78 @@ c AS (SELECT CAST(id_a AS VARCHAR) AS s, CAST(id_b AS VARCHAR) AS d,
     return pagerank_over_sql(edges, damping, iters)
 
 
+def calibration_over_sql(scored_cte: str, bins: int = 10) -> str:
+    """numeric.calibration_bins mirrored over ANY scored source:
+    ``scored_cte`` must be CTE bodies ending in a ``lab`` relation of
+    (score DOUBLE, y INTEGER). Same equal-width binning with the last
+    bin closed, micro-unit HUGEINT score sums, identical division
+    order before round(6)."""
+    return f"""
+WITH {scored_cte},
+b AS (SELECT least(CAST(floor(score * {bins}) AS INTEGER), {bins - 1}) AS bin,
+             CAST(round(score * 1000000, 0) AS HUGEINT) AS sm, y
+      FROM lab WHERE score IS NOT NULL AND y IS NOT NULL)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(sm) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_score,
+       round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS frac_pos
+FROM b GROUP BY bin
+"""
+
+
+def _clf_scored_cte(
+    buckets: int = 512, iters: int = 3, table: str = "documents",
+) -> str:
+    """(score, y) for the demo classifier: clf_score vs the training
+    label doc_id % 7 == 0 — the in-sample calibration readout."""
+    return f"""scored AS ({quality_classifier_sql(buckets, iters, table=table)}),
+lab AS (SELECT s.clf_score AS score,
+               CASE WHEN d.doc_id % 7 = 0 THEN 1 ELSE 0 END AS y
+        FROM scored s JOIN {table} d ON s.doc_id = d.doc_id)"""
+
+
+def clf_calibration_sql(
+    buckets: int = 512, iters: int = 3, bins: int = 10,
+    table: str = "documents",
+) -> str:
+    """Mirror of numeric.calibration_bins over the demo classifier's
+    scores (the text_clf_score pipeline) against its training label."""
+    return calibration_over_sql(_clf_scored_cte(buckets, iters, table), bins)
+
+
+def clf_calibration_summary_sql(
+    buckets: int = 512, iters: int = 3, bins: int = 10,
+    table: str = "documents",
+) -> str:
+    """Mirror of numeric.calibration_summary: ECE folds the per-bin
+    |Δ|·n micro-units into a BIGINT sum over the bins grid; Brier
+    accumulates (score_micro − y·1e6)² in HUGEINT — both with one
+    terminal float division, matching the Spark operation order."""
+    return f"""
+WITH {_clf_scored_cte(buckets, iters, table)},
+b AS (SELECT least(CAST(floor(score * {bins}) AS INTEGER), {bins - 1}) AS bin,
+             CAST(round(score * 1000000, 0) AS HUGEINT) AS sm, y
+      FROM lab WHERE score IS NOT NULL AND y IS NOT NULL),
+grid AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(sm) AS DOUBLE)
+                      / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_score,
+                round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS frac_pos
+         FROM b GROUP BY bin),
+e AS (SELECT sum(CAST(round(abs(frac_pos - mean_score)
+                            * CAST(n AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS e,
+             sum(n) AS gn FROM grid),
+br AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              sum((sm - CAST(y AS HUGEINT) * 1000000)
+                  * (sm - CAST(y AS HUGEINT) * 1000000)) AS sq
+       FROM b)
+SELECT br.n,
+       round(CAST(e.e AS DOUBLE) / (CAST(e.gn AS DOUBLE) * 1000000.0), 6) AS ece,
+       round(CAST(br.sq AS DOUBLE)
+             / (CAST(br.n AS DOUBLE) * 1000000000000.0), 6) AS brier
+FROM br, e
+"""
+
+
 def chunk_sql(
     chunk_tokens: int = 64, overlap: int = 16, table: str = "documents",
 ) -> str:

@@ -2121,3 +2121,25 @@ class GraphKhop(Directive):
             seeds, k=int(self.args["k"]),
             directed=bool(self.args["directed"]),
         )
+
+
+@directive
+class CalibrationBins(Directive):
+    """calibration-bins :score :label [bins] — reliability-diagram bins
+    for a probabilistic classifier (per-bin n / mean_score / frac_pos)."""
+
+    name = "calibration-bins"
+    usage = [
+        Arg("score", TokenType.COLUMN),
+        Arg("label", TokenType.COLUMN),
+        Arg("bins", TokenType.NUMERIC, optional=True, default=10),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.numeric import calibration_bins
+
+        return calibration_bins(
+            df, ctx.resolve(df, self.args["score"]),
+            ctx.resolve(df, self.args["label"]),
+            bins=int(self.args["bins"]),
+        )
