@@ -742,6 +742,15 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).drop("bucket_ts"),
             "event_type", "bucket", "value", k=0.5, h=5.0,
         ),
+        # EWMA control chart over the same grid: the medium-drift alarm
+        # between rolling's spike band and cusum's persistent-shift walk
+        "events_ewma": lambda s, d: events.ewma(
+            events.resample(
+                _t(s, d, "events"), "event_type", "ts", None,
+                every_minutes=60, agg="count", fill="zero",
+            ).drop("bucket_ts"),
+            "event_type", "bucket", "value", alpha=0.3, L=3.0,
+        ),
         # hour-of-week load profile: integer epoch weekday arithmetic,
         # the capacity/anomaly baseline next to the resample grid
         "events_seasonality": lambda s, d: events.seasonality(
@@ -1186,6 +1195,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_js_drift": o.js_divergence_sql(),
         "events_seasonality": o.seasonality_sql(),
         "events_cusum": o.cusum_sql(0.5, 5.0, 60),
+        "events_ewma": o.ewma_sql(0.3, 3.0, 60),
         "events_survival": o.survival_sql(7, 1),
         "events_survival_by": o.survival_by_sql("event_type", 7, 1),
         "text_collocations": o.collocations_sql(50, 5),

@@ -377,3 +377,48 @@ def test_survival_by_groups(spark):
     assert got[("organic", 2)]["censored"] == 1
     assert got[("organic", 2)]["survival"] == 1.0
     assert ("None", 0) not in got and (None, 0) not in got
+
+
+def test_ewma_reference_and_drift_detection(spark):
+    # stable head, then a sharp 4-point ramp: the smoothed statistic
+    # walks out of the band at the ramp's end (a pure two-level shift
+    # never can — whole-series sigma absorbs it — so the fixture uses
+    # a burst, which is also what EWMA charts are deployed against)
+    rows = [("a", i, 10.0 + (i % 2) * 0.4) for i in range(20)]
+    rows += [("a", 20 + j, 13.0 + j) for j in range(4)]
+    df = spark.createDataFrame(rows, "k string, b long, v double")
+    got = {r["bucket"]: r for r in
+           events.ewma(df, "k", "b", "v", alpha=0.3, L=3.0).collect()}
+    # python reference with identical arithmetic
+    import math
+
+    vals = [v for _, _, v in rows]
+    mvals = [round(v * 1e6) for v in vals]
+    n, s, ss = len(mvals), sum(mvals), sum(m * m for m in mvals)
+    mu = round(s / (n * 1e6), 6)
+    sd = round(math.sqrt(max((n * ss - s * s) / (n * n) / 1e12, 0.0)), 6)
+    aa, ll = 0.3, 3.0
+    e = mu
+    for i, v in enumerate(vals):
+        e = aa * v + (1.0 - aa) * e
+        lm = ll * sd * math.sqrt(aa / (2.0 - aa) * (1.0 - (1.0 - aa) ** ((i + 1) * 2)))
+        assert got[i]["ewma"] == round(e, 6), i
+        assert got[i]["lo"] == round(mu - lm, 6), i
+        assert got[i]["hi"] == round(mu + lm, 6), i
+        assert got[i]["anomaly"] == (e < mu - lm or e > mu + lm), i
+    # the shifted tail must alarm, the stable head must not
+    assert got[23]["anomaly"] and not got[5]["anomaly"]
+
+
+def test_ewma_constant_series_guard_and_validation(spark):
+    df = spark.createDataFrame(
+        [("a", i, 5.0) for i in range(5)], "k string, b long, v double")
+    rows = events.ewma(df, "k", "b", "v").collect()
+    # zero-width band around a constant: never alarms, ewma == mean
+    assert all(r["ewma"] == 5.0 and not r["anomaly"] for r in rows)
+    with pytest.raises(ValueError, match="alpha"):
+        events.ewma(df, "k", "b", "v", alpha=0.0)
+    with pytest.raises(ValueError, match="L must be"):
+        events.ewma(df, "k", "b", "v", L=0.0)
+    with pytest.raises(ValueError, match="ewma: a key holds 5"):
+        events.ewma(df, "k", "b", "v", max_cells=3)

@@ -1690,6 +1690,116 @@ def cusum(
     )
 
 
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    L: float = 3.0,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """EWMA control chart over a per-key bucketed series (Roberts,
+    Technometrics 1959; feed it the :func:`resample` grid): the
+    exponentially weighted statistic e_t = α·x_t + (1−α)·e_{t−1}
+    starting at the key's own mean, flagged when it leaves the
+    time-varying band μ ± L·σ·sqrt(α/(2−α)·(1−(1−α)^{2t})). The middle
+    leg of the monitoring family: :func:`rolling_stats` catches SPIKES
+    (3-sigma on the raw point), :func:`cusum` catches tiny persistent
+    SHIFTS, EWMA catches MEDIUM drifts fastest (its memory is tunable:
+    small α ≈ cusum-like, α = 1 degenerates to the raw chart).
+
+    Returns (key, bucket, value, ewma, lo, hi, anomaly) — floats
+    rounded 6dp terminally, the recursion runs unrounded. Constant
+    keys (sd 0) carry a zero-width band and never alarm.
+
+    Determinism: μ/σ from exact integer micro-sums (the rolling_stats
+    contract); the recursion and the band use the IDENTICAL double
+    operation order as the DuckDB recursive-CTE oracle. Scale shape:
+    one hash aggregate per key (cells bounded by ``max_cells`` — the
+    same raw-event-table guard as cusum), stats off the same exact
+    sums, ONE scan-side fold per key; no window functions."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if L <= 0:
+        raise ValueError(f"L must be > 0, got {L}")
+    aa, ll = float(alpha), float(L)
+    key, b, v = F.col(key_col), F.col(bucket_col), F.col(value_col)
+    per_key = (
+        df.filter(key.isNotNull() & b.isNotNull() & v.isNotNull())
+        .groupBy(key.alias("__k"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct(
+                b.cast("long").alias("b"),
+                v.cast("double").alias("v"),
+            ))).alias("__cells"),
+            F.count("*").cast("long").alias("__n"),
+            F.sum(F.round(v.cast("double") * F.lit(1e6)).cast("long"))
+            .alias("__s"),
+            F.sum(
+                (F.round(v.cast("double") * F.lit(1e6)).cast("long")
+                 .cast("decimal(19,0)")
+                 * F.round(v.cast("double") * F.lit(1e6)).cast("long")
+                 .cast("decimal(19,0)")).cast("decimal(38,0)")
+            ).alias("__ss"),
+        )
+    )
+    per_key = _guard_cells(per_key, F.col("__n"), max_cells, "ewma")
+    n = F.col("__n")
+    mean = F.round(F.col("__s") / (n * F.lit(1e6)), 6)
+    var = (
+        (n.cast("decimal(38,0)") * F.col("__ss")
+         - (F.col("__s").cast("decimal(38,0)")
+            * F.col("__s").cast("decimal(38,0)")))
+        .cast("double")
+        / (n * n).cast("double") / F.lit(1e12)
+    )
+    std = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+    staged = per_key.select(
+        "__k", "__cells", mean.alias("__mu"), std.alias("__sd"))
+
+    def step(acc, c):
+        e = F.lit(aa) * c["v"] + F.lit(1.0 - aa) * acc["e"]
+        t = acc["t"] + F.lit(1)
+        lim = (
+            F.lit(ll) * F.col("__sd")
+            * F.sqrt(
+                F.lit(aa / (2.0 - aa))
+                * (F.lit(1.0) - F.pow(F.lit(1.0 - aa), t * F.lit(2)))
+            )
+        )
+        return F.struct(
+            F.concat(
+                acc["out"],
+                F.array(F.struct(
+                    c["b"].alias("b"), c["v"].alias("v"), e.alias("e"),
+                    (F.col("__mu") - lim).alias("lo"),
+                    (F.col("__mu") + lim).alias("hi"),
+                )),
+            ).alias("out"),
+            e.alias("e"), t.alias("t"),
+        )
+
+    init = F.struct(
+        F.array().cast(
+            "array<struct<b:long,v:double,e:double,lo:double,hi:double>>"
+        ).alias("out"),
+        F.col("__mu").alias("e"), F.lit(0).cast("int").alias("t"),
+    )
+    folded = F.aggregate(F.col("__cells"), init, step)["out"]
+    out = staged.select("__k", F.explode(folded).alias("__c"))
+    e, lo, hi = F.col("__c.e"), F.col("__c.lo"), F.col("__c.hi")
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__c.b").alias("bucket"),
+        F.col("__c.v").alias("value"),
+        F.round(e, 6).alias("ewma"),
+        F.round(lo, 6).alias("lo"),
+        F.round(hi, 6).alias("hi"),
+        ((e < lo) | (e > hi)).alias("anomaly"),
+    )
+
+
 def survival(
     df: DataFrame,
     user_col: str,

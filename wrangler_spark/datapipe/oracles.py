@@ -3515,6 +3515,59 @@ FROM m JOIN stats ON m.gk = stats.gk WHERE stats.sd = 0
 """
 
 
+def ewma_sql(
+    alpha: float = 0.3, L: float = 3.0, every_minutes: int = 60,
+    table: str = "events",
+) -> str:
+    """Mirror of events.ewma over the hourly count grid (resample
+    agg='count', fill='zero'): per-key micro-unit mean/std, then the
+    Roberts recursion e_t = α·x_t + (1−α)·e_{t−1} (e_0 = μ) via a
+    recursive CTE in the IDENTICAL double operation order, and the
+    time-varying band μ ± L·σ·sqrt(α/(2−α)·(1−(1−α)^{2t}))."""
+    step = int(every_minutes) * 60
+    aa, ll = float(alpha), float(L)
+    ca, fa = aa / (2.0 - aa), 1.0 - aa
+    return f"""
+WITH RECURSIVE
+e AS (SELECT event_type AS gk,
+             CAST(floor(epoch(ts) / {step}) AS BIGINT) AS b
+      FROM {table} WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+a AS (SELECT gk, b, CAST(count(*) AS DOUBLE) AS v FROM e GROUP BY 1, 2),
+r0 AS (SELECT gk, min(b) AS b0, max(b) AS b1 FROM a GROUP BY gk),
+g AS (SELECT gk, unnest(range(b0, b1 + 1)) AS b FROM r0),
+m AS (SELECT g.gk, g.b, coalesce(a.v, 0.0) AS v
+      FROM g LEFT JOIN a ON g.gk = a.gk AND g.b = a.b),
+st AS (SELECT gk, count(*) AS n,
+              sum(CAST(round(v * 1000000, 0) AS BIGINT)) AS s,
+              sum(CAST(CAST(round(v * 1000000, 0) AS BIGINT) AS HUGEINT)
+                  * CAST(round(v * 1000000, 0) AS BIGINT)) AS ss
+       FROM m GROUP BY gk),
+stats AS (SELECT gk,
+                 round(CAST(s AS DOUBLE) / (n * 1000000.0), 6) AS mu,
+                 round(sqrt(greatest(
+                   CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                     / CAST(n * n AS DOUBLE) / 1000000000000.0, 0.0)), 6) AS sd
+          FROM st),
+idx AS (SELECT m.gk, m.b, m.v, stats.mu, stats.sd,
+               row_number() OVER (PARTITION BY m.gk ORDER BY m.b) AS i
+        FROM m JOIN stats ON m.gk = stats.gk),
+rec AS (
+  SELECT gk, i, b, v, mu, sd, {aa!r} * v + {fa!r} * mu AS ew
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT c.gk, c.i, c.b, c.v, c.mu, c.sd,
+         {aa!r} * c.v + {fa!r} * rec.ew
+  FROM idx c JOIN rec ON c.gk = rec.gk AND c.i = rec.i + 1),
+lim AS (SELECT gk, i, b, v, mu, sd, ew,
+               {ll!r} * sd * sqrt({ca!r} * (1.0 - power({fa!r}, i * 2))) AS lm
+        FROM rec)
+SELECT gk AS event_type, CAST(b AS BIGINT) AS bucket, v AS value,
+       round(ew, 6) AS ewma, round(mu - lm, 6) AS lo, round(mu + lm, 6) AS hi,
+       (ew < mu - lm OR ew > mu + lm) AS anomaly
+FROM lim
+"""
+
+
 def survival_sql(
     period_days: int = 7, horizon_periods: int = 1, table: str = "events",
 ) -> str:

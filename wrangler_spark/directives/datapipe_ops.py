@@ -2143,3 +2143,31 @@ class CalibrationBins(Directive):
             ctx.resolve(df, self.args["label"]),
             bins=int(self.args["bins"]),
         )
+
+
+@directive
+class EwmaChart(Directive):
+    """ewma-chart :key :bucket :value [alpha] [L] — EWMA control chart
+    over a per-key bucketed series (feed the resample grid): the
+    medium-drift alarm between rolling-stats' spike band and cusum's
+    persistent-shift walk."""
+
+    name = "ewma-chart"
+    usage = [
+        Arg("key", TokenType.COLUMN),
+        Arg("bucket", TokenType.COLUMN),
+        Arg("value", TokenType.COLUMN),
+        Arg("alpha", TokenType.NUMERIC, optional=True, default=0.3),
+        Arg("L", TokenType.NUMERIC, optional=True, default=3.0),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import ewma
+
+        return ewma(
+            df,
+            ctx.resolve(df, self.args["key"]),
+            ctx.resolve(df, self.args["bucket"]),
+            ctx.resolve(df, self.args["value"]),
+            alpha=float(self.args["alpha"]), L=float(self.args["L"]),
+        )
