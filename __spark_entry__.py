@@ -906,6 +906,13 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_keywords": lambda s, d: text.group_top_terms(
             docs(s, d), "text", "doc_id", 5, weight="tfidf"
         ),
+        # code-vs-prose routing signals: the corpus-partitioning step a
+        # mixed crawl needs before mixture weights (scan-side, auditable
+        # threshold rule in the C4/Gopher posture)
+        "text_code_signals": lambda s, d: text.code_signals(
+            docs(s, d), "text"
+        ).select("doc_id", "indent_frac", "eol_code_frac", "kw_hits",
+                 "sym_density", "is_code"),
         # RAG-ingestion splitter: overlapping 64-token windows with a
         # 16-token overlap — map-side only (split + sequence + explode)
         "text_chunks": lambda s, d: text.chunk_documents(
@@ -1075,6 +1082,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_group_terms_weighted": o.group_top_terms_weighted_sql("source", 10),
         "text_doc_keywords": o.doc_keywords_sql(5),
         "text_chunks": o.chunk_sql(64, 16),
+        "text_code_signals": o.code_signals_sql(),
         "text_vocab_state": o.vocab_coverage_sql(0.9),
         "text_rep_filter": o.repetition_filter_sql(),
         "corpus_drift": o.distribution_drift_sql("c_acctbal", 10),
@@ -1532,13 +1540,24 @@ _R12_WINDOW = [
     "text_repetition",
     # r9: dedup_embedding_cc vacated (r8-green, unchanged; the cc family
     # stays graded through dedup_minhash_cc) for the Gopher n-gram
-    # repetition suite — new this round
-    "text_ngram_rep",
+    # repetition suite
+    # r12 session 2: text_ngram_rep vacated (green r9-r11, unchanged;
+    # the Gopher repetition family stays graded via the in-window
+    # text_repetition + text_rep_filter) for the triangle/clustering
+    # probe over the near-dup pair graph — new this session (the graph
+    # family's cluster-DENSITY leg: near-clique = replica, low-
+    # clustering hub = boilerplate template)
+    "dedup_triangles",
     # late r8 additions (cross-corpus semantic dedup; corpus-frequency
     # boilerplate strip) — dedup_survivors and dedup_lsh_eval vacated
     # these slots (r7-green; their only r8 change is the shared
     # eager_checkpoint mechanism, still represented by ~10 entries here)
-    "dedup_cross_embedding",
+    # r12 session 2: dedup_cross_embedding vacated (green r8-r11,
+    # unchanged; the embedding-dedup family stays graded via the
+    # in-window dedup_semdedup + ann_pq_topk, cross-corpus via parity)
+    # for the k-hop contamination quarantine over the same pair graph —
+    # new this session (min-hop BFS incl. an absent seed at hop 0)
+    "dedup_khop",
     # r12: strip_boilerplate vacated (green r8-r11, unchanged; the
     # corpus-frequency line family stays parity-covered) for the
     # per-arm engagement scorecard — the A/B family's third leg, new
@@ -1619,8 +1638,13 @@ _R12_WINDOW = [
     # r11 session 2: dedup_minhash_b16r2 vacated (green r8-r11,
     # unchanged; the banding machinery runs inside the in-window
     # dedup_minhash_lsh/dedup_minhash_cc via the shared _sig_bands) for
-    # the hour-of-week seasonality profile — new
-    "events_seasonality",
+    # the hour-of-week seasonality profile
+    # r12 session 2: events_seasonality vacated (r11-green, unchanged;
+    # the time-series family stays graded via events_resample/
+    # events_resample_interp/events_rolling/events_cusum in-window) for
+    # the EWMA control chart — new this session (the monitoring triad's
+    # medium-drift leg, recursive-CTE-mirrored)
+    "events_ewma",
     # new in r8: PQ / IVF-PQ ANN family + Bloom-prefiltered dedup
     "ann_pq_topk",
     # r9: ann_pq_recall vacated (r8-green, unchanged; the PQ family stays
@@ -1631,11 +1655,20 @@ _R12_WINDOW = [
     # the new events_resample/events_rolling in-window) for CUSUM
     # change-point detection — new
     "events_cusum",
-    # r11 session 2: emb_outliers vacated (r8-green, unchanged; the
-    # embedding family stays graded via dedup_cross_embedding +
-    # emb_cluster_topics in-window) for the two-sample KS drift — new
-    "num_ks_drift",
-    "text_nfc",
+    # r11 session 2: emb_outliers vacated (r8-green, unchanged) for the
+    # two-sample KS drift
+    # r12 session 2: num_ks_drift vacated (r11-green, unchanged; the
+    # drift family stays graded via the in-window text_js_drift) for
+    # the classifier reliability diagram — new this session (the
+    # read-before-you-threshold check on the in-window text_clf_score
+    # pipeline; micro-unit decimal sums, single scan)
+    "text_clf_calibration",
+    # r12 session 2: text_nfc vacated (green r9-r11, unchanged; the
+    # scan-side normalization family stays parity-covered and the text
+    # scan family stays graded via text_repetition/text_rep_filter) for
+    # the RAG sliding-window chunker — new this session (map-side only,
+    # plan-asserted no-shuffle)
+    "text_chunks",
     # r9: corpus_overlap vacated (r8-green, unchanged; the corpus-summary
     # family stays graded via corpus_drift) for the Gopher repetition
     # FILTER — new this round, the caps applied over both signal families

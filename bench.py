@@ -103,6 +103,11 @@ EXTRA_QUERIES = [
     "dedup_overlap_budget",       # pre-score candidate budget (verify top-k only)
     "dedup_ngram_budget",         # same budget on the jaccard op
     "dq_suggest",                 # closed Deequ loop: profile -> rules -> check
+    # Added round 12, session 2
+    "dedup_triangles",            # degree-ordered wedge join over the pair graph
+    "text_chunks",                # map-side sliding-window chunker (no shuffle)
+    "text_clf_calibration",       # classifier reliability bins (single scan)
+    "events_ewma",                # EWMA control chart over the resample grid
 ]
 
 

@@ -4528,3 +4528,36 @@ def test_calibration_bins_boolean_labels_and_directive(spark):
     r = Pipeline.compile("calibration-bins :score :y 5").transform(df)
     got = {row["bin"]: row["frac_pos"] for row in r.df.collect()}
     assert got == {1: 0.5, 4: 1.0}
+
+
+# ------------------------------------------------------------- code signals
+
+
+def test_code_signals_routes_code_and_prose(spark):
+    py = "def f(x):\n    return x + 1\n\nclass A:\n    def g(self):\n        import os\n        return os"
+    c = "int main() {\n  int x = 0;\n  printf(\"hi\");\n  return x;\n}"
+    prose = ("The quick brown fox jumps over the lazy dog. "
+             "It was a bright cold day in April, and the clocks "
+             "were striking thirteen.")
+    yaml_ish = "top:\n  a: 1\n  b: 2\n  c: 3"
+    df = spark.createDataFrame(
+        [(1, py), (2, c), (3, prose), (4, yaml_ish)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.code_signals(df, "text").collect()}
+    assert got[1]["is_code"] and got[2]["is_code"]
+    assert not got[3]["is_code"]
+    assert got[4]["is_code"]  # block indentation >= 0.3
+    # signal sanity: the C snippet's terminator lines dominate
+    assert got[2]["eol_code_frac"] >= 0.6
+    assert got[3]["kw_hits"] == 0 and got[3]["indent_frac"] == 0.0
+    # passthrough: input columns survive
+    assert "text" in got[1].asDict()
+
+
+def test_code_signals_empty_and_directive(spark):
+    from wrangler_spark import Pipeline
+
+    df = spark.createDataFrame([(1, ""), (2, "x = 1;")], ["doc_id", "text"])
+    r = Pipeline.compile("code-signals :text").transform(df)
+    got = {row["doc_id"]: row for row in r.df.collect()}
+    assert got[1]["is_code"] is False and got[1]["sym_density"] == 0.0
+    assert got[2]["eol_code_frac"] == 1.0 and got[2]["is_code"]

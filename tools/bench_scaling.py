@@ -80,6 +80,11 @@ QUERIES = [
     "events_cusum", "events_survival", "text_js_drift", "events_seasonality",
     "num_ks_drift", "num_impute",
     "events_session_stats", "events_funnel_by", "num_corr_matrix",
+    # round 12, session 2 (graph density/reach over the sf1 near-dup-
+    # heavy pair graph — the wedge join's worst case; map-side chunker;
+    # single-scan calibration; grid fold)
+    "dedup_triangles", "dedup_khop", "text_chunks",
+    "text_clf_calibration", "events_ewma",
 ]
 
 

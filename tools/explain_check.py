@@ -616,6 +616,25 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # r12 session 2: the chunker is pure map-side — NO exchange at all;
+    # ewma is the cusum fold shape; triangles/khop iterate bounded
+    # joins with no cartesian and no windows
+    p = plan_of(qs["text_chunks"](spark, SF_DIR))
+    problems += check(
+        "text_chunks", p,
+        must=["codegen id"],
+        must_not=["Exchange", "Window", "CartesianProduct",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+    for gq in ("events_ewma", "dedup_triangles", "dedup_khop",
+               "text_clf_calibration"):
+        p = plan_of(qs[gq](spark, SF_DIR))
+        problems += check(
+            gq, p,
+            must_not=["Window", "CartesianProduct",
+                      "BatchEvalPython", "ArrowEvalPython"],
+        )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:

@@ -17,7 +17,7 @@ from wrangler_spark.datapipe.constants import (
     MINHASH_B,
     MINHASH_P,
 )
-from wrangler_spark.datapipe.text import TOKEN_RE
+from wrangler_spark.datapipe.text import CODE_KEYWORDS, TOKEN_RE
 
 _NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 _H = "('0x' || substr(md5({s}), 1, 7))::BIGINT"
@@ -2758,6 +2758,31 @@ c AS (SELECT CAST(id_a AS VARCHAR) AS s, CAST(id_b AS VARCHAR) AS d,
       SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR),
              CAST(jaccard AS DOUBLE) FROM pairs)"""
     return pagerank_over_sql(edges, damping, iters)
+
+
+def code_signals_sql(table: str = "documents") -> str:
+    """Mirror of text.code_signals (doc_id + the five signals): same
+    line split, same regexes (RE2 and Java agree on these ASCII
+    classes and \\b), same greatest-1 ratio guard, round(6)."""
+    return f"""
+WITH l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+           FROM {table}),
+s AS (SELECT doc_id, text, lines,
+             len(lines) AS nl, length(text) AS nc FROM l),
+sig AS (SELECT doc_id,
+  round(CAST(len(list_filter(lines, x -> regexp_matches(x, '^( {{2,}}|\t)')))
+             AS DOUBLE) / CAST(greatest(nl, 1) AS DOUBLE), 6) AS indent_frac,
+  round(CAST(len(list_filter(lines, x -> regexp_matches(rtrim(x), '[;{{}}]$')))
+             AS DOUBLE) / CAST(greatest(nl, 1) AS DOUBLE), 6) AS eol_code_frac,
+  CAST(len(regexp_extract_all(text, '\\b({CODE_KEYWORDS})\\b')) AS BIGINT) AS kw_hits,
+  round(CAST(len(regexp_extract_all(text, '[{{}}()\\[\\];=<>]')) AS DOUBLE)
+        / CAST(greatest(nc, 1) AS DOUBLE), 6) AS sym_density
+  FROM s)
+SELECT doc_id, indent_frac, eol_code_frac, kw_hits, sym_density,
+       (indent_frac >= 0.3 OR eol_code_frac >= 0.2
+        OR (kw_hits >= 3 AND sym_density >= 0.01)) AS is_code
+FROM sig
+"""
 
 
 def calibration_over_sql(scored_cte: str, bins: int = 10) -> str:

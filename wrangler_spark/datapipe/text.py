@@ -391,6 +391,57 @@ def gopher_quality(df: DataFrame, text_col: str) -> DataFrame:
     return out.withColumn("gopher_pass", overall).drop(_L, _W)
 
 
+CODE_KEYWORDS = (
+    "def|return|import|class|function|var|let|const|void|static|public|"
+    "struct|impl|fn|printf|include|elif|endif|typedef|namespace"
+)
+
+
+def code_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """Code-vs-prose detection signals + an ``is_code`` verdict — the
+    corpus-partitioning step every mixed crawl needs before mixture
+    weights (code and prose want different dedup, quality, and sampling
+    treatment; The Stack / StarCoder pipelines route on exactly these
+    cheap surface signals before any learned classifier). Adds:
+
+    - ``indent_frac``: lines starting with ≥2 spaces or a tab / lines
+      (block indentation — Python/YAML/most pretty-printed code);
+    - ``eol_code_frac``: lines ending in ``;`` ``{`` ``}`` / lines
+      (statement terminators — C/Java/JS families);
+    - ``kw_hits``: standalone code-keyword occurrences (word-bounded);
+    - ``sym_density``: ``{}()[];=<>`` chars per character;
+    - ``is_code``: indent_frac ≥ 0.3 OR eol_code_frac ≥ 0.2 OR
+      (kw_hits ≥ 3 AND sym_density ≥ 0.01) — a transparent threshold
+      rule in the C4/Gopher posture (auditable, not learned).
+
+    Entirely native Column expressions — runs scan-side at 100 TB;
+    ratios round 6dp off integer counts (cross-engine exact)."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    n_chars = F.length(c)
+    indent_frac = _ratio(
+        F.size(F.filter(lines, lambda x: x.rlike(r"^( {2,}|\t)"))), n_lines
+    )
+    eol_frac = _ratio(
+        F.size(F.filter(lines, lambda x: F.rtrim(x).rlike(r"[;{}]$"))), n_lines
+    )
+    kw = F.regexp_count(c, F.lit(rf"\b({CODE_KEYWORDS})\b"))
+    sym = _ratio(F.regexp_count(c, F.lit(r"[{}()\[\];=<>]")), n_chars)
+    out = df.withColumns({
+        "indent_frac": indent_frac,
+        "eol_code_frac": eol_frac,
+        "kw_hits": kw.cast("long"),
+        "sym_density": sym,
+    })
+    return out.withColumn(
+        "is_code",
+        (F.col("indent_frac") >= 0.3)
+        | (F.col("eol_code_frac") >= 0.2)
+        | ((F.col("kw_hits") >= 3) & (F.col("sym_density") >= 0.01)),
+    )
+
+
 def tokenize(df: DataFrame, text_col: str, out_col: str = "tokens") -> DataFrame:
     """Materialize the regex pre-tokenization (same TOKEN_RE as
     token_count): array of letter runs / digit runs / punctuation runs.

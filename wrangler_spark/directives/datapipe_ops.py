@@ -2171,3 +2171,17 @@ class EwmaChart(Directive):
             ctx.resolve(df, self.args["value"]),
             alpha=float(self.args["alpha"]), L=float(self.args["L"]),
         )
+
+
+@directive
+class CodeSignals(Directive):
+    """code-signals :text — code-vs-prose routing signals + is_code
+    verdict (indent/terminator/keyword/symbol thresholds, scan-side)."""
+
+    name = "code-signals"
+    usage = [Arg("text", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import code_signals
+
+        return code_signals(df, ctx.resolve(df, self.args["text"]))
