@@ -877,6 +877,16 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.minhash_lsh_pairs(docs(s, d), "doc_id", "text", 0.5),
             "id_a", "id_b", seeds=[8, 26, 31, 999999], k=2,
         ),
+        # hubs vs authorities over the same transition graph: the
+        # complementary reading to PageRank's single score (the hub a
+        # crawler expands vs the authority spam points AT)
+        "events_hits": lambda s, d: graph.graph_hits(
+            events.event_transitions(
+                _t(s, d, "events"), "user_id", "ts", "event_type",
+                tie_col="event_id",
+            ),
+            "from_type", "to_type", weight_col="n", iters=5,
+        ),
         # crawl-frontier reach: event types reachable within 2 observed
         # transitions of signup, following edge direction
         "events_khop": lambda s, d: graph.graph_khop(
@@ -1191,6 +1201,7 @@ def _datapipe_oracles() -> dict[str, str]:
             0.85, 5, seeds=["signup", "purchase"]
         ),
         "events_communities": o.events_communities_sql(5),
+        "events_hits": o.events_hits_sql(5),
         "dedup_triangles": o.dedup_triangles_sql(0.5),
         "dedup_khop": o.dedup_khop_sql([8, 26, 31, 999999], 2, 0.5),
         "events_khop": o.events_khop_sql(["signup"], 2),

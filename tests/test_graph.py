@@ -357,3 +357,76 @@ def test_khop_validates_inputs(spark):
         graph_khop(df, "s", "d", [], k=2)
     with pytest.raises(ValueError, match="k must be"):
         graph_khop(df, "s", "d", ["a"], k=-1)
+
+
+# -------------------------------------------------------------------- HITS
+
+
+def _ref_hits(edges, iters=5):
+    """edges: (s, d, w). L1-normalized HITS, hub0 = 1/N."""
+    agg = {}
+    for s, d, w in edges:
+        agg[(s, d)] = agg.get((s, d), 0.0) + w
+    nodes = sorted({s for s, _ in agg} | {d for _, d in agg})
+    h = {v: 1.0 / len(nodes) for v in nodes}
+    a = {v: 0.0 for v in nodes}
+    for _ in range(iters):
+        ar = {v: 0.0 for v in nodes}
+        for (s, d), w in agg.items():
+            ar[d] += h[s] * w
+        at = sum(ar.values())
+        a = {v: ar[v] / at for v in nodes}
+        hr = {v: 0.0 for v in nodes}
+        for (s, d), w in agg.items():
+            hr[s] += a[d] * w
+        ht = sum(hr.values())
+        h = {v: hr[v] / ht for v in nodes}
+    return (
+        {v: round(x, 6) for v, x in h.items()},
+        {v: round(x, 6) for v, x in a.items()},
+    )
+
+
+def test_hits_hub_vs_authority_separation(spark):
+    from wrangler_spark.datapipe.graph import graph_hits
+
+    # "index" points at three "content" pages; content never links out:
+    # index is the pure hub, contents the pure authorities
+    edges = [("index", "c1", 1.0), ("index", "c2", 1.0), ("index", "c3", 1.0)]
+    df = spark.createDataFrame(edges, ["s", "d", "w"])
+    got = {r["node"]: r for r in graph_hits(df, "s", "d", weight_col="w").collect()}
+    assert got["index"]["hub"] == 1.0 and got["index"]["authority"] == 0.0
+    for c in ("c1", "c2", "c3"):
+        assert got[c]["hub"] == 0.0
+        assert got[c]["authority"] == pytest.approx(1 / 3, abs=2e-6)
+
+
+def test_hits_matches_python_reference(spark):
+    from wrangler_spark.datapipe.graph import graph_hits
+
+    edges = [
+        ("hub1", "auth1", 2.0), ("hub1", "auth2", 1.0),
+        ("hub2", "auth1", 1.0), ("hub2", "auth3", 1.0),
+        ("auth1", "auth3", 0.5), ("lone", "auth2", 3.0),
+    ]
+    df = spark.createDataFrame(edges, ["s", "d", "w"])
+    got = {r["node"]: r for r in graph_hits(df, "s", "d", weight_col="w").collect()}
+    want_h, want_a = _ref_hits(edges)
+    assert set(got) == set(want_h)
+    for v in want_h:
+        assert got[v]["hub"] == pytest.approx(want_h[v], abs=2e-6), v
+        assert got[v]["authority"] == pytest.approx(want_a[v], abs=2e-6), v
+
+
+def test_hits_validates_and_plan(spark):
+    from wrangler_spark.datapipe.graph import graph_hits
+
+    df = spark.createDataFrame([("a", "b", -1.0)], ["s", "d", "w"])
+    with pytest.raises(ValueError, match="non-positive"):
+        graph_hits(df, "s", "d", weight_col="w")
+    ok = spark.createDataFrame([("a", "b", 1.0)], ["s", "d", "w"])
+    with pytest.raises(ValueError, match="iters"):
+        graph_hits(ok, "s", "d", iters=0)
+    plan = graph_hits(ok, "s", "d")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

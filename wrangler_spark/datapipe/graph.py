@@ -35,7 +35,7 @@ from ._checkpoint import eager_checkpoint, release
 
 __all__ = [
     "graph_pagerank", "graph_label_propagation", "graph_triangles",
-    "graph_khop",
+    "graph_khop", "graph_hits",
 ]
 
 
@@ -264,6 +264,112 @@ def graph_label_propagation(
     release(e)
     release(nodes)
     return labels.select(F.col("__n").alias("node"), F.col("__l").alias("community"))
+
+
+def graph_hits(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight_col: str | None = None,
+    iters: int = 5,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) over a directed
+    edge list: a good AUTHORITY is pointed at by good hubs, a good HUB
+    points at good authorities — the complementary reading to
+    PageRank's single score (a links-out-heavy index page ranks low on
+    PageRank but is exactly the hub a crawler wants for frontier
+    expansion; authority separates the pointed-AT spam target from the
+    pages vouching for it). Returns (node, hub, authority) rounded 6dp
+    terminally.
+
+    Each round: authority = Σ incoming hub (edge-weighted), hub =
+    Σ outgoing NEW authority, each L1-normalized to sum 1 (the
+    normalization makes ``iters`` fixed rounds scale-free; L1 rather
+    than Kleinberg's L2 so the oracle's division mirrors exactly —
+    documented divergence, rankings identical). Nodes with no in-edges
+    hold authority 0, no out-edges hub 0.
+
+    Scale shape — the graph_pagerank harness: edges normalized once,
+    hash-partitioned and checkpointed; each round is two join+groupBy
+    passes bounded by the edge count; the L1 total is a 1-row aggregate
+    cross-joined back (the sanctioned broadcast shape); superseded
+    score frames released per round."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(
+            F.col(src).cast("string").alias("__s"),
+            F.col(dst).cast("string").alias("__d"),
+            w.alias("__w"),
+        )
+    )
+    if weight_col is not None:
+        bad = e.filter((F.col("__w").isNull()) | (F.col("__w") <= 0)).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"edge weight column {weight_col!r} has null or non-positive values")
+    e = eager_checkpoint(
+        e.groupBy("__s", "__d").agg(F.sum("__w").alias("__w")).repartition("__s")
+    )
+    nodes = eager_checkpoint(
+        e.select(F.col("__s").alias("__n"))
+        .union(e.select(F.col("__d").alias("__n")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # driver scalar over a checkpointed frame
+    if n_nodes == 0:
+        return nodes.select(
+            F.col("__n").alias("node"),
+            F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority"),
+        )
+    scores = eager_checkpoint(nodes.select(
+        "__n", F.lit(1.0 / n_nodes).alias("__h"), F.lit(0.0).alias("__a")
+    ))
+    for _ in range(iters):
+        araw = (
+            scores.join(e, scores["__n"] == e["__s"])
+            .groupBy("__d")
+            .agg(F.sum(F.col("__h") * F.col("__w")).alias("__ar"))
+        )
+        atot = araw.agg(F.sum("__ar").alias("__at"))
+        auth = (
+            nodes.join(araw, nodes["__n"] == araw["__d"], "left")
+            .crossJoin(F.broadcast(atot))  # 1-row stats frame
+            .select(
+                "__n",
+                (F.coalesce(F.col("__ar"), F.lit(0.0)) / F.col("__at"))
+                .alias("__a"),
+            )
+        )
+        hraw = (
+            auth.join(e, auth["__n"] == e["__d"])
+            .groupBy("__s")
+            .agg(F.sum(F.col("__a") * F.col("__w")).alias("__hr"))
+        )
+        htot = hraw.agg(F.sum("__hr").alias("__ht"))
+        new_scores = eager_checkpoint(
+            nodes.join(auth.select(F.col("__n").alias("__n2"), "__a"),
+                       nodes["__n"] == F.col("__n2"), "left")
+            .join(hraw, nodes["__n"] == hraw["__s"], "left")
+            .crossJoin(F.broadcast(htot))  # 1-row stats frame
+            .select(
+                "__n",
+                (F.coalesce(F.col("__hr"), F.lit(0.0)) / F.col("__ht"))
+                .alias("__h"),
+                F.coalesce(F.col("__a"), F.lit(0.0)).alias("__a"),
+            )
+        )
+        release(scores)
+        scores = new_scores
+    release(e)
+    release(nodes)
+    return scores.select(
+        F.col("__n").alias("node"),
+        F.round("__h", 6).alias("hub"),
+        F.round("__a", 6).alias("authority"),
+    )
 
 
 def graph_triangles(edges: DataFrame, src: str, dst: str) -> DataFrame:

@@ -2696,17 +2696,23 @@ def pagerank_over_sql(
         lits = ", ".join("'" + str(s).replace("'", "''") + "'" for s in seeds)
         tv = f"""
 ns AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes WHERE n IN ({lits})),
-tv AS (SELECT n, CASE WHEN n IN ({lits}) THEN 1.0 / (SELECT cnt FROM ns)
+tv AS MATERIALIZED (SELECT n, CASE WHEN n IN ({lits}) THEN 1.0 / (SELECT cnt FROM ns)
                       ELSE 0.0 END AS t FROM nodes)"""
     else:
         tv = """
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
-tv AS (SELECT n, 1.0 / (SELECT cnt FROM nn) AS t FROM nodes)"""
+tv AS MATERIALIZED (SELECT n, 1.0 / (SELECT cnt FROM nn) AS t FROM nodes)"""
+    # multiply-referenced CTEs are MATERIALIZED: DuckDB's default
+    # inlining re-evaluates the whole upstream chain per reference,
+    # which compounds per unrolled round — measured 64.7 s -> ~1 s on
+    # the sf0.01 events graph for the 5-round form (same results; this
+    # is purely an evaluation-strategy hint)
     head = f"""
 WITH {edges_cte},
-outw AS (SELECT s, sum(w) AS ow FROM c GROUP BY s),
-e AS (SELECT c.s, c.d, c.w / outw.ow AS pr FROM c JOIN outw USING (s)),
-nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM c UNION ALL SELECT d FROM c)),{tv},
+outw AS MATERIALIZED (SELECT s, sum(w) AS ow FROM c GROUP BY s),
+e AS MATERIALIZED (SELECT c.s, c.d, c.w / outw.ow AS pr FROM c JOIN outw USING (s)),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT n FROM (SELECT s AS n FROM c UNION ALL SELECT d FROM c)),{tv},
 r0 AS (SELECT n, t AS r FROM tv)"""
     rounds = []
     for i in range(1, iters + 1):
@@ -2716,7 +2722,7 @@ g{i} AS (SELECT COALESCE(sum(r), 0) AS dm FROM {prev}
          WHERE n NOT IN (SELECT s FROM outw)),
 a{i} AS (SELECT e.d AS n, sum({prev}.r * e.pr) AS contrib
          FROM {prev} JOIN e ON {prev}.n = e.s GROUP BY e.d),
-r{i} AS (SELECT tv.n,
+r{i} AS MATERIALIZED (SELECT tv.n,
                 (1 - {damping}) * tv.t
                 + {damping} * (COALESCE(a{i}.contrib, 0)
                                + (SELECT dm FROM g{i}) * tv.t) AS r
@@ -2987,6 +2993,57 @@ c AS (SELECT f AS s, t AS d FROM p WHERE t IS NOT NULL GROUP BY f, t)"""
     return khop_over_sql(edges, seeds, k, directed=True)
 
 
+def hits_over_sql(edges_cte: str, iters: int = 5) -> str:
+    """graph.graph_hits unrolled to ``iters`` CTE rounds over ANY edge
+    source (``edges_cte`` ends in a ``c`` relation of (s, d, w)
+    positive-weight edges): authority = L1-normalized incoming hub
+    sum, hub = L1-normalized outgoing new-authority sum, same
+    coalesce-then-divide order as the Spark op."""
+    # every per-round CTE is MATERIALIZED: each is referenced 2-3 times
+    # downstream and DuckDB's default inlining re-evaluates the whole
+    # chain per reference — measured ~8 s for ONE round (and growing
+    # multiplicatively) vs 1.7 s for all five rounds materialized
+    head = f"""
+WITH {edges_cte},
+e AS MATERIALIZED (SELECT s, d, sum(w) AS w FROM c GROUP BY s, d),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+h0 AS (SELECT n, 1.0 / (SELECT cnt FROM nn) AS h FROM nodes)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        prev = f"h{i - 1}"
+        rounds.append(f""",
+ar{i} AS MATERIALIZED (SELECT e.d AS n, sum({prev}.h * e.w) AS ar
+          FROM {prev} JOIN e ON {prev}.n = e.s GROUP BY e.d),
+at{i} AS (SELECT sum(ar) AS t FROM ar{i}),
+a{i} AS MATERIALIZED (SELECT nodes.n, COALESCE(ar{i}.ar, 0) / (SELECT t FROM at{i}) AS a
+         FROM nodes LEFT JOIN ar{i} ON nodes.n = ar{i}.n),
+hr{i} AS MATERIALIZED (SELECT e.s AS n, sum(a{i}.a * e.w) AS hr
+          FROM a{i} JOIN e ON a{i}.n = e.d GROUP BY e.s),
+ht{i} AS (SELECT sum(hr) AS t FROM hr{i}),
+h{i} AS MATERIALIZED (SELECT nodes.n, COALESCE(hr{i}.hr, 0) / (SELECT t FROM ht{i}) AS h
+         FROM nodes LEFT JOIN hr{i} ON nodes.n = hr{i}.n)""")
+    return head + "".join(rounds) + f"""
+SELECT h.n AS node, round(h.h, 6) AS hub, round(a.a, 6) AS authority
+FROM h{iters} h JOIN a{iters} a ON h.n = a.n
+"""
+
+
+def events_hits_sql(
+    iters: int = 5, tie: str | None = "event_id", table: str = "events",
+) -> str:
+    """Mirror of graph.graph_hits over the event_transitions edge list
+    (weights = transition counts)."""
+    order = "ts" + (f", {tie}" if tie else "")
+    edges = f"""p AS (SELECT event_type AS f,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY {order}) AS t
+           FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT f AS s, t AS d, CAST(count(*) AS DOUBLE) AS w
+      FROM p WHERE t IS NOT NULL GROUP BY f, t)"""
+    return hits_over_sql(edges, iters)
+
+
 def events_communities_sql(
     iters: int = 5, tie: str | None = "event_id", table: str = "events",
 ) -> str:
@@ -3001,11 +3058,15 @@ WITH p AS (SELECT event_type AS f,
            FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 c AS (SELECT f AS s, t AS d, CAST(count(*) AS DOUBLE) AS w
       FROM p WHERE t IS NOT NULL GROUP BY f, t),
-e AS (SELECT s, d, sum(w) AS w FROM
+e AS MATERIALIZED (SELECT s, d, sum(w) AS w FROM
         (SELECT s, d, w FROM c UNION ALL SELECT d AS s, s AS d, w FROM c)
       GROUP BY s, d),
-nodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
 l0 AS (SELECT n, n AS l FROM nodes)"""
+    # l{i} is referenced twice per following round (votes + carry-over)
+    # — MATERIALIZED stops DuckDB's inliner re-evaluating the chain per
+    # reference (compounds per unrolled round; measured 17.7 s -> ~1 s)
     rounds = []
     for i in range(1, iters + 1):
         prev = f"l{i - 1}"
@@ -3015,7 +3076,7 @@ v{i} AS (SELECT e.d AS n, {prev}.l, sum(e.w) AS vw
 w{i} AS (SELECT n, l FROM (SELECT n, l,
                 row_number() OVER (PARTITION BY n ORDER BY vw DESC, l ASC) AS rn
               FROM v{i}) WHERE rn = 1),
-l{i} AS (SELECT nodes.n, COALESCE(w{i}.l, {prev}.l) AS l
+l{i} AS MATERIALIZED (SELECT nodes.n, COALESCE(w{i}.l, {prev}.l) AS l
          FROM nodes LEFT JOIN w{i} ON nodes.n = w{i}.n
          JOIN {prev} ON nodes.n = {prev}.n)""")
     return head + "".join(rounds) + f"""

@@ -2185,3 +2185,28 @@ class CodeSignals(Directive):
         from wrangler_spark.datapipe.text import code_signals
 
         return code_signals(df, ctx.resolve(df, self.args["text"]))
+
+
+@directive
+class GraphHits(Directive):
+    """graph-hits :src :dst [weight] [iters] — HITS hubs/authorities
+    over a directed edge list (Kleinberg 1999; L1-normalized)."""
+
+    name = "graph-hits"
+    usage = [
+        Arg("src", TokenType.COLUMN),
+        Arg("dst", TokenType.COLUMN),
+        Arg("weight", TokenType.COLUMN, optional=True, default=None),
+        Arg("iters", TokenType.NUMERIC, optional=True, default=5),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.graph import graph_hits
+
+        wcol = self.args.value("weight")
+        return graph_hits(
+            df, ctx.resolve(df, self.args["src"]),
+            ctx.resolve(df, self.args["dst"]),
+            weight_col=ctx.resolve(df, wcol) if wcol else None,
+            iters=int(self.args["iters"]),
+        )
