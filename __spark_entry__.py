@@ -805,6 +805,16 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 df=_t(s, d, "orders"),
             ),
         ),
+        # the same closed loop over customer, exercising the matches-
+        # SHAPE suggestion (c_name's Customer#000000042 values land on
+        # the entity_id shape; c_mktsegment lands on in_set)
+        "dq_suggest_shapes": lambda s, d: curation.check_constraints(
+            _t(s, d, "customer"),
+            curation.suggest_constraints(
+                curation.profile_table(_t(s, d, "customer"), exact=True),
+                df=_t(s, d, "customer"),
+            ),
+        ),
         # Deequ-posture declarative data-quality gate: every metric the
         # rule list needs in ONE aggregation pass (Schelter et al. VLDB'18)
         # state reconstruction must equal the one-shot report (the
@@ -1225,6 +1235,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dq_constraints_state": o.check_constraints_state_sql(),
         "dq_profile": o.profile_sql(),
         "dq_suggest": o.dq_suggest_sql(),
+        "dq_suggest_shapes": o.dq_suggest_shapes_sql(),
         "events_cms_counts": o.cms_counts_sql("user_id", "events", 4, 512, 20),
         "events_resample": o.resample_sql("event_type", "ts", "value", "events", 60),
         "events_rolling": o.rolling_stats_sql(24, 60),
@@ -1548,7 +1559,11 @@ _R12_WINDOW = [
     # join path stays graded through num_winsorize_by/num_qbins_by/
     # num_mad_by) for the repetition ratios, whose output GREW the
     # paragraph columns this round (semantics change -> re-enters)
-    "text_repetition",
+    # r12 session 2: text_repetition vacated (green r9-r11, unchanged;
+    # its whole machinery executes inside the in-window text_rep_filter,
+    # which applies the caps over the same stats) for the code-vs-prose
+    # routing signals — new this session
+    "text_code_signals",
     # r9: dedup_embedding_cc vacated (r8-green, unchanged; the cc family
     # stays graded through dedup_minhash_cc) for the Gopher n-gram
     # repetition suite
@@ -1611,7 +1626,11 @@ _R12_WINDOW = [
     # r11 session 2: ann_mmr_rerank vacated (r8-green, unchanged; the
     # ANN family stays graded via ann_pq_topk + emb_cluster_topics
     # in-window) for the column profiler — the Deequ discovery step
-    "dq_profile",
+    # r12 session 2: dq_profile vacated (r11-green, unchanged; the
+    # profiler executes INSIDE both in-window suggest loops) for the
+    # matches-SHAPE suggestion over customer — new this session
+    # (entity_id/uuid/email/integer/decimal/json shape fitting)
+    "dq_suggest_shapes",
     # late r8 change (langid_multi grew nl/sv/pl/id profiles — its output
     # semantics changed, so it re-enters the window); emb_quantize vacated
     # (r7-green; its own __ma staging predates the staged-norm fix, and
@@ -1631,9 +1650,13 @@ _R12_WINDOW = [
     # grades the identical oracle through the harder code path)
     # r11: sample_top_frac vacated (green r8-r10, unchanged; its exact
     # code path plus the group join stays graded via the in-window
-    # sample_top_frac_by) for the mergeable log-bin quantile sketch —
-    # new this round
-    "num_quantiles_sketch",
+    # sample_top_frac_by) for the mergeable log-bin quantile sketch
+    # r12 session 2: num_quantiles_sketch vacated (r11-green, unchanged;
+    # the sketch family stays graded via the in-window
+    # num_quantiles_state, whose reconstruction runs the SAME one-shot
+    # sketch SQL) for HITS hubs/authorities — new this session (the
+    # graph family's crawl-frontier complement to PageRank)
+    "events_hits",
     # r11: dedup_cross_minhash vacated (green r7-r10, unchanged; the
     # cross-corpus family stays graded via the in-window
     # dedup_cross_embedding + dedup_cross_bloom) for the quantile-state

@@ -108,6 +108,8 @@ EXTRA_QUERIES = [
     "text_chunks",                # map-side sliding-window chunker (no shuffle)
     "text_clf_calibration",       # classifier reliability bins (single scan)
     "events_ewma",                # EWMA control chart over the resample grid
+    "events_hits",                # HITS hubs/authorities (two joins per round)
+    "text_code_signals",          # code-vs-prose routing (scan-side regexes)
 ]
 
 

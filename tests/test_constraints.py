@@ -262,3 +262,49 @@ def test_enforce_constraints_error_channel(spark):
         Pipeline.compile("enforce-constraints 'unique:id'").transform(df)
     with pytest.raises(Exception, match="unknown rule"):
         Pipeline.compile("enforce-constraints 'bogus:x'").transform(df)
+
+
+def test_suggest_constraints_shape_rules(spark):
+    from wrangler_spark.datapipe import curation
+
+    df = spark.createDataFrame(
+        [
+            ("1", "a@b.com", "Clerk#001", '{"k": 1}', "free text one", "7"),
+            ("42", "x@y.org", "Clerk#002", '{"k": 2}', "more words", "3.5"),
+            ("-7", "q@r.io", "Node#999", '{}', "and more", "1"),
+        ],
+        "ints string, emails string, ids string, js string, "
+        "prose string, mixed string",
+    )
+    prof = curation.profile_table(df, exact=True)
+    rules = curation.suggest_constraints(prof, df=df)
+    shapes = {r["col"]: r["shape"] for r in rules if r["rule"] == "matches"}
+    # first-match priority: integer wins over decimal for pure ints;
+    # a mixed int/decimal column falls through both to none of the
+    # more specific shapes (decimal doesn't cover bare ints)
+    assert shapes["ints"] == "integer"
+    assert shapes["emails"] == "email"
+    assert shapes["ids"] == "entity_id"
+    assert shapes["js"] == "json_object"
+    assert "prose" not in shapes and "mixed" not in shapes
+    # the closed loop: every suggested rule passes on its own data
+    report = check_constraints(df, rules)
+    assert all(r["passed"] for r in report.collect())
+
+
+def test_suggest_constraints_shape_null_and_uuid(spark):
+    from wrangler_spark.datapipe import curation
+
+    df = spark.createDataFrame(
+        [("123e4567-e89b-12d3-a456-426614174000",), (None,), (None,)],
+        "u string")
+    rules = curation.suggest_constraints(
+        curation.profile_table(df, exact=True), df=df)
+    m = [r for r in rules if r["rule"] == "matches"]
+    # nulls don't block the shape; the one non-null value decides
+    assert len(m) == 1 and m[0]["shape"] == "uuid"
+    all_null = spark.createDataFrame([(None,), (None,)], "u string")
+    rules2 = curation.suggest_constraints(
+        curation.profile_table(all_null, exact=True), df=all_null)
+    # a column with no values suggests no shape (nothing to fit)
+    assert not [r for r in rules2 if r["rule"] == "matches"]

@@ -84,7 +84,8 @@ QUERIES = [
     # heavy pair graph — the wedge join's worst case; map-side chunker;
     # single-scan calibration; grid fold)
     "dedup_triangles", "dedup_khop", "text_chunks",
-    "text_clf_calibration", "events_ewma",
+    "text_clf_calibration", "events_ewma", "events_hits",
+    "text_code_signals",
 ]
 
 

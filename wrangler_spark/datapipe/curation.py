@@ -2790,6 +2790,21 @@ def profile_table(
         "__p.null_frac", "__p.n_distinct", "__p.min", "__p.max")
 
 
+# canonical value shapes for matches-rule suggestion, most-specific
+# first (the first shape every non-null value of a column fully matches
+# wins). Java-regex ∩ RE2 subset only (no backrefs/lookarounds) — the
+# same pattern runs on both engines.
+_SHAPE_PATTERNS: list[tuple[str, str]] = [
+    ("uuid", r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+             r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"),
+    ("email", r"[^@\s]+@[^@\s]+\.[^@\s]+"),
+    ("integer", r"[+-]?\d+"),
+    ("decimal", r"[+-]?\d+\.\d+"),
+    ("entity_id", r"[A-Za-z]+#\d+"),
+    ("json_object", r"\{.*\}"),
+]
+
+
 def suggest_constraints(
     profile_df: DataFrame, df: DataFrame | None = None,
     in_set_max_distinct: int = 20,
@@ -2811,12 +2826,23 @@ def suggest_constraints(
     value set as the allowed set. The value collection is ONE extra
     aggregate with a collect_set per eligible column — eligibility is
     already profile-proven, so every buffer is bounded by
-    ``in_set_max_distinct`` values."""
+    ``in_set_max_distinct`` values.
+
+    The same pass also suggests ``matches`` SHAPE rules (Deequ's
+    hasPattern posture): a string column with at least one non-null
+    value whose EVERY non-null value fully matches one of the
+    canonical shapes in ``_SHAPE_PATTERNS`` (uuid / email / integer /
+    decimal / entity_id like ``Customer#000000042`` / json_object)
+    gets a matches rule with the FIRST — most specific — shape that
+    covers it; the mismatch counts for all shapes ride the one
+    aggregate as integer sums, so the whole suggestion step stays a
+    single extra scan."""
     numeric_types = {"tinyint", "smallint", "int", "bigint",
                      "float", "double"}
     rules: list[dict] = []
     prof = profile_df.collect()
     in_set_cols: list[str] = []
+    shape_cols: list[str] = []
     for r in prof:
         if r["n_rows"] == 0:
             continue
@@ -2833,14 +2859,30 @@ def suggest_constraints(
         if (df is not None and base == "string"
                 and 1 < r["n_distinct"] <= in_set_max_distinct):
             in_set_cols.append(r["column"])
-    if in_set_cols:
-        vals = df.agg(*[
+        if (df is not None and base == "string"
+                and r["n_null"] < r["n_rows"]):
+            shape_cols.append(r["column"])
+    if in_set_cols or shape_cols:
+        aggs = [
             F.sort_array(F.collect_set(F.col(c).cast("string")))
-            .alias(c) for c in in_set_cols
-        ]).collect()[0]
-        for c in in_set_cols:
+            .alias(f"__v{i}") for i, c in enumerate(in_set_cols)
+        ]
+        for i, c in enumerate(shape_cols):
+            cc = F.col(c).cast("string")
+            for j, (_, pat) in enumerate(_SHAPE_PATTERNS):
+                aggs.append(F.sum(F.when(
+                    cc.isNotNull() & ~cc.rlike("^(?:" + pat + ")$"),
+                    1).otherwise(0)).cast("long").alias(f"__s{i}_{j}"))
+        one = df.agg(*aggs).collect()[0]
+        for i, c in enumerate(in_set_cols):
             rules.append({"rule": "in_set", "col": c,
-                          "values": list(vals[c])})
+                          "values": list(one[f"__v{i}"])})
+        for i, c in enumerate(shape_cols):
+            for j, (shape, pat) in enumerate(_SHAPE_PATTERNS):
+                if one[f"__s{i}_{j}"] == 0:
+                    rules.append({"rule": "matches", "col": c,
+                                  "pattern": pat, "shape": shape})
+                    break
     if prof:
         rules.append({"rule": "min_rows", "n": max(1, prof[0]["n_rows"] // 2)})
     return rules

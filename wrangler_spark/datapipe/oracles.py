@@ -3475,6 +3475,67 @@ def dq_suggest_sql(table: str = "orders") -> str:
             + "\nUNION ALL\n".join(parts))
 
 
+def dq_suggest_shapes_sql(table: str = "customer") -> str:
+    """Mirror of the closed Deequ loop over customer INCLUDING the
+    matches-SHAPE suggestion: for each string column the first
+    canonical shape (uuid/email/integer/decimal/entity_id/json_object,
+    most-specific-first) that every non-null value fully matches emits
+    a matches rule — on this table c_name's ``Customer#000000042``
+    values land on entity_id; c_mktsegment matches no shape and lands
+    on in_set instead. All rules fit their own data (all-pass report
+    by construction); the oracle checks WHICH rows exist."""
+    from wrangler_spark.datapipe.curation import _SHAPE_PATTERNS
+
+    cols = [("c_custkey", "num"), ("c_name", "str"),
+            ("c_nationkey", "num"), ("c_acctbal", "num"),
+            ("c_mktsegment", "str")]
+    p_aggs = ["count(*) AS n"]
+    for i, (c, kind) in enumerate(cols):
+        p_aggs.append(
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nl{i}")
+        p_aggs.append(
+            f"count(DISTINCT {c}) "
+            f"+ max(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS d{i}")
+        if kind == "str":
+            for j, (_, pat) in enumerate(_SHAPE_PATTERNS):
+                p_aggs.append(
+                    f"sum(CASE WHEN {c} IS NOT NULL AND NOT "
+                    f"regexp_matches({c}, '^(?:{pat})$') THEN 1 ELSE 0 END)"
+                    f" AS sh{i}_{j}")
+    parts = []
+    for i, (c, kind) in enumerate(cols):
+        parts.append(
+            f"SELECT 'not_null' AS rule, '{c}' AS \"column\", "
+            "'null_frac' AS metric, 0.0 AS value, 0.0 AS threshold, "
+            f"TRUE AS passed FROM p WHERE n > 0 AND nl{i} = 0")
+        parts.append(
+            f"SELECT 'unique', '{c}', 'dup_frac', 0.0, 0.0, TRUE "
+            f"FROM p WHERE n > 0 AND d{i} = n")
+        if kind == "num":
+            parts.append(
+                f"SELECT 'range', '{c}', 'oob_frac', 0.0, 0.0, TRUE "
+                f"FROM p WHERE n > 0 AND nl{i} < n")
+        if kind == "str":
+            parts.append(
+                f"SELECT 'in_set', '{c}', 'oos_frac', 0.0, 0.0, TRUE "
+                f"FROM p WHERE n > 0 AND d{i} > 1 AND d{i} <= 20")
+            # first zero-mismatch shape wins (all earlier shapes must
+            # have at least one mismatching value)
+            for j in range(len(_SHAPE_PATTERNS)):
+                prior = " AND ".join(
+                    [f"sh{i}_{k} > 0" for k in range(j)]) or "TRUE"
+                parts.append(
+                    f"SELECT 'matches', '{c}', 'mismatch_frac', 0.0, "
+                    f"0.0, TRUE FROM p WHERE n > 0 AND nl{i} < n "
+                    f"AND sh{i}_{j} = 0 AND {prior}")
+    parts.append(
+        "SELECT 'min_rows', NULL, 'n_rows', CAST(n AS DOUBLE), "
+        "CAST(greatest(1, n // 2) AS DOUBLE), n >= greatest(1, n // 2) "
+        "FROM p")
+    return (f"WITH p AS (SELECT {', '.join(p_aggs)} FROM {table})\n"
+            + "\nUNION ALL\n".join(parts))
+
+
 def impute_sql(table: str = "events") -> str:
     """Mirror of numeric.impute_column(strategy='mean', by=[type]) over
     events with value nulled on event_id % 7 == 0: per-group micro-unit
