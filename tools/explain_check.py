@@ -627,7 +627,8 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
     for gq in ("events_ewma", "dedup_triangles", "dedup_khop",
-               "text_clf_calibration"):
+               "text_clf_calibration", "events_hits", "text_code_signals",
+               "dq_suggest_shapes"):
         p = plan_of(qs[gq](spark, SF_DIR))
         problems += check(
             gq, p,
