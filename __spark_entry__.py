@@ -933,11 +933,6 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs(s, d), "text"
         ).select("doc_id", "indent_frac", "eol_code_frac", "kw_hits",
                  "sym_density", "is_code"),
-        # RAG-ingestion splitter: overlapping 64-token windows with a
-        # 16-token overlap — map-side only (split + sequence + explode)
-        "text_chunks": lambda s, d: text.chunk_documents(
-            docs(s, d), "doc_id", "text", chunk_tokens=64, overlap=16
-        ),
         "text_hash_emb": lambda s, d: text.hash_embedding(
             docs(s, d), "doc_id", "text", 16
         ).select("doc_id", F.posexplode("embedding").alias("pos", "y")),
@@ -1101,7 +1096,6 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_group_terms": o.group_top_terms_sql("source", 10),
         "text_group_terms_weighted": o.group_top_terms_weighted_sql("source", 10),
         "text_doc_keywords": o.doc_keywords_sql(5),
-        "text_chunks": o.chunk_sql(64, 16),
         "text_code_signals": o.code_signals_sql(),
         "text_vocab_state": o.vocab_coverage_sql(0.9),
         "text_rep_filter": o.repetition_filter_sql(),
@@ -1699,10 +1693,11 @@ _R12_WINDOW = [
     "text_clf_calibration",
     # r12 session 2: text_nfc vacated (green r9-r11, unchanged; the
     # scan-side normalization family stays parity-covered and the text
-    # scan family stays graded via text_repetition/text_rep_filter) for
-    # the RAG sliding-window chunker — new this session (map-side only,
-    # plan-asserted no-shuffle)
-    "text_chunks",
+    # scan family stays graded via the in-window text_rep_filter /
+    # text_code_signals) for the DIRECTED k-hop reach over the
+    # transition graph — new this session (the dedup_khop machinery
+    # through the directed edge path)
+    "events_khop",
     # r9: corpus_overlap vacated (r8-green, unchanged; the corpus-summary
     # family stays graded via corpus_drift) for the Gopher repetition
     # FILTER — new this round, the caps applied over both signal families

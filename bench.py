@@ -105,7 +105,7 @@ EXTRA_QUERIES = [
     "dq_suggest",                 # closed Deequ loop: profile -> rules -> check
     # Added round 12, session 2
     "dedup_triangles",            # degree-ordered wedge join over the pair graph
-    "text_chunks",                # map-side sliding-window chunker (no shuffle)
+    "dedup_khop",                 # k-hop BFS quarantine over the pair graph
     "text_clf_calibration",       # classifier reliability bins (single scan)
     "events_ewma",                # EWMA control chart over the resample grid
     "events_hits",                # HITS hubs/authorities (two joins per round)

@@ -4379,78 +4379,6 @@ def test_sample_weighted_proportions_and_determinism(spark):
         curation.sample_weighted(df, "id", "w", rate=-0.1)
 
 
-# ----------------------------------------------------------- chunk_documents
-
-
-def test_chunk_documents_windows_and_tail(spark):
-    # 10 tokens, chunk 4, overlap 2 (stride 2): starts 0,2,4,6 — the
-    # start-8 window would add no fresh token beyond start-6's reach?
-    # no: start 8 has 8+overlap=10 == n, so it's NOT emitted (every
-    # emitted window carries a token outside its predecessor)
-    words = [f"w{i}" for i in range(10)]
-    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
-    rows = sorted(
-        text.chunk_documents(df, "doc_id", "text", 4, 2).collect(),
-        key=lambda r: r["chunk_id"],
-    )
-    assert [(r["chunk_id"], r["start_token"], r["n_tokens"]) for r in rows] == [
-        (0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4),
-    ]
-    assert rows[0]["chunk"] == "w0 w1 w2 w3"
-    assert rows[3]["chunk"] == "w6 w7 w8 w9"
-    # adjacent chunks overlap by exactly `overlap` tokens
-    assert rows[0]["chunk"].split()[-2:] == rows[1]["chunk"].split()[:2]
-
-
-def test_chunk_documents_short_doc_and_whitespace_norm(spark):
-    df = spark.createDataFrame(
-        [(1, "  a\tb\n\nc  "), (2, ""), (3, None), (4, "solo")],
-        ["doc_id", "text"],
-    )
-    rows = text.chunk_documents(df, "doc_id", "text", 8, 2).collect()
-    got = {r["doc_id"]: r for r in rows}
-    # short docs -> exactly one chunk; empty/null docs -> no rows
-    assert set(got) == {1, 4}
-    assert got[1]["chunk"] == "a b c" and got[1]["n_tokens"] == 3
-    assert got[4]["chunk"] == "solo" and got[4]["n_tokens"] == 1
-
-
-def test_chunk_documents_tail_never_contained(spark):
-    # n=5, chunk=4, overlap=2: starts 0,2 only — start 4 would be fully
-    # inside [2,5)'s coverage plus nothing new
-    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
-    rows = text.chunk_documents(df, "doc_id", "text", 4, 2).collect()
-    assert sorted((r["start_token"], r["n_tokens"]) for r in rows) == [
-        (0, 4), (2, 3),
-    ]
-
-
-def test_chunk_documents_validates(spark):
-    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
-    with pytest.raises(ValueError, match="chunk_tokens"):
-        text.chunk_documents(df, "doc_id", "text", 0, 0)
-    with pytest.raises(ValueError, match="overlap"):
-        text.chunk_documents(df, "doc_id", "text", 4, 4)
-
-
-def test_chunk_documents_no_shuffle_no_python(spark):
-    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
-    plan = (
-        text.chunk_documents(df, "doc_id", "text", 4, 1)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "Exchange" not in plan  # pure map-side
-    assert "BatchEvalPython" not in plan
-
-
-def test_chunk_docs_directive(spark):
-    from wrangler_spark import Pipeline
-
-    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
-    r = Pipeline.compile("chunk-docs :doc_id :text 4 2").transform(df)
-    assert r.df.count() == 2
-
-
 def test_graph_directives(spark):
     from wrangler_spark import Pipeline
 

@@ -666,3 +666,38 @@ def test_session_family_timestamp_ntz(spark):
     a = session_stats(ntz, "user_id", "ts").collect()[0]
     b = session_stats(tz, "user_id", "ts").collect()[0]
     assert a.asDict() == b.asDict()
+
+
+def test_chunk_and_code_signals_on_stream(spark, tmp_path_factory):
+    # both ops are stateless map-side transforms — they must run on a
+    # stream UNCHANGED (no aggregation, no watermark needed) and agree
+    # with their batch output row-for-row
+    import shutil
+
+    from wrangler_spark.datapipe.curation import chunk_documents
+    from wrangler_spark.datapipe.text import code_signals
+
+    d = str(tmp_path_factory.mktemp("chunk_stream"))
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "def f():\n    return 1\n    pass")],
+        ["doc_id", "text"],
+    )
+    docs.write.mode("overwrite").parquet(d)
+    static = spark.read.parquet(d)
+    stream = spark.readStream.schema(static.schema).parquet(d)
+
+    q = run_to_memory(chunk_documents(stream, "doc_id", "text", 4, 1), "chunks_out")
+    got = spark.sql(
+        "SELECT * FROM chunks_out ORDER BY doc_id, chunk_id").collect()
+    q.stop()
+    want = chunk_documents(static, "doc_id", "text", 4, 1).orderBy(
+        "doc_id", "chunk_id").collect()
+    assert got == want and len(got) > 2
+
+    q2 = run_to_memory(code_signals(stream, "text"), "code_out")
+    got2 = spark.sql("SELECT * FROM code_out ORDER BY doc_id").collect()
+    q2.stop()
+    want2 = code_signals(static, "text").orderBy("doc_id").collect()
+    assert got2 == want2
+    assert got2[1]["is_code"] and not got2[0]["is_code"]
+    shutil.rmtree(d, ignore_errors=True)

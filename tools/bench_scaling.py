@@ -83,7 +83,7 @@ QUERIES = [
     # round 12, session 2 (graph density/reach over the sf1 near-dup-
     # heavy pair graph — the wedge join's worst case; map-side chunker;
     # single-scan calibration; grid fold)
-    "dedup_triangles", "dedup_khop", "text_chunks",
+    "dedup_triangles", "dedup_khop",
     "text_clf_calibration", "events_ewma", "events_hits",
     "text_code_signals",
 ]

@@ -619,9 +619,9 @@ def main() -> int:
     # r12 session 2: the chunker is pure map-side — NO exchange at all;
     # ewma is the cusum fold shape; triangles/khop iterate bounded
     # joins with no cartesian and no windows
-    p = plan_of(qs["text_chunks"](spark, SF_DIR))
+    p = plan_of(qs["text_chunk"](spark, SF_DIR))
     problems += check(
-        "text_chunks", p,
+        "text_chunk", p,
         must=["codegen id"],
         must_not=["Exchange", "Window", "CartesianProduct",
                   "BatchEvalPython", "ArrowEvalPython"],

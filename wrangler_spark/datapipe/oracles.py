@@ -2863,30 +2863,6 @@ FROM br, e
 """
 
 
-def chunk_sql(
-    chunk_tokens: int = 64, overlap: int = 16, table: str = "documents",
-) -> str:
-    """Mirror of text.chunk_documents: same trim+whitespace split, same
-    window-start rule (multiples of stride while start+overlap < n),
-    same single-space re-join and short-tail clamp."""
-    stride = chunk_tokens - overlap
-    return f"""
-WITH w AS (SELECT doc_id,
-                  list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                              x -> x <> '') AS words
-           FROM {table} WHERE text IS NOT NULL),
-n AS (SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) > 0),
-s AS (SELECT doc_id, words, n,
-             unnest(range(0, greatest(n - {overlap + 1}, 0) + 1, {stride})) AS start
-      FROM n)
-SELECT doc_id, CAST(start // {stride} AS INTEGER) AS chunk_id,
-       CAST(start AS INTEGER) AS start_token,
-       CAST(least({chunk_tokens}, n - start) AS INTEGER) AS n_tokens,
-       array_to_string(list_slice(words, start + 1, start + {chunk_tokens}), ' ') AS chunk
-FROM s
-"""
-
-
 def triangles_over_sql(edges_cte: str) -> str:
     """graph.graph_triangles mirrored over ANY edge source: ``edges_cte``
     must be CTE bodies ending in a ``c`` relation of (s, d) edges.

@@ -517,65 +517,6 @@ def unigram_logprob(
     )
 
 
-def chunk_documents(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    chunk_tokens: int = 256,
-    overlap: int = 32,
-    out_col: str = "chunk",
-) -> DataFrame:
-    """Sliding-window document chunking — the RAG-ingestion / long-doc
-    training-prep splitter: each document becomes overlapping windows of
-    ``chunk_tokens`` whitespace tokens advancing by ``chunk_tokens −
-    overlap``, so no content falls on a hard boundary. Returns one row
-    per chunk: (id_col, chunk_id, start_token, n_tokens, out_col); the
-    final window may be shorter but always carries at least one token
-    NOT in the previous window (a tail fully contained in its
-    predecessor is not emitted); token-less documents produce no rows.
-
-    Tokens are the trim+``\\s+``-split convention shared with
-    token_count's whitespace mode, and chunks re-join with single
-    spaces — intra-document whitespace normalizes, which is the
-    standard contract for retrieval chunking.
-
-    Scale shape: pure map-side — one split, one sequence of window
-    starts (size n/stride, linear in document length), one explode; no
-    shuffle, no UDF, whole-stage codegen throughout. Output volume is
-    input tokens × chunk/stride; callers size overlap accordingly."""
-    if chunk_tokens < 1:
-        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
-    if not 0 <= overlap < chunk_tokens:
-        raise ValueError(
-            f"overlap must be in [0, chunk_tokens), got {overlap}")
-    stride = chunk_tokens - overlap
-    words = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
-    )
-    n = F.size("__w")
-    # window starts: multiples of stride up to the last index that still
-    # contributes a fresh token (start + overlap < n  ⟺  start ≤ n−overlap−1)
-    starts = F.sequence(
-        F.lit(0), F.greatest(n - F.lit(overlap + 1), F.lit(0)), F.lit(stride)
-    )
-    staged = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), words.alias("__w"))
-        .filter(n > 0)
-        .select(id_col, "__w", F.posexplode(starts).alias("__i", "__s"))
-    )
-    return staged.select(
-        id_col,
-        F.col("__i").cast("int").alias("chunk_id"),
-        F.col("__s").cast("int").alias("start_token"),
-        F.least(F.lit(chunk_tokens), F.size("__w") - F.col("__s"))
-        .cast("int").alias("n_tokens"),
-        F.array_join(
-            F.slice(F.col("__w"), F.col("__s") + 1, F.lit(chunk_tokens)), " "
-        ).alias(out_col),
-    )
-
-
 def vocabulary(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
     """Corpus-level vocabulary: top-k tokens by total term frequency, with
     document frequency and rank (ties broken lexically). The canonical

@@ -2051,32 +2051,6 @@ class SessionStatsBy(Directive):
 
 
 @directive
-class ChunkDocs(Directive):
-    """chunk-docs :id :text [chunk_tokens] [overlap] — sliding-window
-    document chunking (RAG ingestion / long-doc prep): overlapping
-    windows of whitespace tokens, one row per chunk."""
-
-    name = "chunk-docs"
-    usage = [
-        Arg("id", TokenType.COLUMN),
-        Arg("text", TokenType.COLUMN),
-        Arg("chunk", TokenType.NUMERIC, optional=True, default=256),
-        Arg("overlap", TokenType.NUMERIC, optional=True, default=32),
-    ]
-
-    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
-        from wrangler_spark.datapipe.text import chunk_documents
-
-        return chunk_documents(
-            df,
-            ctx.resolve(df, self.args["id"]),
-            ctx.resolve(df, self.args["text"]),
-            chunk_tokens=int(self.args["chunk"]),
-            overlap=int(self.args["overlap"]),
-        )
-
-
-@directive
 class GraphTriangles(Directive):
     """graph-triangles :src :dst — per-node degree, triangle count, and
     local clustering coefficient over the undirected simple graph."""
