@@ -897,6 +897,15 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "from_type", "to_type", weight_col="n", iters=5,
         ),
+        # one-row structural scorecard of the transition graph — the
+        # pre-flight read before anything iterative runs on it
+        "events_graph_summary": lambda s, d: graph.graph_summary(
+            events.event_transitions(
+                _t(s, d, "events"), "user_id", "ts", "event_type",
+                tie_col="event_id",
+            ),
+            "from_type", "to_type",
+        ),
         # crawl-frontier reach: event types reachable within 2 observed
         # transitions of signup, following edge direction
         "events_khop": lambda s, d: graph.graph_khop(
@@ -1206,6 +1215,7 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "events_communities": o.events_communities_sql(5),
         "events_hits": o.events_hits_sql(5),
+        "events_graph_summary": o.events_graph_summary_sql(),
         "dedup_triangles": o.dedup_triangles_sql(0.5),
         "dedup_khop": o.dedup_khop_sql([8, 26, 31, 999999], 2, 0.5),
         "events_khop": o.events_khop_sql(["signup"], 2),

@@ -430,3 +430,36 @@ def test_hits_validates_and_plan(spark):
     plan = graph_hits(ok, "s", "d")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------------ graph summary
+
+
+def test_graph_summary_hand_computed(spark):
+    from wrangler_spark.datapipe.graph import graph_summary
+
+    # a<->b reciprocal, a->c, c->c self-loop, duplicate a->b collapses
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b")]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    row = graph_summary(df, "s", "d").collect()[0]
+    assert row["n_nodes"] == 3 and row["n_edges"] == 3
+    assert row["self_loops"] == 1
+    assert row["avg_out_degree"] == 1.0           # 3 edges / 3 nodes
+    assert row["max_out_degree"] == 2             # a -> b, a -> c
+    assert row["density"] == 0.5                  # 3 / (3*2)
+    assert row["reciprocity"] == pytest.approx(2 / 3, abs=2e-6)
+
+
+def test_graph_summary_directive_and_empty(spark):
+    from wrangler_spark import Pipeline
+    from wrangler_spark.datapipe.graph import graph_summary
+
+    df = spark.createDataFrame([("a", "b")], ["s", "d"])
+    r = Pipeline.compile("graph-summary :s :d").transform(df)
+    row = r.df.collect()[0]
+    assert row["n_nodes"] == 2 and row["reciprocity"] == 0.0
+    empty = spark.createDataFrame([], "s string, d string")
+    row = graph_summary(empty, "s", "d").collect()[0]
+    assert row["n_nodes"] == 0 and row["n_edges"] == 0
+    assert row["avg_out_degree"] is None and row["density"] is None
+    assert row["reciprocity"] is None

@@ -35,7 +35,7 @@ from ._checkpoint import eager_checkpoint, release
 
 __all__ = [
     "graph_pagerank", "graph_label_propagation", "graph_triangles",
-    "graph_khop", "graph_hits",
+    "graph_khop", "graph_hits", "graph_summary",
 ]
 
 
@@ -546,6 +546,76 @@ def graph_khop(
         release(frontier)
     release(e)
     return reached.select(F.col("__n").alias("node"), F.col("__h").alias("hop"))
+
+
+def graph_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """One-row structural scorecard of a directed edge list — the
+    pre-flight read before running anything iterative on it: (n_nodes,
+    n_edges, self_loops, avg_out_degree, max_out_degree, density,
+    reciprocity). Edges collapse to the DISTINCT directed simple graph
+    (multiplicity ignored, self-loops counted separately and excluded
+    from every other number); density = E / (N·(N−1)); reciprocity =
+    fraction of edges whose reverse edge also exists (near 1 on a
+    symmetrized near-dup graph, near 0 on a citation-style crawl).
+    Ratios round 6dp off exact integer counts.
+
+    Scale shape: one distinct + two aggregates + one left-semi
+    self-join on the reversed key (bounded by the edge count — never
+    node²); max_out_degree is a groupBy + max, no window."""
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(
+            F.col(src).cast("string").alias("__s"),
+            F.col(dst).cast("string").alias("__d"),
+        )
+        .distinct()
+    )
+    e = eager_checkpoint(e)
+    loops = e.filter(F.col("__s") == F.col("__d"))
+    simple = e.filter(F.col("__s") != F.col("__d"))
+    nodes = (
+        e.select(F.col("__s").alias("__n"))
+        .union(e.select(F.col("__d").alias("__n")))
+        .distinct()
+    )
+    recip = simple.join(
+        simple.select(
+            F.col("__d").alias("__s"), F.col("__s").alias("__d")
+        ),
+        ["__s", "__d"],
+        "left_semi",
+    )
+    outdeg = simple.groupBy("__s").agg(F.count(F.lit(1)).alias("__od"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("v")
+                        ).withColumnRenamed("v", "__nn")
+    n_edges = simple.agg(F.count(F.lit(1)).cast("long").alias("__ne"))
+    n_loops = loops.agg(F.count(F.lit(1)).cast("long").alias("__nl"))
+    n_recip = recip.agg(F.count(F.lit(1)).cast("long").alias("__nr"))
+    max_out = outdeg.agg(
+        F.coalesce(F.max("__od"), F.lit(0)).cast("long").alias("__mo"))
+    out = (
+        n_nodes.crossJoin(F.broadcast(n_edges))  # 1-row stats frames
+        .crossJoin(F.broadcast(n_loops))
+        .crossJoin(F.broadcast(n_recip))
+        .crossJoin(F.broadcast(max_out))
+    )
+    # e stays checkpointed: every aggregate above reads it lazily —
+    # callers release via checkpoint_scope (the one-shot-producer rule)
+    nn, ne = F.col("__nn"), F.col("__ne")
+    return out.select(
+        nn.alias("n_nodes"),
+        ne.alias("n_edges"),
+        F.col("__nl").alias("self_loops"),
+        F.when(nn > 0, F.round(ne.cast("double") / nn.cast("double"), 6))
+        .alias("avg_out_degree"),
+        F.col("__mo").alias("max_out_degree"),
+        F.when(
+            nn > 1,
+            F.round(ne.cast("double") / (nn * (nn - F.lit(1))).cast("double"), 6),
+        ).alias("density"),
+        F.when(ne > 0, F.round(F.col("__nr").cast("double") / ne.cast("double"), 6))
+        .alias("reciprocity"),
+    )
 
 
 def graph_components(

@@ -3020,6 +3020,52 @@ c AS (SELECT f AS s, t AS d, CAST(count(*) AS DOUBLE) AS w
     return hits_over_sql(edges, iters)
 
 
+def graph_summary_over_sql(edges_cte: str) -> str:
+    """graph.graph_summary mirrored over ANY edge source (``edges_cte``
+    ends in a ``c`` relation with s/d columns): distinct directed
+    simple graph, self-loops split out, same division order, 6dp."""
+    return f"""
+WITH {edges_cte},
+e AS MATERIALIZED (SELECT DISTINCT CAST(s AS VARCHAR) AS s, CAST(d AS VARCHAR) AS d
+       FROM c WHERE s IS NOT NULL AND d IS NOT NULL),
+simple AS MATERIALIZED (SELECT * FROM e WHERE s <> d),
+agg AS (SELECT
+  (SELECT count(*) FROM (SELECT DISTINCT n FROM
+     (SELECT s AS n FROM e UNION ALL SELECT d FROM e))) AS nn,
+  (SELECT count(*) FROM simple) AS ne,
+  (SELECT count(*) FROM e WHERE s = d) AS nl,
+  (SELECT count(*) FROM simple a WHERE EXISTS
+     (SELECT 1 FROM simple b WHERE b.s = a.d AND b.d = a.s)) AS nr,
+  (SELECT COALESCE(max(cnt), 0) FROM
+     (SELECT count(*) AS cnt FROM simple GROUP BY s)) AS mo)
+SELECT CAST(nn AS BIGINT) AS n_nodes, CAST(ne AS BIGINT) AS n_edges,
+       CAST(nl AS BIGINT) AS self_loops,
+       CASE WHEN nn > 0
+            THEN round(CAST(ne AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+       END AS avg_out_degree,
+       CAST(mo AS BIGINT) AS max_out_degree,
+       CASE WHEN nn > 1
+            THEN round(CAST(ne AS DOUBLE) / CAST(nn * (nn - 1) AS DOUBLE), 6)
+       END AS density,
+       CASE WHEN ne > 0
+            THEN round(CAST(nr AS DOUBLE) / CAST(ne AS DOUBLE), 6)
+       END AS reciprocity
+FROM agg
+"""
+
+
+def events_graph_summary_sql(
+    tie: str | None = "event_id", table: str = "events",
+) -> str:
+    """Mirror of graph.graph_summary over the event_transitions edges."""
+    order = "ts" + (f", {tie}" if tie else "")
+    edges = f"""p AS (SELECT event_type AS f,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY {order}) AS t
+           FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT f AS s, t AS d FROM p WHERE t IS NOT NULL GROUP BY f, t)"""
+    return graph_summary_over_sql(edges)
+
+
 def events_communities_sql(
     iters: int = 5, tie: str | None = "event_id", table: str = "events",
 ) -> str:

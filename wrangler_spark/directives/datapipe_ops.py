@@ -2184,3 +2184,24 @@ class GraphHits(Directive):
             weight_col=ctx.resolve(df, wcol) if wcol else None,
             iters=int(self.args["iters"]),
         )
+
+
+@directive
+class GraphSummary(Directive):
+    """graph-summary :src :dst — one-row structural scorecard of a
+    directed edge list (nodes/edges/self-loops/degree/density/
+    reciprocity) — the pre-flight before anything iterative."""
+
+    name = "graph-summary"
+    usage = [
+        Arg("src", TokenType.COLUMN),
+        Arg("dst", TokenType.COLUMN),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.graph import graph_summary
+
+        return graph_summary(
+            df, ctx.resolve(df, self.args["src"]),
+            ctx.resolve(df, self.args["dst"]),
+        )
