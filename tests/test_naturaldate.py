@@ -312,3 +312,31 @@ def test_holidays():
     # "july 4th" stays the MDY branch's current-year form (documented)
     assert p("july 4th") == datetime(2016, 7, 4, tzinfo=timezone.utc)
     assert p("fourth of july") == datetime(2017, 7, 4, tzinfo=timezone.utc)
+
+
+def test_fortnight_unit():
+    # NOW is Saturday 2016-12-10 06:45 UTC
+    assert p("a fortnight ago") == datetime(2016, 11, 26, 6, 45, tzinfo=timezone.utc)
+    assert p("in 2 fortnights") == datetime(2017, 1, 7, 6, 45, tzinfo=timezone.utc)
+    # composes through the from/after/before anchor grammar
+    assert p("a fortnight from tomorrow") == datetime(
+        2016, 12, 25, 6, 45, tzinfo=timezone.utc)
+
+
+def test_iso_week_numbers():
+    assert p("week 12 of 2020") == datetime(2020, 3, 16, tzinfo=timezone.utc)
+    assert p("week 1, 2021") == datetime(2021, 1, 4, tzinfo=timezone.utc)
+    assert p("2020-W12") == datetime(2020, 3, 16, tzinfo=timezone.utc)
+    # 2020 is a 53-week ISO year; week 54 is malformed, not clamped
+    assert p("2020w53") == datetime(2020, 12, 28, tzinfo=timezone.utc)
+    assert p("week 54 of 2020") is None
+
+
+def test_middle_of_period_edges():
+    # week is Monday-start: middle = Thursday 00:00 (Dec 5 week -> Dec 8)
+    assert p("middle of the week") == datetime(2016, 12, 8, tzinfo=timezone.utc)
+    assert p("middle of the month") == datetime(2016, 12, 15, tzinfo=timezone.utc)
+    assert p("middle of next month") == datetime(2017, 1, 15, tzinfo=timezone.utc)
+    assert p("middle of next year") == datetime(2017, 7, 1, tzinfo=timezone.utc)
+    # existing edges unaffected
+    assert p("end of the month") == datetime(2016, 12, 31, tzinfo=timezone.utc)

@@ -85,7 +85,7 @@ QUERIES = [
     # single-scan calibration; grid fold)
     "dedup_triangles", "dedup_khop",
     "text_clf_calibration", "events_ewma", "events_hits",
-    "text_code_signals",
+    "text_code_signals", "events_graph_summary",
 ]
 
 

@@ -50,6 +50,7 @@ _UNITS = {
     "hour": "hours", "hours": "hours",
     "day": "days", "days": "days",
     "week": "weeks", "weeks": "weeks",
+    "fortnight": "fortnights", "fortnights": "fortnights",
     "month": "months", "months": "months",
     "year": "years", "years": "years",
 }
@@ -109,6 +110,10 @@ _RE_FUZZ = re.compile(r"\b(?:around|about|approximately|roughly)\s+", re.I)
 # bare clock time ("noon", "3pm", "10:30", "10:30:15 pm") → TODAY at that
 # time, natty's rule; a bare number without a colon or am/pm stays
 # unparseable (too ambiguous)
+_RE_ISOWEEK = re.compile(
+    r"^(?:week\s+(\d{1,2})(?:\s+of\s+|,?\s+)(\d{4})|(\d{4})-?w(\d{1,2}))$",
+    re.I,
+)
 _RE_BARE_TIME = re.compile(
     r"^(?:at\s+)?(?:(noon|midnight)|(\d{1,2}):(\d{2})(?::(\d{2}))?\s*(am|pm)?"
     r"|(\d{1,2})\s*(am|pm))$",
@@ -149,7 +154,7 @@ _RE_FROM = re.compile(
 # day 00:00 (a date, not an instant — the local convention, documented;
 # weeks are ISO Monday-start like the rest of the repo)
 _RE_EDGE = re.compile(
-    rf"^(?:the\s+)?(end|beginning|start)\s+of\s+(?:the\s+)?"
+    rf"^(?:the\s+)?(end|beginning|start|middle)\s+of\s+(?:the\s+)?"
     rf"(?:(this|next|last)\s+)?(week|month|year){_TIMEX}$", re.I)
 # holidays (natty's US set, public-domain fixed dates + the floating
 # thanksgiving): optional next/last/this and explicit year; a bare
@@ -243,6 +248,8 @@ def _apply_delta(base: datetime, n: int, unit: str) -> datetime | None:
         return _shift_months(base, n)
     if u == "years":
         return _shift_months(base, 12 * n)
+    if u == "fortnights":
+        return base + timedelta(weeks=2 * n)
     return base + timedelta(**{u: n})
 
 
@@ -482,8 +489,20 @@ def parse_natural(s: str | None, now_utc: datetime, tz: str = "UTC") -> datetime
         else:  # year
             start = _shift_months(midnight.replace(month=1, day=1), 12 * shift)
             nxt = _shift_months(start, 12)
-        anchor = (start if m.group(1).lower() in ("beginning", "start")
-                  else nxt - timedelta(days=1))
+        word = m.group(1).lower()
+        if word in ("beginning", "start"):
+            anchor = start
+        elif word == "middle":
+            # mid-period convention: week -> Thursday (ISO day 4),
+            # month -> the 15th, year -> July 1 — all 00:00 local
+            if period == "week":
+                anchor = start + timedelta(days=3)
+            elif period == "month":
+                anchor = start.replace(day=15)
+            else:
+                anchor = start.replace(month=7, day=1)
+        else:
+            anchor = nxt - timedelta(days=1)
         h, mi, sec = _timex(m, 4)
         try:
             out = anchor.replace(hour=h, minute=mi, second=sec, microsecond=0)
@@ -569,6 +588,19 @@ def parse_natural(s: str | None, now_utc: datetime, tz: str = "UTC") -> datetime
             ).astimezone(_tz.utc)
         except ValueError:
             return None
+
+    m = _RE_ISOWEEK.match(t)
+    if m:
+        # "week 12 of 2020" / "week 12, 2020" / "2020-W12" / "2020w12":
+        # the ISO-8601 week's Monday 00:00 (weeks are Monday-start
+        # everywhere in this grammar)
+        week = int(m.group(1) or m.group(4))
+        year = int(m.group(2) or m.group(3))
+        try:
+            iso = datetime.fromisocalendar(year, week, 1)
+        except ValueError:
+            return None
+        return iso.replace(tzinfo=zone).astimezone(_tz.utc)
 
     m = _RE_BARE_MONTH.match(t)
     if m:
