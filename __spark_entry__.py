@@ -699,6 +699,22 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "arm", "0", "1",
         ),
+        # sample-ratio-mismatch gate: the experiment-health chi-square
+        # every A/B readout above presumes (deliberately skewed expected
+        # ratios so the statistic is non-trivial on the parity arms)
+        "events_srm": lambda s, d: events.srm_check(
+            _t(s, d, "events").withColumn(
+                "arm", F.pmod(F.col("user_id"), 3).cast("string")),
+            "user_id", "arm", ratios={"0": 0.5, "1": 0.25, "2": 0.25},
+        ),
+        # CUPED variance-reduced A/B: pre-period value sum as the
+        # covariate, post-period as the metric, theta fit pooled
+        "events_cuped": lambda s, d: events.cuped_ab_test(
+            events.user_period_metrics(
+                _t(s, d, "events"), "user_id", "ts", "value", "2024-01-16",
+            ).withColumn("arm", F.pmod(F.col("user_id"), 2).cast("string")),
+            "arm", "post", "pre", "0", "1",
+        ),
         # per-arm funnel: the A/B conversion comparison (arm attributed
         # from the anchor event; here the deterministic user_id parity)
         "events_funnel_by": lambda s, d: events.funnel_steps_by(
@@ -1050,6 +1066,7 @@ def _q_multimodal(spark, sf_dir):
 
 
 def _datapipe_oracles() -> dict[str, str]:
+    from wrangler_spark.datapipe import events as _ev
     from wrangler_spark.datapipe import oracles as o
 
     return {
@@ -1194,6 +1211,11 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_retention": o.retention_cohorts_sql(1, 8),
         "events_retention_by": o.retention_cohorts_by_sql(1, 8),
         "events_retention_ab": o.retention_ab_sql(1, 8),
+        "events_srm": o.srm_sql(
+            {"0": 0.5, "1": 0.25, "2": 0.25},
+            crit=_ev.chi2_critical(2, "0.001"), arm_mod=3,
+        ),
+        "events_cuped": o.cuped_ab_sql("2024-01-16 00:00:00", arm_mod=2),
         "events_retention_forget": o.retention_cohorts_sql(
             1, 8, table="(SELECT * FROM events WHERE user_id % 17 <> 3) ev"
         ),
@@ -1544,12 +1566,21 @@ _R12_WINDOW = [
     # linkage family stays graded via the in-window entity_match_against,
     # which runs the same per-column blocking + candidate verify) for
     # the session engagement scorecard — new
-    "events_session_stats",
+    # r12 session 3: events_session_stats vacated (r11-green, unchanged;
+    # the scorecard aggregate stays graded via the in-window
+    # events_session_stats_by, which runs the same machinery plus the
+    # arm split) for the sample-ratio-mismatch gate — the experiment-
+    # health chi-square every A/B readout presumes, new this session
+    "events_srm",
     # r11 session 2: text_winnow_overlap vacated (long-green; the
     # output-bound pair family stays graded via the in-window
     # dedup_overlap_capped, which carries the r11 governor) for the
     # per-arm funnel — new
-    "events_funnel_by",
+    # r12 session 3: events_funnel_by vacated (r11-green, unchanged; the
+    # grouped funnel stays executed in-window via events_funnel_ab,
+    # which calls funnel_steps_by internally) for CUPED — the variance-
+    # reduced A/B readout (Deng et al., WSDM 2013), new this session
+    "events_cuped",
     # late r8 addition (vocab coverage cutoff) — dedup_ngram_word vacated
     # (green r1-r7 incl. post-rewrite r7; its only r8 change is the shared
     # eager_checkpoint mechanism, represented by many remaining entries)

@@ -110,6 +110,9 @@ EXTRA_QUERIES = [
     "events_ewma",                # EWMA control chart over the resample grid
     "events_hits",                # HITS hubs/authorities (two joins per round)
     "text_code_signals",          # code-vs-prose routing (scan-side regexes)
+    # Added round 12, session 3
+    "events_srm",                 # sample-ratio-mismatch chi-square gate
+    "events_cuped",               # CUPED variance-reduced A/B (one scan)
 ]
 
 

@@ -1,0 +1,210 @@
+"""Experiment-health statistics: sample-ratio mismatch (Fabijan et al.,
+KDD 2019) and CUPED variance reduction (Deng, Xu, Kohavi & Walker,
+WSDM 2013). Python references mirror the library's micro-integer +
+fixed-double-order arithmetic exactly."""
+
+import math
+
+import pytest
+
+from wrangler_spark.datapipe import events
+
+
+def test_chi2_critical_table_and_tail():
+    # published table constants
+    assert events.chi2_critical(1, "0.001") == 10.828
+    assert events.chi2_critical(2, "0.001") == 13.816
+    assert events.chi2_critical(1, "0.05") == 3.841
+    # Wilson-Hilferty tail beyond the table: monotone in df and close
+    # to the published df=30 values (0.001: 59.703, 0.05: 43.773)
+    assert abs(events.chi2_critical(30, "0.001") - 59.703) < 0.15
+    assert abs(events.chi2_critical(30, "0.05") - 43.773) < 0.02
+    assert events.chi2_critical(25, "0.01") < events.chi2_critical(26, "0.01")
+    with pytest.raises(ValueError, match="alpha"):
+        events.chi2_critical(3, "0.1")
+
+
+def test_srm_balanced_split_passes(spark):
+    rows = [(u, str(u % 3)) for u in range(300)]
+    df = spark.createDataFrame(rows, "u long, arm string")
+    got = {r["arm"]: r for r in events.srm_check(df, "u", "arm").collect()}
+    assert set(got) == {"0", "1", "2"}
+    for r in got.values():
+        assert r["users"] == 100 and r["expected_users"] == 100.0
+        assert r["chi2"] == 0.0 and r["df"] == 2 and r["srm"] is False
+
+
+def test_srm_detects_mismatch_and_counts_distinct(spark):
+    # 900 vs 100 units against a planned 50/50: chi2 = 2*(400^2/500) = 640
+    rows = [(u, "a") for u in range(900)] + [(u, "b") for u in range(900, 1000)]
+    rows += [(5, "a")] * 3  # duplicate exposures of one unit count once
+    df = spark.createDataFrame(rows, "u long, arm string")
+    got = {r["arm"]: r for r in events.srm_check(
+        df, "u", "arm", ratios={"a": 1.0, "b": 1.0}).collect()}
+    assert got["a"]["users"] == 900 and got["b"]["users"] == 100
+    assert got["a"]["expected_users"] == 500.0
+    assert got["a"]["chi2"] == 640.0 and got["a"]["df"] == 1
+    assert got["a"]["srm"] is True
+    assert got["a"]["ratio"] == 0.9 and got["a"]["expected_ratio"] == 0.5
+
+
+def test_srm_weighted_ratios_reference(spark):
+    # 60/40 observed against planned 75/25 over 200 units
+    rows = [(u, "a") for u in range(120)] + [(u, "b") for u in range(120, 200)]
+    df = spark.createDataFrame(rows, "u long, arm string")
+    got = {r["arm"]: r for r in events.srm_check(
+        df, "u", "arm", ratios={"a": 3.0, "b": 1.0}).collect()}
+    ea, eb = 200 * 0.75, 200 * 0.25
+    chi = round((120 - ea) ** 2 / ea + (80 - eb) ** 2 / eb, 6)
+    assert got["a"]["expected_users"] == 150.0
+    assert got["b"]["expected_users"] == 50.0
+    assert got["a"]["chi2"] == chi
+    assert got["a"]["srm"] == (chi > 10.828)
+
+
+def test_srm_validation(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "u long, arm string")
+    with pytest.raises(ValueError, match="at least two"):
+        events.srm_check(df.filter("arm = 'a'"), "u", "arm")
+    with pytest.raises(ValueError, match="absent from"):
+        events.srm_check(df, "u", "arm", ratios={"a": 1.0})
+    with pytest.raises(ValueError, match="weights must be > 0"):
+        events.srm_check(df, "u", "arm", ratios={"a": 1.0, "b": 0.0})
+    with pytest.raises(ValueError, match="max_arms"):
+        events.srm_check(df, "u", "arm", max_arms=1)
+    with pytest.raises(ValueError, match="alpha"):
+        events.srm_check(df, "u", "arm", alpha="0.1")
+
+
+def test_user_period_metrics_split_and_micros(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.1),
+            (1, "2024-01-05 00:00:00", 2.2),
+            (1, "2024-01-20 00:00:00", 4.4),
+            (2, "2024-01-25 00:00:00", 8.0),   # post-only user: pre = 0
+            (3, "2024-01-02 00:00:00", None),  # null metric filtered
+        ],
+        "u long, ts string, v double",
+    ).selectExpr("u", "cast(ts as timestamp) ts", "v")
+    got = {r["u"]: r for r in events.user_period_metrics(
+        df, "u", "ts", "v", "2024-01-16").collect()}
+    assert got[1]["pre"] == 3.3 and got[1]["post"] == 4.4
+    assert got[2]["pre"] == 0.0 and got[2]["post"] == 8.0
+    assert 3 not in got
+
+
+def _cuped_reference(units):
+    """Identical arithmetic to cuped_ab_test: micro-integer moments,
+    pooled theta, fixed double order, 6dp terminal rounding."""
+    def micros(v):
+        return round(v * 1e6)
+
+    arms = {"a": [], "b": []}
+    for arm, y, x in units:
+        arms[arm].append((micros(y), micros(x)))
+
+    def mom(rows):
+        n = len(rows)
+        sy = sum(y for y, _ in rows)
+        sx = sum(x for _, x in rows)
+        sxy = sum(x * y for y, x in rows)
+        sxx = sum(x * x for _, x in rows)
+        syy = sum(y * y for y, _ in rows)
+        return n, sy, sx, sxy, sxx, syy
+
+    na, sya, sxa, sxya, sxxa, syya = mom(arms["a"])
+    nb, syb, sxb, sxyb, sxxb, syyb = mom(arms["b"])
+    n, sy, sx = na + nb, sya + syb, sxa + sxb
+    sxy, sxx = sxya + sxyb, sxxa + sxxb
+    varp = float(n * sxx - sx * sx)
+    theta = float(n * sxy - sx * sy) / varp if varp > 0 else None
+    mean_x = sx / (n * 1e6)
+
+    def stats(nn, syt, sxt, sxyt, sxxt, syyt):
+        my = syt / (nn * 1e6)
+        mx = sxt / (nn * 1e6)
+        den = nn * (nn - 1) * 1e12
+        vy = (nn * syyt - syt * syt) / den
+        vx = (nn * sxxt - sxt * sxt) / den
+        cv = (nn * sxyt - sxt * syt) / den
+        if theta is not None:
+            ma = my - theta * (mx - mean_x)
+            va = vy - 2.0 * theta * cv + theta * theta * vx
+        else:
+            ma, va = my, vy
+        return my, ma, vy, va
+
+    mya, maa, vya, vaa = stats(na, sya, sxa, sxya, sxxa, syya)
+    myb, mab, vyb, vab = stats(nb, syb, sxb, sxyb, sxxb, syyb)
+    se = math.sqrt(vya / na + vyb / nb)
+    se_adj = math.sqrt(max(vaa, 0.0) / na + max(vab, 0.0) / nb)
+    return {
+        "theta": round(theta, 6) if theta is not None else None,
+        "mean_a": round(mya, 6), "mean_b": round(myb, 6),
+        "mean_a_adj": round(maa, 6), "mean_b_adj": round(mab, 6),
+        "diff_adj": round(maa - mab, 6),
+        "se": round(se, 6), "se_adj": round(se_adj, 6),
+        "z_adj": round((maa - mab) / se_adj, 6) if se_adj > 0 else None,
+        "var_reduction_a": round(1.0 - vaa / vya, 6) if vya > 0 else None,
+        "var_reduction_b": round(1.0 - vab / vyb, 6) if vyb > 0 else None,
+    }
+
+
+def test_cuped_reference_and_variance_reduction(spark):
+    # metric strongly correlated with the covariate: CUPED must shrink
+    # the variance (var_reduction ~ rho^2) without moving the diff far
+    units = []
+    for i in range(40):
+        x = 10.0 + (i % 7) * 2.5
+        units.append(("a", x * 1.5 + 3.0 + (i % 3) * 0.25, x))
+    for i in range(40):
+        x = 11.0 + (i % 7) * 2.5
+        units.append(("b", x * 1.5 + 4.0 + (i % 3) * 0.25, x))
+    df = spark.createDataFrame(units, "arm string, y double, x double")
+    got = events.cuped_ab_test(df, "arm", "y", "x", "a", "b").collect()[0]
+    ref = _cuped_reference(units)
+    for k, v in ref.items():
+        assert got[k] == v, (k, got[k], v)
+    assert got["users_a"] == 40 and got["users_b"] == 40
+    assert got["var_reduction_a"] > 0.9  # near-perfect covariate
+    assert got["se_adj"] < got["se"]
+    assert got["significant"] == (abs(got["z_adj"]) > 1.96)
+
+
+def test_cuped_constant_covariate_falls_back(spark):
+    units = [("a", float(i % 5), 7.0) for i in range(10)]
+    units += [("b", float(i % 4), 7.0) for i in range(10)]
+    df = spark.createDataFrame(units, "arm string, y double, x double")
+    got = events.cuped_ab_test(df, "arm", "y", "x", "a", "b").collect()[0]
+    assert got["theta"] is None
+    assert got["mean_a_adj"] == got["mean_a"]
+    assert got["z_adj"] == got["z"]
+    assert got["var_reduction_a"] == 0.0
+
+
+def test_cuped_ignores_other_arms_and_nulls(spark):
+    units = [("a", 1.0, 2.0), ("b", 3.0, 4.0), ("c", 9.0, 9.0),
+             ("a", None, 2.0), ("b", 3.0, None), ("a", 5.0, 6.0),
+             ("b", 7.0, 8.0)]
+    df = spark.createDataFrame(units, "arm string, y double, x double")
+    got = events.cuped_ab_test(df, "arm", "y", "x", "a", "b").collect()[0]
+    assert got["users_a"] == 2 and got["users_b"] == 2
+
+
+def test_srm_and_cuped_directives(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    exp = spark.createDataFrame(
+        [(u, str(u % 2)) for u in range(40)], "unit long, arm string")
+    out = Pipeline.compile(
+        "srm-check :unit :arm '0:1,1:1' '0.05'").apply(exp)
+    assert {r["arm"] for r in out.collect()} == {"0", "1"}
+
+    units = spark.createDataFrame(
+        [("a", 2.0, 1.0), ("a", 4.0, 3.0), ("b", 3.0, 2.0),
+         ("b", 5.0, 4.0)],
+        "arm string, y double, x double")
+    out = Pipeline.compile("cuped-ab :arm :y :x 'a' 'b'").apply(units)
+    row = out.collect()[0]
+    assert row["users_a"] == 2 and row["users_b"] == 2

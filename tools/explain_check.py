@@ -636,6 +636,26 @@ def main() -> int:
                       "BatchEvalPython", "ArrowEvalPython"],
         )
 
+    # r12 session 3: SRM is one countDistinct aggregate + arm-sized
+    # broadcasts (the crossJoins carry 1-row frames — the sanctioned
+    # shape); CUPED is ONE conditional-moment scan into a 1-row result
+    # with no join at all
+    p = plan_of(qs["events_srm"](spark, SF_DIR))
+    problems += check(
+        "events_srm", p,
+        must=["HashAggregate", "BroadcastNestedLoopJoin"],
+        must_not=["Window", "SortMergeJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+    p = plan_of(qs["events_cuped"](spark, SF_DIR))
+    problems += check(
+        "events_cuped", p,
+        must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct", "SortMergeJoin",
+                  "BroadcastHashJoin", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+
     if problems:
         print("PLAN PROBLEMS:")
         for pr_ in problems:

@@ -2298,3 +2298,296 @@ def retention_ab_test(
     w = j.crossJoin(F.broadcast(n1))  # 1-row denominators
     return w.filter(F.col("period_offset") > 0).select(
         "period_offset", *_two_proportion_cols())
+
+
+# ---------------------------------------------------------------------------
+# Experiment health: sample-ratio mismatch + CUPED variance reduction
+# ---------------------------------------------------------------------------
+
+# Upper-tail chi-square critical values (Pearson 1900), df 1..20 — the
+# standard published table constants. SRM convention alarms at 0.001
+# (Fabijan et al., "Diagnosing Sample Ratio Mismatch", KDD 2019): an
+# experimenter NEVER wants a 1-in-20 false SRM page.
+_CHI2_CRIT = {
+    "0.05": [3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507,
+             16.919, 18.307, 19.675, 21.026, 22.362, 23.685, 24.996,
+             26.296, 27.587, 28.869, 30.144, 31.410],
+    "0.01": [6.635, 9.210, 11.345, 13.277, 15.086, 16.812, 18.475, 20.090,
+             21.666, 23.209, 24.725, 26.217, 27.688, 29.141, 30.578,
+             31.999, 33.409, 34.805, 36.191, 37.566],
+    "0.001": [10.828, 13.816, 16.266, 18.467, 20.515, 22.458, 24.322,
+              26.124, 27.877, 29.588, 31.264, 32.909, 34.528, 36.123,
+              37.697, 39.252, 40.790, 42.312, 43.820, 45.315],
+}
+
+
+def chi2_critical(df_: int, alpha: str = "0.001") -> float:
+    """Chi-square upper-tail critical value for ``df_`` degrees of
+    freedom: the published table for df <= 20, the Wilson-Hilferty
+    cube approximation (PNAS 1931) beyond — a plain float both the
+    Spark op and its DuckDB oracle embed as the SAME literal, so the
+    threshold can never diverge between engines."""
+    if alpha not in _CHI2_CRIT:
+        raise ValueError(
+            f"alpha must be one of {sorted(_CHI2_CRIT)}, got {alpha!r}")
+    tab = _CHI2_CRIT[alpha]
+    if 1 <= df_ <= len(tab):
+        return tab[df_ - 1]
+    z = {"0.05": 1.6449, "0.01": 2.3263, "0.001": 3.0902}[alpha]
+    k = float(df_)
+    return k * (1.0 - 2.0 / (9.0 * k) + z * (2.0 / (9.0 * k)) ** 0.5) ** 3
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    ratios: dict[str, float] | None = None,
+    alpha: str = "0.001",
+    max_arms: int = 1000,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment-health gate that
+    must pass BEFORE any A/B readout is believed (Fabijan et al., KDD
+    2019: a biased split invalidates funnel_ab_test/retention_ab_test
+    no matter how significant they look). Counts DISTINCT units per
+    arm (an exposure event counted twice is itself an SRM smell),
+    compares against ``ratios`` (arm -> expected weight; default =
+    equal split over the observed arms), and grades Pearson's chi-2
+    sum((o-e)^2/e) against the published critical value at ``alpha``
+    (default 0.001, the SRM paging convention) with df = arms - 1.
+
+    Returns one row per arm: (arm, users, expected_users, ratio,
+    expected_ratio, chi2, df, srm) — the scalars repeated per row so
+    the frame is self-contained. All ratios are integer/double in one
+    fixed operation order, rounded 6dp terminally.
+
+    Scale shape: ONE countDistinct aggregate over the exposure log is
+    the only data-sized shuffle; everything after runs on the
+    arm-count-sized frame (guarded by ``max_arms``) with 1-row
+    broadcast totals. The arm list is collected once off the
+    checkpointed aggregate (the sanctioned bounded meta-read) to
+    validate ``ratios`` coverage — an arm in the data with no
+    expected weight raises instead of silently vanishing from the
+    test exactly when its presence IS the mismatch."""
+    unit, arm = F.col(unit_col), F.col(arm_col)
+    cnt = (
+        df.filter(unit.isNotNull() & arm.isNotNull())
+        .groupBy(arm.cast("string").alias("arm"))
+        .agg(F.countDistinct(unit).cast("long").alias("users"))
+    )
+    cnt = eager_checkpoint(cnt)
+    observed = [r["arm"] for r in cnt.select("arm").collect()]
+    if len(observed) > max_arms:
+        raise ValueError(
+            f"srm_check: {len(observed)} arms (max_arms={max_arms}) — "
+            "the arm column looks like a unit id, not an assignment")
+    if len(observed) < 2:
+        raise ValueError("srm_check needs at least two observed arms")
+    if ratios is None:
+        ratios = {a: 1.0 for a in observed}
+    else:
+        ratios = {str(a): float(w) for a, w in ratios.items()}
+        if any(w <= 0 for w in ratios.values()):
+            raise ValueError("srm_check: expected weights must be > 0")
+        missing = sorted(set(observed) - set(ratios))
+        if missing:
+            raise ValueError(
+                f"srm_check: arms {missing} observed but absent from "
+                "ratios — an unplanned arm is itself a mismatch")
+    sw = float(sum(ratios.values()))
+    spark = df.sparkSession
+    exp = spark.createDataFrame(
+        [(a, float(w)) for a, w in sorted(ratios.items())],
+        "arm string, w double")
+    tot = cnt.agg(F.sum("users").cast("long").alias("n"))
+    j = (
+        cnt.join(F.broadcast(exp), "arm", "inner")
+        .crossJoin(F.broadcast(tot))  # 1-row total
+    )
+    e = F.col("n") * (F.col("w") / F.lit(sw))
+    comp = (F.col("users") - e) * (F.col("users") - e) / e
+    staged = j.select(
+        "arm", "users", "n",
+        F.round(e, 6).alias("expected_users"),
+        F.round(F.col("users") / F.col("n"), 6).alias("ratio"),
+        F.round(F.col("w") / F.lit(sw), 6).alias("expected_ratio"),
+        comp.alias("__comp"),
+    )
+    # fold the per-arm components in arm order: a plain SUM of doubles
+    # is accumulation-order-dependent; the sorted fold is one fixed
+    # IEEE order shared with the oracle's list_reduce
+    chi = staged.agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("arm"), F.col("__comp").alias("c")))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ),
+            6,
+        ).alias("chi2"))
+    dof = len(ratios) - 1
+    crit = chi2_critical(dof, alpha)
+    return (
+        staged.drop("__comp", "n")
+        .crossJoin(F.broadcast(chi))  # 1-row statistic
+        .select(
+            "arm", "users", "expected_users", "ratio", "expected_ratio",
+            "chi2", F.lit(dof).cast("int").alias("df"),
+            (F.col("chi2") > F.lit(crit)).alias("srm"),
+        )
+    )
+
+
+def user_period_metrics(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    split_ts: str,
+) -> DataFrame:
+    """Per-user pre/post period metric pair — the CUPED input builder:
+    ``pre`` = the user's value sum strictly before ``split_ts`` (the
+    pre-experiment covariate), ``post`` = the sum at/after it (the
+    experiment metric). Users active in only one period keep a 0.0 in
+    the other (a user with no pre-period signal is still a unit).
+
+    ONE hash aggregate keyed on the user column — the same shuffle
+    every downstream per-user join reuses. Sums accumulate as integer
+    micro-units (exact, order-independent across engines) and convert
+    to doubles once, so the CUPED moments downstream see deterministic
+    inputs."""
+    u, t = F.col(user_col), F.col(ts_col)
+    mv = F.round(F.col(value_col).cast("double") * F.lit(1e6)).cast("long")
+    split = F.to_timestamp(F.lit(split_ts))
+    pre = F.sum(F.when(t.cast("timestamp") < split, mv).otherwise(F.lit(0)))
+    post = F.sum(F.when(t.cast("timestamp") >= split, mv).otherwise(F.lit(0)))
+    return (
+        df.filter(u.isNotNull() & t.isNotNull()
+                  & F.col(value_col).isNotNull())
+        .groupBy(u.alias(user_col))
+        .agg(
+            F.round(pre / F.lit(1e6), 6).alias("pre"),
+            F.round(post / F.lit(1e6), 6).alias("post"),
+        )
+    )
+
+
+def cuped_ab_test(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    covariate_col: str,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """CUPED-adjusted two-arm comparison (Deng, Xu, Kohavi & Walker,
+    WSDM 2013): on a per-unit frame (one row per unit: arm, metric Y,
+    pre-experiment covariate X), fit theta = cov(X,Y)/var(X) on the
+    POOLED two-arm data (randomization makes X independent of
+    assignment, so pooling is unbiased), adjust Y' = Y - theta*(X -
+    mean(X)), and z-test both the raw and the adjusted means. The
+    adjusted test needs up to 1/(1-rho^2) FEWER units for the same
+    power — the variance-reduction readout var_reduction quantifies
+    exactly that.
+
+    Returns ONE row: (users_a, users_b, theta, mean_a, mean_b,
+    mean_a_adj, mean_b_adj, diff, diff_adj, se, se_adj, z, z_adj,
+    var_reduction_a, var_reduction_b, significant) — significant
+    grades |z_adj| > 1.96 (alpha = 0.05 two-sided). A constant
+    covariate (var X = 0) yields theta NULL and the adjusted columns
+    fall back to the raw ones (CUPED has nothing to remove).
+
+    Determinism: every moment (sums of Y, X, XY, XX, YY per arm)
+    accumulates as micro-unit integers in decimal(38,0) — the
+    corr_matrix overflow posture — via ONE conditional-aggregation
+    pass (no join, no second scan); the double arithmetic after is
+    one fixed operation order shared with the DuckDB oracle, rounded
+    6dp terminally. Scale shape: a single scan of the unit frame into
+    a 1-row result."""
+    a, b = str(arm_a), str(arm_b)
+    arm = F.col(arm_col).cast("string")
+    y = F.round(F.col(metric_col).cast("double") * F.lit(1e6)).cast("long")
+    x = (F.round(F.col(covariate_col).cast("double") * F.lit(1e6))
+         .cast("long"))
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+
+    def arm_moments(tag: str, cond) -> list:
+        w = lambda c: F.when(cond, c)  # noqa: E731
+        return [
+            F.count(w(F.lit(1))).cast("long").alias(f"n_{tag}"),
+            F.sum(w(y).cast("decimal(38,0)")).alias(f"sy_{tag}"),
+            F.sum(w(x).cast("decimal(38,0)")).alias(f"sx_{tag}"),
+            F.sum(w((dec(x) * dec(y)).cast("decimal(38,0)")))
+            .alias(f"sxy_{tag}"),
+            F.sum(w((dec(x) * dec(x)).cast("decimal(38,0)")))
+            .alias(f"sxx_{tag}"),
+            F.sum(w((dec(y) * dec(y)).cast("decimal(38,0)")))
+            .alias(f"syy_{tag}"),
+        ]
+
+    base = df.filter(
+        arm.isin(a, b)
+        & F.col(metric_col).isNotNull() & F.col(covariate_col).isNotNull()
+    )
+    m = base.agg(*arm_moments("a", arm == a), *arm_moments("b", arm == b))
+
+    D = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    sy = D(F.col("sy_a") + F.col("sy_b"))
+    sx = D(F.col("sx_a") + F.col("sx_b"))
+    sxy = D(F.col("sxy_a") + F.col("sxy_b"))
+    sxx = D(F.col("sxx_a") + F.col("sxx_b"))
+    # pooled theta: the micro^2 factors cancel in the ratio
+    covp = (D(n) * sxy - sx * sy).cast("double")
+    varp = (D(n) * sxx - sx * sx).cast("double")
+    theta = F.when(varp > 0, covp / varp)
+    mean_x = sx.cast("double") / (n.cast("double") * F.lit(1e6))
+
+    def arm_stats(tag: str):
+        nn = F.col(f"n_{tag}")
+        syt, sxt = D(F.col(f"sy_{tag}")), D(F.col(f"sx_{tag}"))
+        sxyt = D(F.col(f"sxy_{tag}"))
+        sxxt = D(F.col(f"sxx_{tag}"))
+        syyt = D(F.col(f"syy_{tag}"))
+        mean_y = syt.cast("double") / (nn.cast("double") * F.lit(1e6))
+        mean_xa = sxt.cast("double") / (nn.cast("double") * F.lit(1e6))
+        denom = (nn * (nn - 1)).cast("double") * F.lit(1e12)
+        var_y = (D(nn) * syyt - syt * syt).cast("double") / denom
+        var_x = (D(nn) * sxxt - sxt * sxt).cast("double") / denom
+        cov = (D(nn) * sxyt - sxt * syt).cast("double") / denom
+        mean_adj = F.when(
+            theta.isNotNull(), mean_y - theta * (mean_xa - mean_x)
+        ).otherwise(mean_y)
+        var_adj = F.when(
+            theta.isNotNull(),
+            var_y - F.lit(2.0) * theta * cov + theta * theta * var_x,
+        ).otherwise(var_y)
+        return mean_y, mean_adj, var_y, var_adj
+
+    mya, maa, vya, vaa = arm_stats("a")
+    myb, mab, vyb, vab = arm_stats("b")
+    se = F.sqrt(vya / n_a + vyb / n_b)
+    se_adj = F.sqrt(
+        F.greatest(vaa, F.lit(0.0)) / n_a
+        + F.greatest(vab, F.lit(0.0)) / n_b)
+    z = F.when(se > 0, F.round((mya - myb) / se, 6))
+    z_adj = F.when(se_adj > 0, F.round((maa - mab) / se_adj, 6))
+    return m.select(
+        n_a.alias("users_a"), n_b.alias("users_b"),
+        F.round(theta, 6).cast("double").alias("theta"),
+        F.round(mya, 6).alias("mean_a"), F.round(myb, 6).alias("mean_b"),
+        F.round(maa, 6).alias("mean_a_adj"),
+        F.round(mab, 6).alias("mean_b_adj"),
+        F.round(mya - myb, 6).alias("diff"),
+        F.round(maa - mab, 6).alias("diff_adj"),
+        F.round(se, 6).alias("se"), F.round(se_adj, 6).alias("se_adj"),
+        z.cast("double").alias("z"), z_adj.cast("double").alias("z_adj"),
+        F.when(vya > 0, F.round(F.lit(1.0) - vaa / vya, 6))
+        .cast("double").alias("var_reduction_a"),
+        F.when(vyb > 0, F.round(F.lit(1.0) - vab / vyb, 6))
+        .cast("double").alias("var_reduction_b"),
+        F.when(z_adj.isNotNull(), F.abs(z_adj) > F.lit(1.96))
+        .alias("significant"),
+    )

@@ -4068,3 +4068,160 @@ SELECT a.g AS arm,
        round(CAST(a.n AS DOUBLE) / s.sz, 6) AS retention
 FROM a JOIN s ON a.g = s.g AND a.cb = s.cb
 """
+
+
+def srm_sql(
+    ratios: dict[str, float],
+    crit: float,
+    arm_mod: int = 3,
+    table: str = "events",
+) -> str:
+    """Mirror of events.srm_check with arm = user_id % arm_mod cast to
+    string: distinct units per arm, expected = n * (w / sum_w), per-arm
+    chi-2 components folded in arm order (list_reduce — the same fixed
+    IEEE accumulation order as Spark's sorted-array fold), graded
+    against the SAME embedded critical value."""
+    sw = float(sum(ratios.values()))
+    dof = len(ratios) - 1
+    vals = " UNION ALL ".join(
+        f"SELECT '{a}' AS arm, CAST({float(w)!r} AS DOUBLE) AS w"
+        for a, w in sorted(ratios.items()))
+    return f"""
+WITH cnt AS (
+  SELECT CAST(user_id % {arm_mod} AS VARCHAR) AS arm,
+         count(DISTINCT user_id) AS users
+  FROM {table} WHERE user_id IS NOT NULL GROUP BY 1),
+exp AS ({vals}),
+tot AS (SELECT sum(users) AS n FROM cnt),
+staged AS (
+  SELECT cnt.arm, cnt.users, tot.n,
+         round(CAST(tot.n AS DOUBLE) * (exp.w / {sw!r}), 6)
+           AS expected_users,
+         round(CAST(cnt.users AS DOUBLE) / tot.n, 6) AS ratio,
+         round(exp.w / {sw!r}, 6) AS expected_ratio,
+         (cnt.users - CAST(tot.n AS DOUBLE) * (exp.w / {sw!r}))
+           * (cnt.users - CAST(tot.n AS DOUBLE) * (exp.w / {sw!r}))
+           / (CAST(tot.n AS DOUBLE) * (exp.w / {sw!r})) AS comp
+  FROM cnt JOIN exp USING (arm) CROSS JOIN tot),
+chi AS (SELECT round(list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                              list(comp ORDER BY arm)),
+                 (a, b) -> a + b), 6) AS chi2
+        FROM staged)
+SELECT staged.arm, CAST(staged.users AS BIGINT) AS users,
+       staged.expected_users, staged.ratio, staged.expected_ratio,
+       chi.chi2, CAST({dof} AS INT) AS df,
+       (chi.chi2 > {crit!r}) AS srm
+FROM staged CROSS JOIN chi
+"""
+
+
+def cuped_ab_sql(
+    split_ts: str,
+    arm_mod: int = 2,
+    table: str = "events",
+) -> str:
+    """Mirror of events.user_period_metrics -> events.cuped_ab_test
+    with arm = user_id % arm_mod (arms '0' vs '1'): per-user pre/post
+    micro-integer sums rounded back to 6dp doubles, re-micronized,
+    HUGEINT moment sums per arm in ONE pass, then the identical fixed
+    double order for theta / adjusted means / variances / z."""
+    return f"""
+WITH m AS (
+  SELECT user_id,
+         round(sum(CASE WHEN ts < TIMESTAMP '{split_ts}'
+                   THEN CAST(round(value * 1000000, 0) AS BIGINT)
+                   ELSE 0 END) / 1000000.0, 6) AS pre,
+         round(sum(CASE WHEN ts >= TIMESTAMP '{split_ts}'
+                   THEN CAST(round(value * 1000000, 0) AS BIGINT)
+                   ELSE 0 END) / 1000000.0, 6) AS post
+  FROM {table}
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id),
+u AS (
+  SELECT CAST(user_id % {arm_mod} AS VARCHAR) AS arm,
+         CAST(round(post * 1000000, 0) AS BIGINT) AS y,
+         CAST(round(pre * 1000000, 0) AS BIGINT) AS x
+  FROM m WHERE CAST(user_id % {arm_mod} AS VARCHAR) IN ('0', '1')),
+mo AS (
+  SELECT
+    count(CASE WHEN arm = '0' THEN 1 END) AS n_a,
+    sum(CASE WHEN arm = '0' THEN CAST(y AS HUGEINT) END) AS sy_a,
+    sum(CASE WHEN arm = '0' THEN CAST(x AS HUGEINT) END) AS sx_a,
+    sum(CASE WHEN arm = '0' THEN CAST(x AS HUGEINT) * y END) AS sxy_a,
+    sum(CASE WHEN arm = '0' THEN CAST(x AS HUGEINT) * x END) AS sxx_a,
+    sum(CASE WHEN arm = '0' THEN CAST(y AS HUGEINT) * y END) AS syy_a,
+    count(CASE WHEN arm = '1' THEN 1 END) AS n_b,
+    sum(CASE WHEN arm = '1' THEN CAST(y AS HUGEINT) END) AS sy_b,
+    sum(CASE WHEN arm = '1' THEN CAST(x AS HUGEINT) END) AS sx_b,
+    sum(CASE WHEN arm = '1' THEN CAST(x AS HUGEINT) * y END) AS sxy_b,
+    sum(CASE WHEN arm = '1' THEN CAST(x AS HUGEINT) * x END) AS sxx_b,
+    sum(CASE WHEN arm = '1' THEN CAST(y AS HUGEINT) * y END) AS syy_b
+  FROM u),
+c AS (
+  SELECT *,
+    n_a + n_b AS n,
+    sy_a + sy_b AS sy, sx_a + sx_b AS sx,
+    sxy_a + sxy_b AS sxy, sxx_a + sxx_b AS sxx
+  FROM mo),
+th AS (
+  SELECT *,
+    CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+         THEN CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+    CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean_x
+  FROM c),
+st AS (
+  SELECT *,
+    CAST(sy_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1000000.0) AS mya,
+    CAST(sx_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1000000.0) AS mxa,
+    CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE)
+      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS vya,
+    CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE)
+      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS vxa,
+    CAST(n_a * sxy_a - sx_a * sy_a AS DOUBLE)
+      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS cva,
+    CAST(sy_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0) AS myb,
+    CAST(sx_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0) AS mxb,
+    CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE)
+      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS vyb,
+    CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE)
+      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS vxb,
+    CAST(n_b * sxy_b - sx_b * sy_b AS DOUBLE)
+      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS cvb
+  FROM th),
+adj AS (
+  SELECT *,
+    CASE WHEN theta IS NOT NULL
+         THEN mya - theta * (mxa - mean_x) ELSE mya END AS maa,
+    CASE WHEN theta IS NOT NULL
+         THEN myb - theta * (mxb - mean_x) ELSE myb END AS mab,
+    CASE WHEN theta IS NOT NULL
+         THEN vya - 2.0 * theta * cva + theta * theta * vxa
+         ELSE vya END AS vaa,
+    CASE WHEN theta IS NOT NULL
+         THEN vyb - 2.0 * theta * cvb + theta * theta * vxb
+         ELSE vyb END AS vab
+  FROM st),
+fin AS (
+  SELECT *,
+    sqrt(vya / n_a + vyb / n_b) AS se,
+    sqrt(greatest(vaa, 0.0) / n_a + greatest(vab, 0.0) / n_b) AS se_adj
+  FROM adj)
+SELECT
+  CAST(n_a AS BIGINT) AS users_a, CAST(n_b AS BIGINT) AS users_b,
+  round(theta, 6) AS theta,
+  round(mya, 6) AS mean_a, round(myb, 6) AS mean_b,
+  round(maa, 6) AS mean_a_adj, round(mab, 6) AS mean_b_adj,
+  round(mya - myb, 6) AS diff, round(maa - mab, 6) AS diff_adj,
+  round(se, 6) AS se, round(se_adj, 6) AS se_adj,
+  CASE WHEN se > 0 THEN round((mya - myb) / se, 6) END AS z,
+  CASE WHEN se_adj > 0 THEN round((maa - mab) / se_adj, 6) END AS z_adj,
+  CASE WHEN vya > 0 THEN round(1.0 - vaa / vya, 6) END
+    AS var_reduction_a,
+  CASE WHEN vyb > 0 THEN round(1.0 - vab / vyb, 6) END
+    AS var_reduction_b,
+  CASE WHEN se_adj > 0
+       THEN abs(round((maa - mab) / se_adj, 6)) > 1.96 END AS significant
+FROM fin
+"""

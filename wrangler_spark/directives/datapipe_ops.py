@@ -2205,3 +2205,61 @@ class GraphSummary(Directive):
             df, ctx.resolve(df, self.args["src"]),
             ctx.resolve(df, self.args["dst"]),
         )
+
+
+@directive
+class SrmCheck(Directive):
+    """srm-check :unit :arm ['arm:w,arm:w'] [alpha] — sample-ratio-
+    mismatch gate (Pearson chi-square on distinct units per arm vs the
+    planned split; default equal). The experiment-health check every
+    A/B readout presumes."""
+
+    name = "srm-check"
+    usage = [
+        Arg("unit", TokenType.COLUMN),
+        Arg("arm", TokenType.COLUMN),
+        Arg("ratios", TokenType.TEXT, optional=True),
+        Arg("alpha", TokenType.TEXT, optional=True, default="0.001"),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import srm_check
+
+        spec = self.args.value("ratios")
+        ratios = None
+        if spec:
+            ratios = {}
+            for part in str(spec).split(","):
+                k, _, w = part.strip().rpartition(":")
+                ratios[k.strip()] = float(w)
+        return srm_check(
+            df, ctx.resolve(df, self.args["unit"]),
+            ctx.resolve(df, self.args["arm"]),
+            ratios=ratios, alpha=str(self.args["alpha"]),
+        )
+
+
+@directive
+class CupedAb(Directive):
+    """cuped-ab :arm :metric :covariate 'a' 'b' — CUPED variance-
+    reduced two-arm z-test on a per-unit frame (Deng et al., WSDM
+    2013): theta fit pooled, both raw and adjusted readouts."""
+
+    name = "cuped-ab"
+    usage = [
+        Arg("arm", TokenType.COLUMN),
+        Arg("metric", TokenType.COLUMN),
+        Arg("covariate", TokenType.COLUMN),
+        Arg("a", TokenType.TEXT),
+        Arg("b", TokenType.TEXT),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import cuped_ab_test
+
+        return cuped_ab_test(
+            df, ctx.resolve(df, self.args["arm"]),
+            ctx.resolve(df, self.args["metric"]),
+            ctx.resolve(df, self.args["covariate"]),
+            str(self.args["a"]), str(self.args["b"]),
+        )
