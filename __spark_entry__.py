@@ -871,6 +871,18 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "lineitem"),
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         ),
+        # chi-square independence + Cramér's V: the categorical
+        # association screen (feature selection / leakage check) —
+        # observed-cells-only closed form, sorted fold
+        "num_chi2_indep": lambda s, d: numeric.chi_square_independence(
+            _t(s, d, "orders"), "o_orderstatus", "o_orderpriority",
+        ),
+        # Cohen's kappa: does the heuristic language classifier agree
+        # with gold beyond chance — the labeling-QA readout
+        "text_langid_kappa": lambda s, d: numeric.cohens_kappa(
+            Pipeline.compile("langid :text").apply(docs(s, d)),
+            "lang", "lang_pred",
+        ),
         # two-sample KS drift off the same log-bin space — the
         # nonparametric one-number companion to the PSI bins; runs on
         # histograms, so it also compares TIME-TRAVELED state snapshots
@@ -1247,6 +1259,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_ks_drift": o.ks_drift_sql(),
         "num_impute": o.impute_sql(),
         "num_corr_matrix": o.corr_matrix_sql(),
+        "num_chi2_indep": o.chi2_indep_sql(),
+        "text_langid_kappa": o.kappa_langid_sql(),
         "text_js_drift": o.js_divergence_sql(),
         "events_seasonality": o.seasonality_sql(),
         "events_cusum": o.cusum_sql(0.5, 5.0, 60),
@@ -1536,7 +1550,12 @@ _R12_WINDOW = [
     # scan-side text-stats family stays graded via the in-window
     # text_repetition / text_ngram_rep / text_rep_filter) for the
     # Deequ-posture one-pass data-quality gate — new this round
-    "dq_constraints",
+    # r12 session 3: dq_constraints vacated (r11-green, unchanged; the
+    # one-pass rule grader stays executed in-window — dq_suggest's
+    # closed loop ends in the same check_constraints pass, and
+    # dq_constraints_state reconstructs its counts) for the chi-square
+    # independence + Cramér's V categorical screen — new this session
+    "num_chi2_indep",
     # r11 session 2: num_winsorize_by vacated (r9-green, unchanged; the
     # grouped numeric join path stays graded via num_mad_by +
     # num_qbins_by in-window) for the constraints-state reconstruction —
@@ -1551,7 +1570,12 @@ _R12_WINDOW = [
     # log-odds labeler via text_group_terms_weighted) for per-doc
     # TF-IDF keywords — the same slice machinery at corpus-cardinality
     # groups, new
-    "text_doc_keywords",
+    # r12 session 3: text_doc_keywords vacated (r11-green, unchanged;
+    # the per-group top-k slice machinery stays graded via the
+    # in-window text_group_terms_weighted) for Cohen's kappa over the
+    # langid-vs-gold contingency — the labeling-QA readout, new this
+    # session
+    "text_langid_kappa",
     # r11 session 2: corpus_drift vacated (green r8-r10, unchanged; the
     # drift family is now graded via the in-window num_ks_drift +
     # text_js_drift, which cover the numeric and text axes) for the

@@ -113,6 +113,8 @@ EXTRA_QUERIES = [
     # Added round 12, session 3
     "events_srm",                 # sample-ratio-mismatch chi-square gate
     "events_cuped",               # CUPED variance-reduced A/B (one scan)
+    "num_chi2_indep",             # categorical association screen
+    "text_langid_kappa",          # labeling-QA agreement (langid vs gold)
 ]
 
 

@@ -208,3 +208,102 @@ def test_srm_and_cuped_directives(spark):
     out = Pipeline.compile("cuped-ab :arm :y :x 'a' 'b'").apply(units)
     row = out.collect()[0]
     assert row["users_a"] == 2 and row["users_b"] == 2
+
+
+def test_chi2_independence_reference(spark):
+    from wrangler_spark.datapipe import numeric
+
+    # classic 2x2: [[20, 30], [30, 20]] -> chi2 = n(ad-bc)^2/(r1 r2 c1 c2)
+    rows = ([("x", "p")] * 20 + [("x", "q")] * 30
+            + [("y", "p")] * 30 + [("y", "q")] * 20)
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = numeric.chi_square_independence(df, "a", "b").collect()[0]
+    n = 100
+    exp = n * (20 * 20 - 30 * 30) ** 2 / (50 * 50 * 50 * 50)
+    assert got["n"] == n and got["dof"] == 1
+    assert got["levels_a"] == 2 and got["levels_b"] == 2
+    assert abs(got["chi2"] - exp) < 1e-6
+    assert abs(got["cramers_v"] - (exp / n) ** 0.5) < 1e-6
+
+
+def test_chi2_independence_zero_cell_and_nulls(spark):
+    from wrangler_spark.datapipe import numeric
+
+    # (y, q) never observed but has positive margins: the closed form
+    # must still charge its expected count; NULL is a real level
+    rows = [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5
+    rows += [(None, "p")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = numeric.chi_square_independence(df, "a", "b").collect()[0]
+    assert got["levels_a"] == 3 and got["levels_b"] == 2
+    # python reference over the FULL grid (zero cells included)
+    import itertools
+
+    obs = {("x", "p"): 5, ("x", "q"): 5, ("y", "p"): 5, ("∅", "p"): 5}
+    ra = {"x": 10, "y": 5, "∅": 5}
+    cb = {"p": 15, "q": 5}
+    n = 20
+    chi = sum(
+        (obs.get((i, j), 0) - ra[i] * cb[j] / n) ** 2 / (ra[i] * cb[j] / n)
+        for i, j in itertools.product(ra, cb))
+    assert abs(got["chi2"] - chi) < 1e-6
+    with pytest.raises(ValueError, match="max_cells"):
+        numeric.chi_square_independence(df, "a", "b", max_cells=2)
+
+
+def test_chi2_perfect_independence(spark):
+    from wrangler_spark.datapipe import numeric
+
+    rows = [(a, b) for a in "xy" for b in "pq" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = numeric.chi_square_independence(df, "a", "b").collect()[0]
+    assert got["chi2"] == 0.0 and got["cramers_v"] == 0.0
+
+
+def test_cohens_kappa_textbook(spark):
+    from wrangler_spark.datapipe import numeric
+
+    # Cohen's own shape: diag 45, off-diag [[45,15],[25,15]] over 100
+    rows = ([("yes", "yes")] * 45 + [("yes", "no")] * 15
+            + [("no", "yes")] * 25 + [("no", "no")] * 15)
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = numeric.cohens_kappa(df, "a", "b").collect()[0]
+    po = 0.60
+    pe = (60 * 70 + 40 * 30) / 100 / 100  # 0.54
+    kap = round((po - pe) / (1 - pe), 6)
+    assert got["po"] == po and got["pe"] == pe
+    assert got["kappa"] == kap
+    assert got["agreement"] == "slight"  # 0.130435
+
+
+def test_cohens_kappa_edges(spark):
+    from wrangler_spark.datapipe import numeric
+
+    # perfect agreement over >1 class: kappa = 1, almost_perfect
+    rows = [("a", "a")] * 5 + [("b", "b")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = numeric.cohens_kappa(df, "a", "b").collect()[0]
+    assert got["kappa"] == 1.0 and got["agreement"] == "almost_perfect"
+
+    # both raters constant and equal: pe = 1 -> undefined, NULL
+    df = spark.createDataFrame([("a", "a")] * 5, "a string, b string")
+    got = numeric.cohens_kappa(df, "a", "b").collect()[0]
+    assert got["kappa"] is None and got["agreement"] is None
+
+    # disjoint label sets: po = 0, kappa < 0 -> poor
+    rows = [("a", "b")] * 5 + [("b", "a")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = numeric.cohens_kappa(df, "a", "b").collect()[0]
+    assert got["po"] == 0.0 and got["kappa"] < 0
+    assert got["agreement"] == "poor"
+
+
+def test_chi2_and_kappa_directives(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("x", "p")] * 6 + [("y", "q")] * 6, "a string, b string")
+    out = Pipeline.compile("chi2-independence :a :b").apply(df)
+    assert out.collect()[0]["dof"] == 1
+    out = Pipeline.compile("cohens-kappa :a :b").apply(df)
+    assert out.collect()[0]["po"] == 0.0

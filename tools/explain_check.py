@@ -647,6 +647,17 @@ def main() -> int:
         must_not=["Window", "SortMergeJoin",
                   "BatchEvalPython", "ArrowEvalPython"],
     )
+    # chi2/kappa: one groupBy(a,b) count; margins re-aggregated off the
+    # checkpointed cell frame with broadcast joins back — no data-sized
+    # second shuffle, no windows
+    for gq in ("num_chi2_indep", "text_langid_kappa"):
+        p = plan_of(qs[gq](spark, SF_DIR))
+        problems += check(
+            gq, p,
+            must=["HashAggregate"],
+            must_not=["Window", "CartesianProduct", "SortMergeJoin",
+                      "BatchEvalPython", "ArrowEvalPython"],
+        )
     p = plan_of(qs["events_cuped"](spark, SF_DIR))
     problems += check(
         "events_cuped", p,

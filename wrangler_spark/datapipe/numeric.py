@@ -889,3 +889,176 @@ def calibration_summary(
             ).alias("brier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Categorical association: chi-square independence, Cramér's V, Cohen's kappa
+# ---------------------------------------------------------------------------
+
+
+def _contingency(
+    df: DataFrame, col_a: str, col_b: str, max_cells: int, who: str,
+) -> DataFrame:
+    """Shared contingency machinery: ONE groupBy(a, b) count — the only
+    data-sized shuffle — checkpointed (every margin/statistic below
+    re-reads the cell frame, never the input), with a bounded cell-count
+    pre-flight (the _guard_cells posture: a column pair that is really a
+    key pair raises instead of building an unbounded cell list). Levels
+    are compared as strings so orderings and joins are one collation on
+    both engines; NULL levels are real categories ('∅' sentinel keeps
+    them distinct from the literal string 'None')."""
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("∅"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("∅"))
+    cells = (
+        df.groupBy(a.alias("a"), b.alias("b"))
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    cells = eager_checkpoint(cells)
+    k = cells.count()
+    if k > max_cells:
+        raise ValueError(
+            f"{who}: {k} contingency cells (max_cells={max_cells}) — "
+            "these columns look like keys, not categories")
+    if k == 0:
+        raise ValueError(f"{who}: no rows")
+    return cells
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str, max_cells: int = 100_000,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (Pearson 1900) plus Cramér's V effect size (Cramér 1946) —
+    the feature-selection / leakage-screen readout: is doc source
+    associated with label, is arm associated with country. Returns ONE
+    row: (n, levels_a, levels_b, dof, chi2, cramers_v).
+
+    Zero-observed cells with positive margins contribute via the
+    closed form chi2 = n * sum(o^2 / (ra * cb)) - n (their (0-e)^2/e
+    term equals e, and the identity absorbs every e): only OBSERVED
+    cells are ever materialized. The per-cell terms fold in (a, b)
+    order — one fixed IEEE accumulation order shared with the oracle's
+    list_reduce — and Cramér's V = sqrt(chi2 / (n * min(R-1, C-1))).
+
+    Scale shape: one groupBy(a, b) count, margins re-aggregated off the
+    checkpointed cell frame (cell-count-sized), broadcast joins back,
+    a cell-count-bounded sorted fold; no window functions."""
+    cells = _contingency(df, col_a, col_b, max_cells,
+                         "chi_square_independence")
+    ra = cells.groupBy("a").agg(F.sum("o").cast("long").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("cb"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("a").cast("int").alias("levels_a"),
+        F.countDistinct("b").cast("int").alias("levels_b"),
+    )
+    j = (
+        cells.join(F.broadcast(ra), "a").join(F.broadcast(cb), "b")
+        .select(
+            "a", "b",
+            # products in decimal(38,0): long*long wraps past ~3e9
+            # counts — the corr_matrix overflow posture
+            ((F.col("o").cast("decimal(19,0)")
+              * F.col("o").cast("decimal(19,0)")).cast("double")
+             / (F.col("ra").cast("decimal(19,0)")
+                * F.col("cb").cast("decimal(19,0)")).cast("double"))
+            .alias("__t"),
+        )
+    )
+    s = j.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("a", "b", F.col("__t")))),
+            F.lit(0.0),
+            lambda acc, c: acc + c["__t"],
+        ).alias("__s"))
+    chi2 = F.col("n") * F.col("__s") - F.col("n")
+    dof = (F.col("levels_a") - 1) * (F.col("levels_b") - 1)
+    mind = F.least(F.col("levels_a") - 1, F.col("levels_b") - 1)
+    return (
+        tot.crossJoin(F.broadcast(s))  # 1-row fold result
+        .select(
+            "n", "levels_a", "levels_b",
+            dof.cast("int").alias("dof"),
+            F.round(chi2, 6).alias("chi2"),
+            F.when(
+                mind > 0,
+                F.round(F.sqrt(F.greatest(
+                    chi2 / (F.col("n") * mind), F.lit(0.0))), 6),
+            ).cast("double").alias("cramers_v"),
+        )
+    )
+
+
+# Landis & Koch (Biometrics 1977) agreement bands — the standard
+# interpretation scale quoted with kappa.
+_KAPPA_BANDS = [
+    (0.8, "almost_perfect"), (0.6, "substantial"), (0.4, "moderate"),
+    (0.2, "fair"), (0.0, "slight"),
+]
+
+
+def cohens_kappa(
+    df: DataFrame, col_a: str, col_b: str, max_cells: int = 100_000,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two label columns
+    (Cohen, Educ. Psychol. Meas. 1960) — the labeling-QA readout for
+    training data: do two annotators / a classifier and gold / two
+    heuristic filters agree beyond chance? kappa = (po - pe) / (1 - pe)
+    with po = observed agreement, pe = chance agreement from the
+    marginals. Returns ONE row: (n, po, pe, kappa, agreement) where
+    agreement is the Landis-Koch band ('poor' below 0, up to
+    'almost_perfect').
+
+    Every input to the ratios is an exact integer (diagonal count;
+    marginal products summed in decimal(38,0) — n^2-scaled, the
+    corr_matrix overflow posture), so po/pe/kappa are integer-derived
+    doubles in one fixed operation order — no fold needed. Scale
+    shape: one groupBy(a, b) count; the class-marginal join runs on
+    the cell-count-sized frame. A degenerate pe = 1 (both raters
+    constant and equal) returns kappa NULL (0/0 — undefined, not
+    perfect agreement)."""
+    cells = _contingency(df, col_a, col_b, max_cells, "cohens_kappa")
+    diag = cells.agg(
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("o"))
+              .otherwise(F.lit(0))).cast("long").alias("d"),
+        F.sum("o").cast("long").alias("n"),
+    )
+    ra = cells.groupBy(F.col("a").alias("c")).agg(
+        F.sum("o").cast("long").alias("ra"))
+    cb = cells.groupBy(F.col("b").alias("c")).agg(
+        F.sum("o").cast("long").alias("cb"))
+    # class-union via union + re-aggregate, not a full-outer join (a
+    # full outer can't broadcast, so Spark would sort-merge two
+    # class-count-sized frames); a class absent on one side sums to 0
+    # and its marginal product vanishes — identical to coalesce(0)
+    u = ra.select(
+        "c", F.col("ra").alias("__r"), F.lit(0).cast("long").alias("__c"),
+    ).unionByName(cb.select(
+        "c", F.lit(0).cast("long").alias("__r"), F.col("cb").alias("__c")))
+    marg = (
+        u.groupBy("c")
+        .agg(F.sum("__r").cast("long").alias("ra"),
+             F.sum("__c").cast("long").alias("cb"))
+        .select(
+            (F.col("ra").cast("decimal(19,0)")
+             * F.col("cb").cast("decimal(19,0)"))
+            .cast("decimal(38,0)").alias("__p"))
+        .agg(F.sum("__p").cast("decimal(38,0)").alias("pp"))
+    )
+    j = diag.crossJoin(F.broadcast(marg))  # 1-row marginal product sum
+    po = F.col("d") / F.col("n")
+    pe = (F.col("pp").cast("double")
+          / (F.col("n").cast("double") * F.col("n").cast("double")))
+    kappa = F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6))
+    band = F.when(kappa < 0, F.lit("poor"))
+    for lo, name in _KAPPA_BANDS:
+        band = band.when(kappa >= lo, F.lit(name))
+    return j.select(
+        "n",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        kappa.cast("double").alias("kappa"),
+        F.when(kappa.isNotNull(), band).alias("agreement"),
+    )

@@ -4225,3 +4225,90 @@ SELECT
        THEN abs(round((maa - mab) / se_adj, 6)) > 1.96 END AS significant
 FROM fin
 """
+
+
+def chi2_indep_sql(
+    col_a: str = "o_orderstatus",
+    col_b: str = "o_orderpriority",
+    table: str = "orders",
+) -> str:
+    """Mirror of numeric.chi_square_independence: observed-cells-only
+    closed form chi2 = n * sum(o^2/(ra*cb)) - n with the per-cell terms
+    folded in (a, b) order (list_reduce — the same fixed IEEE order as
+    Spark's sorted-array fold), HUGEINT products, Cramér's V off the
+    unrounded statistic."""
+    return f"""
+WITH cells AS (
+  SELECT coalesce(CAST({col_a} AS VARCHAR), '∅') AS a,
+         coalesce(CAST({col_b} AS VARCHAR), '∅') AS b,
+         count(*) AS o
+  FROM {table} GROUP BY 1, 2),
+ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+tot AS (SELECT sum(o) AS n,
+               count(DISTINCT a) AS la, count(DISTINCT b) AS lb
+        FROM cells),
+j AS (SELECT cells.a, cells.b,
+             CAST(CAST(cells.o AS HUGEINT) * cells.o AS DOUBLE)
+               / CAST(CAST(ra.ra AS HUGEINT) * cb.cb AS DOUBLE) AS t
+      FROM cells JOIN ra USING (a) JOIN cb USING (b)),
+s AS (SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY a, b)),
+               (x, y) -> x + y) AS s
+      FROM j)
+SELECT CAST(tot.n AS BIGINT) AS n,
+       CAST(tot.la AS INT) AS levels_a, CAST(tot.lb AS INT) AS levels_b,
+       CAST((tot.la - 1) * (tot.lb - 1) AS INT) AS dof,
+       round(tot.n * s.s - tot.n, 6) AS chi2,
+       CASE WHEN least(tot.la - 1, tot.lb - 1) > 0 THEN
+         round(sqrt(greatest(
+           (tot.n * s.s - tot.n)
+             / (tot.n * least(tot.la - 1, tot.lb - 1)), 0.0)), 6)
+       END AS cramers_v
+FROM tot CROSS JOIN s
+"""
+
+
+def kappa_langid_sql(table: str = "documents") -> str:
+    """Mirror of text.langid -> numeric.cohens_kappa(lang, lang_pred):
+    the labeling-QA readout 'does the heuristic language classifier
+    agree with gold beyond chance'. Integer diagonal + HUGEINT marginal
+    products; Landis-Koch band off the rounded kappa."""
+    return f"""
+WITH base AS (
+  SELECT lang AS la,
+         CASE WHEN {_SW_RATIO} >= 0.05 THEN 'en' ELSE 'unknown' END AS lb
+  FROM {table}),
+cells AS (
+  SELECT coalesce(CAST(la AS VARCHAR), '∅') AS a,
+         coalesce(CAST(lb AS VARCHAR), '∅') AS b, count(*) AS o
+  FROM base GROUP BY 1, 2),
+diag AS (SELECT sum(CASE WHEN a = b THEN o ELSE 0 END) AS d,
+                sum(o) AS n
+         FROM cells),
+ra AS (SELECT a AS c, sum(o) AS ra FROM cells GROUP BY 1),
+cb AS (SELECT b AS c, sum(o) AS cb FROM cells GROUP BY 1),
+marg AS (SELECT sum(CAST(coalesce(ra, 0) AS HUGEINT)
+                    * coalesce(cb, 0)) AS pp
+         FROM ra FULL OUTER JOIN cb USING (c)),
+k AS (SELECT CAST(diag.n AS BIGINT) AS n,
+             CAST(diag.d AS DOUBLE) / diag.n AS po_raw,
+             CAST(marg.pp AS DOUBLE)
+               / (CAST(diag.n AS DOUBLE) * CAST(diag.n AS DOUBLE))
+               AS pe_raw
+      FROM diag CROSS JOIN marg),
+kk AS (SELECT n, po_raw, pe_raw,
+              CASE WHEN pe_raw < 1.0
+                   THEN round((po_raw - pe_raw) / (1.0 - pe_raw), 6)
+              END AS kappa
+       FROM k)
+SELECT n, round(po_raw, 6) AS po, round(pe_raw, 6) AS pe, kappa,
+       CASE WHEN kappa IS NULL THEN NULL
+            WHEN kappa < 0 THEN 'poor'
+            WHEN kappa >= 0.8 THEN 'almost_perfect'
+            WHEN kappa >= 0.6 THEN 'substantial'
+            WHEN kappa >= 0.4 THEN 'moderate'
+            WHEN kappa >= 0.2 THEN 'fair'
+            ELSE 'slight' END AS agreement
+FROM kk
+"""

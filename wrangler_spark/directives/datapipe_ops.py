@@ -2263,3 +2263,44 @@ class CupedAb(Directive):
             ctx.resolve(df, self.args["covariate"]),
             str(self.args["a"]), str(self.args["b"]),
         )
+
+
+@directive
+class Chi2Independence(Directive):
+    """chi2-independence :a :b — Pearson chi-square test of
+    independence + Cramér's V between two categorical columns (the
+    feature-selection / leakage screen)."""
+
+    name = "chi2-independence"
+    usage = [
+        Arg("a", TokenType.COLUMN),
+        Arg("b", TokenType.COLUMN),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.numeric import chi_square_independence
+
+        return chi_square_independence(
+            df, ctx.resolve(df, self.args["a"]),
+            ctx.resolve(df, self.args["b"]),
+        )
+
+
+@directive
+class CohensKappa(Directive):
+    """cohens-kappa :a :b — inter-rater agreement beyond chance between
+    two label columns (Cohen 1960), with the Landis-Koch band."""
+
+    name = "cohens-kappa"
+    usage = [
+        Arg("a", TokenType.COLUMN),
+        Arg("b", TokenType.COLUMN),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.numeric import cohens_kappa
+
+        return cohens_kappa(
+            df, ctx.resolve(df, self.args["a"]),
+            ctx.resolve(df, self.args["b"]),
+        )
