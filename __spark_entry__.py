@@ -767,6 +767,25 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).drop("bucket_ts"),
             "event_type", "bucket", "value", alpha=0.3, L=3.0,
         ),
+        # sample ACF per key over the hourly grid: the memory/period
+        # detector that picks rolling windows and Holt-Winters periods
+        "events_acf": lambda s, d: events.acf(
+            events.resample(
+                _t(s, d, "events"), "event_type", "ts", None,
+                every_minutes=60, agg="count", fill="zero",
+            ).drop("bucket_ts"),
+            "event_type", "bucket", "value", max_lag=24,
+        ),
+        # Holt linear-trend smoothing + 6-step forecast: the capacity-
+        # planning readout off the same grid
+        "events_holt": lambda s, d: events.holt_forecast(
+            events.resample(
+                _t(s, d, "events"), "event_type", "ts", None,
+                every_minutes=60, agg="count", fill="zero",
+            ).drop("bucket_ts"),
+            "event_type", "bucket", "value",
+            alpha=0.3, beta=0.1, horizon=6,
+        ),
         # hour-of-week load profile: integer epoch weekday arithmetic,
         # the capacity/anomaly baseline next to the resample grid
         "events_seasonality": lambda s, d: events.seasonality(
@@ -1265,6 +1284,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_seasonality": o.seasonality_sql(),
         "events_cusum": o.cusum_sql(0.5, 5.0, 60),
         "events_ewma": o.ewma_sql(0.3, 3.0, 60),
+        "events_acf": o.acf_sql(24, 60),
+        "events_holt": o.holt_sql(0.3, 0.1, 6, 60),
         "events_survival": o.survival_sql(7, 1),
         "events_survival_by": o.survival_by_sql("event_type", 7, 1),
         "text_collocations": o.collocations_sql(50, 5),
@@ -1668,7 +1689,11 @@ _R12_WINDOW = [
     # r11 session 2: dedup_cross_bloom vacated (r8-green, unchanged; the
     # cross-corpus dedup family stays graded via dedup_cross_embedding +
     # dedup_minhash_b16r2 in-window) for the interpolated fill — new
-    "events_resample_interp",
+    # r12 session 3: events_resample_interp vacated (r11-green,
+    # unchanged; the interp fill stays parity-covered and the resample
+    # grid machinery executes inside four in-window entries) for the
+    # sample ACF — the lag/period detector, new this session
+    "events_acf",
     # r11 session 2: text_group_terms vacated (r9-green, unchanged; the
     # same machinery runs weighted inside the in-window
     # text_group_terms_weighted) for the rolling anomaly band — new
@@ -1747,7 +1772,11 @@ _R12_WINDOW = [
     # events pair/grid family stays graded via events_retention_forget +
     # the new events_resample/events_rolling in-window) for CUSUM
     # change-point detection — new
-    "events_cusum",
+    # r12 session 3: events_cusum vacated (r11-green, unchanged; the
+    # guarded-fold monitoring family stays graded via the in-window
+    # events_ewma + events_rolling) for Holt linear-trend smoothing +
+    # h-step forecast — the capacity-planning readout, new this session
+    "events_holt",
     # r11 session 2: emb_outliers vacated (r8-green, unchanged) for the
     # two-sample KS drift
     # r12 session 2: num_ks_drift vacated (r11-green, unchanged; the

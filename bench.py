@@ -115,6 +115,8 @@ EXTRA_QUERIES = [
     "events_cuped",               # CUPED variance-reduced A/B (one scan)
     "num_chi2_indep",             # categorical association screen
     "text_langid_kappa",          # labeling-QA agreement (langid vs gold)
+    "events_acf",                 # per-key autocorrelation off the grid
+    "events_holt",                # Holt trend smoothing + forecast
 ]
 
 

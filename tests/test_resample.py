@@ -422,3 +422,110 @@ def test_ewma_constant_series_guard_and_validation(spark):
         events.ewma(df, "k", "b", "v", L=0.0)
     with pytest.raises(ValueError, match="ewma: a key holds 5"):
         events.ewma(df, "k", "b", "v", max_cells=3)
+
+
+def test_acf_reference_and_period_detection(spark):
+    import math
+
+    # period-12 sine: strong positive acf at lag 12, negative at lag 6
+    rows = [("a", i, 10.0 + 5.0 * math.sin(2 * math.pi * i / 12))
+            for i in range(48)]
+    df = spark.createDataFrame(rows, "k string, b long, v double")
+    got = {r["lag"]: r for r in
+           events.acf(df, "k", "b", "v", max_lag=13).collect()}
+    assert got[12]["acf"] > 0.7 and got[6]["acf"] < -0.7
+    assert got[1]["n_pairs"] == 47 and got[12]["n_pairs"] == 36
+    # exact python mirror at lag 3 (integer micro sums, fixed order)
+    mv = [round(v * 1e6) for _, _, v in rows]
+    n, s, ss = len(mv), sum(mv), sum(m * m for m in mv)
+    mu = s / (n * 1e6)
+    k = 3
+    s2 = sum(mv[i] * mv[i + k] for i in range(n - k))
+    aa, bb = sum(mv[:n - k]), sum(mv[k:])
+    num = s2 / 1e12 - mu * ((aa + bb) / 1e6) + (n - k) * mu * mu
+    den = ss / 1e12 - n * mu * mu
+    assert got[3]["acf"] == round(num / den, 6)
+
+
+def test_acf_gaps_constant_and_validation(spark):
+    # gap at b=2: lag-1 pairs exclude (1,2) and (2,3) -> only (0,1),(3,4)
+    rows = [("a", b, float(b)) for b in (0, 1, 3, 4)]
+    df = spark.createDataFrame(rows, "k string, b long, v double")
+    got = {r["lag"]: r for r in
+           events.acf(df, "k", "b", "v", max_lag=2).collect()}
+    assert got[1]["n_pairs"] == 2  # (0,1) and (3,4)
+    assert got[2]["n_pairs"] == 1  # only (1,3); 0+2 and 3+2 are gaps
+    # constant series: zero variance -> NULL acf, pairs still counted
+    dfc = spark.createDataFrame(
+        [("c", b, 5.0) for b in range(6)], "k string, b long, v double")
+    rows = events.acf(dfc, "k", "b", "v", max_lag=2).collect()
+    assert all(r["acf"] is None for r in rows)
+    with pytest.raises(ValueError, match="max_lag"):
+        events.acf(dfc, "k", "b", "v", max_lag=0)
+    with pytest.raises(ValueError, match="acf: a key holds"):
+        events.acf(dfc, "k", "b", "v", max_cells=3)
+
+
+def test_holt_reference_and_forecast(spark):
+    rows = [("a", i, 10.0 + 2.0 * i + (i % 3) * 0.5) for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, b long, v double")
+    got = events.holt_forecast(
+        df, "k", "b", "v", alpha=0.4, beta=0.2, horizon=3,
+    ).orderBy("bucket").collect()
+    # python mirror: identical operation order
+    aa, bb = 0.4, 0.2
+    vals = [v for _, _, v in rows]
+    l, tr = vals[0], vals[1] - vals[0]
+    assert got[0]["level"] == round(l, 6)
+    assert got[0]["trend"] == round(tr, 6)
+    assert got[0]["forecast"] is None
+    for t in range(1, len(vals)):
+        fc = l + tr
+        ln = aa * vals[t] + (1 - aa) * fc
+        tr = bb * (ln - l) + (1 - bb) * tr
+        l = ln
+        assert got[t]["forecast"] == round(fc, 6), t
+        assert got[t]["level"] == round(l, 6), t
+        assert got[t]["trend"] == round(tr, 6), t
+    # future rows: value/level/trend NULL, forecast extrapolates
+    for h in (1, 2, 3):
+        r = got[11 + h]
+        assert r["bucket"] == 11 + h and r["value"] is None
+        assert r["level"] is None and r["trend"] is None
+        assert r["forecast"] == round(l + h * tr, 6)
+    # a linear series forecasts nearly linearly upward
+    assert got[-1]["forecast"] > got[11]["value"]
+
+
+def test_holt_single_cell_horizon_zero_and_validation(spark):
+    df = spark.createDataFrame([("a", 0, 7.0)], "k string, b long, v double")
+    got = events.holt_forecast(df, "k", "b", "v", horizon=2).collect()
+    assert len(got) == 3  # one observed + two flat future rows
+    fut = sorted(got, key=lambda r: r["bucket"])[1:]
+    assert all(r["forecast"] == 7.0 for r in fut)  # zero trend
+    got = events.holt_forecast(df, "k", "b", "v", horizon=0).collect()
+    assert len(got) == 1
+    with pytest.raises(ValueError, match="alpha"):
+        events.holt_forecast(df, "k", "b", "v", alpha=1.5)
+    with pytest.raises(ValueError, match="beta"):
+        events.holt_forecast(df, "k", "b", "v", beta=-0.1)
+    with pytest.raises(ValueError, match="horizon"):
+        events.holt_forecast(df, "k", "b", "v", horizon=-1)
+    with pytest.raises(ValueError, match="holt_forecast: a key holds"):
+        events.holt_forecast(
+            spark.createDataFrame(
+                [("a", i, 1.0) for i in range(9)],
+                "k string, b long, v double"),
+            "k", "b", "v", max_cells=4)
+
+
+def test_acf_and_holt_directives(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(8)],
+        "k string, b long, v double")
+    out = Pipeline.compile("acf :k :b :v 3").apply(df)
+    assert out.count() == 3
+    out = Pipeline.compile("holt-forecast :k :b :v 0.5 0.1 2").apply(df)
+    assert out.count() == 10

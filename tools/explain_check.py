@@ -647,6 +647,16 @@ def main() -> int:
         must_not=["Window", "SortMergeJoin",
                   "BatchEvalPython", "ArrowEvalPython"],
     )
+    # acf/holt: the guarded-fold time-series shape (one per-key hash
+    # aggregate, scan-side folds, no windows)
+    for gq in ("events_acf", "events_holt"):
+        p = plan_of(qs[gq](spark, SF_DIR))
+        problems += check(
+            gq, p,
+            must_not=["Window", "CartesianProduct",
+                      "BatchEvalPython", "ArrowEvalPython"],
+        )
+
     # chi2/kappa: one groupBy(a,b) count; margins re-aggregated off the
     # checkpointed cell frame with broadcast joins back — no data-sized
     # second shuffle, no windows

@@ -2591,3 +2591,221 @@ def cuped_ab_test(
         F.when(z_adj.isNotNull(), F.abs(z_adj) > F.lit(1.96))
         .alias("significant"),
     )
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    max_lag: int = 24,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Sample autocorrelation function per key over a bucketed series
+    (Box & Jenkins 1970) — the seasonality/memory detector that tells
+    you WHICH lag matters before you configure rolling windows or
+    Holt-Winters periods: r_k = sum((x_t - mu)(x_{t+k} - mu)) /
+    sum((x_t - mu)^2) with mu the full-series mean, for k = 1..max_lag.
+    Feed it the :func:`resample` grid; gaps are handled by
+    pairwise deletion (a (t, t+k) pair contributes only when both
+    cells exist — on a filled grid this is exactly the textbook
+    estimator). Returns (key, lag, n_pairs, acf) for lags with at
+    least one pair; a constant series (zero variance) carries NULL
+    acf.
+
+    Determinism: EVERY per-lag sum is an exact integer — the
+    cross-products accumulate micro^2 units in decimal(38,0) inside
+    the fold, the head/tail sums are micro longs — so no double is
+    ever summed in engine order; the handful of double ops after are
+    one fixed order shared with the oracle (whose integer sums a
+    plain self-join can reproduce, any order). Scale shape: one hash
+    aggregate per key (cells bounded by ``max_cells``), one
+    O(cells * max_lag) scan-side fold per key over the exploded lag
+    column, map lookups against the key's own cell map; no window
+    functions, no self-join shuffle."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    key, b, v = F.col(key_col), F.col(bucket_col), F.col(value_col)
+    mv = F.round(v.cast("double") * F.lit(1e6)).cast("long")
+    per_key = (
+        df.filter(key.isNotNull() & b.isNotNull() & v.isNotNull())
+        .groupBy(key.alias("__k"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct(
+                b.cast("long").alias("b"), mv.alias("m"),
+            ))).alias("__cells"),
+            F.count("*").cast("long").alias("__n"),
+            F.sum(mv).alias("__s"),
+            F.sum((mv.cast("decimal(19,0)") * mv.cast("decimal(19,0)"))
+                  .cast("decimal(38,0)")).alias("__ss"),
+        )
+    )
+    per_key = _guard_cells(per_key, F.col("__n"), max_cells, "acf")
+    staged = per_key.select(
+        "__k", "__cells", "__n", "__s", "__ss",
+        F.map_from_entries(F.col("__cells")).alias("__m"),
+    ).select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(int(max_lag))))
+        .alias("lag"),
+    )
+
+    def step(acc, c):
+        # the partner cell k buckets ahead, if the grid has it
+        p = F.element_at(F.col("__m"), c["b"] + F.col("lag"))
+        hit = p.isNotNull()
+        return F.struct(
+            (acc["s2"] + F.when(
+                hit,
+                (c["m"].cast("decimal(19,0)") * p.cast("decimal(19,0)"))
+                .cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)")))
+            .cast("decimal(38,0)").alias("s2"),
+            (acc["aa"] + F.when(hit, c["m"]).otherwise(F.lit(0)))
+            .cast("long").alias("aa"),
+            (acc["bb"] + F.when(hit, p).otherwise(F.lit(0)))
+            .cast("long").alias("bb"),
+            (acc["np"] + F.when(hit, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("np"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("decimal(38,0)").alias("s2"),
+        F.lit(0).cast("long").alias("aa"),
+        F.lit(0).cast("long").alias("bb"),
+        F.lit(0).cast("long").alias("np"),
+    )
+    folded = staged.select(
+        "__k", "lag", "__n", "__s", "__ss",
+        F.aggregate(F.col("__cells"), init, step).alias("__f"),
+    ).filter(F.col("__f.np") > 0)
+    n = F.col("__n").cast("double")
+    mu = F.col("__s").cast("double") / (n * F.lit(1e6))
+    den = F.col("__ss").cast("double") / F.lit(1e12) - n * mu * mu
+    num = (
+        F.col("__f.s2").cast("double") / F.lit(1e12)
+        - mu * ((F.col("__f.aa") + F.col("__f.bb")).cast("double")
+                / F.lit(1e6))
+        + F.col("__f.np").cast("double") * mu * mu
+    )
+    return folded.select(
+        F.col("__k").alias(key_col),
+        F.col("lag").cast("int").alias("lag"),
+        F.col("__f.np").alias("n_pairs"),
+        (F.when(den > 0, F.round(num / den, 6)) + F.lit(0.0))
+        .cast("double").alias("acf"),
+    )
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 6,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing with an
+    h-step-ahead forecast per key (Holt 1957, reprinted IJF 2004) —
+    the capacity-planning readout the monitoring family leads to:
+    level l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1}), trend
+    b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}, initialized
+    l_1 = x_1, b_1 = x_2 - x_1 (0 for single-cell keys). Feed the
+    :func:`resample` grid (buckets in grid units; the recursion
+    treats consecutive cells as consecutive steps, so fill gaps
+    first).
+
+    Returns one row per observed cell PLUS ``horizon`` future rows
+    per key: (key, bucket, value, level, trend, forecast) — on
+    observed rows ``forecast`` is the one-step-ahead prediction
+    l_{t-1} + b_{t-1} (NULL at t = 1; compare with ``value`` for
+    in-sample error), on future rows value/level/trend are NULL and
+    ``forecast`` = l_n + h*b_n. Doubles round 6dp terminally; the
+    recursion runs unrounded in the IDENTICAL operation order as the
+    DuckDB recursive-CTE oracle.
+
+    Scale shape: one hash aggregate per key (``max_cells``-guarded),
+    ONE scan-side fold per key, horizon rows appended by a transform
+    over a constant sequence; no window functions."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    if horizon < 0:
+        raise ValueError(f"horizon must be >= 0, got {horizon}")
+    aa, bb_ = float(alpha), float(beta)
+    key, b, v = F.col(key_col), F.col(bucket_col), F.col(value_col)
+    per_key = (
+        df.filter(key.isNotNull() & b.isNotNull() & v.isNotNull())
+        .groupBy(key.alias("__k"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct(
+                b.cast("long").alias("b"), v.cast("double").alias("v"),
+            ))).alias("__cells"),
+            F.count("*").cast("long").alias("__n"),
+        )
+    )
+    per_key = _guard_cells(per_key, F.col("__n"), max_cells, "holt_forecast")
+    cells = F.col("__cells")
+    b1 = F.when(
+        F.col("__n") >= 2,
+        F.element_at(cells, 2)["v"] - F.element_at(cells, 1)["v"],
+    ).otherwise(F.lit(0.0))
+    staged = per_key.select("__k", "__cells", b1.alias("__b1"))
+
+    row_t = ("array<struct<b:long,v:double,l:double,tr:double,"
+             "fc:double>>")
+
+    def step(acc, c):
+        first = acc["i"] == 0
+        fc = acc["l"] + acc["tr"]
+        l_new = F.when(first, c["v"]).otherwise(
+            F.lit(aa) * c["v"] + F.lit(1.0 - aa) * fc)
+        tr_new = F.when(first, F.col("__b1")).otherwise(
+            F.lit(bb_) * (l_new - acc["l"]) + F.lit(1.0 - bb_) * acc["tr"])
+        return F.struct(
+            F.concat(
+                acc["out"],
+                F.array(F.struct(
+                    c["b"].alias("b"), c["v"].alias("v"),
+                    l_new.alias("l"), tr_new.alias("tr"),
+                    F.when(~first, fc).alias("fc"),
+                )),
+            ).alias("out"),
+            l_new.alias("l"), tr_new.alias("tr"),
+            (acc["i"] + F.lit(1)).alias("i"),
+        )
+
+    init = F.struct(
+        F.array().cast(row_t).alias("out"),
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("tr"),
+        F.lit(0).cast("int").alias("i"),
+    )
+    folded = staged.select(
+        "__k", F.aggregate(cells, init, step).alias("__f"))
+    fit = F.col("__f.out")
+    last = F.element_at(fit, -1)
+    future = F.transform(
+        F.sequence(F.lit(1), F.lit(int(horizon))),
+        lambda h: F.struct(
+            (last["b"] + h.cast("long")).alias("b"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(None).cast("double").alias("l"),
+            F.lit(None).cast("double").alias("tr"),
+            (F.col("__f.l") + h.cast("double") * F.col("__f.tr"))
+            .alias("fc"),
+        ),
+    ) if horizon > 0 else F.array().cast(row_t)
+    out = folded.select(
+        "__k", F.explode(F.concat(fit, future)).alias("__c"))
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__c.b").alias("bucket"),
+        F.col("__c.v").alias("value"),
+        # + 0.0 normalizes IEEE negative zero (a trend crossing zero
+        # rounds to -0.0, which engines format differently)
+        (F.round(F.col("__c.l"), 6) + F.lit(0.0)).alias("level"),
+        (F.round(F.col("__c.tr"), 6) + F.lit(0.0)).alias("trend"),
+        (F.round(F.col("__c.fc"), 6) + F.lit(0.0)).alias("forecast"),
+    )

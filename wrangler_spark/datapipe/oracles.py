@@ -4312,3 +4312,113 @@ SELECT n, round(po_raw, 6) AS po, round(pe_raw, 6) AS pe, kappa,
             ELSE 'slight' END AS agreement
 FROM kk
 """
+
+
+def acf_sql(
+    max_lag: int = 24, every_minutes: int = 60, table: str = "events",
+) -> str:
+    """Mirror of events.acf over the hourly count grid (resample
+    agg='count', fill='zero'): every per-lag sum is an exact integer
+    (HUGEINT cross-products), so a plain lagged self-join reproduces
+    Spark's fold regardless of accumulation order; the double
+    arithmetic after is the identical fixed order."""
+    step = int(every_minutes) * 60
+    return f"""
+WITH e AS (SELECT event_type AS gk,
+                  CAST(floor(epoch(ts) / {step}) AS BIGINT) AS b
+           FROM {table}
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+a AS (SELECT gk, b, CAST(count(*) AS DOUBLE) AS v FROM e GROUP BY 1, 2),
+r0 AS (SELECT gk, min(b) AS b0, max(b) AS b1 FROM a GROUP BY gk),
+g AS (SELECT gk, unnest(range(b0, b1 + 1)) AS b FROM r0),
+grid AS MATERIALIZED (
+  SELECT g.gk, g.b,
+         CAST(round(coalesce(a.v, 0.0) * 1000000, 0) AS BIGINT) AS m
+  FROM g LEFT JOIN a ON g.gk = a.gk AND g.b = a.b),
+lags AS (SELECT CAST(unnest(range(1, {int(max_lag)} + 1)) AS BIGINT)
+           AS lag),
+p AS (SELECT g1.gk, lags.lag,
+             sum(CAST(g1.m AS HUGEINT) * g2.m) AS s2,
+             sum(g1.m) AS aa, sum(g2.m) AS bb, count(*) AS np
+      FROM grid g1 CROSS JOIN lags
+      JOIN grid g2 ON g2.gk = g1.gk AND g2.b = g1.b + lags.lag
+      GROUP BY 1, 2),
+st AS (SELECT gk, count(*) AS n, sum(m) AS s,
+              sum(CAST(m AS HUGEINT) * m) AS ss
+       FROM grid GROUP BY gk),
+f AS (SELECT p.gk, p.lag, p.np,
+             CAST(st.s AS DOUBLE) / (CAST(st.n AS DOUBLE) * 1000000.0)
+               AS mu,
+             CAST(st.ss AS DOUBLE) / 1000000000000.0 AS ssd,
+             CAST(st.n AS DOUBLE) AS nd,
+             CAST(p.s2 AS DOUBLE) / 1000000000000.0 AS s2d,
+             CAST(p.aa + p.bb AS DOUBLE) / 1000000.0 AS abd,
+             CAST(p.np AS DOUBLE) AS npd
+      FROM p JOIN st ON p.gk = st.gk)
+SELECT gk AS event_type, CAST(lag AS INT) AS lag,
+       CAST(np AS BIGINT) AS n_pairs,
+       CASE WHEN ssd - nd * mu * mu > 0 THEN
+         round((s2d - mu * abd + npd * mu * mu)
+               / (ssd - nd * mu * mu), 6)
+       END + 0.0 AS acf
+FROM f
+"""
+
+
+def holt_sql(
+    alpha: float = 0.3, beta: float = 0.1, horizon: int = 6,
+    every_minutes: int = 60, table: str = "events",
+) -> str:
+    """Mirror of events.holt_forecast over the hourly count grid:
+    Holt's level/trend recursion via a recursive CTE in the IDENTICAL
+    double operation order (l' = a*v + (1-a)*(l + tr); tr' =
+    b*(l' - l) + (1-b)*tr), plus the h-step future rows off the final
+    state."""
+    step = int(every_minutes) * 60
+    aa, fa = float(alpha), 1.0 - float(alpha)
+    bb, fb = float(beta), 1.0 - float(beta)
+    return f"""
+WITH RECURSIVE
+e AS (SELECT event_type AS gk,
+             CAST(floor(epoch(ts) / {step}) AS BIGINT) AS b
+      FROM {table} WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+a AS (SELECT gk, b, CAST(count(*) AS DOUBLE) AS v FROM e GROUP BY 1, 2),
+r0 AS (SELECT gk, min(b) AS b0, max(b) AS b1 FROM a GROUP BY gk),
+g AS (SELECT gk, unnest(range(b0, b1 + 1)) AS b FROM r0),
+m AS (SELECT g.gk, g.b, coalesce(a.v, 0.0) AS v
+      FROM g LEFT JOIN a ON g.gk = a.gk AND g.b = a.b),
+idx AS MATERIALIZED (
+  SELECT gk, b, v, row_number() OVER (PARTITION BY gk ORDER BY b) AS i
+  FROM m),
+nn AS MATERIALIZED (SELECT gk, count(*) AS n FROM idx GROUP BY gk),
+b1 AS MATERIALIZED (
+  SELECT i1.gk,
+         CASE WHEN i2.v IS NULL THEN 0.0 ELSE i2.v - i1.v END AS b1
+  FROM idx i1 LEFT JOIN idx i2 ON i1.gk = i2.gk AND i2.i = 2
+  WHERE i1.i = 1),
+rec AS (
+  SELECT idx.gk, idx.i, idx.b, idx.v,
+         idx.v AS l, b1.b1 AS tr, CAST(NULL AS DOUBLE) AS fc
+  FROM idx JOIN b1 ON idx.gk = b1.gk WHERE idx.i = 1
+  UNION ALL
+  SELECT c.gk, c.i, c.b, c.v,
+         {aa!r} * c.v + {fa!r} * (rec.l + rec.tr) AS l,
+         {bb!r} * (({aa!r} * c.v + {fa!r} * (rec.l + rec.tr)) - rec.l)
+           + {fb!r} * rec.tr AS tr,
+         rec.l + rec.tr AS fc
+  FROM idx c JOIN rec ON c.gk = rec.gk AND c.i = rec.i + 1),
+fin AS (SELECT rec.* FROM rec JOIN nn ON rec.gk = nn.gk
+        WHERE rec.i = nn.n),
+fut AS (SELECT fin.gk, fin.b + h.h AS b, CAST(NULL AS DOUBLE) AS v,
+               CAST(NULL AS DOUBLE) AS l, CAST(NULL AS DOUBLE) AS tr,
+               fin.l + CAST(h.h AS DOUBLE) * fin.tr AS fc
+        FROM fin CROSS JOIN
+          (SELECT CAST(unnest(range(1, {int(horizon)} + 1)) AS BIGINT)
+             AS h) h)
+SELECT gk AS event_type, CAST(b AS BIGINT) AS bucket, v AS value,
+       round(l, 6) + 0.0 AS level, round(tr, 6) + 0.0 AS trend,
+       round(fc, 6) + 0.0 AS forecast
+FROM (SELECT gk, b, v, l, tr, fc FROM rec
+      UNION ALL
+      SELECT gk, b, v, l, tr, fc FROM fut) u
+"""

@@ -2304,3 +2304,57 @@ class CohensKappa(Directive):
             df, ctx.resolve(df, self.args["a"]),
             ctx.resolve(df, self.args["b"]),
         )
+
+
+@directive
+class AcfChart(Directive):
+    """acf :key :bucket :value [max_lag] — sample autocorrelation per
+    key over a bucketed series (feed the resample grid): the memory/
+    period detector that picks rolling windows and seasonal periods."""
+
+    name = "acf"
+    usage = [
+        Arg("key", TokenType.COLUMN),
+        Arg("bucket", TokenType.COLUMN),
+        Arg("value", TokenType.COLUMN),
+        Arg("max_lag", TokenType.NUMERIC, optional=True, default=24),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import acf
+
+        return acf(
+            df, ctx.resolve(df, self.args["key"]),
+            ctx.resolve(df, self.args["bucket"]),
+            ctx.resolve(df, self.args["value"]),
+            max_lag=int(self.args["max_lag"]),
+        )
+
+
+@directive
+class HoltForecast(Directive):
+    """holt-forecast :key :bucket :value [alpha] [beta] [horizon] —
+    Holt linear-trend double exponential smoothing + h-step forecast
+    per key (capacity planning off the resample grid)."""
+
+    name = "holt-forecast"
+    usage = [
+        Arg("key", TokenType.COLUMN),
+        Arg("bucket", TokenType.COLUMN),
+        Arg("value", TokenType.COLUMN),
+        Arg("alpha", TokenType.NUMERIC, optional=True, default=0.3),
+        Arg("beta", TokenType.NUMERIC, optional=True, default=0.1),
+        Arg("horizon", TokenType.NUMERIC, optional=True, default=6),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import holt_forecast
+
+        return holt_forecast(
+            df, ctx.resolve(df, self.args["key"]),
+            ctx.resolve(df, self.args["bucket"]),
+            ctx.resolve(df, self.args["value"]),
+            alpha=float(self.args["alpha"]),
+            beta=float(self.args["beta"]),
+            horizon=int(self.args["horizon"]),
+        )
