@@ -890,6 +890,17 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "lineitem"),
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         ),
+        # Mann-Whitney U off the value histogram: the nonparametric
+        # two-sample test for skewed metrics — never a rank window
+        "num_mannwhitney": lambda s, d: numeric.mann_whitney_u(
+            _t(s, d, "lineitem"), "l_quantity", "l_returnflag", "A", "N",
+        ),
+        # Benford first-digit screen: the fraud/DQ tripwire for
+        # naturally-spread magnitudes (and an honest 'synthetic data
+        # is not Benford' verdict on the fixture)
+        "num_benford": lambda s, d: numeric.benford_deviation(
+            _t(s, d, "lineitem"), "l_extendedprice",
+        ),
         # chi-square independence + Cramér's V: the categorical
         # association screen (feature selection / leakage check) —
         # observed-cells-only closed form, sorted fold
@@ -1279,6 +1290,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_impute": o.impute_sql(),
         "num_corr_matrix": o.corr_matrix_sql(),
         "num_chi2_indep": o.chi2_indep_sql(),
+        "num_mannwhitney": o.mann_whitney_sql(),
+        "num_benford": o.benford_sql(),
         "text_langid_kappa": o.kappa_langid_sql(),
         "text_js_drift": o.js_divergence_sql(),
         "events_seasonality": o.seasonality_sql(),
@@ -1681,7 +1694,11 @@ _R12_WINDOW = [
     # r11 session 2: text_oov vacated (r9-green, unchanged; the vocab
     # family stays graded via text_vocab + text_vocab_state in-window)
     # for the count-min sketch point estimates — new this round
-    "events_cms_counts",
+    # r12 session 3: events_cms_counts vacated (r11-green, unchanged;
+    # the mergeable-sketch posture stays graded via the in-window
+    # num_quantiles_state and CMS stays parity-covered) for the
+    # Benford first-digit screen — new this session
+    "num_benford",
     # r11 session 2: ann_ivf_pq_topk vacated (r8-green, unchanged; the
     # PQ family stays graded via ann_pq_topk in-window) for the
     # time-series resample grid — new this round
@@ -1749,7 +1766,11 @@ _R12_WINDOW = [
     # r11: dedup_substring_keepfirst vacated (green r7-r10, unchanged;
     # the rolling-window-hash machinery stays graded via the in-window
     # decontam_spans) for the key-skew top-k diagnostic — new this round
-    "events_key_skew",
+    # r12 session 3: events_key_skew vacated (r11-green, unchanged;
+    # the skew diagnostic stays graded via the in-window
+    # events_key_skew_summary, which runs the same aggregate plus the
+    # percentile summary) for the Mann-Whitney U rank-sum test — new
+    "num_mannwhitney",
     # late r8 addition (parameterized LSH banding) — dedup_template
     # vacated (r7-green; its one-shuffle exact-dedup shape stays graded
     # through dedup_cross_exact and the checkpoint-mechanism entries)

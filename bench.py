@@ -117,6 +117,8 @@ EXTRA_QUERIES = [
     "text_langid_kappa",          # labeling-QA agreement (langid vs gold)
     "events_acf",                 # per-key autocorrelation off the grid
     "events_holt",                # Holt trend smoothing + forecast
+    "num_mannwhitney",            # rank-sum test off the value histogram
+    "num_benford",                # first-digit DQ screen
 ]
 
 

@@ -307,3 +307,111 @@ def test_chi2_and_kappa_directives(spark):
     assert out.collect()[0]["dof"] == 1
     out = Pipeline.compile("cohens-kappa :a :b").apply(df)
     assert out.collect()[0]["po"] == 0.0
+
+
+def test_mann_whitney_brute_force_reference(spark):
+    from wrangler_spark.datapipe import numeric
+    import collections
+    import math
+    import random
+
+    random.seed(7)
+    av = [round(random.gauss(10, 2), 1) for _ in range(60)]
+    bv = [round(random.gauss(11.5, 2), 1) for _ in range(50)]
+    df = spark.createDataFrame(
+        [("a", v) for v in av] + [("b", v) for v in bv]
+        + [("c", 99.0), ("a", None)],  # other group + null drop
+        "g string, v double")
+    got = numeric.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    u2 = sum(2 if x > y else (1 if x == y else 0) for x in av for y in bv)
+    na, nb, n = len(av), len(bv), len(av) + len(bv)
+    ties = collections.Counter(av + bv)
+    T = sum(c ** 3 - c for c in ties.values())
+    mu = na * nb / 2.0
+    var = na * nb / 12.0 * ((n + 1) - T / (n * (n - 1)))
+    z = round((u2 / 2.0 - mu) / math.sqrt(var), 6)
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert got["u"] == u2 / 2.0 and got["z"] == z
+    assert got["rank_biserial"] == round(1 - u2 / (na * nb), 6)
+    assert got["significant"] == (abs(z) > 1.96)
+
+
+def test_mann_whitney_identical_groups_and_guards(spark):
+    from wrangler_spark.datapipe import numeric
+
+    vals = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals] + [("b", v) for v in vals],
+        "g string, v double")
+    got = numeric.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    # identical distributions: U = na*nb/2, z = 0, no effect
+    assert got["u"] == got["mu_u"] and got["z"] == 0.0
+    assert got["rank_biserial"] == 0.0 and got["significant"] is False
+
+    # all values tied: sigma = 0 -> z NULL
+    dfc = spark.createDataFrame(
+        [("a", 5.0)] * 4 + [("b", 5.0)] * 4, "g string, v double")
+    got = numeric.mann_whitney_u(dfc, "v", "g", "a", "b").collect()[0]
+    assert got["z"] is None and got["significant"] is None
+
+    with pytest.raises(ValueError, match="distinct values"):
+        numeric.mann_whitney_u(df, "v", "g", "a", "b", max_cells=2)
+    with pytest.raises(ValueError, match="no rows"):
+        numeric.mann_whitney_u(
+            df.filter("g = 'zzz'"), "v", "g", "a", "b")
+
+
+def test_benford_reference_and_bands(spark):
+    from wrangler_spark.datapipe import numeric
+    import math
+
+    # perfectly Benford-ish synthetic: counts proportional to log10(1+1/d)
+    n = 10000
+    rows = []
+    for d in range(1, 10):
+        c = round(n * math.log10(1 + 1 / d))
+        rows += [(float(d * 11),)] * c  # leading digit d
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["digit"]: r for r in
+           numeric.benford_deviation(df, "v").collect()}
+    assert set(got) == set(range(1, 10))
+    assert got[1]["conformity"] in ("close", "acceptable")
+    assert got[1]["mad"] < 0.012
+    # observed proportions track expectations
+    for d in range(1, 10):
+        assert abs(got[d]["observed_p"] - got[d]["expected_p"]) < 0.001
+
+    # uniform digits: far from Benford
+    dfu = spark.createDataFrame(
+        [(float(d),) for d in range(1, 10) for _ in range(100)],
+        "v double")
+    got = numeric.benford_deviation(dfu, "v").collect()[0]
+    assert got["conformity"] == "nonconforming"
+
+
+def test_benford_micro_digit_zero_and_missing_digits(spark):
+    from wrangler_spark.datapipe import numeric
+
+    # |v| < 5e-7 -> micro 0 -> excluded; sub-1 values use the micro
+    # integer's leading digit (0.025 -> 25000 -> digit 2); a digit with
+    # no observations still gets a row with expected mass
+    df = spark.createDataFrame(
+        [(0.0,), (1e-9,), (0.025,), (2.5,), (250.0,), (None,)],
+        "v double")
+    got = {r["digit"]: r for r in
+           numeric.benford_deviation(df, "v").collect()}
+    assert got[2]["observed"] == 3 and got[2]["n"] == 3
+    assert got[7]["observed"] == 0
+    assert len(got) == 9
+
+
+def test_mw_and_benford_directives(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)],
+        "g string, v double")
+    out = Pipeline.compile("mann-whitney :v :g 'a' 'b'").apply(df)
+    assert out.collect()[0]["u"] == 0.0
+    out = Pipeline.compile("benford-check :v").apply(df)
+    assert out.count() == 9

@@ -657,6 +657,17 @@ def main() -> int:
                       "BatchEvalPython", "ArrowEvalPython"],
         )
 
+    # mann-whitney/benford: one histogram-sized hash aggregate + folds;
+    # no rank window over the corpus, no python
+    for gq in ("num_mannwhitney", "num_benford"):
+        p = plan_of(qs[gq](spark, SF_DIR))
+        problems += check(
+            gq, p,
+            must=["HashAggregate"],
+            must_not=["Window", "CartesianProduct", "SortMergeJoin",
+                      "BatchEvalPython", "ArrowEvalPython"],
+        )
+
     # chi2/kappa: one groupBy(a,b) count; margins re-aggregated off the
     # checkpointed cell frame with broadcast joins back — no data-sized
     # second shuffle, no windows

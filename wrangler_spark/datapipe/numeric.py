@@ -1062,3 +1062,206 @@ def cohens_kappa(
         kappa.cast("double").alias("kappa"),
         F.when(kappa.isNotNull(), band).alias("agreement"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    max_cells: int = 100_000,
+    alpha_z: float = 1.96,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) between two
+    groups of a numeric column — the nonparametric two-sample
+    comparison for skewed metrics (latency, spend, token counts) where
+    the t/z mean tests mislead. Computed EXACTLY from the value
+    histogram, never from per-row ranks: U_a = sum over pairs of
+    [a > b] + 0.5 [a == b] accumulates as the INTEGER 2*U via a fold
+    over the distinct-value histogram in ascending value order, and
+    the tie-corrected normal approximation z = (U - mu) / sigma with
+    sigma^2 = (na*nb/12) * ((n+1) - sum(t^3 - t)/(n(n-1))) uses
+    decimal(38,0) tie sums. Returns ONE row: (n_a, n_b, u, mu_u,
+    sigma_u, z, rank_biserial, significant) — rank_biserial =
+    1 - 2U/(na*nb) is the effect size (-1..1, 0 = stochastic
+    equality).
+
+    Values group on micro-unit integers (round(v * 1e6)), so the
+    histogram keys are exact across engines. Scale shape: ONE
+    groupBy(micro-value) count is the only data-sized shuffle; the
+    distinct-value histogram is guarded by ``max_cells`` (a continuous
+    column with millions of distinct values wants quantile tests, not
+    U) and folds scan-side; a rank window over the corpus — the global
+    sort — never appears."""
+    g = F.col(group_col).cast("string")
+    v = F.col(value_col)
+    mv = F.round(v.cast("double") * F.lit(1e6)).cast("long")
+    a, b = str(group_a), str(group_b)
+    hist = (
+        df.filter(g.isin(a, b) & v.isNotNull())
+        .groupBy(mv.alias("__v"))
+        .agg(
+            F.sum(F.when(g == a, 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(g == b, 1).otherwise(0)).cast("long").alias("nb"),
+        )
+    )
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+
+    hist = eager_checkpoint(hist)
+    k = hist.count()
+    if k > max_cells:
+        raise ValueError(
+            f"mann_whitney_u: {k} distinct values (max_cells="
+            f"{max_cells}) — bin the column or use quantile tests")
+    if k == 0:
+        raise ValueError("mann_whitney_u: no rows in either group")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = hist.agg(
+        F.sort_array(F.collect_list(
+            F.struct(F.col("__v"), F.col("na"), F.col("nb")))).alias("__c"),
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        # tie sum T = sum(t^3 - t) over per-value tie counts t = na+nb:
+        # order-free exact integer aggregate (t up to n -> t^3 needs
+        # decimal(38,0))
+        F.sum(
+            dec((F.col("na") + F.col("nb")).cast("decimal(13,0)")
+                * (F.col("na") + F.col("nb")).cast("decimal(13,0)")
+                * (F.col("na") + F.col("nb")).cast("decimal(13,0)"))
+            - dec(F.col("na") + F.col("nb"))
+        ).cast("decimal(38,0)").alias("__t"),
+    )
+
+    def step(acc, c):
+        # 2U gains 2 * na_v * (count of b strictly below) + na_v * nb_v
+        return F.struct(
+            (acc["u2"]
+             + dec(F.lit(2)) * dec(c["na"]) * dec(acc["cb"])
+             + dec(c["na"]) * dec(c["nb"]))
+            .cast("decimal(38,0)").alias("u2"),
+            (acc["cb"] + c["nb"]).cast("long").alias("cb"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("decimal(38,0)").alias("u2"),
+        F.lit(0).cast("long").alias("cb"),
+    )
+    folded = agg.select(
+        "n_a", "n_b", "__t",
+        F.aggregate(F.col("__c"), init, step)["u2"].alias("__u2"),
+    )
+    if folded is None:  # pragma: no cover - lint appeasement
+        return folded
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    nanb = (na.cast("decimal(19,0)") * nb.cast("decimal(19,0)"))
+    u = F.col("__u2").cast("double") / F.lit(2.0)
+    mu = nanb.cast("double") / F.lit(2.0)
+    tieterm = (F.col("__t").cast("double")
+               / (n.cast("decimal(19,0)") * (n - 1).cast("decimal(19,0)"))
+               .cast("double"))
+    var = (nanb.cast("double") / F.lit(12.0)
+           * ((n + 1).cast("double") - tieterm))
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(sigma > 0, F.round((u - mu) / sigma, 6))
+    return folded.select(
+        na.alias("n_a"), nb.alias("n_b"),
+        F.round(u, 6).alias("u"),
+        F.round(mu, 6).alias("mu_u"),
+        F.round(sigma, 6).alias("sigma_u"),
+        z.cast("double").alias("z"),
+        (F.round(F.lit(1.0) - F.col("__u2").cast("double")
+                 / nanb.cast("double"), 6) + F.lit(0.0))
+        .alias("rank_biserial"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(float(alpha_z)))
+        .alias("significant"),
+    )
+
+
+# Nigrini (2012) first-digit MAD conformity bands — published
+# forensic-accounting thresholds.
+_BENFORD_BANDS = [
+    (0.006, "close"), (0.012, "acceptable"), (0.015, "marginal"),
+]
+
+
+def benford_deviation(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit Benford's-law screen (Newcomb 1881,
+    Benford 1938; MAD bands from Nigrini 2012) — the data-quality /
+    fraud tripwire for naturally-spread magnitudes (prices, revenues,
+    populations): fabricated or truncated data rarely matches
+    P(d) = log10(1 + 1/d). Returns 9 rows, one per leading digit:
+    (digit, observed, n, observed_p, expected_p, chi2, mad,
+    conformity) — chi2 folds (o - n p)^2 / (n p) in digit order, mad
+    is Nigrini's mean |observed_p - expected_p| with bands
+    close <= 0.006 < acceptable <= 0.012 < marginal <= 0.015 <
+    nonconforming. Digits that never occur still get rows (their
+    expected mass counts against the fit).
+
+    The leading digit comes from the micro-unit INTEGER
+    abs(round(v * 1e6)) rendered as a string — integer-to-string is
+    identical across engines, where double log10/formatting is not;
+    values with |v| < 5e-7 (micro 0) are excluded. Scale shape: one
+    9-ary hash aggregate over the scan; everything after runs on 9
+    rows."""
+    import math
+
+    mv = F.abs(F.round(F.col(col).cast("double") * F.lit(1e6))
+               .cast("long"))
+    obs = (
+        df.filter(F.col(col).isNotNull() & (mv > 0))
+        .groupBy(F.substring(mv.cast("string"), 1, 1).cast("int")
+                 .alias("digit"))
+        .agg(F.count("*").cast("long").alias("observed"))
+    )
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
+        "digit int, expected_p double")
+    full = (
+        expected.join(obs, "digit", "left")
+        .select(
+            "digit", "expected_p",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("long")
+            .alias("observed"))
+    )
+    tot = full.agg(F.sum("observed").cast("long").alias("n"))
+    j = full.crossJoin(F.broadcast(tot))  # 1-row total
+    e = F.col("n") * F.col("expected_p")
+    staged = j.select(
+        "digit", "observed", "n", "expected_p",
+        (F.col("observed") / F.col("n")).alias("__op"),
+        ((F.col("observed") - e) * (F.col("observed") - e) / e)
+        .alias("__chi"),
+    )
+    folds = staged.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(
+                F.struct("digit", F.col("__chi").alias("c")))),
+            F.lit(0.0), lambda acc, s: acc + s["c"],
+        ).alias("chi2_raw"),
+        F.aggregate(
+            F.sort_array(F.collect_list(
+                F.struct("digit",
+                         F.abs(F.col("__op") - F.col("expected_p"))
+                         .alias("c")))),
+            F.lit(0.0), lambda acc, s: acc + s["c"],
+        ).alias("mad_raw"),
+    )
+    mad = F.col("mad_raw") / F.lit(9.0)
+    band = F.lit("nonconforming")
+    for tail in reversed(_BENFORD_BANDS):
+        band = F.when(mad <= tail[0], F.lit(tail[1])).otherwise(band)
+    return (
+        staged.drop("__chi")
+        .crossJoin(F.broadcast(folds))  # 1-row fold results
+        .select(
+            "digit", "observed", "n",
+            F.round(F.col("__op"), 6).alias("observed_p"),
+            F.round(F.col("expected_p"), 6).alias("expected_p"),
+            F.round(F.col("chi2_raw"), 6).alias("chi2"),
+            F.round(mad, 6).alias("mad"),
+            band.alias("conformity"),
+        )
+    )

@@ -4422,3 +4422,115 @@ FROM (SELECT gk, b, v, l, tr, fc FROM rec
       UNION ALL
       SELECT gk, b, v, l, tr, fc FROM fut) u
 """
+
+
+def mann_whitney_sql(
+    value_col: str = "l_quantity",
+    group_col: str = "l_returnflag",
+    a: str = "A",
+    b: str = "N",
+    table: str = "lineitem",
+) -> str:
+    """Mirror of numeric.mann_whitney_u: micro-integer value histogram,
+    window cumsums reproduce the ascending fold (every accumulator is
+    an exact integer, so order is irrelevant), HUGEINT tie sums, then
+    the identical fixed double order for mu/sigma/z/rank-biserial."""
+    return f"""
+WITH hist AS (
+  SELECT CAST(round({value_col} * 1000000, 0) AS BIGINT) AS v,
+         sum(CASE WHEN {group_col} = '{a}' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN {group_col} = '{b}' THEN 1 ELSE 0 END) AS nb
+  FROM {table}
+  WHERE {group_col} IN ('{a}', '{b}') AND {value_col} IS NOT NULL
+  GROUP BY 1),
+cum AS (
+  SELECT v, na, nb,
+         coalesce(sum(nb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM hist),
+agg AS (
+  SELECT sum(na) AS n_a, sum(nb) AS n_b,
+         sum(CAST(2 AS HUGEINT) * na * cb + CAST(na AS HUGEINT) * nb)
+           AS u2,
+         sum(CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb)
+             - (na + nb)) AS t
+  FROM cum),
+d AS (
+  SELECT n_a, n_b, u2,
+         CAST(u2 AS DOUBLE) / 2.0 AS u,
+         CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) AS nanb,
+         CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) / 2.0 AS mu,
+         CAST(t AS DOUBLE)
+           / CAST(CAST(n_a + n_b AS HUGEINT) * (n_a + n_b - 1) AS DOUBLE)
+           AS tieterm,
+         CAST(n_a + n_b + 1 AS DOUBLE) AS np1
+  FROM agg),
+f AS (
+  SELECT *, sqrt(greatest(nanb / 12.0 * (np1 - tieterm), 0.0)) AS sigma
+  FROM d)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(u, 6) AS u, round(mu, 6) AS mu_u,
+       round(sigma, 6) AS sigma_u,
+       CASE WHEN sigma > 0 THEN round((u - mu) / sigma, 6) END AS z,
+       round(1.0 - CAST(u2 AS DOUBLE) / nanb, 6) + 0.0
+         AS rank_biserial,
+       CASE WHEN sigma > 0
+            THEN abs(round((u - mu) / sigma, 6)) > 1.96 END
+         AS significant
+FROM f
+"""
+
+
+def benford_sql(
+    col: str = "l_extendedprice", table: str = "lineitem",
+) -> str:
+    """Mirror of numeric.benford_deviation: leading digit off the
+    micro-integer's string form (integer rendering is engine-stable,
+    double formatting is not), log10 expectations embedded as the
+    same Python floats, chi2/MAD folded in digit order via
+    list_reduce, Nigrini bands off the unrounded MAD."""
+    import math
+
+    exp_rows = " UNION ALL ".join(
+        f"SELECT {d} AS digit, CAST({math.log10(1.0 + 1.0 / d)!r} "
+        "AS DOUBLE) AS p"
+        for d in range(1, 10))
+    return f"""
+WITH m AS (
+  SELECT abs(CAST(round({col} * 1000000, 0) AS BIGINT)) AS mv
+  FROM {table} WHERE {col} IS NOT NULL),
+obs AS (
+  SELECT CAST(substring(CAST(mv AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS observed
+  FROM m WHERE mv > 0 GROUP BY 1),
+exp AS ({exp_rows}),
+full_g AS (
+  SELECT exp.digit, exp.p, coalesce(obs.observed, 0) AS observed
+  FROM exp LEFT JOIN obs ON exp.digit = obs.digit),
+tot AS (SELECT sum(observed) AS n FROM full_g),
+staged AS (
+  SELECT g.digit, g.observed, tot.n, g.p,
+         CAST(g.observed AS DOUBLE) / tot.n AS op,
+         (g.observed - tot.n * g.p) * (g.observed - tot.n * g.p)
+           / (tot.n * g.p) AS chi
+  FROM full_g g CROSS JOIN tot),
+folds AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(chi ORDER BY digit)),
+                     (x, y) -> x + y) AS chi2_raw,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(abs(op - p) ORDER BY digit)),
+                     (x, y) -> x + y) AS mad_raw
+  FROM staged)
+SELECT staged.digit, CAST(staged.observed AS BIGINT) AS observed,
+       CAST(staged.n AS BIGINT) AS n,
+       round(staged.op, 6) AS observed_p, round(staged.p, 6)
+         AS expected_p,
+       round(folds.chi2_raw, 6) AS chi2,
+       round(folds.mad_raw / 9.0, 6) AS mad,
+       CASE WHEN folds.mad_raw / 9.0 <= 0.006 THEN 'close'
+            WHEN folds.mad_raw / 9.0 <= 0.012 THEN 'acceptable'
+            WHEN folds.mad_raw / 9.0 <= 0.015 THEN 'marginal'
+            ELSE 'nonconforming' END AS conformity
+FROM staged CROSS JOIN folds
+"""

@@ -2358,3 +2358,41 @@ class HoltForecast(Directive):
             beta=float(self.args["beta"]),
             horizon=int(self.args["horizon"]),
         )
+
+
+@directive
+class MannWhitney(Directive):
+    """mann-whitney :value :group 'a' 'b' — exact tie-corrected
+    Mann-Whitney U rank-sum test between two groups, computed off the
+    value histogram (never a corpus rank window)."""
+
+    name = "mann-whitney"
+    usage = [
+        Arg("value", TokenType.COLUMN),
+        Arg("group", TokenType.COLUMN),
+        Arg("a", TokenType.TEXT),
+        Arg("b", TokenType.TEXT),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.numeric import mann_whitney_u
+
+        return mann_whitney_u(
+            df, ctx.resolve(df, self.args["value"]),
+            ctx.resolve(df, self.args["group"]),
+            str(self.args["a"]), str(self.args["b"]),
+        )
+
+
+@directive
+class BenfordCheck(Directive):
+    """benford-check :col — first-significant-digit Benford screen
+    with chi-square, Nigrini MAD, and conformity band."""
+
+    name = "benford-check"
+    usage = [Arg("col", TokenType.COLUMN)]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.numeric import benford_deviation
+
+        return benford_deviation(df, ctx.resolve(df, self.args["col"]))
