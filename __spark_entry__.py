@@ -652,6 +652,17 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "from_type", "to_type", weight_col="n", damping=0.85, iters=5,
             seeds=["signup", "purchase"],
         ),
+        # weighted shortest paths (bounded Bellman-Ford) over the same
+        # transition graph with cost = 1/n: the cheapest observed route
+        # from signup to every other event type — khop's weighted twin
+        "events_sssp": lambda s, d: graph.graph_sssp(
+            events.event_transitions(
+                _t(s, d, "events"), "user_id", "ts", "event_type",
+                tie_col="event_id",
+            ).withColumn("cost", F.lit(1.0) / F.col("n")),
+            "from_type", "to_type", ["signup"],
+            weight_col="cost", max_rounds=6,
+        ),
         # community detection (deterministic synchronous LPA) over the
         # same transition graph — the near-dup-cluster-labeling primitive
         # join/groupBy-key skew diagnostics: the pre-flight that decides
@@ -1298,6 +1309,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "events_cusum": o.cusum_sql(0.5, 5.0, 60),
         "events_ewma": o.ewma_sql(0.3, 3.0, 60),
         "events_acf": o.acf_sql(24, 60),
+        "events_sssp": o.events_sssp_sql(["signup"], rounds=6),
         "events_holt": o.holt_sql(0.3, 0.1, 6, 60),
         "events_survival": o.survival_sql(7, 1),
         "events_survival_by": o.survival_by_sql("event_type", 7, 1),
@@ -1820,7 +1832,12 @@ _R12_WINDOW = [
     # r11 session 2: events_funnel vacated (green r8-r11; the whole
     # funnel stage chain executes INSIDE the in-window
     # events_funnel_state fold) for the Kaplan-Meier churn curve — new
-    "events_survival",
+    # r12 session 3: events_survival vacated (r11-green, unchanged;
+    # the guarded span-fold family stays graded via the in-window
+    # events_ewma/events_holt and KM stays parity-covered) for weighted
+    # shortest paths over the transition graph — khop's weighted twin,
+    # new this session (bounded Bellman-Ford, exact micro distances)
+    "events_sssp",
     # r11: events_retention vacated (green r1-r10; its batch path —
     # retention_cohorts — is unchanged this round, and the retention
     # state family's changed edges (lease-wrapped folds) are covered by

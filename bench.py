@@ -119,6 +119,7 @@ EXTRA_QUERIES = [
     "events_holt",                # Holt trend smoothing + forecast
     "num_mannwhitney",            # rank-sum test off the value histogram
     "num_benford",                # first-digit DQ screen
+    "events_sssp",                # weighted shortest paths (Bellman-Ford)
 ]
 
 

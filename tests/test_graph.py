@@ -463,3 +463,55 @@ def test_graph_summary_directive_and_empty(spark):
     assert row["n_nodes"] == 0 and row["n_edges"] == 0
     assert row["avg_out_degree"] is None and row["density"] is None
     assert row["reciprocity"] is None
+
+
+def test_sssp_weighted_diamond_and_relaxation(spark):
+    from wrangler_spark.datapipe import graph
+
+    # a->b->c beats the direct a->c; multi-seed; absent seed at 0
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 5.0), ("b", "c", 1.0),
+         ("c", "d", 1.0), ("d", "a", 0.5), ("a", "b", 9.0)],
+        "s string, d string, w double")
+    got = {r["node"]: r["dist"] for r in graph.graph_sssp(
+        edges, "s", "d", ["a", "zz"], weight_col="w").collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0, "zz": 0.0}
+    # parallel edge a->b keeps the cheaper 1.0, not 9.0
+
+
+def test_sssp_hop_default_undirected_and_rounds(spark):
+    from wrangler_spark.datapipe import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b", None), ("b", "c", None), ("c", "d", None)],
+        "s string, d string, w string").drop("w")
+    got = {r["node"]: r["dist"] for r in graph.graph_sssp(
+        edges, "s", "d", ["d"], directed=False).collect()}
+    assert got == {"d": 0.0, "c": 1.0, "b": 2.0, "a": 3.0}
+    # bounded rounds truncate the frontier
+    got = {r["node"]: r["dist"] for r in graph.graph_sssp(
+        edges, "s", "d", ["a"], max_rounds=2).collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0}
+
+
+def test_sssp_validation_and_negative_weight(spark):
+    from wrangler_spark.datapipe import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b", -1.0)], "s string, d string, w double")
+    with pytest.raises(ValueError, match="negative edge weight"):
+        graph.graph_sssp(edges, "s", "d", ["a"], weight_col="w")
+    with pytest.raises(ValueError, match="non-empty seed"):
+        graph.graph_sssp(edges, "s", "d", [])
+    with pytest.raises(ValueError, match="max_rounds"):
+        graph.graph_sssp(edges, "s", "d", ["a"], max_rounds=-1)
+
+
+def test_sssp_directive(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 2.0)], "s string, d string, w double")
+    out = Pipeline.compile("graph-sssp :s :d 'a' :w 5").apply(edges)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    assert got == {"a": 0.0, "b": 2.0, "c": 4.0}

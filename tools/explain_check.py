@@ -659,6 +659,15 @@ def main() -> int:
 
     # mann-whitney/benford: one histogram-sized hash aggregate + folds;
     # no rank window over the corpus, no python
+    # sssp: the khop iteration shape — bounded joins, no cartesian,
+    # no windows, no python
+    p = plan_of(qs["events_sssp"](spark, SF_DIR))
+    problems += check(
+        "events_sssp", p,
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+
     for gq in ("num_mannwhitney", "num_benford"):
         p = plan_of(qs[gq](spark, SF_DIR))
         problems += check(

@@ -4534,3 +4534,65 @@ SELECT staged.digit, CAST(staged.observed AS BIGINT) AS observed,
             ELSE 'nonconforming' END AS conformity
 FROM staged CROSS JOIN folds
 """
+
+
+def sssp_over_sql(
+    edges_cte: str, seeds: list, rounds: int, directed: bool = True,
+) -> str:
+    """graph.graph_sssp unrolled to ``rounds`` min-relaxation CTEs over
+    ANY edge source (``edges_cte`` ends in a ``c`` relation of
+    (s, d, wm) micro-integer weights): distances are exact BIGINT
+    micro sums, so every round's min is unambiguous; seeds start at 0.
+    Every round is MATERIALIZED (the hits_over_sql lesson — each round
+    is referenced twice downstream)."""
+    lits = ", ".join(
+        "('" + str(s).replace("'", "''") + "')"
+        for s in sorted({str(s) for s in seeds})
+    )
+    sym = "" if directed else (
+        " UNION ALL SELECT CAST(d AS VARCHAR), CAST(s AS VARCHAR), wm"
+        " FROM c"
+    )
+    head = f"""
+WITH {edges_cte},
+e AS MATERIALIZED (
+  SELECT s, d, min(wm) AS wm FROM
+    (SELECT CAST(s AS VARCHAR) AS s, CAST(d AS VARCHAR) AS d, wm
+     FROM c{sym})
+  WHERE s IS NOT NULL AND d IS NOT NULL AND wm IS NOT NULL
+  GROUP BY s, d),
+d0 AS (SELECT n, CAST(0 AS BIGINT) AS dm FROM (VALUES {lits}) AS t(n))"""
+    parts = []
+    for i in range(1, rounds + 1):
+        prev = f"d{i - 1}"
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT n, min(dm) AS dm FROM
+    (SELECT n, dm FROM {prev}
+     UNION ALL
+     SELECT e.d AS n, {prev}.dm + e.wm AS dm
+     FROM {prev} JOIN e ON {prev}.n = e.s)
+  GROUP BY n)""")
+    return head + "".join(parts) + f"""
+SELECT n AS node, round(dm / 1000000.0, 6) AS dist FROM d{rounds}
+"""
+
+
+def events_sssp_sql(
+    seeds: list, rounds: int = 6, tie: str | None = "event_id",
+    table: str = "events",
+) -> str:
+    """Mirror of graph.graph_sssp over the event-transition graph with
+    cost = 1/n per edge (frequent transitions are cheap): the cheapest
+    observed route from the seed event types to every other type."""
+    order = "ts" + (f", {tie}" if tie else "")
+    edges = f"""p AS (SELECT event_type AS f,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY {order})
+             AS t
+      FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT f, t, count(*) AS n FROM p WHERE t IS NOT NULL
+      GROUP BY f, t),
+c AS (SELECT f AS s, t AS d,
+             CAST(round((1.0 / n) * 1000000.0, 0) AS BIGINT) AS wm
+      FROM g)"""
+    return sssp_over_sql(edges, seeds, rounds, directed=True)

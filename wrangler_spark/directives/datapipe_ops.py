@@ -2396,3 +2396,32 @@ class BenfordCheck(Directive):
         from wrangler_spark.datapipe.numeric import benford_deviation
 
         return benford_deviation(df, ctx.resolve(df, self.args["col"]))
+
+
+@directive
+class GraphSssp(Directive):
+    """graph-sssp :src :dst 'seed1,seed2' [weight] [max_rounds] —
+    weighted multi-seed shortest paths (bounded Bellman-Ford, exact
+    micro-integer distances) over a directed edge list."""
+
+    name = "graph-sssp"
+    usage = [
+        Arg("src", TokenType.COLUMN),
+        Arg("dst", TokenType.COLUMN),
+        Arg("seeds", TokenType.TEXT),
+        Arg("weight", TokenType.COLUMN, optional=True),
+        Arg("max_rounds", TokenType.NUMERIC, optional=True, default=10),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.graph import graph_sssp
+
+        wcol = self.args.value("weight")
+        seeds = [s.strip() for s in str(self.args["seeds"]).split(",")
+                 if s.strip()]
+        return graph_sssp(
+            df, ctx.resolve(df, self.args["src"]),
+            ctx.resolve(df, self.args["dst"]), seeds,
+            weight_col=ctx.resolve(df, wcol) if wcol else None,
+            max_rounds=int(self.args["max_rounds"]),
+        )
