@@ -901,6 +901,19 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "lineitem"),
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         ),
+        # Welch unequal-variance t-test: the parametric mean
+        # comparison next to Mann-Whitney's rank test
+        "num_welch": lambda s, d: numeric.welch_t_test(
+            _t(s, d, "lineitem"), "l_extendedprice", "l_returnflag",
+            "A", "N",
+        ),
+        # embedding-space drift between the vec_id-parity halves:
+        # centroid cosine + norm means — the vector twin of PSI drift
+        "emb_drift": lambda s, d: similarity.embedding_drift(
+            embs(s, d).filter(F.pmod(F.col("vec_id"), 2) == 0),
+            embs(s, d).filter(F.pmod(F.col("vec_id"), 2) == 1),
+            dim=64,
+        ),
         # Mann-Whitney U off the value histogram: the nonparametric
         # two-sample test for skewed metrics — never a rank window
         "num_mannwhitney": lambda s, d: numeric.mann_whitney_u(
@@ -1302,6 +1315,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_corr_matrix": o.corr_matrix_sql(),
         "num_chi2_indep": o.chi2_indep_sql(),
         "num_mannwhitney": o.mann_whitney_sql(),
+        "num_welch": o.welch_sql(),
+        "emb_drift": o.embedding_drift_sql(64),
         "num_benford": o.benford_sql(),
         "text_langid_kappa": o.kappa_langid_sql(),
         "text_js_drift": o.js_divergence_sql(),
@@ -1587,7 +1602,11 @@ _R12_WINDOW = [
     # knob stay graded through the in-window num_mad_by, which executes
     # the same aggregate plus the group join) for the vocabulary-state
     # reconstruction — new this round (r9 VERDICT next-round #6)
-    "text_vocab_state",
+    # r12 session 3: text_vocab_state vacated (r11-green, unchanged;
+    # the log-structured state triangle stays graded via the in-window
+    # num_quantiles_state + events_funnel_state + dq_constraints_state)
+    # for Welch's t-test — the parametric mean comparison, new
+    "num_welch",
     # r11 session 2: sample_top_frac_by vacated (r9-green, unchanged;
     # the grouped join_group_stats path stays graded via num_qbins_by +
     # num_impute in-window) for the funnel A/B z-test — new
@@ -1631,7 +1650,12 @@ _R12_WINDOW = [
     # the SAME overlap machinery graded through the harder path (plus the
     # new pair-volume governor, oracle-mirrored QUALIFY top-k) — new this
     # round (r10 VERDICT next-round #2)
-    "dedup_overlap_capped",
+    # r12 session 3: dedup_overlap_capped vacated (r11-green; the
+    # governor family stays graded via the in-window
+    # dedup_overlap_budget + dedup_ngram_budget — the session-1
+    # pre-score budgets that SUPERSEDE the post-score cap) for
+    # embedding drift — the vector-space monitor, new this session
+    "emb_drift",
     # r11 session 2: entity_match vacated (long-green; the blocked-
     # linkage family stays graded via the in-window entity_match_against,
     # which runs the same per-column blocking + candidate verify) for

@@ -120,6 +120,8 @@ EXTRA_QUERIES = [
     "num_mannwhitney",            # rank-sum test off the value histogram
     "num_benford",                # first-digit DQ screen
     "events_sssp",                # weighted shortest paths (Bellman-Ford)
+    "num_welch",                  # Welch t-test (one conditional scan)
+    "emb_drift",                  # embedding centroid drift monitor
 ]
 
 

@@ -415,3 +415,100 @@ def test_mw_and_benford_directives(spark):
     assert out.collect()[0]["u"] == 0.0
     out = Pipeline.compile("benford-check :v").apply(df)
     assert out.count() == 9
+
+
+def _welch_reference(av, bv):
+    import math
+
+    def mom(vals):
+        mv = [round(v * 1e6) for v in vals]
+        n = len(mv)
+        s, ss = sum(mv), sum(m * m for m in mv)
+        mean = s / (n * 1e6)
+        var = (n * ss - s * s) / (n * (n - 1) * 1e12)
+        return n, mean, var
+
+    na, ma, va = mom(av)
+    nb, mb, vb = mom(bv)
+    qa, qb = va / na, vb / nb
+    se = math.sqrt(qa + qb)
+    t = round((ma - mb) / se, 6)
+    dfree = round((qa + qb) ** 2
+                  / (qa * qa / (na - 1) + qb * qb / (nb - 1)), 6)
+    pooled = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    d = round((ma - mb) / math.sqrt(pooled), 6)
+    return {"mean_a": round(ma, 6), "mean_b": round(mb, 6),
+            "var_a": round(va, 6), "var_b": round(vb, 6),
+            "se": round(se, 6), "t": t, "df": dfree, "cohens_d": d}
+
+
+def test_welch_reference_and_unequal_variance(spark):
+    from wrangler_spark.datapipe import numeric
+    import random
+
+    random.seed(11)
+    av = [round(random.gauss(100, 5), 2) for _ in range(50)]
+    bv = [round(random.gauss(104, 25), 2) for _ in range(40)]
+    df = spark.createDataFrame(
+        [("a", v) for v in av] + [("b", v) for v in bv]
+        + [("c", 0.0), ("a", None)],
+        "g string, v double")
+    got = numeric.welch_t_test(df, "v", "g", "a", "b").collect()[0]
+    ref = _welch_reference(av, bv)
+    for k, v in ref.items():
+        assert got[k] == v, (k, got[k], v)
+    assert got["n_a"] == 50 and got["n_b"] == 40
+    # Welch df must sit between min(n)-1 and n_a+n_b-2, pulled toward
+    # the high-variance arm
+    assert 39 <= got["df"] <= 88
+    assert got["significant"] == (abs(got["t"]) > 1.96)
+
+
+def test_welch_zero_variance_null_t(spark):
+    from wrangler_spark.datapipe import numeric
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 3 + [("b", 5.0)] * 3, "g string, v double")
+    got = numeric.welch_t_test(df, "v", "g", "a", "b").collect()[0]
+    assert got["t"] is None and got["significant"] is None
+    assert got["cohens_d"] is None
+
+
+def test_embedding_drift_reference(spark):
+    from wrangler_spark.datapipe import similarity
+    import math
+
+    a = [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.2, 0.0])]
+    b = [(3, [0.0, 1.0, 0.0]), (4, [0.2, 1.0, 0.0])]
+    bad = [(5, [1.0]), (6, None)]  # wrong dim / null dropped
+    dfa = spark.createDataFrame(a + bad, "vec_id long, embedding array<double>")
+    dfb = spark.createDataFrame(b, "vec_id long, embedding array<double>")
+    got = similarity.embedding_drift(dfa, dfb, dim=3).collect()[0]
+    assert got["n_a"] == 2 and got["n_b"] == 2 and got["dim"] == 3
+    # integer-sum mirror
+    sa = [2_000_000, 200_000, 0]
+    sb = [200_000, 2_000_000, 0]
+    dot = sum(x * y for x, y in zip(sa, sb))
+    cos = round(dot / (math.sqrt(sum(x * x for x in sa))
+                       * math.sqrt(sum(y * y for y in sb))), 6)
+    assert got["centroid_cosine"] == cos
+    assert got["centroid_shift"] == round(1.0 - cos, 6)
+    norms_a = [round(math.sqrt(sum(x * x for x in v)) * 1e6)
+               for _, v in a]
+    assert got["mean_norm_a"] == round(sum(norms_a) / (2 * 1e6), 6)
+
+    # identical corpora: cosine 1, shift 0
+    same = similarity.embedding_drift(dfb, dfb, dim=3).collect()[0]
+    assert same["centroid_cosine"] == 1.0 and same["centroid_shift"] == 0.0
+    with pytest.raises(ValueError, match="dim"):
+        similarity.embedding_drift(dfa, dfb, dim=0)
+
+
+def test_welch_directive(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 7.0)],
+        "g string, v double")
+    out = Pipeline.compile("welch-t :v :g 'a' 'b'").apply(df)
+    assert out.collect()[0]["diff"] == -4.5

@@ -668,6 +668,24 @@ def main() -> int:
                   "ArrowEvalPython"],
     )
 
+    # welch: ONE conditional-moment scan, no join at all; emb_drift:
+    # one aggregate per side + a 1-row broadcast join
+    p = plan_of(qs["num_welch"](spark, SF_DIR))
+    problems += check(
+        "num_welch", p,
+        must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct", "SortMergeJoin",
+                  "BroadcastHashJoin", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+    p = plan_of(qs["emb_drift"](spark, SF_DIR))
+    problems += check(
+        "emb_drift", p,
+        must=["HashAggregate"],
+        must_not=["Window", "SortMergeJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     for gq in ("num_mannwhitney", "num_benford"):
         p = plan_of(qs[gq](spark, SF_DIR))
         problems += check(

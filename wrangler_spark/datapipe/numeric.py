@@ -1265,3 +1265,85 @@ def benford_deviation(df: DataFrame, col: str) -> DataFrame:
             band.alias("conformity"),
         )
     )
+
+
+def welch_t_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups of a numeric
+    column (Welch, Biometrika 1947) — the parametric companion to
+    :func:`mann_whitney_u`: compares MEANS without assuming equal
+    variances (the assumption Student's pooled t silently makes and
+    real metrics silently break). Returns ONE row: (n_a, n_b, mean_a,
+    mean_b, var_a, var_b, diff, se, t, df, cohens_d, significant) —
+    df is the Welch-Satterthwaite effective degrees of freedom,
+    cohens_d the pooled-SD effect size, significance graded at
+    |t| > 1.96 (the normal approximation; at the corpus sizes this
+    engine targets, df is astronomically large and t == z).
+
+    Moments accumulate as micro-unit integers in decimal(38,0) in ONE
+    conditional-aggregation scan (the cuped_ab_test posture — no join,
+    no second pass); every ratio after is one fixed double order.
+    Sample variances (n-1); a zero-variance pair yields NULL t."""
+    a, b = str(group_a), str(group_b)
+    g = F.col(group_col).cast("string")
+    mv = F.round(F.col(value_col).cast("double") * F.lit(1e6)).cast("long")
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+
+    def moments(tag: str, cond) -> list:
+        w = lambda c: F.when(cond, c)  # noqa: E731
+        return [
+            F.count(w(F.lit(1))).cast("long").alias(f"n_{tag}"),
+            F.sum(w(mv).cast("decimal(38,0)")).alias(f"s_{tag}"),
+            F.sum(w((dec(mv) * dec(mv)).cast("decimal(38,0)")))
+            .alias(f"ss_{tag}"),
+        ]
+
+    base = df.filter(g.isin(a, b) & F.col(value_col).isNotNull())
+    m = base.agg(*moments("a", g == a), *moments("b", g == b))
+    D = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def stats(tag: str):
+        nn = F.col(f"n_{tag}")
+        s, ss = D(F.col(f"s_{tag}")), D(F.col(f"ss_{tag}"))
+        mean = s.cast("double") / (nn.cast("double") * F.lit(1e6))
+        var = ((D(nn) * ss - s * s).cast("double")
+               / ((nn * (nn - 1)).cast("double") * F.lit(1e12)))
+        return nn, mean, var
+
+    na, ma, va = stats("a")
+    nb, mb, vb = stats("b")
+    qa = va / na.cast("double")
+    qb = vb / nb.cast("double")
+    se = F.sqrt(qa + qb)
+    t = F.when(se > 0, F.round((ma - mb) / se, 6))
+    # Welch-Satterthwaite: (qa+qb)^2 / (qa^2/(na-1) + qb^2/(nb-1))
+    dfree = F.when(
+        se > 0,
+        F.round(
+            (qa + qb) * (qa + qb)
+            / (qa * qa / (na - 1).cast("double")
+               + qb * qb / (nb - 1).cast("double")),
+            6,
+        ),
+    )
+    # Cohen's d with the pooled SD (Cohen 1988)
+    pooled = (
+        ((na - 1).cast("double") * va + (nb - 1).cast("double") * vb)
+        / (na + nb - 2).cast("double"))
+    d = F.when(pooled > 0, F.round((ma - mb) / F.sqrt(pooled), 6))
+    return m.select(
+        na.alias("n_a"), nb.alias("n_b"),
+        F.round(ma, 6).alias("mean_a"), F.round(mb, 6).alias("mean_b"),
+        F.round(va, 6).alias("var_a"), F.round(vb, 6).alias("var_b"),
+        F.round(ma - mb, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        t.cast("double").alias("t"),
+        dfree.cast("double").alias("df"),
+        (d + F.lit(0.0)).cast("double").alias("cohens_d"),
+        F.when(t.isNotNull(), F.abs(t) > F.lit(1.96)).alias("significant"),
+    )

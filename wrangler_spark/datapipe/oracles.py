@@ -4596,3 +4596,117 @@ c AS (SELECT f AS s, t AS d,
              CAST(round((1.0 / n) * 1000000.0, 0) AS BIGINT) AS wm
       FROM g)"""
     return sssp_over_sql(edges, seeds, rounds, directed=True)
+
+
+def welch_sql(
+    value_col: str = "l_extendedprice",
+    group_col: str = "l_returnflag",
+    a: str = "A",
+    b: str = "N",
+    table: str = "lineitem",
+) -> str:
+    """Mirror of numeric.welch_t_test: one conditional-aggregation pass
+    of HUGEINT micro moments, then the identical fixed double order for
+    means/variances/se/t/Welch-Satterthwaite df/Cohen's d."""
+    return f"""
+WITH m AS (
+  SELECT
+    count(CASE WHEN {group_col} = '{a}' THEN 1 END) AS n_a,
+    sum(CASE WHEN {group_col} = '{a}' THEN
+        CAST(round({value_col} * 1000000, 0) AS BIGINT) END)::HUGEINT
+      AS s_a,
+    sum(CASE WHEN {group_col} = '{a}' THEN
+        CAST(CAST(round({value_col} * 1000000, 0) AS BIGINT) AS HUGEINT)
+        * CAST(round({value_col} * 1000000, 0) AS BIGINT) END) AS ss_a,
+    count(CASE WHEN {group_col} = '{b}' THEN 1 END) AS n_b,
+    sum(CASE WHEN {group_col} = '{b}' THEN
+        CAST(round({value_col} * 1000000, 0) AS BIGINT) END)::HUGEINT
+      AS s_b,
+    sum(CASE WHEN {group_col} = '{b}' THEN
+        CAST(CAST(round({value_col} * 1000000, 0) AS BIGINT) AS HUGEINT)
+        * CAST(round({value_col} * 1000000, 0) AS BIGINT) END) AS ss_b
+  FROM {table}
+  WHERE {group_col} IN ('{a}', '{b}') AND {value_col} IS NOT NULL),
+st AS (
+  SELECT n_a, n_b,
+    CAST(s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1000000.0) AS ma,
+    CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
+      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS va,
+    CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0) AS mb,
+    CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
+      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS vb
+  FROM m),
+q AS (
+  SELECT *, va / CAST(n_a AS DOUBLE) AS qa, vb / CAST(n_b AS DOUBLE)
+    AS qb,
+    ((n_a - 1) * va + (n_b - 1) * vb) / CAST(n_a + n_b - 2 AS DOUBLE)
+      AS pooled
+  FROM st),
+f AS (SELECT *, sqrt(qa + qb) AS se FROM q)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+  round(va, 6) AS var_a, round(vb, 6) AS var_b,
+  round(ma - mb, 6) AS diff, round(se, 6) AS se,
+  CASE WHEN se > 0 THEN round((ma - mb) / se, 6) END AS t,
+  CASE WHEN se > 0 THEN
+    round((qa + qb) * (qa + qb)
+          / (qa * qa / CAST(n_a - 1 AS DOUBLE)
+             + qb * qb / CAST(n_b - 1 AS DOUBLE)), 6) END AS df,
+  CASE WHEN pooled > 0
+       THEN round((ma - mb) / sqrt(pooled), 6) END + 0.0 AS cohens_d,
+  CASE WHEN se > 0 THEN abs(round((ma - mb) / se, 6)) > 1.96 END
+    AS significant
+FROM f
+"""
+
+
+def embedding_drift_sql(
+    dim: int = 64, table: str = "embeddings",
+) -> str:
+    """Mirror of similarity.embedding_drift between the vec_id-parity
+    halves of the embedding table: per-dimension micro-integer HUGEINT
+    sums (cosine of centroids == cosine of sum vectors), left-to-right
+    per-vector norm folds, one fixed double order at the end."""
+    def side(tag: str, parity: int) -> str:
+        sums = ",\n    ".join(
+            f"sum(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE)"
+            f" * 1000000, 0) AS BIGINT))::HUGEINT AS s{tag}{i}"
+            for i in range(dim))
+        return f"""{tag} AS (
+  SELECT count(*) AS n_{tag},
+    sum(CAST(round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(embedding, x -> CAST(x AS DOUBLE))),
+          (acc, x) -> acc + x * x)) * 1000000, 0) AS BIGINT))::HUGEINT
+      AS nm_{tag},
+    {sums}
+  FROM {table}
+  WHERE vec_id % 2 = {parity} AND embedding IS NOT NULL
+    AND len(embedding) = {dim})"""
+
+    dot = " + ".join(f"sa{i} * sb{i}" for i in range(dim))
+    na2 = " + ".join(f"sa{i} * sa{i}" for i in range(dim))
+    nb2 = " + ".join(f"sb{i} * sb{i}" for i in range(dim))
+    return f"""
+WITH {side('a', 0)},
+{side('b', 1)},
+j AS (SELECT * FROM a CROSS JOIN b),
+c AS (SELECT n_a, n_b, nm_a, nm_b,
+             CAST({dot} AS HUGEINT) AS dot,
+             CAST({na2} AS HUGEINT) AS na2,
+             CAST({nb2} AS HUGEINT) AS nb2
+      FROM j),
+f AS (SELECT *, sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))
+        AS denom FROM c)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST({dim} AS INT) AS dim,
+  CASE WHEN denom > 0 THEN round(CAST(dot AS DOUBLE) / denom, 6) END
+    AS centroid_cosine,
+  CASE WHEN denom > 0 THEN
+    round(1.0 - round(CAST(dot AS DOUBLE) / denom, 6), 6) END
+    AS centroid_shift,
+  round(CAST(nm_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1000000.0), 6)
+    AS mean_norm_a,
+  round(CAST(nm_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0), 6)
+    AS mean_norm_b
+FROM f
+"""

@@ -1484,3 +1484,72 @@ def embedding_outliers(
     return a.join(F.broadcast(thr), "centroid_id").select(
         "vec_id", "centroid_id", "cos", (F.col("cos") < F.col("__thr")).alias("is_outlier")
     )
+
+
+def embedding_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots (the vector
+    twin of curation.distribution_drift): centroid cosine answers
+    "did the embedding distribution MOVE" — the monitor that catches a
+    re-embedded corpus, a model-version bump, or a topical shift that
+    token-level drift misses. Returns ONE row: (n_a, n_b, dim,
+    centroid_cosine, centroid_shift, mean_norm_a, mean_norm_b).
+
+    Determinism: per-dimension sums accumulate micro-unit INTEGERS
+    (``dim`` fixed aggregate columns — one pass, no explode shuffle),
+    and cosine of the centroids equals cosine of those integer sum
+    vectors (means differ by the scalar 1/n, which cancels), so the
+    dot/norms are exact decimal(38,0) integers folded in dimension
+    order; per-vector norms fold left-to-right over the array before
+    a micro-integer mean. Scale shape: one aggregate per side, a
+    1-row-x-1-row join; nothing dimension-squared, no explode."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(vec_col)
+        ok = v.isNotNull() & (F.size(v) == dim)
+        base = df.filter(ok)
+        el = lambda i: F.element_at(v, i + 1).cast("double")  # noqa: E731
+        sums = [
+            F.sum(F.round(el(i) * F.lit(1e6)).cast("long"))
+            .cast("decimal(38,0)").alias(f"s{tag}{i}")
+            for i in range(dim)
+        ]
+        norm = F.sqrt(F.aggregate(
+            F.transform(v, lambda x: x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x * x))
+        return base.agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            F.sum(F.round(norm * F.lit(1e6)).cast("long"))
+            .cast("decimal(38,0)").alias(f"nm_{tag}"),
+            *sums,
+        )
+
+    j = side(df_a, "a").crossJoin(F.broadcast(side(df_b, "b")))
+    zero = F.lit(0).cast("decimal(38,0)")
+    dot, na2, nb2 = zero, zero, zero
+    for i in range(dim):
+        sa, sb = F.col(f"sa{i}"), F.col(f"sb{i}")
+        dot = (dot + sa * sb).cast("decimal(38,0)")
+        na2 = (na2 + sa * sa).cast("decimal(38,0)")
+        nb2 = (nb2 + sb * sb).cast("decimal(38,0)")
+    denom = F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))
+    cos = F.when(denom > 0, F.round(dot.cast("double") / denom, 6))
+    return j.select(
+        F.col("n_a"), F.col("n_b"),
+        F.lit(int(dim)).cast("int").alias("dim"),
+        cos.cast("double").alias("centroid_cosine"),
+        F.when(cos.isNotNull(), F.round(F.lit(1.0) - cos, 6))
+        .cast("double").alias("centroid_shift"),
+        F.round(F.col("nm_a").cast("double")
+                / (F.col("n_a").cast("double") * F.lit(1e6)), 6)
+        .alias("mean_norm_a"),
+        F.round(F.col("nm_b").cast("double")
+                / (F.col("n_b").cast("double") * F.lit(1e6)), 6)
+        .alias("mean_norm_b"),
+    )

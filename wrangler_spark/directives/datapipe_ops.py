@@ -2425,3 +2425,27 @@ class GraphSssp(Directive):
             weight_col=ctx.resolve(df, wcol) if wcol else None,
             max_rounds=int(self.args["max_rounds"]),
         )
+
+
+@directive
+class WelchTTest(Directive):
+    """welch-t :value :group 'a' 'b' — Welch unequal-variance t-test
+    between two groups (means, variances, Welch-Satterthwaite df,
+    Cohen's d)."""
+
+    name = "welch-t"
+    usage = [
+        Arg("value", TokenType.COLUMN),
+        Arg("group", TokenType.COLUMN),
+        Arg("a", TokenType.TEXT),
+        Arg("b", TokenType.TEXT),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.numeric import welch_t_test
+
+        return welch_t_test(
+            df, ctx.resolve(df, self.args["value"]),
+            ctx.resolve(df, self.args["group"]),
+            str(self.args["a"]), str(self.args["b"]),
+        )
