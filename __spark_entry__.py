@@ -839,6 +839,13 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_profile": lambda s, d: curation.profile_table(
             _t(s, d, "orders"), exact=True
         ),
+        # profile drift between snapshots: schema + null-rate +
+        # cardinality + range changes — the Deequ loop's change detector
+        "dq_profile_diff": lambda s, d: curation.profile_diff(
+            _t(s, d, "orders").filter(F.pmod(F.col("o_orderkey"), 2) == 0),
+            _t(s, d, "orders").filter(F.pmod(F.col("o_orderkey"), 2) == 1),
+            exact=True,
+        ),
         # the CLOSED Deequ loop graded end to end: profile -> suggested
         # rule list -> check report; the oracle re-derives the same
         # data-dependent rule list in SQL (suggested rules pass on
@@ -900,6 +907,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "num_corr_matrix": lambda s, d: numeric.corr_matrix(
             _t(s, d, "lineitem"),
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
+        # Kruskal-Wallis H: do ANY of the k arms differ — the k-group
+        # extension of Mann-Whitney off the same histogram machinery
+        "num_kruskal": lambda s, d: numeric.kruskal_wallis(
+            _t(s, d, "lineitem"), "l_quantity", "l_returnflag",
+            ["A", "N", "R"],
         ),
         # Welch unequal-variance t-test: the parametric mean
         # comparison next to Mann-Whitney's rank test
@@ -1316,6 +1329,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_chi2_indep": o.chi2_indep_sql(),
         "num_mannwhitney": o.mann_whitney_sql(),
         "num_welch": o.welch_sql(),
+        "num_kruskal": o.kruskal_sql(
+            ["A", "N", "R"], crit=_ev.chi2_critical(2, "0.05")),
         "emb_drift": o.embedding_drift_sql(64),
         "num_benford": o.benford_sql(),
         "text_langid_kappa": o.kappa_langid_sql(),
@@ -1335,6 +1350,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dq_constraints": o.check_constraints_sql(),
         "dq_constraints_state": o.check_constraints_state_sql(),
         "dq_profile": o.profile_sql(),
+        "dq_profile_diff": o.profile_diff_sql(),
         "dq_suggest": o.dq_suggest_sql(),
         "dq_suggest_shapes": o.dq_suggest_shapes_sql(),
         "events_cms_counts": o.cms_counts_sql("user_id", "events", 4, 512, 20),
@@ -1645,7 +1661,11 @@ _R12_WINDOW = [
     # drift family is now graded via the in-window num_ks_drift +
     # text_js_drift, which cover the numeric and text axes) for the
     # Jensen-Shannon text drift — new this session
-    "text_js_drift",
+    # r12 session 3: text_js_drift vacated (r11-green, unchanged; the
+    # drift axis stays graded via the in-window emb_drift and the
+    # KS/JS pair stays parity-covered) for Kruskal-Wallis — the k-group
+    # rank test completing the nonparametric suite, new this session
+    "num_kruskal",
     # r11: dedup_overlap vacated (green r1-r10) for dedup_overlap_capped —
     # the SAME overlap machinery graded through the harder path (plus the
     # new pair-volume governor, oracle-mirrored QUALIFY top-k) — new this
@@ -1682,7 +1702,12 @@ _R12_WINDOW = [
     # coverage-vocab path stays graded via the in-window
     # text_vocab_state, whose reconstruction equals the one-shot) for
     # the per-arm retention grid — new
-    "events_retention_by",
+    # r12 session 3: events_retention_by vacated (r11-green,
+    # unchanged; retention stays graded via the in-window
+    # events_retention_forget and the grouped grid stays
+    # parity-covered) for the profile diff — the Deequ loop's change
+    # detector between snapshots, new this session
+    "dq_profile_diff",
     "dedup_minhash_cc",
     # r10: num_scale_by vacated (r8-green, unchanged; the grouped numeric
     # join path stays graded through num_winsorize_by/num_qbins_by/

@@ -122,6 +122,8 @@ EXTRA_QUERIES = [
     "events_sssp",                # weighted shortest paths (Bellman-Ford)
     "num_welch",                  # Welch t-test (one conditional scan)
     "emb_drift",                  # embedding centroid drift monitor
+    "num_kruskal",                # k-group rank test (histogram fold)
+    "dq_profile_diff",            # snapshot profile drift detector
 ]
 
 

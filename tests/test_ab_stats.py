@@ -512,3 +512,116 @@ def test_welch_directive(spark):
         "g string, v double")
     out = Pipeline.compile("welch-t :v :g 'a' 'b'").apply(df)
     assert out.collect()[0]["diff"] == -4.5
+
+
+def _kruskal_reference(data, labels):
+    from collections import Counter, defaultdict
+
+    cnt = Counter(v for _, v in data)
+    pergroup = defaultdict(Counter)
+    for g, v in data:
+        pergroup[g][v] += 1
+    cum, midrank = 0, {}
+    for v in sorted(cnt):
+        midrank[v] = cum + (cnt[v] + 1) / 2
+        cum += cnt[v]
+    n = len(data)
+    s = 0.0
+    for lab in labels:
+        rg = sum(pergroup[lab][v] * midrank[v] for v in midrank)
+        ng = sum(pergroup[lab].values())
+        s += (2 * rg) * (2 * rg) / (4.0 * ng)
+    h = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+    t = sum(c ** 3 - c for c in cnt.values())
+    hc = h / (1.0 - t / (n ** 3 - n))
+    return round(h, 6), round(hc, 6)
+
+
+def test_kruskal_reference_and_ties(spark):
+    from wrangler_spark.datapipe import numeric
+    import random
+
+    random.seed(3)
+    data = []
+    for gi, (lab, mu) in enumerate([("a", 10), ("b", 12), ("c", 10.5)]):
+        data += [(lab, round(random.gauss(mu, 2), 1))
+                 for _ in range(40 + gi * 5)]
+    df = spark.createDataFrame(
+        data + [("zz", 1.0), ("a", None)], "g string, v double")
+    got = numeric.kruskal_wallis(df, "v", "g", ["a", "b", "c"]).collect()[0]
+    h, hc = _kruskal_reference(data, ["a", "b", "c"])
+    assert got["h"] == h and got["h_corrected"] == hc
+    assert got["n"] == len(data) and got["k"] == 3 and got["df"] == 2
+    assert got["significant"] == (hc > 5.991)
+
+
+def test_kruskal_identical_groups_and_validation(spark):
+    from wrangler_spark.datapipe import numeric
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    df = spark.createDataFrame(
+        [(g, v) for g in "ab" for v in vals], "g string, v double")
+    got = numeric.kruskal_wallis(df, "v", "g", ["a", "b"]).collect()[0]
+    assert got["h_corrected"] == 0.0 and got["significant"] is False
+
+    # every value tied: the correction denominator hits 0 -> NULL
+    dfc = spark.createDataFrame(
+        [("a", 7.0)] * 3 + [("b", 7.0)] * 3, "g string, v double")
+    got = numeric.kruskal_wallis(dfc, "v", "g", ["a", "b"]).collect()[0]
+    assert got["h_corrected"] is None and got["significant"] is None
+
+    with pytest.raises(ValueError, match="at least two"):
+        numeric.kruskal_wallis(df, "v", "g", ["a"])
+    with pytest.raises(ValueError, match="duplicate"):
+        numeric.kruskal_wallis(df, "v", "g", ["a", "a"])
+    with pytest.raises(ValueError, match="distinct values"):
+        numeric.kruskal_wallis(df, "v", "g", ["a", "b"], max_cells=2)
+
+
+def test_kruskal_matches_mann_whitney_two_groups(spark):
+    # with k = 2, KW and MW must agree on significance (H = z^2 up to
+    # the tie treatment both share)
+    from wrangler_spark.datapipe import numeric
+    import random
+
+    random.seed(9)
+    rows = [("a", round(random.gauss(10, 2), 1)) for _ in range(60)]
+    rows += [("b", round(random.gauss(12, 2), 1)) for _ in range(60)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    kw = numeric.kruskal_wallis(df, "v", "g", ["a", "b"]).collect()[0]
+    mw = numeric.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert kw["significant"] == mw["significant"]
+    assert abs(kw["h_corrected"] - mw["z"] ** 2) < 0.01
+
+
+def test_kruskal_directive(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 9.0), ("b", 8.0)],
+        "g string, v double")
+    out = Pipeline.compile("kruskal-wallis :v :g 'a,b'").apply(df)
+    assert out.collect()[0]["k"] == 2
+
+
+def test_profile_diff_statuses_and_deltas(spark):
+    from wrangler_spark.datapipe import curation
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", None), (3, None, 3.0)],
+        "id long, s string, v double")
+    b = spark.createDataFrame(
+        [(1, "x", "p"), (2, "x", "q"), (3, "x", "r"), (4, "x", "s")],
+        "id long, s string, extra string")
+    got = {r["column"]: r for r in
+           curation.profile_diff(a, b, exact=True).collect()}
+    assert got["v"]["status"] == "dropped"
+    assert got["extra"]["status"] == "added"
+    assert got["extra"]["n_rows_a"] is None
+    assert got["id"]["status"] == "common"
+    assert got["id"]["n_rows_a"] == 3 and got["id"]["n_rows_b"] == 4
+    assert got["id"]["range_changed"] is True   # max 3 -> 4
+    assert got["s"]["dtype_changed"] is False
+    # null_frac: a has 1/3 null s, b has 0
+    assert got["s"]["null_frac_delta"] == round(0.0 - round(1 / 3, 6), 6)
+    assert got["s"]["n_distinct_delta"] == 1 - 3  # {x,y,NULL} -> {x}

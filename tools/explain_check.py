@@ -686,6 +686,25 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # kruskal: the mann-whitney histogram shape; profile_diff: two
+    # one-pass profiles combined by union + re-aggregate (no join —
+    # exact count_distinct renders as ObjectHashAggregate, so the gate
+    # checks the absences, not the aggregate flavor)
+    p = plan_of(qs["num_kruskal"](spark, SF_DIR))
+    problems += check(
+        "num_kruskal", p,
+        must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct", "SortMergeJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+    p = plan_of(qs["dq_profile_diff"](spark, SF_DIR))
+    problems += check(
+        "dq_profile_diff", p,
+        must_not=["Window", "CartesianProduct", "SortMergeJoin",
+                  "BroadcastHashJoin", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+
     for gq in ("num_mannwhitney", "num_benford"):
         p = plan_of(qs[gq](spark, SF_DIR))
         problems += check(

@@ -2886,3 +2886,67 @@ def suggest_constraints(
     if prof:
         rules.append({"rule": "min_rows", "n": max(1, prof[0]["n_rows"] // 2)})
     return rules
+
+
+def profile_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols: list[str] | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Schema + profile drift between two table snapshots — the Deequ
+    loop's change detector: run :func:`profile_table` on both sides
+    and compare per column. Catches the upstream changes constraint
+    checks only see after they fire: a column added or dropped, a
+    dtype change, a null-rate jump, a cardinality collapse, a
+    min/max range shift. Returns one row per column in EITHER
+    snapshot: (column, status[added|dropped|common], dtype_a, dtype_b,
+    dtype_changed, n_rows_a, n_rows_b, null_frac_a, null_frac_b,
+    null_frac_delta, n_distinct_a, n_distinct_b, n_distinct_delta,
+    range_changed) — missing-side metrics NULL.
+
+    Scale shape: exactly two profile passes (one aggregate each); the
+    diff itself runs on column-count-sized frames combined by union +
+    re-aggregate (no join — the unbroadcastable-full-outer lesson).
+    ``exact`` passes through to profile_table (HLL distincts by
+    default; exact count_distinct for oracle-grade runs)."""
+    def tag(df: DataFrame, side: str) -> DataFrame:
+        return profile_table(df, cols, exact).select(
+            "column", F.lit(side).alias("__side"), "dtype", "n_rows",
+            "n_null", "null_frac", "n_distinct", "min", "max")
+
+    u = tag(df_a, "a").unionByName(tag(df_b, "b"))
+
+    def pick(col: str, side: str):
+        return F.max(F.when(F.col("__side") == side, F.col(col)))
+
+    g = u.groupBy("column").agg(
+        *[pick(c, s).alias(f"{c}_{s}")
+          for c in ("dtype", "n_rows", "n_null", "null_frac",
+                    "n_distinct", "min", "max")
+          for s in ("a", "b")],
+    )
+    has_a = F.col("dtype_a").isNotNull()
+    has_b = F.col("dtype_b").isNotNull()
+    common = has_a & has_b
+    status = (F.when(common, "common")
+              .when(has_a, "dropped").otherwise("added"))
+    return g.select(
+        "column", status.alias("status"),
+        "dtype_a", "dtype_b",
+        F.when(common, F.col("dtype_a") != F.col("dtype_b"))
+        .alias("dtype_changed"),
+        "n_rows_a", "n_rows_b",
+        "null_frac_a", "null_frac_b",
+        F.when(common,
+               F.round(F.col("null_frac_b") - F.col("null_frac_a"), 6)
+               + F.lit(0.0))
+        .cast("double").alias("null_frac_delta"),
+        "n_distinct_a", "n_distinct_b",
+        F.when(common, F.col("n_distinct_b") - F.col("n_distinct_a"))
+        .cast("long").alias("n_distinct_delta"),
+        F.when(common,
+               (~F.col("min_a").eqNullSafe(F.col("min_b")))
+               | (~F.col("max_a").eqNullSafe(F.col("max_b"))))
+        .alias("range_changed"),
+    )

@@ -1347,3 +1347,124 @@ def welch_t_test(
         (d + F.lit(0.0)).cast("double").alias("cohens_d"),
         F.when(t.isNotNull(), F.abs(t) > F.lit(1.96)).alias("significant"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    groups: list,
+    max_cells: int = 100_000,
+    alpha: str = "0.05",
+) -> DataFrame:
+    """Kruskal-Wallis H rank test across k groups (Kruskal & Wallis,
+    JASA 1952) — the k-arm extension of :func:`mann_whitney_u`: do ANY
+    of the groups' distributions differ? Tie-corrected via midranks:
+    H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1), divided by
+    1 - sum(t^3 - t)/(N^3 - N). ``groups`` is the explicit arm list
+    (so df = k-1 and the chi-square critical value bind at plan time,
+    the srm_check posture). Returns ONE row: (n, k, df, h, h_corrected,
+    epsilon_sq, significant) — epsilon_sq = (H_c - k + 1)/(n - k) is
+    the effect size, significance grades H_corrected against the
+    published chi-square critical value at ``alpha``.
+
+    Doubled rank sums 2*R_g stay exact integers (midrank halves never
+    materialize: per value, group g gains n_gv * (2*cum + t_v + 1))
+    via ONE ascending-value fold over the distinct-value histogram;
+    the tie sum is an order-free decimal aggregate; the handful of
+    double ops after run in one fixed generated order (groups in list
+    order). Scale shape: one groupBy(value) count with k conditional
+    sums — the mann_whitney shape, never a rank window."""
+    if len(groups) < 2:
+        raise ValueError("kruskal_wallis needs at least two groups")
+    gl = [str(g) for g in groups]
+    if len(set(gl)) != len(gl):
+        raise ValueError("kruskal_wallis: duplicate group labels")
+    g = F.col(group_col).cast("string")
+    mv = F.round(F.col(value_col).cast("double") * F.lit(1e6)).cast("long")
+    hist = (
+        df.filter(g.isin(*gl) & F.col(value_col).isNotNull())
+        .groupBy(mv.alias("__v"))
+        .agg(*[
+            F.sum(F.when(g == lab, 1).otherwise(0)).cast("long")
+            .alias(f"n{i}")
+            for i, lab in enumerate(gl)
+        ])
+    )
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+
+    hist = eager_checkpoint(hist)
+    kcells = hist.count()
+    if kcells > max_cells:
+        raise ValueError(
+            f"kruskal_wallis: {kcells} distinct values (max_cells="
+            f"{max_cells}) — bin the column or use quantile tests")
+    if kcells == 0:
+        raise ValueError("kruskal_wallis: no rows in any group")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t_v = sum((F.col(f"n{i}") for i in range(1, len(gl))),
+              F.col("n0"))
+    agg = hist.agg(
+        F.sort_array(F.collect_list(F.struct(
+            "__v", *[f"n{i}" for i in range(len(gl))]))).alias("__c"),
+        *[F.sum(f"n{i}").cast("long").alias(f"N{i}")
+          for i in range(len(gl))],
+        F.sum(
+            dec(t_v.cast("decimal(13,0)") * t_v.cast("decimal(13,0)")
+                * t_v.cast("decimal(13,0)")) - dec(t_v)
+        ).cast("decimal(38,0)").alias("__t"),
+    )
+
+    def step(acc, c):
+        tv = sum((c[f"n{i}"] for i in range(1, len(gl))), c["n0"])
+        w = F.lit(2) * acc["cum"] + tv + F.lit(1)
+        fields = [
+            (acc[f"r{i}"] + dec(c[f"n{i}"]) * dec(w))
+            .cast("decimal(38,0)").alias(f"r{i}")
+            for i in range(len(gl))
+        ]
+        return F.struct(
+            *fields, (acc["cum"] + tv).cast("long").alias("cum"))
+
+    init = F.struct(
+        *[F.lit(0).cast("decimal(38,0)").alias(f"r{i}")
+          for i in range(len(gl))],
+        F.lit(0).cast("long").alias("cum"))
+    folded = agg.select(
+        *[f"N{i}" for i in range(len(gl))], "__t",
+        F.aggregate(F.col("__c"), init, step).alias("__f"))
+    n = sum((F.col(f"N{i}") for i in range(1, len(gl))), F.col("N0"))
+    nd = n.cast("double")
+    # S = sum_g (2R_g)^2 / (4 n_g), groups in list order (fixed)
+    s = None
+    for i in range(len(gl)):
+        term = (
+            F.col(f"__f.r{i}").cast("double")
+            * F.col(f"__f.r{i}").cast("double")
+            / (F.lit(4.0) * F.col(f"N{i}").cast("double")))
+        s = term if s is None else s + term
+    h = F.lit(12.0) / (nd * (nd + F.lit(1.0))) * s \
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    tie = (F.lit(1.0)
+           - F.col("__t").cast("double")
+           / (dec(n.cast("decimal(13,0)") * n.cast("decimal(13,0)")
+                  * n.cast("decimal(13,0)")) - dec(n)).cast("double"))
+    hc = F.when(tie > 0, h / tie)
+    dof = len(gl) - 1
+    from wrangler_spark.datapipe.events import chi2_critical
+
+    crit = chi2_critical(dof, alpha)
+    kk = F.lit(len(gl)).cast("int")
+    eps = F.when(
+        (n > len(gl)) & hc.isNotNull(),
+        F.round((hc - kk.cast("double") + F.lit(1.0))
+                / (nd - kk.cast("double")), 6))
+    return folded.select(
+        n.alias("n"), kk.alias("k"),
+        F.lit(dof).cast("int").alias("df"),
+        F.round(h, 6).alias("h"),
+        F.round(hc, 6).cast("double").alias("h_corrected"),
+        (eps + F.lit(0.0)).cast("double").alias("epsilon_sq"),
+        F.when(hc.isNotNull(),
+               F.round(hc, 6) > F.lit(crit)).alias("significant"),
+    )

@@ -4710,3 +4710,118 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
     AS mean_norm_b
 FROM f
 """
+
+
+def kruskal_sql(
+    groups: list,
+    crit: float,
+    value_col: str = "l_quantity",
+    group_col: str = "l_returnflag",
+    table: str = "lineitem",
+) -> str:
+    """Mirror of numeric.kruskal_wallis: midrank-exact doubled rank
+    sums via window cumsums over the micro-integer value histogram
+    (every accumulator an exact integer), HUGEINT tie sums, then the
+    identical generated double order (groups in list order) and the
+    SAME embedded chi-square critical value."""
+    k = len(groups)
+    conds = "\n         ".join(
+        f"sum(CASE WHEN {group_col} = '{g}' THEN 1 ELSE 0 END)"
+        f" AS n{i}," for i, g in enumerate(groups))
+    tsum = " + ".join(f"n{i}" for i in range(k))
+    rsums = "\n         ".join(
+        f"sum(CAST(n{i} AS HUGEINT) * (2 * cb + t + 1)) AS r{i},"
+        for i in range(k))
+    nsums = "\n         ".join(
+        f"sum(n{i}) AS nn{i}," for i in range(k))
+    s_expr = " + ".join(
+        f"(CAST(r{i} AS DOUBLE) * CAST(r{i} AS DOUBLE)"
+        f" / (4.0 * CAST(nn{i} AS DOUBLE)))"
+        for i in range(k))
+    ntot = " + ".join(f"nn{i}" for i in range(k))
+    return f"""
+WITH hist AS (
+  SELECT CAST(round({value_col} * 1000000, 0) AS BIGINT) AS v,
+         {conds}
+         count(*) AS cnt
+  FROM {table}
+  WHERE {group_col} IN ({", ".join(f"'{g}'" for g in groups)})
+    AND {value_col} IS NOT NULL
+  GROUP BY 1),
+cum AS (
+  SELECT *, {tsum} AS t,
+         coalesce(sum({tsum}) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM hist),
+r AS (
+  SELECT {nsums}
+         {rsums}
+         sum(CAST(t AS HUGEINT) * t * t - t) AS tie_sum
+  FROM cum),
+d AS (
+  SELECT *, CAST({ntot} AS BIGINT) AS n,
+         CAST({ntot} AS DOUBLE) AS nd,
+         {s_expr} AS s
+  FROM r),
+hh AS (
+  SELECT *,
+         12.0 / (nd * (nd + 1.0)) * s - 3.0 * (nd + 1.0) AS h,
+         1.0 - CAST(tie_sum AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) AS tie
+  FROM d),
+f AS (SELECT *, CASE WHEN tie > 0 THEN h / tie END AS hc FROM hh)
+SELECT n, CAST({k} AS INT) AS k, CAST({k - 1} AS INT) AS df,
+  round(h, 6) AS h, round(hc, 6) AS h_corrected,
+  CASE WHEN n > {k} AND hc IS NOT NULL THEN
+    round((hc - CAST({k} AS DOUBLE) + 1.0)
+          / (nd - CAST({k} AS DOUBLE)), 6) END + 0.0 AS epsilon_sq,
+  CASE WHEN hc IS NOT NULL THEN round(hc, 6) > {crit!r} END
+    AS significant
+FROM f
+"""
+
+
+def profile_diff_sql(
+    where_a: str = "o_orderkey % 2 = 0",
+    where_b: str = "o_orderkey % 2 = 1",
+    table: str = "orders",
+) -> str:
+    """Mirror of curation.profile_diff(exact=True) between two filters
+    of the same table: two profile_sql passes tagged by side, union +
+    re-aggregate (max-when picks), the same delta/changed expressions."""
+    pa = profile_sql(f"(SELECT * FROM {table} WHERE {where_a}) ta")
+    pb = profile_sql(f"(SELECT * FROM {table} WHERE {where_b}) tb")
+    picks = ",\n    ".join(
+        f"max(CASE WHEN side = '{s}' THEN {c} END) AS {c}_{s}"
+        for c in ("dtype", "n_rows", "n_null", "null_frac",
+                  "n_distinct", "min", "max")
+        for s in ("a", "b"))
+    return f"""
+WITH pa AS ({pa}),
+pb AS ({pb}),
+u AS (SELECT *, 'a' AS side FROM pa
+      UNION ALL SELECT *, 'b' AS side FROM pb),
+g AS (
+  SELECT "column",
+    {picks}
+  FROM u GROUP BY "column")
+SELECT "column",
+  CASE WHEN dtype_a IS NOT NULL AND dtype_b IS NOT NULL THEN 'common'
+       WHEN dtype_a IS NOT NULL THEN 'dropped' ELSE 'added' END
+    AS status,
+  dtype_a, dtype_b,
+  CASE WHEN dtype_a IS NOT NULL AND dtype_b IS NOT NULL
+       THEN dtype_a <> dtype_b END AS dtype_changed,
+  n_rows_a, n_rows_b, null_frac_a, null_frac_b,
+  CASE WHEN dtype_a IS NOT NULL AND dtype_b IS NOT NULL
+       THEN round(null_frac_b - null_frac_a, 6) + 0.0 END
+    AS null_frac_delta,
+  n_distinct_a, n_distinct_b,
+  CASE WHEN dtype_a IS NOT NULL AND dtype_b IS NOT NULL
+       THEN CAST(n_distinct_b - n_distinct_a AS BIGINT) END
+    AS n_distinct_delta,
+  CASE WHEN dtype_a IS NOT NULL AND dtype_b IS NOT NULL
+       THEN (min_a IS DISTINCT FROM min_b)
+            OR (max_a IS DISTINCT FROM max_b) END AS range_changed
+FROM g
+"""

@@ -2449,3 +2449,26 @@ class WelchTTest(Directive):
             ctx.resolve(df, self.args["group"]),
             str(self.args["a"]), str(self.args["b"]),
         )
+
+
+@directive
+class KruskalWallis(Directive):
+    """kruskal-wallis :value :group 'a,b,c' — tie-corrected k-group
+    rank test (does ANY group differ), off the value histogram."""
+
+    name = "kruskal-wallis"
+    usage = [
+        Arg("value", TokenType.COLUMN),
+        Arg("group", TokenType.COLUMN),
+        Arg("groups", TokenType.TEXT),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.numeric import kruskal_wallis
+
+        groups = [s.strip() for s in str(self.args["groups"]).split(",")
+                  if s.strip()]
+        return kruskal_wallis(
+            df, ctx.resolve(df, self.args["value"]),
+            ctx.resolve(df, self.args["group"]), groups,
+        )
