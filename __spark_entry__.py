@@ -710,6 +710,23 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "arm", "0", "1",
         ),
+        # delta-method ratio-metric A/B: value-per-event per user —
+        # the variance the naive mean-of-ratios gets wrong
+        "events_ratio_ab": lambda s, d: events.ratio_ab_test(
+            _t(s, d, "events")
+            .filter(F.col("user_id").isNotNull()
+                    & F.col("value").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("value") * F.lit(1e6))
+                          .cast("long")) / F.lit(1e6), 6,
+                ).alias("spend"),
+                F.count("*").cast("double").alias("n_events"),
+            )
+            .withColumn("arm", F.pmod(F.col("user_id"), 2).cast("string")),
+            "arm", "spend", "n_events", "0", "1",
+        ),
         # sample-ratio-mismatch gate: the experiment-health chi-square
         # every A/B readout above presumes (deliberately skewed expected
         # ratios so the statistic is non-trivial on the parity arms)
@@ -907,6 +924,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "num_corr_matrix": lambda s, d: numeric.corr_matrix(
             _t(s, d, "lineitem"),
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
+        # always-valid sequential test (mSPRT): the peeking-proof
+        # p-value an experimenter can read every hour
+        "num_msprt": lambda s, d: events.msprt_ab_test(
+            _t(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
+            "A", "N", tau=1000.0,
         ),
         # Kruskal-Wallis H: do ANY of the k arms differ — the k-group
         # extension of Mann-Whitney off the same histogram machinery
@@ -1295,6 +1318,8 @@ def _datapipe_oracles() -> dict[str, str]:
             crit=_ev.chi2_critical(2, "0.001"), arm_mod=3,
         ),
         "events_cuped": o.cuped_ab_sql("2024-01-16 00:00:00", arm_mod=2),
+        "events_ratio_ab": o.ratio_ab_sql(arm_mod=2),
+        "num_msprt": o.msprt_sql(tau=1000.0),
         "events_retention_forget": o.retention_cohorts_sql(
             1, 8, table="(SELECT * FROM events WHERE user_id % 17 <> 3) ev"
         ),
@@ -1784,7 +1809,12 @@ _R12_WINDOW = [
     # r11 session 2: num_mad_by vacated (r9-green, unchanged; the
     # grouped join_group_stats path stays graded via num_qbins_by AND
     # runs inside the replacing query) for numeric NULL imputation
-    "num_impute",
+    # r12 session 3: num_impute vacated (r11-green, unchanged; the
+    # mean/median/mode fill stays parity-covered and the null-safe
+    # group-stats join family stays exercised through the profile/
+    # suggest loop in-window) for the delta-method ratio-metric A/B —
+    # the variance correction naive per-user means get wrong, new
+    "events_ratio_ab",
     # r11 session 2: ann_mmr_rerank vacated (r8-green, unchanged; the
     # ANN family stays graded via ann_pq_topk + emb_cluster_topics
     # in-window) for the column profiler — the Deequ discovery step
@@ -1893,7 +1923,12 @@ _R12_WINDOW = [
     # the state tests + events_active_users in-window) for the funnel
     # persisted state — new this round (r10 VERDICT next-round #3):
     # 3 event-time-ordered folds reconstruct the one-shot funnel
-    "events_funnel_state",
+    # r12 session 3: events_funnel_state vacated (r11-green,
+    # unchanged; the log-structured state triangle stays graded via
+    # the in-window num_quantiles_state + dq_constraints_state) for
+    # the mSPRT always-valid sequential test — the peeking-proof
+    # p-value completing the experimentation stack, new this session
+    "num_msprt",
     # r11: events_transitions vacated (green r8-r10, unchanged) for the
     # PageRank capstone — new this round — which COMPOSES
     # event_transitions as its edge builder, so the vacated query's full

@@ -124,6 +124,8 @@ EXTRA_QUERIES = [
     "emb_drift",                  # embedding centroid drift monitor
     "num_kruskal",                # k-group rank test (histogram fold)
     "dq_profile_diff",            # snapshot profile drift detector
+    "events_ratio_ab",            # delta-method ratio-metric A/B
+    "num_msprt",                  # always-valid sequential p-value
 ]
 
 

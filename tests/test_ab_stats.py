@@ -625,3 +625,96 @@ def test_profile_diff_statuses_and_deltas(spark):
     # null_frac: a has 1/3 null s, b has 0
     assert got["s"]["null_frac_delta"] == round(0.0 - round(1 / 3, 6), 6)
     assert got["s"]["n_distinct_delta"] == 1 - 3  # {x,y,NULL} -> {x}
+
+
+def test_ratio_ab_reference(spark):
+    import math
+    import random
+
+    random.seed(5)
+    units = []
+    for arm, base in (("0", 0.30), ("1", 0.36)):
+        for _ in range(200):
+            views = random.randint(5, 40)
+            clicks = sum(1 for _ in range(views)
+                         if random.random() < base)
+            units.append((arm, float(clicks), float(views)))
+    df = spark.createDataFrame(units, "arm string, x double, y double")
+    got = events.ratio_ab_test(df, "arm", "x", "y", "0", "1").collect()[0]
+
+    def stats(rows):
+        xs = [round(x * 1e6) for _, x, _ in rows]
+        ys = [round(y * 1e6) for _, _, y in rows]
+        n = len(rows)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        r = sx / sy
+        my = sy / (n * 1e6)
+        den = n * (n - 1) * 1e12
+        vx, vy = (n * sxx - sx * sx) / den, (n * syy - sy * sy) / den
+        cov = (n * sxy - sx * sy) / den
+        return n, r, (vx + r * r * vy - 2.0 * r * cov) / (n * my * my)
+
+    _, ra, va = stats([u for u in units if u[0] == "0"])
+    _, rb, vb = stats([u for u in units if u[0] == "1"])
+    se = math.sqrt(max(va + vb, 0.0))
+    assert got["ratio_a"] == round(ra, 6)
+    assert got["z"] == round((ra - rb) / se, 6)
+    assert got["users_a"] == 200 and got["users_b"] == 200
+    # the true rates differ by 6 points at n=200: must be significant
+    assert got["significant"] is True
+
+
+def test_ratio_ab_degenerate_denominator(spark):
+    df = spark.createDataFrame(
+        [("0", 1.0, 0.0), ("0", 2.0, 0.0), ("1", 1.0, 1.0),
+         ("1", 2.0, 1.0)],
+        "arm string, x double, y double")
+    got = events.ratio_ab_test(df, "arm", "x", "y", "0", "1").collect()[0]
+    assert got["ratio_a"] is None and got["z"] is None
+
+
+def test_msprt_reference_and_peeking_validity(spark):
+    import math
+    import random
+
+    random.seed(13)
+    rows = [("a", round(random.gauss(10, 3), 2)) for _ in range(300)]
+    rows += [("b", round(random.gauss(10.1, 3), 2)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = events.msprt_ab_test(df, "g", "v", "a", "b", tau=0.5).collect()[0]
+
+    def mom(vals):
+        mv = [round(v * 1e6) for v in vals]
+        n, s, ss = len(mv), sum(mv), sum(m * m for m in mv)
+        return n, s / (n * 1e6), (n * ss - s * s) / (n * (n - 1) * 1e12)
+
+    na, ma, va = mom([v for g, v in rows if g == "a"])
+    nb, mb, vb = mom([v for g, v in rows if g == "b"])
+    V = va / na + vb / nb
+    d = ma - mb
+    t2 = 0.25
+    ll = 0.5 * math.log(V / (V + t2)) + d * d * t2 / (2.0 * V * (V + t2))
+    assert got["log_lambda"] == round(ll, 6)
+    assert got["p_always_valid"] == round(min(1.0, math.exp(-ll)), 6)
+    # a null-ish effect at n=300 must NOT trip the always-valid test
+    assert got["significant"] is False
+    with pytest.raises(ValueError, match="tau"):
+        events.msprt_ab_test(df, "g", "v", "a", "b", tau=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        events.msprt_ab_test(df, "g", "v", "a", "b", alpha=1.5)
+
+
+def test_ratio_and_msprt_directives(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 2.0, 4.0), ("b", 3.0, 4.0),
+         ("b", 2.0, 2.0)],
+        "arm string, x double, y double")
+    out = Pipeline.compile("ratio-ab :arm :x :y 'a' 'b'").apply(df)
+    assert out.collect()[0]["ratio_a"] == 0.5
+    out = Pipeline.compile("msprt-ab :arm :x 'a' 'b' 0.5").apply(df)
+    assert out.count() == 1

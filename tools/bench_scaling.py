@@ -86,6 +86,13 @@ QUERIES = [
     "dedup_triangles", "dedup_khop",
     "text_clf_calibration", "events_ewma", "events_hits",
     "text_code_signals", "events_graph_summary",
+    # round 12, session 3 (experimentation + statistics family: one-scan
+    # conditional moments; histogram folds; contingency cells; grid
+    # folds; bounded Bellman-Ford rounds; per-side dim aggregates)
+    "events_srm", "events_cuped", "num_chi2_indep", "text_langid_kappa",
+    "events_acf", "events_holt", "num_mannwhitney", "num_benford",
+    "events_sssp", "num_welch", "emb_drift", "num_kruskal",
+    "dq_profile_diff", "events_ratio_ab", "num_msprt",
 ]
 
 

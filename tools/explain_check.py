@@ -670,6 +670,16 @@ def main() -> int:
 
     # welch: ONE conditional-moment scan, no join at all; emb_drift:
     # one aggregate per side + a 1-row broadcast join
+    # ratio/msprt: the same one-conditional-scan moment shape
+    for gq in ("events_ratio_ab", "num_msprt"):
+        p = plan_of(qs[gq](spark, SF_DIR))
+        problems += check(
+            gq, p,
+            must=["HashAggregate"],
+            must_not=["Window", "CartesianProduct", "SortMergeJoin",
+                      "BatchEvalPython", "ArrowEvalPython"],
+        )
+
     p = plan_of(qs["num_welch"](spark, SF_DIR))
     problems += check(
         "num_welch", p,

@@ -2809,3 +2809,167 @@ def holt_forecast(
         (F.round(F.col("__c.tr"), 6) + F.lit(0.0)).alias("trend"),
         (F.round(F.col("__c.fc"), 6) + F.lit(0.0)).alias("forecast"),
     )
+
+
+def ratio_ab_test(
+    df: DataFrame,
+    arm_col: str,
+    num_col: str,
+    den_col: str,
+    arm_a: str,
+    arm_b: str,
+) -> DataFrame:
+    """Delta-method A/B test for a RATIO metric (Deng, Knoblich & Lu,
+    KDD 2018): clicks-per-view, revenue-per-session — metrics whose
+    numerator and denominator both vary per unit, where the naive
+    "treat the ratio as a mean" variance is simply wrong (units are
+    the randomization grain, not views). Per arm, R = sum(x)/sum(y)
+    and var(R) ~ (vx + R^2*vy - 2*R*cov) / (n * my^2) via the first-
+    order Taylor expansion of X̄/Ȳ around the means. Returns ONE row:
+    (users_a, users_b, ratio_a, ratio_b, diff, se, z, significant).
+
+    One conditional-aggregation scan of micro-integer decimal(38,0)
+    moments (x, y, xx, yy, xy per arm — the cuped_ab_test posture, no
+    join); the delta arithmetic after is one fixed double order. A
+    zero denominator sum or degenerate variance yields NULL z."""
+    a, b = str(arm_a), str(arm_b)
+    arm = F.col(arm_col).cast("string")
+    x = F.round(F.col(num_col).cast("double") * F.lit(1e6)).cast("long")
+    y = F.round(F.col(den_col).cast("double") * F.lit(1e6)).cast("long")
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+
+    def moments(tag: str, cond) -> list:
+        w = lambda c: F.when(cond, c)  # noqa: E731
+        return [
+            F.count(w(F.lit(1))).cast("long").alias(f"n_{tag}"),
+            F.sum(w(x).cast("decimal(38,0)")).alias(f"sx_{tag}"),
+            F.sum(w(y).cast("decimal(38,0)")).alias(f"sy_{tag}"),
+            F.sum(w((dec(x) * dec(x)).cast("decimal(38,0)")))
+            .alias(f"sxx_{tag}"),
+            F.sum(w((dec(y) * dec(y)).cast("decimal(38,0)")))
+            .alias(f"syy_{tag}"),
+            F.sum(w((dec(x) * dec(y)).cast("decimal(38,0)")))
+            .alias(f"sxy_{tag}"),
+        ]
+
+    base = df.filter(
+        arm.isin(a, b) & F.col(num_col).isNotNull()
+        & F.col(den_col).isNotNull())
+    m = base.agg(*moments("a", arm == a), *moments("b", arm == b))
+    D = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def arm_stats(tag: str):
+        nn = F.col(f"n_{tag}")
+        sx, sy = D(F.col(f"sx_{tag}")), D(F.col(f"sy_{tag}"))
+        sxx, syy = D(F.col(f"sxx_{tag}")), D(F.col(f"syy_{tag}"))
+        sxy = D(F.col(f"sxy_{tag}"))
+        nd = nn.cast("double")
+        r = F.when(sy.cast("double") != 0,
+                   sx.cast("double") / sy.cast("double"))
+        my = sy.cast("double") / (nd * F.lit(1e6))
+        den = (nn * (nn - 1)).cast("double") * F.lit(1e12)
+        vx = (D(nn) * sxx - sx * sx).cast("double") / den
+        vy = (D(nn) * syy - sy * sy).cast("double") / den
+        cov = (D(nn) * sxy - sx * sy).cast("double") / den
+        var_r = F.when(
+            r.isNotNull() & (my != 0),
+            (vx + r * r * vy - F.lit(2.0) * r * cov)
+            / (nd * my * my))
+        return nn, r, var_r
+
+    na, ra, va = arm_stats("a")
+    nb, rb, vb = arm_stats("b")
+    # var_r is already the variance OF THE RATIO ESTIMATE (the /n
+    # lives inside arm_stats), so the arm variances combine directly
+    se = F.when(
+        va.isNotNull() & vb.isNotNull(),
+        F.sqrt(F.greatest(va + vb, F.lit(0.0))))
+    z = F.when(se > 0, F.round((ra - rb) / se, 6))
+    return m.select(
+        na.alias("users_a"), nb.alias("users_b"),
+        F.round(ra, 6).cast("double").alias("ratio_a"),
+        F.round(rb, 6).cast("double").alias("ratio_b"),
+        F.round(ra - rb, 6).cast("double").alias("diff"),
+        F.round(se, 6).cast("double").alias("se"),
+        z.cast("double").alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
+
+
+def msprt_ab_test(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    arm_a: str,
+    arm_b: str,
+    tau: float = 1.0,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Always-valid sequential A/B test via the mixture sequential
+    probability ratio test (Johari, Pekelis & Walsh, 2017 — the "peeking
+    problem" fix): the normal-mixture likelihood ratio over the mean
+    difference, Lambda = sqrt(V/(V + tau^2)) * exp(d^2 * tau^2 /
+    (2 * V * (V + tau^2))) with V = va/na + vb/nb, gives an
+    always-valid p-value p = min(1, 1/Lambda) that stays valid under
+    CONTINUOUS MONITORING — an experimenter can read it every hour
+    without inflating false positives, unlike the fixed-horizon z test
+    it complements. ``tau`` is the mixture scale (set it near the
+    effect size worth detecting, in metric units). Returns ONE row:
+    (users_a, users_b, mean_a, mean_b, diff, v, log_lambda,
+    p_always_valid, significant).
+
+    The same one-scan micro-integer moments as welch_t_test; the
+    mixture arithmetic runs on log Lambda (exp overflows exactly when
+    the evidence is overwhelming) in one fixed double order:
+    p = exp(-log Lambda) clamped to 1. Degenerate V = 0 yields NULL."""
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    a, b = str(arm_a), str(arm_b)
+    g = F.col(arm_col).cast("string")
+    mv = F.round(F.col(metric_col).cast("double") * F.lit(1e6)).cast("long")
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+
+    def moments(tag: str, cond) -> list:
+        w = lambda c: F.when(cond, c)  # noqa: E731
+        return [
+            F.count(w(F.lit(1))).cast("long").alias(f"n_{tag}"),
+            F.sum(w(mv).cast("decimal(38,0)")).alias(f"s_{tag}"),
+            F.sum(w((dec(mv) * dec(mv)).cast("decimal(38,0)")))
+            .alias(f"ss_{tag}"),
+        ]
+
+    base = df.filter(g.isin(a, b) & F.col(metric_col).isNotNull())
+    m = base.agg(*moments("a", g == a), *moments("b", g == b))
+    D = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def stats(tag: str):
+        nn = F.col(f"n_{tag}")
+        s, ss = D(F.col(f"s_{tag}")), D(F.col(f"ss_{tag}"))
+        mean = s.cast("double") / (nn.cast("double") * F.lit(1e6))
+        var = ((D(nn) * ss - s * s).cast("double")
+               / ((nn * (nn - 1)).cast("double") * F.lit(1e12)))
+        return nn, mean, var
+
+    na, ma, va = stats("a")
+    nb, mb, vb = stats("b")
+    v = va / na.cast("double") + vb / nb.cast("double")
+    d = ma - mb
+    t2 = float(tau) * float(tau)
+    log_lam = F.when(
+        v > 0,
+        F.lit(0.5) * F.log(v / (v + F.lit(t2)))
+        + d * d * F.lit(t2) / (F.lit(2.0) * v * (v + F.lit(t2))))
+    p = F.when(log_lam.isNotNull(),
+               F.least(F.lit(1.0), F.exp(-log_lam)))
+    return m.select(
+        na.alias("users_a"), nb.alias("users_b"),
+        F.round(ma, 6).alias("mean_a"), F.round(mb, 6).alias("mean_b"),
+        F.round(d, 6).alias("diff"),
+        F.round(v, 6).cast("double").alias("v"),
+        F.round(log_lam, 6).cast("double").alias("log_lambda"),
+        F.round(p, 6).cast("double").alias("p_always_valid"),
+        F.when(p.isNotNull(), p < F.lit(float(alpha)))
+        .alias("significant"),
+    )

@@ -4825,3 +4825,148 @@ SELECT "column",
             OR (max_a IS DISTINCT FROM max_b) END AS range_changed
 FROM g
 """
+
+
+def ratio_ab_sql(arm_mod: int = 2, table: str = "events") -> str:
+    """Mirror of the per-user (value-sum / event-count) frame ->
+    events.ratio_ab_test with arm = user_id % arm_mod: HUGEINT micro
+    moments of (x, y) per arm in one pass, then the delta-method
+    variance (vx + R^2 vy - 2 R cov)/(n my^2) in the identical double
+    order."""
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(user_id % {arm_mod} AS VARCHAR) AS arm,
+         round(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+               / 1000000.0, 6) AS xr,
+         CAST(count(*) AS DOUBLE) AS yr
+  FROM {table}
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id),
+mi AS (
+  SELECT arm,
+         CAST(round(xr * 1000000, 0) AS BIGINT) AS x,
+         CAST(round(yr * 1000000, 0) AS BIGINT) AS y
+  FROM u WHERE arm IN ('0', '1')),
+m AS (
+  SELECT
+    count(CASE WHEN arm = '0' THEN 1 END) AS n_a,
+    sum(CASE WHEN arm = '0' THEN CAST(x AS HUGEINT) END) AS sx_a,
+    sum(CASE WHEN arm = '0' THEN CAST(y AS HUGEINT) END) AS sy_a,
+    sum(CASE WHEN arm = '0' THEN CAST(x AS HUGEINT) * x END) AS sxx_a,
+    sum(CASE WHEN arm = '0' THEN CAST(y AS HUGEINT) * y END) AS syy_a,
+    sum(CASE WHEN arm = '0' THEN CAST(x AS HUGEINT) * y END) AS sxy_a,
+    count(CASE WHEN arm = '1' THEN 1 END) AS n_b,
+    sum(CASE WHEN arm = '1' THEN CAST(x AS HUGEINT) END) AS sx_b,
+    sum(CASE WHEN arm = '1' THEN CAST(y AS HUGEINT) END) AS sy_b,
+    sum(CASE WHEN arm = '1' THEN CAST(x AS HUGEINT) * x END) AS sxx_b,
+    sum(CASE WHEN arm = '1' THEN CAST(y AS HUGEINT) * y END) AS syy_b,
+    sum(CASE WHEN arm = '1' THEN CAST(x AS HUGEINT) * y END) AS sxy_b
+  FROM mi),
+st AS (
+  SELECT n_a, n_b,
+    CASE WHEN CAST(sy_a AS DOUBLE) <> 0
+         THEN CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE) END AS ra,
+    CAST(sy_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1000000.0) AS mya,
+    CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE)
+      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS vxa,
+    CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE)
+      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS vya,
+    CAST(n_a * sxy_a - sx_a * sy_a AS DOUBLE)
+      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS cva,
+    CASE WHEN CAST(sy_b AS DOUBLE) <> 0
+         THEN CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE) END AS rb,
+    CAST(sy_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0) AS myb,
+    CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE)
+      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS vxb,
+    CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE)
+      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS vyb,
+    CAST(n_b * sxy_b - sx_b * sy_b AS DOUBLE)
+      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS cvb
+  FROM m),
+vr AS (
+  SELECT *,
+    CASE WHEN ra IS NOT NULL AND mya <> 0 THEN
+      (vxa + ra * ra * vya - 2.0 * ra * cva)
+        / (CAST(n_a AS DOUBLE) * mya * mya) END AS va,
+    CASE WHEN rb IS NOT NULL AND myb <> 0 THEN
+      (vxb + rb * rb * vyb - 2.0 * rb * cvb)
+        / (CAST(n_b AS DOUBLE) * myb * myb) END AS vb
+  FROM st),
+f AS (
+  SELECT *,
+    CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+         THEN sqrt(greatest(va + vb, 0.0)) END AS se
+  FROM vr)
+SELECT CAST(n_a AS BIGINT) AS users_a, CAST(n_b AS BIGINT) AS users_b,
+  round(ra, 6) AS ratio_a, round(rb, 6) AS ratio_b,
+  round(ra - rb, 6) AS diff, round(se, 6) AS se,
+  CASE WHEN se > 0 THEN round((ra - rb) / se, 6) END AS z,
+  CASE WHEN se > 0 THEN abs(round((ra - rb) / se, 6)) > 1.96 END
+    AS significant
+FROM f
+"""
+
+
+def msprt_sql(
+    tau: float = 1000.0,
+    alpha: float = 0.05,
+    value_col: str = "l_extendedprice",
+    group_col: str = "l_returnflag",
+    a: str = "A",
+    b: str = "N",
+    table: str = "lineitem",
+) -> str:
+    """Mirror of events.msprt_ab_test: the welch_sql moments, then the
+    normal-mixture log likelihood ratio and always-valid p in the
+    identical double order."""
+    t2 = float(tau) * float(tau)
+    return f"""
+WITH m AS (
+  SELECT
+    count(CASE WHEN {group_col} = '{a}' THEN 1 END) AS n_a,
+    sum(CASE WHEN {group_col} = '{a}' THEN
+        CAST(round({value_col} * 1000000, 0) AS BIGINT) END)::HUGEINT
+      AS s_a,
+    sum(CASE WHEN {group_col} = '{a}' THEN
+        CAST(CAST(round({value_col} * 1000000, 0) AS BIGINT) AS HUGEINT)
+        * CAST(round({value_col} * 1000000, 0) AS BIGINT) END) AS ss_a,
+    count(CASE WHEN {group_col} = '{b}' THEN 1 END) AS n_b,
+    sum(CASE WHEN {group_col} = '{b}' THEN
+        CAST(round({value_col} * 1000000, 0) AS BIGINT) END)::HUGEINT
+      AS s_b,
+    sum(CASE WHEN {group_col} = '{b}' THEN
+        CAST(CAST(round({value_col} * 1000000, 0) AS BIGINT) AS HUGEINT)
+        * CAST(round({value_col} * 1000000, 0) AS BIGINT) END) AS ss_b
+  FROM {table}
+  WHERE {group_col} IN ('{a}', '{b}') AND {value_col} IS NOT NULL),
+st AS (
+  SELECT n_a, n_b,
+    CAST(s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1000000.0) AS ma,
+    CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
+      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS va,
+    CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0) AS mb,
+    CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
+      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS vb
+  FROM m),
+vv AS (
+  SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS v,
+         ma - mb AS d
+  FROM st),
+ll AS (
+  SELECT *,
+    CASE WHEN v > 0 THEN
+      0.5 * ln(v / (v + {t2!r}))
+      + d * d * {t2!r} / (2.0 * v * (v + {t2!r})) END AS log_lam
+  FROM vv),
+pp AS (
+  SELECT *, CASE WHEN log_lam IS NOT NULL
+                 THEN least(1.0, exp(-log_lam)) END AS p
+  FROM ll)
+SELECT CAST(n_a AS BIGINT) AS users_a, CAST(n_b AS BIGINT) AS users_b,
+  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+  round(d, 6) AS diff, round(v, 6) AS v,
+  round(log_lam, 6) AS log_lambda, round(p, 6) AS p_always_valid,
+  CASE WHEN p IS NOT NULL THEN p < {float(alpha)!r} END AS significant
+FROM pp
+"""

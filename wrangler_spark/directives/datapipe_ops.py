@@ -2472,3 +2472,53 @@ class KruskalWallis(Directive):
             df, ctx.resolve(df, self.args["value"]),
             ctx.resolve(df, self.args["group"]), groups,
         )
+
+
+@directive
+class RatioAb(Directive):
+    """ratio-ab :arm :num :den 'a' 'b' — delta-method A/B test for a
+    ratio metric on a per-unit frame (Deng, Knoblich & Lu, KDD 2018)."""
+
+    name = "ratio-ab"
+    usage = [
+        Arg("arm", TokenType.COLUMN),
+        Arg("num", TokenType.COLUMN),
+        Arg("den", TokenType.COLUMN),
+        Arg("a", TokenType.TEXT),
+        Arg("b", TokenType.TEXT),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import ratio_ab_test
+
+        return ratio_ab_test(
+            df, ctx.resolve(df, self.args["arm"]),
+            ctx.resolve(df, self.args["num"]),
+            ctx.resolve(df, self.args["den"]),
+            str(self.args["a"]), str(self.args["b"]),
+        )
+
+
+@directive
+class MsprtAb(Directive):
+    """msprt-ab :arm :metric 'a' 'b' [tau] — always-valid sequential
+    A/B p-value (mixture SPRT; safe under continuous monitoring)."""
+
+    name = "msprt-ab"
+    usage = [
+        Arg("arm", TokenType.COLUMN),
+        Arg("metric", TokenType.COLUMN),
+        Arg("a", TokenType.TEXT),
+        Arg("b", TokenType.TEXT),
+        Arg("tau", TokenType.NUMERIC, optional=True, default=1.0),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.events import msprt_ab_test
+
+        return msprt_ab_test(
+            df, ctx.resolve(df, self.args["arm"]),
+            ctx.resolve(df, self.args["metric"]),
+            str(self.args["a"]), str(self.args["b"]),
+            tau=float(self.args["tau"]),
+        )
