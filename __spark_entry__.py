@@ -856,6 +856,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_profile": lambda s, d: curation.profile_table(
             _t(s, d, "orders"), exact=True
         ),
+        # TextRank corpus keywords: PageRank over the word
+        # co-occurrence graph — the composition showcase (collocation
+        # scan shape + the graph family's ranking loop)
+        "text_textrank": lambda s, d: text.textrank_keywords(
+            docs(s, d), "text", k=20, min_count=5,
+        ),
         # profile drift between snapshots: schema + null-rate +
         # cardinality + range changes — the Deequ loop's change detector
         "dq_profile_diff": lambda s, d: curation.profile_diff(
@@ -1376,6 +1382,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dq_constraints_state": o.check_constraints_state_sql(),
         "dq_profile": o.profile_sql(),
         "dq_profile_diff": o.profile_diff_sql(),
+        "text_textrank": o.textrank_sql(k=20, min_count=5),
         "dq_suggest": o.dq_suggest_sql(),
         "dq_suggest_shapes": o.dq_suggest_shapes_sql(),
         "events_cms_counts": o.cms_counts_sql("user_id", "events", 4, 512, 20),
@@ -1933,7 +1940,12 @@ _R12_WINDOW = [
     # PageRank capstone — new this round — which COMPOSES
     # event_transitions as its edge builder, so the vacated query's full
     # code path still executes inside the replacing one
-    "events_pagerank",
+    # r12 session 3: events_pagerank vacated (r11-green, unchanged;
+    # the pagerank loop stays EXECUTED in-window via text_textrank —
+    # graph_pagerank verbatim over the co-occurrence graph — and the
+    # seeded/transition forms stay parity-covered) for TextRank corpus
+    # keywords — the composition capstone, new this session
+    "text_textrank",
     # r11: events_paths vacated (green r8-r10; its per-user lead-window
     # path is unchanged this round and stays family-graded via
     # events_transitions + sessionize) for the right-to-be-forgotten

@@ -126,6 +126,7 @@ EXTRA_QUERIES = [
     "dq_profile_diff",            # snapshot profile drift detector
     "events_ratio_ab",            # delta-method ratio-metric A/B
     "num_msprt",                  # always-valid sequential p-value
+    "text_textrank",              # co-occurrence PageRank keywords
 ]
 
 

@@ -718,3 +718,48 @@ def test_ratio_and_msprt_directives(spark):
     assert out.collect()[0]["ratio_a"] == 0.5
     out = Pipeline.compile("msprt-ab :arm :x 'a' 'b' 0.5").apply(df)
     assert out.count() == 1
+
+
+def test_textrank_keywords_hub_word_wins(spark):
+    from wrangler_spark.datapipe import text as t
+
+    # "engine" co-occurs with everything; the one-off "quiet corner"
+    # pair sits below min_count and must not enter the graph at all
+    # (an isolated 2-node island would otherwise concentrate rank —
+    # the standard PageRank-on-components caveat)
+    docs = [
+        ("spark engine shuffles data",),
+        ("engine data pipelines scale",),
+        ("shuffles scale engine pipelines",),
+    ] * 6 + [("quiet corner",)]
+    df = spark.createDataFrame(docs, "text string")
+    got = t.textrank_keywords(df, "text", k=5, min_count=2).collect()
+    words = [r["word"] for r in got]
+    assert words[0] == "engine"  # the hub outranks its neighbors
+    assert "quiet" not in words and "corner" not in words
+    # ordering contract: pagerank DESC, word ASC
+    scores = [r["pagerank"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError, match="k and min_count"):
+        t.textrank_keywords(df, "text", k=0)
+
+
+def test_textrank_filters_stopwords_and_short(spark):
+    from wrangler_spark.datapipe import text as t
+
+    df = spark.createDataFrame(
+        [("the of and a engine to engine data",)] * 8, "text string")
+    got = t.textrank_keywords(
+        df, "text", k=10, min_count=2, min_word_len=3).collect()
+    words = {r["word"] for r in got}
+    assert "the" not in words and "of" not in words
+    assert "engine" in words and "data" in words
+
+
+def test_textrank_directive(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("alpha beta alpha beta",)] * 5, "text string")
+    out = Pipeline.compile("textrank :text 3 2").apply(df)
+    assert out.count() <= 3

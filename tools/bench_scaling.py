@@ -92,7 +92,7 @@ QUERIES = [
     "events_srm", "events_cuped", "num_chi2_indep", "text_langid_kappa",
     "events_acf", "events_holt", "num_mannwhitney", "num_benford",
     "events_sssp", "num_welch", "emb_drift", "num_kruskal",
-    "dq_profile_diff", "events_ratio_ab", "num_msprt",
+    "dq_profile_diff", "events_ratio_ab", "num_msprt", "text_textrank",
 ]
 
 

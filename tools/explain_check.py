@@ -670,6 +670,15 @@ def main() -> int:
 
     # welch: ONE conditional-moment scan, no join at all; emb_drift:
     # one aggregate per side + a 1-row broadcast join
+    # textrank: scan-side pair transform + vocabulary-sized pagerank
+    # loop; no corpus rank window, no cartesian, no python
+    p = plan_of(qs["text_textrank"](spark, SF_DIR))
+    problems += check(
+        "text_textrank", p,
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+
     # ratio/msprt: the same one-conditional-scan moment shape
     for gq in ("events_ratio_ab", "num_msprt"):
         p = plan_of(qs[gq](spark, SF_DIR))

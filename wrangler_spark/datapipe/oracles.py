@@ -4970,3 +4970,31 @@ SELECT CAST(n_a AS BIGINT) AS users_a, CAST(n_b AS BIGINT) AS users_b,
   CASE WHEN p IS NOT NULL THEN p < {float(alpha)!r} END AS significant
 FROM pp
 """
+
+
+def textrank_sql(
+    k: int = 20, min_count: int = 5, min_word_len: int = 2,
+    damping: float = 0.85, iters: int = 5, table: str = "documents",
+) -> str:
+    """Mirror of text.textrank_keywords: the SAME filtered-adjacency
+    pair stream (stopwords/empties/short words removed FIRST), the
+    SAME min_count floor and symmetrization, composed with the
+    pagerank_over_sql mirror, top-k on (pagerank DESC, word ASC)."""
+    edges = f"""tok AS (
+  SELECT list_filter({_WORDS},
+           w -> w <> '' AND NOT list_contains({_SW_LIST}, w)
+                AND length(w) >= {int(min_word_len)}) AS wl
+  FROM {table}),
+base AS (SELECT wl FROM tok WHERE len(wl) >= 2),
+pr AS (SELECT wl[i] AS w1, wl[i + 1] AS w2
+       FROM base, unnest(range(1, len(wl))) AS t(i)),
+cnt AS (SELECT w1, w2, count(*) AS n FROM pr GROUP BY 1, 2
+        HAVING count(*) >= {int(min_count)}),
+c AS (SELECT w1 AS s, w2 AS d, CAST(n AS DOUBLE) AS w FROM cnt
+      UNION ALL
+      SELECT w2 AS s, w1 AS d, CAST(n AS DOUBLE) AS w FROM cnt)"""
+    inner = pagerank_over_sql(edges, damping=damping, iters=iters)
+    return f"""
+SELECT node AS word, pagerank FROM ({inner}) r
+ORDER BY pagerank DESC, word ASC LIMIT {int(k)}
+"""

@@ -2123,3 +2123,70 @@ def js_from_vocab_states(
         hist(path_a, version_a, "ca"),
         hist(path_b if path_b is not None else path_a, version_b, "cb"),
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str,
+    k: int = 20,
+    min_count: int = 5,
+    min_word_len: int = 2,
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """Corpus keywords by TextRank (Mihalcea & Tarau, EMNLP 2004, at
+    corpus granularity): PageRank over the word co-occurrence graph —
+    the keyword extractor that beats raw frequency because a word
+    matters when it co-occurs with OTHER words that matter. Stopwords,
+    empties, and words shorter than ``min_word_len`` are removed
+    FIRST, then adjacency is taken over the filtered sequence (the
+    standard TextRank windowing); pair counts below ``min_count``
+    drop (graph-size floor, same rationale as :func:`collocations`);
+    edges symmetrize (co-occurrence is undirected). Returns the top-k
+    (word, pagerank) ordered (pagerank DESC, word ASC) — ties broken
+    lexicographically, the deterministic cross-engine contract.
+
+    A deliberate composition showcase: the pair stream is the
+    collocations scan shape, the ranking is graph.graph_pagerank
+    verbatim — the oracle composes the same two mirrors. Scale shape:
+    one scan-side pair transform, one hash aggregate to pair counts,
+    then the pagerank loop on the vocabulary-sized graph; the top-k
+    sort runs on the node frame, never the corpus."""
+    if k < 1 or min_count < 1:
+        raise ValueError(
+            f"k and min_count must be >= 1, got k={k} min_count={min_count}")
+    if min_word_len < 1:
+        raise ValueError(f"min_word_len must be >= 1, got {min_word_len}")
+    from wrangler_spark.datapipe.graph import graph_pagerank
+
+    staged = _with_words(df, text_col)
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    wl = F.filter(
+        F.col(_W),
+        lambda w: (w != "") & ~F.array_contains(sw, w)
+        & (F.length(w) >= min_word_len))
+    base = staged.select(wl.alias("__wl")).filter(F.size("__wl") >= 2)
+    pairs = base.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("__wl") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("__wl"), i).alias("w1"),
+            F.element_at(F.col("__wl"), i + 1).alias("w2")),
+    )).alias("__p")).select("__p.w1", "__p.w2")
+    cnt = (
+        pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    edges = cnt.select(
+        F.col("w1").alias("s"), F.col("w2").alias("d"),
+        F.col("n").cast("double").alias("w"),
+    ).unionByName(cnt.select(
+        F.col("w2").alias("s"), F.col("w1").alias("d"),
+        F.col("n").cast("double").alias("w"),
+    ))
+    ranked = graph_pagerank(
+        edges, "s", "d", weight_col="w", damping=damping, iters=iters)
+    return (
+        ranked.orderBy(F.col("pagerank").desc(), F.col("node").asc())
+        .limit(int(k))
+        .select(F.col("node").alias("word"), "pagerank")
+    )

@@ -2522,3 +2522,24 @@ class MsprtAb(Directive):
             str(self.args["a"]), str(self.args["b"]),
             tau=float(self.args["tau"]),
         )
+
+
+@directive
+class TextrankKeywords(Directive):
+    """textrank :text [k] [min_count] — corpus keywords by PageRank
+    over the word co-occurrence graph (TextRank at corpus scale)."""
+
+    name = "textrank"
+    usage = [
+        Arg("text", TokenType.COLUMN),
+        Arg("k", TokenType.NUMERIC, optional=True, default=20),
+        Arg("min_count", TokenType.NUMERIC, optional=True, default=5),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.text import textrank_keywords
+
+        return textrank_keywords(
+            df, ctx.resolve(df, self.args["text"]),
+            k=int(self.args["k"]), min_count=int(self.args["min_count"]),
+        )
