@@ -943,6 +943,14 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "lineitem"), "l_quantity", "l_returnflag",
             ["A", "N", "R"],
         ),
+        # Spearman rank correlation: monotonic association immune to
+        # the outliers Pearson's moments absorb
+        # bounded-cardinality pair (50 x 11 distinct values at ANY
+        # scale factor) — the guard-safe shape; a continuous column
+        # wants binning first, and the guard enforces exactly that
+        "num_spearman": lambda s, d: numeric.spearman_corr(
+            _t(s, d, "lineitem"), "l_quantity", "l_discount",
+        ),
         # Welch unequal-variance t-test: the parametric mean
         # comparison next to Mann-Whitney's rank test
         "num_welch": lambda s, d: numeric.welch_t_test(
@@ -1360,6 +1368,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "num_chi2_indep": o.chi2_indep_sql(),
         "num_mannwhitney": o.mann_whitney_sql(),
         "num_welch": o.welch_sql(),
+        "num_spearman": o.spearman_sql("l_quantity", "l_discount"),
         "num_kruskal": o.kruskal_sql(
             ["A", "N", "R"], crit=_ev.chi2_critical(2, "0.05")),
         "emb_drift": o.embedding_drift_sql(64),
@@ -1783,7 +1792,12 @@ _R12_WINDOW = [
     # r11 session 2: num_qbins_by vacated (r9-green, unchanged; the
     # grouped boundary-grid path shares join_group_stats with the
     # in-window num_impute) for the one-pass Pearson matrix — new
-    "num_corr_matrix",
+    # r12 session 3: num_corr_matrix vacated (r11-green, unchanged;
+    # the one-pass integer-moment machinery stays EXECUTED in-window —
+    # welch/cuped/ratio/msprt run the identical conditional-moment
+    # shape — and the matrix form stays parity-covered) for Spearman
+    # rank correlation — the outlier-immune companion, new this session
+    "num_spearman",
     # r11 session 2: text_oov vacated (r9-green, unchanged; the vocab
     # family stays graded via text_vocab + text_vocab_state in-window)
     # for the count-min sketch point estimates — new this round

@@ -127,6 +127,7 @@ EXTRA_QUERIES = [
     "events_ratio_ab",            # delta-method ratio-metric A/B
     "num_msprt",                  # always-valid sequential p-value
     "text_textrank",              # co-occurrence PageRank keywords
+    "num_spearman",               # rank correlation (midrank maps)
 ]
 
 

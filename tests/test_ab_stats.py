@@ -763,3 +763,77 @@ def test_textrank_directive(spark):
         [("alpha beta alpha beta",)] * 5, "text string")
     out = Pipeline.compile("textrank :text 3 2").apply(df)
     assert out.count() <= 3
+
+
+def test_spearman_reference_and_monotone_invariance(spark):
+    from wrangler_spark.datapipe import numeric
+    from collections import Counter
+    import math
+    import random
+
+    random.seed(21)
+    rows = [(round(random.gauss(0, 1), 2),) for _ in range(200)]
+    rows = [(x, round(x ** 3 + random.gauss(0, 0.4), 2)) for (x,) in rows]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = numeric.spearman_corr(df, "a", "b").collect()[0]
+
+    def ranks(vals):
+        cnt = Counter(vals)
+        cum, mr = 0, {}
+        for v in sorted(cnt):
+            mr[v] = 2 * cum + cnt[v] + 1
+            cum += cnt[v]
+        return [mr[v] for v in vals]
+
+    xa = ranks([round(a * 1e6) for a, _ in rows])
+    yb = ranks([round(b * 1e6) for _, b in rows])
+    n = len(rows)
+    sx, sy = sum(xa), sum(yb)
+    sxy = sum(p * q for p, q in zip(xa, yb))
+    sxx = sum(p * p for p in xa)
+    syy = sum(q * q for q in yb)
+    rho = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert got["rho"] == round(rho, 6) and got["n"] == n
+
+    # strictly monotone transform leaves Spearman EXACTLY unchanged
+    # (ranks identical) — the property Pearson lacks. atan, not exp:
+    # exp squashes the negative tail below micro resolution, MAKING
+    # ties; atan keeps this fixture's 2dp-spaced values distinct
+    df2 = df.selectExpr("a", "atan(b) as b")
+    got2 = numeric.spearman_corr(df2, "a", "b").collect()[0]
+    assert got2["rho"] == got["rho"]
+
+
+def test_spearman_perfect_ties_and_guards(spark):
+    from wrangler_spark.datapipe import numeric
+
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i)) for i in range(10)], "a double, b double")
+    assert numeric.spearman_corr(df, "a", "b").collect()[0]["rho"] == 1.0
+    df = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(10)], "a double, b double")
+    assert numeric.spearman_corr(df, "a", "b").collect()[0]["rho"] == -1.0
+    # constant column: zero rank variance -> NULL
+    df = spark.createDataFrame(
+        [(float(i), 5.0) for i in range(10)], "a double, b double")
+    assert numeric.spearman_corr(df, "a", "b").collect()[0]["rho"] is None
+    with pytest.raises(ValueError, match="distinct values"):
+        numeric.spearman_corr(
+            spark.createDataFrame(
+                [(float(i), float(i)) for i in range(10)],
+                "a double, b double"),
+            "a", "b", max_cells=3)
+    with pytest.raises(ValueError, match="no complete rows"):
+        numeric.spearman_corr(
+            spark.createDataFrame([(1.0, None)], "a double, b double"),
+            "a", "b")
+
+
+def test_spearman_directive(spark):
+    from wrangler_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 15.0)], "a double, b double")
+    out = Pipeline.compile("spearman :a :b").apply(df)
+    assert out.collect()[0]["n"] == 3

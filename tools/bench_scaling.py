@@ -93,6 +93,7 @@ QUERIES = [
     "events_acf", "events_holt", "num_mannwhitney", "num_benford",
     "events_sssp", "num_welch", "emb_drift", "num_kruskal",
     "dq_profile_diff", "events_ratio_ab", "num_msprt", "text_textrank",
+    "num_spearman",
 ]
 
 

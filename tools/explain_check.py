@@ -679,6 +679,16 @@ def main() -> int:
                   "ArrowEvalPython"],
     )
 
+    # spearman: two histogram aggregates + broadcast rank-map joins +
+    # one moment scan — never a corpus rank window
+    p = plan_of(qs["num_spearman"](spark, SF_DIR))
+    problems += check(
+        "num_spearman", p,
+        must=["HashAggregate", "BroadcastHashJoin"],
+        must_not=["Window", "CartesianProduct", "SortMergeJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     # ratio/msprt: the same one-conditional-scan moment shape
     for gq in ("events_ratio_ab", "num_msprt"):
         p = plan_of(qs[gq](spark, SF_DIR))

@@ -1468,3 +1468,99 @@ def kruskal_wallis(
         F.when(hc.isNotNull(),
                F.round(hc, 6) > F.lit(crit)).alias("significant"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Spearman rank correlation (Spearman 1904) — the monotonic-
+    association companion to :func:`corr_matrix`'s Pearson: immune to
+    outliers and nonlinearity because it correlates RANKS. Computed as
+    Pearson over midranks (the exact tie treatment): each column's
+    distinct-value histogram is folded in ascending order into DOUBLED
+    midranks (2*rank stays an exact integer — midrank halves never
+    materialize), broadcast-joined back to the rows, and the rank
+    pairs reduce through exact decimal(38,0) moment sums — the factor
+    of 2 cancels in the correlation. Returns ONE row: (n, rho).
+
+    Scale shape: one groupBy(value) histogram per column (each
+    ``max_cells``-guarded — a column with millions of distinct values
+    wants sampled or binned ranks), two broadcast rank-map joins, ONE
+    moment scan; no corpus rank window ever. Rows where either column
+    is NULL drop (pairwise complete). A constant column yields NULL
+    rho."""
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+
+    def rank_map(col: str, tag: str) -> DataFrame:
+        mv = F.round(F.col(col).cast("double") * F.lit(1e6)).cast("long")
+        hist = (
+            base.groupBy(mv.alias(f"__v{tag}"))
+            .agg(F.count("*").cast("long").alias("__t"))
+        )
+        hist = eager_checkpoint(hist)
+        k = hist.count()
+        if k > max_cells:
+            raise ValueError(
+                f"spearman_corr: {col} has {k} distinct values "
+                f"(max_cells={max_cells}) — bin or sample first")
+        if k == 0:
+            raise ValueError("spearman_corr: no complete rows")
+        agg = hist.agg(F.sort_array(F.collect_list(
+            F.struct(f"__v{tag}", "__t"))).alias("__c"))
+
+        def step(acc, c):
+            # doubled midrank for this value: 2*cum + t + 1
+            entry = F.struct(
+                c[f"__v{tag}"].alias("v"),
+                (F.lit(2) * acc["cum"] + c["__t"] + F.lit(1))
+                .cast("long").alias("r2"),
+            )
+            return F.struct(
+                F.concat(acc["out"], F.array(entry)).alias("out"),
+                (acc["cum"] + c["__t"]).cast("long").alias("cum"),
+            )
+
+        init = F.struct(
+            F.array().cast("array<struct<v:long,r2:long>>").alias("out"),
+            F.lit(0).cast("long").alias("cum"))
+        return agg.select(F.explode(
+            F.aggregate(F.col("__c"), init, step)["out"]).alias("__e")
+        ).select(
+            F.col("__e.v").alias(f"__v{tag}"),
+            F.col("__e.r2").alias(f"__r{tag}"),
+        )
+
+    ra, rb = rank_map(col_a, "a"), rank_map(col_b, "b")
+    mva = F.round(F.col(col_a).cast("double") * F.lit(1e6)).cast("long")
+    mvb = F.round(F.col(col_b).cast("double") * F.lit(1e6)).cast("long")
+    joined = (
+        base.select(mva.alias("__va"), mvb.alias("__vb"))
+        .join(F.broadcast(ra), "__va")
+        .join(F.broadcast(rb), "__vb")
+    )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    D = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x, y = F.col("__ra"), F.col("__rb")
+    m = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("sx"),
+        F.sum(y).cast("decimal(38,0)").alias("sy"),
+        F.sum((dec(x) * dec(y)).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((dec(x) * dec(x)).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((dec(y) * dec(y)).cast("decimal(38,0)")).alias("syy"),
+    )
+    n = F.col("n")
+    cov = (D(n) * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    va = (D(n) * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vb = (D(n) * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    rho = F.when(
+        (va > 0) & (vb > 0),
+        F.round(cov / (F.sqrt(va) * F.sqrt(vb)), 6))
+    return m.select(
+        "n", (rho + F.lit(0.0)).cast("double").alias("rho"))

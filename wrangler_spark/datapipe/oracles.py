@@ -4998,3 +4998,55 @@ c AS (SELECT w1 AS s, w2 AS d, CAST(n AS DOUBLE) AS w FROM cnt
 SELECT node AS word, pagerank FROM ({inner}) r
 ORDER BY pagerank DESC, word ASC LIMIT {int(k)}
 """
+
+
+def spearman_sql(
+    col_a: str = "l_quantity",
+    col_b: str = "l_extendedprice",
+    table: str = "lineitem",
+) -> str:
+    """Mirror of numeric.spearman_corr: doubled midranks via window
+    cumsums over each micro-integer value histogram (every rank an
+    exact integer), rank maps joined back, HUGEINT Pearson moments,
+    the identical fixed double order."""
+    def rmap(col: str, tag: str) -> str:
+        return f"""h{tag} AS (
+  SELECT CAST(round({col} * 1000000, 0) AS BIGINT) AS v,
+         count(*) AS t
+  FROM base GROUP BY 1),
+r{tag} AS (
+  SELECT v,
+         2 * coalesce(sum(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + t + 1 AS r2
+  FROM h{tag})"""
+
+    return f"""
+WITH base AS (
+  SELECT * FROM {table}
+  WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL),
+{rmap(col_a, 'a')},
+{rmap(col_b, 'b')},
+j AS (
+  SELECT ra.r2 AS x, rb.r2 AS y
+  FROM base
+  JOIN ra ON CAST(round({col_a} * 1000000, 0) AS BIGINT) = ra.v
+  JOIN rb ON CAST(round({col_b} * 1000000, 0) AS BIGINT) = rb.v),
+m AS (
+  SELECT count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM j),
+d AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS va,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vb
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN va > 0 AND vb > 0
+            THEN round(cov / (sqrt(va) * sqrt(vb)), 6) END + 0.0 AS rho
+FROM d
+"""

@@ -2543,3 +2543,23 @@ class TextrankKeywords(Directive):
             df, ctx.resolve(df, self.args["text"]),
             k=int(self.args["k"]), min_count=int(self.args["min_count"]),
         )
+
+
+@directive
+class SpearmanCorr(Directive):
+    """spearman :a :b — Spearman rank correlation (Pearson over exact
+    midranks; outlier-immune monotonic association)."""
+
+    name = "spearman"
+    usage = [
+        Arg("a", TokenType.COLUMN),
+        Arg("b", TokenType.COLUMN),
+    ]
+
+    def apply(self, ctx: CompileContext, df: DataFrame) -> DataFrame:
+        from wrangler_spark.datapipe.numeric import spearman_corr
+
+        return spearman_corr(
+            df, ctx.resolve(df, self.args["a"]),
+            ctx.resolve(df, self.args["b"]),
+        )
