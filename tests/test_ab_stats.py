@@ -62,6 +62,23 @@ def test_srm_weighted_ratios_reference(spark):
     assert got["a"]["srm"] == (chi > 10.828)
 
 
+def test_srm_zero_observed_planned_arm(spark):
+    # A planned arm with ZERO observed units must stay in the test:
+    # its (0-e)^2/e term is the largest possible component, and the
+    # arm must emit a row (users=0) rather than silently vanish.
+    rows = [(u, "a") for u in range(150)] + [(u, "b") for u in range(150, 300)]
+    df = spark.createDataFrame(rows, "u long, arm string")
+    got = {r["arm"]: r for r in events.srm_check(
+        df, "u", "arm", ratios={"a": 1.0, "b": 1.0, "c": 1.0}).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["c"]["users"] == 0 and got["c"]["ratio"] == 0.0
+    e = 300 / 3  # n * w/sum_w
+    chi = round(2 * (150 - e) ** 2 / e + (0 - e) ** 2 / e, 6)
+    assert got["c"]["expected_users"] == 100.0
+    assert got["c"]["chi2"] == chi and got["c"]["df"] == 2
+    assert got["c"]["srm"] is True  # 150 > 13.816
+
+
 def test_srm_validation(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "u long, arm string")
     with pytest.raises(ValueError, match="at least two"):
@@ -474,6 +491,53 @@ def test_welch_zero_variance_null_t(spark):
     assert got["cohens_d"] is None
 
 
+def test_welch_single_row_group_null_not_nan(spark):
+    from wrangler_spark.datapipe import numeric
+
+    # n_b = 1 -> sample variance is 0/0 territory: the n > 1 guard
+    # must yield NULL (matching the oracle's CASE WHEN), never NaN
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0)],
+        "g string, v double")
+    got = numeric.welch_t_test(df, "v", "g", "a", "b").collect()[0]
+    assert got["n_b"] == 1 and got["mean_b"] == 5.0
+    assert got["var_b"] is None
+    assert got["t"] is None and got["significant"] is None
+    for k in ("var_b", "se", "t", "df", "cohens_d"):
+        assert got[k] is None or not math.isnan(got[k]), k
+
+
+def test_kruskal_listed_group_with_zero_rows_null(spark):
+    from wrangler_spark.datapipe import numeric
+
+    # group 'c' is listed but absent: its rank-sum term is 0/0 — the
+    # N_i > 0 guard must propagate NULL through H (not NaN, and not a
+    # silently smaller statistic with the wrong df)
+    vals = [1.0, 2.0, 3.0, 9.0, 10.0, 11.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals[:3]] + [("b", v) for v in vals[3:]],
+        "g string, v double")
+    got = numeric.kruskal_wallis(df, "v", "g", ["a", "b", "c"]).collect()[0]
+    assert got["k"] == 3 and got["df"] == 2
+    assert got["h"] is None and got["h_corrected"] is None
+    assert got["significant"] is None
+    for k in ("h", "h_corrected", "epsilon_sq"):
+        assert got[k] is None or not math.isnan(got[k]), k
+
+
+def test_ratio_ab_single_row_arm_null_not_nan(spark):
+    from wrangler_spark.datapipe import events as ev
+
+    df = spark.createDataFrame(
+        [("0", 1.0, 2.0), ("0", 3.0, 4.0), ("1", 5.0, 6.0)],
+        "arm string, x double, y double")
+    got = ev.ratio_ab_test(df, "arm", "x", "y", "0", "1").collect()[0]
+    assert got["users_b"] == 1 and got["ratio_b"] is not None
+    assert got["se"] is None and got["z"] is None
+    for k in ("se", "z"):
+        assert got[k] is None or not math.isnan(got[k]), k
+
+
 def test_embedding_drift_reference(spark):
     from wrangler_spark.datapipe import similarity
     import math
@@ -754,6 +818,23 @@ def test_textrank_filters_stopwords_and_short(spark):
     words = {r["word"] for r in got}
     assert "the" not in words and "of" not in words
     assert "engine" in words and "data" in words
+
+
+def test_textrank_undirected_canonicalization_and_self_loops(spark):
+    from wrangler_spark.datapipe import text as t
+
+    # 3x "alpha beta" + 3x "beta alpha": the UNDIRECTED co-occurrence
+    # count is 6, so min_count=5 must keep the edge (directional
+    # counting would see two sub-threshold 3s and drop it)
+    docs = [("alpha beta",)] * 3 + [("beta alpha",)] * 3
+    df = spark.createDataFrame(docs, "text string")
+    got = t.textrank_keywords(df, "text", k=5, min_count=5).collect()
+    assert {r["word"] for r in got} == {"alpha", "beta"}
+
+    # a repeated word must not rank via a self-loop: "echo echo" gives
+    # only self-pairs, which are dropped -> empty graph
+    dfs = spark.createDataFrame([("echo echo",)] * 8, "text string")
+    assert t.textrank_keywords(dfs, "text", k=5, min_count=2).count() == 0
 
 
 def test_textrank_directive(spark):

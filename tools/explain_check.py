@@ -679,13 +679,16 @@ def main() -> int:
                   "ArrowEvalPython"],
     )
 
-    # spearman: two histogram aggregates + broadcast rank-map joins +
-    # one moment scan — never a corpus rank window
+    # spearman: two histogram aggregates, a cumsum Window over each
+    # CHECKPOINTED max_cells-bounded histogram (partitionBy(lit) — a
+    # deliberate bounded single partition, NOT a corpus rank window;
+    # the r13 O(k) rank-map rewrite), broadcast rank-map joins, one
+    # moment scan
     p = plan_of(qs["num_spearman"](spark, SF_DIR))
     problems += check(
         "num_spearman", p,
-        must=["HashAggregate", "BroadcastHashJoin"],
-        must_not=["Window", "CartesianProduct", "SortMergeJoin",
+        must=["HashAggregate", "BroadcastHashJoin", "Window"],
+        must_not=["CartesianProduct", "SortMergeJoin",
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 

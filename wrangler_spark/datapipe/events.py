@@ -2368,7 +2368,11 @@ def srm_check(
     checkpointed aggregate (the sanctioned bounded meta-read) to
     validate ``ratios`` coverage — an arm in the data with no
     expected weight raises instead of silently vanishing from the
-    test exactly when its presence IS the mismatch."""
+    test exactly when its presence IS the mismatch. The converse —
+    a PLANNED arm that received zero units — is kept in the test by
+    left-joining from the expected-ratio frame with users coalesced
+    to 0, so its (0-e)^2/e term (the largest possible component)
+    lands in the chi-square and the arm emits a row."""
     unit, arm = F.col(unit_col), F.col(arm_col)
     cnt = (
         df.filter(unit.isNotNull() & arm.isNotNull())
@@ -2400,8 +2404,14 @@ def srm_check(
         [(a, float(w)) for a, w in sorted(ratios.items())],
         "arm string, w double")
     tot = cnt.agg(F.sum("users").cast("long").alias("n"))
+    # LEFT join FROM the planned-arm frame: an arm with an expected
+    # weight but zero observed units must still contribute (0-e)^2/e
+    # — dropping it (inner join) silences the gate exactly in the
+    # most severe mismatch case
     j = (
-        cnt.join(F.broadcast(exp), "arm", "inner")
+        exp.join(F.broadcast(cnt), "arm", "left")
+        .withColumn(
+            "users", F.coalesce(F.col("users"), F.lit(0).cast("long")))
         .crossJoin(F.broadcast(tot))  # 1-row total
     )
     e = F.col("n") * (F.col("w") / F.lit(sw))
@@ -2553,7 +2563,9 @@ def cuped_ab_test(
         syyt = D(F.col(f"syy_{tag}"))
         mean_y = syt.cast("double") / (nn.cast("double") * F.lit(1e6))
         mean_xa = sxt.cast("double") / (nn.cast("double") * F.lit(1e6))
-        denom = (nn * (nn - 1)).cast("double") * F.lit(1e12)
+        # n <= 1 -> NULL denominator -> NULL variance in BOTH engines
+        denom = F.when(
+            nn > 1, (nn * (nn - 1)).cast("double") * F.lit(1e12))
         var_y = (D(nn) * syyt - syt * syt).cast("double") / denom
         var_x = (D(nn) * sxxt - sxt * sxt).cast("double") / denom
         cov = (D(nn) * sxyt - sxt * syt).cast("double") / denom
@@ -2727,7 +2739,14 @@ def holt_forecast(
 
     Scale shape: one hash aggregate per key (``max_cells``-guarded),
     ONE scan-side fold per key, horizon rows appended by a transform
-    over a constant sequence; no window functions."""
+    over a constant sequence; no window functions. NOTE the fold
+    emits its per-step rows by array append, so work per key is
+    quadratic in cells-per-key (fine for real resample grids — 10k
+    hourly cells ≈ 10^8 element copies; a key approaching the
+    ``max_cells`` ceiling should be resampled to a coarser grid
+    first — the recursion itself is inherently sequential, so a
+    cumsum window cannot replace it the way spearman_corr's rank
+    map was delinearized)."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if not 0.0 <= beta <= 1.0:
@@ -2867,7 +2886,8 @@ def ratio_ab_test(
         r = F.when(sy.cast("double") != 0,
                    sx.cast("double") / sy.cast("double"))
         my = sy.cast("double") / (nd * F.lit(1e6))
-        den = (nn * (nn - 1)).cast("double") * F.lit(1e12)
+        # n <= 1 -> NULL denominator -> NULL variance in BOTH engines
+        den = F.when(nn > 1, (nn * (nn - 1)).cast("double") * F.lit(1e12))
         vx = (D(nn) * sxx - sx * sx).cast("double") / den
         vy = (D(nn) * syy - sy * sy).cast("double") / den
         cov = (D(nn) * sxy - sx * sy).cast("double") / den
@@ -2948,8 +2968,10 @@ def msprt_ab_test(
         nn = F.col(f"n_{tag}")
         s, ss = D(F.col(f"s_{tag}")), D(F.col(f"ss_{tag}"))
         mean = s.cast("double") / (nn.cast("double") * F.lit(1e6))
-        var = ((D(nn) * ss - s * s).cast("double")
-               / ((nn * (nn - 1)).cast("double") * F.lit(1e12)))
+        # n <= 1 -> NULL denominator -> NULL variance in BOTH engines
+        # (0/0 is NULL in non-ANSI Spark but NaN in DuckDB)
+        den = F.when(nn > 1, (nn * (nn - 1)).cast("double") * F.lit(1e12))
+        var = (D(nn) * ss - s * s).cast("double") / den
         return nn, mean, var
 
     na, ma, va = stats("a")

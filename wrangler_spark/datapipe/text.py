@@ -2140,9 +2140,12 @@ def textrank_keywords(
     matters when it co-occurs with OTHER words that matter. Stopwords,
     empties, and words shorter than ``min_word_len`` are removed
     FIRST, then adjacency is taken over the filtered sequence (the
-    standard TextRank windowing); pair counts below ``min_count``
-    drop (graph-size floor, same rationale as :func:`collocations`);
-    edges symmetrize (co-occurrence is undirected). Returns the top-k
+    standard TextRank windowing); pairs canonicalize to (least,
+    greatest) with repeated-word self-pairs dropped BEFORE the
+    ``min_count`` floor (co-occurrence is undirected — Mihalcea &
+    Tarau §2 — so (a,b) and (b,a) sightings pool into ONE edge count,
+    and a word never votes for itself via a self-loop); edges then
+    symmetrize for the pagerank walk. Returns the top-k
     (word, pagerank) ordered (pagerank DESC, word ASC) — ties broken
     lexicographically, the deterministic cross-engine contract.
 
@@ -2172,8 +2175,18 @@ def textrank_keywords(
             F.element_at(F.col("__wl"), i).alias("w1"),
             F.element_at(F.col("__wl"), i + 1).alias("w2")),
     )).alias("__p")).select("__p.w1", "__p.w2")
+    # canonical TextRank windows are UNDIRECTED: canonicalize each
+    # pair to (least, greatest) BEFORE the min_count floor — a
+    # co-occurrence seen 3x as (a,b) and 3x as (b,a) is one edge of
+    # undirected count 6, not two sub-threshold directed edges — and
+    # drop repeated-word self-pairs (they would become pagerank
+    # self-loops)
     cnt = (
-        pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n"))
+        pairs.filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("w1"),
+            F.greatest("w1", "w2").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n"))
         .filter(F.col("n") >= min_count)
     )
     edges = cnt.select(

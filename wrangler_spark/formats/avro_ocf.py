@@ -1,11 +1,13 @@
-"""Minimal Apache Avro Object Container File reader — stdlib only.
+"""Minimal Apache Avro Object Container File reader/writer — stdlib only.
 
 Implements the published Avro 1.x spec (binary encoding + OCF framing):
 zigzag-varint ints/longs, IEEE float/double, length-prefixed bytes/string,
 records, enums, fixed, arrays, maps, unions; null and deflate codecs.
 Enough for the reference's ``parse-as-avro-file`` surface
 (``parser/ParseAvroFile.java:79-151`` reads generic records with
-DataFileReader).
+DataFileReader). The write side (``encode_datum`` / ``write_ocf``) is
+the exact inverse — used to synthesize deterministic payloads for the
+round-trip correctness gate and by tests.
 """
 
 from __future__ import annotations
@@ -218,6 +220,160 @@ def decode_json_stream(payload: bytes, schema: Any, names: dict) -> list[Any]:
         obj, pos = dec.raw_decode(text, pos)
         records.append(_from_json(obj, schema, names))
     return records
+
+
+def _zigzag_enc(n: int) -> bytes:
+    """Encode a signed int as an Avro zigzag varint (spec: binary
+    encoding, the inverse of ``_Reader.zigzag``)."""
+    u = (n << 1) ^ (n >> 63) if n < 0 else (n << 1)
+    u &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _union_branch_for(value: Any, schema: list) -> Any:
+    """Pick the union branch a Python value encodes under: None -> the
+    null branch, else the first non-null branch whose base type accepts
+    the value (deterministic — schema order wins on ambiguity)."""
+    def base(b):
+        return b if isinstance(b, str) else b.get("type")
+
+    if value is None:
+        for i, b in enumerate(schema):
+            if base(b) == "null":
+                return i, b
+        raise ValueError("None for a union without a null branch")
+    accepts = {
+        bool: {"boolean"},
+        int: {"int", "long", "float", "double"},
+        float: {"float", "double"},
+        str: {"string", "enum"},
+        bytes: {"bytes", "fixed"},
+        dict: {"record", "map"},
+        list: {"array"},
+    }
+    ok = accepts.get(bool if isinstance(value, bool) else type(value), set())
+    for i, b in enumerate(schema):
+        if base(b) in ok:
+            return i, b
+    for i, b in enumerate(schema):  # named-type reference branches
+        if isinstance(b, str) and b not in (
+                "null", "boolean", "int", "long", "float", "double",
+                "bytes", "string"):
+            return i, b
+    raise ValueError(f"no union branch accepts {type(value).__name__}")
+
+
+def encode_datum(value: Any, schema: Any, names: dict) -> bytes:
+    """Binary-encode one datum against a writer schema — the exact
+    inverse of ``_Reader.decode`` (Avro 1.x spec, binary encoding)."""
+    if isinstance(schema, list):  # union: branch index then value
+        idx, branch = _union_branch_for(value, schema)
+        return _zigzag_enc(idx) + encode_datum(value, branch, names)
+    if isinstance(schema, str):
+        t = schema
+    elif isinstance(schema, dict):
+        t = schema["type"]
+    else:
+        raise ValueError(f"bad schema node {schema!r}")
+
+    if t == "null":
+        return b""
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t in ("int", "long"):
+        return _zigzag_enc(int(value))
+    if t == "float":
+        return struct.pack("<f", float(value))
+    if t == "double":
+        return struct.pack("<d", float(value))
+    if t == "bytes":
+        b = bytes(value)
+        return _zigzag_enc(len(b)) + b
+    if t == "string":
+        b = str(value).encode("utf-8")
+        return _zigzag_enc(len(b)) + b
+    if t == "record":
+        return b"".join(
+            encode_datum(value.get(f["name"]), f["type"], names)
+            for f in schema["fields"])
+    if t == "enum":
+        return _zigzag_enc(schema["symbols"].index(value))
+    if t == "fixed":
+        b = bytes(value)
+        if len(b) != schema["size"]:
+            raise ValueError(
+                f"fixed size mismatch: {len(b)} != {schema['size']}")
+        return b
+    if t == "array":
+        if not value:
+            return _zigzag_enc(0)
+        body = b"".join(encode_datum(v, schema["items"], names)
+                        for v in value)
+        return _zigzag_enc(len(value)) + body + _zigzag_enc(0)
+    if t == "map":
+        if not value:
+            return _zigzag_enc(0)
+        body = bytearray()
+        for k, v in value.items():
+            kb = str(k).encode("utf-8")
+            body += _zigzag_enc(len(kb)) + kb
+            body += encode_datum(v, schema["values"], names)
+        return _zigzag_enc(len(value)) + bytes(body) + _zigzag_enc(0)
+    if t in names:
+        return encode_datum(value, names[t], names)
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def encode_binary_stream(records: list, schema: Any, names: dict) -> bytes:
+    """Concatenated schema-less binary datums — the payload shape
+    ``decode_binary_stream`` reads (BinaryAvroDecoder messages)."""
+    return b"".join(encode_datum(r, schema, names) for r in records)
+
+
+# fixed sync marker so identical inputs produce identical OCF bytes —
+# a deterministic-output requirement, not a spec one (the spec only
+# needs the marker to be consistent within one file)
+_SYNC = bytes(range(16))
+
+
+def write_ocf(schema: Any, records: list, codec: str = "null") -> bytes:
+    """Serialize records into an Avro Object Container File — the
+    inverse of :func:`read_ocf` (header with avro.schema/avro.codec
+    metadata, one data block, 16-byte sync marker; null or deflate
+    codec). Deterministic: fixed sync marker, single block."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    names: dict = {}
+    _register_named(schema, names)
+    block = b"".join(encode_datum(r, schema, names) for r in records)
+    if codec == "deflate":
+        comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+        block = comp.compress(block) + comp.flush()
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": codec.encode(),
+    }
+    out = bytearray(MAGIC)
+    out += _zigzag_enc(len(meta))
+    for k in sorted(meta):
+        kb = k.encode("utf-8")
+        out += _zigzag_enc(len(kb)) + kb
+        out += _zigzag_enc(len(meta[k])) + meta[k]
+    out += _zigzag_enc(0)
+    out += _SYNC
+    if records:
+        out += _zigzag_enc(len(records))
+        out += _zigzag_enc(len(block)) + block
+        out += _SYNC
+    return bytes(out)
 
 
 def read_ocf(payload: bytes) -> tuple[dict, list[Any]]:

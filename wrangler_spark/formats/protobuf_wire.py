@@ -1,4 +1,4 @@
-"""Minimal protobuf wire-format + FileDescriptorSet reader — stdlib only.
+"""Minimal protobuf wire-format + FileDescriptorSet reader/writer — stdlib only.
 
 Implements the published protobuf encoding (varint / 64-bit / length-
 delimited / 32-bit wire types) and just enough of ``descriptor.proto``
@@ -283,3 +283,135 @@ def flat_schema(msg: PBMessage, index: dict, prefix: str | None = None,
         else:
             cols.append((name, f))
     return cols
+
+
+# --- encoding (the exact inverse — payload synthesis + tests) ---------------
+
+
+def write_varint(n: int) -> bytes:
+    """Unsigned varint bytes (inverse of ``_read_varint``); negative
+    ints wrap to their 64-bit two's-complement encoding, per spec."""
+    n &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_enc(n: int) -> int:
+    return ((n << 1) ^ (n >> 63)) & ((1 << 64) - 1)
+
+
+def _tag(number: int, wt: int) -> bytes:
+    return write_varint((number << 3) | wt)
+
+
+def _encode_scalar(f: PBField, value, index: dict) -> bytes:
+    """One tagged scalar field occurrence (unpacked encoding — the
+    decoder accepts both packed and unpacked)."""
+    t = f.type
+    if t == T_STRING:
+        b = str(value).encode("utf-8")
+        return _tag(f.number, 2) + write_varint(len(b)) + b
+    if t == T_BYTES:
+        b = bytes(value)
+        return _tag(f.number, 2) + write_varint(len(b)) + b
+    if t == T_BOOL:
+        return _tag(f.number, 0) + write_varint(1 if value else 0)
+    if t == T_DOUBLE:
+        return _tag(f.number, 1) + struct.pack("<d", float(value))
+    if t == T_FLOAT:
+        return _tag(f.number, 5) + struct.pack("<f", float(value))
+    if t in (T_SINT32, T_SINT64):
+        return _tag(f.number, 0) + write_varint(_zigzag_enc(int(value)))
+    if t in (T_INT32, T_INT64, T_UINT32, T_UINT64):
+        return _tag(f.number, 0) + write_varint(int(value))
+    if t in (T_FIXED64, T_SFIXED64):
+        return _tag(f.number, 1) + (int(value) & ((1 << 64) - 1)).to_bytes(8, "little")
+    if t in (T_FIXED32, T_SFIXED32):
+        return _tag(f.number, 5) + (int(value) & 0xFFFFFFFF).to_bytes(4, "little")
+    if t == T_ENUM:
+        e = index.get(f.type_name)
+        if isinstance(e, PBEnum) and isinstance(value, str):
+            for num, name in e.values.items():
+                if name == value:
+                    return _tag(f.number, 0) + write_varint(num)
+            raise ValueError(f"enum {f.type_name}: unknown symbol {value!r}")
+        return _tag(f.number, 0) + write_varint(int(value))
+    raise ValueError(f"field {f.name}: unsupported encode type {t}")
+
+
+def encode_message(values: dict, msg: PBMessage, index: dict) -> bytes:
+    """Encode {field_name: value} against a descriptor message — the
+    inverse of ``decode_flat`` at one nesting level: nested messages
+    take a dict value, repeated fields a list, missing/None fields are
+    simply absent (proto3 presence semantics)."""
+    out = bytearray()
+    for f in msg.fields:
+        if f.name not in values or values[f.name] is None:
+            continue
+        v = values[f.name]
+        if f.type == T_MESSAGE:
+            sub = index.get(f.type_name)
+            if not isinstance(sub, PBMessage):
+                raise ValueError(f"unresolved message type {f.type_name!r}")
+            items = v if f.repeated and isinstance(v, list) else [v]
+            for item in items:
+                b = encode_message(item, sub, index)
+                out += _tag(f.number, 2) + write_varint(len(b)) + b
+        elif f.repeated and isinstance(v, list):
+            for item in v:
+                out += _encode_scalar(f, item, index)
+        else:
+            out += _encode_scalar(f, v, index)
+    return bytes(out)
+
+
+def _ld(num: int, payload) -> bytes:
+    b = payload.encode("utf-8") if isinstance(payload, str) else bytes(payload)
+    return _tag(num, 2) + write_varint(len(b)) + b
+
+
+def build_descriptor_set(
+    package: str,
+    messages: dict[str, list[tuple]],
+    enums: dict[str, dict[int, str]] | None = None,
+) -> bytes:
+    """Synthesize ``protoc --descriptor_set_out`` FileDescriptorSet
+    bytes from a message spec — {MessageName: [(field_name, number,
+    type, label, type_name), ...]} with label/type_name optional per
+    tuple (defaults: optional scalar). Uses only the public
+    descriptor.proto field numbers this module's reader understands;
+    round-trips through ``parse_descriptor_set``."""
+    msgs = bytearray()
+    for mname, fields in messages.items():
+        body = bytearray(_ld(1, mname))
+        for spec in fields:
+            fname, number, ftype = spec[0], spec[1], spec[2]
+            label = spec[3] if len(spec) > 3 else 1
+            type_name = spec[4] if len(spec) > 4 else ""
+            fb = bytearray(_ld(1, fname))
+            fb += _tag(3, 0) + write_varint(number)
+            fb += _tag(4, 0) + write_varint(label)
+            fb += _tag(5, 0) + write_varint(ftype)
+            if type_name:
+                fb += _ld(6, "." + type_name)
+            body += _ld(2, bytes(fb))
+        msgs += _ld(4, bytes(body))
+    ens = bytearray()
+    for ename, vals in (enums or {}).items():
+        eb = bytearray(_ld(1, ename))
+        for num, vname in vals.items():
+            vb = _ld(1, vname) + _tag(2, 0) + write_varint(num)
+            eb += _ld(2, vb)
+        ens += _ld(5, bytes(eb))
+    file_proto = _ld(1, f"{package or 'synth'}.proto")
+    if package:
+        file_proto += _ld(2, package)
+    file_proto += bytes(msgs) + bytes(ens)
+    return _ld(1, bytes(file_proto))
