@@ -1608,6 +1608,273 @@ def _cluster_topics_oracle_sql(
     )
 
 
+# --- r13: binary-format parser gates -----------------------------------
+# The five §2.1 parsers the driver had never graded (VERDICT r12 "Next
+# round" #1/#2). Payloads are synthesized DETERMINISTICALLY from the
+# test tables with the repo's own write-side codecs (formats/avro_ocf
+# encode_datum/write_ocf, protobuf_wire encode_message, xlsx
+# write_xlsx — each unit-tested as the exact inverse of its reader,
+# plus cross-checked against reference fixtures in
+# tests/test_avro_proto.py), then decoded by the directive under test;
+# the DuckDB oracle produces the same frame straight from the source
+# columns, so any encoder/decoder defect breaks the hash match.
+
+_AVRO_CUST_SCHEMA = (
+    '{"type":"record","name":"Cust","fields":['
+    '{"name":"c_custkey","type":"long"},'
+    '{"name":"c_name","type":["null","string"]},'
+    '{"name":"c_acctbal","type":"double"},'
+    '{"name":"c_mktsegment","type":"string"}]}'
+)
+
+_CUST_IDENTITY_ORACLE = (
+    "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer"
+)
+
+
+def _q_parse_avro_binary(spark, sf_dir):
+    """parse-as-avro (binary) round-trip gate: every customer row
+    zigzag/varint-encoded per the Avro spec (incl. a null|string union
+    branch), decoded by the directive, hash-matched against the
+    identity oracle (ref: parser/ParseAvro.java:110,
+    codec/BinaryAvroDecoder.java:59-86)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from wrangler_spark.formats.avro_ocf import encode_datum, parse_schema
+    from wrangler_spark.schemas import register_schema
+
+    register_schema("cust_avro_r13", _AVRO_CUST_SCHEMA)
+    sch, names = parse_schema(_AVRO_CUST_SCHEMA)
+
+    # NOTE: module-level `from __future__ import annotations` stringifies
+    # hints, which pandas_udf's signature inference rejects — attach the
+    # real type objects explicitly
+    def _enc(k, n, b, m):
+        return pd.Series([
+            encode_datum(
+                {"c_custkey": int(kk), "c_name": nn,
+                 "c_acctbal": float(bb), "c_mktsegment": mm},
+                sch, names)
+            for kk, nn, bb, mm in zip(k, n, b, m)
+        ])
+
+    _enc.__annotations__ = {c: pd.Series for c in ("k", "n", "b", "m", "return")}
+    enc = pandas_udf(_enc, BinaryType())
+
+    payload = _t(spark, sf_dir, "customer").select(
+        enc("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .alias("payload"))
+    return Pipeline.compile(
+        "parse-as-avro :payload cust_avro_r13 binary").apply(payload)
+
+
+def _q_parse_avro_json(spark, sf_dir):
+    """parse-as-avro (json) gate: lineitem rows JSON-encoded JVM-side
+    with to_json (for non-union primitives the Avro JSON encoding IS
+    plain JSON), decoded by the directive's JsonAvroDecoder mirror
+    (ref: codec/JsonAvroDecoder.java)."""
+    from wrangler_spark.schemas import register_schema
+
+    register_schema(
+        "li_avro_json_r13",
+        '{"type":"record","name":"Line","fields":['
+        '{"name":"l_orderkey","type":"long"},'
+        '{"name":"l_linenumber","type":"int"},'
+        '{"name":"l_returnflag","type":"string"},'
+        '{"name":"l_quantity","type":"double"}]}')
+    payload = _t(spark, sf_dir, "lineitem").select(
+        F.to_json(F.struct(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+        )).alias("payload"))
+    return Pipeline.compile(
+        "parse-as-avro :payload li_avro_json_r13 json").apply(payload)
+
+
+def _q_parse_avro_file(spark, sf_dir):
+    """parse-as-avro-file gate: customer rows grouped into 16 OCF
+    container payloads (write_ocf: magic + schema metadata + sync
+    framing), exploded back to rows by the directive
+    (ref: parser/ParseAvroFile.java:79-151)."""
+    import json as _json
+
+    import pandas as pd
+
+    from wrangler_spark.formats.avro_ocf import write_ocf
+
+    schema = _json.loads(_AVRO_CUST_SCHEMA)
+
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("c_custkey")
+        recs = [
+            {"c_custkey": int(r.c_custkey), "c_name": r.c_name,
+             "c_acctbal": float(r.c_acctbal),
+             "c_mktsegment": r.c_mktsegment}
+            for r in pdf.itertuples()
+        ]
+        return pd.DataFrame({"payload": [write_ocf(schema, recs)]})
+
+    payload = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.pmod(F.col("c_custkey"), F.lit(16)).alias("__g"))
+        .applyInPandas(make, "payload binary")
+    )
+    return Pipeline.compile("parse-as-avro-file :payload").apply(payload)
+
+
+def _q_parse_protobuf(spark, sf_dir):
+    """parse-as-protobuf gate: a FileDescriptorSet synthesized with the
+    repo's descriptor builder (varint/string/double/zigzag-sint32
+    fields), every customer row wire-encoded, decoded by the directive
+    (ref: parser/ParseProtobuf.java:106,
+    codec/ProtobufDecoderUsingDescriptor.java)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from wrangler_spark.formats import protobuf_wire as pw
+    from wrangler_spark.schemas import register_schema
+
+    ds = pw.build_descriptor_set("demo", {"Cust": [
+        ("c_custkey", 1, pw.T_INT64),
+        ("c_name", 2, pw.T_STRING),
+        ("c_acctbal", 3, pw.T_DOUBLE),
+        ("c_mktsegment", 4, pw.T_STRING),
+        ("c_nationkey", 5, pw.T_SINT32),
+    ]})
+    register_schema("cust_pb_r13", ds)
+    idx = pw.parse_descriptor_set(ds)
+    msg = pw.find_message(idx, "Cust")
+
+    def _enc(k, n, b, m, nk):
+        return pd.Series([
+            pw.encode_message(
+                {"c_custkey": int(kk), "c_name": nn,
+                 "c_acctbal": float(bb), "c_mktsegment": mm,
+                 "c_nationkey": int(kn)},
+                msg, idx)
+            for kk, nn, bb, mm, kn in zip(k, n, b, m, nk)
+        ])
+
+    _enc.__annotations__ = {
+        c: pd.Series for c in ("k", "n", "b", "m", "nk", "return")}
+    enc = pandas_udf(_enc, BinaryType())
+
+    payload = _t(spark, sf_dir, "customer").select(
+        enc("c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+            "c_nationkey").alias("payload"))
+    return Pipeline.compile(
+        "parse-as-protobuf :payload cust_pb_r13 Cust").apply(payload)
+
+
+def _q_parse_hl7(spark, sf_dir):
+    """parse-as-hl7 gate: an ER7 MSH+PID message built per customer by
+    SQL concat (HL7 v2 is pipe-delimited text), parsed to the segment
+    JSON, scalar fields pulled back out with json-path — the decoded
+    values must equal the source columns
+    (ref: parser/HL7Parser.java:111)."""
+    cust = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey").cast("string")
+    msh = F.concat(
+        F.lit("MSH|^~\\&|WRANGLER|SPARK|||20240115103000||ADT|"),
+        ck, F.lit("|P|2.6"))
+    pid = F.concat(
+        F.lit("PID|1||"), ck, F.lit("||"), F.col("c_name"),
+        F.lit("|||"), F.col("c_mktsegment"))
+    base = cust.select(F.concat_ws("\r", msh, pid).alias("msg"))
+    return Pipeline.compile(
+        "parse-as-hl7 :msg\n"
+        "json-path :msg_hl7 :ctrl_id \"$['MSH'][0]['10']\"\n"
+        "json-path :msg_hl7 :pid_id \"$['PID'][0]['3']\"\n"
+        "json-path :msg_hl7 :pid_name \"$['PID'][0]['5']\"\n"
+        "json-path :msg_hl7 :pid_seg \"$['PID'][0]['8']\"\n"
+        "keep :ctrl_id,:pid_id,:pid_name,:pid_seg").apply(base)
+
+
+def _q_parse_excel(spark, sf_dir):
+    """parse-as-excel gate: customer rows grouped into 8 single-sheet
+    XLSX payloads (write_xlsx: deterministic zip, inline-string
+    cells), parsed back to fwd/bkd row counters + A/B/C cell columns
+    (ref: parser/ParseExcel.java:100-260; ParseExcelTest asserts the
+    fwd=0/bkd=n-1 counter pair)."""
+    import pandas as pd
+
+    from wrangler_spark.formats.xlsx import write_xlsx
+
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("c_custkey")
+        rows = [[str(int(r.c_custkey)), r.c_name, r.c_mktsegment]
+                for r in pdf.itertuples()]
+        return pd.DataFrame({"payload": [write_xlsx(rows)]})
+
+    payload = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.pmod(F.col("c_custkey"), F.lit(8)).alias("__g"))
+        .applyInPandas(make, "payload binary")
+    )
+    return Pipeline.compile("parse-as-excel :payload 0 false").apply(payload)
+
+
+def _q_parse_natural_date(spark, sf_dir):
+    """parse-as-date gate over the deterministic fixed-format subset:
+    order dates rendered in three rotating verbose formats
+    ('January 2, 1996' / '01/02/1996' / '02 Jan 1996'), recovered by
+    the directive's format-coalesce chain (the natural-language
+    fallback compiles on the same path but is never consulted for
+    these absolute shapes, so the output is anchor-independent)
+    (ref: parser/ParseDate.java:91)."""
+    od = F.col("o_orderdate")
+    ds = (
+        F.when(F.pmod(F.col("o_orderkey"), F.lit(3)) == 0,
+               F.date_format(od, "MMMM d, yyyy"))
+        .when(F.pmod(F.col("o_orderkey"), F.lit(3)) == 1,
+              F.date_format(od, "MM/dd/yyyy"))
+        .otherwise(F.date_format(od, "dd MMM yyyy"))
+    )
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", ds.alias("ds"))
+    out = Pipeline.compile("parse-as-date :ds 'UTC'").apply(base)
+    return out.select("o_orderkey", F.col("ds_1").alias("parsed"))
+
+
+def _q_transient_variables(spark, sf_dir):
+    """set-variable + increment-variable read-at-end gate: the final
+    counter values surface through df.observe per the SURVEY §7.8
+    contract (zero extra pass — the one count() below IS the batch
+    action the reference's per-batch TransientStore implies), returned
+    as a 1-row frame the identity-aggregate oracle mirrors
+    (ref: aggregates/SetTransientVariable.java:82,
+    IncrementTransientVariable.java:79)."""
+    res = Pipeline.compile(
+        "set-variable big exp:{ o_totalprice > 100000.0 }\n"
+        "increment-variable n_big 1 exp:{ big }\n"
+        "increment-variable n_rows 1 exp:{ o_totalprice >= 0.0 }"
+    ).transform(_t(spark, sf_dir, "orders"))
+    res.df.count()  # the read-at-end action (Observation semantics)
+    return spark.createDataFrame(
+        [(int(res.variable("n_big")), int(res.variable("n_rows")))],
+        "n_big long, n_rows long")
+
+
+def _q_fail_precondition(spark, sf_dir):
+    """precondition + non-firing fail gate composed into a real recipe:
+    the precondition SKIPS matching records before the recipe
+    (wrangler-transform Precondition.java:48) and check() evaluates
+    the fail directive's condition over the output — proving the
+    plumbing at zero oracle cost because the condition never matches
+    (ref: row/Fail.java:81)."""
+    p = Pipeline.compile(
+        "set-column :margin exp:{ o_totalprice * 0.1 }",
+        precondition="o_orderstatus == 'F'")
+    res = p.transform(_t(spark, sf_dir, "orders"))
+    fail_res = Pipeline.compile(
+        "fail exp:{ o_totalprice < 0.0 } 'negative price'"
+    ).transform(res.df)
+    fail_res.check()  # bounded limit(1) probe; raises iff a row matches
+    return fail_res.df
+
+
 # The driver oracle-grades the FIRST 50 queries() entries. Rounds 7 and
 # 8 were 50/50 green. Round 9's window, by the established zero-sum
 # audit (every name in _all_queries() must be in some past CORRECTNESS
@@ -1633,7 +1900,7 @@ def _cluster_topics_oracle_sql(
 # eager_checkpoint conversion, a single shared mechanism still
 # represented by ~10 remaining window entries) for transitions/paths.
 # Everything rotated out stays green in tools/oracle_parity.py.
-_R12_WINDOW = [
+_R13_WINDOW = [
     # sentinels (flagship + historically fragile + broadcast join)
     "cleanse_recipe",
     "dedup_minhash_lsh",
@@ -1641,344 +1908,82 @@ _R12_WINDOW = [
     "sessionize",
     "json_parse",
     "table_lookup",
-    # r10: dedup_cluster_hist and text_sentences vacated (r9-green,
-    # unchanged; the cc family stays graded via dedup_minhash_cc and the
-    # sentence splitter via the in-window dedup_sentences) for the
-    # log-odds group labeling and the token-budget sampler — both new
-    # this round
-    "text_group_terms_weighted",
-    "sample_token_budget_by",
-    # r12: dedup_sentences vacated (green r9-r11, unchanged; the
-    # sentence splitter stays family-graded via dedup_paragraphs in
-    # parity and the in-window text family) for the CLOSED Deequ loop
-    # (profile -> suggested rules -> all-pass check) — new this round
-    # (r11 VERDICT next-round #6)
-    "dq_suggest",
-    "entity_match_against",
-    # r10: num_mad vacated (r9-green; the MAD fence and the r8 exact
-    # knob stay graded through the in-window num_mad_by, which executes
-    # the same aggregate plus the group join) for the vocabulary-state
-    # reconstruction — new this round (r9 VERDICT next-round #6)
-    # r12 session 3: text_vocab_state vacated (r11-green, unchanged;
-    # the log-structured state triangle stays graded via the in-window
-    # num_quantiles_state + events_funnel_state + dq_constraints_state)
-    # for Welch's t-test — the parametric mean comparison, new
-    "num_welch",
-    # r11 session 2: sample_top_frac_by vacated (r9-green, unchanged;
-    # the grouped join_group_stats path stays graded via num_qbins_by +
-    # num_impute in-window) for the funnel A/B z-test — new
-    "events_funnel_ab",
-    # r11 session 2: text_entropy vacated (green r7-r10, unchanged; the
-    # scan-side text-stats family stays graded via the in-window
-    # text_repetition / text_ngram_rep / text_rep_filter) for the
-    # Deequ-posture one-pass data-quality gate — new this round
-    # r12 session 3: dq_constraints vacated (r11-green, unchanged; the
-    # one-pass rule grader stays executed in-window — dq_suggest's
-    # closed loop ends in the same check_constraints pass, and
-    # dq_constraints_state reconstructs its counts) for the chi-square
-    # independence + Cramér's V categorical screen — new this session
-    "num_chi2_indep",
-    # r11 session 2: num_winsorize_by vacated (r9-green, unchanged; the
-    # grouped numeric join path stays graded via num_mad_by +
-    # num_qbins_by in-window) for the constraints-state reconstruction —
-    # merged report == one-shot over the union, new this round
-    "dq_constraints_state",
-    # r10: text_top_ngrams vacated (r9-green, unchanged; the two-phase
-    # top-k family stays graded via text_vocabulary/events_paths) for
-    # the topic-labeling capstone — kmeans clusters + log-odds labels,
-    # new this round
-    # r11 session 2: emb_cluster_topics vacated (r10/r11-green; its two
-    # halves stay graded in-window — k-means via dedup_semdedup, the
-    # log-odds labeler via text_group_terms_weighted) for per-doc
-    # TF-IDF keywords — the same slice machinery at corpus-cardinality
-    # groups, new
-    # r12 session 3: text_doc_keywords vacated (r11-green, unchanged;
-    # the per-group top-k slice machinery stays graded via the
-    # in-window text_group_terms_weighted) for Cohen's kappa over the
-    # langid-vs-gold contingency — the labeling-QA readout, new this
-    # session
-    "text_langid_kappa",
-    # r11 session 2: corpus_drift vacated (green r8-r10, unchanged; the
-    # drift family is now graded via the in-window num_ks_drift +
-    # text_js_drift, which cover the numeric and text axes) for the
-    # Jensen-Shannon text drift — new this session
-    # r12 session 3: text_js_drift vacated (r11-green, unchanged; the
-    # drift axis stays graded via the in-window emb_drift and the
-    # KS/JS pair stays parity-covered) for Kruskal-Wallis — the k-group
-    # rank test completing the nonparametric suite, new this session
-    "num_kruskal",
-    # r11: dedup_overlap vacated (green r1-r10) for dedup_overlap_capped —
-    # the SAME overlap machinery graded through the harder path (plus the
-    # new pair-volume governor, oracle-mirrored QUALIFY top-k) — new this
-    # round (r10 VERDICT next-round #2)
-    # r12 session 3: dedup_overlap_capped vacated (r11-green; the
-    # governor family stays graded via the in-window
-    # dedup_overlap_budget + dedup_ngram_budget — the session-1
-    # pre-score budgets that SUPERSEDE the post-score cap) for
-    # embedding drift — the vector-space monitor, new this session
-    "emb_drift",
-    # r11 session 2: entity_match vacated (long-green; the blocked-
-    # linkage family stays graded via the in-window entity_match_against,
-    # which runs the same per-column blocking + candidate verify) for
-    # the session engagement scorecard — new
-    # r12 session 3: events_session_stats vacated (r11-green, unchanged;
-    # the scorecard aggregate stays graded via the in-window
-    # events_session_stats_by, which runs the same machinery plus the
-    # arm split) for the sample-ratio-mismatch gate — the experiment-
-    # health chi-square every A/B readout presumes, new this session
+    # r13 NEW: the binary-format parser gates + the no-query §2 tail —
+    # every CREATED-this-round oracled query enters the window (the
+    # standing audit rule), closing VERDICT r12 "Next round" #1/#2:
+    # these §2.1/§2.4/§2.8 directives had never had a driver grade
+    "parse_avro_binary",
+    "parse_avro_json",
+    "parse_avro_file",
+    "parse_protobuf",
+    "parse_hl7",
+    "parse_excel",
+    "parse_natural_date",
+    "transient_variables",
+    "fail_precondition",
+    # r13: the never-driver-graded backlog (VERDICT r12 "Next round"
+    # #3) — all 13 oracled queries that had rotated through parity but
+    # never sat inside a driver window; after this round every
+    # registered oracled query has been driver-graded at least once
+    "dedup_cluster_weights",
+    "sample_soft_dedup",
+    "events_funnel_latency",
+    "events_pagerank_seeded",
+    "events_retention_ab",
+    "events_survival_by",
+    "num_quantiles_by",
+    "text_collocations",
+    "dedup_pagerank",
+    "events_graph_summary",
+    "text_clf_calibration_summary",
+    "pii_redact_luhn",
+    "ext_salted_join",
+    # r13: queries whose CODE PATH changed this round re-enter (audit
+    # rule) — the ADVICE fixes: srm zero-arm left join; welch/kruskal/
+    # ratio/cuped/msprt degenerate-divide guards; spearman's windowed
+    # rank map; textrank's undirected canonicalization (semantics
+    # change -> oracle changed in lockstep)
     "events_srm",
-    # r11 session 2: text_winnow_overlap vacated (long-green; the
-    # output-bound pair family stays graded via the in-window
-    # dedup_overlap_capped, which carries the r11 governor) for the
-    # per-arm funnel — new
-    # r12 session 3: events_funnel_by vacated (r11-green, unchanged; the
-    # grouped funnel stays executed in-window via events_funnel_ab,
-    # which calls funnel_steps_by internally) for CUPED — the variance-
-    # reduced A/B readout (Deng et al., WSDM 2013), new this session
-    "events_cuped",
-    # late r8 addition (vocab coverage cutoff) — dedup_ngram_word vacated
-    # (green r1-r7 incl. post-rewrite r7; its only r8 change is the shared
-    # eager_checkpoint mechanism, represented by many remaining entries)
-    # r11 session 2: text_vocab vacated (green r8-r11, unchanged; the
-    # coverage-vocab path stays graded via the in-window
-    # text_vocab_state, whose reconstruction equals the one-shot) for
-    # the per-arm retention grid — new
-    # r12 session 3: events_retention_by vacated (r11-green,
-    # unchanged; retention stays graded via the in-window
-    # events_retention_forget and the grouped grid stays
-    # parity-covered) for the profile diff — the Deequ loop's change
-    # detector between snapshots, new this session
-    "dq_profile_diff",
-    "dedup_minhash_cc",
-    # r10: num_scale_by vacated (r8-green, unchanged; the grouped numeric
-    # join path stays graded through num_winsorize_by/num_qbins_by/
-    # num_mad_by) for the repetition ratios, whose output GREW the
-    # paragraph columns this round (semantics change -> re-enters)
-    # r12 session 2: text_repetition vacated (green r9-r11, unchanged;
-    # its whole machinery executes inside the in-window text_rep_filter,
-    # which applies the caps over the same stats) for the code-vs-prose
-    # routing signals — new this session
-    "text_code_signals",
-    # r9: dedup_embedding_cc vacated (r8-green, unchanged; the cc family
-    # stays graded through dedup_minhash_cc) for the Gopher n-gram
-    # repetition suite
-    # r12 session 2: text_ngram_rep vacated (green r9-r11, unchanged;
-    # the Gopher repetition family stays graded via the in-window
-    # text_repetition + text_rep_filter) for the triangle/clustering
-    # probe over the near-dup pair graph — new this session (the graph
-    # family's cluster-DENSITY leg: near-clique = replica, low-
-    # clustering hub = boilerplate template)
-    "dedup_triangles",
-    # late r8 additions (cross-corpus semantic dedup; corpus-frequency
-    # boilerplate strip) — dedup_survivors and dedup_lsh_eval vacated
-    # these slots (r7-green; their only r8 change is the shared
-    # eager_checkpoint mechanism, still represented by ~10 entries here)
-    # r12 session 2: dedup_cross_embedding vacated (green r8-r11,
-    # unchanged; the embedding-dedup family stays graded via the
-    # in-window dedup_semdedup + ann_pq_topk, cross-corpus via parity)
-    # for the k-hop contamination quarantine over the same pair graph —
-    # new this session (min-hop BFS incl. an absent seed at hop 0)
-    "dedup_khop",
-    # r12: strip_boilerplate vacated (green r8-r11, unchanged; the
-    # corpus-frequency line family stays parity-covered) for the
-    # per-arm engagement scorecard — the A/B family's third leg, new
-    # this round (conversion/stickiness/engagement now all arm-split)
-    "events_session_stats_by",
-    "text_clf_score",
-    # r9: text_lp_buckets and text_bigram_lp vacated (r8-green; their only
-    # r8 change was the shared checkpoint mechanism, still represented by
-    # several remaining entries) for the grouped winsorize/qbins — the
-    # grouped numeric family is now fully driver-graded
-    # r11 session 2: num_qbins_by vacated (r9-green, unchanged; the
-    # grouped boundary-grid path shares join_group_stats with the
-    # in-window num_impute) for the one-pass Pearson matrix — new
-    # r12 session 3: num_corr_matrix vacated (r11-green, unchanged;
-    # the one-pass integer-moment machinery stays EXECUTED in-window —
-    # welch/cuped/ratio/msprt run the identical conditional-moment
-    # shape — and the matrix form stays parity-covered) for Spearman
-    # rank correlation — the outlier-immune companion, new this session
-    "num_spearman",
-    # r11 session 2: text_oov vacated (r9-green, unchanged; the vocab
-    # family stays graded via text_vocab + text_vocab_state in-window)
-    # for the count-min sketch point estimates — new this round
-    # r12 session 3: events_cms_counts vacated (r11-green, unchanged;
-    # the mergeable-sketch posture stays graded via the in-window
-    # num_quantiles_state and CMS stays parity-covered) for the
-    # Benford first-digit screen — new this session
-    "num_benford",
-    # r11 session 2: ann_ivf_pq_topk vacated (r8-green, unchanged; the
-    # PQ family stays graded via ann_pq_topk in-window) for the
-    # time-series resample grid — new this round
-    "events_resample",
-    # r11 session 2: dedup_cross_bloom vacated (r8-green, unchanged; the
-    # cross-corpus dedup family stays graded via dedup_cross_embedding +
-    # dedup_minhash_b16r2 in-window) for the interpolated fill — new
-    # r12 session 3: events_resample_interp vacated (r11-green,
-    # unchanged; the interp fill stays parity-covered and the resample
-    # grid machinery executes inside four in-window entries) for the
-    # sample ACF — the lag/period detector, new this session
-    "events_acf",
-    # r11 session 2: text_group_terms vacated (r9-green, unchanged; the
-    # same machinery runs weighted inside the in-window
-    # text_group_terms_weighted) for the rolling anomaly band — new
-    "events_rolling",
-    # r12: decontam_spans vacated (green r8-r11, unchanged; the
-    # contamination family stays graded via tools/oracle_parity.py and
-    # the in-window dedup family) for the pre-score candidate budget on
-    # the overlap op — new this round (r11 VERDICT next-round #1)
-    "dedup_overlap_budget",
-    # r11 session 2: num_mad_by vacated (r9-green, unchanged; the
-    # grouped join_group_stats path stays graded via num_qbins_by AND
-    # runs inside the replacing query) for numeric NULL imputation
-    # r12 session 3: num_impute vacated (r11-green, unchanged; the
-    # mean/median/mode fill stays parity-covered and the null-safe
-    # group-stats join family stays exercised through the profile/
-    # suggest loop in-window) for the delta-method ratio-metric A/B —
-    # the variance correction naive per-user means get wrong, new
+    "num_welch",
+    "num_kruskal",
     "events_ratio_ab",
-    # r11 session 2: ann_mmr_rerank vacated (r8-green, unchanged; the
-    # ANN family stays graded via ann_pq_topk + emb_cluster_topics
-    # in-window) for the column profiler — the Deequ discovery step
-    # r12 session 2: dq_profile vacated (r11-green, unchanged; the
-    # profiler executes INSIDE both in-window suggest loops) for the
-    # matches-SHAPE suggestion over customer — new this session
-    # (entity_id/uuid/email/integer/decimal/json shape fitting)
-    "dq_suggest_shapes",
-    # late r8 change (langid_multi grew nl/sv/pl/id profiles — its output
-    # semantics changed, so it re-enters the window); emb_quantize vacated
-    # (r7-green; its own __ma staging predates the staged-norm fix, and
-    # the embedding family stays graded via ann_recall/emb_project/
-    # emb_outliers)
-    # r12: text_langid_multi vacated (green r8-r11, unchanged since its
-    # r8 profile growth; the langid family stays parity-covered) for the
-    # same candidate budget graded through the jaccard op's symmetric
-    # prefix — new this round
-    "dedup_ngram_budget",
-    # r11: ann_recall vacated (green r8-r10, unchanged; the ANN family
-    # stays graded via the in-window ann_pq_topk / ann_ivf_pq_topk /
-    # ann_mmr_rerank) for the one-row skew scorecard — new this round
-    "events_key_skew_summary",
-    # late r8 addition (top-fraction pruning) — dedup_cross_exact vacated
-    # (r7-green; its plain branch is unchanged and dedup_cross_bloom
-    # grades the identical oracle through the harder code path)
-    # r11: sample_top_frac vacated (green r8-r10, unchanged; its exact
-    # code path plus the group join stays graded via the in-window
-    # sample_top_frac_by) for the mergeable log-bin quantile sketch
-    # r12 session 2: num_quantiles_sketch vacated (r11-green, unchanged;
-    # the sketch family stays graded via the in-window
-    # num_quantiles_state, whose reconstruction runs the SAME one-shot
-    # sketch SQL) for HITS hubs/authorities — new this session (the
-    # graph family's crawl-frontier complement to PageRank)
-    "events_hits",
-    # r11: dedup_cross_minhash vacated (green r7-r10, unchanged; the
-    # cross-corpus family stays graded via the in-window
-    # dedup_cross_embedding + dedup_cross_bloom) for the quantile-state
-    # reconstruction — new this round (state folds == one-shot sketch)
-    "num_quantiles_state",
-    # r11: dedup_substring_keepfirst vacated (green r7-r10, unchanged;
-    # the rolling-window-hash machinery stays graded via the in-window
-    # decontam_spans) for the key-skew top-k diagnostic — new this round
-    # r12 session 3: events_key_skew vacated (r11-green, unchanged;
-    # the skew diagnostic stays graded via the in-window
-    # events_key_skew_summary, which runs the same aggregate plus the
-    # percentile summary) for the Mann-Whitney U rank-sum test — new
-    "num_mannwhitney",
-    # late r8 addition (parameterized LSH banding) — dedup_template
-    # vacated (r7-green; its one-shuffle exact-dedup shape stays graded
-    # through dedup_cross_exact and the checkpoint-mechanism entries)
-    # r11 session 2: dedup_minhash_b16r2 vacated (green r8-r11,
-    # unchanged; the banding machinery runs inside the in-window
-    # dedup_minhash_lsh/dedup_minhash_cc via the shared _sig_bands) for
-    # the hour-of-week seasonality profile
-    # r12 session 2: events_seasonality vacated (r11-green, unchanged;
-    # the time-series family stays graded via events_resample/
-    # events_resample_interp/events_rolling/events_cusum in-window) for
-    # the EWMA control chart — new this session (the monitoring triad's
-    # medium-drift leg, recursive-CTE-mirrored)
-    "events_ewma",
-    # new in r8: PQ / IVF-PQ ANN family + Bloom-prefiltered dedup
-    "ann_pq_topk",
-    # r9: ann_pq_recall vacated (r8-green, unchanged; the PQ family stays
-    # graded through ann_pq_topk + ann_ivf_pq_topk) for the rolling
-    # DAU/WAU/MAU counts — new this round
-    # r11 session 2: events_active_users vacated (green r9-r11; the
-    # events pair/grid family stays graded via events_retention_forget +
-    # the new events_resample/events_rolling in-window) for CUSUM
-    # change-point detection — new
-    # r12 session 3: events_cusum vacated (r11-green, unchanged; the
-    # guarded-fold monitoring family stays graded via the in-window
-    # events_ewma + events_rolling) for Holt linear-trend smoothing +
-    # h-step forecast — the capacity-planning readout, new this session
-    "events_holt",
-    # r11 session 2: emb_outliers vacated (r8-green, unchanged) for the
-    # two-sample KS drift
-    # r12 session 2: num_ks_drift vacated (r11-green, unchanged; the
-    # drift family stays graded via the in-window text_js_drift) for
-    # the classifier reliability diagram — new this session (the
-    # read-before-you-threshold check on the in-window text_clf_score
-    # pipeline; micro-unit decimal sums, single scan)
-    "text_clf_calibration",
-    # r12 session 2: text_nfc vacated (green r9-r11, unchanged; the
-    # scan-side normalization family stays parity-covered and the text
-    # scan family stays graded via the in-window text_rep_filter /
-    # text_code_signals) for the DIRECTED k-hop reach over the
-    # transition graph — new this session (the dedup_khop machinery
-    # through the directed edge path)
-    "events_khop",
-    # r9: corpus_overlap vacated (r8-green, unchanged; the corpus-summary
-    # family stays graded via corpus_drift) for the Gopher repetition
-    # FILTER — new this round, the caps applied over both signal families
-    "text_rep_filter",
-    # r11 session 2: events_funnel vacated (green r8-r11; the whole
-    # funnel stage chain executes INSIDE the in-window
-    # events_funnel_state fold) for the Kaplan-Meier churn curve — new
-    # r12 session 3: events_survival vacated (r11-green, unchanged;
-    # the guarded span-fold family stays graded via the in-window
-    # events_ewma/events_holt and KM stays parity-covered) for weighted
-    # shortest paths over the transition graph — khop's weighted twin,
-    # new this session (bounded Bellman-Ford, exact micro distances)
-    "events_sssp",
-    # r11: events_retention vacated (green r1-r10; its batch path —
-    # retention_cohorts — is unchanged this round, and the retention
-    # state family's changed edges (lease-wrapped folds) are covered by
-    # the state tests + events_active_users in-window) for the funnel
-    # persisted state — new this round (r10 VERDICT next-round #3):
-    # 3 event-time-ordered folds reconstruct the one-shot funnel
-    # r12 session 3: events_funnel_state vacated (r11-green,
-    # unchanged; the log-structured state triangle stays graded via
-    # the in-window num_quantiles_state + dq_constraints_state) for
-    # the mSPRT always-valid sequential test — the peeking-proof
-    # p-value completing the experimentation stack, new this session
+    "events_cuped",
     "num_msprt",
-    # r11: events_transitions vacated (green r8-r10, unchanged) for the
-    # PageRank capstone — new this round — which COMPOSES
-    # event_transitions as its edge builder, so the vacated query's full
-    # code path still executes inside the replacing one
-    # r12 session 3: events_pagerank vacated (r11-green, unchanged;
-    # the pagerank loop stays EXECUTED in-window via text_textrank —
-    # graph_pagerank verbatim over the co-occurrence graph — and the
-    # seeded/transition forms stay parity-covered) for TextRank corpus
-    # keywords — the composition capstone, new this session
+    "num_spearman",
     "text_textrank",
-    # r11: events_paths vacated (green r8-r10; its per-user lead-window
-    # path is unchanged this round and stays family-graded via
-    # events_transitions + sessionize) for the right-to-be-forgotten
-    # flow — state build -> forget_ids tombstones -> anti-joined grid
-    # read, new this round
-    "events_retention_forget",
-    # r11: text_vocabulary vacated (green r9-r10; its rewritten top-k is
-    # unchanged this round and stays family-graded via the in-window
-    # text_vocab + text_vocab_state + events_paths two-phase-top-k
-    # entries) for the LPA community detection — new this round, the
-    # second op of the graph family
-    "events_communities",
+    # r12 holdovers whose grades were first earned last round (the
+    # retention convention). Vacated for the 30 additions above, all
+    # green r12 and unchanged: dedup_minhash_cc + entity_match_against
+    # (long-green families, cc/blocked-linkage machinery still
+    # parity-covered), text_code_signals, events_key_skew_summary,
+    # num_quantiles_state, events_hits, events_ewma, events_holt,
+    # ann_pq_topk, text_clf_calibration, events_khop, text_rep_filter,
+    # events_sssp, events_retention_forget, events_communities,
+    # sample_token_budget_by, num_benford, events_resample, events_acf,
+    # events_rolling, num_mannwhitney, text_group_terms_weighted —
+    # every one stays green in tools/oracle_parity.py
+    "dq_suggest",
+    "dq_suggest_shapes",
+    "dq_constraints_state",
+    "dq_profile_diff",
+    "dedup_overlap_budget",
+    "dedup_ngram_budget",
+    "dedup_triangles",
+    "dedup_khop",
+    "entity_match_against",
+    "events_funnel_ab",
+    "num_chi2_indep",
+    "text_langid_kappa",
+    "emb_drift",
+    "events_session_stats_by",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = _all_queries()
-    assert len(_R12_WINDOW) == 50 and all(n in all_q for n in _R12_WINDOW)
-    ordered = {name: all_q[name] for name in _R12_WINDOW}
+    assert len(_R13_WINDOW) == 50 and all(n in all_q for n in _R13_WINDOW)
+    ordered = {name: all_q[name] for name in _R13_WINDOW}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
     return ordered
 
@@ -2038,12 +2043,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "send_to_error": _q_send_to_error,
         "table_lookup": _q_table_lookup,
+        # r13: binary-format parser gates + the no-query §2 tail
+        "parse_avro_binary": _q_parse_avro_binary,
+        "parse_avro_json": _q_parse_avro_json,
+        "parse_avro_file": _q_parse_avro_file,
+        "parse_protobuf": _q_parse_protobuf,
+        "parse_hl7": _q_parse_hl7,
+        "parse_excel": _q_parse_excel,
+        "parse_natural_date": _q_parse_natural_date,
+        "transient_variables": _q_transient_variables,
+        "fail_precondition": _q_fail_precondition,
+        # rows-only by design: current_timestamp is nondeterministic
+        # (ref: datetime/CurrentDateTime.java:82)
+        "current_datetime": _recipe_q("nation", "current-datetime :now"),
         "catalog_lookup": _q_catalog_lookup,
         "catalog_lookup_icd": _q_catalog_lookup_icd,
         "text_distance_lev": _recipe_q(
             "customer", "text-distance levenshtein :c_name :c_mktsegment :dist"
         ),
-        # (ordering here is irrelevant — queries() reorders via _R12_WINDOW)
+        # (ordering here is irrelevant — queries() reorders via _R13_WINDOW)
         "parse_as_log": _recipe_q(
             "customer",
             "keep :c_custkey\n"
@@ -2694,6 +2712,48 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_datapipe_oracles(),
         "cleanse_recipe": _CLEANSE_ORACLE,
+        # r13 binary-format parser gates: the oracle derives the SAME
+        # frame straight from the source columns, so the whole
+        # encode->decode round trip must be value-exact to hash-match
+        "parse_avro_binary": _CUST_IDENTITY_ORACLE,
+        "parse_avro_json": (
+            "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity "
+            "FROM lineitem"
+        ),
+        "parse_avro_file": _CUST_IDENTITY_ORACLE,
+        "parse_protobuf": (
+            "SELECT c_custkey, c_name, c_acctbal, c_mktsegment, "
+            "c_nationkey FROM customer"
+        ),
+        "parse_hl7": (
+            "SELECT CAST(c_custkey AS VARCHAR) AS ctrl_id, "
+            "CAST(c_custkey AS VARCHAR) AS pid_id, "
+            "c_name AS pid_name, c_mktsegment AS pid_seg FROM customer"
+        ),
+        "parse_excel": (
+            "WITH g AS (SELECT c_custkey % 8 AS grp, "
+            "CAST(c_custkey AS VARCHAR) AS A, c_name AS B, "
+            "c_mktsegment AS C, "
+            "row_number() OVER (PARTITION BY c_custkey % 8 "
+            "ORDER BY c_custkey) AS rn, "
+            "count(*) OVER (PARTITION BY c_custkey % 8) AS cnt "
+            "FROM customer) "
+            "SELECT CAST(rn - 1 AS BIGINT) AS fwd, "
+            "CAST(cnt - rn AS BIGINT) AS bkd, A, B, C FROM g"
+        ),
+        "parse_natural_date": (
+            "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) "
+            "AS TIMESTAMP) AS parsed FROM orders"
+        ),
+        "transient_variables": (
+            "SELECT CAST(sum(CASE WHEN o_totalprice > 100000.0 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_big, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM orders"
+        ),
+        "fail_precondition": (
+            "SELECT *, o_totalprice * 0.1 AS margin FROM orders "
+            "WHERE NOT (o_orderstatus = 'F')"
+        ),
         "uppercase": "SELECT c_custkey, upper(c_name) AS c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
         "lowercase_trim": "SELECT c_custkey, trim(c_name) AS c_name, c_nationkey, c_acctbal, lower(c_mktsegment) AS c_mktsegment FROM customer",
         "titlecase": (

@@ -38,7 +38,8 @@ HISTORY_MD = os.path.join(REPO, "BENCH_HISTORY.md")
 MAX_COLS = 12
 
 
-def _cold_queries(payload: dict) -> dict[str, float]:
+def _official_queries(payload: dict) -> dict[str, float]:
+    # pre-r13 payloads: single cold pass; r13+: per-query median of 3
     out = dict(payload.get("queries") or {})
     out.update(payload.get("queries_extra") or {})
     return {k: float(v) for k, v in out.items()}
@@ -54,7 +55,7 @@ def append_local_run(payload: dict) -> None:
     row = {
         "round_hint": _round_hint(),
         "sf": payload.get("sf"),
-        "queries": _cold_queries(payload),
+        "queries": _official_queries(payload),
         "rows_per_sec": payload.get("rows_per_sec"),
         "cleanse_rps": payload.get("cleanse_recipe_rows_per_sec"),
     }
