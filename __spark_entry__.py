@@ -364,6 +364,10 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_winnow": lambda s, d: text.winnow_fingerprints(docs(s, d), "doc_id", "text"),
         "text_winnow_overlap": lambda s, d: text.winnow_overlap(docs(s, d), "doc_id", "text"),
+        # r13: the fingerprint-sample pre-score budget (candidates on
+        # the fp % 2 subset, exact verify of survivors only)
+        "text_winnow_budget": lambda s, d: text.winnow_overlap(
+            docs(s, d), "doc_id", "text", fp_sample_mod=2),
         "split_by_cluster": lambda s, d: curation.split_by_cluster(
             dedup.minhash_components(docs(s, d), "doc_id", "text", 0.5), 0.1, salt="sp"
         ),
@@ -1252,6 +1256,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "sample_domain_cap": o.cap_per_group_sql(20),
         "text_winnow": o.winnow_sql(3, 4),
         "text_winnow_overlap": o.winnow_overlap_sql(3, 4),
+        "text_winnow_budget": o.winnow_overlap_budget_sql(3, 4, fp_sample_mod=2),
         "corpus_diff": o.corpus_diff_sql(),
         "keyword_tag": o.keyword_tag_sql(_TAG_KEYWORDS),
         "shuffle_shards": o.shuffle_shards_sql(8, "ep0"),
@@ -1963,7 +1968,11 @@ _R13_WINDOW = [
     # events_rolling, num_mannwhitney, text_group_terms_weighted —
     # every one stays green in tools/oracle_parity.py
     "dq_suggest",
-    "dq_suggest_shapes",
+    # r13 session 1: dq_suggest_shapes vacated (r12-green, unchanged;
+    # the suggest loop stays graded via the in-window dq_suggest) for
+    # the winnow fingerprint-sample budget — created this round, so it
+    # enters the window per the standing audit rule
+    "text_winnow_budget",
     "dq_constraints_state",
     "dq_profile_diff",
     "dedup_overlap_budget",

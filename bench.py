@@ -128,6 +128,11 @@ EXTRA_QUERIES = [
     "num_msprt",                  # always-valid sequential p-value
     "text_textrank",              # co-occurrence PageRank keywords
     "num_spearman",               # rank correlation (midrank maps)
+    # Added round 13
+    "text_winnow_budget",         # fp-sample candidates + exact verify
+    "parse_avro_binary",          # avro wire round-trip (encode+decode UDFs)
+    "parse_protobuf",             # protobuf wire round-trip
+    "parse_excel",                # xlsx container round-trip (grouped payloads)
 ]
 
 

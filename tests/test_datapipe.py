@@ -624,6 +624,111 @@ def test_decode_image_stdlib_png_gif(spark):
     assert multimodal.png_meta(b"\x89PNG\r\n\x1a\nshort") is None
 
 
+def _filter_png_rows(rows_px: list[bytes], nch: int, filters: list[int]) -> bytes:
+    """Forward-filter raw scanlines per PNG spec §9 (the encoder side,
+    so the decoder's unfilter paths are exercised against known pixels)."""
+    out = bytearray()
+    prev = bytes(len(rows_px[0]))
+    for row, ft in zip(rows_px, filters):
+        out.append(ft)
+        line = bytearray(row)
+        if ft == 1:      # Sub
+            for i in range(len(line) - 1, nch - 1, -1):
+                line[i] = (line[i] - row[i - nch]) & 0xFF
+        elif ft == 2:    # Up
+            for i in range(len(line)):
+                line[i] = (line[i] - prev[i]) & 0xFF
+        elif ft == 3:    # Average
+            for i in range(len(line)):
+                a = row[i - nch] if i >= nch else 0
+                line[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:    # Paeth
+            for i in range(len(line)):
+                a = row[i - nch] if i >= nch else 0
+                c = prev[i - nch] if i >= nch else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (prev[i] if pb <= pc else c)
+                line[i] = (line[i] - pr) & 0xFF
+        out += line
+        prev = row
+    return bytes(out)
+
+
+def _make_png_with_pixels(width, height, color_type, rows_px, filters) -> bytes:
+    import struct as st
+    import zlib as zl
+
+    def chunk(typ, data):
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zl.crc32(typ + data) & 0xFFFFFFFF))
+
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    ihdr = st.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = _filter_png_rows(rows_px, nch, filters)
+    idat = zl.compress(raw, 9)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat[: len(idat) // 2])
+            + chunk(b"IDAT", idat[len(idat) // 2:])  # multi-IDAT concat
+            + chunk(b"IEND", b""))
+
+
+def test_png_pixels_real_decode_all_filters():
+    """The stdlib PNG pixel decoder inflates and unfilters REAL pixel
+    data: for every filter type the decoded raster equals the known
+    source pixels exactly (not just header dims)."""
+    rows = [bytes([10, 20, 30, 40, 50, 60]),   # 2x2 RGB: (10,20,30)(40,50,60)
+            bytes([70, 80, 90, 200, 210, 220])]
+    for filters in ([0, 0], [1, 2], [3, 4], [4, 1]):
+        b = _make_png_with_pixels(2, 2, 2, rows, filters)
+        got = multimodal.png_pixels(b)
+        assert got is not None, filters
+        w, h, mode, raw = got
+        assert (w, h, mode) == (2, 2, "RGB")
+        assert raw == b"".join(rows), filters
+    # grayscale-alpha and rgba channel layouts
+    ga = [bytes([5, 250, 7, 9]), bytes([11, 13, 17, 19])]
+    w, h, mode, raw = multimodal.png_pixels(
+        _make_png_with_pixels(2, 2, 4, ga, [2, 4]))
+    assert (w, h, mode) == (2, 2, "LA") and raw == b"".join(ga)
+    # unsupported profiles fall back to None (palette, garbage)
+    assert multimodal.png_pixels(_make_png(2, 2, 3)) is None
+    assert multimodal.png_pixels(b"not a png at all") is None
+
+
+def test_decode_image_pixels_means(spark):
+    """decode_image_pixels carries exact per-channel means computed from
+    the decoded raster through the mapInPandas path; a registered
+    'image_pixels' decoder overrides the default (the PIL plug point)."""
+    rows = [bytes([10, 20, 30, 40, 50, 60]),
+            bytes([70, 80, 90, 200, 210, 220])]
+    png = _make_png_with_pixels(2, 2, 2, rows, [1, 3])
+    df = spark.createDataFrame(
+        [(1, png), (2, b"garbage"), (3, None)],
+        "doc_id INT, payload BINARY")
+    got = {r["doc_id"]: r["pixels"]
+           for r in multimodal.decode_image_pixels(df).collect()}
+    px = got[1]
+    assert (px["width"], px["height"], px["mode"], px["n_pixels"]) == (2, 2, "RGB", 4)
+    assert px["channel_means"] == [
+        (10 + 40 + 70 + 200) / 4, (20 + 50 + 80 + 210) / 4,
+        (30 + 60 + 90 + 220) / 4]
+    assert got[2] is None and got[3] is None
+    # plug-point: a registered decoder takes over (and is restored)
+    multimodal.register_decoder(
+        "image_pixels", lambda b: (1, 1, "L", bytes([42])))
+    try:
+        one = multimodal.decode_image_pixels(df).filter("doc_id = 2").collect()[0]
+        assert one["pixels"]["channel_means"] == [42.0]
+    finally:
+        multimodal._DECODERS.pop("image_pixels", None)
+    # the documented PIL override raises a CLEAR error when PIL is absent
+    import pytest as _pt
+
+    with _pt.raises(ImportError, match="Pillow"):
+        multimodal.pil_pixel_decoder(png)
+
+
 def _make_jpeg(w, h, ncomp, sof=0xC0, fill=False):
     """Minimal JPEG header stream: SOI, APP0(JFIF), DQT, then a SOF
     frame header carrying the dimensions (ITU T.81 B.2.2)."""
@@ -1233,6 +1338,38 @@ def test_winnow_overlap(spark):
     assert capped < uncapped
 
 
+def test_winnow_overlap_fp_sample_budget(spark):
+    """The fp_sample_mod budget finds heavy-overlap pairs on the 1/mod
+    fingerprint subset and reports their EXACT shared count (phase-2
+    verification against the full frame); every budget pair must exist
+    in the exact output with an identical shared_fps."""
+    import pytest as _pt
+
+    passage = (
+        "the copied paragraph travels verbatim between these two "
+        "documents today and keeps going with many more shared words "
+        "so the overlap carries plenty of fingerprints in both")
+    df = spark.createDataFrame(
+        [(1, f"intro about databases {passage} outro on storage engines"),
+         (2, f"weather report morning {passage} evening summary follows"),
+         (3, "entirely original material with no borrowed passages here"),
+         (4, "more original writing that shares nothing with the others")],
+        ["doc_id", "text"],
+    )
+    exact = {(r["id_a"], r["id_b"]): r["shared_fps"]
+             for r in text.winnow_overlap(df, "doc_id", "text",
+                                          min_shared=2).collect()}
+    budget = {(r["id_a"], r["id_b"]): r["shared_fps"]
+              for r in text.winnow_overlap(
+                  df, "doc_id", "text", min_shared=2,
+                  fp_sample_mod=2).collect()}
+    assert budget  # the long shared passage survives the 1/2 sample
+    for p, s in budget.items():
+        assert exact[p] == s  # exact verification, not the sampled count
+    with _pt.raises(ValueError, match="fp_sample_mod"):
+        text.winnow_overlap(df, "doc_id", "text", fp_sample_mod=1)
+
+
 def test_corpus_diff(spark):
     from wrangler_spark.datapipe import curation
 
@@ -1311,6 +1448,12 @@ def test_bpe_train_and_apply(spark):
     assert merges, "no merges learned"
     # determinism: retraining on the same frame yields the same table
     assert merges == bpe.train_bpe(corpus, "text", n_merges=10)
+    # span guard: sample_rows bounds rows, max_sample_chars bounds MASS —
+    # an over-wide sample is refused before the driver collect
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_sample_chars"):
+        bpe.train_bpe(corpus, "text", n_merges=2, max_sample_chars=10)
     # the most frequent pair in this corpus involves the 'est</w>' family
     # (newest x6 + widest x2) or 'lo' (low x5 + lower x2); both exist in
     # the first few merges

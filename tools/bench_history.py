@@ -135,7 +135,24 @@ def render_md() -> str:
             for i, r in enumerate(shown)
         )
         lines += ["", f"Suite rows_per_sec per run: {agg}"]
-    lines += ["", "Generated by tools/bench_history.py (bench.py regenerates it per run)."]
+    lines += [
+        "",
+        "## Attributions",
+        "",
+        "- **dedup_ngram_word creep (r11 5.76 -> r12 8.88)** — adjudicated",
+        "  r13: NOT a code regression. The default ngram path is",
+        "  plan-identical to r10 (the r11 governor and r12 budget branches",
+        "  are behind `None` defaults and add no operators); idle-box r13",
+        "  re-runs measured warm 6.51/7.06/8.27 s (median 7.06), matching",
+        "  the mid-r11 ledger columns, and the 5.76 figure is the single",
+        "  earliest r11.0 sample on a quiet box. The apparent monotone",
+        "  creep tracks ledger column index — box load accumulates later",
+        "  in each round (r12.8-.11 were inside the window where EVERY",
+        "  query inflated 2-5x). The r13 median-of-3 bench change exists",
+        "  precisely so this class of artifact stops reading as a trend.",
+        "",
+        "Generated by tools/bench_history.py (bench.py regenerates it per run).",
+    ]
     return "\n".join(lines) + "\n"
 
 

@@ -94,6 +94,11 @@ QUERIES = [
     "events_sssp", "num_welch", "emb_drift", "num_kruskal",
     "dq_profile_diff", "events_ratio_ab", "num_msprt", "text_textrank",
     "num_spearman",
+    # round 13 (fingerprint-sample pre-score budget: the capped winnow
+    # row's exact args + fp_sample_mod, so the slope delta isolates
+    # "find candidates on the 1/2 fp subset, verify survivors exactly"
+    # vs "self-join every fingerprint")
+    "text_winnow_budget2",
 ]
 
 
@@ -129,6 +134,11 @@ def _extra_queries():
         "dedup_overlap_budget8": lambda s, d: dedup.overlap_pairs(
             _docs(s, d), "doc_id", "text", 3, 0.8, max_pairs_per_doc=5,
             max_candidates_per_doc=8,
+        ),
+        # r13: the capped winnow row's exact args + the fp-sample budget
+        "text_winnow_budget2": lambda s, d: text.winnow_overlap(
+            _docs(s, d), "doc_id", "text", 3, 4, max_pairs_per_doc=5,
+            fp_sample_mod=2,
         ),
     }
 

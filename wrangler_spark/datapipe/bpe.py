@@ -26,7 +26,8 @@ _EOW = "</w>"
 
 
 def train_bpe(
-    df: DataFrame, text_col: str, n_merges: int = 200, sample_rows: int = 10_000
+    df: DataFrame, text_col: str, n_merges: int = 200,
+    sample_rows: int = 10_000, max_sample_chars: int = 100_000_000,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from a bounded corpus sample.
 
@@ -35,8 +36,26 @@ def train_bpe(
     DECISION, not a corpus pass; production tokenizers train on samples
     too. Deterministic: ties on pair frequency break lexicographically, so
     the same sample yields the same merge table on every run. Merging
-    stops early when no pair repeats."""
-    rows = df.select(F.col(text_col)).limit(int(sample_rows)).collect()
+    stops early when no pair repeats.
+
+    ``max_sample_chars`` is the span-guard on the collect (the
+    _guard_cells posture): sample_rows bounds the ROW count but not
+    row width — 10k rows of 10 MB documents is a 100 GB driver
+    collect. The limited sample is checkpointed, its character mass
+    measured executor-side, and the collect refused above the ceiling
+    with a pointer at smaller sample_rows / pre-truncated text."""
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+
+    sample = eager_checkpoint(df.select(F.col(text_col)).limit(int(sample_rows)))
+    mass = sample.agg(
+        F.sum(F.length(F.col(text_col))).alias("c")).collect()[0]["c"] or 0
+    if mass > max_sample_chars:
+        raise ValueError(
+            f"train_bpe: sample holds {mass} chars (max_sample_chars="
+            f"{max_sample_chars}) — lower sample_rows or truncate "
+            f"{text_col} before training (the merge table only needs "
+            "word-frequency shape, not whole documents)")
+    rows = sample.collect()
     freqs = Counter()
     for r in rows:
         t = r[0]

@@ -120,6 +120,102 @@ def default_image_decoder(b: bytes) -> tuple[int, int, str] | None:
     return png_meta(b) or gif_meta(b) or jpeg_meta(b)
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # bit-depth-8 channel counts
+
+
+def png_pixels(b: bytes) -> tuple[int, int, str, bytes] | None:
+    """REAL pixel decode for the PNG baseline profile — pure stdlib
+    (zlib inflate + per-scanline unfilter, PNG spec §9): 8-bit
+    greyscale/RGB/greyscale-alpha/RGBA, non-interlaced. Returns
+    (width, height, mode, raw) with ``raw`` the unfiltered
+    row-major channel bytes (len == w*h*channels). Palette, 16-bit,
+    and interlaced images — and every non-PNG format — return None
+    (that is what a registered PIL decoder is for)."""
+    if len(b) < 26 or not b.startswith(_PNG_SIG) or b[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", b[16:24])
+    depth, ctype, _comp, _filt, interlace = b[24:29]
+    nch = _PNG_CHANNELS.get(ctype)
+    if nch is None or depth != 8 or interlace != 0 or width <= 0 or height <= 0:
+        return None
+    # walk chunks, concatenating IDAT payloads
+    idat = bytearray()
+    off = 8
+    n = len(b)
+    while off + 8 <= n:
+        (clen,), ctag = struct.unpack(">I", b[off:off + 4]), b[off + 4:off + 8]
+        if off + 8 + clen > n:
+            return None
+        if ctag == b"IDAT":
+            idat += b[off + 8:off + 8 + clen]
+        elif ctag == b"IEND":
+            break
+        off += 12 + clen  # length + type + data + crc
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        return None
+    out = bytearray(height * stride)
+    prev = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                c = prev[i - nch] if i >= nch else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (prev[i] if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ft != 0:
+            return None
+        out[y * stride:(y + 1) * stride] = line
+        prev = bytes(line)
+    return (int(width), int(height), _PNG_MODES[ctype], bytes(out))
+
+
+def default_pixel_decoder(b: bytes) -> tuple[int, int, str, bytes] | None:
+    """Default 'image_pixels' decoder: the stdlib PNG baseline decoder.
+    Register a PIL-backed one for JPEG/GIF/palette coverage:
+    ``register_decoder("image_pixels", pil_pixel_decoder)``."""
+    return png_pixels(b)
+
+
+def pil_pixel_decoder(b: bytes) -> tuple[int, int, str, bytes] | None:
+    """Optional PIL-backed pixel decoder (dependency-optional: PIL is
+    NOT bundled — importing it here raises a clear ImportError if
+    absent). Same return contract as :func:`png_pixels` for any format
+    PIL can open."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+    except ImportError as e:  # pragma: no cover — PIL not in this container
+        raise ImportError(
+            "pil_pixel_decoder needs Pillow: pip install Pillow, then "
+            "register_decoder('image_pixels', pil_pixel_decoder)") from e
+    import io as _io
+
+    try:
+        img = Image.open(_io.BytesIO(b))
+        img.load()
+    except Exception:  # noqa: BLE001 — undecodable payload → null struct
+        return None
+    return (img.width, img.height, img.mode, img.tobytes())
+
+
 def default_audio_decoder(b: bytes) -> tuple[int, int, int, int] | None:
     """Stdlib WAV decoder via the `wave` module: (channels, sample_rate,
     n_frames, sample_width_bytes); non-WAV/corrupt payloads → None."""
@@ -280,6 +376,59 @@ def decode_image(df: DataFrame, payload_col: str = "payload", out_col: str = "im
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf[out_col] = pdf[payload_col].map(lambda b: None if b is None else dec(b))
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def decode_image_pixels(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "pixels",
+) -> DataFrame:
+    """Decode image payloads to REAL pixels and reduce them to
+    struct(width, height, mode, n_pixels, channel_means) — the proof
+    the mapInPandas plumbing carries pixel data, not just headers:
+    channel_means are exact per-channel byte averages computed from the
+    unfiltered raster. Uses the registered 'image_pixels' decoder when
+    present (``register_decoder("image_pixels", pil_pixel_decoder)``
+    for JPEG/GIF via Pillow), else the stdlib PNG baseline decoder
+    (:func:`png_pixels`); undecodable payloads get a null struct, the
+    row is kept. Arrow-streaming batches; the raster never leaves the
+    task — only the bounded stat struct returns."""
+    dec = _DECODERS.get("image_pixels", default_pixel_decoder)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(
+                out_col,
+                T.StructType([
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("mode", T.StringType()),
+                    T.StructField("n_pixels", T.LongType()),
+                    T.StructField(
+                        "channel_means", T.ArrayType(T.DoubleType())),
+                ]),
+            )
+        ]
+    )
+
+    def stats(b):
+        if b is None:
+            return None
+        got = dec(bytes(b))
+        if got is None:
+            return None
+        w, h, mode, raw = got
+        nch = max(1, len(raw) // (w * h)) if w * h else 1
+        means = []
+        for c in range(nch):
+            ch = raw[c::nch]
+            means.append(round(sum(ch) / len(ch), 6) if ch else None)
+        return (w, h, mode, w * h, means)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = pdf[payload_col].map(stats)
             yield pdf
 
     return df.mapInPandas(run, out_schema)

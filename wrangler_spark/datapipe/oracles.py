@@ -1616,6 +1616,33 @@ HAVING count(*) >= {int(min_shared)}
 """
 
 
+def winnow_overlap_budget_sql(
+    k: int = 3, w: int = 4, min_shared: int = 2, max_fp_df: int = 1000,
+    fp_sample_mod: int = 2, table: str = "documents",
+) -> str:
+    """Mirror of text.winnow_overlap with the fp_sample_mod budget:
+    candidates on the ``fp % mod = 0`` subset at the scaled threshold,
+    exact shared-count verification of survivors only."""
+    thr = max(1, int(min_shared) // int(fp_sample_mod))
+    return f"""
+WITH fp0 AS (SELECT DISTINCT doc_id AS id, fp FROM ({winnow_sql(k, w, table)})),
+hot AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(DISTINCT id) <= {int(max_fp_df)}),
+fps AS (SELECT fp0.id, fp0.fp FROM fp0 JOIN hot USING (fp)),
+sub AS (SELECT * FROM fps WHERE fp % {int(fp_sample_mod)} = 0),
+cand AS (
+  SELECT l.id AS id_a, r.id AS id_b
+  FROM sub l JOIN sub r ON l.fp = r.fp AND l.id < r.id
+  GROUP BY l.id, r.id
+  HAVING count(*) >= {thr})
+SELECT c.id_a, c.id_b, count(*) AS shared_fps
+FROM cand c
+JOIN fps fa ON fa.id = c.id_a
+JOIN fps fb ON fb.id = c.id_b AND fb.fp = fa.fp
+GROUP BY c.id_a, c.id_b
+HAVING count(*) >= {int(min_shared)}
+"""
+
+
 def corpus_diff_sql(table: str = "documents") -> str:
     """Mirror of curation.corpus_diff on the graded synthetic split:
     OLD = docs with doc_id % 11 != 0; NEW = docs with doc_id % 7 != 0,

@@ -1063,6 +1063,7 @@ def winnow_overlap(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4,
     min_shared: int = 2, max_fp_df: int | None = 1000,
     max_pairs_per_doc: int | None = None,
+    fp_sample_mod: int | None = None,
 ) -> DataFrame:
     """Partial-overlap pairs via shared winnowing fingerprints:
     (id_a, id_b, shared_fps) for documents sharing at least ``min_shared``
@@ -1082,12 +1083,20 @@ def winnow_overlap(
     most-shared partners) — the 100 TB posture when the pair set
     itself is the scale bound.
 
-    There is deliberately no ``max_candidates_per_doc`` here (unlike
-    overlap_pairs / ngram_jaccard_pairs): this op's score, shared_fps,
-    IS the candidate aggregate's count — there is no separate
-    verification join a pre-score budget could skip; ``max_fp_df``
-    bounds the join expansion and ``max_pairs_per_doc`` bounds the
-    output, which together are the whole governor."""
+    ``fp_sample_mod`` is the pre-score budget this op CAN take (the
+    r12 budget family's shape, adapted): candidate pairs are found on
+    the deterministic 1/mod fingerprint subset ``fp % mod == 0``
+    (threshold scaled to ``max(1, min_shared // mod)``), then ONLY the
+    survivors pay an exact shared-count verification against the full
+    fingerprint frame — the self-join's expansion shrinks ~mod^2 per
+    hot fingerprint while every emitted pair still carries its EXACT
+    shared_fps. Quantified recall cost (binomial): a pair with S
+    truly-shared fps is missed with probability ~C(S,<thr) at keep
+    rate 1/mod — at mod=2, min_shared=2 that is 0.25^1... measure it
+    with dedup.pair_eval on your corpus; pairs at the min_shared floor
+    bear the loss, heavy-overlap pairs (the MOSS signal) survive.
+    Default None = exact. Without the budget: ``max_fp_df`` bounds the
+    join expansion and ``max_pairs_per_doc`` bounds the output."""
     # the (id, fp) frame feeds FOUR consumers (the hot-fp aggregate, the
     # cap join-back, and both sides of the self-join) and contains a
     # shuffle (.distinct()) — the repo's checkpoint-when-shared-branch-
@@ -1102,13 +1111,46 @@ def winnow_overlap(
     if max_fp_df is not None:
         hot = fps.groupBy("fp").agg(F.countDistinct("id").alias("__df"))
         fps = fps.join(hot.filter(F.col("__df") <= int(max_fp_df)).select("fp"), "fp")
-    l, r = fps.alias("l"), fps.alias("r")
-    out = (
-        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count("*").alias("shared_fps"))
-        .filter(F.col("shared_fps") >= int(min_shared))
-    )
+    if fp_sample_mod is not None:
+        if fp_sample_mod < 2:
+            raise ValueError(
+                f"fp_sample_mod must be >= 2, got {fp_sample_mod}")
+        # phase 1 — candidates on the 1/mod fingerprint subset (the
+        # md5-derived fp is uniform over residues, so the subset is a
+        # deterministic random sample shared with the oracle)
+        thr = max(1, int(min_shared) // int(fp_sample_mod))
+        sub = fps.filter(
+            F.pmod(F.col("fp"), F.lit(int(fp_sample_mod))) == 0)
+        sl, sr = sub.alias("l"), sub.alias("r")
+        cand = (
+            sl.join(sr, (F.col("l.fp") == F.col("r.fp"))
+                    & (F.col("l.id") < F.col("r.id")))
+            .groupBy(F.col("l.id").alias("id_a"),
+                     F.col("r.id").alias("id_b"))
+            .agg(F.count("*").alias("__s"))
+            .filter(F.col("__s") >= thr)
+            .select("id_a", "id_b")
+        )
+        # phase 2 — EXACT shared count, survivors only: expand each
+        # candidate by doc A's full fingerprints, equi-join on
+        # (id_b, fp) — candidate-bounded work, distributed keys
+        fa = fps.select(F.col("id").alias("id_a"), "fp")
+        fb = fps.select(F.col("id").alias("id_b"), "fp")
+        out = (
+            cand.join(fa, "id_a")
+            .join(fb, ["id_b", "fp"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared_fps"))
+            .filter(F.col("shared_fps") >= int(min_shared))
+        )
+    else:
+        l, r = fps.alias("l"), fps.alias("r")
+        out = (
+            l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")))
+            .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .agg(F.count("*").alias("shared_fps"))
+            .filter(F.col("shared_fps") >= int(min_shared))
+        )
     if max_pairs_per_doc is not None:
         from wrangler_spark.datapipe.dedup import cap_pairs_per_doc
 
