@@ -739,6 +739,23 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "arm", F.pmod(F.col("user_id"), 3).cast("string")),
             "user_id", "arm", ratios={"0": 0.5, "1": 0.25, "2": 0.25},
         ),
+        # first-/last-touch attribution: channel derived from props.k
+        # (mod 5), event_id breaks equal-ts ties deterministically
+        "events_attribution": lambda s, d: events.attribution(
+            _t(s, d, "events"), "user_id", "ts", "event_type",
+            "purchase", ["view", "click"],
+            channel_col=F.concat(
+                F.lit("ch"),
+                F.pmod(F.get_json_object("props", "$.k").cast("long"),
+                       F.lit(5)).cast("string")),
+            order_col="event_id",
+        ),
+        # exact midrank transform — spearman's rank map as a column op
+        "num_rank_transform": lambda s, d: numeric.rank_transform(
+            _t(s, d, "lineitem").select(
+                "l_orderkey", "l_linenumber", "l_quantity"),
+            "l_quantity",
+        ),
         # CUPED variance-reduced A/B: pre-period value sum as the
         # covariate, post-period as the metric, theta fit pooled
         "events_cuped": lambda s, d: events.cuped_ab_test(
@@ -1336,6 +1353,8 @@ def _datapipe_oracles() -> dict[str, str]:
             {"0": 0.5, "1": 0.25, "2": 0.25},
             crit=_ev.chi2_critical(2, "0.001"), arm_mod=3,
         ),
+        "events_attribution": o.attribution_sql(),
+        "num_rank_transform": o.rank_transform_sql(),
         "events_cuped": o.cuped_ab_sql("2024-01-16 00:00:00", arm_mod=2),
         "events_ratio_ab": o.ratio_ab_sql(arm_mod=2),
         "num_msprt": o.msprt_sql(tau=1000.0),
@@ -1979,12 +1998,17 @@ _R13_WINDOW = [
     "dedup_ngram_budget",
     "dedup_triangles",
     "dedup_khop",
-    "entity_match_against",
     "events_funnel_ab",
     "num_chi2_indep",
     "text_langid_kappa",
     "emb_drift",
-    "events_session_stats_by",
+    # r13 session 1: entity_match_against and events_session_stats_by
+    # vacated (green r8+/r12, unchanged; blocked linkage and the
+    # scorecard stay parity-covered) for the two ops created this
+    # session — first-/last-touch attribution and the exact midrank
+    # column transform (spearman's rank machinery as a feature op)
+    "events_attribution",
+    "num_rank_transform",
 ]
 
 

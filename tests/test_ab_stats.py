@@ -918,3 +918,53 @@ def test_spearman_directive(spark):
         [(1.0, 10.0), (2.0, 20.0), (3.0, 15.0)], "a double, b double")
     out = Pipeline.compile("spearman :a :b").apply(df)
     assert out.collect()[0]["n"] == 3
+
+
+def test_attribution_first_last_touch(spark):
+    from wrangler_spark.datapipe import events as ev
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view", "A"),
+        (2, 1, "2024-01-01 00:01:00", "click", "B"),
+        (3, 1, "2024-01-01 00:02:00", "purchase", None),
+        (4, 1, "2024-01-01 00:03:00", "view", "C"),
+        (5, 1, "2024-01-01 00:04:00", "purchase", None),
+        (6, 2, "2024-01-01 00:00:30", "purchase", None),  # organic: no touch
+        (7, 3, "2024-01-01 00:00:10", "error", "X"),      # non-touch type
+        (8, 3, "2024-01-01 00:00:20", "purchase", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, u long, ts string, etype string, ch string")
+    got = ev.attribution(
+        df, "u", "ts", "etype", "purchase", ["view", "click"],
+        channel_col="ch", order_col="event_id",
+    ).collect()
+    by = {(r["user"], str(r["ts"])): r for r in got}
+    assert len(got) == 4
+    r1 = by[(1, "2024-01-01 00:02:00")]
+    assert (r1["first_touch"], r1["last_touch"], r1["n_touches"]) == ("A", "B", 2)
+    r2 = by[(1, "2024-01-01 00:04:00")]
+    assert (r2["first_touch"], r2["last_touch"], r2["n_touches"]) == ("A", "C", 3)
+    organic = by[(2, "2024-01-01 00:00:30")]
+    assert organic["first_touch"] is None and organic["n_touches"] == 0
+    # an 'error' event is neither touch nor conversion channel source
+    r3 = by[(3, "2024-01-01 00:00:20")]
+    assert r3["first_touch"] is None and r3["n_touches"] == 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="touch type"):
+        ev.attribution(df, "u", "ts", "etype", "purchase", [])
+
+
+def test_rank_transform_midranks(spark):
+    from wrangler_spark.datapipe import numeric
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 30.0), (5, None)],
+        "id long, v double")
+    got = {r["id"]: r["v_rank"]
+           for r in numeric.rank_transform(df, "v").collect()}
+    assert got == {1: 1.0, 2: 2.5, 3: 2.5, 4: 4.0, 5: None}
+    with pytest.raises(ValueError, match="distinct values"):
+        numeric.rank_transform(df, "v", max_cells=2)

@@ -2338,6 +2338,75 @@ def chi2_critical(df_: int, alpha: str = "0.001") -> float:
     return k * (1.0 - 2.0 / (9.0 * k) + z * (2.0 / (9.0 * k)) ** 0.5) ** 3
 
 
+def attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    channel_col=None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """First-/last-touch marketing attribution: for every conversion
+    event, the channel of the EARLIEST and the LATEST preceding touch
+    event by the same user (standard position-based attribution — the
+    two endpoints every multi-touch model interpolates between), plus
+    the touch count. Returns one row per conversion: (user, ts,
+    first_touch, last_touch, n_touches) — conversions with no prior
+    touch keep NULL channels and n_touches = 0 (organic conversions
+    are a readout, not a dropped row).
+
+    ``channel_col`` is any Column/name identifying the touch channel
+    (a campaign id parsed from props, the event type itself, ...);
+    ``order_col`` breaks equal-timestamp ties deterministically
+    (REQUIRED for cross-engine stable results when ts granularity is
+    coarse; defaults to the timestamp only).
+
+    Scale shape: ONE per-user-partitioned running window over the
+    (touch ∪ conversion) frame — first/last with ignorenulls carry the
+    endpoints, a conditional running count carries n_touches; no
+    self-join, no range join, no per-conversion re-scan. The window
+    partitions on the user key (the same shuffle sessionize uses),
+    never globally."""
+    from pyspark.sql import Window
+
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    ch = F.col(channel_col) if isinstance(channel_col, str) else channel_col
+    if ch is None:
+        ch = ty
+    tt = [str(x) for x in touch_types]
+    if not tt:
+        raise ValueError("attribution needs at least one touch type")
+    base = df.filter(
+        u.isNotNull() & t.isNotNull()
+        & (ty.isin(*tt) | (ty == str(conversion_type))))
+    is_touch = ty.isin(*tt)
+    tagged = base.select(
+        u.alias("user"), t.cast("timestamp").alias("ts"), ty.alias("__ty"),
+        F.when(is_touch, ch.cast("string")).alias("__ch"),
+        *([F.col(order_col)] if order_col is not None else []),
+    )
+    w = (
+        Window.partitionBy("user")
+        .orderBy(*(["ts"] + ([order_col] if order_col is not None else [])))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    first_t = F.first("__ch", ignorenulls=True).over(w)
+    last_t = F.last("__ch", ignorenulls=True).over(w)
+    n_t = F.sum(F.when(F.col("__ch").isNotNull(), 1).otherwise(0)).over(w)
+    return (
+        tagged.select(
+            "user", "ts", "__ty",
+            first_t.alias("first_touch"),
+            last_t.alias("last_touch"),
+            n_t.cast("long").alias("n_touches"),
+        )
+        .filter(F.col("__ty") == str(conversion_type))
+        .drop("__ty")
+    )
+
+
 def srm_check(
     df: DataFrame,
     unit_col: str,

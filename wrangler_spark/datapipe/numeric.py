@@ -1478,6 +1478,57 @@ def kruskal_wallis(
     )
 
 
+def rank_transform(
+    df: DataFrame,
+    value_col: str,
+    out_col: str | None = None,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Exact midrank (average-rank) transform of a numeric column —
+    :func:`spearman_corr`'s rank machinery exposed as a column op: the
+    outlier-flattening monotone normalization feeding rank-based
+    features and nonparametric scores. Adds ``out_col`` (default
+    ``<col>_rank``): rank 1..n with ties receiving their midrank
+    (exact .5 halves — ranks derive from an integer doubled-rank map,
+    halved once at the end). NULL values keep a NULL rank.
+
+    Scale shape: one groupBy(value) histogram (``max_cells``-guarded),
+    a bounded single-partition cumsum window over the CHECKPOINTED
+    histogram, one broadcast map join back — never a corpus rank
+    window."""
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+
+    out_col = out_col or f"{value_col}_rank"
+    mv = F.round(F.col(value_col).cast("double") * F.lit(1e6)).cast("long")
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(mv.alias("__v"))
+        .agg(F.count("*").cast("long").alias("__t"))
+    )
+    hist = eager_checkpoint(hist)
+    k = hist.count()
+    if k > max_cells:
+        raise ValueError(
+            f"rank_transform: {value_col} has {k} distinct values "
+            f"(max_cells={max_cells}) — bin or sample first")
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("__t").over(w), F.lit(0))
+    rmap = hist.select(
+        "__v",
+        ((F.lit(2) * cum + F.col("__t") + F.lit(1)).cast("double")
+         / F.lit(2.0)).alias(out_col),
+    )
+    return (
+        df.withColumn("__v", mv)
+        .join(F.broadcast(rmap), "__v", "left")
+        .drop("__v")
+    )
+
+
 def spearman_corr(
     df: DataFrame,
     col_a: str,

@@ -4097,6 +4097,66 @@ FROM a JOIN s ON a.g = s.g AND a.cb = s.cb
 """
 
 
+def attribution_sql(
+    conversion: str = "purchase",
+    touches: tuple = ("view", "click"),
+    ch_mod: int = 5,
+    table: str = "events",
+) -> str:
+    """Mirror of events.attribution with channel = 'ch' || (props.k %
+    ch_mod) and event_id tiebreaks: one per-user running window
+    (IGNORE NULLS first/last + conditional running count), conversions
+    filtered at the end."""
+    tl = ", ".join(f"'{t}'" for t in touches)
+    return f"""
+WITH tagged AS (
+  SELECT user_id AS "user", ts, event_type AS ty, event_id,
+         CASE WHEN event_type IN ({tl}) THEN
+           'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                        % {int(ch_mod)} AS VARCHAR) END AS ch
+  FROM {table}
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IN ({tl}, '{conversion}')),
+r AS (
+  SELECT "user", ts, ty,
+         first_value(ch IGNORE NULLS) OVER w AS first_touch,
+         last_value(ch IGNORE NULLS) OVER w AS last_touch,
+         CAST(sum(CASE WHEN ch IS NOT NULL THEN 1 ELSE 0 END) OVER w
+              AS BIGINT) AS n_touches
+  FROM tagged
+  WINDOW w AS (PARTITION BY "user" ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT "user", ts, first_touch, last_touch, n_touches
+FROM r WHERE ty = '{conversion}'
+"""
+
+
+def rank_transform_sql(
+    value_col: str = "l_quantity",
+    keep: tuple = ("l_orderkey", "l_linenumber"),
+    table: str = "lineitem",
+) -> str:
+    """Mirror of numeric.rank_transform: doubled midranks via a cumsum
+    window over the micro-integer value histogram, halved once at the
+    end, joined back to the rows."""
+    kl = ", ".join(f"l.{c}" for c in keep)
+    return f"""
+WITH h AS (
+  SELECT CAST(round({value_col} * 1000000, 0) AS BIGINT) AS v,
+         count(*) AS t
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1),
+r AS (
+  SELECT v,
+         CAST(2 * coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN
+           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS DOUBLE)
+           / 2.0 AS rnk
+  FROM h)
+SELECT {kl}, l.{value_col}, r.rnk AS {value_col}_rank
+FROM {table} l
+JOIN r ON CAST(round(l.{value_col} * 1000000, 0) AS BIGINT) = r.v
+"""
+
+
 def srm_sql(
     ratios: dict[str, float],
     crit: float,
