@@ -2254,16 +2254,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _q_clf_score(spark, sf_dir):
     """Hashed logistic-regression quality classifier: train pos =
     doc_id % 7 == 0 vs the rest (deterministic labels), score every doc.
-    The discriminative counterpart to text_dsir, same feature space."""
+    The discriminative counterpart to text_dsir, same feature space.
+    r13: the fused train_and_score path — the label is a column of the
+    scored frame, so the corpus is feature-hashed ONCE instead of three
+    times (pos build + neg build + score build); byte-identical output
+    (the fused op replays the same integer GD over the same rows)."""
     from wrangler_spark.datapipe import curation
 
-    d = _t(spark, sf_dir, "documents")
-    pos = d.filter(F.col("doc_id") % 7 == 0)
-    neg = d.filter(F.col("doc_id") % 7 != 0)
-    w = curation.train_quality_classifier(pos, neg, "doc_id", "text", 512, 3)
-    return curation.quality_classifier_score(d, w, "doc_id", "text", 512).select(
-        "doc_id", "clf_score"
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__lab", (F.col("doc_id") % 7 == 0).cast("int")
     )
+    return curation.train_and_score_quality_classifier(
+        d, "doc_id", "text", "__lab", 512, 3
+    ).select("doc_id", "clf_score")
 
 
 def _q_clf_scored_labeled(spark, sf_dir):
@@ -2272,13 +2275,12 @@ def _q_clf_scored_labeled(spark, sf_dir):
     its own training label doc_id % 7 == 0)."""
     from wrangler_spark.datapipe import curation
 
-    d = _t(spark, sf_dir, "documents")
-    pos = d.filter(F.col("doc_id") % 7 == 0)
-    neg = d.filter(F.col("doc_id") % 7 != 0)
-    w = curation.train_quality_classifier(pos, neg, "doc_id", "text", 512, 3)
-    return curation.quality_classifier_score(d, w, "doc_id", "text", 512).select(
-        "clf_score", (F.col("doc_id") % 7 == 0).cast("int").alias("y")
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__lab", (F.col("doc_id") % 7 == 0).cast("int")
     )
+    return curation.train_and_score_quality_classifier(
+        d, "doc_id", "text", "__lab", 512, 3
+    ).select("clf_score", F.col("__lab").alias("y"))
 
 
 def _q_clf_calibration(spark, sf_dir):

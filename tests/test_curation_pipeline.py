@@ -384,6 +384,33 @@ def test_quality_classifier_empty_doc_bias_only(spark):
     assert out[3] is not None and 0.0 <= out[3] <= 1.0
 
 
+def test_train_and_score_matches_separate_path(spark):
+    """The r13 fused train_and_score (one feature build) must be
+    byte-identical to train(pos, neg) + score(all) — including a
+    feature-less doc, which trains nowhere but scores sigmoid(bias)."""
+    rows = [
+        (1, "whisk the eggs with butter and fold in the flour"),
+        (2, "simmer the onions in olive oil until golden"),
+        (3, "the party of the first part hereby waives all claims"),
+        (4, "pursuant to the agreement the licensee shall indemnify"),
+        (5, ""),  # feature-less: excluded from training, bias-only score
+        (6, "knead the dough and let it rest before baking"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lab", (F.col("doc_id") % 2 == 0).cast("int")
+    )
+    pos = d.filter(F.col("lab") == 1)
+    neg = d.filter(F.col("lab") == 0)
+    w = curation.train_quality_classifier(pos, neg, "doc_id", "text", buckets=128, iters=3)
+    sep = {r["doc_id"]: r["clf_score"] for r in curation.quality_classifier_score(
+        d, w, "doc_id", "text", 128).collect()}
+    fused = {r["doc_id"]: r["clf_score"] for r in
+             curation.train_and_score_quality_classifier(
+                 d, "doc_id", "text", "lab", buckets=128, iters=3).collect()}
+    assert fused == sep
+    assert fused[5] is not None  # the empty doc still scores (bias row)
+
+
 def test_round7_directive_wrappers(spark, docs):
     """Recipe-surface parity for the library ops added in rounds 6-7:
     every single-frame datapipe op is reachable from a recipe."""

@@ -539,14 +539,20 @@ def substring_spans_against(
     return _span_coverage(base, occ, id_col, w, "contam_ratio", "text_clean")
 
 
-def _hashed_ngram_features(df: DataFrame, id_col: str, text_col: str, buckets: int) -> DataFrame:
+def _hashed_ngram_features(
+    df: DataFrame, id_col: str, text_col: str, buckets: int,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
     """Hashed unigram+bigram features per doc: (id, b) with one row per
     feature OCCURRENCE, b = 28-bit md5 hash of the feature string mod
     ``buckets`` (the cross-engine base hash shared with the DuckDB
     oracles). The hashing trick bounds the model size at ``buckets``
-    regardless of corpus vocabulary."""
+    regardless of corpus vocabulary. ``extra_cols`` ride through the
+    explode unchanged (e.g. a training label), so a caller can carry
+    per-doc metadata without a join back onto the feature stream."""
     from wrangler_spark.datapipe.dedup import _hash28, normalize_text
 
+    extras = [F.col(c) for c in (extra_cols or [])]
     # materialize the token array BEFORE the lambdas reference it: handing
     # the raw split(regexp_replace(...)) expression to the bigram transform
     # lets Catalyst inline the full normalization into every element_at —
@@ -555,6 +561,7 @@ def _hashed_ngram_features(df: DataFrame, id_col: str, text_col: str, buckets: i
     base = df.select(
         F.col(id_col).alias("__id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("t"),
+        *extras,
     )
     t = F.col("t")
     uni = F.filter(t, lambda w: w != "")
@@ -574,11 +581,16 @@ def _hashed_ngram_features(df: DataFrame, id_col: str, text_col: str, buckets: i
     # corpus vs 0.6 s without the inferred filter). outer generates are
     # exempt from that rule; the cheap post-explode null filter restores
     # identical semantics (feature-less docs drop out)
+    passthru = list(extra_cols or [])
     return (
-        base.select("__id", F.concat(uni, bi).alias("fs"))
-        .select("__id", F.explode_outer("fs").alias("f"))
+        base.select("__id", F.concat(uni, bi).alias("fs"), *passthru)
+        .select("__id", F.explode_outer("fs").alias("f"), *passthru)
         .filter(F.col("f").isNotNull())
-        .select("__id", F.pmod(_hash28(F.col("f")), F.lit(int(buckets))).alias("b"))
+        .select(
+            "__id",
+            F.pmod(_hash28(F.col("f")), F.lit(int(buckets))).alias("b"),
+            *passthru,
+        )
     )
 
 
@@ -1128,8 +1140,14 @@ def train_quality_classifier(
     feats = lab(pos, 1).unionByName(lab(neg, 0))
     # the always-on bias bucket, one per doc
     docs = feats.select("__id", "__y").distinct()
+    # pin the per-doc hash partitioning BEFORE the checkpoint: every
+    # iteration's error join keys on __id, so the (much larger) feature
+    # side then reuses the checkpoint's partitioning instead of
+    # reshuffling the full feature stream once per iteration (guide
+    # §2.4 — two operations keyed the same way share one exchange)
     feats = eager_checkpoint(
         feats.unionByName(docs.select("__id", F.lit(-1).alias("b"), "__y"))
+        .repartition("__id")
     )
     n_docs = docs.count()
     w = eager_checkpoint(
@@ -1201,6 +1219,102 @@ def quality_classifier_score(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m").cast("double") / F.lit(1e6))), 6
     )
     scored = margins.select("__id", score.alias(out_col))
+    return df.join(scored, F.col(id_col) == F.col("__id"), "left").drop("__id")
+
+
+def train_and_score_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    buckets: int = 512,
+    iters: int = 3,
+    lr: float = 1.0,
+    out_col: str = "clf_score",
+) -> DataFrame:
+    """:func:`train_quality_classifier` + :func:`quality_classifier_score`
+    fused for the self-training case (label is a 0/1 COLUMN of the same
+    frame being scored, e.g. "curated source" vs "raw crawl" flags):
+    byte-identical output to train(df[label=1], df[label=0]) followed by
+    score(df), at ONE hashed-feature build instead of three.
+
+    The separate path scans/normalizes/hashes the corpus once for the
+    positive features, once for the negatives, and a third time to score;
+    here the label rides the single feature explode (``extra_cols``), the
+    checkpointed training features double as the scoring features (minus
+    the label; the per-doc bias rows are re-derived from ``df`` so
+    feature-less docs still score sigmoid(bias) exactly as the separate
+    path does), and the GD loop is the same integer-exact recurrence over
+    the same rows — identical weights, identical scores.
+
+    Requires ``label_col`` to be functionally dependent on ``id_col``
+    (one label per doc). A doc deliberately placed in BOTH classes needs
+    the two-frame API."""
+    B = int(buckets)
+    base = df.select(
+        F.col(id_col).alias("__bid"),
+        F.col(text_col).alias("__btext"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    feats = _hashed_ngram_features(
+        base, "__bid", "__btext", B, extra_cols=["__y"]
+    ).select("__id", "b", "__y").distinct()
+    docs = feats.select("__id", "__y").distinct()
+    # same partition pinning as train_quality_classifier (guide §2.4)
+    feats = eager_checkpoint(
+        feats.unionByName(docs.select("__id", F.lit(-1).alias("b"), "__y"))
+        .repartition("__id")
+    )
+    n_docs = docs.count()
+    w = eager_checkpoint(
+        feats.select("b").distinct().withColumn("w", F.lit(0).cast("long"))
+    )
+    for _ in range(int(iters)):
+        margins = (
+            feats.join(F.broadcast(w), "b")
+            .groupBy("__id", "__y")
+            .agg(F.sum("w").alias("__m"))
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m").cast("double") / F.lit(1e6))), 6)
+        err = margins.select(
+            "__id",
+            F.round((p - F.col("__y").cast("double")) * F.lit(1e6)).cast("long").alias("__e"),
+        )
+        grad = (
+            feats.join(err, "__id")
+            .groupBy("b")
+            .agg(F.sum("__e").alias("__g"))
+        )
+        prev_w = w
+        w = eager_checkpoint(
+            w.join(grad, "b", "left")
+            .select(
+                "b",
+                (
+                    F.col("w")
+                    - F.round(
+                        F.lit(float(lr)) * F.coalesce(F.col("__g"), F.lit(0)).cast("double") / F.lit(float(n_docs))
+                    ).cast("long")
+                ).alias("w"),
+            )
+        )
+        release(prev_w)
+    # scoring feature stream == the training features minus the label,
+    # with the per-doc bias rows re-derived from df (the separate score
+    # path emits a bias row for EVERY doc, including feature-less ones)
+    score_feats = feats.select("__id", "b").filter(F.col("b") != -1).unionByName(
+        df.select(F.col(id_col).alias("__id"), F.lit(-1).alias("b"))
+    )
+    margins = (
+        score_feats.join(F.broadcast(w), "b")
+        .groupBy("__id")
+        .agg(F.sum("w").alias("__m"))
+    )
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m").cast("double") / F.lit(1e6))), 6
+    )
+    scored = eager_checkpoint(margins.select("__id", score.alias(out_col)))
+    release(feats)
     return df.join(scored, F.col(id_col) == F.col("__id"), "left").drop("__id")
 
 
@@ -2746,8 +2860,20 @@ def profile_table(
     the source ordering). ``exact=False`` (the 100 TB default) uses
     HLL approx_count_distinct for n_distinct — every other metric is
     exact conditional-sum arithmetic; ``exact=True`` swaps in true
-    count_distinct (one Expand, still one scan — the corpus_report
-    knob). null_frac is integer/integer rounded 6dp."""
+    per-column distinct counts. r13: the exact path no longer plans
+    len(cols) count_distincts in one aggregate — Spark compiles that
+    to an Expand that multiplies every scanned row (len(cols)+1)x
+    before the de-dup aggregate (measured 6.5 s vs 0.7 s on a
+    9-column 1.5M-row table) — but runs one bounded
+    ``distinct().count()`` job PER column from a small driver thread
+    pool (guide §2.6 overlapping independent jobs; each job scans
+    only its own parquet column, so total bytes read match the single
+    pass) and stitches the counts into the returned frame as
+    literals. Identical values: a per-column distinct-row count
+    equals count_distinct + has-null by definition. The exact path
+    therefore runs its distinct jobs EAGERLY at call time; min/max/
+    null metrics stay in the returned lazy single-pass aggregate
+    either way. null_frac is integer/integer rounded 6dp."""
     names = list(cols) if cols else [f.name for f in df.schema.fields]
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     missing = [c for c in names if c not in types]
@@ -2755,16 +2881,24 @@ def profile_table(
         raise ValueError(f"profile_table: unknown columns {missing}")
     if not names:
         raise ValueError("profile_table: no columns to profile")
+    exact_counts: list[int] | None = None
+    if exact:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _dc(cname: str) -> int:
+            return df.select(cname).distinct().count()
+
+        with ThreadPoolExecutor(max_workers=min(8, len(names))) as pool:
+            exact_counts = list(pool.map(_dc, names))
     aggs = [F.count("*").cast("long").alias("__n")]
     for i, cname in enumerate(names):
         c = F.col(cname)
         aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0))
                     .cast("long").alias(f"__null{i}"))
-        dc = (F.count_distinct(c) if exact
-              else F.approx_count_distinct(c))
-        aggs.append(dc.cast("long").alias(f"__d{i}"))
-        aggs.append(F.max(F.when(c.isNull(), 1).otherwise(0))
-                    .alias(f"__hn{i}"))
+        if not exact:
+            aggs.append(F.approx_count_distinct(c).cast("long").alias(f"__d{i}"))
+            aggs.append(F.max(F.when(c.isNull(), 1).otherwise(0))
+                        .alias(f"__hn{i}"))
         aggs.append(F.min(c).cast("string").alias(f"__min{i}"))
         aggs.append(F.max(c).cast("string").alias(f"__max{i}"))
     one = df.agg(*aggs)
@@ -2774,7 +2908,14 @@ def profile_table(
         null_frac = F.round(
             F.when(n == 0, F.lit(0.0)).otherwise(F.col(f"__null{i}") / n), 6)
         # a NULL group is one distinct value, like GROUP BY
-        distinct = F.col(f"__d{i}") + F.col(f"__hn{i}")
+        if exact:
+            # the distinct-row count already includes the NULL group;
+            # the empty-frame case mirrors the aggregate path's NULL
+            # (count_distinct 0 + max-over-no-rows NULL)
+            distinct = F.when(n == 0, F.lit(None).cast("long")).otherwise(
+                F.lit(int(exact_counts[i])).cast("long"))
+        else:
+            distinct = F.col(f"__d{i}") + F.col(f"__hn{i}")
         rows.append(F.struct(
             F.lit(cname).alias("column"),
             F.lit(types[cname]).alias("dtype"),
@@ -2803,6 +2944,20 @@ _SHAPE_PATTERNS: list[tuple[str, str]] = [
     ("entity_id", r"[A-Za-z]+#\d+"),
     ("json_object", r"\{.*\}"),
 ]
+
+# r13 (guide §1.2 per-task work): cheap NECESSARY conditions evaluated
+# before each shape regex — Spark's And short-circuits, so the regex
+# engine only runs on values that could possibly match (a 36-char
+# length test or an indexOf beats compiling a row through the regex
+# VM). Each guard is implied by its anchored pattern, so
+# guard AND rlike == rlike and the suggested rules are unchanged.
+_SHAPE_REGEX_GUARDS = {
+    "uuid": lambda cc: F.length(cc) == 36,
+    "email": lambda cc: cc.contains("@") & cc.contains("."),
+    "decimal": lambda cc: cc.contains("."),
+    "entity_id": lambda cc: cc.contains("#"),
+    "json_object": lambda cc: cc.startswith("{") & cc.endswith("}"),
+}
 
 
 def suggest_constraints(
@@ -2869,9 +3024,13 @@ def suggest_constraints(
         ]
         for i, c in enumerate(shape_cols):
             cc = F.col(c).cast("string")
-            for j, (_, pat) in enumerate(_SHAPE_PATTERNS):
+            for j, (shape, pat) in enumerate(_SHAPE_PATTERNS):
+                match = cc.rlike("^(?:" + pat + ")$")
+                guard = _SHAPE_REGEX_GUARDS.get(shape)
+                if guard is not None:
+                    match = guard(cc) & match
                 aggs.append(F.sum(F.when(
-                    cc.isNotNull() & ~cc.rlike("^(?:" + pat + ")$"),
+                    cc.isNotNull() & ~match,
                     1).otherwise(0)).cast("long").alias(f"__s{i}_{j}"))
         one = df.agg(*aggs).collect()[0]
         for i, c in enumerate(in_set_cols):

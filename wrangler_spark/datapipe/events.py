@@ -2722,43 +2722,105 @@ def acf(
         )
     )
     per_key = _guard_cells(per_key, F.col("__n"), max_cells, "acf")
+    # r13 rewrite (guide §1.2 "the distributed algorithm" + §7.2 plan
+    # reading): the r12 shape exploded lag FIRST and folded per
+    # (key, lag) row with element_at(map) partner lookups — a LINEAR
+    # scan of the key's cell map per fold step, O(cells² · lag) per
+    # key — and the `np > 0` filter referenced the fold output as an
+    # EXPRESSION, so Catalyst collapsed filter+project into evaluating
+    # the entire fold TWICE per row (both visible in
+    # plans/r13/events_acf_before.txt). Now all max_lag folds are
+    # computed in ONE transform() whose array the Generate explodes —
+    # downstream filter/project reference the generator's output
+    # attribute, single evaluation — and on a CONSECUTIVE grid (the
+    # resample fill contract; verified per key in O(cells)) the
+    # partner at lag k is cells[i+k] by INDEX, an O(1) array access.
+    # Sparse/gapped series keep the exact map-lookup fold as the
+    # fallback branch. Integer sums in a fixed iteration order both
+    # ways — bit-identical results.
+    c = F.col("__cells")
+    n_ = F.col("__n")
+    consec = F.when(n_ <= 1, F.lit(True)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), (n_ - 1).cast("int")),
+            F.lit(True),
+            lambda acc, i: acc
+            & (F.element_at(c, i + 1)["b"] == F.element_at(c, i)["b"] + 1),
+        )
+    )
     staged = per_key.select(
-        "__k", "__cells", "__n", "__s", "__ss",
-        F.map_from_entries(F.col("__cells")).alias("__m"),
-    ).select(
-        "*", F.explode(F.sequence(F.lit(1), F.lit(int(max_lag))))
-        .alias("lag"),
+        "__k", "__cells", "__n", "__s", "__ss", consec.alias("__dense"),
     )
 
-    def step(acc, c):
-        # the partner cell k buckets ahead, if the grid has it
-        p = F.element_at(F.col("__m"), c["b"] + F.col("lag"))
-        hit = p.isNotNull()
-        return F.struct(
-            (acc["s2"] + F.when(
-                hit,
-                (c["m"].cast("decimal(19,0)") * p.cast("decimal(19,0)"))
-                .cast("decimal(38,0)"),
-            ).otherwise(F.lit(0).cast("decimal(38,0)")))
-            .cast("decimal(38,0)").alias("s2"),
-            (acc["aa"] + F.when(hit, c["m"]).otherwise(F.lit(0)))
-            .cast("long").alias("aa"),
-            (acc["bb"] + F.when(hit, p).otherwise(F.lit(0)))
-            .cast("long").alias("bb"),
-            (acc["np"] + F.when(hit, F.lit(1)).otherwise(F.lit(0)))
-            .cast("long").alias("np"),
-        )
-
+    dec0 = F.lit(0).cast("decimal(38,0)")
     init = F.struct(
-        F.lit(0).cast("decimal(38,0)").alias("s2"),
+        dec0.alias("s2"),
         F.lit(0).cast("long").alias("aa"),
         F.lit(0).cast("long").alias("bb"),
         F.lit(0).cast("long").alias("np"),
     )
-    folded = staged.select(
-        "__k", "lag", "__n", "__s", "__ss",
-        F.aggregate(F.col("__cells"), init, step).alias("__f"),
-    ).filter(F.col("__f.np") > 0)
+
+    def dense_fold(lag):
+        cnt = F.greatest(n_ - lag.cast("long"), F.lit(0).cast("long"))
+        idxs = F.when(cnt > 0, F.sequence(F.lit(1), cnt.cast("int"))).otherwise(
+            F.array().cast("array<int>")
+        )
+
+        def step(acc, i):
+            x = F.element_at(c, i)["m"]
+            y = F.element_at(c, i + lag)["m"]
+            return F.struct(
+                (acc["s2"] + (x.cast("decimal(19,0)") * y.cast("decimal(19,0)"))
+                 .cast("decimal(38,0)")).cast("decimal(38,0)").alias("s2"),
+                (acc["aa"] + x).cast("long").alias("aa"),
+                (acc["bb"] + y).cast("long").alias("bb"),
+                (acc["np"] + F.lit(1)).cast("long").alias("np"),
+            )
+
+        return F.aggregate(idxs, init, step)
+
+    def sparse_fold(lag):
+        m = F.map_from_entries(c)
+
+        def step(acc, cell):
+            # the partner cell `lag` buckets ahead, if the grid has it
+            p = F.element_at(m, cell["b"] + lag.cast("long"))
+            hit = p.isNotNull()
+            return F.struct(
+                (acc["s2"] + F.when(
+                    hit,
+                    (cell["m"].cast("decimal(19,0)") * p.cast("decimal(19,0)"))
+                    .cast("decimal(38,0)"),
+                ).otherwise(dec0)).cast("decimal(38,0)").alias("s2"),
+                (acc["aa"] + F.when(hit, cell["m"]).otherwise(F.lit(0)))
+                .cast("long").alias("aa"),
+                (acc["bb"] + F.when(hit, p).otherwise(F.lit(0)))
+                .cast("long").alias("bb"),
+                (acc["np"] + F.when(hit, F.lit(1)).otherwise(F.lit(0)))
+                .cast("long").alias("np"),
+            )
+
+        return F.aggregate(c, init, step)
+
+    lag_structs = F.transform(
+        F.sequence(F.lit(1), F.lit(int(max_lag))),
+        lambda lag: F.struct(
+            lag.alias("lag"),
+            F.when(F.col("__dense"), dense_fold(lag))
+            .otherwise(sparse_fold(lag)).alias("f"),
+        ),
+    )
+    folded = (
+        staged.select(
+            "__k", "__n", "__s", "__ss",
+            F.explode(lag_structs).alias("__lf"),
+        )
+        .select(
+            "__k", "__n", "__s", "__ss",
+            F.col("__lf.lag").alias("lag"), F.col("__lf.f").alias("__f"),
+        )
+        .filter(F.col("__f.np") > 0)
+    )
     n = F.col("__n").cast("double")
     mu = F.col("__s").cast("double") / (n * F.lit(1e6))
     den = F.col("__ss").cast("double") / F.lit(1e12) - n * mu * mu

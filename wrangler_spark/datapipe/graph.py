@@ -334,7 +334,12 @@ def graph_hits(
             .agg(F.sum(F.col("__h") * F.col("__w")).alias("__ar"))
         )
         atot = araw.agg(F.sum("__ar").alias("__at"))
-        auth = (
+        # auth feeds BOTH the hub pass and the new-scores assembly below;
+        # left lazy, the scores⋈edges aggregation behind it runs twice
+        # per round (Spark does no cross-branch subtree reuse within one
+        # action — guide §7.2 "duplicated subtrees"). Checkpoint it once
+        # per round and release it as soon as new_scores materializes.
+        auth = eager_checkpoint(
             nodes.join(araw, nodes["__n"] == araw["__d"], "left")
             .crossJoin(F.broadcast(atot))  # 1-row stats frame
             .select(
@@ -362,6 +367,7 @@ def graph_hits(
             )
         )
         release(scores)
+        release(auth)
         scores = new_scores
     release(e)
     release(nodes)

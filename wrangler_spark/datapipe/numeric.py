@@ -732,35 +732,80 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         for j, c in enumerate(cols)
     ])
     midx = {c: f"__c{j}" for j, c in enumerate(cols)}
-    aggs = []
     pairs = [
         (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
     ]
-    for i, (a, b) in enumerate(pairs):
-        ca, cb = F.col(midx[a]), F.col(midx[b])
-        both = ca.isNotNull() & cb.isNotNull()
-        ma = F.when(both, ca)
-        mb = F.when(both, cb)
-        dec = lambda x: x.cast("decimal(19,0)")  # noqa: E731
-        # plain sums accumulate as decimal(38,0) too (NOT long): at
-        # ~1e12 micro-units x billions of rows an int64 sum wraps
-        # silently (non-ANSI) or errors (ANSI); decimal(38,0) holds
-        # ~1e38, so Sx is safe to ~1e26 rows at 1e12 micro-units and
-        # the n·Sxx / Sx² terms to ~1e19-row pairs — document bound
-        aggs += [
-            F.count(F.when(both, F.lit(1))).cast("long").alias(f"__n{i}"),
-            F.sum(ma.cast("decimal(38,0)")).cast("decimal(38,0)").alias(f"__sa{i}"),
-            F.sum(mb.cast("decimal(38,0)")).cast("decimal(38,0)").alias(f"__sb{i}"),
-            F.sum((dec(ma) * dec(ma)).cast("decimal(38,0)")).alias(f"__saa{i}"),
-            F.sum((dec(mb) * dec(mb)).cast("decimal(38,0)")).alias(f"__sbb{i}"),
-            F.sum((dec(ma) * dec(mb)).cast("decimal(38,0)")).alias(f"__sab{i}"),
-        ]
+    k = len(cols)
+    dec = lambda x: x.cast("decimal(19,0)")  # noqa: E731
+    # r13 (guide §1.2 per-task work): decimal(38,0) aggregation buffers
+    # are BigDecimal-backed (no compact-long fast path above precision
+    # 18), and the k(k−1)/2 · 6 pairwise-deletion moments made them the
+    # whole cost of the scan (measured sf0.1, k=4: 3.4 s for the 36
+    # pairwise aggregates vs 0.45 s for the scan itself). Pairwise
+    # deletion only DIFFERS from shared per-column moments when some
+    # row is null in one column of a pair and not the other — so probe
+    # the null counts first with a cheap all-long pass (count + k
+    # conditional sums), and when every profiled column is null-free
+    # (the common shape for quality-score tables) aggregate k·2 + k(k−1)/2
+    # shared moments instead of 6·k(k−1)/2 pairwise ones: identical
+    # integers by construction (every `both` predicate is TRUE), same
+    # expression types, bit-identical corr. Any null anywhere falls
+    # back to the exact pairwise path unchanged. Costs one extra
+    # lightweight scan; saves ~60% of the BigDecimal work.
+    probe = staged.agg(
+        F.count("*").cast("long").alias("__n"),
+        *[F.sum(F.when(F.col(f"__c{j}").isNull(), 1).otherwise(0))
+          .cast("long").alias(f"__nl{j}") for j in range(k)],
+    ).collect()[0]
+    no_nulls = all(probe[f"__nl{j}"] == 0 for j in range(k))
+    aggs = []
+    if no_nulls:
+        # shared moments: S_j, SS_j per column + one cross product per
+        # pair + the row count (decimal(38,0) exactly as the pairwise
+        # path — same magnitude bound, documented below)
+        aggs.append(F.count("*").cast("long").alias("__nall"))
+        for j in range(k):
+            cj = F.col(f"__c{j}")
+            aggs += [
+                F.sum(cj.cast("decimal(38,0)")).cast("decimal(38,0)").alias(f"__s{j}"),
+                F.sum((dec(cj) * dec(cj)).cast("decimal(38,0)")).alias(f"__q{j}"),
+            ]
+        for i, (a, b) in enumerate(pairs):
+            ca, cb = F.col(midx[a]), F.col(midx[b])
+            aggs.append(F.sum((dec(ca) * dec(cb)).cast("decimal(38,0)")).alias(f"__x{i}"))
+    else:
+        for i, (a, b) in enumerate(pairs):
+            ca, cb = F.col(midx[a]), F.col(midx[b])
+            both = ca.isNotNull() & cb.isNotNull()
+            ma = F.when(both, ca)
+            mb = F.when(both, cb)
+            # plain sums accumulate as decimal(38,0) too (NOT long): at
+            # ~1e12 micro-units x billions of rows an int64 sum wraps
+            # silently (non-ANSI) or errors (ANSI); decimal(38,0) holds
+            # ~1e38, so Sx is safe to ~1e26 rows at 1e12 micro-units and
+            # the n·Sxx / Sx² terms to ~1e19-row pairs — document bound
+            aggs += [
+                F.count(F.when(both, F.lit(1))).cast("long").alias(f"__n{i}"),
+                F.sum(ma.cast("decimal(38,0)")).cast("decimal(38,0)").alias(f"__sa{i}"),
+                F.sum(mb.cast("decimal(38,0)")).cast("decimal(38,0)").alias(f"__sb{i}"),
+                F.sum((dec(ma) * dec(ma)).cast("decimal(38,0)")).alias(f"__saa{i}"),
+                F.sum((dec(mb) * dec(mb)).cast("decimal(38,0)")).alias(f"__sbb{i}"),
+                F.sum((dec(ma) * dec(mb)).cast("decimal(38,0)")).alias(f"__sab{i}"),
+            ]
     one = staged.agg(*aggs)
+    jdx = {c: j for j, c in enumerate(cols)}
     rows = []
     for i, (a, b) in enumerate(pairs):
-        n = F.col(f"__n{i}").cast("decimal(38,0)")
-        sa, sb = F.col(f"__sa{i}"), F.col(f"__sb{i}")
-        saa, sbb, sab = F.col(f"__saa{i}"), F.col(f"__sbb{i}"), F.col(f"__sab{i}")
+        if no_nulls:
+            nn = F.col("__nall")
+            sa, sb = F.col(f"__s{jdx[a]}"), F.col(f"__s{jdx[b]}")
+            saa, sbb = F.col(f"__q{jdx[a]}"), F.col(f"__q{jdx[b]}")
+            sab = F.col(f"__x{i}")
+        else:
+            nn = F.col(f"__n{i}")
+            sa, sb = F.col(f"__sa{i}"), F.col(f"__sb{i}")
+            saa, sbb, sab = F.col(f"__saa{i}"), F.col(f"__sbb{i}"), F.col(f"__sab{i}")
+        n = nn.cast("decimal(38,0)")
         cov = (n * sab - sa * sb).cast("double")
         va = (n * saa - sa * sa).cast("double")
         vb = (n * sbb - sb * sb).cast("double")
@@ -771,7 +816,7 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         rows.append(F.struct(
             F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
             corr.cast("double").alias("corr"),
-            F.col(f"__n{i}").cast("long").alias("n"),
+            nn.cast("long").alias("n"),
         ))
     return one.select(F.explode(F.array(*rows)).alias("__r")).select(
         "__r.col_a", "__r.col_b", "__r.corr", "__r.n")
