@@ -616,14 +616,33 @@ def ngram_jaccard_pairs(
                 cand, max_candidates_per_doc, "__shared"
             ).select("id_a", "id_b")
     pairs = (
-        cand.join(per_doc.select(F.col("id").alias("id_a"), F.col("kept_h").alias("ka")), "id_a")
-        .join(per_doc.select(F.col("id").alias("id_b"), F.col("kept_h").alias("kb")), "id_b")
+        cand.join(per_doc.select(F.col("id").alias("id_a"), F.col("kept_h").alias("ka"),
+                                 F.col("ng").alias("na")), "id_a")
+        .join(per_doc.select(F.col("id").alias("id_b"), F.col("kept_h").alias("kb"),
+                             F.col("ng").alias("nb")), "id_b")
     )
-    inter = F.size(F.array_intersect(F.col("ka"), F.col("kb"))).cast("double")
-    union = F.size(F.array_union(F.col("ka"), F.col("kb"))).cast("double")
-    jac = F.round(inter / union, 6)
+    # r13 (guide §1.2 per-task work, measured 4.0 -> 1.9 s on the sf0.1
+    # verify phase): |A∪B| = |A| + |B| − |A∩B| over the distinct hash
+    # sets, and both sizes already sit in per_doc — so array_union
+    # (which materialized the union ARRAY per candidate just to take
+    # its size) is replaced by long arithmetic, and the intersect runs
+    # ONCE per candidate inside a 1-element explode. The generator is
+    # the same single-evaluation barrier as events_acf: without it the
+    # threshold filter collapses into the verify join's condition and
+    # the project re-evaluates intersect+union for every survivor
+    # (visible in plans/r13/dedup_ngram_word_before2.txt node 196/199).
+    # Same integers, same rounded Jaccard, same output.
+    scored = pairs.select(
+        "id_a", "id_b", "na", "nb",
+        F.explode(F.array(
+            F.size(F.array_intersect(F.col("ka"), F.col("kb"))).cast("long")
+        )).alias("__i"),
+    )
+    jac = F.round(
+        F.col("__i").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("__i")).cast("double"), 6)
     out = (
-        pairs.withColumn("jaccard", jac)
+        scored.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -757,10 +776,21 @@ def overlap_pairs(
             "id_b",
         )
     )
-    inter = F.size(F.array_intersect(F.col("ka"), F.col("kb"))).cast("double")
+    # r13: single-evaluation barrier (the events_acf / ngram_jaccard
+    # pattern) — without the 1-element explode the threshold filter
+    # collapses into the verify join's condition and every candidate
+    # pays array_intersect there AND in the output project (coef + two
+    # containments). One intersect per candidate now; same values.
+    scored = pairs.select(
+        "id_a", "id_b", "na", "nb",
+        F.explode(F.array(
+            F.size(F.array_intersect(F.col("ka"), F.col("kb"))).cast("long")
+        )).alias("__i"),
+    )
+    inter = F.col("__i").cast("double")
     coef = F.round(inter / F.least(F.col("na"), F.col("nb")).cast("double"), 6)
     out = (
-        pairs.select(
+        scored.select(
             "id_a",
             "id_b",
             coef.alias("overlap_coef"),

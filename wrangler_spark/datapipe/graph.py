@@ -96,19 +96,32 @@ def graph_pagerank(
             w.alias("__w"),
         )
     )
-    if weight_col is not None:
-        bad = e.filter((F.col("__w").isNull()) | (F.col("__w") <= 0)).limit(1).count()
-        if bad:
-            raise ValueError(f"edge weight column {weight_col!r} has null or non-positive values")
-
     # out-probability normalization, once — the only pass that touches
-    # raw weights
-    outw = e.groupBy("__s").agg(F.sum("__w").alias("__ow"))
-    e = e.join(outw, "__s").select(
+    # raw weights. The weight-validation flag rides the SAME aggregate
+    # (checkpointed, node-sized), so validation costs a bounded read of
+    # the checkpoint instead of its own full scan of the input edge
+    # frame — with an expensive edge source (textrank's corpus pair
+    # counts) the old separate `filter(bad).limit(1).count()` re-ran
+    # that whole subtree once more (guide §1.2: don't compute things
+    # you throw away).
+    outw = eager_checkpoint(
+        e.groupBy("__s").agg(
+            F.sum("__w").alias("__ow"),
+            F.max(F.when(F.col("__w").isNull() | (F.col("__w") <= 0), 1)
+                  .otherwise(0)).alias("__badw"),
+        )
+    )
+    if weight_col is not None:
+        bad = outw.filter(F.col("__badw") == 1).limit(1).count()
+        if bad:
+            release(outw)
+            raise ValueError(f"edge weight column {weight_col!r} has null or non-positive values")
+    e = e.join(outw.select("__s", "__ow"), "__s").select(
         "__s", "__d", (F.col("__w") / F.col("__ow")).alias("__p")
     )
     # pin the per-source partitioning so all `iters` joins reuse it
     e = eager_checkpoint(e.repartition("__s"))
+    release(outw)
 
     # node universe + dangling flag (no out-edges ⇒ appears only as dst)
     nodes = (

@@ -2223,7 +2223,16 @@ def textrank_keywords(
     # undirected count 6, not two sub-threshold directed edges — and
     # drop repeated-word self-pairs (they would become pagerank
     # self-loops)
-    cnt = (
+    # r13 (guide §1.2): checkpoint the pair counts BEFORE handing them
+    # to pagerank — `edges` references cnt twice (the symmetrizing
+    # union) and pagerank's normalizer materializes that union into its
+    # own checkpoint, so an un-checkpointed cnt re-ran the corpus-sized
+    # explode + hash aggregate once per union branch. Checkpointed, the
+    # corpus pair scan runs exactly once; everything downstream reads
+    # the vocabulary-sized edge list.
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
+
+    cnt = eager_checkpoint(
         pairs.filter(F.col("w1") != F.col("w2"))
         .select(
             F.least("w1", "w2").alias("w1"),
@@ -2240,6 +2249,9 @@ def textrank_keywords(
     ))
     ranked = graph_pagerank(
         edges, "s", "d", weight_col="w", damping=damping, iters=iters)
+    # pagerank's return frame reads only its final ranks checkpoint, so
+    # the pair counts are out of its lineage by the time it returns
+    release(cnt)
     return (
         ranked.orderBy(F.col("pagerank").desc(), F.col("node").asc())
         .limit(int(k))
