@@ -1254,7 +1254,14 @@ def benford_deviation(df: DataFrame, col: str) -> DataFrame:
 
     mv = F.abs(F.round(F.col(col).cast("double") * F.lit(1e6))
                .cast("long"))
-    obs = (
+    # r13: checkpoint the 9-row digit histogram — the expected-join,
+    # the total aggregate, and the chi2/mad fold frame each reference
+    # it, and left lazy every consumer re-ran the full scan+aggregate
+    # (4 lineitem scans visible in plans/r13/num_benford_check.txt;
+    # measured ~5 s -> ~1.3 s). The checkpoint state is 9 rows.
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+
+    obs = eager_checkpoint(
         df.filter(F.col(col).isNotNull() & (mv > 0))
         .groupBy(F.substring(mv.cast("string"), 1, 1).cast("int")
                  .alias("digit"))
