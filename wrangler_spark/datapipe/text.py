@@ -1110,7 +1110,15 @@ def winnow_overlap(
     )
     if max_fp_df is not None:
         hot = fps.groupBy("fp").agg(F.countDistinct("id").alias("__df"))
-        fps = fps.join(hot.filter(F.col("__df") <= int(max_fp_df)).select("fp"), "fp")
+        kept = fps.join(hot.filter(F.col("__df") <= int(max_fp_df)).select("fp"), "fp")
+        # r13: the FILTERED frame is what the self-join branches (and,
+        # in budget mode, the sub/fa/fb trio) consume — left lazy, the
+        # hot-df aggregate + join re-ran once per branch (2 countDistinct
+        # spans in plans/r13/text_winnow_overlap_before2.txt). Checkpoint
+        # it, release the superseded raw checkpoint.
+        prev = fps
+        fps = eager_checkpoint(kept)
+        release(prev)
     if fp_sample_mod is not None:
         if fp_sample_mod < 2:
             raise ValueError(
