@@ -1315,7 +1315,16 @@ def train_and_score_quality_classifier(
     )
     scored = eager_checkpoint(margins.select("__id", score.alias(out_col)))
     release(feats)
-    return df.join(scored, F.col(id_col) == F.col("__id"), "left").drop("__id")
+    # the checkpoint erases size stats (an RDD scan estimates at
+    # defaultSizeInBytes), so auto-broadcast can never fire on the
+    # score join the way it did on the lazy separate-path plan.
+    # n_docs is already a known driver scalar: broadcast the (id,
+    # score) frame below a bounded row count (~16 B/row -> ~160 MB at
+    # the cap, guide §3.1's comfortable range), fall back to the
+    # shuffle join at corpus scale where a doc-count broadcast is the
+    # OOM. Same rows either way; join strategy only.
+    sc = F.broadcast(scored) if n_docs <= 10_000_000 else scored
+    return df.join(sc, F.col(id_col) == F.col("__id"), "left").drop("__id")
 
 
 def chunk_documents(
