@@ -299,11 +299,25 @@ def minhash_lsh_pairs(
         cand.join(base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa")), "id_a")
         .join(base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb")), "id_b")
     )
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
-    union = F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
-    jac = F.round(inter / union, 6)
+    # r13 (the ngram_jaccard verify fix, same reasoning): shingle arrays
+    # are array_distinct SETS, so |A∪B| = |A| + |B| − |A∩B| — no
+    # string-array union materialization; the 1-element explode keeps
+    # the intersect OUT of the verify join's condition (it was evaluated
+    # there per candidate and again in the output project —
+    # plans/r13/dedup_minhash_lsh_before2.txt node 150).
+    scored = pairs.select(
+        "id_a", "id_b",
+        F.size("sa").cast("long").alias("__na"),
+        F.size("sb").cast("long").alias("__nb"),
+        F.explode(F.array(
+            F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("long")
+        )).alias("__i"),
+    )
+    jac = F.round(
+        F.col("__i").cast("double")
+        / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double"), 6)
     return (
-        pairs.withColumn("jaccard", jac)
+        scored.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -1623,11 +1637,22 @@ def _pairs_against_tail(
         cand.join(base_n.select(F.col("id").alias("id_new"), F.col("shingles").alias("sa")), "id_new")
         .join(base_o.select(F.col("id").alias("id_old"), F.col("shingles").alias("sb")), "id_old")
     )
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
-    union = F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
-    jac = F.round(inter / union, 6)
+    # r13: arithmetic union over the distinct shingle sets + the
+    # 1-element-explode single-evaluation barrier (the minhash_lsh_pairs
+    # verify fix, same reasoning and identical values)
+    scored = pairs.select(
+        "id_new", "id_old",
+        F.size("sa").cast("long").alias("__na"),
+        F.size("sb").cast("long").alias("__nb"),
+        F.explode(F.array(
+            F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("long")
+        )).alias("__i"),
+    )
+    jac = F.round(
+        F.col("__i").cast("double")
+        / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double"), 6)
     return (
-        pairs.withColumn("jaccard", jac)
+        scored.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_new", "id_old", "jaccard")
     )
@@ -1814,10 +1839,17 @@ def _emb_against_tail(
         F.col("v").alias("__vn"),
         F.explode("__olds").alias("id_old"),
     )
+    # r13: the 1-element-explode single-evaluation barrier — without it
+    # the threshold filter collapses the dim-sized cosine fold into the
+    # verify join's CONDITION and the project evaluates it again per
+    # survivor (plans/r13/dedup_cross_embedding_before2.txt node 117).
     cos = F.round(_cosine(F.col("__vn"), F.col("__vo")), 6)
     return (
         cand.join(vecs_o, "id_old")
-        .select("id_new", "id_old", cos.alias("cosine"))
+        .select(
+            "id_new", "id_old",
+            F.explode(F.array(cos)).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
