@@ -993,9 +993,14 @@ def embedding_dup_pairs(
         base = df.select(F.col(id_col).alias("id"), v.alias("v"))
         l, r = base.alias("l"), base.alias("r")
         cand = l.join(r, F.col("l.id") < F.col("r.id"))
+    # r13: 1-element-explode barrier — keeps the dim-sized cosine fold
+    # out of the join condition (single evaluation per candidate; the
+    # minhash/ngram verify fix, identical values)
     cos = F.round(_cosine(F.col("l.v"), F.col("r.v")), 6)
     return (
-        cand.select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), cos.alias("cosine"))
+        cand.select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+            F.explode(F.array(cos)).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

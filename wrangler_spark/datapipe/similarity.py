@@ -504,10 +504,14 @@ def semdedup(
     a = c.join(_assign_prepared(c, cent), "vec_id")
     left = a.select(F.col("vec_id").alias("id_a"), F.col("cv").alias("va"), "centroid_id")
     right = a.select(F.col("vec_id").alias("id_b"), F.col("cv").alias("vb"), "centroid_id")
+    # r13: 1-element-explode barrier — without it the threshold filter
+    # collapses the dim-sized cosine fold into the join condition and it
+    # evaluates twice per within-cluster pair (the dedup verify fix)
     dup_pairs = (
         left.join(right, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .select("id_b", F.explode(F.array(
+            F.round(_cosine(F.col("va"), F.col("vb")), 6))).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
     dropped = dup_pairs.select("id_b").distinct().withColumn("__d", F.lit(True))
