@@ -1190,76 +1190,59 @@ def pq_encode(
     an array<int> of m dense centroid indices (subspace order). The
     compressed corpus representation pq_topk scores WITHOUT reading the
     vectors — persist (id, pq_code) and drop the float column for the
-    64x storage cut. Ties round-6dp to the lower cid, matching training.
+    64x storage cut. Nearest-centroid per subspace = broadcast join +
+    min-struct hash aggregate (one row per (vec, subspace) crosses the
+    shuffle; never a rank window). Ties round-6dp to the lower cid,
+    matching training.
 
-    r13 (guide §2.4 remove shuffles outright): the codebook is
-    PARAMETER-bounded (m·k rows of dim/m floats — the kmeans-centroid
-    meta-read posture, never data-sized), so it is collected once and
-    inlined as literal arrays; nearest-centroid per subspace is then an
-    ``array_min`` over the k candidate (d-is-null, d, cid) structs
-    computed SCAN-SIDE — zero joins, zero shuffles, one narrow
-    projection, where the old shape exploded m rows per vector,
-    broadcast-joined the codebook, ran two shuffled aggregates, and
-    joined the codes back onto ``df``. Identical codes: the same
-    round-6dp L2 expression per candidate, and array_min's struct
-    ordering (nulls-last via the z flag, then d, then cid) is the same
-    total order the old min-struct aggregate used. A broken vector
-    (null / length-mismatched) still has every distance null (z=1):
-    its cid becomes NULL, so the code array carries nulls and ADC
-    scoring yields a null score — ranked NULLS LAST by the family
-    contract, matching cosine_topk/ivf_topk."""
-    sub = dim // m
-    cb_rows = codebook.select("m", "cid", "zv").collect()
-    by_m: dict[int, list[tuple[int, list[float]]]] = {}
-    for r in cb_rows:
-        by_m.setdefault(int(r["m"]), []).append(
-            (int(r["cid"]), [float(x) for x in r["zv"]]))
-    for j in by_m:
-        by_m[j].sort(key=lambda t: t[0])
-    v = _as_double(F.col(vec_col))
-
-    def best_cid(j: int):
-        cands = by_m.get(j, [])
-        if not cands:
-            # a subspace absent from the codebook can never be encoded
-            return F.lit(None).cast("int")
-        sv = F.slice(v, j * sub + 1, sub)
-        # ONE nested literal array (constant data, not code) + one
-        # transform lambda: the candidate loop stays a single compiled
-        # code path — unrolling k struct expressions instead blows the
-        # generated-code size and falls out of codegen
-        cwords = F.array(*[
-            F.array(*[F.lit(x) for x in zv]) for _, zv in cands])
-        scored = F.zip_with(
-            cwords,
-            F.array(*[F.lit(cid).cast("int") for cid, _ in cands]),
-            lambda zvl, cid: F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(sv, zvl, lambda x, y: (x - y) * (x - y)),
-                        F.lit(0.0),
-                        lambda s, x: s + x,
-                    ),
-                    6,
-                ).alias("d"),
-                cid.alias("cid"),
-            ),
+    r13 note: a scan-side rewrite (codebook collected and inlined as
+    literal arrays, per-subspace argmin via array_min — removing the
+    explode, the two shuffled aggregates and the code join-back) was
+    built, passed parity, and was REVERTED: interleaved count-
+    methodology A/B read it ~60% slower locally (5.8-6.5 s vs
+    3.5-3.9 s for ann_pq_topk) — the per-row higher-order-function
+    candidate sweep is interpreted, while this shape keeps the L2
+    scoring on narrow (vec, subspace, cid) rows the join machinery
+    pipelines efficiently (guide §1.1: the "ideal" plan lost to the
+    measured one). The removed-shuffle idea stays a round-2
+    candidate via a vectorized Arrow scorer"""
+    subs = _subvectors(df, F.col(id_col).alias("__id"), vec_col, dim, m)
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__sv"), F.col("zv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+        6,
+    )
+    scored = subs.join(F.broadcast(codebook), F.col("__m") == F.col("m")).select(
+        "__id", "__m", "cid", l2.alias("d")
+    )
+    best = F.min(
+        F.struct(
+            F.col("d").isNull().cast("int").alias("z"),
+            F.col("d").alias("d"),
+            F.col("cid").alias("cid"),
         )
-        b = F.array_min(F.transform(
-            scored,
-            lambda s: F.struct(
-                s["d"].isNull().cast("int").alias("z"),
-                s["d"].alias("d"),
-                s["cid"].alias("cid"),
-            ),
-        ))
-        return F.when(b["z"] == 0, b["cid"])
-
-    code = F.array(*[best_cid(j) for j in range(m)])
-    # a NULL id never matched the old code join-back (null != null):
-    # such rows keep a NULL code column, exactly as before
-    return df.withColumn(
-        out_col, F.when(F.col(id_col).isNotNull(), code))
+    )
+    # a broken vector (null / length-mismatched) has every distance null
+    # (z=1): its cid becomes NULL, so the code array carries nulls and
+    # ADC scoring yields a null score — ranked NULLS LAST by the family
+    # contract ("a null cosine must never evict a real neighbor"),
+    # matching how cosine_topk/ivf_topk treat the same row
+    cid = F.when(F.col("b.z") == 0, F.col("b.cid"))
+    codes = (
+        scored.groupBy("__id", "__m")
+        .agg(best.alias("b"))
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__m"), cid.alias("cid")))),
+                lambda s: s["cid"],
+            ).alias(out_col)
+        )
+    )
+    return df.join(codes, F.col(id_col) == F.col("__id"), "left").drop("__id")
 
 
 def pq_topk(
