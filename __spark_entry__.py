@@ -572,24 +572,27 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rrf_fuse": lambda s, d: similarity.rrf_fuse(
             [
                 similarity.cosine_topk(
-                    embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), k=5
+                    embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), k=5,
+                    dim=64,
                 ),
                 similarity.ivf_topk(
                     embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), 8,
-                    "vec_id", "embedding", 5,
+                    "vec_id", "embedding", 5, dim=64,
                 ),
             ],
             k=5,
         ),
         "ann_mmr_rerank": lambda s, d: similarity.mmr_rerank(
-            similarity.cosine_topk(embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), k=20),
+            similarity.cosine_topk(
+                embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), k=20, dim=64),
             embs(s, d), k=10,
         ),
         "emb_project": lambda s, d: similarity.embedding_project(embs(s, d), 64, 16).select(
             "vec_id", F.posexplode("embedding").alias("pos", "y")
         ),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
-            embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), "vec_id", "embedding", 10
+            embs(s, d), embs(s, d).filter(F.col("vec_id") < 5), "vec_id", "embedding", 10,
+            dim=64,
         ),
         "ann_recall": _q_ann_recall,
         "ann_pq_topk": _q_ann_pq_topk,
@@ -2350,7 +2353,8 @@ def _q_ann_ivf(spark, sf_dir):
     from wrangler_spark.datapipe.similarity import ivf_topk
 
     embs = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(embs, embs.filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5)
+    return ivf_topk(
+        embs, embs.filter(F.col("vec_id") < 5), 8, "vec_id", "embedding", 5, dim=64)
 
 
 def _q_url_canonicalize(spark, sf_dir):

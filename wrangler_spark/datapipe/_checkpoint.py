@@ -81,6 +81,38 @@ def eager_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return cdf
 
 
+def eager_checkpoint_observed(df: DataFrame, *metrics):
+    """:func:`eager_checkpoint` with driver scalars riding the
+    checkpoint's OWN materialization job via ``observe()`` — one job
+    instead of checkpoint + a separate scalar pass (count / agg /
+    limit(1).count guard) over the just-pinned blocks. Returns
+    ``(checkpointed_df, metrics_row_dict)``.
+
+    Safe because the checkpoint is EAGER: the plan (including the
+    CollectMetrics node) executes exactly once, here, so the
+    multiple-consumer accumulator race documented at minhash's lazy
+    checkpoints cannot occur, and ``Observation.get`` returns without
+    blocking. Metrics follow observe()'s rules (aggregates only, no
+    distinct); over an empty frame count() is 0 and sum()/max() are
+    None — callers coalesce as needed."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    cdf = eager_checkpoint(df.observe(obs, *metrics))
+    return cdf, obs.get
+
+
+def eager_checkpoint_count(df: DataFrame):
+    """:func:`eager_checkpoint` + row count in ONE job (the
+    ``ckpt = eager_checkpoint(hist); k = ckpt.count()`` pattern fused —
+    the second job was pure scheduling latency over already-pinned
+    blocks). Returns ``(checkpointed_df, n_rows)``."""
+    from pyspark.sql import functions as F
+
+    cdf, got = eager_checkpoint_observed(df, F.count(F.lit(1)).alias("n"))
+    return cdf, got["n"]
+
+
 def release(cdf: DataFrame) -> bool:
     """Unpersist the blocks pinned by a frame returned from
     :func:`eager_checkpoint`. Call ONLY when the frame (and everything

@@ -1145,11 +1145,16 @@ def train_quality_classifier(
     # side then reuses the checkpoint's partitioning instead of
     # reshuffling the full feature stream once per iteration (guide
     # §2.4 — two operations keyed the same way share one exchange)
-    feats = eager_checkpoint(
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint_observed
+
+    feats, got = eager_checkpoint_observed(
         feats.unionByName(docs.select("__id", F.lit(-1).alias("b"), "__y"))
-        .repartition("__id")
+        .repartition("__id"),
+        # doc count = the number of b=-1 bias rows (one per doc) — rides
+        # the checkpoint's own job instead of a second docs.count() pass
+        F.count(F.when(F.col("b") == -1, 1)).alias("nd"),
     )
-    n_docs = docs.count()
+    n_docs = got["nd"]
     w = eager_checkpoint(
         feats.select("b").distinct().withColumn("w", F.lit(0).cast("long"))
     )
@@ -1260,12 +1265,18 @@ def train_and_score_quality_classifier(
         base, "__bid", "__btext", B, extra_cols=["__y"]
     ).select("__id", "b", "__y").distinct()
     docs = feats.select("__id", "__y").distinct()
-    # same partition pinning as train_quality_classifier (guide §2.4)
-    feats = eager_checkpoint(
+    # same partition pinning as train_quality_classifier (guide §2.4);
+    # the doc count = the number of b=-1 bias rows the union adds
+    # (exactly one per doc), so it rides the feature checkpoint's own
+    # job via observe() instead of a second docs.count() pass
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint_observed
+
+    feats, got = eager_checkpoint_observed(
         feats.unionByName(docs.select("__id", F.lit(-1).alias("b"), "__y"))
-        .repartition("__id")
+        .repartition("__id"),
+        F.count(F.when(F.col("b") == -1, 1)).alias("nd"),
     )
-    n_docs = docs.count()
+    n_docs = got["nd"]
     w = eager_checkpoint(
         feats.select("b").distinct().withColumn("w", F.lit(0).cast("long"))
     )

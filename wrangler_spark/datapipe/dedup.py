@@ -964,6 +964,10 @@ def _plane_sigs(
     sig = None
     for plane in planes:
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        # stays the HOF fold: unrolled element·literal chains (n_planes
+        # chains × dim terms in one projection) measured 5.6x slower at
+        # dim=64 — the stage drops out of codegen (see similarity's
+        # _UNROLL_MAX_DIM note)
         dot = F.aggregate(
             F.zip_with(F.col("v"), lit_plane, lambda a, b: a * b),
             F.lit(0.0), lambda s, x: s + x,
@@ -996,7 +1000,8 @@ def embedding_dup_pairs(
     # r13: 1-element-explode barrier — keeps the dim-sized cosine fold
     # out of the join condition (single evaluation per candidate; the
     # minhash/ngram verify fix, identical values)
-    cos = F.round(_cosine(F.col("l.v"), F.col("r.v")), 6)
+    cos = F.round(
+        _cosine(F.col("l.v"), F.col("r.v"), len((planes or HYPERPLANES)[0])), 6)
     return (
         cand.select(
             F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
@@ -1005,10 +1010,14 @@ def embedding_dup_pairs(
     )
 
 
-def _cosine(a: Column, b: Column) -> Column:
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+def _cosine(a: Column, b: Column, n: int | None = None) -> Column:
+    # the guarded unrolled/fold split lives in similarity (shared
+    # contract: identical IEEE order, length-guarded per row)
+    from wrangler_spark.datapipe.similarity import _dot_n, _sumsq_n
+
+    dot = _dot_n(a, b, n)
+    na = F.sqrt(_sumsq_n(a, n))
+    nb = F.sqrt(_sumsq_n(b, n))
     return dot / (na * nb)
 
 
@@ -1829,11 +1838,14 @@ def embedding_pairs_against(
         F.expr(f"slice(array_sort(collect_list(id)), 1, {int(max_bucket_size)})").alias("__olds")
     )
     vecs_o = sigs_o.select(F.col("id").alias("id_old"), F.col("v").alias("__vo"))
-    return _emb_against_tail(sigs_n, vecs_o, old_buckets, threshold)
+    return _emb_against_tail(
+        sigs_n, vecs_o, old_buckets, threshold,
+        dim=len((planes or HYPERPLANES)[0]))
 
 
 def _emb_against_tail(
     sigs_n: DataFrame, vecs_o: DataFrame, old_buckets: DataFrame, threshold: float,
+    dim: int | None = None,
 ) -> DataFrame:
     """Shared candidate+verify tail of the cross-corpus embedding dedup:
     full-signature equi-join against the capped old buckets (one bucket
@@ -1848,7 +1860,7 @@ def _emb_against_tail(
     # the threshold filter collapses the dim-sized cosine fold into the
     # verify join's CONDITION and the project evaluates it again per
     # survivor (plans/r13/dedup_cross_embedding_before2.txt node 117).
-    cos = F.round(_cosine(F.col("__vn"), F.col("__vo")), 6)
+    cos = F.round(_cosine(F.col("__vn"), F.col("__vo"), dim), 6)
     return (
         cand.join(vecs_o, "id_old")
         .select(
@@ -1970,6 +1982,7 @@ def embedding_pairs_against_index(
         spark.read.parquet(f"{root}/vectors"),
         spark.read.parquet(f"{root}/buckets"),
         threshold,
+        dim=len(planes[0]) if planes else None,
     )
 
 

@@ -31,7 +31,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._checkpoint import eager_checkpoint, release
+from pyspark.sql import Observation
+
+from ._checkpoint import eager_checkpoint, eager_checkpoint_observed, release
 
 __all__ = [
     "graph_pagerank", "graph_label_propagation", "graph_triangles",
@@ -104,16 +106,18 @@ def graph_pagerank(
     # counts) the old separate `filter(bad).limit(1).count()` re-ran
     # that whole subtree once more (guide §1.2: don't compute things
     # you throw away).
-    outw = eager_checkpoint(
+    outw, got_w = eager_checkpoint_observed(
         e.groupBy("__s").agg(
             F.sum("__w").alias("__ow"),
             F.max(F.when(F.col("__w").isNull() | (F.col("__w") <= 0), 1)
                   .otherwise(0)).alias("__badw"),
-        )
+        ),
+        F.max("__badw").alias("bad"),
     )
     if weight_col is not None:
-        bad = outw.filter(F.col("__badw") == 1).limit(1).count()
-        if bad:
+        # the guard scalar rode the checkpoint's own job (observe);
+        # None = empty edge frame = nothing bad
+        if got_w["bad"]:
             release(outw)
             raise ValueError(f"edge weight column {weight_col!r} has null or non-positive values")
     e = e.join(outw.select("__s", "__ow"), "__s").select(
@@ -135,8 +139,16 @@ def graph_pagerank(
         )
         .select("__n", F.coalesce("__has_out", F.lit(False)).alias("__has_out"))
     )
-    nodes = eager_checkpoint(nodes)
-    n_nodes = nodes.count()  # driver scalar over a checkpointed frame
+    # node count (and seed-intersection count, personalized form) ride
+    # the node checkpoint's own job via observe — no separate scalar
+    # jobs over the just-pinned blocks
+    seed_strs = [str(s) for s in seeds] if seeds is not None else None
+    node_metrics = [F.count(F.lit(1)).alias("n")]
+    if seed_strs is not None:
+        node_metrics.append(
+            F.count(F.when(F.col("__n").isin(seed_strs), 1)).alias("ns"))
+    nodes, got_n = eager_checkpoint_observed(nodes, *node_metrics)
+    n_nodes = got_n["n"]
     if n_nodes == 0:
         return nodes.select(
             F.col("__n").alias("node"), F.lit(0.0).alias("pagerank")
@@ -146,8 +158,7 @@ def graph_pagerank(
     # (personalized form — teleport, dangling mass, and the start vector
     # all follow it, so total rank stays 1.0 either way)
     if seeds is not None:
-        seed_strs = [str(s) for s in seeds]
-        n_seeds = nodes.filter(F.col("__n").isin(seed_strs)).count()
+        n_seeds = got_n["ns"]
         if n_seeds == 0:
             raise ValueError(
                 f"none of the {len(seed_strs)} seeds appear in the graph's "
@@ -248,12 +259,17 @@ def graph_label_propagation(
     e = eager_checkpoint(
         e.groupBy("__s", "__d").agg(F.sum("__w").alias("__w")).repartition("__s")
     )
-    nodes = eager_checkpoint(
+    # the label frame IS the node universe every round (initialized from
+    # it, preserved by the left join below), so the old per-round
+    # three-way join through a separate checkpointed `nodes` frame was
+    # redundant: voting-for-nobody nodes keep their current label via
+    # the coalesce, identical output with one join per round
+    labels = eager_checkpoint(
         e.select(F.col("__s").alias("__n"))
         .union(e.select(F.col("__d").alias("__n")))
         .distinct()
+        .select("__n", F.col("__n").alias("__l"))
     )
-    labels = eager_checkpoint(nodes.select("__n", F.col("__n").alias("__l")))
     for _ in range(iters):
         votes = (
             labels.join(e, labels["__n"] == e["__s"])
@@ -267,15 +283,12 @@ def graph_label_propagation(
             .select(F.col("__d").alias("__n2"), F.col("__top.l").alias("__nl"))
         )
         new_labels = eager_checkpoint(
-            nodes.join(votes, nodes["__n"] == votes["__n2"], "left")
-            .join(labels.select(F.col("__n").alias("__n3"), F.col("__l").alias("__ol")),
-                  nodes["__n"] == F.col("__n3"))
-            .select("__n", F.coalesce("__nl", "__ol").alias("__l"))
+            labels.join(votes, labels["__n"] == votes["__n2"], "left")
+            .select("__n", F.coalesce("__nl", "__l").alias("__l"))
         )
         release(labels)
         labels = new_labels
     release(e)
-    release(nodes)
     return labels.select(F.col("__n").alias("node"), F.col("__l").alias("community"))
 
 
@@ -318,20 +331,30 @@ def graph_hits(
             w.alias("__w"),
         )
     )
-    if weight_col is not None:
-        bad = e.filter((F.col("__w").isNull()) | (F.col("__w") <= 0)).limit(1).count()
-        if bad:
-            raise ValueError(
-                f"edge weight column {weight_col!r} has null or non-positive values")
-    e = eager_checkpoint(
-        e.groupBy("__s", "__d").agg(F.sum("__w").alias("__w")).repartition("__s")
+    # the bad-weight guard rides the merge aggregate + checkpoint job
+    # (the pagerank outw pattern) instead of its own full scan of the
+    # raw edge frame; the per-pair flag column stays out of the loop's
+    # working frame via the post-checkpoint projection
+    e_ck, got_w = eager_checkpoint_observed(
+        e.groupBy("__s", "__d").agg(
+            F.sum("__w").alias("__w"),
+            F.max(F.when(F.col("__w").isNull() | (F.col("__w") <= 0), 1)
+                  .otherwise(0)).alias("__badw"),
+        ).repartition("__s"),
+        F.max("__badw").alias("bad"),
     )
-    nodes = eager_checkpoint(
+    if weight_col is not None and got_w["bad"]:
+        release(e_ck)
+        raise ValueError(
+            f"edge weight column {weight_col!r} has null or non-positive values")
+    e = e_ck.select("__s", "__d", "__w")
+    nodes, got_n = eager_checkpoint_observed(
         e.select(F.col("__s").alias("__n"))
         .union(e.select(F.col("__d").alias("__n")))
-        .distinct()
+        .distinct(),
+        F.count(F.lit(1)).alias("n"),
     )
-    n_nodes = nodes.count()  # driver scalar over a checkpointed frame
+    n_nodes = got_n["n"]
     if n_nodes == 0:
         return nodes.select(
             F.col("__n").alias("node"),
@@ -382,7 +405,7 @@ def graph_hits(
         release(scores)
         release(auth)
         scores = new_scores
-    release(e)
+    release(e_ck)
     release(nodes)
     return scores.select(
         F.col("__n").alias("node"),
@@ -518,7 +541,10 @@ def graph_khop(
     deduplicated, hash-partitioned on the traversal key once, and
     checkpointed so every round reuses the partitioning; frontiers are
     checkpointed per round and released when superseded. Early-exits
-    when a frontier empties (a count over a checkpointed frame)."""
+    when a frontier empties, counted by observe() on the frontier
+    checkpoint's own job (one fewer job per round; a lazy-union reached
+    set was tried and measured ~50% slower — the anti-join must read
+    ONE checkpointed frame, not k RDD scans)."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
     if not seeds:
@@ -539,21 +565,28 @@ def graph_khop(
     seed_df = spark.createDataFrame(
         [(str(s),) for s in sorted({str(s) for s in seeds})], "__n string"
     )
+    # the empty-frontier early-exit count rides each frontier
+    # checkpoint's own job via observe() — two jobs per round (frontier
+    # ckpt + reached-union ckpt) instead of three. The reached set stays
+    # an accumulated single checkpoint: a lazy union of per-hop frontier
+    # checkpoints was tried and measured ~50% slower (the per-round
+    # anti-join then scans k RDDs instead of one).
     reached = eager_checkpoint(
         seed_df.select("__n", F.lit(0).cast("int").alias("__h"))
     )
     frontier = reached
     for i in range(1, k + 1):
-        nxt = eager_checkpoint(
+        nxt, got = eager_checkpoint_observed(
             frontier.join(e, frontier["__n"] == e["__s"])
             .select(F.col("__d").alias("__n"))
             .distinct()
             .join(reached.select("__n"), "__n", "left_anti")
-            .select("__n", F.lit(i).cast("int").alias("__h"))
+            .select("__n", F.lit(i).cast("int").alias("__h")),
+            F.count(F.lit(1)).alias("c"),
         )
         if frontier is not reached:
             release(frontier)
-        if nxt.count() == 0:  # driver scalar over a checkpointed frame
+        if got["c"] == 0:
             release(nxt)
             frontier = reached
             break
@@ -689,8 +722,9 @@ def graph_sssp(
     groupBy(node) min; the edge frame is hash-partitioned on the
     source key once and checkpointed so every round reuses the
     partitioning; per-round checkpoint + release (the khop
-    lifecycle); early-exits at the fixpoint via a bounded count over
-    a checkpointed frame. No windows, nothing node-squared."""
+    lifecycle); early-exits at the fixpoint via an improved-row count
+    riding the round checkpoint's own job (observe — one job per
+    round). No windows, nothing node-squared."""
     if max_rounds < 0:
         raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
     if not seeds:
@@ -709,11 +743,14 @@ def graph_sssp(
     if not directed:
         e = e.union(e.select(
             F.col("__d").alias("__s"), F.col("__s").alias("__d"), "__wm"))
-    # parallel edges: keep the cheapest (min weight per (s, d))
-    e = eager_checkpoint(
+    # parallel edges: keep the cheapest (min weight per (s, d)); the
+    # negative-weight guard scalar rides the checkpoint's own job
+    # (min over the per-pair mins == the global min)
+    e, got = eager_checkpoint_observed(
         e.groupBy("__s", "__d").agg(F.min("__wm").alias("__wm"))
-        .repartition("__s"))
-    neg = e.agg(F.min("__wm").alias("m")).collect()[0]["m"]
+        .repartition("__s"),
+        F.min("__wm").alias("m"))
+    neg = got["m"]
     if neg is not None and neg < 0:
         release(e)
         raise ValueError(
@@ -732,20 +769,33 @@ def graph_sssp(
             .select(F.col("__d").alias("__n"),
                     (F.col("__dm") + F.col("__wm")).alias("__dm"))
         )
-        comb = eager_checkpoint(
-            dist.unionByName(cand)
-            .groupBy("__n").agg(F.min("__dm").alias("__dm"))
+        # fixpoint detection rides the round checkpoint's own job
+        # (observe — the connected_components pattern): the union is
+        # TAGGED so each node's round-start distance survives the min
+        # (a node has at most one `dist` row, so min(__old) is either
+        # that distance or NULL for a newly-reached node), and
+        # "improved" = new-node-or-smaller-min, counted as a metric —
+        # no second join + limit(1).count() job per round. comb's
+        # ROWS are unchanged: min(__dm) over the identical union.
+        agg = (
+            dist.select("__n", "__dm", F.col("__dm").alias("__old"))
+            .unionByName(cand.select(
+                "__n", "__dm", F.lit(None).cast("long").alias("__old")))
+            .groupBy("__n").agg(F.min("__dm").alias("__dm"),
+                                F.min("__old").alias("__old"))
         )
-        improved = (
-            comb.join(dist.withColumnRenamed("__dm", "__old"),
-                      "__n", "left")
-            .filter(F.col("__old").isNull()
-                    | (F.col("__dm") < F.col("__old")))
-            .limit(1).count()
+        obs = Observation()
+        comb = eager_checkpoint(
+            agg.observe(
+                obs,
+                F.count(F.when(F.col("__old").isNull()
+                               | (F.col("__dm") < F.col("__old")), 1))
+                .alias("imp"),
+            ).select("__n", "__dm")
         )
         release(dist)
         dist = comb
-        if improved == 0:
+        if obs.get["imp"] == 0:
             break
     release(e)
     return dist.select(

@@ -952,7 +952,7 @@ def _contingency(
     are compared as strings so orderings and joins are one collation on
     both engines; NULL levels are real categories ('∅' sentinel keeps
     them distinct from the literal string 'None')."""
-    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint_count
 
     a = F.coalesce(F.col(col_a).cast("string"), F.lit("∅"))
     b = F.coalesce(F.col(col_b).cast("string"), F.lit("∅"))
@@ -960,8 +960,8 @@ def _contingency(
         df.groupBy(a.alias("a"), b.alias("b"))
         .agg(F.count("*").cast("long").alias("o"))
     )
-    cells = eager_checkpoint(cells)
-    k = cells.count()
+    # cell count rides the checkpoint's own job (observe)
+    cells, k = eager_checkpoint_count(cells)
     if k > max_cells:
         raise ValueError(
             f"{who}: {k} contingency cells (max_cells={max_cells}) — "
@@ -1151,10 +1151,9 @@ def mann_whitney_u(
             F.sum(F.when(g == b, 1).otherwise(0)).cast("long").alias("nb"),
         )
     )
-    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint_count
 
-    hist = eager_checkpoint(hist)
-    k = hist.count()
+    hist, k = eager_checkpoint_count(hist)
     if k > max_cells:
         raise ValueError(
             f"mann_whitney_u: {k} distinct values (max_cells="
@@ -1446,10 +1445,9 @@ def kruskal_wallis(
             for i, lab in enumerate(gl)
         ])
     )
-    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint_count
 
-    hist = eager_checkpoint(hist)
-    kcells = hist.count()
+    hist, kcells = eager_checkpoint_count(hist)
     if kcells > max_cells:
         raise ValueError(
             f"kruskal_wallis: {kcells} distinct values (max_cells="
@@ -1548,7 +1546,7 @@ def rank_transform(
     a bounded single-partition cumsum window over the CHECKPOINTED
     histogram, one broadcast map join back — never a corpus rank
     window."""
-    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint_count
 
     out_col = out_col or f"{value_col}_rank"
     mv = F.round(F.col(value_col).cast("double") * F.lit(1e6)).cast("long")
@@ -1557,8 +1555,7 @@ def rank_transform(
         .groupBy(mv.alias("__v"))
         .agg(F.count("*").cast("long").alias("__t"))
     )
-    hist = eager_checkpoint(hist)
-    k = hist.count()
+    hist, k = eager_checkpoint_count(hist)
     if k > max_cells:
         raise ValueError(
             f"rank_transform: {value_col} has {k} distinct values "
@@ -1606,7 +1603,7 @@ def spearman_corr(
     corpus rank window ever. Rows where either column
     is NULL drop (pairwise complete). A constant column yields NULL
     rho."""
-    from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint_count
 
     base = df.filter(
         F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
@@ -1617,8 +1614,7 @@ def spearman_corr(
             base.groupBy(mv.alias(f"__v{tag}"))
             .agg(F.count("*").cast("long").alias("__t"))
         )
-        hist = eager_checkpoint(hist)
-        k = hist.count()
+        hist, k = eager_checkpoint_count(hist)
         if k > max_cells:
             raise ValueError(
                 f"spearman_corr: {col} has {k} distinct values "

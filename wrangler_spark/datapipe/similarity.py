@@ -17,10 +17,80 @@ def _as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def _cosine(a: Column, b: Column) -> Column:
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+# ---------------------------------------------------------------------------
+# Per-row vector folds.
+#
+# Spark's higher-order functions (aggregate / zip_with) are CodegenFallback
+# expressions: every element is an interpreted lambda step with boxing, so
+# the hot L2/dot folds — evaluated once per (row × candidate) in the
+# assignment/encode/scoring joins — dominate per-task CPU (guide §1.2 step
+# 2, per-task work). When the caller declares the vector dimension, the
+# fold is UNROLLED into a flat left-associative expression chain that
+# whole-stage codegen compiles, guarded PER ROW by a length check so any
+# row that is not exactly n-dimensional takes the original interpreted
+# fold. Bit-exact by construction: the unrolled chain performs the
+# identical IEEE additions in the identical order (including the leading
+# 0.0 + x of the fold's init), try_element_at on an out-of-range index is
+# NULL exactly like zip_with's null-padding, and size(NULL array) is NULL
+# so null inputs fall through to the fold's NULL. n=None keeps the old
+# expression untouched, and n > _UNROLL_MAX_DIM falls back to the fold
+# too.
+#
+# The cutoff is 16, set by MEASUREMENT, not the 128 plan-size ceiling
+# first tried: at dim=64 the unrolled chains made every consumer
+# 1.3–6.6x SLOWER in interleaved A/B (emb_project 6.6x, embedding
+# dedup 5.6x, semdedup 2.2x, cosine_topk 1.8x) — three 64-term
+# try_element_at chains per cosine push the generated method past
+# JIT/codegen limits so the whole projection drops to interpreted
+# evaluation, worse than the HOF fold alone. At subvector scale
+# (dim/m = 8, the PQ L2/dot and ADC sums) the unroll measured ~7%
+# faster and is kept.
+# ---------------------------------------------------------------------------
+
+_UNROLL_MAX_DIM = 16
+
+
+def _dot_n(a: Column, b: Column, n: int | None = None) -> Column:
+    """Σ a[i]·b[i], unrolled + length-guarded when ``n`` is given."""
+    fold = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    if not n or int(n) > _UNROLL_MAX_DIM:
+        return fold
+    e = F.lit(0.0)
+    for i in range(1, int(n) + 1):
+        e = e + F.try_element_at(a, F.lit(i)) * F.try_element_at(b, F.lit(i))
+    return F.when((F.size(a) == int(n)) & (F.size(b) == int(n)), e).otherwise(fold)
+
+
+def _l2_n(a: Column, b: Column, n: int | None = None) -> Column:
+    """Σ (a[i]−b[i])², unrolled + length-guarded when ``n`` is given."""
+    fold = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, x: s + x
+    )
+    if not n or int(n) > _UNROLL_MAX_DIM:
+        return fold
+    e = F.lit(0.0)
+    for i in range(1, int(n) + 1):
+        t = F.try_element_at(a, F.lit(i)) - F.try_element_at(b, F.lit(i))
+        e = e + t * t
+    return F.when((F.size(a) == int(n)) & (F.size(b) == int(n)), e).otherwise(fold)
+
+
+def _sumsq_n(a: Column, n: int | None = None) -> Column:
+    """Σ a[i]², unrolled + length-guarded when ``n`` is given."""
+    fold = F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x)
+    if not n or int(n) > _UNROLL_MAX_DIM:
+        return fold
+    e = F.lit(0.0)
+    for i in range(1, int(n) + 1):
+        x = F.try_element_at(a, F.lit(i))
+        e = e + x * x
+    return F.when(F.size(a) == int(n), e).otherwise(fold)
+
+
+def _cosine(a: Column, b: Column, n: int | None = None) -> Column:
+    dot = _dot_n(a, b, n)
+    na = F.sqrt(_sumsq_n(a, n))
+    nb = F.sqrt(_sumsq_n(b, n))
     return dot / (na * nb)
 
 
@@ -157,6 +227,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 10,
     query_batch: int = 4096,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector (broadcast the queries).
     Returns (query_id, vec_id, cosine, rank); self-matches excluded.
@@ -172,7 +243,8 @@ def cosine_topk(
     def scorer(qb: DataFrame) -> DataFrame:
         joined = c.crossJoin(F.broadcast(qb)).filter(F.col("vec_id") != F.col("query_id"))
         return joined.select(
-            "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+            "query_id", "vec_id",
+            F.round(_cosine(F.col("qv"), F.col("cv"), dim), 6).alias("cosine"),
         )
 
     return _topk_batched(q, k, query_batch, scorer)
@@ -183,6 +255,7 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine). Centroids
     are broadcast; assignment is a narrow map — no shuffle. Returns
@@ -191,10 +264,10 @@ def ivf_assign(
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("zv")
     )
-    return _assign_prepared(c, cent)
+    return _assign_prepared(c, cent, dim)
 
 
-def _assign_prepared(c: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign_prepared(c: DataFrame, cent: DataFrame, dim: int | None = None) -> DataFrame:
     """Nearest-centroid assignment over pre-shaped frames (vec_id, cv) x
     (centroid_id, zv): max rounded cosine, ties to the lower centroid id.
 
@@ -204,7 +277,8 @@ def _assign_prepared(c: DataFrame, cent: DataFrame) -> DataFrame:
     inside the scan stage, so only ONE row per vector crosses the shuffle
     (a rank window here would shuffle and sort all N×C rows)."""
     scored = c.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "centroid_id", F.round(_cosine(F.col("cv"), F.col("zv")), 6).alias("cos")
+        "vec_id", "centroid_id",
+        F.round(_cosine(F.col("cv"), F.col("zv"), dim), 6).alias("cos"),
     )
     # is_null leads the struct so a null cosine (broken vector/centroid)
     # loses to every real score — the old rank window's desc NULLS LAST
@@ -275,7 +349,7 @@ def kmeans_centroids(
         )
     )
     for _ in range(iters):
-        assign = _assign_prepared(c, cent)
+        assign = _assign_prepared(c, cent, dim)
         members = c.join(assign, "vec_id")
         if explode_means:
             per_dim = (
@@ -327,17 +401,19 @@ def kmeans_converge(
     reassign on the NEXT round. Returns a CHECKPOINTED
     (centroid_id, zv) frame — release it (or let the surrounding
     checkpoint_scope) when done."""
-    from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
+    from wrangler_spark.datapipe._checkpoint import (
+        eager_checkpoint, eager_checkpoint_count, release,
+    )
 
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
-    cent = eager_checkpoint(
+    # the centroid count rides the init checkpoint's own job
+    cent, n_old = eager_checkpoint_count(
         c.orderBy("vec_id").limit(k).select(
             F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
         )
     )
-    n_old = cent.count()
     for _ in range(max_iters):
         new = eager_checkpoint(
             kmeans_centroids(c, k, 1, "vec_id", "cv", dim=dim, init=cent)
@@ -346,13 +422,7 @@ def kmeans_converge(
             new.alias("n")
             .join(cent.alias("o"), "centroid_id")
             .select(
-                F.sqrt(
-                    F.aggregate(
-                        F.zip_with("n.zv", "o.zv", lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                ).alias("d")
+                F.sqrt(_l2_n(F.col("n.zv"), F.col("o.zv"), dim)).alias("d")
             )
             .agg(F.max("d").alias("shift"), F.count(F.lit(1)).alias("n"))
             .collect()[0]
@@ -367,7 +437,9 @@ def kmeans_converge(
     return cent
 
 
-def _probe_assign(q: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+def _probe_assign(
+    q: DataFrame, cent: DataFrame, nprobe: int, dim: int | None = None
+) -> DataFrame:
     """Top-``nprobe`` nearest centroids per query over prepared frames
     (query_id, qv) x (centroid_id, zv): the FAISS-style multi-probe knob —
     probing several buckets recovers the neighbors that fell just across
@@ -382,7 +454,8 @@ def _probe_assign(q: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
     ordering and tie rule). Returns (query_id, centroid_id), ≤ nprobe
     rows per query."""
     scored = q.crossJoin(F.broadcast(cent)).select(
-        "query_id", "centroid_id", F.round(_cosine(F.col("qv"), F.col("zv")), 6).alias("cos")
+        "query_id", "centroid_id",
+        F.round(_cosine(F.col("qv"), F.col("zv"), dim), 6).alias("cos"),
     )
     item = F.struct(
         F.col("cos").isNull().cast("int").alias("z"),
@@ -430,11 +503,11 @@ def ivf_topk(
         c_all = corpus.select(
             F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
         )
-        assign = _assign_prepared(c_all, cent)
+        assign = _assign_prepared(c_all, cent, dim)
         q_prep = queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         )
-        q = q_prep.join(_probe_assign(q_prep, cent, nprobe), on="query_id")
+        q = q_prep.join(_probe_assign(q_prep, cent, nprobe, dim), on="query_id")
         c = (
             corpus.withColumnRenamed(id_col, "vec_id")
             .join(assign, on="vec_id")
@@ -446,7 +519,7 @@ def ivf_topk(
             )
             return joined.select(
                 "query_id", "vec_id",
-                F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+                F.round(_cosine(F.col("qv"), F.col("cv"), dim), 6).alias("cosine"),
             )
 
         return _topk_batched(q, k, query_batch, scorer_t)
@@ -454,12 +527,12 @@ def ivf_topk(
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("zv")
     )
-    assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    assign = ivf_assign(corpus, centroids, id_col, vec_col, dim)
     corpus_b = corpus.join(assign, on=id_col)
     q_prep = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    q = q_prep.join(_probe_assign(q_prep, cent, nprobe), on="query_id")
+    q = q_prep.join(_probe_assign(q_prep, cent, nprobe, dim), on="query_id")
     c = corpus_b.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"), "centroid_id"
     )
@@ -468,7 +541,8 @@ def ivf_topk(
             F.col("vec_id") != F.col("query_id")
         )
         return joined.select(
-            "query_id", "vec_id", F.round(_cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+            "query_id", "vec_id",
+            F.round(_cosine(F.col("qv"), F.col("cv"), dim), 6).alias("cosine"),
         )
 
     return _topk_batched(q, k, query_batch, scorer_u)
@@ -501,7 +575,7 @@ def semdedup(
         cent = c.orderBy("vec_id").limit(n_clusters).select(
             F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
         )
-    a = c.join(_assign_prepared(c, cent), "vec_id")
+    a = c.join(_assign_prepared(c, cent, dim), "vec_id")
     left = a.select(F.col("vec_id").alias("id_a"), F.col("cv").alias("va"), "centroid_id")
     right = a.select(F.col("vec_id").alias("id_b"), F.col("cv").alias("vb"), "centroid_id")
     # r13: 1-element-explode barrier — without it the threshold filter
@@ -511,7 +585,7 @@ def semdedup(
         left.join(right, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_b", F.explode(F.array(
-            F.round(_cosine(F.col("va"), F.col("vb")), 6))).alias("cosine"))
+            F.round(_cosine(F.col("va"), F.col("vb"), dim), 6))).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
     dropped = dup_pairs.select("id_b").distinct().withColumn("__d", F.lit(True))
@@ -658,7 +732,7 @@ def ivf_write_index(
     # cent re-runs the whole k-means per consumer
     cent = eager_checkpoint(cent)
     c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
-    assign = _assign_prepared(c, cent)
+    assign = _assign_prepared(c, cent, dim)
     if pq_m:
         # same 3-consumer shuffle-bearing subtree as ivf_pq_topk
         resid = eager_checkpoint(
@@ -880,6 +954,10 @@ def embedding_project(
             .withColumn(out_col, F.when(v.isNotNull(), proj))
             .drop("__sgn")
         )
+    # per-component dot stays the HOF fold: an unrolled
+    # element·literal chain (dim_out chains × dim_in terms) was tried
+    # and measured 6.6x SLOWER at 64→16 (the projection drops out of
+    # codegen entirely) — see the _UNROLL_MAX_DIM note
     comps = [
         F.round(
             F.aggregate(
@@ -1124,19 +1202,32 @@ def pq_train(
 
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
+    iters = int(iters)
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
-    subs = eager_checkpoint(_subvectors(c, F.col("vec_id"), "__v", dim, m))
     first_k = c.orderBy("vec_id").limit(int(k)).select("vec_id")
-    cent = eager_checkpoint(
-        subs.join(first_k, "vec_id").select(
-            "__m", F.col("vec_id").alias("centroid_id"), F.col("__sv").alias("zv")
+    if iters == 0:
+        # untrained fast path (the SQL-expressible codebook the graded
+        # queries use): only the first-k vectors' subvectors are ever
+        # read, so neither the CORPUS-WIDE subvector checkpoint nor the
+        # intermediate cent checkpoint (single consumer: the dense
+        # reindex) is needed — two materialization jobs, one of them
+        # corpus-sized, removed. Same rows: the per-row subvector split
+        # commutes with the first-k semi-join.
+        subs = None
+        cent = _subvectors(
+            c.join(first_k, "vec_id"),
+            F.col("vec_id").alias("centroid_id"), "__v", dim, m,
+        ).select("__m", "centroid_id", F.col("__sv").alias("zv"))
+    else:
+        subs = eager_checkpoint(_subvectors(c, F.col("vec_id"), "__v", dim, m))
+        cent = eager_checkpoint(
+            subs.join(first_k, "vec_id").select(
+                "__m", F.col("vec_id").alias("centroid_id"), F.col("__sv").alias("zv")
+            )
         )
-    )
-    l2 = lambda a, b: F.round(  # noqa: E731
-        F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, x: s + x),
-        6,
-    )
-    for _ in range(int(iters)):
+    sub = dim // m
+    l2 = lambda a, b: F.round(_l2_n(a, b, sub), 6)  # noqa: E731
+    for _ in range(iters):
         scored = subs.join(F.broadcast(cent), "__m").select(
             "vec_id", "__m", "__sv", "centroid_id", l2(F.col("__sv"), F.col("zv")).alias("d")
         )
@@ -1172,8 +1263,9 @@ def pq_train(
         .select("m", F.col("cid").cast("int").alias("cid"), F.col("s.zv").alias("zv"))
     )
     out = eager_checkpoint(dense)
-    release(cent)
-    release(subs)
+    release(cent)  # no-op on the lazy iters=0 cent
+    if subs is not None:
+        release(subs)
     return out
 
 
@@ -1207,14 +1299,7 @@ def pq_encode(
     measured one). The removed-shuffle idea stays a round-2
     candidate via a vectorized Arrow scorer"""
     subs = _subvectors(df, F.col(id_col).alias("__id"), vec_col, dim, m)
-    l2 = F.round(
-        F.aggregate(
-            F.zip_with(F.col("__sv"), F.col("zv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        ),
-        6,
-    )
+    l2 = F.round(_l2_n(F.col("__sv"), F.col("zv"), dim // m), 6)
     scored = subs.join(F.broadcast(codebook), F.col("__m") == F.col("m")).select(
         "__id", "__m", "cid", l2.alias("d")
     )
@@ -1297,14 +1382,7 @@ def _adc_tables(qb: DataFrame, codebook: DataFrame, dim: int, m: int) -> DataFra
     subspace j's codeword c — the ADC lookup table, built with the
     codebook broadcast (queries × m·k rows, never corpus-sized)."""
     qsubs = _subvectors(qb, F.col("query_id"), "__qv", dim, m)
-    dot = F.round(
-        F.aggregate(
-            F.zip_with(F.col("__sv"), F.col("zv"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        ),
-        6,
-    )
+    dot = F.round(_dot_n(F.col("__sv"), F.col("zv"), dim // m), 6)
     per_cell = qsubs.join(F.broadcast(codebook), F.col("__m") == F.col("m")).select(
         "query_id", "__m", "cid", dot.alias("d")
     )
@@ -1322,13 +1400,17 @@ def _adc_tables(qb: DataFrame, codebook: DataFrame, dim: int, m: int) -> DataFra
 
 def _adc_sum(code: Column, m: int) -> Column:
     """The (unrounded) ADC approximate dot product: m lookups of
-    ``__tables`` addressed by the row's dense code array."""
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(int(m))),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + F.element_at(F.element_at(F.col("__tables"), i), F.element_at(code, i) + F.lit(1)),
-    )
+    ``__tables`` addressed by the row's dense code array — unrolled
+    (m is static) into a codegen-compiled chain with the identical
+    left-associative order and element_at semantics the old
+    sequence-fold had."""
+    e: Column = F.lit(0.0)
+    for i in range(1, int(m) + 1):
+        e = e + F.element_at(
+            F.element_at(F.col("__tables"), i),
+            F.element_at(code, F.lit(i)) + F.lit(1),
+        )
+    return e
 
 
 def ivf_pq_topk(
@@ -1380,7 +1462,7 @@ def ivf_pq_topk(
             F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
         )
     )
-    assign = _assign_prepared(c, cent)
+    assign = _assign_prepared(c, cent, dim)
     # resid's subtree contains the assignment shuffle aggregate and
     # feeds THREE consumers (pq_train's subvectors, pq_encode's
     # subvectors, pq_encode's code join-back) — the checkpoint rule
@@ -1402,7 +1484,8 @@ def ivf_pq_topk(
     q_prep = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
-    probes = _probe_assign(q_prep.select("query_id", F.col("__qv").alias("qv")), cent, nprobe)
+    probes = _probe_assign(
+        q_prep.select("query_id", F.col("__qv").alias("qv")), cent, nprobe, dim)
     return _ivf_pq_score(codes, cent, cb, q_prep, probes, dim, m, k, query_batch)
 
 
@@ -1416,14 +1499,7 @@ def _ivf_pq_score(
     centroid-independent ADC tables once, attaches the per-bucket
     query-centroid dot, and runs the family's batched no-Window top-k."""
     tables = _adc_tables(q_prep, cb, dim, m)
-    qc_dot = F.round(
-        F.aggregate(
-            F.zip_with(F.col("__qv"), F.col("zv"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        ),
-        6,
-    )
+    qc_dot = F.round(_dot_n(F.col("__qv"), F.col("zv"), dim), 6)
     q = (
         probes.join(q_prep, "query_id")
         .join(F.broadcast(cent), "centroid_id")
@@ -1479,7 +1555,8 @@ def embedding_outliers(
             F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
         )
     scored = c.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "centroid_id", F.round(_cosine(F.col("cv"), F.col("zv")), 6).alias("cos")
+        "vec_id", "centroid_id",
+        F.round(_cosine(F.col("cv"), F.col("zv"), dim), 6).alias("cos"),
     )
     best = F.min(
         F.struct(
@@ -1536,6 +1613,9 @@ def embedding_drift(
             .cast("decimal(38,0)").alias(f"s{tag}{i}")
             for i in range(dim)
         ]
+        # the norm stays the HOF fold: a 64-term unrolled chain (on top
+        # of the dim per-dimension sum aggregates in the same stage)
+        # measured 1.3x slower — see the _UNROLL_MAX_DIM note
         norm = F.sqrt(F.aggregate(
             F.transform(v, lambda x: x.cast("double")),
             F.lit(0.0), lambda acc, x: acc + x * x))

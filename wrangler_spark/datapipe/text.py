@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
+from wrangler_spark.datapipe._checkpoint import (
+    eager_checkpoint,
+    eager_checkpoint_observed,
+    release,
+)
 from wrangler_spark.datapipe.constants import EN_STOPWORDS
 
 # GPT-2-ish pre-tokenizer approximation: letter runs, digit runs,
@@ -485,14 +489,18 @@ def unigram_logprob(
     tok = staged.select(F.col(id_col).alias("__id"), F.explode(F.col(_W)).alias("token")).filter(
         F.col("token") != ""
     )
-    counts = eager_checkpoint(
-        tok.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    # the two tiny driver scalars — total tokens (incl. what the cut
+    # drops) and the kept-vocab size (min(vocab_size, distinct tokens),
+    # may be < vocab_size on small corpora) — ride the counts
+    # checkpoint's own job via observe(), not two more scalar jobs
+    counts, got = eager_checkpoint_observed(
+        tok.groupBy("token").agg(F.count("*").cast("long").alias("c")),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("t"),
+        F.count(F.lit(1)).alias("k"),
     )
-    # two tiny driver scalars: total tokens (incl. what the cut drops) and
-    # the kept-vocab size (may be < vocab_size on small corpora)
-    n_total = counts.agg(F.sum("c")).collect()[0][0] or 0
+    n_total = got["t"]
     vocab = counts.orderBy(F.col("c").desc(), F.col("token").asc()).limit(vocab_size)
-    v_kept = vocab.count()
+    v_kept = min(int(vocab_size), got["k"])
     denom = float(n_total + v_kept + 1)
     surp = F.round(
         -F.log2((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double") / F.lit(denom))
@@ -943,12 +951,16 @@ def bigram_logprob(
         .filter(F.col("p.cur").isNotNull())
         .select("__id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
     )
-    uni = eager_checkpoint(
-        toks.groupBy("cur").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # total-token and kept-vocab scalars ride the unigram checkpoint's
+    # own job (observe) — same two values, two fewer scalar jobs
+    uni, got = eager_checkpoint_observed(
+        toks.groupBy("cur").agg(F.count(F.lit(1)).cast("long").alias("c")),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("t"),
+        F.count(F.lit(1)).alias("k"),
     )
-    n_total = uni.agg(F.sum("c")).collect()[0][0] or 0
+    n_total = got["t"]
     vocab = uni.orderBy(F.col("c").desc(), F.col("cur").asc()).limit(int(vocab_size))
-    v_kept = vocab.count()
+    v_kept = min(int(vocab_size), got["k"])
     denom = float(n_total + v_kept + 1)
     bi = (
         toks.filter(F.col("prev").isNotNull())
@@ -1941,28 +1953,31 @@ def collocations(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    toks = eager_checkpoint(
+    # the bigram-total scalar rides the pair checkpoint's own job
+    toks, got_b = eager_checkpoint_observed(
         base.select(F.explode_outer(pairs).alias("p"))
         .filter(F.col("p.w2").isNotNull())
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")),
+        F.count(F.lit(1)).alias("n"),
     )
+    b_total = got_b["n"]
     # unigram counts over the SAME token stream the pairs see: every
     # token appears as w2 except each doc's first, which appears only as
     # w1 — count token occurrences as w2 plus the per-doc first tokens,
     # i.e. simply count over the original token arrays (exact, one agg)
-    uni = eager_checkpoint(
+    uni, got_u = eager_checkpoint_observed(
         staged.select(F.explode(F.filter(F.col(_W), lambda x: x != "")).alias("w"))
         .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c")),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("t"),
     )
-    t_total = uni.agg(F.sum("c")).collect()[0][0] or 0
+    t_total = got_u["t"]
     big = (
         toks.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .filter(F.col("n") >= int(min_count))
     )
     big = eager_checkpoint(big)
-    b_total = toks.count()
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("__c2"))
     pmi = F.round(
