@@ -1155,8 +1155,18 @@ def train_quality_classifier(
         F.count(F.when(F.col("b") == -1, 1)).alias("nd"),
     )
     n_docs = got["nd"]
-    w = eager_checkpoint(
-        feats.select("b").distinct().withColumn("w", F.lit(0).cast("long"))
+    # r13 batch 16: w0 = ALL buckets {-1} ∪ [0, B) at weight 0 as a
+    # LOCAL relation, replacing a full feats scan + distinct +
+    # checkpoint job. Provably score-identical: every feats bucket is
+    # pmod-bounded inside the range, so the margins join matches the
+    # same rows; a bucket absent from feats gets no gradient row and
+    # stays exactly 0 through every update (0 − round(lr·0/N) = 0),
+    # and a zero weight contributes 0 to any future margin — the old
+    # present-buckets-only table dropped the same rows at the join
+    # instead. Only the returned table's row set widens (zero rows for
+    # never-seen buckets), which no score can observe.
+    w = feats.sparkSession.createDataFrame(
+        [(b, 0) for b in range(-1, B)], schema="b long, w long"
     )
     for _ in range(int(iters)):
         margins = (
@@ -1277,8 +1287,11 @@ def train_and_score_quality_classifier(
         F.count(F.when(F.col("b") == -1, 1)).alias("nd"),
     )
     n_docs = got["nd"]
-    w = eager_checkpoint(
-        feats.select("b").distinct().withColumn("w", F.lit(0).cast("long"))
+    # r13 batch 16: literal zero-weight table over ALL buckets — see
+    # train_quality_classifier for the score-identity argument; this
+    # removes the w0 feats-scan + distinct + checkpoint job.
+    w = feats.sparkSession.createDataFrame(
+        [(b, 0) for b in range(-1, B)], schema="b long, w long"
     )
     for _ in range(int(iters)):
         margins = (

@@ -480,12 +480,16 @@ def ngram_jaccard_pairs(
         base.select("id", F.explode_outer("grams").alias("g"))
         .filter(F.col("g").isNotNull())
     )
-    # document frequency per gram hash: (id, g) is unique (hashes are
-    # array_distinct-ed per doc) but countDistinct keeps the cutoff a
-    # doc-frequency even if the gram construction ever stops deduping.
-    # Needed even when the stop-gram cap is off — it is the global
-    # rarest-first ordering that prefix filtering depends on
-    gdf = inv.groupBy("g").agg(F.countDistinct("id").alias("__gdf"))
+    # document frequency per gram hash. (id, g) is UNIQUE by
+    # construction — _gram_hash_base array_distincts the hash set per
+    # doc (the invariant the whole filter-space == scoring-space proof
+    # rests on), so count(*) IS countDistinct(id). r13 batch 17: the
+    # defensive countDistinct planned a second full exchange of the
+    # (g, id) stream (two-level distinct aggregate); count(*) partial-
+    # aggregates map-side to one long per gram. Needed even when the
+    # stop-gram cap is off — it is the global rarest-first ordering
+    # that prefix filtering depends on.
+    gdf = inv.groupBy("g").agg(F.count(F.lit(1)).alias("__gdf"))
     if max_gram_df is not None:
         if isinstance(max_gram_df, float):
             # lazy scalar: 1-row (cap) frame broadcast into the filter, so
@@ -715,7 +719,10 @@ def overlap_pairs(
         base.select("id", F.explode_outer("grams").alias("g"))
         .filter(F.col("g").isNotNull())
     )
-    gdf = inv.groupBy("g").agg(F.countDistinct("id").alias("__gdf"))
+    # (id, g) unique by construction (_gram_hash_base array_distincts
+    # per doc) — count(*) == countDistinct(id) without the second
+    # exchange of the (g, id) stream (see ngram_jaccard_pairs)
+    gdf = inv.groupBy("g").agg(F.count(F.lit(1)).alias("__gdf"))
     if max_gram_df is not None:
         if isinstance(max_gram_df, float):
             cap = staged.select(
@@ -2052,13 +2059,33 @@ def entity_match_pairs(
         cand.join(attrs, F.col("id_a") == F.col("__aid"))
         .join(attrs_b, F.col("id_b") == F.col("__bid"))
     )
+    return _lev_verify(out, "id_a", "id_b", sim_cols)
+
+
+def _lev_verify(
+    out: DataFrame, a_col: str, b_col: str, sim_cols: list[tuple[str, int]]
+) -> DataFrame:
+    """Shared levenshtein-budget verification tail for the entity-match
+    family. r13 batch 16: the distances are computed inside a 1-element
+    explode — the same single-evaluation generator barrier as the gram-
+    set verify — so each (expensive, JVM string-DP) levenshtein runs
+    ONCE per candidate; without it the budget filter collapses into the
+    attribute join's condition and the output projection re-evaluates
+    every distance for every survivor. Identical distances, budgets,
+    and NULL semantics (a null distance fails the <= filter in both
+    shapes)."""
+    d_struct = F.struct(*[
+        F.levenshtein(F.col(f"__l_{c}"), F.col(f"__r_{c}")).alias(f"{c}_dist")
+        for c, _ in sim_cols
+    ])
+    scored = out.select(a_col, b_col, F.explode(F.array(d_struct)).alias("__d"))
     keep = F.lit(True)
-    dists = []
     for c, budget in sim_cols:
-        d = F.levenshtein(F.col(f"__l_{c}"), F.col(f"__r_{c}"))
-        dists.append(d.alias(f"{c}_dist"))
-        keep = keep & (d <= int(budget))
-    return out.filter(keep).select("id_a", "id_b", *dists)
+        keep = keep & (F.col(f"__d.{c}_dist") <= int(budget))
+    return scored.filter(keep).select(
+        a_col, b_col,
+        *[F.col(f"__d.{c}_dist").alias(f"{c}_dist") for c, _ in sim_cols],
+    )
 
 
 def entity_match_against(
@@ -2123,13 +2150,7 @@ def entity_match_against(
         cand.join(attrs_new, F.col("id_new") == F.col("__aid"))
         .join(attrs_old, F.col("id_old") == F.col("__bid"))
     )
-    keep = F.lit(True)
-    dists = []
-    for c, budget in sim_cols:
-        d = F.levenshtein(F.col(f"__l_{c}"), F.col(f"__r_{c}"))
-        dists.append(d.alias(f"{c}_dist"))
-        keep = keep & (d <= int(budget))
-    return out.filter(keep).select("id_new", "id_old", *dists)
+    return _lev_verify(out, "id_new", "id_old", sim_cols)
 
 
 def template_dedup(

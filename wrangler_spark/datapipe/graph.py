@@ -363,6 +363,15 @@ def graph_hits(
     scores = eager_checkpoint(nodes.select(
         "__n", F.lit(1.0 / n_nodes).alias("__h"), F.lit(0.0).alias("__a")
     ))
+    # r13 batch 17 NOTE (measured, reverted): riding the L1 totals on the
+    # round checkpoints via observe() and dividing by the driver literal
+    # read ~20% SLOWER in interleaved A/B (events_hits 2.19/2.36 s →
+    # 2.69/2.91 s medians, consistent across both alternations) — each
+    # Observation.get waits on the async listener bus, while the
+    # crossJoin(broadcast(atot)) subtree below reuses the araw shuffle
+    # stage under AQE, so the "second computation" it looked like in the
+    # formatted plan costs almost nothing at runtime. Kept the broadcast
+    # shape (guide §1.1: the measured plan beats the ideal one).
     for _ in range(iters):
         araw = (
             scores.join(e, scores["__n"] == e["__s"])

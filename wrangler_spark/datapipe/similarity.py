@@ -1203,29 +1203,53 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     iters = int(iters)
+    sub = dim // m
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
-    first_k = c.orderBy("vec_id").limit(int(k)).select("vec_id")
     if iters == 0:
         # untrained fast path (the SQL-expressible codebook the graded
-        # queries use): only the first-k vectors' subvectors are ever
-        # read, so neither the CORPUS-WIDE subvector checkpoint nor the
-        # intermediate cent checkpoint (single consumer: the dense
-        # reindex) is needed — two materialization jobs, one of them
-        # corpus-sized, removed. Same rows: the per-row subvector split
-        # commutes with the first-k semi-join.
-        subs = None
-        cent = _subvectors(
-            c.join(first_k, "vec_id"),
-            F.col("vec_id").alias("centroid_id"), "__v", dim, m,
-        ).select("__m", "centroid_id", F.col("__sv").alias("zv"))
+        # queries use): the codebook is exactly the first-k vectors'
+        # subvectors, a k·dim-double payload — r13 batch 15 collects
+        # those k rows (the kmeans-init bounded-driver-read pattern;
+        # k is a parameter, never corpus-sized) and returns a LOCAL
+        # relation. That removes the whole distributed codebook
+        # subtree: the TakeOrdered job, the dense-reindex aggregate's
+        # two exchanges, and the eager-checkpoint materialization —
+        # and both downstream broadcasts (pq_encode, _adc_tables)
+        # become jobless LocalTableScan broadcasts. Same rows by
+        # construction: the subvector split commutes with the first-k
+        # semi-join, null vec_ids are dropped exactly as the old
+        # join("vec_id") dropped them (after occupying their LIMIT
+        # slots), and dense cid = position in vec_id order = the old
+        # sort-by-init-id reindex. Unique ids are the family contract
+        # (the _topk_batched note); _as_double mirrors _subvectors.
+        spark = corpus.sparkSession
+        first = (
+            c.orderBy("vec_id")
+            .limit(int(k))
+            .select("vec_id", _as_double(F.col("__v")).alias("__dv"))
+            .collect()
+        )
+        data = []
+        cid = 0
+        for r in first:
+            if r["vec_id"] is None:
+                continue
+            v = r["__dv"]
+            for j in range(m):
+                zv = None if v is None else list(v[j * sub:(j + 1) * sub])
+                data.append((j, cid, zv))
+            cid += 1
+        return spark.createDataFrame(
+            data, schema="m int, cid int, zv array<double>"
+        )
     else:
+        first_k = c.orderBy("vec_id").limit(int(k)).select("vec_id")
         subs = eager_checkpoint(_subvectors(c, F.col("vec_id"), "__v", dim, m))
         cent = eager_checkpoint(
             subs.join(first_k, "vec_id").select(
                 "__m", F.col("vec_id").alias("centroid_id"), F.col("__sv").alias("zv")
             )
         )
-    sub = dim // m
     l2 = lambda a, b: F.round(_l2_n(a, b, sub), 6)  # noqa: E731
     for _ in range(iters):
         scored = subs.join(F.broadcast(cent), "__m").select(
@@ -1263,9 +1287,8 @@ def pq_train(
         .select("m", F.col("cid").cast("int").alias("cid"), F.col("s.zv").alias("zv"))
     )
     out = eager_checkpoint(dense)
-    release(cent)  # no-op on the lazy iters=0 cent
-    if subs is not None:
-        release(subs)
+    release(cent)
+    release(subs)
     return out
 
 
@@ -1297,34 +1320,43 @@ def pq_encode(
     scoring on narrow (vec, subspace, cid) rows the join machinery
     pipelines efficiently (guide §1.1: the "ideal" plan lost to the
     measured one). The removed-shuffle idea stays a round-2
-    candidate via a vectorized Arrow scorer"""
+    candidate via a vectorized Arrow scorer.
+
+    r13 batch 15 (guide §2.4 — two aggregations keyed (id, m) then (id)
+    share one exchange when the second is expressed as m static
+    conditional aggregates): the per-subspace argmin and the code-array
+    assembly run in ONE groupBy(__id) — F.min ignores the NULL structs
+    F.when leaves on other subspaces' rows, so min(when(__m == j, s))
+    IS the old per-(__id, j) min, and m is static so the array literal
+    replaces the sort-by-__m transform. One exchange instead of two,
+    identical structs compared in the identical order."""
     subs = _subvectors(df, F.col(id_col).alias("__id"), vec_col, dim, m)
     l2 = F.round(_l2_n(F.col("__sv"), F.col("zv"), dim // m), 6)
     scored = subs.join(F.broadcast(codebook), F.col("__m") == F.col("m")).select(
         "__id", "__m", "cid", l2.alias("d")
     )
-    best = F.min(
-        F.struct(
-            F.col("d").isNull().cast("int").alias("z"),
-            F.col("d").alias("d"),
-            F.col("cid").alias("cid"),
-        )
+    best = F.struct(
+        F.col("d").isNull().cast("int").alias("z"),
+        F.col("d").alias("d"),
+        F.col("cid").alias("cid"),
     )
     # a broken vector (null / length-mismatched) has every distance null
     # (z=1): its cid becomes NULL, so the code array carries nulls and
     # ADC scoring yields a null score — ranked NULLS LAST by the family
     # contract ("a null cosine must never evict a real neighbor"),
     # matching how cosine_topk/ivf_topk treat the same row
-    cid = F.when(F.col("b.z") == 0, F.col("b.cid"))
     codes = (
-        scored.groupBy("__id", "__m")
-        .agg(best.alias("b"))
-        .groupBy("__id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("__m"), cid.alias("cid")))),
-                lambda s: s["cid"],
-            ).alias(out_col)
+        scored.groupBy("__id")
+        .agg(*[
+            F.min(F.when(F.col("__m") == j, best)).alias(f"__b{j}")
+            for j in range(int(m))
+        ])
+        .select(
+            "__id",
+            F.array(*[
+                F.when(F.col(f"__b{j}.z") == 0, F.col(f"__b{j}.cid"))
+                for j in range(int(m))
+            ]).alias(out_col),
         )
     )
     return df.join(codes, F.col(id_col) == F.col("__id"), "left").drop("__id")
@@ -1386,15 +1418,28 @@ def _adc_tables(qb: DataFrame, codebook: DataFrame, dim: int, m: int) -> DataFra
     per_cell = qsubs.join(F.broadcast(codebook), F.col("__m") == F.col("m")).select(
         "query_id", "__m", "cid", dot.alias("d")
     )
-    per_sub = per_cell.groupBy("query_id", "__m").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("cid", "d"))), lambda s: s["d"]
-        ).alias("ds")
-    )
-    return per_sub.groupBy("query_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("__m", "ds"))), lambda s: s["ds"]
-        ).alias("__tables")
+    # r13 batch 15: ONE groupBy(query_id) collects every (subspace, cid)
+    # cell, and the nested m×k table is re-assembled scan-side from the
+    # (__m, cid)-sorted flat array — (__m, cid) is unique per query and
+    # every subspace carries the same k codewords, so slice j·k+1..k of
+    # the sorted flat array IS the old per-subspace cid-sorted ds.
+    # One exchange instead of two (the old shape aggregated per
+    # (query, __m) first, then per query); d never participates in the
+    # sort because (__m, cid) is already unique.
+    k_per_sub = (F.size(F.col("__f")) / F.lit(int(m))).cast("int")
+    return (
+        per_cell.groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("__m", "cid", "d"))).alias("__f"))
+        .select(
+            "query_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(int(m) - 1)),
+                lambda j: F.transform(
+                    F.slice(F.col("__f"), j * k_per_sub + F.lit(1), k_per_sub),
+                    lambda s: s["d"],
+                ),
+            ).alias("__tables"),
+        )
     )
 
 

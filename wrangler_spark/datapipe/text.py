@@ -1121,7 +1121,10 @@ def winnow_overlap(
         ).distinct()
     )
     if max_fp_df is not None:
-        hot = fps.groupBy("fp").agg(F.countDistinct("id").alias("__df"))
+        # (id, fp) unique by the .distinct() the checkpoint materialized —
+        # count(*) == countDistinct(id) without the second exchange of
+        # the (fp, id) stream (r13 batch 17, the gram-family gdf change)
+        hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
         kept = fps.join(hot.filter(F.col("__df") <= int(max_fp_df)).select("fp"), "fp")
         # r13: the FILTERED frame is what the self-join branches (and,
         # in budget mode, the sub/fa/fb trio) consume — left lazy, the

@@ -22,6 +22,18 @@ def get_spark(app_name: str = "wrangler_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r13 note (measured, NOT adopted): coalescing strictly to the
+        # advisory byte size (`coalescePartitions.parallelismFirst=false`
+        # + advisory 16m) was interleaved-A/B'd after a job profile
+        # showed 32-task reduce stages over KB-sized shuffles. It read
+        # ~25% WORSE on the aggregation-heavy paths (dedup_ngram_word
+        # 3.17/3.23 s → 3.99/4.17 s; text_clf_score 3.8 → 4.0-4.5 s)
+        # and flat-to-±5% elsewhere: the gram/feature streams compress
+        # to a few MB but carry heavy per-row aggregation work, exactly
+        # the compute-dense case bytes-based coalescing under-
+        # parallelizes — which is why parallelismFirst=true is Spark's
+        # default. Kept the default; on a production cluster the same
+        # knob is a spark-submit conf, no code change needed.
         # split small files down to 256 KiB so low-SF test data still uses
         # every core; with production-sized files (≥128 MiB parquet) the
         # maxPartitionBytes default dominates and this setting is inert
