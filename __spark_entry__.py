@@ -2423,7 +2423,7 @@ def _q_ann_pq_topk(spark, sf_dir):
 
     embs = _t(spark, sf_dir, "embeddings")
     cb = similarity.pq_train(embs, dim=64, m=8, k=16, iters=0)
-    codes = similarity.pq_encode(embs, cb, dim=64, m=8)
+    codes = similarity.pq_encode(embs, cb, dim=64, m=8, codes_only=True)
     return similarity.pq_topk(
         codes, embs.filter(F.col("vec_id") < 5), cb, dim=64, m=8, k=5
     )
@@ -2472,7 +2472,7 @@ def _q_ann_pq_recall(spark, sf_dir):
     q = embs.filter(F.col("vec_id") < 5)
     exact = similarity.cosine_topk(embs, q, "vec_id", "embedding", 5)
     cb = similarity.pq_train(embs, dim=64, m=8, k=16, iters=0)
-    codes = similarity.pq_encode(embs, cb, dim=64, m=8)
+    codes = similarity.pq_encode(embs, cb, dim=64, m=8, codes_only=True)
     approx = similarity.pq_topk(codes, q, cb, dim=64, m=8, k=5)
     return similarity.ann_recall(exact, approx)
 

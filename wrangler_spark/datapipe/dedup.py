@@ -2071,17 +2071,27 @@ def _lev_verify(
     set verify — so each (expensive, JVM string-DP) levenshtein runs
     ONCE per candidate; without it the budget filter collapses into the
     attribute join's condition and the output projection re-evaluates
-    every distance for every survivor. Identical distances, budgets,
-    and NULL semantics (a null distance fails the <= filter in both
-    shapes)."""
+    every distance for every survivor.
+
+    r13 session 5 (guide §1.2 per-task work): each distance is computed
+    with the BANDED DP (``levenshtein(l, r, threshold=budget)``,
+    SPARK-44012) — O(budget·len) cells instead of O(len²), returning -1
+    exactly when the true distance exceeds the budget. Provably the
+    same output: the op only ever emits pairs with every distance ≤ its
+    budget, and below the threshold the banded DP returns the exact
+    distance, so ``d ≥ 0`` ⟺ the old ``d ≤ budget`` and the emitted
+    values are the same integers. NULL semantics unchanged (null input
+    → null distance → fails ``>= 0`` exactly as it failed ``<=``)."""
     d_struct = F.struct(*[
-        F.levenshtein(F.col(f"__l_{c}"), F.col(f"__r_{c}")).alias(f"{c}_dist")
-        for c, _ in sim_cols
+        F.levenshtein(
+            F.col(f"__l_{c}"), F.col(f"__r_{c}"), threshold=int(budget)
+        ).alias(f"{c}_dist")
+        for c, budget in sim_cols
     ])
     scored = out.select(a_col, b_col, F.explode(F.array(d_struct)).alias("__d"))
     keep = F.lit(True)
-    for c, budget in sim_cols:
-        keep = keep & (F.col(f"__d.{c}_dist") <= int(budget))
+    for c, _ in sim_cols:
+        keep = keep & (F.col(f"__d.{c}_dist") >= 0)
     return scored.filter(keep).select(
         a_col, b_col,
         *[F.col(f"__d.{c}_dist").alias(f"{c}_dist") for c, _ in sim_cols],

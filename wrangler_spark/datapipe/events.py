@@ -46,7 +46,10 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wrangler_spark.datapipe._checkpoint import eager_checkpoint
+from wrangler_spark.datapipe._checkpoint import (
+    eager_checkpoint,
+    eager_checkpoint_observed,
+)
 
 
 def _umicros(c):
@@ -1198,15 +1201,15 @@ def _fill_grid(
             F.collect_list(F.struct(F.col("__b").alias("b"), F.col("__v").alias("v")))
         ).alias("__arr"),
     )
-    # the guard's collect EXECUTES the aggregation — checkpoint it so
-    # the returned plan reads the one-row-per-key result instead of
-    # rescanning the event table (the shared-shuffle-branch rule)
-    per_key = eager_checkpoint(per_key)
-    # bounded pre-flight: the widest key decides whether the per-key
-    # fold array is safe to build at all (one scalar over an aggregate)
-    worst = per_key.agg(
-        F.max(F.col("__b1") - F.col("__b0") + 1).alias("s")).collect()
-    span = worst[0]["s"] if worst and worst[0]["s"] is not None else 0
+    # the guard EXECUTES the aggregation — checkpoint it so the
+    # returned plan reads the one-row-per-key result instead of
+    # rescanning the event table (the shared-shuffle-branch rule);
+    # the widest-key pre-flight scalar rides the checkpoint's OWN
+    # materialization job via observe() instead of a second scheduled
+    # job over the just-pinned blocks (the graph-family r13 pattern)
+    per_key, got = eager_checkpoint_observed(
+        per_key, F.max(F.col("__b1") - F.col("__b0") + 1).alias("s"))
+    span = got["s"] if got["s"] is not None else 0
     if span > max_periods:
         raise ValueError(
             f"resample: a key spans {span} buckets at a {step}s grain "
@@ -1293,16 +1296,16 @@ def _guard_cells(
 ) -> DataFrame:
     """Bounded pre-flight shared by the grid CONSUMERS (rolling_stats,
     cusum — the resample/survival guard posture): checkpoint the
-    per-key aggregate first (the guard's collect EXECUTES it — the
-    shared-shuffle-branch rule, so the returned plan reads the
-    one-row-per-key result instead of rescanning the input), then
-    raise if the widest key's collected cell array exceeds
+    per-key aggregate first (so the returned plan reads the
+    one-row-per-key result instead of rescanning the input) with the
+    widest-key scalar riding the checkpoint's own job via observe(),
+    then raise if the widest key's collected cell array exceeds
     ``max_cells``. Safe fed from resample (whose max_periods bounds
     the span); a raw event table fed directly raises here instead of
     building an unbounded per-key array inside one task."""
-    per_key = eager_checkpoint(per_key)
-    worst = per_key.agg(F.max(size_col).alias("s")).collect()
-    n = worst[0]["s"] if worst and worst[0]["s"] is not None else 0
+    per_key, got = eager_checkpoint_observed(
+        per_key, F.max(size_col).alias("s"))
+    n = got["s"] if got["s"] is not None else 0
     if n > max_cells:
         raise ValueError(
             f"{who}: a key holds {n} cells (max_cells={max_cells}) — "
@@ -1864,11 +1867,11 @@ def survival(
         .cast("long").alias("__total"),
         F.max("period").alias("__span"),
     )
-    # the guard's collect executes the event-volume aggregate —
-    # checkpoint the 1-row result so the returned plan reads it
-    one = eager_checkpoint(one)
-    worst = one.select("__span").collect()
-    span = worst[0]["__span"] if worst and worst[0]["__span"] is not None else 0
+    # the guard executes the event-volume aggregate — checkpoint the
+    # 1-row result so the returned plan reads it; the span scalar
+    # rides the checkpoint's own job via observe()
+    one, got = eager_checkpoint_observed(one, F.max("__span").alias("s"))
+    span = got["s"] if got["s"] is not None else 0
     if span > max_periods:
         raise ValueError(
             f"survival: lifetimes span {span} periods at period_days="
@@ -1979,9 +1982,9 @@ def survival_by(
         .cast("long").alias("__total"),
         F.max("period").alias("__span"),
     )
-    per_group = eager_checkpoint(per_group)
-    worst = per_group.agg(F.max("__span").alias("s")).collect()
-    span = worst[0]["s"] if worst and worst[0]["s"] is not None else 0
+    per_group, got = eager_checkpoint_observed(
+        per_group, F.max("__span").alias("s"))
+    span = got["s"] if got["s"] is not None else 0
     if span > max_periods:
         raise ValueError(
             f"survival_by: lifetimes span {span} periods at period_days="
@@ -2448,6 +2451,13 @@ def srm_check(
         .groupBy(arm.cast("string").alias("arm"))
         .agg(F.countDistinct(unit).cast("long").alias("users"))
     )
+    # r13 session 5: an observe() ride (collect_list on the checkpoint
+    # job) was interleaved-A/B'd here and read consistently ~10% WORSE
+    # (1.35/1.30/1.19 s → 1.47/1.46/1.35 across 3 alternations): the
+    # Observation.get listener-bus wait costs more than this collect —
+    # a ≤max_arms-row read off already-pinned local blocks. The
+    # observe-ride boundary refined again: it beats a separate job
+    # that re-aggregates; it loses to a tiny straight collect.
     cnt = eager_checkpoint(cnt)
     observed = [r["arm"] for r in cnt.select("arm").collect()]
     if len(observed) > max_arms:

@@ -844,38 +844,72 @@ def calibration_bins(
     cannot drift; terminal round(6)."""
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
+    grid = _calibration_grid(df, score_col, label_col, bins)
+    return grid.select(
+        "bin",
+        "n",
+        F.round(
+            F.col("__sm").cast("double")
+            / (F.col("n").cast("double") * F.lit(1e6)),
+            6,
+        ).alias("mean_score"),
+        F.round(
+            F.col("__np").cast("double") / F.col("n").cast("double"), 6
+        ).alias("frac_pos"),
+    )
+
+
+def _calibration_grid(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int,
+    with_sq: bool = False,
+) -> DataFrame:
+    """Shared single-pass grid for :func:`calibration_bins` /
+    :func:`calibration_summary`: the per-bin integer aggregates
+    (bin, n, __sm, __np[, __sq]) with out-of-range rows routed to a
+    sentinel bin -1 INSIDE the same aggregation, checkpointed
+    (≤ bins+1 rows) with the sentinel-row count riding the
+    checkpoint's own job via observe(). The previous shape paid a
+    separate limit(1).count() guard pass over the full scored frame
+    BEFORE the aggregate — two corpus scans per grid; folding the
+    EXACT guard predicate into the grouping key makes the grid ONE
+    pass and raises in exactly the same cases (any non-null row with
+    score outside [0, 1] or label outside {0, 1}); valid rows land in
+    the same bins and carry the same integer aggregates, and the
+    sentinel row (present only on the raise path) never escapes."""
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint_observed
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
     base = df.filter(s.isNotNull() & y.isNotNull())
-    bad = base.filter(
-        (s < 0) | (s > 1) | ~y.isin(0, 1)
-    ).limit(1).count()
-    if bad:
+    bad = (s < 0) | (s > 1) | ~y.isin(0, 1)
+    b = F.when(bad, F.lit(-1)).otherwise(
+        F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
+    )
+    micro = F.round(s * F.lit(1e6)).cast("decimal(38,0)")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(micro).alias("__sm"),
+        F.sum(y.cast("long")).cast("long").alias("__np"),
+    ]
+    if with_sq:
+        sq = micro - (
+            y.cast("decimal(38,0)") * F.lit(1000000).cast("decimal(38,0)")
+        )
+        aggs.append(F.sum((sq * sq).cast("decimal(38,0)")).alias("__sq"))
+    grid, got = eager_checkpoint_observed(
+        base.groupBy(b.alias("bin")).agg(*aggs),
+        F.count(F.when(F.col("bin") == -1, 1)).alias("nbad"),
+    )
+    if got["nbad"]:
         raise ValueError(
             f"calibration_bins: {score_col} must lie in [0, 1] and "
             f"{label_col} in {{0, 1}}")
-    b = F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
-    micro = F.round(s * F.lit(1e6)).cast("decimal(38,0)")
-    return (
-        base.groupBy(b.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(micro).alias("__sm"),
-            F.sum(y.cast("long")).cast("long").alias("__np"),
-        )
-        .select(
-            "bin",
-            "n",
-            F.round(
-                F.col("__sm").cast("double")
-                / (F.col("n").cast("double") * F.lit(1e6)),
-                6,
-            ).alias("mean_score"),
-            F.round(
-                F.col("__np").cast("double") / F.col("n").cast("double"), 6
-            ).alias("frac_pos"),
-        )
-    )
+    return grid.filter(F.col("bin") >= 0)
 
 
 def calibration_summary(
@@ -889,50 +923,50 @@ def calibration_summary(
     :func:`calibration_bins` grid (Naeini et al. 2015's expected
     calibration error); Brier = mean squared (score − label). Both
     reduce over exact integers before ONE terminal float division:
-    ECE folds per-bin |Δ|·n micro-units into a long sum over a
-    bins-sized frame; Brier accumulates (score_micro − y·1e6)² in
-    decimal(38,0) alongside the bin aggregate — so the whole scorecard
-    is the same single scan :func:`calibration_bins` pays, plus a
-    bins-sized reduction."""
-    grid = calibration_bins(df, score_col, label_col, bins)
-    s = F.col(score_col).cast("double")
-    y = F.col(label_col).cast("int")
-    base = df.filter(s.isNotNull() & y.isNotNull())
-    sq = (
-        F.round(s * F.lit(1e6)).cast("decimal(38,0)")
-        - (y.cast("decimal(38,0)") * F.lit(1000000).cast("decimal(38,0)"))
+    ECE folds per-bin |Δ|·n micro-units into a long sum over the
+    bins-sized grid; Brier's (score_micro − y·1e6)² decimal(38,0)
+    sum rides the SAME per-bin aggregate (``__sq`` — grouping cannot
+    change an exact integer sum), so the whole scorecard is ONE scan
+    of the scored frame plus a bins-sized reduction (r13: the old
+    shape paid the guard scan + two more subtree scans — brier's
+    global agg and the grid's — inside one action)."""
+    grid = _calibration_grid(df, score_col, label_col, bins, with_sq=True)
+    # the rounded per-bin readouts, bit-identical to calibration_bins'
+    # output columns (same integer inputs, same expressions)
+    mean_score = F.round(
+        F.col("__sm").cast("double")
+        / (F.col("n").cast("double") * F.lit(1e6)),
+        6,
     )
-    brier = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum((sq * sq).cast("decimal(38,0)")).alias("__sq"),
+    frac_pos = F.round(
+        F.col("__np").cast("double") / F.col("n").cast("double"), 6
     )
     # per-bin |Δ|·n in micro-units as LONG (bins-sized frame; |Δ| ≤ 1 so
     # the term is ≤ n·1e6 — overflow would need 9e12 rows in one bin,
     # at which point the Brier decimal path is the binding contract)
-    ece = grid.agg(
+    one = grid.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+        F.sum("__sq").alias("__sq"),
         F.sum(
             F.round(
-                F.abs(F.col("frac_pos") - F.col("mean_score"))
+                F.abs(frac_pos - mean_score)
                 * F.col("n").cast("double") * F.lit(1e6)
             ).cast("long")
         ).alias("__e"),
         F.sum("n").cast("long").alias("__gn"),
     )
-    return (
-        brier.crossJoin(F.broadcast(ece))  # two 1-row stats frames
-        .select(
-            "n",
-            F.round(
-                F.col("__e").cast("double")
-                / (F.col("__gn").cast("double") * F.lit(1e6)),
-                6,
-            ).alias("ece"),
-            F.round(
-                F.col("__sq").cast("double")
-                / (F.col("n").cast("double") * F.lit(1e12)),
-                6,
-            ).alias("brier"),
-        )
+    return one.select(
+        "n",
+        F.round(
+            F.col("__e").cast("double")
+            / (F.col("__gn").cast("double") * F.lit(1e6)),
+            6,
+        ).alias("ece"),
+        F.round(
+            F.col("__sq").cast("double")
+            / (F.col("n").cast("double") * F.lit(1e12)),
+            6,
+        ).alias("brier"),
     )
 
 

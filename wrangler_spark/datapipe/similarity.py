@@ -1300,12 +1300,20 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    codes_only: bool = False,
 ) -> DataFrame:
     """Encode vectors against a pq_train codebook: ``out_col`` becomes
     an array<int> of m dense centroid indices (subspace order). The
     compressed corpus representation pq_topk scores WITHOUT reading the
     vectors — persist (id, pq_code) and drop the float column for the
-    64x storage cut. Nearest-centroid per subspace = broadcast join +
+    64x storage cut. ``codes_only=True`` returns just (id, code) rows
+    for consumers that never read the original columns (pq_topk's ADC
+    scan, a persisted codes write): it skips the join-back below, which
+    at corpus scale is a second full scan of ``df`` plus a corpus-sized
+    join spent re-attaching columns the consumer immediately drops —
+    identical (id, code) pairs under the family's unique-non-null-id
+    contract (r13 session 5; plan evidence in plans/r13/). Nearest-
+    centroid per subspace = broadcast join +
     min-struct hash aggregate (one row per (vec, subspace) crosses the
     shuffle; never a rank window). Ties round-6dp to the lower cid,
     matching training.
@@ -1359,6 +1367,8 @@ def pq_encode(
             ]).alias(out_col),
         )
     )
+    if codes_only:
+        return codes.select(F.col("__id").alias(id_col), F.col(out_col))
     return df.join(codes, F.col(id_col) == F.col("__id"), "left").drop("__id")
 
 
