@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wrangler_spark import Pipeline
+from wrangler_spark.datapipe._local import local_table
 
 
 _TS_UNIT_CACHE: dict[str, str] = {}
@@ -555,12 +556,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk": lambda s, d: curation.chunk_documents(docs(s, d), "doc_id", "text", 64, 8),
         "text_bm25_topk": lambda s, d: text.bm25_topk(
             docs(s, d),
-            s.createDataFrame(_BM25_QUERIES, "query_id long, query string"),
+            local_table(s, _BM25_QUERIES, "query_id long, query string"),
             "doc_id", "text", 10,
         ),
         "text_bm25": lambda s, d: text.bm25_scores(
             docs(s, d),
-            s.createDataFrame(_BM25_QUERIES, "query_id long, query string"),
+            local_table(s, _BM25_QUERIES, "query_id long, query string"),
             "doc_id", "text",
         ),
         "dedup_simhash": lambda s, d: dedup.simhash(docs(s, d), "doc_id", "text", 32),
@@ -1170,7 +1171,7 @@ def _q_cms_counts(spark, sf_dir):
     sketch = curation.cms_sketch(ev, "user_id", depth=4, width=512)
     probes = spark.range(20).select(
         F.col("id").cast("string").alias("user_id")
-    ).union(spark.createDataFrame([("ghost",)], "user_id string"))
+    ).union(local_table(spark, [("ghost",)], "user_id string"))
     return curation.cms_estimate(sketch, probes, "user_id", depth=4, width=512)
 
 
@@ -1879,7 +1880,8 @@ def _q_transient_variables(spark, sf_dir):
         "increment-variable n_rows 1 exp:{ o_totalprice >= 0.0 }"
     ).transform(_t(spark, sf_dir, "orders"))
     res.df.count()  # the read-at-end action (Observation semantics)
-    return spark.createDataFrame(
+    return local_table(
+        spark,
         [(int(res.variable("n_big")), int(res.variable("n_rows")))],
         "n_big long, n_rows long")
 

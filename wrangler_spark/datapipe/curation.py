@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from wrangler_spark.datapipe._local import local_table
+
 from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
 
 # --- PII patterns (cf. the public BigScience/ROOTS and Dolma scrubbing
@@ -1165,7 +1167,7 @@ def train_quality_classifier(
     # present-buckets-only table dropped the same rows at the join
     # instead. Only the returned table's row set widens (zero rows for
     # never-seen buckets), which no score can observe.
-    w = feats.sparkSession.createDataFrame(
+    w = local_table(feats.sparkSession, 
         [(b, 0) for b in range(-1, B)], schema="b long, w long"
     )
     for _ in range(int(iters)):
@@ -1290,7 +1292,7 @@ def train_and_score_quality_classifier(
     # r13 batch 16: literal zero-weight table over ALL buckets — see
     # train_quality_classifier for the score-identity argument; this
     # removes the w0 feats-scan + distinct + checkpoint job.
-    w = feats.sparkSession.createDataFrame(
+    w = local_table(feats.sparkSession, 
         [(b, 0) for b in range(-1, B)], schema="b long, w long"
     )
     for _ in range(int(iters)):
@@ -1593,7 +1595,7 @@ def keyword_tag(
 
     spark = df.sparkSession
     if not isinstance(keywords, DataFrame):
-        keywords = spark.createDataFrame([(k,) for k in keywords], f"{kw_col} string")
+        keywords = local_table(spark, [(k,) for k in keywords], f"{kw_col} string")
     kw = keywords.select(
         normalize_text(F.col(keywords.columns[0])).alias("__kw")
     ).filter(F.length("__kw") > 0).distinct()
@@ -1601,7 +1603,7 @@ def keyword_tag(
     lengths = sorted(r["__m"] for r in kw.select("__m").distinct().collect())
     if not lengths:  # empty dictionary: no matches, keep the output contract
         spark2 = df.sparkSession
-        return spark2.createDataFrame(
+        return local_table(spark2, 
             [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
                 f"{kw_col} string, n_hits long"
         )
@@ -2155,7 +2157,7 @@ def corpus_overlap(
     nu = a.unionByName(b).agg(cdist(F.col("__k")).alias("n")).collect()[0]["n"]
     ni = max(na + nb - nu, 0)
     spark = df_a.sparkSession
-    return spark.createDataFrame(
+    return local_table(spark, 
         [(int(na), int(nb), int(nu), int(ni),
           round(ni / nu, 6) if nu else 0.0)],
         "n_a long, n_b long, n_union long, n_intersect long, jaccard double",

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wrangler_spark.datapipe._local import local_table
+
 from wrangler_spark.datapipe._checkpoint import eager_checkpoint, release
 from wrangler_spark.datapipe.constants import (
     HYPERPLANES,
@@ -953,7 +955,7 @@ def _plane_sigs(
     if broadcast_planes is None:
         broadcast_planes = len(planes[0]) > 128
     if broadcast_planes:
-        pl = df.sparkSession.createDataFrame(
+        pl = local_table(df.sparkSession, 
             [([[float(x) for x in p] for p in planes],)],
             "pls ARRAY<ARRAY<DOUBLE>>",
         )
@@ -1367,7 +1369,7 @@ def lsh_sweep(
         rows.append((int(b), int(r), m["approx_pairs"], m["exact_pairs"],
                      m["hits"], m["precision"], m["recall"]))
     release(truth)
-    return spark.createDataFrame(
+    return local_table(spark, 
         rows,
         "bands int, rows_per_band int, approx_pairs long, exact_pairs long, "
         "hits long, precision double, recall double",
@@ -1416,7 +1418,7 @@ def embedding_sweep(
         rows.append((int(n), m["approx_pairs"], m["exact_pairs"],
                      m["hits"], m["precision"], m["recall"]))
     release(truth)
-    return spark.createDataFrame(
+    return local_table(spark, 
         rows,
         "n_planes int, approx_pairs long, exact_pairs long, "
         "hits long, precision double, recall double",
@@ -1550,7 +1552,7 @@ def bloom_write_index(
         return
     vdir = _layout.begin_version(spark, path)
     bloom_words(keys, "__k", bits, num_hashes).write.parquet(f"{vdir}/words")
-    spark.createDataFrame(
+    local_table(spark, 
         [(int(bits), int(num_hashes), _BLOOM_SCHEME)],
         "bits long, num_hashes int, scheme int",
     ).write.parquet(f"{vdir}/meta")
@@ -1752,7 +1754,7 @@ def minhash_write_index(
     # a live index's meta (it used to, pre-_sig_bands-validation)
     _check_lsh_geometry(int(bands), int(rows_per_band))
     vdir = _layout.begin_version(spark, path)
-    spark.createDataFrame(
+    local_table(spark, 
         [(int(bands), int(rows_per_band))], "bands int, rows_per_band int"
     ).write.parquet(f"{vdir}/meta")
     if sweep is not None:
@@ -1957,7 +1959,7 @@ def embedding_write_index(
     sigs_o.select(
         F.col("id").alias("id_old"), F.col("v").alias("__vo")
     ).write.parquet(f"{vdir}/vectors")
-    spark.createDataFrame(
+    local_table(spark, 
         [([[float(x) for x in p] for p in planes],)], "planes ARRAY<ARRAY<DOUBLE>>"
     ).write.parquet(f"{vdir}/meta")
     if sweep is not None:

@@ -46,6 +46,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wrangler_spark.datapipe._local import local_table
+
 from wrangler_spark.datapipe._checkpoint import (
     eager_checkpoint,
     eager_checkpoint_observed,
@@ -626,7 +628,7 @@ def retention_write_state(
         _activity_pairs(df, user_col, ts_col, period_days, calendar)
         .write.partitionBy("__b").parquet(f"{vdir}/pairs")
     )
-    spark.createDataFrame(
+    local_table(spark, 
         [(int(period_days), calendar or "", 2)],
         "period_days int, calendar string, state_version int",
     ).write.parquet(f"{vdir}/meta")
@@ -679,7 +681,7 @@ def retention_init_state(
     from wrangler_spark.datapipe import _layout
 
     vdir = _layout.begin_version(spark, path)
-    spark.createDataFrame(
+    local_table(spark, 
         [(int(period_days), calendar or "", 2)],
         "period_days int, calendar string, state_version int",
     ).write.parquet(f"{vdir}/meta")
@@ -875,7 +877,7 @@ def funnel_init_state(
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
     vdir = _layout.begin_version(spark, path)
-    spark.createDataFrame(
+    local_table(spark, 
         [(list(map(str, steps)),
           float(within_minutes) if within_minutes is not None else None, 1)],
         "steps array<string>, within_minutes double, state_version int",
@@ -1038,7 +1040,7 @@ def funnel_from_state(spark, path: str, version: int | None = None) -> DataFrame
     from wrangler_spark.datapipe import _layout
 
     root = _layout.resolve(spark, path, version)
-    steps_df = spark.createDataFrame(
+    steps_df = local_table(spark, 
         [(i + 1, s) for i, s in enumerate(steps)], "step long, event_type string"
     )
     cur = _funnel_slots_current(spark, root)
@@ -2479,7 +2481,7 @@ def srm_check(
                 "ratios — an unplanned arm is itself a mismatch")
     sw = float(sum(ratios.values()))
     spark = df.sparkSession
-    exp = spark.createDataFrame(
+    exp = local_table(spark, 
         [(a, float(w)) for a, w in sorted(ratios.items())],
         "arm string, w double")
     tot = cnt.agg(F.sum("users").cast("long").alias("n"))

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wrangler_spark.datapipe._local import local_table
+
 from pyspark.sql import Observation
 
 from ._checkpoint import eager_checkpoint, eager_checkpoint_observed, release
@@ -571,7 +573,7 @@ def graph_khop(
         )
     e = eager_checkpoint(e.distinct().repartition("__s"))
     spark = edges.sparkSession
-    seed_df = spark.createDataFrame(
+    seed_df = local_table(spark, 
         [(str(s),) for s in sorted({str(s) for s in seeds})], "__n string"
     )
     # the empty-frontier early-exit count rides each frontier
@@ -767,7 +769,7 @@ def graph_sssp(
             "Bellman-Ford with bounded rounds needs non-negative costs")
     spark = edges.sparkSession
     dist = eager_checkpoint(
-        spark.createDataFrame(
+        local_table(spark, 
             [(str(s),) for s in sorted({str(s) for s in seeds})],
             "__n string",
         ).select("__n", F.lit(0).cast("long").alias("__dm"))

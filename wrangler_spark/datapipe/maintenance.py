@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from wrangler_spark.datapipe._local import local_table
+
 from wrangler_spark.datapipe import _layout
 from wrangler_spark.datapipe._layout import vacuum as vacuum_index  # noqa: F401  (public re-export)
 from wrangler_spark.datapipe._layout import snapshots  # noqa: F401  (public re-export: time-travel listing)
@@ -344,7 +346,7 @@ def forget_ids(spark: SparkSession, path: str, values, key: str) -> None:
         if isinstance(values, _DF):
             tomb = values.select(F.col(values.columns[0]).cast("string").alias("__forget"))
         else:
-            tomb = spark.createDataFrame(
+            tomb = local_table(spark, 
                 [(str(v),) for v in values], "__forget string"
             )
         tomb.distinct().write.mode("append").parquet(f"{root}/tombstones")

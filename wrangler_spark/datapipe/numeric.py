@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from wrangler_spark.datapipe._local import local_table
+
 
 def _pctl(col: str, p: float, exact: bool, accuracy: int):
     """Exact type-7 percentile (the lp-buckets cross-engine contract)
@@ -333,7 +335,7 @@ def quantiles_from_histogram(
         ).alias("__h"),
         F.coalesce(F.sum("count"), F.lit(0)).alias("__tot"),
     )
-    pf = hist.sparkSession.createDataFrame(
+    pf = local_table(hist.sparkSession, 
         [(float(q),) for q in probs], "prob double"
     )
     rank = F.ceil(F.col("prob") * F.col("__tot"))
@@ -518,7 +520,7 @@ def quantiles_sketched_by(
         ).alias("__h"),
         F.sum("count").alias("__tot"),
     )
-    pf = df.sparkSession.createDataFrame(
+    pf = local_table(df.sparkSession, 
         [(float(q),) for q in probs], "prob double"
     )
     rank = F.ceil(F.col("prob") * F.col("__tot"))
@@ -1301,7 +1303,7 @@ def benford_deviation(df: DataFrame, col: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("observed"))
     )
     spark = df.sparkSession
-    expected = spark.createDataFrame(
+    expected = local_table(spark, 
         [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
         "digit int, expected_p double")
     full = (

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wrangler_spark.datapipe._local import local_table
+
 
 def _as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
@@ -668,7 +670,7 @@ def ivf_tune_nprobe(
         ).collect()[0]
         rows.append((np_, float(r["recall"]), int(r["n_queries"])))
     release(truth)
-    sweep = spark.createDataFrame(rows, "nprobe int, recall double, n_queries long")
+    sweep = local_table(spark, rows, "nprobe int, recall double, n_queries long")
     ok = [n for n, rec, _ in rows if rec >= float(recall_target)]
     return (ok[0] if ok else cand[-1]), sweep
 
@@ -936,7 +938,7 @@ def embedding_project(
     if broadcast_signs is None:
         broadcast_signs = dim_in * dim_out > 8192
     if broadcast_signs:
-        pl = df.sparkSession.createDataFrame(
+        pl = local_table(df.sparkSession, 
             [([[float(x) for x in r] for r in signs],)], "__sgn ARRAY<ARRAY<DOUBLE>>"
         )
         proj = F.transform(
@@ -1239,7 +1241,7 @@ def pq_train(
                 zv = None if v is None else list(v[j * sub:(j + 1) * sub])
                 data.append((j, cid, zv))
             cid += 1
-        return spark.createDataFrame(
+        return local_table(spark, 
             data, schema="m int, cid int, zv array<double>"
         )
     else:
