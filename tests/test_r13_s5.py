@@ -141,3 +141,24 @@ def test_pq_encode_codes_only_matches_join_path(spark):
         ).collect()
     }
     assert codes == joined
+
+
+def test_corr_matrix_fused_probe_paths_agree(spark):
+    """The fused probe's shared-moments fast path (null-free input)
+    and the exact pairwise path (any null present) produce identical
+    correlations: an appended all-columns-null row is dropped from
+    every pair by pairwise deletion, so both frames carry the same
+    moments while exercising opposite branches."""
+    from wrangler_spark.datapipe.numeric import corr_matrix
+
+    clean = spark.range(500).selectExpr(
+        "cast(id % 7 as double) a",
+        "cast(id % 13 as double) b",
+        "cast(id * id % 31 as double) c")
+    with_null_row = clean.unionByName(spark.sql(
+        "SELECT cast(null as double) a, cast(null as double) b, "
+        "cast(null as double) c"))
+    fast = sorted(map(tuple, corr_matrix(clean, ["a", "b", "c"]).collect()))
+    exact = sorted(map(tuple, corr_matrix(
+        with_null_row, ["a", "b", "c"]).collect()))
+    assert fast == exact

@@ -745,37 +745,55 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     # whole cost of the scan (measured sf0.1, k=4: 3.4 s for the 36
     # pairwise aggregates vs 0.45 s for the scan itself). Pairwise
     # deletion only DIFFERS from shared per-column moments when some
-    # row is null in one column of a pair and not the other — so probe
-    # the null counts first with a cheap all-long pass (count + k
-    # conditional sums), and when every profiled column is null-free
-    # (the common shape for quality-score tables) aggregate k·2 + k(k−1)/2
-    # shared moments instead of 6·k(k−1)/2 pairwise ones: identical
-    # integers by construction (every `both` predicate is TRUE), same
-    # expression types, bit-identical corr. Any null anywhere falls
-    # back to the exact pairwise path unchanged. Costs one extra
-    # lightweight scan; saves ~60% of the BigDecimal work.
+    # row is null in one column of a pair and not the other — so when
+    # every profiled column is null-free (the common shape for
+    # quality-score tables) aggregate k·2 + k(k−1)/2 shared moments
+    # instead of 6·k(k−1)/2 pairwise ones: identical integers by
+    # construction (every `both` predicate is TRUE), same expression
+    # types, bit-identical corr. Any null anywhere falls back to the
+    # exact pairwise path unchanged.
+    #
+    # r13 session 5 (measured: the probe job alone was 0.5 s + a
+    # scheduling round-trip next to a 2.0 s moment pass): the null
+    # probe CARRIES the shared moments speculatively, so the null-free
+    # path is ONE scan total — its collected moments feed the same
+    # corr expressions through a 1-row LocalRelation (exact decimals;
+    # Arrow carries decimal128 untouched). The nulls path re-runs the
+    # exact pairwise aggregate as before and discards the speculative
+    # shared moments — the documented trade: that path pays ~40% of
+    # one extra pass, while the dominant null-free shape saves a full
+    # scan + a scheduled job.
+    shared_aggs = [F.count("*").cast("long").alias("__nall")]
+    for j in range(k):
+        cj = F.col(f"__c{j}")
+        shared_aggs += [
+            F.sum(cj.cast("decimal(38,0)")).cast("decimal(38,0)").alias(f"__s{j}"),
+            F.sum((dec(cj) * dec(cj)).cast("decimal(38,0)")).alias(f"__q{j}"),
+        ]
+    for i, (a, b) in enumerate(pairs):
+        ca, cb = F.col(midx[a]), F.col(midx[b])
+        shared_aggs.append(
+            F.sum((dec(ca) * dec(cb)).cast("decimal(38,0)")).alias(f"__x{i}"))
     probe = staged.agg(
-        F.count("*").cast("long").alias("__n"),
         *[F.sum(F.when(F.col(f"__c{j}").isNull(), 1).otherwise(0))
           .cast("long").alias(f"__nl{j}") for j in range(k)],
+        *shared_aggs,
     ).collect()[0]
     no_nulls = all(probe[f"__nl{j}"] == 0 for j in range(k))
-    aggs = []
     if no_nulls:
-        # shared moments: S_j, SS_j per column + one cross product per
-        # pair + the row count (decimal(38,0) exactly as the pairwise
-        # path — same magnitude bound, documented below)
-        aggs.append(F.count("*").cast("long").alias("__nall"))
-        for j in range(k):
-            cj = F.col(f"__c{j}")
-            aggs += [
-                F.sum(cj.cast("decimal(38,0)")).cast("decimal(38,0)").alias(f"__s{j}"),
-                F.sum((dec(cj) * dec(cj)).cast("decimal(38,0)")).alias(f"__q{j}"),
-            ]
-        for i, (a, b) in enumerate(pairs):
-            ca, cb = F.col(midx[a]), F.col(midx[b])
-            aggs.append(F.sum((dec(ca) * dec(cb)).cast("decimal(38,0)")).alias(f"__x{i}"))
+        from wrangler_spark.datapipe._local import local_table
+
+        names = ["__nall"] + [
+            n for j in range(k) for n in (f"__s{j}", f"__q{j}")
+        ] + [f"__x{i}" for i in range(len(pairs))]
+        ddl = ", ".join(
+            f"{n} {'long' if n == '__nall' else 'decimal(38,0)'}"
+            for n in names
+        )
+        one = local_table(
+            df.sparkSession, [tuple(probe[n] for n in names)], ddl)
     else:
+        aggs = []
         for i, (a, b) in enumerate(pairs):
             ca, cb = F.col(midx[a]), F.col(midx[b])
             both = ca.isNotNull() & cb.isNotNull()
@@ -794,7 +812,7 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
                 F.sum((dec(mb) * dec(mb)).cast("decimal(38,0)")).alias(f"__sbb{i}"),
                 F.sum((dec(ma) * dec(mb)).cast("decimal(38,0)")).alias(f"__sab{i}"),
             ]
-    one = staged.agg(*aggs)
+        one = staged.agg(*aggs)
     jdx = {c: j for j, c in enumerate(cols)}
     rows = []
     for i, (a, b) in enumerate(pairs):
