@@ -1138,10 +1138,21 @@ def train_quality_classifier(
     B = int(buckets)
     lab = lambda df, y: _hashed_ngram_features(df, id_col, text_col, B).select(  # noqa: E731
         "__id", "b"
-    ).distinct().withColumn("__y", F.lit(y))
-    feats = lab(pos, 1).unionByName(lab(neg, 0))
-    # the always-on bias bucket, one per doc
-    docs = feats.select("__id", "__y").distinct()
+    ).withColumn("__y", F.lit(y))
+    hashed = lab(pos, 1).unionByName(lab(neg, 0))
+    # r14: ONE aggregation builds the distinct feature set AND the bias
+    # row per (doc, class) — collect_set subsumes the per-side
+    # .distinct(), and exploding bucket-set ∪ {-1} subsumes the docs
+    # bias union. The old shape evaluated the corpus hash explode TWICE
+    # (the lazy `docs = feats.select(...).distinct()` branch re-derived
+    # both hash subtrees inside the union) and paid three exchanges
+    # (distinct per side + the docs distinct) before the repartition;
+    # this is one hash pass and one exchange. Row-set identical: per
+    # (doc, class) the exploded set is exactly the old distinct rows,
+    # and -1 (outside pmod's [0, B) range) is the old one-per-doc bias
+    # row. Grouping keeps __y so a doc deliberately placed in BOTH
+    # classes (the documented two-frame case) still gets both groups.
+    perdoc = hashed.groupBy("__id", "__y").agg(F.collect_set("b").alias("__bs"))
     # pin the per-doc hash partitioning BEFORE the checkpoint: every
     # iteration's error join keys on __id, so the (much larger) feature
     # side then reuses the checkpoint's partitioning instead of
@@ -1150,8 +1161,11 @@ def train_quality_classifier(
     from wrangler_spark.datapipe._checkpoint import eager_checkpoint_observed
 
     feats, got = eager_checkpoint_observed(
-        feats.unionByName(docs.select("__id", F.lit(-1).alias("b"), "__y"))
-        .repartition("__id"),
+        perdoc.select(
+            "__id",
+            F.explode(F.array_append("__bs", F.lit(-1).cast("long"))).alias("b"),
+            "__y",
+        ).repartition("__id"),
         # doc count = the number of b=-1 bias rows (one per doc) — rides
         # the checkpoint's own job instead of a second docs.count() pass
         F.count(F.when(F.col("b") == -1, 1)).alias("nd"),
@@ -1167,9 +1181,16 @@ def train_quality_classifier(
     # present-buckets-only table dropped the same rows at the join
     # instead. Only the returned table's row set widens (zero rows for
     # never-seen buckets), which no score can observe.
-    w = local_table(feats.sparkSession, 
-        [(b, 0) for b in range(-1, B)], schema="b long, w long"
-    )
+    # r14: the weight table is PARAMETER-sized (B+1 rows) — hold it as a
+    # driver literal and run each iteration as ONE collect job instead
+    # of eager_checkpoint + a broadcast-build job per iteration (the
+    # pq_train(iters=0) local-codebook precedent). Every arithmetic step
+    # stays in Spark expressions (the update select below), so the
+    # collected longs are the bit-identical checkpoint rows; the next
+    # iteration's broadcast(w) is a jobless LocalTableScan read.
+    spark = pos.sparkSession
+    w_rows = [(b, 0) for b in range(-1, B)]
+    w = local_table(spark, w_rows, schema="b long, w long")
     for _ in range(int(iters)):
         margins = (
             feats.join(F.broadcast(w), "b")
@@ -1186,25 +1207,19 @@ def train_quality_classifier(
             .groupBy("b")
             .agg(F.sum("__e").alias("__g"))
         )
-        prev_w = w
-        w = eager_checkpoint(
-            w.join(grad, "b", "left")
-            .select(
-                "b",
-                (
-                    F.col("w")
-                    - F.round(
-                        F.lit(float(lr)) * F.coalesce(F.col("__g"), F.lit(0)).cast("double") / F.lit(float(n_docs))
-                    ).cast("long")
-                ).alias("w"),
-            )
+        upd = w.join(grad, "b", "left").select(
+            "b",
+            (
+                F.col("w")
+                - F.round(
+                    F.lit(float(lr)) * F.coalesce(F.col("__g"), F.lit(0)).cast("double") / F.lit(float(n_docs))
+                ).cast("long")
+            ).alias("w"),
         )
-        # this iteration's weights are fully materialized; the superseded
-        # iteration's blocks are dead — release instead of leaking one
-        # checkpoint per iteration (the r7-measured session leak)
-        release(prev_w)
-    # the returned weight table is the only checkpoint the caller still
-    # reads; the features fed their last gradient above
+        w_rows = sorted((r["b"], r["w"]) for r in upd.collect())
+        w = local_table(spark, w_rows, schema="b long, w long")
+    # the features fed their last gradient above; the returned weight
+    # table is a local relation — nothing left checkpointed here
     release(feats)
     return w
 
@@ -1273,28 +1288,45 @@ def train_and_score_quality_classifier(
         F.col(text_col).alias("__btext"),
         F.col(label_col).cast("int").alias("__y"),
     )
-    feats = _hashed_ngram_features(
+    hashed = _hashed_ngram_features(
         base, "__bid", "__btext", B, extra_cols=["__y"]
-    ).select("__id", "b", "__y").distinct()
-    docs = feats.select("__id", "__y").distinct()
-    # same partition pinning as train_quality_classifier (guide §2.4);
-    # the doc count = the number of b=-1 bias rows the union adds
-    # (exactly one per doc), so it rides the feature checkpoint's own
-    # job via observe() instead of a second docs.count() pass
+    ).select("__id", "b", "__y")
+    # r14: ONE aggregation replaces distinct + docs-distinct +
+    # repartition — the lazy `docs` branch re-derived the whole corpus
+    # hash explode inside the union (no cross-branch reuse within one
+    # action), so the old build hashed the corpus twice and paid three
+    # exchanges. collect_set(b) per doc IS the distinct feature set,
+    # exploding set ∪ {-1} adds the one bias row per doc, and max(__y)
+    # is THE label under the documented functional-dependence contract
+    # (one label per doc). groupBy("__id") alone keeps the aggregate's
+    # HashPartitioning(__id), which select/explode preserve into the
+    # checkpoint — the GD loop's margins aggregate and error join then
+    # run exchange-free (guide §2.4), with no repartition needed.
+    perdoc = hashed.groupBy("__id").agg(
+        F.max("__y").alias("__y"), F.collect_set("b").alias("__bs")
+    )
+    # the doc count = the number of b=-1 bias rows (exactly one per
+    # doc), riding the feature checkpoint's own job via observe()
     from wrangler_spark.datapipe._checkpoint import eager_checkpoint_observed
 
     feats, got = eager_checkpoint_observed(
-        feats.unionByName(docs.select("__id", F.lit(-1).alias("b"), "__y"))
-        .repartition("__id"),
+        perdoc.select(
+            "__id",
+            F.explode(F.array_append("__bs", F.lit(-1).cast("long"))).alias("b"),
+            "__y",
+        ),
         F.count(F.when(F.col("b") == -1, 1)).alias("nd"),
     )
     n_docs = got["nd"]
     # r13 batch 16: literal zero-weight table over ALL buckets — see
     # train_quality_classifier for the score-identity argument; this
     # removes the w0 feats-scan + distinct + checkpoint job.
-    w = local_table(feats.sparkSession, 
-        [(b, 0) for b in range(-1, B)], schema="b long, w long"
-    )
+    # r14 driver-literal weight state — see train_quality_classifier:
+    # one collect job per iteration, arithmetic all in Spark
+    # expressions, broadcast(w) a jobless LocalTableScan read.
+    spark = df.sparkSession
+    w_rows = [(b, 0) for b in range(-1, B)]
+    w = local_table(spark, w_rows, schema="b long, w long")
     for _ in range(int(iters)):
         margins = (
             feats.join(F.broadcast(w), "b")
@@ -1311,28 +1343,30 @@ def train_and_score_quality_classifier(
             .groupBy("b")
             .agg(F.sum("__e").alias("__g"))
         )
-        prev_w = w
-        w = eager_checkpoint(
-            w.join(grad, "b", "left")
-            .select(
-                "b",
-                (
-                    F.col("w")
-                    - F.round(
-                        F.lit(float(lr)) * F.coalesce(F.col("__g"), F.lit(0)).cast("double") / F.lit(float(n_docs))
-                    ).cast("long")
-                ).alias("w"),
-            )
+        upd = w.join(grad, "b", "left").select(
+            "b",
+            (
+                F.col("w")
+                - F.round(
+                    F.lit(float(lr)) * F.coalesce(F.col("__g"), F.lit(0)).cast("double") / F.lit(float(n_docs))
+                ).cast("long")
+            ).alias("w"),
         )
-        release(prev_w)
-    # scoring feature stream == the training features minus the label,
-    # with the per-doc bias rows re-derived from df (the separate score
-    # path emits a bias row for EVERY doc, including feature-less ones)
-    score_feats = feats.select("__id", "b").filter(F.col("b") != -1).unionByName(
-        df.select(F.col(id_col).alias("__id"), F.lit(-1).alias("b"))
-    )
+        w_rows = sorted((r["b"], r["w"]) for r in upd.collect())
+        w = local_table(spark, w_rows, schema="b long, w long")
+    # r14 scoring pass: the checkpointed features ALREADY carry one bias
+    # row per feature-bearing doc, so score directly off them — no
+    # union with a df-derived bias stream, which broke the checkpoint's
+    # __id partitioning and forced a full re-exchange of the feature
+    # stream under the margins aggregate. A feature-LESS doc (empty/
+    # null text) has no feats rows at all; its margin in the separate
+    # path is exactly the bias weight, so it gets the bias-only score
+    # as a literal at the final join (computed with the identical Spark
+    # round/exp expression over the known driver scalar w[-1]). Rows
+    # with a NULL id keep a NULL score exactly as before (the old join
+    # on id == __id never matched them either).
     margins = (
-        score_feats.join(F.broadcast(w), "b")
+        feats.join(F.broadcast(w), "b")
         .groupBy("__id")
         .agg(F.sum("w").alias("__m"))
     )
@@ -1341,6 +1375,10 @@ def train_and_score_quality_classifier(
     )
     scored = eager_checkpoint(margins.select("__id", score.alias(out_col)))
     release(feats)
+    bias_w = int(w_rows[0][1])  # sorted, so row 0 is b = -1
+    bias_score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(bias_w).cast("double") / F.lit(1e6))), 6
+    )
     # the checkpoint erases size stats (an RDD scan estimates at
     # defaultSizeInBytes), so auto-broadcast can never fire on the
     # score join the way it did on the lazy separate-path plan.
@@ -1350,7 +1388,13 @@ def train_and_score_quality_classifier(
     # shuffle join at corpus scale where a doc-count broadcast is the
     # OOM. Same rows either way; join strategy only.
     sc = F.broadcast(scored) if n_docs <= 10_000_000 else scored
-    return df.join(sc, F.col(id_col) == F.col("__id"), "left").drop("__id")
+    out = df.join(sc, F.col(id_col) == F.col("__id"), "left").drop("__id")
+    return out.withColumn(
+        out_col,
+        F.when(
+            F.col(id_col).isNotNull(), F.coalesce(F.col(out_col), bias_score)
+        ).otherwise(F.col(out_col)),
+    )
 
 
 def chunk_documents(
