@@ -57,6 +57,27 @@ def _hash28(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
 
 
+# gated-broadcast ceiling: well inside guide §3.1's "a few hundred MB is
+# usually fine" and far under the 8 GB broadcast hard cap
+_BCAST_BYTES = 128 << 20
+
+
+def _gated_broadcast(df: DataFrame, est_bytes) -> DataFrame:
+    """``F.broadcast(df)`` when a MEASURED size estimate fits in
+    ``_BCAST_BYTES``; otherwise ``df`` unchanged (the shuffle join).
+
+    A checkpointed frame analyzes to a bare RDD scan whose size
+    statistic is defaultSizeInBytes, so auto-broadcast can never fire
+    on it regardless of its real size (the r13 clf-score gate finding).
+    Callers pass an estimate derived from scalars that rode the
+    checkpoint's own materialization job via observe() — real data, not
+    planner guesses — so the hint is only ever forced when the relation
+    genuinely fits, and corpus-scale inputs keep the shuffle join."""
+    if est_bytes is not None and est_bytes <= _BCAST_BYTES:
+        return F.broadcast(df)
+    return df
+
+
 def shingles_of_words(words: Column, k: int = SHINGLE_WORDS) -> Column:
     """Distinct k-word shingles of a tokenized (array<string>) column.
     IMPORTANT: pass a *named column reference*, not an inline split(...)
@@ -547,7 +568,21 @@ def ngram_jaccard_pairs(
         )
         .select("id", "ng", "kept_h", "prefix")
     )
-    per_doc = eager_checkpoint(per_doc)
+    # r14: doc count + total kept-gram count ride the checkpoint job;
+    # 8 B/hash + row overhead bounds the frame's real size, gating the
+    # broadcast hints below (the SMJ-everywhere alternative re-exchanges
+    # the candidate stream once per verify join)
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint_observed
+
+    per_doc, got = eager_checkpoint_observed(
+        per_doc,
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ng").alias("tg"),
+    )
+    pd_est = 48 * (got["n"] or 0) + 8 * (got["tg"] or 0)
+    # the prefix index is a subset of the kept grams (~(1-t)·tg hashes,
+    # 3 narrow columns) — bound it by the same estimate
+    idx_est = pd_est
     # candidate generation is ONE hash aggregation, the same shape as
     # minhash_lsh_pairs: per prefix gram collect the sorted doc-id list
     # and expand pairs natively. A plain index self-join re-emits every
@@ -575,7 +610,7 @@ def ngram_jaccard_pairs(
         cand = (
             index.alias("l")
             .join(
-                index.alias("r"),
+                _gated_broadcast(index.alias("r"), idx_est),
                 (F.col("l.g") == F.col("r.g"))
                 & (F.col("l.id") < F.col("r.id"))
                 & (
@@ -636,10 +671,12 @@ def ngram_jaccard_pairs(
                 cand, max_candidates_per_doc, "__shared"
             ).select("id_a", "id_b")
     pairs = (
-        cand.join(per_doc.select(F.col("id").alias("id_a"), F.col("kept_h").alias("ka"),
-                                 F.col("ng").alias("na")), "id_a")
-        .join(per_doc.select(F.col("id").alias("id_b"), F.col("kept_h").alias("kb"),
-                             F.col("ng").alias("nb")), "id_b")
+        cand.join(_gated_broadcast(
+            per_doc.select(F.col("id").alias("id_a"), F.col("kept_h").alias("ka"),
+                           F.col("ng").alias("na")), pd_est), "id_a")
+        .join(_gated_broadcast(
+            per_doc.select(F.col("id").alias("id_b"), F.col("kept_h").alias("kb"),
+                           F.col("ng").alias("nb")), pd_est), "id_b")
     )
     # r13 (guide §1.2 per-task work, measured 4.0 -> 1.9 s on the sf0.1
     # verify phase): |A∪B| = |A| + |B| − |A∩B| over the distinct hash
@@ -756,11 +793,23 @@ def overlap_pairs(
         )
         .select("id", "ng", "kept_h", "prefix")
     )
-    per_doc = eager_checkpoint(per_doc)
+    # r14: size scalars ride the checkpoint job and gate the broadcast
+    # hints below (see ngram_jaccard_pairs — a checkpointed frame has no
+    # stats, so auto-broadcast can never fire on these joins)
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint_observed
+
+    per_doc, got = eager_checkpoint_observed(
+        per_doc,
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ng").alias("tg"),
+    )
+    pd_est = 48 * (got["n"] or 0) + 8 * (got["tg"] or 0)
     prefix_index = per_doc.select("id", "ng", F.explode("prefix").alias("g"))
     full_index = per_doc.select("id", "ng", F.explode("kept_h").alias("g"))
     cand = (
-        prefix_index.alias("l")
+        # the PREFIX side is the smaller index (~(1-t)·tg hashes) — it
+        # is the build side when the gate fires
+        _gated_broadcast(prefix_index.alias("l"), pd_est)
         .join(
             full_index.alias("r"),
             (F.col("l.g") == F.col("r.g"))
@@ -787,15 +836,15 @@ def overlap_pairs(
         ).select("id_a", "id_b")
     pairs = (
         cand.join(
-            per_doc.select(
+            _gated_broadcast(per_doc.select(
                 F.col("id").alias("id_a"), F.col("kept_h").alias("ka"), F.col("ng").alias("na")
-            ),
+            ), pd_est),
             "id_a",
         )
         .join(
-            per_doc.select(
+            _gated_broadcast(per_doc.select(
                 F.col("id").alias("id_b"), F.col("kept_h").alias("kb"), F.col("ng").alias("nb")
-            ),
+            ), pd_est),
             "id_b",
         )
     )
@@ -1081,6 +1130,20 @@ def connected_components(
     (see minhash_components). Raises RuntimeError if ``max_rounds``
     (default 25 ≈ log^2 of anything storable) rounds don't converge
     rather than returning a partially-contracted graph."""
+    out, _ = _connected_components_sized(pairs, id_a, id_b, max_rounds)
+    return out
+
+
+def _connected_components_sized(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> tuple[DataFrame, int]:
+    """:func:`connected_components` plus the fixpoint edge count, which
+    the loop's observe() fingerprint already knows — the output holds at
+    most 2·n_edges rows, so callers can size-gate a broadcast of it
+    (r14, see minhash_components) without an extra count job."""
     edges = eager_checkpoint(
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("b"),
@@ -1142,9 +1205,10 @@ def connected_components(
         if fp == prev_fp:
             # at the large/small-star fixpoint the edge set is a union of
             # stars: every edge is (member, component-min)
-            return edges.select(F.col("a").alias("id"), F.col("b").alias("component")).union(
+            out = edges.select(F.col("a").alias("id"), F.col("b").alias("component")).union(
                 edges.select(F.col("b").alias("id"), F.col("b").alias("component")).distinct()
             )
+            return out, int(got["c"] or 0)
         prev_fp = fp
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds; "
@@ -1176,10 +1240,17 @@ def minhash_components(
     (rare) pair edges only; the final left join back to the corpus is on
     the corpus' own id key."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, max_bucket_size)
-    cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed("id", "__cc_id")
+    cc, n_edges = _connected_components_sized(pairs, "id_a", "id_b")
+    cc = cc.withColumnRenamed("id", "__cc_id")
+    # r14: the components frame holds ≤ 2·n_edges narrow rows; when that
+    # fits, broadcast it so the CORPUS side of the join-back never
+    # exchanges (the checkpoint-derived frame has no stats, so
+    # auto-broadcast could not fire — _gated_broadcast)
     out = (
         df.select(F.col(id_col))
-        .join(cc, F.col(id_col) == F.col("__cc_id"), "left")
+        .join(
+            _gated_broadcast(cc, 96 * n_edges),
+            F.col(id_col) == F.col("__cc_id"), "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
@@ -1201,10 +1272,13 @@ def embedding_components(
     cos(a,c) below threshold) land in ONE cluster with one surviving
     representative — what pair flags alone cannot express."""
     pairs = embedding_dup_pairs(df, id_col, vec_col, threshold)
-    cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed("id", "__cc_id")
+    cc, n_edges = _connected_components_sized(pairs, "id_a", "id_b")
+    cc = cc.withColumnRenamed("id", "__cc_id")
     return (
         df.select(F.col(id_col))
-        .join(cc, F.col(id_col) == F.col("__cc_id"), "left")
+        .join(
+            _gated_broadcast(cc, 96 * n_edges),
+            F.col(id_col) == F.col("__cc_id"), "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("component"), F.col(id_col)).alias("component"),

@@ -1115,11 +1115,20 @@ def winnow_overlap(
     # shuffles rule applies (r7 measured plan without it: 4 FileScans,
     # 7 Exchanges, 0 ReusedExchange — the deep winnow selection scan
     # re-executed per consumer)
-    fps = eager_checkpoint(
+    # r14: the row count rides the checkpoint job and gates broadcast
+    # hints on the joins below — a checkpointed frame has no size stats,
+    # so auto-broadcast can never fire on it (dedup._gated_broadcast);
+    # (id, fp) rows are two longs, ~48 B each with row overhead
+    from wrangler_spark.datapipe._checkpoint import eager_checkpoint_observed
+    from wrangler_spark.datapipe.dedup import _gated_broadcast
+
+    fps, got = eager_checkpoint_observed(
         winnow_fingerprints(df, id_col, text_col, k, w).select(
             F.col(id_col).alias("id"), "fp"
-        ).distinct()
+        ).distinct(),
+        F.count(F.lit(1)).alias("n"),
     )
+    fps_est = 48 * (got["n"] or 0)
     if max_fp_df is not None:
         # (id, fp) unique by the .distinct() the checkpoint materialized —
         # count(*) == countDistinct(id) without the second exchange of
@@ -1146,7 +1155,8 @@ def winnow_overlap(
             F.pmod(F.col("fp"), F.lit(int(fp_sample_mod))) == 0)
         sl, sr = sub.alias("l"), sub.alias("r")
         cand = (
-            sl.join(sr, (F.col("l.fp") == F.col("r.fp"))
+            sl.join(_gated_broadcast(sr, fps_est),
+                    (F.col("l.fp") == F.col("r.fp"))
                     & (F.col("l.id") < F.col("r.id")))
             .groupBy(F.col("l.id").alias("id_a"),
                      F.col("r.id").alias("id_b"))
@@ -1157,8 +1167,8 @@ def winnow_overlap(
         # phase 2 — EXACT shared count, survivors only: expand each
         # candidate by doc A's full fingerprints, equi-join on
         # (id_b, fp) — candidate-bounded work, distributed keys
-        fa = fps.select(F.col("id").alias("id_a"), "fp")
-        fb = fps.select(F.col("id").alias("id_b"), "fp")
+        fa = _gated_broadcast(fps.select(F.col("id").alias("id_a"), "fp"), fps_est)
+        fb = _gated_broadcast(fps.select(F.col("id").alias("id_b"), "fp"), fps_est)
         out = (
             cand.join(fa, "id_a")
             .join(fb, ["id_b", "fp"])
@@ -1167,7 +1177,7 @@ def winnow_overlap(
             .filter(F.col("shared_fps") >= int(min_shared))
         )
     else:
-        l, r = fps.alias("l"), fps.alias("r")
+        l, r = fps.alias("l"), _gated_broadcast(fps.alias("r"), fps_est)
         out = (
             l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")))
             .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
