@@ -720,9 +720,10 @@ def cluster_topics(
             tol=tol, max_iters=max_train_iters,
         )
     else:
-        cent = eager_checkpoint(
-            kmeans_centroids(embs, n_clusters, train_iters, vec_id_col, vec_col, dim=dim)
-        )
+        # r14: kmeans_centroids returns a LOCAL relation (driver-literal
+        # centroids) — checkpointing it again was a pure-overhead job
+        # that also erased its exact stats
+        cent = kmeans_centroids(embs, n_clusters, train_iters, vec_id_col, vec_col, dim=dim)
     c = embs.select(
         F.col(vec_id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
     )
@@ -778,9 +779,10 @@ def cluster_summary(
             tol=tol, max_iters=max_train_iters,
         )
     else:
-        cent = eager_checkpoint(
-            kmeans_centroids(embs, n_clusters, train_iters, vec_id_col, vec_col, dim=dim)
-        )
+        # r14: kmeans_centroids returns a LOCAL relation (driver-literal
+        # centroids) — checkpointing it again was a pure-overhead job
+        # that also erased its exact stats
+        cent = kmeans_centroids(embs, n_clusters, train_iters, vec_id_col, vec_col, dim=dim)
     c = embs.select(
         F.col(vec_id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv")
     )

@@ -345,29 +345,78 @@ def kmeans_centroids(
         explode_means = dim is None or dim > 128
     if not explode_means and dim is None:
         raise ValueError("explode_means=False requires an explicit dim")
-    cent = init.select("centroid_id", "zv") if init is not None else (
+    # r14: the centroid table is PARAMETER-sized (k·dim doubles — the
+    # docstring's "only the k x dim centroid table ever leaves the
+    # executors" made literal): hold it as a DRIVER LITERAL and run each
+    # Lloyd round as ONE collect job. Three shape wins over the lazy
+    # chain this replaces: (a) the per-round centroid broadcast is a
+    # jobless LocalTableScan read instead of a broadcast-build job over
+    # a growing lazy plan (an iters=2 chain re-derived iteration 1's
+    # whole assignment inside iteration 2's broadcast subtree); (b) the
+    # members equi-join — which re-scanned the corpus AND re-exchanged
+    # the full vector payload by vec_id every iteration — is gone: the
+    # argmin struct CARRIES cv through the per-vector aggregate, so one
+    # scan and one vector-bearing exchange per round (guide §8: move
+    # the heavy bytes once); the comparator never reaches the cv field
+    # because centroid_id is unique within a group, so the argmin is
+    # unchanged. (c) lineage truncates for free each round. Identical
+    # values: the mean sees the same (centroid, cv) multiset the join
+    # produced — null vec_ids are filtered exactly as the old inner
+    # join dropped them (unique non-null ids are the family contract;
+    # a duplicate id now contributes its cv once, as documented).
+    spark = corpus.sparkSession
+    src = init.select("centroid_id", "zv") if init is not None else (
         c.orderBy("vec_id").limit(k).select(
             F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
         )
     )
+    cent_schema = src.schema
+    cent = local_table(
+        spark,
+        [(r["centroid_id"],
+          None if r["zv"] is None else list(r["zv"])) for r in src.collect()],
+        cent_schema,
+    )
     for _ in range(iters):
-        assign = _assign_prepared(c, cent, dim)
-        members = c.join(assign, "vec_id")
+        scored = c.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "centroid_id", "cv",
+            F.round(_cosine(F.col("cv"), F.col("zv"), dim), 6).alias("cos"),
+        )
+        best = F.min(
+            F.struct(
+                F.col("cos").isNull().cast("int").alias("z"),
+                (-F.col("cos")).alias("nc"),
+                F.col("centroid_id").alias("centroid_id"),
+                F.col("cv").alias("cv"),
+            )
+        )
+        members = (
+            scored.filter(F.col("vec_id").isNotNull())
+            .groupBy("vec_id")
+            .agg(best.alias("b"))
+            .select(F.col("b.centroid_id").alias("centroid_id"), F.col("b.cv").alias("cv"))
+        )
         if explode_means:
             per_dim = (
                 members.select("centroid_id", F.posexplode("cv").alias("pos", "x"))
                 .groupBy("centroid_id", "pos")
                 .agg(F.round(F.avg("x"), 6).alias("m"))
             )
-            cent = per_dim.groupBy("centroid_id").agg(
+            newc = per_dim.groupBy("centroid_id").agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
                 ).alias("zv")
             )
         else:
-            cent = members.groupBy("centroid_id").agg(
+            newc = members.groupBy("centroid_id").agg(
                 F.array(*[F.round(F.avg(F.col("cv")[i]), 6) for i in range(dim)]).alias("zv")
             )
+        cent = local_table(
+            spark,
+            [(r["centroid_id"],
+              None if r["zv"] is None else list(r["zv"])) for r in newc.collect()],
+            cent_schema,
+        )
     return cent
 
 
@@ -389,53 +438,65 @@ def kmeans_converge(
 
     Scale shape: each round is one kmeans_centroids iteration (broadcast
     assignment + map-side mean partials, the corpus never collected);
-    the shift test is ONE k-row join + a 1-row max aggregate — the same
-    bounded driver-loop-of-scalar-aggregates posture as pq_train /
-    ivf_tune_nprobe, with per-round eager_checkpoint + release so no
-    lineage or storage accumulates across rounds. Determinism: rounds
-    are kmeans_centroids' own 6dp-rounded updates from the
-    deterministic first-k seed, so ``tol=0.0, max_iters=N`` is
-    bit-identical to ``kmeans_centroids(iters=N)`` (a fixed point
-    reached early is also kmeans' own fixed point — extra blind rounds
-    cannot move it). Shift is measured over SURVIVING centroids (empty
-    clusters drop out, as in classic Lloyd's) — a round that dropped a
-    cluster never stops the loop, since the dropped centroid's members
-    reassign on the NEXT round. Returns a CHECKPOINTED
-    (centroid_id, zv) frame — release it (or let the surrounding
-    checkpoint_scope) when done."""
-    from wrangler_spark.datapipe._checkpoint import (
-        eager_checkpoint, eager_checkpoint_count, release,
-    )
+    the shift test runs DRIVER-SIDE over the k-row centroid literals
+    (r14: kmeans_centroids holds its state as a local relation, so the
+    per-round shift join + 1-row aggregate job is pure Python over rows
+    already on the driver — one scheduled job per round instead of
+    two). The Python arithmetic replays the old Spark expression
+    exactly: per surviving centroid, sqrt of the left-to-right sum of
+    (x−y)² in index order (the zip_with fold's IEEE order), any null/
+    length-mismatch making the distance null, nulls excluded from the
+    max, NaN propagating so a NaN shift never satisfies the tolerance —
+    bit-identical decisions. Determinism: rounds are kmeans_centroids'
+    own 6dp-rounded updates from the deterministic first-k seed, so
+    ``tol=0.0, max_iters=N`` is bit-identical to
+    ``kmeans_centroids(iters=N)`` (a fixed point reached early is also
+    kmeans' own fixed point — extra blind rounds cannot move it). Shift
+    is measured over SURVIVING centroids (empty clusters drop out, as
+    in classic Lloyd's) — a round that dropped a cluster never stops
+    the loop, since the dropped centroid's members reassign on the NEXT
+    round. Returns a LOCAL (centroid_id, zv) relation (k·dim doubles;
+    broadcasts of it are jobless) — ``release`` on it is a safe no-op,
+    so existing checkpoint-lifecycle callers are unchanged."""
+    import math
 
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cv"))
-    # the centroid count rides the init checkpoint's own job
-    cent, n_old = eager_checkpoint_count(
-        c.orderBy("vec_id").limit(k).select(
-            F.col("vec_id").alias("centroid_id"), F.col("cv").alias("zv")
-        )
-    )
+    # iters=0 = the collected deterministic first-k init
+    cent = kmeans_centroids(c, k, 0, "vec_id", "cv", dim=dim)
+    n_old = len(cent.collect())  # local relation: a jobless driver read
+
+    def _dist(a, b):
+        # sqrt(Σ (a[i]-b[i])²) replaying zip_with+fold semantics: any
+        # null operand or length mismatch nulls the whole sum
+        if a is None or b is None or len(a) != len(b):
+            return None
+        s = 0.0
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                return None
+            t = x - y
+            s += t * t
+        return math.sqrt(s)
+
     for _ in range(max_iters):
-        new = eager_checkpoint(
-            kmeans_centroids(c, k, 1, "vec_id", "cv", dim=dim, init=cent)
-        )
-        row = (
-            new.alias("n")
-            .join(cent.alias("o"), "centroid_id")
-            .select(
-                F.sqrt(_l2_n(F.col("n.zv"), F.col("o.zv"), dim)).alias("d")
-            )
-            .agg(F.max("d").alias("shift"), F.count(F.lit(1)).alias("n"))
-            .collect()[0]
-        )
-        release(cent)
+        new = kmeans_centroids(c, k, 1, "vec_id", "cv", dim=dim, init=cent)
+        old_rows = {r["centroid_id"]: r["zv"] for r in cent.collect()}
+        new_rows = [(r["centroid_id"], r["zv"]) for r in new.collect()]
+        ds = [
+            _dist(zv, old_rows[cid]) for cid, zv in new_rows if cid in old_rows
+        ]
+        n = len([1 for cid, _ in new_rows if cid in old_rows])
+        real = [d for d in ds if d is not None]
+        if any(math.isnan(d) for d in real):
+            shift = float("nan")
+        else:
+            shift = max(real) if real else None
         cent = new
-        if int(row["n"]) == n_old and (
-            row["shift"] is None or float(row["shift"]) <= float(tol)
-        ):
+        if n == n_old and (shift is None or shift <= float(tol)):
             break
-        n_old = int(row["n"])
+        n_old = n
     return cent
 
 
