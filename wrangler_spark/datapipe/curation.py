@@ -1649,7 +1649,7 @@ def keyword_tag(
     lengths = sorted(r["__m"] for r in kw.select("__m").distinct().collect())
     if not lengths:  # empty dictionary: no matches, keep the output contract
         spark2 = df.sparkSession
-        return local_table(spark2, 
+        return local_table(spark2,
             [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
                 f"{kw_col} string, n_hits long"
         )
@@ -2203,7 +2203,7 @@ def corpus_overlap(
     nu = a.unionByName(b).agg(cdist(F.col("__k")).alias("n")).collect()[0]["n"]
     ni = max(na + nb - nu, 0)
     spark = df_a.sparkSession
-    return local_table(spark, 
+    return local_table(spark,
         [(int(na), int(nb), int(nu), int(ni),
           round(ni / nu, 6) if nu else 0.0)],
         "n_a long, n_b long, n_union long, n_intersect long, jaccard double",

@@ -1004,7 +1004,7 @@ def _plane_sigs(
     if broadcast_planes is None:
         broadcast_planes = len(planes[0]) > 128
     if broadcast_planes:
-        pl = local_table(df.sparkSession, 
+        pl = local_table(df.sparkSession,
             [([[float(x) for x in p] for p in planes],)],
             "pls ARRAY<ARRAY<DOUBLE>>",
         )
@@ -1443,7 +1443,7 @@ def lsh_sweep(
         rows.append((int(b), int(r), m["approx_pairs"], m["exact_pairs"],
                      m["hits"], m["precision"], m["recall"]))
     release(truth)
-    return local_table(spark, 
+    return local_table(spark,
         rows,
         "bands int, rows_per_band int, approx_pairs long, exact_pairs long, "
         "hits long, precision double, recall double",
@@ -1492,7 +1492,7 @@ def embedding_sweep(
         rows.append((int(n), m["approx_pairs"], m["exact_pairs"],
                      m["hits"], m["precision"], m["recall"]))
     release(truth)
-    return local_table(spark, 
+    return local_table(spark,
         rows,
         "n_planes int, approx_pairs long, exact_pairs long, "
         "hits long, precision double, recall double",
@@ -1626,7 +1626,7 @@ def bloom_write_index(
         return
     vdir = _layout.begin_version(spark, path)
     bloom_words(keys, "__k", bits, num_hashes).write.parquet(f"{vdir}/words")
-    local_table(spark, 
+    local_table(spark,
         [(int(bits), int(num_hashes), _BLOOM_SCHEME)],
         "bits long, num_hashes int, scheme int",
     ).write.parquet(f"{vdir}/meta")
@@ -1828,7 +1828,7 @@ def minhash_write_index(
     # a live index's meta (it used to, pre-_sig_bands-validation)
     _check_lsh_geometry(int(bands), int(rows_per_band))
     vdir = _layout.begin_version(spark, path)
-    local_table(spark, 
+    local_table(spark,
         [(int(bands), int(rows_per_band))], "bands int, rows_per_band int"
     ).write.parquet(f"{vdir}/meta")
     if sweep is not None:
@@ -2033,7 +2033,7 @@ def embedding_write_index(
     sigs_o.select(
         F.col("id").alias("id_old"), F.col("v").alias("__vo")
     ).write.parquet(f"{vdir}/vectors")
-    local_table(spark, 
+    local_table(spark,
         [([[float(x) for x in p] for p in planes],)], "planes ARRAY<ARRAY<DOUBLE>>"
     ).write.parquet(f"{vdir}/meta")
     if sweep is not None:

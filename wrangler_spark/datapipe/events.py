@@ -628,7 +628,7 @@ def retention_write_state(
         _activity_pairs(df, user_col, ts_col, period_days, calendar)
         .write.partitionBy("__b").parquet(f"{vdir}/pairs")
     )
-    local_table(spark, 
+    local_table(spark,
         [(int(period_days), calendar or "", 2)],
         "period_days int, calendar string, state_version int",
     ).write.parquet(f"{vdir}/meta")
@@ -681,7 +681,7 @@ def retention_init_state(
     from wrangler_spark.datapipe import _layout
 
     vdir = _layout.begin_version(spark, path)
-    local_table(spark, 
+    local_table(spark,
         [(int(period_days), calendar or "", 2)],
         "period_days int, calendar string, state_version int",
     ).write.parquet(f"{vdir}/meta")
@@ -877,7 +877,7 @@ def funnel_init_state(
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
     vdir = _layout.begin_version(spark, path)
-    local_table(spark, 
+    local_table(spark,
         [(list(map(str, steps)),
           float(within_minutes) if within_minutes is not None else None, 1)],
         "steps array<string>, within_minutes double, state_version int",
@@ -1040,7 +1040,7 @@ def funnel_from_state(spark, path: str, version: int | None = None) -> DataFrame
     from wrangler_spark.datapipe import _layout
 
     root = _layout.resolve(spark, path, version)
-    steps_df = local_table(spark, 
+    steps_df = local_table(spark,
         [(i + 1, s) for i, s in enumerate(steps)], "step long, event_type string"
     )
     cur = _funnel_slots_current(spark, root)
@@ -2481,7 +2481,7 @@ def srm_check(
                 "ratios — an unplanned arm is itself a mismatch")
     sw = float(sum(ratios.values()))
     spark = df.sparkSession
-    exp = local_table(spark, 
+    exp = local_table(spark,
         [(a, float(w)) for a, w in sorted(ratios.items())],
         "arm string, w double")
     tot = cnt.agg(F.sum("users").cast("long").alias("n"))

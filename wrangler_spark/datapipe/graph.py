@@ -573,7 +573,7 @@ def graph_khop(
         )
     e = eager_checkpoint(e.distinct().repartition("__s"))
     spark = edges.sparkSession
-    seed_df = local_table(spark, 
+    seed_df = local_table(spark,
         [(str(s),) for s in sorted({str(s) for s in seeds})], "__n string"
     )
     # the empty-frontier early-exit count rides each frontier
@@ -769,7 +769,7 @@ def graph_sssp(
             "Bellman-Ford with bounded rounds needs non-negative costs")
     spark = edges.sparkSession
     dist = eager_checkpoint(
-        local_table(spark, 
+        local_table(spark,
             [(str(s),) for s in sorted({str(s) for s in seeds})],
             "__n string",
         ).select("__n", F.lit(0).cast("long").alias("__dm"))

@@ -346,7 +346,7 @@ def forget_ids(spark: SparkSession, path: str, values, key: str) -> None:
         if isinstance(values, _DF):
             tomb = values.select(F.col(values.columns[0]).cast("string").alias("__forget"))
         else:
-            tomb = local_table(spark, 
+            tomb = local_table(spark,
                 [(str(v),) for v in values], "__forget string"
             )
         tomb.distinct().write.mode("append").parquet(f"{root}/tombstones")

@@ -335,7 +335,7 @@ def quantiles_from_histogram(
         ).alias("__h"),
         F.coalesce(F.sum("count"), F.lit(0)).alias("__tot"),
     )
-    pf = local_table(hist.sparkSession, 
+    pf = local_table(hist.sparkSession,
         [(float(q),) for q in probs], "prob double"
     )
     rank = F.ceil(F.col("prob") * F.col("__tot"))
@@ -520,7 +520,7 @@ def quantiles_sketched_by(
         ).alias("__h"),
         F.sum("count").alias("__tot"),
     )
-    pf = local_table(df.sparkSession, 
+    pf = local_table(df.sparkSession,
         [(float(q),) for q in probs], "prob double"
     )
     rank = F.ceil(F.col("prob") * F.col("__tot"))
@@ -899,7 +899,9 @@ def _calibration_grid(
     score outside [0, 1] or label outside {0, 1}); valid rows land in
     the same bins and carry the same integer aggregates, and the
     sentinel row (present only on the raise path) never escapes."""
-    from wrangler_spark.datapipe._checkpoint import eager_checkpoint_observed
+    from wrangler_spark.datapipe._checkpoint import (
+        eager_checkpoint_observed, release,
+    )
 
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
@@ -926,6 +928,11 @@ def _calibration_grid(
         F.count(F.when(F.col("bin") == -1, 1)).alias("nbad"),
     )
     if got["nbad"]:
+        # release the just-pinned grid blocks before raising — the
+        # caller never sees the frame, so nothing can read it again
+        # (r13 ADVICE: the bad-input path leaked one tiny checkpoint
+        # per call into the _LIVE registry until release_all)
+        release(grid)
         raise ValueError(
             f"calibration_bins: {score_col} must lie in [0, 1] and "
             f"{label_col} in {{0, 1}}")
@@ -1321,7 +1328,7 @@ def benford_deviation(df: DataFrame, col: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("observed"))
     )
     spark = df.sparkSession
-    expected = local_table(spark, 
+    expected = local_table(spark,
         [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
         "digit int, expected_p double")
     full = (

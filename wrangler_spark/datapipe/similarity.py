@@ -999,7 +999,7 @@ def embedding_project(
     if broadcast_signs is None:
         broadcast_signs = dim_in * dim_out > 8192
     if broadcast_signs:
-        pl = local_table(df.sparkSession, 
+        pl = local_table(df.sparkSession,
             [([[float(x) for x in r] for r in signs],)], "__sgn ARRAY<ARRAY<DOUBLE>>"
         )
         proj = F.transform(
@@ -1302,7 +1302,7 @@ def pq_train(
                 zv = None if v is None else list(v[j * sub:(j + 1) * sub])
                 data.append((j, cid, zv))
             cid += 1
-        return local_table(spark, 
+        return local_table(spark,
             data, schema="m int, cid int, zv array<double>"
         )
     else:
